@@ -1,0 +1,65 @@
+"""PySpark-native sports-odds analytics engine.
+
+A from-scratch, Spark-first re-expression of the query and data-processing
+capabilities of ``davislaroque/Sports-Data-Integration-and-Forecasting-Pipeline``
+(reference surveyed in ``SURVEY.md``): nested odds-JSON ingestion, tidy
+flattening, odds normalization + de-vigging, best-price / arbitrage scans,
+EV / Kelly enrichment, rolling player features, ML forecasting, and
+backtesting — all as lazy DataFrame programs optimized by Catalyst,
+plus large-scale data-pipeline extras (dedup, similarity search, text
+analysis) the reference does not have.
+
+Public API mirrors the reference's exported surface
+(reference ``src/__init__.py:1-27``) with Spark signatures: operators are
+pure ``DataFrame -> DataFrame`` functions; scalar math is exposed as
+``Column -> Column`` expressions under :mod:`.functions`.
+"""
+
+from .operators.flatten import (
+    flatten_odds_to_df,
+    props_to_dataframe,
+)
+from .operators.odds import (
+    odds_to_probs,
+    clean_odds,
+    standardize_odds,
+    add_true_probabilities,
+)
+from .operators.markets import (
+    find_best_odds,
+    detect_arbitrage,
+    detect_discrepancies,
+    build_summary,
+    best_odds_report,
+)
+from .operators.ev import enrich_dataframe
+from .operators.features import build_features
+from .operators.evaluation import backtest, evaluate_accuracy
+from .sources.odds_api import fetch_player_props, fetch_odds
+from .sinks import save_snapshot, update_canonical_table
+
+__all__ = [
+    # analysis
+    "detect_arbitrage",
+    "detect_discrepancies",
+    "find_best_odds",
+    "build_summary",
+    "best_odds_report",
+    # ingestion
+    "fetch_odds",
+    "fetch_player_props",
+    "props_to_dataframe",
+    "save_snapshot",
+    "update_canonical_table",
+    # processing
+    "clean_odds",
+    "flatten_odds_to_df",
+    "odds_to_probs",
+    "standardize_odds",
+    "add_true_probabilities",
+    # enrichment / forecast / evaluation
+    "enrich_dataframe",
+    "build_features",
+    "backtest",
+    "evaluate_accuracy",
+]
