@@ -1,38 +1,66 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query at sf0.001; ``queries()`` /
+``oracle_sql()`` expose the full correctness battery
+(:mod:`sports_data_integration_and_forecasting_pipeline_spark.plans.battery`), one entry per
+operator family from SURVEY.md §2.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).parent))
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
+
+def _prepare(spark: SparkSession) -> None:
+    """Session settings the engine relies on, applied defensively in case
+    the driver built the session without them."""
+    for k, v in [
+        # events.parquet carries TIMESTAMP(NANOS); read as long (ordering
+        # is all we use ts for).
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ]:
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: best-price + two-outcome arbitrage market report
+    (the reference's ``detect_discrepancies`` pipeline shape, SURVEY §3.2)
+    over the sf0.001 tables."""
+    _prepare(spark)
+    from sports_data_integration_and_forecasting_pipeline_spark.plans.battery import QUERIES
+
+    return QUERIES["flagship_market_report"].fn(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator battery from SURVEY.md §2."""
+    from sports_data_integration_and_forecasting_pipeline_spark.plans.battery import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _prepare(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: wrap(spec.fn) for name, spec in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL equivalent for every SQL-expressible query."""
+    from sports_data_integration_and_forecasting_pipeline_spark.plans.battery import QUERIES
+
+    return {n: s.oracle for n, s in QUERIES.items() if s.oracle is not None}

@@ -1,0 +1,79 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Execution is forced with the noop sink (full computation, no driver
+collect, no disk write) so timings measure the query plan, not result
+materialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+HEADLINE = [
+    "pricing_summary",
+    "devig_proportional",
+    "devig_power",
+    "best_price_per_order",
+    "best_odds_report_join",
+    "arbitrage_scan",
+    "rolling_avg_events",
+    "lead_target_events",
+    "ev_battery",
+    "odds_format_normalize",
+    "backtest_roi",
+    "accuracy_metric",
+    "snapshot_union",
+    "customer_order_rollup",
+    "topk_orders",
+    "flagship_market_report",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from sports_data_integration_and_forecasting_pipeline_spark.plans.battery import QUERIES
+    from sports_data_integration_and_forecasting_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+
+    # Warm the JVM/codegen paths once with a trivial action.
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = QUERIES.get(name)
+        if spec is None:
+            continue
+        df = spec.fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "battery_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -46,6 +46,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Nested-schema pruning so exploded JSON scans read only used fields.
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+        # The driver's events table carries TIMESTAMP(NANOS) parquet columns,
+        # which Spark rejects by default; read them as nanos-since-epoch longs
+        # (ordering-equivalent, which is all the engine needs from ts).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
