@@ -1,0 +1,104 @@
+"""Text analysis operators for large-scale corpus pipelines (SURVEY §7.3-7
+north-star scope; no reference counterpart — the reference has no text ops).
+
+All operators are pure Column arithmetic over built-in string/array
+functions — no UDFs, fully codegen'd, shuffle-free projections — so they
+scan 100 TB of documents at parquet-read speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Marker stopwords per language for the n-gram/marker-word language-ID
+# heuristic. Deliberately tiny: language ID at corpus scale is a cheap
+# first-pass filter, not a classifier.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "es": ("el", "los", "las", "una", "y", "que"),
+    "fr": ("le", "les", "des", "et", "est", "une"),
+    "zh": ("de", "shi", "bu", "zai", "le", "wo"),
+}
+
+EN_STOPWORDS: tuple[str, ...] = LANG_MARKERS["en"] + ("it", "for", "on")
+
+PUNCT_CLASS = "[^.,;:!?]"
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def _count_in(tokens: Column, words: tuple[str, ...]) -> Column:
+    """How many tokens are in a fixed word set — array filter + size,
+    JVM-side."""
+    return F.size(F.filter(tokens, lambda w: w.isin(*words))).cast("bigint")
+
+
+def token_stats(
+    df: DataFrame, text_col: str = "text", nchars_col: str = "n_chars"
+) -> DataFrame:
+    """Whitespace token count + a BPE-ish byte-per-token estimate
+    (~4 chars/token, the usual BPE rule of thumb)."""
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks).cast("bigint")
+    return df.withColumns(
+        {
+            "n_ws_tokens": n,
+            "est_bpe_tokens": F.ceil(F.col(nchars_col) / 4.0).cast("bigint"),
+            "chars_per_token": F.col(nchars_col) / n,
+        }
+    )
+
+
+def text_quality(
+    df: DataFrame, text_col: str = "text", nchars_col: str = "n_chars"
+) -> DataFrame:
+    """Length/punctuation/stopword quality signals + a composite score in
+    [0, 1] (0.5·stopword_ratio + 0.5·min(n_tokens,100)/100)."""
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks).cast("bigint")
+    nchars = F.col(nchars_col).cast("double")
+    stop_ratio = _count_in(toks, EN_STOPWORDS) / n
+    punct = F.length(
+        F.regexp_replace(F.col(text_col), PUNCT_CLASS, "")
+    ).cast("bigint")
+    return df.withColumns(
+        {
+            "n_tokens": n,
+            "avg_word_len": (nchars - (n - 1)) / n,
+            "punct_ratio": punct / nchars,
+            "stopword_ratio": stop_ratio,
+            "quality_score": stop_ratio * 0.5
+            + F.least(n, F.lit(100)) / 100.0 * 0.5,
+        }
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language ID: count markers per language, argmax with a
+    fixed priority order (en > de > es > fr > zh) on ties."""
+    toks = _tokens(F.col(text_col))
+    out = df
+    for lang, markers in LANG_MARKERS.items():
+        out = out.withColumn(f"c_{lang}", _count_in(toks, markers))
+    langs = list(LANG_MARKERS)
+    pred = None
+    for i, lang in enumerate(langs[:-1]):
+        rest = [F.col(f"c_{l}") for l in langs[i + 1 :]]
+        cond = F.col(f"c_{lang}") >= F.greatest(*rest) if len(rest) > 1 else (
+            F.col(f"c_{lang}") >= rest[0]
+        )
+        pred = (
+            F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+        )
+    predicted = pred.otherwise(F.lit(langs[-1]))
+    return out.withColumn("predicted_lang", predicted)
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stable content fingerprint: md5 of the lowercased text. Pairs with
+    :func:`...dedup.simhash16` for near-dup-tolerant fingerprints."""
+    return df.withColumn("md5_fp", F.md5(F.lower(F.col(text_col))))

@@ -728,3 +728,127 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(_cents(F.col("l_extendedprice"))) / 100.0 / cnt).alias("avg_price"),
         cnt.alias("count_order"),
     )
+
+
+# ===========================================================================
+# Text analysis over `documents` (north-star training-data ops; no reference
+# counterpart — SURVEY §7.3-7). All pure Column/string/array expressions:
+# shuffle-free narrow projections that scan at parquet-read speed.
+# ===========================================================================
+
+def _sql_count_in(words: tuple[str, ...]) -> str:
+    """DuckDB list_filter count of whitespace tokens in a fixed word set."""
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return (
+        "CAST(len(list_filter(string_split(text, ' '), "
+        f"x -> x IN ({inlist}))) AS BIGINT)"
+    )
+
+
+@_register(
+    "text_token_stats",
+    f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_bpe_tokens,
+           {_sql_r("1.0 * n_chars / len(string_split(text, ' '))", 9)} AS chars_per_token
+    FROM documents
+    """,
+    "textops: token counting",
+    "whitespace + BPE-estimate token counts per document",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import token_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    out = token_stats(docs)
+    return out.select(
+        "doc_id",
+        "n_ws_tokens",
+        "est_bpe_tokens",
+        _r(F.col("chars_per_token"), 9).alias("chars_per_token"),
+    )
+
+
+@_register(
+    "text_quality",
+    f"""
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             {_sql_count_in(('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it', 'for', 'on'))} AS n_stop,
+             CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           {_sql_r('1.0 * (n_chars - (n_tokens - 1)) / n_tokens', 9)} AS avg_word_len,
+           {_sql_r('1.0 * n_punct / n_chars', 9)} AS punct_ratio,
+           {_sql_r('1.0 * n_stop / n_tokens', 9)} AS stopword_ratio,
+           {_sql_r('(1.0 * n_stop / n_tokens) * 0.5 + least(n_tokens, 100) / 100.0 * 0.5', 9)} AS quality_score
+    FROM t
+    """,
+    "textops: quality scoring",
+    "length/punct/stopword quality signals + composite score",
+)
+def text_quality_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import text_quality
+
+    docs = _t(spark, sf_dir, "documents")
+    out = text_quality(docs)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        _r(F.col("avg_word_len"), 9).alias("avg_word_len"),
+        _r(F.col("punct_ratio"), 9).alias("punct_ratio"),
+        _r(F.col("stopword_ratio"), 9).alias("stopword_ratio"),
+        _r(F.col("quality_score"), 9).alias("quality_score"),
+    )
+
+
+@_register(
+    "text_language_id",
+    f"""
+    WITH c AS (
+      SELECT doc_id, lang,
+             {_sql_count_in(('the', 'a', 'of', 'and', 'to', 'in', 'is'))} AS c_en,
+             {_sql_count_in(('der', 'die', 'das', 'und', 'ist', 'ein'))} AS c_de,
+             {_sql_count_in(('el', 'los', 'las', 'una', 'y', 'que'))} AS c_es,
+             {_sql_count_in(('le', 'les', 'des', 'et', 'est', 'une'))} AS c_fr,
+             {_sql_count_in(('de', 'shi', 'bu', 'zai', 'le', 'wo'))} AS c_zh
+      FROM documents
+    )
+    SELECT doc_id, lang, c_en, c_de, c_es, c_fr, c_zh,
+           CASE WHEN c_en >= greatest(c_de, c_es, c_fr, c_zh) THEN 'en'
+                WHEN c_de >= greatest(c_es, c_fr, c_zh) THEN 'de'
+                WHEN c_es >= greatest(c_fr, c_zh) THEN 'es'
+                WHEN c_fr >= c_zh THEN 'fr'
+                ELSE 'zh' END AS predicted_lang
+    FROM c
+    """,
+    "textops: language ID",
+    "marker-word language-ID heuristic vs the table's lang column",
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import language_id
+
+    docs = _t(spark, sf_dir, "documents")
+    out = language_id(docs)
+    return out.select(
+        "doc_id", "lang", "c_en", "c_de", "c_es", "c_fr", "c_zh", "predicted_lang"
+    )
+
+
+@_register(
+    "text_fingerprint",
+    """
+    SELECT doc_id, md5(lower(text)) AS md5_fp
+    FROM documents
+    """,
+    "textops: document fingerprinting",
+    "stable md5 content fingerprint per document",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import doc_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return doc_fingerprint(docs).select("doc_id", "md5_fp")

@@ -1,0 +1,64 @@
+"""Unit tests for text-analysis operators (SURVEY §7.3-7 north-star scope)
+on tiny hand-computed inputs."""
+
+from __future__ import annotations
+
+from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import (
+    doc_fingerprint,
+    language_id,
+    text_quality,
+    token_stats,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+
+
+def test_token_stats_counts(spark):
+    df = _docs(spark, [(1, "a b c d", 7), (2, "hello", 5)])
+    got = {r["doc_id"]: r for r in token_stats(df).collect()}
+    assert got[1]["n_ws_tokens"] == 4
+    assert got[1]["est_bpe_tokens"] == 2  # ceil(7/4)
+    assert got[1]["chars_per_token"] == 7 / 4
+    assert got[2]["n_ws_tokens"] == 1
+    assert got[2]["est_bpe_tokens"] == 2
+
+
+def test_text_quality_signals(spark):
+    # 4 tokens, 1 stopword ("the"), 1 punct char, 16 chars.
+    df = _docs(spark, [(1, "the cat sat down.", 17)])
+    r = text_quality(df).collect()[0]
+    assert r["n_tokens"] == 4
+    assert r["stopword_ratio"] == 0.25
+    assert r["punct_ratio"] == 1 / 17
+    # avg word len: (17 - 3 spaces) / 4
+    assert r["avg_word_len"] == 14 / 4
+    assert r["quality_score"] == 0.25 * 0.5 + 4 / 100.0 * 0.5
+
+
+def test_language_id_argmax_and_tie_priority(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "the cat and the dog is here", 0),
+            (2, "der hund und die katze ist", 0),
+            (3, "le chat est une idee les", 0),
+            # tie: "de" appears in both de-markers? no — "de" is zh marker;
+            # "le" is fr AND zh marker -> one count each -> priority en>..>fr
+            # picks fr over zh.
+            (4, "le", 0),
+        ],
+    )
+    got = {r["doc_id"]: r["predicted_lang"] for r in language_id(df).collect()}
+    assert got[1] == "en"
+    assert got[2] == "de"
+    assert got[3] == "fr"
+    assert got[4] == "fr"
+
+
+def test_doc_fingerprint_case_insensitive(spark):
+    df = _docs(spark, [(1, "Hello World", 11), (2, "hello world", 11)])
+    fps = [r["md5_fp"] for r in doc_fingerprint(df).collect()]
+    assert fps[0] == fps[1]
+    assert len(fps[0]) == 32
