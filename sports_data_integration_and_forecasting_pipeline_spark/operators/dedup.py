@@ -1,0 +1,276 @@
+"""Deduplication operators for large-scale corpus pipelines (SURVEY §7.3-7
+north-star scope; the reference has no text/dedup surface — its only dedup
+is ``drop_duplicates("game_id")`` at ``web/app.py:99``, covered by the
+markets operators).
+
+Four families, each a standard corpus-dedup technique re-expressed as
+shuffle-minimal Spark plans:
+
+- **Exact**: md5 fingerprint + one hash-partitioned window (single shuffle
+  on the fingerprint; fingerprints are ~unique so no skew).
+- **N-gram Jaccard**: word-shingle inverted index self-joined on shingle.
+  Hot shingles (doc frequency > ``max_df``) are dropped via a broadcast
+  anti-join before the pair join — the standard skew guard that keeps the
+  candidate-pair count near-linear at 100 TB.
+- **MinHash + LSH**: 16 universal-hash minima per doc (one shuffle:
+  explode → groupBy(doc) with 16 map-side-partial ``min`` aggs), banded
+  into 4 buckets; candidate pairs meet in a bucket equi-join instead of an
+  O(n²) cross join.
+- **SimHash**: 16-bit signature computed entirely in narrow (shuffle-free)
+  array expressions; near-dup pairs via 4-bit band join + Hamming filter
+  (pigeonhole: hamming ≤ 3 ⇒ some 4-bit band equal).
+
+Hash discipline: every hash derives from md5 (byte-identical hex in Spark
+and DuckDB), so the DuckDB oracles reproduce results exactly:
+``h32(s) = int(md5(s)[:8], 16) ∈ [0, 2^32)``. MinHash permutations are
+``(a·h + b) mod p`` with ``a < 2^30`` (so ``a·h < 2^62`` never overflows
+int64) and ``p`` the smallest prime > 2^32. No UDFs anywhere — all
+JVM-side, whole-stage-codegen'd expressions.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import add
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+NUM_MINHASH = 16
+MINHASH_BANDS = 4
+MINHASH_PRIME = 4_294_967_311  # smallest prime > 2^32
+SIMHASH_BITS = 16
+
+
+def _mh_params(i: int) -> tuple[int, int]:
+    """Deterministic universal-hash constants (Knuth multiplicative mixing;
+    `| 1` keeps the multiplier odd, hence invertible mod 2^30)."""
+    a = (2_654_435_761 * (i + 1)) % (1 << 30) | 1
+    b = (40_503 * (i + 1) + 2_531_011) % (1 << 32)
+    return a, b
+
+
+MINHASH_PARAMS: tuple[tuple[int, int], ...] = tuple(
+    _mh_params(i) for i in range(NUM_MINHASH)
+)
+
+
+def h32(c: Column) -> Column:
+    """32-bit deterministic hash shared bit-for-bit with DuckDB:
+    first 8 hex digits of md5, parsed base-16."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as array<string>. Docs with fewer than
+    ``n`` tokens yield one short shingle (out-of-range positions are null
+    and concat_ws skips them — same semantics as the SQL oracle)."""
+    toks = F.split(text, " ")
+    count = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.concat_ws(" ", *[F.get(toks, i + j - 1) for j in range(n)]),
+        )
+    )
+
+
+def exact_dup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: md5-fingerprint groups; min id per group is canonical.
+    One shuffle (hash-partition by fingerprint)."""
+    fp = F.md5(F.col(text_col))
+    w = Window.partitionBy("fp")
+    canonical = F.min(id_col).over(w)
+    return df.select(id_col, fp.alias("fp")).select(
+        id_col,
+        "fp",
+        canonical.alias("canonical_id"),
+        (F.col(id_col) != canonical).alias("is_duplicate"),
+    )
+
+
+def shingle_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_df: int | None = 100,
+) -> DataFrame:
+    """Exact n-gram Jaccard over the shingle inverted index: pairs sharing
+    ≥ 1 shingle, with ``jaccard = |A∩B| / (|A| + |B| − |A∩B|)``.
+
+    Scale shape: explode (narrow) → optional broadcast anti-join dropping
+    shingles with doc-frequency > ``max_df`` (the hot-key guard; the hot
+    list is tiny by construction) → shingle equi-join (the inverted
+    index) → one groupBy on the pair. Candidate volume is Σ df(s)² over
+    surviving shingles — near-linear once hot shingles are capped.
+    """
+    sh = (
+        df.select(F.col(id_col), word_shingles(F.col(text_col), n).alias("shs"))
+        .withColumn("n_sh", F.size("shs"))
+        .select(id_col, "n_sh", F.explode("shs").alias("sh"))
+    )
+    if max_df is not None:
+        hot = sh.groupBy("sh").count().filter(F.col("count") > max_df).select("sh")
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
+    a = sh.select(
+        F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"), "sh"
+    )
+    b = sh.select(
+        F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"), "sh"
+    )
+    inter = F.count("*").cast("long")
+    return (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(inter.alias("n_common"))
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            (
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """16-column MinHash signature (``mh0..mh15``): per universal hash i,
+    the min of ``(a_i·h32(shingle) + b_i) mod p`` over the doc's shingles.
+    One shuffle — explode is narrow, the groupBy does map-side partial
+    mins so only (doc, 16 longs) rows cross the wire."""
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("sh")
+    ).withColumn("h", h32(F.col("sh")))
+    aggs = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
+            f"mh{i}"
+        )
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """MinHash LSH candidate pairs: band the 16-long signature into
+    ``bands`` buckets (md5 of the band's values), meet candidates in a
+    (band, bucket) equi-join, and score each pair by the fraction of
+    matching minhashes (the unbiased Jaccard estimate).
+
+    Scale shape: signatures (1 shuffle) → explode 4 band rows/doc
+    (narrow) → bucket equi-join (only near-dups collide, so the join
+    output is ~linear) → dropDuplicates on the pair.
+    """
+    rows = NUM_MINHASH // bands
+    sig = minhash_signatures(df, text_col, id_col, n)
+    sig_arr = F.array(*[F.col(f"mh{i}") for i in range(NUM_MINHASH)])
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "_", *[F.col(f"mh{bi * rows + j}") for j in range(rows)]
+                    )
+                ).alias("bh"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    exploded = sig.select(
+        F.col(id_col), sig_arr.alias("sig"), F.explode(band_structs).alias("bb")
+    ).select(id_col, "sig", "bb.band", "bb.bh")
+    a = exploded.select(
+        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "bh"
+    )
+    b = exploded.select(
+        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band", "bh"
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
+        )
+    )
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", (matches / float(NUM_MINHASH)).alias("est_jaccard")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def simhash16(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """16-bit SimHash over distinct whitespace tokens: bit i is set iff
+    ≥ half the token hashes have bit i set. Entirely narrow array
+    expressions — zero shuffles; scans 100 TB at parquet-read speed."""
+    hs = F.transform(
+        F.array_distinct(F.split(F.col(text_col), " ")), lambda t: h32(t)
+    )
+    n = F.size(hs)
+    def bit_term(i: int) -> Column:
+        # bit i set ⟺ h & 2^i ≠ 0; single-arg lambda (Spark dispatches on
+        # lambda arity) closing over the mask literal.
+        mask = F.lit(1 << i)
+        votes = F.size(F.filter(hs, lambda h: h.bitwiseAND(mask) != 0))
+        return (2 * votes >= n).cast("long") * F.lit(1 << i)
+
+    terms = [bit_term(i) for i in range(SIMHASH_BITS)]
+    return df.select(F.col(id_col), reduce(add, terms).alias("simhash16"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: 4-bit band join (pigeonhole guarantees any
+    pair with hamming ≤ 3 shares a band) then exact Hamming filter via
+    popcount(xor). Same meet-in-bucket scale shape as MinHash LSH."""
+    sim = simhash16(df, text_col, id_col)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.shiftright(F.col("simhash16"), 4 * bi)
+                .bitwiseAND(F.lit(15))
+                .alias("nib"),
+            )
+            for bi in range(4)
+        ]
+    )
+    exploded = sim.select(
+        F.col(id_col), "simhash16", F.explode(bands).alias("bb")
+    ).select(id_col, "simhash16", "bb.band", "bb.nib")
+    a = exploded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash16").alias("sim_a"), "band", "nib"
+    )
+    b = exploded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash16").alias("sim_b"), "band", "nib"
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        a.join(b, ["band", "nib"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )

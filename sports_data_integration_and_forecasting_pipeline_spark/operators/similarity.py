@@ -1,0 +1,205 @@
+"""Embedding similarity search (SURVEY §7.3-7 north-star scope; no
+reference counterpart — the reference has no vector surface).
+
+Two paths over an ``array<float>`` embedding column:
+
+- **Brute-force cosine top-k** — the exactness baseline: broadcast the
+  (small) query set against every candidate; dot products are pure
+  ``zip_with`` + ``aggregate`` fold (JVM-side, codegen'd, no UDF). One
+  scan over the candidates, no shuffle until the per-query top-k window.
+- **Random-hyperplane LSH ANN** — the scale path: bucket every vector by
+  the sign pattern of 8 fixed ±1 hyperplanes (a narrow projection), then
+  only score candidates that collide with a query's bucket. Recall < 1 by
+  construction; at 100 TB the bucket equi-join replaces the full scan per
+  query and the plane count tunes the recall/cost trade-off.
+
+Determinism: hyperplanes are derived from md5 in the driver (fixed,
+library-independent), so a SQL oracle can embed the identical plane
+literals. Float32 inputs are widened to float64 before any arithmetic and
+folds run left-to-right, matching sequential SQL sums.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from functools import reduce
+from operator import add
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+DEFAULT_PLANES = 8
+
+
+def dvec(col: Column) -> Column:
+    """Widen array<float> → array<double> (exact)."""
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right dot-product fold (order-stable across
+    engines)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(v: Column) -> Column:
+    return F.sqrt(dot(v, v))
+
+
+def plane_sign(p: int, d: int) -> float:
+    """Deterministic ±1 hyperplane weight from md5 — no RNG library
+    dependence, reproducible in any engine or by hand."""
+    h = int(hashlib.md5(f"plane-{p}-{d}".encode()).hexdigest()[:8], 16)
+    return 1.0 if h % 2 == 0 else -1.0
+
+
+def hyperplanes(n_planes: int = DEFAULT_PLANES, dim: int = 64) -> list[list[float]]:
+    return [[plane_sign(p, d) for d in range(dim)] for p in range(n_planes)]
+
+
+def lsh_bucket(v: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id: bit p set iff dot(plane_p, v) > 0."""
+    terms = [
+        F.when(
+            dot(F.array(*[F.lit(w) for w in plane]), v) > 0, F.lit(1 << p)
+        ).otherwise(F.lit(0))
+        for p, plane in enumerate(planes)
+    ]
+    return reduce(add, terms).cast("long")
+
+
+def _prepared(
+    emb_df: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    return emb_df.select(
+        F.col(id_col), dvec(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+
+
+def cosine_topk(
+    emb_df: DataFrame,
+    query_pred: Column,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_expr=None,
+) -> DataFrame:
+    """Exact top-k by cosine for each query row (rows matching
+    ``query_pred``) against all other rows. Queries are broadcast; ranking
+    pins a total order (cosine desc, candidate id) for determinism.
+
+    Scale note: the final window partitions by query id — fine for a
+    bounded query set. For large query sets, pre-aggregate a per-partition
+    local top-k (window over (q_id, input partition)) before the global
+    window so each query's global sort sees ≤ k·P rows, not N.
+    """
+    e = _prepared(emb_df, id_col, vec_col)
+    q = e.filter(query_pred).select(
+        F.col(id_col).alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    cos = dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    cos = round_expr(cos) if round_expr is not None else cos
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col(id_col))
+        .select("q_id", F.col(id_col).alias("cand_id"), cos.alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "cand_id", "cosine")
+    )
+
+
+def ann_lsh_topk(
+    emb_df: DataFrame,
+    query_pred: Column,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = DEFAULT_PLANES,
+    dim: int = 64,
+    k: int = 3,
+    round_expr=None,
+) -> DataFrame:
+    """Approximate top-k: score only candidates whose LSH bucket equals the
+    query's bucket. May return < k rows per query (recall trade-off).
+
+    Scale shape: bucket assignment is a narrow projection over one scan;
+    the bucket equi-join touches ~N/2^planes candidates per query instead
+    of N; everything downstream is identical to the exact path.
+    """
+    planes = hyperplanes(n_planes, dim)
+    e = _prepared(emb_df, id_col, vec_col).withColumn(
+        "bucket", lsh_bucket(F.col("v"), planes)
+    )
+    q = e.filter(query_pred).select(
+        F.col(id_col).alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        "bucket",
+    )
+    cos = dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    cos = round_expr(cos) if round_expr is not None else cos
+    scored = (
+        e.join(F.broadcast(q), "bucket")
+        .filter(F.col("q_id") != F.col(id_col))
+        .select(
+            "q_id", F.col(id_col).alias("cand_id"), "bucket", cos.alias("cosine")
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "cand_id", "bucket", "cosine")
+    )
+
+
+def cosine_dup_pairs(
+    emb_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+    n_planes: int = DEFAULT_PLANES,
+    dim: int = 64,
+    exact: bool = True,
+    round_expr=None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a < b) pairs with
+    cosine ≥ threshold.
+
+    ``exact=True`` scores every pair (the O(n²) correctness baseline —
+    fine for bounded tables, the oracle path). ``exact=False`` restricts
+    to same-LSH-bucket pairs (the 100 TB path: near-dups have cosine ≈ 1
+    so they land in the same sign bucket with high probability).
+    """
+    e = _prepared(emb_df, id_col, vec_col)
+    if not exact:
+        e = e.withColumn("bucket", lsh_bucket(F.col("v"), hyperplanes(n_planes, dim)))
+    a = e.select(
+        *(["bucket"] if not exact else []),
+        F.col(id_col).alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = e.select(
+        *(["bucket"] if not exact else []),
+        F.col(id_col).alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    joined = (
+        a.join(b, "bucket") if not exact else a.crossJoin(b)
+    ).filter(F.col("id_a") < F.col("id_b"))
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    cos = round_expr(cos) if round_expr is not None else cos
+    return (
+        joined.select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

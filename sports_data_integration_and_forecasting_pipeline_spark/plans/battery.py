@@ -852,3 +852,303 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return doc_fingerprint(docs).select("doc_id", "md5_fp")
+
+
+# ===========================================================================
+# Deduplication + similarity search (north-star training-data ops; no
+# reference counterpart — SURVEY §7.3-7). Hash discipline: everything
+# derives from md5 (byte-identical hex in Spark and DuckDB), so the
+# oracles reproduce MinHash/SimHash bit-for-bit. See operators/dedup.py
+# and operators/similarity.py for the scale shape of each plan.
+# ===========================================================================
+
+from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (  # noqa: E402
+    MINHASH_BANDS,
+    MINHASH_PARAMS,
+    MINHASH_PRIME,
+    NUM_MINHASH,
+    SIMHASH_BITS,
+)
+from sports_data_integration_and_forecasting_pipeline_spark.operators.similarity import (  # noqa: E402
+    hyperplanes,
+)
+
+# Word-3-gram shingles / 32-bit md5 hash, as DuckDB SQL (mirrors
+# dedup.word_shingles / dedup.h32 exactly: out-of-range list indexes are
+# NULL and concat_ws skips them in both engines).
+_SHINGLE3_SQL = (
+    "list_distinct(list_transform("
+    "range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1), "
+    "i -> concat_ws(' ', string_split(text, ' ')[i::INT], "
+    "string_split(text, ' ')[(i + 1)::INT], "
+    "string_split(text, ' ')[(i + 2)::INT])))"
+)
+
+
+def _h32_sql(expr: str) -> str:
+    return f"CAST(concat('0x', substring(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+@_register(
+    "dedup_exact",
+    """
+    SELECT doc_id,
+           md5(text) AS fp,
+           min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+           doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
+    FROM documents
+    """,
+    "textops: exact dedup",
+    "md5-fingerprint duplicate groups, min doc_id canonical",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import exact_dup_groups
+
+    return exact_dup_groups(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "dedup_shingle_jaccard",
+    f"""
+    WITH sh0 AS (
+      SELECT doc_id, {_SHINGLE3_SQL} AS shs FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, CAST(len(shs) AS BIGINT) AS n_sh, unnest(shs) AS sh
+      FROM sh0
+    ),
+    ok AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 100),
+    shf AS (SELECT s.* FROM sh s JOIN ok USING (sh))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_common,
+           1.0 * count(*) / (a.n_sh + b.n_sh - count(*)) AS jaccard
+    FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+    """,
+    "textops: n-gram Jaccard near-dup",
+    "word-3-gram inverted-index pair join with exact Jaccard (hot-shingle cap 100)",
+)
+def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import shingle_jaccard_pairs
+
+    out = shingle_jaccard_pairs(_t(spark, sf_dir, "documents"), max_df=100)
+    # int/int double division is exact in both engines — no rounding needed.
+    return out.select("id_a", "id_b", "n_common", "jaccard")
+
+
+def _minhash_sig_sql() -> str:
+    mins = ", ".join(
+        f"min((h * {a} + {b}) % {MINHASH_PRIME}) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    )
+    return f"""
+    toks AS (SELECT doc_id, unnest({_SHINGLE3_SQL}) AS sh FROM documents),
+    hv AS (SELECT doc_id, {_h32_sql('sh')} AS h FROM toks),
+    sig AS (SELECT doc_id, {mins} FROM hv GROUP BY doc_id)
+    """
+
+
+_MH_ROWS = NUM_MINHASH // MINHASH_BANDS
+_MH_ARR = "[" + ", ".join(f"mh{i}" for i in range(NUM_MINHASH)) + "]"
+_MH_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {bi} AS band, "
+    f"md5(concat_ws('_', {', '.join(f'mh{bi * _MH_ROWS + j}' for j in range(_MH_ROWS))})) AS bh, "
+    f"{_MH_ARR} AS arr FROM sig"
+    for bi in range(MINHASH_BANDS)
+)
+
+
+@_register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_minhash_sig_sql()},
+    bands AS ({_MH_BANDS_SQL})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           list_sum(list_transform(range(1, {NUM_MINHASH + 1}),
+             i -> CASE WHEN a.arr[i::INT] = b.arr[i::INT] THEN 1 ELSE 0 END)) / {NUM_MINHASH}.0
+             AS est_jaccard
+    FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+                             AND a.doc_id < b.doc_id
+    """,
+    "textops: MinHash+LSH near-dup",
+    "16-perm MinHash signatures, 4-band LSH bucket join, estimated Jaccard",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+_SIMHASH_SQL_EXPR = " + ".join(
+    f"(CASE WHEN 2 * len(list_filter(hs, x -> ((x >> {i}) & 1) = 1)) >= len(hs) "
+    f"THEN {1 << i} ELSE 0 END)"
+    for i in range(SIMHASH_BITS)
+)
+_SIMHASH_CTE = f"""
+    h AS (SELECT doc_id,
+                 list_transform(list_distinct(string_split(text, ' ')),
+                                t -> {_h32_sql('t')}) AS hs
+          FROM documents),
+    sim AS (SELECT doc_id, CAST({_SIMHASH_SQL_EXPR} AS BIGINT) AS simhash16 FROM h)
+"""
+
+
+@_register(
+    "dedup_simhash",
+    f"WITH {_SIMHASH_CTE} SELECT doc_id, simhash16 FROM sim",
+    "textops: SimHash fingerprint",
+    "16-bit SimHash over distinct-token md5 hashes (shuffle-free narrow plan)",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import simhash16
+
+    return simhash16(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "dedup_simhash_pairs",
+    f"""
+    WITH {_SIMHASH_CTE},
+    bands AS (
+      SELECT doc_id, simhash16, b AS band, (simhash16 >> (4 * b)) & 15 AS nib
+      FROM sim CROSS JOIN (VALUES (0), (1), (2), (3)) t(b)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash16, b.simhash16)) AS INT) AS hamming
+    FROM bands a JOIN bands b ON a.band = b.band AND a.nib = b.nib
+                             AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash16, b.simhash16)) <= 3
+    """,
+    "textops: SimHash near-dup pairs",
+    "4-bit-band candidate join + Hamming<=3 filter (pigeonhole-complete)",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+# --- embedding similarity -------------------------------------------------
+
+_EMB_DIM = 64  # embeddings.embedding is array<float> of fixed length 64
+
+
+def _emb_norm_cte() -> str:
+    dot_vv = (
+        f"list_sum(list_transform(range(1, {_EMB_DIM + 1}), "
+        "i -> v[i::INT] * v[i::INT]))"
+    )
+    return f"""
+    e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+    nv AS (SELECT vec_id, v, sqrt({dot_vv}) AS nrm FROM e)
+    """
+
+
+_COS_SQL = (
+    f"list_sum(list_transform(range(1, {_EMB_DIM + 1}), "
+    "i -> q.v[i::INT] * c.v[i::INT])) / (q.nrm * c.nrm)"
+)
+
+
+@_register(
+    "embed_cosine_topk",
+    f"""
+    WITH {_emb_norm_cte()},
+    scored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+             {_sql_r(_COS_SQL, 6)} AS cosine
+      FROM (SELECT * FROM nv WHERE vec_id < 10) q
+      CROSS JOIN nv c
+      WHERE c.vec_id <> q.vec_id
+    )
+    SELECT q_id, rank, cand_id, cosine FROM (
+      SELECT q_id, cand_id, cosine,
+             CAST(row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cosine DESC, cand_id) AS INT) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+    "textops: cosine top-k (brute force)",
+    "exact cosine top-5 per query vector (vec_id < 10), broadcast queries",
+)
+def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.similarity import cosine_topk
+
+    return cosine_topk(
+        _t(spark, sf_dir, "embeddings"),
+        query_pred=F.col("vec_id") < 10,
+        k=5,
+        round_expr=lambda c: _r(c, 6),
+    )
+
+
+_ANN_PLANES = hyperplanes(n_planes=4, dim=_EMB_DIM)
+
+
+def _plane_sql(plane: list[float]) -> str:
+    return "[" + ", ".join(f"{w:.1f}" for w in plane) + "]::DOUBLE[]"
+
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN list_sum(list_transform(range(1, {_EMB_DIM + 1}), "
+    f"i -> ({_plane_sql(p)})[i::INT] * v[i::INT])) > 0 THEN {1 << pi} ELSE 0 END)"
+    for pi, p in enumerate(_ANN_PLANES)
+)
+
+
+@_register(
+    "embed_ann_lsh",
+    f"""
+    WITH {_emb_norm_cte()},
+    b AS (SELECT vec_id, v, nrm, CAST({_BUCKET_SQL} AS BIGINT) AS bucket FROM nv),
+    scored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS cand_id, q.bucket AS bucket,
+             {_sql_r(_COS_SQL, 6)} AS cosine
+      FROM (SELECT * FROM b WHERE vec_id < 10) q
+      JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+    )
+    SELECT q_id, rank, cand_id, bucket, cosine FROM (
+      SELECT q_id, cand_id, bucket, cosine,
+             CAST(row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cosine DESC, cand_id) AS INT) AS rank
+      FROM scored)
+    WHERE rank <= 3
+    """,
+    "textops: ANN via random-hyperplane LSH",
+    "4-plane sign-bucket join, exact cosine within bucket, top-3 per query",
+)
+def embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.similarity import ann_lsh_topk
+
+    return ann_lsh_topk(
+        _t(spark, sf_dir, "embeddings"),
+        query_pred=F.col("vec_id") < 10,
+        n_planes=4,
+        dim=_EMB_DIM,
+        k=3,
+        round_expr=lambda c: _r(c, 6),
+    )
+
+
+@_register(
+    "embed_cosine_dup_pairs",
+    f"""
+    WITH {_emb_norm_cte()}
+    SELECT id_a, id_b, cosine FROM (
+      SELECT q.vec_id AS id_a, c.vec_id AS id_b, {_sql_r(_COS_SQL, 6)} AS cosine
+      FROM nv q JOIN nv c ON q.vec_id < c.vec_id)
+    WHERE cosine >= 0.35
+    """,
+    "textops: embedding-cosine near-dup",
+    "all pairs with cosine >= 0.35 (exact baseline; LSH-bucketed variant is the scale path)",
+)
+def embed_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.similarity import cosine_dup_pairs
+
+    return cosine_dup_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        threshold=0.35,
+        exact=True,
+        round_expr=lambda c: _r(c, 6),
+    )

@@ -1,0 +1,82 @@
+"""Unit tests for dedup operators (SURVEY §7.3-7 north-star scope) on tiny
+hand-built corpora."""
+
+from __future__ import annotations
+
+from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
+    exact_dup_groups,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    shingle_jaccard_pairs,
+    simhash16,
+    simhash_pairs,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dup_groups(spark):
+    df = _docs(spark, [(1, "same text"), (2, "same text"), (3, "other")])
+    got = {r["doc_id"]: r for r in exact_dup_groups(df).collect()}
+    assert got[1]["canonical_id"] == 1 and not got[1]["is_duplicate"]
+    assert got[2]["canonical_id"] == 1 and got[2]["is_duplicate"]
+    assert got[3]["canonical_id"] == 3 and not got[3]["is_duplicate"]
+
+
+def test_shingle_jaccard_identical_and_disjoint(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "a b c d e"),  # shingles: abc bcd cde (3)
+            (2, "a b c d e"),  # identical -> jaccard 1.0
+            (3, "x y z w"),  # disjoint -> no pair emitted
+            (4, "a b c q r"),  # shares only "a b c" with 1,2
+        ],
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r for r in shingle_jaccard_pairs(df).collect()
+    }
+    assert pairs[(1, 2)]["jaccard"] == 1.0 and pairs[(1, 2)]["n_common"] == 3
+    # |A|=3, |B|=3, inter=1 -> 1/5
+    assert pairs[(1, 4)]["jaccard"] == 1 / 5
+    assert (2, 4) in pairs and not any(3 in p for p in pairs)
+
+
+def test_shingle_jaccard_hot_shingle_cap(spark):
+    # With max_df=1 every shared shingle is "hot" -> no pairs survive.
+    df = _docs(spark, [(1, "a b c"), (2, "a b c")])
+    assert shingle_jaccard_pairs(df, max_df=1).count() == 0
+    assert shingle_jaccard_pairs(df, max_df=2).count() == 1
+
+
+def test_minhash_identical_docs_match_fully(spark):
+    df = _docs(spark, [(1, "w x y z q"), (2, "w x y z q"), (3, "entirely different words here")])
+    sig = minhash_signatures(df).collect()
+    by_id = {r["doc_id"]: [r[f"mh{i}"] for i in range(16)] for r in sig}
+    assert by_id[1] == by_id[2]
+    assert by_id[1] != by_id[3]
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in minhash_lsh_pairs(df).collect()}
+    assert pairs[(1, 2)] == 1.0
+
+
+def test_simhash_deterministic_and_bounded(spark):
+    df = _docs(spark, [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta")])
+    got = {r["doc_id"]: r["simhash16"] for r in simhash16(df).collect()}
+    assert got[1] == got[2]
+    assert 0 <= got[1] < 2**16 and 0 <= got[3] < 2**16
+
+
+def test_simhash_pairs_finds_exact_dups(spark):
+    df = _docs(spark, [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")])
+    rows = simhash_pairs(df).collect()
+    assert len(rows) == 1
+    assert (rows[0]["id_a"], rows[0]["id_b"], rows[0]["hamming"]) == (1, 2, 0)
+
+
+def test_single_token_doc_shingles(spark):
+    # < n tokens -> one short shingle; no crash, no pair vs unrelated doc.
+    df = _docs(spark, [(1, "solo"), (2, "solo"), (3, "other thing")])
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in shingle_jaccard_pairs(df).collect()}
+    assert pairs == {(1, 2): 1.0}

@@ -1,0 +1,89 @@
+"""Unit tests for embedding similarity search on tiny hand-computed
+vectors (dim kept small; operators are dim-agnostic)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from sports_data_integration_and_forecasting_pipeline_spark.operators.similarity import (
+    ann_lsh_topk,
+    cosine_dup_pairs,
+    cosine_topk,
+    hyperplanes,
+    plane_sign,
+)
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_exact_values(spark):
+    df = _emb(
+        spark,
+        [
+            (0, [1.0, 0.0]),  # query
+            (1, [1.0, 0.0]),  # cos 1
+            (2, [1.0, 1.0]),  # cos 1/sqrt(2)
+            (3, [0.0, 1.0]),  # cos 0
+            (4, [-1.0, 0.0]),  # cos -1
+        ],
+    )
+    rows = cosine_topk(df, query_pred=F.col("vec_id") == 0, k=3).collect()
+    assert [(r["rank"], r["cand_id"]) for r in rows] == [(1, 1), (2, 2), (3, 3)]
+    by_cand = {r["cand_id"]: r["cosine"] for r in rows}
+    assert by_cand[1] == 1.0
+    assert abs(by_cand[2] - 1 / math.sqrt(2)) < 1e-12
+    assert by_cand[3] == 0.0
+
+
+def test_cosine_topk_tie_breaks_on_cand_id(spark):
+    df = _emb(spark, [(0, [1.0, 0.0]), (5, [2.0, 0.0]), (3, [3.0, 0.0])])
+    rows = cosine_topk(df, query_pred=F.col("vec_id") == 0, k=2).collect()
+    # both candidates have cosine 1.0 -> lower id first
+    assert [(r["rank"], r["cand_id"]) for r in rows] == [(1, 3), (2, 5)]
+
+
+def test_ann_lsh_only_scores_same_bucket(spark):
+    # planes for dim=2 are [-1,1] and [1,-1]; [2,1] and [2,0.9] land in
+    # bucket 2, the negation [-2,-1] in bucket 1 -> never scored.
+    planes = hyperplanes(n_planes=2, dim=2)
+    df = _emb(spark, [(0, [2.0, 1.0]), (1, [2.0, 0.9]), (2, [-2.0, -1.0])])
+    rows = ann_lsh_topk(
+        df, query_pred=F.col("vec_id") == 0, n_planes=2, dim=2, k=5
+    ).collect()
+    cands = {r["cand_id"] for r in rows}
+    assert 2 not in cands
+    assert cands == {1}
+    assert isinstance(planes[0][0], float) and abs(planes[0][0]) == 1.0
+
+
+def test_plane_sign_deterministic():
+    assert plane_sign(3, 7) == plane_sign(3, 7)
+    assert plane_sign(0, 0) in (1.0, -1.0)
+    # not all-equal over a window of indices (sanity of the md5 derivation)
+    signs = {plane_sign(p, d) for p in range(4) for d in range(16)}
+    assert signs == {1.0, -1.0}
+
+
+def test_cosine_dup_pairs_exact_vs_threshold(spark):
+    df = _emb(
+        spark,
+        [(1, [1.0, 0.0]), (2, [1.0, 0.01]), (3, [0.0, 1.0])],
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in cosine_dup_pairs(df, threshold=0.9).collect()}
+    assert pairs == {(1, 2)}
+    all_pairs = cosine_dup_pairs(df, threshold=-1.0).count()
+    assert all_pairs == 3  # every unordered pair scored
+
+
+def test_cosine_dup_pairs_lsh_bucketed(spark):
+    df = _emb(spark, [(1, [2.0, 1.0]), (2, [2.0, 0.9]), (3, [-2.0, -1.0])])
+    got = cosine_dup_pairs(
+        df, threshold=0.9, exact=False, n_planes=2, dim=2
+    ).collect()
+    # (1,2) collide in bucket 2 with cosine ~0.999; 3 is in another bucket,
+    # so the perfect anti-correlation pair is (correctly) never considered.
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(1, 2)}
