@@ -1152,3 +1152,139 @@ def embed_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact=True,
         round_expr=lambda c: _r(c, 6),
     )
+
+
+# ===========================================================================
+# Multimodal binary-column plumbing (north-star scope; SURVEY §7.3-7).
+# Payloads are synthesized from documents.text (no media table in the
+# testdata): payload = encode(prefix || text) where the prefix plants an
+# ASCII container magic (GIF8 / RIFF) for every 3rd/3rd+1 doc. The fake
+# image decode is md5 arithmetic by design, so even the Python
+# mapInPandas path is oracle-checked end-to-end.
+# ===========================================================================
+
+def _mm_prefix() -> Column:
+    return (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("GIF8"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("RIFF"))
+        .otherwise(F.lit(""))
+    )
+
+
+_MM_PREFIX_SQL = (
+    "CASE WHEN doc_id % 3 = 0 THEN 'GIF8' "
+    "WHEN doc_id % 3 = 1 THEN 'RIFF' ELSE '' END"
+)
+
+
+def _media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.concat(_mm_prefix(), F.col("text")), "UTF-8").alias("payload"),
+    )
+
+
+@_register(
+    "multimodal_payload_stats",
+    f"""
+    WITH m AS (SELECT doc_id AS media_id,
+                      concat({_MM_PREFIX_SQL}, text) AS ptext
+               FROM documents)
+    SELECT media_id,
+           CAST(octet_length(encode(ptext)) AS BIGINT) AS n_bytes,
+           md5(ptext) AS payload_md5,
+           CASE WHEN starts_with(ptext, 'GIF8') THEN 'gif'
+                WHEN starts_with(ptext, 'RIFF') THEN 'riff'
+                ELSE 'unknown' END AS sniffed_format
+    FROM m
+    """,
+    "multimodal: payload byte stats + magic sniff",
+    "binary payload size/md5/container sniff — pure Column, no decode",
+)
+def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.multimodal import payload_stats
+
+    return payload_stats(_media_df(spark, sf_dir)).select(
+        "media_id", "n_bytes", "payload_md5", "sniffed_format"
+    )
+
+
+@_register(
+    "multimodal_image_features",
+    f"""
+    WITH m AS (SELECT doc_id AS media_id,
+                      concat({_MM_PREFIX_SQL}, text) AS ptext
+               FROM documents)
+    SELECT media_id,
+           CAST(CAST(concat('0x', substring(md5(ptext), 1, 8)) AS BIGINT)
+                % 1920 + 1 AS INT) AS width,
+           CAST(CAST(concat('0x', substring(md5(ptext), 9, 8)) AS BIGINT)
+                % 1080 + 1 AS INT) AS height,
+           (CAST(concat('0x', substring(md5(ptext), 17, 8)) AS BIGINT)
+                % 256000) / 1000.0 AS mean_luma
+    FROM m
+    """,
+    "multimodal: image decode via Arrow mapInPandas",
+    "deterministic-fake decode (md5 arithmetic) through the real Python batch path",
+)
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.multimodal import (
+        decode_image_features,
+        fake_image_decode,
+    )
+
+    return decode_image_features(
+        _media_df(spark, sf_dir), decoder=fake_image_decode
+    )
+
+
+@_register(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id AS media_id,
+           unnest(range(0, (n_chars % 60) + 1, 10)) AS frame_idx
+    FROM documents
+    """,
+    "multimodal: video frame sampling plan",
+    "explode(sequence(0, n_frames-1, step)) — no Python, decode composes downstream",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.multimodal import sample_frames
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.struct((F.col("n_chars") % 60 + 1).cast("int").alias("n_frames")).alias(
+            "meta"
+        ),
+    )
+    return sample_frames(media, every_n=10)
+
+
+@_register(
+    "multimodal_audio_duration",
+    f"""
+    WITH m AS (SELECT doc_id AS media_id,
+                      concat({_MM_PREFIX_SQL}, text) AS ptext,
+                      CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate
+               FROM documents)
+    SELECT media_id,
+           CAST(floor(octet_length(encode(ptext)) / 2.0) AS BIGINT) AS n_samples,
+           CAST(floor(octet_length(encode(ptext)) / 2.0) AS BIGINT)
+             / CAST(sample_rate AS DOUBLE) AS duration_sec
+    FROM m
+    """,
+    "multimodal: PCM duration estimate",
+    "duration from byte length + sample-rate metadata — pure Column, no decode",
+)
+def multimodal_audio_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.multimodal import audio_duration
+
+    media = _media_df(spark, sf_dir).withColumn(
+        "meta",
+        F.struct(
+            (8000 + (F.col("media_id") % 3) * 4000).cast("int").alias("sample_rate")
+        ),
+    )
+    return audio_duration(media).select("media_id", "n_samples", "duration_sec")
