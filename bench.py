@@ -35,6 +35,19 @@ HEADLINE = [
     "customer_order_rollup",
     "topk_orders",
     "flagship_market_report",
+    # north-star training-data ops (documents/embeddings tables)
+    "text_token_stats",
+    "text_quality",
+    "text_language_id",
+    "text_fingerprint",
+    "dedup_exact",
+    "dedup_shingle_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "embed_cosine_topk",
+    "embed_ann_lsh",
+    "embed_cosine_dup_pairs",
+    "multimodal_image_features",
 ]
 
 

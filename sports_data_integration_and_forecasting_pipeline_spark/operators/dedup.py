@@ -62,18 +62,31 @@ def h32(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as array<string>. Docs with fewer than
-    ``n`` tokens yield one short shingle (out-of-range positions are null
-    and concat_ws skips them — same semantics as the SQL oracle)."""
-    toks = F.split(text, " ")
+def h60(c: Column) -> Column:
+    """60-bit variant (15 hex digits) — used as the join key for shingle
+    identity: joining/shuffling 8-byte longs instead of ~50-char strings
+    cuts shuffle bytes ~6× and makes hash-collision odds negligible
+    (~n²/2^61)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (with duplicates) from a pre-materialized token
+    array: ``array_join(slice(toks, i, n))`` per position. slice clamps at
+    the array end, so docs with < n tokens yield one short shingle —
+    identical to DuckDB ``list_slice``/``array_to_string``. (slice beats a
+    per-position element-get chain ~4× — one bounds-checked copy per
+    shingle instead of n token lookups.)"""
     count = F.greatest(F.size(toks) - (n - 1), F.lit(1))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), count),
-            lambda i: F.concat_ws(" ", *[F.get(toks, i + j - 1) for j in range(n)]),
-        )
+    return F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
     )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as array<string>."""
+    return F.array_distinct(shingles_from_tokens(F.split(text, " "), n))
 
 
 def exact_dup_groups(
@@ -107,11 +120,21 @@ def shingle_jaccard_pairs(
     list is tiny by construction) → shingle equi-join (the inverted
     index) → one groupBy on the pair. Candidate volume is Σ df(s)² over
     surviving shingles — near-linear once hot shingles are capped.
+    Shingle identity is the 60-bit md5 hash (see :func:`h60`): the
+    inverted index shuffles and compares 8-byte longs, never strings.
     """
+    hashes = F.array_distinct(
+        F.transform(shingles_from_tokens(F.col("__toks"), n), h60)
+    )
     sh = (
-        df.select(F.col(id_col), word_shingles(F.col(text_col), n).alias("shs"))
+        df.withColumn("__toks", F.split(F.col(text_col), " "))
+        .select(F.col(id_col), hashes.alias("shs"))
         .withColumn("n_sh", F.size("shs"))
         .select(id_col, "n_sh", F.explode("shs").alias("sh"))
+        # referenced three times (df-count, both join sides): persist so the
+        # tokenize+md5 explode runs once per action. At 100 TB the same role
+        # is played by writing the inverted index to a bucketed table.
+        .persist()
     )
     if max_df is not None:
         hot = sh.groupBy("sh").count().filter(F.col("count") > max_df).select("sh")
@@ -147,9 +170,12 @@ def minhash_signatures(
     the min of ``(a_i·h32(shingle) + b_i) mod p`` over the doc's shingles.
     One shuffle — explode is narrow, the groupBy does map-side partial
     mins so only (doc, 16 longs) rows cross the wire."""
-    sh = df.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("sh")
-    ).withColumn("h", h32(F.col("sh")))
+    sh = df.withColumn("__toks", F.split(F.col(text_col), " ")).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(shingles_from_tokens(F.col("__toks"), n), h32)
+        ).alias("h"),
+    )
     aggs = [
         F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
             f"mh{i}"

@@ -873,20 +873,24 @@ from sports_data_integration_and_forecasting_pipeline_spark.operators.similarity
     hyperplanes,
 )
 
-# Word-3-gram shingles / 32-bit md5 hash, as DuckDB SQL (mirrors
-# dedup.word_shingles / dedup.h32 exactly: out-of-range list indexes are
-# NULL and concat_ws skips them in both engines).
-_SHINGLE3_SQL = (
-    "list_distinct(list_transform("
+# Word-3-gram shingles (with duplicates) as DuckDB SQL — mirrors
+# dedup.shingles_from_tokens exactly: list_slice clamps at the array end
+# the same way Spark's slice(toks, i, 3) does, so short docs yield one
+# short shingle in both engines.
+_SHINGLE3_RAW_SQL = (
+    "list_transform("
     "range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1), "
-    "i -> concat_ws(' ', string_split(text, ' ')[i::INT], "
-    "string_split(text, ' ')[(i + 1)::INT], "
-    "string_split(text, ' ')[(i + 2)::INT])))"
+    "i -> array_to_string(list_slice(string_split(text, ' '), "
+    "i::INT, (i + 2)::INT), ' '))"
 )
 
 
 def _h32_sql(expr: str) -> str:
     return f"CAST(concat('0x', substring(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+def _h60_sql(expr: str) -> str:
+    return f"CAST(concat('0x', substring(md5({expr}), 1, 15)) AS BIGINT)"
 
 
 @_register(
@@ -911,7 +915,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_shingle_jaccard",
     f"""
     WITH sh0 AS (
-      SELECT doc_id, {_SHINGLE3_SQL} AS shs FROM documents
+      SELECT doc_id,
+             list_distinct(list_transform({_SHINGLE3_RAW_SQL},
+                                          s -> {_h60_sql('s')})) AS shs
+      FROM documents
     ),
     sh AS (
       SELECT doc_id, CAST(len(shs) AS BIGINT) AS n_sh, unnest(shs) AS sh
@@ -942,8 +949,10 @@ def _minhash_sig_sql() -> str:
         for i, (a, b) in enumerate(MINHASH_PARAMS)
     )
     return f"""
-    toks AS (SELECT doc_id, unnest({_SHINGLE3_SQL}) AS sh FROM documents),
-    hv AS (SELECT doc_id, {_h32_sql('sh')} AS h FROM toks),
+    hv AS (SELECT doc_id,
+                  unnest(list_transform({_SHINGLE3_RAW_SQL},
+                                        s -> {_h32_sql('s')})) AS h
+           FROM documents),
     sig AS (SELECT doc_id, {mins} FROM hv GROUP BY doc_id)
     """
 
