@@ -1297,3 +1297,128 @@ def multimodal_audio_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return audio_duration(media).select("media_id", "n_samples", "duration_sec")
+
+
+# ===========================================================================
+# M2/M3: MLlib forecasting with a closed-form oracle. One-feature OLS has
+# an exact SQL form (regr_slope/regr_intercept), so even the ML path is
+# hash-checked: MLlib's WeightedLeastSquares agrees with the closed form
+# to ~1e-13 (measured), far inside the 4-dp rounding grid.
+# Scale: feature build = two windows sharing one (user_id) shuffle;
+# training is one treeAggregate over the assembled vectors; scoring is a
+# narrow projection.
+# ===========================================================================
+
+@_register(
+    "forecast_linear_ols",
+    f"""
+    WITH f AS (
+      SELECT event_id,
+             avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS x,
+             lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y
+      FROM events
+    ),
+    coef AS (
+      SELECT regr_slope(y, x) AS b1, regr_intercept(y, x) AS b0
+      FROM f WHERE y IS NOT NULL
+    )
+    SELECT f.event_id,
+           {_sql_r('coef.b0 + coef.b1 * f.x', 4)} AS prediction
+    FROM f CROSS JOIN coef
+    """,
+    "M1,M2,M3",
+    "MLlib LinearRegression (normal solver) on rolling-avg feature vs closed-form OLS oracle",
+)
+def forecast_linear_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import LinearRegression
+
+    ev = _t(spark, sf_dir, "events")
+    w5 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    wl = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    feat = ev.select(
+        "event_id",
+        F.avg("value").over(w5).alias("x"),
+        F.lead("value", 1).over(wl).alias("y"),
+    )
+    assembled = VectorAssembler(inputCols=["x"], outputCol="features").transform(
+        feat
+    )
+    model = LinearRegression(
+        featuresCol="features", labelCol="y", regParam=0.0, solver="normal"
+    ).fit(assembled.filter(F.col("y").isNotNull()))
+    return model.transform(assembled).select(
+        "event_id", _r(F.col("prediction"), 4).alias("prediction")
+    )
+
+
+# ===========================================================================
+# Streaming replay with a batch oracle (SURVEY §2.9/§7.3-6): stage the
+# events table as snapshot files, run them through the Structured
+# Streaming rollup (file source → event-time tumbling window → complete
+# sink), and return the drained result as a batch DataFrame. Stream and
+# batch share the same DataFrame expressions, so DuckDB's time_bucket
+# reproduces the stream's output exactly — batch/stream unification made
+# checkable.
+# ===========================================================================
+
+@_register(
+    "streaming_replay_rollup",
+    f"""
+    SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start_s,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+    "streaming (no reference counterpart)",
+    "events replayed through a Structured Streaming tumbling-window rollup, vs batch time_bucket oracle",
+)
+def streaming_replay_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    ev = _t(spark, sf_dir, "events")
+    # ts arrives as nanos-as-long (see __spark_entry__._prepare): ns -> µs
+    # truncation matches DuckDB's TIMESTAMP read of the same parquet.
+    with_ts = ev.withColumn(
+        "event_time", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+    stage = tempfile.mkdtemp(prefix="stream_replay_")
+    with_ts.repartition(2).write.mode("overwrite").parquet(stage)
+
+    stream = (
+        spark.readStream.schema(with_ts.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    rolled = (
+        stream.withWatermark("event_time", "1 minute")
+        .groupBy(F.window("event_time", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_cents(F.col("value"))).alias("sum_value_cents"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
+            "event_type",
+            "n_events",
+            "sum_value_cents",
+        )
+    )
+    sink = f"replay_{uuid.uuid4().hex[:12]}"
+    (
+        rolled.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(sink)
