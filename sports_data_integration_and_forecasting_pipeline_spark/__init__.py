@@ -35,6 +35,32 @@ from .operators.markets import (
 from .operators.ev import enrich_dataframe
 from .operators.features import build_features
 from .operators.evaluation import backtest, evaluate_accuracy
+from .operators.dedup import (
+    exact_dup_groups,
+    shingle_jaccard_pairs,
+    minhash_signatures,
+    minhash_lsh_pairs,
+    simhash16,
+    simhash_pairs,
+)
+from .operators.similarity import (
+    cosine_topk,
+    ann_lsh_topk,
+    cosine_dup_pairs,
+)
+from .operators.textstats import (
+    token_stats,
+    text_quality,
+    language_id,
+    doc_fingerprint,
+)
+from .operators.multimodal import (
+    payload_stats,
+    decode_image_features,
+    resize_images,
+    sample_frames,
+    audio_duration,
+)
 from .sources.odds_api import fetch_player_props, fetch_odds
 from .sinks import save_snapshot, update_canonical_table
 
@@ -62,4 +88,26 @@ __all__ = [
     "build_features",
     "backtest",
     "evaluate_accuracy",
+    # corpus dedup
+    "exact_dup_groups",
+    "shingle_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash16",
+    "simhash_pairs",
+    # similarity search
+    "cosine_topk",
+    "ann_lsh_topk",
+    "cosine_dup_pairs",
+    # text analysis
+    "token_stats",
+    "text_quality",
+    "language_id",
+    "doc_fingerprint",
+    # multimodal
+    "payload_stats",
+    "decode_image_features",
+    "resize_images",
+    "sample_frames",
+    "audio_duration",
 ]

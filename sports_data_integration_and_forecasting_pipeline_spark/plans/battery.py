@@ -1422,3 +1422,76 @@ def streaming_replay_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .awaitTermination()
     )
     return spark.table(sink)
+
+
+# ===========================================================================
+# F1-F4/F6 + C2/C10/C13: the nested flatten chain. The testdata has no
+# nested table, so the query BUILDS one (collect_list of structs per
+# order — one shuffle) and then runs the engine's explode pipeline over
+# it: explode → coalesce field aliasing (reference processing.py:52,62) →
+# synthetic game_id concat (processing.py:38) → validity filter dropping
+# decimal prices ≤ 1 (odds_utils.py:222-230) → decimal→American (C2,
+# odds_utils.py:61-73). The oracle computes the equivalent flat result
+# directly — nest+explode is an identity the driver's hash check proves.
+# Scale: one groupBy shuffle to nest; everything after is narrow.
+# ===========================================================================
+
+@_register(
+    "nested_explode_flatten",
+    f"""
+    WITH flat AS (
+      SELECT concat('g_', l_orderkey) AS game_id,
+             coalesce(CASE WHEN l_linenumber % 2 = 0 THEN NULL
+                           ELSE concat('L', l_linenumber) END,
+                      concat('alt-', l_linenumber)) AS outcome,
+             1.0 + (l_partkey % 300) / 100.0 AS price_decimal,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    )
+    SELECT game_id, outcome,
+           {_sql_r('price_decimal', 9)} AS price_decimal,
+           CASE WHEN price_decimal >= 2.0
+                THEN {_sql_r('(price_decimal - 1.0) * 100.0', 2)}
+                ELSE {_sql_r('-100.0 / (price_decimal - 1.0)', 2)} END AS price_american
+    FROM flat
+    WHERE price_decimal > 1.0
+    """,
+    "F1,F2,F3,F4,F6,C2,C10,C13",
+    "nest lineitem into per-order outcome arrays, explode back with coalesce aliasing, validity filter, decimal->American",
+)
+def nested_explode_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_linenumber") % 2 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("L"), F.col("l_linenumber")))
+        .alias("name"),
+        F.concat(F.lit("alt-"), F.col("l_linenumber")).alias("outcome_name"),
+        (1.0 + (F.col("l_partkey") % 300) / 100.0).alias("price"),
+    )
+    # Build the nested form (game -> outcomes[]), then run the flatten
+    # pipeline the reference applies to raw odds JSON.
+    nested = li.groupBy("l_orderkey").agg(
+        F.collect_list(
+            F.struct("name", "outcome_name", "price", "l_linenumber")
+        ).alias("outcomes")
+    )
+    o = F.col("o")
+    exploded = nested.select(
+        "l_orderkey", F.explode("outcomes").alias("o")
+    ).select(
+        F.concat(F.lit("g_"), F.col("l_orderkey")).alias("game_id"),  # C13
+        F.coalesce(o["name"], o["outcome_name"]).alias("outcome"),  # C10
+        o["price"].alias("price_decimal"),
+    )
+    valid = exploded.filter(F.col("price_decimal") > 1.0)  # F6
+    american = F.when(  # C2 (d>1 guaranteed by F6)
+        F.col("price_decimal") >= 2.0,
+        _r((F.col("price_decimal") - 1.0) * 100.0, 2),
+    ).otherwise(_r(F.lit(-100.0) / (F.col("price_decimal") - 1.0), 2))
+    return valid.select(
+        "game_id",
+        "outcome",
+        _r(F.col("price_decimal"), 9).alias("price_decimal"),
+        american.alias("price_american"),
+    )
