@@ -1150,16 +1150,15 @@ def embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE cosine >= 0.35
     """,
     "textops: embedding-cosine near-dup",
-    "all pairs with cosine >= 0.35 (exact baseline; LSH-bucketed variant is the scale path)",
+    "all pairs with cosine >= 0.35 (blocked-matmul exact baseline; LSH-bucketed variant is the scale path)",
 )
 def embed_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.similarity import cosine_dup_pairs
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.similarity import (
+        cosine_dup_pairs_blocked,
+    )
 
-    return cosine_dup_pairs(
-        _t(spark, sf_dir, "embeddings"),
-        threshold=0.35,
-        exact=True,
-        round_expr=lambda c: _r(c, 6),
+    return cosine_dup_pairs_blocked(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, round_dp=6
     )
 
 
