@@ -46,7 +46,9 @@ from .operators.dedup import (
 from .operators.similarity import (
     cosine_topk,
     ann_lsh_topk,
+    ivf_ann_topk,
     cosine_dup_pairs,
+    cosine_dup_pairs_blocked,
 )
 from .operators.textstats import (
     token_stats,
@@ -98,7 +100,9 @@ __all__ = [
     # similarity search
     "cosine_topk",
     "ann_lsh_topk",
+    "ivf_ann_topk",
     "cosine_dup_pairs",
+    "cosine_dup_pairs_blocked",
     # text analysis
     "token_stats",
     "text_quality",

@@ -11,6 +11,7 @@ append sink.
 from sports_data_integration_and_forecasting_pipeline_spark.streaming.canonical import (
     dedup_line_changes,
     detect_line_moves,
+    game_session_stream,
     market_rollup_stream,
     read_snapshot_stream,
     run_available_now,
@@ -23,6 +24,7 @@ __all__ = [
     "with_event_time",
     "dedup_line_changes",
     "market_rollup_stream",
+    "game_session_stream",
     "detect_line_moves",
     "write_canonical_stream",
     "run_available_now",

@@ -101,6 +101,33 @@ def market_rollup_stream(
     )
 
 
+def game_session_stream(
+    df: DataFrame, gap: str = "10 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Session-window activity per game: consecutive line changes within
+    ``gap`` of each other collapse into one session (how long was a game's
+    market actively moving, and how many updates landed). Session windows
+    are the one event-time shape tumbling windows can't express; state is
+    per active session and merges/evicts under the watermark."""
+    return (
+        df.withWatermark("event_ts", watermark)
+        .groupBy(F.session_window("event_ts", gap).alias("w"), "game_id")
+        .agg(
+            F.count("*").alias("n_changes"),
+            F.min("price").alias("min_price"),
+            F.max("price").alias("max_price"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "game_id",
+            "n_changes",
+            "min_price",
+            "max_price",
+        )
+    )
+
+
 _MOVE_SCHEMA = StructType(
     [
         StructField("game_id", StringType()),

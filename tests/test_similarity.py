@@ -87,3 +87,38 @@ def test_cosine_dup_pairs_lsh_bucketed(spark):
     # (1,2) collide in bucket 2 with cosine ~0.999; 3 is in another bucket,
     # so the perfect anti-correlation pair is (correctly) never considered.
     assert {(r["id_a"], r["id_b"]) for r in got} == {(1, 2)}
+
+
+def test_ivf_ann_full_probe_equals_exact(spark):
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.similarity import ivf_ann_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = cosine_topk(emb, query_pred=F.col("vec_id") < 3, k=3).collect()
+    full = ivf_ann_topk(
+        emb,
+        query_pred=F.col("vec_id") < 3,
+        n_centroids=4,
+        n_probe=4,  # probe every cell -> degrades to exact search
+        k=3,
+    ).collect()
+    exact_set = {(r["q_id"], r["rank"], r["cand_id"]) for r in exact}
+    full_set = {(r["q_id"], r["rank"], r["cand_id"]) for r in full}
+    assert full_set == exact_set
+
+
+def test_ivf_ann_partial_probe_subset(spark):
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.similarity import ivf_ann_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = ivf_ann_topk(
+        emb, query_pred=F.col("vec_id") < 3, n_centroids=8, n_probe=1, k=3
+    ).collect()
+    # every query returns <= k ranked candidates from its own probed cell
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["q_id"], []).append(r)
+    for q, rows in by_q.items():
+        assert len(rows) <= 3
+        assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == list(
+            range(1, len(rows) + 1)
+        )

@@ -128,3 +128,19 @@ def test_canonical_stream_sink(spark, snapshot_dir, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 5
     assert "snapshot_date" in got.columns  # date-partitioned for pruning
+
+
+def test_game_session_stream(spark, snapshot_dir):
+    from sports_data_integration_and_forecasting_pipeline_spark.streaming import game_session_stream
+
+    stream = with_event_time(read_snapshot_stream(spark, snapshot_dir))
+    name = _sink("session")
+    run_available_now(game_session_stream(stream, gap="5 minutes"), name,
+                      output_mode="complete")
+    rows = spark.table(name).collect()
+    # all 5 events land within one 5-min-gap session for g1
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["game_id"] == "g1" and r["n_changes"] == 5
+    assert r["min_price"] == 1.9 and r["max_price"] == 2.2
+    assert r["session_end"] > r["session_start"]
