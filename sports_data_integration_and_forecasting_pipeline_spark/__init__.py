@@ -63,6 +63,11 @@ from .operators.multimodal import (
     sample_frames,
     audio_duration,
 )
+from .operators.skew import (
+    salted_sum_count,
+    salted_join,
+    write_bucketed,
+)
 from .sources.odds_api import fetch_player_props, fetch_odds
 from .sinks import save_snapshot, update_canonical_table
 
@@ -108,6 +113,10 @@ __all__ = [
     "text_quality",
     "language_id",
     "doc_fingerprint",
+    # scale hygiene
+    "salted_sum_count",
+    "salted_join",
+    "write_bucketed",
     # multimodal
     "payload_stats",
     "decode_image_features",

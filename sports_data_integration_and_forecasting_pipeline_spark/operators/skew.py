@@ -1,0 +1,99 @@
+"""Skew- and co-location machinery for 100 TB plans (SURVEY §7.3-7 scale
+hygiene; no reference counterpart — the reference is single-process).
+
+Three standard levers, each exposed as a reusable operator:
+
+- **Salted aggregation**: a hot grouping key (one bookmaker, one market,
+  one n-gram) funnels its whole group through one reducer. Salting splits
+  every group across ``n_salts`` reducers (stage 1: partial agg on
+  (key, salt)), then merges the partials (stage 2: tiny agg on key).
+  Results are identical for any decomposable aggregate; only the shuffle
+  distribution changes.
+- **Salted join**: replicate the small side ``n_salts``× and scatter the
+  skewed big side by salt, so one hot join key spreads over ``n_salts``
+  tasks. (AQE's skew-join split handles sort-merge cases adaptively; the
+  explicit form also covers broadcast-ineligible shapes and is
+  deterministic.)
+- **Bucketed co-located join** (:func:`write_bucketed`): pre-bucket both
+  fact tables by the join key so repeated joins read shuffle-free —
+  SortMergeJoin with zero Exchange. This is the "pre-partitioning reused
+  across stages" design the canonical odds history wants at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_SALTS = 16
+
+
+def salted_sum_count(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    n_salts: int = DEFAULT_SALTS,
+) -> DataFrame:
+    """Two-stage skew-proof sum/count per key. Stage 1 groups on
+    (key, salt) — every group, however hot, spreads over ``n_salts``
+    reducers with map-side partial aggregation; stage 2 merges ``n_salts``
+    partial rows per key. Output: key cols + ``sum_value`` + ``n_rows``,
+    bit-identical to a direct groupBy for integer/decomposable sums."""
+    salt = (F.crc32(F.monotonically_increasing_id().cast("string")) % n_salts).alias(
+        "__salt"
+    )
+    partial = (
+        df.select(*key_cols, F.col(value_col), salt)
+        .groupBy(*key_cols, "__salt")
+        .agg(
+            F.sum(value_col).alias("__psum"),
+            F.count("*").alias("__pcnt"),
+        )
+    )
+    return partial.groupBy(*key_cols).agg(
+        F.sum("__psum").alias("sum_value"),
+        F.sum("__pcnt").cast("bigint").alias("n_rows"),
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    n_salts: int = DEFAULT_SALTS,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join: the big (skewed) side gets a random salt in
+    [0, n_salts); the small side is replicated once per salt via an
+    explode — so a hot key's rows land on ``n_salts`` different join
+    tasks instead of one straggler."""
+    salted_big = big.withColumn(
+        "__salt",
+        (F.crc32(F.monotonically_increasing_id().cast("string")) % n_salts).cast(
+            "int"
+        ),
+    )
+    replicated_small = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>"))
+    )
+    out = salted_big.join(replicated_small, [on, "__salt"], how)
+    return out.drop("__salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+    sort_col: str | None = None,
+) -> None:
+    """Persist a table bucketed (and optionally sorted) by the join key.
+    Joins between tables bucketed the same way need no Exchange: each
+    task reads matching buckets from both sides — the co-located join
+    that amortizes one shuffle across every downstream join at 100 TB."""
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(
+        n_buckets, bucket_col
+    )
+    if sort_col is not None:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table_name)
