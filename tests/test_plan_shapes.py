@@ -1,0 +1,65 @@
+"""Plan-shape regression tests: the scale properties claimed in docstrings
+are asserted on actual physical plans so they can't silently regress.
+
+- No row-at-a-time Python (`BatchEvalPython`) anywhere; Python appears
+  only as Arrow-batched nodes in the two operators documented to use it.
+- Filters reach the parquet scans (predicate pushdown).
+- Narrow operators stay shuffle-free.
+- Broadcast sides that must broadcast, do.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from sports_data_integration_and_forecasting_pipeline_spark.plans.battery import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+# Operators documented as using Arrow-batched Python (mapInPandas).
+ARROW_OK = {"multimodal_image_features", "embed_cosine_dup_pairs"}
+# Streaming query materializes via a memory sink, not a lazy plan.
+SKIP = {"streaming_replay_rollup"}
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name].fn(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - SKIP))
+def test_no_row_at_a_time_python(spark, name):
+    plan = _plan(spark, name)
+    assert "BatchEvalPython" not in plan, f"{name} fell off the JVM hot path"
+    if name not in ARROW_OK:
+        assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, (
+            f"{name} unexpectedly crosses into Python"
+        )
+
+
+def test_narrow_ops_are_shuffle_free(spark):
+    # SimHash, text stats, fingerprints: documented as scan-speed narrow
+    # projections — no Exchange allowed in their plans.
+    for name in ["dedup_simhash", "text_quality", "text_token_stats",
+                 "text_fingerprint", "multimodal_payload_stats"]:
+        plan = _plan(spark, name)
+        assert "Exchange" not in plan, f"{name} gained a shuffle: {plan[:500]}"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(spark, "embed_cosine_topk")
+    assert "PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,10)]" in plan or (
+        "LessThan(vec_id,10)" in plan
+    ), plan[:800]
+
+
+def test_query_side_broadcasts(spark):
+    # top-k scoring must broadcast the bounded query set, never shuffle
+    # the candidate scan.
+    plan = _plan(spark, "embed_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan[:500]
+
+
+def test_hot_shingle_guard_is_broadcast_anti_join(spark):
+    plan = _plan(spark, "dedup_shingle_jaccard")
+    assert "LeftAnti" in plan, plan[:500]

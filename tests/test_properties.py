@@ -1,0 +1,121 @@
+"""Property-based tests (hypothesis) for the odds-math and dedup kernels —
+invariants that hold for ALL inputs, beyond the reference's example-based
+suite (SURVEY §5.1 notes the reference has no property tests).
+
+Strategy: generate batches of values, evaluate the Column expressions via
+one small DataFrame per test case (batched so Spark round-trips stay
+cheap), and check closed-form invariants computed in plain Python.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from sports_data_integration_and_forecasting_pipeline_spark.functions import odds_math as om
+
+SETTINGS = dict(
+    max_examples=12,  # each example is a Spark job — keep the suite fast
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+american = st.one_of(
+    st.floats(min_value=100, max_value=100000, allow_nan=False),
+    st.floats(min_value=-100000, max_value=-100, allow_nan=False),
+)
+decimal_odds = st.floats(
+    min_value=1.0001, max_value=1000, allow_nan=False, allow_infinity=False
+)
+prob = st.floats(min_value=0.0, max_value=1.0, allow_nan=False)
+
+
+def _eval(spark, rows, expr_fn, n_cols=1):
+    schema = ", ".join(f"c{i} double" for i in range(n_cols))
+    df = spark.createDataFrame(rows, schema)
+    cols = [F.col(f"c{i}") for i in range(n_cols)]
+    return [r["out"] for r in df.select(expr_fn(*cols).alias("out")).collect()]
+
+
+@given(st.lists(american, min_size=1, max_size=30))
+@settings(**SETTINGS)
+def test_american_decimal_roundtrip(spark, odds):
+    """Roundtrip preserves the *decimal price* (the conversion is not
+    injective on the sign convention: ±100 are both even money, decimal
+    2.0, and the reference maps d=2.0 to +100 — odds_utils.py:61-73)."""
+    decs = _eval(spark, [(o,) for o in odds], om.american_to_decimal)
+    back = _eval(spark, [(d,) for d in decs], om.decimal_to_american)
+    redecs = _eval(spark, [(b,) for b in back], om.american_to_decimal)
+    for o, d, b, d2 in zip(odds, decs, back, redecs):
+        assert d > 1.0
+        assert b is not None
+        # decimal_to_american rounds to 2 dp, so the re-derived decimal
+        # price may move by the rounding granularity of that branch:
+        # d>=2 -> b=(d-1)*100 rounded to 2dp -> dec granularity 1e-4;
+        # d<2  -> b=-100/(d-1) rounded to 2dp -> dec granularity ~ (d-1)^2/100.
+        tol = 1e-4 if d >= 2 else (d - 1.0) ** 2 / 100.0 + 1e-9
+        assert abs(d2 - d) <= tol
+
+
+@given(st.lists(decimal_odds, min_size=1, max_size=30))
+@settings(**SETTINGS)
+def test_implied_prob_in_unit_interval(spark, decs):
+    ps = _eval(spark, [(d,) for d in decs], om.implied_prob)
+    for d, p in zip(decs, ps):
+        assert 0.0 < p < 1.0
+        assert abs(p - 1.0 / d) < 1e-12
+
+
+@given(st.lists(st.tuples(american, prob), min_size=1, max_size=30))
+@settings(**SETTINGS)
+def test_kelly_bounded_and_capped(spark, rows):
+    ks = _eval(
+        spark, [(a, p) for a, p in rows], om.half_kelly_fraction, n_cols=2
+    )
+    for k in ks:
+        assert 0.0 <= k <= om.KELLY_CAP  # cap 0.05, floor 0 (ev_calculator.py:37-45)
+
+
+@given(st.lists(st.tuples(american, prob), min_size=1, max_size=30))
+@settings(**SETTINGS)
+def test_ev_matches_closed_form(spark, rows):
+    evs = _eval(spark, [(a, p) for a, p in rows], om.expected_value, n_cols=2)
+    for (a, p), ev in zip(rows, evs):
+        payout = a / 100.0 if a > 0 else 100.0 / -a
+        expected = p * payout - (1.0 - p)
+        assert math.isclose(ev, expected, rel_tol=1e-12, abs_tol=1e-12)
+
+
+@given(
+    st.lists(
+        st.floats(min_value=0.01, max_value=0.99, allow_nan=False),
+        min_size=2,
+        max_size=8,
+    )
+)
+@settings(**SETTINGS)
+def test_devig_sums_to_one(spark, probs):
+    """Proportional devig invariant (reference tests assert Σ=1 per game)."""
+    df = spark.createDataFrame([(p,) for p in probs], "implied double")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(F.lit(1))
+    total = F.sum("implied").over(w)
+    out = df.select((F.col("implied") / total).alias("devig")).collect()
+    assert math.isclose(sum(r["devig"] for r in out), 1.0, rel_tol=1e-9)
+
+
+@given(st.lists(st.text(alphabet="ab ", min_size=1, max_size=40), min_size=1, max_size=10))
+@settings(**SETTINGS)
+def test_simhash_always_16_bit(spark, texts):
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import simhash16
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    for r in simhash16(df).collect():
+        assert 0 <= r["simhash16"] < 2**16
