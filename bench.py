@@ -44,10 +44,19 @@ HEADLINE = [
     "dedup_shingle_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_simhash_pairs",
     "embed_cosine_topk",
     "embed_ann_lsh",
     "embed_cosine_dup_pairs",
+    "multimodal_payload_stats",
     "multimodal_image_features",
+    "multimodal_frame_sample",
+    "multimodal_audio_duration",
+    "nested_explode_flatten",
+    "forecast_linear_ols",
+    "json_props_rollup",
+    # streaming_replay_rollup excluded: it stages snapshot files per call
+    # (measured by its oracle-checked correctness run instead).
 ]
 
 

@@ -41,6 +41,7 @@ from .operators.dedup import (
     minhash_signatures,
     minhash_lsh_pairs,
     simhash16,
+    simhash60,
     simhash_pairs,
 )
 from .operators.similarity import (
@@ -101,6 +102,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash16",
+    "simhash60",
     "simhash_pairs",
     # similarity search
     "cosine_topk",

@@ -41,6 +41,8 @@ NUM_MINHASH = 16
 MINHASH_BANDS = 4
 MINHASH_PRIME = 4_294_967_311  # smallest prime > 2^32
 SIMHASH_BITS = 16
+SIMHASH_PAIR_BITS = 60  # wide fingerprint for pair joins (see simhash60)
+SIMHASH_BAND_BITS = 15  # 4 bands x 15 bits -> 32768 bucket values/band
 
 
 def _mh_params(i: int) -> tuple[int, int]:
@@ -241,16 +243,13 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash16(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """16-bit SimHash over distinct whitespace tokens: bit i is set iff
-    ≥ half the token hashes have bit i set. Entirely narrow array
-    expressions — zero shuffles; scans 100 TB at parquet-read speed."""
-    hs = F.transform(
-        F.array_distinct(F.split(F.col(text_col), " ")), lambda t: h32(t)
-    )
+def _simhash_col(text: Column, n_bits: int, token_hash=None) -> Column:
+    """SimHash over distinct whitespace tokens: bit i is set iff ≥ half
+    the token hashes have bit i set. Entirely narrow array expressions —
+    zero shuffles; scans 100 TB at parquet-read speed."""
+    hs = F.transform(F.array_distinct(F.split(text, " ")), token_hash or h32)
     n = F.size(hs)
+
     def bit_term(i: int) -> Column:
         # bit i set ⟺ h & 2^i ≠ 0; single-arg lambda (Spark dispatches on
         # lambda arity) closing over the mask literal.
@@ -258,8 +257,34 @@ def simhash16(
         votes = F.size(F.filter(hs, lambda h: h.bitwiseAND(mask) != 0))
         return (2 * votes >= n).cast("long") * F.lit(1 << i)
 
-    terms = [bit_term(i) for i in range(SIMHASH_BITS)]
-    return df.select(F.col(id_col), reduce(add, terms).alias("simhash16"))
+    return reduce(add, [bit_term(i) for i in range(n_bits)])
+
+
+def simhash16(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Compact 16-bit SimHash fingerprint (display/bucketing granularity)."""
+    return df.select(
+        F.col(id_col),
+        _simhash_col(F.col(text_col), SIMHASH_BITS).alias("simhash16"),
+    )
+
+
+def simhash60(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Wide 60-bit SimHash (the near-dup-pair fingerprint, à la the
+    classic 64-bit production setting; 60 = the bits our engine-shared
+    md5 hash provides). Width matters for the pair join: banding w bits
+    into 4 buckets gives 2^(w/4) bucket values, so candidate volume
+    scales as n²/2^(w/4) — 15-bit bands keep random pairs out where
+    4-bit bands would admit n²/16 of them."""
+    return df.select(
+        F.col(id_col),
+        _simhash_col(F.col(text_col), SIMHASH_PAIR_BITS, token_hash=h60).alias(
+            "simhash60"
+        ),
+    )
 
 
 def simhash_pairs(
@@ -268,29 +293,36 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """SimHash near-dup pairs: 4-bit band join (pigeonhole guarantees any
-    pair with hamming ≤ 3 shares a band) then exact Hamming filter via
-    popcount(xor). Same meet-in-bucket scale shape as MinHash LSH."""
-    sim = simhash16(df, text_col, id_col)
+    """SimHash near-dup pairs over the wide (60-bit) fingerprint: 15-bit
+    band join (pigeonhole guarantees any pair with hamming ≤ 3 shares one
+    of the 4 bands) then exact Hamming filter via popcount(xor).
+
+    Scale shape: same meet-in-bucket equi-join as MinHash LSH, with
+    2^15 bucket values per band so random (non-near-dup) pairs
+    essentially never collide — candidate volume stays ~linear in n
+    instead of the n²/2^bits blow-up a narrow fingerprint would give.
+    The signature df is persisted: it feeds both join sides."""
+    sim = simhash60(df, text_col, id_col).persist()
+    mask = (1 << SIMHASH_BAND_BITS) - 1
     bands = F.array(
         *[
             F.struct(
                 F.lit(bi).alias("band"),
-                F.shiftright(F.col("simhash16"), 4 * bi)
-                .bitwiseAND(F.lit(15))
+                F.shiftright(F.col("simhash60"), SIMHASH_BAND_BITS * bi)
+                .bitwiseAND(F.lit(mask))
                 .alias("nib"),
             )
             for bi in range(4)
         ]
     )
     exploded = sim.select(
-        F.col(id_col), "simhash16", F.explode(bands).alias("bb")
-    ).select(id_col, "simhash16", "bb.band", "bb.nib")
+        F.col(id_col), "simhash60", F.explode(bands).alias("bb")
+    ).select(id_col, "simhash60", "bb.band", "bb.nib")
     a = exploded.select(
-        F.col(id_col).alias("id_a"), F.col("simhash16").alias("sim_a"), "band", "nib"
+        F.col(id_col).alias("id_a"), F.col("simhash60").alias("sim_a"), "band", "nib"
     )
     b = exploded.select(
-        F.col(id_col).alias("id_b"), F.col("simhash16").alias("sim_b"), "band", "nib"
+        F.col(id_col).alias("id_b"), F.col("simhash60").alias("sim_b"), "band", "nib"
     )
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (

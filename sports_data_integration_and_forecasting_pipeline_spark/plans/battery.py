@@ -1014,22 +1014,38 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash16(_t(spark, sf_dir, "documents"))
 
 
+_SIMHASH60_SQL_EXPR = " + ".join(
+    f"(CASE WHEN 2 * len(list_filter(hs, x -> ((x >> {i}) & 1) = 1)) >= len(hs) "
+    f"THEN {1 << i} ELSE 0 END)"
+    for i in range(60)  # SIMHASH_PAIR_BITS
+)
+_SIMHASH60_CTE = f"""
+    h60 AS (SELECT doc_id,
+                   list_transform(list_distinct(string_split(text, ' ')),
+                                  t -> {_h60_sql('t')}) AS hs
+            FROM documents),
+    sim60 AS (SELECT doc_id, CAST({_SIMHASH60_SQL_EXPR} AS BIGINT) AS simhash60
+              FROM h60)
+"""
+
+
 @_register(
     "dedup_simhash_pairs",
     f"""
-    WITH {_SIMHASH_CTE},
+    WITH {_SIMHASH60_CTE},
     bands AS (
-      SELECT doc_id, simhash16, b AS band, (simhash16 >> (4 * b)) & 15 AS nib
-      FROM sim CROSS JOIN (VALUES (0), (1), (2), (3)) t(b)
+      SELECT doc_id, simhash60, b AS band,
+             (simhash60 >> (15 * b)) & 32767 AS nib
+      FROM sim60 CROSS JOIN (VALUES (0), (1), (2), (3)) t(b)
     )
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(bit_count(xor(a.simhash16, b.simhash16)) AS INT) AS hamming
+           CAST(bit_count(xor(a.simhash60, b.simhash60)) AS INT) AS hamming
     FROM bands a JOIN bands b ON a.band = b.band AND a.nib = b.nib
                              AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash16, b.simhash16)) <= 3
+    WHERE bit_count(xor(a.simhash60, b.simhash60)) <= 3
     """,
     "textops: SimHash near-dup pairs",
-    "4-bit-band candidate join + Hamming<=3 filter (pigeonhole-complete)",
+    "wide 60-bit SimHash, 15-bit-band candidate join + Hamming<=3 filter (pigeonhole-complete)",
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import simhash_pairs
@@ -1493,4 +1509,39 @@ def nested_explode_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         "outcome",
         _r(F.col("price_decimal"), 9).alias("price_decimal"),
         american.alias("price_american"),
+    )
+
+
+# ===========================================================================
+# Semi-structured JSON column path: events.props carries JSON strings.
+# from_json with an explicit schema is the scale-correct choice (one typed
+# parse per row, vectorized, prunable) vs per-field get_json_object calls
+# (one parse each). Rollup is a plain map-side-partial aggregation.
+# ===========================================================================
+
+@_register(
+    "json_props_rollup",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    "semi-structured JSON (no reference counterpart)",
+    "typed from_json extraction over events.props + grouped rollup",
+)
+def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    ev = _t(spark, sf_dir, "events")
+    props_schema = T.StructType([T.StructField("k", T.LongType())])
+    parsed = ev.select(
+        "event_type", F.from_json(F.col("props"), props_schema).alias("p")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("p.k").alias("sum_k"),
+        F.max("p.k").alias("max_k"),
     )
