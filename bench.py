@@ -55,6 +55,8 @@ HEADLINE = [
     "nested_explode_flatten",
     "forecast_linear_ols",
     "json_props_rollup",
+    "event_sessionize",
+    "value_percentiles",
     # streaming_replay_rollup excluded: it stages snapshot files per call
     # (measured by its oracle-checked correctness run instead).
 ]

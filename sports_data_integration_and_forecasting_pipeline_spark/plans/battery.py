@@ -1545,3 +1545,121 @@ def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("p.k").alias("sum_k"),
         F.max("p.k").alias("max_k"),
     )
+
+
+# ===========================================================================
+# Sessionization (gaps-and-islands) over events: batch counterpart of the
+# streaming session_window — lag to flag gaps > 30 min, running sum to
+# number sessions, one groupBy for per-session stats. Timestamp math is
+# integer division (ns DIV 1e9 / epoch_us // 1e6), exact in both engines.
+# Scale: both windows and the final groupBy share the user_id hash
+# partitioning -> a single shuffle.
+# ===========================================================================
+
+@_register(
+    "event_sessionize",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, event_id, ts_us,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts_us) // 1000000 AS start_s,
+           max(ts_us) // 1000000 AS end_s,
+           (max(ts_us) // 1000000) - (min(ts_us) // 1000000) AS duration_s
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    "W1,W2 (sessionization; batch twin of streaming session_window)",
+    "gaps-and-islands sessions per user (30-min gap), per-session stats",
+)
+def event_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")  # ts = nanos-as-long
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ns = 30 * 60 * 1_000_000_000
+    lagged = F.lag("ts").over(w)
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        F.expr("ts DIV 1000").alias("ts_us"),  # ns -> µs, exact int division
+        F.when(
+            lagged.isNull() | ((F.col("ts") - lagged) > gap_ns), F.lit(1)
+        ).otherwise(F.lit(0)).alias("new_session"),
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    numbered = flagged.withColumn(
+        "session_id", F.sum("new_session").over(wrun).cast("long")
+    )
+    sec = lambda c: F.expr(f"{c} DIV 1000000")
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        sec("min(ts_us)").alias("start_s"),
+        sec("max(ts_us)").alias("end_s"),
+        (sec("max(ts_us)") - sec("min(ts_us)")).alias("duration_s"),
+    )
+
+
+# ===========================================================================
+# Exact order-statistic percentiles per group: rank rows with a pinned
+# total order, select index floor((n-1)·q) — no interpolation, no
+# approximation, so both engines pick the identical row. (approx_percentile
+# / t-digest sketches are the 100 TB path when exactness isn't required;
+# this is the deterministic oracle-able form.)
+# ===========================================================================
+
+@_register(
+    "value_percentiles",
+    """
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n,
+           max(CASE WHEN rn = floor((n - 1) * 0.5) + 1 THEN value END) AS p50,
+           max(CASE WHEN rn = floor((n - 1) * 0.9) + 1 THEN value END) AS p90,
+           max(CASE WHEN rn = floor((n - 1) * 0.99) + 1 THEN value END) AS p99
+    FROM ranked
+    GROUP BY event_type
+    """,
+    "A10,O1 (exact percentiles; sketch variant is the scale path)",
+    "exact p50/p90/p99 of value per event_type via order-statistic selection",
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    wr = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    pick = lambda q: F.max(
+        F.when(
+            F.col("rn") == F.floor((F.col("n") - 1) * q) + 1, F.col("value")
+        )
+    )
+    return ranked.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        pick(0.5).alias("p50"),
+        pick(0.9).alias("p90"),
+        pick(0.99).alias("p99"),
+    )
