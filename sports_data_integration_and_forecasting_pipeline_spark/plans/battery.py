@@ -1663,3 +1663,37 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(0.9).alias("p90"),
         pick(0.99).alias("p99"),
     )
+
+
+# ===========================================================================
+# M2 (forest variant): RandomForestRegressor(numTrees=100, seed=42) — the
+# reference's second model type (src/modeling.py:18). Tree ensembles have
+# no closed SQL form, so this is a rows-only contract entry (oracle=None;
+# the driver records count/schema). Values are deterministic (seeded).
+# ===========================================================================
+
+@_register(
+    "forecast_random_forest",
+    None,  # no SQL oracle: tree ensemble; driver runs the rows-only check
+    "M1,M2,M3 (forest)",
+    "RandomForestRegressor(numTrees=100, seed=42) on rolling features, scored over events",
+)
+def forecast_random_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.forecast import predict, train_model
+
+    ev = _t(spark, sf_dir, "events")
+    w5 = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-4, 0)
+    wl = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    feat = ev.select(
+        "event_id",
+        F.avg("value").over(w5).alias("points_rolling_avg"),
+        F.avg(F.col("value") * 0.5).over(w5).alias("rebounds_rolling_avg"),
+        F.avg(F.col("value") * 0.25).over(w5).alias("assists_rolling_avg"),
+        F.lead("value", 1).over(wl).alias("target_points"),
+    )
+    model = train_model(
+        feat.filter(F.col("target_points").isNotNull()), model_type="forest"
+    )
+    return predict(model, feat).select(
+        "event_id", _r(F.col("prediction"), 4).alias("prediction")
+    )

@@ -12,6 +12,7 @@ from sports_data_integration_and_forecasting_pipeline_spark.streaming.canonical 
     dedup_line_changes,
     detect_line_moves,
     game_session_stream,
+    join_with_game_meta,
     market_rollup_stream,
     read_snapshot_stream,
     run_available_now,
@@ -25,6 +26,7 @@ __all__ = [
     "dedup_line_changes",
     "market_rollup_stream",
     "game_session_stream",
+    "join_with_game_meta",
     "detect_line_moves",
     "write_canonical_stream",
     "run_available_now",

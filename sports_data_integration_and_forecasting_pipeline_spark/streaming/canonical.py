@@ -101,6 +101,36 @@ def market_rollup_stream(
     )
 
 
+def join_with_game_meta(
+    odds_stream: DataFrame,
+    meta_stream: DataFrame,
+    watermark: str = "30 minutes",
+    max_meta_age: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: enrich each odds line-change with the most
+    recent game-metadata event (venue/status feed), bounded by event time.
+
+    Both sides carry watermarks and the join predicate bounds the time
+    range (meta no older than ``max_meta_age`` relative to the odds row),
+    so Spark can evict join state for expired rows — the required shape
+    for unbounded stream-stream joins. The meta side must expose
+    ``game_id`` and ``meta_ts`` (+ payload columns).
+    """
+    odds = odds_stream.withWatermark("event_ts", watermark)
+    meta = meta_stream.withWatermark("meta_ts", watermark)
+    return odds.join(
+        meta,
+        F.expr(
+            f"""
+            game_id = meta_game_id
+            AND meta_ts <= event_ts
+            AND meta_ts >= event_ts - INTERVAL {max_meta_age}
+            """
+        ),
+        "inner",
+    )
+
+
 def game_session_stream(
     df: DataFrame, gap: str = "10 minutes", watermark: str = "30 minutes"
 ) -> DataFrame:

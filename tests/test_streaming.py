@@ -8,6 +8,7 @@ import os
 import uuid
 
 import pandas as pd
+from pyspark.sql import functions as F
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -144,3 +145,36 @@ def test_game_session_stream(spark, snapshot_dir):
     assert r["game_id"] == "g1" and r["n_changes"] == 5
     assert r["min_price"] == 1.9 and r["max_price"] == 2.2
     assert r["session_end"] > r["session_start"]
+
+
+def test_stream_stream_join_with_game_meta(spark, snapshot_dir, tmp_path):
+    from sports_data_integration_and_forecasting_pipeline_spark.streaming import join_with_game_meta
+
+    # meta stream: one venue event before the odds, one after everything
+    meta_rows = [
+        ("2026-08-13T09:50:00", "g1", "Crypto Arena", "scheduled"),
+        ("2026-08-13T11:00:00", "g1", "Crypto Arena", "started"),
+    ]
+    d = tmp_path / "meta"
+    d.mkdir()
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame(meta_rows, columns=["meta_time", "meta_game_id", "venue", "status"]),
+            preserve_index=False,
+        ),
+        str(d / "meta_0.parquet"),
+    )
+    odds = with_event_time(read_snapshot_stream(spark, snapshot_dir))
+    meta_schema = "meta_time string, meta_game_id string, venue string, status string"
+    meta = (
+        spark.readStream.schema(meta_schema)
+        .parquet(str(d))
+        .withColumn("meta_ts", F.to_timestamp(F.col("meta_time")))
+    )
+    name = _sink("ssjoin")
+    run_available_now(join_with_game_meta(odds, meta), name)
+    rows = spark.table(name).collect()
+    # every odds row (5) joins only the 'scheduled' meta event (the
+    # 'started' one is in the future relative to all odds rows)
+    assert len(rows) == 5
+    assert all(r["status"] == "scheduled" for r in rows)
