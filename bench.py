@@ -57,6 +57,7 @@ HEADLINE = [
     "json_props_rollup",
     "event_sessionize",
     "value_percentiles",
+    "tfidf_top_terms",
     # streaming_replay_rollup excluded: it stages snapshot files per call
     # (measured by its oracle-checked correctness run instead).
 ]

@@ -70,7 +70,7 @@ from .operators.skew import (
     write_bucketed,
 )
 from .sources.odds_api import fetch_player_props, fetch_odds
-from .sinks import save_snapshot, update_canonical_table
+from .sinks import save_snapshot, update_canonical_table, compact_canonical
 
 __all__ = [
     # analysis
@@ -85,6 +85,7 @@ __all__ = [
     "props_to_dataframe",
     "save_snapshot",
     "update_canonical_table",
+    "compact_canonical",
     # processing
     "clean_odds",
     "flatten_odds_to_df",

