@@ -24,14 +24,19 @@ def build_features(
     df: DataFrame,
     stat_cols: tuple[str, ...] = ("points", "rebounds", "assists"),
     target_col: str = "points",
+    drop_na_target: bool = True,
 ) -> DataFrame:
     """Add ``{stat}_rolling_avg`` per stat and ``target_{target_col}`` =
     next game's value, dropping each player's final game
-    (reference ``src/features.py:3-23``)."""
+    (reference ``src/features.py:3-23``). Pass ``drop_na_target=False``
+    for scoring-time feature builds, where the null-target trailing row
+    is exactly the one to predict."""
     order = Window.partitionBy("player").orderBy(F.asc("date"))
     frame = order.rowsBetween(-(ROLLING_GAMES - 1), 0)
     out = df
     for c in stat_cols:
         out = out.withColumn(f"{c}_rolling_avg", F.avg(c).over(frame))
     out = out.withColumn(f"target_{target_col}", F.lead(target_col, 1).over(order))
-    return out.na.drop(subset=[f"target_{target_col}"])
+    if drop_na_target:
+        out = out.na.drop(subset=[f"target_{target_col}"])
+    return out

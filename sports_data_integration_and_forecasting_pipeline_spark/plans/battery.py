@@ -1761,3 +1761,66 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("doc_id", "term", "tf", "df", "tfidf", "rank")
     )
+
+
+# ===========================================================================
+# KMV (k-minimum-values) distinct-count sketch — approximate NDV done
+# engine-identically: hash every key with the shared 60-bit md5 hash,
+# keep each group's k smallest distinct hashes, estimate
+# NDV ≈ (k-1) / normalized_kth_min. Unlike HLL (whose implementations
+# differ per engine and can't be oracle-matched), KMV is pure SQL over a
+# deterministic hash, so the approximation itself is hash-checked.
+# Scale: distinct + windowed rank share one shuffle on the group key; at
+# 100 TB the per-group state is k longs (vs exact distinct's full key
+# set) — the point of the sketch.
+# ===========================================================================
+
+@_register(
+    "kmv_distinct_sketch",
+    f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             {_h60_sql('CAST(user_id AS VARCHAR)')} AS h
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n_distinct
+      FROM h
+    ),
+    kth AS (
+      SELECT event_type, CAST(n_distinct AS BIGINT) AS n_distinct, h AS h_k
+      FROM ranked WHERE rn = 64
+    )
+    SELECT event_type, n_distinct,
+           {_sql_r('63.0 / (CAST(h_k AS DOUBLE) / 1152921504606846976.0)', 6)}
+             AS kmv_estimate
+    FROM kth
+    """,
+    "sketch: KMV distinct count (engine-identical approximate NDV)",
+    "k=64 minimum-values NDV estimate per event_type, hash-checked approximation",
+)
+def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    K = 64
+    ev = _t(spark, sf_dir, "events")
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import h60
+
+    hashes = ev.select(
+        "event_type", h60(F.col("user_id").cast("string")).alias("h")
+    ).distinct()
+    wr = Window.partitionBy("event_type").orderBy("h")
+    wn = Window.partitionBy("event_type")
+    ranked = hashes.select(
+        "event_type",
+        "h",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wn).alias("n_distinct"),
+    )
+    kth = ranked.filter(F.col("rn") == K)
+    norm = F.col("h").cast("double") / float(1 << 60)
+    return kth.select(
+        "event_type",
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        _r(F.lit(float(K - 1)) / norm, 6).alias("kmv_estimate"),
+    )

@@ -119,3 +119,58 @@ def test_simhash_always_16_bit(spark, texts):
     )
     for r in simhash16(df).collect():
         assert 0 <= r["simhash16"] < 2**16
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),  # player
+            st.integers(min_value=0, max_value=60),  # day offset
+            st.floats(min_value=0, max_value=60, allow_nan=False),  # points
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_rolling_features_match_pandas(spark, rows):
+    """Differential test vs pandas (SURVEY §7.5-4): Spark's
+    rowsBetween(-4, 0) window must equal pandas rolling(5, min_periods=1),
+    and lead(1) must equal shift(-1), on arbitrary seeded game logs."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.features import build_features
+
+    data = [
+        (p, dt.date(2026, 1, 1) + dt.timedelta(days=d), float(v), 0.0, 0.0)
+        for p, d, v in rows
+    ]
+    # de-duplicate (player, date) keys: tie order under sort is undefined
+    # in BOTH engines, so the property is only meaningful on unique keys
+    seen, uniq = set(), []
+    for r in data:
+        if (r[0], r[1]) not in seen:
+            seen.add((r[0], r[1]))
+            uniq.append(r)
+    sdf = spark.createDataFrame(
+        uniq, "player string, date date, points double, rebounds double, assists double"
+    )
+    got = {
+        (r["player"], r["date"]): (r["points_rolling_avg"], r["target_points"])
+        for r in build_features(sdf, drop_na_target=False).collect()
+    }
+    pdf = pd.DataFrame(uniq, columns=["player", "date", "points", "rebounds", "assists"])
+    pdf = pdf.sort_values(["player", "date"])
+    pdf["roll"] = pdf.groupby("player")["points"].transform(
+        lambda x: x.rolling(5, min_periods=1).mean()
+    )
+    pdf["tgt"] = pdf.groupby("player")["points"].shift(-1)
+    for _, row in pdf.iterrows():
+        g_roll, g_tgt = got[(row["player"], row["date"])]
+        assert math.isclose(g_roll, row["roll"], rel_tol=1e-12, abs_tol=1e-12)
+        if pd.isna(row["tgt"]):
+            assert g_tgt is None
+        else:
+            assert g_tgt == row["tgt"]
