@@ -58,6 +58,8 @@ HEADLINE = [
     "event_sessionize",
     "value_percentiles",
     "tfidf_top_terms",
+    "kmv_distinct_sketch",
+    "curation_pipeline",
     # streaming_replay_rollup excluded: it stages snapshot files per call
     # (measured by its oracle-checked correctness run instead).
 ]

@@ -1824,3 +1824,62 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_distinct").cast("long").alias("n_distinct"),
         _r(F.lit(float(K - 1)) / norm, 6).alias("kmv_estimate"),
     )
+
+
+# ===========================================================================
+# Composite curation pipeline — the end-to-end corpus-cleaning shape a
+# training-data run executes: language-ID agreement filter → quality
+# threshold → exact-dup removal (keep canonical) → per-language corpus
+# stats. Each stage is the already-oracle-checked operator; this query
+# checks their composition. Narrow predicates fuse into one scan;
+# the dedup window and final rollup are the only shuffles.
+# ===========================================================================
+
+@_register(
+    "curation_pipeline",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang, n_chars, text,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             {_sql_count_in(('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it', 'for', 'on'))} AS n_stop
+      FROM documents
+    ),
+    quality AS (
+      SELECT doc_id, lang, n_chars, text, n_tokens,
+             (1.0 * n_stop / n_tokens) * 0.5 + least(n_tokens, 100) / 100.0 * 0.5 AS q
+      FROM scored
+    ),
+    kept AS (
+      SELECT * FROM (
+        SELECT doc_id, lang, n_chars, n_tokens, q,
+               min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+        FROM quality
+        WHERE q >= 0.3
+      ) WHERE doc_id = canonical_id
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           {_sql_r('avg(1.0 * n_tokens)', 9)} AS avg_tokens,
+           {_sql_r('avg(q)', 9)} AS avg_quality
+    FROM kept
+    GROUP BY lang
+    """,
+    "curation: composite textops pipeline",
+    "quality filter -> exact-dup removal -> per-language corpus stats (stage composition check)",
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import text_quality
+
+    docs = _t(spark, sf_dir, "documents")
+    quality = text_quality(docs).filter(F.col("quality_score") >= 0.3)
+    w = Window.partitionBy(F.md5(F.col("text")))
+    kept = quality.withColumn("canonical_id", F.min("doc_id").over(w)).filter(
+        F.col("doc_id") == F.col("canonical_id")
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        _r(F.avg(F.col("n_tokens").cast("double")), 9).alias("avg_tokens"),
+        _r(F.avg("quality_score"), 9).alias("avg_quality"),
+    )
