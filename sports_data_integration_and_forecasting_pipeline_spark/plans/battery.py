@@ -1115,11 +1115,18 @@ def _plane_sql(plane: list[float]) -> str:
     return "[" + ", ".join(f"{w:.1f}" for w in plane) + "]::DOUBLE[]"
 
 
-_BUCKET_SQL = " + ".join(
-    f"(CASE WHEN list_sum(list_transform(range(1, {_EMB_DIM + 1}), "
-    f"i -> ({_plane_sql(p)})[i::INT] * v[i::INT])) > 0 THEN {1 << pi} ELSE 0 END)"
-    for pi, p in enumerate(_ANN_PLANES)
-)
+def _bucket_sql(planes: list[list[float]]) -> str:
+    """DuckDB expression for the sign-pattern bucket id — the planes are
+    md5-derived driver literals, so the oracle embeds them verbatim and
+    the bucket assignment is engine-independent."""
+    return " + ".join(
+        f"(CASE WHEN list_sum(list_transform(range(1, {_EMB_DIM + 1}), "
+        f"i -> ({_plane_sql(p)})[i::INT] * v[i::INT])) > 0 THEN {1 << pi} ELSE 0 END)"
+        for pi, p in enumerate(planes)
+    )
+
+
+_BUCKET_SQL = _bucket_sql(_ANN_PLANES)
 
 
 @_register(
@@ -1156,25 +1163,41 @@ def embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DUP_PLANES_N = 6
+_DUP_PLANES = hyperplanes(n_planes=_DUP_PLANES_N, dim=_EMB_DIM)
+
+
 @_register(
     "embed_cosine_dup_pairs",
     f"""
-    WITH {_emb_norm_cte()}
+    WITH {_emb_norm_cte()},
+    b AS (SELECT vec_id, v, nrm, CAST({_bucket_sql(_DUP_PLANES)} AS BIGINT) AS bucket
+          FROM nv)
     SELECT id_a, id_b, cosine FROM (
-      SELECT q.vec_id AS id_a, c.vec_id AS id_b, {_sql_r(_COS_SQL, 6)} AS cosine
-      FROM nv q JOIN nv c ON q.vec_id < c.vec_id)
+      SELECT q.vec_id AS id_a, c.vec_id AS id_b,
+             {_sql_r(_COS_SQL, 6)} AS cosine
+      FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < c.vec_id)
     WHERE cosine >= 0.35
     """,
-    "textops: embedding-cosine near-dup",
-    "all pairs with cosine >= 0.35 (blocked-matmul exact baseline; LSH-bucketed variant is the scale path)",
+    "textops: embedding-cosine near-dup (LSH-bucketed scale path)",
+    "same-sign-bucket pairs with cosine >= 0.35 — the 100 TB plan: bucket "
+    "equi-join replaces the all-pairs cross; exact blocked-matmul baseline "
+    "stays as a unit-tested operator (cosine_dup_pairs_blocked)",
 )
 def embed_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.similarity import (
-        cosine_dup_pairs_blocked,
-    )
+    """Scale-safe registered path: LSH sign-bucket join (no driver collect,
+    no cross join). The oracle replicates the identical md5-derived plane
+    literals, so bucketing — and therefore the pair set — is
+    engine-independent and hash-checked end-to-end."""
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.similarity import cosine_dup_pairs
 
-    return cosine_dup_pairs_blocked(
-        _t(spark, sf_dir, "embeddings"), threshold=0.35, round_dp=6
+    return cosine_dup_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        threshold=0.35,
+        n_planes=_DUP_PLANES_N,
+        dim=_EMB_DIM,
+        exact=False,
+        round_expr=lambda c: _r(c, 6),
     )
 
 

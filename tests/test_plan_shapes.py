@@ -17,7 +17,7 @@ from sports_data_integration_and_forecasting_pipeline_spark.plans.battery import
 SF = "/root/testdata/sf0.001"
 
 # Operators documented as using Arrow-batched Python (mapInPandas).
-ARROW_OK = {"multimodal_image_features", "embed_cosine_dup_pairs"}
+ARROW_OK = {"multimodal_image_features"}
 # Streaming query materializes via a memory sink, not a lazy plan.
 SKIP = {"streaming_replay_rollup"}
 

@@ -89,6 +89,55 @@ def test_cosine_dup_pairs_lsh_bucketed(spark):
     assert {(r["id_a"], r["id_b"]) for r in got} == {(1, 2)}
 
 
+def test_cosine_dup_pairs_blocked_matches_exact(spark):
+    """The BLAS blocked-matmul baseline (driver-bounded, documented exact
+    path) must agree pair-for-pair and value-for-value with the
+    sequential-fold exact variant after engine-identical rounding."""
+    from pyspark.sql import functions as F
+
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.similarity import (
+        cosine_dup_pairs_blocked,
+    )
+
+    def _r6(c):
+        return F.floor(c.cast("double") * 1e6 + 0.5) / 1e6
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    blocked = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in cosine_dup_pairs_blocked(emb, threshold=0.35, round_dp=6).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in cosine_dup_pairs(emb, threshold=0.35, round_expr=_r6).collect()
+    }
+    assert blocked == exact and len(blocked) > 0
+
+
+def test_cosine_dup_pairs_bucketed_subset_of_exact(spark):
+    """The LSH-bucketed scale path returns a subset of the exact pair set
+    (same values on the pairs it does return)."""
+    from pyspark.sql import functions as F
+
+    def _r6(c):
+        return F.floor(c.cast("double") * 1e6 + 0.5) / 1e6
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in cosine_dup_pairs(emb, threshold=0.35, round_expr=_r6).collect()
+    }
+    bucketed = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in cosine_dup_pairs(
+            emb, threshold=0.35, exact=False, n_planes=6, dim=64, round_expr=_r6
+        ).collect()
+    }
+    assert set(bucketed) <= set(exact)
+    for pair, cos in bucketed.items():
+        assert cos == exact[pair]
+
+
 def test_ivf_ann_full_probe_equals_exact(spark):
     from sports_data_integration_and_forecasting_pipeline_spark.operators.similarity import ivf_ann_topk
 
