@@ -12,10 +12,12 @@ shuffle-minimal Spark plans:
   Hot shingles (doc frequency > ``max_df``) are dropped via a broadcast
   anti-join before the pair join — the standard skew guard that keeps the
   candidate-pair count near-linear at 100 TB.
-- **MinHash + LSH**: 16 universal-hash minima per doc (one shuffle:
-  explode → groupBy(doc) with 16 map-side-partial ``min`` aggs), banded
-  into 4 buckets; candidate pairs meet in a bucket equi-join instead of an
-  O(n²) cross join.
+- **MinHash + LSH**: 128 universal-hash minima per doc (one shuffle:
+  explode → groupBy(doc) with 128 map-side-partial ``min`` aggs), banded
+  into 16 buckets of 8 rows; candidate pairs meet in a bucket equi-join
+  instead of an O(n²) cross join. 128/16 is the classic production
+  setting: per-band collision prob is j^8, so the S-curve threshold sits
+  near j ≈ (1/16)^(1/8) ≈ 0.70.
 - **SimHash**: 16-bit signature computed entirely in narrow (shuffle-free)
   array expressions; near-dup pairs via 4-bit band join + Hamming filter
   (pigeonhole: hamming ≤ 3 ⇒ some 4-bit band equal).
@@ -37,8 +39,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-NUM_MINHASH = 16
-MINHASH_BANDS = 4
+NUM_MINHASH = 128  # production-grade signature: est_jaccard granularity 1/128
+MINHASH_BANDS = 16  # 16 bands x 8 rows -> collision prob (j^8 per band)
 MINHASH_PRIME = 4_294_967_311  # smallest prime > 2^32
 SIMHASH_BITS = 16
 SIMHASH_PAIR_BITS = 60  # wide fingerprint for pair joins (see simhash60)
@@ -168,10 +170,10 @@ def shingle_jaccard_pairs(
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
-    """16-column MinHash signature (``mh0..mh15``): per universal hash i,
-    the min of ``(a_i·h32(shingle) + b_i) mod p`` over the doc's shingles.
-    One shuffle — explode is narrow, the groupBy does map-side partial
-    mins so only (doc, 16 longs) rows cross the wire."""
+    """``NUM_MINHASH``-column MinHash signature (``mh0..mh127``): per
+    universal hash i, the min of ``(a_i·h32(shingle) + b_i) mod p`` over
+    the doc's shingles. One shuffle — explode is narrow, the groupBy does
+    map-side partial mins so only (doc, 128 longs) rows cross the wire."""
     sh = df.withColumn("__toks", F.split(F.col(text_col), " ")).select(
         F.col(id_col),
         F.explode(
@@ -194,12 +196,12 @@ def minhash_lsh_pairs(
     n: int = 3,
     bands: int = MINHASH_BANDS,
 ) -> DataFrame:
-    """MinHash LSH candidate pairs: band the 16-long signature into
+    """MinHash LSH candidate pairs: band the 128-long signature into
     ``bands`` buckets (md5 of the band's values), meet candidates in a
     (band, bucket) equi-join, and score each pair by the fraction of
     matching minhashes (the unbiased Jaccard estimate).
 
-    Scale shape: signatures (1 shuffle) → explode 4 band rows/doc
+    Scale shape: signatures (1 shuffle) → explode 16 band rows/doc
     (narrow) → bucket equi-join (only near-dups collide, so the join
     output is ~linear) → dropDuplicates on the pair.
     """

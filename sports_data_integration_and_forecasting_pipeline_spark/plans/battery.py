@@ -980,7 +980,8 @@ _MH_BANDS_SQL = " UNION ALL ".join(
                              AND a.doc_id < b.doc_id
     """,
     "textops: MinHash+LSH near-dup",
-    "16-perm MinHash signatures, 4-band LSH bucket join, estimated Jaccard",
+    f"{NUM_MINHASH}-perm MinHash signatures, {MINHASH_BANDS}-band LSH bucket "
+    "join, estimated Jaccard (est granularity 1/128, threshold j≈0.70)",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import minhash_lsh_pairs
