@@ -1463,6 +1463,261 @@ def streaming_replay_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink)
 
 
+def _stage_events_ordered(spark: SparkSession, sf_dir: str, n_files: int = 2):
+    """Stage the events table (with a real ``event_time`` column) as
+    ``n_files`` parquet files whose time ranges are disjoint and whose
+    mtimes increase with time range — so the file stream replays history
+    in event-time order across micro-batches (maxFilesPerTrigger=1). This
+    makes stateful operators (last-price state) deterministic: each key's
+    rows arrive in global ts order. Returns (schema, stage_dir).
+
+    Test-harness staging only (driver-side file juggling is fine here; the
+    production source is a real snapshot feed)."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "event_time", F.timestamp_micros(F.expr("ts DIV 1000"))
+    )
+    stage = tempfile.mkdtemp(prefix="stream_stage_")
+    # exact ts split points so file k's rows all precede file k+1's
+    qs = [i / n_files for i in range(1, n_files)]
+    bounds = ev.approxQuantile("ts", qs, 0.0) if qs else []  # rel err 0 -> exact
+    lo = None
+    base = time.time() - 3600
+    for i, hi in enumerate(list(bounds) + [None]):
+        part = ev
+        if lo is not None:
+            part = part.filter(F.col("ts") >= lo)
+        if hi is not None:
+            part = part.filter(F.col("ts") < hi)
+        tmp = tempfile.mkdtemp(prefix="stream_part_")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = next(
+            p for p in os.listdir(tmp) if p.endswith(".parquet") and p.startswith("part-")
+        )
+        dst = os.path.join(stage, f"{i:05d}.parquet")
+        shutil.move(os.path.join(tmp, src), dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(dst, (base + i * 100, base + i * 100))
+        lo = hi
+    return ev.schema, stage
+
+
+def _drain(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    import uuid
+
+    sink = f"drain_{uuid.uuid4().hex[:12]}"
+    (
+        stream_df.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return stream_df.sparkSession.table(sink)
+
+
+# ===========================================================================
+# Streaming session windows vs the gaps-and-islands batch twin: the same
+# 30-minute-gap sessions event_sessionize computes in batch, produced by
+# the streaming session_window operator (game_session_stream's shape) and
+# drained complete. Spark's session end = last event + gap, so the oracle
+# adds the gap to max(ts). State merges sessions across micro-batches —
+# the file split exercises exactly that path.
+# ===========================================================================
+
+@_register(
+    "streaming_session_windows",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts_us, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts_us) // 1000000 AS session_start_s,
+           (max(ts_us) // 1000000) + 1800 AS session_end_s,
+           CAST(count(*) AS BIGINT) AS n_changes,
+           min(value) AS min_price,
+           max(value) AS max_price
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    "streaming session_window (batch twin: event_sessionize)",
+    "events replayed through the game_session_stream operator (30-min gap), vs gaps-and-islands oracle",
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.streaming.canonical import (
+        game_session_stream,
+    )
+
+    schema, stage = _stage_events_ordered(spark, sf_dir, n_files=2)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    adapted = stream.select(
+        F.col("event_time").alias("event_ts"),
+        F.col("user_id").cast("string").alias("game_id"),
+        F.col("value").alias("price"),
+    )
+    sessions = game_session_stream(adapted, gap="30 minutes", watermark="30 minutes")
+    out = _drain(sessions, "complete")
+    return out.select(
+        F.col("game_id").cast("long").alias("user_id"),
+        F.unix_timestamp("session_start").alias("session_start_s"),
+        F.unix_timestamp("session_end").alias("session_end_s"),
+        "n_changes",
+        "min_price",
+        "max_price",
+    )
+
+
+# ===========================================================================
+# Stateful line-move detection vs the lag-window batch twin: the
+# applyInPandasWithState operator (state = last price per key) replayed
+# over time-ordered micro-batches must equal a plain lag() in SQL. This is
+# the oracle for the one operator whose semantics windows can't express —
+# per-key state carried ACROSS micro-batches is exactly what the two-file
+# ordered staging exercises.
+# ===========================================================================
+
+@_register(
+    "streaming_line_moves",
+    f"""
+    WITH nn AS (
+      SELECT user_id, event_type, ts, event_id, value,
+             lag(value) OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts, event_id) AS prev
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT CAST(user_id AS VARCHAR) AS game_id,
+           event_type AS bookmaker,
+           epoch_us(ts) // 1000000 AS event_ts_s,
+           prev AS old_price, value AS new_price,
+           {_sql_r('(value - prev) / abs(prev) * 100.0', 6)} AS move_pct
+    FROM nn
+    WHERE prev IS NOT NULL AND prev <> 0
+      AND abs((value - prev) / abs(prev) * 100.0) >= 50.0
+    """,
+    "streaming applyInPandasWithState (batch twin: lag window)",
+    "per-key last-price state across ordered micro-batches emits >=50% moves, vs lag() oracle",
+)
+def streaming_line_moves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.streaming.canonical import (
+        detect_line_moves,
+    )
+
+    schema, stage = _stage_events_ordered(spark, sf_dir, n_files=2)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    adapted = stream.select(
+        F.col("user_id").cast("string").alias("game_id"),
+        F.col("event_type").alias("bookmaker"),
+        F.lit("value").alias("market"),
+        F.lit("all").alias("player_name"),
+        F.col("value").alias("price"),
+        F.col("event_time").alias("event_ts"),
+    )
+    moves = detect_line_moves(adapted, min_move_pct=50.0)
+    out = _drain(moves, "append")
+    return out.select(
+        "game_id",
+        "bookmaker",
+        F.unix_timestamp("event_ts").alias("event_ts_s"),
+        "old_price",
+        "new_price",
+        _r(F.col("move_pct"), 6).alias("move_pct"),
+    )
+
+
+# ===========================================================================
+# Stream-stream time-bounded inner join vs the plain-SQL batch twin: odds
+# line changes joined to the most recent metadata feed (every-7th event),
+# bounded to meta no older than 1 hour. Inner joins emit on match (the
+# watermark only sizes eviction state), so draining both file streams
+# yields exactly the batch join's pair set.
+# ===========================================================================
+
+@_register(
+    "streaming_stream_join",
+    """
+    SELECT o.event_id AS odds_event_id,
+           m.event_id AS meta_event_id,
+           CAST(o.user_id AS VARCHAR) AS game_id,
+           epoch_us(o.ts) // 1000000 AS event_ts_s,
+           epoch_us(m.ts) // 1000000 AS meta_ts_s,
+           o.value AS price,
+           concat('v', CAST(m.event_id % 3 AS VARCHAR)) AS venue_status
+    FROM events o
+    JOIN (SELECT * FROM events WHERE event_id % 7 = 0) m
+      ON o.user_id = m.user_id
+     AND m.ts <= o.ts
+     AND m.ts >= o.ts - INTERVAL 1 HOUR
+    """,
+    "streaming stream-stream join (batch twin: time-bounded equi-join)",
+    "odds stream joined to a metadata stream within a 1-hour event-time bound, vs batch join oracle",
+)
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.streaming.canonical import (
+        join_with_game_meta,
+    )
+
+    schema, stage = _stage_events_ordered(spark, sf_dir, n_files=1)
+    def _src():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+
+    odds = _src().select(
+        F.col("event_id").alias("odds_event_id"),
+        F.col("user_id").cast("string").alias("game_id"),
+        F.col("event_time").alias("event_ts"),
+        F.col("value").alias("price"),
+    )
+    meta = (
+        _src()
+        .filter(F.col("event_id") % 7 == 0)
+        .select(
+            F.col("event_id").alias("meta_event_id"),
+            F.col("user_id").cast("string").alias("meta_game_id"),
+            F.col("event_time").alias("meta_ts"),
+            F.concat(F.lit("v"), (F.col("event_id") % 3).cast("string")).alias(
+                "venue_status"
+            ),
+        )
+    )
+    joined = join_with_game_meta(odds, meta, max_meta_age="1 hour")
+    out = _drain(joined, "append")
+    return out.select(
+        "odds_event_id",
+        "meta_event_id",
+        "game_id",
+        F.unix_timestamp("event_ts").alias("event_ts_s"),
+        F.unix_timestamp("meta_ts").alias("meta_ts_s"),
+        "price",
+        "venue_status",
+    )
+
+
 # ===========================================================================
 # F1-F4/F6 + C2/C10/C13: the nested flatten chain. The testdata has no
 # nested table, so the query BUILDS one (collect_list of structs per

@@ -114,7 +114,8 @@ def join_with_game_meta(
     range (meta no older than ``max_meta_age`` relative to the odds row),
     so Spark can evict join state for expired rows — the required shape
     for unbounded stream-stream joins. The meta side must expose
-    ``game_id`` and ``meta_ts`` (+ payload columns).
+    ``meta_game_id`` and ``meta_ts`` (+ payload columns); the odds side
+    ``game_id`` and ``event_ts``.
     """
     odds = odds_stream.withWatermark("event_ts", watermark)
     meta = meta_stream.withWatermark("meta_ts", watermark)

@@ -18,8 +18,13 @@ SF = "/root/testdata/sf0.001"
 
 # Operators documented as using Arrow-batched Python (mapInPandas).
 ARROW_OK = {"multimodal_image_features"}
-# Streaming query materializes via a memory sink, not a lazy plan.
-SKIP = {"streaming_replay_rollup"}
+# Streaming queries materialize via a memory sink, not a lazy plan.
+SKIP = {
+    "streaming_replay_rollup",
+    "streaming_session_windows",
+    "streaming_line_moves",
+    "streaming_stream_join",
+}
 
 
 def _plan(spark, name: str) -> str:
