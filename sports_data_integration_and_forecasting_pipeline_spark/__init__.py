@@ -70,7 +70,12 @@ from .operators.skew import (
     write_bucketed,
 )
 from .sources.odds_api import fetch_player_props, fetch_odds
-from .sinks import save_snapshot, update_canonical_table, compact_canonical
+from .sinks import (
+    save_snapshot,
+    update_canonical_table,
+    compact_canonical,
+    read_canonical,
+)
 
 __all__ = [
     # analysis
@@ -86,6 +91,7 @@ __all__ = [
     "save_snapshot",
     "update_canonical_table",
     "compact_canonical",
+    "read_canonical",
     # processing
     "clean_odds",
     "flatten_odds_to_df",

@@ -31,21 +31,88 @@ def save_snapshot(
     return path
 
 
+_VERSION_FILE = "_VERSION"
+
+
+def _pointer(root) -> tuple[str, str] | None:
+    """Read the manifest pointer: (version_dir_name, format), or None for a
+    legacy flat table / empty root."""
+    p = root / _VERSION_FILE
+    if not p.exists():
+        return None
+    lines = p.read_text().split()
+    return lines[0], (lines[1] if len(lines) > 1 else "parquet")
+
+
+def _write_pointer(root, version: str, fmt: str) -> None:
+    """Atomic pointer flip: write aside, then one ``os.replace`` — a single
+    atomic operation on POSIX, and the direct analogue of a single
+    small-object PUT on an object store (where the pointer object IS the
+    manifest). Readers resolve the pointer once, then read an immutable
+    version directory — they see the old or the new complete table, never
+    a mix, and there is no window where the table doesn't exist."""
+    import os
+    import uuid
+
+    tmp = root / f".{_VERSION_FILE}.tmp.{uuid.uuid4().hex[:8]}"
+    tmp.write_text(f"{version}\n{fmt}\n")
+    os.replace(tmp, root / _VERSION_FILE)
+
+
+def _data_dir(root) -> tuple[str, str]:
+    """(absolute data path, fmt) for the current version — the versioned
+    dir when a pointer exists, else the legacy flat root."""
+    ptr = _pointer(root)
+    if ptr is None:
+        return str(root), "parquet"
+    return str(root / ptr[0]), ptr[1]
+
+
+def read_canonical(spark, canonical_path: str = "data/odds_canonical.parquet") -> DataFrame:
+    """Read the canonical table at its current version (pointer-resolved)."""
+    from pathlib import Path as P
+
+    path, fmt = _data_dir(P(canonical_path))
+    if fmt == "csv":
+        return spark.read.option("header", "true").csv(path)
+    return spark.read.parquet(path)
+
+
 def update_canonical_table(
-    df: DataFrame, canonical_path: str = "data/odds_canonical.parquet"
+    df: DataFrame,
+    canonical_path: str = "data/odds_canonical.parquet",
+    fmt: str = "parquet",
 ) -> str:
     """S6 canonical append (reference ``src/ingestion.py:132-142``).
 
     Appends the batch partitioned by snapshot date so historical replays
     prune by date; the reference's read+concat+rewrite becomes a pure
-    append.
+    append. ``fmt="csv"`` matches the reference's CSV canonical table
+    (cosmetic parity; parquet is the scale default).
+
+    Layout: the first write creates ``v00000001/`` plus a ``_VERSION``
+    manifest pointer; appends land in the current version directory.
+    Compaction writes the next version and flips the pointer atomically
+    (see :func:`compact_canonical`).
     """
-    (
+    from pathlib import Path as P
+
+    root = P(canonical_path)
+    ptr = _pointer(root)
+    if ptr is None and not root.exists():
+        root.mkdir(parents=True, exist_ok=True)
+        _write_pointer(root, "v00000001", fmt)
+        ptr = ("v00000001", fmt)
+    path, cur_fmt = _data_dir(root)
+    out = (
         df.withColumn("snapshot_date", F.to_date(F.col("timestamp")))
         .write.mode("append")
         .partitionBy("snapshot_date")
-        .parquet(canonical_path)
     )
+    if cur_fmt == "csv":
+        out.option("header", "true").csv(path)
+    else:
+        out.parquet(path)
     return canonical_path
 
 
@@ -54,34 +121,92 @@ def compact_canonical(
     canonical_path: str,
     target_files_per_partition: int = 1,
     partition_col: str = "snapshot_date",
+    retain_previous: int = 1,
 ) -> int:
     """Small-file compaction for the canonical append table.
 
     Every streaming/batch append adds files; at 100 TB the canonical
     history degrades into millions of tiny parquet files whose open/footer
     overhead dominates scans. Compaction rewrites each date partition into
-    ``target_files_per_partition`` right-sized files and swaps the result
-    in (write-aside + atomic rename — readers mid-swap see the old or new
-    complete table, never a mix). Returns the number of rows compacted.
+    at most ``target_files_per_partition`` right-sized files under a NEW
+    immutable version directory, then flips the ``_VERSION`` manifest
+    pointer in one atomic ``os.replace`` (one small-object PUT on an
+    object store) — the catalog-swap pattern Delta/Iceberg use, with no
+    directory renames at all, so it works where renames are copies and
+    crashes mid-compaction leave the current version untouched.
+
+    ``retain_previous`` superseded versions are kept for in-flight readers
+    (their file lists stay valid); older ones are pruned. Legacy flat
+    tables (no pointer) are migrated to the versioned layout on first
+    compaction. Returns the number of rows compacted.
     """
+    import re
     import shutil
-    import uuid
     from pathlib import Path as P
 
-    src = P(canonical_path)
-    tmp = src.with_name(f"{src.name}.compacting.{uuid.uuid4().hex[:8]}")
-    df = spark.read.parquet(str(src))
-    n = df.count()
-    (
-        df.repartition(target_files_per_partition, partition_col)
-        .write.mode("overwrite")
-        .partitionBy(partition_col)
-        .parquet(str(tmp))
+    root = P(canonical_path)
+    ptr = _pointer(root)
+    cur_dir, fmt = _data_dir(root)
+    df = (
+        spark.read.option("header", "true").csv(cur_dir)
+        if fmt == "csv"
+        else spark.read.parquet(cur_dir)
     )
-    bak = src.with_name(f"{src.name}.pre_compact")
-    src.rename(bak)
-    tmp.rename(src)
-    shutil.rmtree(bak)
+    n = df.count()
+
+    cur_ver = int(ptr[0][1:]) if ptr else 0
+    next_name = f"v{cur_ver + 1:08d}"
+    target = root / next_name
+    if target_files_per_partition > 1:
+        # salt on a hash of the non-partition columns: up to n files per
+        # date dir, co-located rows stay together. (Hash collisions can
+        # merge salts — 'target' is an upper bound, which is the point.)
+        # The explicit partition count keeps AQE from coalescing the salted
+        # partitions back into one file.
+        n_parts = df.select(partition_col).distinct().count()
+        salt = F.pmod(
+            F.xxhash64(*[c for c in df.columns if c != partition_col]),
+            F.lit(target_files_per_partition),
+        )
+        compacted = df.repartition(
+            max(1, n_parts) * target_files_per_partition,
+            F.col(partition_col),
+            salt,
+        )
+    else:
+        compacted = df.repartition(F.col(partition_col))
+    writer = compacted.write.mode("overwrite").partitionBy(partition_col)
+    if fmt == "csv":
+        writer.option("header", "true").csv(str(target))
+    else:
+        writer.parquet(str(target))
+
+    _write_pointer(root, next_name, fmt)  # the one atomic commit point
+
+    if ptr is None:
+        # legacy flat layout: data files lived in the root; remove them now
+        # that the pointer owns the table (one-time migration, documented
+        # as non-atomic for pre-pointer readers only).
+        for child in root.iterdir():
+            if child.name.startswith(("v", "_", ".")) and re.fullmatch(
+                r"v\d{8}", child.name
+            ):
+                continue
+            if child.name == _VERSION_FILE:
+                continue
+            if child.is_dir():
+                shutil.rmtree(child, ignore_errors=True)
+            elif not child.name.startswith("._VERSION"):
+                child.unlink(missing_ok=True)
+    else:
+        # prune versions older than the retained window
+        versions = sorted(
+            c.name for c in root.iterdir() if re.fullmatch(r"v\d{8}", c.name)
+        )
+        keep = set(versions[-(retain_previous + 1):])
+        for v in versions:
+            if v not in keep:
+                shutil.rmtree(root / v, ignore_errors=True)
     return n
 
 

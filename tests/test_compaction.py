@@ -1,31 +1,143 @@
-"""Canonical-table compaction: many small appended files collapse to one
-per date partition with identical contents."""
+"""Canonical-table compaction under the versioned manifest-pointer layout:
+many small appended files collapse into right-sized files in a NEW
+immutable version directory, committed by one atomic pointer flip — the
+catalog-swap shape that stays correct on object stores where renames are
+copies and two-step swaps leave windows.
+"""
 
 from __future__ import annotations
 
 from pathlib import Path
 
-from pyspark.sql import functions as F
+from sports_data_integration_and_forecasting_pipeline_spark.sinks import (
+    _pointer,
+    compact_canonical,
+    read_canonical,
+    update_canonical_table,
+)
 
-from sports_data_integration_and_forecasting_pipeline_spark.sinks import compact_canonical, update_canonical_table
 
-
-def test_compact_canonical(spark, tmp_path):
-    path = str(tmp_path / "canonical.parquet")
-    batch = spark.createDataFrame(
+def _batch(spark):
+    return spark.createDataFrame(
         [("2026-08-13T10:00:00", "g1", 2.0), ("2026-08-14T10:00:00", "g2", 1.9)],
         "timestamp string, game_id string, price double",
     )
+
+
+def _rows(spark, path):
+    return [
+        r.asDict()
+        for r in read_canonical(spark, path).orderBy("timestamp", "game_id").collect()
+    ]
+
+
+def test_compact_canonical_versioned(spark, tmp_path):
+    path = str(tmp_path / "canonical.parquet")
     for _ in range(5):  # 5 appends -> many small files across 2 partitions
-        update_canonical_table(batch, path)
-    files_before = len(list(Path(path).rglob("*.parquet")))
-    before = spark.read.parquet(path).orderBy("timestamp", "game_id").collect()
+        update_canonical_table(_batch(spark), path)
+    assert _pointer(Path(path)) == ("v00000001", "parquet")
+    files_before = len(list((Path(path) / "v00000001").rglob("*.parquet")))
+    before = _rows(spark, path)
 
     n = compact_canonical(spark, path)
     assert n == 10
-    files_after = len(list(Path(path).rglob("*.parquet")))
+    assert _pointer(Path(path)) == ("v00000002", "parquet")
+    files_after = len(list((Path(path) / "v00000002").rglob("*.parquet")))
     assert files_after < files_before
     assert files_after <= 2  # one file per snapshot_date partition
-    after = spark.read.parquet(path).orderBy("timestamp", "game_id").collect()
-    assert [r.asDict() for r in before] == [r.asDict() for r in after]
-    assert not list(Path(path).parent.glob("*.pre_compact"))  # swap cleaned up
+    assert _rows(spark, path) == before
+    # previous version retained for in-flight readers (retain_previous=1)
+    assert (Path(path) / "v00000001").exists()
+
+    # a second compaction prunes beyond the retained window
+    compact_canonical(spark, path)
+    assert _pointer(Path(path)) == ("v00000003", "parquet")
+    assert not (Path(path) / "v00000001").exists()
+    assert (Path(path) / "v00000002").exists()
+    assert _rows(spark, path) == before
+
+
+def test_compact_crash_before_pointer_flip_preserves_table(spark, tmp_path):
+    """A compaction that dies after writing the new version but before the
+    pointer flip leaves the table fully readable at the old version — the
+    property the old rename-swap lacked (its crash window stranded the
+    table at a .pre_compact path)."""
+    path = str(tmp_path / "canonical.parquet")
+    update_canonical_table(_batch(spark), path)
+    before = _rows(spark, path)
+
+    # simulate the crash: materialize a half-baked next version dir with
+    # garbage, but never flip the pointer
+    stranded = Path(path) / "v00000002"
+    stranded.mkdir()
+    (stranded / "part-garbage.parquet").write_bytes(b"not parquet")
+
+    assert _pointer(Path(path)) == ("v00000001", "parquet")
+    assert _rows(spark, path) == before  # readers never see the wreck
+
+    # the next compaction supersedes the stranded dir (vN+1 numbering skips
+    # nothing: it reads the pointer, not the dir listing)
+    compact_canonical(spark, path)
+    assert _rows(spark, path) == before
+
+
+def test_compact_target_files_per_partition(spark, tmp_path):
+    path = str(tmp_path / "canonical.parquet")
+    rows = [
+        (f"2026-08-13T10:00:{i:02d}", f"g{i}", 1.0 + i / 10) for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "timestamp string, game_id string, price double"
+    )
+    update_canonical_table(df, path)
+    compact_canonical(spark, path, target_files_per_partition=4)
+    ver = _pointer(Path(path))[0]
+    files = list((Path(path) / ver).rglob("*.parquet"))
+    # up to 4 salted files in the single date partition, and more than 1
+    # (40 distinct rows hash across salts with overwhelming probability)
+    assert 1 < len(files) <= 4
+    assert len(_rows(spark, path)) == 40
+
+
+def test_canonical_csv_parity(spark, tmp_path):
+    """fmt='csv' mirrors the reference's CSV canonical table end-to-end:
+    append, read-back, compact — same row contents (as strings)."""
+    path = str(tmp_path / "canonical_csv")
+    for _ in range(3):
+        update_canonical_table(_batch(spark), path, fmt="csv")
+    got = _rows(spark, path)
+    assert len(got) == 6
+    assert {r["game_id"] for r in got} == {"g1", "g2"}
+
+    n = compact_canonical(spark, path)
+    assert n == 6
+    assert _pointer(Path(path)) == ("v00000002", "csv")
+    assert _rows(spark, path) == got
+
+
+def test_legacy_flat_table_migrates_on_compaction(spark, tmp_path):
+    """Pre-pointer flat tables (parquet files directly in the root) are
+    migrated to the versioned layout by their first compaction."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "legacy.parquet")
+    (
+        _batch(spark)
+        .withColumn("snapshot_date", F.to_date("timestamp"))
+        .write.partitionBy("snapshot_date")
+        .parquet(path)
+    )
+    assert _pointer(Path(path)) is None
+    before = _rows(spark, path)  # falls back to flat root
+
+    n = compact_canonical(spark, path)
+    assert n == 2
+    assert _pointer(Path(path)) == ("v00000001", "parquet")
+    assert _rows(spark, path) == before
+    # legacy flat partition dirs are gone; only the version dir + pointer remain
+    leftovers = [
+        c.name
+        for c in Path(path).iterdir()
+        if not (c.name == "_VERSION" or c.name.startswith("v0"))
+    ]
+    assert leftovers == []
