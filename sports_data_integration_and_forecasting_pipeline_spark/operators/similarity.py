@@ -237,6 +237,86 @@ def ivf_ann_topk(
     )
 
 
+def _d2_to_center(v: Column, center: list[float]) -> Column:
+    """Squared L2 distance to a literal centroid — sequential left-to-right
+    fold, bit-identical across engines."""
+    c = F.array(*[F.lit(x) for x in center])
+    return F.aggregate(
+        F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_cell_structs(v: Column, centers: list[list[float]]) -> Column:
+    """array<struct<d: double, cell: int>> of distances to every centroid."""
+    return F.array(
+        *[
+            F.struct(_d2_to_center(v, c).alias("d"), F.lit(i).alias("cell"))
+            for i, c in enumerate(centers)
+        ]
+    )
+
+
+def ivf_assign(v: Column, centers: list[list[float]]) -> Column:
+    """Nearest-centroid cell id as a pure expression: ``array_min`` over
+    (dist², cell) structs orders lexicographically, so ties break to the
+    lowest cell — narrow, shuffle-free, whole-stage-codegen'd."""
+    return F.array_min(ivf_cell_structs(v, centers)).getField("cell")
+
+
+def ivf_ann_topk_pretrained(
+    emb_df: DataFrame,
+    query_pred: Column,
+    centers: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 2,
+    k: int = 3,
+    round_expr=None,
+) -> DataFrame:
+    """IVF ANN with a PRETRAINED coarse quantizer (centroid literals),
+    the production shape: real IVF indexes train the quantizer once on a
+    sample, then assignment is a cheap per-row computation — here a pure
+    Column expression, so the scan stays narrow and JVM-side with no
+    model object or Python at query time.
+
+    Scale shape: cell assignment is shuffle-free; each query probes its
+    ``n_probe`` nearest cells; candidates meet the broadcast probe list in
+    a cell equi-join touching ~n_probe/n_cells of the data. Because the
+    centroids are driver literals, a SQL oracle replicates assignment,
+    probing, and scoring exactly (see plans/battery.py:embed_ivf_ann).
+    """
+    e = _prepared(emb_df, id_col, vec_col).withColumn(
+        "cell", ivf_assign(F.col("v"), centers)
+    )
+    probes = (
+        e.filter(query_pred)
+        .select(
+            F.col(id_col).alias("q_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            F.explode(
+                F.slice(F.array_sort(ivf_cell_structs(F.col("v"), centers)), 1, n_probe)
+            ).alias("probe"),
+        )
+        .select("q_id", "qv", "qn", F.col("probe.cell").alias("cell"))
+    )
+    cos = dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    cos = round_expr(cos) if round_expr is not None else cos
+    scored = (
+        e.join(F.broadcast(probes), "cell")
+        .filter(F.col("q_id") != F.col(id_col))
+        .select("q_id", F.col(id_col).alias("cand_id"), "cell", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "cand_id", "cell", "cosine")
+    )
+
+
 def cosine_dup_pairs_blocked(
     emb_df: DataFrame,
     id_col: str = "vec_id",

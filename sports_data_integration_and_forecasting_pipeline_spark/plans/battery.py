@@ -1164,6 +1164,87 @@ def embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _centroid_sql(c: list[float]) -> str:
+    """Full-precision double literals (repr round-trips bit-exactly through
+    DuckDB's correctly-rounded strtod)."""
+    return "[" + ", ".join(repr(x) for x in c) + "]::DOUBLE[]"
+
+
+def _ivf_d2_sql(center: list[float]) -> str:
+    """Sequential-fold squared L2 distance of v to a centroid literal."""
+    return (
+        f"list_sum(list_transform(list_transform(range(1, {_EMB_DIM + 1}), "
+        f"i -> v[i::INT] - ({_centroid_sql(center)})[i::INT]), x -> x * x))"
+    )
+
+
+from sports_data_integration_and_forecasting_pipeline_spark.operators.ivf_centroids import (  # noqa: E402
+    IVF_CENTROIDS,
+)
+
+_IVF_N_PROBE = 2
+_IVF_K = 3
+_IVF_D_COLS = ", ".join(
+    f"{_ivf_d2_sql(c)} AS d{i}" for i, c in enumerate(IVF_CENTROIDS)
+)
+_IVF_LEAST = "least(" + ", ".join(f"d{i}" for i in range(len(IVF_CENTROIDS))) + ")"
+_IVF_CELL_CASE = (
+    "CASE "
+    + " ".join(f"WHEN d{i} = m THEN {i}" for i in range(len(IVF_CENTROIDS)))
+    + " END"
+)
+_IVF_PROBE_STRUCTS = "[" + ", ".join(
+    f"{{'d': d{i}, 'cell': {i}}}" for i in range(len(IVF_CENTROIDS))
+) + "]"
+
+
+@_register(
+    "embed_ivf_ann",
+    f"""
+    WITH {_emb_norm_cte()},
+    d AS (SELECT vec_id, v, nrm, {_IVF_D_COLS} FROM nv),
+    a AS (SELECT vec_id, v, nrm, {_IVF_CELL_CASE} AS cell
+          FROM (SELECT *, {_IVF_LEAST} AS m FROM d)),
+    probe AS (
+      SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell FROM (
+        SELECT vec_id, v, nrm, (u).cell AS cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY (u).d, (u).cell) AS pr
+        FROM (SELECT vec_id, v, nrm, unnest({_IVF_PROBE_STRUCTS}) AS u
+              FROM d WHERE vec_id < 10))
+      WHERE pr <= {_IVF_N_PROBE}
+    ),
+    scored AS (
+      SELECT p.q_id, c.vec_id AS cand_id, c.cell,
+             {_sql_r(f"list_sum(list_transform(range(1, {_EMB_DIM + 1}), i -> p.qv[i::INT] * c.v[i::INT])) / (p.qn * c.nrm)", 6)} AS cosine
+      FROM probe p JOIN a c ON c.cell = p.cell AND c.vec_id <> p.q_id
+    )
+    SELECT q_id, rank, cand_id, cell, cosine FROM (
+      SELECT q_id, cand_id, cell, cosine,
+             CAST(row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cosine DESC, cand_id) AS INT) AS rank
+      FROM scored)
+    WHERE rank <= {_IVF_K}
+    """,
+    "textops: ANN via IVF (pretrained coarse quantizer)",
+    "16-cell inverted-file index with pinned KMeans(seed=42) centroids, "
+    "2-probe nearest-cell search, exact cosine within probed cells",
+)
+def embed_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.similarity import (
+        ivf_ann_topk_pretrained,
+    )
+
+    return ivf_ann_topk_pretrained(
+        _t(spark, sf_dir, "embeddings"),
+        query_pred=F.col("vec_id") < 10,
+        centers=IVF_CENTROIDS,
+        n_probe=_IVF_N_PROBE,
+        k=_IVF_K,
+        round_expr=lambda c: _r(c, 6),
+    )
+
+
 _DUP_PLANES_N = 6
 _DUP_PLANES = hyperplanes(n_planes=_DUP_PLANES_N, dim=_EMB_DIM)
 

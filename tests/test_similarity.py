@@ -155,6 +155,51 @@ def test_ivf_ann_full_probe_equals_exact(spark):
     assert full_set == exact_set
 
 
+def test_ivf_pretrained_full_probe_equals_exact(spark):
+    """Probing every cell of the pinned quantizer degrades to exact search —
+    the same invariant the trained variant holds."""
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.ivf_centroids import (
+        IVF_CENTROIDS,
+    )
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.similarity import (
+        ivf_ann_topk_pretrained,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = cosine_topk(emb, query_pred=F.col("vec_id") < 3, k=3).collect()
+    full = ivf_ann_topk_pretrained(
+        emb,
+        query_pred=F.col("vec_id") < 3,
+        centers=IVF_CENTROIDS,
+        n_probe=len(IVF_CENTROIDS),  # probe all 16 cells -> exact
+        k=3,
+    ).collect()
+    assert {(r["q_id"], r["rank"], r["cand_id"]) for r in full} == {
+        (r["q_id"], r["rank"], r["cand_id"]) for r in exact
+    }
+
+
+def test_ivf_assign_matches_nearest_centroid(spark):
+    """Cell assignment picks the argmin-distance centroid with lowest-cell
+    tiebreak, computed as a pure expression."""
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.similarity import (
+        ivf_assign,
+    )
+
+    centers = [[1.0, 0.0], [0.0, 1.0], [1.0, 0.0]]  # cell 2 duplicates cell 0
+    df = _emb(spark, [(0, [0.9, 0.1]), (1, [0.1, 0.9])])
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in df.select(
+            "vec_id",
+            ivf_assign(
+                F.transform("embedding", lambda x: x.cast("double")), centers
+            ).alias("cell"),
+        ).collect()
+    }
+    assert got == {0: 0, 1: 1}  # tie between cells 0 and 2 -> lowest wins
+
+
 def test_ivf_ann_partial_probe_subset(spark):
     from sports_data_integration_and_forecasting_pipeline_spark.operators.similarity import ivf_ann_topk
 
