@@ -47,6 +47,30 @@ SIMHASH_PAIR_BITS = 60  # wide fingerprint for pair joins (see simhash60)
 SIMHASH_BAND_BITS = 15  # 4 bands x 15 bits -> 32768 bucket values/band
 
 
+# Bounded persist registry: pair operators cache their signature/index df
+# (it feeds both join sides). Each new invocation releases the previous
+# cache for the same role, so repeated calls in one session hold at most
+# one cached copy per role instead of accumulating blocks.
+_ACTIVE_CACHE: dict[str, DataFrame] = {}
+
+
+def _persist_scoped(role: str, df: DataFrame) -> DataFrame:
+    prev = _ACTIVE_CACHE.get(role)
+    if prev is not None:
+        prev.unpersist()
+    out = df.persist()
+    _ACTIVE_CACHE[role] = out
+    return out
+
+
+def release_caches() -> None:
+    """Unpersist every cache this module is holding (call after draining a
+    batch of dedup queries; tests assert this leaves zero cached RDDs)."""
+    for df in _ACTIVE_CACHE.values():
+        df.unpersist()
+    _ACTIVE_CACHE.clear()
+
+
 def _mh_params(i: int) -> tuple[int, int]:
     """Deterministic universal-hash constants (Knuth multiplicative mixing;
     `| 1` keeps the multiplier odd, hence invertible mod 2^30)."""
@@ -117,7 +141,11 @@ def shingle_jaccard_pairs(
     max_df: int | None = 100,
 ) -> DataFrame:
     """Exact n-gram Jaccard over the shingle inverted index: pairs sharing
-    ≥ 1 shingle, with ``jaccard = |A∩B| / (|A| + |B| − |A∩B|)``.
+    ≥ 1 shingle, with ``jaccard = |A∩B| / (|A| + |B| − |A∩B|)``. With
+    ``max_df`` set, shingle sets are first capped to the sub-hot space and
+    the score is exact Jaccard over that capped space (doc sizes are
+    recomputed after the hot-shingle drop, so the score is unbiased for
+    docs containing hot shingles).
 
     Scale shape: explode (narrow) → optional broadcast anti-join dropping
     shingles with doc-frequency > ``max_df`` (the hot-key guard; the hot
@@ -135,14 +163,23 @@ def shingle_jaccard_pairs(
         .select(F.col(id_col), hashes.alias("shs"))
         .withColumn("n_sh", F.size("shs"))
         .select(id_col, "n_sh", F.explode("shs").alias("sh"))
-        # referenced three times (df-count, both join sides): persist so the
-        # tokenize+md5 explode runs once per action. At 100 TB the same role
-        # is played by writing the inverted index to a bucketed table.
-        .persist()
     )
+    # referenced three times (df-count, both join sides): persist so the
+    # tokenize+md5 explode runs once per action. At 100 TB the same role
+    # is played by writing the inverted index to a bucketed table.
+    sh = _persist_scoped("shingle_index", sh)
     if max_df is not None:
         hot = sh.groupBy("sh").count().filter(F.col("count") > max_df).select("sh")
         sh = sh.join(F.broadcast(hot), "sh", "left_anti")
+        # Recompute per-doc sizes over the SURVIVING shingle space, so the
+        # score is exact Jaccard over what is actually joined (otherwise
+        # docs containing hot shingles get a downward-biased score: n_a/n_b
+        # would count shingles n_common can never include). Costs one
+        # extra exchange on the post-filter index — which has just shed its
+        # hottest postings, so it's the cheap one to shuffle.
+        sh = sh.withColumn(
+            "n_sh", F.count("*").over(Window.partitionBy(id_col))
+        )
     a = sh.select(
         F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"), "sh"
     )
@@ -304,7 +341,7 @@ def simhash_pairs(
     essentially never collide — candidate volume stays ~linear in n
     instead of the n²/2^bits blow-up a narrow fingerprint would give.
     The signature df is persisted: it feeds both join sides."""
-    sim = simhash60(df, text_col, id_col).persist()
+    sim = _persist_scoped("simhash_signatures", simhash60(df, text_col, id_col))
     mask = (1 << SIMHASH_BAND_BITS) - 1
     bands = F.array(
         *[

@@ -925,7 +925,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sh0
     ),
     ok AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 100),
-    shf AS (SELECT s.* FROM sh s JOIN ok USING (sh))
+    shf AS (SELECT s.doc_id,
+                   CAST(count(*) OVER (PARTITION BY s.doc_id) AS BIGINT) AS n_sh,
+                   s.sh
+            FROM sh s JOIN ok USING (sh))
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(count(*) AS BIGINT) AS n_common,
            1.0 * count(*) / (a.n_sh + b.n_sh - count(*)) AS jaccard
@@ -933,7 +936,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
     """,
     "textops: n-gram Jaccard near-dup",
-    "word-3-gram inverted-index pair join with exact Jaccard (hot-shingle cap 100)",
+    "word-3-gram inverted-index pair join, exact Jaccard over the "
+    "hot-capped shingle space (max_df 100, per-doc sizes recomputed post-cap)",
 )
 def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import shingle_jaccard_pairs

@@ -4,6 +4,7 @@ hand-built corpora."""
 from __future__ import annotations
 
 from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
+    release_caches,
     exact_dup_groups,
     minhash_lsh_pairs,
     minhash_signatures,
@@ -80,3 +81,18 @@ def test_single_token_doc_shingles(spark):
     df = _docs(spark, [(1, "solo"), (2, "solo"), (3, "other thing")])
     pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in shingle_jaccard_pairs(df).collect()}
     assert pairs == {(1, 2): 1.0}
+
+
+def test_no_cache_accumulation_across_invocations(spark):
+    """Repeated pair-operator calls must not leak cached RDDs: the scoped
+    persist registry holds at most one cache per role, and release_caches
+    drops them all (VERDICT r1 item 7)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    baseline = len(spark.sparkContext._jsc.getPersistentRDDs())
+    for _ in range(3):
+        shingle_jaccard_pairs(docs).count()
+        simhash_pairs(docs).count()
+    held = len(spark.sparkContext._jsc.getPersistentRDDs()) - baseline
+    assert held <= 2  # one per role, not one per invocation
+    release_caches()
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) <= baseline
