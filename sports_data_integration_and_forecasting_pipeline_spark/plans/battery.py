@@ -2191,6 +2191,69 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# HLL++ approximate NDV — the constant-state companion to KMV: per group
+# the sketch is a fixed register array (vs KMV's k mins, vs exact
+# distinct's full key set), mergeable across partitions, so 100 TB NDV
+# costs one map-side-combined shuffle of ~KB-sized state per group.
+#
+# rows-only BY CONSTRUCTION: HLL register layouts are engine-specific
+# (Spark's HyperLogLog++ dense/sparse encoding vs DuckDB's HLL — different
+# hash, different register count, different bias correction), so the
+# estimates legitimately differ between engines and no SQL oracle can
+# hash-match them. Correctness signal lives in tests/test_sketches.py:
+# the estimate must land within the published rsd error bound of the
+# exact NDV (which IS oracle-checked, via kmv_distinct_sketch's
+# n_distinct column and customer_order_rollup).
+# ===========================================================================
+
+@_register(
+    "hll_distinct_sketch",
+    None,  # engine-specific sketch layout — see block comment above
+    "sketch: HLL++ approximate NDV (rows-only; error-bound-tested)",
+    "approx_count_distinct(rsd=0.02) vs exact NDV per event_type; "
+    "constant-state mergeable sketch, the 100 TB NDV path",
+)
+def hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("hll_ndv"),
+        F.countDistinct("user_id").cast("long").alias("exact_ndv"),
+    )
+
+
+# ===========================================================================
+# Approximate percentiles — the mergeable-summary companion to the exact
+# order-statistic query (value_percentiles): percentile_approx keeps a
+# bounded Greenwald-Khanna summary per group (t-digest's role in Spark),
+# so per-group state is O(accuracy), not O(n), and partial summaries
+# merge map-side — the only percentile shape that survives 100 TB.
+#
+# rows-only BY CONSTRUCTION: the summary's compression decisions are
+# engine-specific (Spark GK vs DuckDB t-digest), so cross-engine values
+# differ within the rank-error bound. tests/test_sketches.py asserts the
+# approx values track the exact (oracle-checked) percentiles within that
+# bound.
+# ===========================================================================
+
+@_register(
+    "approx_percentile_sketch",
+    None,  # engine-specific summary — see block comment above
+    "sketch: approximate percentiles (rows-only; error-bound-tested)",
+    "percentile_approx(accuracy=10000) p50/p90/p99 of value per event_type; "
+    "mergeable bounded-state summary, the 100 TB percentile path",
+)
+def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    pa = F.percentile_approx("value", [0.5, 0.9, 0.99], 10000)
+    return ev.groupBy("event_type").agg(pa.alias("ps")).select(
+        "event_type",
+        F.col("ps")[0].alias("p50"),
+        F.col("ps")[1].alias("p90"),
+        F.col("ps")[2].alias("p99"),
+    )
+
+
+# ===========================================================================
 # Composite curation pipeline — the end-to-end corpus-cleaning shape a
 # training-data run executes: language-ID agreement filter → quality
 # threshold → exact-dup removal (keep canonical) → per-language corpus
