@@ -66,7 +66,18 @@ def salted_join(
     """Skew-proof equi-join: the big (skewed) side gets a random salt in
     [0, n_salts); the small side is replicated once per salt via an
     explode — so a hot key's rows land on ``n_salts`` different join
-    tasks instead of one straggler."""
+    tasks instead of one straggler.
+
+    Only ``inner`` and ``left`` (big side preserved) are supported: under
+    right/full outer joins an unmatched small-side row would surface once
+    per salt replica — n_salts duplicate output rows. Keep the big,
+    skewed side on the left and pick the join type accordingly."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: "
+            "right/full outer would emit unmatched small-side rows once "
+            "per salt replica"
+        )
     salted_big = big.withColumn(
         "__salt",
         (F.crc32(F.monotonically_increasing_id().cast("string")) % n_salts).cast(

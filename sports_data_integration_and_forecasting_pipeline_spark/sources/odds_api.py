@@ -85,15 +85,18 @@ def fetch_odds(
 ) -> list[dict]:
     """S2 cached fetch (reference ``odds_utils.py:130-179``): fresh cache
     hit → cached JSON; else fetch, archive raw, write cache; on fetch error
-    fall back to a stale cache if present, else return ``[]``."""
-    params = {
-        "apiKey": api_key,
-        "sport": sport_key,
-        "markets": markets,
-        "regions": regions,
-    }
+    fall back to a stale cache if present, else return ``[]``.
+
+    Parity notes: the cache key covers only ``{sport, markets, regions}``
+    (``odds_utils.py:156`` — the api key is NOT part of request identity,
+    so key rotation keeps the cache warm and no secret ends up md5'd into
+    filenames); the live request sends explicit ``oddsFormat=decimal`` /
+    ``dateFormat=iso`` (``odds_utils.py:122-123``) instead of trusting
+    server defaults; raw archives carry the reference's
+    ``{saved_at, data}`` wrapper (``odds_utils.py:113``)."""
+    cache_params = {"sport": sport_key, "markets": markets, "regions": regions}
     cache_dir = Path(cache_dir)
-    cache_file = cache_dir / f"{_cache_key(params)}.json"
+    cache_file = cache_dir / f"{_cache_key(cache_params)}.json"
 
     if use_cache and cache_file.exists():
         age_min = (time.time() - cache_file.stat().st_mtime) / 60.0
@@ -101,8 +104,17 @@ def fetch_odds(
             logger.info("cache hit (%.1f min old): %s", age_min, cache_file)
             return json.loads(cache_file.read_text())
 
+    request_params = {
+        "apiKey": api_key,
+        "markets": markets,
+        "regions": regions,
+        "oddsFormat": "decimal",
+        "dateFormat": "iso",
+    }
     try:
-        data = transport(f"{BASE_URL}/{sport_key}/odds", params, REQUEST_TIMEOUT_S)
+        data = transport(
+            f"{BASE_URL}/{sport_key}/odds", request_params, REQUEST_TIMEOUT_S
+        )
     except Exception as exc:  # stale fallback (odds_utils.py:172-179)
         logger.warning("odds fetch failed (%s); trying stale cache", exc)
         if cache_file.exists():
@@ -113,7 +125,13 @@ def fetch_odds(
         raw_path = Path(raw_dir)
         raw_path.mkdir(parents=True, exist_ok=True)
         stamp = time.strftime("%Y%m%d_%H%M%S")
-        (raw_path / f"raw_{sport_key}_{stamp}.json").write_text(json.dumps(data))
+        wrapped = {
+            "saved_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+            "data": data,
+        }
+        (raw_path / f"raw_{sport_key}_{stamp}.json").write_text(
+            json.dumps(wrapped, indent=2)
+        )
     cache_dir.mkdir(parents=True, exist_ok=True)
     cache_file.write_text(json.dumps(data))
     return data
