@@ -70,6 +70,13 @@ from .operators.skew import (
     write_bucketed,
 )
 from .sources.odds_api import fetch_player_props, fetch_odds
+from .app import (
+    load_data,
+    app_summary,
+    arbitrage_view,
+    run_app_pipeline,
+    load_sample_games,
+)
 from .sinks import (
     save_snapshot,
     update_canonical_table,
@@ -84,6 +91,12 @@ __all__ = [
     "find_best_odds",
     "build_summary",
     "best_odds_report",
+    # app one-call pipelines
+    "load_data",
+    "app_summary",
+    "arbitrage_view",
+    "run_app_pipeline",
+    "load_sample_games",
     # ingestion
     "fetch_odds",
     "fetch_player_props",

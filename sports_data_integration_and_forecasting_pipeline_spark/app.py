@@ -1,0 +1,126 @@
+"""One-call pipeline wrappers for the reference's application paths.
+
+The reference's UIs compose the same few steps — fetch (or bundled
+sample) → clean → best-price summary → arbitrage view (Streamlit
+``web/app.py:22-71``, ipywidgets ``Sports-Pipeline-V2/widgets_ui.py``,
+minimal ``src/interface.py:10-19``). A user porting any of them needs the
+composition, not the widgets; this module exposes it as single calls
+returning lazy DataFrames (render with ``.toPandas()`` in whatever UI).
+
+Everything here delegates to already-oracle-checked operators — no new
+query semantics, just the app-shaped entry points.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.markets import detect_arbitrage, find_best_odds_window
+from .operators.odds import clean_odds
+from .sources.odds_api import fetch_player_props
+from .sources.readers import games_from_json_strings, read_odds_json
+
+SAMPLE_DATA_PATH = Path(__file__).parent / "data" / "sample_odds.json"
+
+
+def load_sample_games(spark: SparkSession, path: str | Path | None = None) -> DataFrame:
+    """The bundled sample fixture as game rows (reference
+    ``web/app.py:14-19`` ships the same two-game golden file)."""
+    return read_odds_json(spark, str(path or SAMPLE_DATA_PATH))
+
+
+def load_data(
+    spark: SparkSession,
+    market: str = "h2h",
+    use_live: bool = False,
+    api_key: str | None = None,
+    sample_path: str | Path | None = None,
+    **fetch_kwargs: Any,
+) -> DataFrame:
+    """Fetch-or-sample → clean, the app's ``_load_data`` one-call
+    (reference ``web/app.py:22-33``): live fetch when requested, falling
+    back to the bundled sample when the fetch can't run (no API key —
+    the same ValueError contract as the reference), sample otherwise."""
+    if use_live:
+        try:
+            raw = fetch_player_props(markets=market, api_key=api_key, **fetch_kwargs)
+            games = games_from_json_strings(spark, json.dumps(raw))
+        except ValueError:
+            games = load_sample_games(spark, sample_path)
+    else:
+        games = load_sample_games(spark, sample_path)
+    return clean_odds(games, market=market)
+
+
+def app_summary(cleaned: DataFrame) -> DataFrame:
+    """The dashboard's long-form summary table (reference
+    ``web/app.py:36-71``): one row per (game, outcome) with the best price
+    and book, plus the per-game arbitrage margin pct repeated on each of
+    the game's rows (NULL when no two-outcome arb exists). Unlike
+    ``detect_discrepancies`` this keeps games with ≠ 2 outcomes, exactly
+    as the app table does.
+
+    Scale: one window argmax + one same-key margin aggregation joined
+    back — both shuffles share the game_id key."""
+    best = find_best_odds_window(cleaned).select(
+        "game_id",
+        "home_team",
+        "away_team",
+        "outcome",
+        F.col("price").alias("best_price"),
+        F.col("bookmaker").alias("best_bookmaker"),
+    )
+    margins = detect_arbitrage(best, "game_id", price_col="best_price").select(
+        "game_id", F.col("arbitrage_margin").alias("arbitrage_margin_pct")
+    )
+    return best.join(margins, "game_id", "left").select(
+        "game_id",
+        "home_team",
+        "away_team",
+        "outcome",
+        "best_price",
+        "best_bookmaker",
+        "arbitrage_margin_pct",
+    )
+
+
+def arbitrage_view(summary: DataFrame) -> DataFrame:
+    """The app's arbitrage metrics panel (reference ``web/app.py:100-110``):
+    one row per game that has a detected edge."""
+    return (
+        summary.filter(F.col("arbitrage_margin_pct").isNotNull())
+        .groupBy("game_id")
+        .agg(
+            F.first("home_team").alias("home_team"),
+            F.first("away_team").alias("away_team"),
+            F.first("arbitrage_margin_pct").alias("arbitrage_margin_pct"),
+        )
+    )
+
+
+def run_app_pipeline(
+    spark: SparkSession,
+    market: str = "h2h",
+    use_live: bool = False,
+    api_key: str | None = None,
+    sample_path: str | Path | None = None,
+) -> dict[str, DataFrame]:
+    """The full dashboard data flow in one call: the three tables the
+    Streamlit app renders (reference ``web/app.py:74-117``), all lazy.
+
+    Returns ``{"cleaned", "summary", "arbitrage"}``."""
+    cleaned = load_data(
+        spark, market=market, use_live=use_live, api_key=api_key,
+        sample_path=sample_path,
+    )
+    summary = app_summary(cleaned)
+    return {
+        "cleaned": cleaned,
+        "summary": summary,
+        "arbitrage": arbitrage_view(summary),
+    }
