@@ -59,9 +59,12 @@ HEADLINE = [
     "value_percentiles",
     "tfidf_top_terms",
     "kmv_distinct_sketch",
+    "hll_distinct_sketch",
+    "approx_percentile_sketch",
+    "embed_ivf_ann",
     "curation_pipeline",
-    # streaming_replay_rollup excluded: it stages snapshot files per call
-    # (measured by its oracle-checked correctness run instead).
+    # streaming_* entries excluded: they stage snapshot files per call
+    # (measured by their oracle-checked correctness runs instead).
 ]
 
 

@@ -68,3 +68,35 @@ def test_query_side_broadcasts(spark):
 def test_hot_shingle_guard_is_broadcast_anti_join(spark):
     plan = _plan(spark, "dedup_shingle_jaccard")
     assert "LeftAnti" in plan, plan[:500]
+
+
+# Top-10 most expensive queries: pin the load-bearing plan properties so a
+# regression (a new shuffle, a join degrading to cartesian, a lost
+# window-group-limit prune) fails a test instead of only slowing the
+# bench. Exchange budgets are measured upper bounds at the current plan;
+# ReusedExchange nodes don't count (reuse is a win, not a shuffle).
+PINNED = {
+    #                        max_exch  must_have            must_not_have
+    "dedup_shingle_jaccard":  (7, ["LeftAnti"],             ["CartesianProduct"]),
+    "dedup_minhash_lsh":      (3, [],                       ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    "dedup_simhash_pairs":    (2, [],                       ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    "nested_explode_flatten": (1, [],                       []),
+    "embed_ivf_ann":          (2, ["BroadcastHashJoin", "WindowGroupLimit"], ["CartesianProduct"]),
+    "best_odds_report_join":  (2, ["WindowGroupLimit"],     []),
+    "flagship_market_report": (2, ["WindowGroupLimit"],     []),
+    "embed_cosine_dup_pairs": (1, ["BroadcastHashJoin"],    ["CartesianProduct", "MapInPandas"]),
+    "devig_proportional":     (1, [],                       []),
+    "tfidf_top_terms":        (5, ["BroadcastHashJoin", "WindowGroupLimit"], ["CartesianProduct"]),
+}
+
+
+@pytest.mark.parametrize("name", sorted(PINNED))
+def test_pinned_plan_shape(spark, name):
+    max_exch, must, must_not = PINNED[name]
+    plan = _plan(spark, name)
+    n_exch = plan.count("Exchange") - plan.count("ReusedExchange")
+    assert n_exch <= max_exch, f"{name}: {n_exch} exchanges (budget {max_exch})"
+    for frag in must:
+        assert frag in plan, f"{name}: lost {frag}"
+    for frag in must_not:
+        assert frag not in plan, f"{name}: gained {frag}"
