@@ -59,6 +59,11 @@ HEADLINE = [
     "value_percentiles",
     "tfidf_top_terms",
     "kmv_distinct_sketch",
+    "asof_join_marks",
+    "sample_events_hash",
+    "sample_events_stratified",
+    "iceberg_heavy_users",
+    "text_unigram_perplexity",
     "hll_distinct_sketch",
     "approx_percentile_sketch",
     "embed_ivf_ann",

@@ -69,6 +69,14 @@ from .operators.skew import (
     salted_join,
     write_bucketed,
 )
+from .operators.asof import asof_join
+from .operators.sampling import (
+    hash_sample,
+    stratified_hash_sample,
+    train_holdout_split,
+)
+from .operators.frequency import heavy_hitters
+from .operators.textstats import unigram_perplexity
 from .sources.odds_api import fetch_player_props, fetch_odds
 from .app import (
     load_data,
@@ -135,6 +143,13 @@ __all__ = [
     "text_quality",
     "language_id",
     "doc_fingerprint",
+    # time-series / sampling / frequency
+    "asof_join",
+    "hash_sample",
+    "stratified_hash_sample",
+    "train_holdout_split",
+    "heavy_hitters",
+    "unigram_perplexity",
     # scale hygiene
     "salted_sum_count",
     "salted_join",

@@ -102,3 +102,66 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stable content fingerprint: md5 of the lowercased text. Pairs with
     :func:`...dedup.simhash16` for near-dup-tolerant fingerprints."""
     return df.withColumn("md5_fp", F.md5(F.lower(F.col(text_col))))
+
+
+def unigram_perplexity(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document perplexity under the corpus's own unigram language
+    model — the classic LM-based quality signal for training-data
+    curation (low-perplexity ≈ typical text, high ≈ outlier/noise).
+
+    Model: p(t) = count(t) / total_tokens over the whole corpus (no
+    smoothing needed — every scored token is in the vocabulary by
+    construction). Per doc: ppl = exp( −(1/n)·Σ ln p(tᵢ) ) over token
+    INSTANCES.
+
+    Determinism: the per-token −ln p is snapped to integer micro-nats
+    (floor(x·10⁶ + 0.5), the engine-identical rounding primitive), so the
+    per-doc sum is exact integer arithmetic — order-independent across
+    partitions and engines — before the final exp.
+
+    Scale shape: explode (narrow) → (doc, term) tf counts (one shuffle,
+    map-side combine) → term totals (partial-agg shuffle on term) → join
+    tf-to-prob on term (shuffle join; the term table is corpus-vocabulary
+    sized, not broadcastable at 100 TB) → per-doc agg (one shuffle on
+    doc). All JVM-side Column arithmetic.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    term_tot = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    total = term_tot.agg(F.sum("cnt").alias("total"))
+    scored = (
+        tf.join(term_tot, "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            "tf",
+            # integer micro-nats per token instance; tf multiplier stays
+            # in exact integer space
+            (
+                F.col("tf")
+                * F.floor(
+                    -F.log(F.col("cnt").cast("double") / F.col("total")) * 1e6
+                    + 0.5
+                ).cast("bigint")
+            ).alias("nll_micro"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("tf").cast("bigint").alias("n_tokens"),
+        F.sum("nll_micro").cast("bigint").alias("nll_micro"),
+        F.exp(F.sum("nll_micro").cast("double") / 1e6 / F.sum("tf")).alias(
+            "ppl_raw"
+        ),
+    ).select(
+        F.col(id_col),
+        "n_tokens",
+        "nll_micro",
+        # 4 dp: wide margin over the ~1-ulp cross-engine exp() divergence
+        F.floor(F.col("ppl_raw") * 1e4 + 0.5).cast("bigint").alias(
+            "ppl_e4"
+        ),
+    )

@@ -2191,6 +2191,198 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Point-in-time (as-of) join — union+window form vs DuckDB's NATIVE
+# ASOF JOIN as a fully independent oracle: each event enriched with the
+# most recent "mark" (every 5th event) at or before it, per user. The
+# union+window plan is one shuffle + one sort producing exactly |L| rows;
+# the naive range-join alternative explodes O(|L|·|R|/keys) — see
+# operators/asof.py.
+# ===========================================================================
+
+@_register(
+    "asof_join_marks",
+    """
+    WITH marks AS (
+      SELECT user_id, ts, event_id AS mark_id, value AS mark_value
+      FROM events WHERE event_id % 5 = 0
+    )
+    SELECT e.event_id, e.user_id,
+           epoch_us(e.ts) // 1000000 AS ts_s,
+           e.value,
+           epoch_us(m.ts) // 1000000 AS matched_ts_s,
+           m.mark_id AS matched_mark_id,
+           m.mark_value AS matched_mark_value
+    FROM events e ASOF LEFT JOIN marks m
+      ON e.user_id = m.user_id AND m.ts <= e.ts
+    """,
+    "as-of join (union+window; no reference counterpart)",
+    "backward point-in-time join of events to every-5th-event marks per "
+    "user, vs DuckDB's native ASOF JOIN",
+)
+def asof_join_marks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    marks = ev.filter(F.col("event_id") % 5 == 0).select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("mark_id"),
+        F.col("value").alias("mark_value"),
+    )
+    sec = lambda c: F.expr(f"{c} DIV 1000000000")  # ts is nanos-as-long
+    return asof_join(ev, marks, on="user_id").select(
+        "event_id",
+        "user_id",
+        sec("ts").alias("ts_s"),
+        "value",
+        sec("matched_ts").alias("matched_ts_s"),
+        "matched_mark_id",
+        "matched_mark_value",
+    )
+
+
+# ===========================================================================
+# Deterministic key-hash sampling — repeatable corpus sampling: the
+# in/out decision is a pure function of the row key (md5-derived), so the
+# sample is stable under re-partitioning, reruns, and engine choice,
+# unlike seed-based df.sample. Narrow filter, no shuffle, pushed to scan.
+# ===========================================================================
+
+_H60_SPACE_SQL = "1152921504606846976.0"  # 2^60
+
+
+@_register(
+    "sample_events_hash",
+    f"""
+    SELECT event_id, user_id, event_type,
+           epoch_us(ts) // 1000000 AS ts_s, value
+    FROM events
+    WHERE {_h60_sql("CAST(event_id AS VARCHAR)")} / {_H60_SPACE_SQL} < 0.1
+    """,
+    "sampling: deterministic key-hash Bernoulli (no reference counterpart)",
+    "~10% of events by md5 key hash — re-partition/engine/rerun-stable sample",
+)
+def sample_events_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.sampling import hash_sample
+
+    ev = _t(spark, sf_dir, "events")
+    return hash_sample(ev, "event_id", 0.1).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("ts DIV 1000000000").alias("ts_s"),
+        "value",
+    )
+
+
+@_register(
+    "sample_events_stratified",
+    f"""
+    WITH f AS (
+      SELECT *, CASE event_type WHEN 'click' THEN 0.5
+                                WHEN 'view' THEN 0.05
+                                ELSE 0.2 END AS frac
+      FROM events
+    )
+    SELECT event_id, event_type
+    FROM f
+    WHERE {_h60_sql("concat('strat', CAST(event_id AS VARCHAR))")} / {_H60_SPACE_SQL} < frac
+    """,
+    "sampling: stratified per-class fractions (no reference counterpart)",
+    "per-event_type sampling fractions via literal map, deterministic by key hash",
+)
+def sample_events_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return stratified_hash_sample(
+        ev,
+        strata_col="event_type",
+        fractions={"click": 0.5, "view": 0.05},
+        key_col="event_id",
+        default_fraction=0.2,
+        salt="strat",
+    ).select("event_id", "event_type")
+
+
+# ===========================================================================
+# Iceberg / heavy hitters — items covering >= s% of their group, the
+# exact hot-key detector that feeds the skew tools. Two cascaded aggs;
+# the group-total window runs over already-aggregated (group, item)
+# counts, so the second exchange is tiny. Integer-only outputs.
+# ===========================================================================
+
+@_register(
+    "iceberg_heavy_users",
+    """
+    WITH counts AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id, event_type, cnt, n_group FROM (
+      SELECT user_id, event_type, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY user_id) AS BIGINT) AS n_group
+      FROM counts)
+    WHERE cnt >= n_group * 0.25
+    """,
+    "frequency: iceberg / heavy hitters (no reference counterpart)",
+    "event types covering >= 25% of a user's rows — exact hot-key detection",
+)
+def iceberg_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.frequency import heavy_hitters
+
+    return heavy_hitters(
+        _t(spark, sf_dir, "events"),
+        group_cols=["user_id"],
+        item_col="event_type",
+        threshold=0.25,
+    )
+
+
+# ===========================================================================
+# Unigram LM perplexity — the LM-based quality signal for corpus
+# curation. Per-token -ln p is snapped to integer micro-nats before the
+# per-doc sum, so aggregation is exact integer arithmetic
+# (order-independent across partitions and engines); only the final exp
+# is floating, rounded at 4 dp.
+# ===========================================================================
+
+@_register(
+    "text_unigram_perplexity",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    tot AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY term),
+    n AS (SELECT sum(cnt) AS total FROM tot),
+    scored AS (
+      SELECT tf.doc_id, tf.tf,
+             tf.tf * CAST(floor(-ln(CAST(cnt AS DOUBLE) / total) * 1000000.0 + 0.5) AS BIGINT)
+               AS nll_micro
+      FROM tf JOIN tot USING (term) CROSS JOIN n
+    )
+    SELECT doc_id,
+           CAST(sum(tf) AS BIGINT) AS n_tokens,
+           CAST(sum(nll_micro) AS BIGINT) AS nll_micro,
+           CAST(floor(exp(CAST(sum(nll_micro) AS DOUBLE) / 1000000.0 / sum(tf)) * 10000.0 + 0.5) AS BIGINT)
+             AS ppl_e4
+    FROM scored GROUP BY doc_id
+    """,
+    "textops: unigram LM perplexity (no reference counterpart)",
+    "per-doc perplexity under the corpus unigram model, integer micro-nat accumulation",
+)
+def text_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import (
+        unigram_perplexity,
+    )
+
+    return unigram_perplexity(_t(spark, sf_dir, "documents"))
+
+
+# ===========================================================================
 # HLL++ approximate NDV — the constant-state companion to KMV: per group
 # the sketch is a fixed register array (vs KMV's k mins, vs exact
 # distinct's full key set), mergeable across partitions, so 100 TB NDV

@@ -1,0 +1,79 @@
+"""Deterministic sampling + frequency operators: stability, disjointness,
+rate accuracy on the real events table."""
+
+from __future__ import annotations
+
+from sports_data_integration_and_forecasting_pipeline_spark.operators.frequency import heavy_hitters
+from sports_data_integration_and_forecasting_pipeline_spark.operators.sampling import (
+    hash_sample,
+    stratified_hash_sample,
+    train_holdout_split,
+)
+
+
+def _events(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+
+
+def test_hash_sample_is_deterministic_and_partition_stable(spark):
+    ev = _events(spark)
+    a = {r["event_id"] for r in hash_sample(ev, "event_id", 0.1).collect()}
+    b = {
+        r["event_id"]
+        for r in hash_sample(ev.repartition(7), "event_id", 0.1).collect()
+    }
+    assert a == b and a  # same sample regardless of partitioning
+    # rate lands near the target (binomial, n=1000, p=0.1)
+    assert 60 <= len(a) <= 140
+
+
+def test_hash_sample_salt_decorrelates(spark):
+    ev = _events(spark)
+    a = {r["event_id"] for r in hash_sample(ev, "event_id", 0.2, salt="x").collect()}
+    b = {r["event_id"] for r in hash_sample(ev, "event_id", 0.2, salt="y").collect()}
+    assert a != b
+    overlap = len(a & b) / max(1, len(a))
+    assert overlap < 0.5  # independent samples overlap ~ fraction, not ~1
+
+
+def test_hash_sample_monotone_in_fraction(spark):
+    ev = _events(spark)
+    small = {r["event_id"] for r in hash_sample(ev, "event_id", 0.05).collect()}
+    big = {r["event_id"] for r in hash_sample(ev, "event_id", 0.2).collect()}
+    assert small <= big  # nested samples: same hash, bigger cut
+
+
+def test_stratified_fractions_respected(spark):
+    ev = _events(spark)
+    types = [r["event_type"] for r in ev.select("event_type").distinct().collect()]
+    t0 = sorted(types)[0]
+    got = stratified_hash_sample(
+        ev, "event_type", {t0: 1.0}, "event_id", default_fraction=0.0
+    )
+    rows = got.collect()
+    assert {r["event_type"] for r in rows} == {t0}  # others fully dropped
+    assert len(rows) == ev.filter(ev.event_type == t0).count()  # frac 1.0 keeps all
+
+
+def test_train_holdout_split_disjoint_and_total(spark):
+    ev = _events(spark)
+    train, hold = train_holdout_split(ev, "event_id", holdout_fraction=0.25)
+    t = {r["event_id"] for r in train.collect()}
+    h = {r["event_id"] for r in hold.collect()}
+    assert not (t & h)
+    assert len(t) + len(h) == ev.count()
+    assert 150 <= len(h) <= 350
+
+
+def test_heavy_hitters_threshold_exact(spark):
+    df = spark.createDataFrame(
+        [("g", "a")] * 50 + [("g", "b")] * 49 + [("g", "c")],
+        "grp string, item string",
+    )
+    got = {
+        r["item"]: (r["cnt"], r["n_group"])
+        for r in heavy_hitters(df, ["grp"], "item", threshold=0.02).collect()
+    }
+    # c covers exactly 1% -> dropped at 2%; a and b kept
+    assert set(got) == {"a", "b"}
+    assert got["a"] == (50, 100)
