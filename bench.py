@@ -60,6 +60,10 @@ HEADLINE = [
     "tfidf_top_terms",
     "kmv_distinct_sketch",
     "asof_join_marks",
+    "pivot_event_cents",
+    "rollup_pricing",
+    "ohlc_hourly_bars",
+    "range_join_concurrent_sessions",
     "sample_events_hash",
     "sample_events_stratified",
     "iceberg_heavy_users",

@@ -76,6 +76,7 @@ from .operators.sampling import (
     train_holdout_split,
 )
 from .operators.frequency import heavy_hitters
+from .operators.rangejoin import interval_overlap_join
 from .operators.textstats import unigram_perplexity
 from .sources.odds_api import fetch_player_props, fetch_odds
 from .app import (
@@ -149,6 +150,7 @@ __all__ = [
     "stratified_hash_sample",
     "train_holdout_split",
     "heavy_hitters",
+    "interval_overlap_join",
     "unigram_perplexity",
     # scale hygiene
     "salted_sum_count",

@@ -2242,6 +2242,222 @@ def asof_join_marks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Pivot (long -> wide reshape) — exact-integer-cents conditional sums per
+# pivot value. The value list is pinned explicitly (no extra distinct
+# pass, deterministic column order); Catalyst compiles pivot to the same
+# conditional-aggregate the SQL oracle states, one shuffle, map-side
+# partials.
+# ===========================================================================
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@_register(
+    "pivot_event_cents",
+    f"""
+    SELECT user_id,
+           {", ".join(
+               "CAST(coalesce(sum(CASE WHEN event_type = '" + t + "' THEN "
+               "CAST(floor(value * 100.0 + 0.5) AS BIGINT) END), 0) AS BIGINT) "
+               "AS " + t + "_cents"
+               for t in _EVENT_TYPES)}
+    FROM events GROUP BY user_id
+    """,
+    "pivot / wide reshape (no reference counterpart)",
+    "per-user event_type pivot of exact value cents, pinned pivot columns",
+)
+def pivot_event_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", _cents(F.col("value")).alias("cents")
+    )
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.sum("cents"))
+    )
+    return out.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"{t}_cents")
+            for t in _EVENT_TYPES
+        ],
+    )
+
+
+# ===========================================================================
+# ROLLUP grouping sets — hierarchical subtotals in ONE pass (Spark expands
+# grouping sets inside a single aggregate; the alternative is G unions of
+# G aggregations). Exact integer cents; NULL marks the rolled-up level in
+# both engines identically.
+# ===========================================================================
+
+@_register(
+    "rollup_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_price_cents
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    "rollup / grouping sets (no reference counterpart)",
+    "hierarchical subtotals over (returnflag, linestatus) in one aggregate pass",
+)
+def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(_cents(F.col("l_extendedprice"))).cast("bigint").alias(
+                "sum_price_cents"
+            ),
+        )
+    )
+
+
+# ===========================================================================
+# OHLC time-bar resample — the canonical market-data downsample: per
+# (user, 1-hour bar) the open/high/low/close of value with pinned
+# (ts, event_id) tiebreaks so both engines select identical rows. One
+# window (shared partitioning) + one aggregation.
+# ===========================================================================
+
+@_register(
+    "ohlc_hourly_bars",
+    """
+    WITH ranked AS (
+      SELECT user_id,
+             CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS bar_s,
+             value,
+             row_number() OVER w AS rn,
+             count(*) OVER (PARTITION BY user_id,
+                            time_bucket(INTERVAL '1 hour', ts)) AS n
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, time_bucket(INTERVAL '1 hour', ts)
+                   ORDER BY ts, event_id)
+    )
+    SELECT user_id, bar_s,
+           CAST(max(n) AS BIGINT) AS n_events,
+           max(CASE WHEN rn = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn = n THEN value END) AS close
+    FROM ranked GROUP BY user_id, bar_s
+    """,
+    "time-bar resample / OHLC (no reference counterpart)",
+    "per-user hourly open/high/low/close bars with pinned tiebreaks",
+)
+def ohlc_hourly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    # ts is nanos-as-long; hour bucket = ts DIV 3.6e12 * 3600 (epoch s)
+    bar = (F.expr("ts DIV 3600000000000") * 3600).alias("bar_s")
+    based = ev.select("user_id", bar, "value", "ts", "event_id")
+    w = Window.partitionBy("user_id", "bar_s").orderBy("ts", "event_id")
+    wn = Window.partitionBy("user_id", "bar_s")
+    ranked = based.select(
+        "user_id",
+        "bar_s",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    return ranked.groupBy("user_id", "bar_s").agg(
+        F.max("n").cast("bigint").alias("n_events"),
+        F.max(F.when(F.col("rn") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn") == F.col("n"), F.col("value"))).alias("close"),
+    )
+
+
+# ===========================================================================
+# Range (interval-overlap) join — concurrent sessions across users via
+# the BINNED equi-join (see operators/rangejoin.py): explode intervals
+# into hour bins, meet in a bin equi-join, exact overlap + first-bin
+# dedup filters. The naive range-predicate join is a cartesian at scale;
+# this is local-density² instead. Oracle: DuckDB's native range join.
+# ===========================================================================
+
+_SESSIONS_SQL = """
+    flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS ns
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ),
+    sessions AS (
+      SELECT user_id, CAST(sid AS BIGINT) AS sid,
+             min(epoch_us(ts)) // 1000000 AS s,
+             max(epoch_us(ts)) // 1000000 AS e
+      FROM numbered GROUP BY user_id, sid
+    )
+"""
+
+
+@_register(
+    "range_join_concurrent_sessions",
+    f"""
+    WITH {_SESSIONS_SQL}
+    SELECT a.user_id AS user_a, a.sid AS sid_a,
+           b.user_id AS user_b, b.sid AS sid_b,
+           least(a.e, b.e) - greatest(a.s, b.s) AS overlap_s
+    FROM sessions a JOIN sessions b
+      ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e
+    """,
+    "range join (binned equi-join; no reference counterpart)",
+    "overlapping session pairs across users, hour-binned candidate join "
+    "vs DuckDB native range join",
+)
+def range_join_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_ns = 30 * 60 * 1_000_000_000
+    lagged = F.lag("ts").over(w)
+    numbered = ev.select(
+        "user_id",
+        F.expr("ts DIV 1000000000").alias("ts_s"),
+        F.sum(
+            F.when(lagged.isNull() | ((F.col("ts") - lagged) > gap_ns), 1)
+            .otherwise(0)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("sid"),
+    )
+    sessions = numbered.groupBy("user_id", "sid").agg(
+        F.min("ts_s").alias("s"), F.max("ts_s").alias("e")
+    )
+    pairs = interval_overlap_join(
+        sessions,
+        sessions,
+        bin_width=3600,
+        extra_pred=lambda d: d["user_id_a"] < d["user_id_b"],
+    )
+    return pairs.select(
+        F.col("user_id_a").alias("user_a"),
+        F.col("sid_a"),
+        F.col("user_id_b").alias("user_b"),
+        F.col("sid_b"),
+        (
+            F.least(F.col("e_a"), F.col("e_b"))
+            - F.greatest(F.col("s_a"), F.col("s_b"))
+        ).alias("overlap_s"),
+    )
+
+
+# ===========================================================================
 # Deterministic key-hash sampling — repeatable corpus sampling: the
 # in/out decision is a pure function of the row key (md5-derived), so the
 # sample is stable under re-partitioning, reruns, and engine choice,
