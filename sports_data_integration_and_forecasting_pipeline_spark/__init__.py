@@ -36,6 +36,7 @@ from .operators.ev import enrich_dataframe
 from .operators.features import build_features
 from .operators.evaluation import backtest, evaluate_accuracy
 from .operators.dedup import (
+    connected_components,
     exact_dup_groups,
     shingle_jaccard_pairs,
     minhash_signatures,
@@ -126,6 +127,7 @@ __all__ = [
     "backtest",
     "evaluate_accuracy",
     # corpus dedup
+    "connected_components",
     "exact_dup_groups",
     "shingle_jaccard_pairs",
     "minhash_signatures",

@@ -282,6 +282,59 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    node_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate CLUSTERS from near-dup pairs: assign every node the
+    minimum node id reachable in its connected component (unpaired nodes
+    label themselves) — the step that turns pairwise dedup output into
+    keep/drop decisions (keep the min-id canonical doc per cluster).
+
+    Iterative min-label propagation: each round joins the symmetrized
+    edge list against current labels, takes the per-node min over
+    neighbors and self, and stops when no label changed. Rounds needed =
+    graph diameter — tiny for dedup graphs (near-dup clusters are dense
+    and small); ``max_iter`` bounds pathological chains. Every round is
+    one distributed join + aggregate; ``localCheckpoint`` truncates the
+    growing lineage so round N doesn't replay rounds 1..N-1.
+    (GraphFrames' alternating large/small-star halves the round count;
+    propagation keeps the engine dependency-free and oracle-matchable.)
+    """
+    sym = edges.select(
+        F.col(src_col).alias("n"), F.col(dst_col).alias("m")
+    ).union(edges.select(F.col(dst_col).alias("n"), F.col(src_col).alias("m")))
+    labels = nodes.select(
+        F.col(node_col).alias("n"), F.col(node_col).cast("long").alias("label")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        neighbor = (
+            sym.join(labels.withColumnRenamed("n", "m"), "m")
+            .select("n", "label")
+        )
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("n")
+            .agg(F.min("label").alias("label"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("new")
+            .join(labels.alias("old"), "n")
+            .filter(F.col("new.label") != F.col("old.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("n").alias(node_col), F.col("label").alias("cluster_id")
+    )
+
+
 def _simhash_df(
     df: DataFrame,
     text_col: str,

@@ -2242,6 +2242,57 @@ def asof_join_marks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Connected components over the SimHash near-dup graph — the iterative
+# step that turns pairwise dedup output into duplicate CLUSTERS (keep the
+# min-id doc per cluster). Spark runs min-label propagation (diameter
+# rounds of join+agg, lineage-truncated); the oracle computes the same
+# fixpoint with a recursive CTE. The one driver-side loop in the engine
+# is the convergence check — each round's work is fully distributed.
+# ===========================================================================
+
+@_register(
+    "dedup_cluster_assign",
+    f"""
+    WITH RECURSIVE {_SIMHASH60_CTE},
+    bands AS (
+      SELECT doc_id, simhash60, b AS band,
+             (simhash60 >> (15 * b)) & 32767 AS nib
+      FROM sim60 CROSS JOIN (VALUES (0), (1), (2), (3)) t(b)
+    ),
+    edges AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.nib = b.nib
+                               AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash60, b.simhash60)) <= 3
+    ),
+    sym AS (
+      SELECT id_a AS n, id_b AS m FROM edges
+      UNION ALL SELECT id_b, id_a FROM edges
+    ),
+    comp(n, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT s.n, c.label FROM comp c JOIN sym s ON s.m = c.n
+    )
+    SELECT n AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+    FROM comp GROUP BY n
+    """,
+    "dedup clusters: connected components (iterative; no reference counterpart)",
+    "min-label propagation over SimHash near-dup pairs vs recursive-CTE "
+    "fixpoint — every doc gets its component's min doc_id",
+)
+def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
+        connected_components,
+        simhash_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = simhash_pairs(docs, max_hamming=3).select("id_a", "id_b")
+    return connected_components(edges, docs, node_col="doc_id")
+
+
+# ===========================================================================
 # Pivot (long -> wide reshape) — exact-integer-cents conditional sums per
 # pivot value. The value list is pinned explicitly (no extra distinct
 # pass, deterministic column order); Catalyst compiles pivot to the same

@@ -96,3 +96,22 @@ def test_no_cache_accumulation_across_invocations(spark):
     assert held <= 2  # one per role, not one per invocation
     release_caches()
     assert len(spark.sparkContext._jsc.getPersistentRDDs()) <= baseline
+
+
+def test_connected_components_hand_graph(spark):
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # components: {1,2,3,7} (chain 1-2, 2-3, 3-7), {4,5}, singletons 6, 8
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (7, 3), (4, 5)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(1, 9)], "doc_id long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(edges, nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 4: 4, 5: 4, 6: 6, 8: 8}
