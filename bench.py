@@ -61,6 +61,10 @@ HEADLINE = [
     "kmv_distinct_sketch",
     "asof_join_marks",
     "pivot_event_cents",
+    "salted_agg_parity",
+    "orders_vs_customer_avg",
+    "order_price_deciles",
+    "session_click_purchase_funnel",
     "rollup_pricing",
     "ohlc_hourly_bars",
     "range_join_concurrent_sessions",

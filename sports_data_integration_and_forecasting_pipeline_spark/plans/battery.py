@@ -2242,6 +2242,208 @@ def asof_join_marks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Salted aggregation PARITY — the skew machinery oracle-checked: the
+# two-stage (key, salt) -> key aggregation must be bit-identical to a
+# direct GROUP BY for decomposable integer aggregates, whatever the salt
+# assignment. The oracle is the plain GROUP BY — passing proves salting
+# changed the shuffle distribution and nothing else.
+# ===========================================================================
+
+@_register(
+    "salted_agg_parity",
+    """
+    SELECT l_suppkey,
+           CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_value,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY l_suppkey
+    """,
+    "skew: salted two-stage aggregation == direct groupBy (plan-divergent, result-identical)",
+    "per-supplier cents sum via 16-salt two-stage aggregation vs plain GROUP BY oracle",
+)
+def salted_agg_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.skew import salted_sum_count
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", _cents(F.col("l_extendedprice")).alias("cents")
+    )
+    out = salted_sum_count(li, ["l_suppkey"], "cents", n_salts=16)
+    return out.select(
+        "l_suppkey", F.col("sum_value").cast("bigint"), "n_rows"
+    )
+
+
+# ===========================================================================
+# Correlated scalar subquery — each order compared to ITS customer's
+# average order value. Catalyst decorrelates the subquery into an
+# aggregate + join (no per-row re-execution); the same shape a window
+# would give, but exercising the decorrelation path the SQL surface
+# needs. Exact integer cents.
+# ===========================================================================
+
+@_register(
+    "orders_vs_customer_avg",
+    """
+    SELECT o_orderkey, o_custkey, price_cents, cust_avg_cents
+    FROM (
+      SELECT o_orderkey, o_custkey,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents,
+             CAST((SELECT floor(avg(CAST(floor(i.o_totalprice * 100.0 + 0.5) AS BIGINT)) + 0.5)
+                   FROM orders i WHERE i.o_custkey = o.o_custkey) AS BIGINT)
+               AS cust_avg_cents
+      FROM orders o
+    )
+    WHERE price_cents > cust_avg_cents
+    """,
+    "correlated scalar subquery (decorrelated by Catalyst)",
+    "orders above their own customer's average order value, exact cents",
+)
+def orders_vs_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, price_cents, cust_avg_cents
+        FROM (
+          SELECT o_orderkey, o_custkey,
+                 CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents,
+                 CAST((SELECT floor(avg(CAST(floor(i.o_totalprice * 100.0 + 0.5) AS BIGINT)) + 0.5)
+                       FROM orders_v i WHERE i.o_custkey = o.o_custkey) AS BIGINT)
+                   AS cust_avg_cents
+          FROM orders_v o
+        )
+        WHERE price_cents > cust_avg_cents
+        """
+    )
+
+
+# ===========================================================================
+# Decile analysis — ntile bucketing per group plus per-decile rollup:
+# the ranking-into-equal-buckets shape (price deciles per order priority)
+# with exact tiebreaks so bucket boundaries match across engines.
+# ===========================================================================
+
+@_register(
+    "order_price_deciles",
+    """
+    WITH bucketed AS (
+      SELECT o_orderpriority,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+             ntile(10) OVER (PARTITION BY o_orderpriority
+                             ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders
+    )
+    SELECT o_orderpriority, CAST(decile AS INT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(min(cents) AS BIGINT) AS min_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents
+    FROM bucketed GROUP BY o_orderpriority, decile
+    """,
+    "ntile decile bucketing + rollup",
+    "price deciles per order priority with pinned tiebreaks, per-decile stats",
+)
+def order_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    bucketed = o.select(
+        "o_orderpriority",
+        _cents(F.col("o_totalprice")).alias("cents"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+    return bucketed.groupBy("o_orderpriority", "decile").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+        F.min("cents").cast("bigint").alias("min_cents"),
+        F.max("cents").cast("bigint").alias("max_cents"),
+    )
+
+
+# ===========================================================================
+# Session funnel — conversion analysis inside sessionized activity: of
+# each user's sessions, which saw a 'click' and then a 'purchase' AFTER
+# it (strict event-time order, (ts, event_id) tiebreak)? The windowed
+# min-click-time vs max-purchase-time comparison is the set-free funnel
+# form — no self-join, one pass over the sessionized rows.
+# ===========================================================================
+
+@_register(
+    "session_click_purchase_funnel",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS ns
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ),
+    sess AS (
+      SELECT user_id, CAST(sid AS BIGINT) AS sid,
+             CAST(count(*) AS BIGINT) AS n_events,
+             min(CASE WHEN event_type = 'click'
+                      THEN epoch_us(ts) END) AS first_click,
+             max(CASE WHEN event_type = 'purchase'
+                      THEN epoch_us(ts) END) AS last_purchase
+      FROM numbered GROUP BY user_id, sid
+    )
+    SELECT user_id, sid, n_events,
+           CAST(first_click IS NOT NULL AS BOOLEAN) AS saw_click,
+           CAST(first_click IS NOT NULL AND last_purchase IS NOT NULL
+                AND last_purchase > first_click AS BOOLEAN) AS converted
+    FROM sess
+    """,
+    "funnel analysis over sessions (no reference counterpart)",
+    "click->purchase conversion per session via windowed first/last "
+    "comparison — no self-join",
+)
+def session_click_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ns = 30 * 60 * 1_000_000_000
+    lagged = F.lag("ts").over(w)
+    numbered = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("ts DIV 1000").alias("ts_us"),
+        F.sum(
+            F.when(lagged.isNull() | ((F.col("ts") - lagged) > gap_ns), 1)
+            .otherwise(0)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("sid"),
+    )
+    # (user_id, ts) is unique in the events table, so event-time micros
+    # alone are a total order within a user's session — no tiebreak term.
+    key = F.col("ts_us")
+    sess = numbered.groupBy("user_id", "sid").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.min(F.when(F.col("event_type") == "click", key)).alias("first_click"),
+        F.max(F.when(F.col("event_type") == "purchase", key)).alias(
+            "last_purchase"
+        ),
+    )
+    return sess.select(
+        "user_id",
+        "sid",
+        "n_events",
+        F.col("first_click").isNotNull().alias("saw_click"),
+        (
+            F.col("first_click").isNotNull()
+            & F.col("last_purchase").isNotNull()
+            & (F.col("last_purchase") > F.col("first_click"))
+        ).alias("converted"),
+    )
+
+
+# ===========================================================================
 # Connected components over the SimHash near-dup graph — the iterative
 # step that turns pairwise dedup output into duplicate CLUSTERS (keep the
 # min-id doc per cluster). Spark runs min-label propagation (diameter
