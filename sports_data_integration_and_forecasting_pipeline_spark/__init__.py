@@ -92,6 +92,8 @@ from .sinks import (
     update_canonical_table,
     compact_canonical,
     read_canonical,
+    merge_canonical,
+    current_version,
 )
 
 __all__ = [
@@ -115,6 +117,8 @@ __all__ = [
     "update_canonical_table",
     "compact_canonical",
     "read_canonical",
+    "merge_canonical",
+    "current_version",
     # processing
     "clean_odds",
     "flatten_odds_to_df",

@@ -68,14 +68,98 @@ def _data_dir(root) -> tuple[str, str]:
     return str(root / ptr[0]), ptr[1]
 
 
-def read_canonical(spark, canonical_path: str = "data/odds_canonical.parquet") -> DataFrame:
-    """Read the canonical table at its current version (pointer-resolved)."""
+def read_canonical(
+    spark,
+    canonical_path: str = "data/odds_canonical.parquet",
+    version: int | None = None,
+) -> DataFrame:
+    """Read the canonical table at its current version (pointer-resolved),
+    or time-travel to an earlier retained ``version`` number — version
+    directories are immutable, so any still-retained version reads
+    exactly as it was committed (``retain_previous`` on
+    :func:`compact_canonical` controls how many stay)."""
     from pathlib import Path as P
 
-    path, fmt = _data_dir(P(canonical_path))
+    root = P(canonical_path)
+    if version is None:
+        path, fmt = _data_dir(root)
+    else:
+        ptr = _pointer(root)
+        fmt = ptr[1] if ptr else "parquet"
+        vdir = root / f"v{version:08d}"
+        if not vdir.exists():
+            raise FileNotFoundError(
+                f"version {version} of {canonical_path} is not retained "
+                "(pruned by compaction or never written)"
+            )
+        path = str(vdir)
     if fmt == "csv":
         return spark.read.option("header", "true").csv(path)
     return spark.read.parquet(path)
+
+
+def current_version(canonical_path: str) -> int | None:
+    """The committed version number of a canonical table (None for a
+    legacy flat table)."""
+    from pathlib import Path as P
+
+    ptr = _pointer(P(canonical_path))
+    return int(ptr[0][1:]) if ptr else None
+
+
+def merge_canonical(
+    spark,
+    updates: DataFrame,
+    canonical_path: str,
+    key_cols: list[str],
+    partition_col: str = "snapshot_date",
+) -> int:
+    """Copy-on-write MERGE (upsert): rows in ``updates`` replace
+    current rows with the same key; new keys append. The merged table is
+    written as the NEXT immutable version and committed with the same
+    atomic pointer flip as compaction — readers see the pre-merge or
+    post-merge table, never a mix, and the pre-merge version stays
+    readable via :func:`read_canonical`'s time travel until pruned.
+
+    The merge itself is one left-anti join (current minus updated keys)
+    + union — both sides distributed, no driver-side state. At 100 TB
+    the anti-join shuffles on the merge key; partition-pruned rewrites
+    (only touched ``partition_col`` values) are the next refinement, as
+    in Delta's dynamic partition overwrite. Returns rows in the merged
+    table.
+    """
+    from pathlib import Path as P
+
+    from pyspark.sql import functions as SF
+
+    root = P(canonical_path)
+    ptr = _pointer(root)
+    cur_dir, fmt = _data_dir(root)
+    current = (
+        spark.read.option("header", "true").csv(cur_dir)
+        if fmt == "csv"
+        else spark.read.parquet(cur_dir)
+    )
+    up = updates
+    if partition_col not in up.columns and "timestamp" in up.columns:
+        up = up.withColumn(partition_col, SF.to_date(SF.col("timestamp")))
+    up = up.select(*current.columns)  # align column order/set
+    merged = current.join(up.select(*key_cols), key_cols, "left_anti").unionByName(up)
+
+    n = merged.count()
+    cur_ver = int(ptr[0][1:]) if ptr else 0
+    next_name = f"v{cur_ver + 1:08d}"
+    writer = (
+        merged.repartition(SF.col(partition_col))
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+    )
+    if fmt == "csv":
+        writer.option("header", "true").csv(str(root / next_name))
+    else:
+        writer.parquet(str(root / next_name))
+    _write_pointer(root, next_name, fmt)
+    return n
 
 
 def update_canonical_table(

@@ -141,3 +141,54 @@ def test_legacy_flat_table_migrates_on_compaction(spark, tmp_path):
         if not (c.name == "_VERSION" or c.name.startswith("v0"))
     ]
     assert leftovers == []
+
+
+def test_time_travel_reads(spark, tmp_path):
+    from sports_data_integration_and_forecasting_pipeline_spark.sinks import current_version
+
+    path = str(tmp_path / "canonical.parquet")
+    update_canonical_table(_batch(spark), path)
+    v1_rows = _rows(spark, path)
+    compact_canonical(spark, path)  # -> v2, v1 retained
+    assert current_version(path) == 2
+    old = [
+        r.asDict()
+        for r in read_canonical(spark, path, version=1)
+        .orderBy("timestamp", "game_id")
+        .collect()
+    ]
+    assert old == v1_rows
+
+    import pytest
+
+    compact_canonical(spark, path)  # -> v3, v1 pruned
+    with pytest.raises(FileNotFoundError):
+        read_canonical(spark, path, version=1)
+
+
+def test_merge_canonical_upsert(spark, tmp_path):
+    from sports_data_integration_and_forecasting_pipeline_spark.sinks import (
+        current_version,
+        merge_canonical,
+    )
+
+    path = str(tmp_path / "canonical.parquet")
+    update_canonical_table(_batch(spark), path)  # g1@2.0, g2@1.9
+
+    updates = spark.createDataFrame(
+        [("2026-08-13T12:00:00", "g1", 2.5), ("2026-08-15T09:00:00", "g3", 3.0)],
+        "timestamp string, game_id string, price double",
+    )
+    n = merge_canonical(spark, updates, path, key_cols=["game_id"])
+    assert n == 3
+    assert current_version(path) == 2
+
+    got = {r["game_id"]: r["price"] for r in read_canonical(spark, path).collect()}
+    assert got == {"g1": 2.5, "g2": 1.9, "g3": 3.0}  # g1 replaced, g3 new
+
+    # pre-merge state still time-travel readable
+    old = {
+        r["game_id"]: r["price"]
+        for r in read_canonical(spark, path, version=1).collect()
+    }
+    assert old == {"g1": 2.0, "g2": 1.9}
