@@ -8,16 +8,20 @@ window over the ALREADY-AGGREGATED counts — rows at that point are
 (distinct items × groups), typically orders of magnitude smaller than
 the input, so the second exchange is cheap. No driver-side state.
 
-(The sketch companion at unbounded item cardinality is Misra-Gries /
-count-min; like HLL those are engine-specific and would be rows-only —
-the exact iceberg form is the oracle-able one.)
+Sketch companion at unbounded item cardinality: the count-min sketch
+below. Unlike HLL (whose register layout is engine-private), CMS built
+on md5-derived row hashes is *engine-portable* — any SQL engine can
+reproduce the exact same d×w counter table and estimates, so it IS
+hash-oracle-able.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+from .dedup import h32
 
 
 def heavy_hitters(
@@ -38,3 +42,79 @@ def heavy_hitters(
         counts.withColumn("n_group", F.sum("cnt").over(w).cast("bigint"))
         .filter(F.col("cnt") >= F.col("n_group") * F.lit(threshold))
     )
+
+
+def _cms_bucket(item: Column, row: int, width: int) -> Column:
+    """Row ``row``'s bucket for ``item``: md5-derived 32-bit hash of
+    ``'<row>:' || item`` mod ``width`` — reproducible in any engine with
+    md5 (the oracle states the identical expression)."""
+    return F.pmod(h32(F.concat(F.lit(f"{row}:"), item)), F.lit(width)).cast("int")
+
+
+def countmin_sketch(
+    df: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-min sketch of ``item_col`` frequencies: a ``depth`` × ``width``
+    counter table as rows ``(row, bucket, cnt)``.
+
+    Plan: each input row explodes to ``depth`` (row, bucket) cells, then ONE
+    hash aggregation with map-side partial combine — the shuffle moves at
+    most ``depth × width`` rows per map task regardless of input size, so
+    the sketch build is scan-bound at 100 TB. The sketch itself is
+    fixed-size (d·w counters) and broadcastable.
+    """
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        _cms_bucket(F.col(item_col), i, width).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("cell")
+    )
+    return cells.groupBy("cell.row", "cell.bucket").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-estimate frequencies for ``probes[item_col]`` against a
+    :func:`countmin_sketch`: est = min over rows of the item's bucket
+    counter (never underestimates; overestimate bounded by 2N/w w.p.
+    1 - 2^-d).
+
+    Plan: probes explode to their d cells and broadcast-join the (tiny)
+    sketch — the probe side never shuffles; the min folds back with one
+    hash agg on the probe key.
+    """
+    cells = probes.select(
+        F.col(item_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        _cms_bucket(F.col(item_col), i, width).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("cell"),
+    ).select(item_col, "cell.row", "cell.bucket")
+    joined = cells.join(F.broadcast(sketch), ["row", "bucket"], "left").fillna(
+        0, subset=["cnt"]
+    )
+    return joined.groupBy(item_col).agg(F.min("cnt").cast("bigint").alias("est_cnt"))

@@ -2811,6 +2811,61 @@ def iceberg_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Count-min sketch — the bounded-space frequency estimator for item
+# cardinalities too large for the exact iceberg agg. Unlike HLL (whose
+# register layout is engine-private, hence rows-only), CMS built on
+# md5-derived bucket hashes is engine-portable: DuckDB reproduces the
+# identical d × w counter table and min-of-rows estimates, so this one
+# IS hash-oracled. 150 users into 64 buckets forces real collisions, so
+# the min across the 4 rows is doing actual work (est >= exact, with
+# equality only when some row is collision-free for that item).
+# ===========================================================================
+
+_CMS_D, _CMS_W = 4, 64
+
+
+@_register(
+    "countmin_frequency",
+    f"""
+    WITH items AS (SELECT CAST(user_id AS VARCHAR) AS item FROM events),
+    sketch AS (
+      SELECT d.row,
+             CAST(CAST(concat('0x', substring(md5(concat(CAST(d.row AS VARCHAR), ':', item)), 1, 8)) AS BIGINT)
+                  % {_CMS_W} AS INT) AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM items CROSS JOIN range(0, {_CMS_D}) AS d(row)
+      GROUP BY 1, 2
+    ),
+    probes AS (SELECT DISTINCT item FROM items),
+    probe_cells AS (
+      SELECT p.item, d.row,
+             CAST(CAST(concat('0x', substring(md5(concat(CAST(d.row AS VARCHAR), ':', p.item)), 1, 8)) AS BIGINT)
+                  % {_CMS_W} AS INT) AS bucket
+      FROM probes p CROSS JOIN range(0, {_CMS_D}) AS d(row)
+    )
+    SELECT item, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est_cnt
+    FROM probe_cells LEFT JOIN sketch USING (row, bucket)
+    GROUP BY item
+    """,
+    "frequency: count-min sketch (no reference counterpart)",
+    "bounded-space frequency estimates — d x w counter table, min-of-rows probe",
+)
+def countmin_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.frequency import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+
+    items = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("item")
+    )
+    sketch = countmin_sketch(items, "item", depth=_CMS_D, width=_CMS_W)
+    return countmin_estimate(
+        sketch, items.distinct(), "item", depth=_CMS_D, width=_CMS_W
+    )
+
+
+# ===========================================================================
 # Unigram LM perplexity — the LM-based quality signal for corpus
 # curation. Per-token -ln p is snapped to integer micro-nats before the
 # per-doc sum, so aggregation is exact integer arithmetic

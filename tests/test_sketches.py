@@ -62,3 +62,43 @@ def test_sketches_are_deterministic(spark):
         a = sorted(map(tuple, QUERIES[name].fn(spark, TESTDATA_SMOKE).collect()))
         b = sorted(map(tuple, QUERIES[name].fn(spark, TESTDATA_SMOKE).collect()))
         assert a == b, name
+
+
+def test_countmin_never_underestimates_and_exact_when_wide(spark):
+    """CMS guarantees: est >= true count always; with width >> cardinality
+    some row is almost surely collision-free per item, so est == exact."""
+    from collections import Counter
+
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.frequency import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+    from pyspark.sql import functions as F
+
+    items = spark.read.parquet(f"{TESTDATA_SMOKE}/events.parquet").select(
+        F.col("user_id").cast("string").alias("item")
+    )
+    exact = Counter(r["item"] for r in items.collect())
+
+    # narrow sketch: collisions expected -> est >= exact for every item
+    narrow = countmin_estimate(
+        countmin_sketch(items, "item", depth=4, width=16),
+        items.distinct(),
+        "item",
+        depth=4,
+        width=16,
+    ).collect()
+    assert {r["item"] for r in narrow} == set(exact)
+    assert all(r["est_cnt"] >= exact[r["item"]] for r in narrow)
+    assert any(r["est_cnt"] > exact[r["item"]] for r in narrow)  # collisions real
+
+    # wide sketch: 4 independent rows x 4096 buckets for ~150 items ->
+    # P(all 4 rows collide for some item) is negligible -> exact recovery
+    wide = countmin_estimate(
+        countmin_sketch(items, "item", depth=4, width=4096),
+        items.distinct(),
+        "item",
+        depth=4,
+        width=4096,
+    ).collect()
+    assert all(r["est_cnt"] == exact[r["item"]] for r in wide)
