@@ -1,0 +1,79 @@
+"""Benchmark decontamination — flag corpus documents that overlap a
+held-out evaluation set by shared word n-grams.
+
+The standard training-data hygiene step (cf. GPT-3 appendix C / PaLM
+"contamination" analyses, public methodology): any training document
+sharing >= ``min_hits`` n-grams with a benchmark document is flagged so
+it can be dropped or audited before training.
+
+Scale shape (the reason this form survives 100 TB):
+
+- The BENCHMARK side is small by construction (eval sets are thousands
+  of docs, not billions) — its distinct shingle-hash set is built once
+  and **broadcast**, so the corpus never shuffles to meet it.
+- The CORPUS side is one narrow projection (tokenize -> shingle -> h60)
+  + explode, a broadcast left join (still narrow), and ONE hash
+  aggregation on doc_id with map-side partial combine. Scan-bound.
+- Shingle identity is the shared 60-bit md5 hash (`dedup.h60`), so the
+  join moves 8-byte longs and the whole computation is reproducible
+  bit-for-bit in any engine with md5 — the battery entry hash-matches
+  DuckDB.
+
+No reference counterpart (the reference has no corpus tooling); this is
+part of the LLM-data-pipeline family alongside `operators/dedup.py`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import h60, shingles_from_tokens
+
+
+def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, sh) rows: each doc's DISTINCT word-n-gram 60-bit hashes."""
+    shs = F.array_distinct(
+        F.transform(shingles_from_tokens(F.split(F.col(text_col), " "), n), h60)
+    )
+    return df.select(F.col(id_col), F.explode(shs).alias("sh"))
+
+
+def benchmark_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Per corpus doc: how many of its distinct word-``n``-grams appear
+    anywhere in ``benchmark``, and whether that crosses ``min_hits``.
+
+    Returns ``(id_col, n_shingles, n_hit, contamination, contaminated)``
+    where ``contamination = n_hit / n_shingles`` (exact int/int double
+    division — engine-portable without rounding).
+    """
+    bench_sh = (
+        _doc_shingles(benchmark, text_col, id_col, n)
+        .select("sh")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    joined = _doc_shingles(corpus, text_col, id_col, n).join(
+        F.broadcast(bench_sh), "sh", "left"
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.count("__hit").cast("bigint").alias("n_hit"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_hit",
+            (F.col("n_hit") / F.col("n_shingles")).alias("contamination"),
+            (F.col("n_hit") >= F.lit(min_hits)).alias("contaminated"),
+        )
+    )

@@ -947,6 +947,50 @@ def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", "n_common", "jaccard")
 
 
+# ===========================================================================
+# Benchmark decontamination — the train/eval overlap check every LLM
+# corpus pipeline runs before training. Benchmark = every 17th doc
+# (simulated held-out eval set); corpus = the rest. Benchmark shingle
+# set broadcasts (eval sets are small by construction); corpus side is
+# narrow + one map-side-combined groupBy. Hash-oracled end to end via
+# the shared md5 h60 shingle identity.
+# ===========================================================================
+
+@_register(
+    "decontaminate_benchmark",
+    f"""
+    WITH shed AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform({_SHINGLE3_RAW_SQL},
+                                                 s -> {_h60_sql('s')}))) AS sh
+      FROM documents
+    ),
+    bench AS (SELECT DISTINCT sh FROM shed WHERE doc_id % 17 = 0),
+    doc_sh AS (SELECT doc_id, sh FROM shed WHERE doc_id % 17 <> 0)
+    SELECT d.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count(b.sh) AS BIGINT) AS n_hit,
+           count(b.sh) / count(*) AS contamination,
+           count(b.sh) >= 2 AS contaminated
+    FROM doc_sh d LEFT JOIN bench b ON d.sh = b.sh
+    GROUP BY d.doc_id
+    """,
+    "textops: benchmark decontamination (no reference counterpart)",
+    "per-doc n-gram overlap vs a held-out benchmark set, broadcast bench shingles",
+)
+def decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.decontam import (
+        benchmark_contamination,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return benchmark_contamination(
+        corpus=docs.filter(F.col("doc_id") % 17 != 0),
+        benchmark=docs.filter(F.col("doc_id") % 17 == 0),
+        min_hits=2,
+    )
+
+
 def _minhash_sig_sql() -> str:
     mins = ", ".join(
         f"min((h * {a} + {b}) % {MINHASH_PRIME}) AS mh{i}"

@@ -62,3 +62,31 @@ def test_doc_fingerprint_case_insensitive(spark):
     fps = [r["md5_fp"] for r in doc_fingerprint(df).collect()]
     assert fps[0] == fps[1]
     assert len(fps[0]) == 32
+
+
+def test_benchmark_contamination_semantics(spark):
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.decontam import (
+        benchmark_contamination,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # contains bench
+            (2, "entirely disjoint vocabulary with zero overlap here"),
+            (3, "quick brown fox jumps high"),  # partial overlap
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in benchmark_contamination(corpus, bench, min_hits=2).collect()
+    }
+    # bench has 3 distinct 3-grams; doc 1 contains all 3 of them
+    assert out[1]["n_hit"] == 3 and out[1]["contaminated"]
+    assert out[2]["n_hit"] == 0 and not out[2]["contaminated"]
+    # doc 3 shares "quick brown fox" and "brown fox jumps" only
+    assert out[3]["n_hit"] == 2 and out[3]["contaminated"]
+    assert out[3]["contamination"] == 2 / 3  # 3 shingles in doc 3
