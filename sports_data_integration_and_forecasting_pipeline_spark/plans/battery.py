@@ -991,6 +991,99 @@ def decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ===========================================================================
+# Bloom-filter semi-join pruning — build an 8192-bit bloom over the
+# high-value order keys, probe every lineitem row WITHOUT shuffling it,
+# and report the pruning stats. The bloom's md5 bit positions are
+# engine-portable, so even the FALSE-POSITIVE COUNT hash-matches DuckDB
+# — the oracle reproduces the identical bit array. At 100 TB this is
+# the pre-shuffle reduction that turns a full lineitem shuffle into a
+# 2%-survivor shuffle; the bloom itself is 1 KB broadcast state.
+# ===========================================================================
+
+_BLOOM_BITS, _BLOOM_K, _BLOOM_PRICE = 8192, 3, 475000.0
+
+
+def _bloom_h_sql(i: str, key: str) -> str:
+    return (
+        f"CAST(concat('0x', substring(md5(concat(CAST({i} AS VARCHAR), ':', "
+        f"CAST({key} AS VARCHAR))), 1, 8)) AS BIGINT) % {_BLOOM_BITS}"
+    )
+
+
+@_register(
+    "bloom_join_prune",
+    f"""
+    WITH keys AS (
+      SELECT DISTINCT o_orderkey AS key FROM orders
+      WHERE o_totalprice > {_BLOOM_PRICE}
+    ),
+    cells AS (
+      SELECT pos // 63 AS word,
+             CAST(1 AS BIGINT) << CAST(pos % 63 AS INT) AS mask
+      FROM (SELECT {_bloom_h_sql('d.i', 'key')} AS pos
+            FROM keys CROSS JOIN range(0, {_BLOOM_K}) AS d(i))
+    ),
+    bloom AS (SELECT word, bit_or(mask) AS bits FROM cells GROUP BY word),
+    key_pass AS (
+      SELECT l_orderkey,
+             (count(*) FILTER (WHERE (bits & mask) <> 0) = {_BLOOM_K}) AS pass
+      FROM (SELECT l_orderkey, pos // 63 AS word,
+                   CAST(1 AS BIGINT) << CAST(pos % 63 AS INT) AS mask
+            FROM (SELECT {_bloom_h_sql('d.i', 'l_orderkey')} AS pos, l_orderkey
+                  FROM (SELECT DISTINCT l_orderkey FROM lineitem)
+                  CROSS JOIN range(0, {_BLOOM_K}) AS d(i))) c
+      LEFT JOIN bloom USING (word)
+      GROUP BY l_orderkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (WHERE kp.pass) AS BIGINT) AS n_pass,
+           CAST(count(*) FILTER (WHERE k.key IS NOT NULL) AS BIGINT) AS n_true,
+           CAST(count(*) FILTER (WHERE kp.pass AND k.key IS NULL) AS BIGINT)
+             AS n_false_pos
+    FROM lineitem l
+    JOIN key_pass kp USING (l_orderkey)
+    LEFT JOIN keys k ON l.l_orderkey = k.key
+    """,
+    "join infra: bloom-filter semi-join pruning (no reference counterpart)",
+    "md5-bloom pre-shuffle pruning of lineitem by high-value orders; "
+    "false-positive count itself hash-matched",
+)
+def bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    keys = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > _BLOOM_PRICE)
+        .select(F.col("o_orderkey").alias("key"))
+        .distinct()
+    )
+    bloom = bloom_build(keys, "key", n_bits=_BLOOM_BITS, k=_BLOOM_K)
+    probed = bloom_might_contain(
+        _t(spark, sf_dir, "lineitem").select("l_orderkey"),
+        "l_orderkey",
+        bloom,
+        n_bits=_BLOOM_BITS,
+        k=_BLOOM_K,
+    )
+    joined = probed.join(
+        F.broadcast(keys.withColumn("__t", F.lit(1))),
+        probed["l_orderkey"] == F.col("key"),
+        "left",
+    )
+    return joined.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.count_if(F.col("bloom_pass")).cast("bigint").alias("n_pass"),
+        F.count("__t").cast("bigint").alias("n_true"),
+        F.count_if(F.col("bloom_pass") & F.col("__t").isNull())
+        .cast("bigint")
+        .alias("n_false_pos"),
+    )
+
+
 def _minhash_sig_sql() -> str:
     mins = ", ".join(
         f"min((h * {a} + {b}) % {MINHASH_PRIME}) AS mh{i}"
