@@ -992,6 +992,61 @@ def decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Path funnel — the general-depth funnel: each user's full event-type
+# path in strict (ts, event_id) order, with view -> click -> purchase
+# matched as a token-bounded regex subsequence. One map-side-combined
+# groupBy builds the path; every additional stage is a narrow regex
+# test — zero extra shuffles. Patterns come from the same
+# funnel_pattern() the operator uses, and stay inside the regex subset
+# Java and RE2 treat identically.
+# ===========================================================================
+
+_FUNNEL_STAGES = ["view", "click", "purchase"]
+
+
+def _funnel_oracle_sql() -> str:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.paths import funnel_pattern
+
+    flags = ",\n             ".join(
+        f"regexp_matches(path, '{funnel_pattern(_FUNNEL_STAGES, k)}') AS stage_{k}"
+        for k in range(1, len(_FUNNEL_STAGES) + 1)
+    )
+    total = " + ".join(
+        f"CAST(stage_{k} AS INT)" for k in range(1, len(_FUNNEL_STAGES) + 1)
+    )
+    return f"""
+    WITH paths AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM events WHERE event_id % 13 = 0 GROUP BY user_id
+    ),
+    flagged AS (
+      SELECT user_id, n_events,
+             {flags}
+      FROM paths
+    )
+    SELECT user_id, n_events, stage_1, stage_2, stage_3,
+           CAST({total} AS BIGINT) AS max_stage
+    FROM flagged
+    """
+
+
+@_register(
+    "path_funnel_regex",
+    _funnel_oracle_sql(),
+    "funnel analysis, full path matching (no reference counterpart)",
+    "view->click->purchase as ordered subsequence of each user's event path",
+)
+def path_funnel_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.paths import path_funnel
+
+    # thin the stream (deterministic 1-in-13) so funnel depth varies by
+    # user — unthinned, every sf0.01 user completes all three stages
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 13 == 0)
+    return path_funnel(ev, _FUNNEL_STAGES)
+
+
+# ===========================================================================
 # Bloom-filter semi-join pruning — build an 8192-bit bloom over the
 # high-value order keys, probe every lineitem row WITHOUT shuffling it,
 # and report the pruning stats. The bloom's md5 bit positions are
