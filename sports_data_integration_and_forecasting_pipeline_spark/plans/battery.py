@@ -992,6 +992,55 @@ def decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Document chunking — token-bounded overlapping windows (32-token
+# chunks, stride 24 = 25% overlap), the sequence-packing prep step.
+# ENTIRELY narrow: tokenize -> integer chunk starts -> explode -> slice;
+# zero shuffles, so a 100 TB corpus chunks at scan speed and chunks stay
+# co-partitioned with their documents. slice()/list_slice() are both
+# 1-based and end-clamped, so the fingerprints hash-match.
+# ===========================================================================
+
+_CHUNK_MAX, _CHUNK_STRIDE = 32, 24
+
+
+@_register(
+    "chunk_documents_overlap",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, toks,
+             unnest(range(0, (n + {_CHUNK_STRIDE - 1}) // {_CHUNK_STRIDE})) AS i
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_id,
+           CAST(i * {_CHUNK_STRIDE} AS BIGINT) AS chunk_start,
+           CAST(len(list_slice(toks, i * {_CHUNK_STRIDE} + 1,
+                               i * {_CHUNK_STRIDE} + {_CHUNK_MAX})) AS BIGINT)
+             AS chunk_tokens,
+           md5(array_to_string(list_slice(toks, i * {_CHUNK_STRIDE} + 1,
+                                          i * {_CHUNK_STRIDE} + {_CHUNK_MAX}), ' '))
+             AS chunk_fp
+    FROM c
+    """,
+    "textops: document chunking / sequence packing prep (no reference counterpart)",
+    "32-token chunks at stride 24, zero-shuffle narrow plan, md5 chunk fingerprints",
+)
+def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"),
+        max_tokens=_CHUNK_MAX,
+        stride=_CHUNK_STRIDE,
+    )
+
+
+# ===========================================================================
 # Path funnel — the general-depth funnel: each user's full event-type
 # path in strict (ts, event_id) order, with view -> click -> purchase
 # matched as a token-bounded regex subsequence. One map-side-combined
