@@ -81,6 +81,7 @@ HEADLINE = [
     "bloom_join_prune",
     "path_funnel_regex",
     "chunk_documents_overlap",
+    "pii_redaction",
     # streaming_* entries excluded: they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).
     # forecast_random_forest / dedup_cluster_assign excluded: iterative

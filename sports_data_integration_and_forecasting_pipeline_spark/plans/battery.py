@@ -992,6 +992,77 @@ def decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# PII redaction — the pre-training scrub pass. The synthetic corpus has
+# no PII, so the entry SEEDS it deterministically from doc_id (same
+# concat in both engines), then counts and scrubs per category. All
+# narrow JVM-side regex — zero shuffles; even the redacted-text md5
+# fingerprints hash-match because the Java/RE2-common pattern subset
+# matches identically.
+# ===========================================================================
+
+def _pii_seed_sql() -> str:
+    return (
+        "text"
+        " || CASE WHEN doc_id % 3 = 0 THEN concat(' user', CAST(doc_id AS VARCHAR), '@example.com') ELSE '' END"
+        " || CASE WHEN doc_id % 5 = 0 THEN concat(' 415-555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) ELSE '' END"
+        " || CASE WHEN doc_id % 7 = 0 THEN concat(' 123-45-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) ELSE '' END"
+        " || CASE WHEN doc_id % 11 = 0 THEN concat(' 10.0.', CAST(doc_id % 256 AS VARCHAR), '.', CAST((doc_id * 7) % 256 AS VARCHAR)) ELSE '' END"
+    )
+
+
+def _pii_oracle_sql() -> str:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.redact import PII_PATTERNS
+
+    counts = ",\n           ".join(
+        f"CAST(len(regexp_extract_all(seeded, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    red = "seeded"
+    for _, pat, repl in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    return f"""
+    WITH seeded_docs AS (
+      SELECT doc_id, {_pii_seed_sql()} AS seeded FROM documents
+    )
+    SELECT doc_id,
+           {counts},
+           md5({red}) AS redacted_fp
+    FROM seeded_docs
+    """
+
+
+@_register(
+    "pii_redaction",
+    _pii_oracle_sql(),
+    "textops: PII redaction (no reference counterpart)",
+    "email/SSN/phone/IPv4 scrub with per-category counts, redacted-text md5 matched",
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.redact import redact_pii
+
+    did = F.col("doc_id")
+    seeded = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(did % 3 == 0, F.concat(F.lit(" user"), did.cast("string"), F.lit("@example.com"))).otherwise(""),
+            F.when(did % 5 == 0, F.concat(F.lit(" 415-555-"), F.lpad((did % 10000).cast("string"), 4, "0"))).otherwise(""),
+            F.when(did % 7 == 0, F.concat(F.lit(" 123-45-"), F.lpad((did % 10000).cast("string"), 4, "0"))).otherwise(""),
+            F.when(did % 11 == 0, F.concat(F.lit(" 10.0."), (did % 256).cast("string"), F.lit("."), ((did * 7) % 256).cast("string"))).otherwise(""),
+        ).alias("seeded"),
+    )
+    out = redact_pii(seeded, text_col="seeded", out_col="redacted")
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_ssn",
+        "n_phone",
+        "n_ipv4",
+        F.md5("redacted").alias("redacted_fp"),
+    )
+
+
+# ===========================================================================
 # Document chunking — token-bounded overlapping windows (32-token
 # chunks, stride 24 = 25% overlap), the sequence-packing prep step.
 # ENTIRELY narrow: tokenize -> integer chunk starts -> explode -> slice;
