@@ -82,6 +82,7 @@ HEADLINE = [
     "path_funnel_regex",
     "chunk_documents_overlap",
     "pii_redaction",
+    "repetition_quality",
     # streaming_* entries excluded: they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).
     # forecast_random_forest / dedup_cluster_assign excluded: iterative

@@ -165,3 +165,54 @@ def unigram_perplexity(
             "ppl_e4"
         ),
     )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per doc: the fraction of
+    2-gram occurrences taken by the single most frequent 2-gram
+    (``top_2gram_frac``), and the fraction of 3-gram occurrences whose
+    3-gram repeats within the doc (``dup_3gram_frac``). High values mark
+    boilerplate/spam for corpus filtering (cf. Gopher/MassiveText rules,
+    public methodology).
+
+    One shuffle total: both gram sizes are tagged into a single explode,
+    counted in one map-side-combined (doc, size, gram) agg, then folded
+    per doc. Fractions are exact int/int double divisions —
+    engine-portable without rounding.
+    """
+    from .dedup import shingles_from_tokens
+
+    toks = F.split(F.col(text_col), " ")
+    tagged = df.select(
+        F.col(id_col),
+        F.explode(
+            F.concat(
+                F.transform(
+                    shingles_from_tokens(toks, 2),
+                    lambda g: F.struct(F.lit(2).alias("sz"), g.alias("g")),
+                ),
+                F.transform(
+                    shingles_from_tokens(toks, 3),
+                    lambda g: F.struct(F.lit(3).alias("sz"), g.alias("g")),
+                ),
+            )
+        ).alias("t"),
+    ).select(id_col, "t.sz", "t.g")
+    counts = tagged.groupBy(id_col, "sz", "g").agg(F.count("*").alias("cnt"))
+    return counts.groupBy(id_col).agg(
+        F.sum(F.when(F.col("sz") == 2, F.col("cnt"))).cast("bigint").alias("n_2grams"),
+        (
+            F.max(F.when(F.col("sz") == 2, F.col("cnt")))
+            / F.sum(F.when(F.col("sz") == 2, F.col("cnt")))
+        ).alias("top_2gram_frac"),
+        F.sum(F.when(F.col("sz") == 3, F.col("cnt"))).cast("bigint").alias("n_3grams"),
+        (
+            F.coalesce(
+                F.sum(F.when((F.col("sz") == 3) & (F.col("cnt") > 1), F.col("cnt"))),
+                F.lit(0),
+            )
+            / F.sum(F.when(F.col("sz") == 3, F.col("cnt")))
+        ).alias("dup_3gram_frac"),
+    )

@@ -877,12 +877,18 @@ from sports_data_integration_and_forecasting_pipeline_spark.operators.similarity
 # dedup.shingles_from_tokens exactly: list_slice clamps at the array end
 # the same way Spark's slice(toks, i, 3) does, so short docs yield one
 # short shingle in both engines.
-_SHINGLE3_RAW_SQL = (
-    "list_transform("
-    "range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1), "
-    "i -> array_to_string(list_slice(string_split(text, ' '), "
-    "i::INT, (i + 2)::INT), ' '))"
-)
+def _shingle_raw_sql(n: int) -> str:
+    """Word-``n``-gram list over ``text`` (whole-text fallback for short
+    docs) — the DuckDB twin of ``dedup.shingles_from_tokens``."""
+    return (
+        "list_transform("
+        f"range(1, greatest(len(string_split(text, ' ')) - {n - 1}, 1) + 1), "
+        "i -> array_to_string(list_slice(string_split(text, ' '), "
+        f"i::INT, (i + {n - 1})::INT), ' '))"
+    )
+
+
+_SHINGLE3_RAW_SQL = _shingle_raw_sql(3)
 
 
 def _h32_sql(expr: str) -> str:
@@ -989,6 +995,45 @@ def decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
         benchmark=docs.filter(F.col("doc_id") % 17 == 0),
         min_hits=2,
     )
+
+
+# ===========================================================================
+# Repetition quality (Gopher/MassiveText-style) — top-2-gram share and
+# repeated-3-gram share per doc, the boilerplate/spam signals corpus
+# filters cut on. Both gram sizes ride ONE tagged explode and one
+# map-side-combined agg; fractions are exact int/int divisions.
+# ===========================================================================
+
+@_register(
+    "repetition_quality",
+    f"""
+    WITH g2 AS (
+      SELECT doc_id, 2 AS sz, unnest({_shingle_raw_sql(2)}) AS g FROM documents
+    ),
+    g3 AS (
+      SELECT doc_id, 3 AS sz, unnest({_shingle_raw_sql(3)}) AS g FROM documents
+    ),
+    counts AS (
+      SELECT doc_id, sz, g, count(*) AS cnt
+      FROM (SELECT * FROM g2 UNION ALL SELECT * FROM g3)
+      GROUP BY doc_id, sz, g
+    )
+    SELECT doc_id,
+           CAST(sum(cnt) FILTER (WHERE sz = 2) AS BIGINT) AS n_2grams,
+           max(cnt) FILTER (WHERE sz = 2)
+             / sum(cnt) FILTER (WHERE sz = 2) AS top_2gram_frac,
+           CAST(sum(cnt) FILTER (WHERE sz = 3) AS BIGINT) AS n_3grams,
+           coalesce(sum(cnt) FILTER (WHERE sz = 3 AND cnt > 1), 0)
+             / sum(cnt) FILTER (WHERE sz = 3) AS dup_3gram_frac
+    FROM counts GROUP BY doc_id
+    """,
+    "textops: repetition quality rules (no reference counterpart)",
+    "top-2-gram and duplicate-3-gram shares per doc, one tagged explode",
+)
+def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
 
 
 # ===========================================================================

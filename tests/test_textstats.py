@@ -90,3 +90,22 @@ def test_benchmark_contamination_semantics(spark):
     # doc 3 shares "quick brown fox" and "brown fox jumps" only
     assert out[3]["n_hit"] == 2 and out[3]["contaminated"]
     assert out[3]["contamination"] == 2 / 3  # 3 shingles in doc 3
+
+
+def test_repetition_stats_semantics(spark):
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),                    # fully repetitive
+            (2, "w x y z q r"),                # all grams unique
+            (3, "a b a b a b c"),              # 'a b' dominates
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert out[1]["top_2gram_frac"] == 1.0 and out[1]["dup_3gram_frac"] == 1.0
+    assert out[2]["top_2gram_frac"] == 1 / 5 and out[2]["dup_3gram_frac"] == 0.0
+    # doc 3: 6 2-grams, 'a b' x3 -> 0.5; 5 3-grams, 'a b a' x2 + 'b a b' x2 -> 4/5
+    assert out[3]["n_2grams"] == 6 and out[3]["top_2gram_frac"] == 0.5
+    assert out[3]["n_3grams"] == 5 and out[3]["dup_3gram_frac"] == 4 / 5
