@@ -118,3 +118,67 @@ def countmin_estimate(
         0, subset=["cnt"]
     )
     return joined.groupBy(item_col).agg(F.min("cnt").cast("bigint").alias("est_cnt"))
+
+
+def misra_gries(df: DataFrame, item_col: str, k: int = 16) -> DataFrame:
+    """Misra-Gries heavy-hitter summary with ``k`` counters: at most
+    ``k`` ``(item, est_cnt)`` rows where ``true - N/(k+1) <= est <=
+    true`` (N = total rows) — every item with frequency > N/(k+1) is
+    guaranteed to survive.
+
+    The mergeable-summaries construction (Agarwal et al., PODS'12,
+    public): each partition builds a local MG summary in one Arrow
+    `mapInPandas` pass (k-dict per partition, O(k) state), then partials
+    merge by (a) summing per item — one map-side-combined shuffle of
+    <= k rows per partition — and (b) subtracting the (k+1)-th largest
+    merged counter and keeping positives, which restores the k-counter
+    bound. The rank/threshold steps run over <= k x n_partitions rows —
+    negligible at any scale.
+
+    Estimates depend on partition layout (any valid MG summary does), so
+    this is a rows-only battery entry like HLL; the error bound is what
+    tests assert. The engine-portable hash-oracled companion is
+    :func:`countmin_sketch`.
+    """
+    import pandas as pd  # local: keep module import light
+
+    def _mg_partition(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for item in pdf[item_col].astype(str):
+                if item in counters:
+                    counters[item] += 1
+                elif len(counters) < k:
+                    counters[item] = 1
+                else:
+                    # decrement-all; drop zeros (classic MG step)
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        if counters:
+            yield pd.DataFrame(
+                {"item": list(counters), "cnt": list(counters.values())}
+            )
+
+    partials = df.select(F.col(item_col).cast("string").alias(item_col)).mapInPandas(
+        _mg_partition, schema="item string, cnt long"
+    )
+    summed = partials.groupBy("item").agg(F.sum("cnt").alias("cnt"))
+    ranked = summed.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("cnt"), "item"))
+    )
+    thr = ranked.groupBy().agg(
+        F.coalesce(
+            F.max(F.when(F.col("rk") == k + 1, F.col("cnt"))), F.lit(0)
+        ).alias("thr")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(thr))
+        .withColumn("est_cnt", (F.col("cnt") - F.col("thr")).cast("bigint"))
+        .filter(F.col("est_cnt") > 0)
+        .select("item", "est_cnt")
+    )

@@ -998,6 +998,28 @@ def decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Misra-Gries heavy hitters — the O(k)-state mergeable companion to the
+# exact iceberg agg and the count-min sketch: per-partition Arrow
+# mapInPandas summaries merged by sum + (k+1)-th-largest subtraction
+# (Agarwal et al. mergeable-summaries construction). Estimates are
+# partition-layout-dependent (any valid MG summary is), so rows-only
+# like HLL; tests/test_sketches.py asserts the N/(k+1) bound.
+# ===========================================================================
+
+@_register(
+    "misra_gries_heavy_hitters",
+    None,  # summary depends on partition layout — see block comment
+    "sketch: Misra-Gries heavy hitters (rows-only; bound-tested)",
+    "k=8 merged MG summary over event_type — every item with freq > N/9 "
+    "guaranteed present, undercount <= N/9",
+)
+def misra_gries_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.frequency import misra_gries
+
+    return misra_gries(_t(spark, sf_dir, "events"), "event_type", k=8)
+
+
+# ===========================================================================
 # Repetition quality (Gopher/MassiveText-style) — top-2-gram share and
 # repeated-3-gram share per doc, the boilerplate/spam signals corpus
 # filters cut on. Both gram sizes ride ONE tagged explode and one

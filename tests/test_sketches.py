@@ -102,3 +102,25 @@ def test_countmin_never_underestimates_and_exact_when_wide(spark):
         width=4096,
     ).collect()
     assert all(r["est_cnt"] == exact[r["item"]] for r in wide)
+
+
+def test_misra_gries_bounds(spark):
+    """MG guarantees: est <= true; undercount <= N/(k+1); every item with
+    freq > N/(k+1) survives the merged summary."""
+    from collections import Counter
+
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.frequency import misra_gries
+
+    ev = spark.read.parquet(f"{TESTDATA_SMOKE}/events.parquet")
+    for col, k in (("event_type", 3), ("user_id", 20)):
+        exact = Counter(str(r[col]) for r in ev.select(col).collect())
+        n = sum(exact.values())
+        out = {r["item"]: r["est_cnt"] for r in misra_gries(ev, col, k=k).collect()}
+        assert 0 < len(out) <= k, (col, len(out))
+        bound = n / (k + 1)
+        for item, est in out.items():
+            assert est <= exact[item], (col, item, "overestimate")
+            assert exact[item] - est <= bound, (col, item, "bound violated")
+        for item, true_cnt in exact.items():
+            if true_cnt > bound:
+                assert item in out, (col, item, "guaranteed heavy hitter lost")
