@@ -83,6 +83,7 @@ HEADLINE = [
     "chunk_documents_overlap",
     "pii_redaction",
     "repetition_quality",
+    "mixture_sample_langs",
     # streaming_* entries excluded: they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).
     # forecast_random_forest / dedup_cluster_assign excluded: iterative

@@ -72,3 +72,46 @@ def train_holdout_split(
     leakage-proof split a forecasting backtest needs."""
     u = _key_uniform(F.col(key_col), salt)
     return df.filter(u >= holdout_fraction), df.filter(u < holdout_fraction)
+
+
+def mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    weights: dict[str, float],
+    key_col: str,
+    salt: str = "mix",
+) -> DataFrame:
+    """Down-sample to a TARGET DOMAIN MIXTURE with maximum retention —
+    the training-mix step (e.g. 30% web / 30% code / 40% books) of a
+    data pipeline.
+
+    Solves for the largest total T with ``w_d * T <= n_d`` for every
+    listed domain (``T = min(n_d / w_d)``), then keeps each domain at
+    rate ``w_d * T / n_d`` via the deterministic key-hash coin — so the
+    output approximates the target mixture exactly as closely as the
+    hash allows, keeps ALL rows of the scarcest domain, and stays
+    re-partition/rerun/engine-stable. Domains absent from ``weights``
+    are dropped.
+
+    Plan: one tiny per-domain count agg -> broadcast rate join -> narrow
+    filter. The big side shuffles zero times.
+    """
+    wmap = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
+    counts = (
+        df.groupBy(domain_col)
+        .agg(F.count("*").cast("double").alias("n_d"))
+        .withColumn("w", wmap[F.col(domain_col)])
+        .filter(F.col("w").isNotNull() & (F.col("w") > 0))
+        .withColumn("ratio", F.col("n_d") / F.col("w"))
+    )
+    t_max = counts.groupBy().agg(F.min("ratio").alias("t_max"))
+    rates = (
+        counts.crossJoin(F.broadcast(t_max))
+        .withColumn("rate", F.col("w") * F.col("t_max") / F.col("n_d"))
+        .select(domain_col, "rate")
+    )
+    return (
+        df.join(F.broadcast(rates), domain_col)
+        .filter(_key_uniform(F.col(key_col), salt) < F.col("rate"))
+        .drop("rate")
+    )

@@ -3156,6 +3156,50 @@ def sample_events_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Target-mixture sampling — the "training mix" step: down-sample each
+# language to hit a target corpus mixture with MAXIMUM retention
+# (T = min(n_d/w_d); the scarcest domain keeps every row). Rates come
+# from a tiny broadcast agg; the corpus side never shuffles. The
+# hash coin and the rate arithmetic are both engine-exact, so the
+# sampled set hash-matches row for row.
+# ===========================================================================
+
+_MIX_WEIGHTS = {"en": 0.25, "de": 0.2, "es": 0.2, "fr": 0.2, "zh": 0.15}
+
+
+@_register(
+    "mixture_sample_langs",
+    f"""
+    WITH w(lang, w) AS (VALUES {", ".join(f"('{k}', {v})" for k, v in _MIX_WEIGHTS.items())}),
+    counts AS (
+      SELECT lang, CAST(count(*) AS DOUBLE) AS n_d FROM documents GROUP BY lang
+    ),
+    r AS (SELECT c.lang, n_d, w.w, n_d / w.w AS ratio
+          FROM counts c JOIN w USING (lang) WHERE w.w > 0),
+    t AS (SELECT min(ratio) AS t_max FROM r),
+    rates AS (SELECT lang, w * t_max / n_d AS rate FROM r CROSS JOIN t)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN rates USING (lang)
+    WHERE {{h}} / {{space}} < rate
+    """.format(
+        h=_h60_sql("concat('mix', CAST(doc_id AS VARCHAR))"),
+        space=_H60_SPACE_SQL,
+    ),
+    "sampling: target-mixture domain sampling (no reference counterpart)",
+    "max-retention language rebalance to a 25/20/20/20/15 target mix",
+)
+def mixture_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.sampling import mixture_sample
+
+    return mixture_sample(
+        _t(spark, sf_dir, "documents"),
+        domain_col="lang",
+        weights=_MIX_WEIGHTS,
+        key_col="doc_id",
+    ).select("doc_id", "lang", "source")
+
+
+# ===========================================================================
 # Iceberg / heavy hitters — items covering >= s% of their group, the
 # exact hot-key detector that feeds the skew tools. Two cascaded aggs;
 # the group-total window runs over already-aggregated (group, item)

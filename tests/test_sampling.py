@@ -3,6 +3,8 @@ rate accuracy on the real events table."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from sports_data_integration_and_forecasting_pipeline_spark.operators.frequency import heavy_hitters
 from sports_data_integration_and_forecasting_pipeline_spark.operators.sampling import (
     hash_sample,
@@ -11,8 +13,11 @@ from sports_data_integration_and_forecasting_pipeline_spark.operators.sampling i
 )
 
 
+TESTDATA_SMOKE = "/root/testdata/sf0.001"
+
+
 def _events(spark):
-    return spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    return spark.read.parquet(f"{TESTDATA_SMOKE}/events.parquet")
 
 
 def test_hash_sample_is_deterministic_and_partition_stable(spark):
@@ -77,3 +82,35 @@ def test_heavy_hitters_threshold_exact(spark):
     # c covers exactly 1% -> dropped at 2%; a and b kept
     assert set(got) == {"a", "b"}
     assert got["a"] == (50, 100)
+
+
+def test_mixture_sample_hits_target_mix(spark):
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.sampling import mixture_sample
+
+    docs = spark.read.parquet(f"{TESTDATA_SMOKE}/documents.parquet")
+    weights = {"en": 0.25, "de": 0.2, "es": 0.2, "fr": 0.2, "zh": 0.15}
+    out = mixture_sample(docs, "lang", weights, "doc_id").toPandas()
+    n_in = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    t_max = min(n_in[d] / w for d, w in weights.items())
+    got = out["lang"].value_counts().to_dict()
+    for d, w in weights.items():
+        expected = w * t_max  # expected kept count before hash noise
+        assert abs(got.get(d, 0) - expected) <= max(6, 0.35 * expected), (d, got.get(d), expected)
+    # scarcest domain keeps ~everything (rate 1.0: hash coin < 1 always)
+    scarcest = min(weights, key=lambda d: n_in[d] / weights[d])
+    assert got[scarcest] == n_in[scarcest]
+    # unlisted domains dropped
+    assert set(got) <= set(weights)
+
+
+def test_mixture_sample_is_rerun_stable(spark):
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.sampling import mixture_sample
+
+    docs = spark.read.parquet(f"{TESTDATA_SMOKE}/documents.parquet")
+    w = {"en": 0.5, "zh": 0.5}
+    a = sorted(r["doc_id"] for r in mixture_sample(docs, "lang", w, "doc_id").collect())
+    b = sorted(
+        r["doc_id"]
+        for r in mixture_sample(docs.repartition(7), "lang", w, "doc_id").collect()
+    )
+    assert a == b and a
