@@ -84,6 +84,7 @@ HEADLINE = [
     "pii_redaction",
     "repetition_quality",
     "mixture_sample_langs",
+    "incremental_rollup_merge",
     # streaming_* entries excluded: they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).
     # forecast_random_forest / dedup_cluster_assign excluded: iterative

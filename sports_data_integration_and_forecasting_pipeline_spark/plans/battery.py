@@ -3200,6 +3200,64 @@ def mixture_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Incremental rollup maintenance — merge partial aggregates instead of
+# recomputing: base (pre-1997 orders) and delta (1997+) are aggregated
+# SEPARATELY and merged; the DuckDB oracle recomputes from the full
+# table, so the hash check proves merge(agg(base), agg(delta)) ==
+# agg(all). Sums ride exact integer cents; avg derives post-merge.
+# ===========================================================================
+
+@_register(
+    "incremental_rollup_merge",
+    """
+    SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo, o_orderpriority,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(min(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS min_cents,
+           CAST(max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS max_cents,
+           sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / count(*)
+             AS avg_cents
+    FROM orders GROUP BY 1, 2, 3
+    """,
+    "incremental view maintenance (no reference counterpart; generalizes "
+    "the canonical append flow, src/ingestion.py:132-142)",
+    "partial-rollup merge over a base/delta split == full recompute oracle",
+)
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.incremental import (
+        merge_rollups,
+        rollup_partial,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    keys = ["yr", "mo", "o_orderpriority"]
+    metrics = {
+        "sum_cents": ("sum", "cents"),
+        "n_orders": ("count", ""),
+        "min_cents": ("min", "cents"),
+        "max_cents": ("max", "cents"),
+    }
+    base = rollup_partial(orders.filter(F.col("yr") < 1997), keys, metrics)
+    delta = rollup_partial(orders.filter(F.col("yr") >= 1997), keys, metrics)
+    merged = merge_rollups(
+        [base, delta],
+        keys,
+        {"sum_cents": "sum", "n_orders": "count", "min_cents": "min", "max_cents": "max"},
+    )
+    return merged.withColumn(
+        "avg_cents", F.col("sum_cents") / F.col("n_orders")
+    )
+
+
+# ===========================================================================
 # Iceberg / heavy hitters — items covering >= s% of their group, the
 # exact hot-key detector that feeds the skew tools. Two cascaded aggs;
 # the group-total window runs over already-aggregated (group, item)
