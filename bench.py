@@ -85,6 +85,7 @@ HEADLINE = [
     "repetition_quality",
     "mixture_sample_langs",
     "incremental_rollup_merge",
+    "zorder_layout_pruning",
     # streaming_* entries excluded: they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).
     # forecast_random_forest / dedup_cluster_assign excluded: iterative

@@ -3200,6 +3200,98 @@ def mixture_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Z-order layout vs linear layout — the data-layout experiment behind
+# OPTIMIZE ZORDER: write orders as 64 "files" sorted (a) by date and
+# (b) by the Morton interleave of (day, price-bucket), then plan the
+# same 2-D box query against per-file min/max stats. The Morton key is
+# pure integer bit arithmetic, ntile splits are identical under an
+# identical total order, so BOTH layouts' pruning counts hash-match
+# DuckDB. Expect z-order to scan far fewer files for the 2-D box.
+# ===========================================================================
+
+# (lo_day, hi_day, lo_bucket, hi_bucket): a date-narrow box (where the
+# date-sorted layout is already optimal), a price-narrow box (where it
+# degenerates to a full scan), and a 2-D box. Full dim range is 0..4095.
+_Z_BOXES = {
+    "date_only": (1155, 1276, 0, 4095),
+    "price_only": (0, 4095, 666, 1333),
+    "both": (1096, 1460, 666, 1333),
+}
+_Z_FILES = 64
+
+
+def _zorder_oracle_sql() -> str:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.layout import zorder_key_sql
+
+    hit_cols = ",\n             ".join(
+        f"count(*) FILTER (WHERE d1 BETWEEN {lo1} AND {hi1} "
+        f"AND d2 BETWEEN {lo2} AND {hi2}) AS hits_{q}"
+        for q, (lo1, hi1, lo2, hi2) in _Z_BOXES.items()
+    )
+    stats = f"""
+      SELECT f, min(d1) AS min1, max(d1) AS max1,
+             min(d2) AS min2, max(d2) AS max2,
+             {hit_cols}
+      FROM {{src}} GROUP BY f
+    """
+    summaries = []
+    for name, src in (("linear", "lin_stats"), ("zorder", "zo_stats")):
+        for q, (lo1, hi1, lo2, hi2) in _Z_BOXES.items():
+            summaries.append(f"""
+      SELECT '{name}' AS layout, '{q}' AS query,
+             CAST(count(*) AS BIGINT) AS n_files,
+             CAST(count(*) FILTER (WHERE max1 >= {lo1} AND min1 <= {hi1}
+                                   AND max2 >= {lo2} AND min2 <= {hi2})
+                  AS BIGINT) AS files_scanned,
+             CAST(count(*) FILTER (WHERE hits_{q} > 0) AS BIGINT) AS files_matching,
+             CAST(sum(hits_{q}) AS BIGINT) AS rows_matched
+      FROM {src}""")
+    return f"""
+    WITH dims AS (
+      SELECT o_orderkey,
+             datediff('day', DATE '1992-01-01', o_orderdate) AS d1,
+             CAST(floor(o_totalprice / 150) AS BIGINT) AS d2
+      FROM orders
+    ),
+    keyed AS (SELECT *, {zorder_key_sql('d1', 'd2')} AS zkey FROM dims),
+    lin AS (SELECT d1, d2, ntile({_Z_FILES}) OVER (ORDER BY d1, o_orderkey) AS f FROM keyed),
+    zo AS (SELECT d1, d2, ntile({_Z_FILES}) OVER (ORDER BY zkey, o_orderkey) AS f FROM keyed),
+    lin_stats AS ({stats.format(src="lin")}),
+    zo_stats AS ({stats.format(src="zo")})
+    {" UNION ALL ".join(summaries)}
+    """
+
+
+@_register(
+    "zorder_layout_pruning",
+    _zorder_oracle_sql(),
+    "data layout: z-order clustering + stats pruning (no reference counterpart)",
+    "Morton-interleaved vs date-sorted file layout, min/max pruning for a 2-D box",
+)
+def zorder_layout_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.layout import (
+        layout_scan_stats,
+        zorder_key_expr,
+    )
+
+    dims = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.datediff("o_orderdate", F.lit("1992-01-01")).alias("d1"),
+        F.floor(F.col("o_totalprice") / 150).cast("bigint").alias("d2"),
+    )
+    keyed = dims.withColumn("zkey", F.expr(zorder_key_expr("d1", "d2")))
+    linear = layout_scan_stats(
+        keyed, [F.col("d1"), F.col("o_orderkey")], "d1", "d2",
+        _Z_BOXES, _Z_FILES, "linear",
+    )
+    zorder = layout_scan_stats(
+        keyed, [F.col("zkey"), F.col("o_orderkey")], "d1", "d2",
+        _Z_BOXES, _Z_FILES, "zorder",
+    )
+    return linear.unionByName(zorder)
+
+
+# ===========================================================================
 # Incremental rollup maintenance — merge partial aggregates instead of
 # recomputing: base (pre-1997 orders) and delta (1997+) are aggregated
 # SEPARATELY and merged; the DuckDB oracle recomputes from the full
