@@ -86,6 +86,7 @@ HEADLINE = [
     "mixture_sample_langs",
     "incremental_rollup_merge",
     "zorder_layout_pruning",
+    "inverted_text_index",
     # streaming_* entries excluded: they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).
     # forecast_random_forest / dedup_cluster_assign excluded: iterative

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # Marker stopwords per language for the n-gram/marker-word language-ID
 # heuristic. Deliberately tiny: language ID at corpus scale is a cheap
@@ -215,4 +216,49 @@ def repetition_stats(
             )
             / F.sum(F.when(F.col("sz") == 3, F.col("cnt")))
         ).alias("dup_3gram_frac"),
+    )
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_postings: int = 16,
+) -> DataFrame:
+    """Term -> document-frequency + capped posting list, the build step
+    of a distributed text index (and the df table TF-IDF reuses).
+
+    One explode of DISTINCT per-doc tokens, then a term-partitioned
+    window rank and ONE aggregation — the groupBy reuses the window's
+    exchange, so the term key shuffles once. Posting lists are sorted
+    (ascending doc id) and CAPPED at ``max_postings`` BEFORE collection
+    (``collect_list`` over a rank-filtered ``when`` — per-term state
+    stays bounded no matter how hot the term, the same discipline as the
+    dedup hot-shingle cap); ``df`` still counts every document. Postings
+    serialize to a CSV string so results compare exactly across engines.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.split(F.col(text_col), " "))
+        ).alias("term"),
+    )
+    ranked = toks.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("term").orderBy(id_col)),
+    )
+    return ranked.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("df"),
+        F.array_join(
+            F.transform(
+                # numeric sort BEFORE stringifying ("10" < "2" otherwise)
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col("rn") <= max_postings, F.col(id_col))
+                    )
+                ),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings_csv"),
     )

@@ -3200,6 +3200,41 @@ def mixture_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Inverted text index — term -> df + capped posting list, the build
+# step of distributed search and the generalization of the TF-IDF df
+# table. Hot-term state is bounded BEFORE collection (rank filter, same
+# discipline as the dedup shingle cap); postings serialize to CSV so
+# the hash check is engine-exact.
+# ===========================================================================
+
+@_register(
+    "inverted_text_index",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+      FROM documents
+    ),
+    ranked AS (
+      SELECT term, doc_id,
+             row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+      FROM toks
+    )
+    SELECT term, CAST(count(*) AS BIGINT) AS df,
+           array_to_string(
+             list_transform(list_sort(list(doc_id) FILTER (WHERE rn <= 16)),
+                            x -> CAST(x AS VARCHAR)), ',') AS postings_csv
+    FROM ranked GROUP BY term
+    """,
+    "textops: inverted index build (no reference counterpart)",
+    "term -> df + first-16 posting list, bounded per-term state",
+)
+def inverted_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import inverted_index
+
+    return inverted_index(_t(spark, sf_dir, "documents"), max_postings=16)
+
+
+# ===========================================================================
 # Z-order layout vs linear layout — the data-layout experiment behind
 # OPTIMIZE ZORDER: write orders as 64 "files" sorted (a) by date and
 # (b) by the Morton interleave of (day, price-bucket), then plan the

@@ -109,3 +109,16 @@ def test_repetition_stats_semantics(spark):
     # doc 3: 6 2-grams, 'a b' x3 -> 0.5; 5 3-grams, 'a b a' x2 + 'b a b' x2 -> 4/5
     assert out[3]["n_2grams"] == 6 and out[3]["top_2gram_frac"] == 0.5
     assert out[3]["n_3grams"] == 5 and out[3]["dup_3gram_frac"] == 4 / 5
+
+
+def test_inverted_index_caps_postings_but_counts_full_df(spark):
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import inverted_index
+
+    docs = spark.createDataFrame(
+        [(i, "common unique%d" % i) for i in range(10)], ["doc_id", "text"]
+    )
+    out = {r["term"]: r for r in inverted_index(docs, max_postings=4).collect()}
+    hot = out["common"]
+    assert hot["df"] == 10  # df counts every doc...
+    assert hot["postings_csv"] == "0,1,2,3"  # ...postings cap at 4, lowest ids
+    assert out["unique3"]["df"] == 1 and out["unique3"]["postings_csv"] == "3"
