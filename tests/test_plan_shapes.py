@@ -17,7 +17,12 @@ from sports_data_integration_and_forecasting_pipeline_spark.plans.battery import
 SF = "/root/testdata/sf0.001"
 
 # Operators documented as using Arrow-batched Python (mapInPandas).
-ARROW_OK = {"multimodal_image_features"}
+ARROW_OK = {
+    "multimodal_image_features",
+    # Misra-Gries partials are per-partition dict state — the designed
+    # Arrow crossing (mergeable-summary build), not a fallen hot path
+    "misra_gries_heavy_hitters",
+}
 # Streaming queries materialize via a memory sink, not a lazy plan.
 SKIP = {
     "streaming_replay_rollup",
