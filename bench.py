@@ -87,6 +87,7 @@ HEADLINE = [
     "incremental_rollup_merge",
     "zorder_layout_pruning",
     "inverted_text_index",
+    "embed_quantize_int8",
     # streaming_* entries excluded: they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).
     # forecast_random_forest / dedup_cluster_assign excluded: iterative

@@ -3200,6 +3200,53 @@ def mixture_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Embedding int8 quantization — 4x vector compression for the ANN
+# stack. Codes are exact integer arithmetic; scale and dequant-MSE snap
+# to integer micro/nano grids; the per-vector fold runs in a fixed
+# order, so everything hash-matches. Zero-shuffle narrow plan.
+# ===========================================================================
+
+@_register(
+    "embed_quantize_int8",
+    """
+    WITH staged AS (
+      SELECT vec_id, embedding,
+             CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+               AS scale,
+             len(embedding) AS dim
+      FROM embeddings
+    ),
+    coded AS (
+      SELECT vec_id, embedding, scale, dim,
+             CASE WHEN scale = 0
+                  THEN list_transform(embedding, x -> 0)
+                  ELSE list_transform(embedding,
+                         x -> CAST(floor(CAST(x AS DOUBLE) / scale * 127 + 0.5)
+                                   AS INT))
+             END AS q
+      FROM staged
+    )
+    SELECT vec_id,
+           CAST(dim AS BIGINT) AS dim,
+           CAST(floor(scale * 1000000.0 + 0.5) AS BIGINT) AS scale_e6,
+           array_to_string(list_transform(q, x -> CAST(x AS VARCHAR)), ',')
+             AS q_csv,
+           CAST(floor(
+             list_sum(list_transform(range(1, dim + 1),
+               i -> pow(CAST(embedding[i] AS DOUBLE) - q[i] * scale / 127, 2)))
+             / dim * 1000000000.0 + 0.5) AS BIGINT) AS mse_e9
+    FROM coded
+    """,
+    "similarity: embedding int8 quantization (no reference counterpart)",
+    "symmetric per-vector scalar quantization + dequant MSE, zero-shuffle",
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.quantize import quantization_report
+
+    return quantization_report(_t(spark, sf_dir, "embeddings"))
+
+
+# ===========================================================================
 # Inverted text index — term -> df + capped posting list, the build
 # step of distributed search and the generalization of the TF-IDF df
 # table. Hot-term state is bounded BEFORE collection (rank filter, same
