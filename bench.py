@@ -90,7 +90,8 @@ HEADLINE = [
     "embed_quantize_int8",
     # streaming_* entries excluded: they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).
-    # forecast_random_forest / dedup_cluster_assign excluded: iterative
+    # forecast_random_forest / dedup_cluster_assign / dedup_cluster_star
+    # excluded: iterative
     # MLlib fit / loop-until-fixpoint — wall time is dominated by
     # scheduling, not the operators under test.
 ]

@@ -24,6 +24,7 @@ partial aggregation, broadcastable build sides, no driver-side loops).
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass
 from typing import Callable
 
@@ -2871,6 +2872,33 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     edges = simhash_pairs(docs, max_hamming=3).select("id_a", "id_b")
     return connected_components(edges, docs, node_col="doc_id")
+
+
+# Same clusters via alternating large-star/small-star contraction
+# (O(log n) rounds vs propagation's graph-diameter rounds — the safety
+# net for chain-shaped components). Identical output contract, so it
+# reuses dedup_cluster_assign's recursive-CTE oracle verbatim.
+@_register(
+    "dedup_cluster_star",
+    None,  # replaced right below with the shared propagation oracle
+    "dedup clusters: large-star/small-star contraction (no reference counterpart)",
+    "Kiveris-style star contraction over SimHash pairs — same labels as "
+    "propagation in O(log n) rounds",
+)
+def dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
+        connected_components_star,
+        simhash_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = simhash_pairs(docs, max_hamming=3).select("id_a", "id_b")
+    return connected_components_star(edges, docs, node_col="doc_id")
+
+
+QUERIES["dedup_cluster_star"] = dataclasses.replace(
+    QUERIES["dedup_cluster_star"], oracle=QUERIES["dedup_cluster_assign"].oracle
+)
 
 
 # ===========================================================================
