@@ -88,6 +88,7 @@ HEADLINE = [
     "zorder_layout_pruning",
     "inverted_text_index",
     "embed_quantize_int8",
+    "embed_quantized_topk",
     # streaming_* entries excluded: they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).
     # forecast_random_forest / dedup_cluster_assign / dedup_cluster_star

@@ -85,3 +85,67 @@ def quantization_report(
         ).alias("q_csv"),
         F.floor(mse * 1e9 + 0.5).cast("bigint").alias("mse_e9"),
     )
+
+
+def quantized_cosine_topk(
+    df: DataFrame,
+    query_pred,
+    k: int = 5,
+    levels: int = 127,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k cosine neighbors computed ON THE INT8 CODES — the search
+    path that pairs with :func:`quantize_embeddings` at scale (integer
+    dot products over 4x-smaller vectors; per-vector scales cancel out
+    of cosine, so ranking needs no dequantization at all).
+
+    Same shape as the exact `similarity.cosine_topk`: bounded query set
+    broadcasts, candidates never shuffle; ranking is deterministic
+    (integer dots, shared sqrt, vec-id tiebreak). Returns
+    ``(q_id, rank, cand_id, qcos_e6)``.
+    """
+    qd = quantize_embeddings(df, emb_col, id_col, levels).select(
+        id_col,
+        "q",
+        F.aggregate(
+            F.transform("q", lambda x: x.cast("long") * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("nsq"),
+    )
+    queries = qd.filter(query_pred).select(
+        F.col(id_col).alias("q_id"),
+        F.col("q").alias("qq"),
+        F.col("nsq").alias("qn"),
+    )
+    cands = qd.select(
+        F.col(id_col).alias("cand_id"),
+        F.col("q").alias("cq"),
+        F.col("nsq").alias("cn"),
+    )
+    dotq = F.aggregate(
+        F.zip_with("qq", "cq", lambda x, y: x.cast("long") * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        cands.join(F.broadcast(queries), F.col("cand_id") != F.col("q_id"))
+        .withColumn(
+            "qcos",
+            dotq / F.sqrt(F.col("qn").cast("double") * F.col("cn")),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("qcos"), "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            "rank",
+            "cand_id",
+            F.floor(F.col("qcos") * 1e6 + 0.5).cast("bigint").alias("qcos_e6"),
+        )
+    )

@@ -3275,6 +3275,103 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Quantized ANN search — top-k on the int8 codes end to end, with each
+# quantized neighbor flagged against the EXACT top-k (per-row recall).
+# Scales cancel out of cosine, so ranking is integer dot products +
+# one sqrt: deterministic in both engines, broadcast-query plan
+# identical to the exact path. The flag join makes the accuracy cost of
+# 4x compression part of the hash-checked result.
+# ===========================================================================
+
+@_register(
+    "embed_quantized_topk",
+    f"""
+    WITH coded AS (
+      SELECT vec_id,
+             CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
+                  ELSE list_transform(embedding,
+                         x -> CAST(floor(CAST(x AS DOUBLE) / scale * 127 + 0.5)
+                                   AS INT))
+             END AS q
+      FROM (SELECT vec_id, embedding,
+                   CAST(list_max(list_transform(embedding, x -> abs(x)))
+                        AS DOUBLE) AS scale
+            FROM embeddings)
+    ),
+    nq AS (
+      SELECT vec_id, q,
+             CAST(list_sum(list_transform(q, x -> CAST(x AS BIGINT) * x))
+                  AS BIGINT) AS nsq
+      FROM coded
+    ),
+    qscored AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS cand_id,
+             CAST(list_sum(list_transform(range(1, {_EMB_DIM + 1}),
+                    i -> CAST(a.q[i::INT] AS BIGINT) * b.q[i::INT]))
+                  AS DOUBLE)
+               / sqrt(CAST(a.nsq AS DOUBLE) * b.nsq) AS qcos
+      FROM (SELECT * FROM nq WHERE vec_id < 10) a
+      CROSS JOIN nq b
+      WHERE b.vec_id <> a.vec_id
+    ),
+    qranked AS (
+      SELECT q_id, cand_id, qcos,
+             CAST(row_number() OVER (PARTITION BY q_id
+                                     ORDER BY qcos DESC, cand_id) AS INT) AS rank
+      FROM qscored
+    ),
+    {_emb_norm_cte().strip().lstrip()}
+    ,
+    escored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+             {_COS_SQL} AS cosine
+      FROM (SELECT * FROM nv WHERE vec_id < 10) q
+      CROSS JOIN nv c
+      WHERE c.vec_id <> q.vec_id
+    ),
+    exact AS (
+      SELECT q_id, cand_id FROM (
+        SELECT q_id, cand_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cosine DESC, cand_id) AS rank
+        FROM escored)
+      WHERE rank <= 5
+    )
+    SELECT r.q_id, r.rank, r.cand_id,
+           CAST(floor(r.qcos * 1000000.0 + 0.5) AS BIGINT) AS qcos_e6,
+           (e.cand_id IS NOT NULL) AS in_exact_topk
+    FROM qranked r
+    LEFT JOIN exact e ON r.q_id = e.q_id AND r.cand_id = e.cand_id
+    WHERE r.rank <= 5
+    """,
+    "similarity: quantized ANN top-k + per-row recall (no reference counterpart)",
+    "int8-code cosine top-5 with exact-top-5 membership flags",
+)
+def embed_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.quantize import quantized_cosine_topk
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pred = F.col("vec_id") < 10
+    quant = quantized_cosine_topk(emb, query_pred=pred, k=5)
+    exact = (
+        cosine_topk(emb, query_pred=pred, k=5)
+        .select("q_id", "cand_id")
+        .withColumn("__e", F.lit(1))
+    )
+    return (
+        quant.join(F.broadcast(exact), ["q_id", "cand_id"], "left")
+        .select(
+            "q_id",
+            "rank",
+            "cand_id",
+            "qcos_e6",
+            F.col("__e").isNotNull().alias("in_exact_topk"),
+        )
+    )
+
+
+# ===========================================================================
 # Inverted text index — term -> df + capped posting list, the build
 # step of distributed search and the generalization of the TF-IDF df
 # table. Hot-term state is bounded BEFORE collection (rank filter, same

@@ -34,3 +34,18 @@ def test_quantize_report_mse_matches_manual(spark):
     assert r["q_csv"] == ",".join(map(str, q))
     mse = sum((x - c * scale / 127) ** 2 for x, c in zip([1.0, -0.5, 0.25, 0.0], q)) / 4
     assert r["mse_e9"] == int(mse * 1e9 + 0.5)
+
+
+def test_quantized_topk_high_recall_vs_exact(spark):
+    from pyspark.sql import functions as F
+
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.quantize import quantized_cosine_topk
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pred = F.col("vec_id") < 5
+    quant = {(r["q_id"], r["cand_id"]) for r in quantized_cosine_topk(emb, pred, k=5).collect()}
+    exact = {(r["q_id"], r["cand_id"]) for r in cosine_topk(emb, pred, k=5).collect()}
+    assert quant and len(quant) == len(exact)
+    recall = len(quant & exact) / len(exact)
+    assert recall >= 0.8, recall  # int8 codes must track exact ranking closely
