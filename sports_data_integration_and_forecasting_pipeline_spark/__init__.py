@@ -76,9 +76,32 @@ from .operators.sampling import (
     stratified_hash_sample,
     train_holdout_split,
 )
-from .operators.frequency import heavy_hitters
+from .operators.frequency import (
+    countmin_estimate,
+    countmin_sketch,
+    heavy_hitters,
+    misra_gries,
+)
 from .operators.rangejoin import interval_overlap_join
-from .operators.textstats import unigram_perplexity
+from .operators.textstats import (
+    inverted_index,
+    repetition_stats,
+    unigram_perplexity,
+)
+from .operators.bloom import bloom_build, bloom_might_contain, bloom_prune
+from .operators.chunking import chunk_documents
+from .operators.decontam import benchmark_contamination
+from .operators.dedup import connected_components_star
+from .operators.incremental import merge_rollups, rollup_partial
+from .operators.layout import layout_scan_stats, zorder_key_expr
+from .operators.paths import path_funnel, user_event_paths
+from .operators.quantize import (
+    quantization_report,
+    quantize_embeddings,
+    quantized_cosine_topk,
+)
+from .operators.redact import redact_pii
+from .operators.sampling import mixture_sample
 from .sources.odds_api import fetch_player_props, fetch_odds
 from .app import (
     load_data,
@@ -158,6 +181,33 @@ __all__ = [
     "heavy_hitters",
     "interval_overlap_join",
     "unigram_perplexity",
+    # corpus curation
+    "benchmark_contamination",
+    "redact_pii",
+    "chunk_documents",
+    "mixture_sample",
+    "repetition_stats",
+    "inverted_index",
+    "connected_components_star",
+    # sketches / frequency
+    "countmin_sketch",
+    "countmin_estimate",
+    "misra_gries",
+    # quantization / ANN
+    "quantize_embeddings",
+    "quantization_report",
+    "quantized_cosine_topk",
+    # event paths
+    "user_event_paths",
+    "path_funnel",
+    # incremental / layout / join infra
+    "rollup_partial",
+    "merge_rollups",
+    "zorder_key_expr",
+    "layout_scan_stats",
+    "bloom_build",
+    "bloom_might_contain",
+    "bloom_prune",
     # scale hygiene
     "salted_sum_count",
     "salted_join",
