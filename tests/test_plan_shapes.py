@@ -105,3 +105,25 @@ def test_pinned_plan_shape(spark, name):
         assert frag in plan, f"{name}: lost {frag}"
     for frag in must_not:
         assert frag not in plan, f"{name}: gained {frag}"
+
+
+def test_new_operator_plan_guarantees(spark):
+    """The scale claims the new operators' docstrings make, machine-checked."""
+    def plan(name):
+        return _plan(spark, name)
+
+    # decontamination: the benchmark shingle set must broadcast
+    p = plan("decontaminate_benchmark")
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p, p
+    # count-min probe: sketch side broadcasts
+    p = plan("countmin_frequency")
+    assert "BroadcastHashJoin" in p, p
+    # mixture sampling: rate table broadcasts, corpus side never sort-merges
+    p = plan("mixture_sample_langs")
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p, p
+    # quantization: pure narrow projection
+    p = plan("embed_quantize_int8")
+    assert "Exchange" not in p, p
+    # quantized top-k: queries broadcast; candidates reach the join unshuffled
+    p = plan("embed_quantized_topk")
+    assert "BroadcastNestedLoopJoin" in p, p
