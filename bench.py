@@ -89,7 +89,8 @@ HEADLINE = [
     "inverted_text_index",
     "embed_quantize_int8",
     "embed_quantized_topk",
-    # streaming_* entries excluded: they stage snapshot files per call
+    # streaming_* entries (incl. streaming_incremental_rollup) excluded:
+    # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).
     # forecast_random_forest / dedup_cluster_assign / dedup_cluster_star
     # excluded: iterative

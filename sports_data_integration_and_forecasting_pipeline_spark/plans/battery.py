@@ -1871,6 +1871,80 @@ def forecast_linear_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
 # checkable.
 # ===========================================================================
 
+# ===========================================================================
+# Streaming incremental rollup — foreachBatch maintenance of a stored
+# rollup: every micro-batch contributes a mergeable PARTIAL aggregate
+# (operators/incremental.py), and the final state is one merge over the
+# partials. The oracle recomputes from the full table, so the hash
+# check proves the streaming-maintained state == batch recompute — the
+# contract a 100 TB reporting table relies on (touch the delta, not the
+# history).
+# ===========================================================================
+
+@_register(
+    "streaming_incremental_rollup",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_value_cents,
+           CAST(min(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS min_value_cents,
+           CAST(max(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS max_value_cents
+    FROM events GROUP BY event_type
+    """,
+    "streaming + incremental view maintenance (no reference counterpart)",
+    "foreachBatch partial rollups merged across micro-batches vs full-recompute oracle",
+)
+def streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.incremental import (
+        merge_rollups,
+        rollup_partial,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", _cents(F.col("value")).alias("cents")
+    )
+    stage = tempfile.mkdtemp(prefix="stream_incr_src_")
+    partials_dir = tempfile.mkdtemp(prefix="stream_incr_partials_")
+    ev.repartition(4).write.mode("overwrite").parquet(stage)
+
+    metrics = {
+        "n_events": ("count", ""),
+        "sum_value_cents": ("sum", "cents"),
+        "min_value_cents": ("min", "cents"),
+        "max_value_cents": ("max", "cents"),
+    }
+
+    def upsert_partial(batch_df: DataFrame, _batch_id: int) -> None:
+        rollup_partial(batch_df, ["event_type"], metrics).write.mode(
+            "append"
+        ).parquet(partials_dir)
+
+    (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .writeStream.foreachBatch(upsert_partial)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return merge_rollups(
+        [spark.read.parquet(partials_dir)],
+        ["event_type"],
+        {
+            "n_events": "count",
+            "sum_value_cents": "sum",
+            "min_value_cents": "min",
+            "max_value_cents": "max",
+        },
+    )
+
+
 @_register(
     "streaming_replay_rollup",
     f"""
