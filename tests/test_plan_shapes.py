@@ -25,6 +25,7 @@ ARROW_OK = {
 }
 # Streaming queries materialize via a memory sink, not a lazy plan.
 SKIP = {
+    "streaming_incremental_rollup",
     "streaming_replay_rollup",
     "streaming_session_windows",
     "streaming_line_moves",

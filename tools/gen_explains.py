@@ -21,6 +21,7 @@ spark = get_spark(app_name="explains", master="local[4]")
 SF = "/root/testdata/sf0.01"
 
 SKIP = {
+    "streaming_incremental_rollup",
     "streaming_replay_rollup",
     "streaming_session_windows",
     "streaming_line_moves",
