@@ -1248,9 +1248,11 @@ _BLOOM_BITS, _BLOOM_K, _BLOOM_PRICE = 8192, 3, 475000.0
 
 
 def _bloom_h_sql(i: str, key: str) -> str:
+    # position i slices hex digits [1+8i, 8+8i] of ONE md5 of the key
+    # (mirrors operators/bloom._positions: one hash per probe, k <= 4)
     return (
-        f"CAST(concat('0x', substring(md5(concat(CAST({i} AS VARCHAR), ':', "
-        f"CAST({key} AS VARCHAR))), 1, 8)) AS BIGINT) % {_BLOOM_BITS}"
+        f"CAST(concat('0x', substring(md5(CAST({key} AS VARCHAR)), "
+        f"1 + 8 * {i}, 8)) AS BIGINT) % {_BLOOM_BITS}"
     )
 
 
