@@ -45,10 +45,16 @@ def heavy_hitters(
 
 
 def _cms_bucket(item: Column, row: int, width: int) -> Column:
-    """Row ``row``'s bucket for ``item``: md5-derived 32-bit hash of
-    ``'<row>:' || item`` mod ``width`` — reproducible in any engine with
-    md5 (the oracle states the identical expression)."""
-    return F.pmod(h32(F.concat(F.lit(f"{row}:"), item)), F.lit(width)).cast("int")
+    """Row ``row``'s bucket for ``item``: rows 0-3 slice disjoint
+    8-hex-digit spans of ONE md5 of the item (one hash per item for the
+    standard depth-4 sketch — same trick as `bloom._positions`); deeper
+    rows fall back to salted md5s. Reproducible in any engine with md5
+    (the oracle states the identical expression)."""
+    if row < 4:
+        h = F.conv(F.substring(F.md5(item), 1 + 8 * row, 8), 16, 10).cast("long")
+    else:
+        h = h32(F.concat(F.lit(f"{row}:"), item))
+    return F.pmod(h, F.lit(width)).cast("int")
 
 
 def countmin_sketch(

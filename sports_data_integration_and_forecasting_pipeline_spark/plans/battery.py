@@ -3686,7 +3686,7 @@ _CMS_D, _CMS_W = 4, 64
     WITH items AS (SELECT CAST(user_id AS VARCHAR) AS item FROM events),
     sketch AS (
       SELECT d.row,
-             CAST(CAST(concat('0x', substring(md5(concat(CAST(d.row AS VARCHAR), ':', item)), 1, 8)) AS BIGINT)
+             CAST(CAST(concat('0x', substring(md5(item), 1 + 8 * d.row, 8)) AS BIGINT)
                   % {_CMS_W} AS INT) AS bucket,
              CAST(count(*) AS BIGINT) AS cnt
       FROM items CROSS JOIN range(0, {_CMS_D}) AS d(row)
@@ -3695,7 +3695,7 @@ _CMS_D, _CMS_W = 4, 64
     probes AS (SELECT DISTINCT item FROM items),
     probe_cells AS (
       SELECT p.item, d.row,
-             CAST(CAST(concat('0x', substring(md5(concat(CAST(d.row AS VARCHAR), ':', p.item)), 1, 8)) AS BIGINT)
+             CAST(CAST(concat('0x', substring(md5(p.item), 1 + 8 * d.row, 8)) AS BIGINT)
                   % {_CMS_W} AS INT) AS bucket
       FROM probes p CROSS JOIN range(0, {_CMS_D}) AS d(row)
     )
