@@ -89,6 +89,7 @@ HEADLINE = [
     "inverted_text_index",
     "embed_quantize_int8",
     "embed_quantized_topk",
+    "q5_local_supplier_revenue",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

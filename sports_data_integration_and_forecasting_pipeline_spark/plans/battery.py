@@ -3575,6 +3575,75 @@ def zorder_layout_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# TPC-H Q5-class multi-join — local-supplier revenue by nation for one
+# region-year: 6 tables, the canonical join-discipline audit. The three
+# dimension chains (region -> nation -> customer / supplier) broadcast;
+# only the orders<->lineitem join shuffles, keyed on l_orderkey.
+# Revenue rides exact integer cents (each line's revenue snaps to cents
+# BEFORE the sum, so partition order can't move the total).
+# ===========================================================================
+
+@_register(
+    "q5_local_supplier_revenue",
+    """
+    SELECT n_name,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate < DATE '1997-01-01'
+    GROUP BY n_name
+    """,
+    "multi-join audit (TPC-H Q5 shape; generalizes A9/J1 join coverage)",
+    "6-table local-supplier revenue: dims broadcast, one fact-fact shuffle",
+)
+def q5_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    lineitem = _t(spark, sf_dir, "lineitem")
+
+    asia_customers = (
+        customer.join(
+            F.broadcast(nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        ).select("c_custkey", "c_nationkey", "n_name")
+    )
+    # orders of ASIA customers: customer side is sf-small relative to the
+    # fact tables — broadcast it into the orders scan
+    o = orders.join(F.broadcast(asia_customers), F.col("o_custkey") == F.col("c_custkey"))
+    # the one true shuffle: fact-fact join on the order key
+    l = lineitem.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    # local suppliers only: supplier nation must match customer nation
+    joined = l.join(
+        F.broadcast(supplier),
+        (F.col("l_suppkey") == F.col("s_suppkey"))
+        & (F.col("s_nationkey") == F.col("c_nationkey")),
+    )
+    return joined.groupBy("n_name").agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0 + 0.5
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("revenue_cents"),
+        F.count("*").cast("bigint").alias("n_lines"),
+    )
+
+
+# ===========================================================================
 # Incremental rollup maintenance — merge partial aggregates instead of
 # recomputing: base (pre-1997 orders) and delta (1997+) are aggregated
 # SEPARATELY and merged; the DuckDB oracle recomputes from the full

@@ -93,6 +93,9 @@ PINNED = {
     "embed_cosine_dup_pairs": (1, ["BroadcastHashJoin"],    ["CartesianProduct", "MapInPandas"]),
     "devig_proportional":     (1, [],                       []),
     "tfidf_top_terms":        (5, ["BroadcastHashJoin", "WindowGroupLimit"], ["CartesianProduct"]),
+    # 6-table Q5: every dim chain broadcasts; no join may degrade to
+    # sort-merge (the budget covers BroadcastExchange + the agg shuffle)
+    "q5_local_supplier_revenue": (8, ["BroadcastHashJoin"], ["SortMergeJoin", "CartesianProduct"]),
 }
 
 
