@@ -90,6 +90,7 @@ HEADLINE = [
     "embed_quantize_int8",
     "embed_quantized_topk",
     "q5_local_supplier_revenue",
+    "profile_orders_table",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

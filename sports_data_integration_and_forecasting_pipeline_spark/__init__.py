@@ -100,6 +100,7 @@ from .operators.quantize import (
     quantize_embeddings,
     quantized_cosine_topk,
 )
+from .operators.profile import profile_table
 from .operators.redact import redact_pii
 from .operators.sampling import mixture_sample
 from .sources.odds_api import fetch_player_props, fetch_odds
@@ -208,6 +209,7 @@ __all__ = [
     "bloom_build",
     "bloom_might_contain",
     "bloom_prune",
+    "profile_table",
     # scale hygiene
     "salted_sum_count",
     "salted_join",

@@ -3575,6 +3575,52 @@ def zorder_layout_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Table profiler — ANALYZE-style per-column stats (rows/nulls/NDV/
+# min/max) in one pass, the input to CBO broadcast decisions and data-
+# quality monitors. Exact NDV for the oracle; the 100 TB path swaps in
+# approx_count_distinct (exact=False).
+# ===========================================================================
+
+@_register(
+    "profile_orders_table",
+    """
+    {}
+    """.format(
+        "\nUNION ALL\n".join(
+            f"""SELECT '{c}' AS col_name,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+                   CAST(count(DISTINCT {c}) AS BIGINT) AS ndv,
+                   CAST(min({c}) AS VARCHAR) AS min_str,
+                   CAST(max({c}) AS VARCHAR) AS max_str
+            FROM orders"""
+            for c in [
+                "o_orderkey",
+                "o_custkey",
+                "o_totalprice",
+                "o_orderdate",
+                "o_orderpriority",
+            ]
+        )
+    ),
+    "table profiling / stats collection (no reference counterpart)",
+    "per-column rows/nulls/NDV/min/max over orders in one aggregation pass",
+)
+def profile_orders_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.profile import profile_table
+
+    return profile_table(
+        _t(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
+
+
+# ===========================================================================
 # TPC-H Q5-class multi-join — local-supplier revenue by nation for one
 # region-year: 6 tables, the canonical join-discipline audit. The three
 # dimension chains (region -> nation -> customer / supplier) broadcast;
