@@ -91,6 +91,7 @@ HEADLINE = [
     "embed_quantized_topk",
     "q5_local_supplier_revenue",
     "profile_orders_table",
+    "feature_correlation_screen",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

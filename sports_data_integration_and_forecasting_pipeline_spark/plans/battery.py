@@ -3575,6 +3575,41 @@ def zorder_layout_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Feature correlation screen — Pearson corr / sample covariance /
+# stddev over fact columns, the quick collinearity check before model
+# features ship. Single map-side-combined aggregation of co-moments
+# (constant state per pair); 6-dp rounding covers the ~1-ulp co-moment
+# accumulation divergence between engines.
+# ===========================================================================
+
+@_register(
+    "feature_correlation_screen",
+    f"""
+    SELECT
+      {_sql_r("corr(l_quantity, l_extendedprice)", 6)} AS corr_qty_price,
+      {_sql_r("corr(l_extendedprice, l_discount)", 6)} AS corr_price_disc,
+      {_sql_r("covar_samp(l_quantity, l_extendedprice)", 6)} AS covar_qty_price,
+      {_sql_r("stddev_samp(l_quantity)", 6)} AS sd_qty,
+      {_sql_r("stddev_samp(l_extendedprice)", 6)} AS sd_price,
+      CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    """,
+    "feature screening stats (no reference counterpart; generalizes M1)",
+    "corr/covar/stddev co-moment aggregation over lineitem, one pass",
+)
+def feature_correlation_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        _r(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        _r(F.corr("l_extendedprice", "l_discount"), 6).alias("corr_price_disc"),
+        _r(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias("covar_qty_price"),
+        _r(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        _r(F.stddev_samp("l_extendedprice"), 6).alias("sd_price"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+
+
+# ===========================================================================
 # Table profiler — ANALYZE-style per-column stats (rows/nulls/NDV/
 # min/max) in one pass, the input to CBO broadcast decisions and data-
 # quality monitors. Exact NDV for the oracle; the 100 TB path swaps in
