@@ -92,6 +92,7 @@ HEADLINE = [
     "q5_local_supplier_revenue",
     "profile_orders_table",
     "feature_correlation_screen",
+    "curation_pipeline_v2",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

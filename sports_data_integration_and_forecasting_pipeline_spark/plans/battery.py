@@ -3575,6 +3575,95 @@ def zorder_layout_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Curation pipeline v2 — the round-2 ops composed end to end: drop
+# benchmark-contaminated docs (>= 2 shared 3-grams), rebalance the
+# survivors to the target language mix, chunk what remains, report
+# per-language corpus stats. Every stage is an oracle-checked operator
+# on its own; this entry proves they COMPOSE (the oracle splices the
+# same CTE pieces), which is how the 100 TB pipeline actually runs.
+# ===========================================================================
+
+@_register(
+    "curation_pipeline_v2",
+    f"""
+    WITH shed AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform({_SHINGLE3_RAW_SQL},
+                                                 s -> {_h60_sql('s')}))) AS sh
+      FROM documents
+    ),
+    bench AS (SELECT DISTINCT sh FROM shed WHERE doc_id % 17 = 0),
+    contam AS (
+      SELECT d.doc_id
+      FROM (SELECT doc_id, sh FROM shed WHERE doc_id % 17 <> 0) d
+      JOIN bench b ON d.sh = b.sh
+      GROUP BY d.doc_id HAVING count(*) >= 2
+    ),
+    clean AS (
+      SELECT * FROM documents
+      WHERE doc_id % 17 <> 0 AND doc_id NOT IN (SELECT doc_id FROM contam)
+    ),
+    w(lang, w) AS (VALUES {", ".join(f"('{k}', {v})" for k, v in _MIX_WEIGHTS.items())}),
+    counts AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n_d FROM clean GROUP BY lang),
+    r AS (SELECT c.lang, n_d, w.w, n_d / w.w AS ratio
+          FROM counts c JOIN w USING (lang) WHERE w.w > 0),
+    t AS (SELECT min(ratio) AS t_max FROM r),
+    rates AS (SELECT lang, w * t_max / n_d AS rate FROM r CROSS JOIN t),
+    sampled AS (
+      SELECT d.doc_id, d.lang, d.text
+      FROM clean d JOIN rates USING (lang)
+      WHERE {_h60_sql("concat('mix', CAST(doc_id AS VARCHAR))")} / {_H60_SPACE_SQL} < rate
+    ),
+    tok AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM sampled
+    ),
+    chunks AS (
+      SELECT doc_id, lang,
+             len(list_slice(toks, i * {_CHUNK_STRIDE} + 1,
+                            i * {_CHUNK_STRIDE} + {_CHUNK_MAX})) AS chunk_tokens
+      FROM (SELECT doc_id, lang, toks,
+                   unnest(range(0, (n + {_CHUNK_STRIDE - 1}) // {_CHUNK_STRIDE})) AS i
+            FROM tok)
+    )
+    SELECT lang,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(chunk_tokens) AS BIGINT) AS sum_tokens
+    FROM chunks GROUP BY lang
+    """,
+    "composite: decontaminate -> mixture-sample -> chunk (no reference counterpart)",
+    "round-2 curation ops composed end to end, per-language corpus stats",
+)
+def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.chunking import chunk_documents
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.decontam import (
+        benchmark_contamination,
+    )
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.sampling import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    contaminated = (
+        benchmark_contamination(corpus, bench, min_hits=2)
+        .filter(F.col("contaminated"))
+        .select("doc_id")
+    )
+    clean = corpus.join(contaminated, "doc_id", "left_anti")
+    mixed = mixture_sample(clean, "lang", _MIX_WEIGHTS, "doc_id")
+    chunks = chunk_documents(
+        mixed, max_tokens=_CHUNK_MAX, stride=_CHUNK_STRIDE
+    ).join(mixed.select("doc_id", "lang"), "doc_id")
+    return chunks.groupBy("lang").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.sum("chunk_tokens").cast("bigint").alias("sum_tokens"),
+    )
+
+
+# ===========================================================================
 # Feature correlation screen — Pearson corr / sample covariance /
 # stddev over fact columns, the quick collinearity check before model
 # features ship. Single map-side-combined aggregation of co-moments
