@@ -29,21 +29,27 @@ def chunk_documents(
     id_col: str = "doc_id",
     max_tokens: int = 32,
     stride: int | None = None,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
-    """One row per (doc, chunk): ``(id_col, chunk_id, chunk_start,
-    chunk_tokens, chunk_fp)`` where ``chunk_fp`` is the md5 of the
-    chunk's whitespace-rejoined text (carry the text itself by swapping
-    the fingerprint projection — fp keeps battery rows compact)."""
+    """One row per (doc, chunk): ``(id_col, *passthrough, chunk_id,
+    chunk_start, chunk_tokens, chunk_fp)`` where ``chunk_fp`` is the md5
+    of the chunk's whitespace-rejoined text (carry the text itself by
+    swapping the fingerprint projection — fp keeps battery rows
+    compact). ``passthrough`` columns (e.g. language, source) ride the
+    narrow plan instead of forcing a join-back after chunking."""
     stride = stride or max_tokens
     if not 0 < stride <= max_tokens:
         raise ValueError("need 0 < stride <= max_tokens")
+    extra = list(passthrough)
     toks = df.select(
         F.col(id_col),
+        *extra,
         F.split(F.col(text_col), " ").alias("__toks"),
     ).withColumn("__n", F.size("__toks"))
     # n_chunks = ceil(n / stride), integer-exact in both engines
     chunks = toks.select(
         id_col,
+        *extra,
         "__toks",
         F.explode(
             F.sequence(
@@ -53,6 +59,7 @@ def chunk_documents(
     ).withColumn("__chunk", F.slice("__toks", F.col("chunk_id") * stride + 1, max_tokens))
     return chunks.select(
         id_col,
+        *extra,
         F.col("chunk_id").cast("bigint"),
         (F.col("chunk_id") * stride).cast("bigint").alias("chunk_start"),
         F.size("__chunk").cast("bigint").alias("chunk_tokens"),

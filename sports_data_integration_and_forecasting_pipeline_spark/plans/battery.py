@@ -3654,8 +3654,11 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = corpus.join(contaminated, "doc_id", "left_anti")
     mixed = mixture_sample(clean, "lang", _MIX_WEIGHTS, "doc_id")
     chunks = chunk_documents(
-        mixed, max_tokens=_CHUNK_MAX, stride=_CHUNK_STRIDE
-    ).join(mixed.select("doc_id", "lang"), "doc_id")
+        mixed,
+        max_tokens=_CHUNK_MAX,
+        stride=_CHUNK_STRIDE,
+        passthrough=("lang",),
+    )
     return chunks.groupBy("lang").agg(
         F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
         F.count("*").cast("bigint").alias("n_chunks"),
