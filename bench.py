@@ -93,6 +93,7 @@ HEADLINE = [
     "profile_orders_table",
     "feature_correlation_screen",
     "curation_pipeline_v2",
+    "order_price_relative_rank",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

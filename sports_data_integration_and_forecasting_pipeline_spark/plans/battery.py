@@ -2774,6 +2774,51 @@ def orders_vs_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Relative-rank windows — percent_rank and cume_dist per group (the two
+# ranking functions the rest of the battery doesn't exercise), with the
+# (cents, orderkey) tiebreak making positions engine-exact. Both are
+# exact rational values (rank arithmetic over int counts), so no
+# rounding is needed.
+# ===========================================================================
+
+@_register(
+    "order_price_relative_rank",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+      FROM orders WHERE o_orderkey % 29 = 0
+    )
+    SELECT o_orderkey, o_orderpriority, price_cents,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM base
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY price_cents, o_orderkey)
+    """,
+    "window functions: percent_rank / cume_dist (O4 family)",
+    "relative rank positions per priority, exact rational values",
+)
+def order_price_relative_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 29 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            _cents(F.col("o_totalprice")).alias("price_cents"),
+        )
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("price_cents", "o_orderkey")
+    return base.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "price_cents",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+# ===========================================================================
 # Decile analysis — ntile bucketing per group plus per-decile rollup:
 # the ranking-into-equal-buckets shape (price deciles per order priority)
 # with exact tiebreaks so bucket boundaries match across engines.
