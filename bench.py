@@ -94,6 +94,7 @@ HEADLINE = [
     "feature_correlation_screen",
     "curation_pipeline_v2",
     "order_price_relative_rank",
+    "misra_gries_heavy_hitters",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).
