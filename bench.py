@@ -95,6 +95,7 @@ HEADLINE = [
     "curation_pipeline_v2",
     "order_price_relative_rank",
     "misra_gries_heavy_hitters",
+    "scd2_user_state_intervals",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

@@ -102,6 +102,7 @@ from .operators.quantize import (
 )
 from .operators.profile import profile_table
 from .operators.redact import redact_pii
+from .operators.scd import scd2_intervals
 from .operators.sampling import mixture_sample
 from .sources.odds_api import fetch_player_props, fetch_odds
 from .app import (
@@ -210,6 +211,7 @@ __all__ = [
     "bloom_might_contain",
     "bloom_prune",
     "profile_table",
+    "scd2_intervals",
     # scale hygiene
     "salted_sum_count",
     "salted_join",

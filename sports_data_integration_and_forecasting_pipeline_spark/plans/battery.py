@@ -2774,6 +2774,66 @@ def orders_vs_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# SCD2 interval building — the warehouse history-table op: collapse
+# each user's event-type stream into validity intervals (valid_from /
+# valid_to, NULL = current state). Gaps-and-islands over ONE
+# key-partitioned time-ordered exchange; interval bounds convert ns->s
+# exactly on both engines (ts DIV 1e9 == epoch_us // 1e6).
+# ===========================================================================
+
+@_register(
+    "scd2_user_state_intervals",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                    OR lag(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    isl AS (
+      SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    ),
+    runs AS (
+      SELECT user_id, island,
+             min(event_type) AS event_type,
+             min(ts) AS vf,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id, event_type,
+           CAST(epoch_us(vf) // 1000000 AS BIGINT) AS valid_from_s,
+           CAST(epoch_us(lead(vf) OVER (PARTITION BY user_id ORDER BY island))
+                // 1000000 AS BIGINT) AS valid_to_s,
+           n_rows
+    FROM runs
+    """,
+    "SCD type-2 dimension history (no reference counterpart)",
+    "per-user event-type validity intervals via gaps-and-islands, one exchange",
+)
+def scd2_user_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.scd import scd2_intervals
+
+    out = scd2_intervals(
+        _t(spark, sf_dir, "events"),
+        key_col="user_id",
+        ts_col="ts",
+        attr_col="event_type",
+        tiebreak_col="event_id",
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        F.expr("valid_from DIV 1000000000").alias("valid_from_s"),
+        F.expr("valid_to DIV 1000000000").alias("valid_to_s"),
+        "n_rows",
+    )
+
+
+# ===========================================================================
 # Relative-rank windows — percent_rank and cume_dist per group (the two
 # ranking functions the rest of the battery doesn't exercise), with the
 # (cents, orderkey) tiebreak making positions engine-exact. Both are
