@@ -96,6 +96,7 @@ HEADLINE = [
     "order_price_relative_rank",
     "misra_gries_heavy_hitters",
     "scd2_user_state_intervals",
+    "cohort_weekly_retention",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

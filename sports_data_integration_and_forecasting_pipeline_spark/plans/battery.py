@@ -2774,6 +2774,53 @@ def orders_vs_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Cohort retention — the product-analytics matrix: users grouped by
+# first-activity week, activity counted per week offset. The per-user
+# cohort anchor is a window min sharing the single user_id exchange;
+# the matrix agg is map-side combined. Day arithmetic is exact integer
+# floor division on both engines (ns DIV 86.4e12 == epoch_us // 86.4e9).
+# ===========================================================================
+
+@_register(
+    "cohort_weekly_retention",
+    """
+    WITH d AS (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+      WHERE event_id % 23 = 0
+    ),
+    c AS (
+      SELECT user_id, day, min(day) OVER (PARTITION BY user_id) AS d0 FROM d
+    )
+    SELECT CAST(d0 // 7 AS BIGINT) AS cohort_week,
+           CAST((day - d0) // 7 AS BIGINT) AS week_offset,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+    FROM c GROUP BY 1, 2
+    """,
+    "cohort / retention analytics (no reference counterpart)",
+    "weekly retention matrix: first-activity cohorts x week offsets",
+)
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic 1-in-23 thinning: unthinned, every synthetic user is
+    # active from day 0 and the matrix collapses to a single cohort
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 23 == 0)
+        .select("user_id", F.expr("ts DIV 86400000000000").alias("day"))
+    )
+    w = Window.partitionBy("user_id")
+    c = ev.withColumn("d0", F.min("day").over(w))
+    return (
+        c.select(
+            "user_id",
+            F.expr("d0 div 7").cast("bigint").alias("cohort_week"),
+            F.expr("(day - d0) div 7").cast("bigint").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_active"))
+    )
+
+
+# ===========================================================================
 # SCD2 interval building — the warehouse history-table op: collapse
 # each user's event-type stream into validity intervals (valid_from /
 # valid_to, NULL = current state). Gaps-and-islands over ONE
