@@ -97,6 +97,7 @@ HEADLINE = [
     "misra_gries_heavy_hitters",
     "scd2_user_state_intervals",
     "cohort_weekly_retention",
+    "kfold_split_audit",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

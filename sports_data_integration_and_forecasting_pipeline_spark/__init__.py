@@ -103,7 +103,7 @@ from .operators.quantize import (
 from .operators.profile import profile_table
 from .operators.redact import redact_pii
 from .operators.scd import scd2_intervals
-from .operators.sampling import mixture_sample
+from .operators.sampling import kfold_assign, mixture_sample
 from .sources.odds_api import fetch_player_props, fetch_odds
 from .app import (
     load_data,
@@ -188,6 +188,7 @@ __all__ = [
     "redact_pii",
     "chunk_documents",
     "mixture_sample",
+    "kfold_assign",
     "repetition_stats",
     "inverted_index",
     "connected_components_star",

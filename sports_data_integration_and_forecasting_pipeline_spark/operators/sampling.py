@@ -115,3 +115,22 @@ def mixture_sample(
         .filter(_key_uniform(F.col(key_col), salt) < F.col("rate"))
         .drop("rate")
     )
+
+
+def kfold_assign(
+    df: DataFrame,
+    key_col: str,
+    k: int = 5,
+    salt: str = "fold",
+) -> DataFrame:
+    """``df`` + a ``fold`` column in ``[0, k)`` — deterministic k-fold
+    cross-validation assignment by key hash: the same key always lands
+    in the same fold regardless of partitioning, engine, or rerun, so
+    train/validation splits are reproducible and leakage-free (every
+    occurrence of a key shares its fold). One narrow projection; the
+    training loop takes ``fold != i`` / ``fold == i`` slices for free.
+    """
+    fold = F.pmod(
+        h60(F.concat(F.lit(salt), F.col(key_col).cast("string"))), F.lit(k)
+    ).cast("int")
+    return df.withColumn("fold", fold)

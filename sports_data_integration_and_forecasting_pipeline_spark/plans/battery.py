@@ -2774,6 +2774,44 @@ def orders_vs_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# K-fold assignment — reproducible cross-validation splits by key hash:
+# same key -> same fold on any engine/partitioning/rerun, so CV is
+# leakage-free by construction. The entry audits the split itself:
+# per-fold sizes, distinct users, and label mix (the checks an ML
+# pipeline runs before trusting its folds).
+# ===========================================================================
+
+@_register(
+    "kfold_split_audit",
+    f"""
+    WITH folds AS (
+      SELECT event_id, user_id, event_type,
+             CAST({_h60_sql("concat('fold', CAST(event_id AS VARCHAR))")} % 5 AS INT)
+               AS fold
+      FROM events
+    )
+    SELECT fold,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+             AS n_purchases
+    FROM folds GROUP BY fold
+    """,
+    "sampling: k-fold CV assignment (M-family infrastructure)",
+    "deterministic 5-fold split audit: sizes, users, label mix per fold",
+)
+def kfold_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.sampling import kfold_assign
+
+    folds = kfold_assign(_t(spark, sf_dir, "events"), "event_id", k=5)
+    return folds.groupBy("fold").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.count_if(F.col("event_type") == "purchase").cast("bigint").alias("n_purchases"),
+    )
+
+
+# ===========================================================================
 # Cohort retention — the product-analytics matrix: users grouped by
 # first-activity week, activity counted per week offset. The per-user
 # cohort anchor is a window min sharing the single user_id exchange;

@@ -114,3 +114,19 @@ def test_mixture_sample_is_rerun_stable(spark):
         for r in mixture_sample(docs.repartition(7), "lang", w, "doc_id").collect()
     )
     assert a == b and a
+
+
+def test_kfold_is_stable_and_partitions_keys(spark):
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.sampling import kfold_assign
+
+    ev = _events(spark)
+    a = {r["event_id"]: r["fold"] for r in kfold_assign(ev, "event_id", k=5).collect()}
+    b = {r["event_id"]: r["fold"] for r in kfold_assign(ev.repartition(7), "event_id", k=5).collect()}
+    assert a == b
+    assert set(a.values()) == set(range(5))
+    # folds are a partition: together they cover everything exactly once
+    assert len(a) == ev.count()
+    # roughly balanced (hash uniformity)
+    from collections import Counter
+    sizes = Counter(a.values())
+    assert max(sizes.values()) < 1.4 * min(sizes.values())
