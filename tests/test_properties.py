@@ -174,3 +174,81 @@ def test_rolling_features_match_pandas(spark, rows):
             assert g_tgt is None
         else:
             assert g_tgt == row["tgt"]
+
+
+# --- round-2 operator properties -------------------------------------------
+
+ident = st.text(alphabet="abcdefghij", min_size=1, max_size=6)
+
+
+@given(
+    members=st.lists(st.integers(0, 10_000), min_size=1, max_size=60, unique=True),
+    probes=st.lists(st.integers(0, 10_000), min_size=1, max_size=60, unique=True),
+)
+@settings(**SETTINGS)
+def test_bloom_soundness_property(spark, members, probes):
+    """A bloom filter NEVER reports a true member absent, for any key set."""
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    keys = spark.createDataFrame([(m,) for m in members], ["key"])
+    bloom = bloom_build(keys, "key", n_bits=512, k=3)
+    pdf = spark.createDataFrame([(p,) for p in probes], ["key"])
+    out = {r["key"]: r["bloom_pass"] for r in bloom_might_contain(pdf, "key", bloom, n_bits=512, k=3).collect()}
+    for p in probes:
+        if p in set(members):
+            assert out[p], f"member {p} rejected"
+
+
+@given(
+    items=st.lists(st.integers(0, 50), min_size=1, max_size=120),
+)
+@settings(**SETTINGS)
+def test_countmin_upper_bound_property(spark, items):
+    """CMS estimates dominate true counts on arbitrary streams."""
+    from collections import Counter
+
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.frequency import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+
+    df = spark.createDataFrame([(str(i),) for i in items], ["item"])
+    sk = countmin_sketch(df, "item", depth=3, width=16)
+    est = {
+        r["item"]: r["est_cnt"]
+        for r in countmin_estimate(sk, df.distinct(), "item", depth=3, width=16).collect()
+    }
+    true = Counter(str(i) for i in items)
+    assert set(est) == set(true)
+    for k, n in true.items():
+        assert est[k] >= n
+
+
+@given(
+    n_tokens=st.integers(1, 150),
+    max_tokens=st.integers(1, 40),
+    stride_frac=st.floats(0.25, 1.0),
+)
+@settings(**SETTINGS)
+def test_chunking_tiles_every_token(spark, n_tokens, max_tokens, stride_frac):
+    """Chunk layout covers the document: the final chunk ends at the last
+    token, starts step by exactly `stride`, and no chunk exceeds
+    `max_tokens` (for any doc length / window / overlap combination)."""
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.chunking import chunk_documents
+
+    stride = max(1, int(max_tokens * stride_frac))
+    text = " ".join(f"t{i}" for i in range(n_tokens))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = sorted(
+        chunk_documents(df, max_tokens=max_tokens, stride=stride).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    assert rows[0]["chunk_start"] == 0
+    for a, b in zip(rows, rows[1:]):
+        assert b["chunk_start"] - a["chunk_start"] == stride
+    assert all(1 <= r["chunk_tokens"] <= max_tokens for r in rows)
+    last = rows[-1]
+    assert last["chunk_start"] + last["chunk_tokens"] == n_tokens
