@@ -98,6 +98,7 @@ HEADLINE = [
     "scd2_user_state_intervals",
     "cohort_weekly_retention",
     "kfold_split_audit",
+    "rfm_user_segments",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

@@ -2774,6 +2774,60 @@ def orders_vs_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# RFM segmentation — recency/frequency/monetary quintile scores per
+# user (5 = best), the classic customer-value segmentation. One
+# exchange builds the per-user profile; the three ntile windows run
+# over the ALREADY-AGGREGATED users (tiny), with user_id tiebreaks
+# making every quintile boundary engine-exact.
+# ===========================================================================
+
+@_register(
+    "rfm_user_segments",
+    """
+    WITH profile AS (
+      SELECT user_id,
+             CAST(max(epoch_us(ts) // 86400000000) AS BIGINT) AS last_day,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, last_day, n_events, cents,
+           CAST(6 - ntile(5) OVER (ORDER BY last_day DESC, user_id) AS INT) AS r_score,
+           CAST(6 - ntile(5) OVER (ORDER BY n_events DESC, user_id) AS INT) AS f_score,
+           CAST(6 - ntile(5) OVER (ORDER BY cents DESC, user_id) AS INT) AS m_score
+    FROM profile
+    """,
+    "RFM customer segmentation (no reference counterpart)",
+    "recency/frequency/monetary quintiles per user, exact tiebreaks",
+)
+def rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    profile = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.expr("ts DIV 86400000000000")).cast("bigint").alias("last_day"),
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(_cents(F.col("value"))).cast("bigint").alias("cents"),
+        )
+    )
+    def score(col):
+        return (
+            6 - F.ntile(5).over(Window.orderBy(F.desc(col), "user_id"))
+        ).cast("int")
+
+    return profile.select(
+        "user_id",
+        "last_day",
+        "n_events",
+        "cents",
+        score("last_day").alias("r_score"),
+        score("n_events").alias("f_score"),
+        score("cents").alias("m_score"),
+    )
+
+
+# ===========================================================================
 # K-fold assignment — reproducible cross-validation splits by key hash:
 # same key -> same fold on any engine/partitioning/rerun, so CV is
 # leakage-free by construction. The entry audits the split itself:
