@@ -99,6 +99,7 @@ HEADLINE = [
     "cohort_weekly_retention",
     "kfold_split_audit",
     "rfm_user_segments",
+    "time_to_convert",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

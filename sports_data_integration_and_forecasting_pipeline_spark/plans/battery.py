@@ -2774,6 +2774,65 @@ def orders_vs_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Time-to-convert — per user, seconds from the FIRST view to the first
+# purchase AFTER it (order matters: earlier purchases don't count).
+# The anchor is a window min sharing the one user_id exchange with the
+# final rollup; second timestamps convert exactly on both engines.
+# ===========================================================================
+
+@_register(
+    "time_to_convert",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t0 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t1
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > v.t0
+      GROUP BY e.user_id
+    )
+    SELECT v.user_id,
+           CAST(epoch_us(t0) // 1000000 AS BIGINT) AS first_view_s,
+           (t1 IS NOT NULL) AS converted,
+           CAST(epoch_us(t1) // 1000000 - epoch_us(t0) // 1000000 AS BIGINT)
+             AS secs_to_convert
+    FROM v LEFT JOIN p ON v.user_id = p.user_id
+    """,
+    "time-to-event analytics (no reference counterpart)",
+    "first-view -> first-subsequent-purchase latency per user",
+)
+def time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id")
+    anchored = ev.withColumn(
+        "t0", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    out = (
+        anchored.filter(F.col("t0").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min("t0").alias("t0"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t0")),
+                    F.col("ts"),
+                )
+            ).alias("t1"),
+        )
+    )
+    return out.select(
+        "user_id",
+        F.expr("t0 DIV 1000000000").alias("first_view_s"),
+        F.col("t1").isNotNull().alias("converted"),
+        (F.expr("t1 DIV 1000000000") - F.expr("t0 DIV 1000000000")).alias(
+            "secs_to_convert"
+        ),
+    )
+
+
+# ===========================================================================
 # RFM segmentation — recency/frequency/monetary quintile scores per
 # user (5 = best), the classic customer-value segmentation. One
 # exchange builds the per-user profile; the three ntile windows run
