@@ -100,6 +100,7 @@ HEADLINE = [
     "kfold_split_audit",
     "rfm_user_segments",
     "time_to_convert",
+    "twap_user_value",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

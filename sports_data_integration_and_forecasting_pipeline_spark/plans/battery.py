@@ -2774,6 +2774,62 @@ def orders_vs_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# TWAP — time-weighted average value per user: each observation is
+# weighted by how long it "held" (seconds until the user's next event;
+# the final observation gets weight 0 — half-open interval convention).
+# The lead window and the rollup share one user_id exchange. Weights
+# and value-cents stay in exact integer space; only the final ratio is
+# floating (exact int/int division in both engines).
+# ===========================================================================
+
+@_register(
+    "twap_user_value",
+    """
+    WITH ticks AS (
+      SELECT user_id,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+             epoch_us(ts) // 1000000 AS ts_s,
+             lead(epoch_us(ts) // 1000000)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_s
+      FROM events
+    )
+    SELECT user_id,
+           CAST(sum(coalesce(next_s - ts_s, 0)) AS BIGINT) AS held_s,
+           CAST(sum(cents * coalesce(next_s - ts_s, 0)) AS BIGINT)
+             AS cents_seconds,
+           sum(cents * coalesce(next_s - ts_s, 0))
+             / sum(coalesce(next_s - ts_s, 0)) AS twap_cents
+    FROM ticks GROUP BY user_id
+    """,
+    "time series: time-weighted average (no reference counterpart)",
+    "duration-weighted average value per user, exact integer weights",
+)
+def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        _cents(F.col("value")).alias("cents"),
+        F.expr("ts DIV 1000000000").alias("ts_s"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ticks = ev.withColumn("next_s", F.lead("ts_s").over(w))
+    held = F.coalesce(F.col("next_s") - F.col("ts_s"), F.lit(0))
+    return (
+        ticks.select("user_id", "cents", held.alias("held"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("held").cast("bigint").alias("held_s"),
+            F.sum(F.col("cents") * F.col("held")).cast("bigint").alias("cents_seconds"),
+            (
+                F.sum(F.col("cents") * F.col("held"))
+                / F.sum("held")
+            ).alias("twap_cents"),
+        )
+    )
+
+
+# ===========================================================================
 # Time-to-convert — per user, seconds from the FIRST view to the first
 # purchase AFTER it (order matters: earlier purchases don't count).
 # The anchor is a window min sharing the one user_id exchange with the
