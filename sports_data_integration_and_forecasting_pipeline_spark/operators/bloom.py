@@ -94,18 +94,30 @@ def bloom_might_contain(
     set the bloom was built from; True ⇒ probably in (false-positive rate
     ~``(1 - e^(-k·n/n_bits))^k``). Narrow — broadcast 1-row join, no
     shuffle on ``df``."""
-    probed = df.join(F.broadcast(bloom)).withColumn(
+    # Reserved working columns: the 1-row bloom map is aliased before the
+    # cross join so a probe df that itself has a `bloom` column survives;
+    # collide on the reserved names and we raise instead of silently
+    # dropping user data in the trailing drop().
+    reserved = {"__bloom_words", "__ps"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"bloom_might_contain: probe DataFrame already has reserved "
+            f"column(s) {sorted(clash)}; rename them before probing"
+        )
+    words = bloom.select(F.col("bloom").alias("__bloom_words"))
+    probed = df.join(F.broadcast(words)).withColumn(
         "__ps", _positions(F.col(key_col), n_bits, k)
     )
     checks = [
         F.expr(
-            f"(coalesce(element_at(bloom, cast(element_at(__ps, {i + 1}) div 63 as int)), 0L)"
+            f"(coalesce(element_at(__bloom_words, cast(element_at(__ps, {i + 1}) div 63 as int)), 0L)"
             f" & shiftleft(1L, cast(element_at(__ps, {i + 1}) % 63 as int))) != 0"
         )
         for i in range(k)
     ]
     return probed.withColumn(out_col, reduce(lambda a, b: a & b, checks)).drop(
-        "bloom", "__ps"
+        "__bloom_words", "__ps"
     )
 
 

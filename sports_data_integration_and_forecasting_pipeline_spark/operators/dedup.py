@@ -49,26 +49,36 @@ SIMHASH_BAND_BITS = 15  # 4 bands x 15 bits -> 32768 bucket values/band
 
 # Bounded persist registry: pair operators cache their signature/index df
 # (it feeds both join sides). Each new invocation releases the previous
-# cache for the same role, so repeated calls in one session hold at most
-# one cached copy per role instead of accumulating blocks.
-_ACTIVE_CACHE: dict[str, DataFrame] = {}
+# cache for the same (session, role), so repeated calls in one session hold
+# at most one cached copy per role instead of accumulating blocks — while a
+# second concurrent SparkSession (or thread) never unpersists a DataFrame
+# still backing another session's unevaluated result. Mutation is
+# lock-guarded; the registry is keyed by the owning SparkSession's id so
+# stopped sessions' entries can't collide with a successor's.
+import threading
+
+_ACTIVE_CACHE: dict[tuple[int, str], DataFrame] = {}
+_CACHE_LOCK = threading.Lock()
 
 
 def _persist_scoped(role: str, df: DataFrame) -> DataFrame:
-    prev = _ACTIVE_CACHE.get(role)
-    if prev is not None:
-        prev.unpersist()
-    out = df.persist()
-    _ACTIVE_CACHE[role] = out
+    key = (id(df.sparkSession), role)
+    with _CACHE_LOCK:
+        prev = _ACTIVE_CACHE.get(key)
+        if prev is not None:
+            prev.unpersist()
+        out = df.persist()
+        _ACTIVE_CACHE[key] = out
     return out
 
 
 def release_caches() -> None:
     """Unpersist every cache this module is holding (call after draining a
     batch of dedup queries; tests assert this leaves zero cached RDDs)."""
-    for df in _ACTIVE_CACHE.values():
-        df.unpersist()
-    _ACTIVE_CACHE.clear()
+    with _CACHE_LOCK:
+        for df in _ACTIVE_CACHE.values():
+            df.unpersist()
+        _ACTIVE_CACHE.clear()
 
 
 def _mh_params(i: int) -> tuple[int, int]:

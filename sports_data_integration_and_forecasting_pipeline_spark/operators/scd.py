@@ -39,12 +39,17 @@ def scd2_intervals(
         ts_col,
         tiebreak_col,
         attr_col,
+        # Null-safe change flag: `lag != attr` is NULL (flag absorbed) when
+        # attr transitions non-null -> NULL, silently merging the NULL row
+        # into the previous island. eqNullSafe treats NULL as a comparable
+        # state: NULL->NULL continues an island, x->NULL / NULL->x breaks
+        # one, and the partition's first row (lag missing) flags correctly
+        # for any non-null attr while an all-NULL head starts island 0 —
+        # still a well-formed group.
         F.when(
-            F.lag(attr_col).over(w).isNull()
-            | (F.lag(attr_col).over(w) != F.col(attr_col)),
-            1,
+            F.lag(attr_col).over(w).eqNullSafe(F.col(attr_col)), 0
         )
-        .otherwise(0)
+        .otherwise(1)
         .alias("__chg"),
     ).withColumn(
         "__island",

@@ -3040,8 +3040,7 @@ def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH flagged AS (
       SELECT user_id, ts, event_id, event_type,
-             CASE WHEN lag(event_type) OVER w IS NULL
-                    OR lag(event_type) OVER w <> event_type
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
                   THEN 1 ELSE 0 END AS chg
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

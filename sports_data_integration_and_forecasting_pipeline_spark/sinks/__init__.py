@@ -59,6 +59,70 @@ def _write_pointer(root, version: str, fmt: str) -> None:
     os.replace(tmp, root / _VERSION_FILE)
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Raised when a version commit detects a competing writer."""
+
+
+def _stage_path(root, next_name: str):
+    """Invisible (dot-prefixed, so skipped by Spark readers) per-attempt
+    staging directory for a version commit. A writer that dies mid-write
+    strands only staged debris — never a visible half-baked version."""
+    import uuid
+
+    return root / f".{next_name}.staged.{uuid.uuid4().hex[:8]}"
+
+
+def _publish_version(root, staged, next_name: str) -> None:
+    """Atomically claim the version name: ``os.rename(staged -> vNNNNNNNN)``
+    is one atomic directory rename that FAILS (ENOTEMPTY) if a competing
+    committer already published the same version — the second writer can't
+    silently overwrite the first's files. The loser's staged dir is
+    removed and the race surfaces as :class:`ConcurrentWriteError`."""
+    import os
+    import shutil
+
+    target = root / next_name
+    try:
+        os.rename(staged, target)
+    except OSError as exc:
+        shutil.rmtree(str(staged), ignore_errors=True)
+        raise ConcurrentWriteError(
+            f"version directory {next_name} already exists under {root}; "
+            "a concurrent writer committed first — re-read the table and retry"
+        ) from exc
+
+
+def _prune_staged_debris(root) -> None:
+    """Remove staging directories stranded by crashed committers. Called
+    after a successful publish, at which point any remaining staged dir is
+    either debris or a competitor that will fail loudly at its own
+    publish/flip (single-writer is the documented deployment contract)."""
+    import shutil
+
+    for child in root.iterdir():
+        if child.is_dir() and ".staged." in child.name and child.name.startswith("."):
+            shutil.rmtree(str(child), ignore_errors=True)
+
+
+def _commit_version(root, base_version: str | None, next_name: str, fmt: str) -> None:
+    """Conditional pointer flip: verify the pointer still names the base
+    version this commit was computed against, then flip. Together with
+    :func:`_claim_version` this turns lost-update races into loud
+    failures. The check-then-replace pair is not itself atomic — true
+    multi-writer mutual exclusion needs an external lock service (the same
+    contract Delta documents for S3); single-writer-per-table remains the
+    deployment assumption, and this guard converts violations of it from
+    silent data loss into a raised :class:`ConcurrentWriteError`."""
+    cur = _pointer(root)
+    cur_name = cur[0] if cur else None
+    if cur_name != base_version:
+        raise ConcurrentWriteError(
+            f"canonical table at {root} moved from {base_version!r} to "
+            f"{cur_name!r} during commit; recompute against the new version"
+        )
+    _write_pointer(root, next_name, fmt)
+
+
 def _data_dir(root) -> tuple[str, str]:
     """(absolute data path, fmt) for the current version — the versioned
     dir when a pointer exists, else the legacy flat root."""
@@ -149,16 +213,18 @@ def merge_canonical(
     n = merged.count()
     cur_ver = int(ptr[0][1:]) if ptr else 0
     next_name = f"v{cur_ver + 1:08d}"
+    staged = _stage_path(root, next_name)
     writer = (
         merged.repartition(SF.col(partition_col))
         .write.mode("overwrite")
         .partitionBy(partition_col)
     )
     if fmt == "csv":
-        writer.option("header", "true").csv(str(root / next_name))
+        writer.option("header", "true").csv(str(staged))
     else:
-        writer.parquet(str(root / next_name))
-    _write_pointer(root, next_name, fmt)
+        writer.parquet(str(staged))
+    _publish_version(root, staged, next_name)
+    _commit_version(root, ptr[0] if ptr else None, next_name, fmt)
     return n
 
 
@@ -240,7 +306,7 @@ def compact_canonical(
 
     cur_ver = int(ptr[0][1:]) if ptr else 0
     next_name = f"v{cur_ver + 1:08d}"
-    target = root / next_name
+    staged = _stage_path(root, next_name)
     if target_files_per_partition > 1:
         # salt on a hash of the non-partition columns: up to n files per
         # date dir, co-located rows stay together. (Hash collisions can
@@ -261,11 +327,13 @@ def compact_canonical(
         compacted = df.repartition(F.col(partition_col))
     writer = compacted.write.mode("overwrite").partitionBy(partition_col)
     if fmt == "csv":
-        writer.option("header", "true").csv(str(target))
+        writer.option("header", "true").csv(str(staged))
     else:
-        writer.parquet(str(target))
+        writer.parquet(str(staged))
 
-    _write_pointer(root, next_name, fmt)  # the one atomic commit point
+    _publish_version(root, staged, next_name)  # atomic claim of vN+1
+    _commit_version(root, ptr[0] if ptr else None, next_name, fmt)  # conditional flip
+    _prune_staged_debris(root)
 
     if ptr is None:
         # legacy flat layout: data files lived in the root; remove them now

@@ -124,9 +124,11 @@ def fetch_odds(
     if raw_dir is not None:
         raw_path = Path(raw_dir)
         raw_path.mkdir(parents=True, exist_ok=True)
-        stamp = time.strftime("%Y%m%d_%H%M%S")
+        stamp = time.strftime("%Y%m%d_%H%M%S", time.gmtime())
         wrapped = {
-            "saved_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+            # UTC, matching the reference's datetime.utcnow().isoformat()
+            # (odds_utils.py:113) — local time would drift by timezone.
+            "saved_at": time.strftime("%Y-%m-%dT%H:%M:%S", time.gmtime()),
             "data": data,
         }
         (raw_path / f"raw_{sport_key}_{stamp}.json").write_text(

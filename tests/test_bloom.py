@@ -35,6 +35,26 @@ def test_bloom_no_false_negatives(spark):
             assert r["bloom_pass"], "bloom dropped a true member"
 
 
+def test_bloom_probe_with_bloom_named_column_survives(spark):
+    """ADVICE r2: a probe df that itself has a `bloom` column must neither
+    collide with the broadcast map nor lose its column; reserved working
+    names raise instead of silently dropping user data."""
+    import pytest
+
+    orders, lineitem = _tables(spark)
+    keys = orders.limit(100).select(F.col("o_orderkey").alias("key"))
+    bloom = bloom_build(keys, "key", n_bits=1024, k=3)
+
+    probe = lineitem.select("l_orderkey").withColumn("bloom", F.lit("user data"))
+    out = bloom_might_contain(probe, "l_orderkey", bloom, n_bits=1024, k=3)
+    assert set(out.columns) == {"l_orderkey", "bloom", "bloom_pass"}
+    assert out.filter(F.col("bloom") != "user data").count() == 0
+
+    clash = lineitem.select("l_orderkey").withColumn("__ps", F.lit(1))
+    with pytest.raises(ValueError, match="reserved"):
+        bloom_might_contain(clash, "l_orderkey", bloom, n_bits=1024, k=3)
+
+
 def test_bloom_prune_preserves_join(spark):
     orders, lineitem = _tables(spark)
     keys = orders.filter(F.col("o_totalprice") > 300000).select("o_orderkey")

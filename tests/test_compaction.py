@@ -57,27 +57,60 @@ def test_compact_canonical_versioned(spark, tmp_path):
     assert _rows(spark, path) == before
 
 
-def test_compact_crash_before_pointer_flip_preserves_table(spark, tmp_path):
-    """A compaction that dies after writing the new version but before the
-    pointer flip leaves the table fully readable at the old version — the
-    property the old rename-swap lacked (its crash window stranded the
-    table at a .pre_compact path)."""
+def test_compact_crash_before_publish_preserves_table(spark, tmp_path):
+    """A compaction that dies mid-write strands only an invisible
+    ``.vNNNNNNNN.staged.*`` directory (writes go to a dot-prefixed staging
+    dir and become visible only via one atomic rename) — the table stays
+    fully readable at the old version, and the next successful compaction
+    sweeps the debris."""
     path = str(tmp_path / "canonical.parquet")
     update_canonical_table(_batch(spark), path)
     before = _rows(spark, path)
 
-    # simulate the crash: materialize a half-baked next version dir with
-    # garbage, but never flip the pointer
-    stranded = Path(path) / "v00000002"
+    # simulate the crash: staged debris from a committer that died before
+    # the publish rename
+    stranded = Path(path) / ".v00000002.staged.deadbeef"
     stranded.mkdir()
     (stranded / "part-garbage.parquet").write_bytes(b"not parquet")
 
     assert _pointer(Path(path)) == ("v00000001", "parquet")
     assert _rows(spark, path) == before  # readers never see the wreck
 
-    # the next compaction supersedes the stranded dir (vN+1 numbering skips
-    # nothing: it reads the pointer, not the dir listing)
+    # the next compaction claims v00000002 (the crash never published it)
+    # and prunes the staged debris
     compact_canonical(spark, path)
+    assert _pointer(Path(path)) == ("v00000002", "parquet")
+    assert _rows(spark, path) == before
+    assert not stranded.exists()
+
+
+def test_concurrent_committer_fails_loudly_not_silently(spark, tmp_path):
+    """Writer mutual exclusion: if a competing committer publishes the same
+    next version first, the second commit raises ConcurrentWriteError
+    instead of silently discarding the first commit (its staged dir is
+    cleaned up); the winner's data stays intact."""
+    import pytest
+
+    from sports_data_integration_and_forecasting_pipeline_spark.sinks import ConcurrentWriteError
+
+    path = str(tmp_path / "canonical.parquet")
+    update_canonical_table(_batch(spark), path)
+    before = _rows(spark, path)
+
+    # a competing writer publishes v00000002 (complete, but pointer not
+    # yet flipped — the claim is the rename, which it has already won)
+    winner = Path(path) / "v00000002"
+    winner.mkdir()
+    (winner / "marker").write_text("winner's files")
+
+    with pytest.raises(ConcurrentWriteError):
+        compact_canonical(spark, path)
+    # loser did not clobber the winner's version dir
+    assert (winner / "marker").read_text() == "winner's files"
+    # no staged debris left behind by the failed attempt
+    assert not list(Path(path).glob(".v*.staged.*"))
+    # table still readable at the committed version
+    assert _pointer(Path(path)) == ("v00000001", "parquet")
     assert _rows(spark, path) == before
 
 
