@@ -140,17 +140,21 @@ def main() -> None:
         timings[name] = best
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "battery_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "battery_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        },
+        separators=(",", ":"),
     )
+    # A tail-capture of stdout can front-truncate a multi-KB line (it did in
+    # round 2), losing the whole bench signal — so the identical line is
+    # also durably written next to the script before printing.
+    (Path(__file__).parent / "BENCH.local.json").write_text(line + "\n")
+    print(line, flush=True)
     spark.stop()
 
 
