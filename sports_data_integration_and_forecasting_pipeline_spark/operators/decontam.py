@@ -60,9 +60,14 @@ def benchmark_contamination(
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
-    joined = _doc_shingles(corpus, text_col, id_col, n).join(
-        F.broadcast(bench_sh), "sh", "left"
-    )
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import ensure_parallelism
+
+    # spread keyed by doc id: shingling runs on every core, the broadcast
+    # join preserves the partitioning, and the per-doc agg reuses it — one
+    # exchange total
+    joined = _doc_shingles(
+        ensure_parallelism(corpus, id_col), text_col, id_col, n
+    ).join(F.broadcast(bench_sh), "sh", "left")
     return (
         joined.groupBy(id_col)
         .agg(

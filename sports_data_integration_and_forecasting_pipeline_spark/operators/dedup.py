@@ -165,11 +165,14 @@ def shingle_jaccard_pairs(
     Shingle identity is the 60-bit md5 hash (see :func:`h60`): the
     inverted index shuffles and compares 8-byte longs, never strings.
     """
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import ensure_parallelism
+
     hashes = F.array_distinct(
         F.transform(shingles_from_tokens(F.col("__toks"), n), h60)
     )
     sh = (
-        df.withColumn("__toks", F.split(F.col(text_col), " "))
+        ensure_parallelism(df, id_col)
+        .withColumn("__toks", F.split(F.col(text_col), " "))
         .select(F.col(id_col), hashes.alias("shs"))
         .withColumn("n_sh", F.size("shs"))
         .select(id_col, "n_sh", F.explode("shs").alias("sh"))
@@ -221,7 +224,11 @@ def minhash_signatures(
     universal hash i, the min of ``(a_i·h32(shingle) + b_i) mod p`` over
     the doc's shingles. One shuffle — explode is narrow, the groupBy does
     map-side partial mins so only (doc, 128 longs) rows cross the wire."""
-    sh = df.withColumn("__toks", F.split(F.col(text_col), " ")).select(
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import ensure_parallelism
+
+    sh = ensure_parallelism(df, id_col).withColumn(
+        "__toks", F.split(F.col(text_col), " ")
+    ).select(
         F.col(id_col),
         F.explode(
             F.transform(shingles_from_tokens(F.col("__toks"), n), h32)
@@ -248,13 +255,18 @@ def minhash_lsh_pairs(
     (band, bucket) equi-join, and score each pair by the fraction of
     matching minhashes (the unbiased Jaccard estimate).
 
-    Scale shape: signatures (1 shuffle) → explode 16 band rows/doc
-    (narrow) → bucket equi-join (only near-dups collide, so the join
-    output is ~linear) → dropDuplicates on the pair.
+    Scale shape: signatures (1 shuffle, persisted — they feed three
+    subtrees) → explode 16 band rows/doc carrying ONLY (id, band, bh)
+    (shipping the 128-long signature array through the 16× explode would
+    multiply the band shuffle ~30× in bytes; it stays home) → bucket
+    equi-join meets candidates (only near-dups collide, so the output is
+    ~linear) → dedup the pair → two equi-joins back to the compact
+    signature table score each *distinct* pair once.
     """
     rows = NUM_MINHASH // bands
-    sig = minhash_signatures(df, text_col, id_col, n)
-    sig_arr = F.array(*[F.col(f"mh{i}") for i in range(NUM_MINHASH)])
+    sig = _persist_scoped(
+        "minhash_sig", minhash_signatures(df, text_col, id_col, n)
+    )
     band_structs = F.array(
         *[
             F.struct(
@@ -268,14 +280,20 @@ def minhash_lsh_pairs(
             for bi in range(bands)
         ]
     )
-    exploded = sig.select(
-        F.col(id_col), sig_arr.alias("sig"), F.explode(band_structs).alias("bb")
-    ).select(id_col, "sig", "bb.band", "bb.bh")
-    a = exploded.select(
-        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "bh"
+    bands_df = sig.select(
+        F.col(id_col), F.explode(band_structs).alias("bb")
+    ).select(id_col, "bb.band", "bb.bh")
+    a = bands_df.select(F.col(id_col).alias("id_a"), "band", "bh")
+    b = bands_df.select(F.col(id_col).alias("id_b"), "band", "bh")
+    cand = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
     )
-    b = exploded.select(
-        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band", "bh"
+    sig_arr = sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"mh{i}") for i in range(NUM_MINHASH)]).alias("sig"),
     )
     matches = F.size(
         F.filter(
@@ -283,12 +301,21 @@ def minhash_lsh_pairs(
         )
     )
     return (
-        a.join(b, ["band", "bh"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        cand.join(
+            sig_arr.select(
+                F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a")
+            ),
+            "id_a",
+        )
+        .join(
+            sig_arr.select(
+                F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b")
+            ),
+            "id_b",
+        )
         .select(
             "id_a", "id_b", (matches / float(NUM_MINHASH)).alias("est_jaccard")
         )
-        .dropDuplicates(["id_a", "id_b"])
     )
 
 

@@ -128,9 +128,13 @@ def unigram_perplexity(
     sized, not broadcastable at 100 TB) → per-doc agg (one shuffle on
     doc). All JVM-side Column arithmetic.
     """
-    toks = df.select(
+    from .parallelism import ensure_parallelism
+
+    toks = ensure_parallelism(df, id_col).select(
         F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("term")
     )
+    # hash-partitioned by id_col already co-locates (id, term) groups, so
+    # this agg adds no exchange — the spread shuffle IS the tf shuffle
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     term_tot = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
     total = term_tot.agg(F.sum("cnt").alias("total"))
@@ -189,9 +193,13 @@ def repetition_stats(
     divisions — engine-portable without rounding.
     """
     from .dedup import shingles_from_tokens
+    from .parallelism import ensure_parallelism
 
     toks = F.split(F.col(text_col), " ")
-    tagged = df.select(
+    # spread keyed by doc id: HashPartitioning(id) satisfies BOTH downstream
+    # groupings ((id, sz, g) and (id)), so the whole pipeline still shuffles
+    # once — but the gram build/explode now uses every core
+    tagged = ensure_parallelism(df, id_col).select(
         F.col(id_col),
         F.explode(
             F.concat(
@@ -242,7 +250,9 @@ def inverted_index(
     dedup hot-shingle cap); ``df`` still counts every document. Postings
     serialize to a CSV string so results compare exactly across engines.
     """
-    toks = df.select(
+    from .parallelism import ensure_parallelism
+
+    toks = ensure_parallelism(df, id_col).select(
         F.col(id_col),
         F.explode(
             F.array_distinct(F.split(F.col(text_col), " "))

@@ -83,8 +83,15 @@ def test_hot_shingle_guard_is_broadcast_anti_join(spark):
 # ReusedExchange nodes don't count (reuse is a win, not a shuffle).
 PINNED = {
     #                        max_exch  must_have            must_not_have
-    "dedup_shingle_jaccard":  (7, ["LeftAnti"],             ["CartesianProduct"]),
-    "dedup_minhash_lsh":      (3, [],                       ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # r3: +spread exchange before the persisted index build (parallel md5
+    # shingling); raw count includes BroadcastExchanges and per-scan
+    # repetitions of the cached subtree's exchanges
+    "dedup_shingle_jaccard":  (11, ["LeftAnti"],            ["CartesianProduct"]),
+    # r3 shape: spread exchange + persisted signatures feeding 3 subtrees
+    # (band explode + two pair-scoring joins, all broadcast at test SF —
+    # BroadcastExchange inflates the raw count); signatures never ride the
+    # 16× band explode
+    "dedup_minhash_lsh":      (8, ["InMemoryTableScan"],    ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"]),
     "dedup_simhash_pairs":    (2, [],                       ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     "nested_explode_flatten": (1, [],                       []),
     "embed_ivf_ann":          (2, ["BroadcastHashJoin", "WindowGroupLimit"], ["CartesianProduct"]),
