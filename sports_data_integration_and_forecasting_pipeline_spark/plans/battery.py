@@ -1020,6 +1020,65 @@ def misra_gries_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return misra_gries(_t(spark, sf_dir, "events"), "event_type", k=8)
 
 
+# The MG summary itself is layout-dependent (any valid Misra-Gries output
+# is), so the entry above is rows-only. This companion makes the sketch's
+# GUARANTEE hash-oracleable: for every item whose exact count exceeds
+# N/(k+1) — a deterministic set — it emits the exact count plus two
+# booleans ("the item survived the sketch", "its estimate is within the
+# proven bound 0 <= true - est <= N/(k+1)"). Those booleans are
+# invariantly TRUE for any correct MG implementation, so DuckDB can
+# assert them from exact counts alone; a sketch bug flips a boolean and
+# the hash mismatches. All comparisons are exact integer arithmetic
+# ((true-est)·(k+1) <= N — no float division).
+@_register(
+    "misra_gries_verified",
+    """
+    WITH exact AS (
+      SELECT event_type AS item, CAST(count(*) AS BIGINT) AS true_cnt
+      FROM events GROUP BY event_type
+    ),
+    tot AS (SELECT sum(true_cnt) AS n FROM exact)
+    SELECT item, true_cnt, TRUE AS present, TRUE AS within_bound
+    FROM exact, tot
+    WHERE true_cnt * 9 > n
+    """,
+    "sketch: Misra-Gries guarantee verification (hash-oracled companion)",
+    "k=8 MG survivors joined to exact counts; emits the deterministic "
+    "guaranteed-heavy set with presence + error-bound flags",
+)
+def misra_gries_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.frequency import misra_gries
+
+    k = 8
+    events = _t(spark, sf_dir, "events")
+    exact = events.groupBy(F.col("event_type").alias("item")).agg(
+        F.count("*").cast("bigint").alias("true_cnt")
+    )
+    total = exact.agg(F.sum("true_cnt").alias("n"))
+    mg = misra_gries(events, "event_type", k=k).withColumnRenamed(
+        "item", "mg_item"
+    )
+    guaranteed = exact.crossJoin(F.broadcast(total)).filter(
+        F.col("true_cnt") * (k + 1) > F.col("n")
+    )
+    return (
+        guaranteed.join(mg, F.col("item") == F.col("mg_item"), "left")
+        .select(
+            "item",
+            "true_cnt",
+            F.col("mg_item").isNotNull().alias("present"),
+            (
+                F.col("mg_item").isNotNull()
+                & (F.col("est_cnt") <= F.col("true_cnt"))
+                & (
+                    (F.col("true_cnt") - F.col("est_cnt")) * (k + 1)
+                    <= F.col("n")
+                )
+            ).alias("within_bound"),
+        )
+    )
+
+
 # ===========================================================================
 # Repetition quality (Gopher/MassiveText-style) — top-2-gram share and
 # repeated-3-gram share per doc, the boilerplate/spam signals corpus
