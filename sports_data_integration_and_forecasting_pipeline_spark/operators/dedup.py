@@ -263,10 +263,29 @@ def minhash_lsh_pairs(
     ~linear) → dedup the pair → two equi-joins back to the compact
     signature table score each *distinct* pair once.
     """
-    rows = NUM_MINHASH // bands
     sig = _persist_scoped(
         "minhash_sig", minhash_signatures(df, text_col, id_col, n)
     )
+    bands_df = minhash_band_table(sig, id_col, bands)
+    a = bands_df.select(F.col(id_col).alias("id_a"), "band", "bh")
+    b = bands_df.select(F.col(id_col).alias("id_b"), "band", "bh")
+    cand = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return _score_pairs(cand, sig, id_col)
+
+
+def minhash_band_table(
+    sig: DataFrame, id_col: str = "doc_id", bands: int = MINHASH_BANDS
+) -> DataFrame:
+    """``(id, band, bh)`` LSH band-bucket table from a signature table —
+    the compact corpus state an incremental dedup persists between
+    snapshots (one row per doc per band; the 128-long signature stays in
+    the signature table, never riding this explode)."""
+    rows = NUM_MINHASH // bands
     band_structs = F.array(
         *[
             F.struct(
@@ -280,17 +299,15 @@ def minhash_lsh_pairs(
             for bi in range(bands)
         ]
     )
-    bands_df = sig.select(
+    return sig.select(
         F.col(id_col), F.explode(band_structs).alias("bb")
     ).select(id_col, "bb.band", "bb.bh")
-    a = bands_df.select(F.col(id_col).alias("id_a"), "band", "bh")
-    b = bands_df.select(F.col(id_col).alias("id_b"), "band", "bh")
-    cand = (
-        a.join(b, ["band", "bh"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+
+
+def _score_pairs(cand: DataFrame, sig: DataFrame, id_col: str) -> DataFrame:
+    """Estimated Jaccard for distinct candidate ``(id_a, id_b)`` pairs:
+    two equi-joins back to the compact signature table, then the fraction
+    of matching minhashes."""
     sig_arr = sig.select(
         F.col(id_col),
         F.array(*[F.col(f"mh{i}") for i in range(NUM_MINHASH)]).alias("sig"),
@@ -317,6 +334,53 @@ def minhash_lsh_pairs(
             "id_a", "id_b", (matches / float(NUM_MINHASH)).alias("est_jaccard")
         )
     )
+
+
+def incremental_minhash_pairs(
+    corpus_sig: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """Dedup a NEW snapshot against an existing corpus WITHOUT recomputing
+    the corpus: MinHash signatures are per-document, so the corpus
+    contributes only its persisted signature table (``corpus_sig``, as
+    written by :func:`minhash_signatures`; the band table derives from it
+    narrowly). Only the new docs are shingled. Candidates are the band
+    collisions touching at least one new doc — new×corpus plus new×new —
+    which is exactly the subset of a full recompute's pairs that involve a
+    new doc, so results hash-match the full-recompute oracle restricted to
+    that subset.
+
+    The operational 100 TB path (mirrors the reference's append-only
+    canonical semantics, src/ingestion.py:132-142): corpus state grows by
+    appending ``new_sig`` after each snapshot; per-snapshot cost is
+    O(new docs) shingling + a band join against the (bucketed) corpus
+    band table — never a full-corpus rescan.
+    """
+    new_sig = _persist_scoped(
+        "minhash_inc_new_sig",
+        minhash_signatures(new_docs, text_col, id_col, n),
+    )
+    all_sig = corpus_sig.unionByName(new_sig)
+    new_bands = minhash_band_table(new_sig, id_col, bands)
+    all_bands = minhash_band_table(all_sig, id_col, bands)
+    cand = (
+        new_bands.select(F.col(id_col).alias("id_n"), "band", "bh")
+        .join(
+            all_bands.select(F.col(id_col).alias("id_o"), "band", "bh"),
+            ["band", "bh"],
+        )
+        .filter(F.col("id_n") != F.col("id_o"))
+        .select(
+            F.least("id_n", "id_o").alias("id_a"),
+            F.greatest("id_n", "id_o").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return _score_pairs(cand, all_sig, id_col)
 
 
 def connected_components(

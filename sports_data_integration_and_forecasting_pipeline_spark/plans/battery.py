@@ -1434,6 +1434,42 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
 
 
+# Incremental corpus dedup — the operational 100 TB path: a new snapshot
+# (doc_id % 10 == 0 here) is deduped against the existing corpus using
+# ONLY the corpus's persisted signature table; no corpus text is
+# re-shingled. The oracle is the FULL recompute (same CTEs as
+# dedup_minhash_lsh) restricted to pairs touching a new doc — the
+# incremental result must hash-match it exactly, proving incremental ==
+# full for the affected subset.
+@_register(
+    "dedup_incremental_minhash",
+    f"""
+    WITH {_minhash_sig_sql()},
+    bands AS ({_MH_BANDS_SQL})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           list_sum(list_transform(range(1, {NUM_MINHASH + 1}),
+             i -> CASE WHEN a.arr[i::INT] = b.arr[i::INT] THEN 1 ELSE 0 END)) / {NUM_MINHASH}.0
+             AS est_jaccard
+    FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+                             AND a.doc_id < b.doc_id
+    WHERE a.doc_id % 10 = 0 OR b.doc_id % 10 = 0
+    """,
+    "textops: incremental snapshot-vs-corpus MinHash dedup",
+    "new docs (id%10=0) deduped against the persisted corpus signature "
+    "table; hash-matches the full recompute restricted to new-doc pairs",
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_signatures,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    return incremental_minhash_pairs(minhash_signatures(corpus), new)
+
+
 _SIMHASH_SQL_EXPR = " + ".join(
     f"(CASE WHEN 2 * len(list_filter(hs, x -> ((x >> {i}) & 1) = 1)) >= len(hs) "
     f"THEN {1 << i} ELSE 0 END)"

@@ -62,6 +62,35 @@ def test_minhash_identical_docs_match_fully(spark):
     assert pairs[(1, 2)] == 1.0
 
 
+def test_incremental_minhash_equals_full_recompute_subset(spark):
+    """Differential: deduping a new snapshot against the persisted corpus
+    signature table must produce exactly the full recompute's pairs that
+    touch a new doc — same pairs, same est_jaccard values."""
+    from pyspark.sql import functions as F
+
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
+        incremental_minhash_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+
+    inc = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in incremental_minhash_pairs(
+            minhash_signatures(corpus), new
+        ).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(docs).collect()
+        if r["id_a"] % 5 == 0 or r["id_b"] % 5 == 0
+    }
+    assert inc == full
+    assert inc, "expected at least one near-dup pair touching the snapshot"
+
+
 def test_simhash_deterministic_and_bounded(spark):
     df = _docs(spark, [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta")])
     got = {r["doc_id"]: r["simhash16"] for r in simhash16(df).collect()}
