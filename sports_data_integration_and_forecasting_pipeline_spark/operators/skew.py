@@ -102,6 +102,18 @@ def write_bucketed(
     Joins between tables bucketed the same way need no Exchange: each
     task reads matching buckets from both sides — the co-located join
     that amortizes one shuffle across every downstream join at 100 TB."""
+    import shutil
+    from pathlib import Path
+
+    spark = df.sparkSession
+    # A managed table's directory can outlive its (session-local) catalog
+    # entry; saveAsTable then fails with LOCATION_ALREADY_EXISTS even in
+    # overwrite mode. Drop both the entry and any stale location first.
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = Path(warehouse.removeprefix("file:")) / table_name.lower()
+    if loc.exists():
+        shutil.rmtree(str(loc), ignore_errors=True)
     writer = df.write.mode("overwrite").format("parquet").bucketBy(
         n_buckets, bucket_col
     )

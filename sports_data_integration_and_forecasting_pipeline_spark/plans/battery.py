@@ -4270,6 +4270,61 @@ def q5_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Bucketed-join co-location proof: both join sides are written bucketed
+# (and per-bucket sorted) by the join key, so the fact-dim join runs with
+# ZERO Exchange — each task reads matching bucket files from both sides.
+# The merge hint keeps AQE from broadcasting the small test-SF side,
+# because a broadcast would bypass bucketing and prove nothing; at 100 TB
+# both sides are too big to broadcast and this bucket-to-bucket SMJ *is*
+# the plan. The only shuffle left is the final 5-row segment rollup.
+# Plan-pinned in tests/test_plan_shapes.py (join subtree Exchange-free).
+# ===========================================================================
+
+@_register(
+    "bucketed_join_colocated",
+    """
+    SELECT c.c_mktsegment AS mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(floor(o.o_totalprice * 100.0 + 0.5)) AS BIGINT)
+             AS total_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    "layout: bucketed co-located join (write_bucketed round-trip)",
+    "orders & customer bucketed by custkey -> Exchange-free SMJ, one "
+    "final rollup shuffle",
+)
+def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.skew import write_bucketed
+
+    tag = sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
+    t_orders, t_customer = f"orders_bkt_{tag}", f"customer_bkt_{tag}"
+    write_bucketed(
+        _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
+        t_orders,
+        "o_custkey",
+        n_buckets=8,
+        sort_col="o_custkey",
+    )
+    write_bucketed(
+        _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+        t_customer,
+        "c_custkey",
+        n_buckets=8,
+        sort_col="c_custkey",
+    )
+    o = spark.table(t_orders)
+    c = spark.table(t_customer)
+    joined = o.hint("merge").join(c, o["o_custkey"] == c["c_custkey"])
+    return joined.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5))
+        .cast("bigint")
+        .alias("total_cents"),
+    )
+
+
+# ===========================================================================
 # Incremental rollup maintenance — merge partial aggregates instead of
 # recomputing: base (pre-1997 orders) and delta (1997+) are aggregated
 # SEPARATELY and merged; the DuckDB oracle recomputes from the full

@@ -103,6 +103,11 @@ PINNED = {
     # 6-table Q5: every dim chain broadcasts; no join may degrade to
     # sort-merge (the budget covers BroadcastExchange + the agg shuffle)
     "q5_local_supplier_revenue": (8, ["BroadcastHashJoin"], ["SortMergeJoin", "CartesianProduct"]),
+    # co-located bucketed join: the ONLY exchange is the final 5-row
+    # segment rollup — the fact-dim SMJ reads matching buckets, no
+    # shuffle, no broadcast (merge hint pins it so the test SF can't
+    # broadcast its way past the bucketing proof)
+    "bucketed_join_colocated": (1, ["SortMergeJoin"],       ["BroadcastHashJoin", "CartesianProduct"]),
 }
 
 
