@@ -4325,6 +4325,89 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Schema-evolution reader over the versioned canonical table: v1 is
+# written with (okey INT, price) — v2 supersedes it with the key WIDENED
+# to BIGINT plus an ADDED priority column. read_canonical_evolved presents
+# BOTH retained versions under the current schema (explicit cast map for
+# the widened key; typed NULLs for the added column), and the entry emits
+# per-version stats. Deterministic because each version's content derives
+# from orders by a fixed predicate; the oracle recomputes the same stats
+# from orders directly, so a reader bug (silent coercion, missing-column
+# mishandling) breaks the hash.
+# ===========================================================================
+
+@_register(
+    "canonical_schema_evolution",
+    """
+    SELECT 1 AS version,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(floor(o_totalprice * 100.0 + 0.5)) AS BIGINT) AS total_cents,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(count(*) AS BIGINT) AS n_null_priority
+    FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey < 1000000
+    UNION ALL
+    SELECT 2,
+           CAST(count(*) AS BIGINT),
+           CAST(sum(floor(o_totalprice * 100.0 + 0.5)) AS BIGINT),
+           CAST(sum(o_orderkey) AS BIGINT),
+           0
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+    "sink: versioned canonical schema evolution (added column + widened type)",
+    "v1 (okey int, price) -> v2 (okey bigint, price, priority); evolved "
+    "reads of both versions under the current schema, stats hash-oracled",
+)
+def canonical_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    from pathlib import Path
+
+    from sports_data_integration_and_forecasting_pipeline_spark.sinks import (
+        read_canonical_evolved,
+        write_canonical_version,
+    )
+
+    tag = sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
+    root = Path("spark-warehouse") / f"canon_evo_{tag}"
+    shutil.rmtree(str(root), ignore_errors=True)
+
+    orders = _t(spark, sf_dir, "orders")
+    # v1: narrow key (int is safe below 1e6 — the guard is part of the
+    # predicate so the cast is lossless), no priority column
+    v1 = orders.filter(
+        (F.col("o_orderkey") % 2 == 0) & (F.col("o_orderkey") < 1000000)
+    ).select(
+        F.col("o_orderkey").cast("int").alias("okey"),
+        F.col("o_totalprice").alias("price"),
+    )
+    # v2: key widened to bigint, priority column added
+    v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        F.col("o_orderkey").cast("bigint").alias("okey"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    write_canonical_version(spark, str(root), v1)
+    write_canonical_version(spark, str(root), v2)
+
+    def stats(version: int) -> DataFrame:
+        df = read_canonical_evolved(
+            spark, str(root), version=version, cast_map={"okey": "bigint"}
+        )
+        return df.groupBy().agg(
+            F.lit(version).alias("version"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(_cents(F.col("price"))).cast("bigint").alias("total_cents"),
+            F.sum("okey").cast("bigint").alias("key_sum"),
+            F.count_if(F.col("priority").isNull())
+            .cast("bigint")
+            .alias("n_null_priority"),
+        )
+
+    return stats(1).unionByName(stats(2)).select(
+        "version", "n_rows", "total_cents", "key_sum", "n_null_priority"
+    )
+
+
+# ===========================================================================
 # Incremental rollup maintenance — merge partial aggregates instead of
 # recomputing: base (pre-1997 orders) and delta (1997+) are aggregated
 # SEPARATELY and merged; the DuckDB oracle recomputes from the full

@@ -162,6 +162,86 @@ def read_canonical(
     return spark.read.parquet(path)
 
 
+def write_canonical_version(
+    spark,
+    canonical_path: str,
+    df: DataFrame,
+    fmt: str = "parquet",
+    partition_col: str | None = None,
+) -> int:
+    """Commit ``df`` as the table's next version (staged write → atomic
+    rename claim → conditional pointer flip, same protocol as
+    compaction). The new version's schema is whatever ``df`` carries —
+    this is the writer half of schema evolution; superseded versions keep
+    their original schema and stay readable via
+    :func:`read_canonical_evolved`. Returns the committed version number."""
+    from pathlib import Path as P
+
+    root = P(canonical_path)
+    root.mkdir(parents=True, exist_ok=True)
+    ptr = _pointer(root)
+    cur_ver = int(ptr[0][1:]) if ptr else 0
+    next_name = f"v{cur_ver + 1:08d}"
+    staged = _stage_path(root, next_name)
+    writer = df.write.mode("overwrite")
+    if partition_col is not None:
+        writer = writer.partitionBy(partition_col)
+    if fmt == "csv":
+        writer.option("header", "true").csv(str(staged))
+    else:
+        writer.parquet(str(staged))
+    _publish_version(root, staged, next_name)
+    _commit_version(root, ptr[0] if ptr else None, next_name, fmt)
+    return cur_ver + 1
+
+
+def read_canonical_evolved(
+    spark,
+    canonical_path: str,
+    version: int | None = None,
+    cast_map: dict[str, str] | None = None,
+) -> DataFrame:
+    """Read any retained ``version`` under the CURRENT version's schema —
+    the schema-evolution reader for the versioned canonical table:
+
+    - columns the current schema added after ``version`` surface as
+      typed NULLs,
+    - columns whose type changed (e.g. int widened to bigint) are cast,
+      but ONLY when ``cast_map`` explicitly declares the target type —
+      an undeclared type change raises instead of silently coercing
+      (a lossy narrow must never be implicit),
+    - columns the current schema dropped are omitted.
+
+    With ``version=None`` this is just the current table (cast_map still
+    applied, so a reader can pin one schema across a fleet of mixed-age
+    tables)."""
+    from pyspark.sql import functions as SF
+
+    current = read_canonical(spark, canonical_path)
+    target = current.schema
+    df = (
+        current
+        if version is None or version == current_version(canonical_path)
+        else read_canonical(spark, canonical_path, version)
+    )
+    old_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    cast_map = cast_map or {}
+    cols = []
+    for f in target.fields:
+        tgt_type = cast_map.get(f.name, f.dataType.simpleString())
+        if f.name not in old_types:
+            cols.append(SF.lit(None).cast(tgt_type).alias(f.name))
+            continue
+        if old_types[f.name] != f.dataType.simpleString() and f.name not in cast_map:
+            raise ValueError(
+                f"column {f.name!r} changed type across versions "
+                f"({old_types[f.name]} -> {f.dataType.simpleString()}); "
+                "declare the conversion in cast_map to read across the change"
+            )
+        cols.append(SF.col(f.name).cast(tgt_type).alias(f.name))
+    return df.select(*cols)
+
+
 def current_version(canonical_path: str) -> int | None:
     """The committed version number of a canonical table (None for a
     legacy flat table)."""

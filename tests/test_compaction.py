@@ -225,3 +225,40 @@ def test_merge_canonical_upsert(spark, tmp_path):
         for r in read_canonical(spark, path, version=1).collect()
     }
     assert old == {"g1": 2.0, "g2": 1.9}
+
+
+def test_schema_evolution_reader_across_versions(spark, tmp_path):
+    """read_canonical_evolved presents an old version under the current
+    schema: added columns become typed NULLs, a declared widen casts, an
+    undeclared type change raises."""
+    import pytest
+
+    from sports_data_integration_and_forecasting_pipeline_spark.sinks import (
+        read_canonical_evolved,
+        write_canonical_version,
+    )
+
+    path = str(tmp_path / "evo.parquet")
+    v1 = spark.createDataFrame([(1, 2.0), (2, 3.5)], "okey int, price double")
+    v2 = spark.createDataFrame(
+        [(3, 1.0, "HIGH")], "okey bigint, price double, priority string"
+    )
+    assert write_canonical_version(spark, path, v1) == 1
+    assert write_canonical_version(spark, path, v2) == 2
+
+    old = read_canonical_evolved(spark, path, version=1, cast_map={"okey": "bigint"})
+    assert [f.dataType.simpleString() for f in old.schema.fields] == [
+        "bigint", "double", "string",
+    ]
+    rows = sorted(old.collect(), key=lambda r: r["okey"])
+    assert [(r["okey"], r["price"], r["priority"]) for r in rows] == [
+        (1, 2.0, None), (2, 3.5, None),
+    ]
+
+    # current version needs no cast map and is unchanged
+    cur = read_canonical_evolved(spark, path)
+    assert cur.count() == 1
+
+    # undeclared type change must fail loudly, never coerce silently
+    with pytest.raises(ValueError, match="cast_map"):
+        read_canonical_evolved(spark, path, version=1)
