@@ -70,6 +70,41 @@ def test_decode_with_injected_decoder(spark):
     assert (got["width"], got["height"], got["mean_luma"]) == (7, 9, 1.5)
 
 
+def test_pil_decode_real_images(spark):
+    """Real-decoder integration: runs wherever PIL exists (skipped in this
+    image-lib-less container) so the `_pil_decode` path is exercised in
+    deployed environments, not dead code. Builds tiny PNGs in memory and
+    checks dimensions + mean luma end-to-end through mapInPandas."""
+    import pytest
+
+    PIL = pytest.importorskip("PIL")
+    from io import BytesIO
+
+    from PIL import Image
+
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.multimodal import _pil_decode
+
+    def png_bytes(w, h, value):
+        buf = BytesIO()
+        Image.new("L", (w, h), value).save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [
+        (1, "image", png_bytes(4, 3, 0), _meta()),
+        (2, "image", png_bytes(8, 2, 255), _meta()),
+        (3, "image", png_bytes(5, 5, 128), _meta()),
+    ]
+    # unit-level: decoder math
+    w, h, luma = _pil_decode(png_bytes(4, 3, 200))
+    assert (w, h, luma) == (4, 3, 200.0)
+    # engine-level: default_image_decoder() resolves to _pil_decode here
+    df = _media(spark, rows)
+    got = {r["media_id"]: r for r in decode_image_features(df).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["mean_luma"]) == (4, 3, 0.0)
+    assert (got[2]["width"], got[2]["height"], got[2]["mean_luma"]) == (8, 2, 255.0)
+    assert (got[3]["width"], got[3]["height"], got[3]["mean_luma"]) == (5, 5, 128.0)
+
+
 def test_resize_stub_passes_payload_through(spark):
     df = _media(spark, [(1, "image", b"imgbytes", _meta())])
     got = resize_images(df, 224, 224).collect()[0]

@@ -179,6 +179,36 @@ def test_ivf_pretrained_full_probe_equals_exact(spark):
     }
 
 
+def test_ivf_multiprobe_recall_floor_and_monotonicity(spark):
+    """Multi-probe IVF: recall@5 vs exact search improves monotonically
+    with probe count and the battery's 3-probe setting clears the floor
+    measured on the fixed testdata (0.52 at sf0.001 — re-pin if the
+    centroids or testdata regenerate)."""
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.ivf_centroids import (
+        IVF_CENTROIDS,
+    )
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.similarity import (
+        ivf_ann_topk_pretrained,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pred = F.col("vec_id") < 10
+    exact = {(r["q_id"], r["cand_id"]) for r in cosine_topk(emb, pred, k=5).collect()}
+
+    def recall(n_probe: int) -> float:
+        ann = {
+            (r["q_id"], r["cand_id"])
+            for r in ivf_ann_topk_pretrained(
+                emb, pred, IVF_CENTROIDS, n_probe=n_probe, k=5
+            ).collect()
+        }
+        return len(ann & exact) / len(exact)
+
+    r1, r2, r3 = recall(1), recall(2), recall(3)
+    assert r1 <= r2 <= r3, (r1, r2, r3)
+    assert r3 >= 0.5, r3
+
+
 def test_ivf_assign_matches_nearest_centroid(spark):
     """Cell assignment picks the argmin-distance centroid with lowest-cell
     tiebreak, computed as a pure expression."""
