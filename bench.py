@@ -101,6 +101,10 @@ HEADLINE = [
     "rfm_user_segments",
     "time_to_convert",
     "twap_user_value",
+    "misra_gries_verified",
+    "dedup_incremental_minhash",
+    "bucketed_join_colocated",
+    "canonical_schema_evolution",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

@@ -22,6 +22,7 @@ ARROW_OK = {
     # Misra-Gries partials are per-partition dict state — the designed
     # Arrow crossing (mergeable-summary build), not a fallen hot path
     "misra_gries_heavy_hitters",
+    "misra_gries_verified",  # embeds the MG sketch it verifies
 }
 # Streaming queries materialize via a memory sink, not a lazy plan.
 SKIP = {
