@@ -364,6 +364,10 @@ def incremental_minhash_pairs(
         "minhash_inc_new_sig",
         minhash_signatures(new_docs, text_col, id_col, n),
     )
+    # the corpus signature table feeds banding AND scoring; in production
+    # it is a persisted table already — pin it here so a freshly-computed
+    # one isn't re-derived per subtree
+    corpus_sig = _persist_scoped("minhash_inc_corpus_sig", corpus_sig)
     all_sig = corpus_sig.unionByName(new_sig)
     new_bands = minhash_band_table(new_sig, id_col, bands)
     all_bands = minhash_band_table(all_sig, id_col, bands)

@@ -1365,9 +1365,13 @@ def bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_orderkey").alias("key"))
         .distinct()
     )
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import ensure_parallelism
+
     bloom = bloom_build(keys, "key", n_bits=_BLOOM_BITS, k=_BLOOM_K)
+    # the probe is one md5 per lineitem row — spread a single-split scan
+    # so the hashing uses every core (5 MB of bigint keys moved once)
     probed = bloom_might_contain(
-        _t(spark, sf_dir, "lineitem").select("l_orderkey"),
+        ensure_parallelism(_t(spark, sf_dir, "lineitem").select("l_orderkey")),
         "l_orderkey",
         bloom,
         n_bits=_BLOOM_BITS,
