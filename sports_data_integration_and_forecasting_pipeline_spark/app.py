@@ -124,3 +124,23 @@ def run_app_pipeline(
         "summary": summary,
         "arbitrage": arbitrage_view(summary),
     }
+
+
+def read_log_tail(
+    log_path: str | Path = Path("logs") / "app.log",
+    max_lines: int | None = None,
+) -> str:
+    """The app's log read-back view (reference
+    ``Sports-Pipeline-V2/widgets_ui.py:64-70`` renders the same content in
+    an ipywidgets Textarea — the widget is presentation, this is the data
+    path). Returns the log file's content, optionally only the last
+    ``max_lines`` lines; empty string when no log exists yet, matching the
+    reference's missing-file behavior."""
+    p = Path(log_path)
+    if not p.exists():
+        return ""
+    content = p.read_text()
+    if max_lines is None:
+        return content
+    lines = content.splitlines(keepends=True)
+    return "".join(lines[-max_lines:])

@@ -47,3 +47,13 @@ def test_load_data_live_falls_back_without_key(spark):
     # and falls back to the bundled sample (web/app.py:24-29)
     cleaned = eng.load_data(spark, use_live=True, api_key=None)
     assert cleaned.count() == 6
+
+
+def test_read_log_tail(tmp_path):
+    from sports_data_integration_and_forecasting_pipeline_spark.app import read_log_tail
+
+    assert read_log_tail(tmp_path / "missing.log") == ""
+    p = tmp_path / "app.log"
+    p.write_text("".join(f"line {i}\n" for i in range(10)))
+    assert read_log_tail(p) == p.read_text()
+    assert read_log_tail(p, max_lines=3) == "line 7\nline 8\nline 9\n"
