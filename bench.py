@@ -105,6 +105,7 @@ HEADLINE = [
     "dedup_incremental_minhash",
     "bucketed_join_colocated",
     "canonical_schema_evolution",
+    "pack_sequence_spans",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

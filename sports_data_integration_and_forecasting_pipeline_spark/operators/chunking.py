@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def chunk_documents(
@@ -64,4 +65,95 @@ def chunk_documents(
         (F.col("chunk_id") * stride).cast("bigint").alias("chunk_start"),
         F.size("__chunk").cast("bigint").alias("chunk_tokens"),
         F.md5(F.array_join("__chunk", " ")).alias("chunk_fp"),
+    )
+
+
+def global_prefix_offsets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_col: str = "n_tokens",
+    bucket_width: int = 4096,
+) -> DataFrame:
+    """``df`` + ``tok_start``: each row's EXCLUSIVE prefix sum of
+    ``n_col`` in global ``id_col`` order — the distributed prefix-sum
+    primitive sequence packing needs.
+
+    A naive ``Window.orderBy(id)`` with no partition key funnels the
+    whole table through ONE task; this is the classic two-phase form
+    instead, with deterministic buckets (``id // bucket_width``) rather
+    than sampled ranges so results never depend on a range partitioner's
+    sample:
+
+    1. within-bucket running sum — one hash shuffle on the bucket key;
+    2. per-bucket totals — same partitioning, no extra exchange;
+    3. exclusive prefix over the (tiny: id_range/bucket_width rows)
+       bucket-total table — a one-task window over KBs, not the data;
+    4. broadcast the bucket offsets back.
+
+    Every task's state is bounded by ``bucket_width`` rows regardless of
+    table size. Requires a numeric, unique ``id_col``; ids may be sparse
+    (empty buckets cost nothing).
+    """
+    bucket = (F.col(id_col) / bucket_width).cast("bigint").alias("__bucket")
+    d = df.withColumn("__bucket", bucket)
+    w_in = (
+        Window.partitionBy("__bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d = d.withColumn("__cum_in", F.sum(n_col).over(w_in))
+    totals = d.groupBy("__bucket").agg(F.sum(n_col).alias("__btot"))
+    w_b = (
+        Window.orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "__bucket",
+        F.coalesce(F.sum("__btot").over(w_b), F.lit(0)).alias("__boff"),
+    )
+    return (
+        d.join(F.broadcast(offsets), "__bucket")
+        .withColumn(
+            "tok_start",
+            (F.col("__boff") + F.col("__cum_in") - F.col(n_col)).cast("bigint"),
+        )
+        .drop("__bucket", "__cum_in", "__boff")
+    )
+
+
+def pack_token_spans(
+    df: DataFrame,
+    seq_len: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_width: int = 4096,
+) -> DataFrame:
+    """GPT-style sequence packing, span view: concatenate all documents in
+    ``id_col`` order and cut the token stream every ``seq_len`` tokens;
+    report for each document where it lands — ``(id, n_tokens, tok_start,
+    first_seq, last_seq, n_seqs)``. ``n_seqs > 1`` means the doc straddles
+    a sequence boundary (the share of such docs is the packing
+    fragmentation metric). All integer arithmetic over the distributed
+    prefix sum — deterministic and engine-exact at any scale."""
+    toks = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).cast("bigint").alias("n_tokens"),
+    )
+    spans = global_prefix_offsets(
+        toks, id_col=id_col, n_col="n_tokens", bucket_width=bucket_width
+    )
+    tok_end = F.col("tok_start") + F.col("n_tokens")  # exclusive
+    return spans.select(
+        id_col,
+        "n_tokens",
+        "tok_start",
+        F.floor(F.col("tok_start") / seq_len).cast("bigint").alias("first_seq"),
+        F.floor((tok_end - 1) / seq_len).cast("bigint").alias("last_seq"),
+        (
+            F.floor((tok_end - 1) / seq_len)
+            - F.floor(F.col("tok_start") / seq_len)
+            + 1
+        )
+        .cast("bigint")
+        .alias("n_seqs"),
     )

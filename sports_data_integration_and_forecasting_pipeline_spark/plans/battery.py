@@ -1238,6 +1238,39 @@ def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# GPT-style sequence packing (span view): concatenate the corpus in doc_id
+# order, cut every 256 tokens, report each doc's landing span. The global
+# token offset is a DISTRIBUTED prefix sum (deterministic id//width
+# buckets: within-bucket running sum -> per-bucket totals on the same
+# partitioning -> one-task exclusive prefix over the tiny bucket table ->
+# broadcast back) — never a single-task Window.orderBy over the data. The
+# oracle can afford the naive global-window cumsum; hash equality proves
+# the two-phase form computes the identical stream position at any
+# partitioning.
+@_register(
+    "pack_sequence_spans",
+    """
+    WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+    c AS (SELECT doc_id, n,
+                 sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+          FROM t)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           CAST(cum - n AS BIGINT) AS tok_start,
+           CAST((cum - n) // 256 AS BIGINT) AS first_seq,
+           CAST((cum - 1) // 256 AS BIGINT) AS last_seq,
+           CAST((cum - 1) // 256 - (cum - n) // 256 + 1 AS BIGINT) AS n_seqs
+    FROM c
+    """,
+    "textops: sequence packing via distributed prefix sum",
+    "concat-and-cut packing at 256 tokens; bucketed two-phase cumsum, "
+    "per-task state bounded by bucket width",
+)
+def pack_sequence_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.chunking import pack_token_spans
+
+    return pack_token_spans(_t(spark, sf_dir, "documents"), seq_len=256)
+
+
 # ===========================================================================
 # Path funnel — the general-depth funnel: each user's full event-type
 # path in strict (ts, event_id) order, with view -> click -> purchase

@@ -46,3 +46,53 @@ def test_chunk_plan_has_no_exchange(spark):
     docs = spark.read.parquet(f"{TESTDATA_SMOKE}/documents.parquet")
     plan = chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_prefix_offsets_match_naive_cumsum(spark):
+    """The bucketed two-phase prefix sum equals the naive global-window
+    cumsum for every row, across bucket widths and sparse ids."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.chunking import (
+        global_prefix_offsets,
+    )
+
+    rows = [(i * 7 + (i % 3), (i * 13) % 50 + 1) for i in range(200)]  # sparse ids
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    naive = df.withColumn(
+        "tok_start",
+        F.coalesce(
+            F.sum("n").over(
+                Window.orderBy("doc_id").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).cast("bigint"),
+    )
+    want = {r["doc_id"]: r["tok_start"] for r in naive.collect()}
+    for width in (1, 16, 4096):
+        got = {
+            r["doc_id"]: r["tok_start"]
+            for r in global_prefix_offsets(df, "doc_id", "n", width).collect()
+        }
+        assert got == want, f"bucket_width={width}"
+
+
+def test_pack_token_spans_boundaries(spark):
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.chunking import (
+        pack_token_spans,
+    )
+
+    rows = [(1, "a " * 255 + "a"), (2, "b"), (3, "c " * 299 + "c")]
+    df = spark.createDataFrame(
+        [(i, t.strip()) for i, t in rows], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in pack_token_spans(df, seq_len=256).collect()}
+    # doc 1 fills sequence 0 exactly
+    assert (got[1]["tok_start"], got[1]["first_seq"], got[1]["last_seq"], got[1]["n_seqs"]) == (0, 0, 0, 1)
+    # doc 2 starts sequence 1 at offset 256
+    assert (got[2]["tok_start"], got[2]["first_seq"], got[2]["n_seqs"]) == (256, 1, 1)
+    # doc 3 (300 tokens from 257) straddles sequences 1..2
+    assert (got[3]["tok_start"], got[3]["first_seq"], got[3]["last_seq"], got[3]["n_seqs"]) == (257, 1, 2, 2)
