@@ -106,6 +106,7 @@ HEADLINE = [
     "bucketed_join_colocated",
     "canonical_schema_evolution",
     "pack_sequence_spans",
+    "hll_group_registers",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

@@ -4663,6 +4663,54 @@ def hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The hash-oracled HLL companion: native approx_count_distinct (above)
+# stays rows-only because its registers ride an engine-private hash; this
+# entry builds the SAME sketch shape from the engine-portable md5 hash —
+# register index/rho from h60 bits, max-merged per group, harmonic
+# denominator kept in exact integer space — so the full register state
+# (count + rho checksum) AND the raw estimate hash-match DuckDB.
+_HLL_M = 64
+_HLL_SCALE = repr(0.7213 / (1 + 1.079 / 64) * 64 * 64)
+_HLL_P55 = float(1 << 55)
+
+
+@_register(
+    "hll_group_registers",
+    f"""
+    WITH h AS (
+      SELECT event_type,
+             CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS hv
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, hv % {_HLL_M} AS j,
+             55 - length(trim(LEADING '0' FROM bin(hv // {_HLL_M}))) AS rho0
+      FROM h
+    ),
+    regs AS (SELECT event_type, j, max(rho0) AS rho
+             FROM r GROUP BY event_type, j)
+    SELECT event_type,
+           CAST(count(*) AS INT) AS n_regs,
+           CAST(sum(rho) AS BIGINT) AS rho_sum,
+           CAST(floor({_HLL_SCALE} * {_HLL_P55!r}
+                      / (sum(CAST(1 AS BIGINT) << CAST(55 - rho AS INT))
+                         + ({_HLL_M} - count(*)) * {_HLL_P55!r})
+                      * 1e4 + 0.5) AS BIGINT) AS est_e4
+    FROM regs GROUP BY event_type
+    """,
+    "sketch: per-group HLL with engine-portable registers (hash-oracled)",
+    f"md5-h60 HLL m={_HLL_M}: register state and raw estimate both "
+    "hash-match DuckDB; integer-exact harmonic denominator",
+)
+def hll_group_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.frequency import hll_per_group
+
+    return hll_per_group(
+        _t(spark, sf_dir, "events"), "event_type", "user_id", m=_HLL_M
+    )
+
+
 # ===========================================================================
 # Approximate percentiles — the mergeable-summary companion to the exact
 # order-statistic query (value_percentiles): percentile_approx keeps a
