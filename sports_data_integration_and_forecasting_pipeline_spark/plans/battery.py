@@ -2392,6 +2392,57 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Streaming dedup vs the batch distinct twin: every event row arrives
+# TWICE in its micro-batch (explode-duplicated after the stream read) and
+# the replay spans two batches, so dropDuplicatesWithinWatermark must
+# dedup within a batch AND carry key state across batches. The oracle is
+# simply the events table — streaming dedup of a doubled stream must
+# reproduce it exactly. State is per-key within the watermark horizon,
+# the unbounded-stream-safe form.
+# ===========================================================================
+
+@_register(
+    "streaming_dedup_replay",
+    """
+    SELECT event_id, user_id, event_type,
+           CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ts_s, value
+    FROM events
+    """,
+    "streaming dedup (batch twin: SELECT DISTINCT)",
+    "explode-doubled event stream through dropDuplicatesWithinWatermark "
+    "across 2 micro-batches == the events table",
+)
+def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.streaming.canonical import (
+        dedup_line_changes,
+    )
+
+    schema, stage = _stage_events_ordered(spark, sf_dir, n_files=2)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    doubled = stream.select(
+        F.col("event_id"),
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("event_time").alias("event_ts"),
+        F.col("value"),
+        F.explode(F.array(F.lit(1), F.lit(2))).alias("__copy"),
+    ).drop("__copy")
+    deduped = dedup_line_changes(doubled, watermark="30 minutes", keys=["event_id"])
+    out = _drain(deduped, "append")
+    return out.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_timestamp("event_ts").cast("bigint").alias("ts_s"),
+        "value",
+    )
+
+
+# ===========================================================================
 # F1-F4/F6 + C2/C10/C13: the nested flatten chain. The testdata has no
 # nested table, so the query BUILDS one (collect_list of structs per
 # order — one shuffle) and then runs the engine's explode pipeline over

@@ -31,6 +31,7 @@ SKIP = {
     "streaming_session_windows",
     "streaming_line_moves",
     "streaming_stream_join",
+    "streaming_dedup_replay",
 }
 
 
