@@ -511,8 +511,15 @@ def simhash_pairs(
     2^15 bucket values per band so random (non-near-dup) pairs
     essentially never collide — candidate volume stays ~linear in n
     instead of the n²/2^bits blow-up a narrow fingerprint would give.
-    The signature df is persisted: it feeds both join sides."""
-    sim = _persist_scoped("simhash_signatures", simhash60(df, text_col, id_col))
+    The signature df is persisted: it feeds both join sides. The input is
+    spread first — the 60 md5-bit-votes per doc are the CPU cost, and a
+    single-split scan would compute them all on one core."""
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import ensure_parallelism
+
+    sim = _persist_scoped(
+        "simhash_signatures",
+        simhash60(ensure_parallelism(df, id_col), text_col, id_col),
+    )
     mask = (1 << SIMHASH_BAND_BITS) - 1
     bands = F.array(
         *[
