@@ -94,8 +94,10 @@ PINNED = {
     # BroadcastExchange inflates the raw count); signatures never ride the
     # 16× band explode
     "dedup_minhash_lsh":      (8, ["InMemoryTableScan"],    ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"]),
-    # r3: +spread exchange so the 60 md5 bit-votes/doc use every core
-    "dedup_simhash_pairs":    (3, [],                       ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # r3: +spread exchange (the 60 md5 bit-votes/doc use every core) and
+    # the band self-join broadcasts at test SF (BroadcastExchange counts
+    # toward the textual budget)
+    "dedup_simhash_pairs":    (4, [],                       ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     "nested_explode_flatten": (1, [],                       []),
     "embed_ivf_ann":          (2, ["BroadcastHashJoin", "WindowGroupLimit"], ["CartesianProduct"]),
     "best_odds_report_join":  (2, ["WindowGroupLimit"],     []),
