@@ -268,7 +268,13 @@ def arbitrage_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-outcome best rows left-joined with per-game summary",
 )
 def best_odds_report_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import ensure_parallelism
+
+    # spread keyed by l_orderkey: HashPartitioning(l_orderkey) satisfies
+    # BOTH windows' distributions ((l_orderkey, l_linestatus) is a
+    # superset clustering; l_orderkey is exact), so the whole pipeline
+    # runs off ONE exchange — previously the two windows re-shuffled
+    li = ensure_parallelism(_t(spark, sf_dir, "lineitem"), "l_orderkey")
     w = Window.partitionBy("l_orderkey", "l_linestatus").orderBy(
         F.desc("l_extendedprice"), F.asc("l_linenumber"), F.asc("l_suppkey")
     )
@@ -654,7 +660,11 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "flagship: best-price + two-outcome arbitrage report (detect_discrepancies shape)",
 )
 def flagship_market_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import ensure_parallelism
+
+    # one keyed spread serves both windows (superset clustering), as in
+    # best_odds_report_join
+    li = ensure_parallelism(_t(spark, sf_dir, "lineitem"), "l_orderkey")
     w = Window.partitionBy("l_orderkey", "l_linestatus").orderBy(
         F.desc("l_quantity"), F.asc("l_linenumber"), F.asc("l_suppkey")
     )
@@ -2478,7 +2488,14 @@ def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nest lineitem into per-order outcome arrays, explode back with coalesce aliasing, validity filter, decimal->American",
 )
 def nested_explode_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem").select(
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import ensure_parallelism
+
+    # spread keyed by the grouping key: the collect_list groupBy reuses the
+    # partitioning, so the plan keeps ONE exchange but the string-building
+    # projection runs on every core instead of the scan's single split
+    li = ensure_parallelism(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey"
+    ).select(
         "l_orderkey",
         "l_linenumber",
         F.when(F.col("l_linenumber") % 2 == 0, F.lit(None).cast("string"))
