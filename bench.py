@@ -107,6 +107,7 @@ HEADLINE = [
     "canonical_schema_evolution",
     "pack_sequence_spans",
     "hll_group_registers",
+    "training_shard_manifest",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

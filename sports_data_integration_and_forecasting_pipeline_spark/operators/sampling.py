@@ -134,3 +134,42 @@ def kfold_assign(
         h60(F.concat(F.lit(salt), F.col(key_col).cast("string"))), F.lit(k)
     ).cast("int")
     return df.withColumn("fold", fold)
+
+
+def shard_by_key(
+    df: DataFrame, key_col: str, n_shards: int = 16, out_col: str = "shard"
+) -> DataFrame:
+    """Deterministic training-shard assignment: ``shard = h60(key) %
+    n_shards`` — a pure function of the row key, so shard membership is
+    stable under re-partitioning, reruns, and engine choice (the property
+    that makes a training run resumable and its data lineage auditable).
+    Narrow projection; the subsequent per-shard write is
+    ``df.repartition(out_col).write.partitionBy(out_col)``, one shuffle."""
+    return df.withColumn(
+        out_col, (h60(F.col(key_col).cast("string")) % n_shards).cast("int")
+    )
+
+
+def shard_manifest(
+    df: DataFrame,
+    key_col: str,
+    text_col: str = "text",
+    n_shards: int = 16,
+) -> DataFrame:
+    """Per-shard manifest ``(shard, n_docs, total_tokens, key_checksum)``
+    — the audit row a shard writer emits alongside each shard so a
+    training job can verify completeness without reading the data. The
+    checksum is ``bit_xor`` of the 60-bit key hashes: order-independent,
+    exact, and engine-portable (integer sums of hashes would overflow
+    under ANSI mode)."""
+    h = h60(F.col(key_col).cast("string"))
+    d = shard_by_key(df, key_col, n_shards).select(
+        "shard",
+        h.alias("__h"),
+        F.size(F.split(F.col(text_col), " ")).cast("bigint").alias("__n"),
+    )
+    return d.groupBy("shard").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("__n").cast("bigint").alias("total_tokens"),
+        F.expr("bit_xor(__h)").cast("bigint").alias("key_checksum"),
+    )

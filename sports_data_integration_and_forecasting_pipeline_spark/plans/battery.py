@@ -3752,6 +3752,41 @@ def range_join_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 # ===========================================================================
+# Training-shard manifest — deterministic shard assignment (h60 % 16, a
+# pure key function: stable under re-partitioning/reruns/engines) plus
+# the per-shard audit row a shard writer emits so a training job can
+# verify completeness without reading the data. The checksum is bit_xor
+# of key hashes — order-independent and overflow-free where an integer
+# sum of 60-bit hashes would trip ANSI mode.
+# ===========================================================================
+
+@_register(
+    "training_shard_manifest",
+    f"""
+    WITH t AS (
+      SELECT {_h60_sql("CAST(doc_id AS VARCHAR)")} AS h,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    )
+    SELECT CAST(h % 16 AS INT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS total_tokens,
+           CAST(bit_xor(h) AS BIGINT) AS key_checksum
+    FROM t GROUP BY h % 16
+    """,
+    "sharding: deterministic training-shard manifest",
+    "h60(doc_id) % 16 shard assignment with per-shard doc/token counts "
+    "and an order-independent key checksum",
+)
+def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.sampling import shard_manifest
+
+    return shard_manifest(
+        _t(spark, sf_dir, "documents"), "doc_id", n_shards=16
+    )
+
+
+# ===========================================================================
 # Deterministic key-hash sampling — repeatable corpus sampling: the
 # in/out decision is a pure function of the row key (md5-derived), so the
 # sample is stable under re-partitioning, reruns, and engine choice,

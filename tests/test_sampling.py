@@ -130,3 +130,32 @@ def test_kfold_is_stable_and_partitions_keys(spark):
     from collections import Counter
     sizes = Counter(a.values())
     assert max(sizes.values()) < 1.4 * min(sizes.values())
+
+
+def test_shard_assignment_stable_under_repartitioning(spark):
+    """Shard membership is a pure key function — identical across
+    partitionings and reruns, and the manifest checksums agree with a
+    direct recomputation."""
+    from pyspark.sql import functions as F
+
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.sampling import (
+        shard_by_key,
+        shard_manifest,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {r["doc_id"]: r["shard"] for r in shard_by_key(docs, "doc_id").collect()}
+    b = {
+        r["doc_id"]: r["shard"]
+        for r in shard_by_key(docs.repartition(7), "doc_id").collect()
+    }
+    assert a == b
+    assert set(a.values()) == set(range(16))  # all shards populated
+
+    man = shard_manifest(docs, "doc_id").collect()
+    assert sum(r["n_docs"] for r in man) == docs.count()
+    # manifest counts match the assignment
+    from collections import Counter
+
+    counts = Counter(a.values())
+    assert {r["shard"]: r["n_docs"] for r in man} == dict(counts)
