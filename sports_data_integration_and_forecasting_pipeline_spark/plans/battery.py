@@ -2402,6 +2402,46 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Stream-static enrichment — the standard dimension join on a stream:
+# each micro-batch joins against the static customer table (broadcast;
+# the dim is loaded once, not per-batch shuffled). Append mode needs no
+# watermark for stream-static inner joins. Oracle: the batch twin join.
+# ===========================================================================
+
+@_register(
+    "streaming_static_enrich",
+    """
+    SELECT e.event_id, e.user_id,
+           CAST(epoch_us(e.ts) // 1000000 AS BIGINT) AS ts_s,
+           e.value, c.c_mktsegment AS segment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    "streaming stream-static join (batch twin: events x customer)",
+    "event stream enriched per micro-batch against the broadcast static "
+    "customer dim",
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    schema, stage = _stage_events_ordered(spark, sf_dir, n_files=2)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    dim = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = stream.join(
+        F.broadcast(dim), stream["user_id"] == dim["c_custkey"]
+    )
+    out = _drain(joined, "append")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("event_time").cast("bigint").alias("ts_s"),
+        "value",
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+
+# ===========================================================================
 # Streaming dedup vs the batch distinct twin: every event row arrives
 # TWICE in its micro-batch (explode-duplicated after the stream read) and
 # the replay spans two batches, so dropDuplicatesWithinWatermark must

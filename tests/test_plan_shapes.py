@@ -32,6 +32,7 @@ SKIP = {
     "streaming_line_moves",
     "streaming_stream_join",
     "streaming_dedup_replay",
+    "streaming_static_enrich",
 }
 
 
