@@ -108,6 +108,7 @@ HEADLINE = [
     "pack_sequence_spans",
     "hll_group_registers",
     "training_shard_manifest",
+    "embed_mean_pool",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

@@ -1773,6 +1773,57 @@ def embed_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ===========================================================================
+# Mean pooling — chunk embeddings -> document embedding (vec_id div 8
+# plays the chunk->doc mapping), the aggregation step of hierarchical
+# retrieval indexes. Element-wise mean across rows at scale = posexplode
+# + (doc, dim) partial-agg (map-side combined, one shuffle; never a
+# driver-side vector loop). The entry emits symmetric reductions of the
+# pooled vector (dim count, 6dp-floor checksum, L2 norm) so the result
+# hash-compares without array-column hashing.
+# ===========================================================================
+
+@_register(
+    "embed_mean_pool",
+    f"""
+    WITH e AS (
+      SELECT vec_id // 8 AS doc_id, d.i AS pos,
+             CAST(embedding[d.i::INT] AS DOUBLE) AS v
+      FROM embeddings CROSS JOIN range(1, {_EMB_DIM + 1}) d(i)
+    ),
+    m AS (SELECT doc_id, pos, sum(v) / count(*) AS mv
+          FROM e GROUP BY doc_id, pos)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS dim,
+           CAST(sum(CAST(floor(mv * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS mean_checksum_e6,
+           {_sql_r("sqrt(sum(mv * mv))", 6)} AS l2_norm
+    FROM m GROUP BY doc_id
+    """,
+    "similarity: mean pooling chunk->doc embeddings",
+    "posexplode + (doc, dim) map-side-combined mean; 6dp checksum + L2 "
+    "norm hash-matched",
+)
+def embed_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        F.expr("vec_id div 8").alias("doc_id"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "v"
+        ),
+    )
+    m = e.groupBy("doc_id", "pos").agg(
+        (F.sum("v") / F.count("*")).alias("mv")
+    )
+    return m.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("dim"),
+        F.sum(F.floor(F.col("mv") * 1e6 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("mean_checksum_e6"),
+        _r(F.sqrt(F.sum(F.col("mv") * F.col("mv"))), 6).alias("l2_norm"),
+    )
+
+
 _DUP_PLANES_N = 6
 _DUP_PLANES = hyperplanes(n_planes=_DUP_PLANES_N, dim=_EMB_DIM)
 
