@@ -109,6 +109,7 @@ HEADLINE = [
     "hll_group_registers",
     "training_shard_manifest",
     "embed_mean_pool",
+    "dedup_normalized_exact",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

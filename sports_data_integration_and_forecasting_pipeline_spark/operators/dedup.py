@@ -645,3 +645,37 @@ def connected_components_star(
             ),
         )
     )
+
+
+def normalize_text(c: Column) -> Column:
+    """Engine-portable curation normalization: lowercase, strip common
+    punctuation, collapse whitespace runs. Deliberately built from
+    ``replace``/``split``/``filter``/``array_join`` — primitives whose
+    semantics are byte-identical in Spark and DuckDB — rather than regex
+    classes, whose dialects (Java vs RE2) disagree at the edges."""
+    out = F.lower(c)
+    for ch in [".", ",", "!", "?", ";", ":"]:
+        out = F.replace(out, F.lit(ch), F.lit(""))
+    return F.array_join(
+        F.filter(F.split(out, " "), lambda t: t != ""), " "
+    )
+
+
+def normalized_dup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup AFTER normalization — catches the near-dups that differ
+    only by case/punctuation/spacing, the cheapest rung of the dedup
+    ladder (below shingle/MinHash). Same one-shuffle shape as
+    :func:`exact_dup_groups`, keyed on the normalized fingerprint."""
+    fp = F.md5(normalize_text(F.col(text_col)))
+    w = Window.partitionBy("norm_fp")
+    return (
+        df.select(id_col, fp.alias("norm_fp"))
+        .select(
+            id_col,
+            "norm_fp",
+            F.min(id_col).over(w).alias("canonical_id"),
+            (F.count("*").over(w) > 1).alias("in_dup_group"),
+        )
+    )

@@ -3843,6 +3843,44 @@ def range_join_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 # ===========================================================================
+# Normalization-aware exact dedup — the cheapest rung of the dedup
+# ladder: lowercase + punctuation strip + whitespace collapse, then the
+# same one-shuffle fingerprint-group shape as dedup_exact. Normalization
+# is built from replace/split/filter/join primitives (byte-identical
+# across engines) rather than regex classes (Java vs RE2 dialects
+# disagree at the edges).
+# ===========================================================================
+
+@_register(
+    "dedup_normalized_exact",
+    """
+    WITH n AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               list_filter(
+                 string_split(
+                   replace(replace(replace(replace(replace(replace(
+                     lower(text),
+                     '.', ''), ',', ''), '!', ''), '?', ''), ';', ''), ':', ''),
+                   ' '),
+                 t -> t <> ''), ' ')) AS norm_fp
+      FROM documents
+    )
+    SELECT doc_id, norm_fp,
+           min(doc_id) OVER (PARTITION BY norm_fp) AS canonical_id,
+           (count(*) OVER (PARTITION BY norm_fp) > 1) AS in_dup_group
+    FROM n
+    """,
+    "textops: normalized exact dedup (case/punct/space-insensitive)",
+    "lower+strip-punct+collapse-space fingerprint groups; one shuffle",
+)
+def dedup_normalized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import normalized_dup_groups
+
+    return normalized_dup_groups(_t(spark, sf_dir, "documents"))
+
+
+# ===========================================================================
 # Training-shard manifest — deterministic shard assignment (h60 % 16, a
 # pure key function: stable under re-partitioning/reruns/engines) plus
 # the per-shard audit row a shard writer emits so a training job can

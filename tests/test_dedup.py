@@ -171,3 +171,21 @@ def test_star_cc_converges_fast_on_a_long_chain(spark):
     # propagation would need ~n rounds on a 64-chain; star must finish in <= 8
     out = connected_components_star(chain, nodes, max_iter=8).collect()
     assert all(r["cluster_id"] == 0 for r in out) and len(out) == n
+
+
+def test_normalized_dedup_catches_case_punct_space_variants(spark):
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import normalized_dup_groups
+
+    df = _docs(
+        spark,
+        [
+            (1, "Hello, World!"),
+            (2, "hello world"),
+            (3, "HELLO   world."),
+            (4, "goodbye world"),
+        ],
+    )
+    got = {r["doc_id"]: r for r in normalized_dup_groups(df).collect()}
+    assert got[1]["canonical_id"] == got[2]["canonical_id"] == got[3]["canonical_id"] == 1
+    assert got[1]["in_dup_group"] and got[3]["in_dup_group"]
+    assert not got[4]["in_dup_group"] and got[4]["canonical_id"] == 4
