@@ -71,3 +71,57 @@ def test_bucketed_join_is_shuffle_free(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql(f"DROP TABLE IF EXISTS {li_t}")
         spark.sql(f"DROP TABLE IF EXISTS {o_t}")
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """Runtime skew handling, machine-checked: with 95% of rows on one join
+    key, AQE splits the hot shuffle partition (SortMergeJoin(skew=true))
+    when nothing downstream requires the join's hash distribution. The
+    negative case is asserted too: a groupBy on the join key downstream
+    forbids the split (partitions can't be broken without re-shuffling) —
+    which is exactly the situation the manual salting operators in this
+    module exist for."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        big = spark.range(0, 200000).select(
+            F.when(F.col("id") < 190000, F.lit(0))
+            .otherwise(F.col("id") % 50 + 1)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        dim = spark.range(0, 51).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+
+        free = big.join(dim, "k").select(F.sum(F.col("v") + F.col("w")).alias("s"))
+        free.collect()
+        plan = free._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:800]
+
+        pinned = big.join(dim, "k").groupBy("k").agg(F.sum("v").alias("s"))
+        pinned.collect()
+        plan2 = pinned._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" not in plan2  # distribution requirement blocks the split
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
