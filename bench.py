@@ -110,6 +110,7 @@ HEADLINE = [
     "training_shard_manifest",
     "embed_mean_pool",
     "dedup_normalized_exact",
+    "quality_perplexity_cut",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

@@ -4831,10 +4831,8 @@ def countmin_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is floating, rounded at 4 dp.
 # ===========================================================================
 
-@_register(
-    "text_unigram_perplexity",
-    """
-    WITH toks AS (
+_PPL_CTES = """
+    toks AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
     ),
     tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
@@ -4845,13 +4843,23 @@ def countmin_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
              tf.tf * CAST(floor(-ln(CAST(cnt AS DOUBLE) / total) * 1000000.0 + 0.5) AS BIGINT)
                AS nll_micro
       FROM tf JOIN tot USING (term) CROSS JOIN n
+    ),
+    ppl AS (
+      SELECT doc_id,
+             CAST(sum(tf) AS BIGINT) AS n_tokens,
+             CAST(sum(nll_micro) AS BIGINT) AS nll_micro,
+             CAST(floor(exp(CAST(sum(nll_micro) AS DOUBLE) / 1000000.0 / sum(tf)) * 10000.0 + 0.5) AS BIGINT)
+               AS ppl_e4
+      FROM scored GROUP BY doc_id
     )
-    SELECT doc_id,
-           CAST(sum(tf) AS BIGINT) AS n_tokens,
-           CAST(sum(nll_micro) AS BIGINT) AS nll_micro,
-           CAST(floor(exp(CAST(sum(nll_micro) AS DOUBLE) / 1000000.0 / sum(tf)) * 10000.0 + 0.5) AS BIGINT)
-             AS ppl_e4
-    FROM scored GROUP BY doc_id
+"""
+
+
+@_register(
+    "text_unigram_perplexity",
+    f"""
+    WITH {_PPL_CTES}
+    SELECT doc_id, n_tokens, nll_micro, ppl_e4 FROM ppl
     """,
     "textops: unigram LM perplexity (no reference counterpart)",
     "per-doc perplexity under the corpus unigram model, integer micro-nat accumulation",
@@ -4862,6 +4870,47 @@ def text_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return unigram_perplexity(_t(spark, sf_dir, "documents"))
+
+
+# Model-signal quality cut — the LM-filter stage real curation pipelines
+# run after rule-based filters: drop documents whose perplexity under the
+# corpus unigram model exceeds a calibrated threshold (a config literal —
+# at scale the threshold comes from an offline percentile calibration,
+# never a global ranking window over the data), then report per-language
+# survivor stats. Deterministic end-to-end: the threshold compare is on
+# integer ppl_e4.
+_PPL_CUT_E4 = 32 * 10000  # keep docs with perplexity <= 32 (calibrated offline; corpus ppl spans ~29-42)
+
+
+@_register(
+    "quality_perplexity_cut",
+    f"""
+    WITH {_PPL_CTES}
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(p.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(max(p.ppl_e4) AS BIGINT) AS max_ppl_e4
+    FROM ppl p JOIN documents d USING (doc_id)
+    WHERE p.ppl_e4 <= {_PPL_CUT_E4}
+    GROUP BY d.lang
+    """,
+    "curation: perplexity-threshold quality cut",
+    "drop docs with unigram ppl above the calibrated literal; per-lang "
+    "survivor stats (integer compare, no global ranking window)",
+)
+def quality_perplexity_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import (
+        unigram_perplexity,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ppl = unigram_perplexity(docs).filter(F.col("ppl_e4") <= _PPL_CUT_E4)
+    survivors = ppl.join(docs.select("doc_id", "lang"), "doc_id")
+    return survivors.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.max("ppl_e4").cast("bigint").alias("max_ppl_e4"),
+    )
 
 
 # ===========================================================================
