@@ -41,3 +41,42 @@ def test_zorder_pruning_tradeoff(spark):
     # pruning is always sound: scanned >= matching
     for r in rows:
         assert r["files_scanned"] >= r["files_matching"]
+
+
+def test_dynamic_partition_pruning_reaches_fact_scan(spark, tmp_path):
+    """Catalyst's dynamic partition pruning, machine-checked: a
+    date-partitioned fact joined to a filtered dimension scans only the
+    partitions the dim filter selects — the runtime analogue of the
+    static pruning layout_scan_stats measures. The dim must be a file
+    source (a local relation never triggers DPP) and broadcast-able; the
+    pruning subquery then shows up in the fact scan's PartitionFilters."""
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    fact_path = str(tmp_path / "fact")
+    dim_path = str(tmp_path / "dim")
+    orders.withColumn(
+        "omonth", F.date_format("o_orderdate", "yyyy-MM")
+    ).write.partitionBy("omonth").parquet(fact_path)
+    spark.createDataFrame(
+        [
+            (f"{y}-{m:02d}", "Q1" if m <= 3 else "rest")
+            for y in range(1995, 2002)
+            for m in range(1, 13)
+        ],
+        "omonth string, quarter string",
+    ).write.parquet(dim_path)
+
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("quarter") == "Q1")
+    j = fact.join(F.broadcast(dim), "omonth")
+    got = j.count()
+
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, plan[:1200]
+
+    # and the pruned result is correct: exactly the Q1 months' orders
+    want = orders.filter(
+        F.date_format("o_orderdate", "MM").cast("int") <= 3
+    ).count()
+    assert got == want and got > 0
