@@ -149,3 +149,23 @@ def test_new_operator_plan_guarantees(spark):
     # quantized top-k: queries broadcast; candidates reach the join unshuffled
     p = plan("embed_quantized_topk")
     assert "BroadcastNestedLoopJoin" in p, p
+
+
+def test_column_pruning_reaches_scan(spark):
+    """Projections prune at the parquet reader: the scan's ReadSchema must
+    carry only the columns the query touches, never the full table (a
+    16-column lineitem read for a 3-column query would be wrong at any
+    scale)."""
+    import re
+
+    expected = {
+        "devig_proportional": {"l_orderkey", "l_linenumber", "l_extendedprice"},
+        "topk_orders": {"o_orderkey", "o_custkey", "o_totalprice"},
+        "text_token_stats": {"doc_id", "text", "n_chars"},
+    }
+    for name, want in expected.items():
+        plan = _plan(spark, name)
+        schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        assert schemas, f"{name}: no ReadSchema in plan"
+        got = {f.split(":")[0] for s in schemas for f in s.split(",") if f}
+        assert got == want, f"{name}: scan reads {sorted(got)}, want {sorted(want)}"
