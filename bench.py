@@ -111,6 +111,8 @@ HEADLINE = [
     "embed_mean_pool",
     "dedup_normalized_exact",
     "quality_perplexity_cut",
+    "orders_price_histogram",
+    "customers_without_orders",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

@@ -3843,6 +3843,67 @@ def range_join_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 # ===========================================================================
+# Equi-width histogram — the profiling companion to min/max/NDV: fixed
+# literal bin width (bounds from an offline profile, the same calibration
+# contract as the perplexity cut — never a per-query global min/max scan
+# at 100 TB unless asked), one map-side-combined shuffle of <= n_bins
+# rows. Integer bin arithmetic, hash-exact.
+# ===========================================================================
+
+@_register(
+    "orders_price_histogram",
+    """
+    SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(floor(o_totalprice * 100.0 + 0.5)) AS BIGINT) AS cents_sum
+    FROM orders GROUP BY 1
+    """,
+    "profiling: equi-width price histogram",
+    "50k-wide bins over o_totalprice; <= n_bins rows shuffle",
+)
+def orders_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.floor(F.col("o_totalprice") / 50000.0).cast("bigint").alias("bin")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(_cents(F.col("o_totalprice"))).cast("bigint").alias("cents_sum"),
+    )
+
+
+# ===========================================================================
+# Anti-join — customers with no orders (a third of TPC-H customers):
+# the NOT EXISTS shape as a left_anti join, aggregated per nation. The
+# anti-join shuffles on the key at scale (the orders side is a fact
+# table); the guard against accidental BroadcastNestedLoop is the plan
+# test family's concern, correctness is this oracle.
+# ===========================================================================
+
+@_register(
+    "customers_without_orders",
+    """
+    SELECT c.c_nationkey AS nationkey,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(floor(c.c_acctbal * 100.0 + 0.5)) AS BIGINT)
+             AS acctbal_cents
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_nationkey
+    """,
+    "joins: anti-join (NOT EXISTS) rollup",
+    "customers with no orders per nation via left_anti",
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    survivors = c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+    return survivors.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.sum(_cents(F.col("c_acctbal"))).cast("bigint").alias("acctbal_cents"),
+    )
+
+
+# ===========================================================================
 # Normalization-aware exact dedup — the cheapest rung of the dedup
 # ladder: lowercase + punctuation strip + whitespace collapse, then the
 # same one-shuffle fingerprint-group shape as dedup_exact. Normalization
