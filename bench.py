@@ -113,6 +113,7 @@ HEADLINE = [
     "quality_perplexity_cut",
     "orders_price_histogram",
     "customers_without_orders",
+    "cube_pricing",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

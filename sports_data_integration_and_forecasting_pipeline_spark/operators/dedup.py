@@ -3,11 +3,13 @@ north-star scope; the reference has no text/dedup surface — its only dedup
 is ``drop_duplicates("game_id")`` at ``web/app.py:99``, covered by the
 markets operators).
 
-Four families, each a standard corpus-dedup technique re-expressed as
-shuffle-minimal Spark plans:
+Five families, each a standard corpus-dedup technique re-expressed as
+shuffle-minimal Spark plans, plus the incremental snapshot-vs-corpus path
+(:func:`incremental_minhash_pairs`):
 
-- **Exact**: md5 fingerprint + one hash-partitioned window (single shuffle
-  on the fingerprint; fingerprints are ~unique so no skew).
+- **Exact** (raw and normalization-aware): md5 fingerprint + one
+  hash-partitioned window (single shuffle on the fingerprint;
+  fingerprints are ~unique so no skew).
 - **N-gram Jaccard**: word-shingle inverted index self-joined on shingle.
   Hot shingles (doc frequency > ``max_df``) are dropped via a broadcast
   anti-join before the pair join — the standard skew guard that keeps the

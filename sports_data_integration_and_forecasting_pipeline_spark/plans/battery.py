@@ -3702,6 +3702,31 @@ def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# CUBE: every grouping-set combination (the cross-tab twin of ROLLUP's
+# hierarchy) — still ONE aggregate pass via grouping-set expansion.
+@_register(
+    "cube_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_price_cents
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+    "cube grouping sets (no reference counterpart)",
+    "all subtotal combinations over (returnflag, linestatus) in one pass",
+)
+def cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(_cents(F.col("l_extendedprice"))).cast("bigint").alias(
+            "sum_price_cents"
+        ),
+    )
+
+
 # ===========================================================================
 # OHLC time-bar resample — the canonical market-data downsample: per
 # (user, 1-hour bar) the open/high/low/close of value with pinned
