@@ -142,5 +142,7 @@ def read_log_tail(
     content = p.read_text()
     if max_lines is None:
         return content
+    if max_lines <= 0:  # lines[-0:] would return everything
+        return ""
     lines = content.splitlines(keepends=True)
     return "".join(lines[-max_lines:])

@@ -222,11 +222,13 @@ def hll_per_group(
     Returns ``(group_col, n_regs, rho_sum, est_e4)`` — register count,
     register checksum, and the estimate in 1e-4 units.
     """
-    h = F.conv(
-        F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
-    ).cast("long")
+    from .dedup import h60
+
     d = (
-        df.select(F.col(group_col), h.alias("__h"))
+        df.select(
+            F.col(group_col),
+            h60(F.col(value_col).cast("string")).alias("__h"),
+        )
         .select(
             group_col,
             (F.col("__h") % m).alias("__j"),

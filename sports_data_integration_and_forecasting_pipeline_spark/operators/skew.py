@@ -109,11 +109,18 @@ def write_bucketed(
     # A managed table's directory can outlive its (session-local) catalog
     # entry; saveAsTable then fails with LOCATION_ALREADY_EXISTS even in
     # overwrite mode. Drop both the entry and any stale location first.
+    # The path cleanup only applies where <warehouse>/<table> is the
+    # actual managed location: an unqualified table name in the default
+    # database on a LOCAL warehouse. Database-qualified names live under
+    # <db>.db/ and remote warehouses (hdfs://, s3a://) aren't local paths
+    # — there the DROP TABLE is the only safe cleanup.
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    loc = Path(warehouse.removeprefix("file:")) / table_name.lower()
-    if loc.exists():
-        shutil.rmtree(str(loc), ignore_errors=True)
+    local = warehouse.removeprefix("file:")
+    if "." not in table_name and "://" not in local:
+        loc = Path(local) / table_name.lower()
+        if loc.exists():
+            shutil.rmtree(str(loc), ignore_errors=True)
     writer = df.write.mode("overwrite").format("parquet").bucketBy(
         n_buckets, bucket_col
     )

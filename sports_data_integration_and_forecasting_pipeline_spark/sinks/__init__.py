@@ -74,10 +74,14 @@ def _stage_path(root, next_name: str):
 
 def _publish_version(root, staged, next_name: str) -> None:
     """Atomically claim the version name: ``os.rename(staged -> vNNNNNNNN)``
-    is one atomic directory rename that FAILS (ENOTEMPTY) if a competing
-    committer already published the same version — the second writer can't
-    silently overwrite the first's files. The loser's staged dir is
-    removed and the race surfaces as :class:`ConcurrentWriteError`."""
+    is one atomic directory rename that FAILS (ENOTEMPTY/EEXIST) if a
+    competing committer already published the same version — the second
+    writer can't silently overwrite the first's files. Only those two
+    errnos are classified as a race (loser's staged dir removed,
+    :class:`ConcurrentWriteError` raised); any other rename failure
+    (EACCES, EIO, ENOSPC…) re-raises untouched WITH the staged data kept
+    — a transient fault must not destroy a fully-written version."""
+    import errno
     import os
     import shutil
 
@@ -85,11 +89,48 @@ def _publish_version(root, staged, next_name: str) -> None:
     try:
         os.rename(staged, target)
     except OSError as exc:
+        if exc.errno not in (errno.ENOTEMPTY, errno.EEXIST):
+            raise
         shutil.rmtree(str(staged), ignore_errors=True)
         raise ConcurrentWriteError(
             f"version directory {next_name} already exists under {root}; "
-            "a concurrent writer committed first — re-read the table and retry"
+            "a concurrent writer committed first (or a previous committer "
+            "crashed between publish and pointer flip — run "
+            "recover_canonical() to clear an unpointed version) — re-read "
+            "the table and retry"
         ) from exc
+
+
+def recover_canonical(canonical_path: str) -> list[str]:
+    """Crash recovery for the versioned table: remove version directories
+    NEWER than the committed pointer (a committer that died between the
+    publish rename and the pointer flip strands exactly such a dir, and
+    its name blocks every future commit) plus any staged debris. NEVER
+    touches the pointed-to version or older retained versions.
+
+    Deliberately a separate, explicit call rather than automatic
+    reclamation inside the commit path: an unpointed version dir is
+    indistinguishable from a LIVE competing committer microseconds from
+    its pointer flip, so only an operator who knows no writer is running
+    (the documented single-writer contract) may reclaim it. Returns the
+    removed directory names."""
+    import re
+    import shutil
+    from pathlib import Path as P
+
+    root = P(canonical_path)
+    ptr = _pointer(root)
+    cur = int(ptr[0][1:]) if ptr else 0
+    removed = []
+    for child in sorted(root.iterdir()):
+        if child.is_dir() and re.fullmatch(r"v\d{8}", child.name):
+            if int(child.name[1:]) > cur:
+                shutil.rmtree(str(child), ignore_errors=True)
+                removed.append(child.name)
+        elif child.is_dir() and ".staged." in child.name:
+            shutil.rmtree(str(child), ignore_errors=True)
+            removed.append(child.name)
+    return removed
 
 
 def _prune_staged_debris(root) -> None:

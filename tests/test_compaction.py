@@ -262,3 +262,39 @@ def test_schema_evolution_reader_across_versions(spark, tmp_path):
     # undeclared type change must fail loudly, never coerce silently
     with pytest.raises(ValueError, match="cast_map"):
         read_canonical_evolved(spark, path, version=1)
+
+
+def test_recover_canonical_clears_wedged_unpointed_version(spark, tmp_path):
+    """A committer that dies between the publish rename and the pointer
+    flip strands a claimed-but-unpointed version dir that blocks every
+    future commit; recover_canonical removes exactly that (plus staged
+    debris), never the committed or retained versions."""
+    import pytest
+
+    from sports_data_integration_and_forecasting_pipeline_spark.sinks import (
+        ConcurrentWriteError,
+        recover_canonical,
+    )
+
+    path = str(tmp_path / "canonical.parquet")
+    update_canonical_table(_batch(spark), path)
+    before = _rows(spark, path)
+
+    # simulate the wedge: published v2 (real rename target), pointer never flipped
+    wedged = Path(path) / "v00000002"
+    wedged.mkdir()
+    (wedged / "part-stale.parquet").write_bytes(b"half-committed")
+    (Path(path) / ".v00000003.staged.dead").mkdir()
+
+    with pytest.raises(ConcurrentWriteError):
+        compact_canonical(spark, path)
+
+    removed = recover_canonical(path)
+    assert set(removed) == {"v00000002", ".v00000003.staged.dead"}
+    assert _pointer(Path(path)) == ("v00000001", "parquet")
+    assert _rows(spark, path) == before
+
+    # table commits again after recovery
+    compact_canonical(spark, path)
+    assert _pointer(Path(path)) == ("v00000002", "parquet")
+    assert _rows(spark, path) == before
