@@ -114,6 +114,7 @@ HEADLINE = [
     "orders_price_histogram",
     "customers_without_orders",
     "cube_pricing",
+    "event_gap_detection",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

@@ -2659,6 +2659,51 @@ def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Feed-gap detection — the data-quality monitor for an event feed: per
+# user, every pair of consecutive events more than 2 hours apart, with
+# the gap's bounds and length. One lag window, integer-seconds math; the
+# same single user_id-partitioned shuffle as sessionization (a gap is
+# just a session boundary viewed from the other side).
+# ===========================================================================
+
+@_register(
+    "event_gap_detection",
+    """
+    SELECT user_id,
+           CAST(prev_us // 1000000 AS BIGINT) AS gap_start_s,
+           CAST(ts_us // 1000000 AS BIGINT) AS gap_end_s,
+           CAST(ts_us // 1000000 - prev_us // 1000000 AS BIGINT) AS gap_s
+    FROM (
+      SELECT user_id, epoch_us(ts) AS ts_us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_us
+      FROM events)
+    WHERE prev_us IS NOT NULL
+      AND ts_us // 1000000 - prev_us // 1000000 > 7200
+    """,
+    "monitoring: feed-gap detection (no reference counterpart)",
+    "consecutive same-user events > 2h apart; one lag window, one shuffle",
+)
+def event_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_s = F.expr("ts DIV 1000000000")
+    gapped = ev.select(
+        "user_id",
+        ts_s.alias("ts_s"),
+        F.lag(ts_s).over(w).alias("prev_s"),
+    ).filter(
+        F.col("prev_s").isNotNull() & (F.col("ts_s") - F.col("prev_s") > 7200)
+    )
+    return gapped.select(
+        "user_id",
+        F.col("prev_s").cast("bigint").alias("gap_start_s"),
+        F.col("ts_s").cast("bigint").alias("gap_end_s"),
+        (F.col("ts_s") - F.col("prev_s")).cast("bigint").alias("gap_s"),
+    )
+
+
+# ===========================================================================
 # Sessionization (gaps-and-islands) over events: batch counterpart of the
 # streaming session_window — lag to flag gaps > 30 min, running sum to
 # number sessions, one groupBy for per-session stats. Timestamp math is
