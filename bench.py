@@ -115,6 +115,8 @@ HEADLINE = [
     "customers_without_orders",
     "cube_pricing",
     "event_gap_detection",
+    "customers_with_big_orders",
+    "feature_standardize",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

@@ -3942,6 +3942,87 @@ def orders_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Feature standardization — per-column z-scores, the ML-prep scaler: one
+# tiny global agg (mean/stddev per feature), broadcast back over the
+# fact scan as a narrow projection. Never a per-row Python scaler; the
+# stats row is the only shuffle. 6dp rounding absorbs the ~1e-12
+# cross-engine drift in the float mean/stddev (same contract as the
+# correlation screen).
+# ===========================================================================
+
+@_register(
+    "feature_standardize",
+    f"""
+    WITH s AS (
+      SELECT avg(l_quantity) AS m_q, stddev_samp(l_quantity) AS s_q,
+             avg(l_extendedprice) AS m_p, stddev_samp(l_extendedprice) AS s_p
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber,
+           {_sql_r("(l_quantity - m_q) / s_q", 6)} AS z_qty,
+           {_sql_r("(l_extendedprice - m_p) / s_p", 6)} AS z_price
+    FROM lineitem CROSS JOIN s
+    """,
+    "ml-prep: per-column z-score standardization",
+    "global mean/stddev broadcast over the fact scan; narrow projection",
+)
+def feature_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    stats = li.agg(
+        F.avg("l_quantity").alias("m_q"),
+        F.stddev_samp("l_quantity").alias("s_q"),
+        F.avg("l_extendedprice").alias("m_p"),
+        F.stddev_samp("l_extendedprice").alias("s_p"),
+    )
+    return li.crossJoin(F.broadcast(stats)).select(
+        "l_orderkey",
+        "l_linenumber",
+        _r((F.col("l_quantity") - F.col("m_q")) / F.col("s_q"), 6).alias("z_qty"),
+        _r(
+            (F.col("l_extendedprice") - F.col("m_p")) / F.col("s_p"), 6
+        ).alias("z_price"),
+    )
+
+
+# ===========================================================================
+# Semi-join — the EXISTS twin of the anti-join below: customers who
+# placed at least one high-value order, per market segment. left_semi
+# never duplicates the left side (unlike an inner join + distinct) and
+# ships only the join key from the right — the shape bloom_join_prune
+# accelerates at 100 TB.
+# ===========================================================================
+
+@_register(
+    "customers_with_big_orders",
+    """
+    SELECT c.c_mktsegment AS mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(floor(c.c_acctbal * 100.0 + 0.5)) AS BIGINT)
+             AS acctbal_cents
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 400000)
+    GROUP BY c.c_mktsegment
+    """,
+    "joins: semi-join (EXISTS) rollup",
+    "customers with >= 1 order above 400k per segment via left_semi",
+)
+def customers_with_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select("o_custkey")
+    )
+    hits = c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi")
+    return hits.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.sum(_cents(F.col("c_acctbal"))).cast("bigint").alias("acctbal_cents"),
+    )
+
+
+# ===========================================================================
 # Anti-join — customers with no orders (a third of TPC-H customers):
 # the NOT EXISTS shape as a left_anti join, aggregated per nation. The
 # anti-join shuffles on the key at scale (the orders side is a fact
