@@ -23,8 +23,9 @@ def _prepare(spark: SparkSession) -> None:
     """Session settings the engine relies on, applied defensively in case
     the driver built the session without them."""
     for k, v in [
-        # events.parquet carries TIMESTAMP(NANOS); read as long (ordering
-        # is all we use ts for).
+        # events.parquet time columns are timestamp[us] (TIMESTAMP_NTZ);
+        # the legacy flag additionally keeps TIMESTAMP(NANOS) snapshots
+        # loadable as nanos-since-epoch longs.
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.session.timeZone", "UTC"),

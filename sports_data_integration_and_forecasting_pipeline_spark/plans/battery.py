@@ -56,6 +56,35 @@ def _cents(col: Column) -> Column:
     return F.floor(col.cast("double") * 100.0 + 0.5).cast("bigint")
 
 
+# --- event-time helpers ----------------------------------------------------
+# events.ts / orders.o_orderdate / lineitem.l_shipdate are parquet
+# timestamp[us] columns (Spark reads TIMESTAMP_NTZ, DuckDB reads
+# TIMESTAMP — both tz-naive wall clocks). Epoch math therefore derives
+# microseconds as the wall-clock diff from the NTZ epoch literal, which is
+# session-timezone-independent and bit-identical to DuckDB's epoch_us(ts).
+
+
+def _epoch_us(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_diff(
+        "MICROSECOND", F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"), c
+    )
+
+
+def _fdiv(col: Column, n: int) -> Column:
+    """Exact floor division for non-negative bigint columns:
+    (c - c%n)/n — the numerator is exactly divisible and below 2^53, so
+    the double division is exact (same discipline as _r/_cents)."""
+    c = col.cast("long")
+    return ((c - c % F.lit(n)) / F.lit(n)).cast("long")
+
+
+def _epoch_s(col: Column | str) -> Column:
+    """Floor epoch seconds of a TIMESTAMP_NTZ column — matches DuckDB's
+    epoch_us(ts) // 1000000."""
+    return _fdiv(_epoch_us(col), 1_000_000)
+
+
 @dataclass(frozen=True)
 class QuerySpec:
     fn: Callable[[SparkSession, str], DataFrame]
@@ -2158,11 +2187,9 @@ def streaming_replay_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     ev = _t(spark, sf_dir, "events")
-    # ts arrives as nanos-as-long (see __spark_entry__._prepare): ns -> µs
-    # truncation matches DuckDB's TIMESTAMP read of the same parquet.
-    with_ts = ev.withColumn(
-        "event_time", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    # event_time: the same instant as the NTZ wall clock read as UTC —
+    # tz-independent, so streaming window bounds match the DuckDB oracle.
+    with_ts = ev.withColumn("event_time", F.timestamp_micros(_epoch_us("ts")))
     stage = tempfile.mkdtemp(prefix="stream_replay_")
     with_ts.repartition(2).write.mode("overwrite").parquet(stage)
 
@@ -2212,21 +2239,23 @@ def _stage_events_ordered(spark: SparkSession, sf_dir: str, n_files: int = 2):
     import tempfile
     import time
 
-    ev = _t(spark, sf_dir, "events").withColumn(
-        "event_time", F.timestamp_micros(F.expr("ts DIV 1000"))
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("ts_us", _epoch_us("ts"))
+        .withColumn("event_time", F.timestamp_micros(F.col("ts_us")))
     )
     stage = tempfile.mkdtemp(prefix="stream_stage_")
     # exact ts split points so file k's rows all precede file k+1's
     qs = [i / n_files for i in range(1, n_files)]
-    bounds = ev.approxQuantile("ts", qs, 0.0) if qs else []  # rel err 0 -> exact
+    bounds = ev.approxQuantile("ts_us", qs, 0.0) if qs else []  # rel err 0 -> exact
     lo = None
     base = time.time() - 3600
     for i, hi in enumerate(list(bounds) + [None]):
         part = ev
         if lo is not None:
-            part = part.filter(F.col("ts") >= lo)
+            part = part.filter(F.col("ts_us") >= lo)
         if hi is not None:
-            part = part.filter(F.col("ts") < hi)
+            part = part.filter(F.col("ts_us") < hi)
         tmp = tempfile.mkdtemp(prefix="stream_part_")
         part.coalesce(1).write.mode("overwrite").parquet(tmp)
         src = next(
@@ -2687,7 +2716,7 @@ def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def event_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ts_s = F.expr("ts DIV 1000000000")
+    ts_s = _epoch_s("ts")
     gapped = ev.select(
         "user_id",
         ts_s.alias("ts_s"),
@@ -2707,7 +2736,7 @@ def event_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Sessionization (gaps-and-islands) over events: batch counterpart of the
 # streaming session_window — lag to flag gaps > 30 min, running sum to
 # number sessions, one groupBy for per-session stats. Timestamp math is
-# integer division (ns DIV 1e9 / epoch_us // 1e6), exact in both engines.
+# exact integer floor-division over epoch microseconds in both engines.
 # Scale: both windows and the final groupBy share the user_id hash
 # partitioning -> a single shuffle.
 # ===========================================================================
@@ -2740,16 +2769,16 @@ def event_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     "gaps-and-islands sessions per user (30-min gap), per-session stats",
 )
 def event_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")  # ts = nanos-as-long
+    ev = _t(spark, sf_dir, "events")  # ts = timestamp_ntz
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_ns = 30 * 60 * 1_000_000_000
+    gap = F.expr("INTERVAL 30 MINUTES")
     lagged = F.lag("ts").over(w)
     flagged = ev.select(
         "user_id",
         "event_id",
-        F.expr("ts DIV 1000").alias("ts_us"),  # ns -> µs, exact int division
+        _epoch_us("ts").alias("ts_us"),
         F.when(
-            lagged.isNull() | ((F.col("ts") - lagged) > gap_ns), F.lit(1)
+            lagged.isNull() | ((F.col("ts") - lagged) > gap), F.lit(1)
         ).otherwise(F.lit(0)).alias("new_session"),
     )
     wrun = (
@@ -3021,13 +3050,12 @@ def asof_join_marks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("mark_id"),
         F.col("value").alias("mark_value"),
     )
-    sec = lambda c: F.expr(f"{c} DIV 1000000000")  # ts is nanos-as-long
     return asof_join(ev, marks, on="user_id").select(
         "event_id",
         "user_id",
-        sec("ts").alias("ts_s"),
+        _epoch_s("ts").alias("ts_s"),
         "value",
-        sec("matched_ts").alias("matched_ts_s"),
+        _epoch_s("matched_ts").alias("matched_ts_s"),
         "matched_mark_id",
         "matched_mark_value",
     )
@@ -3146,7 +3174,7 @@ def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "ts",
         _cents(F.col("value")).alias("cents"),
-        F.expr("ts DIV 1000000000").alias("ts_s"),
+        _epoch_s("ts").alias("ts_s"),
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ticks = ev.withColumn("next_s", F.lead("ts_s").over(w))
@@ -3216,11 +3244,9 @@ def time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "user_id",
-        F.expr("t0 DIV 1000000000").alias("first_view_s"),
+        _epoch_s("t0").alias("first_view_s"),
         F.col("t1").isNotNull().alias("converted"),
-        (F.expr("t1 DIV 1000000000") - F.expr("t0 DIV 1000000000")).alias(
-            "secs_to_convert"
-        ),
+        (_epoch_s("t1") - _epoch_s("t0")).alias("secs_to_convert"),
     )
 
 
@@ -3257,7 +3283,7 @@ def rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "events")
         .groupBy("user_id")
         .agg(
-            F.max(F.expr("ts DIV 86400000000000")).cast("bigint").alias("last_day"),
+            F.max(_fdiv(_epoch_us("ts"), 86_400_000_000)).cast("bigint").alias("last_day"),
             F.count("*").cast("bigint").alias("n_events"),
             F.sum(_cents(F.col("value"))).cast("bigint").alias("cents"),
         )
@@ -3321,7 +3347,7 @@ def kfold_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # first-activity week, activity counted per week offset. The per-user
 # cohort anchor is a window min sharing the single user_id exchange;
 # the matrix agg is map-side combined. Day arithmetic is exact integer
-# floor division on both engines (ns DIV 86.4e12 == epoch_us // 86.4e9).
+# floor division over epoch microseconds on both engines.
 # ===========================================================================
 
 @_register(
@@ -3348,7 +3374,7 @@ def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (
         _t(spark, sf_dir, "events")
         .filter(F.col("event_id") % 23 == 0)
-        .select("user_id", F.expr("ts DIV 86400000000000").alias("day"))
+        .select("user_id", _fdiv(_epoch_us("ts"), 86_400_000_000).alias("day"))
     )
     w = Window.partitionBy("user_id")
     c = ev.withColumn("d0", F.min("day").over(w))
@@ -3367,8 +3393,8 @@ def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SCD2 interval building — the warehouse history-table op: collapse
 # each user's event-type stream into validity intervals (valid_from /
 # valid_to, NULL = current state). Gaps-and-islands over ONE
-# key-partitioned time-ordered exchange; interval bounds convert ns->s
-# exactly on both engines (ts DIV 1e9 == epoch_us // 1e6).
+# key-partitioned time-ordered exchange; interval bounds convert to
+# epoch seconds exactly on both engines (epoch_us // 1e6).
 # ===========================================================================
 
 @_register(
@@ -3416,8 +3442,8 @@ def scd2_user_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id",
         "event_type",
-        F.expr("valid_from DIV 1000000000").alias("valid_from_s"),
-        F.expr("valid_to DIV 1000000000").alias("valid_to_s"),
+        _epoch_s("valid_from").alias("valid_from_s"),
+        _epoch_s("valid_to").alias("valid_to_s"),
         "n_rows",
     )
 
@@ -3555,15 +3581,15 @@ def order_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def session_click_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_ns = 30 * 60 * 1_000_000_000
+    gap = F.expr("INTERVAL 30 MINUTES")
     lagged = F.lag("ts").over(w)
     numbered = ev.select(
         "user_id",
         "event_id",
         "event_type",
-        F.expr("ts DIV 1000").alias("ts_us"),
+        _epoch_us("ts").alias("ts_us"),
         F.sum(
-            F.when(lagged.isNull() | ((F.col("ts") - lagged) > gap_ns), 1)
+            F.when(lagged.isNull() | ((F.col("ts") - lagged) > gap), 1)
             .otherwise(0)
         )
         .over(w.rowsBetween(Window.unboundedPreceding, 0))
@@ -3806,8 +3832,8 @@ def cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ohlc_hourly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    # ts is nanos-as-long; hour bucket = ts DIV 3.6e12 * 3600 (epoch s)
-    bar = (F.expr("ts DIV 3600000000000") * 3600).alias("bar_s")
+    # hour bucket = floor(epoch_us / 3.6e9) * 3600 (epoch s)
+    bar = (_fdiv(_epoch_us("ts"), 3_600_000_000) * 3600).alias("bar_s")
     based = ev.select("user_id", bar, "value", "ts", "event_id")
     w = Window.partitionBy("user_id", "bar_s").orderBy("ts", "event_id")
     wn = Window.partitionBy("user_id", "bar_s")
@@ -3878,13 +3904,13 @@ def range_join_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFram
 
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts")
-    gap_ns = 30 * 60 * 1_000_000_000
+    gap = F.expr("INTERVAL 30 MINUTES")
     lagged = F.lag("ts").over(w)
     numbered = ev.select(
         "user_id",
-        F.expr("ts DIV 1000000000").alias("ts_s"),
+        _epoch_s("ts").alias("ts_s"),
         F.sum(
-            F.when(lagged.isNull() | ((F.col("ts") - lagged) > gap_ns), 1)
+            F.when(lagged.isNull() | ((F.col("ts") - lagged) > gap), 1)
             .otherwise(0)
         )
         .over(w.rowsBetween(Window.unboundedPreceding, 0))
@@ -4156,7 +4182,7 @@ def sample_events_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "event_type",
-        F.expr("ts DIV 1000000000").alias("ts_s"),
+        _epoch_s("ts").alias("ts_s"),
         "value",
     )
 

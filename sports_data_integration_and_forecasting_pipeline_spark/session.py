@@ -46,9 +46,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Nested-schema pruning so exploded JSON scans read only used fields.
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
-        # The driver's events table carries TIMESTAMP(NANOS) parquet columns,
-        # which Spark rejects by default; read them as nanos-since-epoch longs
-        # (ordering-equivalent, which is all the engine needs from ts).
+        # Time columns arrive as parquet timestamp[us] (TIMESTAMP_NTZ in
+        # Spark). Legacy TIMESTAMP(NANOS) files would be rejected by
+        # default; reading them as nanos-since-epoch longs keeps older
+        # snapshots loadable alongside the µs schema.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
     )

@@ -47,13 +47,19 @@ def test_differential_vs_naive_join(spark):
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("user_id").orderBy("ts")
-    gap_ns = 30 * 60 * 1_000_000_000
+    gap = F.expr("INTERVAL 30 MINUTES")
     lagged = F.lag("ts").over(w)
+    ts_s = F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        F.col("ts"),
+    )
+    ts_s = ((ts_s - ts_s % F.lit(1_000_000)) / F.lit(1_000_000)).cast("long")
     numbered = ev.select(
         "user_id",
-        F.expr("ts DIV 1000000000").alias("ts_s"),
+        ts_s.alias("ts_s"),
         F.sum(
-            F.when(lagged.isNull() | ((F.col("ts") - lagged) > gap_ns), 1).otherwise(0)
+            F.when(lagged.isNull() | ((F.col("ts") - lagged) > gap), 1).otherwise(0)
         ).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("sid"),
     )
     sessions = numbered.groupBy("user_id", "sid").agg(
