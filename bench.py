@@ -117,6 +117,9 @@ HEADLINE = [
     "event_gap_detection",
     "customers_with_big_orders",
     "feature_standardize",
+    "q6_promo_revenue",
+    "monthly_active_users",
+    "weekday_hour_heatmap",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).
@@ -147,6 +150,28 @@ def main() -> None:
 
     # Warm the JVM/codegen paths once with a trivial action.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    # Machine calibration: a fixed data-independent workload (50M
+    # string-md5 hashes, the battery's dominant primitive) so
+    # round-over-round totals can be normalized for host-speed drift (the
+    # same battery measured 2-3x slower wall-clock between rounds on
+    # nominally identical 32-cpu hosts). The plan is REBUILT per run —
+    # re-executing one Dataset instance reuses its AQE-materialized
+    # stages and measures nothing — and driven through the same noop sink
+    # as the queries; second run reported (same convention as below).
+    from pyspark.sql import functions as _F
+
+    def _calib_df():
+        h = _F.md5(_F.concat(_F.lit("calib"), _F.col("id").cast("string")))
+        # bit_xor: overflow-free under ANSI mode, still forces every hash
+        return spark.range(50_000_000).select(_F.bit_xor(_F.xxhash64(h)))
+
+    calib_sec = None
+    for _ in range(2):
+        df = _calib_df()
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        calib_sec = round(time.perf_counter() - t0, 3)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -182,6 +207,7 @@ def main() -> None:
             "metric": "battery_total_wall",
             "value": total,
             "unit": "sec",
+            "calib_md5_sec": calib_sec,
             "queries": timings,
             "sf": sf_val,
         },
@@ -204,6 +230,7 @@ def main() -> None:
             "metric": "battery_total_wall",
             "value": total,
             "unit": "sec",
+            "calib_md5_sec": calib_sec,
             "queries": dict(sorted(by_cost[:keep])),
             "sf": sf_val,
         }

@@ -5321,6 +5321,118 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# TPC-H Q6-class promo-revenue scan — the pure scan-efficiency audit: a
+# single fact table, three pushed predicates (timestamp range, discount
+# band, quantity cap), two projected columns, one global aggregate. At
+# 100 TB this query IS the scan: every filter must reach the parquet
+# reader (PushedFilters; row groups outside the ship-date range are
+# skipped via min/max stats) and the aggregate is a 1-row partial per
+# task — no shuffle of data, only of partials. Plan-pinned in
+# tests/test_plan_shapes.py (shipdate pushdown present).
+# ===========================================================================
+
+@_register(
+    "q6_promo_revenue",
+    """
+    SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100.0 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    "scan audit (TPC-H Q6 shape; F8 predicate family over timestamps)",
+    "promo revenue: timestamp-range + band predicates pushed to the scan, "
+    "1-row aggregate",
+)
+def q6_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    kept = li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return kept.agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * F.col("l_discount") * 100.0 + 0.5
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("revenue_cents"),
+        F.count("*").cast("bigint").alias("n_lines"),
+    )
+
+
+# ===========================================================================
+# Monthly active users — the calendar-bucket rollup the timestamp schema
+# makes native: date_trunc month buckets (identical wall-clock semantics
+# in both engines under the engine's pinned UTC session), count-distinct
+# users + event/value totals per month. distinct-per-group is the
+# two-phase (bucket,user) -> bucket aggregation; everything else is
+# map-side combined in the same single exchange.
+# ===========================================================================
+
+@_register(
+    "monthly_active_users",
+    """
+    SELECT CAST(epoch_us(date_trunc('month', ts)) // 1000000 AS BIGINT)
+             AS month_start_s,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS mau,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events GROUP BY 1
+    """,
+    "calendar rollup: date_trunc month buckets (A10 family over timestamps)",
+    "per-month active users + event/value totals over the events stream",
+)
+def monthly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    bucket = _epoch_s(F.date_trunc("month", F.col("ts"))).alias("month_start_s")
+    return ev.groupBy(bucket).agg(
+        F.countDistinct("user_id").cast("bigint").alias("mau"),
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(_cents(F.col("value"))).cast("bigint").alias("sum_cents"),
+    )
+
+
+# ===========================================================================
+# Weekday x hour activity heatmap — calendar-component extraction
+# (weekday 0=Monday, hour-of-day) as grouping keys: the load-profile
+# query behind capacity planning dashboards. Spark's weekday() and
+# DuckDB's isodow()-1 agree by construction; output is <= 7x24 rows from
+# one map-side-combined exchange (plus the distinct-user expansion).
+# ===========================================================================
+
+@_register(
+    "weekday_hour_heatmap",
+    """
+    SELECT CAST(isodow(ts) - 1 AS INT) AS dow,
+           CAST(hour(ts) AS INT) AS hod,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+    "calendar extraction: weekday/hour grouping (O-family over timestamps)",
+    "7x24 activity heatmap: events + distinct users per weekday-hour cell",
+)
+def weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.weekday("ts").cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
+
+
+# ===========================================================================
 # Driver-window curation (round-2 review directive). The external
 # correctness gate hard-caps its run at the FIRST 50 registered entries
 # (registration-order prefix, observed in rounds 1-2) — it cannot check

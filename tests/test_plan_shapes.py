@@ -151,6 +151,23 @@ def test_new_operator_plan_guarantees(spark):
     assert "BroadcastNestedLoopJoin" in p, p
 
 
+def test_q6_scan_pushdown(spark):
+    """Q6 is the pure scan audit: the timestamp range (plus the discount
+    and quantity predicates) must reach the parquet reader as
+    PushedFilters, the scan must read exactly the 4 touched columns, and
+    the only exchange is the 1-row partial-aggregate gather."""
+    import re
+
+    plan = _plan(spark, "q6_promo_revenue")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan, plan[:900]
+    assert "GreaterThanOrEqual(l_shipda" in plan, plan[:900]
+    n_exch = plan.count("Exchange") - plan.count("ReusedExchange")
+    assert n_exch <= 1, f"q6: {n_exch} exchanges"
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    got = {f.split(":")[0] for s in schemas for f in s.split(",") if f}
+    assert got == {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"}, got
+
+
 def test_column_pruning_reaches_scan(spark):
     """Projections prune at the parquet reader: the scan's ReadSchema must
     carry only the columns the query touches, never the full table (a
