@@ -161,17 +161,28 @@ def main() -> None:
     # as the queries; second run reported (same convention as below).
     from pyspark.sql import functions as _F
 
-    def _calib_df():
+    def _calib_cpu_df():
         h = _F.md5(_F.concat(_F.lit("calib"), _F.col("id").cast("string")))
         # bit_xor: overflow-free under ANSI mode, still forces every hash
         return spark.range(50_000_000).select(_F.bit_xor(_F.xxhash64(h)))
 
-    calib_sec = None
-    for _ in range(2):
-        df = _calib_df()
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        calib_sec = round(time.perf_counter() - t0, 3)
+    def _calib_shuffle_df():
+        # 64 tasks -> 4096-key exchange -> count: measures task-scheduling
+        # + shuffle overhead, the dimension slow hosts inflate first
+        return (
+            spark.range(0, 1_000_000, 1, 64)
+            .groupBy((_F.col("id") % 4096).alias("k"))
+            .agg(_F.count("*").alias("n"))
+        )
+
+    calib = {}
+    for key, mk in [("calib_md5_sec", _calib_cpu_df),
+                    ("calib_shuffle_sec", _calib_shuffle_df)]:
+        for _ in range(2):
+            df = mk()
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            calib[key] = round(time.perf_counter() - t0, 3)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -207,7 +218,7 @@ def main() -> None:
             "metric": "battery_total_wall",
             "value": total,
             "unit": "sec",
-            "calib_md5_sec": calib_sec,
+            **calib,
             "queries": timings,
             "sf": sf_val,
         },
@@ -230,7 +241,7 @@ def main() -> None:
             "metric": "battery_total_wall",
             "value": total,
             "unit": "sec",
-            "calib_md5_sec": calib_sec,
+            **calib,
             "queries": dict(sorted(by_cost[:keep])),
             "sf": sf_val,
         }
