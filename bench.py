@@ -123,8 +123,8 @@ HEADLINE = [
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).
-    # forecast_random_forest / dedup_cluster_assign / dedup_cluster_star
-    # excluded: iterative
+    # forecast_random_forest / dedup_cluster_assign / dedup_cluster_star /
+    # pagerank_customer_supplier excluded: iterative
     # MLlib fit / loop-until-fixpoint — wall time is dominated by
     # scheduling, not the operators under test.
 ]

@@ -2580,6 +2580,112 @@ def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Watermark late-data drop — the semantics that make unbounded streaming
+# aggregation safe: rows arriving behind the watermark are DISCARDED, so
+# state stays bounded and results stay deterministic. Exercised across a
+# RESTART: run 1 (own checkpoint) processes the older half of events and
+# persists its watermark (half-max − 1 min); run 2 resumes from the
+# checkpoint on a second file holding the newer half PLUS stale
+# duplicates of the 200 oldest rows. The recovered watermark drops every
+# injected duplicate (≈a month late), so no window double-counts —
+# single-run availableNow replays put everything in one micro-batch
+# (watermark still 0), which is why the restart form is the only honest
+# demonstration. Append mode emits each window exactly once, when the
+# watermark passes its end; the oracle reproduces both effects in batch:
+# the plain per-hour rollup of events (dropping the duplicates restores
+# it) restricted to windows whose end ≤ the final watermark
+# (max event time − 1 min).
+# ===========================================================================
+
+@_register(
+    "streaming_late_data_drop",
+    """
+    WITH wm AS (
+      SELECT epoch_us(max(ts)) // 1000000 - 60 AS wm_s FROM events
+    ),
+    agg AS (
+      SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)
+               AS window_start_s,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_value_cents
+      FROM events GROUP BY 1
+    )
+    SELECT a.window_start_s, a.n_events, a.sum_value_cents
+    FROM agg a, wm WHERE a.window_start_s + 3600 <= wm.wm_s
+    """,
+    "streaming watermark semantics (late input dropped, windows finalized)",
+    "tumbling rollup over a replay with month-stale injected duplicates: "
+    "late rows dropped, finalized windows == batch rollup under the final "
+    "watermark",
+)
+def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("ts_us", _epoch_us("ts"))
+        .withColumn("event_time", F.timestamp_micros(F.col("ts_us")))
+        .select("event_id", "user_id", "value", "ts_us", "event_time")
+    )
+    [mid] = ev.approxQuantile("ts_us", [0.5], 0.0)  # rel err 0 -> exact
+    oldest = ev.orderBy("ts_us", "event_id").limit(200)
+    parts = [
+        ev.filter(F.col("ts_us") < mid),
+        # run 2: the newer half PLUS month-stale duplicates of the
+        # oldest 200 rows — behind the recovered watermark, must drop
+        ev.filter(F.col("ts_us") >= mid).unionByName(oldest),
+    ]
+    stage = tempfile.mkdtemp(prefix="stream_late_")
+    ckpt = tempfile.mkdtemp(prefix="stream_late_ckpt_")
+    out_dir = tempfile.mkdtemp(prefix="stream_late_out_")
+
+    def _run_once() -> None:
+        stream = spark.readStream.schema(ev.schema).parquet(stage)
+        rolled = (
+            stream.withWatermark("event_time", "1 minute")
+            .groupBy(F.window("event_time", "1 hour").alias("w"))
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(_cents(F.col("value"))).alias("sum_value_cents"),
+            )
+            .select(
+                F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
+                "n_events",
+                "sum_value_cents",
+            )
+        )
+
+        def _append(batch_df: DataFrame, _batch_id: int) -> None:
+            batch_df.write.mode("append").parquet(out_dir)
+
+        (
+            rolled.writeStream.foreachBatch(_append)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    for i, part in enumerate(parts):
+        tmp = tempfile.mkdtemp(prefix="stream_late_part_")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = next(
+            p for p in os.listdir(tmp)
+            if p.endswith(".parquet") and p.startswith("part-")
+        )
+        shutil.move(
+            os.path.join(tmp, src), os.path.join(stage, f"{i:05d}.parquet")
+        )
+        shutil.rmtree(tmp, ignore_errors=True)
+        _run_once()  # run i sees only files 0..i; watermark rides ckpt
+    return spark.read.parquet(out_dir)
+
+
+# ===========================================================================
 # F1-F4/F6 + C2/C10/C13: the nested flatten chain. The testdata has no
 # nested table, so the query BUILDS one (collect_list of structs per
 # order — one shuffle) and then runs the engine's explode pipeline over
@@ -3675,6 +3781,72 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     edges = simhash_pairs(docs, max_hamming=3).select("id_a", "id_b")
     return connected_components(edges, docs, node_col="doc_id")
+
+
+# ===========================================================================
+# Integer PageRank over the customer—supplier bipartite graph (edges =
+# distinct order lines), symmetrized so no node dangles. Ranks live in
+# exact integer micro-units with floor division everywhere, which makes
+# an ITERATIVE float-free fixpoint hash-identical across engines and
+# partition orders — the same trick the exact-cents aggregates use. The
+# oracle unrolls the three iterations as CTEs. Per iteration: one
+# src-hash join + one dst aggregation; lineage truncated per round.
+# ===========================================================================
+
+_PR_SCALE = 1_000_000_000
+_PR_BASE = 15 * _PR_SCALE // 100
+
+
+def _pr_iter_sql(prev: str, name: str) -> str:
+    return f"""{name} AS (
+      SELECT e.dst AS node,
+             CAST({_PR_BASE} + (85 * sum(p.pr // d.deg)) // 100 AS BIGINT)
+               AS pr
+      FROM e JOIN {prev} p ON e.src = p.node
+             JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    )"""
+
+
+@_register(
+    "pagerank_customer_supplier",
+    f"""
+    WITH edges0 AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    e AS (SELECT c AS src, s + 10000000 AS dst FROM edges0
+          UNION ALL SELECT s + 10000000, c FROM edges0),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+    p0 AS (SELECT src AS node, CAST({_PR_SCALE} AS BIGINT) AS pr FROM deg),
+    {_pr_iter_sql('p0', 'it1')},
+    {_pr_iter_sql('it1', 'it2')},
+    {_pr_iter_sql('it2', 'it3')}
+    SELECT node, pr FROM it3
+    """,
+    "graph: integer PageRank (iterative, exact cross-engine fixpoint)",
+    "3-iteration damping-0.85 PageRank over the customer-supplier graph "
+    "in integer micro-units, vs a 3-CTE unrolled oracle",
+)
+def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.graph import (
+        pagerank_integer,
+        symmetrize,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 10_000_000).alias("dst"),
+        )
+        .distinct()
+    )
+    return pagerank_integer(symmetrize(edges), iterations=3).select(
+        "node", F.col("pr").cast("long").alias("pr")
+    )
 
 
 # Same clusters via alternating large-star/small-star contraction
@@ -5502,10 +5674,11 @@ _WINDOW_PRIORITY = [
     "embed_cosine_topk",
     "embed_ivf_ann",
     "embed_cosine_dup_pairs",
-    # multimodal family
+    # multimodal family (frame_sample, the 3rd variant, yields its window
+    # slot to the Q6 scan audit; it stays covered by the local oracle)
     "multimodal_payload_stats",
     "multimodal_image_features",
-    "multimodal_frame_sample",
+    "q6_promo_revenue",
     # streaming family heads
     "streaming_replay_rollup",
     "streaming_stream_join",

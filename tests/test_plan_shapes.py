@@ -33,6 +33,7 @@ SKIP = {
     "streaming_stream_join",
     "streaming_dedup_replay",
     "streaming_static_enrich",
+    "streaming_late_data_drop",
 }
 
 
