@@ -120,6 +120,7 @@ HEADLINE = [
     "q6_promo_revenue",
     "monthly_active_users",
     "weekday_hour_heatmap",
+    "vocab_coverage",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

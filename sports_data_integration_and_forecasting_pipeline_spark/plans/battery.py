@@ -5612,6 +5612,70 @@ def weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Vocabulary coverage — the tokenizer-design question a training-data
+# pipeline answers before fixing a vocab: with the top-K corpus units as
+# the vocabulary, what fraction of each language's unit stream is
+# covered (1 − OOV rate)? Units are word bigrams (the synthetic corpus
+# has only 31 distinct words, so whole-word coverage is degenerate; the
+# ~900 distinct bigrams give a real frequency tail). One explode feeds a
+# (lang, unit) aggregate; the global vocab derives from that
+# already-aggregated table (top-K by count with a pinned
+# count-desc/unit-asc tiebreak) and broadcasts back over it — the raw
+# unit stream is never re-exploded or re-shuffled.
+# ===========================================================================
+
+@_register(
+    "vocab_coverage",
+    f"""
+    WITH lt AS (
+      SELECT lang, unnest({_shingle_raw_sql(2)}) AS tok FROM documents
+    ),
+    ltc AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS n
+            FROM lt GROUP BY lang, tok),
+    tc AS (SELECT tok, CAST(sum(n) AS BIGINT) AS n FROM ltc GROUP BY tok),
+    vocab AS (SELECT tok FROM tc ORDER BY n DESC, tok LIMIT 64)
+    SELECT lang,
+           CAST(sum(n) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN v.tok IS NOT NULL THEN n ELSE 0 END) AS BIGINT)
+             AS covered_tokens,
+           {_sql_r('1.0 * sum(CASE WHEN v.tok IS NOT NULL THEN n ELSE 0 END)'
+                   ' / sum(n)', 9)} AS coverage
+    FROM ltc LEFT JOIN vocab v ON ltc.tok = v.tok
+    GROUP BY lang
+    """,
+    "textops: top-K vocabulary build + per-language coverage / OOV audit",
+    "64-bigram corpus vocab (pinned tiebreaks) broadcast against the "
+    "(lang, bigram) aggregate; per-language coverage ratios",
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
+        shingles_from_tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    lt = docs.select(
+        "lang",
+        F.explode(
+            shingles_from_tokens(F.split(F.col("text"), " "), 2)
+        ).alias("tok"),
+    )
+    ltc = lt.groupBy("lang", "tok").agg(F.count("*").alias("n"))
+    tc = ltc.groupBy("tok").agg(F.sum("n").alias("n"))
+    vocab = tc.orderBy(F.desc("n"), "tok").limit(64).select("tok")
+    joined = ltc.join(
+        F.broadcast(vocab.withColumn("__in_vocab", F.lit(1))), "tok", "left"
+    )
+    covered = F.sum(
+        F.when(F.col("__in_vocab").isNotNull(), F.col("n")).otherwise(0)
+    )
+    return joined.groupBy("lang").agg(
+        F.sum("n").cast("bigint").alias("total_tokens"),
+        covered.cast("bigint").alias("covered_tokens"),
+        _r(covered.cast("double") / F.sum("n"), 9).alias("coverage"),
+    )
+
+
+# ===========================================================================
 # Driver-window curation (round-2 review directive). The external
 # correctness gate hard-caps its run at the FIRST 50 registered entries
 # (registration-order prefix, observed in rounds 1-2) — it cannot check

@@ -150,6 +150,18 @@ def test_new_operator_plan_guarantees(spark):
     # quantized top-k: queries broadcast; candidates reach the join unshuffled
     p = plan("embed_quantized_topk")
     assert "BroadcastNestedLoopJoin" in p, p
+    # vocab coverage: the top-K vocab broadcasts back over the (lang,tok)
+    # aggregate — never a sort-merge, never a re-explode of raw text
+    p = plan("vocab_coverage")
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p, p
+    n = p.count("Exchange") - p.count("ReusedExchange")
+    assert n <= 5, f"vocab_coverage: {n} exchanges"
+    # calendar rollups: the distinct-user expansion is the only extra
+    # exchange on top of the single grouping shuffle
+    for name in ("monthly_active_users", "weekday_hour_heatmap"):
+        p = plan(name)
+        n = p.count("Exchange") - p.count("ReusedExchange")
+        assert n <= 2, f"{name}: {n} exchanges"
 
 
 def test_q6_scan_pushdown(spark):
