@@ -5717,12 +5717,13 @@ _WINDOW_PRIORITY = [
     "text_token_stats",
     "text_quality",
     "text_language_id",
-    # dedup family
+    # dedup family (simhash_pairs, the 4th pairwise variant, yields its
+    # window slot to the graph family head; local oracle still covers it)
     "dedup_exact",
     "dedup_shingle_jaccard",
     "dedup_minhash_lsh",
-    "dedup_simhash_pairs",
     "dedup_incremental_minhash",
+    "pagerank_customer_supplier",
     # curation / quality family
     "decontaminate_benchmark",
     "repetition_quality",
