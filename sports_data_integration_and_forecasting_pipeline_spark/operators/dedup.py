@@ -67,11 +67,22 @@ def _persist_scoped(role: str, df: DataFrame) -> DataFrame:
     key = (id(df.sparkSession), role)
     with _CACHE_LOCK:
         prev = _ACTIVE_CACHE.get(key)
+        if prev is df:
+            # Re-registering the SAME DataFrame (e.g. a caller eagerly
+            # materialized it under this role before passing it down) is a
+            # no-op — unpersist+repersist here would silently drop the
+            # already-computed blocks and force a recompute.
+            return df
         if prev is not None:
             prev.unpersist()
         out = df.persist()
         _ACTIVE_CACHE[key] = out
     return out
+
+
+# Public name: battery plans and other operator modules reuse the same
+# bounded one-cache-per-role registry (the house persist pattern).
+persist_scoped = _persist_scoped
 
 
 def release_caches() -> None:

@@ -38,6 +38,7 @@ def pagerank_integer(
     scale: int = 1_000_000_000,
     src: str = "src",
     dst: str = "dst",
+    validate_no_dangling: bool = True,
 ) -> DataFrame:
     """Integer PageRank over an already-symmetrized edge list.
 
@@ -47,10 +48,38 @@ def pagerank_integer(
     All operations are exact bigint arithmetic (floor division of
     non-negative values), so any engine computes identical ranks.
     Returns ``(node, pr)`` after ``iterations`` rounds.
+
+    Input contract — ENFORCED: every destination must also appear as a
+    source (what :func:`symmetrize` guarantees). A raw directed graph
+    violating this would silently bleed rank mass through the inner joins
+    (dangling nodes absorb contributions but emit none, and nodes with no
+    in-edges vanish from the output). ``validate_no_dangling=True`` (the
+    default) spends one anti-join count on the persisted edge list to
+    raise instead; pass ``False`` only when the caller constructed the
+    edges via :func:`symmetrize` in the same plan and wants the check's
+    job back.
     """
     e = edges.select(src, dst).persist()
     deg = e.groupBy(src).agg(F.count("*").alias("__deg")).persist()
     deg.count()  # materialize both once; they feed every iteration
+    if validate_no_dangling:
+        dangling = (
+            e.select(F.col(dst).alias("node"))
+            .distinct()
+            .join(deg.select(F.col(src).alias("node")), "node", "left_anti")
+            .count()
+        )
+        if dangling:
+            e.unpersist()
+            deg.unpersist()
+            raise ValueError(
+                f"pagerank_integer: {dangling} destination node(s) never "
+                "appear as a source — the edge list is not symmetrized, "
+                "and inner joins would silently drop their rank mass. "
+                "Run the edges through symmetrize() first (or pass "
+                "validate_no_dangling=False if symmetry is guaranteed "
+                "by construction)."
+            )
     base = (100 - damping_pct) * scale // 100
     ranks = deg.select(
         F.col(src).alias("node"), F.lit(scale).cast("long").alias("pr")

@@ -72,11 +72,15 @@ def _epoch_us(col: Column | str) -> Column:
 
 
 def _fdiv(col: Column, n: int) -> Column:
-    """Exact floor division for non-negative bigint columns:
-    (c - c%n)/n — the numerator is exactly divisible and below 2^53, so
-    the double division is exact (same discipline as _r/_cents)."""
+    """Exact FLOOR division for bigint columns of either sign:
+    (c - pmod(c, n)) / n. pmod is the non-negative remainder, so the
+    numerator is exactly divisible and the result floors toward −∞ —
+    matching DuckDB's ``//`` on pre-1970 (negative-epoch) timestamps,
+    where Spark's ``%`` (dividend-signed) would truncate toward zero
+    instead. Exact while |c| < 2^53 (the double division is then exact,
+    same discipline as _r/_cents)."""
     c = col.cast("long")
-    return ((c - c % F.lit(n)) / F.lit(n)).cast("long")
+    return ((c - F.pmod(c, F.lit(n))) / F.lit(n)).cast("long")
 
 
 def _epoch_s(col: Column | str) -> Column:
@@ -1538,6 +1542,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
         incremental_minhash_pairs,
         minhash_signatures,
+        persist_scoped,
     )
 
     docs = _t(spark, sf_dir, "documents")
@@ -1547,8 +1552,14 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # snapshot pipeline reads (written by the previous run) — materialize
     # it eagerly so downstream execution measures what the operator
     # claims: O(new docs) shingling + the band join, never a corpus
-    # re-shingle.
-    corpus_sig = minhash_signatures(corpus).persist()
+    # re-shingle. Registered under the SAME scoped-persist role the
+    # operator uses, so each invocation releases the previous run's cache
+    # instead of pinning a fresh copy per call (a bare .persist() here
+    # leaked one signature table per driver/bench repetition), and the
+    # operator's own persist_scoped call is an idempotent no-op.
+    corpus_sig = persist_scoped(
+        "minhash_inc_corpus_sig", minhash_signatures(corpus)
+    )
     corpus_sig.count()
     return incremental_minhash_pairs(corpus_sig, new)
 
@@ -2632,6 +2643,24 @@ def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     [mid] = ev.approxQuantile("ts_us", [0.5], 0.0)  # rel err 0 -> exact
     oldest = ev.orderBy("ts_us", "event_id").limit(200)
+    # Precondition for the drop to be guaranteed: every injected duplicate
+    # must sit strictly behind run 1's persisted watermark (max event time
+    # of the older half − the 1-minute delay). On a dataset whose older
+    # half spans < 1 minute the duplicates would NOT be late and the entry
+    # would silently diverge from its oracle — fail loudly instead.
+    row = ev.agg(
+        F.max(F.when(F.col("ts_us") < mid, F.col("ts_us"))).alias("h1_max"),
+    ).collect()[0]
+    wm1_us = row["h1_max"] - 60 * 1_000_000
+    oldest_max = oldest.agg(F.max("ts_us")).collect()[0][0]
+    if oldest_max >= wm1_us:
+        raise AssertionError(
+            "streaming_late_data_drop precondition violated: the 200 "
+            f"oldest rows reach ts_us={oldest_max}, not strictly behind "
+            f"run 1's watermark {wm1_us} (older-half max − 60 s). The "
+            "events table's older half spans under the watermark delay; "
+            "pick duplicates strictly below that bound."
+        )
     parts = [
         ev.filter(F.col("ts_us") < mid),
         # run 2: the newer half PLUS month-stale duplicates of the
@@ -3815,8 +3844,8 @@ def _pr_iter_sql(prev: str, name: str) -> str:
       SELECT DISTINCT o_custkey AS c, l_suppkey AS s
       FROM orders JOIN lineitem ON l_orderkey = o_orderkey
     ),
-    e AS (SELECT c AS src, s + 10000000 AS dst FROM edges0
-          UNION ALL SELECT s + 10000000, c FROM edges0),
+    e AS (SELECT c AS src, -s AS dst FROM edges0
+          UNION ALL SELECT -s, c FROM edges0),
     deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
     p0 AS (SELECT src AS node, CAST({_PR_SCALE} AS BIGINT) AS pr FROM deg),
     {_pr_iter_sql('p0', 'it1')},
@@ -3836,11 +3865,20 @@ def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # Supplier nodes live in the NEGATIVE key space (custkey/suppkey are
+    # both ≥ 1 in TPC-H data at every SF, so negation keeps the two node
+    # namespaces disjoint at any scale — a fixed "+10M" offset would
+    # collide with customers once custkey = 150k·SF crosses it, silently
+    # merging graph nodes). Overflow bound: each iteration computes
+    # 85·Σ(pr÷deg) per node; Σ(pr÷deg) ≤ n·scale ≈ n·1e9, so ranks stay
+    # inside bigint while n·85e9 < 2^63, i.e. graphs under ~1e8 nodes —
+    # far above any SF this entry targets (documented here because ANSI
+    # mode would raise, not wrap, beyond it).
     edges = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .select(
             F.col("o_custkey").alias("src"),
-            (F.col("l_suppkey") + 10_000_000).alias("dst"),
+            (-F.col("l_suppkey")).alias("dst"),
         )
         .distinct()
     )

@@ -38,6 +38,17 @@ def test_rank_mass_is_conserved_up_to_floor_loss(spark):
         assert total >= total0 - it * n * 200  # floor-division loss bound
 
 
+def test_dangling_directed_graph_raises(spark):
+    """Input contract: a raw directed edge list (leaves are dst-only, so
+    they dangle) must raise instead of silently losing rank mass."""
+    import pytest
+
+    with pytest.raises(ValueError, match="not symmetrized"):
+        pagerank_integer(_star_edges(spark), iterations=1)
+    # symmetrized form of the same graph passes the guard
+    assert pagerank_integer(symmetrize(_star_edges(spark)), 1).count() == 6
+
+
 def test_deterministic_across_partitionings(spark):
     e = symmetrize(_star_edges(spark))
     a = {(r["node"], r["pr"]) for r in pagerank_integer(e, 2).collect()}
