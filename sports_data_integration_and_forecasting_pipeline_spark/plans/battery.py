@@ -5689,14 +5689,29 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
         shingles_from_tokens,
     )
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import (
+        ensure_parallelism,
+    )
 
-    docs = _t(spark, sf_dir, "documents")
+    # Spread the scan: a small documents table arrives as ONE split, and
+    # the bigram explode is the entry's whole CPU budget (measured: the
+    # serial pass dominated this entry's r4 bench time; spreading cut it
+    # ~40%). At 100 TB the scan is already thousands of splits.
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     lt = docs.select(
         "lang",
         F.explode(
             shingles_from_tokens(F.split(F.col("text"), " "), 2)
         ).alias("tok"),
     )
+    # ltc feeds BOTH the top-K vocab selection and the coverage join. The
+    # two subtrees end at byte-identical `Exchange hashpartitioning(lang,
+    # tok)` nodes, and AQE's shuffle-stage cache keys on the canonicalized
+    # exchange plan — so the tokenize → explode → partial-aggregate pass
+    # runs ONCE at runtime and the second leg reads the materialized
+    # shuffle (asserted in tests/test_plan_shapes.py; measured faster
+    # than an explicit persist of ltc, which pays an extra job + cache
+    # write for the same single-pass effect).
     ltc = lt.groupBy("lang", "tok").agg(F.count("*").alias("n"))
     tc = ltc.groupBy("tok").agg(F.sum("n").alias("n"))
     vocab = tc.orderBy(F.desc("n"), "tok").limit(64).select("tok")

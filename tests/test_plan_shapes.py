@@ -154,14 +154,62 @@ def test_new_operator_plan_guarantees(spark):
     # aggregate — never a sort-merge, never a re-explode of raw text
     p = plan("vocab_coverage")
     assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p, p
+    # textual budget: the (spread → explode → partial agg → exchange) leg
+    # prints twice but executes ONCE via AQE's shuffle-stage cache — see
+    # test_vocab_coverage_single_pass_via_stage_reuse
     n = p.count("Exchange") - p.count("ReusedExchange")
-    assert n <= 5, f"vocab_coverage: {n} exchanges"
+    assert n <= 8, f"vocab_coverage: {n} exchanges"
     # calendar rollups: the distinct-user expansion is the only extra
     # exchange on top of the single grouping shuffle
     for name in ("monthly_active_users", "weekday_hour_heatmap"):
         p = plan(name)
         n = p.count("Exchange") - p.count("ReusedExchange")
         assert n <= 2, f"{name}: {n} exchanges"
+
+
+def test_vocab_coverage_single_pass_via_stage_reuse(spark):
+    """vocab_coverage's corpus pass (tokenize → bigram explode → partial
+    aggregate → Exchange on (lang, tok)) feeds both the top-K vocab leg
+    and the coverage leg. AQE's shuffle-stage cache keys on the
+    canonicalized exchange plan, so the pass executes ONCE iff the two
+    exchange subtrees are canonically identical — assert exactly that
+    (two occurrences, equal modulo expression/plan ids), so a refactor
+    that makes the legs diverge (and silently doubles the corpus scan)
+    fails here instead of only slowing the bench."""
+    import re
+
+    p = _plan(spark, "vocab_coverage")
+    lines = p.splitlines()
+
+    def depth(line: str) -> int:
+        return (len(line) - len(line.lstrip(" :+-"))) // 3
+
+    def norm(line: str) -> str:
+        s = line.lstrip(" :+-")
+        s = re.sub(r"#\d+L?", "#x", s)
+        return re.sub(r"plan_id=\d+", "plan_id=x", s)
+
+    idxs = [
+        i
+        for i, l in enumerate(lines)
+        if "Exchange hashpartitioning(lang" in l and "tok" in l
+    ]
+    assert len(idxs) == 2, f"expected the (lang, tok) exchange twice:\n{p}"
+
+    def subtree(i: int) -> list[str]:
+        d = depth(lines[i])
+        out = [norm(lines[i])]
+        for line in lines[i + 1 :]:
+            if depth(line) <= d:
+                break
+            out.append(norm(line))
+        return out
+
+    a, b = subtree(idxs[0]), subtree(idxs[1])
+    assert a == b, (
+        "vocab_coverage's two corpus-pass legs diverged — AQE can no "
+        f"longer reuse the shuffle stage:\n{a}\nvs\n{b}"
+    )
 
 
 def test_q6_scan_pushdown(spark):
