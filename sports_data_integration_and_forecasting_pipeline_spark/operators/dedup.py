@@ -230,6 +230,130 @@ def shingle_jaccard_pairs(
     )
 
 
+def shingle_jaccard_prefix_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_df: int | None = 100,
+    threshold_pct: int = 50,
+) -> DataFrame:
+    """Thresholded n-gram Jaccard near-dup pairs via PREFIX FILTERING —
+    the production form of the similarity join (PPJoin/AllPairs family,
+    Xiao et al., WWW'08 — public): only pairs with
+    ``jaccard ≥ threshold_pct/100`` are returned, which lets candidate
+    generation index just each doc's RAREST few shingles instead of all
+    of them.
+
+    Prefix principle (exact, no recall loss): order all shingles by
+    global doc-frequency ascending (ties by hash — a total order both
+    engines reproduce). If ``J(A,B) ≥ t`` then
+    ``|A∩B| ≥ ⌈t·|A|⌉`` and ``≥ ⌈t·|B|⌉``, so A and B must share one of
+    their first ``|X| − ⌈t·|X|⌉ + 1`` shingles in that order — any pair
+    missed by the prefix join provably fails the threshold. All prefix
+    math is exact integers (``⌈t·n⌉ = (threshold_pct·n + 99) DIV 100``),
+    and the final filter is the integer cross-multiplication
+    ``100·|A∩B| ≥ threshold_pct·(|A|+|B|−|A∩B|)`` — no float threshold
+    edge cases in either engine.
+
+    Scale shape: explode (narrow, spread) → df aggregate (map-side
+    combine; one shuffle on shingle) → broadcast anti-join drops hot
+    shingles (df > ``max_df``, the skew guard — kept OUTSIDE the window
+    so no executor ever materializes a hot shingle's full posting list)
+    → df equi-join annotates survivors (reuses the aggregate's
+    partitioning) → per-doc rank/size window (one shuffle on doc) → the
+    PREFIX index self-join meets candidates — its posting lists are a
+    small fraction of the full index's, so candidate volume collapses —
+    → verification joins each distinct pair back to the per-doc shingle
+    arrays and computes the exact intersection. Exactness: identical to
+    :func:`shingle_jaccard_pairs` output filtered to the threshold
+    (property-tested in tests/test_dedup.py).
+    """
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import ensure_parallelism
+
+    t = threshold_pct
+    hashes = F.array_distinct(
+        F.transform(shingles_from_tokens(F.col("__toks"), n), h60)
+    )
+    idx = (
+        ensure_parallelism(df, id_col)
+        .withColumn("__toks", F.split(F.col(text_col), " "))
+        .select(F.col(id_col), F.explode(hashes).alias("sh"))
+    )
+    # the tokenize+md5 explode feeds the df aggregate AND the surviving
+    # index — run it once
+    idx = _persist_scoped("jaccard_prefix_idx", idx)
+    dfreq = idx.groupBy("sh").agg(F.count("*").alias("__df"))
+    if max_df is not None:
+        hot = dfreq.filter(F.col("__df") > max_df).select("sh")
+        idx = idx.join(F.broadcast(hot), "sh", "left_anti")
+        dfreq = dfreq.filter(F.col("__df") <= max_df)
+    surv = idx.join(dfreq, "sh")
+    w_doc = Window.partitionBy(id_col)
+    w_rank = w_doc.orderBy("__df", "sh")
+    sized = _persist_scoped(
+        "jaccard_prefix_sized",
+        surv.withColumn("n_sh", F.count("*").over(w_doc)).withColumn(
+            "rk", F.row_number().over(w_rank)
+        ),
+    )
+    # prefix length |A| − ⌈t·|A|⌉ + 1, exact integer arithmetic
+    plen = (
+        F.col("n_sh")
+        - F.expr(f"({t} * n_sh + 99) DIV 100")
+        + F.lit(1)
+    )
+    pref = sized.filter(F.col("rk") <= plen).select(id_col, "sh")
+    cand = (
+        pref.select(F.col(id_col).alias("id_a"), "sh")
+        .join(pref.select(F.col(id_col).alias("id_b"), "sh"), "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # per-doc surviving shingle arrays for exact verification (reuses the
+    # doc partitioning the window established — no extra exchange)
+    sets = sized.groupBy(id_col).agg(
+        F.collect_list("sh").alias("shs"),
+        F.count("*").cast("long").alias("n_sh"),
+    )
+    inter = F.size(F.array_intersect("shs_a", "shs_b")).cast("long")
+    scored = (
+        cand.join(
+            sets.select(
+                F.col(id_col).alias("id_a"),
+                F.col("shs").alias("shs_a"),
+                F.col("n_sh").alias("n_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            sets.select(
+                F.col(id_col).alias("id_b"),
+                F.col("shs").alias("shs_b"),
+                F.col("n_sh").alias("n_b"),
+            ),
+            "id_b",
+        )
+        .withColumn("n_common", inter)
+    )
+    return (
+        scored.filter(
+            100 * F.col("n_common")
+            >= t * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            (
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:

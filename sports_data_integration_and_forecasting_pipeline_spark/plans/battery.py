@@ -961,8 +961,77 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dup_groups(_t(spark, sf_dir, "documents"))
 
 
+# Thresholded (J ≥ 0.5) prefix-filtered similarity join — the production
+# near-dup form: candidate generation indexes only each doc's rarest few
+# shingles (global df-ascending order, exact integer prefix lengths), so
+# candidate volume collapses versus the full inverted index while the
+# returned pair set is PROVABLY identical to the exhaustive join filtered
+# to the threshold (prefix principle; property-tested in tests/test_dedup
+# .py against dedup_shingle_jaccard_all's operator). The oracle states
+# the same prefix construction, so the driver hash-checks the whole
+# pipeline — ordering, prefix math, verification — not just the final
+# filter.
 @_register(
     "dedup_shingle_jaccard",
+    f"""
+    WITH sh0 AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform({_SHINGLE3_RAW_SQL},
+                                                 s -> {_h60_sql('s')}))) AS sh
+      FROM documents
+    ),
+    dfreq AS (SELECT sh, CAST(count(*) AS BIGINT) AS df FROM sh0
+              GROUP BY sh HAVING count(*) <= 100),
+    surv AS (SELECT s.doc_id, s.sh, d.df FROM sh0 s JOIN dfreq d USING (sh)),
+    sized AS (
+      SELECT doc_id, sh, df,
+             CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_sh,
+             row_number() OVER (PARTITION BY doc_id ORDER BY df, sh) AS rk
+      FROM surv
+    ),
+    pref AS (SELECT doc_id, sh FROM sized
+             WHERE rk <= n_sh - ((50 * n_sh + 99) // 100) + 1),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM pref a JOIN pref b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+    sets AS (SELECT doc_id, list(sh) AS shs, CAST(count(*) AS BIGINT) AS n_sh
+             FROM surv GROUP BY doc_id),
+    scored AS (
+      SELECT id_a, id_b,
+             CAST(len(list_intersect(sa.shs, sb.shs)) AS BIGINT) AS n_common,
+             sa.n_sh AS n_a, sb.n_sh AS n_b
+      FROM cand JOIN sets sa ON cand.id_a = sa.doc_id
+                JOIN sets sb ON cand.id_b = sb.doc_id
+    )
+    SELECT id_a, id_b, n_common,
+           1.0 * n_common / (n_a + n_b - n_common) AS jaccard
+    FROM scored
+    WHERE 100 * n_common >= 50 * (n_a + n_b - n_common)
+    """,
+    "textops: n-gram Jaccard near-dup (prefix-filtered similarity join)",
+    "word-3-gram Jaccard >= 0.5 near-dup pairs via df-ordered prefix "
+    "filtering (exact integer prefix math, hot cap max_df 100, exact "
+    "intersection verification)",
+)
+def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
+        shingle_jaccard_prefix_pairs,
+    )
+
+    out = shingle_jaccard_prefix_pairs(
+        _t(spark, sf_dir, "documents"), max_df=100, threshold_pct=50
+    )
+    # int/int double division is exact in both engines — no rounding needed.
+    return out.select("id_a", "id_b", "n_common", "jaccard")
+
+
+# The unthresholded candidate enumerator (every pair sharing >= 1 sub-hot
+# shingle, exact Jaccard): kept as the bounded-contract exhaustive form —
+# useful when the downstream wants the full similarity histogram rather
+# than a near-dup cut. Its pair volume is a corpus property (near-linear
+# only under the hot cap), so the thresholded prefix form above is the
+# scale path and holds the driver-window slot.
+@_register(
+    "dedup_shingle_jaccard_all",
     f"""
     WITH sh0 AS (
       SELECT doc_id,
@@ -985,11 +1054,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
     """,
-    "textops: n-gram Jaccard near-dup",
+    "textops: n-gram Jaccard near-dup (exhaustive candidate enumeration)",
     "word-3-gram inverted-index pair join, exact Jaccard over the "
     "hot-capped shingle space (max_df 100, per-doc sizes recomputed post-cap)",
 )
-def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_shingle_jaccard_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import shingle_jaccard_pairs
 
     out = shingle_jaccard_pairs(_t(spark, sf_dir, "documents"), max_df=100)

@@ -45,6 +45,58 @@ def test_shingle_jaccard_identical_and_disjoint(spark):
     assert (2, 4) in pairs and not any(3 in p for p in pairs)
 
 
+def test_prefix_join_equals_exhaustive_filtered(spark):
+    """The prefix-filtered thresholded join must return EXACTLY the
+    exhaustive join's pairs at or above the threshold — the prefix
+    principle's no-recall-loss guarantee, checked on the real documents
+    table (sf0.001) and at two thresholds."""
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
+        shingle_jaccard_prefix_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    full = {
+        (r["id_a"], r["id_b"]): (r["n_common"], r["jaccard"])
+        for r in shingle_jaccard_pairs(docs, max_df=100).collect()
+    }
+    for pct in (50, 80):
+        got = {
+            (r["id_a"], r["id_b"]): (r["n_common"], r["jaccard"])
+            for r in shingle_jaccard_prefix_pairs(
+                docs, max_df=100, threshold_pct=pct
+            ).collect()
+        }
+        want = {
+            k: v
+            for k, v in full.items()
+            if 100 * v[0] >= pct * round(v[0] / v[1])
+        }
+        assert got == want, (pct, len(got), len(want))
+    release_caches()
+
+
+def test_prefix_join_tiny_corpus(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "a b c d e"),
+            (2, "a b c d e"),  # identical -> jaccard 1.0, must survive
+            (3, "a b c q r"),  # J(1,3) = 1/5 -> below 0.5, pruned
+        ],
+    )
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
+        shingle_jaccard_prefix_pairs,
+    )
+
+    got = {
+        (r["id_a"], r["id_b"]): r
+        for r in shingle_jaccard_prefix_pairs(df).collect()
+    }
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)]["jaccard"] == 1.0 and got[(1, 2)]["n_common"] == 3
+    release_caches()
+
+
 def test_shingle_jaccard_hot_shingle_cap(spark):
     # With max_df=1 every shared shingle is "hot" -> no pairs survive.
     df = _docs(spark, [(1, "a b c"), (2, "a b c")])
