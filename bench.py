@@ -214,12 +214,22 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Host-drift normalization (round-4 review task): the same battery
+    # measured 2-3x different wall-clock on nominally identical hosts
+    # across rounds, so raw totals aren't comparable round-over-round.
+    # The yardstick blends the two calibration workloads (fixed CPU-bound
+    # md5 pass + fixed shuffle/scheduling pass — the two dimensions slow
+    # hosts inflate); normalized_total = total / yardstick is a
+    # dimensionless host-independent figure to compare across rounds.
+    yardstick = calib["calib_md5_sec"] + calib["calib_shuffle_sec"]
+    normalized = round(total / yardstick, 3) if yardstick > 0 else None
     full_line = json.dumps(
         {
             "metric": "battery_total_wall",
             "value": total,
             "unit": "sec",
             **calib,
+            "normalized_total": normalized,
             "queries": timings,
             "sf": sf_val,
         },
@@ -243,6 +253,7 @@ def main() -> None:
             "value": total,
             "unit": "sec",
             **calib,
+            "normalized_total": normalized,
             "queries": dict(sorted(by_cost[:keep])),
             "sf": sf_val,
         }
