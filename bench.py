@@ -103,6 +103,7 @@ HEADLINE = [
     "twap_user_value",
     "misra_gries_verified",
     "dedup_incremental_minhash",
+    "dedup_incremental_compacted",
     "bucketed_join_colocated",
     "canonical_schema_evolution",
     "pack_sequence_spans",

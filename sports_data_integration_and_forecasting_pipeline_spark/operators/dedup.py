@@ -524,6 +524,54 @@ def incremental_minhash_pairs(
     return _score_pairs(cand, all_sig, id_col)
 
 
+def compact_signatures(
+    snapshots: list[DataFrame],
+    tombstones: DataFrame | None = None,
+    id_col: str = "doc_id",
+    version_col: str | None = None,
+) -> DataFrame:
+    """Signature-state COMPACTION for the incremental dedup lifecycle:
+    merge N per-snapshot signature tables (as written by
+    :func:`minhash_signatures` after each ingest) into one bounded corpus
+    state, dropping tombstoned (deleted) docs — the signature-side mirror
+    of the canonical sink's retention pruning. Without this, an
+    append-only signature log grows one table per snapshot forever and
+    re-ingested docs get double-banded.
+
+    Duplicate policy: signatures are a pure function of the text, so a
+    doc re-appearing across snapshots carries identical rows and
+    ``dropDuplicates(id)`` is exact. When docs can be REVISED between
+    snapshots, pass ``version_col`` — the compaction then keeps each
+    doc's highest version via a pinned-tiebreak ``row_number`` instead.
+
+    Scale shape: the union is narrow (metadata-only over N parquet
+    scans); dedup is one hash shuffle on the id (or one id-partitioned
+    window for the versioned path — same exchange); the tombstone drop is
+    a broadcast anti-join (deletions are small relative to the corpus)
+    that reuses the id partitioning. Output is the same schema
+    :func:`incremental_minhash_pairs` consumes as ``corpus_sig``.
+    """
+    if not snapshots:
+        raise ValueError("compact_signatures: need at least one snapshot")
+    merged = reduce(lambda a, b: a.unionByName(b), snapshots)
+    if version_col is None:
+        merged = merged.dropDuplicates([id_col])
+    else:
+        w = Window.partitionBy(id_col).orderBy(F.desc(version_col))
+        merged = (
+            merged.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .drop("__rk")
+        )
+    if tombstones is not None:
+        merged = merged.join(
+            F.broadcast(tombstones.select(id_col).distinct()),
+            id_col,
+            "left_anti",
+        )
+    return merged
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame,

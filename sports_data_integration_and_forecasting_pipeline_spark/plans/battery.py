@@ -1577,7 +1577,7 @@ def bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sig_sql() -> str:
+def _minhash_sig_sql(where: str = "") -> str:
     mins = ", ".join(
         f"min((h * {a} + {b}) % {MINHASH_PRIME}) AS mh{i}"
         for i, (a, b) in enumerate(MINHASH_PARAMS)
@@ -1586,7 +1586,7 @@ def _minhash_sig_sql() -> str:
     hv AS (SELECT doc_id,
                   unnest(list_transform({_SHINGLE3_RAW_SQL},
                                         s -> {_h32_sql('s')})) AS h
-           FROM documents),
+           FROM documents {where}),
     sig AS (SELECT doc_id, {mins} FROM hv GROUP BY doc_id)
     """
 
@@ -1671,6 +1671,66 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus_sig.count()
     return incremental_minhash_pairs(corpus_sig, new)
+
+
+# Signature-state LIFECYCLE for incremental dedup (round-4 review task
+# 7): corpus state accumulated as three overlapping per-snapshot
+# signature tables (doc_id%3 buckets, with the %6==1 docs re-ingested
+# into snapshot 2) plus a tombstone set (doc_id%10==5 deleted) is
+# COMPACTED — merge, dedup re-ingests, drop tombstones — and the new
+# snapshot (doc_id%10==0) is deduped against the compacted state. The
+# oracle is the FULL recompute over the LIVE documents only, restricted
+# to pairs touching a new doc: hash-matching it proves compaction+k
+# merges ≡ recompute, i.e. the incremental path stays exact over many
+# rounds instead of unboundedly accumulating stale state.
+@_register(
+    "dedup_incremental_compacted",
+    f"""
+    WITH {_minhash_sig_sql(where="WHERE doc_id % 10 <> 5")},
+    bands AS ({_MH_BANDS_SQL})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           list_sum(list_transform(range(1, {NUM_MINHASH + 1}),
+             i -> CASE WHEN a.arr[i::INT] = b.arr[i::INT] THEN 1 ELSE 0 END)) / {NUM_MINHASH}.0
+             AS est_jaccard
+    FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+                             AND a.doc_id < b.doc_id
+    WHERE a.doc_id % 10 = 0 OR b.doc_id % 10 = 0
+    """,
+    "textops: incremental dedup signature compaction/expiry lifecycle",
+    "3 overlapping snapshot signature tables + tombstones compacted into "
+    "one corpus state; new-snapshot dedup against it hash-matches the "
+    "full recompute over live docs",
+)
+def dedup_incremental_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
+        compact_signatures,
+        incremental_minhash_pairs,
+        minhash_signatures,
+        persist_scoped,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    corpus = docs.filter(did % 10 != 0)
+    # three historical snapshots; snapshot 2 re-ingested the %6==1 docs
+    # (already in snapshot 1), so compaction must dedup by doc_id
+    snaps = [
+        minhash_signatures(corpus.filter(did % 3 == 0)),
+        minhash_signatures(corpus.filter(did % 3 == 1)),
+        minhash_signatures(
+            corpus.filter((did % 3 == 2) | (did % 6 == 1))
+        ),
+    ]
+    tomb = corpus.filter(did % 10 == 5).select("doc_id")
+    # Same scoped-persist role the incremental operator uses, so its own
+    # registration is an idempotent no-op and successive invocations
+    # (either incremental entry) release the previous corpus state.
+    compacted = persist_scoped(
+        "minhash_inc_corpus_sig", compact_signatures(snaps, tomb)
+    )
+    compacted.count()  # the pre-existing corpus state, materialized
+    new = docs.filter(did % 10 == 0)
+    return incremental_minhash_pairs(compacted, new)
 
 
 _SIMHASH_SQL_EXPR = " + ".join(

@@ -143,6 +143,39 @@ def test_incremental_minhash_equals_full_recompute_subset(spark):
     assert inc, "expected at least one near-dup pair touching the snapshot"
 
 
+def test_compact_signatures_dedups_and_tombstones(spark):
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
+        compact_signatures,
+    )
+
+    docs = _docs(
+        spark,
+        [(1, "a b c d"), (2, "e f g h"), (3, "i j k l"), (4, "m n o p")],
+    )
+    full = minhash_signatures(docs)
+    s1 = minhash_signatures(docs.filter("doc_id IN (1, 2)"))
+    s2 = minhash_signatures(docs.filter("doc_id IN (2, 3)"))  # 2 re-ingested
+    s3 = minhash_signatures(docs.filter("doc_id = 4"))
+    tomb = spark.createDataFrame([(3,)], "doc_id long")
+    got = compact_signatures([s1, s2, s3], tomb)
+    assert sorted(r["doc_id"] for r in got.select("doc_id").collect()) == [1, 2, 4]
+    # compacted rows equal the full-recompute signatures for live docs
+    want = {r["doc_id"]: r for r in full.filter("doc_id <> 3").collect()}
+    for r in got.collect():
+        assert r == want[r["doc_id"]]
+
+
+def test_compact_signatures_versioned_keeps_latest(spark):
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
+        compact_signatures,
+    )
+
+    s1 = spark.createDataFrame([(1, 10, 1)], "doc_id long, mh0 long, v int")
+    s2 = spark.createDataFrame([(1, 99, 2)], "doc_id long, mh0 long, v int")
+    got = compact_signatures([s1, s2], version_col="v").collect()
+    assert len(got) == 1 and got[0]["mh0"] == 99 and got[0]["v"] == 2
+
+
 def test_simhash_deterministic_and_bounded(spark):
     df = _docs(spark, [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta")])
     got = {r["doc_id"]: r["simhash16"] for r in simhash16(df).collect()}
