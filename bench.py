@@ -177,9 +177,24 @@ def main() -> None:
             .agg(_F.count("*").alias("n"))
         )
 
+    def _calib_floor_df():
+        # near-empty query: measures the per-query fixed floor (driver
+        # planning + AQE loop + job/stage scheduling) that every battery
+        # entry pays regardless of plan quality. At sf0.1 this floor
+        # times the query count is most of the battery total, and it
+        # tracks NEITHER the cpu nor the shuffle calibration — so
+        # cross-round work comparisons must subtract it (normalized_work
+        # below).
+        return (
+            spark.range(0, 1_000, 1, 8)
+            .groupBy((_F.col("id") % 10).alias("k"))
+            .agg(_F.count("*").alias("n"))
+        )
+
     calib = {}
     for key, mk in [("calib_md5_sec", _calib_cpu_df),
-                    ("calib_shuffle_sec", _calib_shuffle_df)]:
+                    ("calib_shuffle_sec", _calib_shuffle_df),
+                    ("calib_floor_sec", _calib_floor_df)]:
         for _ in range(2):
             df = mk()
             t0 = time.perf_counter()
@@ -224,6 +239,15 @@ def main() -> None:
     # dimensionless host-independent figure to compare across rounds.
     yardstick = calib["calib_md5_sec"] + calib["calib_shuffle_sec"]
     normalized = round(total / yardstick, 3) if yardstick > 0 else None
+    # Work component with the per-query scheduling floor subtracted, in
+    # units of the CPU yardstick: the host- and query-count-independent
+    # figure for round-over-round regression checks.
+    work = total - len(timings) * calib["calib_floor_sec"]
+    norm_work = (
+        round(max(work, 0.0) / calib["calib_md5_sec"], 3)
+        if calib["calib_md5_sec"] > 0
+        else None
+    )
     full_line = json.dumps(
         {
             "metric": "battery_total_wall",
@@ -231,6 +255,7 @@ def main() -> None:
             "unit": "sec",
             **calib,
             "normalized_total": normalized,
+            "normalized_work": norm_work,
             "queries": timings,
             "sf": sf_val,
         },
@@ -255,6 +280,7 @@ def main() -> None:
             "unit": "sec",
             **calib,
             "normalized_total": normalized,
+            "normalized_work": norm_work,
             "queries": dict(sorted(by_cost[:keep])),
             "sf": sf_val,
         }

@@ -32,7 +32,11 @@ NOTES = {
     "flagship_market_report": "Best-price window + arbitrage agg + join-back: filters pushed to scan, window reuses one exchange, WindowGroupLimit prunes before shuffle.",
     "devig_proportional": "Share-of-group window: one hash exchange on the group key, unbounded frame so no sort-based frame scan.",
     "best_price_per_order": "Argmax per group: WindowGroupLimit applies the top-1 cut map-side (partial) AND reduce-side (final) — the no-wasted-sort plan.",
-    "dedup_shingle_jaccard": "Inverted index on 60-bit hashes: broadcast anti-join hot-shingle guard (LeftAnti + BroadcastExchange), post-cap size window, pair join + single groupBy.",
+    "dedup_shingle_jaccard": "Prefix-filtered similarity join (J>=0.5): broadcast anti-join hot cap (LeftAnti), df-annotated index, per-doc rank window, PREFIX self-join for candidates, exact array_intersect verification — candidate volume collapses vs the full inverted index (see dedup_shingle_jaccard_all).",
+    "dedup_shingle_jaccard_all": "Exhaustive enumerator: inverted index on 60-bit hashes, broadcast anti-join hot-shingle guard, post-cap size window, pair join + single groupBy.",
+    "vocab_coverage": "Single corpus pass: both legs end at canonically identical (lang, tok) exchanges, so AQE's shuffle-stage cache materializes the tokenize/explode/aggregate once (asserted in test_plan_shapes); top-64 vocab broadcasts back.",
+    "dedup_incremental_compacted": "Compaction (union -> id-dedup -> broadcast-anti tombstones) feeds the same band join as the incremental path; corpus text is never re-shingled.",
+    "pagerank_customer_supplier": "Exact integer fixpoint: per-iteration src join + dst aggregate, localCheckpoint lineage truncation; negated supplier keys keep node namespaces disjoint at any SF.",
     "dedup_minhash_lsh": "One explode->groupBy for 128 signature mins (partial aggregation), 16-band bucket self-join, est-jaccard from carried signature arrays.",
     "embed_cosine_topk": "Bounded query side broadcast (BroadcastNestedLoopJoin BuildRight); per-query top-k via WindowGroupLimit before the final exchange.",
     "dedup_simhash": "Zero-shuffle narrow plan: the whole 16-bit signature is computed inside one Project over the scan.",
