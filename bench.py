@@ -109,6 +109,7 @@ HEADLINE = [
     "pack_sequence_spans",
     "hll_group_registers",
     "training_shard_manifest",
+    "weighted_systematic_sample",
     "embed_mean_pool",
     "dedup_normalized_exact",
     "quality_perplexity_cut",

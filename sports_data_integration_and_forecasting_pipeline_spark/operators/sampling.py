@@ -173,3 +173,45 @@ def shard_manifest(
         F.sum("__n").cast("bigint").alias("total_tokens"),
         F.expr("bit_xor(__h)").cast("bigint").alias("key_checksum"),
     )
+
+
+def weighted_systematic_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str = "doc_id",
+    step: int = 1000,
+) -> DataFrame:
+    """Weighted SYSTEMATIC sampling: lay every row's integer weight end to
+    end along the (deterministic) ``id_col`` order and keep each row whose
+    weight interval contains a multiple of ``step`` — i.e. one pick per
+    ``step`` units of cumulative weight, selection probability exactly
+    proportional to weight for rows lighter than ``step`` (heavier rows
+    are always kept). This is the token-budget form of corpus mixing: with
+    weight = token count, the sample holds ~1 doc per ``step`` tokens, the
+    standard probability-proportional-to-size design without any RNG —
+    re-running the job, re-partitioning, or switching engines picks the
+    SAME rows (unlike ``df.sample``).
+
+    All arithmetic is exact integers: the cumulative position comes from
+    the distributed two-phase prefix sum
+    (:func:`~sports_data_integration_and_forecasting_pipeline_spark.operators.chunking.global_prefix_offsets`
+    — bounded per-task state, no single-task global window), and a row is
+    kept iff ``w_start DIV step < (w_start + w) DIV step``. Returns the
+    sampled rows with their ``w_start`` offset (the audit column: the
+    k-th sample's interval contains position ``k * step``).
+    """
+    from .chunking import global_prefix_offsets
+
+    spans = global_prefix_offsets(
+        df, id_col=id_col, n_col=weight_col, bucket_width=4096
+    )
+    w_start = F.col("tok_start")
+    w_end = w_start + F.col(weight_col)
+    keep = (w_start - F.pmod(w_start, F.lit(step))) / F.lit(step) < (
+        w_end - F.pmod(w_end, F.lit(step))
+    ) / F.lit(step)
+    return (
+        spans.filter(keep)
+        .drop("__bucket", "__cum_in", "__boff")
+        .withColumnRenamed("tok_start", "w_start")
+    )

@@ -4540,6 +4540,56 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Weighted SYSTEMATIC sampling — the token-budget form of corpus mixing:
+# weights (token counts) laid end to end in doc_id order, one pick per
+# `step` units of cumulative weight. Probability-proportional-to-size
+# with ZERO randomness: reruns, re-partitions, and engines all pick the
+# same rows. Exact integer arithmetic over the distributed two-phase
+# prefix sum (bounded per-task state — the same primitive sequence
+# packing uses — never a single-task global window).
+# ===========================================================================
+
+@_register(
+    "weighted_systematic_sample",
+    """
+    WITH w AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lang, n_toks,
+             CAST(coalesce(sum(n_toks) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS w_start
+      FROM w
+    )
+    SELECT doc_id, lang, n_toks, w_start
+    FROM c
+    WHERE w_start // 1000 < (w_start + n_toks) // 1000
+    """,
+    "sampling: weighted systematic (probability-proportional-to-size, "
+    "deterministic)",
+    "one doc per 1000 cumulative tokens along doc_id order — exact "
+    "integer prefix-sum selection, no RNG",
+)
+def weighted_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.sampling import (
+        weighted_systematic_sample as _wss,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_toks"),
+    )
+    out = _wss(docs, "n_toks", step=1000)
+    return out.select(
+        "doc_id", "lang", "n_toks", F.col("w_start").cast("bigint").alias("w_start")
+    )
+
+
+# ===========================================================================
 # Deterministic key-hash sampling — repeatable corpus sampling: the
 # in/out decision is a pure function of the row key (md5-derived), so the
 # sample is stable under re-partitioning, reruns, and engine choice,

@@ -159,3 +159,44 @@ def test_shard_assignment_stable_under_repartitioning(spark):
 
     counts = Counter(a.values())
     assert {r["shard"]: r["n_docs"] for r in man} == dict(counts)
+
+
+def test_weighted_systematic_sample_exact_picks(spark):
+    """Hand-computed intervals: weights laid end to end, one pick per
+    step of cumulative weight; heavy rows always kept."""
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.sampling import (
+        weighted_systematic_sample,
+    )
+
+    rows = [(1, 5), (2, 995), (3, 1000), (4, 3000), (5, 10)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = {r["doc_id"]: r["w_start"] for r in
+           weighted_systematic_sample(df, "w", step=1000).collect()}
+    # cum intervals (start, end]: 1:(0,5] 2:(5,1000] 3:(1000,2000]
+    # 4:(2000,5000] 5:(5000,5010] — picks at 1000k: doc2 owns k=1, doc3
+    # k=2, doc4 k=3..5; doc5's interval contains no multiple. Every pick
+    # point is owned by exactly one doc, so |sample| == total // step.
+    assert got == {2: 5, 3: 1000, 4: 2000}
+
+
+def test_weighted_systematic_sample_repartition_stable(spark):
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.sampling import (
+        weighted_systematic_sample,
+    )
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_toks"),
+    )
+    a = {r["doc_id"] for r in
+         weighted_systematic_sample(docs, "n_toks").collect()}
+    b = {r["doc_id"] for r in
+         weighted_systematic_sample(docs.repartition(11), "n_toks").collect()}
+    assert a == b and a
+    # sample size ~= total_weight / step (PPS design invariant; heavy
+    # docs can add at most their own extra picks)
+    total = docs.agg(F.sum("n_toks")).collect()[0][0]
+    assert abs(len(a) - total // 1000) <= 1
