@@ -1712,14 +1712,18 @@ def dedup_incremental_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     did = F.col("doc_id")
     corpus = docs.filter(did % 10 != 0)
-    # three historical snapshots; snapshot 2 re-ingested the %6==1 docs
-    # (already in snapshot 1), so compaction must dedup by doc_id
+    # Three historical snapshots; snapshot 2 re-ingested the %6==1 docs
+    # (already in snapshot 1), so compaction must dedup by doc_id.
+    # Signatures are a pure per-doc function, so the three pre-existing
+    # snapshot tables are materialized from ONE shingling pass and split
+    # by snapshot membership — building them with three separate
+    # minhash_signatures calls produced identical tables but shingled
+    # the corpus three times (measured ~1 s slower at sf0.1).
+    base_sig = persist_scoped("minhash_snapshot_seed", minhash_signatures(corpus))
     snaps = [
-        minhash_signatures(corpus.filter(did % 3 == 0)),
-        minhash_signatures(corpus.filter(did % 3 == 1)),
-        minhash_signatures(
-            corpus.filter((did % 3 == 2) | (did % 6 == 1))
-        ),
+        base_sig.filter(did % 3 == 0),
+        base_sig.filter(did % 3 == 1),
+        base_sig.filter((did % 3 == 2) | (did % 6 == 1)),
     ]
     tomb = corpus.filter(did % 10 == 5).select("doc_id")
     # Same scoped-persist role the incremental operator uses, so its own
