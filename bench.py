@@ -110,6 +110,7 @@ HEADLINE = [
     "hll_group_registers",
     "training_shard_manifest",
     "weighted_systematic_sample",
+    "snapshot_table_diff",
     "embed_mean_pool",
     "dedup_normalized_exact",
     "quality_perplexity_cut",

@@ -4544,6 +4544,86 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Snapshot table diff — the dataset-versioning audit: classify every key
+# across two snapshot versions as added/removed/changed via one md5 row
+# fingerprint per side and ONE full outer hash join on the key (the
+# 100 TB diff shape: no row-wise comparisons, no driver state). The
+# "next version" is simulated deterministically from orders: every 11th
+# key deleted, every 7th price bumped one cent-hundred, every 13th row
+# cloned under a new key.
+# ===========================================================================
+
+@_register(
+    "snapshot_table_diff",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k, o_custkey, o_orderstatus,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+      FROM orders
+    ),
+    newt AS (
+      SELECT k, o_custkey, o_orderstatus,
+             price_cents + CASE WHEN k % 7 = 0 THEN 100 ELSE 0 END AS price_cents
+      FROM base WHERE k % 11 <> 0
+      UNION ALL
+      SELECT k + 10000000000, o_custkey, o_orderstatus, price_cents
+      FROM base WHERE k % 13 = 0
+    ),
+    of AS (SELECT k, md5(concat_ws(chr(31), CAST(o_custkey AS VARCHAR),
+                                   o_orderstatus, CAST(price_cents AS VARCHAR)))
+                    AS old_fp FROM base),
+    nf AS (SELECT k, md5(concat_ws(chr(31), CAST(o_custkey AS VARCHAR),
+                                   o_orderstatus, CAST(price_cents AS VARCHAR)))
+                    AS new_fp FROM newt),
+    d AS (
+      SELECT coalesce(of.k, nf.k) AS o_orderkey,
+             CASE WHEN of.k IS NULL THEN 'added'
+                  WHEN nf.k IS NULL THEN 'removed'
+                  WHEN old_fp <> new_fp THEN 'changed'
+                  ELSE 'unchanged' END AS status,
+             old_fp, new_fp
+      FROM of FULL JOIN nf ON of.k = nf.k
+    )
+    SELECT o_orderkey, status, old_fp, new_fp FROM d
+    WHERE status <> 'unchanged'
+    """,
+    "data versioning: snapshot diff (added/removed/changed via row "
+    "fingerprints, one full outer join)",
+    "orders vs a simulated next version: %11 keys deleted, %7 prices "
+    "changed, %13 rows cloned as new keys — md5 fingerprint diff",
+)
+def snapshot_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.diff import table_diff
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        _cents(F.col("o_totalprice")).alias("price_cents"),
+    )
+    k = F.col("o_orderkey")
+    newt = (
+        base.filter(k % 11 != 0)
+        .withColumn(
+            "price_cents",
+            F.col("price_cents")
+            + F.when(k % 7 == 0, F.lit(100)).otherwise(F.lit(0)),
+        )
+        .unionByName(
+            base.filter(k % 13 == 0).withColumn(
+                "o_orderkey", k + F.lit(10_000_000_000)
+            )
+        )
+    )
+    return table_diff(
+        base,
+        newt,
+        ["o_orderkey"],
+        ["o_custkey", "o_orderstatus", "price_cents"],
+    )
+
+
+# ===========================================================================
 # Weighted SYSTEMATIC sampling — the token-budget form of corpus mixing:
 # weights (token counts) laid end to end in doc_id order, one pick per
 # `step` units of cumulative weight. Probability-proportional-to-size
