@@ -111,6 +111,7 @@ HEADLINE = [
     "training_shard_manifest",
     "weighted_systematic_sample",
     "snapshot_table_diff",
+    "source_reputation",
     "embed_mean_pool",
     "dedup_normalized_exact",
     "quality_perplexity_cut",

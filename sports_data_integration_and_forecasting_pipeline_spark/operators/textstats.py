@@ -277,3 +277,51 @@ def inverted_index(
             ",",
         ).alias("postings_csv"),
     )
+
+
+def source_reputation(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-SOURCE reputation rollup — the curation decision table behind
+    "which crawls/feeds do we keep": docs, token volume, corpus-wide
+    exact-duplicate rate, and an aggregate stopword ratio per source.
+    Scoring whole sources (rather than single docs) is how large corpus
+    pipelines cut low-quality providers wholesale before any per-doc
+    filtering spends compute on them.
+
+    All signals aggregate exactly: integer token/stopword/dup counts,
+    ratios as one int/int division at the end (engine-identical). The
+    duplicate flag is corpus-wide (same md5-fingerprint + min-id-window
+    contract as :func:`...dedup.exact_dup_groups`), so a source that
+    mirrors another's content is the one penalized — its copies lose the
+    min-id race only when it scraped later (higher ids).
+
+    Scale shape: narrow stats projection → one fingerprint-partitioned
+    window (the dedup shuffle) → per-source aggregate (tiny: one row per
+    source, map-side combined).
+    """
+    toks = _tokens(F.col(text_col))
+    staged = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.size(toks).cast("bigint").alias("__n"),
+        _count_in(toks, EN_STOPWORDS).alias("__stop"),
+        F.md5(F.col(text_col)).alias("__fp"),
+    )
+    w = Window.partitionBy("__fp")
+    flagged = staged.withColumn(
+        "__dup",
+        (F.col(id_col) != F.min(id_col).over(w)).cast("bigint"),
+    )
+    n_docs = F.count("*").cast("bigint")
+    n_dup = F.sum("__dup").cast("bigint")
+    return flagged.groupBy(source_col).agg(
+        n_docs.alias("n_docs"),
+        F.sum("__n").cast("bigint").alias("total_tokens"),
+        n_dup.alias("n_dup_docs"),
+        (F.sum("__stop").cast("double") / F.sum("__n")).alias("stopword_ratio"),
+        (n_dup.cast("double") / n_docs).alias("dup_rate"),
+    )

@@ -4544,6 +4544,57 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Source reputation — the whole-source curation decision table: per
+# `source`, doc/token volume, corpus-wide exact-dup rate, aggregate
+# stopword ratio. Cutting bad providers wholesale precedes per-doc
+# filtering in a 100 TB pipeline. Exact integer aggregates; ratios are
+# one int/int division, rounded with the engine-identical primitive.
+# ===========================================================================
+
+@_register(
+    "source_reputation",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+             {_sql_count_in(('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it', 'for', 'on'))} AS n_stop,
+             md5(text) AS fp
+      FROM documents
+    ),
+    f AS (
+      SELECT *, CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY fp)
+                     THEN 1 ELSE 0 END AS dup
+      FROM t
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS total_tokens,
+           CAST(sum(dup) AS BIGINT) AS n_dup_docs,
+           {_sql_r('1.0 * sum(n_stop) / sum(n)', 9)} AS stopword_ratio,
+           {_sql_r('1.0 * sum(dup) / count(*)', 9)} AS dup_rate
+    FROM f GROUP BY source
+    """,
+    "curation: per-source reputation rollup (volume, dup rate, quality)",
+    "per-source docs/tokens, corpus-wide exact-dup rate, aggregate "
+    "stopword ratio — the keep-or-cut-the-provider table",
+)
+def source_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import (
+        source_reputation as _srcrep,
+    )
+
+    out = _srcrep(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "n_dup_docs",
+        _r(F.col("stopword_ratio"), 9).alias("stopword_ratio"),
+        _r(F.col("dup_rate"), 9).alias("dup_rate"),
+    )
+
+
+# ===========================================================================
 # Snapshot table diff — the dataset-versioning audit: classify every key
 # across two snapshot versions as added/removed/changed via one md5 row
 # fingerprint per side and ONE full outer hash join on the key (the

@@ -122,3 +122,24 @@ def test_inverted_index_caps_postings_but_counts_full_df(spark):
     assert hot["df"] == 10  # df counts every doc...
     assert hot["postings_csv"] == "0,1,2,3"  # ...postings cap at 4, lowest ids
     assert out["unique3"]["df"] == 1 and out["unique3"]["postings_csv"] == "3"
+
+
+def test_source_reputation_rollup(spark):
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import (
+        source_reputation,
+    )
+
+    rows = [
+        (1, "the cat sat", "A"),
+        (2, "the cat sat", "B"),   # exact copy, higher id -> B eats the dup
+        (3, "pure novel words", "B"),
+        (4, "of the and to in", "A"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["source"]: r for r in source_reputation(df).collect()}
+    assert got["A"]["n_docs"] == 2 and got["A"]["n_dup_docs"] == 0
+    assert got["B"]["n_docs"] == 2 and got["B"]["n_dup_docs"] == 1
+    assert got["B"]["dup_rate"] == 0.5
+    # A: tokens 3 + 5, stopwords 1 ("the") + 5 (all) = 6/8
+    assert got["A"]["total_tokens"] == 8
+    assert abs(got["A"]["stopword_ratio"] - 6 / 8) < 1e-12
