@@ -204,6 +204,8 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             calib[key] = round(time.perf_counter() - t0, 3)
 
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import release_caches
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = QUERIES.get(name)
@@ -230,6 +232,12 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             best = round(time.perf_counter() - t0, 3)
         timings[name] = best
+        # Drop this entry's scoped caches before the next entry: a
+        # steady-state engine wouldn't hold a predecessor's signature
+        # tables either, and the leftover blocks otherwise add memory/GC
+        # pressure that inflates later entries (measured: the prefix
+        # jaccard ran ~30% slower mid-battery than isolated).
+        release_caches()
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf

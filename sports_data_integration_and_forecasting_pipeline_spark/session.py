@@ -31,6 +31,20 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
+        # local[N] runs driver AND all executor threads in ONE JVM whose
+        # heap defaults to spark.driver.memory = 1g — a 32-thread battery
+        # in 1 GB spends its time in GC and eventually fails broadcast
+        # builds (observed: GCLocker retry warnings + "not enough memory
+        # to build and broadcast" mid-battery). 8g measured BEST here:
+        # big heaps are not free — ≥31g made a fixed 50M-row md5 pass
+        # ~5-10× slower on this box (G1 geometry/page-touch costs), while
+        # 8g was slightly faster than 1g AND removes the OOM. Only
+        # effective for the process that LAUNCHES the JVM — a real
+        # cluster's submit-time settings take precedence.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
         # AQE: runtime shuffle-partition coalescing + skew-join splitting —
         # the main lever that keeps one plan valid from sf0.001 to 100 TB.
         .config("spark.sql.adaptive.enabled", "true")
