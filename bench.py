@@ -112,6 +112,8 @@ HEADLINE = [
     "weighted_systematic_sample",
     "snapshot_table_diff",
     "source_reputation",
+    "skew_key_report",
+    "referential_integrity_audit",
     "embed_mean_pool",
     "dedup_normalized_exact",
     "quality_perplexity_cut",

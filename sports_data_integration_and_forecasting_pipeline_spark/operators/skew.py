@@ -127,3 +127,46 @@ def write_bucketed(
     if sort_col is not None:
         writer = writer.sortBy(sort_col)
     writer.saveAsTable(table_name)
+
+
+def skew_key_report(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 20,
+    n_partitions: int = 32,
+) -> DataFrame:
+    """Skew DIAGNOSIS (the step before picking a salt factor): per-key row
+    counts for the ``top_k`` heaviest keys, each with its share of the
+    table in parts-per-million and the salt factor that would spread it
+    evenly over the shuffle: ``ceil(n_partitions * cnt / total)`` — how
+    many reducer-partitions' worth of rows the key carries. A key with
+    ``salt_factor == 1`` is harmless; ``>= 2`` funnels multiple
+    partitions of work through one reducer and wants
+    :func:`salted_sum_count` / :func:`salted_join` (or AQE's skew split).
+
+    All integer arithmetic (exact ceil via ``(a + b - 1) DIV b``; share
+    in ppm via integer DIV), pinned (count desc, key) order. Shape: one
+    map-side-combined aggregate; the grand total is a broadcast 1-row
+    re-aggregate of the SAME counts (its exchange is canonically
+    identical, so AQE materializes the aggregate once — never a
+    single-task window over the key stream, which would serialize at
+    high key cardinality); top-k is a distributed TakeOrdered.
+    """
+    counts = df.groupBy(key_col).agg(F.count("*").alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").cast("bigint").alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .orderBy(F.desc("n_rows"), key_col)
+        .limit(top_k)
+        .select(
+            key_col,
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.expr("CAST((1000000 * n_rows) DIV __total AS BIGINT)").alias(
+                "share_ppm"
+            ),
+            F.expr(
+                f"CAST(({n_partitions} * n_rows + __total - 1) DIV __total"
+                " AS INT)"
+            ).alias("salt_factor"),
+        )
+    )

@@ -4544,6 +4544,103 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Skew-key report — the diagnosis that precedes salting: top-K heaviest
+# grouping keys with their table share (ppm) and the integer salt factor
+# (reducer-partitions' worth of rows each carries). Exact integer DIV
+# math; grand total via a broadcast 1-row re-aggregate of the same
+# counts (AQE materializes the aggregate once), never a single-task
+# window over the key stream.
+# ===========================================================================
+
+@_register(
+    "skew_key_report",
+    """
+    WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows
+               FROM events GROUP BY user_id),
+    t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total FROM c)
+    SELECT user_id, n_rows,
+           CAST((1000000 * n_rows) // total AS BIGINT) AS share_ppm,
+           CAST((32 * n_rows + total - 1) // total AS INT) AS salt_factor
+    FROM c, t
+    ORDER BY n_rows DESC, user_id LIMIT 20
+    """,
+    "skew: top-K hot-key report with integer salt factors",
+    "20 heaviest events.user_id keys: row count, table share in ppm, "
+    "ceil(32*cnt/total) salt factor — the pre-salting diagnosis",
+)
+def skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.skew import (
+        skew_key_report as _skr,
+    )
+
+    return _skr(_t(spark, sf_dir, "events"), "user_id", top_k=20, n_partitions=32)
+
+
+# ===========================================================================
+# Referential-integrity audit — orphan detection across three declared
+# FK relationships, with a deterministic partition-purge simulated on
+# the customer dim (c_custkey % 13 == 0 dropped) so the audit has real
+# orphans to find: the post-delete verification a 100 TB retention job
+# runs. One row per relationship; see operators/integrity.py for the
+# anti-join shape.
+# ===========================================================================
+
+@_register(
+    "referential_integrity_audit",
+    """
+    WITH cust AS (SELECT c_custkey FROM customer WHERE c_custkey % 13 <> 0),
+    rel1 AS (
+      SELECT 'lineitem.l_orderkey->orders' AS fk_name,
+             CAST(count(*) AS BIGINT) AS n_child_rows,
+             CAST(count(*) FILTER (o_orderkey IS NULL) AS BIGINT) AS n_orphan_rows,
+             CAST(count(DISTINCT CASE WHEN o_orderkey IS NULL
+                                      THEN l_orderkey END) AS BIGINT)
+               AS n_orphan_keys
+      FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+    ),
+    rel2 AS (
+      SELECT 'orders.o_custkey->customer(purged)' AS fk_name,
+             CAST(count(*) AS BIGINT) AS n_child_rows,
+             CAST(count(*) FILTER (c.c_custkey IS NULL) AS BIGINT) AS n_orphan_rows,
+             CAST(count(DISTINCT CASE WHEN c.c_custkey IS NULL
+                                      THEN o_custkey END) AS BIGINT)
+               AS n_orphan_keys
+      FROM orders LEFT JOIN cust c ON o_custkey = c.c_custkey
+    ),
+    rel3 AS (
+      SELECT 'lineitem.l_suppkey->supplier' AS fk_name,
+             CAST(count(*) AS BIGINT) AS n_child_rows,
+             CAST(count(*) FILTER (s_suppkey IS NULL) AS BIGINT) AS n_orphan_rows,
+             CAST(count(DISTINCT CASE WHEN s_suppkey IS NULL
+                                      THEN l_suppkey END) AS BIGINT)
+               AS n_orphan_keys
+      FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+    )
+    SELECT * FROM rel1 UNION ALL SELECT * FROM rel2 UNION ALL SELECT * FROM rel3
+    """,
+    "data quality: FK orphan audit after a simulated partition purge",
+    "three FK relationships audited for orphan rows/keys; customer dim "
+    "purged of %13 keys so the audit detects real strays",
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.integrity import (
+        fk_orphan_audit,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 13 != 0)
+    supp = _t(spark, sf_dir, "supplier")
+    return fk_orphan_audit(
+        [
+            ("lineitem.l_orderkey->orders", li, "l_orderkey", orders, "o_orderkey"),
+            ("orders.o_custkey->customer(purged)", orders, "o_custkey", cust, "c_custkey"),
+            ("lineitem.l_suppkey->supplier", li, "l_suppkey", supp, "s_suppkey"),
+        ]
+    )
+
+
+# ===========================================================================
 # Source reputation — the whole-source curation decision table: per
 # `source`, doc/token volume, corpus-wide exact-dup rate, aggregate
 # stopword ratio. Cutting bad providers wholesale precedes per-doc

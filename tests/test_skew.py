@@ -125,3 +125,18 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_skew_key_report_hand_built(spark):
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.skew import skew_key_report
+    import pyspark.sql.functions as F
+
+    # key "hot" has 64 of 100 rows -> salt_factor ceil(32*64/100) = 21
+    rows = [("hot",)] * 64 + [(f"k{i}",) for i in range(36)]
+    df = spark.createDataFrame(rows, "user_id string")
+    got = skew_key_report(df, "user_id", top_k=3).collect()
+    assert got[0]["user_id"] == "hot"
+    assert got[0]["n_rows"] == 64
+    assert got[0]["share_ppm"] == 640000
+    assert got[0]["salt_factor"] == 21
+    assert all(r["salt_factor"] == 1 for r in got[1:])
