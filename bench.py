@@ -114,6 +114,7 @@ HEADLINE = [
     "source_reputation",
     "skew_key_report",
     "referential_integrity_audit",
+    "ewma_user_value",
     "embed_mean_pool",
     "dedup_normalized_exact",
     "quality_perplexity_cut",

@@ -40,3 +40,58 @@ def build_features(
     if drop_na_target:
         out = out.na.drop(subset=[f"target_{target_col}"])
     return out
+
+
+def ewma_by_key(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.25,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average (adjust-free form
+    ``s_t = alpha * x_t + (1 - alpha) * s_{t-1}``, ``s_1 = x_1``),
+    returning each key's final state and event count — the classic
+    streaming-feature recurrence (per-user engagement level, per-market
+    line momentum).
+
+    The recurrence is inherently SEQUENTIAL (not associative — no
+    window/aggregate expresses it; the closed-form weight trick
+    overflows for long series), so this is one of the engine's designed
+    Arrow crossings: ``applyInPandas`` per key, groups sorted by the
+    pinned ``order_cols``, an explicit Python-float loop evaluating
+    EXACTLY ``alpha * x + (1 - alpha) * s`` per step. Both factors are
+    IEEE-754 correctly-rounded double ops in the same association order
+    as the DuckDB recursive-CTE oracle, so results are bit-identical
+    across engines — the determinism contract every battery entry keeps.
+
+    Scale shape: one hash shuffle on the key; per-task state is one
+    group (bounded by the heaviest key — salt upstream if a key's
+    history exceeds executor memory). Arrow moves each group once.
+    """
+    frac = (1.0, float(alpha))  # closure-stable
+
+    def _ewma(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(order_cols)
+        a = frac[1]
+        s = None
+        for x in pdf[value_col]:
+            x = float(x)
+            s = x if s is None else a * x + (1.0 - a) * s
+        return pd.DataFrame(
+            {
+                key_col: [pdf[key_col].iloc[0]],
+                "n_events": [len(pdf)],
+                "ewma_last": [s],
+            }
+        )
+
+    key_type = dict(df.dtypes)[key_col]
+    return df.select(key_col, *order_cols, value_col).groupBy(
+        key_col
+    ).applyInPandas(
+        _ewma,
+        schema=f"{key_col} {key_type}, n_events long, ewma_last double",
+    )

@@ -4544,6 +4544,53 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Per-user EWMA — the classic sequential streaming-feature recurrence
+# s_t = α·x_t + (1−α)·s_{t−1}: NOT associative, so no window/aggregate
+# expresses it and the closed-form weight trick overflows on long
+# series. This is a designed Arrow crossing (applyInPandas per user,
+# pinned (ts, event_id) order) whose Python loop evaluates EXACTLY
+# 0.25·x + 0.75·s — the same IEEE-754 association order as the oracle's
+# recursive CTE, so the doubles are bit-identical across engines with
+# NO rounding: the strongest determinism statement in the battery.
+# ===========================================================================
+
+@_register(
+    "ewma_user_value",
+    """
+    WITH RECURSIVE seq AS (
+      SELECT user_id, CAST(value AS DOUBLE) AS value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    ew AS (
+      SELECT user_id, rn, value AS s FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s2.user_id, s2.rn, 0.25 * s2.value + 0.75 * ew.s
+      FROM ew JOIN seq s2 ON s2.user_id = ew.user_id AND s2.rn = ew.rn + 1
+    )
+    SELECT user_id, CAST(rn AS BIGINT) AS n_events, s AS ewma_last
+    FROM ew
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY rn DESC) = 1
+    """,
+    "stateful sequential op: per-key EWMA via Arrow applyInPandas "
+    "(bit-identical to the recursive-CTE oracle, unrounded)",
+    "per-user EWMA (alpha 0.25) over (ts, event_id)-ordered values; "
+    "final state + event count per user",
+)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.features import ewma_by_key
+
+    return ewma_by_key(
+        _t(spark, sf_dir, "events"),
+        "user_id",
+        ["ts", "event_id"],
+        "value",
+        alpha=0.25,
+    )
+
+
+# ===========================================================================
 # Skew-key report — the diagnosis that precedes salting: top-K heaviest
 # grouping keys with their table share (ppm) and the integer salt factor
 # (reducer-partitions' worth of rows each carries). Exact integer DIV

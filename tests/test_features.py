@@ -62,3 +62,30 @@ def test_build_features_matches_pandas(spark):
         "target_points",
     ]:
         assert got[c].tolist() == pytest.approx(pdf[c].tolist())
+
+
+def test_ewma_by_key_hand_computed(spark):
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.features import ewma_by_key
+
+    rows = [
+        (1, 1, 8.0), (1, 2, 4.0), (1, 3, 0.0),  # s: 8 -> 5 -> 3.75
+        (2, 1, 7.5),                             # single event: s = x
+    ]
+    df = spark.createDataFrame(rows, "user_id long, seq long, value double")
+    got = {r["user_id"]: r for r in
+           ewma_by_key(df, "user_id", ["seq"], "value").collect()}
+    assert got[1]["n_events"] == 3
+    assert got[1]["ewma_last"] == 0.25 * 0.0 + 0.75 * (0.25 * 4.0 + 0.75 * 8.0)
+    assert got[2]["ewma_last"] == 7.5 and got[2]["n_events"] == 1
+
+
+def test_ewma_order_pinning_matters(spark):
+    """Same rows, shuffled input partitioning: the pinned order_cols make
+    the sequential result identical."""
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.features import ewma_by_key
+
+    rows = [(1, i, float((i * 37) % 11)) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "user_id long, seq long, value double")
+    a = ewma_by_key(df, "user_id", ["seq"], "value").collect()[0]["ewma_last"]
+    b = ewma_by_key(df.repartition(13), "user_id", ["seq"], "value").collect()[0]["ewma_last"]
+    assert a == b

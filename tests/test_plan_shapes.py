@@ -23,6 +23,9 @@ ARROW_OK = {
     # Arrow crossing (mergeable-summary build), not a fallen hot path
     "misra_gries_heavy_hitters",
     "misra_gries_verified",  # embeds the MG sketch it verifies
+    # per-key EWMA is an inherently sequential recurrence — the designed
+    # applyInPandas crossing, bit-identical to its recursive-CTE oracle
+    "ewma_user_value",
 }
 # Streaming queries materialize via a memory sink, not a lazy plan.
 SKIP = {
