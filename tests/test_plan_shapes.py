@@ -174,19 +174,16 @@ def test_new_operator_plan_guarantees(spark):
         assert n <= 2, f"{name}: {n} exchanges"
 
 
-def test_vocab_coverage_single_pass_via_stage_reuse(spark):
-    """vocab_coverage's corpus pass (tokenize → bigram explode → partial
-    aggregate → Exchange on (lang, tok)) feeds both the top-K vocab leg
-    and the coverage leg. AQE's shuffle-stage cache keys on the
-    canonicalized exchange plan, so the pass executes ONCE iff the two
-    exchange subtrees are canonically identical — assert exactly that
-    (two occurrences, equal modulo expression/plan ids), so a refactor
-    that makes the legs diverge (and silently doubles the corpus scan)
-    fails here instead of only slowing the bench."""
+def _assert_shared_exchange_legs(plan: str, needle: str, entry: str):
+    """Assert `needle` (a regex matching an Exchange line) hits exactly twice in
+    the plan and that the two exchange subtrees are canonically identical
+    (equal modulo expression/plan ids). AQE's shuffle-stage cache keys on
+    the canonicalized exchange plan, so identical legs execute ONCE at
+    runtime; a refactor that makes them diverge silently doubles the
+    upstream pass and fails here instead of only slowing the bench."""
     import re
 
-    p = _plan(spark, "vocab_coverage")
-    lines = p.splitlines()
+    lines = plan.splitlines()
 
     def depth(line: str) -> int:
         return (len(line) - len(line.lstrip(" :+-"))) // 3
@@ -196,12 +193,8 @@ def test_vocab_coverage_single_pass_via_stage_reuse(spark):
         s = re.sub(r"#\d+L?", "#x", s)
         return re.sub(r"plan_id=\d+", "plan_id=x", s)
 
-    idxs = [
-        i
-        for i, l in enumerate(lines)
-        if "Exchange hashpartitioning(lang" in l and "tok" in l
-    ]
-    assert len(idxs) == 2, f"expected the (lang, tok) exchange twice:\n{p}"
+    idxs = [i for i, l in enumerate(lines) if re.search(needle, l)]
+    assert len(idxs) == 2, f"{entry}: expected '{needle}' twice:\n{plan}"
 
     def subtree(i: int) -> list[str]:
         d = depth(lines[i])
@@ -214,9 +207,49 @@ def test_vocab_coverage_single_pass_via_stage_reuse(spark):
 
     a, b = subtree(idxs[0]), subtree(idxs[1])
     assert a == b, (
-        "vocab_coverage's two corpus-pass legs diverged — AQE can no "
-        f"longer reuse the shuffle stage:\n{a}\nvs\n{b}"
+        f"{entry}: shared-pass legs diverged — AQE can no longer reuse "
+        f"the shuffle stage:\n{a}\nvs\n{b}"
     )
+
+
+def test_vocab_coverage_single_pass_via_stage_reuse(spark):
+    """The corpus pass (tokenize → bigram explode → partial aggregate →
+    Exchange on (lang, tok)) feeds both the top-K vocab leg and the
+    coverage leg — must stay canonically identical."""
+    _assert_shared_exchange_legs(
+        _plan(spark, "vocab_coverage"),
+        r"Exchange hashpartitioning\(lang#\d+, tok#",
+        "vocab_coverage",
+    )
+
+
+def test_skew_report_single_pass_via_stage_reuse(spark):
+    """skew_key_report's per-key counts feed both the top-k leg and the
+    broadcast grand-total re-aggregate — the count pass must stay
+    canonically identical so AQE materializes it once."""
+    _assert_shared_exchange_legs(
+        _plan(spark, "skew_key_report"),
+        r"Exchange hashpartitioning\(user_id#",
+        "skew_key_report",
+    )
+
+
+def test_snapshot_diff_join_shape(spark):
+    """The diff is ONE full outer sort-merge join on the key — broadcast
+    full-outer doesn't exist and a nested-loop fallback would be a scale
+    killer."""
+    p = _plan(spark, "snapshot_table_diff")
+    assert "SortMergeJoin" in p and "FullOuter" in p, p[:800]
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_integrity_audit_orphans_broadcast_back(spark):
+    """Orphan keys (tiny when data is healthy) broadcast back over the
+    child for row counts; the audit never sort-merges the child against
+    the orphan set."""
+    p = _plan(spark, "referential_integrity_audit")
+    assert "BroadcastHashJoin" in p, p[:800]
+    assert "CartesianProduct" not in p
 
 
 def test_q6_scan_pushdown(spark):
