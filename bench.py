@@ -125,6 +125,7 @@ HEADLINE = [
     "customers_with_big_orders",
     "feature_standardize",
     "q6_promo_revenue",
+    "q3_shipping_priority",
     "monthly_active_users",
     "weekday_hour_heatmap",
     "vocab_coverage",

@@ -4544,6 +4544,76 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# TPC-H Q3 (shipping priority) — the classic 3-table selective join +
+# grouped top-k: segment-filtered customers ⋈ date-bounded orders ⋈
+# ship-date-bounded lineitem, revenue per open order, top 10. Filters
+# push to all three scans; the customer side collapses after its segment
+# filter (AQE broadcasts it at small SF; at 100 TB it hash-joins on the
+# already-shuffled o_custkey). Revenue in exact integer cents; top-10
+# pinned (revenue desc, date, key).
+# ===========================================================================
+
+@_register(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0
+                               + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+           CAST(epoch_us(o_orderdate) // 1000000 AS BIGINT) AS order_date_s,
+           o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1998-06-01'
+      AND l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue_cents DESC, order_date_s, l_orderkey
+    LIMIT 10
+    """,
+    "warehouse: TPC-H Q3 shipping priority (selective 3-table join, "
+    "grouped top-k)",
+    "BUILDING-segment open orders by exact-cents revenue, top 10 with "
+    "pinned tiebreaks",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1998-06-01").cast("timestamp_ntz")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > cutoff)
+        .select(
+            "l_orderkey",
+            _cents(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+            ).alias("rev_cents"),
+        )
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum("rev_cents").cast("bigint").alias("revenue_cents"))
+        .select(
+            "l_orderkey",
+            "revenue_cents",
+            _epoch_s(F.col("o_orderdate")).alias("order_date_s"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue_cents"), "order_date_s", "l_orderkey")
+        .limit(10)
+    )
+
+
+# ===========================================================================
 # Per-user EWMA — the classic sequential streaming-feature recurrence
 # s_t = α·x_t + (1−α)·s_{t−1}: NOT associative, so no window/aggregate
 # expresses it and the closed-form weight trick overflows on long
