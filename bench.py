@@ -202,11 +202,20 @@ def main() -> None:
     for key, mk in [("calib_md5_sec", _calib_cpu_df),
                     ("calib_shuffle_sec", _calib_shuffle_df),
                     ("calib_floor_sec", _calib_floor_df)]:
-        for _ in range(2):
+        # cpu/shuffle: second run reported (steady state, same convention
+        # as the queries). floor: MIN of four runs — it estimates a lower
+        # bound (the fixed per-query cost), and a single sample is at the
+        # mercy of hypervisor-steal spikes (observed 7x inflation on an
+        # otherwise idle box), which then nonsensically zeroes
+        # normalized_work.
+        runs = 4 if key == "calib_floor_sec" else 2
+        samples = []
+        for _ in range(runs):
             df = mk()
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
-            calib[key] = round(time.perf_counter() - t0, 3)
+            samples.append(round(time.perf_counter() - t0, 3))
+        calib[key] = min(samples) if key == "calib_floor_sec" else samples[-1]
 
     from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import release_caches
 
