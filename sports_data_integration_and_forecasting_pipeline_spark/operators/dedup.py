@@ -557,7 +557,15 @@ def compact_signatures(
     if version_col is None:
         merged = merged.dropDuplicates([id_col])
     else:
-        w = Window.partitionBy(id_col).orderBy(F.desc(version_col))
+        # Tiebreak is pinned on the FULL row (version desc, then every
+        # remaining column asc): two snapshots carrying the same
+        # (id, version) with different payloads would otherwise be
+        # resolved by shuffle arrival order — nondeterministic across
+        # runs/partitionings, which breaks the determinism contract.
+        rest = sorted(
+            c for c in merged.columns if c not in (id_col, version_col)
+        )
+        w = Window.partitionBy(id_col).orderBy(F.desc(version_col), *rest)
         merged = (
             merged.withColumn("__rk", F.row_number().over(w))
             .filter(F.col("__rk") == 1)

@@ -58,12 +58,18 @@ def ewma_by_key(
     The recurrence is inherently SEQUENTIAL (not associative — no
     window/aggregate expresses it; the closed-form weight trick
     overflows for long series), so this is one of the engine's designed
-    Arrow crossings: ``applyInPandas`` per key, groups sorted by the
-    pinned ``order_cols``, an explicit Python-float loop evaluating
-    EXACTLY ``alpha * x + (1 - alpha) * s`` per step. Both factors are
-    IEEE-754 correctly-rounded double ops in the same association order
-    as the DuckDB recursive-CTE oracle, so results are bit-identical
-    across engines — the determinism contract every battery entry keeps.
+    Arrow crossings — batched ``mapInPandas`` over key-sorted
+    partitions, with an explicit Python-float loop evaluating EXACTLY
+    ``alpha * x + (1 - alpha) * s`` per step. Both factors are IEEE-754
+    correctly-rounded double ops in the same association order as the
+    DuckDB recursive-CTE oracle, so results are bit-identical across
+    engines — the determinism contract every battery entry keeps.
+
+    Null keys are REJECTED (ValueError inside the crossing, zero extra
+    jobs): pandas groupby drops NaN groups by default while the
+    oracle's ``PARTITION BY`` keeps a NULL group, and NaN sentinel keys
+    don't survive dict-carry across batches — filter or fill null keys
+    upstream.
 
     Scale shape: one hash shuffle on the key, partitions sorted by
     (key, order) once, then BATCHED ``mapInPandas`` — whole Arrow
@@ -89,6 +95,13 @@ def ewma_by_key(
 
         carry: dict = {}
         for pdf in batches:
+            if pdf[key_col].isna().any():
+                raise ValueError(
+                    "ewma_by_key: null keys are unsupported — the "
+                    "recursive-CTE oracle's PARTITION BY keeps a NULL "
+                    "group while pandas groupby would drop or split it; "
+                    "filter or fill null keys upstream."
+                )
             for k, g in pdf.groupby(key_col, sort=False):
                 n, s = carry.get(k, (0, None))
                 for x in g[value_col]:

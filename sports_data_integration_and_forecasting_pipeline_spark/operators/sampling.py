@@ -210,8 +210,4 @@ def weighted_systematic_sample(
     keep = (w_start - F.pmod(w_start, F.lit(step))) / F.lit(step) < (
         w_end - F.pmod(w_end, F.lit(step))
     ) / F.lit(step)
-    return (
-        spans.filter(keep)
-        .drop("__bucket", "__cum_in", "__boff")
-        .withColumnRenamed("tok_start", "w_start")
-    )
+    return spans.filter(keep).withColumnRenamed("tok_start", "w_start")

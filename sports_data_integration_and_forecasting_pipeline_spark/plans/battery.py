@@ -52,7 +52,16 @@ def _probe_time_schema(df: DataFrame, sf_dir: str, name: str) -> None:
     if key in _SCHEMA_PROBED:
         return
     col = _TIME_COLS[name]
-    got = df.schema[col].dataType.typeName()
+    field = {f.name: f for f in df.schema.fields}.get(col)
+    if field is None:
+        raise TypeError(
+            f"testdata schema drift: {name}.{col} at {sf_dir} is MISSING "
+            f"(columns: {df.columns}). The driver likely regenerated the "
+            "parquet with the time column renamed or dropped — adapt "
+            "_TIME_COLS and the epoch helpers in ONE place here rather "
+            "than per-entry."
+        )
+    got = field.dataType.typeName()
     if got not in _TIME_OK_TYPES:
         raise TypeError(
             f"testdata schema drift: {name}.{col} at {sf_dir} reads as "
@@ -112,15 +121,17 @@ def _epoch_us(col: Column | str) -> Column:
 
 
 def _fdiv(col: Column, n: int) -> Column:
-    """Exact FLOOR division for bigint columns of either sign:
-    (c - pmod(c, n)) / n. pmod is the non-negative remainder, so the
-    numerator is exactly divisible and the result floors toward −∞ —
-    matching DuckDB's ``//`` on pre-1970 (negative-epoch) timestamps,
-    where Spark's ``%`` (dividend-signed) would truncate toward zero
-    instead. Exact while |c| < 2^53 (the double division is then exact,
-    same discipline as _r/_cents)."""
+    """Exact TRUNCATING division for bigint columns — the semantics
+    DuckDB's integer ``//`` actually has: ``(-500000) // 1000000 = 0``
+    (toward zero), verified empirically on the pinned DuckDB 1.0.0. Do
+    NOT import Python's floor-``//`` intuition here: a pmod-based floor
+    form was tried in round 5 and diverges from the oracle on any
+    pre-1970 (negative-epoch) timestamp. ``(c - c % n) / n`` with
+    Spark's dividend-signed ``%`` truncates toward zero identically.
+    Exact while |c| < 2^53 (the double division is then exact, same
+    discipline as _r/_cents)."""
     c = col.cast("long")
-    return ((c - F.pmod(c, F.lit(n))) / F.lit(n)).cast("long")
+    return ((c - c % F.lit(n)) / F.lit(n)).cast("long")
 
 
 def _epoch_s(col: Column | str) -> Column:
@@ -2816,23 +2827,30 @@ def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     [mid] = ev.approxQuantile("ts_us", [0.5], 0.0)  # rel err 0 -> exact
     oldest = ev.orderBy("ts_us", "event_id").limit(200)
-    # Precondition for the drop to be guaranteed: every injected duplicate
-    # must sit strictly behind run 1's persisted watermark (max event time
-    # of the older half − the 1-minute delay). On a dataset whose older
-    # half spans < 1 minute the duplicates would NOT be late and the entry
-    # would silently diverge from its oracle — fail loudly instead.
+    # Precondition for the drop to be guaranteed: a late row is discarded
+    # only when its WINDOW's end is at or behind the recovered watermark
+    # (the window's state must already be finalized and evicted) — the
+    # raw row timestamp being behind the watermark is NOT sufficient
+    # (r5 review: a duplicate at 11:30 with watermark 11:59:50 passes a
+    # raw-timestamp check, but its [11:00, 12:00) window is still open
+    # and ACCEPTS it). So assert the duplicates' hour-window ends ≤ run
+    # 1's watermark (older-half max − 1 min); otherwise fail loudly
+    # instead of silently diverging from the count-once oracle.
     row = ev.agg(
         F.max(F.when(F.col("ts_us") < mid, F.col("ts_us"))).alias("h1_max"),
     ).collect()[0]
     wm1_us = row["h1_max"] - 60 * 1_000_000
     oldest_max = oldest.agg(F.max("ts_us")).collect()[0][0]
-    if oldest_max >= wm1_us:
+    hour_us = 3_600 * 1_000_000
+    oldest_window_end = (oldest_max - oldest_max % hour_us) + hour_us
+    if oldest_window_end > wm1_us:
         raise AssertionError(
             "streaming_late_data_drop precondition violated: the 200 "
-            f"oldest rows reach ts_us={oldest_max}, not strictly behind "
-            f"run 1's watermark {wm1_us} (older-half max − 60 s). The "
-            "events table's older half spans under the watermark delay; "
-            "pick duplicates strictly below that bound."
+            f"oldest rows' last hour-window ends at {oldest_window_end}, "
+            f"after run 1's watermark {wm1_us} (older-half max − 60 s) — "
+            "that window would still be open in run 2 and would ACCEPT "
+            "the injected duplicates. Pick duplicates whose windows "
+            "close strictly before the recovered watermark."
         )
     parts = [
         ev.filter(F.col("ts_us") < mid),
@@ -4055,9 +4073,12 @@ def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return pagerank_integer(symmetrize(edges), iterations=3).select(
-        "node", F.col("pr").cast("long").alias("pr")
-    )
+    # symmetrize() guarantees the no-dangling contract by construction,
+    # so skip the guard's anti-join+count job (graph.py documents this
+    # as the exact case for validate_no_dangling=False).
+    return pagerank_integer(
+        symmetrize(edges), iterations=3, validate_no_dangling=False
+    ).select("node", F.col("pr").cast("long").alias("pr"))
 
 
 # Same clusters via alternating large-star/small-star contraction
@@ -4617,8 +4638,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Per-user EWMA — the classic sequential streaming-feature recurrence
 # s_t = α·x_t + (1−α)·s_{t−1}: NOT associative, so no window/aggregate
 # expresses it and the closed-form weight trick overflows on long
-# series. This is a designed Arrow crossing (applyInPandas per user,
-# pinned (ts, event_id) order) whose Python loop evaluates EXACTLY
+# series. This is a designed Arrow crossing (batched mapInPandas over
+# user-sorted partitions, pinned (ts, event_id) order, cross-batch
+# carry state) whose Python loop evaluates EXACTLY
 # 0.25·x + 0.75·s — the same IEEE-754 association order as the oracle's
 # recursive CTE, so the doubles are bit-identical across engines with
 # NO rounding: the strongest determinism statement in the battery.
@@ -4643,7 +4665,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ew
     QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY rn DESC) = 1
     """,
-    "stateful sequential op: per-key EWMA via Arrow applyInPandas "
+    "stateful sequential op: per-key EWMA via batched Arrow mapInPandas "
     "(bit-identical to the recursive-CTE oracle, unrounded)",
     "per-user EWMA (alpha 0.25) over (ts, event_id)-ordered values; "
     "final state + event count per user",

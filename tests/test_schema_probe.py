@@ -22,3 +22,12 @@ def test_mistyped_time_column_fails_loudly(spark, tmp_path):
 def test_real_testdata_passes_probe(spark):
     for name in ("events", "orders", "lineitem"):
         assert _t(spark, "/root/testdata/sf0.001", name).schema is not None
+
+
+def test_missing_time_column_fails_loudly(spark, tmp_path):
+    bad = spark.range(5).selectExpr(
+        "id AS event_id", "id AS user_id", "timestamp_micros(id) AS event_ts"
+    )
+    bad.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    with pytest.raises(TypeError, match="testdata schema drift.*MISSING"):
+        _t(spark, str(tmp_path), "events")
