@@ -6319,6 +6319,697 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# TPC-H Q4 (order-priority checking) — the canonical EXISTS decorrelation:
+# a date-windowed orders scan semi-joined against lineitems that shipped
+# >30 days after their order date. Spark plans the EXISTS as a LeftSemi
+# hash join (no row duplication, build side = the filtered probe), the
+# date window pushes to the orders scan, and the non-equi ship-lag
+# predicate rides the join condition. One shuffle on the order key.
+# ===========================================================================
+
+@_register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority
+    """,
+    "warehouse: TPC-H Q4 order-priority (EXISTS -> LeftSemi decorrelation)",
+    "orders in 1997Q1 with a >30-day ship lag on some line, counted per "
+    "priority",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lo = F.lit("1997-01-01").cast("timestamp_ntz")
+    hi = F.lit("1997-04-01").cast("timestamp_ntz")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        orders.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("order_count"))
+    )
+
+
+# ===========================================================================
+# TPC-H Q7 (volume shipping) — bidirectional nation-pair trade flows:
+# lineitem ⋈ supplier ⋈ orders ⋈ customer with BOTH nation dims filtered
+# to the pair before the fact join (the implied-predicate rewrite: the
+# disjunction (A,B)|(B,A) implies n∈{A,B} on each side, which broadcasts
+# two 2-row dims instead of carrying the OR through the big join).
+# Revenue in exact cents per (supp_nation, cust_nation, year).
+# ===========================================================================
+
+@_register(
+    "q7_nation_volume",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INT) AS l_year,
+             CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5)
+                  AS BIGINT) AS cents
+      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        AND c_nationkey = n2.n_nationkey
+        AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+          OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    "warehouse: TPC-H Q7 nation-pair trade volume (implied-predicate "
+    "dim prefilter, broadcast dims)",
+    "revenue between NATION_3 and NATION_8 per direction and ship year, "
+    "exact cents",
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pair = ("NATION_3", "NATION_8")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair))
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                nat.select(
+                    F.col("n_nationkey").alias("s_nationkey"),
+                    F.col("n_name").alias("supp_nation"),
+                )
+            ),
+            "s_nationkey",
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                nat.select(
+                    F.col("n_nationkey").alias("c_nationkey"),
+                    F.col("n_name").alias("cust_nation"),
+                )
+            ),
+            "c_nationkey",
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.year("l_shipdate").cast("int").alias("l_year"),
+        _cents(
+            F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+        ).alias("cents"),
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("cents").cast("bigint").alias("revenue_cents"))
+    )
+
+
+# ===========================================================================
+# TPC-H Q10 (returned-item reporting) — revenue lost to returns per
+# customer over a quarter: date-windowed orders ⋈ returnflag-filtered
+# lineitem ⋈ customer ⋈ broadcast nation, grouped top-20. Both selective
+# filters push to their scans; the group key carries the customer attrs
+# so no second join back. Account balance in exact cents (group key and
+# output both — engine-identical).
+# ===========================================================================
+
+@_register(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0
+                               + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+           CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS acctbal_cents,
+           n_name
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-04-01'
+      AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name,
+             CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT), n_name
+    ORDER BY revenue_cents DESC, c_custkey
+    LIMIT 20
+    """,
+    "warehouse: TPC-H Q10 returned-item reporting (selective fact "
+    "filters, broadcast dim, grouped top-k)",
+    "top 20 customers by returned-line revenue in 1997Q1, exact cents, "
+    "pinned tiebreak",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lo = F.lit("1997-01-01").cast("timestamp_ntz")
+    hi = F.lit("1997-04-01").cast("timestamp_ntz")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select(
+            "l_orderkey",
+            _cents(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+            ).alias("cents"),
+        )
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        _cents(F.col("c_acctbal")).alias("acctbal_cents"),
+        "c_nationkey",
+    )
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "acctbal_cents", "n_name")
+        .agg(F.sum("cents").cast("bigint").alias("revenue_cents"))
+        .select(
+            "c_custkey", "c_name", "revenue_cents", "acctbal_cents", "n_name"
+        )
+        .orderBy(F.desc("revenue_cents"), "c_custkey")
+        .limit(20)
+    )
+
+
+# ===========================================================================
+# TPC-H Q14 (promotion effect) — conditional-aggregate share: one
+# fact ⋈ dim join for a ship-month window, promo revenue as a CASE-gated
+# sum over the same pass (no second scan, no self-join). The share is a
+# single exact-int division. This is the map-side-combinable form of
+# "percent of revenue from X".
+# ===========================================================================
+
+@_register(
+    "q14_promo_type_share",
+    f"""
+    SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END)
+                AS BIGINT) AS promo_cents,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           {_sql_r("CAST(sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END) AS DOUBLE) / CAST(sum(cents) AS DOUBLE)", 9)} AS promo_share
+    FROM (SELECT p_type,
+                 CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5)
+                      AS BIGINT) AS cents
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate < TIMESTAMP '1997-04-01')
+    """,
+    "warehouse: TPC-H Q14 promotion share (conditional aggregate over "
+    "one fact-dim pass)",
+    "PROMO-type share of 1997Q1 revenue: exact promo/total cents + "
+    "rounded share, single row",
+)
+def q14_promo_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lo = F.lit("1997-01-01").cast("timestamp_ntz")
+    hi = F.lit("1997-04-01").cast("timestamp_ntz")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .select(
+            "l_partkey",
+            _cents(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+            ).alias("cents"),
+        )
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", F.col("cents")).otherwise(0)
+    ).cast("bigint")
+    total = F.sum("cents").cast("bigint")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            promo.alias("promo_cents"),
+            total.alias("total_cents"),
+            _r(
+                promo.cast("double") / total.cast("double"), 9
+            ).alias("promo_share"),
+        )
+    )
+
+
+# ===========================================================================
+# TPC-H Q15 (top supplier) — aggregate, take the max, join back on
+# equality: the scalar-subquery pattern. The per-supplier revenue
+# aggregate is computed ONCE; its 1-row max re-aggregate broadcasts back
+# over it (AQE reuses the shuffle stage for both subtrees), and exact
+# integer cents make the max-equality deterministic — the float version
+# of this query can return different winners per engine.
+# ===========================================================================
+
+@_register(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0
+                                 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_rev_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_rev_cents
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_rev_cents = (SELECT max(total_rev_cents) FROM rev)
+    """,
+    "warehouse: TPC-H Q15 top supplier (scalar-max subquery over a "
+    "reused aggregate)",
+    "supplier(s) with the maximum 1997Q1 revenue, exact-cents "
+    "deterministic max",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lo = F.lit("1997-01-01").cast("timestamp_ntz")
+    hi = F.lit("1997-04-01").cast("timestamp_ntz")
+    rev = (
+        _t(spark, sf_dir, "lineitem")
+        .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                _cents(
+                    F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+                )
+            )
+            .cast("bigint")
+            .alias("total_rev_cents")
+        )
+    )
+    mx = rev.agg(F.max("total_rev_cents").alias("__mx"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev_cents") == F.col("__mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev_cents")
+    )
+
+
+# ===========================================================================
+# TPC-H Q18 (large-volume customers) — the groupBy-HAVING-IN pattern:
+# find orders whose total quantity clears a threshold (one aggregate over
+# lineitem), semi-join orders down to that set, then re-aggregate with
+# customer context. The heavy-orders set is tiny (99.9th-pctile
+# threshold) so the semi-join broadcasts; the second lineitem pass
+# re-aggregates only surviving orders. Quantities are integral doubles —
+# their sums are exact, so the bigint cast is engine-identical.
+# ===========================================================================
+
+@_register(
+    "q18_large_volume_customers",
+    """
+    SELECT c_custkey, o_orderkey,
+           CAST(epoch_us(o_orderdate) // 1000000 AS BIGINT) AS order_date_s,
+           CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+             AS total_price_cents,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+      AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+    GROUP BY c_custkey, o_orderkey, o_orderdate,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+    """,
+    "warehouse: TPC-H Q18 large-volume customers (HAVING-IN -> broadcast "
+    "semi-join of a tiny heavy set)",
+    "orders with >300 total quantity, with customer key, date, exact "
+    "price cents and quantity sum",
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    heavy = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 300)
+        .select("l_orderkey")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        _epoch_s(F.col("o_orderdate")).alias("order_date_s"),
+        _cents(F.col("o_totalprice")).alias("total_price_cents"),
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    kept = orders.join(
+        F.broadcast(heavy),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+        "left_semi",
+    )
+    return (
+        li.join(
+            F.broadcast(kept), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "c_custkey", "o_orderkey", "order_date_s", "total_price_cents"
+        )
+        .agg(F.sum("l_quantity").cast("bigint").alias("sum_qty"))
+    )
+
+
+# ===========================================================================
+# TPC-H Q19 (discounted revenue) — disjunctive predicate pushdown: the
+# OR-of-ANDs over (brand, size, quantity) stays a join-time filter, but
+# its IMPLIED conjunctions (brand ∈ {...}, size ≤ 35, qty ∈ [1,30]) are
+# derived manually and pushed to both scans — the classic Q19 rewrite
+# that turns "read everything, filter after join" into two pruned scans.
+# ===========================================================================
+
+@_register(
+    "q19_disjunctive_pricing",
+    """
+    SELECT CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0
+                               + 0.5) AS BIGINT)) AS BIGINT)
+             AS revenue_cents,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#5' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "warehouse: TPC-H Q19 disjunctive predicates (implied-conjunction "
+    "pushdown to both scans)",
+    "revenue + line count under an OR-of-ANDs over brand/size/quantity",
+)
+def q19_disjunctive_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    brands = ("Brand#5", "Brand#12", "Brand#19")
+    part = (
+        _t(spark, sf_dir, "part")
+        # implied by the disjunction: brand ∈ brands, size ≤ 35
+        .filter(F.col("p_brand").isin(*brands) & (F.col("p_size") <= 35))
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        # implied: 1 ≤ quantity ≤ 30
+        .filter(F.col("l_quantity").between(1, 30))
+        .select(
+            "l_partkey",
+            "l_quantity",
+            _cents(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+            ).alias("cents"),
+        )
+    )
+    cond = (
+        (
+            (F.col("p_brand") == brands[0])
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == brands[1])
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == brands[2])
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+            F.count("*").cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+# ===========================================================================
+# Triangle counting over a kNN-sparsified co-occurrence graph. Raw
+# co-occurrence graphs SATURATE: the supplier co-supply graph is complete
+# at every testdata SF (measured), so counting triangles on it directly
+# is Θ(n³) — a scale-killer. The honest 100 TB form sparsifies first:
+# keep each node's top-k strongest edges (weight desc, partner asc —
+# pinned), which bounds degree at 2k and makes the wedge join linear in
+# nodes forever. Then the oriented (a<b<c) wedge join + closure probe
+# counts each triangle exactly once. operators/graph.py:knn_sparsify /
+# triangle_counts.
+# ===========================================================================
+
+@_register(
+    "triangle_knn_cosupply",
+    """
+    WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    w AS (SELECT a.l_suppkey AS s1, b.l_suppkey AS s2,
+                 CAST(count(*) AS BIGINT) AS w
+          FROM os a JOIN os b
+            ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+          GROUP BY a.l_suppkey, b.l_suppkey),
+    kept AS (SELECT s1, s2 FROM (
+               SELECT s1, s2,
+                      row_number() OVER (PARTITION BY s1
+                                         ORDER BY w DESC, s2) AS rn
+               FROM w)
+             WHERE rn <= 5),
+    e AS (SELECT DISTINCT least(s1, s2) AS a, greatest(s1, s2) AS b
+          FROM kept),
+    tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+    SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM (SELECT x AS node FROM tri
+          UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri)
+    GROUP BY node
+    """,
+    "graph: triangle counts over a kNN-sparsified co-supply graph "
+    "(degree cap -> linear wedge join)",
+    "per-supplier triangle participation in the top-5-strongest-edge "
+    "co-supply graph",
+)
+def triangle_knn_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.graph import (
+        knn_sparsify,
+        triangle_counts,
+    )
+
+    os_ = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a = os_.select(
+        F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("src")
+    )
+    b = os_.select(
+        F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("dst")
+    )
+    weighted = (
+        a.join(b, "k")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("bigint").alias("w"))
+    )
+    return triangle_counts(knn_sparsify(weighted, k=5))
+
+
+# ===========================================================================
+# Per-key OLS trend — grouped linear regression from EXACT integer
+# moments: x = truncated epoch-hours (bigint), y = exact cents; the five
+# sufficient statistics (n, Σx, Σy, Σxy, Σx²) are bigint sums, so the
+# slope/intercept doubles derive from identical integers on every engine
+# and partition order — unlike regr_slope(), whose float accumulation
+# order is engine- and partition-dependent. One map-side-combined
+# aggregate, no window, no shuffle beyond the groupBy.
+# ===========================================================================
+
+@_register(
+    "user_trend_ols",
+    f"""
+    WITH b AS (
+      SELECT user_id,
+             (epoch_us(ts)
+              - epoch_us(TIMESTAMP '2024-01-01')) // 3600000000 AS xh,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS yc
+      FROM events
+    ), s AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(xh) AS BIGINT) AS sx,
+             CAST(sum(yc) AS BIGINT) AS sy,
+             CAST(sum(xh * yc) AS BIGINT) AS sxy,
+             CAST(sum(xh * xh) AS BIGINT) AS sx2
+      FROM b GROUP BY user_id
+    )
+    SELECT user_id, n AS n_events,
+           {_sql_r("CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sx2 - sx * sx AS DOUBLE)", 9)} AS slope_cents_per_hour,
+           {_sql_r("(CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sx2 - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)", 9)} AS intercept_cents
+    FROM s
+    WHERE n >= 2 AND n * sx2 - sx * sx <> 0
+    """,
+    "ML: grouped OLS trend from exact integer moments (deterministic "
+    "regr_slope)",
+    "per-user value trend (cents/hour) over event time, slope + "
+    "intercept from bigint sufficient statistics",
+)
+def user_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _epoch_us(F.lit("2024-01-01 00:00:00").cast("timestamp_ntz"))
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        _fdiv(_epoch_us(F.col("ts")) - base, 3_600_000_000).alias("xh"),
+        _cents(F.col("value")).alias("yc"),
+    )
+    s = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("xh").cast("long").alias("sx"),
+        F.sum("yc").cast("long").alias("sy"),
+        F.sum(F.col("xh") * F.col("yc")).cast("long").alias("sxy"),
+        F.sum(F.col("xh") * F.col("xh")).cast("long").alias("sx2"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = (F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    slope = num / den
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return (
+        s.filter(
+            (F.col("n") >= 2)
+            & (F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx") != 0)
+        )
+        .select(
+            "user_id",
+            F.col("n").alias("n_events"),
+            _r(slope, 9).alias("slope_cents_per_hour"),
+            _r(intercept, 9).alias("intercept_cents"),
+        )
+    )
+
+
+# ===========================================================================
+# Robust outlier detection — per-group median + MAD with EXACT
+# distributed medians: the middle ranks ((cnt+1) DIV 2, (cnt+2) DIV 2)
+# of a pinned total order, averaged (a 2-element sum — FP-commutative,
+# engine-identical), once over values and once over absolute deviations.
+# Built-in median()/percentile() interpolate differently per engine;
+# this explicit form hash-matches. Cost: two per-group sort-windows —
+# the exact path; the 100 TB approximate path is the battery's
+# approx_percentile_sketch. Flags |v − med| > 3·MAD.
+# ===========================================================================
+
+@_register(
+    "mad_outlier_events",
+    """
+    WITH r AS (
+      SELECT event_type, CAST(value AS DOUBLE) AS v, event_id,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS cnt
+      FROM events
+    ), med AS (
+      SELECT event_type, avg(v) AS med
+      FROM r WHERE rn IN ((cnt + 1) // 2, (cnt + 2) // 2)
+      GROUP BY event_type
+    ), d AS (
+      SELECT r.event_type, r.v, abs(r.v - med.med) AS ad, med.med AS med,
+             row_number() OVER (PARTITION BY r.event_type
+                                ORDER BY abs(r.v - med.med), r.v,
+                                         r.event_id) AS arn,
+             count(*) OVER (PARTITION BY r.event_type) AS cnt
+      FROM r JOIN med ON r.event_type = med.event_type
+    ), mad AS (
+      SELECT event_type, avg(ad) AS mad
+      FROM d WHERE arn IN ((cnt + 1) // 2, (cnt + 2) // 2)
+      GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           floor(min(d.med) * 1000000.0 + 0.5) / 1000000.0 AS median_value,
+           floor(min(mad.mad) * 1000000.0 + 0.5) / 1000000.0 AS mad,
+           CAST(sum(CASE WHEN d.ad > 3 * mad.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM d JOIN mad ON d.event_type = mad.event_type
+    GROUP BY d.event_type
+    """,
+    "quality: per-group robust outliers via exact distributed "
+    "median + MAD (middle-rank windows)",
+    "per event_type: exact median, MAD, and |v-med| > 3*MAD outlier "
+    "count over events.value",
+)
+def mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("double").alias("v"), "event_id"
+    )
+    wp = Window.partitionBy("event_type")
+    r = ev.withColumn(
+        "rn", F.row_number().over(wp.orderBy("v", "event_id"))
+    ).withColumn("cnt", F.count("*").over(wp))
+    mid = (F.col("rn") == F.expr("(cnt + 1) DIV 2")) | (
+        F.col("rn") == F.expr("(cnt + 2) DIV 2")
+    )
+    med = (
+        r.filter(mid)
+        .groupBy("event_type")
+        .agg(F.avg("v").alias("med"))
+    )
+    d = (
+        r.join(F.broadcast(med), "event_type")
+        .withColumn("ad", F.abs(F.col("v") - F.col("med")))
+        .withColumn(
+            "arn", F.row_number().over(wp.orderBy("ad", "v", "event_id"))
+        )
+    )
+    amid = (F.col("arn") == F.expr("(cnt + 1) DIV 2")) | (
+        F.col("arn") == F.expr("(cnt + 2) DIV 2")
+    )
+    mad = (
+        d.filter(amid)
+        .groupBy("event_type")
+        .agg(F.avg("ad").alias("mad"))
+    )
+    return (
+        d.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            _r(F.min("med"), 6).alias("median_value"),
+            _r(F.min("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(F.col("ad") > 3 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
+
+
+# ===========================================================================
 # Driver-window curation (round-2 review directive). The external
 # correctness gate hard-caps its run at the FIRST 50 registered entries
 # (registration-order prefix, observed in rounds 1-2) — it cannot check
