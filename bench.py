@@ -129,6 +129,21 @@ HEADLINE = [
     "monthly_active_users",
     "weekday_hour_heatmap",
     "vocab_coverage",
+    "q4_order_priority",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q14_promo_type_share",
+    "q15_top_supplier",
+    "q18_large_volume_customers",
+    "q19_disjunctive_pricing",
+    "triangle_knn_cosupply",
+    "user_trend_ols",
+    "mad_outlier_events",
+    "rolling_active_users_7d",
+    "pareto_supplier_share",
+    "event_transition_matrix",
+    "unpivot_order_measures",
+    "purchase_click_attribution",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

@@ -153,15 +153,21 @@ def triangle_counts(edges_ab: DataFrame) -> DataFrame:
     in nodes and both joins broadcast the edge list at small scale /
     shuffle-hash at 100 TB. Returns ``(node, n_triangles)`` for nodes in
     ≥1 triangle.
+
+    The edge list is referenced three times (e1/e2/e3): ``localCheckpoint``
+    materializes it once (it is tiny after the kNN cap — ≤ k·n rows) so the
+    upstream weighting/sparsification pipeline doesn't replay per
+    reference. Per-node counts explode the triangle rows instead of a
+    3-way union, which would replay the wedge join three times.
     """
-    e1 = edges_ab.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    e2 = edges_ab.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    e3 = edges_ab.select(F.col("a").alias("x"), F.col("b").alias("z"))
-    tri = e1.join(e2, "y").join(e3, ["x", "z"]).select("x", "y", "z")
+    edges = edges_ab.localCheckpoint()
+    e1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = edges.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = edges.select(F.col("a").alias("x"), F.col("b").alias("z"))
     nodes = (
-        tri.select(F.col("x").alias("node"))
-        .unionAll(tri.select(F.col("y").alias("node")))
-        .unionAll(tri.select(F.col("z").alias("node")))
+        e1.join(e2, "y")
+        .join(e3, ["x", "z"])
+        .select(F.explode(F.array("x", "y", "z")).alias("node"))
     )
     return nodes.groupBy("node").agg(
         F.count("*").cast("bigint").alias("n_triangles")

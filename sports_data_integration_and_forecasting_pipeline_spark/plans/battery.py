@@ -7010,6 +7010,297 @@ def mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# 7-day rolling distinct actives — windowed COUNT(DISTINCT) has no
+# window-function form in either engine; the scalable EXACT shape is a
+# calendar join: distinct (user, day) pairs ⋈ the (tiny, broadcastable)
+# day dimension on a 7-day band, then count-distinct per day. Each
+# user-day lands in ≤7 calendar rows, so candidate volume is 7× the
+# user-day count — linear forever, no window over the raw stream. The
+# approximate path at 100 TB is per-day HLL registers merged over the
+# window (hll_group_registers is the battery's register-merge form).
+# ===========================================================================
+
+@_register(
+    "rolling_active_users_7d",
+    """
+    WITH dd AS (SELECT DISTINCT date_trunc('day', ts) AS d FROM events),
+    ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events)
+    SELECT CAST(epoch_us(dd.d) // 1000000 AS BIGINT) AS day_s,
+           CAST(count(DISTINCT ud.user_id) AS BIGINT) AS active_users_7d
+    FROM dd JOIN ud
+      ON ud.d >= dd.d - INTERVAL 6 DAY AND ud.d <= dd.d
+    GROUP BY dd.d
+    """,
+    "analytics: exact 7-day rolling distinct actives via calendar band "
+    "join (no windowed COUNT DISTINCT exists)",
+    "per day: distinct users active in the trailing 7 days",
+)
+def rolling_active_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    ).distinct()
+    dd = ud.select(F.col("d").alias("cal_d")).distinct()
+    band = (F.col("d") >= F.col("cal_d") - F.expr("INTERVAL 6 DAYS")) & (
+        F.col("d") <= F.col("cal_d")
+    )
+    return (
+        ud.join(F.broadcast(dd), band)
+        .groupBy("cal_d")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("active_users_7d"))
+        .select(_epoch_s(F.col("cal_d")).alias("day_s"), "active_users_7d")
+    )
+
+
+# ===========================================================================
+# Pareto / cumulative-share report — running share over an AGGREGATED
+# key list: the window sorts |suppliers| rows (orders of magnitude below
+# the fact table at every scale), never the raw scan. The 80% cut uses
+# pure integer arithmetic (100·cum ≤ 80·total) so the flag is exact on
+# every engine — a float threshold would flip on boundary keys.
+# ===========================================================================
+
+@_register(
+    "pareto_supplier_share",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0
+                                 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM lineitem GROUP BY l_suppkey),
+    t AS (SELECT CAST(sum(rev_cents) AS BIGINT) AS total FROM rev),
+    c AS (SELECT l_suppkey, rev_cents,
+                 CAST(sum(rev_cents) OVER (ORDER BY rev_cents DESC,
+                                           l_suppkey) AS BIGINT) AS cum_cents
+          FROM rev)
+    SELECT l_suppkey, rev_cents, cum_cents,
+           {_sql_r("CAST(cum_cents AS DOUBLE) / CAST(total AS DOUBLE)", 9)}
+             AS cum_share,
+           CAST(CASE WHEN 100 * cum_cents <= 80 * total THEN 1 ELSE 0 END
+                AS INT) AS in_top80
+    FROM c, t
+    """,
+    "analytics: Pareto cumulative revenue share with exact integer 80% "
+    "cut (window over the aggregate, not the scan)",
+    "suppliers by revenue: running cents, cumulative share, integer-exact "
+    "top-80% flag",
+)
+def pareto_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rev = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                _cents(
+                    F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+                )
+            )
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    total = rev.agg(F.sum("rev_cents").cast("bigint").alias("total"))
+    w = Window.orderBy(F.desc("rev_cents"), "l_suppkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        rev.withColumn("cum_cents", F.sum("rev_cents").over(w).cast("bigint"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "l_suppkey",
+            "rev_cents",
+            "cum_cents",
+            _r(
+                F.col("cum_cents").cast("double")
+                / F.col("total").cast("double"),
+                9,
+            ).alias("cum_share"),
+            F.when(
+                100 * F.col("cum_cents") <= 80 * F.col("total"), 1
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("in_top80"),
+        )
+    )
+
+
+# ===========================================================================
+# Event-transition matrix — first-order Markov model of user behavior:
+# lead() per user gives (from → to) bigrams, one aggregate gives counts,
+# and the row-conditional probability is a windowed sum OVER THE
+# AGGREGATE (|event_type|² rows), not the stream. The per-user window
+# and the groupBy share the user-id-free shuffle only at the tiny
+# matrix stage; transition probability is exact-int / exact-int.
+# ===========================================================================
+
+@_register(
+    "event_transition_matrix",
+    f"""
+    WITH seq AS (
+      SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events)
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(count(*) AS BIGINT) AS n,
+           {_sql_r("CAST(count(*) AS DOUBLE) / CAST(sum(count(*)) OVER (PARTITION BY event_type) AS DOUBLE)", 9)} AS p
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+    "analytics: first-order Markov transition matrix (lead bigrams + "
+    "conditional probabilities over the aggregate)",
+    "(from, to) event-type transition counts and row-conditional "
+    "probabilities",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seq = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("next_type"),
+    )
+    counts = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    wrow = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        _r(
+            F.col("n").cast("double")
+            / F.sum("n").over(wrow).cast("double"),
+            9,
+        ).alias("p"),
+    )
+
+
+# ===========================================================================
+# Unpivot / melt — the inverse of the battery's pivot entry: a grouped
+# aggregate reshaped long. Spark's native `unpivot` (Arrow-free, pure
+# JVM Expand) over the 5-row aggregate; the oracle spells the same
+# reshape as UNION ALL, the engine-portable form. Melt AFTER aggregating
+# — melting the raw fact table first would triple the shuffle volume.
+# ===========================================================================
+
+@_register(
+    "unpivot_order_measures",
+    """
+    WITH a AS (
+      SELECT o_orderpriority,
+             CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS sum_cents,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(max(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS max_cents
+      FROM orders GROUP BY o_orderpriority)
+    SELECT o_orderpriority, 'sum_cents' AS metric, sum_cents AS value FROM a
+    UNION ALL
+    SELECT o_orderpriority, 'n_orders', n_orders FROM a
+    UNION ALL
+    SELECT o_orderpriority, 'max_cents', max_cents FROM a
+    """,
+    "reshape: unpivot/melt of a grouped aggregate (inverse of "
+    "pivot_event_cents)",
+    "per-priority order measures melted to (priority, metric, value) "
+    "long form",
+)
+def unpivot_order_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(_cents(F.col("o_totalprice")))
+            .cast("bigint")
+            .alias("sum_cents"),
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.max(_cents(F.col("o_totalprice")))
+            .cast("bigint")
+            .alias("max_cents"),
+        )
+    )
+    return a.unpivot(
+        ids=["o_orderpriority"],
+        values=["sum_cents", "n_orders", "max_cents"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+# ===========================================================================
+# Last-touch attribution — for every purchase, the most recent preceding
+# click by the same user within 24h: a running CASE-gated window max
+# (the event-stream form of an as-of join — one shuffle on user_id, no
+# self-join, no range explosion). Attribution flag and latency derive
+# from exact microsecond arithmetic.
+# ===========================================================================
+
+@_register(
+    "purchase_click_attribution",
+    """
+    WITH w AS (
+      SELECT user_id, event_id, event_type, ts,
+             max(CASE WHEN event_type = 'click' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_click_ts
+      FROM events)
+    SELECT event_id, user_id,
+           CAST(epoch_us(ts) // 1000000 AS BIGINT) AS purchase_ts_s,
+           CAST(CASE WHEN last_click_ts IS NOT NULL
+                      AND epoch_us(ts) - epoch_us(last_click_ts)
+                          <= 86400000000 THEN 1 ELSE 0 END AS INT)
+             AS attributed,
+           CASE WHEN last_click_ts IS NOT NULL
+                 AND epoch_us(ts) - epoch_us(last_click_ts) <= 86400000000
+                THEN CAST((epoch_us(ts) - epoch_us(last_click_ts))
+                          // 60000000 AS BIGINT)
+                ELSE NULL END AS mins_since_click
+    FROM w WHERE event_type = 'purchase'
+    """,
+    "analytics: last-touch purchase attribution via CASE-gated running "
+    "window max (as-of join without a join)",
+    "per purchase: whether a same-user click precedes it within 24h, and "
+    "the minutes since that click",
+)
+def purchase_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.max(
+        F.when(F.col("event_type") == "click", F.col("ts"))
+    ).over(w)
+    lag_us = _epoch_us(F.col("ts")) - _epoch_us(F.col("last_click_ts"))
+    within = F.col("last_click_ts").isNotNull() & (
+        lag_us <= 86_400_000_000
+    )
+    return (
+        ev.withColumn("last_click_ts", last_click)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            _epoch_s(F.col("ts")).alias("purchase_ts_s"),
+            F.when(within, 1).otherwise(0).cast("int").alias("attributed"),
+            F.when(within, _fdiv(lag_us, 60_000_000)).alias(
+                "mins_since_click"
+            ),
+        )
+    )
+
+
+# ===========================================================================
 # Driver-window curation (round-2 review directive). The external
 # correctness gate hard-caps its run at the FIRST 50 registered entries
 # (registration-order prefix, observed in rounds 1-2) — it cannot check

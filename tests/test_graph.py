@@ -57,3 +57,57 @@ def test_deterministic_across_partitionings(spark):
         for r in pagerank_integer(e.repartition(7), 2).collect()
     }
     assert a == b
+
+
+# --- kNN sparsification + triangle counting --------------------------------
+
+
+def _weighted_edges(spark, rows):
+    return spark.createDataFrame(rows, "src long, dst long, w long")
+
+
+def test_knn_sparsify_keeps_topk_and_orients(spark):
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.graph import knn_sparsify
+
+    # node 1 has 3 out-edges; k=2 keeps the two heaviest (w desc, dst asc)
+    rows = [(1, 2, 10), (1, 3, 10), (1, 4, 1), (4, 1, 99)]
+    got = {
+        (r["a"], r["b"])
+        for r in knn_sparsify(_weighted_edges(spark, rows), k=2).collect()
+    }
+    # ties at w=10 break by dst asc -> keep (1,2),(1,3); (4,1) orients to (1,4)
+    assert got == {(1, 2), (1, 3), (1, 4)}
+
+
+def test_triangle_counts_exact_on_known_graph(spark):
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.graph import triangle_counts
+
+    # K4 on {1,2,3,4} has 4 triangles; each node sits in C(3,2)=3 of them.
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(1, 5) for b in range(a + 1, 5)],
+        "a long, b long",
+    )
+    got = {(r["node"], r["n_triangles"]) for r in triangle_counts(edges).collect()}
+    assert got == {(1, 3), (2, 3), (3, 3), (4, 3)}
+
+
+def test_triangle_free_graph_yields_empty(spark):
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.graph import triangle_counts
+
+    # a path 1-2-3-4 has wedges but no closures
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "a long, b long")
+    assert triangle_counts(edges).count() == 0
+
+
+def test_knn_cap_bounds_degree(spark):
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.graph import knn_sparsify
+
+    # complete weighted digraph on 8 nodes: cap k=2 -> <= 2 out-picks/node
+    rows = [
+        (a, b, (a * 7 + b) % 11 + 1)
+        for a in range(8)
+        for b in range(8)
+        if a != b
+    ]
+    kept = knn_sparsify(_weighted_edges(spark, rows), k=2)
+    assert kept.count() <= 16

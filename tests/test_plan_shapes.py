@@ -122,6 +122,34 @@ PINNED = {
     # shuffle, no broadcast (merge hint pins it so the test SF can't
     # broadcast its way past the bucketing proof)
     "bucketed_join_colocated": (1, ["SortMergeJoin"],       ["BroadcastHashJoin", "CartesianProduct"]),
+    # TPC-H pack: the EXISTS decorrelates to a LeftSemi hash join, never
+    # a row-duplicating inner join or a cartesian
+    "q4_order_priority":      (4, ["LeftSemi", "BroadcastHashJoin"], ["CartesianProduct"]),
+    # both nation dims prefilter + broadcast; the OR never rides the fact join
+    "q7_nation_volume":       (12, ["BroadcastHashJoin"],   ["CartesianProduct"]),
+    "q10_returned_items":     (8, ["BroadcastHashJoin"],    ["CartesianProduct"]),
+    "q14_promo_type_share":   (4, ["BroadcastHashJoin"],    ["CartesianProduct", "SortMergeJoin"]),
+    # the 1-row max re-aggregate broadcasts back over the reused rev agg
+    "q15_top_supplier":       (10, ["BroadcastHashJoin"],   ["CartesianProduct", "SortMergeJoin"]),
+    # the tiny heavy-orders set drives a broadcast LeftSemi
+    "q18_large_volume_customers": (10, ["LeftSemi", "BroadcastHashJoin"], ["CartesianProduct"]),
+    "q19_disjunctive_pricing": (4, ["BroadcastHashJoin"],   ["CartesianProduct", "SortMergeJoin"]),
+    # kNN-capped edges localCheckpoint once; explode (not 3-way union)
+    # keeps the wedge join single-pass
+    "triangle_knn_cosupply":  (10, [],                      ["CartesianProduct", "Union"]),
+    # grouped OLS: one map-side-combined aggregate, no window, no join
+    "user_trend_ols":         (2, [],                       ["Window", "Join"]),
+    "mad_outlier_events":     (14, ["BroadcastHashJoin"],   ["CartesianProduct", "SortMergeJoin"]),
+    # calendar dim broadcasts into the band join (BNLJ over ≤7 matches
+    # per user-day); the raw stream never sorts into a window
+    "rolling_active_users_7d": (5, ["BroadcastNestedLoopJoin"], ["CartesianProduct", "SortMergeJoin", "Window"]),
+    # the single-partition window runs over the supplier AGGREGATE only
+    "pareto_supplier_share":  (5, ["Window"],               ["CartesianProduct", "SortMergeJoin"]),
+    "event_transition_matrix": (3, ["Window"],              ["Join"]),
+    # melt AFTER aggregation: one shuffle, pure-JVM Expand, no Python
+    "unpivot_order_measures": (1, ["Expand"],               ["Join", "ArrowEvalPython"]),
+    # as-of-join-without-a-join: one user_id window, zero joins
+    "purchase_click_attribution": (1, ["Window"],           ["Join"]),
 }
 
 

@@ -46,6 +46,18 @@ NOTES = {
     "embed_ivf_ann": "Pretrained-quantizer IVF: cell assignment is a shuffle-free literal expression; probe list broadcast; candidates touched ~n_probe/n_cells.",
     "hll_distinct_sketch": "Constant-register HLL++ state per group, merged map-side — the bounded-state NDV shuffle.",
     "approx_percentile_sketch": "Bounded GK summaries merged map-side: percentile state is O(accuracy) per group, not O(n).",
+    "q4_order_priority": "EXISTS decorrelated to a broadcast LeftSemi with the non-equi ship-lag predicate riding the join; no row duplication, no cartesian.",
+    "q7_nation_volume": "Implied-predicate rewrite: both nation dims filter to the pair BEFORE the fact join and broadcast; the (A,B)|(B,A) disjunction never touches the lineitem scan.",
+    "q15_top_supplier": "Scalar-max pattern: the per-supplier aggregate is computed once; its 1-row max re-aggregate broadcasts back (AQE stage reuse).",
+    "q18_large_volume_customers": "HAVING-IN as a broadcast LeftSemi of the tiny heavy-orders set; only surviving orders reach the second aggregate.",
+    "q19_disjunctive_pricing": "OR-of-ANDs stays a join-time filter, but its implied conjunctions (brand set, size<=35, qty in [1,30]) push to both parquet scans.",
+    "triangle_knn_cosupply": "kNN degree cap (top-5 by weight, pinned tiebreak) before the wedge join — raw co-occurrence is a complete graph; the capped edge list localCheckpoints once and per-node counts explode rather than union.",
+    "user_trend_ols": "Grouped OLS from exact bigint moments: one map-side-combined aggregate, no window, no join; slope/intercept derive from identical integers on every engine.",
+    "mad_outlier_events": "Exact distributed median via middle-rank windows (twice: values, then absolute deviations); the per-group medians broadcast back over the event stream.",
+    "rolling_active_users_7d": "Exact windowed COUNT DISTINCT has no window form: distinct user-days band-join the broadcast calendar dim (<=7 matches each), then count-distinct per day.",
+    "pareto_supplier_share": "The single-partition running-share window sorts the supplier AGGREGATE (|keys| rows), never the fact scan; the 80% cut is pure integer arithmetic.",
+    "unpivot_order_measures": "Melt after aggregation: one shuffle then a pure-JVM Expand over the 5-row aggregate.",
+    "purchase_click_attribution": "As-of join without a join: a CASE-gated running max over one user_id window attributes each purchase to its last preceding click.",
 }
 
 out = [
