@@ -172,3 +172,52 @@ def triangle_counts(edges_ab: DataFrame) -> DataFrame:
     return nodes.groupBy("node").agg(
         F.count("*").cast("bigint").alias("n_triangles")
     )
+
+
+def tree_roots(
+    parents: DataFrame,
+    child: str = "child",
+    parent: str = "parent",
+    max_doublings: int = 5,
+) -> DataFrame:
+    """Root and depth of every node in a forest, by pointer doubling —
+    the distributed answer to ``WITH RECURSIVE`` ancestor walks.
+
+    ``parents`` is one row per node: ``(child, parent)`` with parent NULL
+    for roots. State rows ``(node, anc, depth)`` hold the farthest known
+    ancestor and its exact distance; each round composes the state with
+    itself (``state.anc ⋈ state.node``), DOUBLING the reach — a depth-D
+    forest converges in ⌈log₂D⌉ rounds, not D (a naive parent-at-a-time
+    walk would need D shuffles; at D=20 doubling needs 5). Roots map to
+    themselves at distance 0, making composition idempotent at the top —
+    no termination test per row, just a fixed round count with
+    ``localCheckpoint`` lineage truncation per round (the graph-family
+    house pattern). All arithmetic is exact integers.
+
+    Returns ``(node, root, depth)``.
+    """
+    state = parents.select(
+        F.col(child).alias("node"),
+        F.coalesce(F.col(parent), F.col(child)).alias("anc"),
+        F.when(F.col(parent).isNull(), 0).otherwise(1).alias("depth"),
+    ).localCheckpoint()
+    for _ in range(max_doublings):
+        jump = state.select(
+            F.col("node").alias("j_node"),
+            F.col("anc").alias("j_anc"),
+            F.col("depth").alias("j_depth"),
+        )
+        state = (
+            state.join(jump, F.col("anc") == F.col("j_node"))
+            .select(
+                "node",
+                F.col("j_anc").alias("anc"),
+                (F.col("depth") + F.col("j_depth")).alias("depth"),
+            )
+            .localCheckpoint()
+        )
+    return state.select(
+        "node",
+        F.col("anc").alias("root"),
+        F.col("depth").cast("int").alias("depth"),
+    )

@@ -7301,6 +7301,49 @@ def purchase_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Hierarchy closure — root + depth for every node of a forest: the
+# distributed form of WITH RECURSIVE. The oracle walks the chain row by
+# row (the recursive CTE); the engine POINTER-DOUBLES
+# (operators/graph.py:tree_roots): each round composes the
+# ancestor-distance state with itself, so a depth-D hierarchy converges
+# in ⌈log₂D⌉ shuffles, not D — at a 100 TB dimension with depth 20
+# that's 5 rounds instead of 20. The decimal-digit parent function
+# (custkey DIV 10) is the deterministic hierarchy the testdata affords;
+# the operator itself takes any (child, parent) edge table.
+# ===========================================================================
+
+@_register(
+    "hierarchy_root_depth",
+    """
+    WITH RECURSIVE walk AS (
+      SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth FROM customer
+      UNION ALL
+      SELECT node, cur // 10, depth + 1 FROM walk WHERE cur >= 10
+    )
+    SELECT node AS c_custkey, CAST(cur AS BIGINT) AS root,
+           CAST(depth AS INT) AS depth
+    FROM walk WHERE cur < 10
+    """,
+    "graph: hierarchy closure via pointer doubling (log-depth rounds vs "
+    "the recursive CTE's linear walk)",
+    "root and exact depth per customer in the digit-prefix hierarchy "
+    "(parent = custkey DIV 10)",
+)
+def hierarchy_root_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.graph import tree_roots
+
+    parents = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("child"),
+        F.when(
+            F.col("c_custkey") >= 10, F.expr("c_custkey DIV 10")
+        ).alias("parent"),
+    )
+    return tree_roots(parents, max_doublings=5).select(
+        F.col("node").alias("c_custkey"), "root", "depth"
+    )
+
+
+# ===========================================================================
 # Driver-window curation (round-2 review directive). The external
 # correctness gate hard-caps its run at the FIRST 50 registered entries
 # (registration-order prefix, observed in rounds 1-2) — it cannot check

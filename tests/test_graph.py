@@ -111,3 +111,36 @@ def test_knn_cap_bounds_degree(spark):
     ]
     kept = knn_sparsify(_weighted_edges(spark, rows), k=2)
     assert kept.count() <= 16
+
+
+# --- pointer-doubling tree roots -------------------------------------------
+
+
+def test_tree_roots_known_forest(spark):
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.graph import tree_roots
+
+    # forest: 1 <- 2 <- 3 <- 4 (chain), 10 (isolated root), 20 <- 21
+    rows = [(1, None), (2, 1), (3, 2), (4, 3), (10, None), (20, None), (21, 20)]
+    parents = spark.createDataFrame(rows, "child long, parent long")
+    got = {
+        (r["node"], r["root"], r["depth"])
+        for r in tree_roots(parents).collect()
+    }
+    assert got == {
+        (1, 1, 0), (2, 1, 1), (3, 1, 2), (4, 1, 3),
+        (10, 10, 0), (20, 20, 0), (21, 20, 1),
+    }
+
+
+def test_tree_roots_doubling_covers_deep_chain(spark):
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.graph import tree_roots
+
+    # depth-12 chain: 5 doublings reach 2^5=32 >= 12
+    rows = [(1, None)] + [(i, i - 1) for i in range(2, 14)]
+    parents = spark.createDataFrame(rows, "child long, parent long")
+    got = dict(
+        (r["node"], r["depth"]) for r in tree_roots(parents).collect()
+    )
+    assert got[13] == 12 and got[1] == 0
+    roots = {r["root"] for r in tree_roots(parents).collect()}
+    assert roots == {1}
