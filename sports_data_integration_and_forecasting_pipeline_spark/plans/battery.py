@@ -7344,6 +7344,561 @@ def hierarchy_root_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# TPC-H Q8 (national market share) — the 6-table star-join ratio query:
+# per order year, the revenue share supplied by one nation to one
+# region's customers for one part type. The region filter broadcasts
+# through nation onto customer; the part-type and date-range predicates
+# push to their scans; everything money is exact cents so the share's
+# numerator/denominator are engine-identical bigints. Scale: one fact
+# scan, dims join on their keys (nation broadcast; the rest hash —
+# supplier/part/customer all grow with SF, so no broadcast hint that a
+# 100 TB run would have to undo).
+# ===========================================================================
+
+@_register(
+    "q8_nation_market_share",
+    f"""
+    WITH vol AS (
+      SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+             CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100.0 + 0.5)
+                  AS BIGINT) AS vol_cents,
+             s.s_nationkey AS supp_nation
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE n.n_regionkey = 0
+        AND p.p_type = 'PROMO'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01')
+    SELECT o_year,
+           CAST(sum(CASE WHEN supp_nation = 3 THEN vol_cents ELSE 0 END)
+                AS BIGINT) AS nation_cents,
+           CAST(sum(vol_cents) AS BIGINT) AS total_cents,
+           {_sql_r('1.0 * sum(CASE WHEN supp_nation = 3 THEN vol_cents ELSE 0 END) / sum(vol_cents)', 9)}
+             AS mkt_share
+    FROM vol GROUP BY o_year
+    """,
+    "warehouse: TPC-H Q8 national market share (6-table star join, "
+    "exact-cents ratio)",
+    "per order year: nation 3's revenue share of region 0's PROMO-part "
+    "purchases, 1996-1997",
+)
+def q8_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lo = F.lit("1996-01-01").cast("timestamp_ntz")
+    hi = F.lit("1998-01-01").cast("timestamp_ntz")
+    nat = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_regionkey") == 0)
+        .select("n_nationkey")
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+    )
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        _cents(
+            F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+        ).alias("vol_cents"),
+    )
+    j = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    nation_cents = F.sum(
+        F.when(F.col("s_nationkey") == 3, F.col("vol_cents")).otherwise(0)
+    )
+    total = F.sum("vol_cents")
+    return j.groupBy("o_year").agg(
+        nation_cents.cast("bigint").alias("nation_cents"),
+        total.cast("bigint").alias("total_cents"),
+        _r(nation_cents.cast("double") / total, 9).alias("mkt_share"),
+    )
+
+
+# ===========================================================================
+# TPC-H Q13 (customer order-count distribution) — the canonical outer-join
+# histogram: LEFT JOIN so zero-order customers keep a 0 bucket, the join
+# filter lives in the ON clause (pushed below the join as a right-side
+# prefilter — identical semantics for LEFT OUTER), then a two-level
+# aggregate whose second level is |distinct counts| rows. Scale: one
+# shuffle on the join key, one on the (tiny) count value.
+# ===========================================================================
+
+@_register(
+    "q13_order_count_distribution",
+    """
+    WITH c_orders AS (
+      SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey)
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+    "warehouse: TPC-H Q13 order-count distribution (outer-join histogram)",
+    "customers per non-urgent order count, zero-order customers included",
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").cast("bigint").alias("custdist")
+    )
+
+
+# ===========================================================================
+# TPC-H Q17 (small-quantity-order revenue) — the correlated scalar-AVG
+# subquery, decorrelated: per-part quantity aggregates join back to the
+# same part-pruned lineitem subset, and the `quantity < 0.2 * avg`
+# predicate is cross-multiplied into pure bigint arithmetic
+# (5·q·count < sum) so no float average can flip a boundary row on
+# either engine. Scale: the brand/size filter broadcasts onto the fact
+# scan FIRST, so both the aggregate and the join see only the pruned
+# subset (the classic Q17 trap is aggregating all of lineitem).
+# ===========================================================================
+
+@_register(
+    "q17_small_quantity_revenue",
+    f"""
+    WITH pf AS (SELECT p_partkey FROM part
+                WHERE p_brand = 'Brand#13' AND p_size <= 10),
+    lf AS (
+      SELECT l.l_partkey,
+             CAST(floor(l.l_quantity + 0.5) AS BIGINT) AS qn,
+             CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)
+               AS price_cents
+      FROM lineitem l JOIN pf ON l.l_partkey = pf.p_partkey),
+    agg AS (
+      SELECT l_partkey, CAST(sum(qn) AS BIGINT) AS sum_q,
+             CAST(count(*) AS BIGINT) AS n_q
+      FROM lf GROUP BY l_partkey)
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(coalesce(sum(lf.price_cents), 0) AS BIGINT) AS sum_cents,
+           {_sql_r('coalesce(sum(lf.price_cents), 0) / 700.0', 2)}
+             AS avg_yearly
+    FROM lf JOIN agg a ON lf.l_partkey = a.l_partkey
+    WHERE 5 * lf.qn * a.n_q < a.sum_q
+    """,
+    "warehouse: TPC-H Q17 small-quantity revenue (decorrelated scalar "
+    "AVG, integer cross-multiplied threshold)",
+    "avg yearly revenue lost if sub-20%-of-average-quantity orders for "
+    "Brand#13 small parts stopped",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pf = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#13") & (F.col("p_size") <= 10))
+        .select("p_partkey")
+    )
+    lf = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "l_partkey",
+            F.floor(F.col("l_quantity") + 0.5).cast("bigint").alias("qn"),
+            _cents(F.col("l_extendedprice")).alias("price_cents"),
+        )
+    )
+    agg = lf.groupBy("l_partkey").agg(
+        F.sum("qn").cast("bigint").alias("sum_q"),
+        F.count("*").cast("bigint").alias("n_q"),
+    )
+    j = lf.join(F.broadcast(agg), "l_partkey").filter(
+        5 * F.col("qn") * F.col("n_q") < F.col("sum_q")
+    )
+    total = F.coalesce(F.sum("price_cents"), F.lit(0))
+    return j.agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        total.cast("bigint").alias("sum_cents"),
+        _r(total / 700.0, 2).alias("avg_yearly"),
+    )
+
+
+# ===========================================================================
+# TPC-H Q21-shaped "sole latest shipper" — the exists/not-exists double
+# correlation, rewritten as windowed aggregates that reuse ONE shuffle:
+# per (order, supplier) max ship date, then order-level max / supplier
+# count / count-achieving-max as three window expressions over the same
+# l_orderkey partitioning. A supplier is blamed when the order has ≥2
+# suppliers (EXISTS another supplier) and they ALONE shipped last
+# (NOT EXISTS another supplier as late). The testdata has no
+# commit/receipt dates, so "late" = the order's final ship date; the
+# join topology — and the decorrelation strategy a 100 TB plan needs —
+# is Q21's. Finished-order filter rides a LeftSemi against orders.
+# ===========================================================================
+
+@_register(
+    "q21_sole_latest_shipper",
+    """
+    WITH ss AS (SELECT l_orderkey, l_suppkey, max(l_shipdate) AS smax
+                FROM lineitem GROUP BY l_orderkey, l_suppkey),
+    oo AS (SELECT l_orderkey, max(smax) AS omax,
+                  CAST(count(*) AS BIGINT) AS nsupp
+           FROM ss GROUP BY l_orderkey),
+    mm AS (SELECT ss.l_orderkey, CAST(count(*) AS BIGINT) AS nmax
+           FROM ss JOIN oo ON ss.l_orderkey = oo.l_orderkey
+                          AND ss.smax = oo.omax
+           GROUP BY ss.l_orderkey),
+    blame AS (
+      SELECT ss.l_suppkey
+      FROM ss
+      JOIN oo ON ss.l_orderkey = oo.l_orderkey AND ss.smax = oo.omax
+      JOIN mm ON ss.l_orderkey = mm.l_orderkey
+      JOIN orders o ON ss.l_orderkey = o.o_orderkey
+      WHERE oo.nsupp >= 2 AND mm.nmax = 1 AND o.o_orderstatus = 'F')
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM blame b JOIN supplier s ON s.s_suppkey = b.l_suppkey
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name LIMIT 20
+    """,
+    "warehouse: TPC-H Q21 shape (exists/not-exists double correlation as "
+    "shared-shuffle window aggregates)",
+    "suppliers solely responsible for the final shipment on multi-supplier "
+    "finished orders, top 20 by count",
+)
+def q21_sole_latest_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ss = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("l_shipdate").alias("smax"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    ss2 = ss.withColumn("omax", F.max("smax").over(w)).withColumn(
+        "nsupp", F.count("*").over(w)
+    )
+    ss3 = ss2.withColumn(
+        "nmax",
+        F.sum(
+            F.when(F.col("smax") == F.col("omax"), 1).otherwise(0)
+        ).over(w),
+    )
+    finished = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    blame = ss3.filter(
+        (F.col("smax") == F.col("omax"))
+        & (F.col("nsupp") >= 2)
+        & (F.col("nmax") == 1)
+    ).join(
+        finished, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi"
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        blame.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+# ===========================================================================
+# TPC-H Q22-shaped idle high-balance customers — scalar subquery +
+# anti-join: customers above the (positive-balance) average with no
+# orders at all, rolled up per nation. The average is computed in exact
+# integer cents with truncating integer division (Spark `div` == DuckDB
+# `//`, both toward zero) so the threshold compare is bigint-vs-bigint —
+# a float AVG would flip boundary customers between engines. Scale: the
+# 1-row average broadcasts; NOT EXISTS is a LeftAnti on the order
+# custkey projection.
+# ===========================================================================
+
+@_register(
+    "q22_idle_customer_balance",
+    """
+    WITH ab AS (
+      SELECT CAST(CAST(sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT))
+                       AS BIGINT) // CAST(count(*) AS BIGINT) AS BIGINT)
+               AS ab_cents
+      FROM customer WHERE c_acctbal > 0.0)
+    SELECT c.c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(CAST(floor(c.c_acctbal * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM customer c, ab
+    WHERE CAST(floor(c.c_acctbal * 100.0 + 0.5) AS BIGINT) > ab.ab_cents
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_nationkey
+    """,
+    "warehouse: TPC-H Q22 shape (integer-exact scalar-average threshold + "
+    "NOT EXISTS anti-join)",
+    "per nation: count and balance of above-average-balance customers "
+    "with zero orders",
+)
+def q22_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        _cents(F.col("c_acctbal")).alias("bal_cents"),
+    )
+    ab = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            F.sum("bal_cents").alias("s"),
+            F.count("*").alias("n"),
+        )
+        .select(F.expr("CAST(s div n AS BIGINT)").alias("ab_cents"))
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    idle = (
+        cust.crossJoin(F.broadcast(ab))
+        .filter(F.col("bal_cents") > F.col("ab_cents"))
+        .join(
+            orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+        )
+    )
+    return idle.groupBy("c_nationkey").agg(
+        F.count("*").cast("bigint").alias("numcust"),
+        F.sum("bal_cents").cast("bigint").alias("total_cents"),
+    )
+
+
+# ===========================================================================
+# Quantized k-means (2 Lloyd iterations) — the iterative clustering an
+# embedding-curation pipeline runs before topic balancing. Everything is
+# EXACT integer arithmetic on a quantized grid (round(v·1000)): squared
+# L2 distances are bigint sums, centroid updates use truncating integer
+# division (Spark `div` == DuckDB `//`), argmin ties break on cluster
+# id — so a 2-iteration fixpoint is bit-identical across engines, the
+# same engine-portable-fixpoint discipline as the integer PageRank.
+# Seeds are the K smallest vec_ids (pinned, data-independent order).
+# Scale: each assignment is a (vec, dim) ⋈ (K·dim) broadcast join —
+# K·dim rows of centroid state, never an all-pairs; centroid recompute
+# is one map-side-combined aggregate keyed (cid, dim).
+# ===========================================================================
+
+_KMEANS_K = 8
+_KM_Q = 1000  # quantization grid: round(v * 1000) fits every |v| <= 1 embedding
+
+@_register(
+    "kmeans_embeddings_lloyd",
+    f"""
+    WITH qe AS (
+      SELECT vec_id, d.i AS dim,
+             CAST(floor(embedding[d.i::INT] * {_KM_Q}.0 + 0.5) AS BIGINT) AS q
+      FROM embeddings CROSS JOIN range(1, {_EMB_DIM + 1}) d(i)),
+    seeds AS (
+      SELECT vec_id,
+             CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id
+            LIMIT {_KMEANS_K})),
+    c0 AS (SELECT s.cid, q.dim, q.q AS cq
+           FROM seeds s JOIN qe q ON q.vec_id = s.vec_id),
+    d1 AS (SELECT qe.vec_id, c0.cid,
+                  CAST(sum((qe.q - c0.cq) * (qe.q - c0.cq)) AS BIGINT)
+                    AS dist
+           FROM qe JOIN c0 ON qe.dim = c0.dim
+           GROUP BY qe.vec_id, c0.cid),
+    a1 AS (SELECT vec_id, cid FROM d1
+           QUALIFY row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cid) = 1),
+    c1 AS (SELECT a1.cid, qe.dim,
+                  CAST(CAST(sum(qe.q) AS BIGINT) // CAST(count(*) AS BIGINT)
+                       AS BIGINT) AS cq
+           FROM qe JOIN a1 ON qe.vec_id = a1.vec_id
+           GROUP BY a1.cid, qe.dim),
+    d2 AS (SELECT qe.vec_id, c1.cid,
+                  CAST(sum((qe.q - c1.cq) * (qe.q - c1.cq)) AS BIGINT)
+                    AS dist
+           FROM qe JOIN c1 ON qe.dim = c1.dim
+           GROUP BY qe.vec_id, c1.cid),
+    a2 AS (SELECT vec_id, cid, dist FROM d2
+           QUALIFY row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cid) = 1)
+    SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(dist) AS BIGINT) AS inertia
+    FROM a2 GROUP BY cid
+    """,
+    "ml: quantized k-means, 2 Lloyd iterations (exact integer fixpoint, "
+    "engine-portable like the integer PageRank)",
+    f"{_KMEANS_K}-cluster sizes + exact integer inertia after two Lloyd "
+    "rounds on the round(v*1000) grid, pinned seeds/tiebreaks",
+)
+def kmeans_embeddings_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qe = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "v"
+        ),
+    ).select(
+        "vec_id",
+        "dim",
+        F.floor(F.col("v") * _KM_Q + 0.5).cast("bigint").alias("q"),
+    )
+    seeds = (
+        emb.select("vec_id")
+        .orderBy("vec_id")
+        .limit(_KMEANS_K)
+        .select(
+            "vec_id",
+            (F.row_number().over(Window.orderBy("vec_id")) - 1)
+            .cast("int")
+            .alias("cid"),
+        )
+    )
+    c0 = seeds.join(qe, "vec_id").select(
+        "cid", "dim", F.col("q").alias("cq")
+    )
+
+    def _assign(centroids: DataFrame) -> DataFrame:
+        d = (
+            qe.join(F.broadcast(centroids), "dim")
+            .groupBy("vec_id", "cid")
+            .agg(
+                F.sum(
+                    (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
+                )
+                .cast("bigint")
+                .alias("dist")
+            )
+        )
+        wv = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        return (
+            d.withColumn("rn", F.row_number().over(wv))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    a1 = _assign(c0).select("vec_id", "cid")
+    c1 = (
+        qe.join(F.broadcast(a1.withColumnRenamed("vec_id", "av")),
+                F.col("vec_id") == F.col("av"))
+        .groupBy("cid", "dim")
+        .agg(
+            F.sum("q").alias("sq"),
+            F.count("*").alias("nq"),
+        )
+        .select(
+            "cid", "dim", F.expr("CAST(sq div nq AS BIGINT)").alias("cq")
+        )
+    )
+    a2 = _assign(c1)
+    return a2.groupBy("cid").agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.sum("dist").cast("bigint").alias("inertia"),
+    )
+
+
+# ===========================================================================
+# PMI collocations — which word bigrams co-occur far above chance: the
+# classic corpus-statistics query behind tokenizer merges and stop-gram
+# lists. The association score is the scaled integer ratio
+# c_xy·10⁹ ÷ (c_x·c_y) with truncating division (∝ exp(PMI) at fixed N,
+# so the RANKING equals the PMI ranking without a cross-engine log/float
+# in sight). Exact while c_xy·10⁹ < 2⁶³ (c_xy < 9.2e9 bigram
+# occurrences; partition the corpus before that). Scale: unigram vocab
+# is bounded (it broadcasts), bigram explode feeds one map-side-combined
+# aggregate; the ≥5-count floor prunes the tail before the joins.
+# ===========================================================================
+
+@_register(
+    "pmi_bigram_collocations",
+    f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY w),
+    bi AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c_xy
+      FROM (SELECT unnest({_shingle_raw_sql(2)}) AS tok FROM documents
+            WHERE len(string_split(text, ' ')) >= 2)
+      GROUP BY tok
+      HAVING count(*) >= 5)
+    SELECT tok AS bigram, c_xy, u1.c AS c_x, u2.c AS c_y,
+           CAST((c_xy * 1000000000) // (u1.c * u2.c) AS BIGINT) AS assoc_e9
+    FROM bi
+    JOIN uni u1 ON u1.w = string_split(tok, ' ')[1]
+    JOIN uni u2 ON u2.w = string_split(tok, ' ')[2]
+    ORDER BY assoc_e9 DESC, bigram LIMIT 50
+    """,
+    "textops: PMI bigram collocations (integer-scaled association ratio, "
+    "broadcast unigram vocab)",
+    "top-50 word bigrams by scaled co-occurrence ratio c_xy*1e9/(c_x*c_y) "
+    "with a >=5-count floor",
+)
+def pmi_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
+        shingles_from_tokens,
+    )
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import (
+        ensure_parallelism,
+    )
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ")
+    uni = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    bi = (
+        docs.filter(F.size(toks) >= 2)
+        .select(F.explode(shingles_from_tokens(toks, 2)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("c_xy"))
+        .filter(F.col("c_xy") >= 5)
+    )
+    parts = F.split(F.col("tok"), " ")
+    bi2 = bi.select(
+        "tok",
+        "c_xy",
+        parts.getItem(0).alias("w1"),
+        parts.getItem(1).alias("w2"),
+    )
+    u1 = uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c_x")
+    u2 = uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c_y")
+    j = bi2.join(F.broadcast(u1), "w1").join(F.broadcast(u2), "w2")
+    return (
+        j.select(
+            F.col("tok").alias("bigram"),
+            "c_xy",
+            "c_x",
+            "c_y",
+            F.expr(
+                "CAST((c_xy * 1000000000) div (c_x * c_y) AS BIGINT)"
+            ).alias("assoc_e9"),
+        )
+        .orderBy(F.desc("assoc_e9"), "bigram")
+        .limit(50)
+    )
+
+
+# ===========================================================================
 # Driver-window curation (round-2 review directive). The external
 # correctness gate hard-caps its run at the FIRST 50 registered entries
 # (registration-order prefix, observed in rounds 1-2) — it cannot check

@@ -150,6 +150,24 @@ PINNED = {
     "unpivot_order_measures": (1, ["Expand"],               ["Join", "ArrowEvalPython"]),
     # as-of-join-without-a-join: one user_id window, zero joins
     "purchase_click_attribution": (1, ["Window"],           ["Join"]),
+    # r5 TPC-H pack: star joins broadcast, nothing degrades to cartesian
+    # or sort-merge; budgets are measured textual ceilings at sf0.001
+    "q8_nation_market_share": (8, ["BroadcastHashJoin"],    ["CartesianProduct", "SortMergeJoin"]),
+    "q13_order_count_distribution": (4, [],                 ["CartesianProduct", "SortMergeJoin"]),
+    # the brand/size-pruned part set AND the per-part aggregate both
+    # broadcast back over the pruned fact subset
+    "q17_small_quantity_revenue": (6, ["BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin"]),
+    # exists/not-exists decorrelated to window exprs sharing ONE
+    # l_orderkey shuffle + a LeftSemi against finished orders
+    "q21_sole_latest_shipper": (6, ["LeftSemi", "Window"],  ["CartesianProduct", "SortMergeJoin"]),
+    # the 1-row integer average rides a broadcast nested-loop (scalar
+    # cross); NOT EXISTS is a LeftAnti, never a row-expanding join
+    "q22_idle_customer_balance": (5, ["LeftAnti", "BroadcastNestedLoopJoin"], ["CartesianProduct", "SortMergeJoin"]),
+    # both Lloyd assignments broadcast the K*dim centroid state; argmin
+    # is a WindowGroupLimit-prunable row_number, never a self-join
+    "kmeans_embeddings_lloyd": (12, ["BroadcastHashJoin"],  ["CartesianProduct", "SortMergeJoin"]),
+    # bounded unigram vocab broadcasts twice over the bigram aggregate
+    "pmi_bigram_collocations": (9, ["BroadcastHashJoin"],   ["CartesianProduct", "SortMergeJoin"]),
 }
 
 
