@@ -168,6 +168,12 @@ PINNED = {
     "kmeans_embeddings_lloyd": (12, ["BroadcastHashJoin"],  ["CartesianProduct", "SortMergeJoin"]),
     # bounded unigram vocab broadcasts twice over the bigram aggregate
     "pmi_bigram_collocations": (9, ["BroadcastHashJoin"],   ["CartesianProduct", "SortMergeJoin"]),
+    # both windows (cumsum + group total) share ONE l_returnflag exchange
+    "weighted_median_price":  (1, ["Window"],               ["Join", "CartesianProduct"]),
+    # commutative checksum: one map-side-combined exchange, no join/sort
+    "table_checksum_audit":   (1, [],                       ["Join", "Window", "Sort"]),
+    # one Expand pass + one map-side-combined exchange, same as cube
+    "grouping_sets_pricing":  (1, ["Expand"],               ["Join", "Window", "Sort"]),
 }
 
 
