@@ -156,6 +156,9 @@ HEADLINE = [
     "weighted_median_price",
     "table_checksum_audit",
     "grouping_sets_pricing",
+    "concurrency_sweep_line",
+    "chi_square_drift",
+    "benford_first_digit_audit",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

@@ -8075,6 +8075,219 @@ def grouping_sets_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Sweep-line concurrency — the SCALABLE answer to "how many sessions
+# were open at time t": session boundaries become (+1, −1) deltas,
+# same-instant deltas pre-aggregate (eliminating tie-order ambiguity),
+# and one running sum over the boundary AGGREGATE yields the full
+# concurrency time series. The complementary range-join entry
+# enumerates overlap PAIRS (quadratic in overlap degree); the sweep is
+# linear in session count at any overlap density. The global window
+# runs over |boundaries| rows (two per session, orders of magnitude
+# below the scan); at 100 TB the same sweep runs as the distributed
+# two-phase prefix sum (operators/chunking.py is the house pattern).
+# ===========================================================================
+
+@_register(
+    "concurrency_sweep_line",
+    f"""
+    WITH {_SESSIONS_SQL},
+    b AS (
+      SELECT s AS t, 1 AS delta FROM sessions
+      UNION ALL
+      SELECT e + 1 AS t, -1 AS delta FROM sessions),
+    g AS (SELECT t, CAST(sum(delta) AS BIGINT) AS d FROM b GROUP BY t)
+    SELECT t AS t_s,
+           CAST(sum(d) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS concurrency
+    FROM g
+    """,
+    "analytics: sweep-line concurrency (running sum over pre-aggregated "
+    "session boundaries — linear where pair enumeration is quadratic)",
+    "concurrent open sessions at every boundary instant, from the same "
+    "30-min-gap sessionization as the range-join entry",
+)
+def concurrency_sweep_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.expr("INTERVAL 30 MINUTES")
+    lagged = F.lag("ts").over(w)
+    numbered = ev.select(
+        "user_id",
+        _epoch_s("ts").alias("ts_s"),
+        F.sum(
+            F.when(lagged.isNull() | ((F.col("ts") - lagged) > gap), 1)
+            .otherwise(0)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("sid"),
+    )
+    sessions = numbered.groupBy("user_id", "sid").agg(
+        F.min("ts_s").alias("s"), F.max("ts_s").alias("e")
+    )
+    b = sessions.select(
+        F.col("s").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        sessions.select(
+            (F.col("e") + 1).alias("t"), F.lit(-1).alias("delta")
+        )
+    )
+    g = b.groupBy("t").agg(F.sum("delta").cast("bigint").alias("d"))
+    wg = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return g.select(
+        F.col("t").alias("t_s"),
+        F.sum("d").over(wg).cast("bigint").alias("concurrency"),
+    )
+
+
+# ===========================================================================
+# Chi-square drift test — the distribution-shift gate a training-data
+# pipeline runs before admitting a new batch: is event_type independent
+# of time period? Cell terms use the cross-multiplied form
+# (o·n − r·c)² / (r·c·n) so every product of exact bigint counts stays
+# a single deterministic double op per cell (no float expected-count
+# intermediary), rounded 6dp. Scale: one count aggregate; row/col/grand
+# totals are re-aggregates of those ≤|periods|·|types| cells, broadcast
+# back — the raw stream is scanned once.
+# ===========================================================================
+
+@_register(
+    "chi_square_drift",
+    f"""
+    WITH c AS (
+      SELECT CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END
+               AS period,
+             event_type, CAST(count(*) AS BIGINT) AS n_obs
+      FROM events GROUP BY 1, 2),
+    tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM c),
+    r AS (SELECT period, CAST(sum(n_obs) AS BIGINT) AS rt
+          FROM c GROUP BY period),
+    col AS (SELECT event_type, CAST(sum(n_obs) AS BIGINT) AS ct
+            FROM c GROUP BY event_type)
+    SELECT c.period, c.event_type, c.n_obs,
+           CAST(r.rt * col.ct AS BIGINT) AS exp_times_n,
+           {_sql_r('((1.0 * c.n_obs * t.n - 1.0 * r.rt * col.ct)'
+                   ' * (1.0 * c.n_obs * t.n - 1.0 * r.rt * col.ct))'
+                   ' / (1.0 * r.rt * col.ct * t.n)', 6)} AS chi2_term
+    FROM c JOIN r USING (period) JOIN col USING (event_type)
+    CROSS JOIN tot t
+    """,
+    "data quality: chi-square independence drift test (cross-multiplied "
+    "integer cell terms, totals broadcast over the cell aggregate)",
+    "per (period-half, event_type) cell: observed count, integer "
+    "expected*n, and the 6dp chi-square contribution",
+)
+def chi_square_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    split = F.lit("2024-01-16").cast("timestamp_ntz")
+    c = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.when(F.col("ts") < split, 0).otherwise(1).alias("period"),
+            "event_type",
+        )
+        .agg(F.count("*").cast("bigint").alias("n_obs"))
+    )
+    tot = c.agg(F.sum("n_obs").cast("bigint").alias("n"))
+    r = c.groupBy("period").agg(F.sum("n_obs").cast("bigint").alias("rt"))
+    col = c.groupBy("event_type").agg(
+        F.sum("n_obs").cast("bigint").alias("ct")
+    )
+    j = (
+        c.join(F.broadcast(r), "period")
+        .join(F.broadcast(col), "event_type")
+        .crossJoin(F.broadcast(tot))
+    )
+    diff = (
+        F.lit(1.0) * F.col("n_obs") * F.col("n")
+        - F.lit(1.0) * F.col("rt") * F.col("ct")
+    )
+    return j.select(
+        "period",
+        "event_type",
+        "n_obs",
+        (F.col("rt") * F.col("ct")).cast("bigint").alias("exp_times_n"),
+        _r(
+            (diff * diff)
+            / (F.lit(1.0) * F.col("rt") * F.col("ct") * F.col("n")),
+            6,
+        ).alias("chi2_term"),
+    )
+
+
+# ===========================================================================
+# Benford first-digit audit — the classic fabricated-data screen: the
+# leading digit of every order amount against Benford's log10(1+1/d)
+# expectation. Expected shares are PINNED integer ppm literals (they sum
+# to exactly 1,000,000), observed shares use truncating integer
+# division — no log and no float anywhere, so the audit is bit-exact on
+# both engines. Scale: one 9-group aggregate; the digit extraction is a
+# narrow string op on the scan.
+# ===========================================================================
+
+_BENFORD_PPM = (
+    (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+    (6, 66947), (7, 57992), (8, 51153), (9, 45757),
+)
+
+@_register(
+    "benford_first_digit_audit",
+    f"""
+    WITH d AS (
+      SELECT CAST(substring(CAST(CAST(floor(o_totalprice * 100.0 + 0.5)
+                                      AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS digit
+      FROM orders),
+    c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+          FROM d GROUP BY digit),
+    t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM c),
+    exp AS (SELECT * FROM (VALUES
+        {', '.join(f'({d}, {p})' for d, p in _BENFORD_PPM)})
+        AS e(digit, expected_ppm))
+    SELECT c.digit, c.n_obs,
+           CAST((1000000 * c.n_obs) // t.n AS BIGINT) AS observed_ppm,
+           CAST(e.expected_ppm AS BIGINT) AS expected_ppm,
+           CAST(abs((1000000 * c.n_obs) // t.n - e.expected_ppm)
+                AS BIGINT) AS abs_dev_ppm
+    FROM c JOIN exp e ON c.digit = e.digit CROSS JOIN t
+    """,
+    "data quality: Benford first-digit audit (pinned integer ppm "
+    "expectations, log-free and float-free)",
+    "per leading digit of order cents: observed count/ppm vs pinned "
+    "Benford ppm and the absolute deviation",
+)
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    d = o.select(
+        F.substring(
+            _cents(F.col("o_totalprice")).cast("string"), 1, 1
+        )
+        .cast("bigint")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count("*").cast("bigint").alias("n_obs"))
+    t = c.agg(F.sum("n_obs").cast("bigint").alias("n"))
+    exp = spark.createDataFrame(
+        list(_BENFORD_PPM), schema="digit bigint, expected_ppm bigint"
+    )
+    obs_ppm = F.expr("CAST((1000000 * n_obs) div n AS BIGINT)")
+    return (
+        c.join(F.broadcast(exp), "digit")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            "n_obs",
+            obs_ppm.alias("observed_ppm"),
+            F.col("expected_ppm").cast("bigint"),
+            F.abs(obs_ppm - F.col("expected_ppm"))
+            .cast("bigint")
+            .alias("abs_dev_ppm"),
+        )
+    )
+
+
+# ===========================================================================
 # Driver-window curation (round-2 review directive). The external
 # correctness gate hard-caps its run at the FIRST 50 registered entries
 # (registration-order prefix, observed in rounds 1-2) — it cannot check

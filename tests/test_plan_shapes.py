@@ -174,6 +174,13 @@ PINNED = {
     "table_checksum_audit":   (1, [],                       ["Join", "Window", "Sort"]),
     # one Expand pass + one map-side-combined exchange, same as cube
     "grouping_sets_pricing":  (1, ["Expand"],               ["Join", "Window", "Sort"]),
+    # running sum over the boundary AGGREGATE; session build + union +
+    # boundary agg + final window — never a pair join
+    "concurrency_sweep_line": (4, ["Window", "Union"],      ["Join", "CartesianProduct"]),
+    # totals broadcast back over the <= |periods|*|types| cell aggregate
+    "chi_square_drift":       (10, ["BroadcastHashJoin"],   ["CartesianProduct", "SortMergeJoin", "Window"]),
+    # pinned 9-row Benford expectation broadcasts; one 9-group aggregate
+    "benford_first_digit_audit": (5, ["BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin", "Window"]),
 }
 
 
