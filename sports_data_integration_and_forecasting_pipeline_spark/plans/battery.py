@@ -8288,6 +8288,51 @@ def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Native recursive CTE (Spark 4) — the same digit-prefix hierarchy walk
+# as hierarchy_root_depth, expressed as WITH RECURSIVE in Spark SQL
+# itself (feature-parity proof for the newest SQL surface; DuckDB runs
+# the byte-similar oracle). The scale CONTRAST is the point: this runs
+# one iteration per hierarchy LEVEL (depth-D ⇒ D sequential rounds),
+# while operators/graph.py:tree_roots pointer-doubles the same closure
+# in ⌈log₂D⌉ shuffles — prefer it when D is deep. Recursion depth here
+# is ≤ ⌈log₁₀ max(custkey)⌉, far under Spark's recursion level limit.
+# ===========================================================================
+
+@_register(
+    "recursive_cte_walk",
+    """
+    WITH RECURSIVE walk AS (
+      SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth FROM customer
+      UNION ALL
+      SELECT node, cur // 10, depth + 1 FROM walk WHERE cur >= 10
+    )
+    SELECT node AS c_custkey, CAST(cur AS BIGINT) AS root,
+           CAST(depth AS INT) AS depth
+    FROM walk WHERE cur < 10
+    """,
+    "graph: native Spark 4 WITH RECURSIVE (level-per-round walk; the "
+    "pointer-doubling entry is the log-depth scale path)",
+    "root and depth per customer via a native recursive CTE — same "
+    "result set as hierarchy_root_depth",
+)
+def recursive_cte_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("rcte_customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk AS (
+          SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth
+          FROM rcte_customer
+          UNION ALL
+          SELECT node, cur DIV 10, depth + 1 FROM walk WHERE cur >= 10
+        )
+        SELECT node AS c_custkey, CAST(cur AS BIGINT) AS root,
+               CAST(depth AS INT) AS depth
+        FROM walk WHERE cur < 10
+        """
+    )
+
+
+# ===========================================================================
 # Driver-window curation (round-2 review directive). The external
 # correctness gate hard-caps its run at the FIRST 50 registered entries
 # (registration-order prefix, observed in rounds 1-2) — it cannot check
