@@ -159,6 +159,7 @@ HEADLINE = [
     "concurrency_sweep_line",
     "chi_square_drift",
     "benford_first_digit_audit",
+    "null_skew_left_join",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

@@ -170,3 +170,40 @@ def skew_key_report(
             ).alias("salt_factor"),
         )
     )
+
+
+def null_safe_left_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+) -> DataFrame:
+    """Left join whose NULL-key rows never enter the shuffle.
+
+    A plain LEFT OUTER join must PRESERVE null-key rows, so Spark cannot
+    filter them below the join — they all hash to the same reducer
+    partition and, at a fact table where the FK is mostly null (an
+    optional attribute, a late-arriving dimension), that one task
+    receives most of the table: the canonical null-skew failure at
+    100 TB. The mitigation is structural: split the nulls out, join only
+    the non-null slice, and union the null slice back with
+    null-extended right columns — semantically identical to the plain
+    left join (null keys never match anything), but the shuffle now
+    sees zero null keys. Output column order: left columns then right
+    columns (minus the join key's right copy).
+    """
+    rcols = [c for c in right.columns if c != right_key]
+    nn = (
+        left.filter(F.col(left_key).isNotNull())
+        .join(right, left[left_key] == right[right_key], "left")
+        .drop(right_key)
+    )
+    nulls = left.filter(F.col(left_key).isNull())
+    for field in right.schema.fields:
+        if field.name != right_key:
+            nulls = nulls.withColumn(
+                field.name, F.lit(None).cast(field.dataType)
+            )
+    return nn.select(*left.columns, *rcols).unionByName(
+        nulls.select(*left.columns, *rcols)
+    )

@@ -8333,6 +8333,55 @@ def recursive_cte_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Null-skew-safe outer join — the third skew lever next to salting and
+# bucketing: a LEFT join must PRESERVE null-key rows, so the engine
+# can't filter them below the join and every null FK hashes to ONE
+# reducer. On a fact table whose FK is mostly null (optional promo
+# attribute here: ~4/5 of events), that task receives most of the
+# table. operators/skew.py:null_safe_left_join splits the null slice
+# out structurally — the shuffle sees zero null keys, the nulls ride a
+# narrow union branch — while staying semantically identical to the
+# plain LEFT JOIN the oracle runs.
+# ===========================================================================
+
+@_register(
+    "null_skew_left_join",
+    """
+    WITH e AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN user_id % 25 END
+               AS promo_id,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events)
+    SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(e.cents) AS BIGINT) AS sum_cents
+    FROM e LEFT JOIN nation n ON e.promo_id = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    "skew: null-safe left join (null FK slice bypasses the shuffle via a "
+    "union branch; plain LEFT JOIN oracle)",
+    "per promo nation (null = no promo): event count and value cents — "
+    "mostly-null FK joined without the single-reducer null hotspot",
+)
+def null_skew_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.skew import (
+        null_safe_left_join,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.when(
+            F.col("event_type") == "purchase", F.col("user_id") % 25
+        ).alias("promo_id"),
+        _cents(F.col("value")).alias("cents"),
+    )
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = null_safe_left_join(ev, nat, "promo_id", "n_nationkey")
+    return j.groupBy("n_name").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    )
+
+
+# ===========================================================================
 # Driver-window curation (round-2 review directive). The external
 # correctness gate hard-caps its run at the FIRST 50 registered entries
 # (registration-order prefix, observed in rounds 1-2) — it cannot check

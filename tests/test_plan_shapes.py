@@ -181,6 +181,8 @@ PINNED = {
     "chi_square_drift":       (10, ["BroadcastHashJoin"],   ["CartesianProduct", "SortMergeJoin", "Window"]),
     # pinned 9-row Benford expectation broadcasts; one 9-group aggregate
     "benford_first_digit_audit": (5, ["BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin", "Window"]),
+    # the mostly-null FK slice bypasses the join via a Union branch
+    "null_skew_left_join":    (2, ["Union", "BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin"]),
 }
 
 

@@ -140,3 +140,30 @@ def test_skew_key_report_hand_built(spark):
     assert got[0]["share_ppm"] == 640000
     assert got[0]["salt_factor"] == 21
     assert all(r["salt_factor"] == 1 for r in got[1:])
+
+
+def test_null_safe_left_join_matches_plain_left_join(spark):
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.skew import (
+        null_safe_left_join,
+    )
+    import pyspark.sql.functions as F
+
+    left = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (None, 30.0), (None, 40.0), (9, 50.0)],
+        "fk bigint, v double",
+    )
+    right = spark.createDataFrame(
+        [(1, "one"), (2, "two"), (3, "three")], "pk bigint, name string"
+    )
+    got = null_safe_left_join(left, right, "fk", "pk")
+    exp = left.join(right, left["fk"] == right["pk"], "left").select(
+        "fk", "v", "name"
+    )
+    key = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+    assert sorted(map(tuple, got.collect()), key=key) == sorted(
+        map(tuple, exp.collect()), key=key
+    )
+    # the structural guarantee: the nulls ride a union branch, and the
+    # join input filters out null keys
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Union" in plan
