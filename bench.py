@@ -160,6 +160,8 @@ HEADLINE = [
     "chi_square_drift",
     "benford_first_digit_audit",
     "null_skew_left_join",
+    "variant_props_extract",
+    "forward_fill_gaps",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

@@ -8382,6 +8382,99 @@ def null_skew_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# VARIANT semi-structured extraction (Spark 4) — the engine-native
+# answer to JSON columns: parse once into the shredded binary VARIANT
+# encoding, then typed `variant_get` paths (no per-access string
+# re-parse, unlike get_json_object chains — the existing
+# json_props_rollup entry is the classic-path twin). The oracle reads
+# the same path through DuckDB's JSON extension. Scale: parse+extract
+# is a narrow projection; one map-side-combined aggregate on the
+# derived bucket.
+# ===========================================================================
+
+@_register(
+    "variant_props_extract",
+    """
+    WITH v AS (
+      SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events)
+    SELECT k % 10 AS k_bucket,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM v GROUP BY k % 10
+    """,
+    "semi-structured: Spark 4 VARIANT parse_json + typed variant_get "
+    "(shredded binary encoding; classic-path twin: json_props_rollup)",
+    "per props.k decade bucket: event count, distinct k, value cents — "
+    "extracted through the VARIANT type",
+)
+def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select(
+        F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint").alias(
+            "k"
+        ),
+        _cents(F.col("value")).alias("cents"),
+    )
+    return v.groupBy((F.col("k") % 10).alias("k_bucket")).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.countDistinct("k").cast("bigint").alias("n_distinct_k"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    )
+
+
+# ===========================================================================
+# Forward fill (last observation carried forward) — the time-series
+# gap-fill every sensor/feed pipeline needs: IGNORE NULLS running
+# last_value per key. Nulls are simulated by masking 'error' events
+# (the testdata has no native nulls); the fill is exact cents. One
+# user_id window, shuffle shared with nothing else — the whole entry is
+# a single sort-based window pass, the same envelope as any lag/lead.
+# ===========================================================================
+
+@_register(
+    "forward_fill_gaps",
+    """
+    SELECT event_id, user_id,
+           CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ts_s,
+           CASE WHEN event_type <> 'error'
+                THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) END
+             AS observed_cents,
+           last_value(CASE WHEN event_type <> 'error'
+                           THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                      END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS filled_cents
+    FROM events
+    """,
+    "time series: IGNORE NULLS forward fill (last observation carried "
+    "forward per key)",
+    "per event: observed cents (error events masked to null) and the "
+    "last-non-null carry-forward",
+)
+def forward_fill_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    masked = F.when(
+        F.col("event_type") != "error", _cents(F.col("value"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        _epoch_s(F.col("ts")).alias("ts_s"),
+        masked.alias("observed_cents"),
+        F.last(masked, ignorenulls=True).over(w).alias("filled_cents"),
+    )
+
+
+# ===========================================================================
 # Driver-window curation (round-2 review directive). The external
 # correctness gate hard-caps its run at the FIRST 50 registered entries
 # (registration-order prefix, observed in rounds 1-2) — it cannot check

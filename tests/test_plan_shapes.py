@@ -183,6 +183,11 @@ PINNED = {
     "benford_first_digit_audit": (5, ["BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin", "Window"]),
     # the mostly-null FK slice bypasses the join via a Union branch
     "null_skew_left_join":    (2, ["Union", "BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin"]),
+    # VARIANT parse + typed get stays a JVM projection (distinct-k adds
+    # the second exchange), never a Python re-parse
+    "variant_props_extract":  (2, [],                       ["Join", "Window", "BatchEvalPython", "ArrowEvalPython"]),
+    # one sort-based window pass, nothing else
+    "forward_fill_gaps":      (1, ["Window"],               ["Join", "Generate"]),
 }
 
 
