@@ -162,6 +162,7 @@ HEADLINE = [
     "null_skew_left_join",
     "variant_props_extract",
     "forward_fill_gaps",
+    "fuzzy_name_match",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

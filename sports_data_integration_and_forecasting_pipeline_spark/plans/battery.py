@@ -8475,6 +8475,61 @@ def forward_fill_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Fuzzy entity matching — blocked Levenshtein: the entity-resolution
+# primitive (dirty vendor/customer master data) done the scale-safe
+# way. The all-pairs edit-distance comparison is quadratic; BLOCKING
+# (here: equal name prefix, the standard phonetic/prefix/length-band
+# family) turns it into within-block equi-join candidates, and the
+# distance filter runs only on candidates. Edit distance is a pure
+# integer DP — bit-identical across engines. The same pattern carries
+# any blocking key (soundex, length band, q-gram) at 100 TB.
+# ===========================================================================
+
+@_register(
+    "fuzzy_name_match",
+    """
+    WITH s AS (SELECT s_suppkey, s_name,
+                      substring(s_name, 1, length(s_name) - 2) AS blk
+               FROM supplier)
+    SELECT a.s_suppkey AS supp_a, b.s_suppkey AS supp_b,
+           a.s_name AS name_a, b.s_name AS name_b,
+           CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS edit_distance
+    FROM s a JOIN s b ON a.blk = b.blk AND a.s_suppkey < b.s_suppkey
+    WHERE levenshtein(a.s_name, b.s_name) <= 1
+    """,
+    "entity resolution: blocked Levenshtein fuzzy match (prefix blocking "
+    "bounds the candidate pairs; integer DP distance)",
+    "supplier-name pairs within one edit in the same prefix block",
+)
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_name",
+        F.expr("substring(s_name, 1, length(s_name) - 2)").alias("blk"),
+    )
+    a = s.select(
+        F.col("s_suppkey").alias("supp_a"),
+        F.col("s_name").alias("name_a"),
+        "blk",
+    )
+    b = s.select(
+        F.col("s_suppkey").alias("supp_b"),
+        F.col("s_name").alias("name_b"),
+        "blk",
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("supp_a") < F.col("supp_b"))
+        .withColumn(
+            "edit_distance",
+            F.levenshtein(F.col("name_a"), F.col("name_b")).cast("bigint"),
+        )
+        .filter(F.col("edit_distance") <= 1)
+        .select("supp_a", "supp_b", "name_a", "name_b", "edit_distance")
+    )
+
+
+# ===========================================================================
 # Driver-window curation (round-2 review directive). The external
 # correctness gate hard-caps its run at the FIRST 50 registered entries
 # (registration-order prefix, observed in rounds 1-2) — it cannot check

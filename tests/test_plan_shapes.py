@@ -188,6 +188,9 @@ PINNED = {
     "variant_props_extract":  (2, [],                       ["Join", "Window", "BatchEvalPython", "ArrowEvalPython"]),
     # one sort-based window pass, nothing else
     "forward_fill_gaps":      (1, ["Window"],               ["Join", "Generate"]),
+    # the block key drives an equi-join; the distance filter never sees
+    # an unblocked cross product
+    "fuzzy_name_match":       (2, [],                       ["CartesianProduct", "BroadcastNestedLoopJoin"]),
 }
 
 
