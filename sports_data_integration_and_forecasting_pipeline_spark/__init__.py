@@ -111,6 +111,7 @@ from .app import (
     arbitrage_view,
     run_app_pipeline,
     load_sample_games,
+    observed_pipeline,
 )
 from .sinks import (
     save_snapshot,
@@ -134,6 +135,7 @@ __all__ = [
     "arbitrage_view",
     "run_app_pipeline",
     "load_sample_games",
+    "observed_pipeline",
     # ingestion
     "fetch_odds",
     "fetch_player_props",

@@ -126,6 +126,35 @@ def run_app_pipeline(
     }
 
 
+def observed_pipeline(
+    cleaned: DataFrame,
+) -> tuple[DataFrame, "Observation"]:
+    """`app_summary` with inline data-quality metrics via `df.observe`:
+    row count, null-price rows, and the price range are collected AS A
+    SIDE EFFECT of whatever action the caller runs on the returned
+    summary — zero extra scans, which is the only acceptable cost for a
+    quality gate on a 100 TB input (a separate `.count()` pass would
+    double the read). Read `observation.get` AFTER an action:
+
+        summary, obs = observed_pipeline(cleaned)
+        summary.write...   # any action
+        metrics = obs.get  # {'n_rows': ..., 'null_prices': ..., ...}
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("odds_quality")
+    instrumented = cleaned.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("price").isNull(), 1).otherwise(0)
+        ).alias("null_prices"),
+        F.min("price").alias("min_price"),
+        F.max("price").alias("max_price"),
+    )
+    return app_summary(instrumented), obs
+
+
 def read_log_tail(
     log_path: str | Path = Path("logs") / "app.log",
     max_lines: int | None = None,

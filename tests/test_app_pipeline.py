@@ -6,6 +6,7 @@ web/app.py:36-71 run by hand over the same fixture).
 from __future__ import annotations
 
 import sports_data_integration_and_forecasting_pipeline_spark as eng
+from pyspark.sql import functions as F
 
 
 def test_run_app_pipeline_golden(spark):
@@ -57,3 +58,27 @@ def test_read_log_tail(tmp_path):
     p.write_text("".join(f"line {i}\n" for i in range(10)))
     assert read_log_tail(p) == p.read_text()
     assert read_log_tail(p, max_lines=3) == "line 7\nline 8\nline 9\n"
+
+
+def test_observed_pipeline_metrics_single_pass(spark):
+    """df.observe quality metrics arrive as a side effect of the summary
+    action — values must equal direct aggregation over the cleaned rows."""
+    from sports_data_integration_and_forecasting_pipeline_spark.app import load_sample_games, observed_pipeline
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.odds import clean_odds
+
+    cleaned = clean_odds(load_sample_games(spark), "h2h")
+    summary, obs = observed_pipeline(cleaned)
+    summary.collect()  # any action materializes the metrics
+    got = obs.get
+    expected = cleaned.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("price").isNull(), 1).otherwise(0)).alias(
+            "null_prices"
+        ),
+        F.min("price").alias("min_price"),
+        F.max("price").alias("max_price"),
+    ).collect()[0]
+    assert got["n_rows"] == expected["n_rows"] == 6
+    assert got["null_prices"] == expected["null_prices"] == 0
+    assert got["min_price"] == expected["min_price"]
+    assert got["max_price"] == expected["max_price"]
