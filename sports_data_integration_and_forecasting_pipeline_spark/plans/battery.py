@@ -7796,8 +7796,12 @@ def kmeans_embeddings_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     a1 = _assign(c0).select("vec_id", "cid")
+    # NO broadcast hint on the assignment join: a1 is one row per VECTOR
+    # (grows with the corpus — broadcasting it would be the scale bug);
+    # it hash-joins co-partitioned with qe on vec_id, and AQE still
+    # broadcasts it at tiny SF on its own.
     c1 = (
-        qe.join(F.broadcast(a1.withColumnRenamed("vec_id", "av")),
+        qe.join(a1.withColumnRenamed("vec_id", "av"),
                 F.col("vec_id") == F.col("av"))
         .groupBy("cid", "dim")
         .agg(
