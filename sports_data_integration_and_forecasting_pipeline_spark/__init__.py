@@ -112,6 +112,8 @@ from .app import (
     run_app_pipeline,
     load_sample_games,
     observed_pipeline,
+    render_dashboard_text,
+    streamlit_app,
 )
 from .sinks import (
     save_snapshot,
@@ -136,6 +138,8 @@ __all__ = [
     "run_app_pipeline",
     "load_sample_games",
     "observed_pipeline",
+    "render_dashboard_text",
+    "streamlit_app",
     # ingestion
     "fetch_odds",
     "fetch_player_props",

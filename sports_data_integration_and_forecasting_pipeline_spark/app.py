@@ -175,3 +175,79 @@ def read_log_tail(
         return ""
     lines = content.splitlines(keepends=True)
     return "".join(lines[-max_lines:])
+
+
+# ---------------------------------------------------------------------------
+# Render layer — the reference ships a Streamlit dashboard (web/app.py:
+# 74-117) and an ipywidgets UI (Sports-Pipeline-V2/widgets_ui.py:73-127).
+# Both are thin presentation over the three tables run_app_pipeline
+# returns. The engine ships the same layer in two forms: a
+# dependency-free text renderer (works everywhere, golden-tested), and a
+# Streamlit adapter that renders the identical tables when streamlit is
+# installed (import-gated — the library is presentation, not engine).
+# ---------------------------------------------------------------------------
+
+
+def render_dashboard_text(
+    tables: dict[str, DataFrame] | None = None,
+    spark: SparkSession | None = None,
+    max_rows: int = 50,
+) -> str:
+    """The dashboard as formatted text: the summary table (best price +
+    book per outcome, arbitrage margin) and the arbitrage panel —
+    the same sections the reference's Streamlit page lays out
+    (``web/app.py:74-117``). Pass the ``run_app_pipeline`` dict, or a
+    SparkSession to run the sample pipeline. Collects at most
+    ``max_rows`` per section (render is a driver-side act; the lazy
+    tables stay usable for full-scale sinks)."""
+    if tables is None:
+        if spark is None:
+            raise ValueError("pass `tables` or `spark`")
+        tables = run_app_pipeline(spark)
+    sections = []
+    for title, key in [
+        ("Best odds summary", "summary"),
+        ("Arbitrage opportunities", "arbitrage"),
+    ]:
+        pdf = tables[key].limit(max_rows).toPandas()
+        body = pdf.to_string(index=False) if len(pdf) else "(none found)"
+        sections.append(f"== {title} ==\n{body}")
+    return "\n\n".join(sections)
+
+
+def streamlit_app(
+    spark: SparkSession | None = None,
+    tables: dict[str, DataFrame] | None = None,
+) -> None:
+    """Streamlit page rendering the same three tables (reference
+    ``web/app.py:74-117`` parity: title, summary dataframe, arbitrage
+    metrics). Streamlit itself is presentation-only and import-gated —
+    run with ``streamlit run`` in an environment that has it:
+
+        import sports_data_integration_and_forecasting_pipeline_spark as eng
+        eng.streamlit_app(spark)
+    """
+    try:
+        import streamlit as st
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise ImportError(
+            "streamlit is not installed; use render_dashboard_text() for "
+            "the dependency-free render of the same tables"
+        ) from exc
+    if tables is None:
+        if spark is None:
+            raise ValueError("pass `tables` or `spark`")
+        tables = run_app_pipeline(spark)
+    st.title("Odds Dashboard")
+    st.subheader("Best odds summary")
+    st.dataframe(tables["summary"].toPandas())
+    st.subheader("Arbitrage opportunities")
+    arbs = tables["arbitrage"].toPandas()
+    if len(arbs):
+        for _, row in arbs.iterrows():
+            st.metric(
+                f"{row['home_team']} vs {row['away_team']}",
+                f"{row['arbitrage_margin_pct']}%",
+            )
+    else:
+        st.write("No arbitrage found")

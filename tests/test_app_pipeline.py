@@ -82,3 +82,24 @@ def test_observed_pipeline_metrics_single_pass(spark):
     assert got["null_prices"] == expected["null_prices"] == 0
     assert got["min_price"] == expected["min_price"]
     assert got["max_price"] == expected["max_price"]
+
+
+def test_render_dashboard_text_golden(spark):
+    from sports_data_integration_and_forecasting_pipeline_spark.app import render_dashboard_text
+
+    text = render_dashboard_text(spark=spark)
+    assert "== Best odds summary ==" in text
+    assert "== Arbitrage opportunities ==" in text
+    # the golden fixture's arb game and margin appear in the render
+    assert "Los Angeles Lakers" in text
+    assert "3.26" in text
+
+
+def test_streamlit_app_import_gated(spark):
+    from sports_data_integration_and_forecasting_pipeline_spark.app import streamlit_app
+    import pytest
+
+    # streamlit isn't installed here: the adapter must fail with the
+    # pointed message, not an opaque ModuleNotFoundError mid-render
+    with pytest.raises(ImportError, match="render_dashboard_text"):
+        streamlit_app(spark)
