@@ -163,6 +163,7 @@ HEADLINE = [
     "variant_props_extract",
     "forward_fill_gaps",
     "fuzzy_name_match",
+    "session_window_native",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

@@ -114,6 +114,7 @@ from .app import (
     observed_pipeline,
     render_dashboard_text,
     streamlit_app,
+    ipywidgets_dashboard,
 )
 from .sinks import (
     save_snapshot,
@@ -140,6 +141,7 @@ __all__ = [
     "observed_pipeline",
     "render_dashboard_text",
     "streamlit_app",
+    "ipywidgets_dashboard",
     # ingestion
     "fetch_odds",
     "fetch_player_props",

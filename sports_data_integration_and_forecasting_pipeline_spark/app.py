@@ -251,3 +251,34 @@ def streamlit_app(
             )
     else:
         st.write("No arbitrage found")
+
+
+def ipywidgets_dashboard(
+    spark: SparkSession | None = None,
+    tables: dict[str, DataFrame] | None = None,
+):
+    """ipywidgets UI over the same tables (reference
+    ``Sports-Pipeline-V2/widgets_ui.py:73-127`` parity: an output area
+    showing the summary table and the arbitrage rows, plus the log
+    tail). Import-gated like :func:`streamlit_app` — returns the root
+    widget for notebook display."""
+    try:
+        import ipywidgets as widgets
+        from IPython.display import display
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise ImportError(
+            "ipywidgets is not installed; use render_dashboard_text() for "
+            "the dependency-free render of the same tables"
+        ) from exc
+    if tables is None:
+        if spark is None:
+            raise ValueError("pass `tables` or `spark`")
+        tables = run_app_pipeline(spark)
+    out = widgets.Output()
+    with out:
+        display(tables["summary"].toPandas())
+        display(tables["arbitrage"].toPandas())
+    log_area = widgets.Textarea(
+        value=read_log_tail(), description="log", disabled=True
+    )
+    return widgets.VBox([out, log_area])

@@ -8534,6 +8534,67 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Native session_window (batch) — Spark's built-in gap-based session
+# assignment as a GROUPING expression: one aggregate pass, no lag
+# window, no islands CTE. The oracle derives identical sessions via
+# gaps-and-islands (the engine-portable form, shared with
+# event_sessionize — which remains the twin entry proving the classic
+# rewrite). Session end in Spark's model is last_event + gap; the
+# oracle mirrors that definition exactly. At scale the native form is
+# the one to prefer: it fuses session assignment into the aggregation
+# instead of paying a separate sort-based window pass.
+# ===========================================================================
+
+@_register(
+    "session_window_native",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS ns
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+      SELECT user_id, ts, cents,
+             sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(epoch_us(min(ts)) // 1000000 AS BIGINT) AS session_start_s,
+           CAST(epoch_us(max(ts)) // 1000000 + 1800 AS BIGINT)
+             AS session_end_s,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM numbered GROUP BY user_id, sid
+    """,
+    "analytics: native session_window grouping (one fused aggregate "
+    "pass; twin of the gaps-and-islands event_sessionize)",
+    "per (user, 30-min-gap session): start, end (= last event + gap), "
+    "event count, value cents — via Spark's built-in session_window",
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(_cents(F.col("value"))).cast("bigint").alias("sum_cents"),
+        )
+        .select(
+            "user_id",
+            _epoch_s(F.col("sw.start")).alias("session_start_s"),
+            _epoch_s(F.col("sw.end")).alias("session_end_s"),
+            "n_events",
+            "sum_cents",
+        )
+    )
+
+
+# ===========================================================================
 # Driver-window curation (round-2 review directive). The external
 # correctness gate hard-caps its run at the FIRST 50 registered entries
 # (registration-order prefix, observed in rounds 1-2) — it cannot check

@@ -103,3 +103,11 @@ def test_streamlit_app_import_gated(spark):
     # pointed message, not an opaque ModuleNotFoundError mid-render
     with pytest.raises(ImportError, match="render_dashboard_text"):
         streamlit_app(spark)
+
+
+def test_ipywidgets_dashboard_import_gated(spark):
+    from sports_data_integration_and_forecasting_pipeline_spark.app import ipywidgets_dashboard
+    import pytest
+
+    with pytest.raises(ImportError, match="render_dashboard_text"):
+        ipywidgets_dashboard(spark)

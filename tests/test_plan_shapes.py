@@ -191,6 +191,9 @@ PINNED = {
     # the block key drives an equi-join; the distance filter never sees
     # an unblocked cross product
     "fuzzy_name_match":       (2, [],                       ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # native session assignment fuses into ONE aggregate exchange — no
+    # lag window, no islands double-pass (that twin is event_sessionize)
+    "session_window_native":  (1, [],                       ["Join", "Window"]),
 }
 
 
