@@ -218,6 +218,7 @@ def render_dashboard_text(
 def streamlit_app(
     spark: SparkSession | None = None,
     tables: dict[str, DataFrame] | None = None,
+    max_rows: int = 500,
 ) -> None:
     """Streamlit page rendering the same three tables (reference
     ``web/app.py:74-117`` parity: title, summary dataframe, arbitrage
@@ -240,9 +241,12 @@ def streamlit_app(
         tables = run_app_pipeline(spark)
     st.title("Odds Dashboard")
     st.subheader("Best odds summary")
-    st.dataframe(tables["summary"].toPandas())
+    # limit() before collecting: render is a driver-side act and must
+    # never pull a production-sized table whole (same cap discipline as
+    # render_dashboard_text)
+    st.dataframe(tables["summary"].limit(max_rows).toPandas())
     st.subheader("Arbitrage opportunities")
-    arbs = tables["arbitrage"].toPandas()
+    arbs = tables["arbitrage"].limit(max_rows).toPandas()
     if len(arbs):
         for _, row in arbs.iterrows():
             st.metric(
@@ -256,6 +260,7 @@ def streamlit_app(
 def ipywidgets_dashboard(
     spark: SparkSession | None = None,
     tables: dict[str, DataFrame] | None = None,
+    max_rows: int = 500,
 ):
     """ipywidgets UI over the same tables (reference
     ``Sports-Pipeline-V2/widgets_ui.py:73-127`` parity: an output area
@@ -276,8 +281,9 @@ def ipywidgets_dashboard(
         tables = run_app_pipeline(spark)
     out = widgets.Output()
     with out:
-        display(tables["summary"].toPandas())
-        display(tables["arbitrage"].toPandas())
+        # same driver-side row cap as the other renderers
+        display(tables["summary"].limit(max_rows).toPandas())
+        display(tables["arbitrage"].limit(max_rows).toPandas())
     log_area = widgets.Textarea(
         value=read_log_tail(), description="log", disabled=True
     )

@@ -196,7 +196,9 @@ def null_safe_left_join(
     nn = (
         left.filter(F.col(left_key).isNotNull())
         .join(right, left[left_key] == right[right_key], "left")
-        .drop(right_key)
+        # drop by REFERENCE: dropping by name would remove BOTH columns
+        # when left_key and right_key share a name
+        .drop(right[right_key])
     )
     nulls = left.filter(F.col(left_key).isNull())
     for field in right.schema.fields:

@@ -4272,16 +4272,21 @@ def ohlc_hourly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
 # this is local-density² instead. Oracle: DuckDB's native range join.
 # ===========================================================================
 
+# (ts, event_id) ordering throughout: with ties on ts alone, the
+# 0-gap row of a tied pair could be cumulative-summed BEFORE the
+# session-starting flag row and land in the previous session — session
+# boundaries would be nondeterministic and engine/oracle could diverge
+# on any dataset with duplicate (user_id, ts) pairs (r5 review).
 _SESSIONS_SQL = """
     flagged AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                   OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS ns
-      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     numbered AS (
       SELECT user_id, ts,
-             sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+             sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS UNBOUNDED PRECEDING) AS sid
       FROM flagged
     ),
@@ -4292,6 +4297,32 @@ _SESSIONS_SQL = """
       FROM numbered GROUP BY user_id, sid
     )
 """
+
+
+def _user_sessions_spark(ev: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """The engine twin of ``_SESSIONS_SQL``: 30-min-gap sessions per user
+    with the SAME pinned (ts, event_id) tie order, shared by the range
+    join and sweep-line entries (one definition — a gap-rule change
+    can't silently desynchronize the call sites)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = F.lag("ts").over(w)
+    numbered = ev.select(
+        "user_id",
+        _epoch_s("ts").alias("ts_s"),
+        F.sum(
+            F.when(
+                lagged.isNull()
+                | ((F.col("ts") - lagged) > F.expr(f"INTERVAL {gap}")),
+                1,
+            ).otherwise(0)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("sid"),
+    )
+    return numbered.groupBy("user_id", "sid").agg(
+        F.min("ts_s").alias("s"), F.max("ts_s").alias("e")
+    )
 
 
 @_register(
@@ -4313,24 +4344,7 @@ def range_join_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFram
         interval_overlap_join,
     )
 
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts")
-    gap = F.expr("INTERVAL 30 MINUTES")
-    lagged = F.lag("ts").over(w)
-    numbered = ev.select(
-        "user_id",
-        _epoch_s("ts").alias("ts_s"),
-        F.sum(
-            F.when(lagged.isNull() | ((F.col("ts") - lagged) > gap), 1)
-            .otherwise(0)
-        )
-        .over(w.rowsBetween(Window.unboundedPreceding, 0))
-        .cast("long")
-        .alias("sid"),
-    )
-    sessions = numbered.groupBy("user_id", "sid").agg(
-        F.min("ts_s").alias("s"), F.max("ts_s").alias("e")
-    )
+    sessions = _user_sessions_spark(_t(spark, sf_dir, "events"))
     pairs = interval_overlap_join(
         sessions,
         sessions,
@@ -7523,9 +7537,13 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("p_brand") == "Brand#13") & (F.col("p_size") <= 10))
         .select("p_partkey")
     )
+    # NO broadcast hints: the brand/size part subset and its per-part
+    # aggregate both grow with SF (~0.8% of an SF-growing part table) —
+    # forcing them broadcast is the choice a 100 TB run would have to
+    # undo. AQE broadcasts both at small SF on its own (plan-pinned).
     lf = (
         _t(spark, sf_dir, "lineitem")
-        .join(F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey"))
+        .join(pf, F.col("l_partkey") == F.col("p_partkey"))
         .select(
             "l_partkey",
             F.floor(F.col("l_quantity") + 0.5).cast("bigint").alias("qn"),
@@ -7536,7 +7554,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("qn").cast("bigint").alias("sum_q"),
         F.count("*").cast("bigint").alias("n_q"),
     )
-    j = lf.join(F.broadcast(agg), "l_partkey").filter(
+    j = lf.join(agg, "l_partkey").filter(
         5 * F.col("qn") * F.col("n_q") < F.col("sum_q")
     )
     total = F.coalesce(F.sum("price_cents"), F.lit(0))
@@ -8111,24 +8129,7 @@ def grouping_sets_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "30-min-gap sessionization as the range-join entry",
 )
 def concurrency_sweep_line(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts")
-    gap = F.expr("INTERVAL 30 MINUTES")
-    lagged = F.lag("ts").over(w)
-    numbered = ev.select(
-        "user_id",
-        _epoch_s("ts").alias("ts_s"),
-        F.sum(
-            F.when(lagged.isNull() | ((F.col("ts") - lagged) > gap), 1)
-            .otherwise(0)
-        )
-        .over(w.rowsBetween(Window.unboundedPreceding, 0))
-        .cast("long")
-        .alias("sid"),
-    )
-    sessions = numbered.groupBy("user_id", "sid").agg(
-        F.min("ts_s").alias("s"), F.max("ts_s").alias("e")
-    )
+    sessions = _user_sessions_spark(_t(spark, sf_dir, "events"))
     b = sessions.select(
         F.col("s").alias("t"), F.lit(1).alias("delta")
     ).unionAll(
@@ -8549,15 +8550,15 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session_window_native",
     """
     WITH flagged AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
              CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                   OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS ns
-      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     numbered AS (
       SELECT user_id, ts, cents,
-             sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+             sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS UNBOUNDED PRECEDING) AS sid
       FROM flagged
     )

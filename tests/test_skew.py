@@ -167,3 +167,21 @@ def test_null_safe_left_join_matches_plain_left_join(spark):
     # join input filters out null keys
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "Union" in plan
+
+
+def test_null_safe_left_join_same_named_keys(spark):
+    """Same-named join keys are the common shape — dropping the right key
+    by name would remove both copies and crash."""
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.skew import (
+        null_safe_left_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 10.0), (None, 30.0)], "id bigint, v double"
+    )
+    right = spark.createDataFrame([(1, "one")], "id bigint, name string")
+    got = null_safe_left_join(left, right, "id", "id")
+    key = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+    assert sorted(map(tuple, got.collect()), key=key) == sorted(
+        [(1, 10.0, "one"), (None, 30.0, None)], key=key
+    )
