@@ -8596,6 +8596,499 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Year-over-year growth — the reporting staple: monthly revenue joined
+# against the same month one year earlier. A self-join on the (year-1,
+# month) key beats lag(12) because it is robust to gap months and needs
+# no global sort — the monthly aggregate is tiny (one row per month), so
+# the join is a broadcast of an already-reduced table. Revenue is exact
+# integer cents; the growth ratio is one double division of identical
+# bigints, rounded 6dp.
+# ===========================================================================
+
+@_register(
+    "yoy_monthly_growth",
+    f"""
+    WITH m AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+             CAST(month(o_orderdate) AS BIGINT) AS mo,
+             CAST(sum(floor(o_totalprice * 100.0 + 0.5)) AS BIGINT)
+               AS rev_cents
+      FROM orders GROUP BY 1, 2)
+    SELECT a.yr, a.mo, a.rev_cents,
+           b.rev_cents AS prev_rev_cents,
+           {_sql_r('1.0 * a.rev_cents / b.rev_cents - 1.0', 6)}
+             AS yoy_growth
+    FROM m a LEFT JOIN m b ON b.yr = a.yr - 1 AND b.mo = a.mo
+    """,
+    "analytics: year-over-year monthly growth (self-join on the "
+    "pre-aggregated month table; no global sort, gap-month robust)",
+    "per (year, month): revenue cents, prior-year-same-month cents, and "
+    "6dp YoY growth ratio (null for the first year)",
+)
+def yoy_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+    ).agg(F.sum(_cents(F.col("o_totalprice"))).cast("bigint").alias("rev_cents"))
+    a = m
+    b = m.select(
+        (F.col("yr") + 1).alias("yr"),
+        F.col("mo"),
+        F.col("rev_cents").alias("prev_rev_cents"),
+    )
+    return a.join(F.broadcast(b), ["yr", "mo"], "left").select(
+        "yr",
+        "mo",
+        "rev_cents",
+        "prev_rev_cents",
+        _r(
+            F.lit(1.0) * F.col("rev_cents") / F.col("prev_rev_cents")
+            - F.lit(1.0),
+            6,
+        ).alias("yoy_growth"),
+    )
+
+
+# ===========================================================================
+# CUSUM change-point scan — the classic drift locator over a daily
+# series: cumulative sum of deviations from the global mean peaks at the
+# change point. Everything stays integer-exact: instead of the float
+# mean, each day's deviation is scaled by n_days (dev = x_i*n − S, a
+# bigint), so the running CUSUM and the argmax flag are bit-identical
+# on both engines with no rounding at all. Scale: the raw stream
+# collapses to one row per day in a single map-side-combined aggregate;
+# the window runs over that tiny series.
+# ===========================================================================
+
+@_register(
+    "cusum_changepoint",
+    """
+    WITH d AS (
+      SELECT CAST(epoch_us(ts) // 1000000 // 86400 AS BIGINT) AS day_num,
+             CAST(sum(floor(value * 100.0 + 0.5)) AS BIGINT) AS day_cents
+      FROM events GROUP BY 1),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(day_cents) AS BIGINT) AS s FROM d),
+    c AS (SELECT day_num, day_cents,
+            CAST(sum(day_cents * t.n - t.s)
+                 OVER (ORDER BY day_num ROWS UNBOUNDED PRECEDING)
+                 AS BIGINT) AS cusum_num
+          FROM d CROSS JOIN t),
+    m AS (SELECT max(abs(cusum_num)) AS mx FROM c)
+    SELECT day_num, day_cents, cusum_num,
+           CAST(CASE WHEN abs(cusum_num) = m.mx THEN 1 ELSE 0 END
+                AS BIGINT) AS is_change_point
+    FROM c CROSS JOIN m
+    """,
+    "analytics: CUSUM change-point detection (integer mean-scaled "
+    "deviations — exact bigint cumulative sum, no float mean)",
+    "per day: value cents, n-scaled CUSUM of mean deviations, and a flag "
+    "on the |CUSUM|-argmax day (the estimated change point)",
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        _fdiv(_epoch_s("ts"), 86400).alias("day_num")
+    ).agg(F.sum(_cents(F.col("value"))).cast("bigint").alias("day_cents"))
+    t = d.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("day_cents").cast("bigint").alias("s"),
+    )
+    w = Window.orderBy("day_num").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = (
+        d.crossJoin(F.broadcast(t))
+        .withColumn(
+            "cusum_num",
+            F.sum(F.col("day_cents") * F.col("n") - F.col("s"))
+            .over(w)
+            .cast("bigint"),
+        )
+        .select("day_num", "day_cents", "cusum_num")
+    )
+    m = c.agg(F.max(F.abs(F.col("cusum_num"))).alias("mx"))
+    return c.crossJoin(F.broadcast(m)).select(
+        "day_num",
+        "day_cents",
+        "cusum_num",
+        F.when(F.abs(F.col("cusum_num")) == F.col("mx"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_change_point"),
+    )
+
+
+# ===========================================================================
+# Autocorrelation function (lags 1..7) — the seasonality probe for the
+# daily value series. Pairs (x_t, x_{t−k}) come from a join of the
+# pre-aggregated daily table against itself shifted by an exploded lag
+# dimension — no per-lag rewrites, no global sort; lag(k) as a window
+# would need one pass per literal k. Pearson corr per lag, 6dp (the
+# co-moment accumulation tolerance proven by
+# feature_correlation_screen).
+# ===========================================================================
+
+@_register(
+    "acf_daily_autocorrelation",
+    f"""
+    WITH d AS (
+      SELECT CAST(epoch_us(ts) // 1000000 // 86400 AS BIGINT) AS day_num,
+             CAST(sum(floor(value * 100.0 + 0.5)) AS BIGINT) AS x
+      FROM events GROUP BY 1),
+    lags AS (SELECT CAST(lag_d AS BIGINT) AS lag_d FROM (VALUES
+        (1),(2),(3),(4),(5),(6),(7)) AS l(lag_d)),
+    p AS (SELECT l.lag_d, a.x AS xa, b.x AS xb
+          FROM lags l
+          CROSS JOIN d a
+          JOIN d b ON b.day_num = a.day_num - l.lag_d)
+    SELECT lag_d, CAST(count(*) AS BIGINT) AS n_pairs,
+           {_sql_r('corr(1.0 * xa, 1.0 * xb)', 6)} AS acf
+    FROM p GROUP BY lag_d
+    """,
+    "analytics: autocorrelation function over the daily series (exploded "
+    "lag dimension joined against the pre-aggregated table — one plan "
+    "for all lags)",
+    "per lag 1..7: pair count and 6dp Pearson autocorrelation of daily "
+    "value cents",
+)
+def acf_daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        _fdiv(_epoch_s("ts"), 86400).alias("day_num")
+    ).agg(F.sum(_cents(F.col("value"))).cast("bigint").alias("x"))
+    lags = spark.range(1, 8).select(F.col("id").cast("bigint").alias("lag_d"))
+    a = d.select(F.col("day_num").alias("day_a"), F.col("x").alias("xa"))
+    b = d.select(F.col("day_num").alias("day_b"), F.col("x").alias("xb"))
+    p = (
+        F.broadcast(lags)
+        .crossJoin(a)
+        .join(b, F.col("day_b") == F.col("day_a") - F.col("lag_d"))
+    )
+    return p.groupBy("lag_d").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        _r(F.corr(F.lit(1.0) * F.col("xa"), F.lit(1.0) * F.col("xb")), 6).alias(
+            "acf"
+        ),
+    )
+
+
+# ===========================================================================
+# Market-basket co-purchase lift — frequent-pair mining with the apriori
+# prune: only parts appearing in ≥25 baskets enter pair enumeration, so
+# the self-join's blow-up is bounded by (frequent items per basket)²
+# with TPC-H's ≤7 lines per order, not |parts|². Lift compares observed
+# pair support to the independence expectation; numerator/denominator
+# are exact bigints, one rounded division. Scale: the basket self-join
+# shuffles on orderkey (co-partitioned both sides); the frequent-item
+# filter is a broadcast semi-join.
+# ===========================================================================
+
+@_register(
+    "copurchase_lift_pairs",
+    f"""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    freq AS (SELECT pk, CAST(count(*) AS BIGINT) AS c
+             FROM baskets GROUP BY pk HAVING count(*) >= 25),
+    fb AS (SELECT b.ok, b.pk, f.c FROM baskets b JOIN freq f USING (pk)),
+    n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders
+          FROM baskets),
+    p AS (SELECT a.pk AS p1, b.pk AS p2, a.c AS c1, b.c AS c2,
+                 CAST(count(*) AS BIGINT) AS support
+          FROM fb a JOIN fb b ON a.ok = b.ok AND a.pk < b.pk
+          GROUP BY 1, 2, 3, 4 HAVING count(*) >= 3)
+    SELECT p1, p2, support, c1 AS n1, c2 AS n2,
+           {_sql_r('(1.0 * support * n.n_orders) / (1.0 * c1 * c2)', 6)}
+             AS lift
+    FROM p CROSS JOIN n
+    """,
+    "analytics: market-basket frequent-pair lift (apriori prune via "
+    "broadcast semi-join, orderkey-co-partitioned pair enumeration)",
+    "per co-purchased part pair (both in >=25 baskets, support >=3): "
+    "support, item counts, and 6dp lift vs independence",
+)
+def copurchase_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    freq = (
+        baskets.groupBy("pk")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .filter(F.col("c") >= 25)
+    )
+    fb = baskets.join(F.broadcast(freq), "pk").select("ok", "pk", "c")
+    n = baskets.agg(
+        F.count_distinct(F.col("ok")).cast("bigint").alias("n_orders")
+    )
+    a = fb.select(
+        "ok", F.col("pk").alias("p1"), F.col("c").alias("c1")
+    )
+    b = fb.select(
+        "ok", F.col("pk").alias("p2"), F.col("c").alias("c2")
+    )
+    p = (
+        a.join(b, "ok")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2", "c1", "c2")
+        .agg(F.count("*").cast("bigint").alias("support"))
+        .filter(F.col("support") >= 3)
+    )
+    return p.crossJoin(F.broadcast(n)).select(
+        "p1",
+        "p2",
+        "support",
+        F.col("c1").alias("n1"),
+        F.col("c2").alias("n2"),
+        _r(
+            (F.lit(1.0) * F.col("support") * F.col("n_orders"))
+            / (F.lit(1.0) * F.col("c1") * F.col("c2")),
+            6,
+        ).alias("lift"),
+    )
+
+
+# ===========================================================================
+# Shannon entropy of the per-language source mix — the corpus-diversity
+# gate a training-data pipeline runs before admitting a language slice
+# (a near-zero entropy means one source dominates and the slice is
+# effectively single-origin). Two small aggregates and a broadcast
+# join; −Σ p·ln p over ≤|sources| cells per language, 6dp.
+# ===========================================================================
+
+@_register(
+    "entropy_source_mix",
+    f"""
+    WITH c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+               FROM documents GROUP BY 1, 2),
+    t AS (SELECT lang, CAST(sum(n) AS BIGINT) AS nt,
+                 CAST(count(*) AS BIGINT) AS n_sources
+          FROM c GROUP BY lang)
+    SELECT t.lang, t.nt AS n_docs, t.n_sources,
+           {_sql_r('-sum((1.0 * c.n / t.nt) * ln(1.0 * c.n / t.nt))', 6)}
+             AS entropy_nats
+    FROM c JOIN t USING (lang)
+    GROUP BY t.lang, t.nt, t.n_sources
+    """,
+    "corpus curation: per-language source-mix Shannon entropy (the "
+    "single-origin-dominance gate; two-level aggregate, broadcast join)",
+    "per language: doc count, distinct sources, and 6dp entropy (nats) "
+    "of the source distribution",
+)
+def entropy_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    c = docs.groupBy("lang", "source").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    t = c.groupBy("lang").agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.count("*").cast("bigint").alias("n_sources"),
+    )
+    p = F.lit(1.0) * F.col("n") / F.col("nt")
+    return (
+        c.join(F.broadcast(t), "lang")
+        .groupBy("lang", "nt", "n_sources")
+        .agg(_r(-F.sum(p * F.log(p)), 6).alias("entropy_nats"))
+        .select(
+            "lang",
+            F.col("nt").alias("n_docs"),
+            "n_sources",
+            "entropy_nats",
+        )
+    )
+
+
+# ===========================================================================
+# Gini coefficient of order values — the inequality/concentration audit
+# (how skewed is revenue across orders). Uses the rank formulation
+# G = Σ(2i−n−1)x_i / (n·Σx) with a pinned total order (cents, orderkey)
+# so both engines assign identical ranks to ties. The weighted sum stays
+# an exact bigint (Σ(2i−1)·cents ≈ n²·avg_cents — within int64 up to
+# SF≈1; beyond that, switch the weighted sum to double, losing only
+# last-ulp exactness). One global sort of a 2-column projection — the
+# same single-sort cost profile as the decile/Pareto entries.
+# ===========================================================================
+
+@_register(
+    "gini_order_concentration",
+    f"""
+    WITH x AS (
+      SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+             row_number() OVER (ORDER BY floor(o_totalprice * 100.0 + 0.5),
+                                         o_orderkey) AS i
+      FROM orders),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(cents) AS BIGINT) AS s,
+                 CAST(sum((2 * i - 1) * cents) AS BIGINT) AS w
+          FROM x)
+    SELECT n AS n_orders, s AS total_cents,
+           {_sql_r('1.0 * w / (1.0 * n * s) - 1.0', 9)} AS gini
+    FROM t
+    """,
+    "analytics: Gini concentration of order values (rank formulation, "
+    "exact bigint weighted sum, pinned tie order)",
+    "one row: order count, total cents, and 9dp Gini coefficient of "
+    "o_totalprice",
+)
+def gini_order_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    x = o.select(
+        _cents(F.col("o_totalprice")).alias("cents"), "o_orderkey"
+    ).withColumn(
+        "i",
+        F.row_number().over(Window.orderBy("cents", "o_orderkey")),
+    )
+    t = x.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+        F.sum((2 * F.col("i") - 1) * F.col("cents"))
+        .cast("bigint")
+        .alias("w"),
+    )
+    return t.select(
+        F.col("n").alias("n_orders"),
+        F.col("s").alias("total_cents"),
+        _r(
+            F.lit(1.0) * F.col("w") / (F.lit(1.0) * F.col("n") * F.col("s"))
+            - F.lit(1.0),
+            9,
+        ).alias("gini"),
+    )
+
+
+# ===========================================================================
+# Kaplan-Meier conversion survival — time-to-purchase after first click
+# with proper right-censoring (administrative horizon of 3 days, further
+# truncated by end-of-observation), the survival curve a funnel team
+# reads instead of a mean. The at-risk count n(t) comes from a
+# DESCENDING cumulative count over the grouped duration table (no
+# inequality join — the classic O(n log n) KM form), and the product
+# Π(1−d/n) is exp of a cumulative ln sum over event times only.
+# Censored-only times contribute factor 1 by construction; the terminal
+# n==d point (survival exactly 0, ln undefined) is excluded, which can
+# only ever be the single largest duration. Scale: two aggregates over
+# events, then windows over the per-duration table.
+# ===========================================================================
+
+@_register(
+    "kaplan_meier_conversion",
+    f"""
+    WITH clicks AS (
+      SELECT user_id, min(ts) AS fc FROM events
+      WHERE event_type = 'click' GROUP BY user_id),
+    gmax AS (SELECT CAST(epoch_us(max(ts)) // 1000000 AS BIGINT) AS mt
+             FROM events),
+    conv AS (
+      SELECT c.user_id,
+             CAST(epoch_us(min(e.ts)) // 1000000 AS BIGINT) AS fp_s
+      FROM clicks c JOIN events e
+        ON e.user_id = c.user_id AND e.event_type = 'purchase'
+       AND e.ts >= c.fc
+      GROUP BY c.user_id),
+    obs AS (
+      SELECT c.user_id,
+             CASE WHEN v.fp_s IS NOT NULL
+                   AND v.fp_s - CAST(epoch_us(c.fc) // 1000000 AS BIGINT)
+                       <= least(259200,
+                                g.mt - CAST(epoch_us(c.fc) // 1000000
+                                            AS BIGINT))
+                  THEN v.fp_s - CAST(epoch_us(c.fc) // 1000000 AS BIGINT)
+                  ELSE least(259200,
+                             g.mt - CAST(epoch_us(c.fc) // 1000000
+                                         AS BIGINT))
+             END AS dur_s,
+             CASE WHEN v.fp_s IS NOT NULL
+                   AND v.fp_s - CAST(epoch_us(c.fc) // 1000000 AS BIGINT)
+                       <= least(259200,
+                                g.mt - CAST(epoch_us(c.fc) // 1000000
+                                            AS BIGINT))
+                  THEN 1 ELSE 0 END AS ev
+      FROM clicks c LEFT JOIN conv v USING (user_id) CROSS JOIN gmax g),
+    g AS (SELECT dur_s, CAST(count(*) AS BIGINT) AS n_all,
+                 CAST(sum(ev) AS BIGINT) AS d
+          FROM obs GROUP BY dur_s),
+    r AS (SELECT dur_s, d,
+            CAST(sum(n_all) OVER (ORDER BY dur_s DESC
+                                  ROWS UNBOUNDED PRECEDING)
+                 AS BIGINT) AS n_risk
+          FROM g),
+    s AS (SELECT * FROM r WHERE d > 0 AND n_risk > d)
+    SELECT dur_s AS t_s, n_risk, d AS d_events,
+           {_sql_r('exp(sum(ln((1.0 * (n_risk - d)) / n_risk))'
+                   ' OVER (ORDER BY dur_s ROWS UNBOUNDED PRECEDING))', 6)}
+             AS survival
+    FROM s
+    """,
+    "analytics: Kaplan-Meier conversion survival (right-censored at a "
+    "3-day horizon; descending-cumulative at-risk counts, exp-ln-sum "
+    "product — no inequality join)",
+    "per conversion-duration second: at-risk count, conversions, and 6dp "
+    "KM survival probability",
+)
+def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fc"))
+    )
+    gmax = ev.agg(_epoch_s(F.max("ts")).alias("mt"))
+    conv = (
+        clicks.join(
+            ev.filter(F.col("event_type") == "purchase").select(
+                "user_id", F.col("ts").alias("pts")
+            ),
+            "user_id",
+        )
+        .filter(F.col("pts") >= F.col("fc"))
+        .groupBy("user_id")
+        .agg(_epoch_s(F.min("pts")).alias("fp_s"))
+    )
+    fc_s = _epoch_s(F.col("fc"))
+    horizon = F.least(F.lit(259200).cast("bigint"), F.col("mt") - fc_s)
+    converted = F.col("fp_s").isNotNull() & (
+        F.col("fp_s") - fc_s <= horizon
+    )
+    obs = (
+        clicks.join(conv, "user_id", "left")
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            F.when(converted, F.col("fp_s") - fc_s)
+            .otherwise(horizon)
+            .alias("dur_s"),
+            F.when(converted, 1).otherwise(0).alias("ev"),
+        )
+    )
+    g = obs.groupBy("dur_s").agg(
+        F.count("*").cast("bigint").alias("n_all"),
+        F.sum("ev").cast("bigint").alias("d"),
+    )
+    w_desc = Window.orderBy(F.col("dur_s").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = g.select(
+        "dur_s",
+        "d",
+        F.sum("n_all").over(w_desc).cast("bigint").alias("n_risk"),
+    )
+    s = r.filter((F.col("d") > 0) & (F.col("n_risk") > F.col("d")))
+    w_asc = Window.orderBy("dur_s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    factor = F.log(
+        (F.lit(1.0) * (F.col("n_risk") - F.col("d"))) / F.col("n_risk")
+    )
+    return s.select(
+        F.col("dur_s").alias("t_s"),
+        "n_risk",
+        F.col("d").alias("d_events"),
+        _r(F.exp(F.sum(factor).over(w_asc)), 6).alias("survival"),
+    )
+
+
+# ===========================================================================
 # Driver-window curation (round-2 review directive). The external
 # correctness gate hard-caps its run at the FIRST 50 registered entries
 # (registration-order prefix, observed in rounds 1-2) — it cannot check
