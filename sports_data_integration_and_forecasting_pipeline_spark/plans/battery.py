@@ -9089,6 +9089,250 @@ def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# BM25 document scoring — the IR ranking function over the documents
+# table for a pinned query-term set (one rare term, three common ones,
+# so idf spread is real on the 31-word synthetic vocab). Same
+# explode→aggregate chain as tfidf_top_terms: doc lengths and
+# per-(doc, term) tf come from one token explode; df and the corpus
+# stats are re-aggregates of those reduced tables, broadcast back.
+# Ranking runs on the ROUNDED score (6dp) with a doc_id tiebreak so
+# top-20 selection is engine-identical. k1=1.2, b=0.75.
+# ===========================================================================
+
+_BM25_TERMS = ("dup", "join", "query", "sort")
+
+
+@_register(
+    "bm25_scoring",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+           FROM toks GROUP BY doc_id),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
+    q AS (SELECT * FROM (VALUES
+        {', '.join(f"('{t}')" for t in _BM25_TERMS)}) AS q(term)),
+    tf AS (SELECT t.doc_id, t.term, CAST(count(*) AS BIGINT) AS tf
+           FROM toks t JOIN q USING (term) GROUP BY t.doc_id, t.term),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+           FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(count(*) AS BIGINT) AS n_terms,
+             {_sql_r(
+                 'sum(ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))'
+                 ' * (tf.tf * 2.2)'
+                 ' / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl * s.n_docs'
+                 ' / s.total_len)))', 6)} AS score
+      FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+      GROUP BY tf.doc_id)
+    SELECT doc_id, n_terms, score, rank FROM (
+      SELECT *, CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                     AS INT) AS rank
+      FROM scored)
+    WHERE rank <= 20
+    """,
+    "textops: BM25 ranking for a pinned query (idf/doc-length "
+    "normalization; one token explode feeds tf, dl, df, corpus stats)",
+    "top-20 documents by 6dp BM25 score over query terms "
+    f"{_BM25_TERMS}, matched-term count, pinned doc_id tiebreak",
+)
+def bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_len"),
+    )
+    q = spark.createDataFrame([(t,) for t in _BM25_TERMS], "term string")
+    tf = (
+        toks.join(F.broadcast(q), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = F.col("tf") + 1.2 * (
+        F.lit(0.25)
+        + F.lit(0.75) * F.col("dl") * F.col("n_docs") / F.col("total_len")
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_terms"),
+            _r(F.sum(idf * (F.col("tf") * 2.2) / norm), 6).alias("score"),
+        )
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 20)
+        .select("doc_id", "n_terms", "score", "rank")
+    )
+
+
+# ===========================================================================
+# Two-proportion z-test — the A/B experiment readout: split users into
+# arms by user_id parity (the deterministic stand-in for an assignment
+# hash), conversion = ≥14 purchase events (just above the ~13.4
+# per-user mean — events-per-user is SF-invariant in this testdata, so
+# both arms stay non-degenerate at every scale; an every-user-qualifies
+# metric would zero the pooled variance and the z denominator), pooled
+# z-score on the conversion-rate difference. Per-user reduction then a
+# 2-row arm aggregate; the z expression is one scalar formula over
+# exact bigints, 6dp. Scale: one shuffle on user_id, nothing else
+# grows.
+# ===========================================================================
+
+@_register(
+    "abtest_proportion_ztest",
+    f"""
+    WITH u AS (
+      SELECT user_id, CAST(user_id % 2 AS BIGINT) AS arm,
+             CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) >= 14
+                  THEN 1 ELSE 0 END AS conv
+      FROM events GROUP BY user_id),
+    a AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+                 CAST(sum(conv) AS BIGINT) AS n_conv
+          FROM u GROUP BY arm)
+    SELECT a0.n_users AS n_a, a0.n_conv AS conv_a,
+           a1.n_users AS n_b, a1.n_conv AS conv_b,
+           {_sql_r('1.0 * a0.n_conv / a0.n_users', 6)} AS rate_a,
+           {_sql_r('1.0 * a1.n_conv / a1.n_users', 6)} AS rate_b,
+           {_sql_r(
+               '(1.0 * a0.n_conv / a0.n_users'
+               ' - 1.0 * a1.n_conv / a1.n_users)'
+               ' / sqrt((1.0 * (a0.n_conv + a1.n_conv)'
+               ' / (a0.n_users + a1.n_users))'
+               ' * (1.0 - 1.0 * (a0.n_conv + a1.n_conv)'
+               ' / (a0.n_users + a1.n_users))'
+               ' * (1.0 / a0.n_users + 1.0 / a1.n_users))', 6)} AS z_score
+    FROM (SELECT * FROM a WHERE arm = 0) a0
+    CROSS JOIN (SELECT * FROM a WHERE arm = 1) a1
+    """,
+    "analytics: two-proportion z-test between parity-assigned arms "
+    "(pooled variance; per-user reduction then a 2-row aggregate)",
+    "one row: per-arm users/conversions, 6dp rates, and the pooled "
+    "two-proportion z-score",
+)
+def abtest_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= 14,
+            1,
+        )
+        .otherwise(0)
+        .alias("conv")
+    )
+    a = u.groupBy((F.col("user_id") % 2).cast("bigint").alias("arm")).agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("conv").cast("bigint").alias("n_conv"),
+    )
+    a0 = a.filter(F.col("arm") == 0).select(
+        F.col("n_users").alias("n_a"), F.col("n_conv").alias("conv_a")
+    )
+    a1 = a.filter(F.col("arm") == 1).select(
+        F.col("n_users").alias("n_b"), F.col("n_conv").alias("conv_b")
+    )
+    j = a0.crossJoin(F.broadcast(a1))
+    p0 = F.lit(1.0) * F.col("conv_a") / F.col("n_a")
+    p1 = F.lit(1.0) * F.col("conv_b") / F.col("n_b")
+    pp = (
+        F.lit(1.0)
+        * (F.col("conv_a") + F.col("conv_b"))
+        / (F.col("n_a") + F.col("n_b"))
+    )
+    se = F.sqrt(
+        pp * (F.lit(1.0) - pp) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return j.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        _r(p0, 6).alias("rate_a"),
+        _r(p1, 6).alias("rate_b"),
+        _r((p0 - p1) / se, 6).alias("z_score"),
+    )
+
+
+# ===========================================================================
+# Seasonal weekday index — the decomposition primer: each weekday's
+# average daily value vs the all-days average (index > 1 = seasonally
+# hot). The weekday comes from pure integer arithmetic on the epoch day
+# ((day+3) mod 7, 0 = Monday — 1970-01-01 was a Thursday), sidestepping
+# the engines' dayofweek-numbering mismatch entirely (same parity
+# guarantee the isodow-1 ↔ F.weekday pair gives the heatmap entry).
+# Scale: the raw stream reduces to one row per day, then 7 rows.
+# ===========================================================================
+
+@_register(
+    "seasonal_weekday_index",
+    f"""
+    WITH d AS (
+      SELECT CAST(epoch_us(ts) // 1000000 // 86400 AS BIGINT) AS day_num,
+             CAST(sum(floor(value * 100.0 + 0.5)) AS BIGINT) AS day_cents
+      FROM events GROUP BY 1),
+    wk AS (SELECT CAST((day_num + 3) % 7 AS BIGINT) AS dow_mon0,
+                  CAST(count(*) AS BIGINT) AS n_days,
+                  CAST(sum(day_cents) AS BIGINT) AS wk_cents
+           FROM d GROUP BY 1),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS g_days,
+                 CAST(sum(day_cents) AS BIGINT) AS g_cents FROM d)
+    SELECT dow_mon0, n_days,
+           {_sql_r('1.0 * wk_cents / n_days', 2)} AS avg_day_cents,
+           {_sql_r('(1.0 * wk_cents / n_days)'
+                   ' / (1.0 * g_cents / g_days)', 6)} AS seasonal_index
+    FROM wk CROSS JOIN g
+    """,
+    "time series: weekday seasonal index (integer epoch-day weekday, "
+    "two-level reduction, broadcast global average)",
+    "per weekday (0=Monday): day count, 2dp average daily cents, and "
+    "6dp seasonal index vs the all-days average",
+)
+def seasonal_weekday_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        _fdiv(_epoch_s("ts"), 86400).alias("day_num")
+    ).agg(F.sum(_cents(F.col("value"))).cast("bigint").alias("day_cents"))
+    wk = d.groupBy(
+        ((F.col("day_num") + 3) % 7).cast("bigint").alias("dow_mon0")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("day_cents").cast("bigint").alias("wk_cents"),
+    )
+    g = d.agg(
+        F.count("*").cast("bigint").alias("g_days"),
+        F.sum("day_cents").cast("bigint").alias("g_cents"),
+    )
+    wk_avg = F.lit(1.0) * F.col("wk_cents") / F.col("n_days")
+    g_avg = F.lit(1.0) * F.col("g_cents") / F.col("g_days")
+    return wk.crossJoin(F.broadcast(g)).select(
+        "dow_mon0",
+        "n_days",
+        _r(wk_avg, 2).alias("avg_day_cents"),
+        _r(wk_avg / g_avg, 6).alias("seasonal_index"),
+    )
+
+
+# ===========================================================================
 # Driver-window curation (round-2 review directive). The external
 # correctness gate hard-caps its run at the FIRST 50 registered entries
 # (registration-order prefix, observed in rounds 1-2) — it cannot check
@@ -9141,23 +9385,26 @@ _WINDOW_PRIORITY = [
     "dedup_incremental_minhash",
     "pagerank_customer_supplier",
     "dedup_cluster_star",
-    # curation / quality family
+    # curation / quality family (repetition_quality — twice driver-green
+    # — yields its slot to the new bit-exact CUSUM change-point entry)
     "decontaminate_benchmark",
-    "repetition_quality",
+    "cusum_changepoint",
     "pii_redaction",
     "vocab_coverage",
     "pack_sequence_spans",
     # sketch family
     "bloom_join_prune",
     "countmin_frequency",
-    # embedding / similarity family
+    # embedding / similarity family (embed_ivf_ann — twice driver-green
+    # — yields its slot to the new Kaplan-Meier survival entry)
     "embed_cosine_topk",
-    "embed_ivf_ann",
+    "kaplan_meier_conversion",
     # multimodal family head
     "multimodal_image_features",
-    # streaming family
+    # streaming family (streaming_stream_join — twice driver-green —
+    # yields its slot to the new market-basket lift entry)
     "streaming_replay_rollup",
-    "streaming_stream_join",
+    "copurchase_lift_pairs",
     "streaming_late_data_drop",
     # warehouse / skew / layout
     "asof_join_marks",
@@ -9178,7 +9425,10 @@ _WINDOW_PRIORITY = [
 # cluster-star, vocab coverage, pivot, watermark late-drop, sequence
 # packing); later in r5, text_language_id and dedup_exact (both twice
 # driver-green) yielded to the new kmeans_embeddings_lloyd and
-# q8_nation_market_share. Rotated-out entries remain verified by the
+# q8_nation_market_share; later still, repetition_quality,
+# embed_ivf_ann, and streaming_stream_join (all twice driver-green)
+# yielded to the new cusum_changepoint, kaplan_meier_conversion, and
+# copurchase_lift_pairs. Rotated-out entries remain verified by the
 # identical local DuckDB-hash comparison on every pytest run.
 
 
