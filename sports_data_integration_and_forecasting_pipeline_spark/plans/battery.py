@@ -9091,10 +9091,11 @@ def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 # BM25 document scoring — the IR ranking function over the documents
 # table for a pinned query-term set (one rare term, three common ones,
-# so idf spread is real on the 31-word synthetic vocab). Same
-# explode→aggregate chain as tfidf_top_terms: doc lengths and
-# per-(doc, term) tf come from one token explode; df and the corpus
-# stats are re-aggregates of those reduced tables, broadcast back.
+# so idf spread is real on the 31-word synthetic vocab). The corpus is
+# exploded ONCE into a persisted (doc, term, tf) aggregate (house
+# scoped-persist pattern — the vocab_coverage lesson: naive CTE reuse
+# re-explodes the corpus per consumer); doc lengths, corpus stats,
+# query tf, and df are all re-aggregates of that bounded table.
 # Ranking runs on the ROUNDED score (6dp) with a doc_id tiebreak so
 # top-20 selection is engine-identical. k1=1.2, b=0.75.
 # ===========================================================================
@@ -9141,21 +9142,29 @@ _BM25_TERMS = ("dup", "join", "query", "sort")
     f"{_BM25_TERMS}, matched-term count, pinned doc_id tiebreak",
 )
 def bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
+        persist_scoped,
+    )
+
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
     )
-    dl = toks.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("dl"))
+    # One explode feeds everything: (doc, term, tf) is bounded by
+    # |docs| * |vocab|, far smaller than the raw token stream.
+    tc = persist_scoped(
+        "bm25_term_counts",
+        toks.groupBy("doc_id", "term").agg(
+            F.count("*").cast("bigint").alias("tf")
+        ),
+    )
+    dl = tc.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
     stats = dl.agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("dl").cast("bigint").alias("total_len"),
     )
     q = spark.createDataFrame([(t,) for t in _BM25_TERMS], "term string")
-    tf = (
-        toks.join(F.broadcast(q), "term")
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").cast("bigint").alias("tf"))
-    )
+    tf = tc.join(F.broadcast(q), "term")
     df_ = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
     idf = F.log(
         F.lit(1.0)

@@ -194,6 +194,32 @@ PINNED = {
     # native session assignment fuses into ONE aggregate exchange — no
     # lag window, no islands double-pass (that twin is event_sessionize)
     "session_window_native":  (1, [],                       ["Join", "Window"]),
+    # r5 statistics pack: monthly self-join broadcasts the reduced table
+    "yoy_monthly_growth":     (3, ["BroadcastHashJoin"],    ["CartesianProduct", "SortMergeJoin", "Window"]),
+    # scalar totals ride broadcast crosses; windows run over the
+    # per-day aggregate only (BNLJ here = 1-row broadcast, by design)
+    "cusum_changepoint":      (11, ["Window"],              ["CartesianProduct", "SortMergeJoin"]),
+    # exploded lag dim broadcasts; the pair join hashes on day, and the
+    # raw stream never sorts into a window
+    "acf_daily_autocorrelation": (5, ["BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin", "Window"]),
+    # apriori prune = broadcast semi over the basket table; pair
+    # enumeration is an equi-join on orderkey, never a cross product
+    "copurchase_lift_pairs":  (13, ["BroadcastHashJoin"],   ["CartesianProduct", "SortMergeJoin"]),
+    "entropy_source_mix":     (5, ["BroadcastHashJoin"],    ["CartesianProduct", "SortMergeJoin", "Window"]),
+    # one global sort window over a 2-column projection, zero joins
+    "gini_order_concentration": (1, ["Window"],             ["Join", "CartesianProduct"]),
+    # at-risk counts and the KM product are windows over the grouped
+    # duration table; user-level joins broadcast-hash
+    "kaplan_meier_conversion": (8, ["BroadcastHashJoin", "Window"], ["CartesianProduct", "SortMergeJoin"]),
+    # the corpus explodes ONCE into the persisted (doc,term,tf)
+    # aggregate — every Generate past the first is cache-lineage
+    # reprinting under an InMemoryTableScan reference (same textual
+    # inflation as dedup_shingle_jaccard); budget is the textual ceiling
+    "bm25_scoring":           (16, ["BroadcastHashJoin", "InMemoryTableScan"], ["CartesianProduct", "SortMergeJoin"]),
+    # per-user reduction then a 2-row arm aggregate; the z formula is a
+    # scalar projection over a 1-row broadcast cross
+    "abtest_proportion_ztest": (5, [],                      ["CartesianProduct", "SortMergeJoin", "Window"]),
+    "seasonal_weekday_index": (5, [],                       ["CartesianProduct", "SortMergeJoin", "Window"]),
 }
 
 
