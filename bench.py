@@ -164,6 +164,18 @@ HEADLINE = [
     "forward_fill_gaps",
     "fuzzy_name_match",
     "session_window_native",
+    "yoy_monthly_growth",
+    "cusum_changepoint",
+    "acf_daily_autocorrelation",
+    "copurchase_lift_pairs",
+    "entropy_source_mix",
+    "gini_order_concentration",
+    "kaplan_meier_conversion",
+    "bm25_scoring",
+    "abtest_proportion_ztest",
+    "seasonal_weekday_index",
+    "theil_sen_user_trend",
+    "ridge_forecast_closed_form",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

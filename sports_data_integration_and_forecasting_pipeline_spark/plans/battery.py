@@ -9342,6 +9342,202 @@ def seasonal_weekday_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Theil-Sen robust trend per user — the median-of-pairwise-slopes
+# estimator, the outlier-proof twin of user_trend_ols. Pair enumeration
+# is a user-partitioned equi-join (bounded by per-user event count, not
+# |events|²; for pathological heavy keys the repeated-median variant
+# caps it, noted not needed here). The median is selected
+# deterministically: a pinned total order (slope, then the pair's event
+# ids) + row_number, averaging the one or two middle elements — no
+# reliance on engine-specific percentile interpolation. Slope doubles
+# come from identical bigint cents/seconds on both engines; the 2-term
+# average is commutative, so 9dp rounding is safe.
+# ===========================================================================
+
+@_register(
+    "theil_sen_user_trend",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_id,
+             CAST(epoch_us(ts) // 1000000 AS BIGINT) AS t,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+      FROM events),
+    p AS (
+      SELECT a.user_id, a.event_id AS ea, b.event_id AS eb,
+             1.0 * (b.c - a.c) / (b.t - a.t) AS slope
+      FROM e a JOIN e b
+        ON a.user_id = b.user_id AND a.t < b.t),
+    r AS (
+      SELECT user_id, slope,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY slope, ea, eb) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM p)
+    SELECT user_id, CAST(max(n) AS BIGINT) AS n_pairs,
+           {_sql_r('avg(slope)', 9)} AS ts_slope
+    FROM r
+    WHERE rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+       OR rn = CAST(floor((n + 2) / 2.0) AS BIGINT)
+    GROUP BY user_id
+    """,
+    "analytics: Theil-Sen robust trend (median pairwise slope; pinned "
+    "middle-element selection, user-bounded pair join)",
+    "per user: pair count and the 9dp median pairwise slope "
+    "(cents/second) of value over time",
+)
+def theil_sen_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        _epoch_s("ts").alias("t"),
+        _cents(F.col("value")).alias("c"),
+    )
+    a = e.select(
+        "user_id",
+        F.col("event_id").alias("ea"),
+        F.col("t").alias("ta"),
+        F.col("c").alias("ca"),
+    )
+    b = e.select(
+        "user_id",
+        F.col("event_id").alias("eb"),
+        F.col("t").alias("tb"),
+        F.col("c").alias("cb"),
+    )
+    p = (
+        a.join(b, "user_id")
+        .filter(F.col("ta") < F.col("tb"))
+        .select(
+            "user_id",
+            "ea",
+            "eb",
+            (
+                F.lit(1.0)
+                * (F.col("cb") - F.col("ca"))
+                / (F.col("tb") - F.col("ta"))
+            ).alias("slope"),
+        )
+    )
+    wo = Window.partitionBy("user_id").orderBy("slope", "ea", "eb")
+    wn = Window.partitionBy("user_id")
+    r = p.select(
+        "user_id",
+        "slope",
+        F.row_number().over(wo).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    mid1 = F.floor((F.col("n") + 1) / F.lit(2.0)).cast("bigint")
+    mid2 = F.floor((F.col("n") + 2) / F.lit(2.0)).cast("bigint")
+    return (
+        r.filter((F.col("rn") == mid1) | (F.col("rn") == mid2))
+        .groupBy("user_id")
+        .agg(
+            F.max("n").cast("bigint").alias("n_pairs"),
+            _r(F.avg("slope"), 9).alias("ts_slope"),
+        )
+    )
+
+
+# ===========================================================================
+# Ridge regression, closed form — 2-feature (lag-1, lag-2 cents)
+# autoregression with L2 regularization solved exactly from sufficient
+# statistics: one map-side-combined aggregate collects the raw moment
+# sums as EXACT bigints (cents ≤ 5.7e4 ⇒ Σx² ≤ 3.2e14 at sf0.1, far
+# inside int64 — the n-scaled centering that would overflow is instead
+# done in scalar doubles on the 1-row result, identical on both
+# engines), then Cramer's rule on the centered 2×2 normal equations
+# (X'X + λI, λ pinned at 1e4 absolute). The whole "training" is one
+# aggregation pass — no iterative solver, no driver loop.
+# ===========================================================================
+
+@_register(
+    "ridge_forecast_closed_form",
+    f"""
+    WITH f AS (
+      SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS y,
+             lag(CAST(floor(value * 100.0 + 0.5) AS BIGINT), 1)
+               OVER w AS x,
+             lag(CAST(floor(value * 100.0 + 0.5) AS BIGINT), 2)
+               OVER w AS z
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(z) AS BIGINT) AS sz,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(z * z) AS BIGINT) AS szz,
+             CAST(sum(x * z) AS BIGINT) AS sxz,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(z * y) AS BIGINT) AS szy
+      FROM f WHERE x IS NOT NULL AND z IS NOT NULL),
+    m AS (
+      SELECT n, sx, sz, sy,
+             sxx - 1.0 * sx * sx / n + 10000.0 AS a11,
+             szz - 1.0 * sz * sz / n + 10000.0 AS a22,
+             sxz - 1.0 * sx * sz / n AS a12,
+             sxy - 1.0 * sx * sy / n AS b1v,
+             szy - 1.0 * sz * sy / n AS b2v
+      FROM s)
+    SELECT n,
+           {_sql_r('(b1v * a22 - a12 * b2v) / (a11 * a22 - a12 * a12)', 9)}
+             AS beta_lag1,
+           {_sql_r('(a11 * b2v - a12 * b1v) / (a11 * a22 - a12 * a12)', 9)}
+             AS beta_lag2,
+           {_sql_r(
+               '(sy - (b1v * a22 - a12 * b2v) / (a11 * a22 - a12 * a12)'
+               ' * sx'
+               ' - (a11 * b2v - a12 * b1v) / (a11 * a22 - a12 * a12)'
+               ' * sz) / n', 9)} AS intercept_cents
+    FROM m
+    """,
+    "ml: closed-form ridge autoregression (exact bigint sufficient "
+    "statistics in one aggregate, scalar Cramer solve, no iterations)",
+    "one row: sample count and 9dp ridge coefficients (lag-1, lag-2, "
+    "intercept in cents) with pinned lambda=1e4",
+)
+def ridge_forecast_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    c = _cents(F.col("value"))
+    f = ev.select(
+        c.alias("y"),
+        F.lag(c, 1).over(w).alias("x"),
+        F.lag(c, 2).over(w).alias("z"),
+    ).filter(F.col("x").isNotNull() & F.col("z").isNotNull())
+    s = f.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("z").cast("bigint").alias("sz"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("z") * F.col("z")).cast("bigint").alias("szz"),
+        F.sum(F.col("x") * F.col("z")).cast("bigint").alias("sxz"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("z") * F.col("y")).cast("bigint").alias("szy"),
+    )
+    lam = F.lit(10000.0)
+    a11 = F.col("sxx") - F.lit(1.0) * F.col("sx") * F.col("sx") / F.col("n") + lam
+    a22 = F.col("szz") - F.lit(1.0) * F.col("sz") * F.col("sz") / F.col("n") + lam
+    a12 = F.col("sxz") - F.lit(1.0) * F.col("sx") * F.col("sz") / F.col("n")
+    b1v = F.col("sxy") - F.lit(1.0) * F.col("sx") * F.col("sy") / F.col("n")
+    b2v = F.col("szy") - F.lit(1.0) * F.col("sz") * F.col("sy") / F.col("n")
+    det = a11 * a22 - a12 * a12
+    beta1 = (b1v * a22 - a12 * b2v) / det
+    beta2 = (a11 * b2v - a12 * b1v) / det
+    return s.select(
+        "n",
+        _r(beta1, 9).alias("beta_lag1"),
+        _r(beta2, 9).alias("beta_lag2"),
+        _r(
+            (F.col("sy") - beta1 * F.col("sx") - beta2 * F.col("sz"))
+            / F.col("n"),
+            9,
+        ).alias("intercept_cents"),
+    )
+
+
+# ===========================================================================
 # Driver-window curation (round-2 review directive). The external
 # correctness gate hard-caps its run at the FIRST 50 registered entries
 # (registration-order prefix, observed in rounds 1-2) — it cannot check

@@ -220,6 +220,12 @@ PINNED = {
     # scalar projection over a 1-row broadcast cross
     "abtest_proportion_ztest": (5, [],                      ["CartesianProduct", "SortMergeJoin", "Window"]),
     "seasonal_weekday_index": (5, [],                       ["CartesianProduct", "SortMergeJoin", "Window"]),
+    # pair enumeration is a user-keyed equi-join (broadcasts at test SF,
+    # hashes at scale); median selection windows over the pair table
+    "theil_sen_user_trend":   (3, ["Window"],               ["CartesianProduct"]),
+    # one lag window + one map-side-combined moment aggregate; the
+    # Cramer solve is a scalar projection, never a join or solver loop
+    "ridge_forecast_closed_form": (2, ["Window"],           ["Join", "CartesianProduct"]),
 }
 
 
