@@ -176,6 +176,7 @@ HEADLINE = [
     "seasonal_weekday_index",
     "theil_sen_user_trend",
     "ridge_forecast_closed_form",
+    "seasonal_anomaly_days",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

@@ -9538,6 +9538,98 @@ def ridge_forecast_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Seasonally-adjusted anomaly days — the composed monitoring pipeline:
+# daily totals → centered 7-day moving-average trend → weekday seasonal
+# index → flag days whose actual/expected ratio strays >10%. Shows the
+# operators composing: the seasonal index table (7 rows) broadcasts
+# over the per-day trend series; all derived doubles are scalar ops on
+# exact bigint sums (window avg of bigints is exact-sum/count on both
+# engines), so the threshold comparison is bit-identical — no flapping
+# flags at the boundary. Scale: raw stream → one row per day, windows
+# and joins run over that tiny series.
+# ===========================================================================
+
+@_register(
+    "seasonal_anomaly_days",
+    f"""
+    WITH d AS (
+      SELECT CAST(epoch_us(ts) // 1000000 // 86400 AS BIGINT) AS day_num,
+             CAST(sum(floor(value * 100.0 + 0.5)) AS BIGINT) AS day_cents
+      FROM events GROUP BY 1),
+    wk AS (SELECT CAST((day_num + 3) % 7 AS BIGINT) AS dow_mon0,
+                  CAST(count(*) AS BIGINT) AS n_days,
+                  CAST(sum(day_cents) AS BIGINT) AS wk_cents
+           FROM d GROUP BY 1),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS g_days,
+                 CAST(sum(day_cents) AS BIGINT) AS g_cents FROM d),
+    t AS (SELECT day_num, day_cents,
+                 CAST((day_num + 3) % 7 AS BIGINT) AS dow_mon0,
+                 avg(day_cents) OVER (ORDER BY day_num
+                                      ROWS BETWEEN 3 PRECEDING
+                                      AND 3 FOLLOWING) AS trend
+          FROM d)
+    SELECT t.day_num, t.day_cents,
+           {_sql_r('t.trend', 2)} AS trend_cents,
+           {_sql_r('(1.0 * wk.wk_cents / wk.n_days)'
+                   ' / (1.0 * g.g_cents / g.g_days)', 6)} AS seasonal_idx,
+           {_sql_r('t.day_cents / (t.trend'
+                   ' * ((1.0 * wk.wk_cents / wk.n_days)'
+                   ' / (1.0 * g.g_cents / g.g_days)))', 6)} AS ratio,
+           CAST(CASE WHEN abs(t.day_cents / (t.trend
+                  * ((1.0 * wk.wk_cents / wk.n_days)
+                  / (1.0 * g.g_cents / g.g_days))) - 1.0) > 0.10
+                THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+    FROM t JOIN wk USING (dow_mon0) CROSS JOIN g
+    """,
+    "monitoring: seasonally-adjusted daily anomaly flags (7-day centered "
+    "trend x weekday index, broadcast over the per-day series)",
+    "per day: cents, 2dp trend, 6dp seasonal index, 6dp actual/expected "
+    "ratio, and a >10%-deviation anomaly flag",
+)
+def seasonal_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        _fdiv(_epoch_s("ts"), 86400).alias("day_num")
+    ).agg(F.sum(_cents(F.col("value"))).cast("bigint").alias("day_cents"))
+    wk = d.groupBy(
+        ((F.col("day_num") + 3) % 7).cast("bigint").alias("dow_mon0")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("day_cents").cast("bigint").alias("wk_cents"),
+    )
+    g = d.agg(
+        F.count("*").cast("bigint").alias("g_days"),
+        F.sum("day_cents").cast("bigint").alias("g_cents"),
+    )
+    wt = Window.orderBy("day_num").rowsBetween(-3, 3)
+    t = d.select(
+        "day_num",
+        "day_cents",
+        ((F.col("day_num") + 3) % 7).cast("bigint").alias("dow_mon0"),
+        F.avg("day_cents").over(wt).alias("trend"),
+    )
+    idx = (F.lit(1.0) * F.col("wk_cents") / F.col("n_days")) / (
+        F.lit(1.0) * F.col("g_cents") / F.col("g_days")
+    )
+    ratio = F.col("day_cents") / (F.col("trend") * idx)
+    return (
+        t.join(F.broadcast(wk), "dow_mon0")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "day_num",
+            "day_cents",
+            _r(F.col("trend"), 2).alias("trend_cents"),
+            _r(idx, 6).alias("seasonal_idx"),
+            _r(ratio, 6).alias("ratio"),
+            F.when(F.abs(ratio - 1.0) > 0.10, 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("is_anomaly"),
+        )
+    )
+
+
+# ===========================================================================
 # Driver-window curation (round-2 review directive). The external
 # correctness gate hard-caps its run at the FIRST 50 registered entries
 # (registration-order prefix, observed in rounds 1-2) — it cannot check

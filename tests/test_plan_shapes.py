@@ -226,6 +226,8 @@ PINNED = {
     # one lag window + one map-side-combined moment aggregate; the
     # Cramer solve is a scalar projection, never a join or solver loop
     "ridge_forecast_closed_form": (2, ["Window"],           ["Join", "CartesianProduct"]),
+    # the 7-row seasonal index broadcasts over the per-day trend series
+    "seasonal_anomaly_days":  (8, ["BroadcastHashJoin", "Window"], ["CartesianProduct", "SortMergeJoin"]),
 }
 
 
