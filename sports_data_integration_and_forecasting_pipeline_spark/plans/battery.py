@@ -9689,9 +9689,10 @@ _WINDOW_PRIORITY = [
     "pii_redaction",
     "vocab_coverage",
     "pack_sequence_spans",
-    # sketch family
+    # sketch family (countmin_frequency — twice driver-green — yields
+    # its slot to the new BM25 IR-ranking entry; bloom stays as head)
     "bloom_join_prune",
-    "countmin_frequency",
+    "bm25_scoring",
     # embedding / similarity family (embed_ivf_ann — twice driver-green
     # — yields its slot to the new Kaplan-Meier survival entry)
     "embed_cosine_topk",
@@ -9725,8 +9726,9 @@ _WINDOW_PRIORITY = [
 # q8_nation_market_share; later still, repetition_quality,
 # embed_ivf_ann, and streaming_stream_join (all twice driver-green)
 # yielded to the new cusum_changepoint, kaplan_meier_conversion, and
-# copurchase_lift_pairs. Rotated-out entries remain verified by the
-# identical local DuckDB-hash comparison on every pytest run.
+# copurchase_lift_pairs, and countmin_frequency to bm25_scoring.
+# Rotated-out entries remain verified by the identical local
+# DuckDB-hash comparison on every pytest run.
 
 
 def _curate_order() -> None:
