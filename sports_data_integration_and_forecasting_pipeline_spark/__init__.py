@@ -115,6 +115,8 @@ from .app import (
     render_dashboard_text,
     streamlit_app,
     ipywidgets_dashboard,
+    render_prediction_explorer_text,
+    streamlit_prediction_explorer,
 )
 from .sinks import (
     save_snapshot,
@@ -142,6 +144,8 @@ __all__ = [
     "render_dashboard_text",
     "streamlit_app",
     "ipywidgets_dashboard",
+    "render_prediction_explorer_text",
+    "streamlit_prediction_explorer",
     # ingestion
     "fetch_odds",
     "fetch_player_props",

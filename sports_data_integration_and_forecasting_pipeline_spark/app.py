@@ -257,6 +257,87 @@ def streamlit_app(
         st.write("No arbitrage found")
 
 
+def render_prediction_explorer_text(
+    predictions: DataFrame,
+    entity_col: str = "player",
+    prob_col: str = "prob",
+    entity: str | None = None,
+    max_rows: int = 50,
+) -> str:
+    """The prediction-explorer view as text (reference
+    ``src/interface.py:10-19`` parity: pick one entity from the distinct
+    list, show its rows, chart its probabilities). ``entity=None``
+    selects the first distinct entity in sorted order — the
+    deterministic stand-in for the selectbox default. The bar chart is
+    ASCII (40-column scale) so the render has zero dependencies; the
+    Streamlit twin below draws the real one. Driver-side caps: the
+    entity list collects at most 1000 values, the view at most
+    ``max_rows`` rows — render never pulls a production-sized table."""
+    ents = [
+        r[0]
+        for r in predictions.select(entity_col)
+        .distinct()
+        .orderBy(entity_col)
+        .limit(1000)
+        .collect()
+    ]
+    if entity is None:
+        entity = ents[0] if ents else None
+    filtered = (
+        predictions.filter(F.col(entity_col) == F.lit(entity))
+        .limit(max_rows)
+        .toPandas()
+    )
+    lines = [
+        f"== {entity_col}: {entity} ({len(ents)} available) ==",
+        filtered.to_string(index=False) if len(filtered) else "(no rows)",
+        "",
+        f"== {prob_col} ==",
+    ]
+    for _, row in filtered.iterrows():
+        p = float(row[prob_col])
+        n = max(0, min(40, int(round(p * 40))))
+        lines.append(f"{str(row[entity_col])[:20]:20s} {'#' * n} {p:.3f}")
+    return "\n".join(lines)
+
+
+def streamlit_prediction_explorer(
+    predictions: DataFrame,
+    entity_col: str = "player",
+    prob_col: str = "prob",
+    max_rows: int = 500,
+) -> None:
+    """Streamlit twin of :func:`render_prediction_explorer_text`
+    (reference ``src/interface.py`` parity: title, selectbox over
+    distinct entities, filtered dataframe, probability bar chart).
+    Import-gated like :func:`streamlit_app`."""
+    try:
+        import streamlit as st
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise ImportError(
+            "streamlit is not installed; use "
+            "render_prediction_explorer_text() for the dependency-free "
+            "render of the same view"
+        ) from exc
+    ents = [
+        r[0]
+        for r in predictions.select(entity_col)
+        .distinct()
+        .orderBy(entity_col)
+        .limit(1000)
+        .collect()
+    ]
+    st.title("Model vs. Market")
+    choice = st.selectbox(f"Choose a {entity_col}:", ents)
+    filtered = (
+        predictions.filter(F.col(entity_col) == F.lit(choice))
+        .limit(max_rows)
+        .toPandas()
+    )
+    st.dataframe(filtered)
+    st.bar_chart(filtered[[prob_col]])
+
+
 def ipywidgets_dashboard(
     spark: SparkSession | None = None,
     tables: dict[str, DataFrame] | None = None,

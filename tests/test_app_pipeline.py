@@ -111,3 +111,32 @@ def test_ipywidgets_dashboard_import_gated(spark):
 
     with pytest.raises(ImportError, match="render_dashboard_text"):
         ipywidgets_dashboard(spark)
+
+
+def test_prediction_explorer_text(spark):
+    # reference src/interface.py parity: entity filter + probability bars
+    from sports_data_integration_and_forecasting_pipeline_spark.app import render_prediction_explorer_text
+
+    pred = spark.createDataFrame(
+        [("curry", 0.61), ("curry", 0.25), ("lebron", 0.50)],
+        "player string, prob double",
+    )
+    text = render_prediction_explorer_text(pred)
+    # default entity = first distinct in sorted order
+    assert "== player: curry (2 available) ==" in text
+    assert "0.610" in text and "0.250" in text
+    assert "lebron" not in text.split("== prob ==")[1]
+    # explicit entity selection filters to that entity only
+    text2 = render_prediction_explorer_text(pred, entity="lebron")
+    assert "lebron" in text2 and "curry" not in text2
+    # 0.5 -> 20 of 40 bar columns
+    assert "#" * 20 + " 0.500" in text2
+
+
+def test_streamlit_prediction_explorer_import_gated(spark):
+    from sports_data_integration_and_forecasting_pipeline_spark.app import streamlit_prediction_explorer
+    import pytest
+
+    pred = spark.createDataFrame([("a", 0.5)], "player string, prob double")
+    with pytest.raises(ImportError, match="render_prediction_explorer_text"):
+        streamlit_prediction_explorer(pred)
