@@ -177,6 +177,7 @@ HEADLINE = [
     "theil_sen_user_trend",
     "ridge_forecast_closed_form",
     "seasonal_anomaly_days",
+    "set_ops_churn_audit",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

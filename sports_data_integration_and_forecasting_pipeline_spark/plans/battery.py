@@ -9630,6 +9630,64 @@ def seasonal_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Set-operation churn audit — the one relational surface the battery
+# didn't yet exercise: INTERSECT / EXCEPT (distinct set semantics,
+# identical in Spark's .intersect/.subtract and ANSI SQL). Sets are
+# (user, active-weekday) pairs per month half — fine-grained enough
+# that both EXCEPT directions are genuinely non-empty on the dense
+# synthetic users (every user is active all month, so plain user-id
+# sets would make the diffs degenerate). The weekday again comes from
+# pure epoch-day arithmetic. Scale: two distinct aggregates + set ops
+# that hash on the full row — the same shuffle class as the groupBys.
+# ===========================================================================
+
+@_register(
+    "set_ops_churn_audit",
+    """
+    WITH a AS (
+      SELECT DISTINCT user_id,
+             CAST((epoch_us(ts) // 1000000 // 86400 + 3) % 7 AS BIGINT)
+               AS dow_mon0
+      FROM events WHERE ts < TIMESTAMP '2024-01-16'),
+    b AS (
+      SELECT DISTINCT user_id,
+             CAST((epoch_us(ts) // 1000000 // 86400 + 3) % 7 AS BIGINT)
+               AS dow_mon0
+      FROM events WHERE ts >= TIMESTAMP '2024-01-16')
+    SELECT 'both' AS segment, user_id, dow_mon0
+    FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+    UNION ALL
+    SELECT 'first_only' AS segment, user_id, dow_mon0
+    FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+    UNION ALL
+    SELECT 'second_only' AS segment, user_id, dow_mon0
+    FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+    """,
+    "analytics: INTERSECT/EXCEPT churn audit over (user, weekday) "
+    "activity sets (distinct set semantics, both diff directions "
+    "non-empty)",
+    "per (user, weekday) activity pair: tagged 'both' / 'first_only' / "
+    "'second_only' membership across the two month halves",
+)
+def set_ops_churn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    split = F.lit("2024-01-16").cast("timestamp_ntz")
+    dow = ((_fdiv(_epoch_s("ts"), 86400) + 3) % 7).cast("bigint").alias(
+        "dow_mon0"
+    )
+    a = ev.filter(F.col("ts") < split).select("user_id", dow).distinct()
+    b = ev.filter(F.col("ts") >= split).select("user_id", dow).distinct()
+    tag = lambda df, seg: df.select(  # noqa: E731
+        F.lit(seg).alias("segment"), "user_id", "dow_mon0"
+    )
+    return (
+        tag(a.intersect(b), "both")
+        .unionAll(tag(a.subtract(b), "first_only"))
+        .unionAll(tag(b.subtract(a), "second_only"))
+    )
+
+
+# ===========================================================================
 # Driver-window curation (round-2 review directive). The external
 # correctness gate hard-caps its run at the FIRST 50 registered entries
 # (registration-order prefix, observed in rounds 1-2) — it cannot check

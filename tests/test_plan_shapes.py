@@ -228,6 +228,9 @@ PINNED = {
     "ridge_forecast_closed_form": (2, ["Window"],           ["Join", "CartesianProduct"]),
     # the 7-row seasonal index broadcasts over the per-day trend series
     "seasonal_anomaly_days":  (8, ["BroadcastHashJoin", "Window"], ["CartesianProduct", "SortMergeJoin"]),
+    # INTERSECT plans as a LeftSemi, both EXCEPTs as LeftAnti — the
+    # distributed set-op forms; never a cartesian or row-expanding join
+    "set_ops_churn_audit":    (9, ["LeftSemi", "LeftAnti", "Union"], ["CartesianProduct", "SortMergeJoin"]),
 }
 
 
