@@ -178,6 +178,7 @@ HEADLINE = [
     "ridge_forecast_closed_form",
     "seasonal_anomaly_days",
     "set_ops_churn_audit",
+    "range_frame_trailing_hour",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

@@ -9688,6 +9688,64 @@ def set_ops_churn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# RANGE-frame trailing window — the value-distance window frame
+# (RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW over epoch seconds),
+# the one window-frame class the battery didn't yet exercise: ROWS
+# frames count rows, RANGE frames measure ORDER-BY distance, and the
+# two diverge whenever event spacing is irregular. RANGE output is
+# tie-insensitive by definition (all peers of the current ORDER-BY
+# value join the frame), so exact bigint sums need no tiebreak pinning.
+# Scale: one shuffle on user_id, one sort per partition — same cost
+# class as every other per-user window here.
+# ===========================================================================
+
+@_register(
+    "range_frame_trailing_hour",
+    """
+    WITH e AS (
+      SELECT event_id, user_id,
+             CAST(epoch_us(ts) // 1000000 AS BIGINT) AS t_s,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events)
+    SELECT event_id, user_id, t_s,
+           CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY t_s
+                                 RANGE BETWEEN 3600 PRECEDING
+                                 AND CURRENT ROW) AS BIGINT)
+             AS trailing_1h_cents,
+           CAST(count(*) OVER (PARTITION BY user_id ORDER BY t_s
+                               RANGE BETWEEN 3600 PRECEDING
+                               AND CURRENT ROW) AS BIGINT)
+             AS trailing_1h_events
+    FROM e
+    """,
+    "analytics: RANGE-frame trailing-hour window (value-distance frame "
+    "over epoch seconds; tie-insensitive, exact bigint sums)",
+    "per event: the user's value cents and event count within the "
+    "trailing 3600 seconds (RANGE frame, not ROWS)",
+)
+def range_frame_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        "user_id",
+        _epoch_s("ts").alias("t_s"),
+        _cents(F.col("value")).alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_s")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "t_s",
+        F.sum("cents").over(w).cast("bigint").alias("trailing_1h_cents"),
+        F.count("*").over(w).cast("bigint").alias("trailing_1h_events"),
+    )
+
+
+# ===========================================================================
 # Driver-window curation (round-2 review directive). The external
 # correctness gate hard-caps its run at the FIRST 50 registered entries
 # (registration-order prefix, observed in rounds 1-2) — it cannot check

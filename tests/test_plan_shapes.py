@@ -231,6 +231,8 @@ PINNED = {
     # INTERSECT plans as a LeftSemi, both EXCEPTs as LeftAnti — the
     # distributed set-op forms; never a cartesian or row-expanding join
     "set_ops_churn_audit":    (9, ["LeftSemi", "LeftAnti", "Union"], ["CartesianProduct", "SortMergeJoin"]),
+    # one user-partitioned RANGE-frame window pass, zero joins
+    "range_frame_trailing_hour": (1, ["Window"],            ["Join", "CartesianProduct"]),
 }
 
 
