@@ -179,6 +179,7 @@ HEADLINE = [
     "seasonal_anomaly_days",
     "set_ops_churn_audit",
     "range_frame_trailing_hour",
+    "multi_touch_attribution",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

@@ -9746,6 +9746,97 @@ def range_frame_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# U-shaped multi-touch attribution — the marketing-analytics credit
+# model the last-touch entry (purchase_click_attribution) can't express:
+# every click in the 24h lookback shares the purchase's credit, 40%
+# to the first touch, 40% to the last, the middle 20% split evenly
+# (collapsing to 1.0 / 0.5+0.5 for 1- and 2-click paths). Credit is a
+# scalar formula over exact bigint rank/count — deterministic to the
+# last bit, so the per-purchase credits sum to exactly 1 on both
+# engines. The click-purchase pairing is a user-keyed equi-join with a
+# time-band filter (pairs bounded by per-user event counts, the same
+# contract as the Theil-Sen pair join); ranks pin ties on click id.
+# ===========================================================================
+
+@_register(
+    "multi_touch_attribution",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             CAST(epoch_us(ts) // 1000000 AS BIGINT) AS t
+      FROM events),
+    p AS (SELECT user_id, event_id AS pid, t AS tp
+          FROM e WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, event_id AS cid, t AS tc
+          FROM e WHERE event_type = 'click'),
+    j AS (
+      SELECT p.pid, c.cid, c.tc,
+             row_number() OVER (PARTITION BY p.pid
+                                ORDER BY c.tc, c.cid) AS rnk,
+             count(*) OVER (PARTITION BY p.pid) AS n_touches
+      FROM p JOIN c
+        ON p.user_id = c.user_id
+       AND c.tc <= p.tp AND c.tc >= p.tp - 86400)
+    SELECT pid, cid, CAST(rnk AS BIGINT) AS touch_rank,
+           CAST(n_touches AS BIGINT) AS n_touches,
+           {_sql_r(
+               'CASE WHEN n_touches = 1 THEN 1.0'
+               ' WHEN n_touches = 2 THEN 0.5'
+               ' WHEN rnk = 1 OR rnk = n_touches THEN 0.4'
+               ' ELSE 0.2 / (n_touches - 2) END', 6)} AS credit
+    FROM j
+    """,
+    "analytics: U-shaped multi-touch attribution (40/20/40 credit over "
+    "the 24h click path; user-keyed band join, exact rank arithmetic)",
+    "per (purchase, click) touch in the 24h lookback: rank, path "
+    "length, and 6dp U-shaped credit (sums to 1 per purchase)",
+)
+def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_id", "event_type", _epoch_s("ts").alias("t")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("pid"), F.col("t").alias("tp")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("cid"), F.col("t").alias("tc")
+    )
+    j = (
+        p.join(c, "user_id")
+        .filter(
+            (F.col("tc") <= F.col("tp"))
+            & (F.col("tc") >= F.col("tp") - 86400)
+        )
+        .select(
+            "pid",
+            "cid",
+            "tc",
+            F.row_number()
+            .over(Window.partitionBy("pid").orderBy("tc", "cid"))
+            .alias("rnk"),
+            F.count("*").over(Window.partitionBy("pid")).alias("n_touches"),
+        )
+    )
+    credit = (
+        F.when(F.col("n_touches") == 1, F.lit(1.0))
+        .when(F.col("n_touches") == 2, F.lit(0.5))
+        .when(
+            (F.col("rnk") == 1) | (F.col("rnk") == F.col("n_touches")),
+            F.lit(0.4),
+        )
+        .otherwise(F.lit(0.2) / (F.col("n_touches") - 2))
+    )
+    return j.select(
+        "pid",
+        "cid",
+        F.col("rnk").cast("bigint").alias("touch_rank"),
+        F.col("n_touches").cast("bigint").alias("n_touches"),
+        _r(credit, 6).alias("credit"),
+    )
+
+
+# ===========================================================================
 # Driver-window curation (round-2 review directive). The external
 # correctness gate hard-caps its run at the FIRST 50 registered entries
 # (registration-order prefix, observed in rounds 1-2) — it cannot check

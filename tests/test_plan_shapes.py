@@ -233,6 +233,9 @@ PINNED = {
     "set_ops_churn_audit":    (9, ["LeftSemi", "LeftAnti", "Union"], ["CartesianProduct", "SortMergeJoin"]),
     # one user-partitioned RANGE-frame window pass, zero joins
     "range_frame_trailing_hour": (1, ["Window"],            ["Join", "CartesianProduct"]),
+    # click-purchase pairing is a user-keyed equi-join (broadcast at
+    # test SF) + a band filter; ranks window over the pair table
+    "multi_touch_attribution": (3, ["Window"],              ["CartesianProduct", "SortMergeJoin"]),
 }
 
 
