@@ -180,6 +180,7 @@ HEADLINE = [
     "set_ops_churn_audit",
     "range_frame_trailing_hour",
     "multi_touch_attribution",
+    "activity_bitmap_days",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

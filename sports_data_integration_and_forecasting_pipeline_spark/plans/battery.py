@@ -9837,6 +9837,55 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Per-user activity bitmap — the bitwise-aggregate surface: each user's
+# active days packed into one bigint via bit_or(1 << day_index), active
+# count via bit_count. This is the roaring-bitmap-lite representation
+# engagement systems keep per user — 64 days of presence in 8 bytes,
+# mergeable across partitions by construction (bit_or is commutative
+# and associative, the ideal map-side-combined aggregate). The day
+# index is relative to the global min day (derived, not hardcoded), so
+# the entry survives testdata regeneration. Pure integer ops — exact.
+# ===========================================================================
+
+@_register(
+    "activity_bitmap_days",
+    """
+    WITH e AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) // 1000000 // 86400 AS BIGINT) AS day
+      FROM events),
+    base AS (SELECT min(day) AS base FROM e),
+    j AS (SELECT user_id, CAST(day - base AS INT) AS di
+          FROM e CROSS JOIN base)
+    SELECT user_id,
+           CAST(bit_or(CAST(1 AS BIGINT) << di) AS BIGINT) AS day_bitmap,
+           CAST(bit_count(bit_or(CAST(1 AS BIGINT) << di)) AS BIGINT)
+             AS n_active_days,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM j GROUP BY user_id
+    """,
+    "analytics: per-user active-day bitmap via bit_or/bit_count "
+    "(mergeable 8-byte presence set, the roaring-bitmap-lite form)",
+    "per user: 64-bit day-presence bitmap (bit i = active on min-day+i), "
+    "popcount of active days, and event count",
+)
+def activity_bitmap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select("user_id", _fdiv(_epoch_s("ts"), 86400).alias("day"))
+    base = e.agg(F.min("day").alias("base"))
+    j = e.crossJoin(F.broadcast(base)).select(
+        "user_id",
+        (F.col("day") - F.col("base")).cast("int").alias("di"),
+    )
+    bit = F.expr("shiftleft(CAST(1 AS BIGINT), di)")
+    return j.groupBy("user_id").agg(
+        F.bit_or(bit).cast("bigint").alias("day_bitmap"),
+        F.bit_count(F.bit_or(bit)).cast("bigint").alias("n_active_days"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+
+
+# ===========================================================================
 # Driver-window curation (round-2 review directive). The external
 # correctness gate hard-caps its run at the FIRST 50 registered entries
 # (registration-order prefix, observed in rounds 1-2) — it cannot check

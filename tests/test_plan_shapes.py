@@ -236,6 +236,9 @@ PINNED = {
     # click-purchase pairing is a user-keyed equi-join (broadcast at
     # test SF) + a band filter; ranks window over the pair table
     "multi_touch_attribution": (3, ["Window"],              ["CartesianProduct", "SortMergeJoin"]),
+    # bit_or is map-side-combined; the 1-row min-day scalar rides a
+    # broadcast cross; no window, no real join
+    "activity_bitmap_days":   (3, ["HashAggregate"],        ["CartesianProduct", "SortMergeJoin", "Window"]),
 }
 
 
