@@ -8969,7 +8969,10 @@ def gini_order_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Censored-only times contribute factor 1 by construction; the terminal
 # n==d point (survival exactly 0, ln undefined) is excluded, which can
 # only ever be the single largest duration. Scale: two aggregates over
-# events, then windows over the per-duration table.
+# events, then windows over the per-duration table — whose size is
+# BOUNDED by the horizon (≤259,201 distinct second-granularity
+# durations) regardless of user count, so the global windows never
+# outgrow one partition even at 100 TB.
 # ===========================================================================
 
 @_register(
@@ -9843,8 +9846,11 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engagement systems keep per user — 64 days of presence in 8 bytes,
 # mergeable across partitions by construction (bit_or is commutative
 # and associative, the ideal map-side-combined aggregate). The day
-# index is relative to the global min day (derived, not hardcoded), so
-# the entry survives testdata regeneration. Pure integer ops — exact.
+# index is relative to the global min day (derived, not hardcoded), and
+# indices ≥64 are filtered OUT on both sides — a 65th day would make
+# shiftleft wrap mod 64 with engine-specific semantics, so the bitmap
+# is explicitly "the first 64 days of the observation window" (the
+# current testdata spans 30). Pure integer ops — exact.
 # ===========================================================================
 
 @_register(
@@ -9856,7 +9862,8 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events),
     base AS (SELECT min(day) AS base FROM e),
     j AS (SELECT user_id, CAST(day - base AS INT) AS di
-          FROM e CROSS JOIN base)
+          FROM e CROSS JOIN base
+          WHERE day - base < 64)
     SELECT user_id,
            CAST(bit_or(CAST(1 AS BIGINT) << di) AS BIGINT) AS day_bitmap,
            CAST(bit_count(bit_or(CAST(1 AS BIGINT) << di)) AS BIGINT)
@@ -9873,9 +9880,13 @@ def activity_bitmap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     e = ev.select("user_id", _fdiv(_epoch_s("ts"), 86400).alias("day"))
     base = e.agg(F.min("day").alias("base"))
-    j = e.crossJoin(F.broadcast(base)).select(
-        "user_id",
-        (F.col("day") - F.col("base")).cast("int").alias("di"),
+    j = (
+        e.crossJoin(F.broadcast(base))
+        .filter(F.col("day") - F.col("base") < 64)
+        .select(
+            "user_id",
+            (F.col("day") - F.col("base")).cast("int").alias("di"),
+        )
     )
     bit = F.expr("shiftleft(CAST(1 AS BIGINT), di)")
     return j.groupBy("user_id").agg(
