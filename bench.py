@@ -185,7 +185,8 @@ HEADLINE = [
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).
     # forecast_random_forest / dedup_cluster_assign / dedup_cluster_star /
-    # pagerank_customer_supplier / hierarchy_root_depth /
+    # leakage_safe_split / pagerank_customer_supplier /
+    # hierarchy_root_depth /
     # recursive_cte_walk excluded: iterative MLlib fit /
     # loop-until-fixpoint / pointer-doubling / level-per-round recursion —
     # wall time is dominated by scheduling, not the operators under test.

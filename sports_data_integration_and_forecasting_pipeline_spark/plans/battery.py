@@ -9897,6 +9897,85 @@ def activity_bitmap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Leakage-safe train/val/test split — the step that closes the dedup →
+# split loop: assigning SPLITS BY DUPLICATE CLUSTER, not by document,
+# so a near-duplicate of a training doc can never land in the test set
+# (the classic eval-leakage failure). Clusters come from the same
+# SimHash connected components as dedup_cluster_assign; the split is
+# the house md5 bucket (engine-portable h60 % 10 → 80/10/10) keyed on
+# the CLUSTER id — every member inherits its cluster's split by
+# construction, which is the whole guarantee. Scale: the components
+# fixpoint is the documented O(diameter) join+agg; the split itself is
+# one narrow hash projection.
+# ===========================================================================
+
+@_register(
+    "leakage_safe_split",
+    f"""
+    WITH RECURSIVE {_SIMHASH60_CTE},
+    bands AS (
+      SELECT doc_id, simhash60, b AS band,
+             (simhash60 >> (15 * b)) & 32767 AS nib
+      FROM sim60 CROSS JOIN (VALUES (0), (1), (2), (3)) t(b)
+    ),
+    edges AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.nib = b.nib
+                               AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash60, b.simhash60)) <= 3
+    ),
+    sym AS (
+      SELECT id_a AS n, id_b AS m FROM edges
+      UNION ALL SELECT id_b, id_a FROM edges
+    ),
+    comp(n, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT s.n, c.label FROM comp c JOIN sym s ON s.m = c.n
+    ),
+    clusters AS (
+      SELECT n AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+      FROM comp GROUP BY n
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN {_h60_sql(
+               "concat('split', CAST(cluster_id AS VARCHAR))")} % 10 < 8
+                THEN 'train'
+                WHEN {_h60_sql(
+               "concat('split', CAST(cluster_id AS VARCHAR))")} % 10 = 8
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM clusters
+    """,
+    "curation: leakage-safe train/val/test split (md5 bucket on the "
+    "duplicate-cluster id — near-dups can never straddle splits)",
+    "per document: its SimHash duplicate-cluster id and the cluster's "
+    "80/10/10 split assignment",
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
+        connected_components,
+        h60,
+        simhash_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = simhash_pairs(docs, max_hamming=3).select("id_a", "id_b")
+    clusters = connected_components(edges, docs, node_col="doc_id")
+    bucket = h60(
+        F.concat(F.lit("split"), F.col("cluster_id").cast("string"))
+    ) % 10
+    return clusters.select(
+        "doc_id",
+        "cluster_id",
+        F.when(bucket < 8, "train")
+        .when(bucket == 8, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+# ===========================================================================
 # Driver-window curation (round-2 review directive). The external
 # correctness gate hard-caps its run at the FIRST 50 registered entries
 # (registration-order prefix, observed in rounds 1-2) — it cannot check
