@@ -200,3 +200,22 @@ def test_weighted_systematic_sample_repartition_stable(spark):
     # docs can add at most their own extra picks)
     total = docs.agg(F.sum("n_toks")).collect()[0][0]
     assert abs(len(a) - total // 1000) <= 1
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    # the whole guarantee: a near-duplicate of a train doc can never
+    # land in val/test, because split assignment hashes the CLUSTER id
+    from sports_data_integration_and_forecasting_pipeline_spark.plans.battery import QUERIES
+
+    pdf = (
+        QUERIES["leakage_safe_split"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .toPandas()
+    )
+    assert len(pdf) == 500  # one row per document
+    spanning = (pdf.groupby("cluster_id")["split"].nunique() > 1).sum()
+    assert spanning == 0
+    # all three splits populated, with train the large bucket
+    counts = pdf.groupby("split").size()
+    assert set(counts.index) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] + counts["test"]
