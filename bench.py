@@ -181,6 +181,7 @@ HEADLINE = [
     "range_frame_trailing_hour",
     "multi_touch_attribution",
     "activity_bitmap_days",
+    "brand_price_realization",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

@@ -9976,6 +9976,80 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Brand price realization — catalog-vs-transacted pricing: for each
+# brand, the revenue actually booked against the catalog value of the
+# goods sold (Σ extendedprice ÷ Σ qty·retailprice). Exercises
+# p_retailprice (the one catalog column nothing else touches) and the
+# classic fact-to-dim money reconciliation. All money is exact integer
+# cents (quantities are integral in this data, cast checked by the
+# oracle); the realization ratio is one rounded division of exact
+# bigint sums. Scale: broadcast part dim into the fact scan, one
+# map-side-combined aggregate — the canonical star-join rollup.
+# ===========================================================================
+
+@_register(
+    "brand_price_realization",
+    f"""
+    WITH li AS (
+      SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+             CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+               AS ext_cents
+      FROM lineitem),
+    p AS (SELECT p_partkey, p_brand,
+                 CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT)
+                   AS retail_cents
+          FROM part)
+    SELECT p.p_brand,
+           CAST(count(DISTINCT li.l_partkey) AS BIGINT) AS n_parts,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(li.qty) AS BIGINT) AS sum_qty,
+           CAST(sum(li.ext_cents) AS BIGINT) AS revenue_cents,
+           CAST(sum(li.qty * p.retail_cents) AS BIGINT) AS catalog_cents,
+           {_sql_r('1.0 * sum(li.ext_cents)'
+                   ' / sum(li.qty * p.retail_cents)', 6)} AS realization
+    FROM li JOIN p ON li.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+    "warehouse: brand price realization (catalog vs transacted revenue; "
+    "broadcast dim star rollup, exact integer cents)",
+    "per brand: part/line counts, quantity, booked revenue cents, "
+    "catalog-value cents, and the 6dp realization ratio",
+)
+def brand_price_realization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        _cents(F.col("l_extendedprice")).alias("ext_cents"),
+    )
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        _cents(F.col("p_retailprice")).alias("retail_cents"),
+    )
+    return (
+        li.join(
+            F.broadcast(p), li["l_partkey"] == p["p_partkey"]
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count_distinct("l_partkey").cast("bigint").alias("n_parts"),
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum("qty").cast("bigint").alias("sum_qty"),
+            F.sum("ext_cents").cast("bigint").alias("revenue_cents"),
+            F.sum(F.col("qty") * F.col("retail_cents"))
+            .cast("bigint")
+            .alias("catalog_cents"),
+            _r(
+                F.lit(1.0)
+                * F.sum("ext_cents")
+                / F.sum(F.col("qty") * F.col("retail_cents")),
+                6,
+            ).alias("realization"),
+        )
+    )
+
+
+# ===========================================================================
 # Driver-window curation (round-2 review directive). The external
 # correctness gate hard-caps its run at the FIRST 50 registered entries
 # (registration-order prefix, observed in rounds 1-2) — it cannot check

@@ -239,6 +239,8 @@ PINNED = {
     # bit_or is map-side-combined; the 1-row min-day scalar rides a
     # broadcast cross; no window, no real join
     "activity_bitmap_days":   (3, ["HashAggregate"],        ["CartesianProduct", "SortMergeJoin", "Window"]),
+    # canonical star rollup: part dim broadcasts into the fact scan
+    "brand_price_realization": (3, ["BroadcastHashJoin"],   ["CartesianProduct", "SortMergeJoin", "Window"]),
 }
 
 
