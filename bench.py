@@ -191,6 +191,9 @@ HEADLINE = [
     # recursive_cte_walk excluded: iterative MLlib fit /
     # loop-until-fixpoint / pointer-doubling / level-per-round recursion —
     # wall time is dominated by scheduling, not the operators under test.
+    # dedup_shingle_jaccard_all excluded: the exhaustive enumerator kept
+    # as the prefix-filtered entry's oracle twin — benching both would
+    # double-count the same corpus pass.
 ]
 
 
