@@ -182,6 +182,7 @@ HEADLINE = [
     "multi_touch_attribution",
     "activity_bitmap_days",
     "brand_price_realization",
+    "hll_rolling_7d_users",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

@@ -10050,6 +10050,109 @@ def brand_price_realization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Rolling 7-day distinct users via HLL register MERGE — the reason
+# sketches exist: yesterday's raw events are gone, but yesterday's 64
+# registers (≤64 rows per day, whatever the raw volume) merge with
+# today's by a plain max — so the trailing-week NDV costs a band join
+# over ~7·64 pre-aggregated rows per day instead of a 7-day raw
+# re-scan. Same engine-portable md5 HLL as hll_group_registers (raw
+# estimator, integer-exact harmonic denominator), so register state AND
+# estimate hash-match DuckDB. The days dim broadcasts over the register
+# table; correctness does not assume every register fires every day.
+# ===========================================================================
+
+@_register(
+    "hll_rolling_7d_users",
+    f"""
+    WITH h AS (
+      SELECT CAST(epoch_us(ts) // 1000000 // 86400 AS BIGINT) AS day,
+             {_h60_sql('CAST(user_id AS VARCHAR)')} AS hv
+      FROM events),
+    r AS (
+      SELECT day, hv % {_HLL_M} AS j,
+             55 - length(trim(LEADING '0' FROM bin(hv // {_HLL_M})))
+               AS rho0
+      FROM h),
+    dayregs AS (SELECT day, j, max(rho0) AS rho
+                FROM r GROUP BY day, j),
+    days AS (SELECT DISTINCT day FROM dayregs),
+    merged AS (
+      SELECT d.day, g.j, max(g.rho) AS rho
+      FROM days d JOIN dayregs g
+        ON g.day BETWEEN d.day - 6 AND d.day
+      GROUP BY d.day, g.j)
+    SELECT day,
+           CAST(count(*) AS INT) AS n_regs,
+           CAST(sum(rho) AS BIGINT) AS rho_sum,
+           CAST(floor({_HLL_SCALE} * {_HLL_P55!r}
+                      / (sum(CAST(1 AS BIGINT) << CAST(55 - rho AS INT))
+                         + ({_HLL_M} - count(*)) * {_HLL_P55!r})
+                      * 1e4 + 0.5) AS BIGINT) AS est_e4
+    FROM merged GROUP BY day
+    """,
+    "sketch: rolling 7-day distinct users by HLL register merge "
+    "(trailing week from <=7x64 pre-aggregated rows, no raw re-scan)",
+    "per day: merged register count/checksum and the trailing-7-day "
+    "approximate distinct-user estimate in 1e-4 units",
+)
+def hll_rolling_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import h60
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.frequency import (
+        HLL_ALPHA_64,
+    )
+
+    m = _HLL_M
+    ev = _t(spark, sf_dir, "events")
+    d = (
+        ev.select(
+            _fdiv(_epoch_s("ts"), 86400).alias("day"),
+            h60(F.col("user_id").cast("string")).alias("__h"),
+        )
+        .select(
+            "day",
+            (F.col("__h") % m).alias("j"),
+            F.expr(f"__h div {m}").alias("__w"),
+        )
+        .withColumn(
+            "rho0",
+            (
+                F.lit(55)
+                - F.length(F.expr("trim(LEADING '0' FROM bin(__w))"))
+            ).cast("int"),
+        )
+    )
+    dayregs = d.groupBy("day", "j").agg(F.max("rho0").alias("rho"))
+    days = dayregs.select("day").distinct().select(F.col("day").alias("dd"))
+    merged = (
+        F.broadcast(days)
+        .join(
+            dayregs,
+            (F.col("day") <= F.col("dd"))
+            & (F.col("day") >= F.col("dd") - 6),
+        )
+        .groupBy("dd", "j")
+        .agg(F.max("rho").alias("rho"))
+    )
+    scale = float(HLL_ALPHA_64 * m * m)
+    return merged.groupBy("dd").agg(
+        F.count("*").cast("int").alias("n_regs"),
+        F.sum("rho").cast("bigint").alias("rho_sum"),
+        F.floor(
+            F.lit(scale)
+            * float(1 << 55)
+            / (
+                F.sum(F.expr("shiftleft(1L, CAST(55 - rho AS INT))"))
+                + (F.lit(m) - F.count("*")) * F.lit(float(1 << 55))
+            )
+            * 1e4
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("est_e4"),
+    ).withColumnRenamed("dd", "day")
+
+
+# ===========================================================================
 # Driver-window curation (round-2 review directive). The external
 # correctness gate hard-caps its run at the FIRST 50 registered entries
 # (registration-order prefix, observed in rounds 1-2) — it cannot check

@@ -241,6 +241,9 @@ PINNED = {
     "activity_bitmap_days":   (3, ["HashAggregate"],        ["CartesianProduct", "SortMergeJoin", "Window"]),
     # canonical star rollup: part dim broadcasts into the fact scan
     "brand_price_realization": (3, ["BroadcastHashJoin"],   ["CartesianProduct", "SortMergeJoin", "Window"]),
+    # the tiny days dim rides a broadcast band join over the <=64-rows-
+    # per-day register table — raw events are scanned exactly once
+    "hll_rolling_7d_users":   (5, ["BroadcastNestedLoopJoin"], ["CartesianProduct", "SortMergeJoin", "Window"]),
 }
 
 
