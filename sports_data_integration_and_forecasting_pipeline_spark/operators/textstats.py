@@ -123,11 +123,18 @@ def unigram_perplexity(
     partitions and engines — before the final exp.
 
     Scale shape: explode (narrow) → (doc, term) tf counts (one shuffle,
-    map-side combine) → term totals (partial-agg shuffle on term) → join
-    tf-to-prob on term (shuffle join; the term table is corpus-vocabulary
-    sized, not broadcastable at 100 TB) → per-doc agg (one shuffle on
-    doc). All JVM-side Column arithmetic.
+    map-side combine), PERSISTED via the scoped registry — `term_tot`,
+    `total`, and the scoring join all derive from that one materialized
+    table, so the corpus is tokenized exactly once instead of once per
+    consumer leg (the same single-explode contract `bm25_scoring`
+    keeps). The cached (doc, term, tf) table is bounded by
+    |docs|·|per-doc vocab|, far smaller than the raw token stream. →
+    term totals (partial-agg shuffle on term) → join tf-to-prob on term
+    (shuffle join; the term table is corpus-vocabulary sized, not
+    broadcastable at 100 TB) → per-doc agg (one shuffle on doc). All
+    JVM-side Column arithmetic.
     """
+    from .dedup import persist_scoped
     from .parallelism import ensure_parallelism
 
     toks = ensure_parallelism(df, id_col).select(
@@ -135,7 +142,10 @@ def unigram_perplexity(
     )
     # hash-partitioned by id_col already co-locates (id, term) groups, so
     # this agg adds no exchange — the spread shuffle IS the tf shuffle
-    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    tf = persist_scoped(
+        "textstats_ppl_tf",
+        toks.groupBy(id_col, "term").agg(F.count("*").alias("tf")),
+    )
     term_tot = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
     total = term_tot.agg(F.sum("cnt").alias("total"))
     scored = (

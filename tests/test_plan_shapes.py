@@ -244,6 +244,13 @@ PINNED = {
     # the tiny days dim rides a broadcast band join over the <=64-rows-
     # per-day register table — raw events are scanned exactly once
     "hll_rolling_7d_users":   (5, ["BroadcastNestedLoopJoin"], ["CartesianProduct", "SortMergeJoin", "Window"]),
+    # r6: the (doc,term,tf) aggregate persists once; term totals, corpus
+    # total, and the scoring join are all InMemoryTableScans of that one
+    # relation — textual Exchange/Generate counts include the cached
+    # lineage echoes (see test_perplexity_family_single_tokenize for the
+    # live-Generate assertion)
+    "text_unigram_perplexity": (10, ["InMemoryTableScan"],  ["CartesianProduct", "SortMergeJoin"]),
+    "quality_perplexity_cut": (12, ["InMemoryTableScan"],   ["CartesianProduct", "SortMergeJoin"]),
 }
 
 
@@ -332,6 +339,46 @@ def _assert_shared_exchange_legs(plan: str, needle: str, entry: str):
         f"{entry}: shared-pass legs diverged — AQE can no longer reuse "
         f"the shuffle stage:\n{a}\nvs\n{b}"
     )
+
+
+def _live_generates(plan: str) -> int:
+    """Count Generate nodes that will actually execute — i.e. NOT inside an
+    InMemoryRelation cached-lineage echo (InMemoryTableScan prints the
+    cached plan beneath it, but execution reads cache blocks, so those
+    Generates never run)."""
+    lines = plan.splitlines()
+
+    def depth(line: str) -> int:
+        return (len(line) - len(line.lstrip(" :+-"))) // 3
+
+    live = 0
+    echo_depth: int | None = None
+    for l in lines:
+        d = depth(l)
+        if echo_depth is not None and d > echo_depth:
+            continue
+        echo_depth = None
+        if "InMemoryRelation" in l:
+            echo_depth = d
+            continue
+        if "Generate" in l:
+            live += 1
+    return live
+
+
+def test_perplexity_family_single_tokenize(spark):
+    """r6 (VERDICT r5 task 1): the corpus tokenizes EXACTLY once — the
+    (doc,term,tf) aggregate is scope-persisted and every consumer leg
+    (term totals, corpus total, scoring join) is an InMemoryTableScan of
+    that single relation. Zero live Generate nodes outside the cache
+    lineage; a refactor that re-explodes per leg fails here instead of
+    only tripling tokenize cost at 100 TB."""
+    for name in ("text_unigram_perplexity", "quality_perplexity_cut"):
+        p = _plan(spark, name)
+        assert "InMemoryTableScan" in p, f"{name}: lost the tf cache"
+        assert _live_generates(p) == 0, (
+            f"{name}: live (non-cache) Generate leg reappeared:\n{p[:2000]}"
+        )
 
 
 def test_vocab_coverage_single_pass_via_stage_reuse(spark):
