@@ -281,15 +281,24 @@ def render_prediction_explorer_text(
         .limit(1000)
         .collect()
     ]
+    if not ents:
+        # empty input: short-circuit rather than rendering a
+        # "player: None (0 available)" header over a filter on NULL
+        return f"(no {entity_col} entities)"
     if entity is None:
-        entity = ents[0] if ents else None
+        entity = ents[0]
     filtered = (
         predictions.filter(F.col(entity_col) == F.lit(entity))
         .limit(max_rows)
         .toPandas()
     )
+    header = f"== {entity_col}: {entity} ({len(ents)} available) =="
+    if entity not in ents and not len(filtered):
+        # caller asked for an entity absent from the data — say so
+        # instead of silently echoing it over an empty table
+        header += " [not found in data]"
     lines = [
-        f"== {entity_col}: {entity} ({len(ents)} available) ==",
+        header,
         filtered.to_string(index=False) if len(filtered) else "(no rows)",
         "",
         f"== {prob_col} ==",

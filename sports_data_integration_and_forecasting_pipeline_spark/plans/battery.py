@@ -8904,11 +8904,17 @@ def entropy_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Gini coefficient of order values — the inequality/concentration audit
 # (how skewed is revenue across orders). Uses the rank formulation
 # G = Σ(2i−n−1)x_i / (n·Σx) with a pinned total order (cents, orderkey)
-# so both engines assign identical ranks to ties. The weighted sum stays
-# an exact bigint (Σ(2i−1)·cents ≈ n²·avg_cents — within int64 up to
-# SF≈1; beyond that, switch the weighted sum to double, losing only
-# last-ulp exactness). One global sort of a 2-column projection — the
-# same single-sort cost profile as the decile/Pareto entries.
+# so both engines assign identical ranks to ties. The weighted sum
+# Σ(2i−1)·cents ≈ n²·avg_cents blows past int64 near SF≈0.25 (w ≈
+# 3.4e19 at SF1 vs int64 max 9.2e18 — Spark's non-ANSI sum would wrap
+# SILENTLY while DuckDB's hugeint-sum-to-BIGINT cast fails LOUDLY), so
+# it accumulates in wide exact integer types on BOTH engines: Spark
+# sums decimal(38,0) terms, DuckDB sums hugeint terms — exact to 1e38,
+# i.e. any reachable SF — and only the final ratio drops to double
+# (identical IEEE rounding of the same exact integer on both sides, so
+# the 9dp hash still matches). One global sort of a 2-column
+# projection — the same single-sort cost profile as the decile/Pareto
+# entries.
 # ===========================================================================
 
 @_register(
@@ -8921,10 +8927,10 @@ def entropy_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders),
     t AS (SELECT CAST(count(*) AS BIGINT) AS n,
                  CAST(sum(cents) AS BIGINT) AS s,
-                 CAST(sum((2 * i - 1) * cents) AS BIGINT) AS w
+                 sum(CAST(2 * i - 1 AS HUGEINT) * cents) AS w
           FROM x)
     SELECT n AS n_orders, s AS total_cents,
-           {_sql_r('1.0 * w / (1.0 * n * s) - 1.0', 9)} AS gini
+           {_sql_r('CAST(w AS DOUBLE) / (1.0 * n * s) - 1.0', 9)} AS gini
     FROM t
     """,
     "analytics: Gini concentration of order values (rank formulation, "
@@ -8940,18 +8946,24 @@ def gini_order_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "i",
         F.row_number().over(Window.orderBy("cents", "o_orderkey")),
     )
+    # exact wide-integer accumulation: decimal(18,0) × decimal(18,0)
+    # terms sum into decimal(38,0) — no int64 wrap at any reachable SF
+    # (matches the oracle's hugeint sum bit-for-bit after the final
+    # cast-to-double)
+    w_term = (2 * F.col("i").cast("bigint") - 1).cast("decimal(18,0)") * F.col(
+        "cents"
+    ).cast("decimal(18,0)")
     t = x.agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("cents").cast("bigint").alias("s"),
-        F.sum((2 * F.col("i") - 1) * F.col("cents"))
-        .cast("bigint")
-        .alias("w"),
+        F.sum(w_term).alias("w"),
     )
     return t.select(
         F.col("n").alias("n_orders"),
         F.col("s").alias("total_cents"),
         _r(
-            F.lit(1.0) * F.col("w") / (F.lit(1.0) * F.col("n") * F.col("s"))
+            F.col("w").cast("double")
+            / (F.lit(1.0) * F.col("n") * F.col("s"))
             - F.lit(1.0),
             9,
         ).alias("gini"),
@@ -9847,10 +9859,12 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mergeable across partitions by construction (bit_or is commutative
 # and associative, the ideal map-side-combined aggregate). The day
 # index is relative to the global min day (derived, not hardcoded), and
-# indices ≥64 are filtered OUT on both sides — a 65th day would make
-# shiftleft wrap mod 64 with engine-specific semantics, so the bitmap
-# is explicitly "the first 64 days of the observation window" (the
-# current testdata spans 30). Pure integer ops — exact.
+# indices ≥63 are filtered OUT on both sides: index 63 would be the sign
+# bit — Spark's shiftleft(1L, 63) silently yields it while DuckDB 1.0.0
+# raises "Overflow in left shift (1 << 63)" (verified locally), a
+# silent-vs-loud engine divergence — so the bitmap is explicitly "the
+# first 63 days of the observation window" (the current testdata spans
+# 30). Pure integer ops — exact.
 # ===========================================================================
 
 @_register(
@@ -9863,7 +9877,7 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     base AS (SELECT min(day) AS base FROM e),
     j AS (SELECT user_id, CAST(day - base AS INT) AS di
           FROM e CROSS JOIN base
-          WHERE day - base < 64)
+          WHERE day - base < 63)
     SELECT user_id,
            CAST(bit_or(CAST(1 AS BIGINT) << di) AS BIGINT) AS day_bitmap,
            CAST(bit_count(bit_or(CAST(1 AS BIGINT) << di)) AS BIGINT)
@@ -9873,7 +9887,8 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "analytics: per-user active-day bitmap via bit_or/bit_count "
     "(mergeable 8-byte presence set, the roaring-bitmap-lite form)",
-    "per user: 64-bit day-presence bitmap (bit i = active on min-day+i), "
+    "per user: day-presence bitmap in a bigint (bit i = active on "
+    "min-day+i, window capped at 63 days to keep the sign bit clear), "
     "popcount of active days, and event count",
 )
 def activity_bitmap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9882,7 +9897,7 @@ def activity_bitmap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = e.agg(F.min("day").alias("base"))
     j = (
         e.crossJoin(F.broadcast(base))
-        .filter(F.col("day") - F.col("base") < 64)
+        .filter(F.col("day") - F.col("base") < 63)
         .select(
             "user_id",
             (F.col("day") - F.col("base")).cast("int").alias("di"),

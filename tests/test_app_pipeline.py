@@ -133,6 +133,23 @@ def test_prediction_explorer_text(spark):
     assert "#" * 20 + " 0.500" in text2
 
 
+def test_prediction_explorer_text_empty_and_missing(spark):
+    # r6 ADVICE: empty input short-circuits instead of rendering a
+    # "player: None (0 available)" header over a filter on NULL, and a
+    # caller-supplied entity absent from the data is flagged
+    from sports_data_integration_and_forecasting_pipeline_spark.app import render_prediction_explorer_text
+
+    empty = spark.createDataFrame([], "player string, prob double")
+    assert render_prediction_explorer_text(empty) == "(no player entities)"
+
+    pred = spark.createDataFrame(
+        [("curry", 0.61)], "player string, prob double"
+    )
+    text = render_prediction_explorer_text(pred, entity="nobody")
+    assert "[not found in data]" in text
+    assert "(no rows)" in text
+
+
 def test_streamlit_prediction_explorer_import_gated(spark):
     from sports_data_integration_and_forecasting_pipeline_spark.app import streamlit_prediction_explorer
     import pytest
