@@ -9356,12 +9356,44 @@ def seasonal_weekday_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Pair-join heavy-key guard: the self-join pair enumerators (Theil-Sen,
+# U-shaped attribution) are bounded by PER-KEY row counts — O(Σ nᵢ²),
+# linear in total rows only while every nᵢ stays small. The testdata
+# keeps nᵢ ≈ 67-99 across SFs, but that was an UNENFORCED contract: a
+# pathological key with 10⁶ rows means 5·10¹¹ pairs, a silent
+# scale-killer. This guard makes the contract fail-loudly (the same
+# style as the streaming late-drop watermark precondition): one cheap
+# map-side-combined count-per-key aggregate + a 1-row max read before
+# the join; past the bound the entry raises with the fix (repeated-
+# median / per-key sampling) named, instead of launching the blowup.
+_PAIR_JOIN_MAX_GROUP = 10_000  # 5·10⁷ pairs for one key — the loud ceiling
+
+
+def _assert_bounded_group(df: DataFrame, key_col: str, entry: str) -> None:
+    hi = (
+        df.groupBy(key_col)
+        .agg(F.count("*").alias("n"))
+        .agg(F.max("n").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    if hi is not None and hi > _PAIR_JOIN_MAX_GROUP:
+        raise AssertionError(
+            f"{entry} pair-join precondition violated: heaviest "
+            f"{key_col} has {hi} rows (bound {_PAIR_JOIN_MAX_GROUP}) — "
+            f"the per-key pair join would enumerate ~{hi * (hi - 1) // 2:,} "
+            "pairs for that key. Cap per-key rows upstream (sample, or "
+            "switch to the repeated-median variant) instead of letting "
+            "the O(n²) blowup launch."
+        )
+
+
 # ===========================================================================
 # Theil-Sen robust trend per user — the median-of-pairwise-slopes
 # estimator, the outlier-proof twin of user_trend_ols. Pair enumeration
 # is a user-partitioned equi-join (bounded by per-user event count, not
-# |events|²; for pathological heavy keys the repeated-median variant
-# caps it, noted not needed here). The median is selected
+# |events|² — and since r6 that bound is ENFORCED: the heavy-key guard
+# above raises past _PAIR_JOIN_MAX_GROUP rows/user rather than
+# silently enumerating quadratic pairs). The median is selected
 # deterministically: a pinned total order (slope, then the pair's event
 # ids) + row_number, averaging the one or two middle elements — no
 # reliance on engine-specific percentile interpolation. Slope doubles
@@ -9402,6 +9434,7 @@ def seasonal_weekday_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def theil_sen_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
+    _assert_bounded_group(ev, "user_id", "theil_sen_user_trend")
     e = ev.select(
         "user_id",
         "event_id",
@@ -9769,8 +9802,9 @@ def range_frame_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 # scalar formula over exact bigint rank/count — deterministic to the
 # last bit, so the per-purchase credits sum to exactly 1 on both
 # engines. The click-purchase pairing is a user-keyed equi-join with a
-# time-band filter (pairs bounded by per-user event counts, the same
-# contract as the Theil-Sen pair join); ranks pin ties on click id.
+# time-band filter (pairs bounded by per-user event counts — the same
+# contract as the Theil-Sen pair join, enforced since r6 by the shared
+# heavy-key guard above it); ranks pin ties on click id.
 # ===========================================================================
 
 @_register(
@@ -9808,6 +9842,7 @@ def range_frame_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
+    _assert_bounded_group(ev, "user_id", "multi_touch_attribution")
     e = ev.select(
         "user_id", "event_id", "event_type", _epoch_s("ts").alias("t")
     )

@@ -29,3 +29,36 @@ def test_query_matches_oracle(spark, oracle, name):
     expected = oracle.sql(spec.oracle).df()
     problems = compare(got, expected)
     assert not problems, f"{name}: {problems}"
+
+
+def test_pair_join_heavy_key_guard(spark, tmp_path):
+    """r6 (VERDICT r5 task 3): the pair-join entries' per-key bound is
+    enforced, not just documented — a synthetic heavy key past
+    _PAIR_JOIN_MAX_GROUP raises loudly instead of launching the O(n²)
+    pair enumeration."""
+    import pyspark.sql.functions as F
+    from sports_data_integration_and_forecasting_pipeline_spark.plans.battery import (
+        _PAIR_JOIN_MAX_GROUP,
+        multi_touch_attribution,
+        theil_sen_user_trend,
+    )
+
+    n = _PAIR_JOIN_MAX_GROUP + 1
+    heavy = (
+        spark.range(n)
+        .select(
+            F.lit(7).alias("user_id"),
+            F.col("id").alias("event_id"),
+            F.lit("click").alias("event_type"),
+            F.timestamp_micros(
+                (F.lit(1_700_000_000) + F.col("id")) * 1_000_000
+            ).alias("ts"),
+            F.lit(1.0).alias("value"),
+            F.lit("web").alias("source"),
+        )
+    )
+    sf_dir = str(tmp_path)
+    heavy.write.parquet(f"{sf_dir}/events.parquet")
+    for fn in (theil_sen_user_trend, multi_touch_attribution):
+        with pytest.raises(AssertionError, match="pair-join precondition"):
+            fn(spark, sf_dir)
