@@ -10248,37 +10248,44 @@ _WINDOW_PRIORITY = [
     # dedup family (simhash_pairs, the 4th pairwise variant, yields its
     # window slot to the graph family head; dedup_exact — twice
     # driver-green — yields its slot to the new Q8 star-join shape; local
-    # oracle still covers both)
+    # oracle still covers both. r6: pagerank_customer_supplier — twice
+    # driver-green — yields its slot to the Theil-Sen robust trend.)
+    # (dedup_incremental_minhash — twice driver-green — also rotates
+    # out in r6; the incremental family remains locally hash-oracled)
     "q8_nation_market_share",
     "dedup_shingle_jaccard",
     "dedup_minhash_lsh",
-    "dedup_incremental_minhash",
-    "pagerank_customer_supplier",
+    "theil_sen_user_trend",
     "dedup_cluster_star",
-    # curation / quality family (repetition_quality — twice driver-green
-    # — yields its slot to the new bit-exact CUSUM change-point entry)
-    "decontaminate_benchmark",
+    # curation / quality family (r6: decontaminate_benchmark and
+    # pii_redaction — both twice driver-green — yield their slots to the
+    # never-checked set-ops churn audit and VARIANT extract)
+    "set_ops_churn_audit",
     "cusum_changepoint",
-    "pii_redaction",
+    "variant_props_extract",
     "vocab_coverage",
     "pack_sequence_spans",
-    # sketch family (countmin_frequency — twice driver-green — yields
-    # its slot to the new BM25 IR-ranking entry; bloom stays as head)
-    "bloom_join_prune",
+    # sketch family (r6: bloom_join_prune — twice driver-green — yields
+    # its slot to the engine-portable HLL register showpieces, which the
+    # r5 review asked to driver-check specifically)
+    "hll_group_registers",
+    "hll_rolling_7d_users",
     "bm25_scoring",
-    # embedding / similarity family (embed_ivf_ann — twice driver-green
-    # — yields its slot to the new Kaplan-Meier survival entry)
-    "embed_cosine_topk",
+    # embedding / similarity family (r6: embed_cosine_topk — twice
+    # driver-green — yields its slot to the weighted-median price entry)
+    "weighted_median_price",
     "kaplan_meier_conversion",
-    # multimodal family head
-    "multimodal_image_features",
-    # streaming family (streaming_stream_join — twice driver-green —
-    # yields its slot to the new market-basket lift entry)
-    "streaming_replay_rollup",
+    # graph/recursive family head (r6: multimodal_image_features — twice
+    # driver-green — yields its slot to the recursive-CTE walk)
+    "recursive_cte_walk",
+    # streaming family (r6: streaming_replay_rollup — twice driver-green
+    # — yields its slot to the native session-window entry)
+    "session_window_native",
     "copurchase_lift_pairs",
     "streaming_late_data_drop",
-    # warehouse / skew / layout
-    "asof_join_marks",
+    # warehouse / skew / layout (r6: asof_join_marks — twice
+    # driver-green — yields its slot to the Q21 multi-exists shape)
+    "q21_sole_latest_shipper",
     "q5_local_supplier_revenue",
     "bucketed_join_colocated",
     "canonical_schema_evolution",
@@ -10300,6 +10307,15 @@ _WINDOW_PRIORITY = [
 # embed_ivf_ann, and streaming_stream_join (all twice driver-green)
 # yielded to the new cusum_changepoint, kaplan_meier_conversion, and
 # copurchase_lift_pairs, and countmin_frequency to bm25_scoring.
+# Round-6 rotation (r5 review tasks 2+6): nine twice-driver-green slots
+# (pagerank_customer_supplier, dedup_incremental_minhash,
+# decontaminate_benchmark, pii_redaction, bloom_join_prune,
+# embed_cosine_topk, multimodal_image_features, streaming_replay_rollup,
+# asof_join_marks) yielded to the strongest never-driver-checked entries
+# (theil_sen_user_trend, set_ops_churn_audit, variant_props_extract,
+# hll_group_registers + hll_rolling_7d_users — the engine-portable
+# sketch showpieces the review asked for by name — weighted_median_price,
+# recursive_cte_walk, session_window_native, q21_sole_latest_shipper).
 # Rotated-out entries remain verified by the identical local
 # DuckDB-hash comparison on every pytest run.
 
