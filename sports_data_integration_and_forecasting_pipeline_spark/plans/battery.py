@@ -4172,15 +4172,23 @@ def pivot_event_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hierarchical subtotals over (returnflag, linestatus) in one aggregate pass",
 )
 def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r6: pre-aggregate to the finest grouping set, then ROLLUP the tiny
+    # cell table. Spark's native rollup puts Expand BELOW the partial
+    # aggregate, multiplying every raw fact row by the number of grouping
+    # sets before any reduction — at 100 TB that's 3× the scan output
+    # shuffled for no reason. The rewrite reduces to |distinct cells|
+    # first (one map-side-combined shuffle), then expands ~6 rows.
+    # Identical results for non-null grouping keys (lineitem's flags are
+    # non-null by schema; with nullable keys the raw form's NULL-vs-
+    # subtotal ambiguity is the same in both shapes).
     li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(
-            F.count("*").cast("bigint").alias("n_rows"),
-            F.sum(_cents(F.col("l_extendedprice"))).cast("bigint").alias(
-                "sum_price_cents"
-            ),
-        )
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("pn"),
+        F.sum(_cents(F.col("l_extendedprice"))).alias("ps"),
+    )
+    return base.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum("pn").cast("bigint").alias("n_rows"),
+        F.sum("ps").cast("bigint").alias("sum_price_cents"),
     )
 
 
@@ -4200,12 +4208,19 @@ def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "all subtotal combinations over (returnflag, linestatus) in one pass",
 )
 def cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r6 (bench-anomaly fix + scale): same pre-aggregate-then-expand
+    # rewrite as rollup_pricing — CUBE's 4 grouping sets expanded every
+    # raw lineitem row (the r4→r5 0.30→0.48 s drift was this shape's
+    # sensitivity to scan/GC state, not a code change; git log -S shows
+    # none). Now Expand runs over the ~6-row finest-grain aggregate.
     li = _t(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        F.count("*").cast("bigint").alias("n_rows"),
-        F.sum(_cents(F.col("l_extendedprice"))).cast("bigint").alias(
-            "sum_price_cents"
-        ),
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("pn"),
+        F.sum(_cents(F.col("l_extendedprice"))).alias("ps"),
+    )
+    return base.cube("l_returnflag", "l_linestatus").agg(
+        F.sum("pn").cast("bigint").alias("n_rows"),
+        F.sum("ps").cast("bigint").alias("sum_price_cents"),
     )
 
 
@@ -8078,8 +8093,15 @@ def table_checksum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(priority, status) in one Expand pass",
 )
 def grouping_sets_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r6: pre-aggregate to the finest set, then expand the cell table —
+    # see rollup_pricing. grouping_id() is computed by the OUTER
+    # grouping-sets pass, so it is identical over the pre-aggregate.
     o = _t(spark, sf_dir, "orders")
-    return o.groupingSets(
+    base = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("pn"),
+        F.sum(_cents(F.col("o_totalprice"))).alias("ps"),
+    )
+    return base.groupingSets(
         [
             ["o_orderpriority", "o_orderstatus"],
             ["o_orderpriority"],
@@ -8089,10 +8111,8 @@ def grouping_sets_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
     ).agg(
         F.grouping_id().cast("bigint").alias("gid"),
-        F.count("*").cast("bigint").alias("n_orders"),
-        F.sum(_cents(F.col("o_totalprice"))).cast("bigint").alias(
-            "sum_cents"
-        ),
+        F.sum("pn").cast("bigint").alias("n_orders"),
+        F.sum("ps").cast("bigint").alias("sum_cents"),
     )
 
 

@@ -172,8 +172,12 @@ PINNED = {
     "weighted_median_price":  (1, ["Window"],               ["Join", "CartesianProduct"]),
     # commutative checksum: one map-side-combined exchange, no join/sort
     "table_checksum_audit":   (1, [],                       ["Join", "Window", "Sort"]),
-    # one Expand pass + one map-side-combined exchange, same as cube
-    "grouping_sets_pricing":  (1, ["Expand"],               ["Join", "Window", "Sort"]),
+    # r6: Expand runs over the PRE-AGGREGATED cell table (finest
+    # grouping set first), so the raw fact is reduced map-side before
+    # any grouping-set multiplication — two exchanges, both tiny
+    "grouping_sets_pricing":  (2, ["Expand"],               ["Join", "Window", "Sort"]),
+    "cube_pricing":           (2, ["Expand"],               ["Join", "Window", "Sort"]),
+    "rollup_pricing":         (2, ["Expand"],               ["Join", "Window", "Sort"]),
     # running sum over the boundary AGGREGATE; session build + union +
     # boundary agg + final window — never a pair join
     "concurrency_sweep_line": (4, ["Window", "Union"],      ["Join", "CartesianProduct"]),
@@ -364,6 +368,23 @@ def _live_generates(plan: str) -> int:
         if "Generate" in l:
             live += 1
     return live
+
+
+def test_grouping_sets_expand_above_preaggregate(spark):
+    """r6: cube/rollup/grouping-sets expand the PRE-AGGREGATED cell
+    table, not the raw fact — below every Expand there must be another
+    HashAggregate before the scan (the finest-grain reduction), so the
+    grouping-set multiplication never rides raw rows."""
+    for name in ("cube_pricing", "rollup_pricing", "grouping_sets_pricing"):
+        lines = _plan(spark, name).splitlines()
+        expand_i = next(
+            i for i, l in enumerate(lines) if "Expand" in l
+        )
+        below = lines[expand_i + 1 :]
+        scan_i = next(i for i, l in enumerate(below) if "Scan" in l)
+        assert any("HashAggregate" in l for l in below[:scan_i]), (
+            f"{name}: Expand sits directly over the raw scan again"
+        )
 
 
 def test_perplexity_family_single_tokenize(spark):
