@@ -183,15 +183,17 @@ HEADLINE = [
     "activity_bitmap_days",
     "brand_price_realization",
     "hll_rolling_7d_users",
+    "kl_term_drift",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).
     # forecast_random_forest / dedup_cluster_assign / dedup_cluster_star /
     # leakage_safe_split / pagerank_customer_supplier /
     # hierarchy_root_depth /
-    # recursive_cte_walk excluded: iterative MLlib fit /
-    # loop-until-fixpoint / pointer-doubling / level-per-round recursion —
-    # wall time is dominated by scheduling, not the operators under test.
+    # recursive_cte_walk / kcore_cosupply_peel excluded: iterative MLlib
+    # fit / loop-until-fixpoint / pointer-doubling / level-per-round
+    # recursion / per-round checkpointed peeling — wall time is dominated
+    # by scheduling, not the operators under test.
     # dedup_shingle_jaccard_all excluded: the exhaustive enumerator kept
     # as the prefix-filtered entry's oracle twin — benching both would
     # double-count the same corpus pass.

@@ -10223,6 +10223,233 @@ def hll_rolling_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# KL term-distribution drift — the corpus-comparison gate a curation
+# pipeline runs when admitting a new language/source slice: how far does
+# slice P's term distribution sit from the reference slice Q (here:
+# every lang vs 'en')? KL(P‖Q) = Σ p·ln(p/q) with add-1 smoothing over
+# the UNION vocabulary (zero-count terms on either side stay finite).
+# Exactness discipline = the unigram-perplexity house pattern: each
+# term's ln(p/q) is snapped to integer micro-nats — both engines
+# evaluate ln on the IDENTICAL rational ((c+1)(n_en+V)) / ((n+V)(c_en+1))
+# — so the per-lang sum is exact integer arithmetic, order-independent
+# across partitions, before one final division. The 'en' row is a
+# built-in invariant: KL(en‖en) = 0 exactly.
+#
+# Scale shape: ONE tokenize (the scope-persisted (lang,term,c) aggregate
+# feeds lang totals, the vocab/en-count table, and the scoring grid);
+# the grid is |langs|·|vocab| — vocabulary-bounded, NOT corpus-bounded —
+# built by broadcasting the ≤|langs| totals over the vocab table and
+# left-joining tf on (lang,term). All JVM-side Column arithmetic.
+# ===========================================================================
+
+@_register(
+    "kl_term_drift",
+    f"""
+    WITH toks AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS c
+           FROM toks GROUP BY 1, 2),
+    n AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM tf GROUP BY 1),
+    vocab AS (SELECT term,
+                     CAST(coalesce(sum(CASE WHEN lang = 'en' THEN c END), 0)
+                          AS BIGINT) AS c_en
+              FROM tf GROUP BY term),
+    v AS (SELECT CAST(count(*) AS BIGINT) AS vsz FROM vocab),
+    en AS (SELECT n AS n_en FROM n WHERE lang = 'en'),
+    grid AS (
+      SELECT n.lang, n.n, vocab.term, vocab.c_en,
+             coalesce(tf.c, 0) AS c
+      FROM n CROSS JOIN vocab
+      LEFT JOIN tf ON tf.lang = n.lang AND tf.term = vocab.term),
+    scored AS (
+      SELECT g.lang, g.n, v.vsz,
+             (g.c + 1) * CAST(floor(ln(
+                 (1.0 * (g.c + 1) * (en.n_en + v.vsz))
+                 / (1.0 * (g.n + v.vsz) * (g.c_en + 1))
+               ) * 1000000.0 + 0.5) AS BIGINT) AS contrib
+      FROM grid g CROSS JOIN v CROSS JOIN en)
+    SELECT lang, n AS n_tokens, vsz AS vocab_size,
+           {_sql_r('sum(contrib) / 1000000.0 / (n + vsz)', 6)} AS kl_vs_en
+    FROM scored GROUP BY lang, n, vsz
+    """,
+    "curation: per-language KL divergence vs the 'en' reference slice "
+    "(add-1 smoothed union vocabulary, integer micro-nat accumulation)",
+    "per lang: token count, union vocab size, 6dp KL(lang || en) over "
+    "smoothed term distributions; KL(en||en) = 0 by construction",
+)
+def kl_term_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
+        persist_scoped,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    tf = persist_scoped(
+        "kl_drift_tf",
+        toks.groupBy("lang", "term").agg(
+            F.count("*").cast("bigint").alias("c")
+        ),
+    )
+    n = tf.groupBy("lang").agg(F.sum("c").cast("bigint").alias("n"))
+    vocab = tf.groupBy("term").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("lang") == "en", F.col("c"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("c_en")
+    )
+    v = vocab.agg(F.count("*").cast("bigint").alias("vsz"))
+    en = n.filter(F.col("lang") == "en").select(F.col("n").alias("n_en"))
+    grid = (
+        F.broadcast(n)
+        .crossJoin(vocab)
+        .join(tf, ["lang", "term"], "left")
+        .select(
+            "lang", "n", "term", "c_en",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+    )
+    lnr = F.log(
+        (F.lit(1.0) * (F.col("c") + 1) * (F.col("n_en") + F.col("vsz")))
+        / (
+            F.lit(1.0)
+            * (F.col("n") + F.col("vsz"))
+            * (F.col("c_en") + 1)
+        )
+    )
+    scored = grid.crossJoin(F.broadcast(v)).crossJoin(F.broadcast(en)).select(
+        "lang",
+        "n",
+        "vsz",
+        (
+            (F.col("c") + 1)
+            * F.floor(lnr * 1e6 + 0.5).cast("bigint")
+        ).alias("contrib"),
+    )
+    return scored.groupBy("lang", "n", "vsz").agg(
+        _r(
+            F.sum("contrib") / F.lit(1e6) / (F.col("n") + F.col("vsz")), 6
+        ).alias("kl_vs_en")
+    ).select(
+        "lang",
+        F.col("n").alias("n_tokens"),
+        F.col("vsz").alias("vocab_size"),
+        "kl_vs_en",
+    )
+
+
+# ===========================================================================
+# k-core peeling — the graph-curation primitive that iteratively strips
+# low-degree nodes until every survivor has ≥ k neighbors among the
+# survivors (the dense-community filter social/fraud pipelines run after
+# building a co-occurrence graph). This entry peels the 3-core of the
+# kNN-sparsified co-supply graph with FOUR unrolled rounds — a static
+# plan both engines express identically (the to-fixpoint variant is the
+# same loop with a convergence check + localCheckpoint, the
+# dedup_cluster_star discipline; four rounds converge on this graph and
+# the oracle stays SQL-expressible). Scale shape per round: one
+# map-side-combined degree aggregate + two semi-joins against the ≤|V|
+# survivor set — no pair enumeration beyond the already-capped kNN edge
+# list (degree ≤ 2k by construction, so each peel is linear in edges).
+# ===========================================================================
+
+_KCORE_EDGE_CTES = """
+    os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    w AS (SELECT a.l_suppkey AS s1, b.l_suppkey AS s2,
+                 CAST(count(*) AS BIGINT) AS w
+          FROM os a JOIN os b
+            ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+          GROUP BY a.l_suppkey, b.l_suppkey),
+    kept AS (SELECT s1, s2 FROM (
+               SELECT s1, s2,
+                      row_number() OVER (PARTITION BY s1
+                                         ORDER BY w DESC, s2) AS rn
+               FROM w)
+             WHERE rn <= 5),
+    e AS (SELECT DISTINCT least(s1, s2) AS a, greatest(s1, s2) AS b
+          FROM kept)
+"""
+
+
+@_register(
+    "kcore_cosupply_peel",
+    f"""
+    WITH {_KCORE_EDGE_CTES},
+    sym0 AS (SELECT a AS s, b AS t FROM e UNION ALL SELECT b, a FROM e),
+    k0 AS (SELECT s FROM sym0 GROUP BY s HAVING count(*) >= 3),
+    sym1 AS (SELECT sym0.s, sym0.t FROM sym0
+             JOIN k0 x ON x.s = sym0.s JOIN k0 y ON y.s = sym0.t),
+    k1 AS (SELECT s FROM sym1 GROUP BY s HAVING count(*) >= 3),
+    sym2 AS (SELECT sym1.s, sym1.t FROM sym1
+             JOIN k1 x ON x.s = sym1.s JOIN k1 y ON y.s = sym1.t),
+    k2 AS (SELECT s FROM sym2 GROUP BY s HAVING count(*) >= 3),
+    sym3 AS (SELECT sym2.s, sym2.t FROM sym2
+             JOIN k2 x ON x.s = sym2.s JOIN k2 y ON y.s = sym2.t),
+    k3 AS (SELECT s FROM sym3 GROUP BY s HAVING count(*) >= 3),
+    sym4 AS (SELECT sym3.s, sym3.t FROM sym3
+             JOIN k3 x ON x.s = sym3.s JOIN k3 y ON y.s = sym3.t)
+    SELECT s AS node, CAST(count(*) AS BIGINT) AS core_degree
+    FROM sym4 GROUP BY s
+    """,
+    "graph: 3-core peeling over the kNN-sparsified co-supply graph "
+    "(4 unrolled rounds; degree agg + survivor semi-joins per round)",
+    "suppliers surviving four 3-core peels of the top-5-edge co-supply "
+    "graph, with their degree in the surviving subgraph",
+)
+def kcore_cosupply_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.graph import (
+        knn_sparsify,
+    )
+
+    os_ = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a = os_.select(
+        F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("src")
+    )
+    b = os_.select(
+        F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("dst")
+    )
+    weighted = (
+        a.join(b, "k")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("bigint").alias("w"))
+    )
+    # knn_sparsify already folds to distinct undirected (a, b) with a < b
+    und = knn_sparsify(weighted, k=5)
+    sym = (
+        und.select(F.col("a").alias("s"), F.col("b").alias("t"))
+        .unionByName(und.select(F.col("b").alias("s"), F.col("a").alias("t")))
+        # Each peel references sym TWICE (degree agg + the semi-joins),
+        # so without truncation round r's lineage holds 2^r copies of
+        # the co-supply pair join — the dedup_cluster_star discipline
+        # (localCheckpoint per round) keeps every round's input a flat
+        # ≤|kept-edges| table instead.
+        .localCheckpoint()
+    )
+    for _ in range(4):
+        keep = (
+            sym.groupBy("s")
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") >= 3)
+            .select("s")
+        )
+        sym = (
+            sym.join(keep, "s", "left_semi")
+            .join(keep.withColumnRenamed("s", "t"), "t", "left_semi")
+            .localCheckpoint()
+        )
+    return sym.groupBy("s").agg(
+        F.count("*").cast("bigint").alias("core_degree")
+    ).withColumnRenamed("s", "node")
+
+
+# ===========================================================================
 # Driver-window curation (round-2 review directive). The external
 # correctness gate hard-caps its run at the FIRST 50 registered entries
 # (registration-order prefix, observed in rounds 1-2) — it cannot check
