@@ -184,6 +184,7 @@ HEADLINE = [
     "brand_price_realization",
     "hll_rolling_7d_users",
     "kl_term_drift",
+    "text_bigram_perplexity",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

@@ -10450,6 +10450,134 @@ def kcore_cosupply_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Interpolated bigram LM perplexity — the stronger LM-quality signal the
+# unigram entry approximates: per-doc perplexity under a corpus bigram
+# model with Jelinek-Mercer interpolation p = 0.75·p_bg + 0.25·p_ug
+# (the unigram backoff keeps unseen-context probabilities finite without
+# discounting machinery). Same exactness discipline as
+# text_unigram_perplexity: both engines evaluate ln on the identical
+# rational, snap to integer micro-nats, and the per-doc sum is exact
+# integer arithmetic.
+#
+# Scale shape: TWO token passes total, each single-execution — the
+# (doc, bigram, m) aggregate is scope-persisted and feeds the global
+# bigram counts, the context totals (a re-aggregate, not a re-explode),
+# and the per-doc scoring join; the unigram model is one more explode
+# whose (term, c) aggregate also yields N by re-aggregation. The
+# per-token context count derives FROM the bigram table (Σ c_xy over
+# first-token), so conditional probabilities are self-consistent.
+# ===========================================================================
+
+@_register(
+    "text_bigram_perplexity",
+    f"""
+    WITH btf AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS m
+      FROM (SELECT doc_id, unnest({_shingle_raw_sql(2)}) AS tok
+            FROM documents WHERE len(string_split(text, ' ')) >= 2)
+      GROUP BY doc_id, tok),
+    bi AS (SELECT tok, CAST(sum(m) AS BIGINT) AS c_xy FROM btf GROUP BY tok),
+    ctx AS (SELECT string_split(tok, ' ')[1] AS w,
+                   CAST(sum(c_xy) AS BIGINT) AS c_ctx
+            FROM bi GROUP BY 1),
+    uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+            FROM (SELECT unnest(string_split(text, ' ')) AS w
+                  FROM documents) GROUP BY w),
+    nt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+    scored AS (
+      SELECT btf.doc_id, btf.m,
+             btf.m * CAST(floor(-ln(
+                 0.75 * bi.c_xy / ctx.c_ctx + 0.25 * uni.c / nt.n
+               ) * 1000000.0 + 0.5) AS BIGINT) AS nll_micro
+      FROM btf
+      JOIN bi USING (tok)
+      JOIN ctx ON ctx.w = string_split(btf.tok, ' ')[1]
+      JOIN uni ON uni.w = string_split(btf.tok, ' ')[2]
+      CROSS JOIN nt)
+    SELECT doc_id,
+           CAST(sum(m) AS BIGINT) AS n_bigrams,
+           CAST(sum(nll_micro) AS BIGINT) AS nll_micro,
+           CAST(floor(exp(CAST(sum(nll_micro) AS DOUBLE) / 1000000.0
+                          / sum(m)) * 10000.0 + 0.5) AS BIGINT) AS ppl_e4
+    FROM scored GROUP BY doc_id
+    """,
+    "textops: interpolated bigram LM perplexity (Jelinek-Mercer "
+    "0.75/0.25 backoff to the unigram model; micro-nat exact)",
+    "per-doc perplexity under the corpus bigram model with unigram "
+    "interpolation; integer micro-nat accumulation, 4dp ppl",
+)
+def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
+        persist_scoped,
+        shingles_from_tokens,
+    )
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import (
+        ensure_parallelism,
+    )
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ")
+    btf = persist_scoped(
+        "bigram_ppl_btf",
+        docs.filter(F.size(toks) >= 2)
+        .select(
+            "doc_id",
+            F.explode(shingles_from_tokens(toks, 2)).alias("tok"),
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("bigint").alias("m")),
+    )
+    bi = btf.groupBy("tok").agg(F.sum("m").cast("bigint").alias("c_xy"))
+    ctx = bi.groupBy(
+        F.split(F.col("tok"), " ").getItem(0).alias("w")
+    ).agg(F.sum("c_xy").cast("bigint").alias("c_ctx"))
+    uni = persist_scoped(
+        "bigram_ppl_uni",
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("c")),
+    )
+    nt = uni.agg(F.sum("c").cast("bigint").alias("n"))
+    p = (
+        F.lit(0.75) * F.col("c_xy") / F.col("c_ctx")
+        + F.lit(0.25) * F.col("c") / F.col("n")
+    )
+    scored = (
+        btf.join(bi, "tok")
+        .join(
+            ctx,
+            ctx["w"] == F.split(btf["tok"], " ").getItem(0),
+        )
+        .join(
+            uni,
+            uni["w"] == F.split(btf["tok"], " ").getItem(1),
+        )
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "doc_id",
+            "m",
+            (
+                F.col("m")
+                * F.floor(-F.log(p) * 1e6 + 0.5).cast("bigint")
+            ).alias("nll_micro"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("m").cast("bigint").alias("n_bigrams"),
+        F.sum("nll_micro").cast("bigint").alias("nll_micro"),
+        F.floor(
+            F.exp(
+                F.sum("nll_micro").cast("double") / 1e6 / F.sum("m")
+            )
+            * 1e4
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("ppl_e4"),
+    )
+
+
+# ===========================================================================
 # Driver-window curation (round-2 review directive). The external
 # correctness gate hard-caps its run at the FIRST 50 registered entries
 # (registration-order prefix, observed in rounds 1-2) — it cannot check
