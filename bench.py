@@ -185,6 +185,8 @@ HEADLINE = [
     "hll_rolling_7d_users",
     "kl_term_drift",
     "text_bigram_perplexity",
+    "frequent_event_trigrams",
+    "zipf_rank_frequency_fit",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

@@ -10578,6 +10578,176 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Frequent event trigrams — sequential pattern mining, order 2: the
+# top-20 3-step behavior sequences across all users (the "what do users
+# actually do" readout clickstream teams pull before funnel design, and
+# the second-order extension of event_transition_matrix's Markov
+# bigrams). Sequences are per-user event streams ordered by the pinned
+# (ts, event_id) total order; two lead() windows share ONE user-keyed
+# sort pass, the trigram aggregate is map-side combined, and the global
+# top-20 ranks over the ≤|types|³ aggregate (125 cells here) — never
+# over raw rows. Support fraction is 9dp-rounded from exact bigints.
+# ===========================================================================
+
+@_register(
+    "frequent_event_trigrams",
+    f"""
+    WITH seq AS (
+      SELECT event_type AS t1,
+             lead(event_type, 1) OVER w AS t2,
+             lead(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    tri AS (
+      SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE t3 IS NOT NULL
+      GROUP BY t1, t2, t3),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM tri)
+    SELECT t1, t2, t3, n,
+           {_sql_r('CAST(n AS DOUBLE) / total', 9)} AS support,
+           rank FROM (
+      SELECT tri.*, tot.total,
+             CAST(row_number() OVER (ORDER BY n DESC, t1, t2, t3)
+                  AS INT) AS rank
+      FROM tri CROSS JOIN tot)
+    WHERE rank <= 20
+    """,
+    "analytics: top-20 frequent 3-step event sequences (order-2 "
+    "sequential patterns; shared window sort, cell-bounded ranking)",
+    "top-20 user-behavior trigrams by count with 9dp support fraction "
+    "and pinned (count desc, lexicographic) rank",
+)
+def frequent_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    )
+    tri = (
+        seq.filter(F.col("t3").isNotNull())
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    tot = tri.agg(F.sum("n").cast("bigint").alias("total"))
+    wr = Window.orderBy(F.desc("n"), "t1", "t2", "t3")
+    return (
+        tri.crossJoin(F.broadcast(tot))
+        .withColumn("rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rank") <= 20)
+        .select(
+            "t1", "t2", "t3", "n",
+            _r(F.col("n").cast("double") / F.col("total"), 9).alias(
+                "support"
+            ),
+            "rank",
+        )
+    )
+
+
+# ===========================================================================
+# Zipf rank-frequency fit — the corpus-health diagnostic: natural text
+# follows freq ∝ rank^(−s) with s ≈ 1; a corpus whose fitted slope
+# deviates hard (template spam, boilerplate floods, truncated vocab)
+# fails the gate. Fit: OLS of ln(freq) on ln(rank) over the full term
+# frequency table, both logs snapped to integer micro-nats FIRST so the
+# five OLS moments are exact integer sums (the user_trend_ols
+# discipline — no float accumulation-order drift; the second moments
+# accumulate in decimal(38,0)/hugeint since x·y wraps int64 near
+# V≈54k), then one scalar Cramer solve. Rank ties pin on term so both
+# engines rank identically.
+# Scale shape: term aggregate (one shuffle) → global rank window over
+# the VOCABULARY (not the corpus) → one map-side-combined moment
+# aggregate.
+# ===========================================================================
+
+@_register(
+    "zipf_rank_frequency_fit",
+    f"""
+    WITH tf AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS term
+            FROM documents)
+      GROUP BY term),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, term) AS r FROM tf),
+    pts AS (
+      SELECT CAST(floor(ln(r) * 1000000.0 + 0.5) AS BIGINT) AS x,
+             CAST(floor(ln(c) * 1000000.0 + 0.5) AS BIGINT) AS y
+      FROM ranked),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             sum(CAST(x AS HUGEINT) * y) AS sxy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx
+      FROM pts)
+    SELECT n AS vocab_size,
+           {_sql_r(
+               '(1.0 * n * sxy - 1.0 * sx * sy)'
+               ' / (1.0 * n * sxx - 1.0 * sx * sx)', 6)} AS zipf_slope,
+           {_sql_r(
+               '(1.0 * sy - ((1.0 * n * sxy - 1.0 * sx * sy)'
+               ' / (1.0 * n * sxx - 1.0 * sx * sx)) * sx)'
+               ' / n / 1000000.0', 6)} AS ln_intercept
+    FROM m
+    """,
+    "textops: Zipf rank-frequency OLS fit (micro-nat-snapped log-log "
+    "points, exact bigint moments, scalar Cramer solve)",
+    "one row: vocabulary size, fitted Zipf slope (≈−1 for natural "
+    "text), and ln-space intercept, 6dp",
+)
+def zipf_rank_frequency_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    ranked = tf.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), "term"))
+        .alias("r"),
+    )
+    pts = ranked.select(
+        F.floor(F.log(F.col("r").cast("double")) * 1e6 + 0.5)
+        .cast("bigint")
+        .alias("x"),
+        F.floor(F.log(F.col("c").cast("double")) * 1e6 + 0.5)
+        .cast("bigint")
+        .alias("y"),
+    )
+    # second-moment sums accumulate in decimal(38,0) (DuckDB: hugeint):
+    # x·y ≈ (ln V · 1e6)² ≈ 1.7e14 per term, so a bigint sum wraps near
+    # V ≈ 54k — the gini_order_concentration wide-integer discipline
+    xd = F.col("x").cast("decimal(18,0)")
+    m = pts.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(xd * F.col("y").cast("decimal(18,0)")).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
+    )
+    slope = (
+        F.lit(1.0) * F.col("n") * F.col("sxy")
+        - F.lit(1.0) * F.col("sx") * F.col("sy")
+    ) / (
+        F.lit(1.0) * F.col("n") * F.col("sxx")
+        - F.lit(1.0) * F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        F.col("n").alias("vocab_size"),
+        _r(slope, 6).alias("zipf_slope"),
+        _r(
+            (F.lit(1.0) * F.col("sy") - slope * F.col("sx"))
+            / F.col("n")
+            / F.lit(1e6),
+            6,
+        ).alias("ln_intercept"),
+    )
+
+
+# ===========================================================================
 # Driver-window curation (round-2 review directive). The external
 # correctness gate hard-caps its run at the FIRST 50 registered entries
 # (registration-order prefix, observed in rounds 1-2) — it cannot check
