@@ -187,6 +187,7 @@ HEADLINE = [
     "text_bigram_perplexity",
     "frequent_event_trigrams",
     "zipf_rank_frequency_fit",
+    "pit_state_lookup",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

@@ -10578,6 +10578,98 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Point-in-time state lookup — the feature-store temporal join: for
+# every purchase, what lifecycle state (last signup/error run) was the
+# user in AT that moment? The dimension side is SCD2 validity intervals
+# built from the non-purchase lifecycle events (the scd2_intervals
+# operator over a filtered stream); the probe side left-joins on
+# user_id + a containment band ts ∈ [valid_from, valid_to) — intervals
+# partition each user's timeline, so exactly one (or zero, before the
+# first lifecycle event) interval matches per probe: no row explosion
+# by construction. Scale shape: the user-keyed equi-join carries the
+# band as a residual filter (both sides bounded per user — the same
+# per-key contract the heavy-key guard enforces for the pair joins);
+# training pipelines run exactly this shape to attach
+# as-of-event-time features without leakage from the future.
+# ===========================================================================
+
+@_register(
+    "pit_state_lookup",
+    """
+    WITH lc AS (
+      SELECT user_id, ts, event_id, event_type FROM events
+      WHERE event_type IN ('signup', 'error')),
+    flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM lc
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    isl AS (
+      SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged),
+    runs AS (
+      SELECT user_id, island, min(event_type) AS state,
+             CAST(epoch_us(min(ts)) // 1000000 AS BIGINT) AS vf
+      FROM isl GROUP BY user_id, island),
+    iv AS (
+      SELECT user_id, state, vf,
+             lead(vf) OVER (PARTITION BY user_id ORDER BY island) AS vt
+      FROM runs),
+    p AS (
+      SELECT user_id, event_id,
+             CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ts_s
+      FROM events WHERE event_type = 'purchase')
+    SELECT p.user_id, p.event_id, p.ts_s, iv.state,
+           CAST(p.ts_s - iv.vf AS BIGINT) AS state_age_s
+    FROM p LEFT JOIN iv
+      ON iv.user_id = p.user_id
+     AND p.ts_s >= iv.vf AND (iv.vt IS NULL OR p.ts_s < iv.vt)
+    """,
+    "warehouse: point-in-time SCD2 state lookup for purchases "
+    "(leakage-free as-of-event-time feature join)",
+    "per purchase: the user's lifecycle state interval containing the "
+    "purchase time (null before the first lifecycle event) and state "
+    "age in seconds",
+)
+def pit_state_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.scd import (
+        scd2_intervals,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    iv = scd2_intervals(
+        ev.filter(F.col("event_type").isin("signup", "error")),
+        key_col="user_id",
+        ts_col="ts",
+        attr_col="event_type",
+        tiebreak_col="event_id",
+    ).select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        _epoch_s("valid_from").alias("vf"),
+        _epoch_s("valid_to").alias("vt"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", _epoch_s("ts").alias("ts_s")
+    )
+    return p.join(
+        iv,
+        (p["user_id"] == iv["user_id"])
+        & (p["ts_s"] >= iv["vf"])
+        & (iv["vt"].isNull() | (p["ts_s"] < iv["vt"])),
+        "left",
+    ).select(
+        p["user_id"],
+        "event_id",
+        "ts_s",
+        "state",
+        (F.col("ts_s") - F.col("vf")).cast("bigint").alias("state_age_s"),
+    )
+
+
+# ===========================================================================
 # Frequent event trigrams — sequential pattern mining, order 2: the
 # top-20 3-step behavior sequences across all users (the "what do users
 # actually do" readout clickstream teams pull before funnel design, and
