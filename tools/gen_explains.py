@@ -35,6 +35,15 @@ NOTES = {
     "dedup_shingle_jaccard": "Prefix-filtered similarity join (J>=0.5): broadcast anti-join hot cap (LeftAnti), df-annotated index, per-doc rank window, PREFIX self-join for candidates, exact array_intersect verification — candidate volume collapses vs the full inverted index (see dedup_shingle_jaccard_all).",
     "dedup_shingle_jaccard_all": "Exhaustive enumerator: inverted index on 60-bit hashes, broadcast anti-join hot-shingle guard, post-cap size window, pair join + single groupBy.",
     "vocab_coverage": "Single corpus pass: both legs end at canonically identical (lang, tok) exchanges, so AQE's shuffle-stage cache materializes the tokenize/explode/aggregate once (asserted in test_plan_shapes); top-64 vocab broadcasts back.",
+    "text_unigram_perplexity": "r6 single-tokenize: the (doc,term,tf) aggregate is scope-persisted; term totals, corpus total, and the scoring join are all InMemoryTableScans of that ONE relation — every Generate in this printout is cache-lineage echo (zero live, asserted in test_plan_shapes).",
+    "quality_perplexity_cut": "Same single-tokenize shape as text_unigram_perplexity (shared persisted tf aggregate) plus the threshold filter and per-lang survivor rollup.",
+    "cube_pricing": "r6 pre-aggregate-then-expand: the finest-grain (returnflag, linestatus) cell aggregate reduces the fact map-side FIRST; Expand multiplies ~6 cells by 4 grouping sets instead of multiplying every raw row (HashAggregate pinned between Expand and scan in test_plan_shapes).",
+    "rollup_pricing": "Same pre-aggregate-then-expand shape as cube_pricing (3 grouping sets over the cell table).",
+    "grouping_sets_pricing": "Same pre-aggregate-then-expand shape as cube_pricing; grouping_id() is computed by the outer grouping-sets pass so it is identical over the pre-aggregate.",
+    "kl_term_drift": "One scope-persisted tokenize feeds lang totals, the vocab/en-count table, and the |langs|x|vocab| scoring grid (vocabulary-bounded, never corpus-bounded); micro-nat snapped log-ratios make the per-lang sum exact integers.",
+    "text_bigram_perplexity": "Two persisted single-execution passes (bigram tf, unigram model); context counts re-aggregate FROM the bigram table, so conditionals are self-consistent and the corpus is shingled once.",
+    "kcore_cosupply_peel": "Four checkpointed peel rounds (degree agg + two survivor semi-joins each); per-round localCheckpoint truncates the doubling lineage, so this printout shows only the final round over a flat scan.",
+    "pit_state_lookup": "Feature-store temporal join: SCD2 lifecycle intervals (filtered gaps-and-islands) left-joined by purchases on user_id with the [valid_from, valid_to) band as residual filter — intervals partition the timeline, so no row expansion.",
     "dedup_incremental_compacted": "Compaction (union -> id-dedup -> broadcast-anti tombstones) feeds the same band join as the incremental path; corpus text is never re-shingled.",
     "pagerank_customer_supplier": "Exact integer fixpoint: per-iteration src join + dst aggregate, localCheckpoint lineage truncation; negated supplier keys keep node namespaces disjoint at any SF.",
     "dedup_minhash_lsh": "One explode->groupBy for 128 signature mins (partial aggregation), 16-band bucket self-join, est-jaccard from carried signature arrays.",
