@@ -255,6 +255,22 @@ PINNED = {
     # live-Generate assertion)
     "text_unigram_perplexity": (10, ["InMemoryTableScan"],  ["CartesianProduct", "SortMergeJoin"]),
     "quality_perplexity_cut": (12, ["InMemoryTableScan"],   ["CartesianProduct", "SortMergeJoin"]),
+    # r6 additions — persisted-tokenize family (budget = textual ceiling
+    # incl. cache-lineage echoes), cell-bounded analytics, and the
+    # temporal join; scalar broadcasts ride BNLJ by design
+    "kl_term_drift":          (16, ["InMemoryTableScan", "BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin", "Window"]),
+    "text_bigram_perplexity": (20, ["InMemoryTableScan", "BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin", "Window"]),
+    # one user-keyed sort shared by both lead() windows; top-20 ranks
+    # over the <=|types|^3 cell aggregate (scalar total -> BNLJ)
+    "frequent_event_trigrams": (7, ["Window", "BroadcastNestedLoopJoin"], ["CartesianProduct", "SortMergeJoin", "Generate"]),
+    # vocab-sized rank window + one scalar moment aggregate, no joins
+    "zipf_rank_frequency_fit": (2, ["Window"],              ["Join", "CartesianProduct"]),
+    # interval dim broadcasts at test SF; band is a residual filter on
+    # the user_id equi-join, never a cartesian
+    "pit_state_lookup":       (3, ["BroadcastHashJoin", "Window"], ["CartesianProduct", "SortMergeJoin"]),
+    # final round over a flat checkpointed scan (per-round
+    # localCheckpoint truncates the doubling lineage)
+    "kcore_cosupply_peel":    (2, [],                       ["CartesianProduct", "SortMergeJoin", "Generate"]),
 }
 
 
