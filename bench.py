@@ -188,6 +188,7 @@ HEADLINE = [
     "frequent_event_trigrams",
     "zipf_rank_frequency_fit",
     "pit_state_lookup",
+    "theil_sen_banded",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

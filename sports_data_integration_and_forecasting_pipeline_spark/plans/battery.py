@@ -9401,8 +9401,9 @@ def _assert_bounded_group(df: DataFrame, key_col: str, entry: str) -> None:
             f"{entry} pair-join precondition violated: heaviest "
             f"{key_col} has {hi} rows (bound {_PAIR_JOIN_MAX_GROUP}) — "
             f"the per-key pair join would enumerate ~{hi * (hi - 1) // 2:,} "
-            "pairs for that key. Cap per-key rows upstream (sample, or "
-            "switch to the repeated-median variant) instead of letting "
+            "pairs for that key. Cap per-key rows upstream (sample), or "
+            "switch to the banded repeated-median variant "
+            "(theil_sen_banded: O(n*K) pairs per key) instead of letting "
             "the O(n²) blowup launch."
         )
 
@@ -10574,6 +10575,148 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("ppl_e4"),
+    )
+
+
+# ===========================================================================
+# Banded repeated-median Theil-Sen — the SCALE-CAPPED robust trend the
+# heavy-key guard's error message points at: instead of all O(n²) pairs
+# per key, each point pairs only with its K=16 nearest-in-time
+# successors (a row_number band join — O(n·K) on every engine), then
+# median-of-medians: per-point median slope over its ≤K partners,
+# per-user median of those medians. The repeated median keeps the 50%
+# breakdown robustness; the band keeps a 10⁶-row key at 1.6·10⁷ pairs
+# instead of 5·10¹¹ — this entry is the documented fallback for inputs
+# the plain Theil-Sen guard rejects, so it takes NO guard itself.
+# Determinism: both medians select pinned middle elements over
+# (slope, event-id) total orders; slope doubles derive from identical
+# bigint cents/seconds; the ≤2-element averages are fixed-order.
+# ===========================================================================
+
+_TS_BAND_K = 16
+
+
+@_register(
+    "theil_sen_banded",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_id,
+             CAST(epoch_us(ts) // 1000000 AS BIGINT) AS t,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    p AS (
+      SELECT a.user_id, a.event_id AS ea, b.event_id AS eb,
+             1.0 * (b.c - a.c) / (b.t - a.t) AS slope
+      FROM e a JOIN e b
+        ON a.user_id = b.user_id
+       AND b.rn - a.rn BETWEEN 1 AND {_TS_BAND_K}
+       AND b.t > a.t),
+    r1 AS (
+      SELECT user_id, ea, slope,
+             row_number() OVER (PARTITION BY user_id, ea
+                                ORDER BY slope, eb) AS sr,
+             count(*) OVER (PARTITION BY user_id, ea) AS sn
+      FROM p),
+    med1 AS (
+      SELECT user_id, ea, avg(slope) AS mslope
+      FROM r1
+      WHERE sr = CAST(floor((sn + 1) / 2.0) AS BIGINT)
+         OR sr = CAST(floor((sn + 2) / 2.0) AS BIGINT)
+      GROUP BY user_id, ea),
+    r2 AS (
+      SELECT user_id, mslope,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY mslope, ea) AS mr,
+             count(*) OVER (PARTITION BY user_id) AS mn
+      FROM med1)
+    SELECT user_id, CAST(max(mn) AS BIGINT) AS n_points,
+           {_sql_r('avg(mslope)', 9)} AS ts_slope_banded
+    FROM r2
+    WHERE mr = CAST(floor((mn + 1) / 2.0) AS BIGINT)
+       OR mr = CAST(floor((mn + 2) / 2.0) AS BIGINT)
+    GROUP BY user_id
+    """,
+    "analytics: banded repeated-median Theil-Sen (K-nearest-successor "
+    "band -> O(nK) pairs; the scale-capped fallback for heavy keys)",
+    "per user: point count and the 9dp repeated-median slope over "
+    f"{_TS_BAND_K}-successor bands (cents/second)",
+)
+def theil_sen_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        _epoch_s("ts").alias("t"),
+        _cents(F.col("value")).alias("c"),
+        F.row_number().over(wseq).alias("rn"),
+    )
+    a = e.select(
+        "user_id",
+        F.col("event_id").alias("ea"),
+        F.col("t").alias("ta"),
+        F.col("c").alias("ca"),
+        F.col("rn").alias("ra"),
+    )
+    b = e.select(
+        "user_id",
+        F.col("event_id").alias("eb"),
+        F.col("t").alias("tb"),
+        F.col("c").alias("cb"),
+        F.col("rn").alias("rb"),
+    )
+    p = (
+        a.join(b, "user_id")
+        .filter(
+            (F.col("rb") - F.col("ra")).between(1, _TS_BAND_K)
+            & (F.col("tb") > F.col("ta"))
+        )
+        .select(
+            "user_id",
+            "ea",
+            "eb",
+            (
+                F.lit(1.0)
+                * (F.col("cb") - F.col("ca"))
+                / (F.col("tb") - F.col("ta"))
+            ).alias("slope"),
+        )
+    )
+    w1o = Window.partitionBy("user_id", "ea").orderBy("slope", "eb")
+    w1n = Window.partitionBy("user_id", "ea")
+    r1 = p.select(
+        "user_id",
+        "ea",
+        "slope",
+        F.row_number().over(w1o).alias("sr"),
+        F.count("*").over(w1n).alias("sn"),
+    )
+    smid1 = F.floor((F.col("sn") + 1) / F.lit(2.0)).cast("bigint")
+    smid2 = F.floor((F.col("sn") + 2) / F.lit(2.0)).cast("bigint")
+    med1 = (
+        r1.filter((F.col("sr") == smid1) | (F.col("sr") == smid2))
+        .groupBy("user_id", "ea")
+        .agg(F.avg("slope").alias("mslope"))
+    )
+    w2o = Window.partitionBy("user_id").orderBy("mslope", "ea")
+    w2n = Window.partitionBy("user_id")
+    r2 = med1.select(
+        "user_id",
+        "mslope",
+        F.row_number().over(w2o).alias("mr"),
+        F.count("*").over(w2n).alias("mn"),
+    )
+    mmid1 = F.floor((F.col("mn") + 1) / F.lit(2.0)).cast("bigint")
+    mmid2 = F.floor((F.col("mn") + 2) / F.lit(2.0)).cast("bigint")
+    return (
+        r2.filter((F.col("mr") == mmid1) | (F.col("mr") == mmid2))
+        .groupBy("user_id")
+        .agg(
+            F.max("mn").cast("bigint").alias("n_points"),
+            _r(F.avg("mslope"), 9).alias("ts_slope_banded"),
+        )
     )
 
 

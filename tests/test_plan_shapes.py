@@ -271,6 +271,9 @@ PINNED = {
     # final round over a flat checkpointed scan (per-round
     # localCheckpoint truncates the doubling lineage)
     "kcore_cosupply_peel":    (2, [],                       ["CartesianProduct", "SortMergeJoin", "Generate"]),
+    # K-successor band rides the user_id equi-join as a residual filter
+    # (O(nK) pairs); both median passes window over pair/medians tables
+    "theil_sen_banded":       (3, ["Window"],               ["CartesianProduct", "SortMergeJoin"]),
 }
 
 
