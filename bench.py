@@ -189,6 +189,7 @@ HEADLINE = [
     "zipf_rank_frequency_fit",
     "pit_state_lookup",
     "theil_sen_banded",
+    "embedding_quality_audit",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

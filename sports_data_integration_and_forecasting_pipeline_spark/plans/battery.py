@@ -10579,6 +10579,68 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Embedding-quality audit — the pre-ingest data-quality gate for vector
+# columns: per label, how many vectors are present, how many are
+# all-zero (dead encoder outputs poison cosine math downstream — the
+# norm divides by zero), how many have the wrong dimensionality, and
+# the exact norm² envelope. Per-vector norm² is a SEQUENTIAL
+# left-to-right fold (`similarity.dot`'s order-stable discipline /
+# DuckDB list_sum over list_transform), snapped to e6 integers per
+# vector so every per-label aggregate is exact bigint arithmetic. One
+# narrow projection + one map-side-combined aggregate — scan-speed.
+# ===========================================================================
+
+@_register(
+    "embedding_quality_audit",
+    f"""
+    WITH v AS (
+      SELECT label,
+             len(embedding) AS dim,
+             CAST(floor(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                  * 1000000.0 + 0.5) AS BIGINT) AS norm2_e6
+      FROM embeddings)
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(CASE WHEN norm2_e6 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero_vecs,
+           CAST(sum(CASE WHEN dim <> {_EMB_DIM} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dim_errors,
+           CAST(min(norm2_e6) AS BIGINT) AS min_norm2_e6,
+           CAST(max(norm2_e6) AS BIGINT) AS max_norm2_e6,
+           CAST(sum(norm2_e6) AS BIGINT) AS sum_norm2_e6
+    FROM v GROUP BY label
+    """,
+    "similarity: per-label embedding data-quality audit (zero-vector / "
+    "dim-error counts, exact e6 norm-squared envelope)",
+    "per label: vector count, all-zero count, wrong-dimension count, "
+    "min/max/sum of e6-snapped norm-squared",
+)
+def embedding_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.similarity import dot
+
+    emb = _t(spark, sf_dir, "embeddings")
+    vd = F.col("embedding").cast("array<double>")
+    v = emb.select(
+        "label",
+        F.size("embedding").alias("dim"),
+        F.floor(dot(vd, vd) * 1e6 + 0.5).cast("bigint").alias("norm2_e6"),
+    )
+    return v.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.sum(F.when(F.col("norm2_e6") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero_vecs"),
+        F.sum(F.when(F.col("dim") != _EMB_DIM, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dim_errors"),
+        F.min("norm2_e6").cast("bigint").alias("min_norm2_e6"),
+        F.max("norm2_e6").cast("bigint").alias("max_norm2_e6"),
+        F.sum("norm2_e6").cast("bigint").alias("sum_norm2_e6"),
+    )
+
+
+# ===========================================================================
 # Banded repeated-median Theil-Sen — the SCALE-CAPPED robust trend the
 # heavy-key guard's error message points at: instead of all O(n²) pairs
 # per key, each point pairs only with its K=16 nearest-in-time
