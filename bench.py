@@ -190,6 +190,7 @@ HEADLINE = [
     "pit_state_lookup",
     "theil_sen_banded",
     "embedding_quality_audit",
+    "holt_linear_user_value",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

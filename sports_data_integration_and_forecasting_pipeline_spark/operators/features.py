@@ -121,3 +121,82 @@ def ewma_by_key(
         _ewma_batches,
         schema=f"{key_col} {key_type}, n_events long, ewma_last double",
     )
+
+
+def holt_by_key(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+) -> DataFrame:
+    """Per-key Holt linear (double exponential) smoothing — the
+    trend-aware sibling of :func:`ewma_by_key`:
+
+    ``l_1 = x_1, b_1 = 0``;
+    ``l_t = alpha*x_t + (1-alpha)*(l_{t-1} + b_{t-1})``;
+    ``b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}``.
+
+    Returns each key's final level, trend, one-step forecast
+    (``level + trend``), and event count — the streaming short-horizon
+    forecaster (per-user engagement trajectory, per-market line drift).
+
+    Same contract and scale shape as ``ewma_by_key``: the recurrence is
+    sequential (non-associative), so it is a designed Arrow crossing —
+    one hash shuffle on the key, partitions sorted by (key, order) once,
+    batched ``mapInPandas`` with a per-task carry dict
+    ``(count, level, trend)`` across batch boundaries. Every arithmetic
+    step is an IEEE-754 double op in the exact association order of the
+    recursive-CTE oracle, so results are bit-identical across engines.
+    Null keys are rejected for the same reason as ``ewma_by_key``.
+    """
+    a, bt = float(alpha), float(beta)
+    key_type = dict(df.dtypes)[key_col]
+    d = (
+        df.select(key_col, *order_cols, value_col)
+        .repartition(F.col(key_col))
+        .sortWithinPartitions(key_col, *order_cols)
+    )
+
+    def _holt_batches(batches):
+        import pandas as pd
+
+        carry: dict = {}
+        for pdf in batches:
+            if pdf[key_col].isna().any():
+                raise ValueError(
+                    "holt_by_key: null keys are unsupported — the "
+                    "recursive-CTE oracle's PARTITION BY keeps a NULL "
+                    "group while pandas groupby would drop or split it; "
+                    "filter or fill null keys upstream."
+                )
+            for k, g in pdf.groupby(key_col, sort=False):
+                n, lv, tr = carry.get(k, (0, None, 0.0))
+                for x in g[value_col]:
+                    x = float(x)
+                    if lv is None:
+                        lv = x
+                    else:
+                        prev = lv
+                        lv = a * x + (1.0 - a) * (lv + tr)
+                        tr = bt * (lv - prev) + (1.0 - bt) * tr
+                carry[k] = (n + len(g), lv, tr)
+        if carry:
+            yield pd.DataFrame(
+                {
+                    key_col: list(carry),
+                    "n_events": [v[0] for v in carry.values()],
+                    "level_last": [v[1] for v in carry.values()],
+                    "trend_last": [v[2] for v in carry.values()],
+                    "forecast_1": [v[1] + v[2] for v in carry.values()],
+                }
+            )
+
+    return d.mapInPandas(
+        _holt_batches,
+        schema=(
+            f"{key_col} {key_type}, n_events long, level_last double, "
+            "trend_last double, forecast_1 double"
+        ),
+    )

@@ -10579,6 +10579,60 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Holt linear smoothing — the trend-aware sibling of ewma_user_value
+# and the engine's second DESIGNED Arrow recurrence: level+trend double
+# exponential smoothing is sequential and non-associative (no window or
+# aggregate expresses it), so it runs as the same batched mapInPandas
+# crossing, bit-identical to a recursive-CTE oracle carrying (level,
+# trend) state. alpha=0.5 / beta=0.25 are binary-exact doubles; every
+# step is the same IEEE op sequence on both engines — UNROUNDED doubles
+# hash-match, the strongest determinism statement in the battery.
+# ===========================================================================
+
+@_register(
+    "holt_linear_user_value",
+    """
+    WITH RECURSIVE seq AS (
+      SELECT user_id, CAST(value AS DOUBLE) AS value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    h AS (
+      SELECT user_id, rn, value AS l, CAST(0.0 AS DOUBLE) AS b
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s2.user_id, s2.rn,
+             0.5 * s2.value + 0.5 * (h.l + h.b),
+             0.25 * ((0.5 * s2.value + 0.5 * (h.l + h.b)) - h.l)
+               + 0.75 * h.b
+      FROM h JOIN seq s2 ON s2.user_id = h.user_id AND s2.rn = h.rn + 1
+    )
+    SELECT user_id, CAST(rn AS BIGINT) AS n_events,
+           l AS level_last, b AS trend_last, l + b AS forecast_1
+    FROM h
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY rn DESC) = 1
+    """,
+    "stateful sequential op: per-key Holt linear smoothing via batched "
+    "Arrow mapInPandas (bit-identical to the recursive-CTE oracle, "
+    "unrounded)",
+    "per-user Holt level/trend (alpha 0.5, beta 0.25) over "
+    "(ts, event_id)-ordered values; final state + one-step forecast",
+)
+def holt_linear_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.features import holt_by_key
+
+    return holt_by_key(
+        _t(spark, sf_dir, "events"),
+        "user_id",
+        ["ts", "event_id"],
+        "value",
+        alpha=0.5,
+        beta=0.25,
+    )
+
+
+# ===========================================================================
 # Embedding-quality audit — the pre-ingest data-quality gate for vector
 # columns: per label, how many vectors are present, how many are
 # all-zero (dead encoder outputs poison cosine math downstream — the

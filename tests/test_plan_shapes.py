@@ -26,6 +26,8 @@ ARROW_OK = {
     # per-key EWMA is an inherently sequential recurrence — the designed
     # applyInPandas crossing, bit-identical to its recursive-CTE oracle
     "ewma_user_value",
+    # Holt level+trend smoothing: same sequential-recurrence contract
+    "holt_linear_user_value",
 }
 # Streaming queries materialize via a memory sink, not a lazy plan.
 SKIP = {
