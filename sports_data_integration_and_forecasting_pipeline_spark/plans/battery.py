@@ -10698,7 +10698,10 @@ def embedding_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Banded repeated-median Theil-Sen — the SCALE-CAPPED robust trend the
 # heavy-key guard's error message points at: instead of all O(n²) pairs
 # per key, each point pairs only with its K=16 nearest-in-time
-# successors (a row_number band join — O(n·K) on every engine), then
+# successors. The successor rank is IN the equi-join key (each row
+# explodes into its K target ranks), so the join produces exactly the
+# O(n·K) banded pairs on every engine — a residual band filter on a
+# plain user_id join would still touch all n² same-key pairs. Then
 # median-of-medians: per-point median slope over its ≤K partners,
 # per-user median of those medians. The repeated median keeps the 50%
 # breakdown robustness; the band keeps a 10⁶-row key at 1.6·10⁷ pairs
@@ -10725,9 +10728,10 @@ _TS_BAND_K = 16
     p AS (
       SELECT a.user_id, a.event_id AS ea, b.event_id AS eb,
              1.0 * (b.c - a.c) / (b.t - a.t) AS slope
-      FROM e a JOIN e b
-        ON a.user_id = b.user_id
-       AND b.rn - a.rn BETWEEN 1 AND {_TS_BAND_K}
+      FROM (SELECT e.*, e.rn + d.i AS target
+            FROM e CROSS JOIN range(1, {_TS_BAND_K} + 1) d(i)) a
+      JOIN e b
+        ON a.user_id = b.user_id AND b.rn = a.target
        AND b.t > a.t),
     r1 AS (
       SELECT user_id, ea, slope,
@@ -10769,26 +10773,29 @@ def theil_sen_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cents(F.col("value")).alias("c"),
         F.row_number().over(wseq).alias("rn"),
     )
+    # the successor RANK is part of the equi-join key (each left row
+    # explodes into its K target ranks), so the join PRODUCES only the
+    # O(n·K) banded pairs — a residual `rb - ra <= K` filter on a plain
+    # user_id join would still touch all n² same-key pairs
     a = e.select(
         "user_id",
         F.col("event_id").alias("ea"),
         F.col("t").alias("ta"),
         F.col("c").alias("ca"),
-        F.col("rn").alias("ra"),
+        F.explode(
+            F.sequence(F.col("rn") + 1, F.col("rn") + _TS_BAND_K)
+        ).alias("target"),
     )
     b = e.select(
         "user_id",
         F.col("event_id").alias("eb"),
         F.col("t").alias("tb"),
         F.col("c").alias("cb"),
-        F.col("rn").alias("rb"),
+        F.col("rn").alias("target"),
     )
     p = (
-        a.join(b, "user_id")
-        .filter(
-            (F.col("rb") - F.col("ra")).between(1, _TS_BAND_K)
-            & (F.col("tb") > F.col("ta"))
-        )
+        a.join(b, ["user_id", "target"])
+        .filter(F.col("tb") > F.col("ta"))
         .select(
             "user_id",
             "ea",

@@ -273,9 +273,10 @@ PINNED = {
     # final round over a flat checkpointed scan (per-round
     # localCheckpoint truncates the doubling lineage)
     "kcore_cosupply_peel":    (2, [],                       ["CartesianProduct", "SortMergeJoin", "Generate"]),
-    # K-successor band rides the user_id equi-join as a residual filter
-    # (O(nK) pairs); both median passes window over pair/medians tables
-    "theil_sen_banded":       (3, ["Window"],               ["CartesianProduct", "SortMergeJoin"]),
+    # successor rank is IN the (user_id, target) equi-join key via a
+    # K-way explode, so the join PRODUCES only O(nK) pairs; both median
+    # passes window over the pair/medians tables
+    "theil_sen_banded":       (4, ["Window", "Generate"],   ["CartesianProduct", "SortMergeJoin"]),
 }
 
 
