@@ -10579,6 +10579,98 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Streaming point-in-time enrichment — the feature-store serve path:
+# the purchase STREAM joins the precomputed SCD2 lifecycle-interval dim
+# (the pit_state_lookup batch twin) per micro-batch, with the
+# [valid_from, valid_to) containment band as the join condition.
+# Stream-static joins re-broadcast the dim each micro-batch, which is
+# exactly how a production feature store serves slowly-changing
+# features to a live stream while the batch path rebuilds the dim —
+# batch and stream literally share the interval-build expressions. The
+# replay spans two micro-batches (ordered file staging), so the join
+# provably runs per-batch, not once. Oracle: identical to the batch
+# point-in-time join restricted to the same output columns.
+# ===========================================================================
+
+@_register(
+    "streaming_pit_enrich",
+    """
+    WITH lc AS (
+      SELECT user_id, ts, event_id, event_type FROM events
+      WHERE event_type IN ('signup', 'error')),
+    flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM lc
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    isl AS (
+      SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged),
+    runs AS (
+      SELECT user_id, island, min(event_type) AS state,
+             CAST(epoch_us(min(ts)) // 1000000 AS BIGINT) AS vf
+      FROM isl GROUP BY user_id, island),
+    iv AS (
+      SELECT user_id, state, vf,
+             lead(vf) OVER (PARTITION BY user_id ORDER BY island) AS vt
+      FROM runs),
+    p AS (
+      SELECT user_id, event_id,
+             CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ts_s
+      FROM events WHERE event_type = 'purchase')
+    SELECT p.user_id, p.event_id, p.ts_s, iv.state
+    FROM p JOIN iv
+      ON iv.user_id = p.user_id
+     AND p.ts_s >= iv.vf AND (iv.vt IS NULL OR p.ts_s < iv.vt)
+    """,
+    "streaming point-in-time dim join (feature-store serve path; "
+    "batch twin: pit_state_lookup)",
+    "purchase stream enriched per micro-batch with the user's SCD2 "
+    "lifecycle state interval containing the event time (inner: "
+    "pre-lifecycle purchases drop)",
+)
+def streaming_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.scd import (
+        scd2_intervals,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    iv = scd2_intervals(
+        ev.filter(F.col("event_type").isin("signup", "error")),
+        key_col="user_id",
+        ts_col="ts",
+        attr_col="event_type",
+        tiebreak_col="event_id",
+    ).select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("state"),
+        _epoch_s("valid_from").alias("vf"),
+        _epoch_s("valid_to").alias("vt"),
+    )
+    schema, stage = _stage_events_ordered(spark, sf_dir, n_files=2)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    probes = stream.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("event_time").cast("bigint").alias("ts_s"),
+    )
+    joined = probes.join(
+        F.broadcast(iv),
+        (probes["user_id"] == iv["d_user"])
+        & (probes["ts_s"] >= iv["vf"])
+        & (iv["vt"].isNull() | (probes["ts_s"] < iv["vt"])),
+    )
+    out = _drain(joined, "append")
+    return out.select("user_id", "event_id", "ts_s", "state")
+
+
+# ===========================================================================
 # Holt linear smoothing — the trend-aware sibling of ewma_user_value
 # and the engine's second DESIGNED Arrow recurrence: level+trend double
 # exponential smoothing is sequential and non-associative (no window or

@@ -38,6 +38,7 @@ SKIP = {
     "streaming_stream_join",
     "streaming_dedup_replay",
     "streaming_static_enrich",
+    "streaming_pit_enrich",
     "streaming_late_data_drop",
 }
 
