@@ -191,6 +191,7 @@ HEADLINE = [
     "theil_sen_banded",
     "embedding_quality_audit",
     "holt_linear_user_value",
+    "winsorized_event_stats",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

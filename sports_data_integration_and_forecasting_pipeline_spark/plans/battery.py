@@ -10579,6 +10579,93 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Winsorized robust stats — the outlier-clamped mean/spread feature
+# prep runs before feeding heavy-tailed values to a model: per group,
+# clamp values at the exact 5th/95th percentile ORDER STATISTICS
+# (rank-indexed — floor(0.05·n)+1-th and floor(0.95·n)+1-th values in
+# the pinned (cents, event_id) total order, no interpolation, so both
+# engines pick identical elements), then aggregate exact clamped cents.
+# Scale shape: one per-group sort window for ranks, the two clamp
+# bounds re-join as a broadcast ≤|groups|-row dim, one
+# map-side-combined aggregate. Everything integer until the final mean.
+# ===========================================================================
+
+@_register(
+    "winsorized_event_stats",
+    f"""
+    WITH v AS (
+      SELECT event_type,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY floor(value * 100.0 + 0.5),
+                                         event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events),
+    bounds AS (
+      SELECT event_type,
+             min(CASE WHEN rn = CAST(floor(0.05 * n) AS BIGINT) + 1
+                      THEN c END) AS lo,
+             min(CASE WHEN rn = CAST(floor(0.95 * n) AS BIGINT) + 1
+                      THEN c END) AS hi
+      FROM v GROUP BY event_type)
+    SELECT v.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(b.lo AS BIGINT) AS p05_cents,
+           CAST(b.hi AS BIGINT) AS p95_cents,
+           CAST(sum(least(greatest(v.c, b.lo), b.hi)) AS BIGINT)
+             AS winsorized_sum_cents,
+           {_sql_r(
+               '1.0 * sum(least(greatest(v.c, b.lo), b.hi)) / count(*)',
+               4)} AS winsorized_mean_cents
+    FROM v JOIN bounds b USING (event_type)
+    GROUP BY v.event_type, b.lo, b.hi
+    """,
+    "analytics: 5/95 winsorized per-group stats (exact rank-indexed "
+    "clamp bounds, integer-clamped aggregate)",
+    "per event_type: count, exact 5th/95th percentile order statistics "
+    "in cents, and the winsorized sum/mean",
+)
+def winsorized_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("c", "event_id")
+    wn = Window.partitionBy("event_type")
+    v = ev.select(
+        "event_type", _cents(F.col("value")).alias("c"), "event_id"
+    ).select(
+        "event_type",
+        "c",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    lo_rn = F.floor(0.05 * F.col("n")).cast("bigint") + 1
+    hi_rn = F.floor(0.95 * F.col("n")).cast("bigint") + 1
+    bounds = v.groupBy("event_type").agg(
+        F.min(F.when(F.col("rn") == lo_rn, F.col("c"))).alias("lo"),
+        F.min(F.when(F.col("rn") == hi_rn, F.col("c"))).alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("c"), F.col("lo")), F.col("hi"))
+    return (
+        v.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type", "lo", "hi")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(clamped).cast("bigint").alias("winsorized_sum_cents"),
+            _r(
+                F.lit(1.0) * F.sum(clamped) / F.count("*"), 4
+            ).alias("winsorized_mean_cents"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            F.col("lo").cast("bigint").alias("p05_cents"),
+            F.col("hi").cast("bigint").alias("p95_cents"),
+            "winsorized_sum_cents",
+            "winsorized_mean_cents",
+        )
+    )
+
+
+# ===========================================================================
 # Streaming point-in-time enrichment — the feature-store serve path:
 # the purchase STREAM joins the precomputed SCD2 lifecycle-interval dim
 # (the pit_state_lookup batch twin) per micro-batch, with the
