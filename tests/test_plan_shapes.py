@@ -278,6 +278,9 @@ PINNED = {
     # K-way explode, so the join PRODUCES only O(nK) pairs; both median
     # passes window over the pair/medians tables
     "theil_sen_banded":       (4, ["Window", "Generate"],   ["CartesianProduct", "SortMergeJoin"]),
+    # one per-group sort window for ranks; clamp bounds re-join as a
+    # broadcast <=|groups|-row dim; map-side-combined final aggregate
+    "winsorized_event_stats": (3, ["Window", "BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin"]),
 }
 
 
