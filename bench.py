@@ -192,6 +192,7 @@ HEADLINE = [
     "embedding_quality_audit",
     "holt_linear_user_value",
     "winsorized_event_stats",
+    "quantile_normalize_events",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

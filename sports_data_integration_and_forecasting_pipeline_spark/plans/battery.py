@@ -10579,6 +10579,76 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Bucketed quantile normalization — the cross-group feature-alignment
+# op (classic in bioinformatics, equally useful for aligning value
+# distributions across event types before modeling): rank each group's
+# values into 100 ntile buckets (pinned (cents, event_id) order), and
+# map every bucket to the REFERENCE value — the mean of that bucket's
+# members across ALL groups. After normalization every group has the
+# same marginal distribution by construction. The bucketed form (vs
+# per-rank interpolation) is what scales: the reference table is
+# exactly 100 rows regardless of data size, and ntile is one sort
+# window per group. Output is the per-(group, bucket) audit: raw mean
+# vs the reference it maps to.
+# ===========================================================================
+
+@_register(
+    "quantile_normalize_events",
+    f"""
+    WITH v AS (
+      SELECT event_type,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c,
+             ntile(100) OVER (PARTITION BY event_type
+                              ORDER BY floor(value * 100.0 + 0.5),
+                                       event_id) AS bucket
+      FROM events),
+    ref AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS ref_n,
+             {_sql_r('1.0 * sum(c) / count(*)', 4)} AS ref_cents
+      FROM v GROUP BY bucket)
+    SELECT v.event_type, v.bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           {_sql_r('1.0 * sum(v.c) / count(*)', 4)} AS raw_mean_cents,
+           r.ref_cents AS normalized_cents
+    FROM v JOIN ref r USING (bucket)
+    GROUP BY v.event_type, v.bucket, r.ref_cents
+    """,
+    "ml: bucketed quantile normalization across event types (100-ntile "
+    "rank alignment to the cross-group reference distribution)",
+    "per (event_type, percentile bucket): row count, raw mean cents, "
+    "and the cross-group reference value the bucket normalizes to",
+)
+def quantile_normalize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("c", "event_id")
+    v = ev.select(
+        "event_type", _cents(F.col("value")).alias("c"), "event_id"
+    ).select(
+        "event_type", "c", F.ntile(100).over(w).alias("bucket")
+    )
+    ref = v.groupBy("bucket").agg(
+        _r(F.lit(1.0) * F.sum("c") / F.count("*"), 4).alias("ref_cents")
+    )
+    return (
+        v.join(F.broadcast(ref), "bucket")
+        .groupBy("event_type", "bucket", "ref_cents")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            _r(F.lit(1.0) * F.sum("c") / F.count("*"), 4).alias(
+                "raw_mean_cents"
+            ),
+        )
+        .select(
+            "event_type",
+            "bucket",
+            "n_rows",
+            "raw_mean_cents",
+            F.col("ref_cents").alias("normalized_cents"),
+        )
+    )
+
+
+# ===========================================================================
 # Winsorized robust stats — the outlier-clamped mean/spread feature
 # prep runs before feeding heavy-tailed values to a model: per group,
 # clamp values at the exact 5th/95th percentile ORDER STATISTICS
