@@ -193,6 +193,7 @@ HEADLINE = [
     "holt_linear_user_value",
     "winsorized_event_stats",
     "quantile_normalize_events",
+    "date_spine_zero_fill",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

@@ -10579,6 +10579,75 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Date-spine densification — the calendar-completeness primitive under
+# every time-series report: generate the full day spine between the
+# data's min and max day (derived, not hardcoded), left-join the daily
+# aggregate, and zero-fill the gaps so downstream windows/charts see an
+# explicit row for every day. Spine generation is sequence+explode over
+# ONE scalar row (never a driver loop); the daily aggregate reduces the
+# fact FIRST, so the left join is |days| × tiny. Zero-filled days carry
+# is_gap=1 — the audit bit monitoring queries alert on.
+# ===========================================================================
+
+@_register(
+    "date_spine_zero_fill",
+    """
+    WITH d AS (
+      SELECT CAST(epoch_us(ts) // 1000000 // 86400 AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM events GROUP BY 1),
+    b AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+    spine AS (SELECT unnest(range(lo, hi + 1)) AS day FROM b)
+    SELECT s.day,
+           CAST(coalesce(d.n_events, 0) AS BIGINT) AS n_events,
+           CAST(coalesce(d.cents, 0) AS BIGINT) AS cents,
+           CAST(CASE WHEN d.day IS NULL THEN 1 ELSE 0 END AS INT)
+             AS is_gap
+    FROM spine s LEFT JOIN d ON d.day = s.day
+    """,
+    "time series: calendar date-spine densification with zero-fill "
+    "(derived bounds, sequence+explode spine, gap audit bit)",
+    "one row per day between the data's min and max day: event count "
+    "and cents (0 on missing days) plus the is_gap flag",
+)
+def date_spine_zero_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    d = (
+        ev.select(
+            _fdiv(_epoch_s("ts"), 86400).alias("day"),
+            _cents(F.col("value")).alias("c"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("c").cast("bigint").alias("cents"),
+        )
+    )
+    spine = (
+        d.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day")
+        )
+    )
+    return spine.join(
+        d.withColumnRenamed("day", "dday"),
+        spine["day"] == F.col("dday"),
+        "left",
+    ).select(
+        "day",
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("bigint").alias(
+            "n_events"
+        ),
+        F.coalesce(F.col("cents"), F.lit(0)).cast("bigint").alias("cents"),
+        F.when(F.col("dday").isNull(), 1).otherwise(0).cast("int").alias(
+            "is_gap"
+        ),
+    )
+
+
+# ===========================================================================
 # Bucketed quantile normalization — the cross-group feature-alignment
 # op (classic in bioinformatics, equally useful for aligning value
 # distributions across event types before modeling): rank each group's
