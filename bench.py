@@ -194,6 +194,8 @@ HEADLINE = [
     "winsorized_event_stats",
     "quantile_normalize_events",
     "date_spine_zero_fill",
+    "lorenz_curve_orders",
+    "ship_latency_by_priority",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

@@ -10579,6 +10579,152 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Lorenz curve — the distributional companion to
+# gini_order_concentration: the 10-point curve of cumulative revenue
+# share by order-value decile ("the bottom 30% of orders carry X% of
+# revenue"). Deciles come from the same pinned (cents, orderkey) total
+# order as the Gini entry (ntile over one global sort window); decile
+# sums are exact bigints, the cumulative share a 10-row window — so the
+# expensive part is ONE sort of a 2-column projection, identical cost
+# profile to the decile/Pareto/Gini family it completes.
+# ===========================================================================
+
+@_register(
+    "lorenz_curve_orders",
+    f"""
+    WITH x AS (
+      SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+             ntile(10) OVER (ORDER BY floor(o_totalprice * 100.0 + 0.5),
+                             o_orderkey) AS decile
+      FROM orders),
+    d AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(cents) AS BIGINT) AS cents
+      FROM x GROUP BY decile),
+    t AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM d)
+    SELECT decile, n_orders, cents,
+           CAST(sum(cents) OVER (ORDER BY decile
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_cents,
+           {_sql_r(
+               '1.0 * sum(cents) OVER (ORDER BY decile'
+               ' ROWS UNBOUNDED PRECEDING) / total', 9)} AS cum_share
+    FROM d CROSS JOIN t
+    """,
+    "analytics: Lorenz curve of order values (cumulative revenue share "
+    "by decile; one global sort, exact bigint sums)",
+    "10 rows: per order-value decile the order count, decile cents, "
+    "cumulative cents, and 9dp cumulative revenue share",
+)
+def lorenz_curve_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("cents", "o_orderkey")
+    x = o.select(
+        _cents(F.col("o_totalprice")).alias("cents"), "o_orderkey"
+    ).select("cents", F.ntile(10).over(w).alias("decile"))
+    d = x.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("cents"),
+    )
+    t = d.agg(F.sum("cents").cast("bigint").alias("total"))
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return d.crossJoin(F.broadcast(t)).select(
+        "decile",
+        "n_orders",
+        "cents",
+        F.sum("cents").over(wc).cast("bigint").alias("cum_cents"),
+        _r(
+            F.lit(1.0) * F.sum("cents").over(wc) / F.col("total"), 9
+        ).alias("cum_share"),
+    )
+
+
+# ===========================================================================
+# Ship-latency distribution — the operational-SLA readout: per order
+# priority, the exact p50/p90 order statistics and mean of
+# order-to-ship latency in days (l_shipdate − o_orderdate per
+# lineitem). Percentiles are rank-indexed order statistics in the
+# pinned (days, orderkey, linenumber) total order — the
+# winsorized_event_stats discipline, no interpolation — so both
+# engines select identical elements. One fact join (orders dim side
+# pre-projected), one per-priority sort window, exact integer days.
+# ===========================================================================
+
+@_register(
+    "ship_latency_by_priority",
+    f"""
+    WITH j AS (
+      SELECT o.o_orderpriority AS pri,
+             CAST(epoch_us(l.l_shipdate) // 1000000 // 86400
+                  - epoch_us(o.o_orderdate) // 1000000 // 86400
+                  AS BIGINT) AS days,
+             l.l_orderkey, l.l_linenumber
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    r AS (
+      SELECT pri, days,
+             row_number() OVER (PARTITION BY pri
+                                ORDER BY days, l_orderkey, l_linenumber)
+               AS rn,
+             count(*) OVER (PARTITION BY pri) AS n
+      FROM j)
+    SELECT pri,
+           CAST(max(n) AS BIGINT) AS n_lines,
+           CAST(min(CASE WHEN rn = CAST(floor(0.50 * n) AS BIGINT) + 1
+                         THEN days END) AS BIGINT) AS p50_days,
+           CAST(min(CASE WHEN rn = CAST(floor(0.90 * n) AS BIGINT) + 1
+                         THEN days END) AS BIGINT) AS p90_days,
+           {_sql_r('1.0 * sum(days) / count(*)', 4)} AS mean_days
+    FROM r GROUP BY pri
+    """,
+    "warehouse: order-to-ship latency distribution by priority (exact "
+    "rank-indexed p50/p90, integer day math)",
+    "per order priority: lineitem count, exact p50/p90 order-to-ship "
+    "latency in days, and the 4dp mean",
+)
+def ship_latency_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", _fdiv(_epoch_s("l_shipdate"), 86400).alias("sd")
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        _fdiv(_epoch_s("o_orderdate"), 86400).alias("od"),
+    )
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("o_orderpriority").alias("pri"),
+        (F.col("sd") - F.col("od")).cast("bigint").alias("days"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = Window.partitionBy("pri").orderBy(
+        "days", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("pri")
+    r = j.select(
+        "pri",
+        "days",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    p50 = F.floor(0.50 * F.col("n")).cast("bigint") + 1
+    p90 = F.floor(0.90 * F.col("n")).cast("bigint") + 1
+    return r.groupBy("pri").agg(
+        F.max("n").cast("bigint").alias("n_lines"),
+        F.min(F.when(F.col("rn") == p50, F.col("days")))
+        .cast("bigint")
+        .alias("p50_days"),
+        F.min(F.when(F.col("rn") == p90, F.col("days")))
+        .cast("bigint")
+        .alias("p90_days"),
+        _r(F.lit(1.0) * F.sum("days") / F.count("*"), 4).alias(
+            "mean_days"
+        ),
+    )
+
+
+# ===========================================================================
 # Date-spine densification — the calendar-completeness primitive under
 # every time-series report: generate the full day spine between the
 # data's min and max day (derived, not hardcoded), left-join the daily
