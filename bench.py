@@ -200,6 +200,7 @@ HEADLINE = [
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).
     # forecast_random_forest / dedup_cluster_assign / dedup_cluster_star /
+    # dedup_cluster_size_histogram /
     # leakage_safe_split / pagerank_customer_supplier /
     # hierarchy_root_depth /
     # recursive_cte_walk / kcore_cosupply_peel excluded: iterative MLlib

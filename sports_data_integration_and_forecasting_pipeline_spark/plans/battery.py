@@ -10579,6 +10579,80 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Dedup cluster-size histogram — the dedup OBSERVABILITY readout every
+# curation run publishes: how many near-dup clusters of each size does
+# the corpus hold, and what fraction of documents is removable
+# (size − 1 per cluster)? Derived from the same SimHash connected
+# components as dedup_cluster_assign (identical recursive-CTE oracle
+# core), then two tiny aggregates: cluster → size, size → cluster
+# count. At 100 TB the histogram is the cheap audit over the already-
+# computed component table — the thing you alert on when a boilerplate
+# flood suddenly produces a 10⁶-doc cluster.
+# ===========================================================================
+
+@_register(
+    "dedup_cluster_size_histogram",
+    f"""
+    WITH RECURSIVE {_SIMHASH60_CTE},
+    bands AS (
+      SELECT doc_id, simhash60, b AS band,
+             (simhash60 >> (15 * b)) & 32767 AS nib
+      FROM sim60 CROSS JOIN (VALUES (0), (1), (2), (3)) t(b)
+    ),
+    edges AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.nib = b.nib
+                               AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash60, b.simhash60)) <= 3
+    ),
+    sym AS (
+      SELECT id_a AS n, id_b AS m FROM edges
+      UNION ALL SELECT id_b, id_a FROM edges
+    ),
+    comp(n, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT s.n, c.label FROM comp c JOIN sym s ON s.m = c.n
+    ),
+    assign AS (
+      SELECT n AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+      FROM comp GROUP BY n),
+    sizes AS (
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS size
+      FROM assign GROUP BY cluster_id)
+    SELECT size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(count(*) * size AS BIGINT) AS n_docs,
+           CAST(count(*) * (size - 1) AS BIGINT) AS n_removable
+    FROM sizes GROUP BY size
+    """,
+    "dedup observability: near-dup cluster-size histogram with "
+    "removable-document counts (audit over the component table)",
+    "per cluster size: cluster count, documents covered, and documents "
+    "removable by keep-one-per-cluster dedup",
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
+        connected_components,
+        simhash_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = simhash_pairs(docs, max_hamming=3).select("id_a", "id_b")
+    assign = connected_components(edges, docs, node_col="doc_id")
+    sizes = assign.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("size")
+    )
+    return sizes.groupBy("size").agg(
+        F.count("*").cast("bigint").alias("n_clusters"),
+        (F.count("*") * F.col("size")).cast("bigint").alias("n_docs"),
+        (F.count("*") * (F.col("size") - 1))
+        .cast("bigint")
+        .alias("n_removable"),
+    )
+
+
+# ===========================================================================
 # Lorenz curve — the distributional companion to
 # gini_order_concentration: the 10-point curve of cumulative revenue
 # share by order-value decile ("the bottom 30% of orders carry X% of
