@@ -196,6 +196,7 @@ HEADLINE = [
     "date_spine_zero_fill",
     "lorenz_curve_orders",
     "ship_latency_by_priority",
+    "markov_steady_state_power",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

@@ -10579,6 +10579,102 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Markov steady state by power iteration — the linear-algebra twin of
+# the integer PageRank: take event_transition_matrix's chain, scale
+# conditional probabilities to exact e9 integers (floor DIV, identical
+# on both engines), start from the uniform vector, and unroll THREE
+# row-vector × matrix multiplies with per-term floor division
+# (v·p ≤ 1e18 stays in int64 BEFORE the divide; the per-term DIV keeps
+# every intermediate ≤ 5e9). Float-free, so the iterate is
+# hash-identical across engines and partition orders. The |states|²
+# matrix is tiny by construction — the cost is the ONE pass that
+# builds the transition counts; each multiply is a broadcast join over
+# ≤25 rows. mass_e9 exposes the floor-loss drift (≤ |states| per
+# round) as an auditable output instead of hiding it.
+# ===========================================================================
+
+def _mk_iter_sql(prev: str, name: str) -> str:
+    return (
+        f"{name} AS (SELECT tm.t AS s, CAST(sum((v.v * tm.p_e9)"
+        f" // 1000000000) AS BIGINT) AS v"
+        f" FROM {prev} v JOIN tm ON tm.f = v.s GROUP BY tm.t)"
+    )
+
+
+@_register(
+    "markov_steady_state_power",
+    f"""
+    WITH seq AS (
+      SELECT event_type AS f,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS t
+      FROM events),
+    c AS (SELECT f, t, CAST(count(*) AS BIGINT) AS n
+          FROM seq WHERE t IS NOT NULL GROUP BY f, t),
+    nf AS (SELECT f, CAST(sum(n) AS BIGINT) AS nt FROM c GROUP BY f),
+    tm AS (SELECT c.f, c.t,
+                  CAST((1000000000 * c.n) // nf.nt AS BIGINT) AS p_e9
+           FROM c JOIN nf USING (f)),
+    states AS (SELECT DISTINCT f AS s FROM tm),
+    ns AS (SELECT CAST(count(*) AS BIGINT) AS k FROM states),
+    v0 AS (SELECT s, CAST(1000000000 // k AS BIGINT) AS v
+           FROM states CROSS JOIN ns),
+    {_mk_iter_sql('v0', 'v1')},
+    {_mk_iter_sql('v1', 'v2')},
+    {_mk_iter_sql('v2', 'v3')}
+    SELECT s AS state, v AS mass_e9
+    FROM v3
+    """,
+    "analytics: Markov steady-state power iteration over the event "
+    "chain (exact e9 integer vector-matrix multiplies, 3 unrolled "
+    "rounds)",
+    "per event type: the e9-scaled occupancy mass after three power "
+    "iterations from the uniform vector (floor-loss drift visible)",
+)
+def markov_steady_state_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    seq = ev.select(
+        F.col("event_type").alias("f"),
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("t"),
+    )
+    c = (
+        seq.filter(F.col("t").isNotNull())
+        .groupBy("f", "t")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    nf = c.groupBy("f").agg(F.sum("n").cast("bigint").alias("nt"))
+    tm = c.join(nf, "f").select(
+        "f",
+        "t",
+        F.expr("(1000000000 * n) DIV nt").cast("bigint").alias("p_e9"),
+    )
+    states = tm.select(F.col("f").alias("s")).distinct()
+    ns = states.agg(F.count("*").cast("bigint").alias("k"))
+    v = states.crossJoin(F.broadcast(ns)).select(
+        "s", F.expr("1000000000 DIV k").cast("bigint").alias("v")
+    )
+    for i in range(3):
+        # fresh aliases per round: v's lineage contains tm (the state
+        # set derives from it), so an unqualified re-join is ambiguous
+        vi = v.alias(f"v{i}")
+        tmi = tm.alias(f"tm{i}")
+        v = (
+            vi.join(tmi, F.col(f"v{i}.s") == F.col(f"tm{i}.f"))
+            .groupBy(F.col(f"tm{i}.t").alias("s"))
+            .agg(
+                F.sum(
+                    F.expr(f"(v{i}.v * tm{i}.p_e9) DIV 1000000000")
+                )
+                .cast("bigint")
+                .alias("v")
+            )
+        )
+    return v.select(F.col("s").alias("state"), F.col("v").alias("mass_e9"))
+
+
+# ===========================================================================
 # Dedup cluster-size histogram — the dedup OBSERVABILITY readout every
 # curation run publishes: how many near-dup clusters of each size does
 # the corpus hold, and what fraction of documents is removable
