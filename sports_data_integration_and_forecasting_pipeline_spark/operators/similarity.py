@@ -31,6 +31,11 @@ from pyspark.sql.window import Window
 
 DEFAULT_PLANES = 8
 
+# Hard cap on rows the dense exact-cosine baseline may collect to the
+# driver (1e5 rows × 64-dim float64 ≈ 51 MB broadcast — safe under the
+# 8g driver heap; anything bigger belongs on the LSH path).
+DENSE_COLLECT_MAX_ROWS = 100_000
+
 
 def dvec(col: Column) -> Column:
     """Widen array<float> → array<double> (exact)."""
@@ -334,13 +339,26 @@ def cosine_dup_pairs_blocked(
     (verified exact-equal to the sequential-sum oracle on the fixed
     testdata at sf0.01 and sf0.1). For unbounded tables use the LSH path
     (``cosine_dup_pairs(exact=False)``) — this operator is the dense
-    exact baseline, not the 100 TB plan.
+    exact baseline, not the 100 TB plan. The driver-collect bound is
+    ENFORCED (r6 review task 2): one cheap ``count()`` precedes the
+    collect and raises past ``DENSE_COLLECT_MAX_ROWS`` rows instead of
+    OOMing the driver — the ``_assert_bounded_group`` fail-loud style.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
-    rows = emb_df.select(id_col, vec_col).collect()  # bounded by contract
+    n_rows = emb_df.count()
+    if n_rows > DENSE_COLLECT_MAX_ROWS:
+        raise AssertionError(
+            "cosine_dup_pairs_blocked dense-collect precondition "
+            f"violated: embeddings table has {n_rows:,} rows (bound "
+            f"{DENSE_COLLECT_MAX_ROWS:,}) — collecting and broadcasting "
+            "the full matrix would OOM the driver. Use the LSH-bucketed "
+            "path (cosine_dup_pairs(exact=False)) for unbounded tables; "
+            "this operator is the dense exact baseline only."
+        )
+    rows = emb_df.select(id_col, vec_col).collect()  # bound enforced above
     ids = np.array([r[id_col] for r in rows], dtype=np.int64)
     M = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
     norms = np.linalg.norm(M, axis=1)

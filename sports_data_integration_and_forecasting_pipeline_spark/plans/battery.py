@@ -11778,27 +11778,34 @@ _WINDOW_PRIORITY = [
     "event_sessionize",
     "forecast_linear_ols",
     # text analysis family (language_id rotated out mid-r5 — twice
-    # driver-green — for the new iterative-ML family entry)
+    # driver-green — for the new iterative-ML family entry; r7 adds the
+    # never-checked KL drift and bigram-LM perplexity, displacing
+    # twice-green second-tier slots from other families below)
     "text_token_stats",
     "text_quality",
+    "kl_term_drift",
+    "text_bigram_perplexity",
     "kmeans_embeddings_lloyd",
     # dedup family (simhash_pairs, the 4th pairwise variant, yields its
     # window slot to the graph family head; dedup_exact — twice
-    # driver-green — yields its slot to the new Q8 star-join shape; local
+    # driver-green — yields its slot to the Q8 star-join shape; local
     # oracle still covers both. r6: pagerank_customer_supplier — twice
-    # driver-green — yields its slot to the Theil-Sen robust trend.)
-    # (dedup_incremental_minhash — twice driver-green — also rotates
-    # out in r6; the incremental family remains locally hash-oracled)
-    "q8_nation_market_share",
+    # driver-green — yields its slot to the Theil-Sen robust trend.
+    # r7: q8_nation_market_share — twice driver-green — yields to the
+    # banded Theil-Sen, the scale-correct fallback the heavy-key guard
+    # names in its error message.)
+    "theil_sen_banded",
     "dedup_shingle_jaccard",
     "dedup_minhash_lsh",
     "theil_sen_user_trend",
     "dedup_cluster_star",
     # curation / quality family (r6: decontaminate_benchmark and
     # pii_redaction — both twice driver-green — yield their slots to the
-    # never-checked set-ops churn audit and VARIANT extract)
+    # never-checked set-ops churn audit and VARIANT extract; r7:
+    # cusum_changepoint — twice driver-green — yields to the
+    # embedding-quality audit)
     "set_ops_churn_audit",
-    "cusum_changepoint",
+    "embedding_quality_audit",
     "variant_props_extract",
     "vocab_coverage",
     "pack_sequence_spans",
@@ -11809,27 +11816,34 @@ _WINDOW_PRIORITY = [
     "hll_rolling_7d_users",
     "bm25_scoring",
     # embedding / similarity family (r6: embed_cosine_topk — twice
-    # driver-green — yields its slot to the weighted-median price entry)
+    # driver-green — yields its slot to the weighted-median price entry;
+    # r7: kaplan_meier_conversion — twice driver-green — yields to the
+    # Holt linear smoothing recurrence)
     "weighted_median_price",
-    "kaplan_meier_conversion",
+    "holt_linear_user_value",
     # graph/recursive family head (r6: multimodal_image_features — twice
     # driver-green — yields its slot to the recursive-CTE walk)
     "recursive_cte_walk",
     # streaming family (r6: streaming_replay_rollup — twice driver-green
-    # — yields its slot to the native session-window entry)
+    # — yields its slot to the native session-window entry; r7:
+    # copurchase_lift_pairs and streaming_late_data_drop — both twice
+    # driver-green — yield to the point-in-time SCD2 lookup and the
+    # analytics-pack Gini concentration)
     "session_window_native",
-    "copurchase_lift_pairs",
-    "streaming_late_data_drop",
-    # warehouse / skew / layout (r6: asof_join_marks — twice
-    # driver-green — yields its slot to the Q21 multi-exists shape)
+    "pit_state_lookup",
+    "gini_order_concentration",
+    # warehouse / skew / layout / TPC-H tail (r6: asof_join_marks —
+    # twice driver-green — yields its slot to the Q21 multi-exists
+    # shape; r7: q5, bucketed_join, canonical_schema_evolution,
+    # range_join, scd2_user_state_intervals, zorder, pivot — all twice+
+    # driver-green — yield to the never-checked TPC-H q3/q10/q18 and the
+    # analytics-pack ACF + YoY growth)
     "q21_sole_latest_shipper",
-    "q5_local_supplier_revenue",
-    "bucketed_join_colocated",
-    "canonical_schema_evolution",
-    "range_join_concurrent_sessions",
-    "scd2_user_state_intervals",
-    "zorder_layout_pruning",
-    "pivot_event_cents",
+    "q3_shipping_priority",
+    "q10_returned_items",
+    "q18_large_volume_customers",
+    "acf_daily_autocorrelation",
+    "yoy_monthly_growth",
 ]
 # Round-5 rotation (round-4 review task 1): every SURVEY §2 family head
 # is twice-driver-green and stable, so 8 second-tier slots
@@ -11855,6 +11869,47 @@ _WINDOW_PRIORITY = [
 # recursive_cte_walk, session_window_native, q21_sole_latest_shipper).
 # Rotated-out entries remain verified by the identical local
 # DuckDB-hash comparison on every pytest run.
+# Round-7 rotation (r6 review task 1): twelve twice-driver-green slots
+# (cusum_changepoint, kaplan_meier_conversion, copurchase_lift_pairs,
+# bucketed_join_colocated, range_join_concurrent_sessions,
+# scd2_user_state_intervals, zorder_layout_pruning, pivot_event_cents,
+# canonical_schema_evolution, q5_local_supplier_revenue,
+# q8_nation_market_share, streaming_late_data_drop) yielded to the
+# strongest never-driver-checked entries (kl_term_drift,
+# text_bigram_perplexity, theil_sen_banded, holt_linear_user_value,
+# pit_state_lookup, embedding_quality_audit, q3_shipping_priority,
+# q10_returned_items, q18_large_volume_customers,
+# gini_order_concentration, acf_daily_autocorrelation,
+# yoy_monthly_growth).
+#
+# ROTATION SCHEDULE (r6 review task 5 — the plan in writing so it
+# survives context loss). ~104 entries still lack a driver row after
+# r7; at 10-12 fresh slots per round the backlog clears in ~9 more
+# rotations. Family order for upcoming rounds (rotate OUT only slots
+# that are twice-driver-green at that round; §2 core positions 1-20
+# stay pinned forever):
+#   r8: TPC-H q-tail second wave (q7_volume_shipping,
+#       q13_customer_distribution, q14_promo_effect) + analytics pack
+#       second wave (entropy_source_mix, frequent_event_trigrams,
+#       zipf_rank_frequency_fit, lorenz_curve_orders) + r6 stats pack
+#       (winsorized_event_stats, quantile_normalize_events,
+#       date_spine_zero_fill) — rotate out the r6 first-timers that
+#       become twice-green in r7 (theil_sen_user_trend, set_ops,
+#       variant, hll×2, weighted_median, recursive_cte,
+#       session_window_native, q21).
+#   r9: TPC-H q-tail third wave (q15_top_supplier, q17_small_qty_avg,
+#       q19_discounted_revenue, q22_global_sales_opportunity) +
+#       markov_steady_state_power, kcore_cosupply_peel,
+#       dedup_cluster_size_histogram, streaming_pit_enrich,
+#       holt/winsorize leftovers — rotate out r7 first-timers gone
+#       twice-green.
+#   r10+: remaining dedup/incremental variants
+#       (dedup_incremental_compacted, dedup_normalized,
+#       cosine_dup_pairs families), multimodal second wave
+#       (frame_sample, audio_duration), sampling/diff/profile pack,
+#       then sweep any stragglers alphabetically until all 194+ have
+#       ≥1 driver row.
+# ===========================================================================
 
 
 def _curate_order() -> None:

@@ -114,6 +114,25 @@ def test_cosine_dup_pairs_blocked_matches_exact(spark):
     assert blocked == exact and len(blocked) > 0
 
 
+def test_cosine_dup_pairs_blocked_enforces_collect_bound(spark):
+    """r7 (VERDICT r6 task 2): the dense baseline's driver-collect bound
+    is enforced, not just documented — an over-bound embeddings frame
+    raises loudly (naming the LSH path) instead of collecting."""
+    import pytest
+
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.similarity import (
+        DENSE_COLLECT_MAX_ROWS,
+        cosine_dup_pairs_blocked,
+    )
+
+    big = spark.range(DENSE_COLLECT_MAX_ROWS + 1).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    with pytest.raises(AssertionError, match="dense-collect precondition"):
+        cosine_dup_pairs_blocked(big)
+
+
 def test_cosine_dup_pairs_bucketed_subset_of_exact(spark):
     """The LSH-bucketed scale path returns a subset of the exact pair set
     (same values on the pairs it does return)."""
