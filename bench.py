@@ -223,6 +223,27 @@ BUILDER_DOES_CLUSTER_WORK = {
 }
 
 
+def compact_bench_line(base: dict, timings: dict, budget: int = 1800) -> str:
+    """Render the stdout bench line: ``base`` plus the slowest queries
+    that fit in ``budget`` chars, the rest rolled up into
+    ``queries_omitted``/``queries_omitted_sec``. The loop ends at keep=0
+    (no per-query detail at all), so the line fits the driver's ~2000-char
+    tail capture at ANY battery size — unit-tested with a 250-name fake
+    registry (r6 review task 6)."""
+    by_cost = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
+    line = None
+    for keep in range(len(by_cost), -1, -1):
+        obj = {**base, "queries": dict(sorted(by_cost[:keep]))}
+        omitted = by_cost[keep:]
+        if omitted:
+            obj["queries_omitted"] = len(omitted)
+            obj["queries_omitted_sec"] = round(sum(v for _, v in omitted), 3)
+        line = json.dumps(obj, separators=(",", ":"))
+        if len(line) <= budget:
+            break
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -390,27 +411,21 @@ def main() -> None:
     (Path(__file__).parent / "BENCH.local.json").write_text(full_line + "\n")
     print(full_line, file=sys.stderr, flush=True)
 
-    by_cost = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
-    compact_line = None
-    for keep in range(len(by_cost), -1, -1):
-        obj = {
-            "metric": "battery_total_wall",
-            "value": total,
-            "unit": "sec",
-            **calib,
-            "normalized_total": normalized,
-            "normalized_work": norm_work,
-            "queries": dict(sorted(by_cost[:keep])),
-            "sf": sf_val,
-        }
-        omitted = by_cost[keep:]
-        if omitted:
-            obj["queries_omitted"] = len(omitted)
-            obj["queries_omitted_sec"] = round(sum(v for _, v in omitted), 3)
-        compact_line = json.dumps(obj, separators=(",", ":"))
-        if len(compact_line) <= 1800:
-            break
-    print(compact_line, flush=True)
+    print(
+        compact_bench_line(
+            {
+                "metric": "battery_total_wall",
+                "value": total,
+                "unit": "sec",
+                **calib,
+                "normalized_total": normalized,
+                "normalized_work": norm_work,
+                "sf": sf_val,
+            },
+            timings,
+        ),
+        flush=True,
+    )
     spark.stop()
 
 

@@ -4186,8 +4186,17 @@ def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("pn"),
         F.sum(_cents(F.col("l_extendedprice"))).alias("ps"),
     )
+    # coalesce(sum(pn), 0): count semantics for the grand-total row must
+    # read 0, never NULL, wherever that row exists (r6 ADVICE). Noted
+    # empty-input divergence (pinned in test_round7_entries): Spark's
+    # ROLLUP/CUBE — raw SQL form included, so NOT an artifact of this
+    # rewrite — emits ZERO rows over an empty fact table, while
+    # ANSI/DuckDB emits the () grand-total row (n=0, sum NULL). The
+    # testdata fact tables are non-empty, so the oracle comparison is
+    # unaffected; the coalesce keeps the count non-null in any engine
+    # that does emit the row.
     return base.rollup("l_returnflag", "l_linestatus").agg(
-        F.sum("pn").cast("bigint").alias("n_rows"),
+        F.coalesce(F.sum("pn"), F.lit(0)).cast("bigint").alias("n_rows"),
         F.sum("ps").cast("bigint").alias("sum_price_cents"),
     )
 
@@ -4218,8 +4227,9 @@ def cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("pn"),
         F.sum(_cents(F.col("l_extendedprice"))).alias("ps"),
     )
+    # coalesce-on-empty: same grand-total-row rationale as rollup_pricing
     return base.cube("l_returnflag", "l_linestatus").agg(
-        F.sum("pn").cast("bigint").alias("n_rows"),
+        F.coalesce(F.sum("pn"), F.lit(0)).cast("bigint").alias("n_rows"),
         F.sum("ps").cast("bigint").alias("sum_price_cents"),
     )
 
@@ -9389,22 +9399,47 @@ def seasonal_weekday_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PAIR_JOIN_MAX_GROUP = 10_000  # 5·10⁷ pairs for one key — the loud ceiling
 
 
-def _assert_bounded_group(df: DataFrame, key_col: str, entry: str) -> None:
+def _assert_bounded_group(
+    df: DataFrame, key_cols: str | list[str], entry: str
+) -> None:
+    """Raise unless every ``key_cols`` group in ``df`` has ≤
+    ``_PAIR_JOIN_MAX_GROUP`` rows.
+
+    EAGER by design (r6 ADVICE note): this runs a real Spark job — one
+    map-side-combined count-per-key aggregate + a 1-row max read — at
+    ENTRY-CONSTRUCTION time, so building the guarded entries' plans
+    (explain snapshots, plan-shape tests, ``queries()[name](...)``
+    without an action) scans the input once. That is the point: the
+    check must complete BEFORE the O(n²) pair join is even in a plan a
+    caller could execute. The extra scan is a counted aggregate
+    (seconds at any SF the driver runs); folding the check into the
+    lazy plan (an assert_true column) was considered and rejected —
+    Catalyst may prune an unused assert column, and the failure would
+    surface mid-job as a SparkException instead of this named,
+    actionable error.
+
+    ``key_cols`` may be a composite key: the attribution entry bounds
+    clicks and purchases per user SEPARATELY (key ``[user_id,
+    event_type]`` over the participating types only), since only those
+    types enter its pair join — a user with many other events is fine.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     hi = (
-        df.groupBy(key_col)
+        df.groupBy(*keys)
         .agg(F.count("*").alias("n"))
         .agg(F.max("n").alias("mx"))
         .collect()[0]["mx"]
     )
     if hi is not None and hi > _PAIR_JOIN_MAX_GROUP:
+        key_desc = ", ".join(keys)
         raise AssertionError(
             f"{entry} pair-join precondition violated: heaviest "
-            f"{key_col} has {hi} rows (bound {_PAIR_JOIN_MAX_GROUP}) — "
-            f"the per-key pair join would enumerate ~{hi * (hi - 1) // 2:,} "
-            "pairs for that key. Cap per-key rows upstream (sample), or "
-            "switch to the banded repeated-median variant "
-            "(theil_sen_banded: O(n*K) pairs per key) instead of letting "
-            "the O(n²) blowup launch."
+            f"({key_desc}) group has {hi} rows (bound "
+            f"{_PAIR_JOIN_MAX_GROUP}) — the per-key pair join would "
+            f"enumerate ~{hi * (hi - 1) // 2:,} pairs for that key. "
+            "Cap per-key rows upstream (sample), or switch to the "
+            "banded repeated-median variant (theil_sen_banded: O(n*K) "
+            "pairs per key) instead of letting the O(n²) blowup launch."
         )
 
 
@@ -9863,7 +9898,14 @@ def range_frame_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    _assert_bounded_group(ev, "user_id", "multi_touch_attribution")
+    # Only clicks and purchases enter the pair join, so bound those two
+    # types per user separately (r6 ADVICE: a user heavy in OTHER event
+    # types previously tripped the guard on input that computes fine).
+    _assert_bounded_group(
+        ev.filter(F.col("event_type").isin("click", "purchase")),
+        ["user_id", "event_type"],
+        "multi_touch_attribution",
+    )
     e = ev.select(
         "user_id", "event_id", "event_type", _epoch_s("ts").alias("t")
     )
@@ -10590,14 +10632,20 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # matrix is tiny by construction — the cost is the ONE pass that
 # builds the transition counts; each multiply is a broadcast join over
 # ≤25 rows. mass_e9 exposes the floor-loss drift (≤ |states| per
-# round) as an auditable output instead of hiding it.
+# round) as an auditable output instead of hiding it. The state set is
+# sources ∪ TARGETS (r6 ADVICE): a type appearing only as a transition
+# target is a SINK — without it in the state universe, mass routed into
+# it would silently vanish at the next multiply and the floor-loss
+# audit would under-report the drift. Sinks get an explicit e9
+# self-loop (absorbing state), so total mass is conserved up to floor
+# loss exactly as the audit claims.
 # ===========================================================================
 
 def _mk_iter_sql(prev: str, name: str) -> str:
     return (
-        f"{name} AS (SELECT tm.t AS s, CAST(sum((v.v * tm.p_e9)"
+        f"{name} AS (SELECT tf.t AS s, CAST(sum((v.v * tf.p_e9)"
         f" // 1000000000) AS BIGINT) AS v"
-        f" FROM {prev} v JOIN tm ON tm.f = v.s GROUP BY tm.t)"
+        f" FROM {prev} v JOIN tf ON tf.f = v.s GROUP BY tf.t)"
     )
 
 
@@ -10615,7 +10663,11 @@ def _mk_iter_sql(prev: str, name: str) -> str:
     tm AS (SELECT c.f, c.t,
                   CAST((1000000000 * c.n) // nf.nt AS BIGINT) AS p_e9
            FROM c JOIN nf USING (f)),
-    states AS (SELECT DISTINCT f AS s FROM tm),
+    states AS (SELECT f AS s FROM tm UNION SELECT t FROM tm),
+    sinks AS (SELECT s FROM states EXCEPT SELECT DISTINCT f FROM tm),
+    tf AS (SELECT f, t, p_e9 FROM tm
+           UNION ALL
+           SELECT s, s, CAST(1000000000 AS BIGINT) FROM sinks),
     ns AS (SELECT CAST(count(*) AS BIGINT) AS k FROM states),
     v0 AS (SELECT s, CAST(1000000000 // k AS BIGINT) AS v
            FROM states CROSS JOIN ns),
@@ -10650,16 +10702,32 @@ def markov_steady_state_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t",
         F.expr("(1000000000 * n) DIV nt").cast("bigint").alias("p_e9"),
     )
-    states = tm.select(F.col("f").alias("s")).distinct()
+    # state universe = sources ∪ targets; target-only states are sinks
+    # and get an e9 self-loop so routed-in mass is retained, not dropped
+    states = (
+        tm.select(F.col("f").alias("s"))
+        .union(tm.select(F.col("t").alias("s")))
+        .distinct()
+    )
+    sinks = states.join(
+        tm.select(F.col("f").alias("s")).distinct(), "s", "left_anti"
+    )
+    tf = tm.unionByName(
+        sinks.select(
+            F.col("s").alias("f"),
+            F.col("s").alias("t"),
+            F.lit(1_000_000_000).cast("bigint").alias("p_e9"),
+        )
+    )
     ns = states.agg(F.count("*").cast("bigint").alias("k"))
     v = states.crossJoin(F.broadcast(ns)).select(
         "s", F.expr("1000000000 DIV k").cast("bigint").alias("v")
     )
     for i in range(3):
-        # fresh aliases per round: v's lineage contains tm (the state
+        # fresh aliases per round: v's lineage contains tf (the state
         # set derives from it), so an unqualified re-join is ambiguous
         vi = v.alias(f"v{i}")
-        tmi = tm.alias(f"tm{i}")
+        tmi = tf.alias(f"tm{i}")
         v = (
             vi.join(tmi, F.col(f"v{i}.s") == F.col(f"tm{i}.f"))
             .groupBy(F.col(f"tm{i}.t").alias("s"))

@@ -62,3 +62,35 @@ def test_pair_join_heavy_key_guard(spark, tmp_path):
     for fn in (theil_sen_user_trend, multi_touch_attribution):
         with pytest.raises(AssertionError, match="pair-join precondition"):
             fn(spark, sf_dir)
+
+
+def test_attribution_guard_ignores_nonparticipating_types(spark, tmp_path):
+    """r7 (r6 ADVICE): multi_touch_attribution's pair join only
+    enumerates click × purchase pairs, so a user heavy in OTHER event
+    types must NOT trip its guard — while the Theil-Sen guard (which
+    pairs ALL the user's events) still raises on the same input."""
+    import pyspark.sql.functions as F
+    from sports_data_integration_and_forecasting_pipeline_spark.plans.battery import (
+        _PAIR_JOIN_MAX_GROUP,
+        multi_touch_attribution,
+        theil_sen_user_trend,
+    )
+
+    n = _PAIR_JOIN_MAX_GROUP + 1
+    heavy_views = spark.range(n).select(
+        F.lit(7).alias("user_id"),
+        F.col("id").alias("event_id"),
+        F.lit("view").alias("event_type"),
+        F.timestamp_micros(
+            (F.lit(1_700_000_000) + F.col("id")) * 1_000_000
+        ).alias("ts"),
+        F.lit(1.0).alias("value"),
+        F.lit("web").alias("source"),
+    )
+    sf_dir = str(tmp_path)
+    heavy_views.write.parquet(f"{sf_dir}/events.parquet")
+    # attribution: constructs fine (no clicks/purchases → empty result)
+    assert multi_touch_attribution(spark, sf_dir).count() == 0
+    # theil-sen: all events participate → still raises
+    with pytest.raises(AssertionError, match="pair-join precondition"):
+        theil_sen_user_trend(spark, sf_dir)

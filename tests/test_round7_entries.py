@@ -1,0 +1,100 @@
+"""Round-7 regression tests for the r6 ADVICE fixes: cube/rollup
+empty-input grand-total row, Markov sink-state retention."""
+
+from __future__ import annotations
+
+import duckdb
+import pyspark.sql.functions as F
+
+from sports_data_integration_and_forecasting_pipeline_spark.plans.battery import (
+    cube_pricing,
+    markov_steady_state_power,
+    rollup_pricing,
+)
+
+from .conftest import TESTDATA_SMOKE
+
+
+def test_rollup_cube_empty_input_divergence_pinned(spark, tmp_path):
+    """r6 ADVICE follow-up, pinning the ACTUAL engine semantics: over
+    an empty fact table ANSI/DuckDB's ROLLUP emits the () grand-total
+    row (count 0), while Spark — in the RAW SQL form too, so this is a
+    Spark-vs-ANSI divergence and not an artifact of the pre-aggregate
+    rewrite — emits zero rows. The rewritten entries must match
+    Spark's own raw-form behavior (empty result), and the divergence
+    is documented next to the entries."""
+    import pyarrow.parquet as pq
+
+    sf_dir = str(tmp_path)
+    # single-file empty parquet (pyarrow): Spark's writer emits no part
+    # files for an empty frame, which DuckDB's glob cannot open
+    src = pq.read_table(f"{TESTDATA_SMOKE}/lineitem.parquet")
+    pq.write_table(src.slice(0, 0), f"{sf_dir}/lineitem.parquet")
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW lineitem AS "
+        f"SELECT * FROM '{sf_dir}/lineitem.parquet'"
+    )
+    oracle = con.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """
+    ).df()
+    # DuckDB: the ANSI grand-total row, with count 0 (never NULL)
+    assert len(oracle) == 1 and oracle["n_rows"][0] == 0
+    # Spark raw form: zero rows — the baseline the rewrite must match
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    raw = (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_rows"))
+        .collect()
+    )
+    assert raw == []
+    for fn in (rollup_pricing, cube_pricing):
+        assert fn(spark, sf_dir).collect() == [], fn.__name__
+    con.close()
+
+
+def test_markov_sink_state_retains_mass(spark, tmp_path):
+    """r6 ADVICE: an event type appearing only as a transition TARGET
+    is a sink state; it must be in the state universe with an e9
+    self-loop so mass routed into it is retained (total mass conserved
+    up to floor loss), not silently dropped at the next multiply."""
+    # one user, chain a -> b -> end: 'end' never appears as a source
+    rows = [
+        (1, 1, "a", 1_700_000_000),
+        (1, 2, "b", 1_700_000_060),
+        (1, 3, "end", 1_700_000_120),
+    ]
+    ev = spark.createDataFrame(
+        [
+            (u, e, t, ts)
+            for (u, e, t, ts) in rows
+        ],
+        "user_id long, event_id long, event_type string, epoch_s long",
+    ).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.timestamp_micros(F.col("epoch_s") * 1_000_000).alias("ts"),
+        F.lit(1.0).alias("value"),
+        F.lit("web").alias("source"),
+    )
+    sf_dir = str(tmp_path)
+    ev.write.parquet(f"{sf_dir}/events.parquet")
+    out = {
+        r["state"]: r["mass_e9"]
+        for r in markov_steady_state_power(spark, sf_dir).collect()
+    }
+    # sink state present and holding mass (it is absorbing: after 3
+    # rounds everything that started anywhere has flowed into 'end')
+    assert "end" in out and out["end"] > 0
+    # total mass conserved up to floor loss: uniform start floor-loses
+    # ≤ |states| e9-units, each of 3 rounds ≤ |transition rows| more
+    total = sum(out.values())
+    assert 1_000_000_000 - total <= 4 * 3 + 3
+    assert total <= 1_000_000_000
+    # deterministic chain: all surviving mass is in the absorbing state
+    assert out["end"] == total
