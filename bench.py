@@ -197,6 +197,8 @@ HEADLINE = [
     "lorenz_curve_orders",
     "ship_latency_by_priority",
     "markov_steady_state_power",
+    "merge_upsert_orders",
+    "ivf_centroid_refresh",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

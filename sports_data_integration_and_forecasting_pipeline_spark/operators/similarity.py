@@ -439,3 +439,96 @@ def cosine_dup_pairs(
         joined.select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def ivf_centroid_refresh(
+    emb_df: DataFrame,
+    centers: list[list[float]],
+    batch_pred: Column,
+    prior_weight: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Windowed ANN-index refresh: fold one arriving window of vectors
+    into a pretrained IVF coarse quantizer — the maintenance operation a
+    streaming retrieval index runs per micro-batch so cells track the
+    embedding distribution without a full retrain.
+
+    Each batch vector is assigned to its nearest pinned centroid (pure
+    Column expression, shuffle-free — see :func:`ivf_assign`), then per
+    (cell, dimension) the refreshed component is the prior-weighted mean
+    of the old centroid and the new members::
+
+        refreshed = (prior_weight * c + sum(batch)) / (prior_weight + n)
+
+    evaluated in EXACT integer e6 space (components snapped to
+    ``floor(x*1e6+0.5)`` bigints, truncating DIV) so the result is
+    engine- and partition-order-independent — the same wide-integer
+    discipline as the battery's gini/zipf moments. Cells with no new
+    members refresh to exactly their old components (``(W*c) DIV W =
+    c``), so the output is always the FULL |cells| × dim quantizer
+    state, ready to swap in.
+
+    Scale shape: one narrow scan of the window batch, posexplode to
+    (cell, pos) and ONE map-side-combined shuffle of ≤ |cells|·dim
+    partial sums; the centroid grid is a driver-literal local relation
+    joined broadcast. Nothing scales with corpus size — only with the
+    window.
+    """
+    dim = len(centers[0])
+    spark = emb_df.sparkSession
+    grid = spark.createDataFrame(
+        [
+            (ci, pos + 1, int(np_floor_e6(comp)))
+            for ci, c in enumerate(centers)
+            for pos, comp in enumerate(c)
+        ],
+        "cell int, pos int, c_e6 long",
+    )
+    # two-step select: a generator (posexplode) in the same projection
+    # as the centroid struct-array expression makes the analyzer strip
+    # the struct field aliases (FIELD_NOT_FOUND col1/col2) — assign the
+    # cell first, explode second
+    assigned = emb_df.filter(batch_pred).select(
+        ivf_assign(F.col(vec_col), centers).alias("cell"),
+        F.col(vec_col).alias("v"),
+    )
+    batch = assigned.select(
+        "cell", F.posexplode(F.col("v")).alias("pos0", "x")
+    )
+    agg = batch.select(
+        "cell",
+        (F.col("pos0") + 1).alias("pos"),
+        F.floor(F.col("x").cast("double") * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("v_e6"),
+    ).groupBy("cell", "pos").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v_e6").cast("long").alias("s"),
+    )
+    num = (
+        F.lit(int(prior_weight)).cast("long") * F.col("c_e6")
+        + F.coalesce(F.col("s"), F.lit(0))
+    )
+    den = F.lit(int(prior_weight)).cast("long") + F.coalesce(
+        F.col("n"), F.lit(0)
+    )
+    return (
+        grid.join(F.broadcast(agg), ["cell", "pos"], "left_outer")
+        .select(
+            "cell",
+            "pos",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_new"),
+            # truncating division toward zero — matches DuckDB's `//`
+            # (components can be negative; floor-div would diverge)
+            ((num - num % den) / den).cast("long").alias("refreshed_e6"),
+        )
+    )
+
+
+def np_floor_e6(x: float) -> int:
+    """Driver-side twin of the e6 snap (floor(x*1e6 + 0.5)) used for the
+    centroid-literal grid — math.floor on a Python float is exact."""
+    import math
+
+    return math.floor(x * 1e6 + 0.5)

@@ -11816,6 +11816,168 @@ def zipf_rank_frequency_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# MERGE INTO (lakehouse upsert) — new operator family, r7 (VERDICT r6
+# task 8 named it). A deterministic keyed change batch (updates,
+# deletes, inserts derived from the orders table itself by disjoint
+# key-residue classes) is MERGEd into the orders snapshot via
+# operators/merge.py: matched+update replaces the payload,
+# matched+delete drops the row, unmatched insert appends, everything
+# else carries. Scale shape: the source is change-batch sized and
+# BROADCAST, so the 100 TB target is scanned (twice — outer leg +
+# insert-key discovery) but never shuffled; source-key uniqueness and
+# batch size are enforced fail-loud preconditions. The oracle mirrors
+# the legs with NOT-IN anti joins (DuckDB 1.0.0 has no MERGE).
+# ===========================================================================
+
+@_register(
+    "merge_upsert_orders",
+    """
+    WITH t AS (
+      SELECT o_orderkey AS k, o_orderstatus AS st,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS pc,
+             o_orderpriority AS pr
+      FROM orders),
+    src AS (
+      SELECT 'update' AS op, k, 'U' AS st, pc + 500 AS pc, pr
+      FROM t WHERE k % 97 = 0
+      UNION ALL
+      SELECT 'delete', k, NULL, NULL, NULL FROM t WHERE k % 97 = 1
+      UNION ALL
+      SELECT 'insert', k + 900000000, 'N', pc, pr FROM t WHERE k % 97 = 2
+    ),
+    carry AS (
+      SELECT t.k, t.st, t.pc, t.pr, 'carry' AS merge_action FROM t
+      WHERE t.k NOT IN (SELECT k FROM src WHERE op IN ('update', 'delete'))
+    ),
+    upd AS (
+      SELECT s.k, s.st, s.pc, s.pr, 'update' AS merge_action
+      FROM src s JOIN t USING (k) WHERE s.op = 'update'
+    ),
+    ins AS (
+      SELECT s.k, s.st, s.pc, s.pr, 'insert' AS merge_action
+      FROM src s
+      WHERE s.op = 'insert' AND s.k NOT IN (SELECT k FROM t)
+    )
+    SELECT k AS o_orderkey, st AS o_orderstatus, pc AS price_cents,
+           pr AS o_orderpriority, merge_action
+    FROM (SELECT * FROM carry
+          UNION ALL SELECT * FROM upd
+          UNION ALL SELECT * FROM ins)
+    """,
+    "lakehouse: MERGE INTO upsert (broadcast change batch; no "
+    "reference counterpart — the reference only appends snapshots)",
+    "orders snapshot after merging a deterministic keyed change batch "
+    "(update/delete/insert by key-residue class), with per-row action",
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.merge import merge_into
+
+    t = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        _cents(F.col("o_totalprice")).alias("pc"),
+        F.col("o_orderpriority").alias("pr"),
+    )
+    upd = t.filter(F.col("k") % 97 == 0).select(
+        F.lit("update").alias("op"),
+        "k",
+        F.lit("U").alias("st"),
+        (F.col("pc") + 500).alias("pc"),
+        "pr",
+    )
+    dele = t.filter(F.col("k") % 97 == 1).select(
+        F.lit("delete").alias("op"),
+        "k",
+        F.lit(None).cast("string").alias("st"),
+        F.lit(None).cast("long").alias("pc"),
+        F.lit(None).cast("string").alias("pr"),
+    )
+    ins = t.filter(F.col("k") % 97 == 2).select(
+        F.lit("insert").alias("op"),
+        (F.col("k") + 900_000_000).alias("k"),
+        F.lit("N").alias("st"),
+        "pc",
+        "pr",
+    )
+    merged = merge_into(
+        t, upd.unionByName(dele).unionByName(ins), ["k"]
+    )
+    return merged.select(
+        F.col("k").alias("o_orderkey"),
+        F.col("st").alias("o_orderstatus"),
+        F.col("pc").alias("price_cents"),
+        F.col("pr").alias("o_orderpriority"),
+        "merge_action",
+    )
+
+
+# ===========================================================================
+# Windowed ANN-index refresh — new operator family, r7 (VERDICT r6
+# task 8 named it). One arriving window of vectors (a key-residue slice
+# of embeddings) is folded into the PRETRAINED IVF coarse quantizer:
+# assign each window vector to its nearest pinned centroid (pure
+# Column expression, shuffle-free), then per (cell, dim) the refreshed
+# component is the prior-weighted mean of old centroid and new members
+# in EXACT integer e6 space (truncating DIV — DuckDB `//` semantics;
+# components are negative-capable so floor-div would diverge). Cells
+# with no arrivals refresh to exactly themselves, so the output is the
+# full 16×64 quantizer state. Nothing scales with corpus size — only
+# with the window; the (cell,pos) partial-sum shuffle is ≤ 1024 rows.
+# ===========================================================================
+
+_IVF_W0 = 100  # prior weight: old centroid counts as this many members
+
+_IVF_GRID_SQL = " UNION ALL ".join(
+    f"SELECT {i} AS cell, p.i AS pos, "
+    f"CAST(floor(({_centroid_sql(c)})[p.i::INT] * 1000000.0 + 0.5) "
+    f"AS BIGINT) AS c_e6 FROM range(1, {_EMB_DIM + 1}) p(i)"
+    for i, c in enumerate(IVF_CENTROIDS)
+)
+
+
+@_register(
+    "ivf_centroid_refresh",
+    f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id % 10 = 7),
+    d AS (SELECT vec_id, v, {_IVF_D_COLS} FROM e),
+    a AS (SELECT vec_id, v, {_IVF_CELL_CASE} AS cell
+          FROM (SELECT *, {_IVF_LEAST} AS m FROM d)),
+    lng AS (
+      SELECT cell, p.i AS pos,
+             CAST(floor(v[p.i::INT] * 1000000.0 + 0.5) AS BIGINT) AS v_e6
+      FROM a CROSS JOIN range(1, {_EMB_DIM + 1}) p(i)),
+    agg AS (SELECT cell, pos, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(v_e6) AS BIGINT) AS s
+            FROM lng GROUP BY cell, pos),
+    grid AS ({_IVF_GRID_SQL})
+    SELECT g.cell, g.pos,
+           CAST(coalesce(a.n, 0) AS BIGINT) AS n_new,
+           CAST(({_IVF_W0} * g.c_e6 + coalesce(a.s, 0))
+                // ({_IVF_W0} + coalesce(a.n, 0)) AS BIGINT) AS refreshed_e6
+    FROM grid g LEFT JOIN agg a USING (cell, pos)
+    """,
+    "vector-index maintenance: windowed IVF quantizer refresh "
+    "(prior-weighted integer-exact centroid update; no reference "
+    "counterpart)",
+    "full 16-cell × 64-dim IVF quantizer state after folding the "
+    "vec_id%10=7 window in (e6-exact prior-weighted means)",
+)
+def ivf_centroid_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.similarity import (
+        ivf_centroid_refresh as _refresh,
+    )
+
+    return _refresh(
+        _t(spark, sf_dir, "embeddings"),
+        centers=IVF_CENTROIDS,
+        batch_pred=F.col("vec_id") % 10 == 7,
+        prior_weight=_IVF_W0,
+    )
+
+
+# ===========================================================================
 # Driver-window curation (round-2 review directive). The external
 # correctness gate hard-caps its run at the FIRST 50 registered entries
 # (registration-order prefix, observed in rounds 1-2) — it cannot check

@@ -1,0 +1,120 @@
+"""MERGE INTO operator semantics (r7 new operator family): matched
+update/delete, unmatched insert, ANSI ignore rules, and the fail-loud
+preconditions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sports_data_integration_and_forecasting_pipeline_spark.operators.merge import (
+    MERGE_SOURCE_MAX_ROWS,
+    merge_into,
+)
+
+
+def _target(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "k long, name string, amt long",
+    )
+
+
+def _source(spark, rows):
+    return spark.createDataFrame(
+        rows, "op string, k long, name string, amt long"
+    )
+
+
+def test_merge_all_clauses(spark):
+    src = _source(
+        spark,
+        [
+            ("update", 1, "a2", 11),   # matched -> replaced
+            ("delete", 2, None, None), # matched -> dropped
+            ("insert", 9, "z", 90),    # unmatched -> appended
+        ],
+    )
+    out = {
+        r["k"]: (r["name"], r["amt"], r["merge_action"])
+        for r in merge_into(_target(spark), src, ["k"]).collect()
+    }
+    assert out == {
+        1: ("a2", 11, "update"),
+        3: ("c", 30, "carry"),
+        9: ("z", 90, "insert"),
+    }
+
+
+def test_merge_ansi_ignore_rules(spark):
+    """Matched insert is ignored (row carries); unmatched update/delete
+    are ignored (no phantom rows)."""
+    src = _source(
+        spark,
+        [
+            ("insert", 1, "dup", 99),   # matched insert -> ignored
+            ("update", 7, "x", 70),     # unmatched update -> ignored
+            ("delete", 8, None, None),  # unmatched delete -> ignored
+        ],
+    )
+    out = {
+        r["k"]: r["merge_action"]
+        for r in merge_into(_target(spark), src, ["k"]).collect()
+    }
+    assert out == {1: "carry", 2: "carry", 3: "carry"}
+
+
+def test_merge_duplicate_source_key_raises(spark):
+    src = _source(
+        spark,
+        [("update", 1, "a2", 11), ("delete", 1, None, None)],
+    )
+    with pytest.raises(AssertionError, match="source-key precondition"):
+        merge_into(_target(spark), src, ["k"])
+
+
+def test_merge_oversized_source_raises(spark):
+    big = spark.range(MERGE_SOURCE_MAX_ROWS + 1).select(
+        F.lit("update").alias("op"),
+        F.col("id").alias("k"),
+        F.lit("x").alias("name"),
+        F.lit(0).cast("long").alias("amt"),
+    )
+    with pytest.raises(AssertionError, match="source-size precondition"):
+        merge_into(_target(spark), big, ["k"])
+
+
+def test_merge_target_never_shuffled(spark):
+    """The scale contract: with a change-batch source, the merged plan
+    contains broadcast joins only — no exchange of the target side
+    (shuffle exchanges would mean the 100 TB table moves)."""
+    src = _source(spark, [("update", 1, "a2", 11), ("insert", 9, "z", 90)])
+    plan = merge_into(_target(spark), src, ["k"])._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # every join in the plan is broadcast (no SortMergeJoin / shuffled hash)
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_ivf_refresh_idle_cells_unchanged(spark):
+    """Windowed ANN refresh: a cell with no arriving vectors must
+    refresh to exactly its old components ((W*c) DIV W = c), and the
+    output is always the full |cells| x dim state."""
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.ivf_centroids import (
+        IVF_CENTROIDS,
+    )
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.similarity import (
+        ivf_centroid_refresh,
+        np_floor_e6,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = ivf_centroid_refresh(
+        emb, IVF_CENTROIDS, F.col("vec_id") < 0  # empty window
+    ).collect()
+    assert len(out) == len(IVF_CENTROIDS) * len(IVF_CENTROIDS[0])
+    for r in out:
+        assert r["n_new"] == 0
+        expect = np_floor_e6(IVF_CENTROIDS[r["cell"]][r["pos"] - 1])
+        assert r["refreshed_e6"] == expect
