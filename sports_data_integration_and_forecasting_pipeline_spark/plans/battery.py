@@ -10710,6 +10710,16 @@ def markov_steady_state_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t",
         F.expr("(1000000000 * n) DIV nt").cast("bigint").alias("p_e9"),
     )
+    # r7 perf: persist the ≤|types|² transition matrix — states, the
+    # sink self-loops, v0, and all THREE unrolled multiplies re-read the
+    # cached ~25-row relation instead of re-running the events scan +
+    # lead-window + counting aggregates per reference (the scoped-cache
+    # house pattern; released by release_caches between bench entries).
+    # At 100 TB you would materialize the transition counts exactly once
+    # the same way.
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import persist_scoped
+
+    tm = persist_scoped("markov_tm", tm)
     # state universe = sources ∪ targets; target-only states are sinks
     # and get an e9 self-loop so routed-in mass is retained, not dropped
     states = (
