@@ -10940,8 +10940,21 @@ def lorenz_curve_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "latency in days, and the 4dp mean",
 )
 def ship_latency_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r7 plan rewrite: the rank-indexed exact percentile does NOT need
+    # the row-level per-priority sort the oracle's row form implies —
+    # with only |priorities| window partitions that sort serialized
+    # ~600k rows onto 5 tasks at sf0.1 (and onto 5 tasks of a 1000-
+    # executor cluster at 100 TB). `days` is a small DISCRETE domain,
+    # and the value at any rank depends only on `days` (rows tied on
+    # days share the value; the (orderkey, linenumber) tiebreak orders
+    # rows WITHIN a value, never across values), so the identical
+    # result comes from a (pri, days) HISTOGRAM: one map-side-combined
+    # aggregate over the join, then the cumulative rank walk runs over
+    # ≤ |pri|·|days| ≈ 600 rows. Exact, engine-identical, and the scan
+    # parallelism is no longer capped by the group count. The oracle
+    # keeps the row form — same values by construction.
     li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", _fdiv(_epoch_s("l_shipdate"), 86400).alias("sd")
+        "l_orderkey", _fdiv(_epoch_s("l_shipdate"), 86400).alias("sd")
     )
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey",
@@ -10951,32 +10964,37 @@ def ship_latency_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
         F.col("o_orderpriority").alias("pri"),
         (F.col("sd") - F.col("od")).cast("bigint").alias("days"),
-        "l_orderkey",
-        "l_linenumber",
     )
-    w = Window.partitionBy("pri").orderBy(
-        "days", "l_orderkey", "l_linenumber"
+    h = j.groupBy("pri", "days").agg(F.count("*").cast("bigint").alias("c"))
+    wcum = (
+        Window.partitionBy("pri")
+        .orderBy("days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     wn = Window.partitionBy("pri")
-    r = j.select(
+    r = h.select(
         "pri",
         "days",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(wn).alias("n"),
+        "c",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wn).alias("n"),
     )
     p50 = F.floor(0.50 * F.col("n")).cast("bigint") + 1
     p90 = F.floor(0.90 * F.col("n")).cast("bigint") + 1
     return r.groupBy("pri").agg(
         F.max("n").cast("bigint").alias("n_lines"),
-        F.min(F.when(F.col("rn") == p50, F.col("days")))
+        F.min(F.when(F.col("cum") >= p50, F.col("days")))
         .cast("bigint")
         .alias("p50_days"),
-        F.min(F.when(F.col("rn") == p90, F.col("days")))
+        F.min(F.when(F.col("cum") >= p90, F.col("days")))
         .cast("bigint")
         .alias("p90_days"),
-        _r(F.lit(1.0) * F.sum("days") / F.count("*"), 4).alias(
-            "mean_days"
-        ),
+        _r(
+            F.lit(1.0)
+            * F.sum(F.col("days") * F.col("c"))
+            / F.sum("c"),
+            4,
+        ).alias("mean_days"),
     )
 
 
