@@ -97,6 +97,45 @@ def test_merge_target_never_shuffled(spark):
     assert "ShuffledHashJoin" not in plan
 
 
+def test_merge_property_matches_reference_model(spark):
+    """Property check against a plain-Python MERGE model: random keyed
+    targets and change batches (unique source keys) must merge to
+    exactly the model's dict-based result — hypothesis-style coverage
+    of clause interactions without per-example Spark jobs (one seeded
+    sweep, 8 deterministic scenarios)."""
+    import random
+
+    rng = random.Random(42)
+    for trial in range(8):
+        t_keys = rng.sample(range(1, 40), rng.randint(3, 12))
+        target_rows = [(k, f"n{k}", k * 10) for k in t_keys]
+        src_keys = rng.sample(range(1, 60), rng.randint(1, 15))
+        src_rows = [
+            (rng.choice(["update", "delete", "insert"]), k, f"s{k}", k * 100)
+            for k in src_keys
+        ]
+        # reference model
+        state = {k: (n, a, "carry") for (k, n, a) in target_rows}
+        for op, k, n, a in src_rows:
+            if op == "update" and k in state:
+                state[k] = (n, a, "update")
+            elif op == "delete" and k in state:
+                del state[k]
+            elif op == "insert" and k not in {x[0] for x in target_rows}:
+                state[k] = (n, a, "insert")
+        got = {
+            r["k"]: (r["name"], r["amt"], r["merge_action"])
+            for r in merge_into(
+                spark.createDataFrame(
+                    target_rows, "k long, name string, amt long"
+                ),
+                _source(spark, src_rows),
+                ["k"],
+            ).collect()
+        }
+        assert got == state, f"trial {trial}: {got} != {state}"
+
+
 def test_ivf_refresh_idle_cells_unchanged(spark):
     """Windowed ANN refresh: a cell with no arriving vectors must
     refresh to exactly its old components ((W*c) DIV W = c), and the
