@@ -40,6 +40,7 @@ def merge_into(
     delete_op: str = "delete",
     insert_op: str = "insert",
     action_col: str = "merge_action",
+    broadcast_source: bool = True,
 ) -> DataFrame:
     """Apply ``source`` (rows labeled ``update``/``delete``/``insert`` in
     ``op_col``, carrying a full payload image in the target's non-key
@@ -54,11 +55,18 @@ def merge_into(
 
     Preconditions (ENFORCED, fail-loud): source keys are unique (ANSI
     MERGE raises on multiple matches for one target row — silently
-    picking one would be nondeterministic), and the source is
-    change-batch sized (``MERGE_SOURCE_MAX_ROWS``) so the broadcast plan
-    is valid. Both checks are EAGER (two cheap aggregates over the
-    SMALL side only — the target is never touched) at construction
-    time, the `_assert_bounded_group` house style.
+    picking one would be nondeterministic), and — on the default
+    broadcast path — the source is change-batch sized
+    (``MERGE_SOURCE_MAX_ROWS``) so the broadcast plan is valid. The
+    checks are EAGER (cheap aggregates over the source only — the
+    target is never touched) at construction time, the
+    `_assert_bounded_group` house style.
+
+    ``broadcast_source=False`` selects the big-source plan: ONE
+    co-partitioned full-outer join on the key (both sides shuffle; use
+    bucketed tables to make even that shuffle-free). Identical
+    semantics — differentially tested against the broadcast path —
+    with no source-size bound.
     """
     payload = [c for c in target.columns if c not in key_cols]
     stats = (
@@ -78,16 +86,55 @@ def merge_into(
             "would be nondeterministic). Deduplicate the change batch "
             "(e.g. keep the latest image per key) upstream."
         )
-    if stats["rows"] is not None and stats["rows"] > MERGE_SOURCE_MAX_ROWS:
+    if (
+        broadcast_source
+        and stats["rows"] is not None
+        and stats["rows"] > MERGE_SOURCE_MAX_ROWS
+    ):
         raise AssertionError(
             "merge_into source-size precondition violated: source has "
             f"{stats['rows']:,} keys (bound {MERGE_SOURCE_MAX_ROWS:,}) — "
-            "the broadcast merge plan would OOM executors. Co-partition "
-            "target and source on the key (bucketed table / repartition) "
-            "and run a shuffle-side merge instead."
+            "the broadcast merge plan would OOM executors. Use "
+            "broadcast_source=False (co-partitioned full-outer merge) "
+            "for fact-sized sources."
         )
 
     src = source.select(op_col, *key_cols, *payload)
+    if not broadcast_source:
+        # Big-source plan: one full-outer join on the key. Each joined
+        # row resolves locally: matched+update substitutes, matched+
+        # delete drops, unmatched insert appends, everything else
+        # carries — a single co-partitioned shuffle on each side.
+        t_tag = target.withColumn("__t", F.lit(True))
+        s_tag = src.select(
+            F.col(op_col).alias("__op"),
+            *key_cols,
+            *[F.col(c).alias(f"__src_{c}") for c in payload],
+        )
+        full = t_tag.join(s_tag, key_cols, "full_outer")
+        matched = F.col("__t").isNotNull()
+        keep = (
+            # matched rows survive unless deleted (a matched insert is
+            # an ANSI no-op, so its target row carries)
+            (matched & (F.col("__op").isNull() | (F.col("__op") != delete_op)))
+            | (~matched & (F.col("__op") == insert_op))
+        )
+        use_src = (F.col("__op") == update_op) | (
+            ~matched & (F.col("__op") == insert_op)
+        )
+        return full.filter(keep).select(
+            *key_cols,
+            *[
+                F.when(use_src, F.col(f"__src_{c}"))
+                .otherwise(F.col(c))
+                .alias(c)
+                for c in payload
+            ],
+            F.when(~matched, F.lit("insert"))
+            .when(F.col("__op") == update_op, F.lit("update"))
+            .otherwise(F.lit("carry"))
+            .alias(action_col),
+        )
     matched_side = F.broadcast(
         src.filter(F.col(op_col).isin(update_op, delete_op)).select(
             F.col(op_col).alias("__op"),

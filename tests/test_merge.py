@@ -123,17 +123,18 @@ def test_merge_property_matches_reference_model(spark):
                 del state[k]
             elif op == "insert" and k not in {x[0] for x in target_rows}:
                 state[k] = (n, a, "insert")
-        got = {
-            r["k"]: (r["name"], r["amt"], r["merge_action"])
-            for r in merge_into(
-                spark.createDataFrame(
-                    target_rows, "k long, name string, amt long"
-                ),
-                _source(spark, src_rows),
-                ["k"],
-            ).collect()
-        }
-        assert got == state, f"trial {trial}: {got} != {state}"
+        tgt = spark.createDataFrame(
+            target_rows, "k long, name string, amt long"
+        )
+        src = _source(spark, src_rows)
+        for bc in (True, False):  # broadcast AND co-partitioned plans
+            got = {
+                r["k"]: (r["name"], r["amt"], r["merge_action"])
+                for r in merge_into(
+                    tgt, src, ["k"], broadcast_source=bc
+                ).collect()
+            }
+            assert got == state, f"trial {trial} bc={bc}: {got} != {state}"
 
 
 def test_ivf_refresh_idle_cells_unchanged(spark):
