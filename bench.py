@@ -222,6 +222,11 @@ HEADLINE = [
 BUILDER_DOES_CLUSTER_WORK = {
     "bucketed_join_colocated",
     "canonical_schema_evolution",
+    # merge_into's builder runs the eager source precondition aggregate
+    # (uniqueness + size over the change batch) — mandatory merge work,
+    # so the timer must include it (matches the SCALING.md probe, which
+    # times fn()+action for this entry).
+    "merge_upsert_orders",
 }
 
 

@@ -475,7 +475,6 @@ def ivf_centroid_refresh(
     joined broadcast. Nothing scales with corpus size — only with the
     window.
     """
-    dim = len(centers[0])
     spark = emb_df.sparkSession
     grid = spark.createDataFrame(
         [
@@ -506,22 +505,30 @@ def ivf_centroid_refresh(
         F.count("*").cast("long").alias("n"),
         F.sum("v_e6").cast("long").alias("s"),
     )
-    num = (
-        F.lit(int(prior_weight)).cast("long") * F.col("c_e6")
-        + F.coalesce(F.col("s"), F.lit(0))
-    )
-    den = F.lit(int(prior_weight)).cast("long") + F.coalesce(
-        F.col("n"), F.lit(0)
-    )
     return (
         grid.join(F.broadcast(agg), ["cell", "pos"], "left_outer")
         .select(
             "cell",
             "pos",
             F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_new"),
-            # truncating division toward zero — matches DuckDB's `//`
-            # (components can be negative; floor-div would diverge)
-            ((num - num % den) / den).cast("long").alias("refreshed_e6"),
+            (
+                F.lit(int(prior_weight)).cast("long") * F.col("c_e6")
+                + F.coalesce(F.col("s"), F.lit(0))
+            ).alias("__num"),
+            (
+                F.lit(int(prior_weight)).cast("long")
+                + F.coalesce(F.col("n"), F.lit(0))
+            ).alias("__den"),
+        )
+        # integer DIV (truncating toward zero — DuckDB `//` semantics;
+        # components can be negative so floor-div would diverge). Long
+        # DIV stays exact past 2^53 where a double-division round-trip
+        # would round the quotient.
+        .select(
+            "cell",
+            "pos",
+            "n_new",
+            F.expr("__num DIV __den").cast("long").alias("refreshed_e6"),
         )
     )
 

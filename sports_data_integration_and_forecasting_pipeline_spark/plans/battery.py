@@ -9405,6 +9405,10 @@ def seasonal_weekday_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the join; past the bound the entry raises with the fix (repeated-
 # median / per-key sampling) named, instead of launching the blowup.
 _PAIR_JOIN_MAX_GROUP = 10_000  # 5·10⁷ pairs for one key — the loud ceiling
+# Two-sided pair joins (clicks × purchases) bound the per-key PRODUCT
+# directly against the same 5·10⁷ ceiling — bounding each side at
+# _PAIR_JOIN_MAX_GROUP alone would still admit 10⁸ pairs for one key.
+_PAIR_JOIN_MAX_PAIRS = 50_000_000
 
 
 def _assert_bounded_group(
@@ -9426,10 +9430,11 @@ def _assert_bounded_group(
     surface mid-job as a SparkException instead of this named,
     actionable error.
 
-    ``key_cols`` may be a composite key: the attribution entry bounds
-    clicks and purchases per user SEPARATELY (key ``[user_id,
-    event_type]`` over the participating types only), since only those
-    types enter its pair join — a user with many other events is fine.
+    ``key_cols`` may be a composite key for callers whose groups are
+    keyed by more than one column. (The attribution entry does NOT use
+    this helper: its pair count is a two-sided product n_clicks ×
+    n_purchases per user, which it bounds directly against
+    ``_PAIR_JOIN_MAX_PAIRS`` — see ``multi_touch_attribution``.)
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     hi = (
@@ -9906,14 +9911,34 @@ def range_frame_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    # Only clicks and purchases enter the pair join, so bound those two
-    # types per user separately (r6 ADVICE: a user heavy in OTHER event
-    # types previously tripped the guard on input that computes fine).
-    _assert_bounded_group(
-        ev.filter(F.col("event_type").isin("click", "purchase")),
-        ["user_id", "event_type"],
-        "multi_touch_attribution",
+    # Only clicks and purchases enter the pair join (r6 ADVICE: a user
+    # heavy in OTHER event types must not trip the guard), and the
+    # per-user pair count is the PRODUCT n_clicks × n_purchases — so
+    # bound the product directly rather than each count (bounding each
+    # at 10k would still admit 1e8 pairs for one user; a clicks-only
+    # heavy user produces zero pairs and passes).
+    pair_hi = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("nc"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("np"),
+        )
+        .agg(F.max(F.col("nc") * F.col("np")).alias("mx"))
+        .collect()[0]["mx"]
     )
+    if pair_hi is not None and pair_hi > _PAIR_JOIN_MAX_PAIRS:
+        raise AssertionError(
+            "multi_touch_attribution pair-join precondition violated: "
+            f"heaviest user would enumerate {pair_hi:,} click×purchase "
+            f"pairs (bound {_PAIR_JOIN_MAX_PAIRS:,}). Cap per-user "
+            "clicks/purchases upstream (sample) instead of letting the "
+            "quadratic blowup launch."
+        )
     e = ev.select(
         "user_id", "event_id", "event_type", _epoch_s("ts").alias("t")
     )
