@@ -41,3 +41,80 @@ def ensure_parallelism(
     if key_cols:
         return df.repartition(target, *[df[c] for c in key_cols])
     return df.repartition(target)
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list,
+    rank_col: str = "i",
+    num_partitions: int | None = None,
+    cache_role: str = "global_rank",
+) -> DataFrame:
+    """Exact global ``ROW_NUMBER() OVER (ORDER BY order_cols)`` without
+    the single-task sort a partition-less window runs — the parallelism
+    killer a 100 TB global rank cannot afford.
+
+    Two-phase distributed ranking (the value-ordered sibling of
+    chunking's id-bucketed prefix sum):
+
+    1. ``repartitionByRange`` on the order key — parallel range
+       exchange; every partition holds a contiguous slice of the total
+       order;
+    2. per-partition local ``row_number`` — P parallel sorts of N/P
+       rows instead of one sort of N;
+    3. per-partition counts → exclusive prefix offsets — a one-task
+       window over P rows, not the data;
+    4. broadcast the offsets back: global rank = offset + local rank.
+
+    The output is identical to the global window for ANY partitioning,
+    because the rank depends only on the total order — which must be
+    UNIQUE per row (pass tiebreak columns; equal full tuples would make
+    either form nondeterministic). The range boundaries themselves come
+    from sampling, so the pid-stamped frame is persisted (scoped-cache
+    house pattern) to pin one set of boundaries for both the offset
+    branch and the rank branch — correctness must not depend on
+    exchange reuse.
+
+    ``order_cols`` may be strings or Column expressions (e.g.
+    ``F.col("c").desc()``) — the same list drives both the range
+    partitioner and the per-partition sort.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from .dedup import persist_scoped
+
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    stamped = persist_scoped(
+        cache_role,
+        df.repartitionByRange(n_parts, *cols).withColumn(
+            "__pid", F.spark_partition_id()
+        ),
+    )
+    offsets = (
+        stamped.groupBy("__pid")
+        .agg(F.count("*").alias("__cnt"))
+        .select(
+            "__pid",
+            (
+                F.coalesce(
+                    F.sum("__cnt").over(
+                        Window.orderBy("__pid").rowsBetween(
+                            Window.unboundedPreceding, -1
+                        )
+                    ),
+                    F.lit(0),
+                )
+            ).cast("long").alias("__off"),
+        )
+    )
+    w_local = Window.partitionBy("__pid").orderBy(*cols)
+    return (
+        stamped.withColumn("__rn", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            rank_col, (F.col("__off") + F.col("__rn")).cast("long")
+        )
+        .drop("__pid", "__rn", "__off")
+    )

@@ -8950,9 +8950,13 @@ def entropy_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sums decimal(38,0) terms, DuckDB sums hugeint terms — exact to 1e38,
 # i.e. any reachable SF — and only the final ratio drops to double
 # (identical IEEE rounding of the same exact integer on both sides, so
-# the 9dp hash still matches). One global sort of a 2-column
-# projection — the same single-sort cost profile as the decile/Pareto
-# entries.
+# the 9dp hash still matches). r7: the global rank is computed with the
+# DISTRIBUTED two-phase form (range exchange → parallel per-partition
+# sorts → tiny offset table broadcast back; operators/parallelism.py:
+# global_row_number) — a partition-less window sorts the whole fact
+# table on ONE task, the parallelism cap a 100 TB rank cannot afford.
+# The oracle keeps the naive global window; hash equality proves the
+# two-phase form assigns identical ranks.
 # ===========================================================================
 
 @_register(
@@ -8977,12 +8981,16 @@ def entropy_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "o_totalprice",
 )
 def gini_order_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import (
+        global_row_number,
+    )
+
     o = _t(spark, sf_dir, "orders")
-    x = o.select(
-        _cents(F.col("o_totalprice")).alias("cents"), "o_orderkey"
-    ).withColumn(
-        "i",
-        F.row_number().over(Window.orderBy("cents", "o_orderkey")),
+    x = global_row_number(
+        o.select(_cents(F.col("o_totalprice")).alias("cents"), "o_orderkey"),
+        ["cents", "o_orderkey"],
+        rank_col="i",
+        cache_role="gini_rank",
     )
     # exact wide-integer accumulation: decimal(18,0) × decimal(18,0)
     # terms sum into decimal(38,0) — no int64 wrap at any reachable SF
@@ -10864,10 +10872,16 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # gini_order_concentration: the 10-point curve of cumulative revenue
 # share by order-value decile ("the bottom 30% of orders carry X% of
 # revenue"). Deciles come from the same pinned (cents, orderkey) total
-# order as the Gini entry (ntile over one global sort window); decile
-# sums are exact bigints, the cumulative share a 10-row window — so the
-# expensive part is ONE sort of a 2-column projection, identical cost
-# profile to the decile/Pareto/Gini family it completes.
+# order as the Gini entry; decile sums are exact bigints, the
+# cumulative share a 10-row window. r7: like the Gini entry, the rank
+# is the DISTRIBUTED two-phase global_row_number (no one-task sort of
+# the fact table), and the decile is derived from the rank with the
+# exact SQL NTILE distribution — n = 10·base + rem rows put base+1 rows
+# in each of the first rem buckets and base in the rest, so
+# decile(i) = (i−1) DIV (base+1) + 1            for i ≤ rem·(base+1)
+#           = rem + (i − rem·(base+1) − 1) DIV base + 1   otherwise
+# — pure integer arithmetic, identical to both engines' NTILE on the
+# same total order (hash-verified; oracle keeps native ntile).
 # ===========================================================================
 
 @_register(
@@ -10898,11 +10912,34 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cumulative cents, and 9dp cumulative revenue share",
 )
 def lorenz_curve_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import (
+        global_row_number,
+    )
+
     o = _t(spark, sf_dir, "orders")
-    w = Window.orderBy("cents", "o_orderkey")
-    x = o.select(
-        _cents(F.col("o_totalprice")).alias("cents"), "o_orderkey"
-    ).select("cents", F.ntile(10).over(w).alias("decile"))
+    ranked = global_row_number(
+        o.select(_cents(F.col("o_totalprice")).alias("cents"), "o_orderkey"),
+        ["cents", "o_orderkey"],
+        rank_col="i",
+        cache_role="lorenz_rank",
+    )
+    nrow = ranked.agg(F.count("*").cast("bigint").alias("nn"))
+    base = F.expr("nn DIV 10")
+    rem = F.col("nn") % 10
+    cut = rem * (base + 1)
+    decile = (
+        F.when(
+            F.col("i") <= cut,
+            F.expr("(i - 1) DIV (nn DIV 10 + 1)") + 1,
+        )
+        .otherwise(
+            rem + F.expr("(i - nn % 10 * (nn DIV 10 + 1) - 1) DIV (nn DIV 10)") + 1
+        )
+        .cast("int")
+    )
+    x = ranked.crossJoin(F.broadcast(nrow)).select(
+        "cents", decile.alias("decile")
+    )
     d = x.groupBy("decile").agg(
         F.count("*").cast("bigint").alias("n_orders"),
         F.sum("cents").cast("bigint").alias("cents"),
@@ -11824,12 +11861,19 @@ def zipf_rank_frequency_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count("*").cast("bigint").alias("c"))
     )
-    ranked = tf.select(
-        "c",
-        F.row_number()
-        .over(Window.orderBy(F.desc("c"), "term"))
-        .alias("r"),
+    # r7: distributed two-phase rank (see gini_order_concentration) —
+    # the vocab grows with the corpus, so the partition-less window's
+    # one-task sort is the wrong shape at 100 TB
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import (
+        global_row_number,
     )
+
+    ranked = global_row_number(
+        tf,
+        [F.col("c").desc(), F.col("term")],
+        rank_col="r",
+        cache_role="zipf_rank",
+    ).select("c", "r")
     pts = ranked.select(
         F.floor(F.log(F.col("r").cast("double")) * 1e6 + 0.5)
         .cast("bigint")

@@ -213,8 +213,11 @@ PINNED = {
     # enumeration is an equi-join on orderkey, never a cross product
     "copurchase_lift_pairs":  (13, ["BroadcastHashJoin"],   ["CartesianProduct", "SortMergeJoin"]),
     "entropy_source_mix":     (5, ["BroadcastHashJoin"],    ["CartesianProduct", "SortMergeJoin", "Window"]),
-    # one global sort window over a 2-column projection, zero joins
-    "gini_order_concentration": (1, ["Window"],             ["Join", "CartesianProduct"]),
+    # r7 distributed two-phase rank: range exchange into the persisted
+    # pid-stamped frame (textual budget counts its cache-lineage echo),
+    # per-partition rank window + tiny offset window, offsets broadcast
+    # back — never a SortMergeJoin or a fact-table-sized single sort
+    "gini_order_concentration": (7, ["Window", "BroadcastHashJoin", "InMemoryTableScan"], ["CartesianProduct", "SortMergeJoin"]),
     # at-risk counts and the KM product are windows over the grouped
     # duration table; user-level joins broadcast-hash
     "kaplan_meier_conversion": (8, ["BroadcastHashJoin", "Window"], ["CartesianProduct", "SortMergeJoin"]),
@@ -266,8 +269,9 @@ PINNED = {
     # one user-keyed sort shared by both lead() windows; top-20 ranks
     # over the <=|types|^3 cell aggregate (scalar total -> BNLJ)
     "frequent_event_trigrams": (7, ["Window", "BroadcastNestedLoopJoin"], ["CartesianProduct", "SortMergeJoin", "Generate"]),
-    # vocab-sized rank window + one scalar moment aggregate, no joins
-    "zipf_rank_frequency_fit": (2, ["Window"],              ["Join", "CartesianProduct"]),
+    # r7: vocab-sized rank now the distributed two-phase form (see
+    # gini_order_concentration) + one scalar moment aggregate
+    "zipf_rank_frequency_fit": (9, ["Window", "BroadcastHashJoin", "InMemoryTableScan"], ["CartesianProduct", "SortMergeJoin"]),
     # interval dim broadcasts at test SF; band is a residual filter on
     # the user_id equi-join, never a cartesian
     "pit_state_lookup":       (3, ["BroadcastHashJoin", "Window"], ["CartesianProduct", "SortMergeJoin"]),

@@ -57,6 +57,51 @@ def test_rollup_cube_empty_input_divergence_pinned(spark, tmp_path):
     con.close()
 
 
+def test_global_row_number_matches_global_window(spark):
+    """r7: the distributed two-phase global rank must agree rank-for-rank
+    with the partition-less window form, ascending and descending,
+    including when the range partitioner's sampled boundaries split
+    value ties across partitions (unique tiebreak column pins them)."""
+    from pyspark.sql import Window
+
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
+        release_caches,
+    )
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import (
+        global_row_number,
+    )
+
+    df = spark.range(10_000).select(
+        (F.col("id") % 137).alias("v"),  # heavy ties
+        F.col("id").alias("k"),
+    )
+    naive_asc = df.select(
+        "k", F.row_number().over(Window.orderBy("v", "k")).alias("i")
+    )
+    dist_asc = global_row_number(
+        df, ["v", "k"], rank_col="i", cache_role="test_rank_asc"
+    ).select("k", "i")
+    assert sorted(map(tuple, dist_asc.collect())) == sorted(
+        map(tuple, naive_asc.collect())
+    )
+    naive_desc = df.select(
+        "k",
+        F.row_number()
+        .over(Window.orderBy(F.col("v").desc(), "k"))
+        .alias("i"),
+    )
+    dist_desc = global_row_number(
+        df,
+        [F.col("v").desc(), F.col("k")],
+        rank_col="i",
+        cache_role="test_rank_desc",
+    ).select("k", "i")
+    assert sorted(map(tuple, dist_desc.collect())) == sorted(
+        map(tuple, naive_desc.collect())
+    )
+    release_caches()
+
+
 def test_markov_sink_state_retains_mass(spark, tmp_path):
     """r6 ADVICE: an event type appearing only as a transition TARGET
     is a sink state; it must be in the state universe with an e9
