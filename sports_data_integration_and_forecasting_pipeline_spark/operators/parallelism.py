@@ -118,3 +118,112 @@ def global_row_number(
         )
         .drop("__pid", "__rn", "__off")
     )
+
+
+def global_ntile(
+    df: DataFrame,
+    order_cols: list,
+    k: int,
+    out_col: str = "bucket",
+    num_partitions: int | None = None,
+    cache_role: str = "global_ntile",
+) -> DataFrame:
+    """Exact global ``NTILE(k) OVER (ORDER BY order_cols)`` via the
+    distributed rank: SQL NTILE over n = k·base + rem rows puts base+1
+    rows in each of the first rem buckets and base in the rest, so
+
+        bucket(i) = (i−1) DIV (base+1) + 1                for i ≤ rem·(base+1)
+                  = rem + (i − rem·(base+1) − 1) DIV base + 1  otherwise
+
+    — pure integer arithmetic over the :func:`global_row_number` rank,
+    identical to both engines' native NTILE on the same (UNIQUE per
+    row) total order. The n<k corner (base=0) lands every row in the
+    first branch; the dead DIV-by-zero branch evaluates to NULL on no
+    rows under Spark's non-ANSI DIV, so no guard is needed."""
+    from pyspark.sql import functions as F
+
+    ranked = global_row_number(
+        df,
+        order_cols,
+        rank_col="__gi",
+        num_partitions=num_partitions,
+        cache_role=cache_role,
+    )
+    n_total = ranked.agg(F.count("*").cast("long").alias("__n"))
+    base = F.expr(f"__n DIV {k}")
+    rem = F.col("__n") % k
+    cut = rem * (base + 1)
+    bucket = (
+        F.when(
+            F.col("__gi") <= cut,
+            F.expr(f"(__gi - 1) DIV (__n DIV {k} + 1)") + 1,
+        )
+        .otherwise(
+            rem
+            + F.expr(
+                f"(__gi - __n % {k} * (__n DIV {k} + 1) - 1) DIV (__n DIV {k})"
+            )
+            + 1
+        )
+        .cast("int")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(n_total))
+        .withColumn(out_col, bucket)
+        .drop("__gi", "__n")
+    )
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    out_col: str = "cum",
+    num_partitions: int | None = None,
+    cache_role: str = "global_cumsum",
+) -> DataFrame:
+    """Exact global ``SUM(value) OVER (ORDER BY order_cols ROWS
+    UNBOUNDED PRECEDING)`` without the one-task sort: the same
+    two-phase shape as :func:`global_row_number`, but the broadcast
+    offset per range partition is the exclusive prefix of per-partition
+    SUMS rather than counts. Order must be unique per row (pass
+    tiebreaks) so the running sum is well-defined on both engines."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from .dedup import persist_scoped
+
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    stamped = persist_scoped(
+        cache_role,
+        df.repartitionByRange(n_parts, *cols).withColumn(
+            "__pid", F.spark_partition_id()
+        ),
+    )
+    offsets = (
+        stamped.groupBy("__pid")
+        .agg(F.sum(value_col).alias("__psum"))
+        .select(
+            "__pid",
+            F.coalesce(
+                F.sum("__psum").over(
+                    Window.orderBy("__pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("__soff"),
+        )
+    )
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        stamped.withColumn("__lcum", F.sum(value_col).over(w_local))
+        .join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, F.col("__soff") + F.col("__lcum"))
+        .drop("__pid", "__lcum", "__soff")
+    )

@@ -3621,19 +3621,43 @@ def rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_cents(F.col("value"))).cast("bigint").alias("cents"),
         )
     )
-    def score(col):
-        return (
-            6 - F.ntile(5).over(Window.orderBy(F.desc(col), "user_id"))
-        ).cast("int")
+    # r7: the user profile scales with the corpus, so each quintile is
+    # the distributed exact NTILE (see global_ntile) — three two-phase
+    # ranks instead of three one-task sorts of every user. The profile
+    # persists ONCE and each rank runs over a narrow 2-col slice of it,
+    # joined back by user_id (chaining the ntile calls instead would
+    # nest the scoped caches and blow the plan TEXT up combinatorially
+    # — same executed work, unreadable snapshots).
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
+        persist_scoped,
+    )
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import (
+        global_ntile,
+    )
 
-    return profile.select(
+    prof = persist_scoped("rfm_profile", profile)
+    out = prof
+    for col, raw in [
+        ("last_day", "__r_raw"),
+        ("n_events", "__f_raw"),
+        ("cents", "__m_raw"),
+    ]:
+        ranked = global_ntile(
+            prof.select("user_id", col),
+            [F.col(col).desc(), F.col("user_id")],
+            k=5,
+            out_col=raw,
+            cache_role=f"rfm_{col}",
+        ).select("user_id", raw)
+        out = out.join(ranked, "user_id")
+    return out.select(
         "user_id",
         "last_day",
         "n_events",
         "cents",
-        score("last_day").alias("r_score"),
-        score("n_events").alias("f_score"),
-        score("cents").alias("m_score"),
+        (6 - F.col("__r_raw")).cast("int").alias("r_score"),
+        (6 - F.col("__f_raw")).cast("int").alias("f_score"),
+        (6 - F.col("__m_raw")).cast("int").alias("m_score"),
     )
 
 
@@ -7147,12 +7171,22 @@ def pareto_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     total = rev.agg(F.sum("rev_cents").cast("bigint").alias("total"))
-    w = Window.orderBy(F.desc("rev_cents"), "l_suppkey").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # r7: the supplier table scales, so the revenue cumsum is the
+    # distributed two-phase running sum (per-range-partition prefix +
+    # broadcast sum offsets), not a one-task sort of every supplier
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import (
+        global_running_sum,
     )
+
+    cum = global_running_sum(
+        rev,
+        [F.col("rev_cents").desc(), F.col("l_suppkey")],
+        "rev_cents",
+        out_col="cum_cents",
+        cache_role="pareto_cumsum",
+    ).withColumn("cum_cents", F.col("cum_cents").cast("bigint"))
     return (
-        rev.withColumn("cum_cents", F.sum("rev_cents").over(w).cast("bigint"))
-        .crossJoin(F.broadcast(total))
+        cum.crossJoin(F.broadcast(total))
         .select(
             "l_suppkey",
             "rev_cents",
@@ -8176,12 +8210,18 @@ def concurrency_sweep_line(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     g = b.groupBy("t").agg(F.sum("delta").cast("bigint").alias("d"))
-    wg = Window.orderBy("t").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # r7: the boundary aggregate has one row per distinct session
+    # instant — it scales with the data, so the running sum is the
+    # distributed two-phase form, not a one-task sort of every instant
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import (
+        global_running_sum,
     )
-    return g.select(
+
+    return global_running_sum(
+        g, ["t"], "d", out_col="concurrency", cache_role="sweep_cumsum"
+    ).select(
         F.col("t").alias("t_s"),
-        F.sum("d").over(wg).cast("bigint").alias("concurrency"),
+        F.col("concurrency").cast("bigint").alias("concurrency"),
     )
 
 
@@ -9245,12 +9285,15 @@ def bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
             _r(F.sum(idf * (F.col("tf") * 2.2) / norm), 6).alias("score"),
         )
     )
+    # r7: top-20 via orderBy+limit (TakeOrderedAndProject — each task
+    # keeps its local top 20, the driver merges P·20 rows) instead of a
+    # row_number window that sorts EVERY doc's score on one task; the
+    # rank window then runs over ≤20 rows. Same rows, same ranks.
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 20)
-        .select("doc_id", "n_terms", "score", "rank")
-    )
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).select("doc_id", "n_terms", "score", "rank")
 
 
 # ===========================================================================
@@ -10913,33 +10956,17 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def lorenz_curve_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import (
-        global_row_number,
+        global_ntile,
     )
 
     o = _t(spark, sf_dir, "orders")
-    ranked = global_row_number(
+    x = global_ntile(
         o.select(_cents(F.col("o_totalprice")).alias("cents"), "o_orderkey"),
         ["cents", "o_orderkey"],
-        rank_col="i",
+        k=10,
+        out_col="decile",
         cache_role="lorenz_rank",
-    )
-    nrow = ranked.agg(F.count("*").cast("bigint").alias("nn"))
-    base = F.expr("nn DIV 10")
-    rem = F.col("nn") % 10
-    cut = rem * (base + 1)
-    decile = (
-        F.when(
-            F.col("i") <= cut,
-            F.expr("(i - 1) DIV (nn DIV 10 + 1)") + 1,
-        )
-        .otherwise(
-            rem + F.expr("(i - nn % 10 * (nn DIV 10 + 1) - 1) DIV (nn DIV 10)") + 1
-        )
-        .cast("int")
-    )
-    x = ranked.crossJoin(F.broadcast(nrow)).select(
-        "cents", decile.alias("decile")
-    )
+    ).select("cents", "decile")
     d = x.groupBy("decile").agg(
         F.count("*").cast("bigint").alias("n_orders"),
         F.sum("cents").cast("bigint").alias("cents"),

@@ -147,7 +147,9 @@ PINNED = {
     # per user-day); the raw stream never sorts into a window
     "rolling_active_users_7d": (5, ["BroadcastNestedLoopJoin"], ["CartesianProduct", "SortMergeJoin", "Window"]),
     # the single-partition window runs over the supplier AGGREGATE only
-    "pareto_supplier_share":  (5, ["Window"],               ["CartesianProduct", "SortMergeJoin"]),
+    # r7 distributed running sum (persist echo in the textual budget):
+    # per-range-partition prefix windows + broadcast sum offsets
+    "pareto_supplier_share":  (11, ["Window", "BroadcastHashJoin", "InMemoryTableScan"], ["CartesianProduct", "SortMergeJoin"]),
     "event_transition_matrix": (3, ["Window"],              ["Join"]),
     # melt AFTER aggregation: one shuffle, pure-JVM Expand, no Python
     "unpivot_order_measures": (1, ["Expand"],               ["Join", "ArrowEvalPython"]),
@@ -183,7 +185,9 @@ PINNED = {
     "rollup_pricing":         (2, ["Expand"],               ["Join", "Window", "Sort"]),
     # running sum over the boundary AGGREGATE; session build + union +
     # boundary agg + final window — never a pair join
-    "concurrency_sweep_line": (4, ["Window", "Union"],      ["Join", "CartesianProduct"]),
+    # r7 distributed running sum over the boundary aggregate (offsets
+    # ride the one broadcast join; budget counts persist echoes)
+    "concurrency_sweep_line": (12, ["Window", "Union", "InMemoryTableScan"], ["CartesianProduct", "SortMergeJoin"]),
     # totals broadcast back over the <= |periods|*|types| cell aggregate
     "chi_square_drift":       (10, ["BroadcastHashJoin"],   ["CartesianProduct", "SortMergeJoin", "Window"]),
     # pinned 9-row Benford expectation broadcasts; one 9-group aggregate

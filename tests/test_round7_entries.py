@@ -143,3 +143,89 @@ def test_markov_sink_state_retains_mass(spark, tmp_path):
     assert total <= 1_000_000_000
     # deterministic chain: all surviving mass is in the absorbing state
     assert out["end"] == total
+
+
+def test_global_ntile_matches_native_window(spark):
+    """r7: the distributed exact NTILE must agree bucket-for-bucket with
+    the native partition-less window form, covering both remainder
+    shapes (n % k == 0 and != 0) and the n < k corner where every
+    bucket has at most one row."""
+    from pyspark.sql import Window
+
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
+        release_caches,
+    )
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import (
+        global_ntile,
+    )
+
+    for n, k in [(10_000, 5), (9_998, 7), (3, 5)]:
+        df = spark.range(n).select(
+            (F.col("id") % 137).alias("v"),  # heavy ties
+            F.col("id").alias("key"),
+        )
+        naive = df.select(
+            "key",
+            F.ntile(k)
+            .over(Window.orderBy(F.col("v").desc(), "key"))
+            .alias("b"),
+        )
+        dist = global_ntile(
+            df,
+            [F.col("v").desc(), F.col("key")],
+            k=k,
+            out_col="b",
+            cache_role=f"test_ntile_{n}_{k}",
+        ).select("key", "b")
+        assert sorted(map(tuple, dist.collect())) == sorted(
+            map(tuple, naive.collect())
+        ), (n, k)
+    release_caches()
+
+
+def test_global_running_sum_matches_native_window(spark):
+    """r7: the distributed two-phase running sum must agree row-for-row
+    with the native partition-less ROWS UNBOUNDED PRECEDING window,
+    ascending and descending, with value ties pinned by a unique
+    tiebreak — including negative values (offsets must be true signed
+    prefix sums, not counts-scaled)."""
+    from pyspark.sql import Window
+
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
+        release_caches,
+    )
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import (
+        global_running_sum,
+    )
+
+    df = spark.range(10_000).select(
+        (F.col("id") % 211).alias("v"),  # heavy ties
+        F.col("id").alias("key"),
+        (F.col("id") % 13 - 6).cast("long").alias("x"),  # signed values
+    )
+    for order in (
+        ["v", "key"],
+        [F.col("v").desc(), F.col("key")],
+    ):
+        cols = [F.col(c) if isinstance(c, str) else c for c in order]
+        naive = df.select(
+            "key",
+            F.sum("x")
+            .over(
+                Window.orderBy(*cols).rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            .alias("c"),
+        )
+        dist = global_running_sum(
+            df,
+            order,
+            "x",
+            out_col="c",
+            cache_role="test_cumsum",
+        ).select("key", "c")
+        assert sorted(map(tuple, dist.collect())) == sorted(
+            map(tuple, naive.collect())
+        )
+        release_caches()
