@@ -199,6 +199,7 @@ HEADLINE = [
     "markov_steady_state_power",
     "merge_upsert_orders",
     "ivf_centroid_refresh",
+    "dedup_sorted_neighborhood",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

@@ -872,3 +872,68 @@ def normalized_dup_groups(
             (F.count("*").over(w) > 1).alias("in_dup_group"),
         )
     )
+
+
+def sorted_neighborhood_candidates(
+    df: DataFrame,
+    sort_cols: list,
+    window: int,
+    id_col: str = "doc_id",
+    payload_cols: tuple[str, ...] = (),
+    cache_role: str = "snm_rank",
+) -> DataFrame:
+    """Sorted-neighborhood (merge/purge) candidate generation — the sixth
+    blocking family, complementing exact/shingle/MinHash/SimHash/prefix:
+    sort the corpus once on a domain key, then pair each record only with
+    its ``window`` successors in the total order (Hernández & Stolfo,
+    SIGMOD '95). Cheap when near-dups sort adjacently (shared prefixes,
+    near-equal keys); by design it MISSES dups whose keys sort far apart
+    — callers wanting recall on those use the hash families above.
+
+    Scale shape: the global sort is the distributed two-phase rank
+    (``global_row_number`` — P parallel sorts, never one task), and the
+    successor RANK is part of the equi-join key (each row explodes into
+    its ``window`` target ranks), so the join PRODUCES exactly the
+    O(n·window) banded pairs — the same key-carries-the-band discipline
+    as the banded Theil-Sen. Ranks are unique, so the pair join cannot
+    skew regardless of how many records share a sort key.
+
+    Returns one row per ordered candidate pair: ``a_<id>``/``b_<id>``,
+    ``rank_gap`` ∈ [1, window], and any ``payload_cols`` prefixed
+    ``a_``/``b_`` for the caller's verify stage (similarity scoring is
+    deliberately NOT baked in — SNM is a blocker, not a matcher)."""
+    from .parallelism import global_row_number
+
+    # sort expressions that are plain column NAMES ride the pre-rank
+    # projection (once — they may repeat id/payload cols); Column
+    # expressions (e.g. F.col("k").desc()) must reference payload_cols
+    keep = [id_col, *payload_cols]
+    keep += [
+        c for c in sort_cols if isinstance(c, str) and c not in keep
+    ]
+    ranked = global_row_number(
+        df.select(*keep),
+        sort_cols,
+        rank_col="__i",
+        cache_role=cache_role,
+    )
+    left = ranked.select(
+        F.col(id_col).alias(f"a_{id_col}"),
+        *[F.col(c).alias(f"a_{c}") for c in payload_cols],
+        F.col("__i").alias("__ia"),
+        F.explode(
+            F.sequence(F.col("__i") + 1, F.col("__i") + window)
+        ).alias("__target"),
+    )
+    right = ranked.select(
+        F.col(id_col).alias(f"b_{id_col}"),
+        *[F.col(c).alias(f"b_{c}") for c in payload_cols],
+        F.col("__i").alias("__target"),
+    )
+    return (
+        left.join(right, "__target")
+        .withColumn(
+            "rank_gap", (F.col("__target") - F.col("__ia")).cast("bigint")
+        )
+        .drop("__target", "__ia")
+    )

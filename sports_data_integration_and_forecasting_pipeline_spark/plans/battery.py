@@ -12102,6 +12102,86 @@ def ivf_centroid_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Sorted-neighborhood dedup — the sixth blocking family (merge/purge,
+# Hernández & Stolfo SIGMOD '95), r7: sort the corpus ONCE on a
+# normalized 40-char prefix key, pair each doc only with its 4
+# successors in the total order, then verify candidates with edit
+# distance over the capped 80-char head (levenshtein is byte-identical
+# in Spark and DuckDB on this ASCII corpus — probed before adoption).
+# Complements the hash families: prefix-perturbed near-dups sort
+# adjacently and are found at 4n pairs; dups whose heads diverge sort
+# apart and are deliberately left to MinHash/SimHash — SNM is a
+# blocker, not a recall guarantee. Scale shape: the global sort is the
+# distributed two-phase rank (never one task), the successor rank is IN
+# the equi-join key (exactly O(n·w) pairs, skew-impossible: ranks are
+# unique), and the verify is a constant-cost expression per pair.
+# ===========================================================================
+
+_SNM_WINDOW = 4
+_SNM_LEV_MAX = 8
+
+
+@_register(
+    "dedup_sorted_neighborhood",
+    f"""
+    WITH k AS (
+      SELECT doc_id, text,
+             regexp_replace(lower(substr(text, 1, 40)),
+                            '[^a-z0-9]', '', 'g') AS sk
+      FROM documents),
+    r AS (
+      SELECT doc_id, text,
+             row_number() OVER (ORDER BY sk, doc_id) AS i
+      FROM k),
+    c AS (
+      SELECT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id,
+             CAST(b.i - a.i AS BIGINT) AS rank_gap,
+             CAST(levenshtein(substr(a.text, 1, 80),
+                              substr(b.text, 1, 80)) AS BIGINT) AS lev
+      FROM (SELECT r.*, r.i + d.o AS target
+            FROM r CROSS JOIN range(1, {_SNM_WINDOW} + 1) d(o)) a
+      JOIN r b ON b.i = a.target)
+    SELECT a_doc_id, b_doc_id, rank_gap, lev
+    FROM c WHERE lev <= {_SNM_LEV_MAX}
+    """,
+    "dedup: sorted-neighborhood blocking (distributed global sort + "
+    "rank-banded pair join + capped-edit-distance verify; no reference "
+    "counterpart)",
+    f"near-dup doc pairs within {_SNM_WINDOW} successors in "
+    f"normalized-prefix sort order, verified at levenshtein <= "
+    f"{_SNM_LEV_MAX} over 80-char heads",
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
+        sorted_neighborhood_candidates,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.regexp_replace(
+            F.lower(F.substring("text", 1, 40)), "[^a-z0-9]", ""
+        ).alias("sk"),
+    )
+    cand = sorted_neighborhood_candidates(
+        docs,
+        ["sk", "doc_id"],
+        window=_SNM_WINDOW,
+        id_col="doc_id",
+        payload_cols=("text",),
+        cache_role="snm_rank",
+    )
+    lev = F.levenshtein(
+        F.substring("a_text", 1, 80), F.substring("b_text", 1, 80)
+    )
+    return (
+        cand.withColumn("lev", lev.cast("bigint"))
+        .filter(F.col("lev") <= _SNM_LEV_MAX)
+        .select("a_doc_id", "b_doc_id", "rank_gap", "lev")
+    )
+
+
+# ===========================================================================
 # Driver-window curation (round-2 review directive). The external
 # correctness gate hard-caps its run at the FIRST 50 registered entries
 # (registration-order prefix, observed in rounds 1-2) — it cannot check

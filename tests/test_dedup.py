@@ -274,3 +274,43 @@ def test_normalized_dedup_catches_case_punct_space_variants(spark):
     assert got[1]["canonical_id"] == got[2]["canonical_id"] == got[3]["canonical_id"] == 1
     assert got[1]["in_dup_group"] and got[3]["in_dup_group"]
     assert not got[4]["in_dup_group"] and got[4]["canonical_id"] == 4
+
+
+def test_sorted_neighborhood_candidate_set_is_exactly_the_rank_band(spark):
+    """r7 SNM blocker contract: over n rows and window w the candidate
+    set is EXACTLY the rank-banded pairs — n·w − w(w+1)/2 of them, each
+    with rank_gap ∈ [1, w] — and a near-dup that sorts adjacently is
+    among them with its payload columns a_/b_-prefixed. A sort column
+    that repeats the id/payload names must not duplicate columns."""
+    import pyspark.sql.functions as F
+
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
+        release_caches,
+        sorted_neighborhood_candidates,
+    )
+
+    n, w = 50, 3
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.format_string("prefix-%03d suffix", F.col("id")).alias("text"),
+    )
+    cand = sorted_neighborhood_candidates(
+        df,
+        ["text", "doc_id"],  # 'text' is BOTH a sort col and a payload col
+        window=w,
+        id_col="doc_id",
+        payload_cols=("text",),
+        cache_role="test_snm",
+    )
+    rows = cand.collect()
+    assert len(rows) == n * w - w * (w + 1) // 2
+    assert set(cand.columns) == {"a_doc_id", "a_text", "b_doc_id", "b_text", "rank_gap"}
+    # %03d formatting makes text order == id order: pair (i, i+g) exists
+    # for every gap g <= w, carrying both texts
+    got = {(r["a_doc_id"], r["b_doc_id"]): r for r in rows}
+    assert all(1 <= r["rank_gap"] <= w for r in rows)
+    r = got[(7, 9)]
+    assert r["rank_gap"] == 2
+    assert r["a_text"] == "prefix-007 suffix" and r["b_text"] == "prefix-009 suffix"
+    assert (7, 7 + w + 1) not in got  # beyond the band: never a candidate
+    release_caches()
