@@ -890,50 +890,137 @@ def sorted_neighborhood_candidates(
     near-equal keys); by design it MISSES dups whose keys sort far apart
     — callers wanting recall on those use the hash families above.
 
-    Scale shape: the global sort is the distributed two-phase rank
-    (``global_row_number`` — P parallel sorts, never one task), and the
-    successor RANK is part of the equi-join key (each row explodes into
-    its ``window`` target ranks), so the join PRODUCES exactly the
-    O(n·window) banded pairs — the same key-carries-the-band discipline
-    as the banded Theil-Sen. Ranks are unique, so the pair join cannot
-    skew regardless of how many records share a sort key.
+    Scale shape — the textbook distributed SNM, NOT a pair join: after
+    the parallel range exchange every partition holds a contiguous slice
+    of the total order, so all pairs except the few that straddle a
+    partition edge live INSIDE one partition and come from ``window``
+    ``lead()`` calls over the per-partition sort — zero additional
+    shuffle for the corpus-sized path (a first cut joined left×right on
+    an exploded target rank; that shuffles the corpus twice more and, at
+    narrow payloads, tempted Catalyst into broadcasting a corpus-sized
+    build side — measured 2× slower at sf1 and an OOM at real scale).
+    The straddling pairs come from a fix-up join over ONLY the first and
+    last ``window`` rows of each partition — an O(window·P) subset, P =
+    partition count, independent of rows per partition — matched on the
+    same global rank arithmetic as :func:`~.parallelism.global_row_number`
+    (whose broadcast count-offsets this reuses). Ranks are unique, so
+    neither path can skew however many records share a sort key.
 
     Returns one row per ordered candidate pair: ``a_<id>``/``b_<id>``,
     ``rank_gap`` ∈ [1, window], and any ``payload_cols`` prefixed
     ``a_``/``b_`` for the caller's verify stage (similarity scoring is
     deliberately NOT baked in — SNM is a blocker, not a matcher)."""
-    from .parallelism import global_row_number
-
-    # sort expressions that are plain column NAMES ride the pre-rank
-    # projection (once — they may repeat id/payload cols); Column
-    # expressions (e.g. F.col("k").desc()) must reference payload_cols
+    # sort expressions that are plain column NAMES ride the projection
+    # (once — they may repeat id/payload cols); Column expressions
+    # (e.g. F.col("k").desc()) must reference payload_cols
     keep = [id_col, *payload_cols]
     keep += [
         c for c in sort_cols if isinstance(c, str) and c not in keep
     ]
-    ranked = global_row_number(
-        df.select(*keep),
-        sort_cols,
-        rank_col="__i",
-        cache_role=cache_role,
+    cols = [F.col(c) if isinstance(c, str) else c for c in sort_cols]
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    stamped = (
+        df.select(*keep)
+        .repartitionByRange(n_parts, *cols)
+        .withColumn("__pid", F.spark_partition_id())
     )
-    left = ranked.select(
+    w_local = Window.partitionBy("__pid").orderBy(*cols)
+    a_rec = F.struct(
         F.col(id_col).alias(f"a_{id_col}"),
         *[F.col(c).alias(f"a_{c}") for c in payload_cols],
+    )
+    b_rec = F.struct(
+        F.col(id_col).alias(f"b_{id_col}"),
+        *[F.col(c).alias(f"b_{c}") for c in payload_cols],
+    )
+    out_cols = [
+        f"__a.a_{c}" for c in (id_col, *payload_cols)
+    ] + [f"__b.b_{c}" for c in (id_col, *payload_cols)] + ["rank_gap"]
+
+    # ONE window pass over the corpus computes everything both pair
+    # sources need: the k-th successor is lead(k) over the
+    # per-partition sort, plus the local rank. A row is within `window`
+    # of its partition's START iff its local rank is <= window, and of
+    # its END iff its window-th successor lead is null — so the edge
+    # subset costs no extra count-or-sort pass. The PERSIST sits ABOVE
+    # the window (not below): all four consumers (intra explode, edge
+    # a/b sides, count offsets) read the one materialized pass, which
+    # also pins the sampled range boundaries every branch must share.
+    base = _persist_scoped(
+        cache_role,
+        stamped.select(
+            a_rec.alias("__a"),
+            b_rec.alias("__b_self"),
+            "__pid",
+            F.row_number().over(w_local).alias("__lr"),
+            F.array(
+                *[
+                    F.lead(b_rec, k).over(w_local)
+                    for k in range(1, window + 1)
+                ]
+            ).alias("__succ"),
+        ),
+    )
+
+    # Intra-partition pairs. Struct-array assignment and posexplode stay
+    # in SEPARATE selects: a generator sharing a select with
+    # aliased-struct arrays makes the analyzer strip struct field names.
+    intra = (
+        base.select("__a", F.posexplode("__succ").alias("__g0", "__b"))
+        .filter(F.col("__b").isNotNull())
+        .withColumn("rank_gap", (F.col("__g0") + 1).cast("bigint"))
+        .select(*out_cols)
+    )
+
+    # Edge fix-up: pairs that straddle a partition boundary. Both ends
+    # live in the first/last `window` rows of some partition (a short
+    # partition lands entirely in the subset, so bands spanning 2+
+    # partitions are covered too). The subset is O(window·P) rows —
+    # partition-COUNT-sized, not data-sized — so the rank-banded self
+    # join over it is trivial at any corpus size (left to AQE: it
+    # broadcasts at test SF and is a small shuffle at scale). Global
+    # rank = broadcast per-partition count offsets + local rank, the
+    # global_row_number arithmetic.
+    offsets = (
+        base.groupBy("__pid")
+        .agg(F.count("*").alias("__cnt"))
+        .select(
+            "__pid",
+            F.coalesce(
+                F.sum("__cnt").over(
+                    Window.orderBy("__pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).cast("long").alias("__off"),
+        )
+    )
+    edge = (
+        base.filter(
+            (F.col("__lr") <= window)
+            | F.element_at("__succ", window).isNull()
+        )
+        .join(F.broadcast(offsets), "__pid")
+        .withColumn("__i", F.col("__off") + F.col("__lr"))
+    )
+    ea = edge.select(
+        "__a",
+        F.col("__pid"),
         F.col("__i").alias("__ia"),
         F.explode(
             F.sequence(F.col("__i") + 1, F.col("__i") + window)
-        ).alias("__target"),
+        ).alias("__t"),
     )
-    right = ranked.select(
-        F.col(id_col).alias(f"b_{id_col}"),
-        *[F.col(c).alias(f"b_{c}") for c in payload_cols],
-        F.col("__i").alias("__target"),
+    eb = edge.select(
+        F.col("__b_self").alias("__b"),
+        F.col("__pid").alias("__bpid"),
+        F.col("__i").alias("__t"),
     )
-    return (
-        left.join(right, "__target")
-        .withColumn(
-            "rank_gap", (F.col("__target") - F.col("__ia")).cast("bigint")
-        )
-        .drop("__target", "__ia")
+    cross = (
+        ea.join(eb, "__t")
+        .filter(F.col("__pid") != F.col("__bpid"))
+        .withColumn("rank_gap", (F.col("__t") - F.col("__ia")).cast("bigint"))
+        .select(*out_cols)
     )
+    return intra.unionByName(cross)

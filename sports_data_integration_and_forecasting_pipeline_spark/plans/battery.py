@@ -12111,10 +12111,14 @@ def ivf_centroid_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Complements the hash families: prefix-perturbed near-dups sort
 # adjacently and are found at 4n pairs; dups whose heads diverge sort
 # apart and are deliberately left to MinHash/SimHash — SNM is a
-# blocker, not a recall guarantee. Scale shape: the global sort is the
-# distributed two-phase rank (never one task), the successor rank is IN
-# the equi-join key (exactly O(n·w) pairs, skew-impossible: ranks are
-# unique), and the verify is a constant-cost expression per pair.
+# blocker, not a recall guarantee. Scale shape (see
+# operators/dedup.py:sorted_neighborhood_candidates): parallel range
+# exchange, then ONE persisted per-partition window pass whose lead()s
+# ARE the intra-partition pairs — no join touches the corpus; only the
+# O(w·P) partition-boundary fix-up joins, over a partition-COUNT-sized
+# subset. Exactly O(n·w) pairs, skew-impossible (ranks unique), verify
+# is a constant-cost expression per pair. sf0.1→sf1 probe: flat
+# (2.46 → 2.50 s at 10× the docs).
 # ===========================================================================
 
 _SNM_WINDOW = 4
@@ -12156,9 +12160,12 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         sorted_neighborhood_candidates,
     )
 
+    # only the 80-char head rides the sort/persist/pair path — the
+    # verify never reads past it, and the full text would quadruple the
+    # bytes the window pass moves and caches per row
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
-        "text",
+        F.substring("text", 1, 80).alias("head"),
         F.regexp_replace(
             F.lower(F.substring("text", 1, 40)), "[^a-z0-9]", ""
         ).alias("sk"),
@@ -12168,12 +12175,10 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["sk", "doc_id"],
         window=_SNM_WINDOW,
         id_col="doc_id",
-        payload_cols=("text",),
+        payload_cols=("head",),
         cache_role="snm_rank",
     )
-    lev = F.levenshtein(
-        F.substring("a_text", 1, 80), F.substring("b_text", 1, 80)
-    )
+    lev = F.levenshtein(F.col("a_head"), F.col("b_head"))
     return (
         cand.withColumn("lev", lev.cast("bigint"))
         .filter(F.col("lev") <= _SNM_LEV_MAX)

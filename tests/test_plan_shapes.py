@@ -222,12 +222,13 @@ PINNED = {
     # per-partition rank window + tiny offset window, offsets broadcast
     # back — never a SortMergeJoin or a fact-table-sized single sort
     "gini_order_concentration": (7, ["Window", "BroadcastHashJoin", "InMemoryTableScan"], ["CartesianProduct", "SortMergeJoin"]),
-    # r7 sorted-neighborhood: distributed rank over the persisted keyed
-    # corpus (budget counts its two cache-lineage echoes), successor
-    # rank IN the pair-join key — an equi-join (broadcast at test SF;
-    # SMJ on the unique rank is acceptable at scale, so only the
-    # unblocked shapes are banned), verify riding the join condition
-    "dedup_sorted_neighborhood": (13, ["InMemoryTableScan"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # r7 sorted-neighborhood: ONE persisted window pass (range exchange
+    # + per-partition lead()s; budget counts its cache-lineage echoes
+    # under the four consumer scans) feeds a Union of intra-partition
+    # explode pairs + the O(window·P) boundary fix-up join — the
+    # corpus-sized path has NO join at all, so every join shape that
+    # would put the corpus on a join side is banned outright
+    "dedup_sorted_neighborhood": (17, ["InMemoryTableScan", "Union"], ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"]),
     # at-risk counts and the KM product are windows over the grouped
     # duration table; user-level joins broadcast-hash
     "kaplan_meier_conversion": (8, ["BroadcastHashJoin", "Window"], ["CartesianProduct", "SortMergeJoin"]),
