@@ -315,6 +315,13 @@ def main() -> None:
         # unchanged battery, which reads as a fake regression. Treat
         # normalized_total as comparable only under one convention;
         # single-run wobble up to ±20% is measurement, not battery.
+        # r7 confirmed on identical code, same host, minutes apart: raw
+        # total 74.1 vs 72.4 (2%) while normalized_total swung 32.1 vs
+        # 23.6 — calib_shuffle alone doubled (0.50 vs 1.01). Raw total
+        # is the stable signal; per-query deltas under ±25% and any
+        # normalized digit are noise. Real regressions are decided by
+        # same-session back-to-back probes (SCALING.md), never by
+        # cross-round bench-line diffs.
         # floor: MIN of four runs — it estimates a lower bound (the
         # fixed per-query cost), and a single sample is at the mercy of
         # hypervisor-steal spikes (observed 7x inflation on an
