@@ -200,6 +200,7 @@ HEADLINE = [
     "merge_upsert_orders",
     "ivf_centroid_refresh",
     "dedup_sorted_neighborhood",
+    "skyline_supplier_frontier",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

@@ -227,3 +227,83 @@ def global_running_sum(
         .withColumn(out_col, F.col("__soff") + F.col("__lcum"))
         .drop("__pid", "__lcum", "__soff")
     )
+
+
+def pareto_frontier_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    num_partitions: int | None = None,
+    cache_role: str = "skyline_prefix",
+) -> DataFrame:
+    """2D skyline / Pareto frontier, minimizing both columns (Börzsönyi
+    et al., ICDE '01): keep row q iff no row p has p.x ≤ q.x AND
+    p.y ≤ q.y with at least one strict — exact-duplicate (x, y) rows
+    dominate nothing and all survive together.
+
+    The naive form is a NOT EXISTS pair scan — O(n²) and a cross join
+    in any engine. In 2D, dominance collapses onto a prefix minimum:
+    q is dominated by a strictly-smaller-x row iff
+    ``min(y over all x' < q.x) <= q.y``, and by a same-x row iff some
+    same-x y is strictly smaller. So the frontier is
+
+        y == min(y | x) AND (no smaller x exists OR y < m1(x)),
+        m1(x) = min over all smaller x of min(y | x)
+
+    — one per-x aggregate, one EXCLUSIVE running minimum over the x
+    order, one equi-join back. The running minimum uses the house
+    two-phase shape (:func:`global_running_sum` with min in place of
+    sum): parallel range exchange on x, per-partition exclusive-prefix
+    window, per-partition minima broadcast back as exclusive offsets —
+    never a single-task global sort, never a pair join. ``F.least``
+    skips nulls in BOTH engines, which is exactly the semantics the
+    empty-prefix (smallest x / first partition) cases need."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from .dedup import persist_scoped
+
+    perx = df.groupBy(x_col).agg(F.min(y_col).alias("__my"))
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    stamped = persist_scoped(
+        cache_role,
+        perx.repartitionByRange(n_parts, F.col(x_col)).withColumn(
+            "__pid", F.spark_partition_id()
+        ),
+    )
+    offsets = (
+        stamped.groupBy("__pid")
+        .agg(F.min("__my").alias("__pmin"))
+        .select(
+            "__pid",
+            F.min("__pmin")
+            .over(
+                Window.orderBy("__pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            )
+            .alias("__moff"),
+        )
+    )
+    w_excl = (
+        Window.partitionBy("__pid")
+        .orderBy(x_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ann = (
+        stamped.withColumn("__mloc", F.min("__my").over(w_excl))
+        .join(F.broadcast(offsets), "__pid")
+        .select(
+            x_col,
+            "__my",
+            F.least("__moff", "__mloc").alias("__m1"),
+        )
+    )
+    return (
+        df.join(ann, x_col)
+        .filter(
+            (F.col(y_col) == F.col("__my"))
+            & (F.col("__m1").isNull() | (F.col(y_col) < F.col("__m1")))
+        )
+        .drop("__my", "__m1")
+    )

@@ -12187,6 +12187,103 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Skyline / Pareto-frontier query — new operator family, r7 (Börzsönyi
+# et al. ICDE '01; no reference counterpart): the non-dominated set
+# under multi-criteria minimization, the OLAP primitive behind "show me
+# every option that isn't strictly worse than another". Here: the
+# fast-AND-cheap supplier frontier — a supplier survives iff no other
+# supplier is at-most-equal on BOTH mean ship latency and mean item
+# price with at least one strict. Both means are exact truncating-DIV
+# integers (e6 days / cents), so dominance compares bigints on both
+# engines. The oracle keeps the textbook NOT EXISTS pair form; the
+# engine runs the 2D reduction (operators/parallelism.py:
+# pareto_frontier_2d): per-x min + distributed EXCLUSIVE prefix-min +
+# one equi-join — O(n) work and zero pair joins where the naive form
+# is O(n²), identical rows by construction.
+# ===========================================================================
+
+@_register(
+    "skyline_supplier_frontier",
+    """
+    WITH j AS (
+      SELECT l.l_suppkey AS suppkey,
+             CAST(epoch_us(l.l_shipdate) // 1000000 // 86400
+                  - epoch_us(o.o_orderdate) // 1000000 // 86400
+                  AS BIGINT) AS days,
+             CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)
+               AS cents
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    s AS (
+      SELECT suppkey, CAST(count(*) AS BIGINT) AS n_lines,
+             CAST((1000000 * sum(days)) // count(*) AS BIGINT) AS lat_e6,
+             CAST(sum(cents) // count(*) AS BIGINT) AS price_c
+      FROM j GROUP BY suppkey)
+    SELECT q.suppkey, q.n_lines, q.lat_e6, q.price_c
+    FROM s q
+    WHERE NOT EXISTS (
+      SELECT 1 FROM s p
+      WHERE p.lat_e6 <= q.lat_e6 AND p.price_c <= q.price_c
+        AND (p.lat_e6 < q.lat_e6 OR p.price_c < q.price_c))
+    """,
+    "analytics: 2D skyline / Pareto frontier (per-x min + distributed "
+    "exclusive prefix-min; the oracle keeps the O(n^2) NOT EXISTS "
+    "form; no reference counterpart)",
+    "suppliers not dominated on (mean ship-latency e6-days, mean item "
+    "price cents) — both exact truncating-DIV integers",
+)
+def skyline_supplier_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import (
+        pareto_frontier_2d,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_suppkey").alias("suppkey"),
+        _fdiv(_epoch_s(F.col("l_shipdate")), 86_400).alias("ship_day"),
+        _cents(F.col("l_extendedprice")).alias("cents"),
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        _fdiv(_epoch_s(F.col("o_orderdate")), 86_400).alias("order_day"),
+    )
+    s = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("suppkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum(F.col("ship_day") - F.col("order_day")).alias("sum_days"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .select(
+            "suppkey",
+            "n_lines",
+            (F.lit(1_000_000) * F.col("sum_days"))
+            .cast("long")
+            .alias("__sd6"),
+            "sum_cents",
+        )
+        # truncating integer division by the COLUMN n_lines — the same
+        # (c - c % n) / n identity as _fdiv, which only takes literal
+        # divisors; exact while |c| < 2^53 (same discipline as _fdiv)
+        .select(
+            "suppkey",
+            "n_lines",
+            (
+                (F.col("__sd6") - F.col("__sd6") % F.col("n_lines"))
+                / F.col("n_lines")
+            ).cast("bigint").alias("lat_e6"),
+            (
+                (F.col("sum_cents") - F.col("sum_cents") % F.col("n_lines"))
+                / F.col("n_lines")
+            ).cast("bigint").alias("price_c"),
+        )
+    )
+    return pareto_frontier_2d(s, "lat_e6", "price_c").select(
+        "suppkey", "n_lines", "lat_e6", "price_c"
+    )
+
+
+# ===========================================================================
 # Driver-window curation (round-2 review directive). The external
 # correctness gate hard-caps its run at the FIRST 50 registered entries
 # (registration-order prefix, observed in rounds 1-2) — it cannot check

@@ -229,6 +229,13 @@ PINNED = {
     # corpus-sized path has NO join at all, so every join shape that
     # would put the corpus on a join side is banned outright
     "dedup_sorted_neighborhood": (17, ["InMemoryTableScan", "Union"], ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"]),
+    # r7 skyline: the O(n²) NOT-EXISTS dominance pair scan is reduced
+    # to per-x min + distributed exclusive prefix-min (persisted, its
+    # echoes in the budget) + equi-joins — a pair join shape (cartesian
+    # / nested-loop) appearing here means the reduction regressed to
+    # the naive form (the one SMJ allowed is the lineitem-orders fact
+    # join, correctly sort-merge at fact×fact scale)
+    "skyline_supplier_frontier": (16, ["InMemoryTableScan", "Window"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     # at-risk counts and the KM product are windows over the grouped
     # duration table; user-level joins broadcast-hash
     "kaplan_meier_conversion": (8, ["BroadcastHashJoin", "Window"], ["CartesianProduct", "SortMergeJoin"]),

@@ -229,3 +229,48 @@ def test_global_running_sum_matches_native_window(spark):
             map(tuple, naive.collect())
         )
         release_caches()
+
+
+def test_pareto_frontier_matches_brute_force_dominance(spark):
+    """r7 skyline: the prefix-min reduction must produce EXACTLY the
+    NOT-EXISTS dominance set — exercised on a random cloud with heavy
+    x/y ties plus pinned corners: exact-duplicate points (neither
+    dominates; both survive) and a strictly-dominated straggler."""
+    import pyspark.sql.functions as F
+
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
+        release_caches,
+    )
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import (
+        pareto_frontier_2d,
+    )
+
+    # deterministic pseudo-random cloud with collisions in both coords
+    pts = spark.range(2_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 37 % 101).alias("x"),
+        (F.col("id") * 61 % 97).alias("y"),
+    )
+    # pinned corners: duplicate pair at (0, 0) — dominates everything
+    # else, survives as a pair — and a straggler strictly above it
+    extra = spark.createDataFrame(
+        [(9001, 0, 0), (9002, 0, 0), (9003, 0, 1)], ["k", "x", "y"]
+    )
+    pts = pts.unionByName(extra)
+    got = sorted(
+        r["k"] for r in pareto_frontier_2d(pts, "x", "y").collect()
+    )
+    rows = pts.collect()
+    brute = sorted(
+        q["k"]
+        for q in rows
+        if not any(
+            p["x"] <= q["x"]
+            and p["y"] <= q["y"]
+            and (p["x"] < q["x"] or p["y"] < q["y"])
+            for p in rows
+        )
+    )
+    assert got == brute
+    assert 9001 in got and 9002 in got and 9003 not in got
+    release_caches()
