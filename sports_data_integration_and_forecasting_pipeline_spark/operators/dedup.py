@@ -972,39 +972,28 @@ def sorted_neighborhood_candidates(
         .select(*out_cols)
     )
 
-    # Edge fix-up: pairs that straddle a partition boundary. Both ends
-    # live in the first/last `window` rows of some partition (a short
-    # partition lands entirely in the subset, so bands spanning 2+
-    # partitions are covered too). The subset is O(window·P) rows —
-    # partition-COUNT-sized, not data-sized — so the rank-banded self
-    # join over it is trivial at any corpus size (left to AQE: it
-    # broadcasts at test SF and is a small shuffle at scale). Global
-    # rank = broadcast per-partition count offsets + local rank, the
-    # global_row_number arithmetic.
-    offsets = (
-        base.groupBy("__pid")
-        .agg(F.count("*").alias("__cnt"))
-        .select(
-            "__pid",
-            F.coalesce(
-                F.sum("__cnt").over(
-                    Window.orderBy("__pid").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
-            ).cast("long").alias("__off"),
-        )
+    # Edge fix-up: pairs that straddle a partition boundary. The a-side
+    # of such a pair necessarily sits within `window` of its
+    # partition's END (its window-th lead is null), the b-side within
+    # `window` of its partition's START (local rank <= window) — each
+    # join side carries ONLY its half, so the fix-up input is O(w·P)
+    # rows, partition-COUNT-sized, not data-sized (a short partition
+    # lands in both halves, covering bands that span 2+ partitions).
+    # The rank-banded join over it is trivial at any corpus size (left
+    # to AQE: broadcasts at test SF, a small shuffle at scale). Global
+    # rank = broadcast per-partition count offsets + local rank — the
+    # global_row_number arithmetic via the shared prefix helper.
+    from .parallelism import exclusive_prefix_offsets
+
+    offsets = exclusive_prefix_offsets(
+        base, F.count("*"), F.sum, zero=0, cast="long"
     )
-    edge = (
-        base.filter(
-            (F.col("__lr") <= window)
-            | F.element_at("__succ", window).isNull()
-        )
-        .join(F.broadcast(offsets), "__pid")
-        .withColumn("__i", F.col("__off") + F.col("__lr"))
+    with_rank = base.join(F.broadcast(offsets), "__pid").withColumn(
+        "__i", F.col("__off") + F.col("__lr")
     )
-    ea = edge.select(
+    ea = with_rank.filter(
+        F.element_at("__succ", window).isNull()
+    ).select(
         "__a",
         F.col("__pid"),
         F.col("__i").alias("__ia"),
@@ -1012,7 +1001,7 @@ def sorted_neighborhood_candidates(
             F.sequence(F.col("__i") + 1, F.col("__i") + window)
         ).alias("__t"),
     )
-    eb = edge.select(
+    eb = with_rank.filter(F.col("__lr") <= window).select(
         F.col("__b_self").alias("__b"),
         F.col("__pid").alias("__bpid"),
         F.col("__i").alias("__t"),

@@ -43,6 +43,40 @@ def ensure_parallelism(
     return df.repartition(target)
 
 
+def exclusive_prefix_offsets(
+    stamped: DataFrame,
+    part_agg,
+    combine,
+    zero=None,
+    out_col: str = "__off",
+    cast: str | None = None,
+) -> DataFrame:
+    """The broadcast-offsets half of every two-phase global window in
+    this module (and the SNM boundary fix-up in dedup.py): aggregate
+    each range partition of the pid-stamped frame with ``part_agg``,
+    then fold the per-partition partials into an EXCLUSIVE running
+    prefix over the ``__pid`` order — a one-task window over P rows,
+    never the data. ``combine`` merges partials across partitions
+    (``F.sum`` for counts/sums, ``F.min`` for minima); ``zero`` fills
+    the empty prefix of the first partition (``None`` keeps NULL —
+    right for min, where callers' ``F.least`` skips it)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    prefix = combine("__part").over(
+        Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    if zero is not None:
+        prefix = F.coalesce(prefix, F.lit(zero))
+    if cast:
+        prefix = prefix.cast(cast)
+    return (
+        stamped.groupBy("__pid")
+        .agg(part_agg.alias("__part"))
+        .select("__pid", prefix.alias(out_col))
+    )
+
+
 def global_row_number(
     df: DataFrame,
     order_cols: list,
@@ -92,22 +126,8 @@ def global_row_number(
             "__pid", F.spark_partition_id()
         ),
     )
-    offsets = (
-        stamped.groupBy("__pid")
-        .agg(F.count("*").alias("__cnt"))
-        .select(
-            "__pid",
-            (
-                F.coalesce(
-                    F.sum("__cnt").over(
-                        Window.orderBy("__pid").rowsBetween(
-                            Window.unboundedPreceding, -1
-                        )
-                    ),
-                    F.lit(0),
-                )
-            ).cast("long").alias("__off"),
-        )
+    offsets = exclusive_prefix_offsets(
+        stamped, F.count("*"), F.sum, zero=0, cast="long"
     )
     w_local = Window.partitionBy("__pid").orderBy(*cols)
     return (
@@ -127,6 +147,7 @@ def global_ntile(
     out_col: str = "bucket",
     num_partitions: int | None = None,
     cache_role: str = "global_ntile",
+    n_total: DataFrame | None = None,
 ) -> DataFrame:
     """Exact global ``NTILE(k) OVER (ORDER BY order_cols)`` via the
     distributed rank: SQL NTILE over n = k·base + rem rows puts base+1
@@ -139,7 +160,14 @@ def global_ntile(
     identical to both engines' native NTILE on the same (UNIQUE per
     row) total order. The n<k corner (base=0) lands every row in the
     first branch; the dead DIV-by-zero branch evaluates to NULL on no
-    rows under Spark's non-ANSI DIV, so no guard is needed."""
+    rows under Spark's non-ANSI DIV, so no guard is needed.
+
+    ``n_total`` (optional): a lazy 1-row frame with long column ``__n``
+    holding the row count. Callers ranking k slices of the SAME source
+    (e.g. the RFM quintiles) pass one shared frame so the final plan
+    carries one count subtree that exchange-reuse executes once,
+    instead of re-counting the source per rank. Default: counted from
+    the ranked frame (reads the scoped cache)."""
     from pyspark.sql import functions as F
 
     ranked = global_row_number(
@@ -149,7 +177,8 @@ def global_ntile(
         num_partitions=num_partitions,
         cache_role=cache_role,
     )
-    n_total = ranked.agg(F.count("*").cast("long").alias("__n"))
+    if n_total is None:
+        n_total = ranked.agg(F.count("*").cast("long").alias("__n"))
     base = F.expr(f"__n DIV {k}")
     rem = F.col("__n") % k
     cut = rem * (base + 1)
@@ -201,20 +230,8 @@ def global_running_sum(
             "__pid", F.spark_partition_id()
         ),
     )
-    offsets = (
-        stamped.groupBy("__pid")
-        .agg(F.sum(value_col).alias("__psum"))
-        .select(
-            "__pid",
-            F.coalesce(
-                F.sum("__psum").over(
-                    Window.orderBy("__pid").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
-            ).alias("__soff"),
-        )
+    offsets = exclusive_prefix_offsets(
+        stamped, F.sum(value_col), F.sum, zero=0, out_col="__soff"
     )
     w_local = (
         Window.partitionBy("__pid")
@@ -271,19 +288,8 @@ def pareto_frontier_2d(
             "__pid", F.spark_partition_id()
         ),
     )
-    offsets = (
-        stamped.groupBy("__pid")
-        .agg(F.min("__my").alias("__pmin"))
-        .select(
-            "__pid",
-            F.min("__pmin")
-            .over(
-                Window.orderBy("__pid").rowsBetween(
-                    Window.unboundedPreceding, -1
-                )
-            )
-            .alias("__moff"),
-        )
+    offsets = exclusive_prefix_offsets(
+        stamped, F.min("__my"), F.min, out_col="__moff"
     )
     w_excl = (
         Window.partitionBy("__pid")

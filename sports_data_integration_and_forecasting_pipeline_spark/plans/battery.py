@@ -134,6 +134,14 @@ def _fdiv(col: Column, n: int) -> Column:
     return ((c - c % F.lit(n)) / F.lit(n)).cast("long")
 
 
+def _fdiv_col(col: Column, div: Column) -> Column:
+    """:func:`_fdiv` for a COLUMN divisor (e.g. an exact integer mean =
+    sum DIV count): the same ``(c - c % n) / n`` truncate-toward-zero
+    identity and the same exactness window (|c| < 2^53)."""
+    c = col.cast("long")
+    return ((c - c % div) / div).cast("long")
+
+
 def _epoch_s(col: Column | str) -> Column:
     """Floor epoch seconds of a TIMESTAMP_NTZ column — matches DuckDB's
     epoch_us(ts) // 1000000."""
@@ -3636,6 +3644,9 @@ def rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     prof = persist_scoped("rfm_profile", profile)
+    # one shared lazy count subtree for all three quintile ranks —
+    # exchange reuse executes it once instead of per-rank
+    n_users = prof.agg(F.count("*").cast("long").alias("__n"))
     out = prof
     for col, raw in [
         ("last_day", "__r_raw"),
@@ -3648,6 +3659,7 @@ def rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             k=5,
             out_col=raw,
             cache_role=f"rfm_{col}",
+            n_total=n_users,
         ).select("user_id", raw)
         out = out.join(ranked, "user_id")
     return out.select(
@@ -12257,25 +12269,12 @@ def skyline_supplier_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "suppkey",
             "n_lines",
-            (F.lit(1_000_000) * F.col("sum_days"))
-            .cast("long")
-            .alias("__sd6"),
-            "sum_cents",
-        )
-        # truncating integer division by the COLUMN n_lines — the same
-        # (c - c % n) / n identity as _fdiv, which only takes literal
-        # divisors; exact while |c| < 2^53 (same discipline as _fdiv)
-        .select(
-            "suppkey",
-            "n_lines",
-            (
-                (F.col("__sd6") - F.col("__sd6") % F.col("n_lines"))
-                / F.col("n_lines")
-            ).cast("bigint").alias("lat_e6"),
-            (
-                (F.col("sum_cents") - F.col("sum_cents") % F.col("n_lines"))
-                / F.col("n_lines")
-            ).cast("bigint").alias("price_c"),
+            _fdiv_col(
+                F.lit(1_000_000) * F.col("sum_days"), F.col("n_lines")
+            ).alias("lat_e6"),
+            _fdiv_col(F.col("sum_cents"), F.col("n_lines")).alias(
+                "price_c"
+            ),
         )
     )
     return pareto_frontier_2d(s, "lat_e6", "price_c").select(

@@ -187,7 +187,7 @@ PINNED = {
     # boundary agg + final window — never a pair join
     # r7 distributed running sum over the boundary aggregate (offsets
     # ride the one broadcast join; budget counts persist echoes)
-    "concurrency_sweep_line": (12, ["Window", "Union", "InMemoryTableScan"], ["CartesianProduct", "SortMergeJoin"]),
+    "concurrency_sweep_line": (12, ["Window", "Union", "InMemoryTableScan"], ["CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin"]),
     # totals broadcast back over the <= |periods|*|types| cell aggregate
     "chi_square_drift":       (10, ["BroadcastHashJoin"],   ["CartesianProduct", "SortMergeJoin", "Window"]),
     # pinned 9-row Benford expectation broadcasts; one 9-group aggregate
