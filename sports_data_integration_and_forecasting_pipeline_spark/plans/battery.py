@@ -12444,8 +12444,12 @@ _WINDOW_PRIORITY = [
 #       q19_discounted_revenue, q22_global_sales_opportunity) +
 #       markov_steady_state_power, kcore_cosupply_peel,
 #       dedup_cluster_size_histogram, streaming_pit_enrich,
-#       holt/winsorize leftovers — rotate out r7 first-timers gone
-#       twice-green.
+#       holt/winsorize leftovers, and the four r7-family heads
+#       (merge_upsert_orders, ivf_centroid_refresh,
+#       dedup_sorted_neighborhood, skyline_supplier_frontier) — rotate
+#       out r7 first-timers gone twice-green. All four family heads
+#       were swept green vs the oracle at sf0.01 (the gate scale)
+#       before registration, so windowing them is rotation-safe.
 #   r10+: remaining dedup/incremental variants
 #       (dedup_incremental_compacted, dedup_normalized,
 #       cosine_dup_pairs families), multimodal second wave

@@ -10,10 +10,36 @@ semantics are stable across clusters.
 from __future__ import annotations
 
 import os
+from pathlib import Path
 
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+_PKG_PARENT = str(Path(__file__).resolve().parent.parent)
+
+
+def _ensure_worker_import_path() -> None:
+    """Python WORKERS deserialize this package's Arrow UDFs by REFERENCE
+    (cloudpickle pickles module-level functions as import paths), so the
+    package must be importable in the worker interpreter, not just the
+    driver. A consumer script that reached the package via
+    ``sys.path.insert`` from some other cwd works fine on the driver,
+    then dies mid-job in the worker with
+    ``ModuleNotFoundError: sports_data_integration_and_forecasting_pipeline_spark`` the first time a
+    mapInPandas stage runs (observed: ``multimodal_image_features``
+    driven from /tmp). Prepending the package parent to ``PYTHONPATH``
+    before the JVM launches fixes local mode, where workers inherit the
+    launching process env; like ``spark.driver.memory`` above it is only
+    effective for the process that LAUNCHES the JVM. A real cluster
+    ships the package to executors via --py-files / a packed env
+    instead — this helper is deliberately a no-op there (the path just
+    won't exist on executors)."""
+    existing = os.environ.get("PYTHONPATH", "")
+    if _PKG_PARENT not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            _PKG_PARENT + os.pathsep + existing if existing else _PKG_PARENT
+        )
 
 
 def get_spark(
@@ -27,6 +53,7 @@ def get_spark(
     On a real cluster ``master`` comes from the environment; locally we
     default to ``local[$SPARK_GRAFT_CPUS]``.
     """
+    _ensure_worker_import_path()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.appName(app_name)

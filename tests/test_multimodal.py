@@ -137,3 +137,37 @@ def test_audio_duration_math(spark):
     got = audio_duration(df).collect()[0]
     assert got["n_samples"] == 8000
     assert got["duration_sec"] == 1.0
+
+
+def test_arrow_udf_entries_run_from_foreign_cwd():
+    """r7: Python workers deserialize the package's Arrow UDFs by
+    reference, so the package must be importable in the WORKER, not
+    just the driver — a consumer driving the engine from another
+    directory via sys.path.insert used to die mid-job with
+    ModuleNotFoundError at the first mapInPandas stage. get_spark now
+    exports the package parent on PYTHONPATH before the JVM launches;
+    this drives a fresh interpreter from /tmp with no PYTHONPATH to
+    prove it."""
+    import os
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    script = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "from sports_data_integration_and_forecasting_pipeline_spark.session import get_spark\n"
+        "from sports_data_integration_and_forecasting_pipeline_spark.plans import QUERIES\n"
+        "spark = get_spark(master='local[2]', shuffle_partitions=2)\n"
+        "QUERIES['multimodal_image_features'].fn(spark, '/root/testdata/sf0.001')"
+        ".write.format('noop').mode('overwrite').save()\n"
+        "print('WORKER_IMPORT_OK')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        cwd="/tmp",
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert "WORKER_IMPORT_OK" in out.stdout, out.stderr[-2000:]
