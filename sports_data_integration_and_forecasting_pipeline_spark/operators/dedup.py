@@ -572,8 +572,13 @@ def compact_signatures(
             .drop("__rk")
         )
     if tombstones is not None:
+        # no broadcast HINT: tombstone sets grow with cumulative
+        # deletions, unbounded over a table's life — AQE broadcasts the
+        # anti-join side at runtime while it measures small and degrades
+        # to a shuffle join when it doesn't, instead of the hint forcing
+        # a driver-sized build of an unbounded set (r7 broadcast audit)
         merged = merged.join(
-            F.broadcast(tombstones.select(id_col).distinct()),
+            tombstones.select(id_col).distinct(),
             id_col,
             "left_anti",
         )

@@ -52,8 +52,13 @@ def fk_orphan_audit(
                 "left_anti",
             )
         )
+        # no broadcast HINT: orphan sets are tiny when the data is
+        # healthy (AQE broadcasts them at runtime), but on PATHOLOGICAL
+        # data — a dropped parent partition orphaning most child keys —
+        # a forced broadcast builds a corpus-sized driver relation and
+        # OOMs exactly when the audit matters most (r7 broadcast audit)
         flagged = ck.join(
-            F.broadcast(orphan_keys.withColumn("__orphan", F.lit(1))),
+            orphan_keys.withColumn("__orphan", F.lit(1)),
             "__k",
             "left",
         )
