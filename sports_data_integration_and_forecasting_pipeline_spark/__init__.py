@@ -91,7 +91,18 @@ from .operators.textstats import (
 from .operators.bloom import bloom_build, bloom_might_contain, bloom_prune
 from .operators.chunking import chunk_documents
 from .operators.decontam import benchmark_contamination
-from .operators.dedup import connected_components_star
+from .operators.dedup import (
+    connected_components_star,
+    sorted_neighborhood_candidates,
+)
+from .operators.merge import merge_into
+from .operators.parallelism import (
+    global_ntile,
+    global_row_number,
+    global_running_sum,
+    pareto_frontier_2d,
+)
+from .operators.similarity import ivf_centroid_refresh
 from .operators.incremental import merge_rollups, rollup_partial
 from .operators.layout import layout_scan_stats, zorder_key_expr
 from .operators.paths import path_funnel, user_event_paths
@@ -176,6 +187,7 @@ __all__ = [
     "simhash16",
     "simhash60",
     "simhash_pairs",
+    "sorted_neighborhood_candidates",
     # similarity search
     "cosine_topk",
     "ann_lsh_topk",
@@ -225,6 +237,12 @@ __all__ = [
     "bloom_prune",
     "profile_table",
     "scd2_intervals",
+    "merge_into",
+    "ivf_centroid_refresh",
+    "pareto_frontier_2d",
+    "global_row_number",
+    "global_ntile",
+    "global_running_sum",
     # scale hygiene
     "salted_sum_count",
     "salted_join",
