@@ -201,6 +201,7 @@ HEADLINE = [
     "ivf_centroid_refresh",
     "dedup_sorted_neighborhood",
     "skyline_supplier_frontier",
+    "skyline_orders_3d",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

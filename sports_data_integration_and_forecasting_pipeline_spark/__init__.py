@@ -101,6 +101,7 @@ from .operators.parallelism import (
     global_row_number,
     global_running_sum,
     pareto_frontier_2d,
+    pareto_frontier_kd,
 )
 from .operators.similarity import ivf_centroid_refresh
 from .operators.incremental import merge_rollups, rollup_partial
@@ -240,6 +241,7 @@ __all__ = [
     "merge_into",
     "ivf_centroid_refresh",
     "pareto_frontier_2d",
+    "pareto_frontier_kd",
     "global_row_number",
     "global_ntile",
     "global_running_sum",

@@ -12283,6 +12283,81 @@ def skyline_supplier_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# k-dimensional skyline — the d ≥ 3 sibling of the 2D frontier, where
+# dominance no longer collapses onto a prefix aggregate (no running
+# min over one sort order can witness 3-way dominance). The engine
+# runs the canonical divide-and-conquer skyline
+# (operators/parallelism.py:pareto_frontier_kd): per-partition local
+# skylines via a DESIGNED Arrow crossing (the sort-filter-skyline walk
+# is inherently sequential, same contract as the EWMA/Holt
+# recurrences), then the exact skyline of the partition-count-sized
+# union. The oracle keeps the O(n²) NOT EXISTS pair form. Query: the
+# cheap-small-fast order frontier — orders not dominated on (total
+# price cents, item count, worst order-to-ship latency days), all
+# exact bigints so dominance compares identically on both engines.
+# ===========================================================================
+
+@_register(
+    "skyline_orders_3d",
+    """
+    WITH s AS (
+      SELECT o.o_orderkey AS okey,
+             CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT)
+               AS price_c,
+             CAST(count(*) AS BIGINT) AS n_items,
+             CAST(max(epoch_us(l.l_shipdate) // 1000000 // 86400
+                  - epoch_us(o.o_orderdate) // 1000000 // 86400)
+               AS BIGINT) AS max_days
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_totalprice)
+    SELECT q.okey, q.price_c, q.n_items, q.max_days
+    FROM s q
+    WHERE NOT EXISTS (
+      SELECT 1 FROM s p
+      WHERE p.price_c <= q.price_c AND p.n_items <= q.n_items
+        AND p.max_days <= q.max_days
+        AND (p.price_c < q.price_c OR p.n_items < q.n_items
+             OR p.max_days < q.max_days))
+    """,
+    "analytics: 3D skyline via divide-and-conquer local skylines "
+    "(designed Arrow crossing; oracle keeps the O(n^2) NOT EXISTS "
+    "form; no reference counterpart)",
+    "orders not dominated on (price cents, item count, worst ship "
+    "latency days) — exact bigint dominance",
+)
+def skyline_orders_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import (
+        pareto_frontier_kd,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", _fdiv(_epoch_s(F.col("l_shipdate")), 86_400).alias("ship_day")
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        _cents(F.col("o_totalprice")).alias("price_c"),
+        _fdiv(_epoch_s(F.col("o_orderdate")), 86_400).alias("order_day"),
+    )
+    s = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderkey", "price_c")
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.max(F.col("ship_day") - F.col("order_day"))
+            .cast("bigint")
+            .alias("max_days"),
+        )
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            "price_c",
+            "n_items",
+            "max_days",
+        )
+    )
+    return pareto_frontier_kd(s, ["price_c", "n_items", "max_days"])
+
+
+# ===========================================================================
 # Driver-window curation (round-2 review directive). The external
 # correctness gate hard-caps its run at the FIRST 50 registered entries
 # (registration-order prefix, observed in rounds 1-2) — it cannot check

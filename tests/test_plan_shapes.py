@@ -28,6 +28,11 @@ ARROW_OK = {
     "ewma_user_value",
     # Holt level+trend smoothing: same sequential-recurrence contract
     "holt_linear_user_value",
+    # k-D skyline: the sort-filter-skyline walk is inherently
+    # sequential per partition — the designed applyInPandas crossing
+    # (its plan node FlatMapGroupsInPandas doesn't match the banned
+    # substrings, but the contract belongs on this list)
+    "skyline_orders_3d",
 }
 # Streaming queries materialize via a memory sink, not a lazy plan.
 SKIP = {

@@ -274,3 +274,48 @@ def test_pareto_frontier_matches_brute_force_dominance(spark):
     assert got == brute
     assert 9001 in got and 9002 in got and 9003 not in got
     release_caches()
+
+
+def test_pareto_frontier_kd_matches_brute_force_dominance(spark):
+    """r7 k-D skyline: the divide-and-conquer local-skyline reduction
+    must produce EXACTLY the 3-way NOT-EXISTS dominance set, on a tied
+    random cloud plus pinned corners (duplicate minimum pair survives
+    together; a point dominated only via the third dim is dropped)."""
+    import pyspark.sql.functions as F
+
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import (
+        pareto_frontier_kd,
+    )
+
+    pts = spark.range(2_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 37 % 53).alias("x"),
+        (F.col("id") * 61 % 47).alias("y"),
+        (F.col("id") * 23 % 59).alias("z"),
+    )
+    extra = spark.createDataFrame(
+        [
+            (9001, 0, 0, 0),
+            (9002, 0, 0, 0),  # duplicate global minimum: both survive
+            (9003, 0, 0, 1),  # dominated ONLY via z
+        ],
+        ["k", "x", "y", "z"],
+    )
+    pts = pts.unionByName(extra)
+    got = sorted(
+        r["k"] for r in pareto_frontier_kd(pts, ["x", "y", "z"]).collect()
+    )
+    rows = pts.collect()
+    brute = sorted(
+        q["k"]
+        for q in rows
+        if not any(
+            p["x"] <= q["x"]
+            and p["y"] <= q["y"]
+            and p["z"] <= q["z"]
+            and (p["x"] < q["x"] or p["y"] < q["y"] or p["z"] < q["z"])
+            for p in rows
+        )
+    )
+    assert got == brute
+    assert 9001 in got and 9002 in got and 9003 not in got
