@@ -319,3 +319,68 @@ def test_pareto_frontier_kd_matches_brute_force_dominance(spark):
     )
     assert got == brute
     assert 9001 in got and 9002 in got and 9003 not in got
+
+
+def test_exclusive_prefix_offsets_contract(spark):
+    """r7: the shared offsets helper (four call sites: global rank,
+    running sum, skyline prefix-min, SNM fix-up) must produce the
+    exclusive prefix per __pid under each (part_agg, combine, zero)
+    parameterization — first partition gets `zero` (or NULL when zero
+    is None, the min-callers' convention)."""
+    import pyspark.sql.functions as F
+
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import (
+        exclusive_prefix_offsets,
+    )
+
+    stamped = spark.createDataFrame(
+        [(0, 5), (0, 1), (1, 7), (2, 2), (2, 3)], ["__pid", "v"]
+    )
+    counts = {
+        r["__pid"]: r["__off"]
+        for r in exclusive_prefix_offsets(
+            stamped, F.count("*"), F.sum, zero=0, cast="long"
+        ).collect()
+    }
+    assert counts == {0: 0, 1: 2, 2: 3}
+    sums = {
+        r["__pid"]: r["__soff"]
+        for r in exclusive_prefix_offsets(
+            stamped, F.sum("v"), F.sum, zero=0, out_col="__soff"
+        ).collect()
+    }
+    assert sums == {0: 0, 1: 6, 2: 13}
+    mins = {
+        r["__pid"]: r["__moff"]
+        for r in exclusive_prefix_offsets(
+            stamped, F.min("v"), F.min, out_col="__moff"
+        ).collect()
+    }
+    assert mins == {0: None, 1: 1, 2: 1}
+
+
+def test_frontier_2d_and_kd_agree_on_two_dims(spark):
+    """r7: the two skyline code paths — JVM prefix-min reduction and
+    the Arrow divide-and-conquer — implement the same dominance
+    semantics, so on a 2-column input they must return the same set."""
+    import pyspark.sql.functions as F
+
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
+        release_caches,
+    )
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import (
+        pareto_frontier_2d,
+        pareto_frontier_kd,
+    )
+
+    pts = spark.range(3_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 37 % 101).alias("x"),
+        (F.col("id") * 61 % 97).alias("y"),
+    )
+    a = sorted(r["k"] for r in pareto_frontier_2d(pts, "x", "y").collect())
+    b = sorted(
+        r["k"] for r in pareto_frontier_kd(pts, ["x", "y"]).collect()
+    )
+    assert a == b and a
+    release_caches()
