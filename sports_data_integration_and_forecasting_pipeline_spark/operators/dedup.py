@@ -915,6 +915,11 @@ def sorted_neighborhood_candidates(
     ``rank_gap`` ∈ [1, window], and any ``payload_cols`` prefixed
     ``a_``/``b_`` for the caller's verify stage (similarity scoring is
     deliberately NOT baked in — SNM is a blocker, not a matcher)."""
+    if window < 1:
+        raise ValueError(
+            "sorted_neighborhood_candidates: window must be >= 1 "
+            f"(got {window}) — a zero-width neighborhood pairs nothing."
+        )
     # sort expressions that are plain column NAMES ride the projection
     # (once — they may repeat id/payload cols); Column expressions
     # (e.g. F.col("k").desc()) must reference payload_cols

@@ -69,6 +69,20 @@ def merge_into(
     with no source-size bound.
     """
     payload = [c for c in target.columns if c not in key_cols]
+    # The plan reserves __-prefixed internals (__op, __t, __src_<col>)
+    # plus the action output column; a target/source already using one
+    # would silently alias the wrong payload or die with an ambiguous-
+    # column error mid-plan. Fail loudly at entry instead (free —
+    # schema-only, no job).
+    reserved = {"__op", "__t", action_col} | {f"__src_{c}" for c in payload}
+    clash = reserved & (set(target.columns) | set(source.columns))
+    if clash:
+        raise ValueError(
+            "merge_into reserved-name collision: column(s) "
+            f"{sorted(clash)} already exist on the target/source — "
+            "rename them or pass a different action_col; __op/__t/"
+            "__src_<col> are internal to the merge plan."
+        )
     stats = (
         source.groupBy(*key_cols)
         .agg(F.count("*").alias("n"))

@@ -274,12 +274,31 @@ def pareto_frontier_2d(
     window, per-partition minima broadcast back as exclusive offsets —
     never a single-task global sort, never a pair join. ``F.least``
     skips nulls in BOTH engines, which is exactly the semantics the
-    empty-prefix (smallest x / first partition) cases need."""
+    empty-prefix (smallest x / first partition) cases need.
+
+    Precondition (ENFORCED, fail-loud — same contract the kD sibling
+    documents): ``x_col``/``y_col`` must be non-null exact metrics. A
+    NULL x would vanish silently (the equi-join back onto the per-x
+    annotation never matches NULL keys) and a NULL y has no dominance
+    order; the guard is one map-side two-column aggregate, eager at
+    construction time in the `_assert_bounded_group` house style."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
     from .dedup import persist_scoped
 
+    n_null = df.agg(
+        F.sum(
+            (F.col(x_col).isNull() | F.col(y_col).isNull()).cast("long")
+        ).alias("n")
+    ).collect()[0]["n"]
+    if n_null:
+        raise ValueError(
+            f"pareto_frontier_2d: {n_null} row(s) have NULL {x_col}/"
+            f"{y_col} — dominance is undefined on NULL and NULL x keys "
+            "would silently drop at the annotation join. Filter or "
+            "impute upstream."
+        )
     perx = df.groupBy(x_col).agg(F.min(y_col).alias("__my"))
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     stamped = persist_scoped(

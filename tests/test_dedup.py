@@ -314,3 +314,21 @@ def test_sorted_neighborhood_candidate_set_is_exactly_the_rank_band(spark):
     assert r["a_text"] == "prefix-007 suffix" and r["b_text"] == "prefix-009 suffix"
     assert (7, 7 + w + 1) not in got  # beyond the band: never a candidate
     release_caches()
+
+
+def test_sorted_neighborhood_rejects_nonpositive_window(spark):
+    """r8 ADVICE guard: window=0 used to die deep in the plan at
+    element_at(__succ, 0); it must be a named precondition failure."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
+        sorted_neighborhood_candidates,
+    )
+
+    df = spark.range(5).select(F.col("id").alias("doc_id"))
+    for bad in (0, -2):
+        with pytest.raises(ValueError, match="window must be >= 1"):
+            sorted_neighborhood_candidates(
+                df, ["doc_id"], window=bad, id_col="doc_id"
+            )

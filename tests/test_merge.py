@@ -158,3 +158,21 @@ def test_ivf_refresh_idle_cells_unchanged(spark):
         assert r["n_new"] == 0
         expect = np_floor_e6(IVF_CENTROIDS[r["cell"]][r["pos"] - 1])
         assert r["refreshed_e6"] == expect
+
+
+def test_merge_reserved_column_collision_raises(spark):
+    """r8 ADVICE guard: a target/source column colliding with the plan's
+    reserved internals (__op, __t, __src_<col>) or the action output
+    must fail loudly at entry, not mid-plan with an ambiguous-column
+    error or silent wrong payload substitution."""
+    tgt_bad = _target(spark).withColumn("__t", F.lit(1))
+    src = _source(spark, [("update", 1, "a2", 11)])
+    with pytest.raises(ValueError, match="reserved-name collision"):
+        merge_into(tgt_bad, src, ["k"])
+    # action_col colliding with an existing payload column
+    with pytest.raises(ValueError, match="reserved-name collision"):
+        merge_into(_target(spark), src, ["k"], action_col="amt")
+    # source carrying a __src_-prefixed column
+    src_bad = src.withColumn("__src_amt", F.lit(0))
+    with pytest.raises(ValueError, match="reserved-name collision"):
+        merge_into(_target(spark), src_bad, ["k"])

@@ -384,3 +384,23 @@ def test_frontier_2d_and_kd_agree_on_two_dims(spark):
     )
     assert a == b and a
     release_caches()
+
+
+def test_frontier_2d_rejects_null_metrics(spark):
+    """r8 ADVICE guard: NULL x keys used to vanish silently at the
+    annotation equi-join; the frontier now enforces the non-null
+    precondition its kD sibling documents."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import (
+        pareto_frontier_2d,
+    )
+
+    pts = spark.range(10).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") == 3, F.lit(None)).otherwise(F.col("id")).alias("x"),
+        (F.col("id") % 4).alias("y"),
+    )
+    with pytest.raises(ValueError, match="NULL x/y"):
+        pareto_frontier_2d(pts, "x", "y")
