@@ -91,8 +91,14 @@ from .operators.textstats import (
 from .operators.bloom import bloom_build, bloom_might_contain, bloom_prune
 from .operators.chunking import chunk_documents
 from .operators.decontam import benchmark_contamination
+from .operators.contamination import (
+    kmv_merge,
+    kmv_pairwise_overlap,
+    kmv_registers,
+)
 from .operators.dedup import (
     connected_components_star,
+    duplicate_substring_spans,
     sorted_neighborhood_candidates,
 )
 from .operators.merge import merge_into
@@ -189,6 +195,11 @@ __all__ = [
     "simhash60",
     "simhash_pairs",
     "sorted_neighborhood_candidates",
+    "duplicate_substring_spans",
+    # contamination audit (KMV/theta sketches)
+    "kmv_registers",
+    "kmv_pairwise_overlap",
+    "kmv_merge",
     # similarity search
     "cosine_topk",
     "ann_lsh_topk",

@@ -1023,3 +1023,102 @@ def sorted_neighborhood_candidates(
         .select(*out_cols)
     )
     return intra.unionByName(cross)
+
+
+def duplicate_substring_spans(
+    df: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact substring dedup — the "deduplicating training data" primitive
+    (Lee et al., ACL '22 ExactSubstr): find every maximal token span that
+    occurs verbatim ``min_count``-or-more times anywhere in the corpus.
+    Distinct from the six whole-document blocking families above: those
+    decide *documents* are near-dups; this finds the *copied passages*
+    (boilerplate, licenses, quoted chunks) inside otherwise-unique docs —
+    the spans an LLM-training curation pass clips out.
+
+    Semantics: a ``k``-token window starting at 1-based token position
+    ``p`` of a doc is *duplicated* iff the identical token sequence occurs
+    at ≥ ``min_count`` (doc, pos) sites corpus-wide (a self-repeat inside
+    one doc counts — verbatim is verbatim). Per doc, duplicated window
+    starts are merged into maximal spans: windows ``p`` and ``q`` (p < q)
+    coalesce iff ``q − p ≤ k`` (overlapping or exactly abutting — the
+    covered token range is contiguous). Output: one row per maximal span
+    with ``span_start``/``span_end`` (1-based inclusive token positions),
+    ``span_tokens``, and ``n_dup_windows``.
+
+    Scale shape (vs the suffix array the reference paper builds): a
+    suffix array is a global sort of every corpus suffix — the exact
+    single-total-order structure that cannot shard. For fixed-k windows
+    the same answer falls out of hash aggregation: (1) narrow per-doc
+    window enumeration (``transform`` over the token array → md5 of each
+    k-gram; the 32-char digest is the shuffle key, never the k-token
+    text); (2) ONE hash exchange: ``groupBy(gram)`` count with map-side
+    partial aggregation, so a boilerplate gram repeated 10^8 times
+    arrives at its reducer as one partial row per map task, not 10^8
+    rows; (3) a semi-join of positions against the ≥min_count grams
+    (AQE skew-join handles hot grams); (4) islands-and-gaps span merge
+    under a per-DOC window — bounded by document length, never global.
+    md5 equality stands in for token-sequence equality (the house hash
+    discipline — collision odds are 2^-128-scale even at 100 TB); the
+    DuckDB oracle groups on the raw gram text, so the battery hash-check
+    also certifies the digest substitution."""
+    if k < 2:
+        raise ValueError(
+            f"duplicate_substring_spans: k must be >= 2 (got {k}) — "
+            "1-token spans are vocabulary lookups, not substring dedup."
+        )
+    if min_count < 2:
+        raise ValueError(
+            "duplicate_substring_spans: min_count must be >= 2 "
+            f"(got {min_count}) — every window trivially occurs once."
+        )
+    toks = df.select(id_col, F.split(F.col(text_col), " ").alias("__tk"))
+    # window starts ride ONE narrow transform; the CASE guards the
+    # len < k docs (sequence(1, 0) would generate a DESCENDING [1, 0])
+    ghs = toks.select(
+        id_col,
+        F.expr(
+            f"CASE WHEN size(__tk) >= {k} THEN "
+            f"transform(sequence(1, size(__tk) - {k} + 1), "
+            f"i -> md5(concat_ws(' ', slice(__tk, i, {k})))) "
+            "ELSE array() END"
+        ).alias("__ghs"),
+    )
+    # generator in its own select (analyzer strips struct/alias names
+    # when a generator shares a select with array construction)
+    pos_grams = ghs.select(
+        id_col, F.posexplode("__ghs").alias("__p0", "__gh")
+    ).select(id_col, (F.col("__p0") + 1).cast("bigint").alias("pos"), "__gh")
+    dup_ghs = (
+        pos_grams.groupBy("__gh")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") >= min_count)
+        .select("__gh")
+    )
+    dup_pos = pos_grams.join(dup_ghs, "__gh", "left_semi")
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    flagged = dup_pos.withColumn(
+        "__new",
+        F.when(
+            F.lag("pos").over(w_doc).isNull()
+            | (F.col("pos") - F.lag("pos").over(w_doc) > k),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "__island",
+        F.sum("__new").over(
+            w_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return flagged.groupBy(id_col, "__island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + F.lit(k - 1)).cast("bigint").alias("span_end"),
+        (F.max("pos") + F.lit(k - 1) - F.min("pos") + F.lit(1))
+        .cast("bigint")
+        .alias("span_tokens"),
+        F.count("*").cast("bigint").alias("n_dup_windows"),
+    ).drop("__island")

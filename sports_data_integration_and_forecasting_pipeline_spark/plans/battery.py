@@ -12358,6 +12358,140 @@ def skyline_orders_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Exact substring dedup (r8 new family head) — the "deduplicating
+# training data" primitive (Lee et al., ACL '22): every maximal token
+# span occurring verbatim >= 2 times corpus-wide, per document. The
+# reference paper builds a suffix array — a global sort of every corpus
+# suffix, the exact single-total-order structure that cannot shard; for
+# fixed-k windows the same answer falls out of hash aggregation with
+# map-side combine (operators/dedup.py:duplicate_substring_spans). The
+# oracle groups on the raw k-gram TEXT while the engine groups on its
+# md5 — the hash-match therefore also certifies the digest substitution.
+# Scale: one narrow transform (k-gram md5s per doc), one hash exchange
+# with map-side partial counts (a 10^8-times-repeated boilerplate gram
+# reaches its reducer as one partial per map task), one AQE-skew-safe
+# semi-join, one per-DOC (bounded) island-merge window. k=10 at battery
+# scale (testdata docs are 25-80 tokens); production uses ~50.
+# ===========================================================================
+
+@_register(
+    "dedup_substring_spans",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    g AS (SELECT doc_id, unnest(range(1, greatest(len(tk) - 9, 0) + 1)) AS pos, tk
+          FROM toks),
+    g2 AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                  array_to_string(tk[pos:pos+9], ' ') AS gram
+           FROM g),
+    dup AS (SELECT gram FROM g2 GROUP BY gram HAVING count(*) >= 2),
+    dp AS (SELECT doc_id, pos FROM g2 WHERE gram IN (SELECT gram FROM dup)),
+    fl AS (SELECT doc_id, pos,
+                  CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                            OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 10
+                       THEN 1 ELSE 0 END AS f
+           FROM dp),
+    isl AS (SELECT doc_id, pos,
+                   sum(f) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+            FROM fl)
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 9 AS BIGINT) AS span_end,
+           CAST(max(pos) + 9 - min(pos) + 1 AS BIGINT) AS span_tokens,
+           CAST(count(*) AS BIGINT) AS n_dup_windows
+    FROM isl GROUP BY doc_id, island
+    """,
+    "dedup: exact substring spans (ExactSubstr — copied-passage dedup, "
+    "distinct from all whole-document blocking families; no reference "
+    "counterpart)",
+    "maximal verbatim 10-token spans duplicated corpus-wide, merged "
+    "per doc via islands-and-gaps",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
+        duplicate_substring_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return duplicate_substring_spans(docs, k=10)
+
+
+# ===========================================================================
+# Cross-snapshot contamination audit (r8 new family head) — KMV/theta
+# sketch intersections (operators/contamination.py): every source
+# summarized once into its k=128 smallest distinct shingle-md5s, then
+# all 190 pairwise train-vs-eval overlap estimates answered from
+# sketches alone. The mergeable generalization of
+# decontaminate_benchmark's broadcast shingle set — which cannot
+# broadcast a 100 TB eval side; sketches compare in milliseconds and
+# merge across snapshots (kmv_merge) without re-scanning any corpus.
+# The estimator is exact integer/string comparison on md5 digests, so
+# the DuckDB oracle reproduces the APPROXIMATION itself bit-for-bit.
+# Scale: one distinct exchange + two bounded rank windows (256 uniform
+# hash-prefix sub-partitions per source, then a sketch-sized final
+# rank); the audit joins are all broadcast, sketch-sized.
+# ===========================================================================
+
+@_register(
+    "contamination_kmv_audit",
+    f"""
+    WITH sh AS (
+      SELECT DISTINCT source, md5(g) AS h
+      FROM (SELECT source, unnest({_SHINGLE3_RAW_SQL}) AS g FROM documents)
+    ),
+    r1 AS (SELECT source, h,
+                  row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+           FROM sh),
+    sk AS (SELECT source, h FROM r1 WHERE rn <= 128),
+    grp AS (SELECT DISTINCT source FROM sk),
+    pairs AS (SELECT a.source AS ga, b.source AS gb
+              FROM grp a JOIN grp b ON a.source < b.source),
+    uh AS (SELECT DISTINCT p.ga, p.gb, s.h
+           FROM pairs p JOIN sk s ON s.source = p.ga OR s.source = p.gb),
+    u AS (SELECT ga, gb, h,
+                 row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
+          FROM uh),
+    uk AS (SELECT ga, gb, h FROM u WHERE rn <= 128),
+    un AS (SELECT ga, gb, CAST(count(*) AS BIGINT) AS n_union
+           FROM uk GROUP BY ga, gb),
+    ov AS (SELECT uk.ga, uk.gb, CAST(count(*) AS BIGINT) AS n_overlap
+           FROM uk
+           JOIN sk a ON a.source = uk.ga AND a.h = uk.h
+           JOIN sk b ON b.source = uk.gb AND b.h = uk.h
+           GROUP BY uk.ga, uk.gb)
+    SELECT un.ga AS group_a, un.gb AS group_b, un.n_union,
+           CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+           CAST(coalesce(ov.n_overlap, 0) * 1000000 // un.n_union AS BIGINT)
+             AS jaccard_e6
+    FROM un LEFT JOIN ov ON ov.ga = un.ga AND ov.gb = un.gb
+    """,
+    "curation: KMV/theta-sketch contamination audit (mergeable "
+    "register-level train-vs-eval overlap; generalizes "
+    "decontaminate_benchmark past broadcast-sized eval sets; no "
+    "reference counterpart)",
+    "pairwise source-overlap Jaccard estimates from k=128 KMV sketches "
+    "of 3-token shingles — the approximation itself is hash-checked",
+)
+def contamination_kmv_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.contamination import (
+        kmv_pairwise_overlap,
+        kmv_registers,
+    )
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
+        shingles_from_tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    sh = docs.select(
+        "source",
+        F.explode(
+            shingles_from_tokens(F.split(F.col("text"), " "), 3)
+        ).alias("g"),
+    )
+    regs = kmv_registers(sh, "source", "g", k=128)
+    return kmv_pairwise_overlap(regs, "source", k=128)
+
+
+# ===========================================================================
 # Driver-window curation (round-2 review directive). The external
 # correctness gate hard-caps its run at the FIRST 50 registered entries
 # (registration-order prefix, observed in rounds 1-2) — it cannot check
@@ -12374,92 +12508,83 @@ def skyline_orders_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tolerated — they join the window once registered.
 # ===========================================================================
 _WINDOW_PRIORITY = [
-    # SURVEY §2 core (reference engine surface)
+    # SURVEY §2 core heads (r8 — the r7 verdict loosened the 20-slot
+    # core pin after seven consecutive green rounds: keep
+    # flagship_market_report plus ONE head per §2 family; the 7
+    # second-tier core slots — devig_power, arbitrage_scan,
+    # best_odds_report_join, lead_target_events, accuracy_metric,
+    # pricing_summary, json_props_rollup, all 7×-driver-green — yield
+    # to never-checked entries. Local oracle still checks them every
+    # pytest run.)
     "devig_proportional",
-    "devig_power",
     "best_price_per_order",
-    "arbitrage_scan",
-    "best_odds_report_join",
     "rolling_avg_events",
-    "lead_target_events",
     "odds_format_normalize",
     "ev_battery",
     "backtest_roi",
-    "accuracy_metric",
     "snapshot_union",
     "customer_order_rollup",
     "topk_orders",
     "flagship_market_report",
-    "pricing_summary",
     "nested_explode_flatten",
-    "json_props_rollup",
     "event_sessionize",
     "forecast_linear_ols",
-    # text analysis family (language_id rotated out mid-r5 — twice
-    # driver-green — for the new iterative-ML family entry; r7 adds the
-    # never-checked KL drift and bigram-LM perplexity, displacing
-    # twice-green second-tier slots from other families below)
+    # text analysis family (kl_term_drift / text_bigram_perplexity are
+    # r7 first-timers — once-green, stay until twice-green)
     "text_token_stats",
     "text_quality",
     "kl_term_drift",
     "text_bigram_perplexity",
     "kmeans_embeddings_lloyd",
-    # dedup family (simhash_pairs, the 4th pairwise variant, yields its
-    # window slot to the graph family head; dedup_exact — twice
-    # driver-green — yields its slot to the Q8 star-join shape; local
-    # oracle still covers both. r6: pagerank_customer_supplier — twice
-    # driver-green — yields its slot to the Theil-Sen robust trend.
-    # r7: q8_nation_market_share — twice driver-green — yields to the
-    # banded Theil-Sen, the scale-correct fallback the heavy-key guard
-    # names in its error message.)
+    # dedup family (r8: dedup_minhash_lsh and theil_sen_user_trend —
+    # twice+ driver-green — yield to the r7/r8 family heads below;
+    # shingle_jaccard stays as the pairwise head, cluster_star as the
+    # graph-dedup head)
     "theil_sen_banded",
     "dedup_shingle_jaccard",
-    "dedup_minhash_lsh",
-    "theil_sen_user_trend",
     "dedup_cluster_star",
-    # curation / quality family (r6: decontaminate_benchmark and
-    # pii_redaction — both twice driver-green — yield their slots to the
-    # never-checked set-ops churn audit and VARIANT extract; r7:
-    # cusum_changepoint — twice driver-green — yields to the
-    # embedding-quality audit)
-    "set_ops_churn_audit",
+    "dedup_sorted_neighborhood",
+    "dedup_substring_spans",
+    "dedup_cluster_size_histogram",
+    # curation / quality family (r8: set_ops_churn_audit and
+    # variant_props_extract — twice driver-green — yield to the new
+    # KMV contamination audit and the sequence-pack/vocab heads stay)
     "embedding_quality_audit",
-    "variant_props_extract",
+    "contamination_kmv_audit",
     "vocab_coverage",
     "pack_sequence_spans",
-    # sketch family (r6: bloom_join_prune — twice driver-green — yields
-    # its slot to the engine-portable HLL register showpieces, which the
-    # r5 review asked to driver-check specifically)
-    "hll_group_registers",
-    "hll_rolling_7d_users",
+    # sketch family (r8: hll_group_registers + hll_rolling_7d_users —
+    # twice driver-green — yield; bm25 stays as the rank-rewrite head
+    # needing external confirmation of the r7 two-phase rank rewrite)
     "bm25_scoring",
-    # embedding / similarity family (r6: embed_cosine_topk — twice
-    # driver-green — yields its slot to the weighted-median price entry;
-    # r7: kaplan_meier_conversion — twice driver-green — yields to the
-    # Holt linear smoothing recurrence)
-    "weighted_median_price",
+    # embedding / similarity / upsert family heads (r8:
+    # weighted_median_price — twice driver-green — yields to the r7
+    # MERGE and IVF-refresh family heads, never driver-checked)
     "holt_linear_user_value",
-    # graph/recursive family head (r6: multimodal_image_features — twice
-    # driver-green — yields its slot to the recursive-CTE walk)
-    "recursive_cte_walk",
-    # streaming family (r6: streaming_replay_rollup — twice driver-green
-    # — yields its slot to the native session-window entry; r7:
-    # copurchase_lift_pairs and streaming_late_data_drop — both twice
-    # driver-green — yield to the point-in-time SCD2 lookup and the
-    # analytics-pack Gini concentration)
-    "session_window_native",
+    "merge_upsert_orders",
+    "ivf_centroid_refresh",
+    # analytics pack: skylines (r7 heads, never checked) + the r7
+    # global-rank rewrites (external confirmation of the rewrite) +
+    # distribution fits (r8: recursive_cte_walk + session_window_native
+    # — twice driver-green — yield)
+    "skyline_supplier_frontier",
+    "skyline_orders_3d",
+    "pareto_supplier_share",
+    "rfm_user_segments",
+    "concurrency_sweep_line",
+    "zipf_rank_frequency_fit",
+    "frequent_event_trigrams",
+    "cohort_weekly_retention",
     "pit_state_lookup",
     "gini_order_concentration",
-    # warehouse / skew / layout / TPC-H tail (r6: asof_join_marks —
-    # twice driver-green — yields its slot to the Q21 multi-exists
-    # shape; r7: q5, bucketed_join, canonical_schema_evolution,
-    # range_join, scd2_user_state_intervals, zorder, pivot — all twice+
-    # driver-green — yield to the never-checked TPC-H q3/q10/q18 and the
-    # analytics-pack ACF + YoY growth)
-    "q21_sole_latest_shipper",
+    # TPC-H tail second wave (r8: q21 — twice driver-green — yields to
+    # the never-checked q13/q17/q22; q3/q10/q18 are r7 first-timers)
     "q3_shipping_priority",
     "q10_returned_items",
     "q18_large_volume_customers",
+    "q13_order_count_distribution",
+    "q17_small_quantity_revenue",
+    "q22_idle_customer_balance",
     "acf_daily_autocorrelation",
     "yoy_monthly_growth",
 ]
@@ -12487,6 +12612,26 @@ _WINDOW_PRIORITY = [
 # recursive_cte_walk, session_window_native, q21_sole_latest_shipper).
 # Rotated-out entries remain verified by the identical local
 # DuckDB-hash comparison on every pytest run.
+# Round-8 rotation (r7 review task 1 — "rotate hard", 15-20 slots):
+# seventeen twice-or-more-driver-green slots rotated out (7 core
+# second-tier: devig_power, arbitrage_scan, best_odds_report_join,
+# lead_target_events, accuracy_metric, pricing_summary,
+# json_props_rollup; 9 r6 first-timers now twice-green:
+# theil_sen_user_trend, set_ops_churn_audit, variant_props_extract,
+# hll_group_registers, hll_rolling_7d_users, weighted_median_price,
+# recursive_cte_walk, session_window_native, q21_sole_latest_shipper;
+# plus dedup_minhash_lsh) in favor of the five never-checked r7 family
+# heads (merge_upsert_orders, ivf_centroid_refresh,
+# dedup_sorted_neighborhood, skyline_supplier_frontier,
+# skyline_orders_3d), the two new r8 family heads
+# (dedup_substring_spans, contamination_kmv_audit), and the strongest
+# never-checked tail (dedup_cluster_size_histogram,
+# pareto_supplier_share, zipf_rank_frequency_fit,
+# frequent_event_trigrams, concurrency_sweep_line, rfm_user_segments —
+# the two r7 rank-rewrites, external confirmation —
+# q13_order_count_distribution, q17_small_quantity_revenue,
+# q22_idle_customer_balance, cohort_weekly_retention). The 12 r7
+# first-timers stay (once-green; rotate out in r9 when twice-green).
 # Round-7 rotation (r6 review task 1): twelve twice-driver-green slots
 # (cusum_changepoint, kaplan_meier_conversion, copurchase_lift_pairs,
 # bucketed_join_colocated, range_join_concurrent_sessions,
@@ -12500,36 +12645,32 @@ _WINDOW_PRIORITY = [
 # gini_order_concentration, acf_daily_autocorrelation,
 # yoy_monthly_growth).
 #
-# ROTATION SCHEDULE (r6 review task 5 — the plan in writing so it
-# survives context loss). ~104 entries still lack a driver row after
-# r7; at 10-12 fresh slots per round the backlog clears in ~9 more
-# rotations. Family order for upcoming rounds (rotate OUT only slots
-# that are twice-driver-green at that round; §2 core positions 1-20
-# stay pinned forever):
-#   r8: TPC-H q-tail second wave (q7_volume_shipping,
-#       q13_customer_distribution, q14_promo_effect) + analytics pack
-#       second wave (entropy_source_mix, frequent_event_trigrams,
-#       zipf_rank_frequency_fit, lorenz_curve_orders) + r6 stats pack
-#       (winsorized_event_stats, quantile_normalize_events,
-#       date_spine_zero_fill) — rotate out the r6 first-timers that
-#       become twice-green in r7 (theil_sen_user_trend, set_ops,
-#       variant, hll×2, weighted_median, recursive_cte,
-#       session_window_native, q21).
-#   r9: TPC-H q-tail third wave (q15_top_supplier, q17_small_qty_avg,
-#       q19_discounted_revenue, q22_global_sales_opportunity) +
+# ROTATION SCHEDULE (r6 review task 5, updated r8 — the plan in
+# writing so it survives context loss). ~84 entries still lack a
+# driver row after the r8 window; at 15-17 fresh slots per round the
+# backlog clears in ~5 more rotations. Rotate OUT only slots that are
+# twice-driver-green at that round; flagship_market_report plus one
+# head per §2 family stay pinned (the r7 verdict loosened the
+# 20-slot core pin):
+#   r9: rotate out the 12 r7 first-timers once twice-green
+#       (kl_term_drift, text_bigram_perplexity, theil_sen_banded,
+#       holt_linear_user_value, pit_state_lookup,
+#       embedding_quality_audit, gini_order_concentration,
+#       acf_daily_autocorrelation, yoy_monthly_growth, q3, q10, q18)
+#       plus up to 5 more twice-green second-tier; rotate in the
+#       TPC-H q-tail third wave (q7_nation_volume,
+#       q14_promo_type_share, q15_top_supplier,
+#       q19_disjunctive_pricing), analytics second wave
+#       (entropy_source_mix, lorenz_curve_orders — the remaining r7
+#       rank-rewrite), r6 stats pack (winsorized_event_stats,
+#       quantile_normalize_events, date_spine_zero_fill), and
 #       markov_steady_state_power, kcore_cosupply_peel,
-#       dedup_cluster_size_histogram, streaming_pit_enrich,
-#       holt/winsorize leftovers, and the four r7-family heads
-#       (merge_upsert_orders, ivf_centroid_refresh,
-#       dedup_sorted_neighborhood, skyline_supplier_frontier) — rotate
-#       out r7 first-timers gone twice-green. All four family heads
-#       were swept green vs the oracle at sf0.01 (the gate scale)
-#       before registration, so windowing them is rotation-safe.
+#       streaming_pit_enrich.
 #   r10+: remaining dedup/incremental variants
 #       (dedup_incremental_compacted, dedup_normalized,
 #       cosine_dup_pairs families), multimodal second wave
 #       (frame_sample, audio_duration), sampling/diff/profile pack,
-#       then sweep any stragglers alphabetically until all 194+ have
+#       then sweep any stragglers alphabetically until all 201 have
 #       ≥1 driver row.
 # ===========================================================================
 

@@ -68,3 +68,37 @@ def test_compact_line_keeps_everything_when_small():
     obj = json.loads(compact_bench_line(BASE, timings))
     assert obj["queries"] == timings
     assert "queries_omitted" not in obj
+
+
+def test_calib_drift_max_relative_cpu_shuffle():
+    """r8 (r7 review task 7): drift = max relative delta over the cpu and
+    shuffle yardsticks; the floor (a min-of-4 lower bound) is ignored."""
+    from bench import calib_drift
+
+    start = {"calib_md5_sec": 2.0, "calib_shuffle_sec": 0.5,
+             "calib_floor_sec": 0.1}
+    end = {"calib_md5_sec": 2.2, "calib_shuffle_sec": 1.0,
+           "calib_floor_sec": 0.7}
+    assert calib_drift(start, end) == 1.0  # shuffle doubled; floor ignored
+    assert calib_drift(start, dict(start)) == 0.0
+    assert calib_drift({}, end) is None
+
+
+def test_compact_line_preserves_calib_end_fields():
+    """calib_end_* / calib_drift ride the base dict, so they survive the
+    truncation loop at ANY battery size — even the keep=0 degenerate."""
+    base = {
+        **BASE,
+        "calib_end_md5_sec": 2.1,
+        "calib_end_shuffle_sec": 0.9,
+        "calib_end_floor_sec": 0.12,
+        "calib_drift": 0.125,
+        "calib_drift_flag": False,
+    }
+    for n, budget in ((250, 1800), (50, 400)):
+        line = compact_bench_line(base, _fake_timings(n), budget=budget)
+        assert len(line) <= budget
+        obj = json.loads(line)
+        assert obj["calib_end_md5_sec"] == 2.1
+        assert obj["calib_drift"] == 0.125
+        assert obj["calib_drift_flag"] is False

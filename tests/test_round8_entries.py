@@ -1,0 +1,175 @@
+"""Round-8 operator families: exact substring dedup (ExactSubstr spans)
+and the KMV/theta contamination audit."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from sports_data_integration_and_forecasting_pipeline_spark.operators.contamination import (
+    kmv_merge,
+    kmv_pairwise_overlap,
+    kmv_registers,
+)
+from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
+    duplicate_substring_spans,
+)
+
+
+# --- exact substring dedup -------------------------------------------------
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_substring_spans_basic_cross_doc(spark):
+    """A k-token passage shared by two docs is reported in BOTH, with the
+    window positions merged to one maximal span each."""
+    shared = " ".join(f"s{i}" for i in range(6))  # 6 shared tokens
+    a = "a0 a1 " + shared + " a2 a3"
+    b = "b0 " + shared + " b1 b2 b3"
+    out = duplicate_substring_spans(_docs(spark, [a, b]), k=4)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {0, 1}
+    # doc 0: shared tokens occupy positions 3-8; duplicated 4-windows
+    # start at 3,4,5 -> one span [3, 8] with 3 windows
+    assert (rows[0]["span_start"], rows[0]["span_end"]) == (3, 8)
+    assert rows[0]["span_tokens"] == 6 and rows[0]["n_dup_windows"] == 3
+    # doc 1: shared at positions 2-7
+    assert (rows[1]["span_start"], rows[1]["span_end"]) == (2, 7)
+
+
+def test_substring_spans_self_repeat_counts(spark):
+    """Verbatim is verbatim: a passage repeated INSIDE one doc is
+    duplicated even though it appears in only one document."""
+    rep = " ".join(f"r{i}" for i in range(4))
+    doc = rep + " x0 x1 " + rep
+    out = duplicate_substring_spans(_docs(spark, [doc]), k=4).collect()
+    spans = sorted((r["span_start"], r["span_end"]) for r in out)
+    assert spans == [(1, 4), (7, 10)]
+
+
+def test_substring_spans_island_gap_rule(spark):
+    """Windows p and q merge iff q - p <= k (abutting spans coalesce);
+    a one-token unique gap splits islands."""
+    blk = lambda tag: " ".join(f"{tag}{i}" for i in range(3))
+    # doc 0 and doc 1 share two 3-token blocks separated by a unique token
+    d0 = blk("u") + " g0 " + blk("v")
+    d1 = blk("u") + " g1 " + blk("v")
+    out = duplicate_substring_spans(_docs(spark, [d0, d1]), k=3)
+    per_doc = {}
+    for r in out.collect():
+        per_doc.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"])
+        )
+    # two separate islands per doc: [1,3] and [5,7]
+    assert sorted(per_doc[0]) == [(1, 3), (5, 7)]
+    assert sorted(per_doc[1]) == [(1, 3), (5, 7)]
+
+
+def test_substring_spans_no_dups_empty_and_short_docs(spark):
+    """Unique corpus -> empty output; docs shorter than k yield no
+    windows (and never a descending-sequence artifact)."""
+    out = duplicate_substring_spans(
+        _docs(spark, ["a b c d e", "f g h i j", "k l"]), k=4
+    )
+    assert out.count() == 0
+
+
+def test_substring_spans_guards(spark):
+    df = _docs(spark, ["a b c"])
+    with pytest.raises(ValueError, match="k must be >= 2"):
+        duplicate_substring_spans(df, k=1)
+    with pytest.raises(ValueError, match="min_count must be >= 2"):
+        duplicate_substring_spans(df, k=3, min_count=1)
+
+
+# --- KMV contamination audit -----------------------------------------------
+
+
+def _kmv_true_jaccard(a: set, b: set) -> float:
+    return len(a & b) / len(a | b)
+
+
+def test_kmv_exact_regime_small_union(spark):
+    """|A ∪ B| <= k degenerates to the full sets: the estimate IS the
+    true Jaccard (floor'd to micro-units)."""
+    a = {f"v{i}" for i in range(30)}
+    b = {f"v{i}" for i in range(20, 50)}  # |A∩B|=10, |A∪B|=50, J=0.2
+    df = spark.createDataFrame(
+        [("A", v) for v in a] + [("B", v) for v in b], "g string, v string"
+    )
+    regs = kmv_registers(df, "g", "v", k=128)
+    out = kmv_pairwise_overlap(regs, "g", k=128).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["group_a"], r["group_b"]) == ("A", "B")
+    assert r["n_union"] == 50 and r["n_overlap"] == 10
+    assert r["jaccard_e6"] == 200_000
+
+
+def test_kmv_error_bound_large_union(spark):
+    """Sketch regime: with k=256 over a J=1/3 pair the estimate lands
+    within the O(1/sqrt(k)) band (3 sigma ~ 0.09 absolute here; assert
+    a loose 0.12 so the test is deterministic-hash-specific but not
+    brittle to the exact md5 draw)."""
+    n = 3_000
+    a = {f"x{i}" for i in range(2 * n)}            # 6000
+    b = {f"x{i}" for i in range(n, 3 * n)}         # 6000, inter 3000, union 9000
+    true_j = _kmv_true_jaccard(a, b)
+    df = spark.createDataFrame(
+        [("A", v) for v in a] + [("B", v) for v in b], "g string, v string"
+    )
+    k = 256
+    regs = kmv_registers(df, "g", "v", k=k)
+    r = kmv_pairwise_overlap(regs, "g", k=k).collect()[0]
+    assert r["n_union"] == k
+    est = r["jaccard_e6"] / 1e6
+    assert abs(est - true_j) < 0.12, (est, true_j)
+
+
+def test_kmv_registers_match_reference_model(spark):
+    """The sketch is EXACTLY the k lexicographically-smallest distinct
+    md5 hex digests — verified against a pure-Python model."""
+    vals = [f"t{i}" for i in range(500)]
+    df = spark.createDataFrame([("G", v) for v in vals], "g string, v string")
+    got = [
+        r["h"]
+        for r in kmv_registers(df, "g", "v", k=32)
+        .orderBy("register_idx")
+        .collect()
+    ]
+    want = sorted(hashlib.md5(v.encode()).hexdigest() for v in set(vals))[:32]
+    assert got == want
+
+
+def test_kmv_merge_is_union_sketch(spark):
+    """Monoid law: k-smallest of the union of two groups' registers ==
+    the sketch built directly from the unioned underlying set."""
+    a = [f"m{i}" for i in range(400)]
+    b = [f"m{i}" for i in range(200, 600)]
+    k = 64
+    parts = spark.createDataFrame(
+        [("day1", v) for v in a] + [("day2", v) for v in b],
+        "g string, v string",
+    )
+    regs = kmv_registers(parts, "g", "v", k=k).withColumn("g", F.lit("all"))
+    merged = {
+        r["h"] for r in kmv_merge(regs, "g", k=k).collect()
+    }
+    direct = spark.createDataFrame(
+        [("all", v) for v in set(a) | set(b)], "g string, v string"
+    )
+    want = {r["h"] for r in kmv_registers(direct, "g", "v", k=k).collect()}
+    assert merged == want
+
+
+def test_kmv_registers_guard(spark):
+    df = spark.createDataFrame([("G", "v")], "g string, v string")
+    with pytest.raises(ValueError, match="k must be >= 2"):
+        kmv_registers(df, "g", "v", k=1)
