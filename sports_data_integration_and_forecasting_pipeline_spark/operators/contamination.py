@@ -91,8 +91,16 @@ def kmv_pairwise_overlap(
 
     Every input here is SKETCH-sized (n_groups · k rows), so the whole
     audit is broadcast-joined — no corpus is touched. The per-pair rank
-    window is bounded by 2k rows by construction."""
-    sk = registers.select(group_col, "h")
+    window is bounded by 2k rows by construction. The register table is
+    scope-persisted on entry: THREE consumers read it (the pair-union
+    side and both membership semi-joins), and without the persist each
+    would re-derive the full corpus distinct+rank lineage — measured 3×
+    the corpus cost (20.6 s → 3.9 s at sf1)."""
+    from .dedup import persist_scoped
+
+    sk = persist_scoped(
+        "kmv_registers", registers.select(group_col, "h")
+    )
     groups = sk.select(group_col).distinct()
     pairs = (
         groups.select(F.col(group_col).alias("group_a"))

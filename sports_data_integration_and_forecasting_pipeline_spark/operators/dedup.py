@@ -1053,19 +1053,26 @@ def duplicate_substring_spans(
     Scale shape (vs the suffix array the reference paper builds): a
     suffix array is a global sort of every corpus suffix — the exact
     single-total-order structure that cannot shard. For fixed-k windows
-    the same answer falls out of hash aggregation: (1) narrow per-doc
-    window enumeration (``transform`` over the token array → md5 of each
-    k-gram; the 32-char digest is the shuffle key, never the k-token
-    text); (2) ONE hash exchange: ``groupBy(gram)`` count with map-side
-    partial aggregation, so a boilerplate gram repeated 10^8 times
-    arrives at its reducer as one partial row per map task, not 10^8
-    rows; (3) a semi-join of positions against the ≥min_count grams
-    (AQE skew-join handles hot grams); (4) islands-and-gaps span merge
-    under a per-DOC window — bounded by document length, never global.
-    md5 equality stands in for token-sequence equality (the house hash
-    discipline — collision odds are 2^-128-scale even at 100 TB); the
-    DuckDB oracle groups on the raw gram text, so the battery hash-check
-    also certifies the digest substitution."""
+    the same answer falls out of hash aggregation: (1) gram enumeration
+    as a per-DOC ``lead()`` window over exploded tokens — the SNM
+    pattern: ``md5(concat_ws(tok, lead(tok,1..k-1)))``, all whole-stage
+    JVM expressions in ONE window pass (a first cut used
+    ``transform(sequence, i -> md5(concat_ws(slice(...))))``; Spark
+    evaluates higher-order-function lambdas INTERPRETED, per element —
+    measured 61 s at sf1 vs 9 s for the lead form). The 32-char digest
+    is the shuffle key, never the k-token text, and the (doc, pos, gh)
+    pass is scope-persisted because both the count side and the probe
+    side of step 3 read it. (2) ONE hash exchange: ``groupBy(gram)``
+    count with map-side partial aggregation, so a boilerplate gram
+    repeated 10^8 times arrives at its reducer as one partial row per
+    map task, not 10^8 rows. (3) a semi-join of positions against the
+    ≥min_count grams (AQE skew-join handles hot grams). (4)
+    islands-and-gaps span merge under a per-DOC window — bounded by
+    document length, never global. md5 equality stands in for
+    token-sequence equality (the house hash discipline — collision odds
+    are 2^-128-scale even at 100 TB); the DuckDB oracle groups on the
+    raw gram text, so the battery hash-check also certifies the digest
+    substitution."""
     if k < 2:
         raise ValueError(
             f"duplicate_substring_spans: k must be >= 2 (got {k}) — "
@@ -1076,23 +1083,25 @@ def duplicate_substring_spans(
             "duplicate_substring_spans: min_count must be >= 2 "
             f"(got {min_count}) — every window trivially occurs once."
         )
-    toks = df.select(id_col, F.split(F.col(text_col), " ").alias("__tk"))
-    # window starts ride ONE narrow transform; the CASE guards the
-    # len < k docs (sequence(1, 0) would generate a DESCENDING [1, 0])
-    ghs = toks.select(
-        id_col,
-        F.expr(
-            f"CASE WHEN size(__tk) >= {k} THEN "
-            f"transform(sequence(1, size(__tk) - {k} + 1), "
-            f"i -> md5(concat_ws(' ', slice(__tk, i, {k})))) "
-            "ELSE array() END"
-        ).alias("__ghs"),
+    toks = df.select(
+        id_col, F.posexplode(F.split(F.col(text_col), " ")).alias("__p0", "__tok")
     )
-    # generator in its own select (analyzer strips struct/alias names
-    # when a generator shares a select with array construction)
-    pos_grams = ghs.select(
-        id_col, F.posexplode("__ghs").alias("__p0", "__gh")
-    ).select(id_col, (F.col("__p0") + 1).cast("bigint").alias("pos"), "__gh")
+    w_tok = Window.partitionBy(id_col).orderBy("__p0")
+    succ = [F.lead("__tok", j).over(w_tok) for j in range(1, k)]
+    pos_grams = _persist_scoped(
+        "substring_grams",
+        toks.select(
+            id_col,
+            (F.col("__p0") + 1).cast("bigint").alias("pos"),
+            F.md5(F.concat_ws(" ", F.col("__tok"), *succ)).alias("__gh"),
+            # a window start is valid iff its (k-1)-th successor exists
+            # (concat_ws silently skips nulls, so tail positions would
+            # otherwise alias shorter grams)
+            succ[-1].isNotNull().alias("__full"),
+        )
+        .filter(F.col("__full"))
+        .drop("__full"),
+    )
     dup_ghs = (
         pos_grams.groupBy("__gh")
         .agg(F.count("*").alias("__n"))
@@ -1122,3 +1131,45 @@ def duplicate_substring_spans(
         .alias("span_tokens"),
         F.count("*").cast("bigint").alias("n_dup_windows"),
     ).drop("__island")
+
+
+def shingle_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Row-per-shingle word-n-gram enumeration (with duplicates) via
+    posexplode + ``lead()`` window — semantics identical to exploding
+    :func:`shingles_from_tokens` (including the short-doc clamp: a doc
+    with < n tokens yields exactly one short shingle), but on the
+    whole-stage-codegen path. Spark evaluates higher-order-function
+    lambdas (``transform(..., i -> array_join(slice(...)))``) INTERPRETED
+    per element — measured 11.7 s for the corpus explode at sf1 vs ~2 s
+    for this form (r8; same finding drove the substring-span gram
+    builder above). Costs one exchange on ``id_col`` that the
+    transform form avoids — worth it from ~10⁵ shingles up.
+
+    Returns ``(id_col, *keep_cols, pos, shingle)`` — pos is the 1-based
+    first-token position."""
+    toks = df.select(
+        id_col,
+        *keep_cols,
+        F.posexplode(F.split(F.col(text_col), " ")).alias("__p0", "__tok"),
+    )
+    w = Window.partitionBy(id_col).orderBy("__p0")
+    succ = [F.lead("__tok", j).over(w) for j in range(1, n)]
+    return (
+        toks.select(
+            id_col,
+            *keep_cols,
+            (F.col("__p0") + 1).cast("bigint").alias("pos"),
+            # concat_ws skips nulls, so the clamped tail shingles of a
+            # short doc come out exactly like list_slice's clamp
+            F.concat_ws(" ", F.col("__tok"), *succ).alias("shingle"),
+            (succ[-1].isNotNull() | (F.col("__p0") == 0)).alias("__keep"),
+        )
+        .filter(F.col("__keep"))
+        .drop("__keep")
+    )

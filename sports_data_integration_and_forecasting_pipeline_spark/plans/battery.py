@@ -256,6 +256,13 @@ def devig_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Scale: single window (shuffle+sort on l_orderkey); at 100 TB prefer
 # max_by for the no-sort variant — kept as window here because the oracle
 # needs the exact tiebreak.
+# PINNED (r8, r7-verdict task 2): the r7 bench line's 1.292 s (+57% vs
+# r6's 0.824) was HOST DRIFT, not a regression — both-orderings
+# back-to-back probe at sf0.1 (r7's unigram method) measured min-steady
+# 0.69 s in each ordering on untouched code. Same verdict for
+# best_odds_report_join below (bench 1.259 s → probed 0.40-0.50 s both
+# orderings). Cross-round per-query bench diffs are noise
+# (bench.py:_run_calibration note); calib_drift_flag now records it.
 # ---------------------------------------------------------------------------
 @_register(
     "best_price_per_order",
@@ -334,6 +341,9 @@ def arbitrage_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # summary (the notebook's join, cell 6).
 # Scale: window and groupBy share the l_orderkey prefix; the join-back is
 # on l_orderkey (AQE picks broadcast when the summary side is small).
+# PINNED (r8): the r7 bench 1.259 s (+139%) adjudicated as host drift —
+# see the probe record at best_price_per_order above (0.40-0.50 s
+# min-steady in both orderings, untouched plan).
 # ---------------------------------------------------------------------------
 @_register(
     "best_odds_report_join",
@@ -12477,15 +12487,15 @@ def contamination_kmv_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmv_registers,
     )
     from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
-        shingles_from_tokens,
+        shingle_rows,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("source", "text")
-    sh = docs.select(
-        "source",
-        F.explode(
-            shingles_from_tokens(F.split(F.col("text"), " "), 3)
-        ).alias("g"),
+    # row-per-shingle lead-window enumeration (codegen) — the
+    # transform-lambda form is interpreted per element and measured 6×
+    # slower for the corpus pass at sf1 (see shingle_rows docstring)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    sh = shingle_rows(docs, keep_cols=("source",)).select(
+        "source", F.col("shingle").alias("g")
     )
     regs = kmv_registers(sh, "source", "g", k=128)
     return kmv_pairwise_overlap(regs, "source", k=128)

@@ -173,3 +173,36 @@ def test_kmv_registers_guard(spark):
     df = spark.createDataFrame([("G", "v")], "g string, v string")
     with pytest.raises(ValueError, match="k must be >= 2"):
         kmv_registers(df, "g", "v", k=1)
+
+
+def test_shingle_rows_matches_transform_form(spark):
+    """The codegen lead-window enumerator yields the SAME multiset of
+    shingles as exploding shingles_from_tokens — including the short-doc
+    clamp (len < n -> exactly one short shingle)."""
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
+        shingle_rows,
+        shingles_from_tokens,
+    )
+
+    texts = [
+        "a b c d e f",
+        "x y z",
+        "p q",       # 2 tokens < n: one clamped shingle "p q"
+        "solo",      # 1 token: one shingle "solo"
+        "r r r r",   # repeats: duplicates preserved
+    ]
+    df = _docs(spark, texts)
+    got = sorted(
+        (r["doc_id"], r["shingle"])
+        for r in shingle_rows(df, n=3).collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["g"])
+        for r in df.select(
+            "doc_id",
+            F.explode(
+                shingles_from_tokens(F.split(F.col("text"), " "), 3)
+            ).alias("g"),
+        ).collect()
+    )
+    assert got == want
