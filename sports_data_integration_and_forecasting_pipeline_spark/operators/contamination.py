@@ -137,7 +137,9 @@ def kmv_pairwise_overlap(
         .agg(F.count("*").cast("bigint").alias("n_overlap"))
     )
     return (
-        n_union.join(overlap, ["group_a", "group_b"], "left_outer")
+        # both sides are <= n_groups^2 rows; the broadcast keeps the
+        # closing join off the sort-merge path
+        n_union.join(F.broadcast(overlap), ["group_a", "group_b"], "left_outer")
         .withColumn("n_overlap", F.coalesce("n_overlap", F.lit(0)).cast("bigint"))
         .withColumn(
             "jaccard_e6",

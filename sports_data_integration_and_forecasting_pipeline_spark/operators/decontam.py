@@ -28,15 +28,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import h60, shingles_from_tokens
+from .dedup import h60, shingle_rows
 
 
 def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """(id, sh) rows: each doc's DISTINCT word-n-gram 60-bit hashes."""
-    shs = F.array_distinct(
-        F.transform(shingles_from_tokens(F.split(F.col(text_col), " "), n), h60)
+    """(id, sh) rows: each doc's DISTINCT word-n-gram 60-bit hashes.
+
+    r8: codegen lead-window enumeration (`shingle_rows`) — the
+    transform/array_distinct lambda form is interpreted per element
+    (SCALING.md round-8 finding). The distinct reuses the doc-granular
+    partitioning the callers' ensure_parallelism plants."""
+    return (
+        shingle_rows(df, text_col=text_col, id_col=id_col, n=n)
+        .select(F.col(id_col), h60(F.col("shingle")).alias("sh"))
+        .distinct()
     )
-    return df.select(F.col(id_col), F.explode(shs).alias("sh"))
 
 
 def benchmark_contamination(

@@ -180,15 +180,23 @@ def shingle_jaccard_pairs(
     """
     from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import ensure_parallelism
 
-    hashes = F.array_distinct(
-        F.transform(shingles_from_tokens(F.col("__toks"), n), h60)
-    )
+    # r8: shingles come from the codegen lead-window enumerator — the
+    # transform/array_distinct lambda form is interpreted per element
+    # (SCALING.md round-8 finding; measured 6× on the corpus pass at
+    # sf1). ensure_parallelism hash-partitions DOCS by id, so the
+    # per-doc window, the distinct, and the size count all reuse that
+    # one doc-granular exchange (ClusteredDistribution(id ⊆ keys)).
     sh = (
-        ensure_parallelism(df, id_col)
-        .withColumn("__toks", F.split(F.col(text_col), " "))
-        .select(F.col(id_col), hashes.alias("shs"))
-        .withColumn("n_sh", F.size("shs"))
-        .select(id_col, "n_sh", F.explode("shs").alias("sh"))
+        shingle_rows(
+            ensure_parallelism(df, id_col),
+            text_col=text_col,
+            id_col=id_col,
+            n=n,
+        )
+        .select(F.col(id_col), h60(F.col("shingle")).alias("sh"))
+        .distinct()
+        .withColumn("n_sh", F.count("*").over(Window.partitionBy(id_col)))
+        .select(id_col, "n_sh", "sh")
     )
     # referenced three times (df-count, both join sides): persist so the
     # tokenize+md5 explode runs once per action. At 100 TB the same role
@@ -272,13 +280,16 @@ def shingle_jaccard_prefix_pairs(
     from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import ensure_parallelism
 
     t = threshold_pct
-    hashes = F.array_distinct(
-        F.transform(shingles_from_tokens(F.col("__toks"), n), h60)
-    )
+    # r8: codegen lead-window shingles (see shingle_jaccard_pairs note)
     idx = (
-        ensure_parallelism(df, id_col)
-        .withColumn("__toks", F.split(F.col(text_col), " "))
-        .select(F.col(id_col), F.explode(hashes).alias("sh"))
+        shingle_rows(
+            ensure_parallelism(df, id_col),
+            text_col=text_col,
+            id_col=id_col,
+            n=n,
+        )
+        .select(F.col(id_col), h60(F.col("shingle")).alias("sh"))
+        .distinct()
     )
     # the tokenize+md5 explode feeds the df aggregate AND the surviving
     # index — run it once
@@ -363,14 +374,15 @@ def minhash_signatures(
     map-side partial mins so only (doc, 128 longs) rows cross the wire."""
     from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import ensure_parallelism
 
-    sh = ensure_parallelism(df, id_col).withColumn(
-        "__toks", F.split(F.col(text_col), " ")
-    ).select(
-        F.col(id_col),
-        F.explode(
-            F.transform(shingles_from_tokens(F.col("__toks"), n), h32)
-        ).alias("h"),
-    )
+    # r8: codegen lead-window shingles (min over duplicates == min over
+    # distinct, so no dedup needed); the groupBy(id) below reuses the
+    # doc-granular exchange ensure_parallelism planted
+    sh = shingle_rows(
+        ensure_parallelism(df, id_col),
+        text_col=text_col,
+        id_col=id_col,
+        n=n,
+    ).select(F.col(id_col), h32(F.col("shingle")).alias("h"))
     aggs = [
         F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
             f"mh{i}"

@@ -202,28 +202,48 @@ def repetition_stats(
     swap is semantics-free). Fractions are exact int/int double
     divisions — engine-portable without rounding.
     """
-    from .dedup import shingles_from_tokens
+    from pyspark.sql.window import Window as _W
+
     from .parallelism import ensure_parallelism
 
-    toks = F.split(F.col(text_col), " ")
     # spread keyed by doc id: HashPartitioning(id) satisfies BOTH downstream
     # groupings ((id, sz, g) and (id)), so the whole pipeline still shuffles
-    # once — but the gram build/explode now uses every core
-    tagged = ensure_parallelism(df, id_col).select(
+    # once — but the gram build/explode now uses every core.
+    # r8: BOTH gram sizes come from ONE codegen lead() window over the
+    # exploded tokens (lead(1) serves the bigram, lead(2) the trigram) —
+    # the transform-lambda form is interpreted per element (SCALING.md
+    # round-8 finding). Short-doc clamp preserved: pos 1 always emits
+    # (concat_ws skips the null leads), other tail positions drop.
+    tok_rows = ensure_parallelism(df, id_col).select(
         F.col(id_col),
-        F.explode(
-            F.concat(
-                F.transform(
-                    shingles_from_tokens(toks, 2),
-                    lambda g: F.struct(F.lit(2).alias("sz"), g.alias("g")),
-                ),
-                F.transform(
-                    shingles_from_tokens(toks, 3),
-                    lambda g: F.struct(F.lit(3).alias("sz"), g.alias("g")),
-                ),
-            )
-        ).alias("t"),
-    ).select(id_col, "t.sz", "t.g")
+        F.posexplode(F.split(F.col(text_col), " ")).alias("__p0", "__tok"),
+    )
+    w_tok = _W.partitionBy(id_col).orderBy("__p0")
+    l1 = F.lead("__tok", 1).over(w_tok)
+    l2 = F.lead("__tok", 2).over(w_tok)
+    first = F.col("__p0") == 0
+    grams = tok_rows.select(
+        F.col(id_col),
+        F.array(
+            F.struct(
+                F.lit(2).alias("sz"),
+                F.concat_ws(" ", F.col("__tok"), l1).alias("g"),
+                (l1.isNotNull() | first).alias("k"),
+            ),
+            F.struct(
+                F.lit(3).alias("sz"),
+                F.concat_ws(" ", F.col("__tok"), l1, l2).alias("g"),
+                (l2.isNotNull() | first).alias("k"),
+            ),
+        ).alias("__arr"),
+    )
+    # generator in its own select (the analyzer strips struct field names
+    # when a generator shares a select with aliased-struct arrays)
+    tagged = (
+        grams.select(id_col, F.explode("__arr").alias("t"))
+        .filter(F.col("t.k"))
+        .select(id_col, "t.sz", "t.g")
+    )
     counts = tagged.groupBy(id_col, "sz", "g").agg(F.count("*").alias("cnt"))
     return counts.groupBy(id_col).agg(
         F.sum(F.when(F.col("sz") == 2, F.col("cnt"))).cast("bigint").alias("n_2grams"),

@@ -105,7 +105,10 @@ PINNED = {
     # the measured textual ceiling, the structural asserts are the signal
     "dedup_shingle_jaccard":  (40, ["LeftAnti"],            ["CartesianProduct", "SortMergeJoin"]),
     # the exhaustive enumerator keeps the r3 shape
-    "dedup_shingle_jaccard_all": (11, ["LeftAnti"],         ["CartesianProduct"]),
+    # r8: +6 textual budget — the codegen lead-window shingle pass adds
+    # one real doc-granular exchange whose lineage the persist echoes
+    # under every InMemoryTableScan reference
+    "dedup_shingle_jaccard_all": (17, ["LeftAnti"],         ["CartesianProduct"]),
     # r3 shape: spread exchange + persisted signatures feeding 3 subtrees
     # (band explode + two pair-scoring joins, all broadcast at test SF —
     # BroadcastExchange inflates the raw count); signatures never ride the
@@ -308,6 +311,19 @@ PINNED = {
     # one per-group sort window for ranks; clamp bounds re-join as a
     # broadcast <=|groups|-row dim; map-side-combined final aggregate
     "winsorized_event_stats": (3, ["Window", "BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin"]),
+    # r8 ExactSubstr: ONE persisted lead-window gram pass (its echoes
+    # under the count/probe consumers), hash-agg gram counts, semi-join
+    # back, per-doc island window — no pair join of any shape, and the
+    # gram builder must stay codegen (a Python or lambda regression
+    # would show as BatchEvalPython / a Generate explosion)
+    "dedup_substring_spans":  (10, ["InMemoryTableScan", "Window", "BroadcastHashJoin"], ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin", "BatchEvalPython"]),
+    # r8 KMV audit: corpus touched once into the persisted k=128
+    # registers (16 cache echoes inflate the textual exchange count);
+    # the rank windows carry WindowGroupLimit (top-k cut before
+    # shuffle); everything downstream is sketch-sized broadcast joins —
+    # the one BNLJ is the n_groups² pair enumeration (non-equi a<b over
+    # 20 rows, bounded by construction)
+    "contamination_kmv_audit": (70, ["WindowGroupLimit", "InMemoryTableScan", "BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"]),
 }
 
 
