@@ -203,6 +203,7 @@ HEADLINE = [
     "skyline_supplier_frontier",
     "skyline_orders_3d",
     "dedup_substring_spans",
+    "dedup_substring_clip",
     "contamination_kmv_audit",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call

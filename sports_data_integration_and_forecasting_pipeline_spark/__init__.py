@@ -97,8 +97,10 @@ from .operators.contamination import (
     kmv_registers,
 )
 from .operators.dedup import (
+    clip_substring_spans,
     connected_components_star,
     duplicate_substring_spans,
+    shingle_rows,
     sorted_neighborhood_candidates,
 )
 from .operators.merge import merge_into
@@ -196,6 +198,8 @@ __all__ = [
     "simhash_pairs",
     "sorted_neighborhood_candidates",
     "duplicate_substring_spans",
+    "clip_substring_spans",
+    "shingle_rows",
     # contamination audit (KMV/theta sketches)
     "kmv_registers",
     "kmv_pairwise_overlap",

@@ -1185,3 +1185,78 @@ def shingle_rows(
         .filter(F.col("__keep"))
         .drop("__keep")
     )
+
+
+def clip_substring_spans(
+    df: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+) -> DataFrame:
+    """Apply :func:`duplicate_substring_spans` to the corpus: drop every
+    token covered by a duplicated span and rebuild each document's text
+    from the survivors (order preserved) — the curation-side half of
+    ExactSubstr dedup (find the copied passages, then clip them out of
+    the training corpus). Removing EVERY occurrence (not all-but-one) is
+    the deliberately conservative policy: a span the corpus repeats
+    ``min_count``-or-more times is boilerplate by definition, and
+    keeping one canonical copy is a one-line downstream choice
+    (anti-join the span table minus its first row per gram) that would
+    make the output depend on an occurrence tiebreak — this form stays
+    total-order-free.
+
+    Returns one row per INPUT doc: ``(id_col, clean_text, n_tokens,
+    n_removed_tokens)`` — docs with nothing clipped pass through with
+    their token-normalized text (single-space joined), so the output is
+    a full corpus replacement, not a patch.
+
+    Scale shape: the span table is doc-bounded (few spans per doc); the
+    token stream anti-joins it on the doc-id EQUI key with the
+    [span_start, span_end] band as a residual filter (the
+    pit_state_lookup shape — never a row expansion), then one per-doc
+    aggregate rebuilds the text via a sorted in-memory array (bounded
+    by document length, the same contract every per-doc window here
+    relies on)."""
+    spans = duplicate_substring_spans(
+        df, k=k, text_col=text_col, id_col=id_col, min_count=min_count
+    ).select(id_col, "span_start", "span_end")
+    toks = df.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), " ")).alias("__p0", "__tok"),
+    ).select(
+        id_col, (F.col("__p0") + 1).cast("bigint").alias("pos"), "__tok"
+    )
+    covered = (F.col("pos") >= F.col("span_start")) & (
+        F.col("pos") <= F.col("span_end")
+    )
+    kept = toks.join(
+        spans, on=[toks[id_col] == spans[id_col], covered], how="left_anti"
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", F.col("__tok").alias("t")))
+                ),
+                lambda s: s["t"],
+            ),
+        ).alias("clean_text"),
+        F.count("*").cast("bigint").alias("n_tokens"),
+    )
+    totals = df.select(
+        id_col,
+        F.size(F.split(F.col(text_col), " ")).cast("bigint").alias("__n_in"),
+    )
+    return (
+        totals.join(rebuilt, id_col, "left_outer")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            (F.col("__n_in") - F.coalesce("n_tokens", F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed_tokens"),
+        )
+    )

@@ -12426,6 +12426,72 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# ExactSubstr, applied (r8) — the curation half of substring dedup:
+# every token covered by a duplicated span is clipped and the document
+# text rebuilt from the survivors (operators/dedup.py:
+# clip_substring_spans). Full corpus replacement out: unclipped docs
+# pass through token-normalized. The span table is doc-bounded, so the
+# token stream anti-joins it on the doc EQUI key with the span band as
+# a residual (the pit_state_lookup shape); the rebuild is one per-doc
+# aggregate over a document-length-bounded sorted array.
+# ===========================================================================
+
+@_register(
+    "dedup_substring_clip",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    g AS (SELECT doc_id, unnest(range(1, greatest(len(tk) - 9, 0) + 1)) AS pos, tk
+          FROM toks),
+    g2 AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                  array_to_string(tk[pos:pos+9], ' ') AS gram
+           FROM g),
+    dup AS (SELECT gram FROM g2 GROUP BY gram HAVING count(*) >= 2),
+    dp AS (SELECT doc_id, pos FROM g2 WHERE gram IN (SELECT gram FROM dup)),
+    fl AS (SELECT doc_id, pos,
+                  CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                            OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 10
+                       THEN 1 ELSE 0 END AS f
+           FROM dp),
+    isl AS (SELECT doc_id, pos,
+                   sum(f) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+            FROM fl),
+    spans AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS s,
+                     CAST(max(pos) + 9 AS BIGINT) AS e
+              FROM isl GROUP BY doc_id, island),
+    tok_rows AS (SELECT doc_id, unnest(tk) AS tok,
+                        unnest(range(1, len(tk) + 1)) AS pos
+                 FROM toks),
+    kept AS (SELECT t.doc_id, t.pos, t.tok
+             FROM tok_rows t
+             WHERE NOT EXISTS (SELECT 1 FROM spans s
+                               WHERE s.doc_id = t.doc_id
+                                 AND t.pos BETWEEN s.s AND s.e)),
+    reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+                   CAST(count(*) AS BIGINT) AS n_tokens
+            FROM kept GROUP BY doc_id)
+    SELECT t.doc_id,
+           coalesce(r.clean_text, '') AS clean_text,
+           CAST(coalesce(r.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(len(t.tk) - coalesce(r.n_tokens, 0) AS BIGINT)
+             AS n_removed_tokens
+    FROM toks t LEFT JOIN reb r ON r.doc_id = t.doc_id
+    """,
+    "dedup: ExactSubstr applied — duplicated spans clipped out and the "
+    "corpus text rebuilt (curation-side half of dedup_substring_spans; "
+    "no reference counterpart)",
+    "corpus replacement with every duplicated 10-token span removed — "
+    "clean text + kept/removed token counts per doc",
+)
+def dedup_substring_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
+        clip_substring_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return clip_substring_spans(docs, k=10)
+
+
+# ===========================================================================
 # Cross-snapshot contamination audit (r8 new family head) — KMV/theta
 # sketch intersections (operators/contamination.py): every source
 # summarized once into its k=128 smallest distinct shingle-md5s, then

@@ -252,3 +252,61 @@ def test_chunking_tiles_every_token(spark, n_tokens, max_tokens, stride_frac):
     assert all(1 <= r["chunk_tokens"] <= max_tokens for r in rows)
     last = rows[-1]
     assert last["chunk_start"] + last["chunk_tokens"] == n_tokens
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c"]), min_size=0, max_size=12
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    k=st.integers(min_value=2, max_value=4),
+)
+@settings(**SETTINGS)
+def test_substring_spans_match_reference_model(spark, docs, k):
+    """r8 ExactSubstr property: over tiny random corpora from a 3-word
+    vocabulary (dense with repeats), the distributed span merge equals a
+    brute-force Python model — duplicated k-window starts computed by
+    dictionary counting, islands merged with the q − p ≤ k rule."""
+    from collections import Counter, defaultdict
+
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
+        duplicate_substring_spans,
+        release_caches,
+    )
+
+    texts = [" ".join(toks) for toks in docs]
+    # reference model over the SAME tokenization (split on single space:
+    # an empty token list renders as "" -> one empty token)
+    tok_lists = [t.split(" ") for t in texts]
+    counts = Counter(
+        tuple(tl[i : i + k])
+        for tl in tok_lists
+        for i in range(len(tl) - k + 1)
+    )
+    expected = set()
+    per_doc = defaultdict(list)
+    for d, tl in enumerate(tok_lists):
+        for i in range(len(tl) - k + 1):
+            if counts[tuple(tl[i : i + k])] >= 2:
+                per_doc[d].append(i + 1)  # 1-based
+    for d, starts in per_doc.items():
+        run = [starts[0]]
+        for p in starts[1:]:
+            if p - run[-1] > k:
+                expected.add((d, run[0], run[-1] + k - 1, len(run)))
+                run = [p]
+            else:
+                run.append(p)
+        expected.add((d, run[0], run[-1] + k - 1, len(run)))
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_dup_windows"])
+        for r in duplicate_substring_spans(df, k=k).collect()
+    }
+    release_caches()
+    assert got == expected

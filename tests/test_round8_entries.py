@@ -206,3 +206,42 @@ def test_shingle_rows_matches_transform_form(spark):
         ).collect()
     )
     assert got == want
+
+
+def test_clip_substring_spans_rebuilds_survivors(spark):
+    """Clipping removes exactly the covered tokens and rebuilds the text
+    in order; unclipped docs pass through token-normalized."""
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
+        clip_substring_spans,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(4))
+    a = "a0 a1 " + shared + " a2"
+    b = "b0 " + shared + " b1"
+    c = "u0 u1 u2 u3 u4"
+    out = {
+        r["doc_id"]: r
+        for r in clip_substring_spans(_docs(spark, [a, b, c]), k=4).collect()
+    }
+    assert out[0]["clean_text"] == "a0 a1 a2"
+    assert out[0]["n_tokens"] == 3 and out[0]["n_removed_tokens"] == 4
+    assert out[1]["clean_text"] == "b0 b1"
+    assert out[2]["clean_text"] == c and out[2]["n_removed_tokens"] == 0
+    assert len(out) == 3
+
+
+def test_clip_substring_spans_fully_duplicated_doc(spark):
+    """A doc that is one big duplicated span clips to the empty string —
+    row preserved (corpus replacement, not a patch)."""
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
+        clip_substring_spans,
+    )
+
+    t = "d0 d1 d2 d3"
+    out = {
+        r["doc_id"]: r
+        for r in clip_substring_spans(_docs(spark, [t, t]), k=4).collect()
+    }
+    assert out[0]["clean_text"] == "" and out[0]["n_tokens"] == 0
+    assert out[0]["n_removed_tokens"] == 4
+    assert out[1]["clean_text"] == ""
