@@ -6370,22 +6370,23 @@ def weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
-        shingles_from_tokens,
+        shingle_rows,
     )
     from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import (
         ensure_parallelism,
     )
 
     # Spread the scan: a small documents table arrives as ONE split, and
-    # the bigram explode is the entry's whole CPU budget (measured: the
-    # serial pass dominated this entry's r4 bench time; spreading cut it
-    # ~40%). At 100 TB the scan is already thousands of splits.
-    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
-    lt = docs.select(
-        "lang",
-        F.explode(
-            shingles_from_tokens(F.split(F.col("text"), " "), 2)
-        ).alias("tok"),
+    # the bigram enumeration is the entry's whole CPU budget (measured:
+    # the serial pass dominated this entry's r4 bench time; spreading cut
+    # it ~40%). At 100 TB the scan is already thousands of splits.
+    # r8: codegen lead-window bigrams (shingle_rows) — the transform
+    # lambda is interpreted per element (SCALING.md round-8 finding).
+    docs = ensure_parallelism(
+        _t(spark, sf_dir, "documents"), "doc_id"
+    )
+    lt = shingle_rows(docs, n=2, keep_cols=("lang",)).select(
+        "lang", F.col("shingle").alias("tok")
     )
     # ltc feeds BOTH the top-K vocab selection and the coverage join. The
     # two subtrees end at byte-identical `Exchange hashpartitioning(lang,
@@ -7964,23 +7965,24 @@ def kmeans_embeddings_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pmi_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
-        shingles_from_tokens,
+        shingle_rows,
     )
     from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import (
         ensure_parallelism,
     )
 
-    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"), "doc_id")
     toks = F.split(F.col("text"), " ")
     uni = (
         docs.select(F.explode(toks).alias("w"))
         .groupBy("w")
         .agg(F.count("*").cast("bigint").alias("c"))
     )
+    # r8: codegen lead-window bigrams (see vocab_coverage note); the
+    # >=2-token filter means no clamped shingles on either form
     bi = (
-        docs.filter(F.size(toks) >= 2)
-        .select(F.explode(shingles_from_tokens(toks, 2)).alias("tok"))
-        .groupBy("tok")
+        shingle_rows(docs.filter(F.size(toks) >= 2), n=2)
+        .groupBy(F.col("shingle").alias("tok"))
         .agg(F.count("*").cast("bigint").alias("c_xy"))
         .filter(F.col("c_xy") >= 5)
     )
@@ -10658,22 +10660,22 @@ def kcore_cosupply_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
         persist_scoped,
-        shingles_from_tokens,
+        shingle_rows,
     )
     from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import (
         ensure_parallelism,
     )
 
-    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"), "doc_id")
     toks = F.split(F.col("text"), " ")
+    # r8: codegen lead-window bigrams; the groupBy(doc_id, tok) reuses
+    # the doc-granular exchange ensure_parallelism planted (hash(doc_id)
+    # satisfies any grouping containing doc_id), so the swap also moves
+    # the one exchange from exploded-bigram rows to doc rows
     btf = persist_scoped(
         "bigram_ppl_btf",
-        docs.filter(F.size(toks) >= 2)
-        .select(
-            "doc_id",
-            F.explode(shingles_from_tokens(toks, 2)).alias("tok"),
-        )
-        .groupBy("doc_id", "tok")
+        shingle_rows(docs.filter(F.size(toks) >= 2), n=2)
+        .groupBy("doc_id", F.col("shingle").alias("tok"))
         .agg(F.count("*").cast("bigint").alias("m")),
     )
     bi = btf.groupBy("tok").agg(F.sum("m").cast("bigint").alias("c_xy"))

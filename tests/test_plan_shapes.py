@@ -291,7 +291,9 @@ PINNED = {
     # incl. cache-lineage echoes), cell-bounded analytics, and the
     # temporal join; scalar broadcasts ride BNLJ by design
     "kl_term_drift":          (16, ["InMemoryTableScan", "BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin", "Window"]),
-    "text_bigram_perplexity": (20, ["InMemoryTableScan", "BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin", "Window"]),
+    # r8: Window un-banned — the codegen lead-window bigram builder
+    # (shingle_rows) is a per-DOC window, doc-length-bounded by contract
+    "text_bigram_perplexity": (20, ["InMemoryTableScan", "BroadcastHashJoin", "Window"], ["CartesianProduct", "SortMergeJoin"]),
     # one user-keyed sort shared by both lead() windows; top-20 ranks
     # over the <=|types|^3 cell aggregate (scalar total -> BNLJ)
     "frequent_event_trigrams": (7, ["Window", "BroadcastNestedLoopJoin"], ["CartesianProduct", "SortMergeJoin", "Generate"]),
