@@ -2023,6 +2023,129 @@ def embed_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# ANN recall audit (r8) — the approximation-quality observability the
+# similarity family was missing: per query, recall@5 of the IVF
+# 3-probe search against the exact brute-force top-5 (both computed by
+# the SAME operators the embed_cosine_topk / embed_ivf_ann entries
+# certify, at k=5). Rank ties are pinned (rounded cosine DESC, cand_id)
+# in both engines, so the recall fractions hash-match exactly. Scale:
+# the exact side is the documented brute-force baseline run over a
+# bounded QUERY SAMPLE (that is the audit design — recall is estimated
+# on a sample, never all queries); everything after the two top-k
+# passes is query-count-sized.
+# ===========================================================================
+
+@_register(
+    "embed_ann_recall_audit",
+    f"""
+    WITH {_emb_norm_cte()},
+    sc1 AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+             {_sql_r(_COS_SQL, 6)} AS cosine
+      FROM (SELECT * FROM nv WHERE vec_id < 10) q
+      CROSS JOIN nv c
+      WHERE c.vec_id <> q.vec_id
+    ),
+    ex AS (
+      SELECT q_id, cand_id FROM (
+        SELECT q_id, cand_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cosine DESC, cand_id) AS rank
+        FROM sc1)
+      WHERE rank <= 5
+    ),
+    dq AS (SELECT vec_id, v, nrm, {_IVF_D_COLS} FROM nv),
+    aq AS (SELECT vec_id, v, nrm, {_IVF_CELL_CASE} AS cell
+           FROM (SELECT *, {_IVF_LEAST} AS m FROM dq)),
+    pb AS (
+      SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell FROM (
+        SELECT vec_id, v, nrm, (u).cell AS cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY (u).d, (u).cell) AS pr
+        FROM (SELECT vec_id, v, nrm, unnest({_IVF_PROBE_STRUCTS}) AS u
+              FROM dq WHERE vec_id < 10))
+      WHERE pr <= {_IVF_N_PROBE}
+    ),
+    sc2 AS (
+      SELECT p.q_id, c.vec_id AS cand_id,
+             {_sql_r(f"list_sum(list_transform(range(1, {_EMB_DIM + 1}), i -> p.qv[i::INT] * c.v[i::INT])) / (p.qn * c.nrm)", 6)} AS cosine
+      FROM pb p JOIN aq c ON c.cell = p.cell AND c.vec_id <> p.q_id
+    ),
+    an AS (
+      SELECT q_id, cand_id FROM (
+        SELECT q_id, cand_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cosine DESC, cand_id) AS rank
+        FROM sc2)
+      WHERE rank <= 5
+    ),
+    exn AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_exact
+            FROM ex GROUP BY q_id),
+    ann AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_ann
+            FROM an GROUP BY q_id),
+    hits AS (SELECT ex.q_id, CAST(count(*) AS BIGINT) AS n_hit
+             FROM ex JOIN an ON an.q_id = ex.q_id
+                            AND an.cand_id = ex.cand_id
+             GROUP BY ex.q_id)
+    SELECT exn.q_id, exn.n_exact,
+           CAST(coalesce(ann.n_ann, 0) AS BIGINT) AS n_ann,
+           CAST(coalesce(hits.n_hit, 0) AS BIGINT) AS n_hit,
+           CAST(coalesce(hits.n_hit, 0) * 1000000 // exn.n_exact AS BIGINT)
+             AS recall_e6
+    FROM exn
+    LEFT JOIN ann ON ann.q_id = exn.q_id
+    LEFT JOIN hits ON hits.q_id = exn.q_id
+    """,
+    "similarity: ANN recall audit (IVF 3-probe vs exact top-5 on the "
+    "query sample; the approximation-quality metric itself is "
+    "hash-checked; no reference counterpart)",
+    "per-query recall@5 of the IVF search against brute-force cosine — "
+    "exact integer micro-unit fractions",
+)
+def embed_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        ivf_ann_topk_pretrained,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qp = F.col("vec_id") < 10
+    exact = cosine_topk(
+        emb, query_pred=qp, k=5, round_expr=lambda c: _r(c, 6)
+    ).select("q_id", "cand_id")
+    ann = ivf_ann_topk_pretrained(
+        emb,
+        query_pred=qp,
+        centers=IVF_CENTROIDS,
+        n_probe=_IVF_N_PROBE,
+        k=5,
+        round_expr=lambda c: _r(c, 6),
+    ).select("q_id", "cand_id")
+    exn = exact.groupBy("q_id").agg(
+        F.count("*").cast("bigint").alias("n_exact")
+    )
+    ann_n = ann.groupBy("q_id").agg(F.count("*").cast("bigint").alias("n_ann"))
+    hits = (
+        exact.join(ann, ["q_id", "cand_id"], "left_semi")
+        .groupBy("q_id")
+        .agg(F.count("*").cast("bigint").alias("n_hit"))
+    )
+    return (
+        exn.join(F.broadcast(ann_n), "q_id", "left_outer")
+        .join(F.broadcast(hits), "q_id", "left_outer")
+        .select(
+            "q_id",
+            "n_exact",
+            F.coalesce("n_ann", F.lit(0)).cast("bigint").alias("n_ann"),
+            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+            F.expr(
+                "coalesce(n_hit, 0) * 1000000 DIV n_exact"
+            ).cast("bigint").alias("recall_e6"),
+        )
+    )
+
+
+# ===========================================================================
 # Mean pooling — chunk embeddings -> document embedding (vec_id div 8
 # plays the chunk->doc mapping), the aggregation step of hierarchical
 # retrieval indexes. Element-wise mean across rows at scale = posexplode

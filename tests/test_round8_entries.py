@@ -245,3 +245,21 @@ def test_clip_substring_spans_fully_duplicated_doc(spark):
     assert out[0]["clean_text"] == "" and out[0]["n_tokens"] == 0
     assert out[0]["n_removed_tokens"] == 4
     assert out[1]["clean_text"] == ""
+
+
+def test_ann_recall_audit_invariants(spark):
+    """recall@k is a sane fraction: 0 <= n_hit <= min(n_exact, n_ann),
+    n_exact == k when the corpus has >= k candidates, and recall_e6 is
+    the exact integer micro-fraction."""
+    from sports_data_integration_and_forecasting_pipeline_spark.plans import QUERIES
+
+    rows = (
+        QUERIES["embed_ann_recall_audit"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert len(rows) == 10
+    for r in rows:
+        assert r["n_exact"] == 5
+        assert 0 <= r["n_hit"] <= min(r["n_exact"], r["n_ann"])
+        assert r["recall_e6"] == r["n_hit"] * 1_000_000 // r["n_exact"]
