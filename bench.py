@@ -204,6 +204,7 @@ HEADLINE = [
     "skyline_orders_3d",
     "dedup_substring_spans",
     "dedup_substring_clip",
+    "dedup_incremental_substring",
     "embed_ann_recall_audit",
     "contamination_kmv_audit",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:

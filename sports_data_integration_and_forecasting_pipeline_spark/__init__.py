@@ -100,8 +100,10 @@ from .operators.dedup import (
     clip_substring_spans,
     connected_components_star,
     duplicate_substring_spans,
+    incremental_duplicate_spans,
     shingle_rows,
     sorted_neighborhood_candidates,
+    substring_gram_counts,
 )
 from .operators.merge import merge_into
 from .operators.parallelism import (
@@ -199,6 +201,8 @@ __all__ = [
     "sorted_neighborhood_candidates",
     "duplicate_substring_spans",
     "clip_substring_spans",
+    "substring_gram_counts",
+    "incremental_duplicate_spans",
     "shingle_rows",
     # contamination audit (KMV/theta sketches)
     "kmv_registers",

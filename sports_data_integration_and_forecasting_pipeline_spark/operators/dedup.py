@@ -1095,13 +1095,31 @@ def duplicate_substring_spans(
             "duplicate_substring_spans: min_count must be >= 2 "
             f"(got {min_count}) — every window trivially occurs once."
         )
+    pos_grams = _substring_pos_grams(
+        df, k, text_col, id_col, cache_role="substring_grams"
+    )
+    dup_ghs = (
+        pos_grams.groupBy("__gh")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") >= min_count)
+        .select("__gh")
+    )
+    dup_pos = pos_grams.join(dup_ghs, "__gh", "left_semi")
+    return _merge_spans(dup_pos, k, id_col)
+
+
+def _substring_pos_grams(
+    df: DataFrame, k: int, text_col: str, id_col: str, cache_role: str
+) -> DataFrame:
+    """(id, pos, __gh) — the scope-persisted lead-window k-gram pass
+    shared by the batch and incremental substring-dedup paths."""
     toks = df.select(
         id_col, F.posexplode(F.split(F.col(text_col), " ")).alias("__p0", "__tok")
     )
     w_tok = Window.partitionBy(id_col).orderBy("__p0")
     succ = [F.lead("__tok", j).over(w_tok) for j in range(1, k)]
-    pos_grams = _persist_scoped(
-        "substring_grams",
+    return _persist_scoped(
+        cache_role,
         toks.select(
             id_col,
             (F.col("__p0") + 1).cast("bigint").alias("pos"),
@@ -1114,13 +1132,12 @@ def duplicate_substring_spans(
         .filter(F.col("__full"))
         .drop("__full"),
     )
-    dup_ghs = (
-        pos_grams.groupBy("__gh")
-        .agg(F.count("*").alias("__n"))
-        .filter(F.col("__n") >= min_count)
-        .select("__gh")
-    )
-    dup_pos = pos_grams.join(dup_ghs, "__gh", "left_semi")
+
+
+def _merge_spans(dup_pos: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Islands-and-gaps merge of duplicated window starts into maximal
+    spans (shared by the batch and incremental paths): per-doc window,
+    bounded by document length."""
     w_doc = Window.partitionBy(id_col).orderBy("pos")
     flagged = dup_pos.withColumn(
         "__new",
@@ -1143,6 +1160,77 @@ def duplicate_substring_spans(
         .alias("span_tokens"),
         F.count("*").cast("bigint").alias("n_dup_windows"),
     ).drop("__island")
+
+
+def substring_gram_counts(
+    df: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus state for incremental substring dedup: exact occurrence
+    counts of every k-gram — ``(gram_md5, n_occurrences)``. In production
+    this table is written once per corpus generation, bucketed by
+    ``gram_md5``, and maintained additively (gram counts are a trivially
+    mergeable monoid: counts of old ∪ batch = old + batch), so the daily
+    path never re-scans the 100 TB corpus."""
+    if k < 2:
+        raise ValueError(
+            f"substring_gram_counts: k must be >= 2 (got {k})"
+        )
+    grams = _substring_pos_grams(
+        df, k, text_col, id_col, cache_role="substring_state_grams"
+    )
+    return grams.groupBy(F.col("__gh").alias("gram_md5")).agg(
+        F.count("*").cast("bigint").alias("n_occurrences")
+    )
+
+
+def incremental_duplicate_spans(
+    new_df: DataFrame,
+    state: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+) -> DataFrame:
+    """Incremental ExactSubstr — the daily-crawl path: duplicated spans in
+    a NEW document batch, counting both in-batch repeats and matches
+    against a persisted corpus state (:func:`substring_gram_counts`),
+    WITHOUT re-scanning the corpus. Exactly equivalent to running
+    :func:`duplicate_substring_spans` over old ∪ new and keeping the new
+    docs' rows (total count = state + batch count per gram) — the battery
+    oracle verifies precisely that equivalence.
+
+    Scale shape: the batch gram pass is batch-sized; the only
+    corpus-scale object is the state table, touched by ONE equi-join on
+    the gram hash (bucket the state by ``gram_md5`` to make it
+    shuffle-free; a broadcast of the batch's gram list is AQE's call at
+    test SF). Output spans cover new docs only."""
+    if min_count < 2:
+        raise ValueError(
+            "incremental_duplicate_spans: min_count must be >= 2 "
+            f"(got {min_count})"
+        )
+    grams = _substring_pos_grams(
+        new_df, k, text_col, id_col, cache_role="substring_grams_inc"
+    )
+    batch_counts = grams.groupBy("__gh").agg(
+        F.count("*").alias("__bn")
+    )
+    total = batch_counts.join(
+        state.select(
+            F.col("gram_md5").alias("__gh"),
+            F.col("n_occurrences").alias("__on"),
+        ),
+        "__gh",
+        "left_outer",
+    )
+    dup_ghs = total.filter(
+        F.col("__bn") + F.coalesce(F.col("__on"), F.lit(0)) >= min_count
+    ).select("__gh")
+    dup_pos = grams.join(dup_ghs, "__gh", "left_semi")
+    return _merge_spans(dup_pos, k, id_col)
 
 
 def shingle_rows(

@@ -12551,6 +12551,64 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Incremental ExactSubstr (r8) — the daily-crawl path: duplicated spans
+# in a NEW batch (doc_id % 5 == 0) against the persisted gram-count
+# state of the rest of the corpus, without re-scanning it
+# (operators/dedup.py:substring_gram_counts /
+# incremental_duplicate_spans). The oracle verifies the EQUIVALENCE
+# claim directly: it recomputes spans over the full union and keeps the
+# new docs' rows — per gram, total count == state + batch count, so the
+# two paths must agree exactly. Completes the incremental story for the
+# substring family (siblings: dedup_incremental_minhash/_compacted).
+# ===========================================================================
+
+@_register(
+    "dedup_incremental_substring",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    g AS (SELECT doc_id, unnest(range(1, greatest(len(tk) - 9, 0) + 1)) AS pos, tk
+          FROM toks),
+    g2 AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                  array_to_string(tk[pos:pos+9], ' ') AS gram
+           FROM g),
+    dup AS (SELECT gram FROM g2 GROUP BY gram HAVING count(*) >= 2),
+    dp AS (SELECT doc_id, pos FROM g2
+           WHERE doc_id % 5 = 0 AND gram IN (SELECT gram FROM dup)),
+    fl AS (SELECT doc_id, pos,
+                  CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                            OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 10
+                       THEN 1 ELSE 0 END AS f
+           FROM dp),
+    isl AS (SELECT doc_id, pos,
+                   sum(f) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+            FROM fl)
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 9 AS BIGINT) AS span_end,
+           CAST(max(pos) + 9 - min(pos) + 1 AS BIGINT) AS span_tokens,
+           CAST(count(*) AS BIGINT) AS n_dup_windows
+    FROM isl GROUP BY doc_id, island
+    """,
+    "dedup: incremental ExactSubstr (new batch vs persisted corpus "
+    "gram-count state; oracle checks exact equivalence to the full "
+    "recompute; no reference counterpart)",
+    "duplicated spans in the doc_id%5==0 batch counting in-batch repeats "
+    "+ corpus-state matches — corpus never re-scanned",
+)
+def dedup_incremental_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
+        incremental_duplicate_spans,
+        substring_gram_counts,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    state = substring_gram_counts(old, k=10)
+    return incremental_duplicate_spans(new, state, k=10)
+
+
+# ===========================================================================
 # ExactSubstr, applied (r8) — the curation half of substring dedup:
 # every token covered by a duplicated span is clipped and the document
 # text rebuilt from the survivors (operators/dedup.py:
@@ -12866,7 +12924,10 @@ _WINDOW_PRIORITY = [
 #       rank-rewrite), r6 stats pack (winsorized_event_stats,
 #       quantile_normalize_events, date_spine_zero_fill), and
 #       markov_steady_state_power, kcore_cosupply_peel,
-#       streaming_pit_enrich.
+#       streaming_pit_enrich, plus the late-r8 additions
+#       dedup_substring_clip and embed_ann_recall_audit (both swept
+#       green vs the oracle at sf0.01 — the gate scale — on arrival,
+#       so windowing them is rotation-safe).
 #   r10+: remaining dedup/incremental variants
 #       (dedup_incremental_compacted, dedup_normalized,
 #       cosine_dup_pairs families), multimodal second wave

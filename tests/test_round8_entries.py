@@ -263,3 +263,41 @@ def test_ann_recall_audit_invariants(spark):
         assert r["n_exact"] == 5
         assert 0 <= r["n_hit"] <= min(r["n_exact"], r["n_ann"])
         assert r["recall_e6"] == r["n_hit"] * 1_000_000 // r["n_exact"]
+
+
+def test_incremental_substring_equals_full_recompute(spark):
+    """The incremental path (batch grams + corpus state) returns exactly
+    the full-union recompute's spans restricted to the batch docs —
+    including a batch-only self-repeat the state knows nothing about."""
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
+        duplicate_substring_spans,
+        incremental_duplicate_spans,
+        substring_gram_counts,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(4))
+    rep = " ".join(f"r{i}" for i in range(4))
+    old_docs = _docs(spark, ["o0 " + shared + " o1", "unrelated old words here"])
+    new_texts = [
+        "n0 " + shared + " n1",        # duplicated vs STATE only
+        rep + " gap0 gap1 " + rep,     # duplicated IN-BATCH-doc only
+        "totally novel content block",
+    ]
+    new_docs = spark.createDataFrame(
+        [(10 + i, t) for i, t in enumerate(new_texts)],
+        "doc_id long, text string",
+    )
+    state = substring_gram_counts(old_docs, k=4)
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_dup_windows"])
+        for r in incremental_duplicate_spans(new_docs, state, k=4).collect()
+    }
+    full = duplicate_substring_spans(
+        old_docs.unionByName(new_docs), k=4
+    ).filter(F.col("doc_id") >= 10)
+    want = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_dup_windows"])
+        for r in full.collect()
+    }
+    assert got == want and got  # non-empty: both cases present
+    assert any(d == 10 for d, *_ in got) and any(d == 11 for d, *_ in got)
