@@ -1105,32 +1105,25 @@ def duplicate_substring_spans(
         .select("__gh")
     )
     dup_pos = pos_grams.join(dup_ghs, "__gh", "left_semi")
-    return _merge_spans(dup_pos, k, id_col)
+    # only (id, pos) rides the island-merge exchange — the 32-char
+    # digest is ~70% of the row and dead weight past the semi-join
+    return _merge_spans(dup_pos.select(id_col, "pos"), k, id_col)
 
 
 def _substring_pos_grams(
     df: DataFrame, k: int, text_col: str, id_col: str, cache_role: str
 ) -> DataFrame:
     """(id, pos, __gh) — the scope-persisted lead-window k-gram pass
-    shared by the batch and incremental substring-dedup paths."""
-    toks = df.select(
-        id_col, F.posexplode(F.split(F.col(text_col), " ")).alias("__p0", "__tok")
-    )
-    w_tok = Window.partitionBy(id_col).orderBy("__p0")
-    succ = [F.lead("__tok", j).over(w_tok) for j in range(1, k)]
+    shared by the batch and incremental substring-dedup paths. One
+    enumerator serves the whole module: :func:`shingle_rows` with
+    ``clamp=False`` (incomplete tail grams drop — concat_ws skips the
+    null leads, so keeping them would alias shorter grams), digests
+    replacing the gram text so only 32-char keys ever shuffle."""
     return _persist_scoped(
         cache_role,
-        toks.select(
-            id_col,
-            (F.col("__p0") + 1).cast("bigint").alias("pos"),
-            F.md5(F.concat_ws(" ", F.col("__tok"), *succ)).alias("__gh"),
-            # a window start is valid iff its (k-1)-th successor exists
-            # (concat_ws silently skips nulls, so tail positions would
-            # otherwise alias shorter grams)
-            succ[-1].isNotNull().alias("__full"),
-        )
-        .filter(F.col("__full"))
-        .drop("__full"),
+        shingle_rows(
+            df, text_col=text_col, id_col=id_col, n=k, clamp=False
+        ).select(id_col, "pos", F.md5(F.col("shingle")).alias("__gh")),
     )
 
 
@@ -1207,6 +1200,10 @@ def incremental_duplicate_spans(
     the gram hash (bucket the state by ``gram_md5`` to make it
     shuffle-free; a broadcast of the batch's gram list is AQE's call at
     test SF). Output spans cover new docs only."""
+    if k < 2:
+        raise ValueError(
+            f"incremental_duplicate_spans: k must be >= 2 (got {k})"
+        )
     if min_count < 2:
         raise ValueError(
             "incremental_duplicate_spans: min_count must be >= 2 "
@@ -1230,7 +1227,7 @@ def incremental_duplicate_spans(
         F.col("__bn") + F.coalesce(F.col("__on"), F.lit(0)) >= min_count
     ).select("__gh")
     dup_pos = grams.join(dup_ghs, "__gh", "left_semi")
-    return _merge_spans(dup_pos, k, id_col)
+    return _merge_spans(dup_pos.select(id_col, "pos"), k, id_col)
 
 
 def shingle_rows(
@@ -1239,27 +1236,61 @@ def shingle_rows(
     id_col: str = "doc_id",
     n: int = 3,
     keep_cols: tuple[str, ...] = (),
+    clamp: bool = True,
+    unique_id: bool = True,
 ) -> DataFrame:
     """Row-per-shingle word-n-gram enumeration (with duplicates) via
     posexplode + ``lead()`` window — semantics identical to exploding
     :func:`shingles_from_tokens` (including the short-doc clamp: a doc
-    with < n tokens yields exactly one short shingle), but on the
-    whole-stage-codegen path. Spark evaluates higher-order-function
-    lambdas (``transform(..., i -> array_join(slice(...)))``) INTERPRETED
-    per element — measured 11.7 s for the corpus explode at sf1 vs ~2 s
-    for this form (r8; same finding drove the substring-span gram
-    builder above). Costs one exchange on ``id_col`` that the
-    transform form avoids — worth it from ~10⁵ shingles up.
+    with < n tokens yields exactly one short shingle; pass
+    ``clamp=False`` to drop incomplete tail grams instead — the
+    substring-dedup contract), but on the whole-stage-codegen path.
+    Spark evaluates higher-order-function lambdas
+    (``transform(..., i -> array_join(slice(...)))``) INTERPRETED per
+    element — measured 11.7 s for the corpus explode at sf1 vs ~2 s for
+    this form (r8; same finding drove the substring-span gram builder
+    above). Costs one exchange on ``id_col`` that the transform form
+    avoids — worth it from ~10⁵ shingles up.
+
+    PRECONDITION (documented, not scanned-for — a uniqueness count would
+    cost a corpus aggregate per call): with the default
+    ``unique_id=True``, ``id_col`` must uniquely key the input rows
+    (true for every corpus table here — doc_id is the PK). Two rows
+    sharing an id would interleave under the per-id window and the
+    leads would stitch n-grams ACROSS texts. For inputs that may carry
+    duplicate ids (arbitrary user tables), pass ``unique_id=False``:
+    each physical row then gets its own window partition via a
+    generated row id — correct for any input, at the cost of the
+    downstream exchange no longer being reusable by id-keyed
+    aggregations (the generated key is dropped from the output).
 
     Returns ``(id_col, *keep_cols, pos, shingle)`` — pos is the 1-based
     first-token position."""
-    toks = df.select(
+    if n < 1:
+        raise ValueError(f"shingle_rows: n must be >= 1 (got {n})")
+    part_cols = [id_col]
+    base = df
+    if not unique_id:
+        base = df.withColumn("__rid", F.monotonically_increasing_id())
+        part_cols.append("__rid")
+    toks = base.select(
         id_col,
+        *(["__rid"] if not unique_id else []),
         *keep_cols,
         F.posexplode(F.split(F.col(text_col), " ")).alias("__p0", "__tok"),
     )
-    w = Window.partitionBy(id_col).orderBy("__p0")
+    if n == 1:
+        return toks.select(
+            id_col,
+            *keep_cols,
+            (F.col("__p0") + 1).cast("bigint").alias("pos"),
+            F.col("__tok").alias("shingle"),
+        )
+    w = Window.partitionBy(*part_cols).orderBy("__p0")
     succ = [F.lead("__tok", j).over(w) for j in range(1, n)]
+    keep = succ[-1].isNotNull()
+    if clamp:
+        keep = keep | (F.col("__p0") == 0)
     return (
         toks.select(
             id_col,
@@ -1268,7 +1299,7 @@ def shingle_rows(
             # concat_ws skips nulls, so the clamped tail shingles of a
             # short doc come out exactly like list_slice's clamp
             F.concat_ws(" ", F.col("__tok"), *succ).alias("shingle"),
-            (succ[-1].isNotNull() | (F.col("__p0") == 0)).alias("__keep"),
+            keep.alias("__keep"),
         )
         .filter(F.col("__keep"))
         .drop("__keep")

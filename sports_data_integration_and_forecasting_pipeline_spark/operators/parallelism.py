@@ -287,19 +287,17 @@ def pareto_frontier_2d(
 
     from .dedup import persist_scoped
 
-    n_null = df.agg(
-        F.sum(
-            (F.col(x_col).isNull() | F.col(y_col).isNull()).cast("long")
-        ).alias("n")
-    ).collect()[0]["n"]
-    if n_null:
-        raise ValueError(
-            f"pareto_frontier_2d: {n_null} row(s) have NULL {x_col}/"
-            f"{y_col} — dominance is undefined on NULL and NULL x keys "
-            "would silently drop at the annotation join. Filter or "
-            "impute upstream."
-        )
-    perx = df.groupBy(x_col).agg(F.min(y_col).alias("__my"))
+    # The NULL guard RIDES the per-x aggregate the algorithm needs
+    # anyway (a null-y counter per group; null x forms its own group),
+    # and the aggregate is persisted BEFORE the eager check — so the
+    # guard costs zero extra scans of df's lineage: the check's collect
+    # materializes the same cached relation the frontier then reads
+    # (r8 review finding: a separate df.agg() guard doubled the
+    # dominant scan).
+    perx = df.groupBy(x_col).agg(
+        F.min(y_col).alias("__my"),
+        F.sum(F.col(y_col).isNull().cast("long")).alias("__nny"),
+    )
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     stamped = persist_scoped(
         cache_role,
@@ -307,6 +305,19 @@ def pareto_frontier_2d(
             "__pid", F.spark_partition_id()
         ),
     )
+    bad = stamped.agg(
+        F.sum("__nny").alias("ny"),
+        F.sum(F.col(x_col).isNull().cast("long")).alias("nx"),
+    ).collect()[0]
+    if (bad["ny"] or 0) > 0 or (bad["nx"] or 0) > 0:
+        raise ValueError(
+            f"pareto_frontier_2d: input has NULL {x_col}/{y_col} rows "
+            f"({bad['nx'] or 0} null-{x_col} group(s), {bad['ny'] or 0} "
+            f"null-{y_col} row(s)) — dominance is undefined on NULL and "
+            "NULL x keys would silently drop at the annotation join. "
+            "Filter or impute upstream."
+        )
+    stamped = stamped.drop("__nny")
     offsets = exclusive_prefix_offsets(
         stamped, F.min("__my"), F.min, out_col="__moff"
     )
