@@ -44,8 +44,12 @@ def kmv_registers(
 ) -> DataFrame:
     """Per-``group_col`` KMV sketch: the ``k`` lexicographically-smallest
     distinct md5 digests of ``value_col``. Returns one row per register:
-    ``(group_col, h, register_idx)`` with ``register_idx`` ∈ [1, k]
-    (groups with < k distinct values keep them all — the exact regime).
+    ``(group_col, h, register_idx, build_k)`` with ``register_idx`` ∈
+    [1, k] (groups with < k distinct values keep them all — the exact
+    regime). ``build_k`` stamps the sketch with the k it was built at —
+    the parameter every downstream set operation must not exceed (real
+    sketch libraries serialize k for the same reason); consumers
+    validate against it (see :func:`kmv_pairwise_overlap`).
 
     Scale shape: the k-smallest-per-group rank is TWO-PHASE, never a
     single-task sort of a group's full hash set: stage 1 ranks within
@@ -73,6 +77,7 @@ def kmv_registers(
         cand.withColumn("register_idx", F.row_number().over(w2))
         .filter(F.col("register_idx") <= k)
         .withColumn("register_idx", F.col("register_idx").cast("bigint"))
+        .withColumn("build_k", F.lit(k).cast("bigint"))
     )
 
 
@@ -95,8 +100,33 @@ def kmv_pairwise_overlap(
     scope-persisted on entry: THREE consumers read it (the pair-union
     side and both membership semi-joins), and without the persist each
     would re-derive the full corpus distinct+rank lineage — measured 3×
-    the corpus cost (20.6 s → 3.9 s at sf1)."""
+    the corpus cost (20.6 s → 3.9 s at sf1).
+
+    ``k`` validity (ENFORCED, fail-loud — r8 review finding): the KMV
+    membership argument (every union register below the k-th rank is
+    present in the contributing sketch) only holds for ``k ≤ build k``,
+    and a registers-only bound cannot distinguish a small exact group
+    from a saturated small-k sketch — so the build parameter travels
+    WITH the sketch (the ``build_k`` column :func:`kmv_registers`
+    stamps, the same reason production sketch formats serialize k).
+    A query ``k`` above the smallest ``build_k`` in the input raises
+    rather than silently overestimating. Sketches from external sources
+    lacking the column skip the guard (documented caveat: the caller
+    then owns the k discipline)."""
     from .dedup import persist_scoped
+
+    if "build_k" in registers.columns:
+        k_build = registers.agg(
+            F.min("build_k").cast("bigint").alias("m")
+        ).collect()[0]["m"]
+        if k_build is not None and k > k_build:
+            raise ValueError(
+                f"kmv_pairwise_overlap: k={k} exceeds the sketches' build "
+                f"k ({k_build}) — union ranks beyond the build k are not "
+                "guaranteed to be the true union's k-smallest, so the "
+                "estimate would be silently invalid. Rebuild the "
+                "registers with a larger k or query with k <= build k."
+            )
 
     sk = persist_scoped(
         "kmv_registers", registers.select(group_col, "h")
@@ -153,12 +183,31 @@ def kmv_merge(registers: DataFrame, group_col: str, k: int = 128) -> DataFrame:
     registers per group — the monoid fold that lets per-shard/per-day
     sketches combine without re-scanning any corpus. Input may hold
     multiple sketch generations per group; output is a valid
-    :func:`kmv_registers`-shaped sketch of the unioned underlying sets."""
+    :func:`kmv_registers`-shaped sketch of the unioned underlying sets.
+
+    ``build_k`` propagation: the merged sketch is only valid up to
+    ``min(k, min input build_k)`` — the k-smallest-of-union argument is
+    capped by the weakest contributor — so the output is TRUNCATED at
+    that rank and carries it as ``build_k`` (inputs lacking the column
+    stamp the passed ``k``). Union rows ranked beyond the weakest
+    contributor's build k are not guaranteed to be among the true
+    union's k-smallest, so keeping them would poison downstream
+    estimates."""
+    out_k = k
+    if "build_k" in registers.columns:
+        # sketch-sized eager aggregate (house style) — never a
+        # partition-less window, even over bounded input
+        k_in = registers.agg(
+            F.min("build_k").cast("bigint").alias("m")
+        ).collect()[0]["m"]
+        if k_in is not None:
+            out_k = min(k, int(k_in))
     w = Window.partitionBy(group_col).orderBy("h")
     return (
         registers.select(group_col, "h")
         .distinct()
         .withColumn("register_idx", F.row_number().over(w))
-        .filter(F.col("register_idx") <= k)
+        .filter(F.col("register_idx") <= out_k)
         .withColumn("register_idx", F.col("register_idx").cast("bigint"))
+        .withColumn("build_k", F.lit(out_k).cast("bigint"))
     )

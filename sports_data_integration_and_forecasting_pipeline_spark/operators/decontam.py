@@ -31,7 +31,13 @@ from pyspark.sql import functions as F
 from .dedup import h60, shingle_rows
 
 
-def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+def _doc_shingles(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    unique_id: bool = True,
+) -> DataFrame:
     """(id, sh) rows: each doc's DISTINCT word-n-gram 60-bit hashes.
 
     r8: codegen lead-window enumeration (`shingle_rows`) — the
@@ -39,7 +45,9 @@ def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFram
     (SCALING.md round-8 finding). The distinct reuses the doc-granular
     partitioning the callers' ensure_parallelism plants."""
     return (
-        shingle_rows(df, text_col=text_col, id_col=id_col, n=n)
+        shingle_rows(
+            df, text_col=text_col, id_col=id_col, n=n, unique_id=unique_id
+        )
         .select(F.col(id_col), h60(F.col("shingle")).alias("sh"))
         .distinct()
     )
@@ -52,6 +60,7 @@ def benchmark_contamination(
     id_col: str = "doc_id",
     n: int = 3,
     min_hits: int = 1,
+    unique_id: bool = True,
 ) -> DataFrame:
     """Per corpus doc: how many of its distinct word-``n``-grams appear
     anywhere in ``benchmark``, and whether that crosses ``min_hits``.
@@ -59,9 +68,14 @@ def benchmark_contamination(
     Returns ``(id_col, n_shingles, n_hit, contamination, contaminated)``
     where ``contamination = n_hit / n_shingles`` (exact int/int double
     division — engine-portable without rounding).
+
+    With the default ``unique_id=True``, ``id_col`` must uniquely key the
+    rows of BOTH inputs (the lead-window shingle enumerator stitches
+    n-grams across rows sharing an id); pass ``unique_id=False`` for
+    non-PK ids — rows sharing an id are then audited as one document.
     """
     bench_sh = (
-        _doc_shingles(benchmark, text_col, id_col, n)
+        _doc_shingles(benchmark, text_col, id_col, n, unique_id=unique_id)
         .select("sh")
         .distinct()
         .withColumn("__hit", F.lit(1))
@@ -72,7 +86,8 @@ def benchmark_contamination(
     # join preserves the partitioning, and the per-doc agg reuses it — one
     # exchange total
     joined = _doc_shingles(
-        ensure_parallelism(corpus, id_col), text_col, id_col, n
+        ensure_parallelism(corpus, id_col), text_col, id_col, n,
+        unique_id=unique_id,
     ).join(F.broadcast(bench_sh), "sh", "left")
     return (
         joined.groupBy(id_col)

@@ -162,6 +162,7 @@ def shingle_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     max_df: int | None = 100,
+    unique_id: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard over the shingle inverted index: pairs sharing
     ≥ 1 shingle, with ``jaccard = |A∩B| / (|A| + |B| − |A∩B|)``. With
@@ -169,6 +170,13 @@ def shingle_jaccard_pairs(
     the score is exact Jaccard over that capped space (doc sizes are
     recomputed after the hot-shingle drop, so the score is unbiased for
     docs containing hot shingles).
+
+    With the default ``unique_id=True``, ``id_col`` must uniquely key the
+    input rows (the :func:`shingle_rows` lead-window enumerator stitches
+    n-grams ACROSS texts when two rows share an id). For inputs with
+    non-PK ids pass ``unique_id=False``: each physical row shingles
+    independently, and rows sharing an id are then scored as ONE document
+    whose shingle set is the union of its rows' shingle sets.
 
     Scale shape: explode (narrow) → optional broadcast anti-join dropping
     shingles with doc-frequency > ``max_df`` (the hot-key guard; the hot
@@ -192,6 +200,7 @@ def shingle_jaccard_pairs(
             text_col=text_col,
             id_col=id_col,
             n=n,
+            unique_id=unique_id,
         )
         .select(F.col(id_col), h60(F.col("shingle")).alias("sh"))
         .distinct()
@@ -245,6 +254,7 @@ def shingle_jaccard_prefix_pairs(
     n: int = 3,
     max_df: int | None = 100,
     threshold_pct: int = 50,
+    unique_id: bool = True,
 ) -> DataFrame:
     """Thresholded n-gram Jaccard near-dup pairs via PREFIX FILTERING —
     the production form of the similarity join (PPJoin/AllPairs family,
@@ -280,13 +290,15 @@ def shingle_jaccard_prefix_pairs(
     from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import ensure_parallelism
 
     t = threshold_pct
-    # r8: codegen lead-window shingles (see shingle_jaccard_pairs note)
+    # r8: codegen lead-window shingles (see shingle_jaccard_pairs note —
+    # including the unique_id contract: non-PK ids need unique_id=False)
     idx = (
         shingle_rows(
             ensure_parallelism(df, id_col),
             text_col=text_col,
             id_col=id_col,
             n=n,
+            unique_id=unique_id,
         )
         .select(F.col(id_col), h60(F.col("shingle")).alias("sh"))
         .distinct()
@@ -366,12 +378,22 @@ def shingle_jaccard_prefix_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    unique_id: bool = True,
 ) -> DataFrame:
     """``NUM_MINHASH``-column MinHash signature (``mh0..mh127``): per
     universal hash i, the min of ``(a_i·h32(shingle) + b_i) mod p`` over
     the doc's shingles. One shuffle — explode is narrow, the groupBy does
-    map-side partial mins so only (doc, 128 longs) rows cross the wire."""
+    map-side partial mins so only (doc, 128 longs) rows cross the wire.
+
+    ``unique_id`` contract as in :func:`shingle_jaccard_pairs`: with the
+    default, ``id_col`` must be a row key (lead-window shingling stitches
+    n-grams across rows sharing an id); pass ``unique_id=False`` for
+    non-PK ids — rows sharing an id then get ONE signature over the
+    union of their shingle sets."""
     from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import ensure_parallelism
 
     # r8: codegen lead-window shingles (min over duplicates == min over
@@ -382,6 +404,7 @@ def minhash_signatures(
         text_col=text_col,
         id_col=id_col,
         n=n,
+        unique_id=unique_id,
     ).select(F.col(id_col), h32(F.col("shingle")).alias("h"))
     aggs = [
         F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(

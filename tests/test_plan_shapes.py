@@ -242,8 +242,17 @@ PINNED = {
     # echoes in the budget) + equi-joins — a pair join shape (cartesian
     # / nested-loop) appearing here means the reduction regressed to
     # the naive form (the one SMJ allowed is the lineitem-orders fact
-    # join, correctly sort-merge at fact×fact scale)
-    "skyline_supplier_frontier": (16, ["InMemoryTableScan", "Window"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # join, correctly sort-merge at fact×fact scale).
+    # Re-pinned 16 → 23 (r9): the r8 fail-loud NULL guard eagerly
+    # materializes the persisted per-x aggregate at construction, so
+    # its cached AdaptiveSparkPlan is FINAL at explain time and
+    # InMemoryRelation.toString prints BOTH the final and the
+    # "== Initial Plan ==" sections — the +7 are textual duplicates
+    # of the same cache-build shuffles (verified: the plan contains
+    # two Initial Plan echo blocks whose Exchange nodes are
+    # structurally identical, differing only in plan_id), not new
+    # shuffles. Real executed exchanges are unchanged from the r7 pin.
+    "skyline_supplier_frontier": (23, ["InMemoryTableScan", "Window"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     # at-risk counts and the KM product are windows over the grouped
     # duration table; user-level joins broadcast-hash
     "kaplan_meier_conversion": (8, ["BroadcastHashJoin", "Window"], ["CartesianProduct", "SortMergeJoin"]),

@@ -175,6 +175,40 @@ def test_kmv_registers_guard(spark):
         kmv_registers(df, "g", "v", k=1)
 
 
+def test_kmv_build_k_stamp_and_query_k_guard(spark):
+    """r9 (r8 review finding): the sketch carries its build k, and a
+    query k above it fails loudly — union ranks beyond build k are not
+    guaranteed to be the true union's k-smallest."""
+    vals = [f"g{i}" for i in range(300)]
+    df = spark.createDataFrame(
+        [("A", v) for v in vals[:200]] + [("B", v) for v in vals[100:]],
+        "g string, v string",
+    )
+    regs = kmv_registers(df, "g", "v", k=32)
+    assert {r["build_k"] for r in regs.select("build_k").distinct().collect()} == {32}
+    with pytest.raises(ValueError, match="exceeds the sketches' build k"):
+        kmv_pairwise_overlap(regs, "g", k=64)
+    # at or below build k the audit runs
+    assert kmv_pairwise_overlap(regs, "g", k=32).count() == 1
+
+
+def test_kmv_merge_truncates_to_weakest_build_k(spark):
+    """Merging sketches of unequal build k yields a sketch valid (and
+    truncated, and stamped) at the weakest contributor's k."""
+    vals = [f"w{i}" for i in range(500)]
+    df = spark.createDataFrame([("G", v) for v in vals], "g string, v string")
+    small = kmv_registers(df, "g", "v", k=16)
+    big = kmv_registers(df, "g", "v", k=64)
+    merged = kmv_merge(small.unionByName(big), "g", k=64)
+    rows = merged.collect()
+    assert max(r["register_idx"] for r in rows) == 16
+    assert {r["build_k"] for r in rows} == {16}
+    # and the kept registers are exactly the 16-smallest (monoid law
+    # still holds at the truncated k)
+    want = {r["h"] for r in small.collect()}
+    assert {r["h"] for r in rows} == want
+
+
 def test_shingle_rows_matches_transform_form(spark):
     """The codegen lead-window enumerator yields the SAME multiset of
     shingles as exploding shingles_from_tokens — including the short-doc
@@ -301,3 +335,49 @@ def test_incremental_substring_equals_full_recompute(spark):
     }
     assert got == want and got  # non-empty: both cases present
     assert any(d == 10 for d, *_ in got) and any(d == 11 for d, *_ in got)
+
+
+def test_shingle_rows_unique_id_false_no_cross_row_stitching(spark):
+    """r9 (r8 review finding): rows sharing an id interleave under the
+    per-id lead window and stitch n-grams across texts. With
+    unique_id=False each physical row shingles independently — the
+    multiset equals shingling the rows under distinct ids."""
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import shingle_rows
+
+    rows = [("d", "a b c d"), ("d", "x y z w"), ("e", "p q r s")]
+    dup = spark.createDataFrame(rows, "doc_id string, text string")
+    got = sorted(
+        (r["doc_id"], r["shingle"])
+        for r in shingle_rows(dup, n=3, unique_id=False).collect()
+    )
+    uniq = spark.createDataFrame(
+        [(f"r{i}", d, t) for i, (d, t) in enumerate(rows)],
+        "rid string, doc_id string, text string",
+    )
+    want = sorted(
+        (r["doc_id"], r["shingle"])
+        for r in shingle_rows(
+            uniq, id_col="rid", keep_cols=("doc_id",), n=3
+        ).select("doc_id", "shingle").collect()
+    )
+    assert got == want
+    # and the stitched gram "c d x" must NOT appear
+    assert all("c d x" != s for _, s in got)
+
+
+def test_jaccard_pairs_unique_id_false_unions_row_shingles(spark):
+    """Public-operator contract: with unique_id=False, duplicate-id rows
+    score as ONE document whose shingle set is the union of its rows'."""
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import shingle_jaccard_pairs
+
+    # doc A split over two rows; doc B equals row 1 of A exactly
+    dup = spark.createDataFrame(
+        [("A", "a b c d e"), ("A", "f g h i j"), ("B", "a b c d e")],
+        "doc_id string, text string",
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in shingle_jaccard_pairs(dup, n=3, unique_id=False).collect()
+    }
+    # A has 6 shingles (3 per row), B has 3, intersection 3 -> J = 3/6
+    assert out == {("A", "B"): 0.5}
