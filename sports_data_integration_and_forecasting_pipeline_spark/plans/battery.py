@@ -12788,44 +12788,39 @@ _WINDOW_PRIORITY = [
     "nested_explode_flatten",
     "event_sessionize",
     "forecast_linear_ols",
-    # text analysis family (kl_term_drift / text_bigram_perplexity are
-    # r7 first-timers — once-green, stay until twice-green)
+    # text analysis family (r9: kl_term_drift / text_bigram_perplexity
+    # / text_quality now twice+ driver-green — yield; token_stats stays
+    # as the family head; unigram perplexity rotates IN both as a
+    # first-timer and as the external adjudication of its r8 +100%
+    # bench swing)
     "text_token_stats",
-    "text_quality",
-    "kl_term_drift",
-    "text_bigram_perplexity",
-    "kmeans_embeddings_lloyd",
-    # dedup family (r8: dedup_minhash_lsh and theil_sen_user_trend —
-    # twice+ driver-green — yield to the r7/r8 family heads below;
-    # shingle_jaccard stays as the pairwise head, cluster_star as the
-    # graph-dedup head)
-    "theil_sen_banded",
+    "text_unigram_perplexity",
+    # dedup family (r9: theil_sen_banded and dedup_cluster_star —
+    # twice+ driver-green — yield; shingle_jaccard stays as the
+    # pairwise head; the r8 substring family completes with the clip
+    # entry)
     "dedup_shingle_jaccard",
-    "dedup_cluster_star",
     "dedup_sorted_neighborhood",
     "dedup_substring_spans",
+    "dedup_substring_clip",
     "dedup_cluster_size_histogram",
-    # curation / quality family (r8: set_ops_churn_audit and
-    # variant_props_extract — twice driver-green — yield to the new
-    # KMV contamination audit and the sequence-pack/vocab heads stay)
-    "embedding_quality_audit",
+    # curation / quality family (r9: embedding_quality_audit and
+    # vocab_coverage — twice+ driver-green — yield; KMV audit is a r8
+    # first-timer, stays; pack_sequence_spans stays as packing head)
     "contamination_kmv_audit",
-    "vocab_coverage",
     "pack_sequence_spans",
-    # sketch family (r8: hll_group_registers + hll_rolling_7d_users —
-    # twice driver-green — yield; bm25 stays as the rank-rewrite head
-    # needing external confirmation of the r7 two-phase rank rewrite)
-    "bm25_scoring",
-    # embedding / similarity / upsert family heads (r8:
-    # weighted_median_price — twice driver-green — yields to the r7
-    # MERGE and IVF-refresh family heads, never driver-checked)
-    "holt_linear_user_value",
+    "embed_ann_recall_audit",
+    # embedding / similarity / upsert family heads (r9: bm25_scoring,
+    # kmeans_embeddings_lloyd, holt_linear_user_value — twice+
+    # driver-green — yield; the ANN recall audit above completes the r8
+    # similarity family; MERGE/IVF-refresh are r8 first-timers, stay)
     "merge_upsert_orders",
     "ivf_centroid_refresh",
-    # analytics pack: skylines (r7 heads, never checked) + the r7
-    # global-rank rewrites (external confirmation of the rewrite) +
-    # distribution fits (r8: recursive_cte_walk + session_window_native
-    # — twice driver-green — yield)
+    # analytics pack (r8 first-timers stay until twice-green; r9:
+    # pit_state_lookup + gini_order_concentration twice-green — yield
+    # to the analytics second wave: entropy/lorenz — the remaining r7
+    # rank-rewrite — the r6 stats pack, markov power iteration, k-core
+    # peel, and the streaming PIT twin)
     "skyline_supplier_frontier",
     "skyline_orders_3d",
     "pareto_supplier_share",
@@ -12834,18 +12829,28 @@ _WINDOW_PRIORITY = [
     "zipf_rank_frequency_fit",
     "frequent_event_trigrams",
     "cohort_weekly_retention",
-    "pit_state_lookup",
-    "gini_order_concentration",
-    # TPC-H tail second wave (r8: q21 — twice driver-green — yields to
-    # the never-checked q13/q17/q22; q3/q10/q18 are r7 first-timers)
-    "q3_shipping_priority",
-    "q10_returned_items",
-    "q18_large_volume_customers",
+    "entropy_source_mix",
+    "lorenz_curve_orders",
+    "markov_steady_state_power",
+    "kcore_cosupply_peel",
+    "winsorized_event_stats",
+    "quantile_normalize_events",
+    "date_spine_zero_fill",
+    "streaming_pit_enrich",
+    # multimodal second wave (VERDICT r8 task 5: ≥1 more multimodal
+    # driver row — frame sampling is the plumbing-heaviest of the pack)
+    "multimodal_frame_sample",
+    # TPC-H tail third wave (r9: q3/q10/q18 twice-green — yield to the
+    # five never-checked q-tail entries; q13/q17/q22 are r8
+    # first-timers, stay)
     "q13_order_count_distribution",
     "q17_small_quantity_revenue",
     "q22_idle_customer_balance",
-    "acf_daily_autocorrelation",
-    "yoy_monthly_growth",
+    "q4_order_priority",
+    "q7_nation_volume",
+    "q14_promo_type_share",
+    "q15_top_supplier",
+    "q19_disjunctive_pricing",
 ]
 # Round-5 rotation (round-4 review task 1): every SURVEY §2 family head
 # is twice-driver-green and stable, so 8 second-tier slots
@@ -12871,6 +12876,27 @@ _WINDOW_PRIORITY = [
 # recursive_cte_walk, session_window_native, q21_sole_latest_shipper).
 # Rotated-out entries remain verified by the identical local
 # DuckDB-hash comparison on every pytest run.
+# Round-9 rotation (r8 review task 2, executed against the pinned
+# schedule below): seventeen twice-or-more-driver-green slots rotated
+# out (the 12 r7 first-timers, twice-green at r8: kl_term_drift,
+# text_bigram_perplexity, theil_sen_banded, holt_linear_user_value,
+# pit_state_lookup, embedding_quality_audit, q3_shipping_priority,
+# q10_returned_items, q18_large_volume_customers,
+# gini_order_concentration, acf_daily_autocorrelation,
+# yoy_monthly_growth; plus 5 multi-green second-tier: text_quality,
+# kmeans_embeddings_lloyd, vocab_coverage, bm25_scoring — its r7
+# rank-rewrite externally confirmed r8 — and dedup_cluster_star) in
+# favor of the r8 family completions (dedup_substring_clip,
+# embed_ann_recall_audit), text_unigram_perplexity (never checked AND
+# the r8 +100% bench swing — rotation doubles as adjudication), the
+# five never-checked TPC-H q-tail entries (q4, q7, q14, q15, q19), the
+# analytics second wave (entropy_source_mix, lorenz_curve_orders), the
+# r6 stats pack (winsorized_event_stats, quantile_normalize_events,
+# date_spine_zero_fill), markov_steady_state_power, kcore_cosupply_peel,
+# the streaming PIT batch twin (streaming_pit_enrich), and
+# multimodal_frame_sample (VERDICT r8 task 5). All seventeen swept
+# green vs the oracle at sf0.01 — the gate scale — before rotating in
+# (tools/sweep_oracle.py). The 17 r8 first-timers stay (once-green).
 # Round-8 rotation (r7 review task 1 — "rotate hard", 15-20 slots):
 # seventeen twice-or-more-driver-green slots rotated out (7 core
 # second-tier: devig_power, arbitrage_scan, best_odds_report_join,
@@ -12911,28 +12937,27 @@ _WINDOW_PRIORITY = [
 # twice-driver-green at that round; flagship_market_report plus one
 # head per §2 family stay pinned (the r7 verdict loosened the
 # 20-slot core pin):
-#   r9: rotate out the 12 r7 first-timers once twice-green
-#       (kl_term_drift, text_bigram_perplexity, theil_sen_banded,
-#       holt_linear_user_value, pit_state_lookup,
-#       embedding_quality_audit, gini_order_concentration,
-#       acf_daily_autocorrelation, yoy_monthly_growth, q3, q10, q18)
-#       plus up to 5 more twice-green second-tier; rotate in the
-#       TPC-H q-tail third wave (q7_nation_volume,
-#       q14_promo_type_share, q15_top_supplier,
-#       q19_disjunctive_pricing), analytics second wave
-#       (entropy_source_mix, lorenz_curve_orders — the remaining r7
-#       rank-rewrite), r6 stats pack (winsorized_event_stats,
-#       quantile_normalize_events, date_spine_zero_fill), and
-#       markov_steady_state_power, kcore_cosupply_peel,
-#       streaming_pit_enrich, plus the late-r8 additions
-#       dedup_substring_clip and embed_ann_recall_audit (both swept
-#       green vs the oracle at sf0.01 — the gate scale — on arrival,
-#       so windowing them is rotation-safe).
-#   r10+: remaining dedup/incremental variants
-#       (dedup_incremental_compacted, dedup_normalized,
-#       cosine_dup_pairs families), multimodal second wave
-#       (frame_sample, audio_duration), sampling/diff/profile pack,
-#       then sweep any stragglers alphabetically until all 201 have
+#   r9: DONE (see Round-9 rotation note above) — 17 out / 17 in,
+#       including all of the planned list plus q4_order_priority,
+#       text_unigram_perplexity, and multimodal_frame_sample.
+#   r10: rotate out the 17 r8 first-timers once twice-green
+#       (merge_upsert_orders, ivf_centroid_refresh,
+#       dedup_sorted_neighborhood, skyline_supplier_frontier,
+#       skyline_orders_3d, dedup_substring_spans,
+#       contamination_kmv_audit, dedup_cluster_size_histogram,
+#       pareto_supplier_share, rfm_user_segments,
+#       concurrency_sweep_line, zipf_rank_frequency_fit,
+#       frequent_event_trigrams, cohort_weekly_retention, q13, q17,
+#       q22); rotate in dedup_incremental_substring (the last
+#       never-checked r8 family member), the remaining streaming batch
+#       twins (streaming_dedup_replay, streaming_static_enrich),
+#       multimodal_audio_duration, pmi_bigram_collocations,
+#       mad_outlier_events, quality_perplexity_cut,
+#       referential_integrity_audit, inverted_text_index,
+#       dedup_incremental_compacted, dedup_normalized,
+#       cosine_dup_pairs family heads, and sampling/diff/profile pack
+#       heads — sweep each at sf0.01 via tools/sweep_oracle.py first.
+#   r11+: sweep any stragglers alphabetically until all entries have
 #       ≥1 driver row.
 # ===========================================================================
 
