@@ -335,6 +335,22 @@ PINNED = {
     # the one BNLJ is the n_groups² pair enumeration (non-equi a<b over
     # 20 rows, bounded by construction)
     "contamination_kmv_audit": (70, ["WindowGroupLimit", "InMemoryTableScan", "BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"]),
+    # r9 pins for the remaining r8 families (VERDICT r8 task 6).
+    # ExactSubstr clip: duplicated-span table persisted + doc-keyed
+    # band anti-join + ONE per-doc rebuild window — the corpus is
+    # shingled once (gram digests, never k-token text) and no pair
+    # join shape may appear
+    "dedup_substring_clip":   (8, ["InMemoryTableScan", "Window", "BroadcastHashJoin"], ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin", "BatchEvalPython"]),
+    # incremental ExactSubstr: only the batch tokenizes; the persisted
+    # gram-count state joins on the digest equi-key
+    "dedup_incremental_substring": (8, ["InMemoryTableScan", "Window", "BroadcastHashJoin"], ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin", "BatchEvalPython"]),
+    # ANN recall audit: the bounded query sample broadcasts (the one
+    # BNLJ, same by-design shape as embed_cosine_topk), WindowGroupLimit
+    # cuts both top-5 lists before their shuffles; the exact-vs-IVF
+    # compare join is sample-sized (static planner picks SMJ at test
+    # SF; AQE converts at runtime — banning SMJ here would pin planner
+    # noise, so only the truly corpus-dangerous shapes are banned)
+    "embed_ann_recall_audit": (13, ["WindowGroupLimit", "BroadcastNestedLoopJoin", "Window"], ["CartesianProduct", "BatchEvalPython"]),
 }
 
 

@@ -67,6 +67,9 @@ NOTES = {
     "pareto_supplier_share": "The single-partition running-share window sorts the supplier AGGREGATE (|keys| rows), never the fact scan; the 80% cut is pure integer arithmetic.",
     "unpivot_order_measures": "Melt after aggregation: one shuffle then a pure-JVM Expand over the 5-row aggregate.",
     "purchase_click_attribution": "As-of join without a join: a CASE-gated running max over one user_id window attributes each purchase to its last preceding click.",
+    "dedup_substring_clip": "ExactSubstr curation half: the duplicated-span table (persisted, doc-keyed) anti-joins token rows on the doc equi-key with the span band as residual; survivors rebuild per-doc text via one ordered collect_list window — the corpus is shingled once and never pair-joined.",
+    "dedup_incremental_substring": "Batch-sized gram pass vs persisted gram-count state: only the NEW batch tokenizes; the state join is an equi-join on gram digest; spans merge per doc exactly as the full recompute (equivalence-oracled).",
+    "embed_ann_recall_audit": "Recall@5 audit: exact top-5 (bounded query sample broadcast, WindowGroupLimit top-k) joined against IVF 3-probe top-5; linear corpus touch is the audit's semantics — sample size is the scale knob.",
 }
 
 out = [
