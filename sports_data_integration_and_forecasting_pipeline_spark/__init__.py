@@ -104,6 +104,8 @@ from .operators.dedup import (
     shingle_rows,
     sorted_neighborhood_candidates,
     substring_gram_counts,
+    winnow_fingerprints,
+    winnow_match_pairs,
 )
 from .operators.merge import merge_into
 from .operators.parallelism import (
@@ -203,6 +205,8 @@ __all__ = [
     "clip_substring_spans",
     "substring_gram_counts",
     "incremental_duplicate_spans",
+    "winnow_fingerprints",
+    "winnow_match_pairs",
     "shingle_rows",
     # contamination audit (KMV/theta sketches)
     "kmv_registers",

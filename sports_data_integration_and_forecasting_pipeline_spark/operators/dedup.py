@@ -1402,3 +1402,173 @@ def clip_substring_spans(
             .alias("n_removed_tokens"),
         )
     )
+
+
+# --- winnowing fingerprints (MOSS) ------------------------------------------
+
+# Position field width for the winnow selection packing: 27 bits caps a
+# document at 2^27 ≈ 134M tokens (~0.5 GB of raw text in ONE row — far
+# past the engine's bounded-row contract; a doc that size breaks the
+# parquet reader and every other per-doc operator long before this
+# packing). Documented precondition, not scanned-for — same contract
+# style as shingle_rows' id uniqueness.
+WINNOW_POS_BITS = 27
+_WINNOW_POS_LIM = 1 << WINNOW_POS_BITS
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    unique_id: bool = True,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD '03 — the MOSS local fingerprinting algorithm, public): hash
+    every word-``k``-gram, slide a window of ``w`` consecutive gram
+    hashes, and in each window select the minimum hash — ties broken by
+    the RIGHTMOST occurrence (the paper's rule; it maximizes re-selection
+    across overlapping windows, keeping fingerprint density near the
+    2/(w+1) bound). The distinct selected (position, hash) pairs are the
+    doc's fingerprints. Guarantee (the reason this beats random
+    sampling): any shared substring of at least ``w + k - 1`` tokens
+    produces at least one SHARED fingerprint in both documents.
+
+    Returns ``(id_col, pos, fp)`` — 1-based first-token position of each
+    selected gram and its 36-bit hash (see below). Docs with fewer than
+    ``k`` tokens yield no grams and no fingerprints; docs with m < w
+    grams winnow one clamped window covering all m.
+
+    Engine portability — the selection IS integer arithmetic: each gram
+    row carries ``packed = h36 · 2^27 + (2^27 − 1 − pos)``, so a plain
+    ``min(packed)`` over the w-row frame selects the smallest hash AND
+    the rightmost position on ties in one comparison, with no
+    struct-ordering or arg_min semantics to align across engines. The
+    36-bit hash (9 hex digits of md5, the h32/h60 discipline) keeps the
+    packing inside a signed 64-bit long (36 + 27 = 63 bits); fingerprint
+    collisions at 2^36 are candidate-level noise (birthday ~ n²/2^37),
+    acceptable for a fingerprint index and bit-for-bit reproducible in
+    the DuckDB oracle either way.
+
+    Scale shape: ONE doc-granular exchange (the :func:`shingle_rows`
+    window shuffle) feeds the gram count, the w-frame min, and the
+    selection filter — all per-doc windows over the same partitioning;
+    the closing distinct re-uses it too (id_col ⊆ keys). No joins, no
+    corpus-wide state. ``unique_id`` contract as in
+    :func:`shingle_jaccard_pairs`."""
+    if k < 2:
+        raise ValueError(f"winnow_fingerprints: k must be >= 2 (got {k})")
+    if w < 1:
+        raise ValueError(f"winnow_fingerprints: w must be >= 1 (got {w})")
+    grams = shingle_rows(
+        df, text_col=text_col, id_col=id_col, n=k, clamp=False,
+        unique_id=unique_id,
+    )
+    h36 = F.conv(F.substring(F.md5(F.col("shingle")), 1, 9), 16, 10).cast(
+        "long"
+    )
+    g = grams.select(
+        F.col(id_col),
+        "pos",
+        (
+            h36 * F.lit(_WINNOW_POS_LIM)
+            + (F.lit(_WINNOW_POS_LIM - 1) - F.col("pos"))
+        ).alias("__packed"),
+    )
+    wdoc = Window.partitionBy(id_col).orderBy("pos")
+    sel = g.select(
+        F.col(id_col),
+        "pos",
+        F.count("*")
+        .over(
+            Window.partitionBy(id_col).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("__m"),
+        F.min("__packed")
+        .over(wdoc.rowsBetween(Window.currentRow, w - 1))
+        .alias("__sel"),
+    )
+    return (
+        sel.filter(
+            F.col("pos") <= F.greatest(F.col("__m") - F.lit(w - 1), F.lit(1))
+        )
+        .select(
+            F.col(id_col),
+            (
+                F.lit(_WINNOW_POS_LIM - 1)
+                - (F.col("__sel") % F.lit(_WINNOW_POS_LIM))
+            )
+            .cast("bigint")
+            .alias("pos"),
+            # integer div — float division of a 63-bit packed value
+            # loses the low bits past the double's 53-bit mantissa
+            F.expr(f"__sel div {_WINNOW_POS_LIM}").cast("bigint").alias("fp"),
+        )
+        .distinct()
+    )
+
+
+def winnow_match_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = 100,
+    unique_id: bool = True,
+) -> DataFrame:
+    """Document pairs sharing at least ``min_shared`` winnowing
+    fingerprints — the MOSS match step: because winnowing guarantees a
+    shared fingerprint for any common substring of ≥ w + k − 1 tokens,
+    the shared-fingerprint count is a verbatim-overlap signal that costs
+    a FINGERPRINT-sized inverted index instead of a gram-sized one
+    (density ≈ 2/(w+1) of the gram stream — the winnow window is a
+    pre-shuffle 5-10× candidate-volume cut the plain shingle index
+    doesn't get).
+
+    Returns ``(id_a, id_b, n_shared)`` with ``id_a < id_b``.
+
+    Scale shape: fingerprints (one doc-granular exchange, see
+    :func:`winnow_fingerprints`) → optional broadcast anti-join dropping
+    fingerprints with doc-frequency > ``max_df`` (the hot-key guard —
+    a boilerplate license header selected by every doc would otherwise
+    quadratically blow the pair join) → fingerprint equi-join →
+    pair groupBy. Identical shape to :func:`shingle_jaccard_pairs`,
+    one winnow cheaper."""
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import (
+        ensure_parallelism,
+    )
+
+    fps = (
+        winnow_fingerprints(
+            ensure_parallelism(df, id_col),
+            text_col=text_col,
+            id_col=id_col,
+            k=k,
+            w=w,
+            unique_id=unique_id,
+        )
+        .select(id_col, "fp")
+        .distinct()
+    )
+    if max_df is not None:
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select("fp")
+        )
+        fps = fps.join(F.broadcast(hot), "fp", "left_anti")
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

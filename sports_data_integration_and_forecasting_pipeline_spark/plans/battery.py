@@ -12696,6 +12696,107 @@ def dedup_substring_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Winnowing fingerprints (r9 new family) — MOSS local fingerprinting
+# (Schleimer, Wilkerson & Aiken, SIGMOD '03; public), the
+# fingerprint-index counterpart to the gram-exhaustive substring family
+# above: hash every word-k-gram, slide a w-hash window, keep each
+# window's minimum (ties → rightmost), and dedupe the selections. Any
+# shared substring of ≥ w+k−1 tokens is GUARANTEED to leave a shared
+# fingerprint, at ≈ 2/(w+1) of the gram stream's volume — the
+# pre-shuffle candidate cut the plain shingle inverted index never
+# gets. The selection is one packed-integer window min
+# (h36·2^27 + (2^27−1−pos)), so min-hash + rightmost-tie is a single
+# long comparison both engines reproduce bit-for-bit
+# (operators/dedup.py:winnow_fingerprints). 100 TB: one doc-granular
+# exchange total for fingerprints; the match join runs over the
+# winnowed (5-10× smaller) index with the same broadcast hot-cap as
+# the jaccard family.
+# ===========================================================================
+
+_WINNOW_K = 5
+_WINNOW_W = 4
+_WINNOW_LIM = 1 << 27
+_WINNOW_FP_CTES = f"""
+    toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(range(1, greatest(len(tk) - {_WINNOW_K - 1}, 0) + 1)) AS pos,
+                 tk
+          FROM toks),
+    g2 AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                  array_to_string(tk[pos:pos+{_WINNOW_K - 1}], ' ') AS gram
+           FROM g),
+    p AS (SELECT doc_id, pos,
+                 CAST(concat('0x', substring(md5(gram), 1, 9)) AS BIGINT)
+                   * {_WINNOW_LIM} + ({_WINNOW_LIM - 1} - pos) AS packed,
+                 count(*) OVER (PARTITION BY doc_id) AS m
+          FROM g2),
+    sel AS (SELECT doc_id, pos, m,
+                   min(packed) OVER (PARTITION BY doc_id ORDER BY pos
+                                     ROWS BETWEEN CURRENT ROW
+                                     AND {_WINNOW_W - 1} FOLLOWING) AS s
+            FROM p),
+    fp AS (SELECT DISTINCT doc_id,
+                  CAST({_WINNOW_LIM - 1} - (s % {_WINNOW_LIM}) AS BIGINT) AS pos,
+                  CAST(s // {_WINNOW_LIM} AS BIGINT) AS fp
+           FROM sel WHERE pos <= greatest(m - {_WINNOW_W - 1}, 1))
+"""
+
+
+@_register(
+    "dedup_winnow_fingerprints",
+    f"""
+    WITH {_WINNOW_FP_CTES}
+    SELECT doc_id, pos, fp FROM fp
+    """,
+    "dedup: winnowing fingerprints (MOSS, Schleimer et al. SIGMOD '03; "
+    "no reference counterpart)",
+    "per-doc selected (position, 36-bit hash) fingerprints — window-min "
+    "with rightmost-tie via one packed-integer comparison",
+)
+def dedup_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import (
+        ensure_parallelism,
+    )
+
+    docs = ensure_parallelism(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
+    return winnow_fingerprints(docs, k=_WINNOW_K, w=_WINNOW_W)
+
+
+@_register(
+    "dedup_winnow_match_pairs",
+    f"""
+    WITH {_WINNOW_FP_CTES},
+    fps AS (SELECT DISTINCT doc_id, fp FROM fp),
+    dfreq AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 100),
+    surv AS (SELECT f.doc_id, f.fp FROM fps f JOIN dfreq USING (fp))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM surv a JOIN surv b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= 2
+    """,
+    "dedup: winnowed match pairs (MOSS match step; no reference "
+    "counterpart)",
+    "doc pairs sharing >= 2 winnowing fingerprints over the hot-capped "
+    "fingerprint inverted index",
+)
+def dedup_winnow_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
+        winnow_match_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return winnow_match_pairs(
+        docs, k=_WINNOW_K, w=_WINNOW_W, min_shared=2, max_df=100
+    )
+
+
+# ===========================================================================
 # Cross-snapshot contamination audit (r8 new family head) — KMV/theta
 # sketch intersections (operators/contamination.py): every source
 # summarized once into its k=128 smallest distinct shingle-md5s, then

@@ -351,6 +351,15 @@ PINNED = {
     # SF; AQE converts at runtime — banning SMJ here would pin planner
     # noise, so only the truly corpus-dangerous shapes are banned)
     "embed_ann_recall_audit": (13, ["WindowGroupLimit", "BroadcastNestedLoopJoin", "Window"], ["CartesianProduct", "BatchEvalPython"]),
+    # r9 winnowing (MOSS): fingerprints are ONE doc-granular exchange —
+    # the shingle window, gram count, w-frame min, selection filter and
+    # closing distinct all share it; any join appearing here means the
+    # selection regressed to a join-back form
+    "dedup_winnow_fingerprints": (1, ["Window", "Generate"], ["Join", "CartesianProduct", "BatchEvalPython"]),
+    # match step: winnowed index + broadcast hot-cap anti-join + fp
+    # equi-join + pair groupBy — same banned shapes as the jaccard
+    # family (no pair shape may touch the corpus side)
+    "dedup_winnow_match_pairs": (9, ["Window", "BroadcastHashJoin"], ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin", "BatchEvalPython"]),
 }
 
 
