@@ -120,6 +120,8 @@ from .operators.incremental import merge_rollups, rollup_partial
 from .operators.layout import layout_scan_stats, zorder_key_expr
 from .operators.paths import path_funnel, user_event_paths
 from .operators.quantize import (
+    pq_adc_topk,
+    pq_encode,
     quantization_report,
     quantize_embeddings,
     quantized_cosine_topk,
@@ -248,6 +250,8 @@ __all__ = [
     "quantize_embeddings",
     "quantization_report",
     "quantized_cosine_topk",
+    "pq_encode",
+    "pq_adc_topk",
     # event paths
     "user_event_paths",
     "path_funnel",

@@ -149,3 +149,163 @@ def quantized_cosine_topk(
             F.floor(F.col("qcos") * 1e6 + 0.5).cast("bigint").alias("qcos_e6"),
         )
     )
+
+
+# --- product quantization (IVF-PQ's compression half) -----------------------
+
+
+def _sub_d2(v, s: int, sub_dim: int, center: list[float]):
+    """Squared L2 of subvector s of ``v`` to a centroid literal —
+    sequential left-to-right fold, bit-identical across engines (the
+    `_d2_to_center` discipline applied to a slice)."""
+    c = F.array(*[F.lit(x) for x in center])
+    return F.aggregate(
+        F.zip_with(
+            F.slice(v, s * sub_dim + 1, sub_dim),
+            c,
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product-quantization codes (Jégou, Douze & Schmid, TPAMI 2011 —
+    the compression half of IVF-PQ, public): split each vector into
+    ``m = len(codebooks)`` subspaces and store, per subspace, the index
+    of its nearest codebook centroid. A 64-dim float32 vector (256 B)
+    becomes m small ints (m=4, k=16 → 2 B packed): the 100 TB lever
+    that lets an ANN index's candidate scan run at memory-bandwidth
+    speed over codes instead of floats.
+
+    Codebooks are PRETRAINED driver literals (operators/pq_codebooks.py,
+    the IVF_CENTROIDS discipline) so encoding is a pure Column
+    expression — narrow, shuffle-free, whole-stage-codegen'd, and
+    reproducible in the DuckDB oracle. Nearest-centroid ties break to
+    the lowest code (lexicographic struct min, same rule as
+    `similarity.ivf_assign`).
+
+    Returns ``(id_col, c0..c{m-1})`` int codes."""
+    sub_dim = len(codebooks[0][0])
+    v = F.transform(emb_col, lambda x: x.cast("double"))
+    staged = df.select(F.col(id_col), v.alias("__v"))
+    codes = [
+        F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        _sub_d2(F.col("__v"), s, sub_dim, c).alias("d"),
+                        F.lit(i).alias("code"),
+                    )
+                    for i, c in enumerate(book)
+                ]
+            )
+        )
+        .getField("code")
+        .alias(f"c{s}")
+        for s, book in enumerate(codebooks)
+    ]
+    return staged.select(id_col, *codes)
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    query_pred,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric distance computation (ADC) top-k over PQ codes: the
+    query keeps its exact vector; every candidate is represented ONLY by
+    its m codes, and the query→candidate distance is the sum of m
+    lookup-table entries ``LUT[s][code] = d²(query subvector s,
+    codebook[s][code])``.
+
+    Scale shape — the PQ-canonical two-sided split:
+    (a) the LUT is query-side work: |Q|·m·k_codebook rows (bounded by
+    the query predicate, like every query set in this family), built as
+    a narrow explode of literal-centroid distance expressions and
+    BROADCAST;
+    (b) the candidate side never touches floats: codes explode to
+    (cand, s, code) — m small rows per candidate — and meet the LUT in a
+    broadcast hash join on (s, code); the per-(query, cand) sum is a
+    map-side-combined aggregate (all m rows of a pair originate in one
+    partition). The scan is linear in the corpus BY DESIGN (ADC is the
+    in-cell scan of IVF-PQ; cell pruning composes orthogonally via
+    `similarity.ivf_ann_topk_pretrained`'s cell equi-join).
+
+    Determinism: LUT entries are snapped to integer micro-units
+    (floor(d²·10⁶ + 0.5)) BEFORE the sum, so ADC totals are exact
+    integer arithmetic and the ranking (asc distance, cand id tiebreak)
+    hash-matches the oracle. Returns ``(q_id, rank, cand_id, adc_e6)``.
+    """
+    from pyspark.sql.window import Window
+
+    m = len(codebooks)
+    sub_dim = len(codebooks[0][0])
+    enc = pq_encode(df, codebooks, emb_col=emb_col, id_col=id_col)
+    cand_long = enc.select(
+        F.col(id_col).alias("cand_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"), F.col(f"c{s}").alias("code")
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("__sc"),
+    ).select("cand_id", F.col("__sc.s").alias("s"), F.col("__sc.code").alias("code"))
+    qv = F.transform(emb_col, lambda x: x.cast("double"))
+    lut = (
+        df.filter(query_pred)
+        .select(F.col(id_col).alias("q_id"), qv.alias("__qv"))
+        .select(
+            "q_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("s"),
+                            F.lit(c).alias("code"),
+                            F.floor(
+                                _sub_d2(F.col("__qv"), s, sub_dim, center)
+                                * 1e6
+                                + F.lit(0.5)
+                            )
+                            .cast("bigint")
+                            .alias("d_e6"),
+                        )
+                        for s, book in enumerate(codebooks)
+                        for c, center in enumerate(book)
+                    ]
+                )
+            ).alias("__l"),
+        )
+        .select(
+            "q_id",
+            F.col("__l.s").alias("s"),
+            F.col("__l.code").alias("code"),
+            F.col("__l.d_e6").alias("d_e6"),
+        )
+    )
+    scored = (
+        cand_long.join(F.broadcast(lut), ["s", "code"])
+        .groupBy("q_id", "cand_id")
+        .agg(F.sum("d_e6").cast("bigint").alias("adc_e6"))
+        .filter(F.col("q_id") != F.col("cand_id"))
+    )
+    w = Window.partitionBy("q_id").orderBy("adc_e6", "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "cand_id", "adc_e6")
+    )

@@ -2157,6 +2157,129 @@ def embed_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Product quantization (r9 new family) — the compression half of IVF-PQ
+# (Jégou, Douze & Schmid, TPAMI 2011; public): m=4 16-dim subspaces,
+# 16 pretrained centroids each (operators/pq_codebooks.py, trained
+# offline like IVF_CENTROIDS), so a 64-dim float vector becomes 4
+# small ints and the ANN candidate scan runs over codes instead of
+# floats — the 100 TB memory-bandwidth lever. Encoding is a pure
+# literal expression (narrow, zero shuffles); ADC search keeps the
+# query exact and scores candidates by summing 4 broadcast
+# lookup-table entries (integer micro-units snapped BEFORE the sum, so
+# ranking is exact integer arithmetic the oracle reproduces). The
+# linear candidate scan is ADC's semantics — IVF cell pruning composes
+# orthogonally (embed_ivf_ann).
+# ===========================================================================
+
+from sports_data_integration_and_forecasting_pipeline_spark.operators.pq_codebooks import (  # noqa: E402
+    PQ_CODEBOOKS,
+    PQ_K,
+    PQ_M,
+    PQ_SUB_DIM,
+)
+
+
+def _pq_sub_d2_sql(vexpr: str, s: int, center: list[float]) -> str:
+    """Sequential-fold squared L2 of subspace ``s`` of ``vexpr`` to a
+    centroid literal (the `_ivf_d2_sql` discipline on a slice)."""
+    return (
+        f"list_sum(list_transform(list_transform(range(1, {PQ_SUB_DIM + 1}), "
+        f"i -> {vexpr}[({s * PQ_SUB_DIM} + i)::INT] - "
+        f"({_centroid_sql(center)})[i::INT]), x -> x * x))"
+    )
+
+
+_PQ_D_COLS = ", ".join(
+    f"{_pq_sub_d2_sql('v', s, c)} AS d{s}_{i}"
+    for s, book in enumerate(PQ_CODEBOOKS)
+    for i, c in enumerate(book)
+)
+_PQ_CODE_COLS = ", ".join(
+    "CASE "
+    + " ".join(
+        f"WHEN d{s}_{i} = least({', '.join(f'd{s}_{j}' for j in range(PQ_K))}) "
+        f"THEN {i}"
+        for i in range(PQ_K)
+    )
+    + f" END AS c{s}"
+    for s in range(PQ_M)
+)
+_PQ_ENC_CTES = f"""
+    e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+    d AS (SELECT vec_id, {_PQ_D_COLS} FROM e),
+    enc AS (SELECT vec_id, {_PQ_CODE_COLS} FROM d)
+"""
+
+
+@_register(
+    "embed_pq_codes",
+    f"""
+    WITH {_PQ_ENC_CTES}
+    SELECT vec_id, CAST(c0 AS INT) AS c0, CAST(c1 AS INT) AS c1,
+           CAST(c2 AS INT) AS c2, CAST(c3 AS INT) AS c3
+    FROM enc
+    """,
+    "similarity: PQ encoding (IVF-PQ compression half, Jégou et al. "
+    "TPAMI 2011; no reference counterpart)",
+    "per-vector m=4 nearest-subcentroid codes from pretrained literal "
+    "codebooks — narrow, shuffle-free, lowest-code tiebreak",
+)
+def embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.quantize import pq_encode
+
+    return pq_encode(_t(spark, sf_dir, "embeddings"), PQ_CODEBOOKS)
+
+
+_PQ_ADC_CASES = " + ".join(
+    "(CASE enc.c" + str(s) + " "
+    + " ".join(
+        f"WHEN {i} THEN CAST(floor(({_pq_sub_d2_sql('q.qv', s, c)}) * 1000000 "
+        "+ 0.5) AS BIGINT)"
+        for i, c in enumerate(book)
+    )
+    + " END)"
+    for s, book in enumerate(PQ_CODEBOOKS)
+)
+
+
+@_register(
+    "embed_pq_adc_topk",
+    f"""
+    WITH {_PQ_ENC_CTES},
+    q AS (SELECT vec_id AS q_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id < 10),
+    pairs AS (
+      SELECT q.q_id, enc.vec_id AS cand_id,
+             {_PQ_ADC_CASES} AS adc_e6
+      FROM enc CROSS JOIN q
+      WHERE enc.vec_id <> q.q_id
+    )
+    SELECT q_id, rank, cand_id, adc_e6 FROM (
+      SELECT q_id, cand_id, CAST(adc_e6 AS BIGINT) AS adc_e6,
+             CAST(row_number() OVER (PARTITION BY q_id
+                                     ORDER BY adc_e6, cand_id) AS INT) AS rank
+      FROM pairs)
+    WHERE rank <= 5
+    """,
+    "similarity: PQ asymmetric-distance top-k (ADC — the in-cell scan "
+    "of IVF-PQ; no reference counterpart)",
+    "top-5 per query by sum of 4 integer-snapped LUT entries over PQ "
+    "codes; exact query vector, code-only candidates",
+)
+def embed_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.quantize import pq_adc_topk
+
+    return pq_adc_topk(
+        _t(spark, sf_dir, "embeddings"),
+        query_pred=F.col("vec_id") < 10,
+        codebooks=PQ_CODEBOOKS,
+        k=5,
+    )
+
+
+# ===========================================================================
 # Mean pooling — chunk embeddings -> document embedding (vec_id div 8
 # plays the chunk->doc mapping), the aggregation step of hierarchical
 # retrieval indexes. Element-wise mean across rows at scale = posexplode

@@ -360,6 +360,13 @@ PINNED = {
     # equi-join + pair groupBy — same banned shapes as the jaccard
     # family (no pair shape may touch the corpus side)
     "dedup_winnow_match_pairs": (9, ["Window", "BroadcastHashJoin"], ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin", "BatchEvalPython"]),
+    # r9 PQ: encoding is a pure literal-codebook projection — ZERO
+    # exchanges, no joins, codes computed inside the scan stage
+    "embed_pq_codes": (0, [], ["Exchange", "Join", "BatchEvalPython"]),
+    # ADC: code explode + broadcast LUT join (64-key build side) +
+    # map-side-combined (q, cand) sum + WindowGroupLimit top-k — the
+    # candidate side must never carry floats into a pair join
+    "embed_pq_adc_topk": (3, ["BroadcastHashJoin", "WindowGroupLimit"], ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin", "BatchEvalPython"]),
 }
 
 

@@ -1,0 +1,106 @@
+"""Product quantization (encode + ADC top-k) vs a numpy reference
+model, plus the tie rule and the integer-snapping contract."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sports_data_integration_and_forecasting_pipeline_spark.operators.pq_codebooks import (
+    PQ_CODEBOOKS,
+    PQ_K,
+    PQ_M,
+    PQ_SUB_DIM,
+)
+from sports_data_integration_and_forecasting_pipeline_spark.operators.quantize import (
+    pq_adc_topk,
+    pq_encode,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _np_encode(vec: np.ndarray) -> list[int]:
+    codes = []
+    for s, book in enumerate(PQ_CODEBOOKS):
+        sub = vec[s * PQ_SUB_DIM : (s + 1) * PQ_SUB_DIM]
+        d = [float(np.sum((sub - np.asarray(c)) ** 2)) for c in book]
+        codes.append(int(np.argmin(d)))  # argmin takes first == lowest code
+    return codes
+
+
+def test_pq_codebook_shape():
+    assert len(PQ_CODEBOOKS) == PQ_M == 4
+    assert all(len(b) == PQ_K == 16 for b in PQ_CODEBOOKS)
+    assert all(len(c) == PQ_SUB_DIM == 16 for b in PQ_CODEBOOKS for c in b)
+
+
+def test_pq_encode_matches_numpy_model(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(50)
+    rows = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    got = {
+        r["vec_id"]: [r["c0"], r["c1"], r["c2"], r["c3"]]
+        for r in pq_encode(emb, PQ_CODEBOOKS).collect()
+    }
+    for vid, vec in rows.items():
+        assert got[vid] == _np_encode(vec), vid
+    assert all(0 <= c < PQ_K for cs in got.values() for c in cs)
+
+
+def test_pq_encode_tie_breaks_to_lowest_code(spark):
+    # two identical centroids -> exact tie -> code 0
+    books = [[[0.0, 0.0], [0.0, 0.0]], [[1.0, 1.0], [2.0, 2.0]]]
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 2.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    r = pq_encode(df, books).collect()[0]
+    assert (r["c0"], r["c1"]) == (0, 1)
+
+
+def test_pq_adc_matches_numpy_model(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = pq_adc_topk(
+        emb, query_pred=F.col("vec_id") < 3, codebooks=PQ_CODEBOOKS, k=5
+    ).collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+
+    def adc(qid, cid):
+        q = vecs[qid]
+        codes = _np_encode(vecs[cid])
+        tot = 0
+        for s, code in enumerate(codes):
+            sub = q[s * PQ_SUB_DIM : (s + 1) * PQ_SUB_DIM]
+            d2 = float(np.sum((sub - np.asarray(PQ_CODEBOOKS[s][code])) ** 2))
+            tot += math.floor(d2 * 1e6 + 0.5)
+        return tot
+
+    assert out  # query ids exist in the table
+    for r in out:
+        assert r["adc_e6"] == adc(r["q_id"], r["cand_id"]), (
+            r["q_id"], r["cand_id"])
+    # ranks are 1..5 per query, ascending distance
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["q_id"], []).append((r["rank"], r["adc_e6"]))
+    for q, rs in by_q.items():
+        rs.sort()
+        assert [x[0] for x in rs] == list(range(1, len(rs) + 1))
+        assert all(rs[i][1] <= rs[i + 1][1] for i in range(len(rs) - 1))
+
+
+def test_pq_adc_exact_float_sum_would_drift(spark):
+    """The reason the snapping happens BEFORE the sum: per-subspace
+    integer entries make the total independent of addition order —
+    summing floats then snapping is not oracle-portable."""
+    # the numpy model in test_pq_adc_matches_numpy_model IS the spec;
+    # here just pin that adc_e6 is an exact integer column (bigint)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(100)
+    sch = dict(pq_adc_topk(
+        emb, query_pred=F.col("vec_id") < 2, codebooks=PQ_CODEBOOKS, k=3
+    ).dtypes)
+    assert sch["adc_e6"] == "bigint" and sch["rank"] == "int"
