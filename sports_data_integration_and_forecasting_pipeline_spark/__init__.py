@@ -51,6 +51,8 @@ from .operators.similarity import (
     ivf_ann_topk,
     cosine_dup_pairs,
     cosine_dup_pairs_blocked,
+    semantic_dedup_pairs,
+    semantic_dedup_keep,
 )
 from .operators.textstats import (
     token_stats,
@@ -220,6 +222,8 @@ __all__ = [
     "ivf_ann_topk",
     "cosine_dup_pairs",
     "cosine_dup_pairs_blocked",
+    "semantic_dedup_pairs",
+    "semantic_dedup_keep",
     # text analysis
     "token_stats",
     "text_quality",

@@ -2369,6 +2369,71 @@ def embed_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Semantic dedup (r9 new family) — SemDeDup (Abbas et al., arXiv 2023;
+# public): near-duplicate pruning in EMBEDDING space, the curation stage
+# that catches paraphrases and re-encodes the lexical families
+# (shingle/minhash/simhash) can't see. Vectors assign to their nearest
+# pretrained cluster (the IVF literal quantizer — shuffle-free), cosine
+# is scored ONLY within a cluster, and each duplicate group resolves to
+# one kept representative via the deterministic star rule
+# (canonical = min(id, min neighbor)). 100 TB: cluster granularity is
+# the knob (the paper runs 50k clusters; the pinned 16-centroid book
+# matches the oracle-parity quantizer), and the per-cell pair join is
+# preceded by the house heavy-key guard so a degenerate cell fails
+# loudly instead of going quadratic.
+# ===========================================================================
+
+@_register(
+    "embed_semdedup_keep",
+    f"""
+    WITH {_emb_norm_cte()},
+    d AS (SELECT vec_id, v, nrm, {_IVF_D_COLS} FROM nv),
+    cells AS (SELECT vec_id, v, nrm, {_IVF_CELL_CASE} AS cell
+              FROM (SELECT *, {_IVF_LEAST} AS m FROM d)),
+    pairs AS (SELECT q.vec_id AS id_a, c.vec_id AS id_b
+              FROM cells q JOIN cells c
+                ON q.cell = c.cell AND q.vec_id < c.vec_id
+              WHERE {_sql_r(_COS_SQL, 6)} >= 0.35),
+    sym AS (SELECT id_a AS u, id_b AS nb FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs),
+    mins AS (SELECT u, min(nb) AS mn FROM sym GROUP BY u)
+    SELECT c.vec_id,
+           CAST(c.cell AS INT) AS cell,
+           CAST(least(c.vec_id, coalesce(m.mn, c.vec_id)) AS BIGINT)
+             AS canonical_id,
+           c.vec_id = least(c.vec_id, coalesce(m.mn, c.vec_id)) AS is_kept
+    FROM cells c LEFT JOIN mins m ON m.u = c.vec_id
+    """,
+    "similarity: SemDeDup keep-list (cluster-scoped semantic dedup, "
+    "Abbas et al. 2023; no reference counterpart)",
+    "per-vector cell, star-canonical id, and keep flag from "
+    "within-cluster cosine >= 0.35 near-dup pairs",
+)
+def embed_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.similarity import (
+        ivf_assign,
+        semantic_dedup_keep,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # heavy-cell guard: the within-cell pair join is quadratic per cell
+    # BY DESIGN (SemDeDup's semantics); a cell past the house pair-join
+    # bound must fail loudly with the fix named (finer quantizer), not
+    # launch the blowup
+    _assert_bounded_group(
+        emb.select(
+            ivf_assign(
+                F.transform("embedding", lambda x: x.cast("double")),
+                IVF_CENTROIDS,
+            ).alias("cell")
+        ),
+        "cell",
+        "embed_semdedup_keep",
+    )
+    return semantic_dedup_keep(emb, IVF_CENTROIDS, threshold=0.35)
+
+
+# ===========================================================================
 # Multimodal binary-column plumbing (north-star scope; SURVEY §7.3-7).
 # Payloads are synthesized from documents.text (no media table in the
 # testdata): payload = encode(prefix || text) where the prefix plants an

@@ -33,6 +33,10 @@ ARROW_OK = {
     # (its plan node FlatMapGroupsInPandas doesn't match the banned
     # substrings, but the contract belongs on this list)
     "skyline_orders_3d",
+    # SemDeDup within-cell pair scan: the designed Arrow crossing —
+    # dim-ordered exact kernel, probe-measured 17-30x over both JVM
+    # per-pair expression forms (r9; SCALING.md)
+    "embed_semdedup_keep",
 }
 # Streaming queries materialize via a memory sink, not a lazy plan.
 SKIP = {
@@ -367,6 +371,13 @@ PINNED = {
     # map-side-combined (q, cand) sum + WindowGroupLimit top-k — the
     # candidate side must never carry floats into a pair join
     "embed_pq_adc_topk": (3, ["BroadcastHashJoin", "WindowGroupLimit"], ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin", "BatchEvalPython"]),
+    # r9 SemDeDup: shuffle-free literal-quantizer cell assignment, ONE
+    # designed Arrow crossing per cell (FlatMapGroupsInPandas — the
+    # dim-ordered exact kernel; probe-driven redesign, see SCALING.md:
+    # both JVM per-pair forms measured 116-203 s at sf1 vs ~7 s here),
+    # star resolution + label join; a JVM pair join appearing means the
+    # kernel regressed to the row-per-pair form
+    "embed_semdedup_keep": (4, ["FlatMapGroupsInPandas", "InMemoryTableScan"], ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin", "BatchEvalPython"]),
 }
 
 
