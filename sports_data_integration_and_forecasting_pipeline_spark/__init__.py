@@ -122,6 +122,7 @@ from .operators.incremental import merge_rollups, rollup_partial
 from .operators.layout import layout_scan_stats, zorder_key_expr
 from .operators.paths import path_funnel, user_event_paths
 from .operators.quantize import (
+    ivfpq_topk,
     pq_adc_topk,
     pq_encode,
     quantization_report,
@@ -256,6 +257,7 @@ __all__ = [
     "quantized_cosine_topk",
     "pq_encode",
     "pq_adc_topk",
+    "ivfpq_topk",
     # event paths
     "user_event_paths",
     "path_funnel",

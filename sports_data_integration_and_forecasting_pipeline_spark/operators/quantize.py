@@ -157,7 +157,15 @@ def quantized_cosine_topk(
 def _sub_d2(v, s: int, sub_dim: int, center: list[float]):
     """Squared L2 of subvector s of ``v`` to a centroid literal —
     sequential left-to-right fold, bit-identical across engines (the
-    `_d2_to_center` discipline applied to a slice)."""
+    `_d2_to_center` discipline applied to a slice).
+
+    Form note (r9, measured): an unrolled expression chain beats this
+    fold ~1.9x on an ISOLATED encode pass at sf1 (2.52 -> 1.36 s), but
+    the full entries stacking 64-80 of these per row (ivfpq, semdedup,
+    ivf_ann) regressed 3-8x at BOTH sf0.1 and sf1 when unrolled — the
+    ~2000-term projection leaves whole-stage codegen (huge-method
+    fallback) and the fallback evaluator is slower than the lambda
+    fold. The fold is the right default; see SCALING.md round-9."""
     c = F.array(*[F.lit(x) for x in center])
     return F.aggregate(
         F.zip_with(
@@ -308,4 +316,138 @@ def pq_adc_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", "cand_id", "adc_e6")
+    )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    query_pred,
+    centers: list[list[float]],
+    codebooks: list[list[list[float]]],
+    n_probe: int = 3,
+    k: int = 5,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ search — the composed production ANN index (FAISS's
+    IVFADC, Jégou et al. TPAMI 2011): the IVF coarse quantizer prunes
+    candidates to each query's ``n_probe`` nearest cells, and the
+    in-cell scan is :func:`pq_adc_topk`'s asymmetric distance over
+    codes. The two halves multiply: cells cut the candidate count
+    ~n_probe/n_cells, PQ cuts per-candidate cost to m integer adds —
+    at 100 TB this is the shape that replaces both the full scan AND
+    the float payload.
+
+    Scale shape: cell assignment and PQ encoding are one narrow
+    projection over the scan (zero shuffles); the probe list and the
+    query LUT are bounded query-side work, broadcast; candidates meet
+    probes in a cell equi-join and the LUT in a (q, s, code) hash join,
+    both broadcast; the (q, cand) ADC sum is map-side-combined exact
+    integer arithmetic; WindowGroupLimit cuts top-k.
+
+    Returns ``(q_id, rank, cand_id, cell, adc_e6)`` — rank by ascending
+    ADC, cand-id tiebreak. Recall < 1 by construction (a true neighbor
+    in an unprobed cell is missed — audit with the recall-audit pattern
+    of `embed_ann_recall_audit`)."""
+    from pyspark.sql.window import Window
+
+    from .similarity import ivf_assign, ivf_cell_structs
+
+    m = len(codebooks)
+    sub_dim = len(codebooks[0][0])
+    v = F.transform(emb_col, lambda x: x.cast("double"))
+    # ONE corpus projection computes cell + all m codes off a shared
+    # staged vector (encoding and assignment separately would scan the
+    # corpus twice and pay the literal-distance folds twice — measured
+    # ~2x the candidate-side cost at sf1)
+    staged = df.select(F.col(id_col), v.alias("__v"))
+    codes = [
+        F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        _sub_d2(F.col("__v"), s, sub_dim, c).alias("d"),
+                        F.lit(i).alias("code"),
+                    )
+                    for i, c in enumerate(book)
+                ]
+            )
+        )
+        .getField("code")
+        .alias(f"c{s}")
+        for s, book in enumerate(codebooks)
+    ]
+    enc = staged.select(
+        F.col(id_col),
+        ivf_assign(F.col("__v"), centers).alias("cell"),
+        *codes,
+    )
+    cand_long = enc.select(
+        F.col(id_col).alias("cand_id"),
+        "cell",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"), F.col(f"c{s}").alias("code")
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("__sc"),
+    ).select(
+        "cand_id", "cell",
+        F.col("__sc.s").alias("s"), F.col("__sc.code").alias("code"),
+    )
+    q = df.filter(query_pred).select(
+        F.col(id_col).alias("q_id"), v.alias("__qv")
+    )
+    probes = q.select(
+        "q_id",
+        F.explode(
+            F.slice(
+                F.array_sort(ivf_cell_structs(F.col("__qv"), centers)),
+                1,
+                n_probe,
+            )
+        ).alias("__p"),
+    ).select("q_id", F.col("__p.cell").alias("cell"))
+    lut = q.select(
+        "q_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.lit(c).alias("code"),
+                        F.floor(
+                            _sub_d2(F.col("__qv"), s, sub_dim, center) * 1e6
+                            + F.lit(0.5)
+                        )
+                        .cast("bigint")
+                        .alias("d_e6"),
+                    )
+                    for s, book in enumerate(codebooks)
+                    for c, center in enumerate(book)
+                ]
+            )
+        ).alias("__l"),
+    ).select(
+        "q_id",
+        F.col("__l.s").alias("s"),
+        F.col("__l.code").alias("code"),
+        F.col("__l.d_e6").alias("d_e6"),
+    )
+    scored = (
+        cand_long.join(F.broadcast(probes), "cell")
+        .join(F.broadcast(lut), ["q_id", "s", "code"])
+        .filter(F.col("q_id") != F.col("cand_id"))
+        .groupBy("q_id", "cand_id", "cell")
+        .agg(F.sum("d_e6").cast("bigint").alias("adc_e6"))
+    )
+    w = Window.partitionBy("q_id").orderBy("adc_e6", "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "cand_id", "cell", "adc_e6")
     )

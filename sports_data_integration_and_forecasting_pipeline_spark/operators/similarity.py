@@ -50,26 +50,6 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
-    """The same left-to-right dot product as :func:`dot`, UNROLLED into a
-    plain expression chain ``((0 + a₁b₁) + a₂b₂) + …`` — bit-identical
-    doubles (same additions, same order), but whole-stage-codegen'd
-    instead of interpreted. Spark evaluates higher-order-function
-    lambdas per element outside codegen (the r8 engine rule,
-    SCALING.md): harmless on per-ROW work, ruinous on per-PAIR work —
-    the r9 SemDeDup probe measured the fold form at 116 s vs this form
-    at seconds for the same 10⁷-pair scan at sf1. Use this whenever the
-    dot runs on a joined pair stream and ``dim`` is statically known."""
-    return reduce(
-        add,
-        [
-            F.element_at(a, i + 1) * F.element_at(b, i + 1)
-            for i in range(dim)
-        ],
-        F.lit(0.0),
-    )
-
-
 def norm(v: Column) -> Column:
     return F.sqrt(dot(v, v))
 
@@ -264,7 +244,9 @@ def ivf_ann_topk(
 
 def _d2_to_center(v: Column, center: list[float]) -> Column:
     """Squared L2 distance to a literal centroid — sequential left-to-right
-    fold, bit-identical across engines."""
+    fold, bit-identical across engines. (r9: an unrolled chain was
+    measured and REVERTED — see `quantize._sub_d2`'s form note and
+    SCALING.md round-9.)"""
     c = F.array(*[F.lit(x) for x in center])
     return F.aggregate(
         F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),

@@ -2279,6 +2279,63 @@ def embed_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The composed index: IVF cells prune the candidate set (~n_probe /
+# n_cells of the table per query), PQ ADC prices each survivor at m
+# integer adds — FAISS's IVFADC, the shape that replaces both the full
+# scan and the float payload at 100 TB. Oracle states the identical
+# probe ranking + code assignment + LUT arithmetic from the same
+# literals, so pruning AND approximation hash-match end-to-end.
+@_register(
+    "embed_ivfpq_topk",
+    f"""
+    WITH {_PQ_ENC_CTES},
+    ivfd AS (SELECT vec_id, v, {_IVF_D_COLS} FROM e),
+    ac AS (SELECT vec_id, {_IVF_CELL_CASE} AS cell
+           FROM (SELECT *, {_IVF_LEAST} AS m FROM ivfd)),
+    probe AS (
+      SELECT vec_id AS q_id, cell FROM (
+        SELECT vec_id, (u).cell AS cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY (u).d, (u).cell) AS pr
+        FROM (SELECT vec_id, unnest({_IVF_PROBE_STRUCTS}) AS u
+              FROM ivfd WHERE vec_id < 10))
+      WHERE pr <= {_IVF_N_PROBE}
+    ),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+    pairs AS (
+      SELECT p.q_id, ac.vec_id AS cand_id, ac.cell,
+             {_PQ_ADC_CASES} AS adc_e6
+      FROM probe p
+      JOIN ac ON ac.cell = p.cell AND ac.vec_id <> p.q_id
+      JOIN enc ON enc.vec_id = ac.vec_id
+      JOIN q ON q.q_id = p.q_id
+    )
+    SELECT q_id, rank, cand_id, cell, adc_e6 FROM (
+      SELECT q_id, cand_id, CAST(cell AS INT) AS cell,
+             CAST(adc_e6 AS BIGINT) AS adc_e6,
+             CAST(row_number() OVER (PARTITION BY q_id
+                                     ORDER BY adc_e6, cand_id) AS INT) AS rank
+      FROM pairs)
+    WHERE rank <= 5
+    """,
+    "similarity: IVF-PQ composed search (IVFADC, Jégou et al. TPAMI "
+    "2011; no reference counterpart)",
+    "3-probe cell pruning + PQ asymmetric-distance top-5 — both the "
+    "pruning and the approximation hash-checked from shared literals",
+)
+def embed_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.quantize import ivfpq_topk
+
+    return ivfpq_topk(
+        _t(spark, sf_dir, "embeddings"),
+        query_pred=F.col("vec_id") < 10,
+        centers=IVF_CENTROIDS,
+        codebooks=PQ_CODEBOOKS,
+        n_probe=_IVF_N_PROBE,
+        k=5,
+    )
+
+
 # ===========================================================================
 # Mean pooling — chunk embeddings -> document embedding (vec_id div 8
 # plays the chunk->doc mapping), the aggregation step of hierarchical

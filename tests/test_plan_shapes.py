@@ -378,6 +378,10 @@ PINNED = {
     # star resolution + label join; a JVM pair join appearing means the
     # kernel regressed to the row-per-pair form
     "embed_semdedup_keep": (4, ["FlatMapGroupsInPandas", "InMemoryTableScan"], ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin", "BatchEvalPython"]),
+    # r9 IVF-PQ composed search: cell assignment + codes in ONE narrow
+    # corpus projection; probe list and query LUT broadcast; the
+    # (q,cand) ADC sum is map-side combined; WindowGroupLimit top-k
+    "embed_ivfpq_topk": (4, ["BroadcastHashJoin", "WindowGroupLimit"], ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin", "BatchEvalPython"]),
 }
 
 

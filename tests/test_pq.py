@@ -104,3 +104,51 @@ def test_pq_adc_exact_float_sum_would_drift(spark):
         emb, query_pred=F.col("vec_id") < 2, codebooks=PQ_CODEBOOKS, k=3
     ).dtypes)
     assert sch["adc_e6"] == "bigint" and sch["rank"] == "int"
+
+
+def test_ivfpq_candidates_only_from_probed_cells(spark):
+    """Every returned candidate sits in one of its query's n_probe
+    nearest cells, and ADC values match the flat-ADC path (cell pruning
+    must change WHICH candidates are scored, never their distance)."""
+    from pyspark.sql import functions as F
+
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.ivf_centroids import IVF_CENTROIDS
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.quantize import ivfpq_topk
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.similarity import (
+        ivf_assign,
+        ivf_cell_structs,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = ivfpq_topk(
+        emb, query_pred=F.col("vec_id") < 3, centers=IVF_CENTROIDS,
+        codebooks=PQ_CODEBOOKS, n_probe=3, k=5,
+    ).collect()
+    assert out
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    probes = {
+        r["vec_id"]: [p["cell"] for p in r["ps"][:3]]
+        for r in emb.filter(F.col("vec_id") < 3).select(
+            "vec_id",
+            F.array_sort(ivf_cell_structs(v, IVF_CENTROIDS)).alias("ps"),
+        ).collect()
+    }
+    cells = {
+        r["vec_id"]: r["cell"]
+        for r in emb.select(
+            "vec_id", ivf_assign(v, IVF_CENTROIDS).alias("cell")
+        ).collect()
+    }
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.quantize import pq_adc_topk
+
+    flat = {
+        (r["q_id"], r["cand_id"]): r["adc_e6"]
+        for r in pq_adc_topk(
+            emb, query_pred=F.col("vec_id") < 3,
+            codebooks=PQ_CODEBOOKS, k=10**9,
+        ).collect()
+    }
+    for r in out:
+        assert r["cell"] == cells[r["cand_id"]]
+        assert r["cell"] in probes[r["q_id"]]
+        assert flat[(r["q_id"], r["cand_id"])] == r["adc_e6"]
