@@ -235,6 +235,14 @@ BUILDER_DOES_CLUSTER_WORK = {
     # so the timer must include it (matches the SCALING.md probe, which
     # times fn()+action for this entry).
     "merge_upsert_orders",
+    # bpe_merge_rounds localCheckpoints each merge round (lineage
+    # truncation, the kcore/pagerank discipline) — the rounds run
+    # eagerly inside fn(), so the timer must start before it. (Eager
+    # precondition GUARDS — semdedup/skyline/theil-sen 1-row
+    # aggregates — stay excluded per the existing convention above;
+    # kcore/pagerank's checkpointed rounds likewise predate this set
+    # and keep their established timing.)
+    "text_bpe_merges",
 }
 
 

@@ -86,6 +86,7 @@ from .operators.frequency import (
 )
 from .operators.rangejoin import interval_overlap_join
 from .operators.textstats import (
+    bpe_merge_rounds,
     inverted_index,
     repetition_stats,
     unigram_perplexity,
@@ -238,6 +239,7 @@ __all__ = [
     "heavy_hitters",
     "interval_overlap_join",
     "unigram_perplexity",
+    "bpe_merge_rounds",
     # corpus curation
     "benchmark_contamination",
     "redact_pii",

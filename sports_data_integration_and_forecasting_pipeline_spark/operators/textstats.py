@@ -355,3 +355,121 @@ def source_reputation(
         (F.sum("__stop").cast("double") / F.sum("__n")).alias("stopword_ratio"),
         (n_dup.cast("double") / n_docs).alias("dup_rate"),
     )
+
+
+# --- BPE merge induction -----------------------------------------------------
+
+
+def bpe_merge_rounds(
+    df: DataFrame,
+    text_col: str = "text",
+    rounds: int = 3,
+) -> DataFrame:
+    """First ``rounds`` merge rules of byte-pair-encoding tokenizer
+    training (Sennrich, Haddow & Birch, "Neural Machine Translation of
+    Rare Words with Subword Units", ACL 2016 — public): start from the
+    corpus word-frequency table with words as character sequences; each
+    round counts frequency-weighted adjacent symbol pairs, merges the
+    most frequent pair everywhere (ties → lexicographically smallest
+    pair — a pinned total order), and repeats on the merged vocabulary.
+
+    Returns ``(round, left_sym, right_sym, pair_count)`` — one row per
+    learned merge, ``pair_count`` the weighted pair frequency at
+    selection time.
+
+    Greedy-merge parity (the subtle part): applying a merge is
+    SEQUENTIAL within a word — in ``aaaa`` the rule ``(a,a)`` produces
+    ``[aa, aa]``, never the overlapping middle pair. Relationally:
+    matching positions form maximal runs only where the pair overlaps
+    itself, and greedy keeps every SECOND match in a run — so a
+    running match-count, an islands grouping (``pos − cum_matches``),
+    and a parity filter reproduce the sequential semantics exactly in
+    one window pass (property-tested against a reference Python BPE,
+    overlap cases included).
+
+    Scale shape: the corpus is touched ONCE (word-count aggregate —
+    map-side combined); every round after that is VOCABULARY-granular:
+    per-word windows over the symbol rows (one exchange on word, reused
+    across rounds via localCheckpoint lineage truncation, the
+    kcore/pagerank discipline), a pair-count aggregate, and a
+    distributed top-1 (TakeOrdered, never a single-partition window).
+    At 100 TB the vocabulary is bounded by the token universe, not the
+    corpus."""
+    if rounds < 1:
+        raise ValueError(f"bpe_merge_rounds: rounds must be >= 1 (got {rounds})")
+    wdf = (
+        df.select(F.explode(_tokens(F.col(text_col))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("wc"))
+    )
+    syms = wdf.select(
+        "word",
+        "wc",
+        F.posexplode(
+            F.split(F.trim(F.regexp_replace("word", "(.)", "$1 ")), " ")
+        ).alias("p", "sym"),
+    ).select("word", "wc", (F.col("p") + 1).alias("pos"), "sym")
+
+    w = Window.partitionBy("word").orderBy("pos")
+    merges = []
+    cur = syms.localCheckpoint()
+    for r in range(1, rounds + 1):
+        pairs = cur.withColumn("nxt", F.lead("sym").over(w))
+        pc = (
+            pairs.filter(F.col("nxt").isNotNull())
+            .groupBy("sym", "nxt")
+            .agg(F.sum("wc").cast("bigint").alias("n"))
+        )
+        best = (
+            pc.orderBy(F.desc("n"), "sym", "nxt")
+            .limit(1)
+            .select(
+                F.col("sym").alias("bs"),
+                F.col("nxt").alias("bn"),
+                F.col("n").alias("bcount"),
+            )
+        )
+        fl = pairs.crossJoin(F.broadcast(best)).withColumn(
+            "m", (F.col("sym") == F.col("bs")) & (F.col("nxt") == F.col("bn"))
+        )
+        fl = fl.withColumn(
+            "cm",
+            F.sum(F.col("m").cast("int")).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        fl = fl.withColumn("grp", F.when(F.col("m"), F.col("pos") - F.col("cm")))
+        wg = Window.partitionBy("word", "grp")
+        fl = fl.withColumn(
+            "sel",
+            F.col("m") & (((F.col("cm") - F.min("cm").over(wg)) % 2) == 0),
+        )
+        fl = fl.withColumn(
+            "consumed", F.coalesce(F.lag("sel").over(w), F.lit(False))
+        )
+        merges.append(
+            best.select(
+                F.lit(r).cast("int").alias("round"),
+                F.col("bs").alias("left_sym"),
+                F.col("bn").alias("right_sym"),
+                F.col("bcount").alias("pair_count"),
+            )
+        )
+        cur = (
+            fl.filter(~F.col("consumed"))
+            .select(
+                "word",
+                "wc",
+                "pos",
+                F.when(F.col("sel"), F.concat("sym", "nxt"))
+                .otherwise(F.col("sym"))
+                .alias("sym"),
+            )
+            .withColumn("pos", F.row_number().over(w))
+            .localCheckpoint()
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out

@@ -11146,6 +11146,98 @@ def _mk_iter_sql(prev: str, name: str) -> str:
     )
 
 
+
+# ===========================================================================
+# BPE merge induction (r9 new family) — the pair-merge loop of subword
+# tokenizer training (Sennrich et al., ACL 2016), run relationally:
+# corpus touched once into the word-frequency table, then every round
+# is VOCABULARY-granular (per-word windows + a pair aggregate + a
+# distributed top-1). The sequential greedy-merge semantics ("aaaa" +
+# rule (a,a) -> [aa, aa], never the overlapping middle pair) is
+# reproduced exactly by a running match-count, an islands grouping
+# (pos - cum_matches), and a parity filter — property-tested against a
+# reference Python BPE (operators/textstats.py:bpe_merge_rounds).
+# ===========================================================================
+
+def _bpe_round_sql(r: int) -> str:
+    prev = f"s{r - 1}"
+    return f"""
+    p{r} AS (SELECT word, wc, pos, sym,
+                    lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+             FROM {prev}),
+    pc{r} AS (SELECT sym, nxt, CAST(sum(wc) AS BIGINT) AS n
+              FROM p{r} WHERE nxt IS NOT NULL GROUP BY sym, nxt),
+    b{r} AS (SELECT sym AS bs, nxt AS bn, n AS bcount FROM (
+               SELECT sym, nxt, n,
+                      row_number() OVER (ORDER BY n DESC, sym, nxt) AS rn
+               FROM pc{r}) WHERE rn = 1),
+    f{r} AS (SELECT p.word, p.wc, p.pos, p.sym, p.nxt,
+                    (p.sym = b.bs AND p.nxt = b.bn) AS m
+             FROM p{r} p CROSS JOIN b{r} b),
+    g{r} AS (SELECT *, sum(CASE WHEN m THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY word ORDER BY pos) AS cm
+             FROM f{r}),
+    h{r} AS (SELECT *, CASE WHEN m THEN pos - cm END AS grp FROM g{r}),
+    i{r} AS (SELECT *, m AND ((cm - min(cm) OVER (PARTITION BY word, grp))
+                              % 2 = 0) AS sel
+             FROM h{r}),
+    j{r} AS (SELECT *, coalesce(lag(sel) OVER (PARTITION BY word
+                                               ORDER BY pos), FALSE)
+                         AS consumed
+             FROM i{r}),
+    s{r} AS (SELECT word, wc,
+                    CAST(row_number() OVER (PARTITION BY word ORDER BY pos)
+                         AS BIGINT) AS pos,
+                    CASE WHEN sel THEN sym || nxt ELSE sym END AS sym
+             FROM j{r} WHERE NOT consumed)"""
+
+
+_BPE_ROUNDS = 3
+_BPE_CTES = (
+    """
+    w0 AS (SELECT word, CAST(count(*) AS BIGINT) AS wc
+           FROM (SELECT unnest(string_split(text, ' ')) AS word
+                 FROM documents)
+           WHERE word <> '' GROUP BY word),
+    c0 AS (SELECT word, wc,
+                  string_split(trim(regexp_replace(word, '(.)', '\\1 ', 'g')),
+                               ' ') AS l
+           FROM w0),
+    s0 AS (SELECT word, wc, CAST(pos AS BIGINT) AS pos, l[pos::INT] AS sym
+           FROM (SELECT word, wc, l, unnest(range(1, len(l) + 1)) AS pos
+                 FROM c0)),"""
+    + ",".join(_bpe_round_sql(r) for r in range(1, _BPE_ROUNDS + 1))
+)
+
+
+@_register(
+    "text_bpe_merges",
+    f"""
+    WITH {_BPE_CTES}
+    SELECT * FROM (
+      {" UNION ALL ".join(
+          f"SELECT CAST({r} AS INT) AS round, bs AS left_sym, bn AS right_sym, "
+          f"bcount AS pair_count FROM b{r}"
+          for r in range(1, _BPE_ROUNDS + 1)
+      )}
+    )
+    """,
+    "textops: BPE merge induction (first 3 tokenizer merge rules, "
+    "Sennrich et al. ACL 2016; no reference counterpart)",
+    "frequency-weighted pair counting + exact greedy merge per round "
+    "over the word-frequency vocabulary — sequential merge semantics "
+    "via islands-and-parity windows",
+)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import (
+        bpe_merge_rounds,
+    )
+
+    return bpe_merge_rounds(
+        _t(spark, sf_dir, "documents"), rounds=_BPE_ROUNDS
+    )
+
+
 @_register(
     "markov_steady_state_power",
     f"""
@@ -13307,6 +13399,13 @@ _WINDOW_PRIORITY = [
 #   r9: DONE (see Round-9 rotation note above) — 17 out / 17 in,
 #       including all of the planned list plus q4_order_priority,
 #       text_unigram_perplexity, and multimodal_frame_sample.
+#   r10 addendum (late r9): the six r9 family entries
+#       (dedup_winnow_fingerprints, dedup_winnow_match_pairs,
+#       embed_pq_codes, embed_pq_adc_topk, embed_semdedup_keep,
+#       embed_ivfpq_topk) are all swept green at sf0.01 on arrival —
+#       rotation-safe; put the family heads (winnow_fingerprints,
+#       pq_codes or ivfpq, semdedup_keep) near the front of the r10
+#       in-list.
 #   r10: rotate out the 17 r8 first-timers once twice-green
 #       (merge_upsert_orders, ivf_centroid_refresh,
 #       dedup_sorted_neighborhood, skyline_supplier_frontier,

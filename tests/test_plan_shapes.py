@@ -382,6 +382,12 @@ PINNED = {
     # corpus projection; probe list and query LUT broadcast; the
     # (q,cand) ADC sum is map-side combined; WindowGroupLimit top-k
     "embed_ivfpq_topk": (4, ["BroadcastHashJoin", "WindowGroupLimit"], ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin", "BatchEvalPython"]),
+    # r9 BPE merges: rounds are checkpoint-truncated (Scan ExistingRDD),
+    # so the visible plan is 3 vocab-granular pair aggregates + the
+    # distributed top-1s (TakeOrderedAndProject, never a global-sort
+    # window) + the 3-row union; any join shape here means a round
+    # regressed to a join-back form
+    "text_bpe_merges": (6, ["TakeOrderedAndProject", "Union", "Scan ExistingRDD"], ["Join", "CartesianProduct", "BatchEvalPython"]),
 }
 
 
