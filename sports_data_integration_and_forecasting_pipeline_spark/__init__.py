@@ -66,6 +66,8 @@ from .operators.multimodal import (
     resize_images,
     sample_frames,
     audio_duration,
+    cdc_chunks,
+    cdc_dedup_stats,
 )
 from .operators.skew import (
     salted_sum_count,
@@ -271,6 +273,8 @@ __all__ = [
     "bloom_build",
     "bloom_might_contain",
     "bloom_prune",
+    "cdc_chunks",
+    "cdc_dedup_stats",
     "profile_table",
     "scd2_intervals",
     "merge_into",

@@ -30,6 +30,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 MEDIA_META_SCHEMA = T.StructType(
     [
@@ -229,4 +230,142 @@ def audio_duration(
             "n_samples": n_samples,
             "duration_sec": n_samples / F.col(sample_rate_col).cast("double"),
         }
+    )
+
+
+# --- content-defined chunking (CDC) dedup ------------------------------------
+
+CDC_WINDOW = 8
+CDC_MASK_BITS = 6  # boundary odds 1/64 per position -> ~64-byte chunks
+
+
+def _gear(bytehex: Column) -> Column:
+    """Deterministic 52-bit gear value per byte, derived from md5 the
+    engine-portable way (no RNG library, no literal table to ship —
+    both engines compute the identical table inline)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit("gear-"), bytehex)), 1, 13), 16, 10
+    ).cast("long")
+
+
+def cdc_chunks(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    window: int = CDC_WINDOW,
+    mask_bits: int = CDC_MASK_BITS,
+) -> DataFrame:
+    """Content-defined chunking of binary payloads — the gear-hash CDC
+    family (Xia et al., "FastCDC", USENIX ATC '16; public): a rolling
+    hash over the trailing ``window`` bytes declares a chunk boundary
+    wherever its low ``mask_bits`` bits are zero, so chunk boundaries
+    follow CONTENT, not offsets — insert one byte at the front of a
+    payload and every fixed-size chunk shifts, but CDC boundaries
+    re-synchronize within one window. That shift-resilience is why
+    dedup storage (and multimodal training-data pipelines dropping
+    re-encoded copies) chunk this way.
+
+    Hash form: ``h_i = Σ_{j=0..w−1} gear(b_{i−j})·2^j`` — the windowed
+    gear sum, expressed as ``w`` ``lag()`` terms over the byte stream
+    (pure window arithmetic; the classic unbounded gear recurrence is
+    sequential, the windowed form is not). Byte values travel as hex
+    pairs (``F.hex`` is uppercase in both engines), and ``chunk_md5``
+    is the md5 OF THE HEX SLICE — identity over the hex encoding
+    sidesteps blob-md5 portability entirely.
+
+    Returns ``(id_col, chunk_idx, start_byte, n_bytes, chunk_md5)``
+    with 1-based ``start_byte``; a payload shorter than ``window``
+    yields one whole-payload chunk.
+
+    Scale shape: ONE payload-granular exchange (the byte-stream window
+    shuffle) drives the lags, the boundary flags, the exclusive
+    boundary count (= chunk id), and the per-chunk aggregate; chunk
+    hashing joins the chunk table back to the payload row on the id
+    equi-key and md5s a substring — payload bytes are never shuffled
+    as rows, only the hex column rides the (narrow) join."""
+    if window < 1:
+        raise ValueError(f"cdc_chunks: window must be >= 1 (got {window})")
+    if mask_bits < 1:
+        raise ValueError(
+            f"cdc_chunks: mask_bits must be >= 1 (got {mask_bits})"
+        )
+    hexed = df.select(
+        F.col(id_col), F.hex(F.col(payload_col)).alias("__hx")
+    )
+    toks = hexed.select(
+        id_col,
+        "__hx",
+        F.posexplode(
+            F.split(
+                F.trim(F.regexp_replace(F.col("__hx"), "(..)", "$1 ")), " "
+            )
+        ).alias("__p", "__b"),
+    ).select(
+        id_col, (F.col("__p") + 1).alias("pos"), _gear(F.col("__b")).alias("g")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    h = None
+    for j in range(window):
+        term = (F.lag("g", j).over(w) if j else F.col("g")) * F.lit(1 << j)
+        h = term if h is None else h + term
+    mask = 1 << mask_bits
+    flagged = toks.select(
+        id_col,
+        "pos",
+        (
+            (F.col("pos") >= F.lit(window)) & ((h % F.lit(mask)) == 0)
+        ).alias("__bd"),
+    )
+    chunked = flagged.withColumn(
+        "__cid",
+        F.coalesce(
+            F.sum(F.col("__bd").cast("int")).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    chunks = chunked.groupBy(id_col, "__cid").agg(
+        F.min("pos").cast("bigint").alias("start_byte"),
+        F.count("*").cast("bigint").alias("n_bytes"),
+    )
+    return (
+        chunks.join(hexed, id_col)
+        .select(
+            F.col(id_col),
+            (F.col("__cid") + 1).cast("int").alias("chunk_idx"),
+            "start_byte",
+            "n_bytes",
+            F.md5(
+                F.substring(
+                    F.col("__hx"),
+                    ((F.col("start_byte") - 1) * 2 + 1).cast("int"),
+                    (F.col("n_bytes") * 2).cast("int"),
+                )
+            ).alias("chunk_md5"),
+        )
+    )
+
+
+def cdc_dedup_stats(chunks: DataFrame) -> DataFrame:
+    """Corpus-level CDC dedup accounting over :func:`cdc_chunks` output:
+    how many chunks, how many DISTINCT chunk contents, raw vs deduped
+    byte totals — the "what would a content-addressed store save"
+    report. Chunk contents are identified by (chunk_md5, n_bytes);
+    everything is a two-level aggregate (map-side combined), never a
+    pair join."""
+    per = chunks.groupBy("chunk_md5", "n_bytes").agg(
+        F.count("*").cast("bigint").alias("n_copies")
+    )
+    return per.agg(
+        F.sum("n_copies").cast("bigint").alias("n_chunks"),
+        F.count("*").cast("bigint").alias("n_distinct_chunks"),
+        F.sum(F.col("n_copies") * F.col("n_bytes")).cast("bigint").alias("total_bytes"),
+        F.sum("n_bytes").cast("bigint").alias("deduped_bytes"),
+    ).select(
+        "n_chunks",
+        "n_distinct_chunks",
+        "total_bytes",
+        "deduped_bytes",
+        (F.col("total_bytes") - F.col("deduped_bytes")).alias("bytes_saved"),
     )

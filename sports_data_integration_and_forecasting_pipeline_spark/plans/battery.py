@@ -2546,6 +2546,114 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# ===========================================================================
+# Content-defined chunking dedup (r9 new family) — gear-hash CDC
+# (FastCDC family, Xia et al. USENIX ATC '16): chunk boundaries follow
+# CONTENT (rolling-hash mask), so a one-byte insertion re-synchronizes
+# within one window instead of shifting every fixed-size chunk — the
+# primitive content-addressed stores and multimodal pipelines use to
+# drop re-encoded payload copies. The windowed gear sum is w lag()
+# terms (pure window arithmetic; the unbounded gear recurrence is
+# sequential, the windowed form is not), byte values travel as hex
+# pairs, and chunk identity is md5 over the hex slice — every step
+# engine-identical (operators/multimodal.py:cdc_chunks).
+# ===========================================================================
+
+_CDC_H_SQL = " + ".join(
+    f"lag(g, {j}) OVER w * {1 << j}" if j else "g * 1"
+    for j in range(8)
+)
+_CDC_CTES = f"""
+    m AS (SELECT doc_id AS media_id,
+                 hex(encode(concat({_MM_PREFIX_SQL}, text))) AS hx
+          FROM documents),
+    t0 AS (SELECT media_id, hx,
+                  string_split(trim(regexp_replace(hx, '(..)', '\\1 ', 'g')),
+                               ' ') AS l
+           FROM m),
+    t AS (SELECT media_id, CAST(pos AS BIGINT) AS pos,
+                 CAST(concat('0x', substring(md5(concat('gear-', l[pos::INT])),
+                                             1, 13)) AS BIGINT) AS g
+          FROM (SELECT media_id, l, unnest(range(1, len(l) + 1)) AS pos
+                FROM t0)),
+    hh AS (SELECT media_id, pos, {_CDC_H_SQL} AS h
+           FROM t WINDOW w AS (PARTITION BY media_id ORDER BY pos)),
+    f AS (SELECT media_id, pos,
+                 pos >= 8 AND (h % 64 = 0) AS bd
+          FROM hh),
+    c AS (SELECT media_id, pos,
+                 coalesce(sum(CASE WHEN bd THEN 1 ELSE 0 END)
+                            OVER (PARTITION BY media_id ORDER BY pos
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS cid
+          FROM c0_src),
+    ch AS (SELECT media_id, cid,
+                  CAST(min(pos) AS BIGINT) AS start_byte,
+                  CAST(count(*) AS BIGINT) AS n_bytes
+           FROM c GROUP BY media_id, cid),
+    chunks AS (
+      SELECT ch.media_id, CAST(ch.cid + 1 AS INT) AS chunk_idx,
+             ch.start_byte, ch.n_bytes,
+             md5(substring(t0.hx, ((ch.start_byte - 1) * 2 + 1)::INT,
+                           (ch.n_bytes * 2)::INT)) AS chunk_md5
+      FROM ch JOIN t0 ON t0.media_id = ch.media_id)
+""".replace("c0_src", "f")
+
+
+@_register(
+    "multimodal_cdc_chunks",
+    f"""
+    WITH {_CDC_CTES}
+    SELECT media_id, chunk_idx, start_byte, n_bytes, chunk_md5 FROM chunks
+    """,
+    "multimodal: content-defined chunking (gear-hash CDC, FastCDC "
+    "family; no reference counterpart)",
+    "per-payload content-defined chunks: windowed gear sum over hex "
+    "byte pairs, mask boundary, md5 chunk identity over the hex slice",
+)
+def multimodal_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.multimodal import cdc_chunks
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import (
+        ensure_parallelism,
+    )
+
+    return cdc_chunks(ensure_parallelism(_media_df(spark, sf_dir), "media_id"))
+
+
+@_register(
+    "multimodal_cdc_dedup_stats",
+    f"""
+    WITH {_CDC_CTES},
+    per AS (SELECT chunk_md5, n_bytes, CAST(count(*) AS BIGINT) AS n_copies
+            FROM chunks GROUP BY chunk_md5, n_bytes)
+    SELECT CAST(sum(n_copies) AS BIGINT) AS n_chunks,
+           CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+           CAST(sum(n_copies * n_bytes) AS BIGINT) AS total_bytes,
+           CAST(sum(n_bytes) AS BIGINT) AS deduped_bytes,
+           CAST(sum(n_copies * n_bytes) - sum(n_bytes) AS BIGINT)
+             AS bytes_saved
+    FROM per
+    """,
+    "multimodal: CDC dedup accounting (content-addressed-store savings "
+    "report; no reference counterpart)",
+    "corpus chunk totals vs distinct chunk contents — raw/deduped byte "
+    "totals from two map-side-combined aggregates",
+)
+def multimodal_cdc_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.multimodal import (
+        cdc_chunks,
+        cdc_dedup_stats,
+    )
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import (
+        ensure_parallelism,
+    )
+
+    return cdc_dedup_stats(
+        cdc_chunks(ensure_parallelism(_media_df(spark, sf_dir), "media_id"))
+    )
+
+
 @_register(
     "multimodal_image_features",
     f"""

@@ -388,6 +388,13 @@ PINNED = {
     # window) + the 3-row union; any join shape here means a round
     # regressed to a join-back form
     "text_bpe_merges": (6, ["TakeOrderedAndProject", "Union", "Scan ExistingRDD"], ["Join", "CartesianProduct", "BatchEvalPython"]),
+    # r9 CDC: one payload-granular exchange drives the lag windows, the
+    # boundary flags, the exclusive boundary count, and the chunk
+    # aggregate; the hash join back to the payload row is un-hinted
+    # (broadcast at test SF, AQE degrades it to shuffle at scale — SMJ
+    # is deliberately NOT banned here), and no pair shape may appear
+    "multimodal_cdc_chunks": (3, ["Window", "Generate"], ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"]),
+    "multimodal_cdc_dedup_stats": (5, ["Window", "Generate"], ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"]),
 }
 
 

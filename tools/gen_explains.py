@@ -75,6 +75,8 @@ NOTES = {
     "embed_pq_codes": "PQ encode: pure literal-codebook projection, ZERO exchanges — 64 bounded-width d2 folds per row inside the scan stage (the r8 interpreted-lambda rule's numeric exception).",
     "embed_pq_adc_topk": "PQ ADC: exploded (cand, s, code) ints meet the broadcast 64-key LUT; per-(q,cand) sum is map-side-combined integer adds; WindowGroupLimit top-k. Linear candidate scan is ADC's semantics — IVF cell pruning composes orthogonally.",
     "embed_semdedup_keep": "SemDeDup: literal-quantizer cell assignment (shuffle-free) -> ONE designed Arrow crossing per cell (dim-ordered exact kernel; 17-30x over both JVM per-pair forms at sf1, heavy-cell guard at entry AND in-kernel) -> symmetric neighborhood-min star resolution -> label join.",
+    "text_bpe_merges": "BPE merge induction: 3 checkpoint-truncated vocabulary-granular rounds (pair aggregate + distributed top-1 TakeOrderedAndProject); sequential greedy-merge parity via islands-and-parity windows.",
+    "multimodal_cdc_chunks": "Gear-hash CDC: one payload-granular exchange drives the 8 lag terms, boundary mask, exclusive boundary count, and chunk aggregate; un-hinted payload join (AQE-sized).",
     "embed_ivfpq_topk": "IVFADC: cell + all PQ codes fused into ONE narrow corpus projection; broadcast probe list and query LUT; map-side-combined integer ADC sums; WindowGroupLimit top-k. Pruning AND approximation hash-checked from shared literals.",
 }
 
