@@ -90,6 +90,7 @@ from .operators.rangejoin import interval_overlap_join
 from .operators.textstats import (
     bpe_merge_rounds,
     inverted_index,
+    quality_linear_filter,
     repetition_stats,
     unigram_perplexity,
 )
@@ -109,6 +110,7 @@ from .operators.dedup import (
     shingle_rows,
     sorted_neighborhood_candidates,
     substring_gram_counts,
+    soft_dedup_weights,
     winnow_fingerprints,
     winnow_match_pairs,
 )
@@ -242,6 +244,8 @@ __all__ = [
     "interval_overlap_join",
     "unigram_perplexity",
     "bpe_merge_rounds",
+    "quality_linear_filter",
+    "soft_dedup_weights",
     # corpus curation
     "benchmark_contamination",
     "redact_pii",

@@ -1572,3 +1572,35 @@ def winnow_match_pairs(
         .agg(F.count("*").cast("bigint").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def soft_dedup_weights(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Soft dedup — duplicate DOWN-WEIGHTING instead of dropping: every
+    copy of a duplicated document stays in the corpus with training
+    weight 1/multiplicity, so each distinct CONTENT contributes exactly
+    one document's worth of gradient (the loss-weighting alternative to
+    hard dedup; keeps ordering/packing pipelines untouched while
+    removing the duplicated-content bias).
+
+    Identity is the exact md5 content fingerprint (the
+    :func:`exact_dup_groups` convention); weights are integer
+    micro-units (``1_000_000 DIV multiplicity``) so they hash-match the
+    oracle, and the residual rounding mass is reported per group
+    (``Σ weight_e6 = 1e6 − (1e6 mod multiplicity)``, exact).
+
+    Returns ``(id_col, fp, multiplicity, weight_e6)``.
+
+    Scale shape: one fingerprint projection (narrow) + one window count
+    over the fingerprint partitioning — a single exchange, no joins."""
+    fp = F.md5(F.col(text_col))
+    w = Window.partitionBy("fp")
+    return (
+        df.select(F.col(id_col), fp.alias("fp"))
+        .withColumn("multiplicity", F.count("*").over(w).cast("bigint"))
+        .withColumn(
+            "weight_e6",
+            F.expr("1000000 DIV multiplicity").cast("bigint"),
+        )
+    )

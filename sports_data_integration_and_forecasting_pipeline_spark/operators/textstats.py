@@ -473,3 +473,72 @@ def bpe_merge_rounds(
     for m in merges[1:]:
         out = out.unionByName(m)
     return out
+
+
+# --- model-based quality filter ----------------------------------------------
+
+# Pinned linear-classifier weights (integer milli-units — calibrated
+# offline, the _PPL_CUT_E4 discipline: at scale the weights come from a
+# fasttext/CCNet-style training run, never from query-time fitting).
+# Features are integer micro-unit ratios, so the whole score is exact
+# integer arithmetic both engines reproduce bit-for-bit.
+QUALITY_W0_E6 = -900_000          # bias
+QUALITY_W_STOP_E3 = 2_400         # stopword ratio: more -> more natural text
+QUALITY_W_PUNCT_E3 = -1_800       # punctuation soup -> boilerplate/code
+QUALITY_W_LEN_E3 = 700            # length saturation at 100 tokens
+QUALITY_W_AWL_E3 = -60            # very long average words -> junk/URLs
+
+
+def quality_linear_filter(
+    df: DataFrame, text_col: str = "text", nchars_col: str = "n_chars"
+) -> DataFrame:
+    """Model-based quality filter — the linear-classifier stage
+    (fasttext/CCNet style, Wenzek et al. LREC 2020; public) real
+    curation pipelines run beside rule filters and the LM perplexity
+    cut: a pinned-weight linear score over cheap text features, keep
+    iff the logit is non-negative.
+
+    Everything is exact integer arithmetic: features are micro-unit
+    ratios (floor(x·10⁶ + 0.5)), weights are pinned milli-unit literals,
+    and ``logit_e6 = w0 + Σ wᵢ·fᵢ DIV 1000`` — so the filter decision
+    hash-matches the SQL oracle with no float boundary cases.
+
+    Scale shape: a pure narrow projection — zero shuffles, zero Python;
+    100 TB filters at scan speed (the plan-shape test pins 0 exchanges).
+
+    Returns the input plus ``(stop_e6, punct_e6, len_sat_e6, awl_e6,
+    logit_e6, kept)``."""
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks).cast("bigint")
+    nchars = F.col(nchars_col).cast("bigint")
+    stop = _count_in(toks, EN_STOPWORDS)
+    punct = F.length(
+        F.regexp_replace(F.col(text_col), PUNCT_CLASS, "")
+    ).cast("bigint")
+
+    def _e6(num, den):
+        return F.floor(num.cast("double") / den * 1e6 + 0.5).cast("bigint")
+
+    stop_e6 = _e6(stop, n)
+    punct_e6 = _e6(punct, nchars)
+    len_sat_e6 = (F.least(n, F.lit(100)) * 10_000).cast("bigint")
+    awl_e6 = _e6(nchars - (n - 1), n)
+    logit = (
+        F.lit(QUALITY_W0_E6)
+        + F.expr(f"{QUALITY_W_STOP_E3} * stop_e6 DIV 1000")
+        + F.expr(f"{QUALITY_W_PUNCT_E3} * punct_e6 DIV 1000")
+        + F.expr(f"{QUALITY_W_LEN_E3} * len_sat_e6 DIV 1000")
+        + F.expr(f"{QUALITY_W_AWL_E3} * awl_e6 DIV 1000")
+    )
+    return (
+        df.withColumns(
+            {
+                "stop_e6": stop_e6,
+                "punct_e6": punct_e6,
+                "len_sat_e6": len_sat_e6,
+                "awl_e6": awl_e6,
+            }
+        )
+        .withColumn("logit_e6", logit.cast("bigint"))
+        .withColumn("kept", F.col("logit_e6") >= 0)
+    )

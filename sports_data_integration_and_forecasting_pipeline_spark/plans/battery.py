@@ -918,6 +918,76 @@ def text_quality_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# ===========================================================================
+# Model-based quality filter (r9) — the linear-classifier curation
+# stage (fasttext/CCNet style, Wenzek et al. LREC 2020) beside the rule
+# filters (text_quality) and the LM cut (quality_perplexity_cut):
+# pinned milli-unit literal weights over micro-unit integer features,
+# keep iff logit >= 0. Pure narrow projection — scan-speed at 100 TB,
+# plan-pinned at zero exchanges; the decision is exact integer
+# arithmetic with no float boundary cases
+# (operators/textstats.py:quality_linear_filter).
+# ===========================================================================
+
+from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import (  # noqa: E402
+    QUALITY_W0_E6,
+    QUALITY_W_AWL_E3,
+    QUALITY_W_LEN_E3,
+    QUALITY_W_PUNCT_E3,
+    QUALITY_W_STOP_E3,
+)
+
+
+@_register(
+    "quality_linear_filter",
+    f"""
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+             {_sql_count_in(('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it', 'for', 'on'))} AS n_stop,
+             CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             CAST(floor(1.0 * n_stop / n * 1000000 + 0.5) AS BIGINT) AS stop_e6,
+             CAST(floor(1.0 * n_punct / n_chars * 1000000 + 0.5) AS BIGINT) AS punct_e6,
+             CAST(least(n, 100) * 10000 AS BIGINT) AS len_sat_e6,
+             CAST(floor(1.0 * (n_chars - (n - 1)) / n * 1000000 + 0.5) AS BIGINT) AS awl_e6
+      FROM t
+    )
+    SELECT doc_id, stop_e6, punct_e6, len_sat_e6, awl_e6,
+           CAST({QUALITY_W0_E6}
+                + {QUALITY_W_STOP_E3} * stop_e6 // 1000
+                + {QUALITY_W_PUNCT_E3} * punct_e6 // 1000
+                + {QUALITY_W_LEN_E3} * len_sat_e6 // 1000
+                + {QUALITY_W_AWL_E3} * awl_e6 // 1000 AS BIGINT) AS logit_e6,
+           ({QUALITY_W0_E6}
+                + {QUALITY_W_STOP_E3} * stop_e6 // 1000
+                + {QUALITY_W_PUNCT_E3} * punct_e6 // 1000
+                + {QUALITY_W_LEN_E3} * len_sat_e6 // 1000
+                + {QUALITY_W_AWL_E3} * awl_e6 // 1000) >= 0 AS kept
+    FROM f
+    """,
+    "curation: model-based quality filter (pinned-weight linear "
+    "classifier, fasttext/CCNet style; no reference counterpart)",
+    "integer-exact linear quality logit over micro-unit text features; "
+    "keep iff logit >= 0 — zero-shuffle scan-speed projection",
+)
+def quality_linear_filter_battery(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import (
+        quality_linear_filter,
+    )
+
+    return quality_linear_filter(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "stop_e6", "punct_e6", "len_sat_e6", "awl_e6",
+        "logit_e6", "kept",
+    )
+
+
 @_register(
     "text_language_id",
     f"""
@@ -1040,6 +1110,36 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the same prefix construction, so the driver hash-checks the whole
 # pipeline — ordering, prefix math, verification — not just the final
 # filter.
+
+# Soft dedup (r9): duplicate DOWN-WEIGHTING — every copy stays with
+# training weight 1e6 DIV multiplicity, so each distinct content
+# contributes one document of gradient mass without re-ordering or
+# re-packing the corpus (the loss-weighting alternative to dropping;
+# operators/dedup.py:soft_dedup_weights). One narrow fingerprint
+# projection + one fingerprint-partitioned count window — a single
+# exchange, no joins.
+@_register(
+    "dedup_soft_weights",
+    """
+    SELECT doc_id,
+           md5(text) AS fp,
+           CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT)
+             AS multiplicity,
+           CAST(1000000 // (count(*) OVER (PARTITION BY md5(text)))
+                AS BIGINT) AS weight_e6
+    FROM documents
+    """,
+    "curation: soft dedup via duplicate down-weighting (loss-weighting "
+    "alternative to dropping; no reference counterpart)",
+    "per-copy training weight 1e6 DIV multiplicity over exact md5 "
+    "content groups — one window, no joins",
+)
+def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import soft_dedup_weights
+
+    return soft_dedup_weights(_t(spark, sf_dir, "documents"))
+
+
 @_register(
     "dedup_shingle_jaccard",
     f"""

@@ -332,3 +332,16 @@ def test_sorted_neighborhood_rejects_nonpositive_window(spark):
             sorted_neighborhood_candidates(
                 df, ["doc_id"], window=bad, id_col="doc_id"
             )
+
+
+def test_soft_dedup_weights(spark):
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import soft_dedup_weights
+
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "same text"), (4, "unique")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["multiplicity"], r["weight_e6"])
+           for r in soft_dedup_weights(df).collect()}
+    assert out == {1: (3, 333333), 2: (3, 333333), 3: (3, 333333),
+                   4: (1, 1000000)}

@@ -395,6 +395,10 @@ PINNED = {
     # is deliberately NOT banned here), and no pair shape may appear
     "multimodal_cdc_chunks": (3, ["Window", "Generate"], ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"]),
     "multimodal_cdc_dedup_stats": (5, ["Window", "Generate"], ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"]),
+    # r9 model-based quality filter: ZERO-shuffle scan-speed projection
+    "quality_linear_filter": (0, [], ["Exchange", "Join", "BatchEvalPython"]),
+    # r9 soft dedup: one fingerprint-partitioned count window, no joins
+    "dedup_soft_weights": (1, ["Window"], ["Join", "CartesianProduct", "BatchEvalPython"]),
 }
 
 

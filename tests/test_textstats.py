@@ -143,3 +143,51 @@ def test_source_reputation_rollup(spark):
     # A: tokens 3 + 5, stopwords 1 ("the") + 5 (all) = 6/8
     assert got["A"]["total_tokens"] == 8
     assert abs(got["A"]["stopword_ratio"] - 6 / 8) < 1e-12
+
+
+def test_quality_linear_filter_integer_exact(spark):
+    """The logit is exact integer arithmetic over pinned literals —
+    verified against a pure-Python model on synthetic docs."""
+    import math
+
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import (
+        EN_STOPWORDS,
+        QUALITY_W0_E6,
+        QUALITY_W_AWL_E3,
+        QUALITY_W_LEN_E3,
+        QUALITY_W_PUNCT_E3,
+        QUALITY_W_STOP_E3,
+        quality_linear_filter,
+    )
+
+    texts = [
+        "the quick brown fox is on the mat and it is fine",
+        "aaaa;;;; bbbb!!!! cccc????",
+        "x",
+        "the " * 150 + "end",
+    ]
+    rows = [(i, t.strip(), len(t.strip())) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    got = {r["doc_id"]: (r["logit_e6"], r["kept"])
+           for r in quality_linear_filter(df).collect()}
+
+    def tdiv(a, b):  # truncating integer division (Spark DIV / DuckDB //)
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    for i, t, nc in rows:
+        toks = t.split(" ")
+        n = len(toks)
+        stop = sum(1 for x in toks if x in EN_STOPWORDS)
+        punct = sum(1 for c in t if c in ".,;:!?")
+        e6 = lambda num, den: math.floor(num / den * 1e6 + 0.5)
+        f = (e6(stop, n), e6(punct, nc), min(n, 100) * 10_000,
+             e6(nc - (n - 1), n))
+        logit = (QUALITY_W0_E6
+                 + tdiv(QUALITY_W_STOP_E3 * f[0], 1000)
+                 + tdiv(QUALITY_W_PUNCT_E3 * f[1], 1000)
+                 + tdiv(QUALITY_W_LEN_E3 * f[2], 1000)
+                 + tdiv(QUALITY_W_AWL_E3 * f[3], 1000))
+        assert got[i] == (logit, logit >= 0), (i, got[i], logit)
+    # the battery weights actually separate: natural text kept, junk cut
+    assert got[0][1] is True and got[1][1] is False
