@@ -207,6 +207,21 @@ HEADLINE = [
     "dedup_incremental_substring",
     "embed_ann_recall_audit",
     "contamination_kmv_audit",
+    # r9 families (all probed on arrival — SCALING.md round-9):
+    "dedup_winnow_fingerprints",
+    "dedup_winnow_match_pairs",
+    "embed_pq_codes",
+    "embed_pq_adc_topk",
+    "embed_ivfpq_topk",
+    "embed_semdedup_keep",
+    # bpe rounds run in the builder (BUILDER_DOES_CLUSTER_WORK) — the
+    # 3 checkpointed rounds ARE the operator under test here, unlike
+    # the excluded loop-until-fixpoint entries whose round count varies
+    "text_bpe_merges",
+    "multimodal_cdc_chunks",
+    "multimodal_cdc_dedup_stats",
+    "quality_linear_filter",
+    "dedup_soft_weights",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).
