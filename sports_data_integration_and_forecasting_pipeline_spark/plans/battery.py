@@ -13607,13 +13607,25 @@ _WINDOW_PRIORITY = [
 #   r9: DONE (see Round-9 rotation note above) — 17 out / 17 in,
 #       including all of the planned list plus q4_order_priority,
 #       text_unigram_perplexity, and multimodal_frame_sample.
-#   r10 addendum (late r9): the six r9 family entries
-#       (dedup_winnow_fingerprints, dedup_winnow_match_pairs,
-#       embed_pq_codes, embed_pq_adc_topk, embed_semdedup_keep,
-#       embed_ivfpq_topk) are all swept green at sf0.01 on arrival —
-#       rotation-safe; put the family heads (winnow_fingerprints,
-#       pq_codes or ivfpq, semdedup_keep) near the front of the r10
-#       in-list.
+#   r10 addendum (late r9): ALL eleven r9 entries
+#       (dedup_winnow_fingerprints/_match_pairs, embed_pq_codes,
+#       embed_pq_adc_topk, embed_ivfpq_topk, embed_semdedup_keep,
+#       text_bpe_merges, multimodal_cdc_chunks/_dedup_stats,
+#       quality_linear_filter, dedup_soft_weights) are swept green at
+#       sf0.01 on arrival — rotation-safe; put the family heads
+#       (winnow_fingerprints, ivfpq_topk, semdedup_keep, bpe_merges,
+#       cdc_chunks, quality_linear_filter) near the front of the r10
+#       in-list. The r10 candidate tail was ALSO pre-swept green at
+#       sf0.01 this round (tools/sweep_oracle.py, end of r9):
+#       dedup_incremental_substring, streaming_dedup_replay,
+#       streaming_static_enrich, multimodal_audio_duration,
+#       pmi_bigram_collocations, mad_outlier_events,
+#       quality_perplexity_cut, referential_integrity_audit,
+#       inverted_text_index, dedup_incremental_compacted,
+#       dedup_normalized_exact, embed_cosine_dup_pairs,
+#       embed_cosine_topk, sample_events_hash, snapshot_table_diff,
+#       profile_orders_table — every name on the r10 in-list already
+#       has a same-scale green sweep on record.
 #   r10: rotate out the 17 r8 first-timers once twice-green
 #       (merge_upsert_orders, ivf_centroid_refresh,
 #       dedup_sorted_neighborhood, skyline_supplier_frontier,
