@@ -77,3 +77,12 @@ def test_bpe_rounds_guard(spark):
     df = spark.createDataFrame([("x y",)], "text string")
     with pytest.raises(ValueError, match="rounds must be >= 1"):
         bpe_merge_rounds(df, rounds=0)
+
+
+def test_bpe_pair_exhaustion_is_graceful(spark):
+    """A vocabulary that fully merges before `rounds` rounds yields only
+    the learned merges (the model's break) — no empty/null rows."""
+    df = spark.createDataFrame([("aa",), ("aa",)], "text string")
+    out = bpe_merge_rounds(df, rounds=3).collect()
+    assert [(r["round"], r["left_sym"], r["right_sym"], r["pair_count"])
+            for r in out] == [(1, "a", "a", 2)]
