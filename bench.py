@@ -222,6 +222,7 @@ HEADLINE = [
     "multimodal_cdc_dedup_stats",
     "quality_linear_filter",
     "dedup_soft_weights",
+    "curation_pipeline_v3",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

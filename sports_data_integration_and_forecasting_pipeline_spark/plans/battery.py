@@ -13261,8 +13261,18 @@ def dedup_substring_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WINNOW_K = 5
 _WINNOW_W = 4
 _WINNOW_LIM = 1 << 27
-_WINNOW_FP_CTES = f"""
-    toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+
+
+def _winnow_fp_ctes(src: str) -> str:
+    """The winnow fingerprint CTE chain over an arbitrary (doc_id, text)
+    source CTE/table — shared by the standalone entries (src =
+    documents) and the composed curation pipeline (src = the
+    quality-filtered survivor set)."""
+    return _WINNOW_FP_CTES_TEMPLATE.replace("__SRC__", src)
+
+
+_WINNOW_FP_CTES_TEMPLATE = f"""
+    toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM __SRC__),
     g AS (SELECT doc_id,
                  unnest(range(1, greatest(len(tk) - {_WINNOW_K - 1}, 0) + 1)) AS pos,
                  tk
@@ -13285,6 +13295,8 @@ _WINNOW_FP_CTES = f"""
                   CAST(s // {_WINNOW_LIM} AS BIGINT) AS fp
            FROM sel WHERE pos <= greatest(m - {_WINNOW_W - 1}, 1))
 """
+
+_WINNOW_FP_CTES = _winnow_fp_ctes("documents")
 
 
 @_register(
@@ -13356,6 +13368,143 @@ def dedup_winnow_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hash-prefix sub-partitions per source, then a sketch-sized final
 # rank); the audit joins are all broadcast, sketch-sized.
 # ===========================================================================
+
+
+# ===========================================================================
+# Curation pipeline v3 (r9) — the round's stages composed end-to-end,
+# the way a real corpus build chains them: model-based quality filter
+# (pinned-weight linear classifier) → soft dedup (exact copies stay,
+# down-weighted 1e6 DIV multiplicity) → winnow near-dup prune (MOSS
+# match pairs, star-canonical keep). One oracle states the WHOLE
+# pipeline, so stage interactions — not just stages — are hash-checked
+# (the curation_pipeline/_v2 discipline over the r9 operator set).
+# ===========================================================================
+
+@_register(
+    "curation_pipeline_v3",
+    f"""
+    WITH t0q AS (
+      SELECT doc_id, lang, text, n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+             {_sql_count_in(('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it', 'for', 'on'))} AS n_stop,
+             CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct
+      FROM documents
+    ),
+    fq AS (
+      SELECT doc_id, lang, text,
+             {QUALITY_W0_E6}
+             + {QUALITY_W_STOP_E3} * CAST(floor(1.0 * n_stop / n * 1000000 + 0.5) AS BIGINT) // 1000
+             + {QUALITY_W_PUNCT_E3} * CAST(floor(1.0 * n_punct / n_chars * 1000000 + 0.5) AS BIGINT) // 1000
+             + {QUALITY_W_LEN_E3} * CAST(least(n, 100) * 10000 AS BIGINT) // 1000
+             + {QUALITY_W_AWL_E3} * CAST(floor(1.0 * (n_chars - (n - 1)) / n * 1000000 + 0.5) AS BIGINT) // 1000
+               AS logit_e6
+      FROM t0q
+    ),
+    kept AS (SELECT doc_id, lang, text FROM fq WHERE logit_e6 >= 0),
+    sw AS (
+      SELECT doc_id,
+             CAST(1000000 // (count(*) OVER (PARTITION BY md5(text)))
+                  AS BIGINT) AS weight_e6
+      FROM kept
+    ),
+    {_winnow_fp_ctes("kept")},
+    fps AS (SELECT DISTINCT doc_id, fp FROM fp),
+    dfreq AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 100),
+    surv AS (SELECT f.doc_id, f.fp FROM fps f JOIN dfreq USING (fp)),
+    prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM surv a JOIN surv b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2),
+    sym AS (SELECT id_a AS u, id_b AS nb FROM prs
+            UNION ALL SELECT id_b, id_a FROM prs),
+    mins AS (SELECT u, min(nb) AS mn FROM sym GROUP BY u),
+    canon AS (
+      SELECT k.doc_id, k.lang,
+             k.doc_id = least(k.doc_id, coalesce(m.mn, k.doc_id)) AS is_canon
+      FROM kept k LEFT JOIN mins m ON m.u = k.doc_id
+    )
+    SELECT c.lang,
+           CAST(count(*) AS BIGINT) AS n_quality_kept,
+           CAST(count(*) FILTER (c.is_canon) AS BIGINT) AS n_canonical,
+           CAST(count(*) FILTER (NOT c.is_canon) AS BIGINT)
+             AS n_near_dup_dropped,
+           CAST(sum(CASE WHEN c.is_canon THEN s.weight_e6 ELSE 0 END)
+                AS BIGINT) AS sum_weight_e6
+    FROM canon c JOIN sw s ON s.doc_id = c.doc_id
+    GROUP BY c.lang
+    """,
+    "curation: composed pipeline v3 — quality classifier -> soft dedup "
+    "-> winnow near-dup prune (stage interactions hash-checked; no "
+    "reference counterpart)",
+    "per-lang survivors, star-canonical keeps, near-dup drops, and "
+    "down-weighted gradient mass after the full r9 curation chain",
+)
+def curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
+        soft_dedup_weights,
+        winnow_match_pairs,
+    )
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
+        persist_scoped as _ps,
+    )
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import (
+        ensure_parallelism,
+    )
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import (
+        quality_linear_filter,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", "n_chars"
+    )
+    # quality gate; survivors feed THREE consumers (weights, winnow,
+    # final rollup) — scope-persist the filtered set
+    kept = _ps(
+        "curation_v3_kept",
+        ensure_parallelism(
+            quality_linear_filter(docs)
+            .filter(F.col("kept"))
+            .select("doc_id", "lang", "text"),
+            "doc_id",
+        ),
+    )
+    sw = soft_dedup_weights(kept).select("doc_id", "weight_e6")
+    pairs = winnow_match_pairs(
+        kept, k=_WINNOW_K, w=_WINNOW_W, min_shared=2, max_df=100
+    )
+    sym = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("nb")).unionAll(
+        pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("nb"))
+    )
+    mins = sym.groupBy("u").agg(F.min("nb").alias("__mn"))
+    canon = (
+        kept.join(mins, kept["doc_id"] == mins["u"], "left_outer")
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.col("doc_id")
+                == F.least(
+                    F.col("doc_id"), F.coalesce(F.col("__mn"), F.col("doc_id"))
+                )
+            ).alias("is_canon"),
+        )
+    )
+    return (
+        canon.join(sw, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_quality_kept"),
+            F.sum(F.col("is_canon").cast("int")).cast("bigint").alias("n_canonical"),
+            F.sum((~F.col("is_canon")).cast("int"))
+            .cast("bigint")
+            .alias("n_near_dup_dropped"),
+            F.sum(
+                F.when(F.col("is_canon"), F.col("weight_e6")).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("sum_weight_e6"),
+        )
+    )
+
 
 @_register(
     "contamination_kmv_audit",

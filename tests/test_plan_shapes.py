@@ -397,6 +397,12 @@ PINNED = {
     "multimodal_cdc_dedup_stats": (5, ["Window", "Generate"], ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"]),
     # r9 model-based quality filter: ZERO-shuffle scan-speed projection
     "quality_linear_filter": (0, [], ["Exchange", "Join", "BatchEvalPython"]),
+    # r9 composed pipeline: the scope-persisted quality-survivor set
+    # feeds the weight window, the winnow chain, and the rollup — the
+    # budget counts its cache-lineage echoes under every consumer scan
+    # (the dedup_sorted_neighborhood convention); no pair shape may
+    # touch a corpus-sized side
+    "curation_pipeline_v3": (35, ["InMemoryTableScan", "Window", "Union"], ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"]),
     # r9 soft dedup: one fingerprint-partitioned count window, no joins
     "dedup_soft_weights": (1, ["Window"], ["Join", "CartesianProduct", "BatchEvalPython"]),
 }
