@@ -292,7 +292,12 @@ def cdc_chunks(
     hexed = df.select(
         F.col(id_col), F.hex(F.col(payload_col)).alias("__hx")
     )
-    toks = hexed.select(
+    # A zero-length payload hexes to '' and F.split('', ' ') yields
+    # [''] — one phantom token — so drop empty payloads BEFORE the
+    # explode: they contribute zero chunks (ADVICE r9). `hexed` itself
+    # stays unfiltered; the md5 join below only ever matches rows that
+    # produced chunks.
+    toks = hexed.filter(F.length("__hx") > 0).select(
         id_col,
         "__hx",
         F.posexplode(

@@ -510,14 +510,26 @@ def quality_linear_filter(
     logit_e6, kept)``."""
     toks = _tokens(F.col(text_col))
     n = F.size(toks).cast("bigint")
-    nchars = F.col(nchars_col).cast("bigint")
+    # NULL n_chars is treated as 0 so every row gets a concrete kept
+    # decision (the awl numerator reads n_chars too — a NULL there
+    # would otherwise NULL the logit past the denominator guard).
+    nchars = F.coalesce(F.col(nchars_col).cast("bigint"), F.lit(0))
     stop = _count_in(toks, EN_STOPWORDS)
     punct = F.length(
         F.regexp_replace(F.col(text_col), PUNCT_CLASS, "")
     ).cast("bigint")
 
     def _e6(num, den):
-        return F.floor(num.cast("double") / den * 1e6 + 0.5).cast("bigint")
+        # Degenerate rows (0 or NULL denominator) get a 0 feature
+        # instead of a NULL logit/kept — Spark NULLs x/0 while DuckDB
+        # float division may yield inf, so an unguarded divide could
+        # silently diverge from the oracle (ADVICE r9). The SQL oracle
+        # carries the identical CASE WHEN den > 0 guard.
+        return (
+            F.when(den > 0, F.floor(num.cast("double") / den * 1e6 + 0.5))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+        )
 
     stop_e6 = _e6(stop, n)
     punct_e6 = _e6(punct, nchars)

@@ -951,10 +951,13 @@ from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats 
     ),
     f AS (
       SELECT doc_id,
-             CAST(floor(1.0 * n_stop / n * 1000000 + 0.5) AS BIGINT) AS stop_e6,
-             CAST(floor(1.0 * n_punct / n_chars * 1000000 + 0.5) AS BIGINT) AS punct_e6,
+             CASE WHEN n > 0 THEN CAST(floor(1.0 * n_stop / n * 1000000 + 0.5) AS BIGINT)
+                  ELSE 0 END AS stop_e6,
+             CASE WHEN n_chars > 0 THEN CAST(floor(1.0 * n_punct / n_chars * 1000000 + 0.5) AS BIGINT)
+                  ELSE 0 END AS punct_e6,
              CAST(least(n, 100) * 10000 AS BIGINT) AS len_sat_e6,
-             CAST(floor(1.0 * (n_chars - (n - 1)) / n * 1000000 + 0.5) AS BIGINT) AS awl_e6
+             CASE WHEN n > 0 THEN CAST(floor(1.0 * (n_chars - (n - 1)) / n * 1000000 + 0.5) AS BIGINT)
+                  ELSE 0 END AS awl_e6
       FROM t
     )
     SELECT doc_id, stop_e6, punct_e6, len_sat_e6, awl_e6,
@@ -2676,7 +2679,7 @@ _CDC_CTES = f"""
                  CAST(concat('0x', substring(md5(concat('gear-', l[pos::INT])),
                                              1, 13)) AS BIGINT) AS g
           FROM (SELECT media_id, l, unnest(range(1, len(l) + 1)) AS pos
-                FROM t0)),
+                FROM t0 WHERE len(hx) > 0)),
     hh AS (SELECT media_id, pos, {_CDC_H_SQL} AS h
            FROM t WINDOW w AS (PARTITION BY media_id ORDER BY pos)),
     f AS (SELECT media_id, pos,
@@ -13611,40 +13614,51 @@ _WINDOW_PRIORITY = [
     # bench swing)
     "text_token_stats",
     "text_unigram_perplexity",
-    # dedup family (r9: theil_sen_banded and dedup_cluster_star —
-    # twice+ driver-green — yield; shingle_jaccard stays as the
-    # pairwise head; the r8 substring family completes with the clip
-    # entry)
+    # r10 ROTATION (VERDICT r9 task 1, executed exactly per the pinned
+    # schedule below): seventeen twice-or-more-driver-green slots
+    # rotated out — the 17 r8 first-timers, all twice-green at r9
+    # (merge_upsert_orders, ivf_centroid_refresh,
+    # dedup_sorted_neighborhood, skyline_supplier_frontier,
+    # skyline_orders_3d, dedup_substring_spans, contamination_kmv_audit,
+    # dedup_cluster_size_histogram, pareto_supplier_share,
+    # rfm_user_segments, concurrency_sweep_line, zipf_rank_frequency_fit,
+    # frequent_event_trigrams, cohort_weekly_retention,
+    # q13_order_count_distribution, q17_small_quantity_revenue,
+    # q22_idle_customer_balance) — in favor of the ELEVEN r9 family
+    # entries (held out of the r9 window deliberately; all swept green
+    # at sf0.01 on arrival AND in the end-of-r9 full 216-entry sweep),
+    # plus dedup_incremental_substring (last never-checked r8 family
+    # member), the two remaining streaming batch twins,
+    # multimodal_audio_duration, pmi_bigram_collocations, and
+    # quality_perplexity_cut — every one same-scale pre-swept (see the
+    # rotation schedule comment). 17 out / 17 in; 17 first-timers.
+    # r9 family heads first:
+    "dedup_winnow_fingerprints",
+    "dedup_winnow_match_pairs",
+    "embed_pq_codes",
+    "embed_pq_adc_topk",
+    "embed_ivfpq_topk",
+    "embed_semdedup_keep",
+    "text_bpe_merges",
+    "multimodal_cdc_chunks",
+    "multimodal_cdc_dedup_stats",
+    "quality_linear_filter",
+    "dedup_soft_weights",
+    # r8/r6 stragglers + streaming twins + bench-visible tail:
+    "dedup_incremental_substring",
+    "streaming_dedup_replay",
+    "streaming_static_enrich",
+    "multimodal_audio_duration",
+    "pmi_bigram_collocations",
+    "quality_perplexity_cut",
+    # family heads that stay pinned (shingle_jaccard = pairwise dedup
+    # head; substring_clip r9-once-green; KMV-audit family via
+    # pack/recall heads below):
     "dedup_shingle_jaccard",
-    "dedup_sorted_neighborhood",
-    "dedup_substring_spans",
     "dedup_substring_clip",
-    "dedup_cluster_size_histogram",
-    # curation / quality family (r9: embedding_quality_audit and
-    # vocab_coverage — twice+ driver-green — yield; KMV audit is a r8
-    # first-timer, stays; pack_sequence_spans stays as packing head)
-    "contamination_kmv_audit",
     "pack_sequence_spans",
     "embed_ann_recall_audit",
-    # embedding / similarity / upsert family heads (r9: bm25_scoring,
-    # kmeans_embeddings_lloyd, holt_linear_user_value — twice+
-    # driver-green — yield; the ANN recall audit above completes the r8
-    # similarity family; MERGE/IVF-refresh are r8 first-timers, stay)
-    "merge_upsert_orders",
-    "ivf_centroid_refresh",
-    # analytics pack (r8 first-timers stay until twice-green; r9:
-    # pit_state_lookup + gini_order_concentration twice-green — yield
-    # to the analytics second wave: entropy/lorenz — the remaining r7
-    # rank-rewrite — the r6 stats pack, markov power iteration, k-core
-    # peel, and the streaming PIT twin)
-    "skyline_supplier_frontier",
-    "skyline_orders_3d",
-    "pareto_supplier_share",
-    "rfm_user_segments",
-    "concurrency_sweep_line",
-    "zipf_rank_frequency_fit",
-    "frequent_event_trigrams",
-    "cohort_weekly_retention",
+    # analytics second wave (r9 first-timers, stay until twice-green):
     "entropy_source_mix",
     "lorenz_curve_orders",
     "markov_steady_state_power",
@@ -13653,15 +13667,8 @@ _WINDOW_PRIORITY = [
     "quantile_normalize_events",
     "date_spine_zero_fill",
     "streaming_pit_enrich",
-    # multimodal second wave (VERDICT r8 task 5: ≥1 more multimodal
-    # driver row — frame sampling is the plumbing-heaviest of the pack)
     "multimodal_frame_sample",
-    # TPC-H tail third wave (r9: q3/q10/q18 twice-green — yield to the
-    # five never-checked q-tail entries; q13/q17/q22 are r8
-    # first-timers, stay)
-    "q13_order_count_distribution",
-    "q17_small_quantity_revenue",
-    "q22_idle_customer_balance",
+    # TPC-H q-tail r9 first-timers (stay until twice-green):
     "q4_order_priority",
     "q7_nation_volume",
     "q14_promo_type_share",

@@ -57,6 +57,32 @@ def _plan(spark, name: str) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _strip_initial_plans(plan: str) -> str:
+    """Drop ``== Initial Plan ==`` subtrees. An eagerly-materialized
+    cache prints its AdaptiveSparkPlan with BOTH the ``== Final Plan ==``
+    section and an ``== Initial Plan ==`` textual echo — the echo's
+    Exchange nodes are the same shuffles reprinted with different
+    plan_ids, not new ones (ADVICE r9: counting them forced the skyline
+    budget 16 → 23, hiding up to 7 genuinely new exchanges). Exchange
+    budgets count final-plan text only. Section extent = every line
+    tree-indented deeper than the marker line."""
+    depth = lambda ln: len(ln) - len(ln.lstrip(" :+-"))
+    out, skip_below = [], None
+    for ln in plan.splitlines():
+        d = depth(ln)
+        if skip_below is not None:
+            # The section root prints at the SAME depth as its marker;
+            # the section ends at the first strictly-shallower line.
+            if d >= skip_below:
+                continue
+            skip_below = None
+        if "== Initial Plan ==" in ln:
+            skip_below = d
+            continue
+        out.append(ln)
+    return "\n".join(out)
+
+
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - SKIP))
 def test_no_row_at_a_time_python(spark, name):
     plan = _plan(spark, name)
@@ -247,16 +273,12 @@ PINNED = {
     # / nested-loop) appearing here means the reduction regressed to
     # the naive form (the one SMJ allowed is the lineitem-orders fact
     # join, correctly sort-merge at fact×fact scale).
-    # Re-pinned 16 → 23 (r9): the r8 fail-loud NULL guard eagerly
-    # materializes the persisted per-x aggregate at construction, so
-    # its cached AdaptiveSparkPlan is FINAL at explain time and
-    # InMemoryRelation.toString prints BOTH the final and the
-    # "== Initial Plan ==" sections — the +7 are textual duplicates
-    # of the same cache-build shuffles (verified: the plan contains
-    # two Initial Plan echo blocks whose Exchange nodes are
-    # structurally identical, differing only in plan_id), not new
-    # shuffles. Real executed exchanges are unchanged from the r7 pin.
-    "skyline_supplier_frontier": (23, ["InMemoryTableScan", "Window"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # r10 (ADVICE r9): the r9 16 → 23 loosening absorbed AQE
+    # "== Initial Plan ==" textual echoes from the eagerly-materialized
+    # cache; those sections are now stripped before counting
+    # (_strip_initial_plans), so the tight r7 budget of 16 is restored —
+    # a 17th exchange here is a REAL regression again.
+    "skyline_supplier_frontier": (16, ["InMemoryTableScan", "Window"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     # at-risk counts and the KM product are windows over the grouped
     # duration table; user-level joins broadcast-hash
     "kaplan_meier_conversion": (8, ["BroadcastHashJoin", "Window"], ["CartesianProduct", "SortMergeJoin"]),
@@ -412,7 +434,11 @@ PINNED = {
 def test_pinned_plan_shape(spark, name):
     max_exch, must, must_not = PINNED[name]
     plan = _plan(spark, name)
-    n_exch = plan.count("Exchange") - plan.count("ReusedExchange")
+    # Budgets count the final-plan text only — AQE's "== Initial Plan =="
+    # echoes under eagerly-materialized caches reprint the same shuffles
+    # (must/must_not still check the FULL text: stricter).
+    counted = _strip_initial_plans(plan)
+    n_exch = counted.count("Exchange") - counted.count("ReusedExchange")
     assert n_exch <= max_exch, f"{name}: {n_exch} exchanges (budget {max_exch})"
     for frag in must:
         assert frag in plan, f"{name}: lost {frag}"

@@ -113,8 +113,10 @@ def _cdc_model(pl: bytes, w: int = 8, m: int = 6):
 
 
 @settings(**SETTINGS)
-@given(st.lists(st.binary(min_size=1, max_size=400), min_size=1, max_size=4))
+@given(st.lists(st.binary(min_size=0, max_size=400), min_size=1, max_size=4))
 def test_cdc_model_agreement_random_payloads(spark, payloads):
+    # min_size=0 (ADVICE r9): a zero-length payload must yield ZERO
+    # chunks, not a phantom md5('')-chunk from F.split('', ' ') == [''].
     df = spark.createDataFrame(
         [(i, bytearray(p)) for i, p in enumerate(payloads)],
         "media_id long, payload binary",
@@ -131,7 +133,10 @@ def test_cdc_model_agreement_random_payloads(spark, payloads):
     for i, p in enumerate(payloads):
         mine = [r for r in got if r[0] == i]
         assert sum(r[3] for r in mine) == len(p)
-        assert mine[0][2] == 1
+        if p:
+            assert mine[0][2] == 1
+        else:
+            assert mine == []
 
 
 def _bpe_model(word_counts: dict[str, int], rounds: int):

@@ -191,3 +191,26 @@ def test_quality_linear_filter_integer_exact(spark):
         assert got[i] == (logit, logit >= 0), (i, got[i], logit)
     # the battery weights actually separate: natural text kept, junk cut
     assert got[0][1] is True and got[1][1] is False
+
+
+def test_quality_linear_filter_degenerate_rows(spark):
+    """n_chars = 0 (or NULL) must produce a CONCRETE kept decision, not
+    a NULL logit from x/0 — Spark NULLs the division while DuckDB float
+    semantics may differ, so an unguarded divide silently diverges from
+    the oracle (ADVICE r9). Guarded features are 0 on the degenerate
+    denominator."""
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import (
+        quality_linear_filter,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "", 0), (1, "ok text here", None), (2, "fine", 4)],
+        "doc_id long, text string, n_chars long",
+    )
+    got = {r["doc_id"]: r for r in quality_linear_filter(df).collect()}
+    for i in (0, 1):
+        assert got[i]["punct_e6"] == 0
+        assert got[i]["logit_e6"] is not None
+        assert got[i]["kept"] is not None
+    assert got[0]["kept"] is False  # empty doc: only bias + tiny terms
+    assert got[2]["kept"] is not None
