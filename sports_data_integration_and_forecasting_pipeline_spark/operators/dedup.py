@@ -1416,6 +1416,32 @@ WINNOW_POS_BITS = 27
 _WINNOW_POS_LIM = 1 << WINNOW_POS_BITS
 
 
+def _winnow_packed(h36: Column, pos: Column, doc_id: Column) -> Column:
+    """The winnow packing ``h36·2^27 + (2^27 − 1 − pos)`` with a
+    fail-loud capacity guard: a gram position >= 2^27 would go NEGATIVE
+    in the low field and silently corrupt both the tie-break and the
+    unpacked pos, so it raises instead (one JVM comparison per gram
+    row; raise_error stays inside codegen). Factored out so the
+    boundary arithmetic is property-testable in isolation
+    (tests/test_properties_round10.py)."""
+    return F.when(
+        pos < F.lit(_WINNOW_POS_LIM),
+        h36 * F.lit(_WINNOW_POS_LIM) + (F.lit(_WINNOW_POS_LIM - 1) - pos),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "winnow: gram position exceeds the "
+                    f"{WINNOW_POS_BITS}-bit packing capacity "
+                    f"({_WINNOW_POS_LIM - 1}) in doc "
+                ),
+                doc_id.cast("string"),
+                F.lit(" — split the document or widen WINNOW_POS_BITS"),
+            )
+        ).cast("long")
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str = "text",
@@ -1471,10 +1497,7 @@ def winnow_fingerprints(
     g = grams.select(
         F.col(id_col),
         "pos",
-        (
-            h36 * F.lit(_WINNOW_POS_LIM)
-            + (F.lit(_WINNOW_POS_LIM - 1) - F.col("pos"))
-        ).alias("__packed"),
+        _winnow_packed(h36, F.col("pos"), F.col(id_col)).alias("__packed"),
     )
     wdoc = Window.partitionBy(id_col).orderBy("pos")
     sel = g.select(

@@ -349,17 +349,38 @@ def ivfpq_topk(
     ADC, cand-id tiebreak. Recall < 1 by construction (a true neighbor
     in an unprobed cell is missed — audit with the recall-audit pattern
     of `embed_ann_recall_audit`)."""
-    from pyspark.sql.window import Window
+    v = F.transform(emb_col, lambda x: x.cast("double"))
+    enc = ivfpq_index_codes(
+        df, centers, codebooks, emb_col=emb_col, id_col=id_col
+    )
+    q = df.filter(query_pred).select(
+        F.col(id_col).alias("q_id"), v.alias("__qv")
+    )
+    return _ivfpq_search(enc, q, centers, codebooks, n_probe, k, id_col)
 
-    from .similarity import ivf_assign, ivf_cell_structs
 
-    m = len(codebooks)
+def ivfpq_index_codes(
+    df: DataFrame,
+    centers: list[list[float]],
+    codebooks: list[list[list[float]]],
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The IVF-PQ INDEX table: ``(id_col, cell, c0..c{m-1})`` — cell
+    assignment + all m PQ codes in ONE corpus projection off a shared
+    staged vector (encoding and assignment separately would scan the
+    corpus twice and pay the literal-distance folds twice — measured
+    ~2x the candidate-side cost at sf1). Zero shuffles.
+
+    This is the stored-column build: at production scale the index is
+    materialized ONCE (parquet/bucketed table) and every query scans
+    codes, never floats — encode cost amortizes across queries instead
+    of riding each one (`ivfpq_topk_precoded` is the matching query
+    path; SCALING.md r10 records the measured split)."""
+    from .similarity import ivf_assign
+
     sub_dim = len(codebooks[0][0])
     v = F.transform(emb_col, lambda x: x.cast("double"))
-    # ONE corpus projection computes cell + all m codes off a shared
-    # staged vector (encoding and assignment separately would scan the
-    # corpus twice and pay the literal-distance folds twice — measured
-    # ~2x the candidate-side cost at sf1)
     staged = df.select(F.col(id_col), v.alias("__v"))
     codes = [
         F.array_min(
@@ -377,11 +398,54 @@ def ivfpq_topk(
         .alias(f"c{s}")
         for s, book in enumerate(codebooks)
     ]
-    enc = staged.select(
+    return staged.select(
         F.col(id_col),
         ivf_assign(F.col("__v"), centers).alias("cell"),
         *codes,
     )
+
+
+def ivfpq_topk_precoded(
+    enc_df: DataFrame,
+    query_df: DataFrame,
+    centers: list[list[float]],
+    codebooks: list[list[list[float]]],
+    n_probe: int = 3,
+    k: int = 5,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ search over a PRE-MATERIALIZED index table — the
+    production split of :func:`ivfpq_topk`: ``enc_df`` is the stored
+    :func:`ivfpq_index_codes` output (encode paid once at build time),
+    ``query_df`` carries raw query vectors. The query path then touches
+    only ints: probe equi-join + broadcast LUT + map-side-combined ADC
+    sums — the encode-dominated linearity of the inline entry
+    (SCALING.md: 4.9x at 10x) drops out of query latency entirely."""
+    v = F.transform(emb_col, lambda x: x.cast("double"))
+    q = query_df.select(F.col(id_col).alias("q_id"), v.alias("__qv"))
+    return _ivfpq_search(enc_df, q, centers, codebooks, n_probe, k, id_col)
+
+
+def _ivfpq_search(
+    enc: DataFrame,
+    q: DataFrame,
+    centers: list[list[float]],
+    codebooks: list[list[list[float]]],
+    n_probe: int,
+    k: int,
+    id_col: str,
+) -> DataFrame:
+    """Shared IVFADC query half: candidates (cell + codes) meet the
+    broadcast probe list on cell and the broadcast query LUT on
+    (q, s, code); exact-integer ADC sums rank with a cand-id tiebreak.
+    ``q`` must be ``(q_id, __qv: array<double>)``."""
+    from pyspark.sql.window import Window
+
+    from .similarity import ivf_cell_structs
+
+    m = len(codebooks)
+    sub_dim = len(codebooks[0][0])
     cand_long = enc.select(
         F.col(id_col).alias("cand_id"),
         "cell",
@@ -398,9 +462,6 @@ def ivfpq_topk(
     ).select(
         "cand_id", "cell",
         F.col("__sc.s").alias("s"), F.col("__sc.code").alias("code"),
-    )
-    q = df.filter(query_pred).select(
-        F.col(id_col).alias("q_id"), v.alias("__qv")
     )
     probes = q.select(
         "q_id",

@@ -366,6 +366,18 @@ def bpe_merge_rounds(
     rounds: int = 3,
 ) -> DataFrame:
     """First ``rounds`` merge rules of byte-pair-encoding tokenizer
+    training — see :func:`_bpe_rounds` (this is the merges half of the
+    shared learn+segment pass)."""
+    merges, _ = _bpe_rounds(df, text_col=text_col, rounds=rounds)
+    return merges
+
+
+def _bpe_rounds(
+    df: DataFrame,
+    text_col: str = "text",
+    rounds: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """First ``rounds`` merge rules of byte-pair-encoding tokenizer
     training (Sennrich, Haddow & Birch, "Neural Machine Translation of
     Rare Words with Subword Units", ACL 2016 — public): start from the
     corpus word-frequency table with words as character sequences; each
@@ -373,9 +385,14 @@ def bpe_merge_rounds(
     most frequent pair everywhere (ties → lexicographically smallest
     pair — a pinned total order), and repeats on the merged vocabulary.
 
-    Returns ``(round, left_sym, right_sym, pair_count)`` — one row per
-    learned merge, ``pair_count`` the weighted pair frequency at
-    selection time.
+    Returns ``(merges, segmented)``: ``merges`` is
+    ``(round, left_sym, right_sym, pair_count)`` — one row per learned
+    merge, ``pair_count`` the weighted pair frequency at selection
+    time — and ``segmented`` is the post-merge symbol table
+    ``(word, wc, pos, sym)``, i.e. the BPE SEGMENTATION of every
+    distinct corpus word under the learned merges (the induction loop
+    applies each merge to the vocabulary anyway, so the segmentation is
+    free — :func:`bpe_encode_stats` consumes it).
 
     Greedy-merge parity (the subtle part): applying a merge is
     SEQUENTIAL within a word — in ``aaaa`` the rule ``(a,a)`` produces
@@ -396,7 +413,7 @@ def bpe_merge_rounds(
     At 100 TB the vocabulary is bounded by the token universe, not the
     corpus."""
     if rounds < 1:
-        raise ValueError(f"bpe_merge_rounds: rounds must be >= 1 (got {rounds})")
+        raise ValueError(f"_bpe_rounds: rounds must be >= 1 (got {rounds})")
     wdf = (
         df.select(F.explode(_tokens(F.col(text_col))).alias("word"))
         .filter(F.col("word") != "")
@@ -430,8 +447,23 @@ def bpe_merge_rounds(
                 F.col("n").alias("bcount"),
             )
         )
-        fl = pairs.crossJoin(F.broadcast(best)).withColumn(
-            "m", (F.col("sym") == F.col("bs")) & (F.col("nxt") == F.col("bn"))
+        # LEFT join on a dummy key, not crossJoin: when the vocabulary
+        # fully merges before `rounds` rounds, `best` is EMPTY and a
+        # cross join would empty `cur` — losing the segmentation the
+        # encode path returns (r10). Left-join keeps every symbol row;
+        # null bs/bn just makes `m` false everywhere.
+        fl = (
+            pairs.withColumn("__k", F.lit(1))
+            .join(F.broadcast(best.withColumn("__k", F.lit(1))), "__k", "left")
+            .drop("__k")
+            .withColumn(
+                "m",
+                F.coalesce(
+                    (F.col("sym") == F.col("bs"))
+                    & (F.col("nxt") == F.col("bn")),
+                    F.lit(False),
+                ),
+            )
         )
         fl = fl.withColumn(
             "cm",
@@ -472,7 +504,124 @@ def bpe_merge_rounds(
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)
-    return out
+    return out, cur
+
+
+def bpe_encode_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rounds: int = 3,
+) -> DataFrame:
+    """BPE APPLY — segment the corpus with the learned merge list and
+    report per-document token accounting, the operation an LLM-data
+    pipeline runs far more often than training the merges (Sennrich et
+    al. ACL 2016; the apply side of the same algorithm).
+
+    Equivalence that makes this relational: applying the merge rules in
+    RANK ORDER, each greedily once over the vocabulary, reproduces the
+    priority-queue encoder exactly — a merge of rank k only creates
+    symbols of rank k, and every pair a rank-k merge creates CONTAINS
+    the new rank-k symbol, so no rule j < k ever becomes applicable
+    again after rule k runs (property-tested against a reference
+    priority-queue encoder in tests/test_properties_round10.py).
+
+    The induction loop applies each learned merge to the vocabulary as
+    it goes, so the final segmentation falls out of the SAME pass that
+    learns the merges (:func:`_bpe_rounds`) — no second apply stage.
+
+    Returns one row per document:
+    ``(id_col, n_words, n_bpe_tokens, n_char_tokens)`` where
+    ``n_char_tokens`` counts single-character fallback tokens (symbols
+    no merge absorbed — the char-level analogue of byte-fallback OOV
+    accounting).
+
+    Scale shape: the corpus is touched TWICE — once into the
+    word-frequency aggregate that drives induction (map-side combined),
+    once exploded to (doc, word) rows joined to the word-granular
+    segmentation stats. Everything between is VOCABULARY-granular. The
+    word-stats join side is vocabulary-sized but NOT provably
+    broadcast-bounded (the distinct-word universe grows with corpus
+    noise), so it is an honest hash equi-join on word — never a
+    broadcast assumption, never a pair shape."""
+    _, segmented = _bpe_rounds(df, text_col=text_col, rounds=rounds)
+    word_stats = segmented.groupBy("word").agg(
+        F.count("*").cast("bigint").alias("__n_toks"),
+        F.sum((F.length("sym") == 1).cast("int"))
+        .cast("bigint")
+        .alias("__n_single"),
+    )
+    doc_words = (
+        df.select(
+            F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("word")
+        )
+        .filter(F.col("word") != "")
+    )
+    return (
+        doc_words.join(word_stats, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("__n_toks").cast("bigint").alias("n_bpe_tokens"),
+            F.sum("__n_single").cast("bigint").alias("n_char_tokens"),
+        )
+    )
+
+
+def bpe_apply_ranks(
+    words: DataFrame,
+    merge_ranks: list[tuple[str, str]],
+    word_col: str = "word",
+) -> DataFrame:
+    """Production-scale BPE apply: segment each distinct word with an
+    arbitrary-length ranked merge list via ONE Arrow batch kernel — the
+    path for real tokenizer vocabularies (tens of thousands of ranks),
+    where the R-sequential-passes relational form stops being sensible.
+
+    The kernel is the reference priority-queue encoder (repeatedly
+    merge the lowest-rank adjacent pair, ties by position — exactly
+    Sennrich's apply loop), vectorized per Arrow batch over the
+    DISTINCT word table, so the Python work is VOCABULARY-granular no
+    matter the corpus size; corpus rows then join to segmentations on
+    the word equi-key. Parity with the relational segmentation is
+    property-tested (tests/test_properties_round10.py).
+
+    Returns ``(word_col, pos, sym)`` with 1-based ``pos`` —
+    schema-compatible with :func:`_bpe_rounds`'s segmented output."""
+    import pandas as pd  # noqa: PLC0415
+
+    ranks = {pair: i for i, pair in enumerate(merge_ranks)}
+    out_schema = (
+        f"{word_col} string, pos bigint, sym string"
+    )
+
+    def _encode(w: str) -> list[str]:
+        syms = list(w)
+        while len(syms) > 1:
+            best, bi = None, -1
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best, bi = r, i
+            if best is None:
+                break
+            syms[bi : bi + 2] = [syms[bi] + syms[bi + 1]]
+        return syms
+
+    def _batches(it):
+        for pdf in it:
+            col = pdf[word_col]
+            words_out, pos_out, sym_out = [], [], []
+            for w in col:
+                for p, s in enumerate(_encode(w), start=1):
+                    words_out.append(w)
+                    pos_out.append(p)
+                    sym_out.append(s)
+            yield pd.DataFrame(
+                {word_col: words_out, "pos": pos_out, "sym": sym_out}
+            )
+
+    return words.select(word_col).mapInPandas(_batches, out_schema)
 
 
 # --- model-based quality filter ----------------------------------------------

@@ -11383,8 +11383,8 @@ def _bpe_round_sql(r: int) -> str:
                       row_number() OVER (ORDER BY n DESC, sym, nxt) AS rn
                FROM pc{r}) WHERE rn = 1),
     f{r} AS (SELECT p.word, p.wc, p.pos, p.sym, p.nxt,
-                    (p.sym = b.bs AND p.nxt = b.bn) AS m
-             FROM p{r} p CROSS JOIN b{r} b),
+                    coalesce(p.sym = b.bs AND p.nxt = b.bn, FALSE) AS m
+             FROM p{r} p LEFT JOIN b{r} b ON TRUE),
     g{r} AS (SELECT *, sum(CASE WHEN m THEN 1 ELSE 0 END)
                          OVER (PARTITION BY word ORDER BY pos) AS cm
              FROM f{r}),
@@ -11445,6 +11445,44 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return bpe_merge_rounds(
+        _t(spark, sf_dir, "documents"), rounds=_BPE_ROUNDS
+    )
+
+
+@_register(
+    "text_bpe_encode",
+    f"""
+    WITH {_BPE_CTES},
+    enc AS (SELECT word,
+                   CAST(count(*) AS BIGINT) AS n_toks,
+                   CAST(sum(CASE WHEN length(sym) = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_single
+            FROM s{_BPE_ROUNDS} GROUP BY word),
+    dw AS (SELECT doc_id, word
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                 FROM documents)
+           WHERE word <> '')
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(n_toks) AS BIGINT) AS n_bpe_tokens,
+           CAST(sum(n_single) AS BIGINT) AS n_char_tokens
+    FROM dw JOIN enc USING (word)
+    GROUP BY doc_id
+    """,
+    "textops: BPE apply/encode — segment the corpus with the learned "
+    "merge list, per-doc token accounting (Sennrich et al. ACL 2016; "
+    "no reference counterpart)",
+    "rank-order greedy merge application over the DISTINCT-word "
+    "vocabulary (the segmentation falls out of the induction pass); "
+    "corpus rows join word-granular stats on the word equi-key — "
+    "n_char_tokens counts unmerged single-char fallback tokens",
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import (
+        bpe_encode_stats,
+    )
+
+    return bpe_encode_stats(
         _t(spark, sf_dir, "documents"), rounds=_BPE_ROUNDS
     )
 
@@ -13786,7 +13824,15 @@ _WINDOW_PRIORITY = [
 #       (212 hash-ok + the 4 by-design rows-only, rc 0) — a full local
 #       replica of the driver gate over every entry, so ANY r10+
 #       rotation choice is same-scale pre-verified.
-#   r10: rotate out the 17 r8 first-timers once twice-green
+#   r10: EXECUTED (see the r10 ROTATION note in _WINDOW_PRIORITY) —
+#       17 out / 17 in exactly as planned below; every in-name had a
+#       same-scale green sweep on record (the end-of-r9 full 216-entry
+#       sf0.01 sweep + the named pre-sweep) and the three entries whose
+#       SEMANTICS changed this round (multimodal_cdc_chunks/_dedup_stats
+#       empty-payload guard, quality_linear_filter zero-division guard)
+#       were re-swept green at sf0.01 AFTER the fix before rotating in.
+#       Original plan follows:
+#       rotate out the 17 r8 first-timers once twice-green
 #       (merge_upsert_orders, ivf_centroid_refresh,
 #       dedup_sorted_neighborhood, skyline_supplier_frontier,
 #       skyline_orders_3d, dedup_substring_spans,

@@ -152,3 +152,38 @@ def test_ivfpq_candidates_only_from_probed_cells(spark):
         assert r["cell"] == cells[r["cand_id"]]
         assert r["cell"] in probes[r["q_id"]]
         assert flat[(r["q_id"], r["cand_id"])] == r["adc_e6"]
+
+
+def test_ivfpq_precoded_matches_inline(spark, tmp_path):
+    """The stored-column split (ivfpq_index_codes materialized to
+    parquet, queried via ivfpq_topk_precoded) must return EXACTLY the
+    inline ivfpq_topk result — precoding changes where encode cost is
+    paid, never the answer."""
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.ivf_centroids import IVF_CENTROIDS
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.quantize import (
+        ivfpq_index_codes,
+        ivfpq_topk,
+        ivfpq_topk_precoded,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    pred = F.col("vec_id") < 4
+    inline = {
+        tuple(r)
+        for r in ivfpq_topk(
+            emb, query_pred=pred, centers=IVF_CENTROIDS,
+            codebooks=PQ_CODEBOOKS, n_probe=3, k=5,
+        ).collect()
+    }
+    idx_path = str(tmp_path / "pq_index")
+    ivfpq_index_codes(emb, IVF_CENTROIDS, PQ_CODEBOOKS).write.parquet(idx_path)
+    enc = spark.read.parquet(idx_path)
+    assert set(enc.columns) == {"vec_id", "cell", "c0", "c1", "c2", "c3"}
+    precoded = {
+        tuple(r)
+        for r in ivfpq_topk_precoded(
+            enc, emb.filter(pred), centers=IVF_CENTROIDS,
+            codebooks=PQ_CODEBOOKS, n_probe=3, k=5,
+        ).collect()
+    }
+    assert precoded == inline and precoded
