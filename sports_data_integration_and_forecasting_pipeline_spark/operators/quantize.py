@@ -348,7 +348,13 @@ def ivfpq_topk(
     Returns ``(q_id, rank, cand_id, cell, adc_e6)`` — rank by ascending
     ADC, cand-id tiebreak. Recall < 1 by construction (a true neighbor
     in an unprobed cell is missed — audit with the recall-audit pattern
-    of `embed_ann_recall_audit`)."""
+    of `embed_ann_recall_audit`).
+
+    This inline form is the ONE-SHOT query shape (encode rides the
+    query — linear scan work). For repeated queries, the stored-column
+    split (:func:`ivfpq_index_codes` built once +
+    :func:`ivfpq_topk_precoded`) measured 2.0×/3.9× lower query wall at
+    sf0.1/sf1 and FLAT across 10× data — SCALING.md r10."""
     v = F.transform(emb_col, lambda x: x.cast("double"))
     enc = ivfpq_index_codes(
         df, centers, codebooks, emb_col=emb_col, id_col=id_col

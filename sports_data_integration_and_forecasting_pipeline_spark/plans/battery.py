@@ -2439,6 +2439,44 @@ def embed_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "embed_ivfpq_precoded_topk",
+    None,  # replaced below — shares embed_ivfpq_topk's oracle verbatim
+    "similarity: IVF-PQ search over a PRE-MATERIALIZED code index "
+    "(stored-column split of IVFADC; no reference counterpart)",
+    "ivfpq_index_codes built once and lineage-truncated (the stored "
+    "index), then queried over ints only — r10 probe: query wall 2.0x "
+    "(sf0.1) / 3.9x (sf1) below inline and FLAT across 10x data; the "
+    "build amortizes across queries (SCALING.md r10)",
+)
+def embed_ivfpq_precoded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.quantize import (
+        ivfpq_index_codes,
+        ivfpq_topk_precoded,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # localCheckpoint = the in-session stand-in for the stored parquet
+    # index (lineage truncated: the query plan scans codes, never
+    # floats). A committed per-SF index file would silently rot when
+    # the driver regenerates testdata, so the entry builds it fresh.
+    enc = ivfpq_index_codes(emb, IVF_CENTROIDS, PQ_CODEBOOKS).localCheckpoint()
+    return ivfpq_topk_precoded(
+        enc,
+        emb.filter(F.col("vec_id") < 10),
+        centers=IVF_CENTROIDS,
+        codebooks=PQ_CODEBOOKS,
+        n_probe=_IVF_N_PROBE,
+        k=5,
+    )
+
+
+QUERIES["embed_ivfpq_precoded_topk"] = dataclasses.replace(
+    QUERIES["embed_ivfpq_precoded_topk"],
+    oracle=QUERIES["embed_ivfpq_topk"].oracle,
+)
+
+
 # ===========================================================================
 # Mean pooling — chunk embeddings -> document embedding (vec_id div 8
 # plays the chunk->doc mapping), the aggregation step of hierarchical
@@ -13849,6 +13887,11 @@ _WINDOW_PRIORITY = [
 #       dedup_incremental_compacted, dedup_normalized,
 #       cosine_dup_pairs family heads, and sampling/diff/profile pack
 #       heads — sweep each at sf0.01 via tools/sweep_oracle.py first.
+#   r11 addendum (r10): the round-10 additions (text_bpe_encode,
+#       embed_ivfpq_precoded_topk, plus any later r10 entries) are
+#       swept green at sf0.01 on arrival and held OUT of the r10
+#       window (the r9 convention) — put them at the front of the r11
+#       in-list.
 #   r11+: sweep any stragglers alphabetically until all entries have
 #       ≥1 driver row.
 # ===========================================================================

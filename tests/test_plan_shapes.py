@@ -427,6 +427,16 @@ PINNED = {
     "curation_pipeline_v3": (35, ["InMemoryTableScan", "Window", "Union"], ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"]),
     # r9 soft dedup: one fingerprint-partitioned count window, no joins
     "dedup_soft_weights": (1, ["Window"], ["Join", "CartesianProduct", "BatchEvalPython"]),
+    # r10 BPE apply: segmentation comes off the checkpointed induction
+    # frame (Scan ExistingRDD); word stats (1 exch) meet the exploded
+    # corpus in an honest word equi-join (broadcast at test SF by AQE's
+    # choice, hash at scale — never asserted broadcast), then the
+    # per-doc aggregate
+    "text_bpe_encode": (3, ["Scan ExistingRDD"], ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"]),
+    # r10 stored-column IVFADC: the query plan scans the materialized
+    # code index (Scan ExistingRDD — floats never touched), probes and
+    # LUT broadcast, ADC sums map-side combined, WindowGroupLimit top-k
+    "embed_ivfpq_precoded_topk": (4, ["Scan ExistingRDD", "BroadcastHashJoin", "Window"], ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin", "BatchEvalPython"]),
 }
 
 
