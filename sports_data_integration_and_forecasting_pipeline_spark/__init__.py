@@ -88,6 +88,8 @@ from .operators.frequency import (
 )
 from .operators.rangejoin import interval_overlap_join
 from .operators.textstats import (
+    bpe_apply_ranks,
+    bpe_encode_stats,
     bpe_merge_rounds,
     inverted_index,
     quality_linear_filter,
@@ -127,13 +129,16 @@ from .operators.incremental import merge_rollups, rollup_partial
 from .operators.layout import layout_scan_stats, zorder_key_expr
 from .operators.paths import path_funnel, user_event_paths
 from .operators.quantize import (
+    ivfpq_index_codes,
     ivfpq_topk,
+    ivfpq_topk_precoded,
     pq_adc_topk,
     pq_encode,
     quantization_report,
     quantize_embeddings,
     quantized_cosine_topk,
 )
+from .operators.retrieval import bm25_by_example, hybrid_rrf_topk, rrf_fuse
 from .operators.profile import profile_table
 from .operators.redact import redact_pii
 from .operators.scd import scd2_intervals
@@ -244,6 +249,8 @@ __all__ = [
     "interval_overlap_join",
     "unigram_perplexity",
     "bpe_merge_rounds",
+    "bpe_encode_stats",
+    "bpe_apply_ranks",
     "quality_linear_filter",
     "soft_dedup_weights",
     # corpus curation
@@ -266,6 +273,12 @@ __all__ = [
     "pq_encode",
     "pq_adc_topk",
     "ivfpq_topk",
+    "ivfpq_index_codes",
+    "ivfpq_topk_precoded",
+    # hybrid retrieval
+    "rrf_fuse",
+    "bm25_by_example",
+    "hybrid_rrf_topk",
     # event paths
     "user_event_paths",
     "path_funnel",

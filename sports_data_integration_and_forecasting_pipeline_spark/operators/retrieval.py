@@ -1,0 +1,184 @@
+"""Hybrid retrieval fusion — combining a lexical (BM25) and a dense
+(embedding-cosine) ranking into one result list via Reciprocal Rank
+Fusion (Cormack, Clarke & Büttcher, "Reciprocal Rank Fusion outperforms
+Condorcet and individual Rank Learning Methods", SIGIR 2009 — public).
+This is the retrieval stack every RAG / training-data-curation pipeline
+runs in front of an LLM: each leg ranks independently, RRF needs only
+the RANKS (no score calibration across legs), and the fused order is
+remarkably robust to a weak leg.
+
+No reference counterpart (the reference repo has no retrieval surface) —
+north-star LLM-data-pipeline scope, like the dedup/ANN families.
+
+Scale shape: each leg is the already-scaled operator it composes
+(`similarity.cosine_topk` / the BM25 inverted-index join), both emitting
+(q_id, cand_id, rank) for a BOUNDED query set; fusion itself is
+leg-union → one (q_id, cand_id) aggregate → per-query WindowGroupLimit —
+work proportional to |queries|·n_cand, independent of corpus size.
+
+Determinism: RRF contributions are exact integers
+(``1_000_000 div (k_rrf + rank)``), so fused scores and the (desc score,
+cand_id) final order hash-match the DuckDB oracle with no float
+boundary cases.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+RRF_K = 60  # the paper's constant; pinned
+
+
+def rrf_fuse(
+    legs: list[DataFrame], k: int = 10, k_rrf: int = RRF_K
+) -> DataFrame:
+    """Fuse ranked lists: each leg is ``(q_id, cand_id, rank)`` (1-based
+    ranks); the fused score is ``Σ_legs 1_000_000 div (k_rrf + rank)``
+    — exact integer arithmetic. Returns
+    ``(q_id, rank, cand_id, rrf_e6, n_legs)`` with the final rank by
+    descending score, cand_id tiebreak, top ``k`` per query.
+
+    A candidate missing from a leg simply contributes nothing for that
+    leg (the standard RRF convention); ``n_legs`` reports in how many
+    legs it appeared."""
+    if not legs:
+        raise ValueError("rrf_fuse: need at least one leg")
+    allr = reduce(
+        DataFrame.unionByName,
+        [df.select("q_id", "cand_id", "rank") for df in legs],
+    )
+    scored = (
+        allr.withColumn(
+            "__c", F.expr(f"1000000 div ({k_rrf} + rank)").cast("bigint")
+        )
+        .groupBy("q_id", "cand_id")
+        .agg(
+            F.sum("__c").cast("bigint").alias("rrf_e6"),
+            F.count("*").cast("int").alias("n_legs"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("rrf_e6"), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "cand_id", "rrf_e6", "n_legs")
+    )
+
+
+def bm25_by_example(
+    docs: DataFrame,
+    query_pred: Column,
+    n_cand: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Query-BY-EXAMPLE BM25: each query DOCUMENT's distinct terms act
+    as its query, and every other document is scored with the standard
+    BM25 idf/tf-saturation sum (k1/b pinned) — the lexical leg of
+    hybrid retrieval ("find documents like this one").
+
+    Scale shape: ONE corpus explode into the scope-persisted
+    (doc, term, tf) aggregate (the `bm25_scoring` discipline) feeds doc
+    lengths, corpus stats, document frequencies, AND the query term
+    sets; query terms are bounded (|queries|·|vocab-per-doc|) and meet
+    the postings in a broadcast term join. Ranking runs on the 6dp-floor
+    score with a cand-id tiebreak (engine-identical total order).
+
+    Returns ``(q_id, rank, cand_id, score)`` top ``n_cand`` per query."""
+    from .dedup import persist_scoped
+
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tc = persist_scoped(
+        "bm25qbe_term_counts",
+        toks.groupBy(id_col, "term").agg(
+            F.count("*").cast("bigint").alias("tf")
+        ),
+    )
+    dl = tc.groupBy(id_col).agg(F.sum("tf").cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_len"),
+    )
+    qterms = (
+        tc.filter(query_pred)
+        .select(F.col(id_col).alias("q_id"), "term")
+        .distinct()
+    )
+    # document frequency over the FULL corpus for exactly the query
+    # terms (postings for other terms never join)
+    tf = tc.join(
+        F.broadcast(qterms), "term"
+    ).filter(F.col(id_col) != F.col("q_id"))
+    df_ = (
+        tc.join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("df"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    sat = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (
+            F.lit(1.0 - b)
+            + F.lit(b) * F.col("dl") * F.col("n_docs") / F.col("total_len")
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy("q_id", F.col(id_col).alias("cand_id"))
+        .agg(
+            F.floor(F.sum(idf * sat) * 1e6 + F.lit(0.5)).cast("bigint")
+            .alias("__s_e6")
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("__s_e6"), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n_cand)
+        .select(
+            "q_id",
+            "rank",
+            "cand_id",
+            (F.col("__s_e6") / 1e6).alias("score"),
+        )
+    )
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_pred_doc: Column,
+    query_pred_vec: Column,
+    n_cand: int = 20,
+    k: int = 10,
+    round_expr=None,
+) -> DataFrame:
+    """The composed hybrid retriever: lexical query-by-example BM25 +
+    exact dense cosine, fused with RRF. ``query_pred_doc`` /
+    ``query_pred_vec`` must select the SAME query identities in both
+    tables (the testdata embeddings are the documents' vectors by
+    construction: vec_id = doc_id)."""
+    from .similarity import cosine_topk
+
+    lex = bm25_by_example(docs, query_pred_doc, n_cand=n_cand)
+    dense = cosine_topk(
+        emb, query_pred_vec, k=n_cand, round_expr=round_expr
+    )
+    return rrf_fuse([lex, dense], k=k)

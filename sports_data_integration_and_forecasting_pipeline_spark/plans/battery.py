@@ -2478,6 +2478,105 @@ QUERIES["embed_ivfpq_precoded_topk"] = dataclasses.replace(
 
 
 # ===========================================================================
+# Hybrid retrieval fusion (r10 new family) — Reciprocal Rank Fusion
+# (Cormack, Clarke & Büttcher, SIGIR 2009): a lexical query-by-example
+# BM25 leg and an exact dense-cosine leg each rank candidates for the
+# same query documents (testdata embeddings are the documents' vectors
+# by construction: vec_id = doc_id); RRF fuses the two rank lists with
+# exact integer contributions 1e6 div (60 + rank) — no score
+# calibration across legs, hash-exact fused order
+# (operators/retrieval.py).
+# ===========================================================================
+
+_RRF_N_QUERY = 3
+_RRF_N_CAND = 20
+_RRF_TOPK = 10
+
+
+@_register(
+    "hybrid_rrf_fusion",
+    f"""
+    WITH {_emb_norm_cte()},
+    dense AS (
+      SELECT q_id, cand_id, rank FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_sql_r(_COS_SQL, 6)} DESC,
+                                           c.vec_id) AS rank
+        FROM (SELECT * FROM nv WHERE vec_id < {_RRF_N_QUERY}) q
+        CROSS JOIN nv c
+        WHERE c.vec_id <> q.vec_id)
+      WHERE rank <= {_RRF_N_CAND}),
+    tc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                 FROM documents)
+           WHERE term <> '' GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+           FROM tc GROUP BY doc_id),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
+    qt AS (SELECT DISTINCT doc_id AS q_id, term FROM tc
+           WHERE doc_id < {_RRF_N_QUERY}),
+    dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+            FROM tc JOIN (SELECT DISTINCT term FROM qt) USING (term)
+            GROUP BY term),
+    lexs AS (
+      SELECT qt.q_id, tc.doc_id AS cand_id,
+             CAST(floor(sum(ln(1.0 + (s.n_docs - dfq.df + 0.5)
+                                     / (dfq.df + 0.5))
+                            * (tc.tf * 2.2)
+                            / (tc.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                                              * s.n_docs / s.total_len)))
+                        * 1000000 + 0.5) AS BIGINT) AS s_e6
+      FROM tc JOIN qt USING (term) JOIN dfq USING (term)
+      JOIN dl ON dl.doc_id = tc.doc_id
+      CROSS JOIN stats s
+      WHERE tc.doc_id <> qt.q_id
+      GROUP BY qt.q_id, tc.doc_id),
+    lex AS (
+      SELECT q_id, cand_id, rank FROM (
+        SELECT q_id, cand_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY s_e6 DESC, cand_id) AS rank
+        FROM lexs)
+      WHERE rank <= {_RRF_N_CAND}),
+    legs AS (SELECT * FROM lex UNION ALL SELECT * FROM dense),
+    fused AS (SELECT q_id, cand_id,
+                     CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf_e6,
+                     CAST(count(*) AS INT) AS n_legs
+              FROM legs GROUP BY q_id, cand_id)
+    SELECT q_id, rank, cand_id, rrf_e6, n_legs FROM (
+      SELECT q_id, cand_id, rrf_e6, n_legs,
+             CAST(row_number() OVER (PARTITION BY q_id
+                                     ORDER BY rrf_e6 DESC, cand_id) AS INT)
+               AS rank
+      FROM fused)
+    WHERE rank <= {_RRF_TOPK}
+    """,
+    "retrieval: hybrid BM25 + dense-cosine fusion via Reciprocal Rank "
+    "Fusion (Cormack et al. SIGIR 2009; no reference counterpart)",
+    "query-by-example lexical leg (one corpus explode -> persisted "
+    "(doc,term,tf); broadcast query terms) + exact cosine leg, fused "
+    "by integer RRF 1e6 div (60+rank) — top-10 per query, cand-id "
+    "tiebreak",
+)
+def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.retrieval import (
+        hybrid_rrf_topk,
+    )
+
+    return hybrid_rrf_topk(
+        _t(spark, sf_dir, "documents"),
+        _t(spark, sf_dir, "embeddings"),
+        query_pred_doc=F.col("doc_id") < _RRF_N_QUERY,
+        query_pred_vec=F.col("vec_id") < _RRF_N_QUERY,
+        n_cand=_RRF_N_CAND,
+        k=_RRF_TOPK,
+        round_expr=lambda c: _r(c, 6),
+    )
+
+
+# ===========================================================================
 # Mean pooling — chunk embeddings -> document embedding (vec_id div 8
 # plays the chunk->doc mapping), the aggregation step of hierarchical
 # retrieval indexes. Element-wise mean across rows at scale = posexplode

@@ -437,6 +437,12 @@ PINNED = {
     # code index (Scan ExistingRDD — floats never touched), probes and
     # LUT broadcast, ADC sums map-side combined, WindowGroupLimit top-k
     "embed_ivfpq_precoded_topk": (4, ["Scan ExistingRDD", "BroadcastHashJoin", "Window"], ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin", "BatchEvalPython"]),
+    # r10 hybrid RRF fusion: the lexical leg reuses the persisted
+    # (doc,term,tf) aggregate (budget counts its cache-lineage echoes),
+    # query terms/stats broadcast; the dense leg is the bounded-query
+    # broadcast cross of embed_cosine_topk (its BNLJ is by design);
+    # fusion = leg Union -> one aggregate -> WindowGroupLimit
+    "hybrid_rrf_fusion": (21, ["InMemoryTableScan", "Union", "Window", "BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"]),
 }
 
 
