@@ -91,6 +91,7 @@ from .operators.textstats import (
     bpe_apply_ranks,
     bpe_encode_stats,
     bpe_merge_rounds,
+    distinct_ngram_stats,
     inverted_index,
     quality_linear_filter,
     repetition_stats,
@@ -142,7 +143,11 @@ from .operators.retrieval import bm25_by_example, hybrid_rrf_topk, rrf_fuse
 from .operators.profile import profile_table
 from .operators.redact import redact_pii
 from .operators.scd import scd2_intervals
-from .operators.sampling import kfold_assign, mixture_sample
+from .operators.sampling import (
+    kfold_assign,
+    mixture_sample,
+    temperature_mixture_weights,
+)
 from .sources.odds_api import fetch_player_props, fetch_odds
 from .app import (
     load_data,
@@ -251,6 +256,7 @@ __all__ = [
     "bpe_merge_rounds",
     "bpe_encode_stats",
     "bpe_apply_ranks",
+    "distinct_ngram_stats",
     "quality_linear_filter",
     "soft_dedup_weights",
     # corpus curation
@@ -258,6 +264,7 @@ __all__ = [
     "redact_pii",
     "chunk_documents",
     "mixture_sample",
+    "temperature_mixture_weights",
     "kfold_assign",
     "repetition_stats",
     "inverted_index",

@@ -211,3 +211,59 @@ def weighted_systematic_sample(
         w_end - F.pmod(w_end, F.lit(step))
     ) / F.lit(step)
     return spans.filter(keep).withColumnRenamed("tok_start", "w_start")
+
+
+def temperature_mixture_weights(
+    df: DataFrame, domain_col: str, alpha: float = 0.3
+) -> DataFrame:
+    """Temperature-based mixture reweighting — the multilingual /
+    multi-domain sampling rule (p_d^alpha renormalized; the alpha=0.3
+    convention popularized by multilingual-BERT and mT5's exponential
+    smoothing — Devlin et al. 2019 appendix, Xue et al. NAACL 2021;
+    public): raising each domain's empirical share p_d to alpha < 1
+    UP-samples the tail domains and down-samples the head, without any
+    domain ever dominating or vanishing.
+
+    Returns one row per domain: ``(domain_col, n_docs, p, q,
+    per_doc_weight)`` where ``q = p^alpha / Σ p'^alpha`` is the target
+    mixture share and ``per_doc_weight = q / p`` is the multiplicative
+    sampling weight each of the domain's documents carries into a
+    weighted sampler (e.g. :func:`weighted_systematic_sample` after
+    integer-scaling, or loss-weighting à la
+    :func:`~.dedup.soft_dedup_weights`). Floats are 6dp-floor-rounded
+    (the ``_r`` discipline) so the report hash-matches the oracle.
+
+    Plan: one map-side-combined count aggregate over the corpus; the
+    normalization constant is a 1-row broadcast — domain-granular
+    everywhere after the scan."""
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(
+            f"temperature_mixture_weights: alpha must be in (0, 1] "
+            f"(got {alpha})"
+        )
+    counts = df.groupBy(domain_col).agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    tot = counts.groupBy().agg(
+        F.sum("n_docs").cast("bigint").alias("n_total")
+    )
+    p = F.col("n_docs").cast("double") / F.col("n_total")
+    staged = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "__pa", F.pow(p, F.lit(alpha))
+    )
+    z = staged.groupBy().agg(F.sum("__pa").alias("__z"))
+    q = F.col("__pa") / F.col("__z")
+
+    def _r6(c: Column) -> Column:
+        return F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+
+    return (
+        staged.crossJoin(F.broadcast(z))
+        .select(
+            F.col(domain_col),
+            "n_docs",
+            _r6(p).alias("p"),
+            _r6(q).alias("q"),
+            _r6(q / p).alias("per_doc_weight"),
+        )
+    )

@@ -703,3 +703,68 @@ def quality_linear_filter(
         .withColumn("logit_e6", logit.cast("bigint"))
         .withColumn("kept", F.col("logit_e6") >= 0)
     )
+
+
+def distinct_ngram_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    max_n: int = 2,
+) -> DataFrame:
+    """Distinct-n diversity — the corpus diversity metric (Li et al.,
+    "A Diversity-Promoting Objective Function for Neural Conversation
+    Models", NAACL 2016 — public): per group, the ratio of DISTINCT
+    n-grams to total n-grams for n = 1..``max_n``. Near-duplicate-heavy
+    or templated corpora score low; it is the cheap corpus-level
+    counterpart to the pairwise dedup families (a low distinct-2 is the
+    signal that sends a source slice INTO them).
+
+    Returns long-format rows ``(group_col, n, total_ngrams,
+    distinct_ngrams, distinct_ratio_e6)`` with the ratio in exact
+    integer micro-units (``1e6·distinct div total`` — no floats).
+
+    Scale shape: ONE doc-granular window exchange builds every n via
+    ``lead()`` terms off the same token stream (the lead-window n-gram
+    house pattern — never a per-n re-tokenize); each n then costs one
+    (group, gram) count-distinct aggregate, map-side combined."""
+    if max_n < 1:
+        raise ValueError(
+            f"distinct_ngram_stats: max_n must be >= 1 (got {max_n})"
+        )
+    toks = df.select(
+        F.col(group_col),
+        F.col(id_col),
+        F.posexplode(_tokens(F.col(text_col))).alias("pos", "t1"),
+    ).filter(F.col("t1") != "")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    for i in range(2, max_n + 1):
+        toks = toks.withColumn(f"t{i}", F.lead("t1", i - 1).over(w))
+    stats = []
+    for n in range(1, max_n + 1):
+        gram = F.concat_ws(" ", *[F.col(f"t{i}") for i in range(1, n + 1)])
+        g = toks
+        if n > 1:
+            g = g.filter(F.col(f"t{n}").isNotNull())
+        s = (
+            g.select(F.col(group_col), gram.alias("__g"))
+            .groupBy(group_col)
+            .agg(
+                F.count("*").cast("bigint").alias("total_ngrams"),
+                F.countDistinct("__g").cast("bigint").alias("distinct_ngrams"),
+            )
+            .select(
+                group_col,
+                F.lit(n).cast("int").alias("n"),
+                "total_ngrams",
+                "distinct_ngrams",
+                F.expr("1000000 * distinct_ngrams div total_ngrams")
+                .cast("bigint")
+                .alias("distinct_ratio_e6"),
+            )
+        )
+        stats.append(s)
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionByName(s)
+    return out

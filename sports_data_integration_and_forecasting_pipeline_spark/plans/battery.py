@@ -11624,6 +11624,101 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ===========================================================================
+# Distinct-n diversity (r10) — Li et al. NAACL 2016's corpus diversity
+# ratio per language slice: distinct n-grams over total n-grams,
+# n = 1..2, exact integer micro-units. The cheap corpus-level signal
+# that routes a templated/near-dup-heavy source slice into the pairwise
+# dedup families (operators/textstats.py:distinct_ngram_stats).
+# ===========================================================================
+
+
+@_register(
+    "text_distinct_ngrams",
+    """
+    WITH t0 AS (SELECT lang, doc_id, string_split(text, ' ') AS l
+                FROM documents),
+    tk AS (SELECT lang, doc_id, CAST(pos AS BIGINT) AS pos,
+                  l[pos::INT] AS t1
+           FROM (SELECT lang, doc_id, l,
+                        unnest(range(1, len(l) + 1)) AS pos
+                 FROM t0)
+           WHERE l[pos::INT] <> ''),
+    bg AS (SELECT lang, doc_id, pos, t1,
+                  lead(t1) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+           FROM tk),
+    s1 AS (SELECT lang, CAST(1 AS INT) AS n,
+                  CAST(count(*) AS BIGINT) AS total_ngrams,
+                  CAST(count(DISTINCT t1) AS BIGINT) AS distinct_ngrams
+           FROM tk GROUP BY lang),
+    s2 AS (SELECT lang, CAST(2 AS INT) AS n,
+                  CAST(count(*) AS BIGINT) AS total_ngrams,
+                  CAST(count(DISTINCT concat(t1, ' ', t2)) AS BIGINT)
+                    AS distinct_ngrams
+           FROM bg WHERE t2 IS NOT NULL GROUP BY lang)
+    SELECT lang, n, total_ngrams, distinct_ngrams,
+           CAST(1000000 * distinct_ngrams // total_ngrams AS BIGINT)
+             AS distinct_ratio_e6
+    FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+    """,
+    "textops: distinct-n corpus diversity per language (Li et al. "
+    "NAACL 2016; no reference counterpart)",
+    "distinct/total n-gram ratios (n=1,2) in exact integer micro-units "
+    "— one doc-granular lead-window pass builds every n",
+)
+def text_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import (
+        distinct_ngram_stats,
+    )
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import (
+        ensure_parallelism,
+    )
+
+    return distinct_ngram_stats(
+        ensure_parallelism(_t(spark, sf_dir, "documents"), "doc_id")
+    )
+
+
+# ===========================================================================
+# Temperature mixture reweighting (r10) — the multilingual sampling rule
+# (p^0.3 renormalized; mBERT/mT5 exponential smoothing): up-samples tail
+# domains, down-samples the head, one count aggregate + two 1-row
+# broadcasts (operators/sampling.py:temperature_mixture_weights).
+# ===========================================================================
+
+
+@_register(
+    "mixture_temperature_weights",
+    f"""
+    WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY lang),
+    t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM c),
+    s AS (SELECT lang, n_docs,
+                 1.0 * n_docs / n_total AS p,
+                 pow(1.0 * n_docs / n_total, 0.3) AS pa
+          FROM c CROSS JOIN t),
+    z AS (SELECT sum(pa) AS z FROM s)
+    SELECT lang, n_docs,
+           {_sql_r('p', 6)} AS p,
+           {_sql_r('pa / z', 6)} AS q,
+           {_sql_r('(pa / z) / p', 6)} AS per_doc_weight
+    FROM s CROSS JOIN z
+    """,
+    "curation: temperature mixture reweighting (p^alpha renormalized, "
+    "alpha=0.3 — mBERT/mT5 smoothing; no reference counterpart)",
+    "per-language target share q = p^0.3/Z and per-doc sampling weight "
+    "q/p, 6dp-floor — one count agg, domain-granular after the scan",
+)
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.sampling import (
+        temperature_mixture_weights,
+    )
+
+    return temperature_mixture_weights(
+        _t(spark, sf_dir, "documents"), "lang", alpha=0.3
+    )
+
+
 @_register(
     "markov_steady_state_power",
     f"""

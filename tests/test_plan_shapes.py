@@ -443,6 +443,13 @@ PINNED = {
     # broadcast cross of embed_cosine_topk (its BNLJ is by design);
     # fusion = leg Union -> one aggregate -> WindowGroupLimit
     "hybrid_rrf_fusion": (21, ["InMemoryTableScan", "Union", "Window", "BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"]),
+    # r10 distinct-n: ONE doc-granular lead-window pass builds every n,
+    # then per-n (lang, gram) count-distinct aggregates union
+    "text_distinct_ngrams": (6, ["Window", "Union"], ["Join", "CartesianProduct", "BatchEvalPython"]),
+    # r10 temperature mixture: one corpus count agg; the two 1-row
+    # normalization scalars ride broadcast crosses (BNLJ by design,
+    # the cusum convention)
+    "mixture_temperature_weights": (10, [], ["SortMergeJoin", "CartesianProduct", "BatchEvalPython", "Window"]),
 }
 
 

@@ -219,3 +219,44 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     counts = pdf.groupby("split").size()
     assert set(counts.index) == {"train", "val", "test"}
     assert counts["train"] > counts["val"] + counts["test"]
+
+
+def test_temperature_mixture_weights_model(spark):
+    """q = p^0.3 / Z against a pure-Python model; alpha < 1 must
+    up-weight the tail domain and down-weight the head; Σq = 1."""
+    import math
+
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.sampling import (
+        temperature_mixture_weights,
+    )
+
+    counts = {"en": 70, "de": 20, "zh": 10}
+    rows = [(f"{d}{i}", d) for d, n in counts.items() for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id string, lang string")
+    got = {
+        r["lang"]: (r["n_docs"], r["p"], r["q"], r["per_doc_weight"])
+        for r in temperature_mixture_weights(df, "lang").collect()
+    }
+    n_tot = sum(counts.values())
+    pas = {d: (n / n_tot) ** 0.3 for d, n in counts.items()}
+    z = sum(pas.values())
+    r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6
+    for d, n in counts.items():
+        p = n / n_tot
+        q = pas[d] / z
+        assert got[d] == (n, r6(p), r6(q), r6(q / p)), d
+    # alpha < 1 flattens: head down-weighted, tail up-weighted
+    assert got["en"][3] < 1.0 < got["zh"][3]
+    assert abs(sum(v[2] for v in got.values()) - 1.0) < 1e-5
+
+
+def test_temperature_mixture_weights_alpha_guard(spark):
+    import pytest
+
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.sampling import (
+        temperature_mixture_weights,
+    )
+
+    df = spark.createDataFrame([("a", "en")], "doc_id string, lang string")
+    with pytest.raises(ValueError, match="alpha must be in"):
+        temperature_mixture_weights(df, "lang", alpha=0.0)

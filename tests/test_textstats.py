@@ -214,3 +214,33 @@ def test_quality_linear_filter_degenerate_rows(spark):
         assert got[i]["kept"] is not None
     assert got[0]["kept"] is False  # empty doc: only bias + tiny terms
     assert got[2]["kept"] is not None
+
+
+def test_distinct_ngram_stats_hand_corpus(spark):
+    """Exact counts on a hand corpus: repeated tokens/bigrams collapse
+    in the distinct count, empty tokens are dropped, and the ratio is
+    exact integer micro-units (truncating div)."""
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import (
+        distinct_ngram_stats,
+    )
+
+    rows = [
+        (0, "en", "a b a b"),     # unigrams a,b,a,b; bigrams ab,ba,ab
+        (1, "en", "a  c"),        # double space -> empty token dropped
+        (2, "de", "x x x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        (r["lang"], r["n"]): (
+            r["total_ngrams"], r["distinct_ngrams"], r["distinct_ratio_e6"]
+        )
+        for r in distinct_ngram_stats(df, group_col="lang").collect()
+    }
+    # en unigrams: a b a b a c -> 6 total, 3 distinct
+    assert got[("en", 1)] == (6, 3, 500_000)
+    # en bigrams: (a b)(b a)(a b) from doc0 + (a c) from doc1 -> 4 total,
+    # 3 distinct -> 750000
+    assert got[("en", 2)] == (4, 3, 750_000)
+    # de: 3 unigrams 1 distinct -> 333333 (truncating div)
+    assert got[("de", 1)] == (3, 1, 333_333)
+    assert got[("de", 2)] == (2, 1, 500_000)
