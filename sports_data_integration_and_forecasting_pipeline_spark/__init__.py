@@ -98,7 +98,7 @@ from .operators.textstats import (
     unigram_perplexity,
 )
 from .operators.bloom import bloom_build, bloom_might_contain, bloom_prune
-from .operators.chunking import chunk_documents
+from .operators.chunking import chunk_documents, pack_counted_spans
 from .operators.decontam import benchmark_contamination
 from .operators.contamination import (
     kmv_merge,
@@ -263,6 +263,7 @@ __all__ = [
     "benchmark_contamination",
     "redact_pii",
     "chunk_documents",
+    "pack_counted_spans",
     "mixture_sample",
     "temperature_mixture_weights",
     "kfold_assign",

@@ -139,8 +139,32 @@ def pack_token_spans(
         F.col(id_col),
         F.size(F.split(F.col(text_col), " ")).cast("bigint").alias("n_tokens"),
     )
+    return pack_counted_spans(
+        toks,
+        seq_len=seq_len,
+        id_col=id_col,
+        n_col="n_tokens",
+        bucket_width=bucket_width,
+    )
+
+
+def pack_counted_spans(
+    counts: DataFrame,
+    seq_len: int = 256,
+    id_col: str = "doc_id",
+    n_col: str = "n_tokens",
+    bucket_width: int = 4096,
+) -> DataFrame:
+    """The packing core over an ARBITRARY per-document token-count frame
+    ``(id_col, n_col)`` — so packing can consume REAL tokenizer counts
+    (e.g. :func:`~.textstats.bpe_encode_stats`'s ``n_bpe_tokens``)
+    instead of the whitespace estimate. Output schema and arithmetic as
+    :func:`pack_token_spans` (``n_col`` reported as ``n_tokens``)."""
+    counts = counts.select(
+        F.col(id_col), F.col(n_col).cast("bigint").alias("n_tokens")
+    )
     spans = global_prefix_offsets(
-        toks, id_col=id_col, n_col="n_tokens", bucket_width=bucket_width
+        counts, id_col=id_col, n_col="n_tokens", bucket_width=bucket_width
     )
     tok_end = F.col("tok_start") + F.col("n_tokens")  # exclusive
     return spans.select(

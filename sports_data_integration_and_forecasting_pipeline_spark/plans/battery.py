@@ -11625,6 +11625,61 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# BPE-counted sequence packing (r10, VERDICT r9 task 3's composition) —
+# pack_sequence_spans consuming REAL tokenizer counts: the packing
+# stream positions come from bpe_encode_stats' n_bpe_tokens instead of
+# the whitespace estimate, through the same distributed two-phase
+# prefix sum. Docs the tokenizer never saw (no non-empty words) carry
+# no tokens and are absent, exactly as a real packing run would skip
+# them.
+# ===========================================================================
+
+
+@_register(
+    "pack_bpe_sequence_spans",
+    f"""
+    WITH {_BPE_CTES},
+    enc AS (SELECT word, CAST(count(*) AS BIGINT) AS n_toks
+            FROM s{_BPE_ROUNDS} GROUP BY word),
+    dw AS (SELECT doc_id, word
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                 FROM documents)
+           WHERE word <> ''),
+    dt AS (SELECT doc_id, CAST(sum(n_toks) AS BIGINT) AS n_tokens
+           FROM dw JOIN enc USING (word) GROUP BY doc_id),
+    c AS (SELECT doc_id, n_tokens,
+                 sum(n_tokens) OVER (ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+          FROM dt)
+    SELECT doc_id, n_tokens,
+           CAST(cum - n_tokens AS BIGINT) AS tok_start,
+           CAST((cum - n_tokens) // 256 AS BIGINT) AS first_seq,
+           CAST((cum - 1) // 256 AS BIGINT) AS last_seq,
+           CAST((cum - 1) // 256 - (cum - n_tokens) // 256 + 1 AS BIGINT)
+             AS n_seqs
+    FROM c
+    """,
+    "textops: sequence packing over REAL BPE token counts (tokenizer "
+    "loop composed end-to-end; no reference counterpart)",
+    "bpe_encode_stats' n_bpe_tokens drive the distributed two-phase "
+    "prefix-sum packing — concat-and-cut at 256 tokens on the learned "
+    "tokenization, not the whitespace estimate",
+)
+def pack_bpe_sequence_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.chunking import (
+        pack_counted_spans,
+    )
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import (
+        bpe_encode_stats,
+    )
+
+    counts = bpe_encode_stats(
+        _t(spark, sf_dir, "documents"), rounds=_BPE_ROUNDS
+    ).select("doc_id", F.col("n_bpe_tokens"))
+    return pack_counted_spans(counts, seq_len=256, n_col="n_bpe_tokens")
+
+
+# ===========================================================================
 # Distinct-n diversity (r10) — Li et al. NAACL 2016's corpus diversity
 # ratio per language slice: distinct n-grams over total n-grams,
 # n = 1..2, exact integer micro-units. The cheap corpus-level signal

@@ -96,3 +96,40 @@ def test_pack_token_spans_boundaries(spark):
     assert (got[2]["tok_start"], got[2]["first_seq"], got[2]["n_seqs"]) == (256, 1, 1)
     # doc 3 (300 tokens from 257) straddles sequences 1..2
     assert (got[3]["tok_start"], got[3]["first_seq"], got[3]["last_seq"], got[3]["n_seqs"]) == (257, 1, 2, 2)
+
+
+def test_pack_counted_spans_generalizes_token_spans(spark):
+    """pack_token_spans must be exactly pack_counted_spans over the
+    whitespace counts (the refactor contract), and arbitrary counts
+    (e.g. real BPE tokens) flow through the same prefix-sum packing."""
+    from pyspark.sql import functions as F
+
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.chunking import (
+        pack_counted_spans,
+        pack_token_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (3 + i))) for i in range(6)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, pack_token_spans(docs, seq_len=5).collect()))
+    counts = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n")
+    )
+    b = sorted(map(tuple, pack_counted_spans(counts, seq_len=5, n_col="n").collect()))
+    assert a == b
+    # custom counts: doc k carries 10*k+1 tokens -> offsets are the
+    # exact prefix sums
+    c = spark.createDataFrame(
+        [(k, 10 * k + 1) for k in range(4)], "doc_id long, n long"
+    )
+    got = {r["doc_id"]: (r["tok_start"], r["n_seqs"])
+           for r in pack_counted_spans(c, seq_len=7, n_col="n").collect()}
+    starts = {0: 0, 1: 1, 2: 12, 3: 33}
+    import math
+    for k in range(4):
+        n = 10 * k + 1
+        s = starts[k]
+        assert got[k][0] == s
+        assert got[k][1] == (s + n - 1) // 7 - s // 7 + 1

@@ -450,6 +450,10 @@ PINNED = {
     # normalization scalars ride broadcast crosses (BNLJ by design,
     # the cusum convention)
     "mixture_temperature_weights": (10, [], ["SortMergeJoin", "CartesianProduct", "BatchEvalPython", "Window"]),
+    # r10 BPE-counted packing: text_bpe_encode's shape (checkpointed
+    # induction frame + word equi-join) feeding the two-phase prefix-sum
+    # packing windows — never a single-task global sort window
+    "pack_bpe_sequence_spans": (10, ["Scan ExistingRDD", "Window"], ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"]),
 }
 
 
