@@ -114,8 +114,10 @@ from .operators.dedup import (
     sorted_neighborhood_candidates,
     substring_gram_counts,
     soft_dedup_weights,
+    incremental_winnow_matches,
     winnow_fingerprints,
     winnow_match_pairs,
+    winnow_state,
 )
 from .operators.merge import merge_into
 from .operators.parallelism import (
@@ -226,6 +228,8 @@ __all__ = [
     "substring_gram_counts",
     "incremental_duplicate_spans",
     "winnow_fingerprints",
+    "winnow_state",
+    "incremental_winnow_matches",
     "winnow_match_pairs",
     "shingle_rows",
     # contamination audit (KMV/theta sketches)

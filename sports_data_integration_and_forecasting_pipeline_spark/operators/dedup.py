@@ -1597,6 +1597,106 @@ def winnow_match_pairs(
     )
 
 
+def winnow_state(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    unique_id: bool = True,
+) -> DataFrame:
+    """The PERSISTED winnow fingerprint index state — distinct
+    ``(id_col, fp)`` rows, the table an incremental pipeline stores
+    between snapshots. Mergeable by construction: fingerprints are
+    per-document, so appending a new batch's state IS the full-recompute
+    state (``union`` + nothing else — no re-fingerprinting)."""
+    return (
+        winnow_fingerprints(
+            df, text_col=text_col, id_col=id_col, k=k, w=w,
+            unique_id=unique_id,
+        )
+        .select(id_col, "fp")
+        .distinct()
+    )
+
+
+def incremental_winnow_matches(
+    corpus_fps: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = 100,
+    unique_id: bool = True,
+) -> DataFrame:
+    """Match a NEW snapshot against the stored corpus fingerprint state
+    WITHOUT re-fingerprinting the corpus — the winnowing member of the
+    incremental dedup family (minhash:
+    :func:`incremental_minhash_pairs`; substring:
+    :func:`incremental_duplicate_spans`). Only the new docs are
+    tokenized; the corpus contributes its persisted
+    :func:`winnow_state` table.
+
+    Returns exactly the :func:`winnow_match_pairs` result RESTRICTED to
+    pairs touching at least one new doc (new×corpus ∪ new×new) — the
+    doc-frequency hot cap is computed over state ∪ batch, i.e. the full
+    current corpus, so the subset hash-matches a full recompute (the
+    battery oracle IS the full-recompute SQL with that restriction).
+
+    Scale shape: per-snapshot cost is O(new docs) fingerprinting (one
+    doc-granular exchange) + a fp equi-join against the (persisted)
+    state inverted index; the hot-fp list is a broadcast anti-join as
+    in the one-shot path. ``(id_a, id_b, n_shared)`` with
+    ``id_a < id_b``."""
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import (
+        ensure_parallelism,
+    )
+
+    new_fps = _persist_scoped(
+        "winnow_inc_new_fps",
+        winnow_state(
+            ensure_parallelism(new_docs, id_col),
+            text_col=text_col, id_col=id_col, k=k, w=w,
+            unique_id=unique_id,
+        ),
+    )
+    corpus_fps = _persist_scoped(
+        "winnow_inc_corpus_fps", corpus_fps.select(id_col, "fp")
+    )
+    all_fps = corpus_fps.unionByName(new_fps)
+    if max_df is not None:
+        hot = (
+            all_fps.groupBy("fp")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select("fp")
+        )
+        all_fps = all_fps.join(F.broadcast(hot), "fp", "left_anti")
+        new_side = new_fps.join(F.broadcast(hot), "fp", "left_anti")
+    else:
+        new_side = new_fps
+    pairs = (
+        new_side.select(F.col(id_col).alias("id_n"), "fp")
+        .join(all_fps.select(F.col(id_col).alias("id_o"), "fp"), "fp")
+        .filter(F.col("id_n") != F.col("id_o"))
+        .select(
+            F.least("id_n", "id_o").alias("id_a"),
+            F.greatest("id_n", "id_o").alias("id_b"),
+            "fp",
+        )
+        # a new×new pair meets once from each side — dedup (pair, fp)
+        # before counting or shared fps double-count
+        .distinct()
+    )
+    return (
+        pairs.groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def soft_dedup_weights(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

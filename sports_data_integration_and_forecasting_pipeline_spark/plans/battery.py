@@ -13681,6 +13681,53 @@ def dedup_winnow_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Incremental winnow (r10): batch (doc_id % 10 = 0) matched against the
+# persisted corpus fingerprint state (the other 90%) WITHOUT
+# re-fingerprinting the corpus. Fingerprints are per-document, so the
+# incremental state union IS the full-recompute fingerprint set — the
+# oracle is the full winnow_match_pairs SQL restricted to pairs touching
+# a batch doc, and hash equality proves the incremental path computes
+# exactly that subset (the incremental_minhash/substring convention).
+@_register(
+    "dedup_incremental_winnow",
+    f"""
+    WITH {_WINNOW_FP_CTES},
+    fps AS (SELECT DISTINCT doc_id, fp FROM fp),
+    dfreq AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 100),
+    surv AS (SELECT f.doc_id, f.fp FROM fps f JOIN dfreq USING (fp))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM surv a JOIN surv b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    WHERE a.doc_id % 10 = 0 OR b.doc_id % 10 = 0
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= 2
+    """,
+    "dedup: incremental winnow — batch vs persisted fingerprint state "
+    "(MOSS match, snapshot form; no reference counterpart)",
+    "O(batch) fingerprinting + fp equi-join against the stored index; "
+    "hot cap over state+batch = the full-corpus cap, so the subset "
+    "hash-matches a full recompute",
+)
+def dedup_incremental_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
+        incremental_winnow_matches,
+        winnow_state,
+    )
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import (
+        ensure_parallelism,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = ensure_parallelism(
+        docs.filter(F.col("doc_id") % 10 != 0), "doc_id"
+    )
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    state = winnow_state(corpus, k=_WINNOW_K, w=_WINNOW_W)
+    return incremental_winnow_matches(
+        state, batch, k=_WINNOW_K, w=_WINNOW_W, min_shared=2, max_df=100
+    )
+
+
 # ===========================================================================
 # Cross-snapshot contamination audit (r8 new family head) — KMV/theta
 # sketch intersections (operators/contamination.py): every source
@@ -14137,7 +14184,9 @@ _WINDOW_PRIORITY = [
 #       cosine_dup_pairs family heads, and sampling/diff/profile pack
 #       heads — sweep each at sf0.01 via tools/sweep_oracle.py first.
 #   r11 addendum (r10): the round-10 additions (text_bpe_encode,
-#       embed_ivfpq_precoded_topk, plus any later r10 entries) are
+#       embed_ivfpq_precoded_topk, hybrid_rrf_fusion,
+#       text_distinct_ngrams, mixture_temperature_weights,
+#       pack_bpe_sequence_spans, plus any later r10 entries) are
 #       swept green at sf0.01 on arrival and held OUT of the r10
 #       window (the r9 convention) — put them at the front of the r11
 #       in-list.

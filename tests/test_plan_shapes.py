@@ -454,6 +454,11 @@ PINNED = {
     # induction frame + word equi-join) feeding the two-phase prefix-sum
     # packing windows — never a single-task global sort window
     "pack_bpe_sequence_spans": (10, ["Scan ExistingRDD", "Window"], ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"]),
+    # r10 incremental winnow: batch fingerprints (persisted, echoes in
+    # the budget) + broadcast hot-fp anti-join + fp equi-join against
+    # the persisted state — corpus text is never re-fingerprinted; no
+    # pair shape touches a corpus-sized side
+    "dedup_incremental_winnow": (18, ["InMemoryTableScan", "Union", "BroadcastHashJoin"], ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin", "BatchEvalPython"]),
 }
 
 
