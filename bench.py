@@ -223,6 +223,19 @@ HEADLINE = [
     "quality_linear_filter",
     "dedup_soft_weights",
     "curation_pipeline_v3",
+    # r10 families (probed on arrival — SCALING.md round-10). The two
+    # BPE-consuming entries run the checkpointed merge rounds in the
+    # builder (BUILDER_DOES_CLUSTER_WORK, like text_bpe_merges).
+    # embed_ivfpq_precoded_topk deliberately does NOT count its builder:
+    # the eager index build is the once-paid stored-column cost, and the
+    # timed query-over-ints wall is the entry's claim (SCALING.md r10).
+    "text_bpe_encode",
+    "pack_bpe_sequence_spans",
+    "embed_ivfpq_precoded_topk",
+    "hybrid_rrf_fusion",
+    "text_distinct_ngrams",
+    "mixture_temperature_weights",
+    "dedup_incremental_winnow",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).
@@ -259,6 +272,9 @@ BUILDER_DOES_CLUSTER_WORK = {
     # kcore/pagerank's checkpointed rounds likewise predate this set
     # and keep their established timing.)
     "text_bpe_merges",
+    # r10: both BPE-consuming entries run the same checkpointed rounds
+    "text_bpe_encode",
+    "pack_bpe_sequence_spans",
 }
 
 

@@ -1762,6 +1762,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup_minhash_lsh) restricted to pairs touching a new doc — the
 # incremental result must hash-match it exactly, proving incremental ==
 # full for the affected subset.
+# r10 bench adjudication: 0.78 -> 1.28 s swing re-measured 0.877/0.697 s
+# in both orderings on a calm session -> mid-battery interference.
 @_register(
     "dedup_incremental_minhash",
     f"""
@@ -4336,6 +4338,10 @@ def time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
 # making every quintile boundary engine-exact.
 # ===========================================================================
 
+# r10 bench adjudication: 1.33 -> 2.23 s swing re-measured 1.346/1.414 s
+# in BOTH orderings on a calm session -> mid-battery interference (the
+# timed battery grew 197 -> 204), not a plan change. Third swing for
+# this entry; min-of-last-2 remains the accepted mitigation.
 @_register(
     "rfm_user_segments",
     """
@@ -6124,6 +6130,9 @@ def _zorder_oracle_sql() -> str:
     """
 
 
+# r10 bench adjudication: 0.99 -> 1.47 s swing re-measured 1.055/1.054 s
+# in both orderings on a calm session -> mid-battery interference (the
+# two-global-sort entry is the most GC-pressure-sensitive by design).
 @_register(
     "zorder_layout_pruning",
     _zorder_oracle_sql(),
@@ -6757,6 +6766,8 @@ def text_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PPL_CUT_E4 = 32 * 10000  # keep docs with perplexity <= 32 (calibrated offline; corpus ppl spans ~29-42)
 
 
+# r10 bench adjudication: 0.92 -> 1.25 s swing re-measured 0.617/0.570 s
+# in both orderings on a calm session -> mid-battery interference.
 @_register(
     "quality_perplexity_cut",
     f"""
@@ -14183,13 +14194,19 @@ _WINDOW_PRIORITY = [
 #       dedup_incremental_compacted, dedup_normalized,
 #       cosine_dup_pairs family heads, and sampling/diff/profile pack
 #       heads — sweep each at sf0.01 via tools/sweep_oracle.py first.
-#   r11 addendum (r10): the round-10 additions (text_bpe_encode,
+#   r11 addendum (r10): the SEVEN round-10 additions (text_bpe_encode,
 #       embed_ivfpq_precoded_topk, hybrid_rrf_fusion,
 #       text_distinct_ngrams, mixture_temperature_weights,
-#       pack_bpe_sequence_spans, plus any later r10 entries) are
+#       pack_bpe_sequence_spans, dedup_incremental_winnow) are each
 #       swept green at sf0.01 on arrival and held OUT of the r10
 #       window (the r9 convention) — put them at the front of the r11
 #       in-list.
+#   End-of-r10 standing-protocol sweep (VERDICT r9 task 2): the ENTIRE
+#       223-entry battery swept in ONE run at sf0.01 (the driver gate
+#       scale) — 219 hash-ok + the 4 by-design rows-only, rc 0
+#       (tools/sweep_oracle.py, after the r10 additions and the
+#       cdc/quality-filter/BPE semantic fixes). Every r11+ rotation
+#       choice is therefore same-scale pre-verified again.
 #   r11+: sweep any stragglers alphabetically until all entries have
 #       ≥1 driver row.
 # ===========================================================================

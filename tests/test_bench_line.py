@@ -102,3 +102,30 @@ def test_compact_line_preserves_calib_end_fields():
         assert obj["calib_end_md5_sec"] == 2.1
         assert obj["calib_drift"] == 0.125
         assert obj["calib_drift_flag"] is False
+
+
+def test_window_priority_names_valid_and_sized():
+    """The 50-slot driver window must reference only registered entries,
+    with no duplicates — a typo here silently shrinks the correctness
+    window (the driver takes the first 50 of the curated order)."""
+    from sports_data_integration_and_forecasting_pipeline_spark.plans.battery import (
+        QUERIES,
+        _WINDOW_PRIORITY,
+    )
+
+    assert len(_WINDOW_PRIORITY) == 50
+    assert len(set(_WINDOW_PRIORITY)) == 50
+    missing = [n for n in _WINDOW_PRIORITY if n not in QUERIES]
+    assert not missing, missing
+
+
+def test_headline_names_valid():
+    """Every bench HEADLINE name must be a registered entry (a rename
+    would silently drop it from the timed set via QUERIES.get)."""
+    from bench import BUILDER_DOES_CLUSTER_WORK, HEADLINE
+    from sports_data_integration_and_forecasting_pipeline_spark.plans.battery import QUERIES
+
+    missing = [n for n in HEADLINE if n not in QUERIES]
+    assert not missing, missing
+    assert len(set(HEADLINE)) == len(HEADLINE)
+    assert BUILDER_DOES_CLUSTER_WORK <= set(QUERIES)
