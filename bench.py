@@ -236,6 +236,9 @@ HEADLINE = [
     "text_distinct_ngrams",
     "mixture_temperature_weights",
     "dedup_incremental_winnow",
+    # MMR's k greedy rounds run checkpointed in the builder — they ARE
+    # the operator under test (the text_bpe_merges rationale)
+    "embed_mmr_rerank",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).
@@ -275,6 +278,7 @@ BUILDER_DOES_CLUSTER_WORK = {
     # r10: both BPE-consuming entries run the same checkpointed rounds
     "text_bpe_encode",
     "pack_bpe_sequence_spans",
+    "embed_mmr_rerank",
 }
 
 

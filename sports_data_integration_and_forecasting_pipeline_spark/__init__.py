@@ -141,7 +141,12 @@ from .operators.quantize import (
     quantize_embeddings,
     quantized_cosine_topk,
 )
-from .operators.retrieval import bm25_by_example, hybrid_rrf_topk, rrf_fuse
+from .operators.retrieval import (
+    bm25_by_example,
+    hybrid_rrf_topk,
+    mmr_rerank_topk,
+    rrf_fuse,
+)
 from .operators.profile import profile_table
 from .operators.redact import redact_pii
 from .operators.scd import scd2_intervals
@@ -291,6 +296,7 @@ __all__ = [
     "rrf_fuse",
     "bm25_by_example",
     "hybrid_rrf_topk",
+    "mmr_rerank_topk",
     # event paths
     "user_event_paths",
     "path_funnel",

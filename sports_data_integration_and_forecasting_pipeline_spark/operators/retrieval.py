@@ -182,3 +182,163 @@ def hybrid_rrf_topk(
         emb, query_pred_vec, k=n_cand, round_expr=round_expr
     )
     return rrf_fuse([lex, dense], k=k)
+
+
+def mmr_rerank_topk(
+    emb_df: DataFrame,
+    query_pred: Column,
+    n_cand: int = 10,
+    k: int = 5,
+    lam_num: int = 7,
+    lam_den: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998 — public): select ``k`` of each query's top-``n_cand``
+    cosine candidates one at a time, each pick maximizing
+    ``λ·relevance − (1−λ)·max_similarity_to_already_selected`` — the
+    diversity-aware final stage of a retrieval stack (after
+    :func:`rrf_fuse`-style fusion), and the selection rule
+    diversity-sampling curation pipelines reuse verbatim.
+
+    Exact integer arithmetic throughout: relevance and pairwise
+    similarity are micro-unit ints (``floor(cos·10⁶ + 0.5)``) and the
+    MMR objective is scored as
+    ``score_e7 = lam_num·rel_e6 − (lam_den − lam_num)·maxsim_e6``
+    (the λ-weighted score times ``lam_den`` — same argmax, NO division,
+    so no truncation-direction mismatch between engines on negative
+    cosines). Ties break to the lower candidate id; the first pick is
+    the pure-relevance argmax (``maxsim`` term 0, the paper's
+    convention).
+
+    Scale shape: the ONLY corpus-sized work is the initial broadcast
+    query scan that produces the top-``n_cand`` candidates; the
+    candidate-pair similarity table is |queries|·n_cand² rows and every
+    selection round after that is SELECTED-set-granular (bounded joins
+    over bounded frames — the k rounds compose lazily into one plan
+    over tiny tables). Returns
+    ``(q_id, mmr_rank, cand_id, score_e7)``."""
+    from .similarity import _prepared, dot
+
+    if not (0 < lam_num <= lam_den):
+        raise ValueError(
+            f"mmr_rerank_topk: need 0 < lam_num <= lam_den "
+            f"(got {lam_num}/{lam_den})"
+        )
+    if k > n_cand:
+        raise ValueError(
+            f"mmr_rerank_topk: k ({k}) must be <= n_cand ({n_cand})"
+        )
+    e = _prepared(emb_df, id_col, vec_col)
+    q = e.filter(query_pred).select(
+        F.col(id_col).alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    rel_e6 = F.floor(
+        dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")) * 1e6
+        + F.lit(0.5)
+    ).cast("bigint")
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col(id_col))
+        .select("q_id", F.col(id_col).alias("cand_id"), rel_e6.alias("rel_e6"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("rel_e6"), F.col("cand_id"))
+    cand = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_cand)
+        .drop("__rn")
+    )
+    from .dedup import persist_scoped
+
+    cand = persist_scoped("mmr_cand", cand)
+    cvec = cand.join(
+        e.select(F.col(id_col).alias("cand_id"), "v", "nrm"), "cand_id"
+    ).select("q_id", "cand_id", "v", "nrm")
+    a = cvec.select(
+        "q_id", F.col("cand_id").alias("ca"),
+        F.col("v").alias("va"), F.col("nrm").alias("na"),
+    )
+    b = cvec.select(
+        "q_id", F.col("cand_id").alias("cb"),
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+    )
+    sim_e6 = F.floor(
+        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")) * 1e6
+        + F.lit(0.5)
+    ).cast("bigint")
+    sims = persist_scoped(
+        "mmr_sims",
+        a.join(b, "q_id")
+        .filter(F.col("ca") != F.col("cb"))
+        .select("q_id", "ca", "cb", sim_e6.alias("sim_e6")),
+    )
+    mu = lam_den - lam_num
+    # round 1: pure-relevance argmax. Each round's pick is
+    # localCheckpointed (|queries| rows): the greedy recurrence
+    # otherwise re-derives cand/sims/sel per reference and the lazy
+    # k-round composition blows the plan up combinatorially (measured
+    # 923 textual exchanges at k=5 vs ~8 with truncation) — the
+    # kcore/pagerank/BPE lineage discipline.
+    w1 = Window.partitionBy("q_id").orderBy(F.desc("rel_e6"), F.col("cand_id"))
+    pick = (
+        cand.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "q_id",
+            F.lit(1).cast("int").alias("mmr_rank"),
+            "cand_id",
+            (F.lit(lam_num) * F.col("rel_e6")).cast("bigint").alias("score_e7"),
+        )
+        .localCheckpoint()
+    )
+    out = pick
+    sel = pick.select("q_id", "cand_id")
+    for r in range(2, k + 1):
+        rem = cand.join(sel, ["q_id", "cand_id"], "left_anti")
+        rem2 = rem.select(
+            F.col("q_id").alias("__q"), F.col("cand_id").alias("__c"), "rel_e6"
+        )
+        selr = sel.select(
+            F.col("q_id").alias("__q2"), F.col("cand_id").alias("__s")
+        )
+        ms = (
+            rem2.join(
+                sims,
+                (sims["q_id"] == F.col("__q")) & (sims["ca"] == F.col("__c")),
+            )
+            .join(
+                selr,
+                (F.col("__q2") == F.col("__q")) & (F.col("cb") == F.col("__s")),
+            )
+            .groupBy(F.col("__q").alias("q_id"), F.col("__c").alias("cand_id"))
+            .agg(
+                # rel_e6 is functionally dependent on (q, cand); max is
+                # the deterministic way to carry it through the agg
+                F.max("rel_e6").alias("rel_e6"),
+                F.max("sim_e6").alias("__mx"),
+            )
+        )
+        score = (
+            F.lit(lam_num) * F.col("rel_e6") - F.lit(mu) * F.col("__mx")
+        ).cast("bigint")
+        wr = Window.partitionBy("q_id").orderBy(
+            F.desc("__score"), F.col("cand_id")
+        )
+        pick = (
+            ms.withColumn("__score", score)
+            .withColumn("__rn", F.row_number().over(wr))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "q_id",
+                F.lit(r).cast("int").alias("mmr_rank"),
+                "cand_id",
+                F.col("__score").alias("score_e7"),
+            )
+            .localCheckpoint()
+        )
+        out = out.unionByName(pick)
+        sel = sel.unionByName(pick.select("q_id", "cand_id"))
+    return out

@@ -11691,6 +11691,100 @@ def pack_bpe_sequence_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# MMR diversity re-ranking (r10) — Carbonell & Goldstein SIGIR 1998:
+# greedy λ·relevance − (1−λ)·max-sim-to-selected selection over each
+# query's top-n_cand cosine candidates, the diversity-aware final stage
+# of the retrieval stack (operators/retrieval.py:mmr_rerank_topk). The
+# objective is scored ×lam_den in exact integer micro-units (score_e7 =
+# 7·rel_e6 − 3·maxsim_e6 — no division, no truncation-direction
+# mismatch on negative cosines), and the oracle unrolls the k greedy
+# rounds as CTEs (the _bpe_round_sql discipline).
+# ===========================================================================
+
+_MMR_N_QUERY = 3
+_MMR_N_CAND = 10
+_MMR_K = 5
+_MMR_AB_COS = (
+    f"list_sum(list_transform(range(1, {_EMB_DIM + 1}), "
+    "i -> a.v[i::INT] * b.v[i::INT])) / (a.nrm * b.nrm)"
+)
+
+
+def _mmr_round_sql(r: int) -> str:
+    return f"""
+    ms{r} AS (SELECT c.q_id, c.cand_id, c.rel_e6, max(s.sim_e6) AS mx
+              FROM cand c
+              JOIN sims s ON s.q_id = c.q_id AND s.ca = c.cand_id
+              JOIN sel{r - 1} z ON z.q_id = s.q_id AND z.cand_id = s.cb
+              LEFT JOIN sel{r - 1} x ON x.q_id = c.q_id
+                                    AND x.cand_id = c.cand_id
+              WHERE x.cand_id IS NULL
+              GROUP BY c.q_id, c.cand_id, c.rel_e6),
+    r{r} AS (SELECT q_id, CAST({r} AS INT) AS mmr_rank, cand_id,
+                    CAST(score AS BIGINT) AS score_e7 FROM (
+              SELECT q_id, cand_id, 7 * rel_e6 - 3 * mx AS score,
+                     row_number() OVER (PARTITION BY q_id
+                                        ORDER BY 7 * rel_e6 - 3 * mx DESC,
+                                                 cand_id) AS rn
+              FROM ms{r}) WHERE rn = 1),
+    sel{r} AS (SELECT * FROM sel{r - 1}
+               UNION ALL SELECT q_id, cand_id FROM r{r})"""
+
+
+@_register(
+    "embed_mmr_rerank",
+    f"""
+    WITH {_emb_norm_cte()},
+    sc AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+                  CAST(floor(({_COS_SQL}) * 1000000 + 0.5) AS BIGINT)
+                    AS rel_e6
+           FROM (SELECT * FROM nv WHERE vec_id < {_MMR_N_QUERY}) q
+           CROSS JOIN nv c
+           WHERE c.vec_id <> q.vec_id),
+    cand AS (SELECT q_id, cand_id, rel_e6 FROM (
+              SELECT *, row_number() OVER (PARTITION BY q_id
+                                           ORDER BY rel_e6 DESC, cand_id)
+                          AS rn
+              FROM sc) WHERE rn <= {_MMR_N_CAND}),
+    cv AS (SELECT c.q_id, c.cand_id, nv.v, nv.nrm
+           FROM cand c JOIN nv ON nv.vec_id = c.cand_id),
+    sims AS (SELECT a.q_id, a.cand_id AS ca, b.cand_id AS cb,
+                    CAST(floor(({_MMR_AB_COS}) * 1000000 + 0.5) AS BIGINT)
+                      AS sim_e6
+             FROM cv a JOIN cv b ON a.q_id = b.q_id
+                               AND a.cand_id <> b.cand_id),
+    r1 AS (SELECT q_id, CAST(1 AS INT) AS mmr_rank, cand_id,
+                  CAST(7 * rel_e6 AS BIGINT) AS score_e7 FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id
+                                         ORDER BY rel_e6 DESC, cand_id)
+                        AS rn
+            FROM cand) WHERE rn = 1),
+    sel1 AS (SELECT q_id, cand_id FROM r1),
+    {",".join(_mmr_round_sql(r) for r in range(2, _MMR_K + 1))}
+    SELECT q_id, mmr_rank, cand_id, score_e7 FROM (
+      {" UNION ALL ".join(f"SELECT * FROM r{r}" for r in range(1, _MMR_K + 1))}
+    )
+    """,
+    "retrieval: MMR diversity re-ranking (Carbonell & Goldstein SIGIR "
+    "1998; no reference counterpart)",
+    "greedy 7·rel_e6 − 3·maxsim_e6 selection of 5 from each query's "
+    "top-10 cosine candidates — exact integer objective, unrolled "
+    "greedy rounds, cand-id tiebreak",
+)
+def embed_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.retrieval import (
+        mmr_rerank_topk,
+    )
+
+    return mmr_rerank_topk(
+        _t(spark, sf_dir, "embeddings"),
+        F.col("vec_id") < _MMR_N_QUERY,
+        n_cand=_MMR_N_CAND,
+        k=_MMR_K,
+    )
+
+
+# ===========================================================================
 # Distinct-n diversity (r10) — Li et al. NAACL 2016's corpus diversity
 # ratio per language slice: distinct n-grams over total n-grams,
 # n = 1..2, exact integer micro-units. The cheap corpus-level signal

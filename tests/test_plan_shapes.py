@@ -459,6 +459,11 @@ PINNED = {
     # the persisted state — corpus text is never re-fingerprinted; no
     # pair shape touches a corpus-sized side
     "dedup_incremental_winnow": (18, ["InMemoryTableScan", "Union", "BroadcastHashJoin"], ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin", "BatchEvalPython"]),
+    # r10 MMR: the k greedy rounds run checkpointed in the builder (the
+    # BPE/kcore lineage discipline — lazy composition measured 923
+    # textual exchanges); the final plan is a Union of |queries|-row
+    # checkpointed picks, ZERO exchanges
+    "embed_mmr_rerank": (0, ["Union", "Scan ExistingRDD"], ["Exchange", "Join", "BatchEvalPython"]),
 }
 
 

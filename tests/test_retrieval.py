@@ -106,3 +106,87 @@ def test_hybrid_rrf_agrees_when_legs_agree(spark):
     assert out[1] == (1, 2)
     # doc 3 shares no term: dense-only, one leg
     assert all(n == 1 for c, n in out.values() if c == 3)
+
+
+def _mmr_model(rel, sims, k, lam_num=7, lam_den=10):
+    """Reference MMR: rel = {cand: rel_e6}, sims = {(a,b): sim_e6}."""
+    sel, out = [], []
+    remaining = dict(rel)
+    first = max(remaining, key=lambda c: (remaining[c], -c))
+    out.append((1, first, lam_num * remaining.pop(first)))
+    sel.append(first)
+    mu = lam_den - lam_num
+    for r in range(2, k + 1):
+        if not remaining:
+            break
+        best, bs = None, None
+        for c in sorted(remaining):
+            mx = max(sims[(c, s)] for s in sel)
+            s_ = lam_num * remaining[c] - mu * mx
+            if bs is None or s_ > bs:
+                best, bs = c, s_
+        out.append((r, best, bs))
+        remaining.pop(best)
+        sel.append(best)
+    return out
+
+
+def test_mmr_rerank_matches_model(spark):
+    """MMR over a tiny embedding set vs the reference greedy model —
+    including the case where the 2nd-most-relevant candidate is nearly
+    identical to the 1st pick and must be displaced by a diverse one."""
+    import math
+
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.retrieval import (
+        mmr_rerank_topk,
+    )
+
+    vecs = {
+        0: [1.0, 0.0, 0.0],         # query
+        1: [0.99, 0.14, 0.0],       # very relevant
+        2: [0.985, 0.17, 0.0],      # very relevant AND near-dup of 1
+        3: [0.7, 0.7, 0.1],         # less relevant, diverse
+        4: [0.6, -0.8, 0.0],        # diverse
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    got = sorted(
+        (r["mmr_rank"], r["cand_id"], r["score_e7"])
+        for r in mmr_rerank_topk(
+            df, F.col("vec_id") == 0, n_cand=4, k=3, lam_num=5
+        ).collect()
+    )
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return math.floor(d / (na * nb) * 1e6 + 0.5)
+
+    rel = {c: cos(vecs[0], vecs[c]) for c in (1, 2, 3, 4)}
+    sims = {
+        (a, b): cos(vecs[a], vecs[b])
+        for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a != b
+    }
+    want = sorted(_mmr_model(rel, sims, 3, lam_num=5))
+    assert got == want
+    # the diversity property at λ=0.5: rank 2 must NOT be the near-dup
+    # candidate 2 (its max-sim penalty vs the rank-1 pick eats the
+    # relevance edge); a diverse candidate displaces it
+    by_rank = {r: c for r, c, _ in got}
+    assert by_rank[1] == 1 and by_rank[2] not in (2,)
+
+
+def test_mmr_guards(spark):
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.retrieval import (
+        mmr_rerank_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="lam_num"):
+        mmr_rerank_topk(df, F.col("vec_id") == 0, lam_num=0)
+    with pytest.raises(ValueError, match="k .* must be <= n_cand"):
+        mmr_rerank_topk(df, F.col("vec_id") == 0, n_cand=3, k=5)
