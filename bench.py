@@ -239,6 +239,7 @@ HEADLINE = [
     # MMR's k greedy rounds run checkpointed in the builder — they ARE
     # the operator under test (the text_bpe_merges rationale)
     "embed_mmr_rerank",
+    "dedup_lsh_recall_audit",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

@@ -115,6 +115,7 @@ from .operators.dedup import (
     substring_gram_counts,
     soft_dedup_weights,
     incremental_winnow_matches,
+    lsh_recall_audit,
     winnow_fingerprints,
     winnow_match_pairs,
     winnow_state,
@@ -235,6 +236,7 @@ __all__ = [
     "winnow_fingerprints",
     "winnow_state",
     "incremental_winnow_matches",
+    "lsh_recall_audit",
     "winnow_match_pairs",
     "shingle_rows",
     # contamination audit (KMV/theta sketches)

@@ -238,6 +238,8 @@ def shingle_jaccard_pairs(
         .select(
             "id_a",
             "id_b",
+            "n_a",
+            "n_b",
             "n_common",
             (
                 F.col("n_common")
@@ -1594,6 +1596,68 @@ def winnow_match_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").cast("bigint").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def lsh_recall_audit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_df: int | None = 100,
+    min_decile: int = 3,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """Empirical recall curve of the MinHash-LSH candidate generator vs
+    exact shingle-Jaccard ground truth — the dedup-family counterpart of
+    `similarity.ann_recall_audit`: per Jaccard decile, what fraction of
+    TRUE near-dup pairs does the banded index surface? This is the
+    measured S-curve the 128/16 banding promises analytically
+    (per-band collision j^8, threshold ≈ 0.70): low deciles must show
+    low recall, deciles above the threshold ≈ 1 — a banding bug (wrong
+    rows/band, broken bucket hash) flattens the curve and fails the
+    oracle.
+
+    Buckets are EXACT integer arithmetic: ``j_bucket = (10·n_common)
+    div (n_a + n_b − n_common)`` — never ``floor(10·jaccard)`` on the
+    double, whose boundary values (0.3·10, 0.7·10) are not exactly
+    representable and could bucket differently across engines.
+
+    Scale shape: ground truth is :func:`shingle_jaccard_pairs` (hot-
+    capped inverted index, near-linear candidates), the LSH side is
+    :func:`minhash_lsh_pairs`' banded candidates — both already-scaled
+    operators; the audit join is pair-keyed and the output is ≤ 8 rows.
+    Returns ``(j_bucket, n_true, n_hit, recall_e6)``."""
+    truth = shingle_jaccard_pairs(
+        df, text_col=text_col, id_col=id_col, n=n, max_df=max_df
+    )
+    denom = F.col("n_a") + F.col("n_b") - F.col("n_common")
+    truth = (
+        truth.filter(F.lit(10) * F.col("n_common") >= F.lit(min_decile) * denom)
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("10 * n_common div (n_a + n_b - n_common)")
+            .cast("int")
+            .alias("j_bucket"),
+        )
+    )
+    cand = (
+        minhash_lsh_pairs(df, text_col=text_col, id_col=id_col, n=n, bands=bands)
+        .select("id_a", "id_b")
+        .withColumn("__hit", F.lit(1))
+    )
+    joined = truth.join(cand, ["id_a", "id_b"], "left")
+    return (
+        joined.groupBy("j_bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_true"),
+            F.count("__hit").cast("bigint").alias("n_hit"),
+        )
+        .withColumn(
+            "recall_e6",
+            F.expr("1000000 * n_hit div n_true").cast("bigint"),
+        )
     )
 
 

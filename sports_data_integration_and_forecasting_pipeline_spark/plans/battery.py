@@ -11691,6 +11691,71 @@ def pack_bpe_sequence_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# LSH recall audit (r10) — the dedup-family counterpart of
+# embed_ann_recall_audit: per Jaccard decile, the fraction of TRUE
+# near-dup pairs (exact hot-capped shingle Jaccard) the 128/16 banded
+# MinHash index surfaces — the banding's promised S-curve (per-band
+# collision j^8, threshold ~0.70), measured. Buckets are exact integer
+# arithmetic (10·n_common div denom), never floor(10·j) on a double
+# (operators/dedup.py:lsh_recall_audit).
+# ===========================================================================
+
+
+@_register(
+    "dedup_lsh_recall_audit",
+    f"""
+    WITH sh0 AS (
+      SELECT doc_id,
+             list_distinct(list_transform({_SHINGLE3_RAW_SQL},
+                                          s -> {_h60_sql('s')})) AS shs
+      FROM documents
+    ),
+    shx AS (
+      SELECT doc_id, unnest(shs) AS sh FROM sh0
+    ),
+    ok AS (SELECT sh FROM shx GROUP BY sh HAVING count(*) <= 100),
+    shf AS (SELECT s.doc_id,
+                   CAST(count(*) OVER (PARTITION BY s.doc_id) AS BIGINT)
+                     AS n_sh,
+                   s.sh
+            FROM shx s JOIN ok USING (sh)),
+    scored AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(count(*) AS BIGINT) AS nc,
+             a.n_sh AS na, b.n_sh AS nb
+      FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+    ),
+    truth AS (
+      SELECT id_a, id_b,
+             CAST((10 * nc) // (na + nb - nc) AS INT) AS j_bucket
+      FROM scored WHERE 10 * nc >= 3 * (na + nb - nc)
+    ),
+    {_minhash_sig_sql()},
+    bands AS ({_MH_BANDS_SQL}),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+                                      AND a.doc_id < b.doc_id)
+    SELECT t.j_bucket,
+           CAST(count(*) AS BIGINT) AS n_true,
+           CAST(count(c.id_a) AS BIGINT) AS n_hit,
+           CAST(1000000 * count(c.id_a) // count(*) AS BIGINT) AS recall_e6
+    FROM truth t LEFT JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b
+    GROUP BY t.j_bucket
+    """,
+    "dedup: MinHash-LSH recall audit vs exact Jaccard ground truth "
+    "(S-curve measurement; no reference counterpart)",
+    "per-Jaccard-decile recall of the 128/16 banded candidate index "
+    "against the exact hot-capped shingle Jaccard — integer buckets "
+    "(10·n_common div denom), <= 8 output rows",
+)
+def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import lsh_recall_audit
+
+    return lsh_recall_audit(_t(spark, sf_dir, "documents"), max_df=100)
+
+
+# ===========================================================================
 # MMR diversity re-ranking (r10) — Carbonell & Goldstein SIGIR 1998:
 # greedy λ·relevance − (1−λ)·max-sim-to-selected selection over each
 # query's top-n_cand cosine candidates, the diversity-aware final stage

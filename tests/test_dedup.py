@@ -345,3 +345,27 @@ def test_soft_dedup_weights(spark):
            for r in soft_dedup_weights(df).collect()}
     assert out == {1: (3, 333333), 2: (3, 333333), 3: (3, 333333),
                    4: (1, 1000000)}
+
+
+def test_lsh_recall_audit_buckets_and_hits(spark):
+    """Near-identical docs (high Jaccard) MUST be surfaced by the banded
+    index (recall 1 in the top decile); the bucket arithmetic is exact
+    integers (10*nc div denom)."""
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import lsh_recall_audit
+
+    base = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 wa wb wc wd we wf"
+    rows = [
+        (0, base),
+        (1, base),                       # exact dup -> jaccard 1.0
+        (2, base + " zz"),               # near dup
+        (3, "q0 q1 q2 q3 q4 q5 q6 q7"),  # unrelated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["j_bucket"]: (r["n_true"], r["n_hit"], r["recall_e6"])
+           for r in lsh_recall_audit(df, min_decile=3).collect()}
+    # the exact dup lands in bucket 10 and must be hit
+    assert got[10] == (1, 1, 1_000_000)
+    # every reported bucket satisfies 0 <= recall <= 1 and hits <= true
+    for n_true, n_hit, rec in got.values():
+        assert 0 <= n_hit <= n_true
+        assert rec == 1_000_000 * n_hit // n_true

@@ -464,6 +464,11 @@ PINNED = {
     # textual exchanges); the final plan is a Union of |queries|-row
     # checkpointed picks, ZERO exchanges
     "embed_mmr_rerank": (0, ["Union", "Scan ExistingRDD"], ["Exchange", "Join", "BatchEvalPython"]),
+    # r10 LSH recall audit: both legs are the already-pinned scaled
+    # operators (hot-capped inverted index + banded minhash); the audit
+    # join is PAIR-table-keyed (SMJ there is two bounded pair tables,
+    # not a corpus side) and the output is <= 8 rows
+    "dedup_lsh_recall_audit": (27, ["InMemoryTableScan", "LeftAnti"], ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"]),
 }
 
 
