@@ -14353,19 +14353,21 @@ _WINDOW_PRIORITY = [
 #       dedup_incremental_compacted, dedup_normalized,
 #       cosine_dup_pairs family heads, and sampling/diff/profile pack
 #       heads — sweep each at sf0.01 via tools/sweep_oracle.py first.
-#   r11 addendum (r10): the SEVEN round-10 additions (text_bpe_encode,
+#   r11 addendum (r10): the NINE round-10 additions (text_bpe_encode,
 #       embed_ivfpq_precoded_topk, hybrid_rrf_fusion,
 #       text_distinct_ngrams, mixture_temperature_weights,
-#       pack_bpe_sequence_spans, dedup_incremental_winnow) are each
-#       swept green at sf0.01 on arrival and held OUT of the r10
-#       window (the r9 convention) — put them at the front of the r11
-#       in-list.
-#   End-of-r10 standing-protocol sweep (VERDICT r9 task 2): the ENTIRE
+#       pack_bpe_sequence_spans, dedup_incremental_winnow,
+#       embed_mmr_rerank, dedup_lsh_recall_audit) are each swept green
+#       at sf0.01 on arrival and held OUT of the r10 window (the r9
+#       convention) — put them at the front of the r11 in-list.
+#   End-of-r10 standing-protocol sweep (VERDICT r9 task 2): the then-
 #       223-entry battery swept in ONE run at sf0.01 (the driver gate
 #       scale) — 219 hash-ok + the 4 by-design rows-only, rc 0
-#       (tools/sweep_oracle.py, after the r10 additions and the
-#       cdc/quality-filter/BPE semantic fixes). Every r11+ rotation
-#       choice is therefore same-scale pre-verified again.
+#       (tools/sweep_oracle.py, after the cdc/quality-filter/BPE
+#       semantic fixes). The two entries added after that sweep
+#       (embed_mmr_rerank, dedup_lsh_recall_audit) were each
+#       individually swept green at sf0.01 on arrival, so all 225
+#       entries have a same-scale green sweep dated r10.
 #   r11+: sweep any stragglers alphabetically until all entries have
 #       ≥1 driver row.
 # ===========================================================================

@@ -31,6 +31,8 @@ SKIP = {
 NOTES = {
     "text_bpe_encode": "BPE apply (r10): the segmentation comes off the SAME checkpointed induction frame that learned the merges (Scan ExistingRDD — no second apply stage); word-granular stats meet the exploded corpus in an honest word equi-join (AQE picks broadcast at test SF, hash at scale), then one per-doc aggregate.",
     "embed_ivfpq_precoded_topk": "Stored-column IVFADC (r10): the query plan scans the lineage-truncated code index (ints only — floats never touched at query time); probes + LUT broadcast, map-side-combined integer ADC sums, WindowGroupLimit top-k. Probe: 2.0x/3.9x under inline at sf0.1/sf1 and flat across 10x data (SCALING.md r10).",
+    "embed_mmr_rerank": "MMR diversity re-rank (r10): k greedy rounds run checkpointed in the builder (lazy composition measured 923 textual exchanges); the final plan is a Union of |queries|-row checkpointed picks — zero exchanges, selected-set-granular rounds.",
+    "dedup_lsh_recall_audit": "LSH recall audit (r10): exact hot-capped Jaccard truth + banded minhash candidates (both already-scaled legs) meet in a pair-table join; output <= 8 decile rows — the banding S-curve, measured.",
     "hybrid_rrf_fusion": "Hybrid RRF (r10): lexical leg reuses ONE persisted (doc,term,tf) aggregate (query terms broadcast into the postings join), dense leg is the bounded-query broadcast cross of embed_cosine_topk; fusion is a leg Union -> one integer aggregate -> WindowGroupLimit — work scales with |queries|*n_cand, not the corpus.",
     "flagship_market_report": "Best-price window + arbitrage agg + join-back: filters pushed to scan, window reuses one exchange, WindowGroupLimit prunes before shuffle.",
     "devig_proportional": "Share-of-group window: one hash exchange on the group key, unbounded frame so no sort-based frame scan.",
