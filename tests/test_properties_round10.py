@@ -258,3 +258,102 @@ def test_bpe_encode_stats_model_agreement(spark, texts):
             sum(1 for s in segs for sym in s if len(sym) == 1),
         )
         assert got[i] == want, (i, got[i], want)
+
+
+# --- retrieval kernels (r10): randomized model parity -------------------------
+
+
+def _rrf_model(legs, k=10, k_rrf=60):
+    from collections import defaultdict
+
+    score, nleg = defaultdict(int), defaultdict(int)
+    for leg in legs:
+        for q, c, r in leg:
+            score[(q, c)] += 1_000_000 // (k_rrf + r)
+            nleg[(q, c)] += 1
+    byq = defaultdict(list)
+    for (q, c), s in score.items():
+        byq[q].append((-s, c))
+    out = set()
+    for q, rows in byq.items():
+        for i, (negs, c) in enumerate(sorted(rows)[:k], start=1):
+            out.add((q, i, c, -negs, nleg[(q, c)]))
+    return out
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(0, 2),    # q_id
+                st.integers(10, 25),  # cand_id
+                st.integers(1, 9),    # rank
+            ),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_rrf_fuse_model_agreement_random_legs(spark, legs):
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.retrieval import rrf_fuse
+
+    # dedup (q, cand) within a leg — a real leg ranks a candidate once
+    legs = [list({(q, c): (q, c, r) for q, c, r in leg}.values()) for leg in legs]
+    dfs = [
+        spark.createDataFrame(leg, "q_id long, cand_id long, rank int")
+        for leg in legs
+    ]
+    got = {
+        (r["q_id"], r["rank"], r["cand_id"], r["rrf_e6"], r["n_legs"])
+        for r in rrf_fuse(dfs, k=10).collect()
+    }
+    assert got == _rrf_model(legs, k=10)
+
+
+vec3 = st.lists(
+    st.integers(-10, 10).map(lambda x: x / 10.0), min_size=3, max_size=3
+).filter(lambda v: any(x != 0 for x in v))
+
+
+@settings(**SETTINGS)
+@given(st.lists(vec3, min_size=3, max_size=8, unique_by=tuple))
+def test_mmr_model_agreement_random_vectors(spark, vs):
+    """Randomized MMR parity vs the reference greedy model — exercises
+    integer tie-breaks and negative-cosine scores the deterministic
+    test can't reach."""
+    import math
+
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.retrieval import (
+        mmr_rerank_topk,
+    )
+    from .test_retrieval import _mmr_model
+
+    rows = [(i, v) for i, v in enumerate(vs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    n_cand = min(4, len(vs) - 1)
+    k = min(3, n_cand)
+    got = sorted(
+        (r["mmr_rank"], r["cand_id"], r["score_e7"])
+        for r in mmr_rerank_topk(
+            df, F.col("vec_id") == 0, n_cand=n_cand, k=k
+        ).collect()
+    )
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return math.floor(d / (na * nb) * 1e6 + 0.5)
+
+    cands = list(range(1, len(vs)))
+    rel_all = {c: cos(vs[0], vs[c]) for c in cands}
+    top = sorted(cands, key=lambda c: (-rel_all[c], c))[:n_cand]
+    rel = {c: rel_all[c] for c in top}
+    sims = {
+        (a, b): cos(vs[a], vs[b]) for a in top for b in top if a != b
+    }
+    want = sorted(_mmr_model(rel, sims, k))
+    assert got == want
