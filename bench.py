@@ -240,6 +240,7 @@ HEADLINE = [
     # the operator under test (the text_bpe_merges rationale)
     "embed_mmr_rerank",
     "dedup_lsh_recall_audit",
+    "text_bpe_fertility",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).
@@ -279,6 +280,7 @@ BUILDER_DOES_CLUSTER_WORK = {
     # r10: both BPE-consuming entries run the same checkpointed rounds
     "text_bpe_encode",
     "pack_bpe_sequence_spans",
+    "text_bpe_fertility",
     "embed_mmr_rerank",
 }
 

@@ -90,6 +90,7 @@ from .operators.rangejoin import interval_overlap_join
 from .operators.textstats import (
     bpe_apply_ranks,
     bpe_encode_stats,
+    bpe_fertility_stats,
     bpe_merge_rounds,
     distinct_ngram_stats,
     inverted_index,
@@ -267,6 +268,7 @@ __all__ = [
     "bpe_merge_rounds",
     "bpe_encode_stats",
     "bpe_apply_ranks",
+    "bpe_fertility_stats",
     "distinct_ngram_stats",
     "quality_linear_filter",
     "soft_dedup_weights",

@@ -568,6 +568,58 @@ def bpe_encode_stats(
     )
 
 
+def bpe_fertility_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+    rounds: int = 3,
+) -> DataFrame:
+    """Tokenizer FERTILITY report — the per-language health metric every
+    multilingual tokenizer ships with (tokens per word; high fertility =
+    the vocabulary under-serves that language) plus the single-char
+    fallback share (the char-level analogue of byte-fallback rate).
+    Same machinery as :func:`bpe_encode_stats`, aggregated per
+    ``group_col`` instead of per document; ratios are exact integer
+    micro-units (``1e6·x div y``).
+
+    Returns ``(group_col, n_words, n_bpe_tokens, n_char_tokens,
+    fertility_e6, fallback_e6)``."""
+    _, segmented = _bpe_rounds(df, text_col=text_col, rounds=rounds)
+    word_stats = segmented.groupBy("word").agg(
+        F.count("*").cast("bigint").alias("__n_toks"),
+        F.sum((F.length("sym") == 1).cast("int"))
+        .cast("bigint")
+        .alias("__n_single"),
+    )
+    grp_words = (
+        df.select(
+            F.col(group_col), F.explode(_tokens(F.col(text_col))).alias("word")
+        )
+        .filter(F.col("word") != "")
+    )
+    return (
+        grp_words.join(word_stats, "word")
+        .groupBy(group_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("__n_toks").cast("bigint").alias("n_bpe_tokens"),
+            F.sum("__n_single").cast("bigint").alias("n_char_tokens"),
+        )
+        .select(
+            group_col,
+            "n_words",
+            "n_bpe_tokens",
+            "n_char_tokens",
+            F.expr("1000000 * n_bpe_tokens div n_words")
+            .cast("bigint")
+            .alias("fertility_e6"),
+            F.expr("1000000 * n_char_tokens div n_bpe_tokens")
+            .cast("bigint")
+            .alias("fallback_e6"),
+        )
+    )
+
+
 def bpe_apply_ranks(
     words: DataFrame,
     merge_ranks: list[tuple[str, str]],

@@ -3471,6 +3471,87 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Streaming quality filter (r10) — the curation gate as a structured
+# stream: documents replay across 2 micro-batches and the r9 pinned-
+# weight linear classifier runs per micro-batch as the SAME stateless
+# projection (zero state, the unbounded-safe shape — a quality gate is
+# the first stage a streaming ingest pipeline applies before anything
+# stateful). Oracle = the batch quality_linear_filter SQL verbatim
+# (shared below): the drained stream must reproduce the batch decision
+# for every document.
+# ===========================================================================
+
+
+def _stage_docs_ordered(spark: SparkSession, sf_dir: str, n_files: int = 2):
+    """Stage the documents table as ``n_files`` disjoint doc_id-range
+    parquet files with increasing mtimes — the documents counterpart of
+    :func:`_stage_events_ordered` (test-harness staging only)."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    docs = _t(spark, sf_dir, "documents")
+    stage = tempfile.mkdtemp(prefix="stream_stage_docs_")
+    qs = [i / n_files for i in range(1, n_files)]
+    bounds = (
+        [float(b) for b in docs.approxQuantile("doc_id", qs, 0.0)] if qs else []
+    )
+    lo = None
+    base = time.time() - 3600
+    for i, hi in enumerate(list(bounds) + [None]):
+        part = docs
+        if lo is not None:
+            part = part.filter(F.col("doc_id") >= lo)
+        if hi is not None:
+            part = part.filter(F.col("doc_id") < hi)
+        tmp = tempfile.mkdtemp(prefix="stream_part_docs_")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = next(
+            p for p in os.listdir(tmp)
+            if p.endswith(".parquet") and p.startswith("part-")
+        )
+        dst = os.path.join(stage, f"{i:05d}.parquet")
+        shutil.move(os.path.join(tmp, src), dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(dst, (base + i * 100, base + i * 100))
+        lo = hi
+    return docs.schema, stage
+
+
+@_register(
+    "streaming_quality_filter",
+    None,  # replaced below — shares quality_linear_filter's oracle
+    "streaming quality gate (batch twin: quality_linear_filter)",
+    "documents replayed across 2 micro-batches through the stateless "
+    "pinned-weight linear classifier — the drained stream reproduces "
+    "the batch kept decision exactly",
+)
+def streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import (
+        quality_linear_filter,
+    )
+
+    schema, stage = _stage_docs_ordered(spark, sf_dir, n_files=2)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    out = _drain(quality_linear_filter(stream), "append")
+    return out.select(
+        "doc_id", "stop_e6", "punct_e6", "len_sat_e6", "awl_e6",
+        "logit_e6", "kept",
+    )
+
+
+QUERIES["streaming_quality_filter"] = dataclasses.replace(
+    QUERIES["streaming_quality_filter"],
+    oracle=QUERIES["quality_linear_filter"].oracle,
+)
+
+
+# ===========================================================================
 # Streaming dedup vs the batch distinct twin: every event row arrives
 # TWICE in its micro-batch (explode-duplicated after the stream read) and
 # the replay spans two batches, so dropDuplicatesWithinWatermark must
@@ -11635,6 +11716,47 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "text_bpe_fertility",
+    f"""
+    WITH {_BPE_CTES},
+    enc AS (SELECT word,
+                   CAST(count(*) AS BIGINT) AS n_toks,
+                   CAST(sum(CASE WHEN length(sym) = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_single
+            FROM s{_BPE_ROUNDS} GROUP BY word),
+    gw AS (SELECT lang, word
+           FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+                 FROM documents)
+           WHERE word <> ''),
+    agg AS (SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(n_toks) AS BIGINT) AS n_bpe_tokens,
+                   CAST(sum(n_single) AS BIGINT) AS n_char_tokens
+            FROM gw JOIN enc USING (word)
+            GROUP BY lang)
+    SELECT lang, n_words, n_bpe_tokens, n_char_tokens,
+           CAST(1000000 * n_bpe_tokens // n_words AS BIGINT) AS fertility_e6,
+           CAST(1000000 * n_char_tokens // n_bpe_tokens AS BIGINT)
+             AS fallback_e6
+    FROM agg
+    """,
+    "textops: tokenizer fertility per language (tokens/word + "
+    "single-char fallback share; no reference counterpart)",
+    "the multilingual tokenizer health report off the same learned "
+    "segmentation as text_bpe_encode, aggregated per language — exact "
+    "integer micro-unit ratios",
+)
+def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import (
+        bpe_fertility_stats,
+    )
+
+    return bpe_fertility_stats(
+        _t(spark, sf_dir, "documents"), rounds=_BPE_ROUNDS
+    )
+
+
 # ===========================================================================
 # BPE-counted sequence packing (r10, VERDICT r9 task 3's composition) —
 # pack_sequence_spans consuming REAL tokenizer counts: the packing
@@ -14353,13 +14475,14 @@ _WINDOW_PRIORITY = [
 #       dedup_incremental_compacted, dedup_normalized,
 #       cosine_dup_pairs family heads, and sampling/diff/profile pack
 #       heads — sweep each at sf0.01 via tools/sweep_oracle.py first.
-#   r11 addendum (r10): the NINE round-10 additions (text_bpe_encode,
+#   r11 addendum (r10): the ELEVEN round-10 additions (text_bpe_encode,
 #       embed_ivfpq_precoded_topk, hybrid_rrf_fusion,
 #       text_distinct_ngrams, mixture_temperature_weights,
 #       pack_bpe_sequence_spans, dedup_incremental_winnow,
-#       embed_mmr_rerank, dedup_lsh_recall_audit) are each swept green
-#       at sf0.01 on arrival and held OUT of the r10 window (the r9
-#       convention) — put them at the front of the r11 in-list.
+#       embed_mmr_rerank, dedup_lsh_recall_audit, text_bpe_fertility,
+#       streaming_quality_filter) are each swept green at sf0.01 on
+#       arrival and held OUT of the r10 window (the r9 convention) —
+#       put them at the front of the r11 in-list.
 #   End-of-r10 standing-protocol sweep (VERDICT r9 task 2): the then-
 #       223-entry battery swept in ONE run at sf0.01 (the driver gate
 #       scale) — 219 hash-ok + the 4 by-design rows-only, rc 0

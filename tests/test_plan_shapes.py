@@ -40,6 +40,7 @@ ARROW_OK = {
 }
 # Streaming queries materialize via a memory sink, not a lazy plan.
 SKIP = {
+    "streaming_quality_filter",
     "streaming_incremental_rollup",
     "streaming_replay_rollup",
     "streaming_session_windows",
@@ -469,6 +470,8 @@ PINNED = {
     # join is PAIR-table-keyed (SMJ there is two bounded pair tables,
     # not a corpus side) and the output is <= 8 rows
     "dedup_lsh_recall_audit": (27, ["InMemoryTableScan", "LeftAnti"], ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"]),
+    # r10 fertility: text_bpe_encode's shape aggregated per language
+    "text_bpe_fertility": (3, ["Scan ExistingRDD"], ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"]),
 }
 
 

@@ -244,3 +244,32 @@ def test_distinct_ngram_stats_hand_corpus(spark):
     # de: 3 unigrams 1 distinct -> 333333 (truncating div)
     assert got[("de", 1)] == (3, 1, 333_333)
     assert got[("de", 2)] == (2, 1, 500_000)
+
+
+def test_bpe_fertility_stats_model(spark):
+    """Per-group fertility off the learned segmentation vs a pure-Python
+    learn+encode model (reuses the ratios' exact integer contract)."""
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import (
+        bpe_fertility_stats,
+    )
+
+    rows = [
+        (0, "en", "aa aa bb"),
+        (1, "en", "aa cc"),
+        (2, "de", "dd dd dd dd"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r["lang"]: r for r in bpe_fertility_stats(df, rounds=1).collect()}
+    # rounds=1 learns the most frequent pair: ('d','d') wc 4 vs ('a','a')
+    # wc 3 -> merge (d,d). Segmentations: aa->[a,a], bb->[b,b], cc->[c,c],
+    # dd->[dd].
+    # en: words aa,aa,bb,aa,cc -> 5 words, 10 tokens, all single-char
+    assert (got["en"]["n_words"], got["en"]["n_bpe_tokens"],
+            got["en"]["n_char_tokens"]) == (5, 10, 10)
+    assert got["en"]["fertility_e6"] == 2_000_000
+    assert got["en"]["fallback_e6"] == 1_000_000
+    # de: 4 words 'dd' -> 4 tokens 'dd', zero single-char fallback
+    assert (got["de"]["n_words"], got["de"]["n_bpe_tokens"],
+            got["de"]["n_char_tokens"]) == (4, 4, 0)
+    assert got["de"]["fertility_e6"] == 1_000_000
+    assert got["de"]["fallback_e6"] == 0
