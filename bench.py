@@ -241,6 +241,7 @@ HEADLINE = [
     "embed_mmr_rerank",
     "dedup_lsh_recall_audit",
     "text_bpe_fertility",
+    "language_id_confusion",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).
@@ -281,6 +282,7 @@ BUILDER_DOES_CLUSTER_WORK = {
     "text_bpe_encode",
     "pack_bpe_sequence_spans",
     "text_bpe_fertility",
+    "language_id_confusion",
     "embed_mmr_rerank",
 }
 

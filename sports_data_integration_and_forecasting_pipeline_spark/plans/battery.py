@@ -1024,6 +1024,67 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Language-ID confusion audit (r10): the classifier-quality report for
+# the marker-word heuristic — per (true lang, predicted lang) cell
+# counts plus the true-language recall in exact integer micro-units.
+# The audit every curation pipeline keeps next to a cheap classifier:
+# which languages leak into which buckets. One count aggregate over the
+# language_id projection; |langs|² output rows.
+@_register(
+    "language_id_confusion",
+    f"""
+    WITH c AS (
+      SELECT doc_id, lang,
+             {_sql_count_in(('the', 'a', 'of', 'and', 'to', 'in', 'is'))} AS c_en,
+             {_sql_count_in(('der', 'die', 'das', 'und', 'ist', 'ein'))} AS c_de,
+             {_sql_count_in(('el', 'los', 'las', 'una', 'y', 'que'))} AS c_es,
+             {_sql_count_in(('le', 'les', 'des', 'et', 'est', 'une'))} AS c_fr,
+             {_sql_count_in(('de', 'shi', 'bu', 'zai', 'le', 'wo'))} AS c_zh
+      FROM documents
+    ),
+    pred AS (
+      SELECT lang,
+             CASE WHEN c_en >= greatest(c_de, c_es, c_fr, c_zh) THEN 'en'
+                  WHEN c_de >= greatest(c_es, c_fr, c_zh) THEN 'de'
+                  WHEN c_es >= greatest(c_fr, c_zh) THEN 'es'
+                  WHEN c_fr >= c_zh THEN 'fr'
+                  ELSE 'zh' END AS predicted_lang
+      FROM c
+    ),
+    cell AS (SELECT lang, predicted_lang, CAST(count(*) AS BIGINT) AS n
+             FROM pred GROUP BY lang, predicted_lang),
+    tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang
+            FROM cell GROUP BY lang)
+    SELECT c.lang, c.predicted_lang, c.n,
+           CAST(1000000 * c.n // t.n_lang AS BIGINT) AS share_e6,
+           CASE WHEN c.lang = c.predicted_lang THEN TRUE ELSE FALSE END
+             AS is_correct
+    FROM cell c JOIN tot t ON t.lang = c.lang
+    """,
+    "textops: language-ID confusion audit (classifier-quality report; "
+    "no reference counterpart)",
+    "per (true, predicted) language cell counts + per-language share in "
+    "exact integer micro-units — one count aggregate, |langs|^2 rows",
+)
+def language_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import language_id
+
+    pred = language_id(_t(spark, sf_dir, "documents")).select(
+        "lang", "predicted_lang"
+    )
+    cell = pred.groupBy("lang", "predicted_lang").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    tot = cell.groupBy("lang").agg(F.sum("n").cast("bigint").alias("n_lang"))
+    return cell.join(tot, "lang").select(
+        "lang",
+        "predicted_lang",
+        "n",
+        F.expr("1000000 * n div n_lang").cast("bigint").alias("share_e6"),
+        (F.col("lang") == F.col("predicted_lang")).alias("is_correct"),
+    )
+
+
 @_register(
     "text_fingerprint",
     """
@@ -14475,14 +14536,14 @@ _WINDOW_PRIORITY = [
 #       dedup_incremental_compacted, dedup_normalized,
 #       cosine_dup_pairs family heads, and sampling/diff/profile pack
 #       heads — sweep each at sf0.01 via tools/sweep_oracle.py first.
-#   r11 addendum (r10): the ELEVEN round-10 additions (text_bpe_encode,
+#   r11 addendum (r10): the TWELVE round-10 additions (text_bpe_encode,
 #       embed_ivfpq_precoded_topk, hybrid_rrf_fusion,
 #       text_distinct_ngrams, mixture_temperature_weights,
 #       pack_bpe_sequence_spans, dedup_incremental_winnow,
 #       embed_mmr_rerank, dedup_lsh_recall_audit, text_bpe_fertility,
-#       streaming_quality_filter) are each swept green at sf0.01 on
-#       arrival and held OUT of the r10 window (the r9 convention) —
-#       put them at the front of the r11 in-list.
+#       streaming_quality_filter, language_id_confusion) are each swept
+#       green at sf0.01 on arrival and held OUT of the r10 window (the
+#       r9 convention) — put them at the front of the r11 in-list.
 #   End-of-r10 standing-protocol sweep (VERDICT r9 task 2): the then-
 #       223-entry battery swept in ONE run at sf0.01 (the driver gate
 #       scale) — 219 hash-ok + the 4 by-design rows-only, rc 0

@@ -472,6 +472,9 @@ PINNED = {
     "dedup_lsh_recall_audit": (27, ["InMemoryTableScan", "LeftAnti"], ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"]),
     # r10 fertility: text_bpe_encode's shape aggregated per language
     "text_bpe_fertility": (3, ["Scan ExistingRDD"], ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"]),
+    # r10 confusion audit: one count agg over the narrow language-id
+    # projection; the |langs|-row totals broadcast back
+    "language_id_confusion": (4, ["BroadcastHashJoin"], ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin", "Window", "BatchEvalPython"]),
 }
 
 
