@@ -242,6 +242,7 @@ HEADLINE = [
     "dedup_lsh_recall_audit",
     "text_bpe_fertility",
     "language_id_confusion",
+    "curation_pipeline_v4",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).
@@ -283,6 +284,7 @@ BUILDER_DOES_CLUSTER_WORK = {
     "pack_bpe_sequence_spans",
     "text_bpe_fertility",
     "language_id_confusion",
+    "curation_pipeline_v4",
     "embed_mmr_rerank",
 }
 

@@ -683,7 +683,14 @@ def bpe_apply_ranks(
 # fasttext/CCNet-style training run, never from query-time fitting).
 # Features are integer micro-unit ratios, so the whole score is exact
 # integer arithmetic both engines reproduce bit-for-bit.
-QUALITY_W0_E6 = -900_000          # bias
+# r10 recalibration: the r9 bias (-900_000) kept ZERO documents on the
+# driver corpus (max logit -134k at sf0.01; logit quantiles
+# p10/p50/p90 = -914k/-626k/-389k), which made every kept-gated
+# composition (curation_pipeline_v3) vacuously green on empty output.
+# -200_000 puts the decision boundary just above the corpus median —
+# the gate separates (~55-65% kept at sf0.01) while the hand-tested
+# junk/natural examples stay on their correct sides.
+QUALITY_W0_E6 = -200_000          # bias
 QUALITY_W_STOP_E3 = 2_400         # stopword ratio: more -> more natural text
 QUALITY_W_PUNCT_E3 = -1_800       # punctuation soup -> boilerplate/code
 QUALITY_W_LEN_E3 = 700            # length saturation at 100 tokens

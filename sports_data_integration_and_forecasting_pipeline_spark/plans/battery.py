@@ -11694,11 +11694,16 @@ def _bpe_round_sql(r: int) -> str:
 
 
 _BPE_ROUNDS = 3
-_BPE_CTES = (
-    """
+def _bpe_ctes(src: str = "documents") -> str:
+    """The BPE induction+segmentation CTE chain over an arbitrary
+    (text) source CTE/table — shared by the standalone entries
+    (src = documents) and the composed v4 pipeline (src = the
+    quality-filtered survivor set), the _winnow_fp_ctes convention."""
+    return (
+        f"""
     w0 AS (SELECT word, CAST(count(*) AS BIGINT) AS wc
            FROM (SELECT unnest(string_split(text, ' ')) AS word
-                 FROM documents)
+                 FROM {src})
            WHERE word <> '' GROUP BY word),
     c0 AS (SELECT word, wc,
                   string_split(trim(regexp_replace(word, '(.)', '\\1 ', 'g')),
@@ -11707,8 +11712,131 @@ _BPE_CTES = (
     s0 AS (SELECT word, wc, CAST(pos AS BIGINT) AS pos, l[pos::INT] AS sym
            FROM (SELECT word, wc, l, unnest(range(1, len(l) + 1)) AS pos
                  FROM c0)),"""
-    + ",".join(_bpe_round_sql(r) for r in range(1, _BPE_ROUNDS + 1))
+        + ",".join(_bpe_round_sql(r) for r in range(1, _BPE_ROUNDS + 1))
+    )
+
+
+_BPE_CTES = _bpe_ctes()
+
+
+# ===========================================================================
+# curation_pipeline_v4 (r10) — the round-10 stages composed end-to-end:
+# the pinned-weight quality gate prunes the corpus, the SURVIVOR set
+# drives temperature mixture reweighting (p^0.3/Z per language) AND the
+# learned-BPE fertility report — one per-language curation dashboard
+# row. The survivor set is scope-persisted ONCE for its three consumers
+# (the v3 discipline); langs with zero survivors drop out (inner joins,
+# the honest semantics — there is nothing to weight or tokenize).
+# ===========================================================================
+
+_QUALITY_KEPT_CTES = f"""
+    qc AS (
+      SELECT doc_id, lang, text, n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+             {_sql_count_in(('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it', 'for', 'on'))} AS n_stop,
+             CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct
+      FROM documents
+    ),
+    qf AS (
+      SELECT doc_id, lang, text,
+             ({QUALITY_W0_E6}
+              + {QUALITY_W_STOP_E3} * (CASE WHEN n > 0 THEN CAST(floor(1.0 * n_stop / n * 1000000 + 0.5) AS BIGINT) ELSE 0 END) // 1000
+              + {QUALITY_W_PUNCT_E3} * (CASE WHEN n_chars > 0 THEN CAST(floor(1.0 * n_punct / n_chars * 1000000 + 0.5) AS BIGINT) ELSE 0 END) // 1000
+              + {QUALITY_W_LEN_E3} * CAST(least(n, 100) * 10000 AS BIGINT) // 1000
+              + {QUALITY_W_AWL_E3} * (CASE WHEN n > 0 THEN CAST(floor(1.0 * (n_chars - (n - 1)) / n * 1000000 + 0.5) AS BIGINT) ELSE 0 END) // 1000
+             ) AS logit_e6
+      FROM qc
+    ),
+    qkept AS (SELECT doc_id, lang, text FROM qf WHERE logit_e6 >= 0)
+"""
+
+
+@_register(
+    "curation_pipeline_v4",
+    f"""
+    WITH {_QUALITY_KEPT_CTES},
+    cin AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs_in
+            FROM documents GROUP BY lang),
+    ck AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs_kept
+           FROM qkept GROUP BY lang),
+    ct AS (SELECT CAST(sum(n_docs_kept) AS BIGINT) AS n_total FROM ck),
+    ms AS (SELECT lang, n_docs_kept,
+                  1.0 * n_docs_kept / n_total AS p,
+                  pow(1.0 * n_docs_kept / n_total, 0.3) AS pa
+           FROM ck CROSS JOIN ct),
+    mz AS (SELECT sum(pa) AS zz FROM ms),
+    {_bpe_ctes("qkept")},
+    enc AS (SELECT word, CAST(count(*) AS BIGINT) AS n_toks
+            FROM s{_BPE_ROUNDS} GROUP BY word),
+    gw AS (SELECT lang, word
+           FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+                 FROM qkept)
+           WHERE word <> ''),
+    agg AS (SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(n_toks) AS BIGINT) AS n_bpe_tokens
+            FROM gw JOIN enc USING (word)
+            GROUP BY lang)
+    SELECT cin.lang, cin.n_docs_in, ck.n_docs_kept,
+           CAST(1000000 * ck.n_docs_kept // cin.n_docs_in AS BIGINT)
+             AS kept_rate_e6,
+           {_sql_r('ms.pa / mz.zz', 6)} AS q,
+           {_sql_r('(ms.pa / mz.zz) / ms.p', 6)} AS per_doc_weight,
+           agg.n_bpe_tokens,
+           CAST(1000000 * agg.n_bpe_tokens // agg.n_words AS BIGINT)
+             AS fertility_e6
+    FROM cin JOIN ck USING (lang) JOIN ms USING (lang) JOIN agg USING (lang)
+    CROSS JOIN mz
+    """,
+    "curation: composed pipeline v4 — quality gate -> temperature "
+    "mixture -> learned-BPE fertility, per language (no reference "
+    "counterpart)",
+    "the r10 stages end-to-end over one scope-persisted survivor set: "
+    "per-lang kept rate, p^0.3/Z target share and per-doc weight, and "
+    "tokenizer fertility on the survivors' learned segmentation",
 )
+def curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import persist_scoped
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.sampling import (
+        temperature_mixture_weights,
+    )
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import (
+        bpe_fertility_stats,
+        quality_linear_filter,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = persist_scoped(
+        "curation_v4_kept",
+        quality_linear_filter(docs)
+        .filter(F.col("kept"))
+        .select("doc_id", "lang", "text", "n_chars"),
+    )
+    cin = docs.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs_in")
+    )
+    w = temperature_mixture_weights(kept, "lang").select(
+        "lang", F.col("n_docs").alias("n_docs_kept"), "q", "per_doc_weight"
+    )
+    fert = bpe_fertility_stats(kept, rounds=_BPE_ROUNDS).select(
+        "lang", "n_bpe_tokens", "fertility_e6"
+    )
+    return (
+        cin.join(w, "lang")
+        .join(fert, "lang")
+        .select(
+            "lang",
+            "n_docs_in",
+            "n_docs_kept",
+            F.expr("1000000 * n_docs_kept div n_docs_in")
+            .cast("bigint")
+            .alias("kept_rate_e6"),
+            "q",
+            "per_doc_weight",
+            "n_bpe_tokens",
+            "fertility_e6",
+        )
+    )
 
 
 @_register(
@@ -14536,14 +14664,20 @@ _WINDOW_PRIORITY = [
 #       dedup_incremental_compacted, dedup_normalized,
 #       cosine_dup_pairs family heads, and sampling/diff/profile pack
 #       heads — sweep each at sf0.01 via tools/sweep_oracle.py first.
-#   r11 addendum (r10): the TWELVE round-10 additions (text_bpe_encode,
+#   r11 addendum (r10): the THIRTEEN round-10 additions (text_bpe_encode,
 #       embed_ivfpq_precoded_topk, hybrid_rrf_fusion,
 #       text_distinct_ngrams, mixture_temperature_weights,
 #       pack_bpe_sequence_spans, dedup_incremental_winnow,
 #       embed_mmr_rerank, dedup_lsh_recall_audit, text_bpe_fertility,
-#       streaming_quality_filter, language_id_confusion) are each swept
-#       green at sf0.01 on arrival and held OUT of the r10 window (the
-#       r9 convention) — put them at the front of the r11 in-list.
+#       streaming_quality_filter, language_id_confusion,
+#       curation_pipeline_v4) are each swept green at sf0.01 on arrival
+#       and held OUT of the r10 window (the r9 convention) — put them
+#       at the front of the r11 in-list. ALSO: quality_linear_filter's
+#       pinned bias was recalibrated late r10 (-900k -> -200k — the r9
+#       bias kept ZERO documents, making v3's quality gate vacuous);
+#       quality_linear_filter, streaming_quality_filter,
+#       curation_pipeline_v3 and v4 were ALL re-swept green at sf0.001
+#       AND sf0.01 after the recalibration.
 #   End-of-r10 standing-protocol sweep (VERDICT r9 task 2): the then-
 #       223-entry battery swept in ONE run at sf0.01 (the driver gate
 #       scale) — 219 hash-ok + the 4 by-design rows-only, rc 0

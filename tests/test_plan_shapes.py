@@ -475,6 +475,11 @@ PINNED = {
     # r10 confusion audit: one count agg over the narrow language-id
     # projection; the |langs|-row totals broadcast back
     "language_id_confusion": (4, ["BroadcastHashJoin"], ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin", "Window", "BatchEvalPython"]),
+    # r10 composed v4: survivor set scope-persisted once (echoes in the
+    # budget), BPE rounds checkpointed in the builder; the 1-row
+    # normalization scalars ride broadcast crosses and the |langs|-row
+    # dashboard joins may sort-merge harmlessly
+    "curation_pipeline_v4": (16, ["InMemoryTableScan", "Scan ExistingRDD"], ["CartesianProduct", "BatchEvalPython"]),
 }
 
 
