@@ -14466,7 +14466,46 @@ _WINDOW_PRIORITY = [
     # first-timer and as the external adjudication of its r8 +100%
     # bench swing)
     "text_token_stats",
-    "text_unigram_perplexity",
+    # r11 ROTATION (VERDICT r10 task 1, executed exactly per the pinned
+    # schedule): EIGHTEEN twice-or-more-driver-green slots rotated out —
+    # text_unigram_perplexity (its r8 bench-swing adjudication is
+    # externally confirmed twice over), dedup_substring_clip,
+    # pack_sequence_spans, embed_ann_recall_audit, the analytics second
+    # wave (entropy_source_mix, lorenz_curve_orders,
+    # markov_steady_state_power, kcore_cosupply_peel,
+    # winsorized_event_stats, quantile_normalize_events,
+    # date_spine_zero_fill), streaming_pit_enrich,
+    # multimodal_frame_sample, and the TPC-H q-tail (q4, q7, q14, q15,
+    # q19) — all green in BOTH r9 and r10 driver windows — in favor of
+    # the THIRTEEN r10 additions (each swept green at sf0.01 on arrival,
+    # per the r11 addendum in the rotation schedule comment) plus FIVE
+    # backlog heads named by the r10 verdict (curation_pipeline_v3,
+    # ewma_user_value, referential_integrity_audit, mad_outlier_events,
+    # ship_latency_by_priority — all green in the end-of-r10 full
+    # 223-entry sf0.01 sweep AND re-swept at sf0.01 this round before
+    # rotating in). 18 out / 18 in; 18 first-timers. The 17 r10
+    # first-timers stay (once-green; rotate out in r12 when twice-green).
+    # dedup_shingle_jaccard stays pinned as the pairwise-dedup family
+    # head. r10 additions first:
+    "text_bpe_encode",
+    "embed_ivfpq_precoded_topk",
+    "hybrid_rrf_fusion",
+    "text_distinct_ngrams",
+    "mixture_temperature_weights",
+    "pack_bpe_sequence_spans",
+    "dedup_incremental_winnow",
+    "embed_mmr_rerank",
+    "dedup_lsh_recall_audit",
+    "text_bpe_fertility",
+    "streaming_quality_filter",
+    "language_id_confusion",
+    "curation_pipeline_v4",
+    # verdict-named backlog heads:
+    "curation_pipeline_v3",
+    "ewma_user_value",
+    "referential_integrity_audit",
+    "mad_outlier_events",
+    "ship_latency_by_priority",
     # r10 ROTATION (VERDICT r9 task 1, executed exactly per the pinned
     # schedule below): seventeen twice-or-more-driver-green slots
     # rotated out — the 17 r8 first-timers, all twice-green at r9
@@ -14504,29 +14543,8 @@ _WINDOW_PRIORITY = [
     "multimodal_audio_duration",
     "pmi_bigram_collocations",
     "quality_perplexity_cut",
-    # family heads that stay pinned (shingle_jaccard = pairwise dedup
-    # head; substring_clip r9-once-green; KMV-audit family via
-    # pack/recall heads below):
+    # family head that stays pinned (pairwise dedup):
     "dedup_shingle_jaccard",
-    "dedup_substring_clip",
-    "pack_sequence_spans",
-    "embed_ann_recall_audit",
-    # analytics second wave (r9 first-timers, stay until twice-green):
-    "entropy_source_mix",
-    "lorenz_curve_orders",
-    "markov_steady_state_power",
-    "kcore_cosupply_peel",
-    "winsorized_event_stats",
-    "quantile_normalize_events",
-    "date_spine_zero_fill",
-    "streaming_pit_enrich",
-    "multimodal_frame_sample",
-    # TPC-H q-tail r9 first-timers (stay until twice-green):
-    "q4_order_priority",
-    "q7_nation_volume",
-    "q14_promo_type_share",
-    "q15_top_supplier",
-    "q19_disjunctive_pricing",
 ]
 # Round-5 rotation (round-4 review task 1): every SURVEY §2 family head
 # is twice-driver-green and stable, so 8 second-tier slots

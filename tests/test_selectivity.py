@@ -1,0 +1,103 @@
+"""Gate-selectivity invariants (VERDICT r10 task 3).
+
+The r9→r10 vacuous-gate incident: ``quality_linear_filter``'s pinned
+bias (then −900k) kept ZERO documents at every test scale, which made
+``curation_pipeline_v3``'s quality stage a silent no-op — and every
+DuckDB hash still matched, because the oracle encodes the same vacuous
+predicate. Oracle parity proves engine agreement, NOT semantic
+meaningfulness. These tests pin the latter: every calibrated gate /
+sampler must be *selective* at sf0.01 — keep a non-trivial fraction,
+drop a non-trivial remainder — so a future recalibration of a pinned
+constant can never ship degenerate again.
+
+Each assertion names the pinned constant it guards (the constant's
+definition comments point back here).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import TESTDATA_ORACLE
+
+
+def _q(name):
+    from sports_data_integration_and_forecasting_pipeline_spark.plans.battery import QUERIES
+
+    return QUERIES[name].fn
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{TESTDATA_ORACLE}/documents.parquet").cache()
+
+
+def test_quality_linear_filter_keeps_nontrivial_fraction(spark, docs):
+    """Guards QUALITY_W0_E6 (operators/textstats.py): the linear gate
+    must separate the corpus — kept fraction strictly inside (0, 1)."""
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import (
+        quality_linear_filter,
+    )
+
+    agg = quality_linear_filter(docs).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("kept").cast("int")).alias("n_kept"),
+    ).collect()[0]
+    assert agg.n > 0
+    assert 0 < agg.n_kept < agg.n, (
+        f"quality gate degenerate: kept {agg.n_kept}/{agg.n} — "
+        "recalibrate QUALITY_W0_E6 (see the r9 vacuous-gate incident)"
+    )
+    # and not merely an epsilon sliver: at least 5% kept AND 5% dropped
+    assert 0.05 * agg.n <= agg.n_kept <= 0.95 * agg.n
+
+
+def test_quality_perplexity_cut_is_selective(spark, docs):
+    """Guards _PPL_CUT_E4 (plans/battery.py): the LM cut must drop >0
+    docs and keep >0 docs at sf0.01."""
+    out = _q("quality_perplexity_cut")(spark, TESTDATA_ORACLE)
+    kept = out.agg(F.sum("n_docs")).collect()[0][0]
+    total = docs.count()
+    assert kept and kept > 0, "perplexity cut kept nothing"
+    assert kept < total, "perplexity cut dropped nothing — cut is vacuous"
+
+
+def test_mixture_sample_langs_emits_multiple_languages(spark):
+    """Guards _MIX_WEIGHTS: the rebalance sample must retain >1 language
+    and be a strict subsample."""
+    out = _q("mixture_sample_langs")(spark, TESTDATA_ORACLE)
+    langs = out.select("lang").distinct().count()
+    assert langs > 1, f"mixture sample collapsed to {langs} language(s)"
+
+
+def test_temperature_mixture_weights_spread(spark):
+    """Guards alpha=0.3 pin: temperature weights must cover >1 language
+    with non-degenerate (all-equal-to-zero) per-doc weights."""
+    out = _q("mixture_temperature_weights")(spark, TESTDATA_ORACLE)
+    rows = out.collect()
+    assert len(rows) > 1, "temperature mixture saw a single language"
+    assert all(r.per_doc_weight > 0 for r in rows)
+
+
+def test_curation_v3_keeps_and_drops(spark, docs):
+    """curation_pipeline_v3's rollup must show nonzero quality-kept AND
+    nonzero quality-dropped (kept < corpus) — the exact invariant the
+    r9 incident violated."""
+    out = _q("curation_pipeline_v3")(spark, TESTDATA_ORACLE)
+    kept = out.agg(F.sum("n_quality_kept")).collect()[0][0]
+    total = docs.count()
+    assert kept and kept > 0, "v3 quality gate kept zero docs (vacuous)"
+    assert kept < total, "v3 quality gate dropped zero docs (vacuous)"
+
+
+def test_curation_v4_keeps_and_drops(spark):
+    """curation_pipeline_v4 reports n_docs_in vs n_docs_kept per lang —
+    totals must show a real gate (0 < kept < in)."""
+    out = _q("curation_pipeline_v4")(spark, TESTDATA_ORACLE)
+    agg = out.agg(
+        F.sum("n_docs_in").alias("n_in"),
+        F.sum("n_docs_kept").alias("n_kept"),
+    ).collect()[0]
+    assert agg.n_kept and agg.n_kept > 0
+    assert agg.n_kept < agg.n_in
