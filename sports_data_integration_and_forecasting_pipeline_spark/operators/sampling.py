@@ -215,6 +215,8 @@ def weighted_systematic_sample(
 
 def temperature_mixture_weights(
     df: DataFrame, domain_col: str, alpha: float = 0.3
+    # selectivity guard on the alpha=0.3 pin:
+    # tests/test_selectivity.py::test_temperature_mixture_weights_spread
 ) -> DataFrame:
     """Temperature-based mixture reweighting — the multilingual /
     multi-domain sampling rule (p_d^alpha renormalized; the alpha=0.3

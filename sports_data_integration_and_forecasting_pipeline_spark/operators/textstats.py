@@ -690,6 +690,9 @@ def bpe_apply_ranks(
 # -200_000 puts the decision boundary just above the corpus median —
 # the gate separates (~55-65% kept at sf0.01) while the hand-tested
 # junk/natural examples stay on their correct sides.
+# selectivity guard: tests/test_selectivity.py::test_quality_linear_filter_keeps_nontrivial_fraction
+# (pins kept-fraction inside [5%, 95%] at sf0.01 — a recalibration that
+# goes degenerate now fails fast instead of shipping hash-green)
 QUALITY_W0_E6 = -200_000          # bias
 QUALITY_W_STOP_E3 = 2_400         # stopword ratio: more -> more natural text
 QUALITY_W_PUNCT_E3 = -1_800       # punctuation soup -> boilerplate/code

@@ -5995,6 +5995,7 @@ def sample_events_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sampled set hash-matches row for row.
 # ===========================================================================
 
+# selectivity guard: tests/test_selectivity.py::test_mixture_sample_langs_emits_multiple_languages
 _MIX_WEIGHTS = {"en": 0.25, "de": 0.2, "es": 0.2, "fr": 0.2, "zh": 0.15}
 
 
@@ -6906,6 +6907,7 @@ def text_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # survivor stats. Deterministic end-to-end: the threshold compare is on
 # integer ppl_e4.
 _PPL_CUT_E4 = 32 * 10000  # keep docs with perplexity <= 32 (calibrated offline; corpus ppl spans ~29-42)
+# selectivity guard: tests/test_selectivity.py::test_quality_perplexity_cut_is_selective
 
 
 # r10 bench adjudication: 0.92 -> 1.25 s swing re-measured 0.617/0.570 s
@@ -6947,29 +6949,17 @@ def quality_perplexity_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 # distinct's full key set), mergeable across partitions, so 100 TB NDV
 # costs one map-side-combined shuffle of ~KB-sized state per group.
 #
-# rows-only BY CONSTRUCTION: HLL register layouts are engine-specific
-# (Spark's HyperLogLog++ dense/sparse encoding vs DuckDB's HLL — different
-# hash, different register count, different bias correction), so the
-# estimates legitimately differ between engines and no SQL oracle can
-# hash-match them. Correctness signal lives in tests/test_sketches.py:
-# the estimate must land within the published rsd error bound of the
-# exact NDV (which IS oracle-checked, via kmv_distinct_sketch's
-# n_distinct column and customer_order_rollup).
+# HLL register layouts are engine-specific (Spark's HyperLogLog++
+# dense/sparse encoding vs DuckDB's HLL — different hash, different
+# register count, different bias correction), so the raw ESTIMATES can
+# never hash-match a SQL oracle. Until r11 a rows-only entry
+# (hll_distinct_sketch) published the estimates anyway; r10 review task
+# 7 replaced it with the hash-oracled hll_distinct_verified below —
+# the SAME native approx_count_distinct aggregate, but the published
+# output is the engine-portable part (exact NDV + the error-bound
+# boolean), so the external gate now checks the sketch's guarantee
+# instead of recording an uncheckable row count.
 # ===========================================================================
-
-@_register(
-    "hll_distinct_sketch",
-    None,  # engine-specific sketch layout — see block comment above
-    "sketch: HLL++ approximate NDV (rows-only; error-bound-tested)",
-    "approx_count_distinct(rsd=0.02) vs exact NDV per event_type; "
-    "constant-state mergeable sketch, the 100 TB NDV path",
-)
-def hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("hll_ndv"),
-        F.countDistinct("user_id").cast("long").alias("exact_ndv"),
-    )
 
 
 # The hash-oracled HLL companion: native approx_count_distinct (above)
@@ -7026,28 +7016,127 @@ def hll_group_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # so per-group state is O(accuracy), not O(n), and partial summaries
 # merge map-side — the only percentile shape that survives 100 TB.
 #
-# rows-only BY CONSTRUCTION: the summary's compression decisions are
-# engine-specific (Spark GK vs DuckDB t-digest), so cross-engine values
-# differ within the rank-error bound. tests/test_sketches.py asserts the
-# approx values track the exact (oracle-checked) percentiles within that
-# bound.
+# The summary's compression decisions are engine-specific (Spark GK vs
+# DuckDB t-digest), so cross-engine VALUES differ within the rank-error
+# bound and can never hash-match. Until r11 a rows-only entry
+# (approx_percentile_sketch) published the values anyway; r10 review
+# task 7 replaced it with the hash-oracled approx_percentile_verified
+# below — the SAME native percentile_approx aggregate, rank-checked
+# against the exact order statistics, publishing the engine-portable
+# guarantee boolean instead of the uncheckable values.
 # ===========================================================================
 
+
+# The hash-oracled VERIFIED twins (r10 review task 7, the
+# misra_gries_verified pattern): the sketch VALUES are engine-specific,
+# but the sketch GUARANTEE is not — "estimate within the published error
+# bound of the exact answer" is a boolean both engines can agree on. The
+# Spark side computes the bound check against Spark's own sketch; the
+# oracle emits the exact figures with the invariant pinned TRUE, so a
+# sketch that ever drifts past its bound hash-mismatches and goes red.
+
 @_register(
-    "approx_percentile_sketch",
-    None,  # engine-specific summary — see block comment above
-    "sketch: approximate percentiles (rows-only; error-bound-tested)",
-    "percentile_approx(accuracy=10000) p50/p90/p99 of value per event_type; "
-    "mergeable bounded-state summary, the 100 TB percentile path",
+    "hll_distinct_verified",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_ndv,
+           TRUE AS within_bound
+    FROM events GROUP BY event_type
+    """,
+    "sketch: HLL++ NDV guarantee verification (hash-oracled; replaced "
+    "the rows-only hll_distinct_sketch, r10 review task 7)",
+    "approx_count_distinct(rsd=0.02) vs exact NDV per event_type; "
+    "within_bound pins |hll - exact| <= 10% of exact (5x the configured "
+    "rsd — beyond 5 sigma for a working HLL++)",
 )
-def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+def hll_distinct_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    pa = F.percentile_approx("value", [0.5, 0.9, 0.99], 10000)
-    return ev.groupBy("event_type").agg(pa.alias("ps")).select(
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("hll_ndv"),
+        F.countDistinct("user_id").cast("long").alias("exact_ndv"),
+    )
+    # integer-exact bound check: |hll - exact| * 10 <= exact  (<= 10%)
+    return agg.select(
         "event_type",
-        F.col("ps")[0].alias("p50"),
-        F.col("ps")[1].alias("p90"),
-        F.col("ps")[2].alias("p99"),
+        "exact_ndv",
+        (
+            F.abs(F.col("hll_ndv") - F.col("exact_ndv")) * 10
+            <= F.col("exact_ndv")
+        ).alias("within_bound"),
+    )
+
+
+@_register(
+    "approx_percentile_verified",
+    """
+    WITH g AS (
+      SELECT event_type, CAST(count(value) AS BIGINT) AS n_values
+      FROM events GROUP BY event_type
+    ),
+    p(pct) AS (VALUES (50), (90), (99))
+    SELECT event_type, CAST(pct AS INT) AS pct, n_values,
+           TRUE AS within_bound
+    FROM g CROSS JOIN p
+    """,
+    "sketch: Greenwald-Khanna percentile guarantee verification "
+    "(hash-oracled; replaced the rows-only approx_percentile_sketch, "
+    "r10 review task 7)",
+    "percentile_approx(accuracy=1000) p50/p90/p99 rank-checked against "
+    "the exact order statistics: the returned value's rank interval "
+    "[cnt_lt+1, cnt_le] must intersect [p*n - (2*eps*n + 1), "
+    "p*n + (2*eps*n + 1)], eps=1/1000 — 2*eps is the merged-summaries "
+    "bound (Greenwald-Khanna partials merged across partitions double "
+    "the single-pass eps; measured: Spark lands 2.02*eps*n off target "
+    "on one sf0.01 group), +1 absorbs the target-rank integer rounding",
+)
+def approx_percentile_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    acc = 1000
+    eps = 1.0 / acc
+    pa = F.percentile_approx("value", [0.5, 0.9, 0.99], acc)
+    approx = (
+        ev.groupBy("event_type")
+        .agg(pa.alias("ps"), F.count("value").cast("bigint").alias("n_values"))
+        .select(
+            "event_type",
+            "n_values",
+            F.explode(
+                F.map_from_arrays(
+                    F.array(F.lit(50), F.lit(90), F.lit(99)),
+                    F.col("ps"),
+                )
+            ).alias("pct", "v"),
+        )
+        .select("event_type", F.col("pct").cast("int").alias("pct"),
+                "n_values", "v")
+    )
+    # per-(group, pct) exact rank of the approx value: one broadcast of
+    # the tiny approx table back onto the events scan, counts map-side
+    # combined — no sort, no second shuffle of the big side beyond the
+    # groupBy key exchange
+    ranked = (
+        ev.join(F.broadcast(approx), "event_type")
+        .groupBy("event_type", "pct", "n_values", "v")
+        .agg(
+            F.sum((F.col("value") < F.col("v")).cast("int"))
+            .cast("bigint")
+            .alias("cnt_lt"),
+            F.sum((F.col("value") <= F.col("v")).cast("int"))
+            .cast("bigint")
+            .alias("cnt_le"),
+        )
+    )
+    p = F.col("pct").cast("double") / 100.0
+    n = F.col("n_values").cast("double")
+    slack = 2.0 * eps * n + 1.0
+    return ranked.select(
+        "event_type",
+        "pct",
+        "n_values",
+        (
+            (F.col("cnt_lt").cast("double") < p * n + slack)
+            & (F.col("cnt_le").cast("double") >= p * n - slack)
+        ).alias("within_bound"),
     )
 
 
@@ -7904,7 +7993,7 @@ def user_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Built-in median()/percentile() interpolate differently per engine;
 # this explicit form hash-matches. Cost: two per-group sort-windows —
 # the exact path; the 100 TB approximate path is the battery's
-# approx_percentile_sketch. Flags |v − med| > 3·MAD.
+# the GK percentile summary (approx_percentile_verified). Flags |v − med| > 3·MAD.
 # ===========================================================================
 
 @_register(
@@ -11903,6 +11992,68 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode_stats(
         _t(spark, sf_dir, "documents"), rounds=_BPE_ROUNDS
     )
+
+
+@_register(
+    "text_bpe_encode_ranked",
+    None,  # replaced below — shares text_bpe_encode's oracle (same output)
+    "textops: BPE apply via the ranked Arrow kernel (production path "
+    "for tens-of-thousands-rank vocabularies; Sennrich et al. ACL 2016; "
+    "no reference counterpart)",
+    "the priority-queue encoder vectorized per Arrow batch over the "
+    "DISTINCT-word vocabulary (operators/textstats.py:bpe_apply_ranks) "
+    "— kernel/relational parity is property-tested, and this entry "
+    "proves it END-TO-END by hash-matching text_bpe_encode's oracle",
+)
+def text_bpe_encode_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same per-doc token accounting as ``text_bpe_encode`` but the
+    segmentation comes from :func:`bpe_apply_ranks` — ONE Arrow batch
+    kernel over the distinct-word table — instead of the R sequential
+    relational merge passes. The learned merge list crosses the driver
+    as R rows (vocabulary-granular, never corpus rows): at production
+    scale that list is the tokenizer artifact itself (tens of KB), so
+    the crossing is the shape a real pipeline has anyway."""
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import (
+        bpe_apply_ranks,
+        bpe_merge_rounds,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_merge_rounds(docs, rounds=_BPE_ROUNDS)
+    ranked = [
+        (r.left_sym, r.right_sym)
+        for r in merges.orderBy("round").collect()
+    ]
+    words = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    seg = bpe_apply_ranks(words, ranked)
+    word_stats = seg.groupBy("word").agg(
+        F.count("*").cast("bigint").alias("__n_toks"),
+        F.sum((F.length("sym") == 1).cast("int"))
+        .cast("bigint")
+        .alias("__n_single"),
+    )
+    doc_words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        doc_words.join(word_stats, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("__n_toks").cast("bigint").alias("n_bpe_tokens"),
+            F.sum("__n_single").cast("bigint").alias("n_char_tokens"),
+        )
+    )
+
+
+QUERIES["text_bpe_encode_ranked"] = dataclasses.replace(
+    QUERIES["text_bpe_encode_ranked"],
+    oracle=QUERIES["text_bpe_encode"].oracle,
+)
 
 
 @_register(

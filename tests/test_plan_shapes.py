@@ -37,6 +37,11 @@ ARROW_OK = {
     # dim-ordered exact kernel, probe-measured 17-30x over both JVM
     # per-pair expression forms (r9; SCALING.md)
     "embed_semdedup_keep",
+    # ranked BPE apply: the priority-queue encoder as ONE Arrow kernel
+    # over the DISTINCT-word vocabulary (never corpus rows) — the
+    # production path for tens-of-thousands-rank merge lists; parity
+    # with the relational form is the entry's shared-oracle claim
+    "text_bpe_encode_ranked",
 }
 # Streaming queries materialize via a memory sink, not a lazy plan.
 SKIP = {

@@ -58,8 +58,8 @@ NOTES = {
     "customer_order_rollup": "Dim joins broadcast (region/nation-sized sides), fact agg is partial+final.",
     "embed_cosine_dup_pairs": "LSH sign-bucket equi-join (no cross join, no driver collect): bucket assignment is a narrow projection; one exchange on the bucket key.",
     "embed_ivf_ann": "Pretrained-quantizer IVF: cell assignment is a shuffle-free literal expression; probe list broadcast; candidates touched ~n_probe/n_cells.",
-    "hll_distinct_sketch": "Constant-register HLL++ state per group, merged map-side — the bounded-state NDV shuffle.",
-    "approx_percentile_sketch": "Bounded GK summaries merged map-side: percentile state is O(accuracy) per group, not O(n).",
+    "hll_distinct_verified": "Constant-register HLL++ state per group, merged map-side — the bounded-state NDV shuffle, bound-checked vs exact.",
+    "approx_percentile_verified": "Bounded GK summaries merged map-side (state O(accuracy) per group); the rank guarantee checked via one broadcast-back count pass.",
     "q4_order_priority": "EXISTS decorrelated to a broadcast LeftSemi with the non-equi ship-lag predicate riding the join; no row duplication, no cartesian.",
     "q7_nation_volume": "Implied-predicate rewrite: both nation dims filter to the pair BEFORE the fact join and broadcast; the (A,B)|(B,A) disjunction never touches the lineitem scan.",
     "q15_top_supplier": "Scalar-max pattern: the per-supplier aggregate is computed once; its 1-row max re-aggregate broadcasts back (AQE stage reuse).",
