@@ -1204,6 +1204,13 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return soft_dedup_weights(_t(spark, sf_dir, "documents"))
 
 
+# r11 bench adjudication (VERDICT r10 task 2, both-orderings on a calm
+# session): the r10 1.35 -> 2.10 s swing re-measured min 1.773/1.666 s
+# fwd/rev — midway between the two rounds, with ±3x WITHIN-session
+# spread on individual runs ([6.9, 6.3, 1.8] fwd) despite release_caches
+# between entries. The entry's plan is unchanged since r8 (diff clean);
+# its prefix-filter shuffle makes it the most scheduling-spike-sensitive
+# dedup entry. Host variance, not a plan defect — no action.
 @_register(
     "dedup_shingle_jaccard",
     f"""
@@ -4484,6 +4491,11 @@ def time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in BOTH orderings on a calm session -> mid-battery interference (the
 # timed battery grew 197 -> 204), not a plan change. Third swing for
 # this entry; min-of-last-2 remains the accepted mitigation.
+# r11 adjudication (r10's 1.33 -> 1.79 flag): re-measured 1.910/1.618 s
+# fwd/rev on a calm session — the CURRENT host runs this entry at
+# ~1.6-1.9 s; its cross-round record now spans 1.33-2.33 s on an
+# unchanged plan. FOURTH swing: accepted as a host-sensitive entry;
+# adjudicate only if a round exceeds the 2.33 s historical ceiling.
 @_register(
     "rfm_user_segments",
     """
@@ -6276,6 +6288,10 @@ def _zorder_oracle_sql() -> str:
 # r10 bench adjudication: 0.99 -> 1.47 s swing re-measured 1.055/1.054 s
 # in both orderings on a calm session -> mid-battery interference (the
 # two-global-sort entry is the most GC-pressure-sensitive by design).
+# r11 adjudication (r10's 0.99 -> 1.33 flag): 1.177/1.251 s fwd/rev —
+# stable in both positions, consistent with the documented inherent
+# two-global-sorts shape (the sorts ARE the demonstration; SCALING.md).
+# Confirmed inherent, not a regression.
 @_register(
     "zorder_layout_pruning",
     _zorder_oracle_sql(),
@@ -6487,6 +6503,10 @@ def profile_orders_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 # BEFORE the sum, so partition order can't move the total).
 # ===========================================================================
 
+# r11 bench adjudication (r10's 0.53 -> 0.79 s flag, run under
+# calib_drift_flag=true): re-measured min 0.650/0.594 s fwd/rev on a
+# calm session — recovered to the r9 band. Host drift, not a plan
+# change (diff clean since r6).
 @_register(
     "q5_local_supplier_revenue",
     """
