@@ -247,6 +247,10 @@ HEADLINE = [
     "text_bpe_fertility",
     "language_id_confusion",
     "curation_pipeline_v4",
+    # r11 additions (probed on arrival — SCALING.md round-11)
+    "dsir_importance_weights",
+    "quality_auc_audit",
+    "embed_matryoshka_overlap",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

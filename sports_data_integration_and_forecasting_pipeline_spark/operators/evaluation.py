@@ -76,3 +76,69 @@ def evaluate_accuracy(
         (F.col(pred_col) >= 0.5) == (F.col(outcome_col).cast("double") == 1.0)
     ).cast("double")
     return df.agg(F.avg(correct).alias("accuracy"))
+
+
+def rank_sum_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """ROC-AUC via the Mann-Whitney rank-sum identity — the standard
+    audit for any model-based filter (is the quality classifier's score
+    actually separating the classes, or is its threshold just a
+    calibrated coin?): ``AUC = P(score_pos > score_neg) + 0.5 ·
+    P(score_pos = score_neg)``, computed exactly from tied-average
+    ranks, never from a plot.
+
+    Exact integer discipline: per DISTINCT score the positive/negative
+    counts aggregate map-side; the cumulative count below each score
+    gives every tie group's doubled average rank ``2·r̄ = 2·cnt_lt +
+    n_tie + 1`` (an integer), so ``2·U = Σ_pos-groups n_pos_s · 2·r̄ −
+    n_pos·(n_pos+1)`` and ``auc_e6 = 10⁶·2U DIV (2·n_pos·n_neg)`` are
+    all exact BIGINT arithmetic — both engines reproduce the value
+    bit-for-bit.
+
+    Scale shape: one map-side-combined aggregate to the distinct-score
+    table, then a running-sum window over that table ordered by score.
+    The window is single-partition, but over DISTINCT SCORES, not rows —
+    for integer-quantized scores (the engine's e6 convention) that
+    table is bounded by score resolution, not corpus size. 100 TB of
+    documents with e6-quantized logits still cumulates over ≤ |score
+    universe| rows.
+
+    Returns ONE row: ``(n_pos, n_neg, auc_e6)``."""
+    from pyspark.sql.window import Window
+
+    per_score = df.groupBy(F.col(score_col).alias("__s")).agg(
+        F.count("*").cast("bigint").alias("__n"),
+        F.sum(F.col(label_col).cast("int")).cast("bigint").alias("__np"),
+    )
+    w = (
+        Window.orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = per_score.withColumn(
+        "__cnt_lt", F.coalesce(F.sum("__n").over(w), F.lit(0)).cast("bigint")
+    )
+    # Σ over positives of the DOUBLED tied-average rank (integer-exact)
+    agg = ranked.agg(
+        F.sum(
+            F.col("__np") * (2 * F.col("__cnt_lt") + F.col("__n") + 1)
+        )
+        .cast("bigint")
+        .alias("__r2_pos"),
+        F.sum("__np").cast("bigint").alias("n_pos"),
+        F.sum(F.col("__n") - F.col("__np")).cast("bigint").alias("n_neg"),
+    )
+    u2 = F.col("__r2_pos") - F.col("n_pos") * (F.col("n_pos") + 1)
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        (F.lit(1000000) * u2).cast("bigint").alias("__num"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        F.expr("CAST(__num DIV (2 * n_pos * n_neg) AS BIGINT)").alias(
+            "auc_e6"
+        ),
+    )

@@ -269,3 +269,72 @@ def temperature_mixture_weights(
             _r6(q / p).alias("per_doc_weight"),
         )
     )
+
+
+def dsir_logratio_weights(
+    df: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 256,
+) -> DataFrame:
+    """DSIR-style hashed n-gram importance weights (Xie et al., "Data
+    Selection for Language Models via Importance Resampling", NeurIPS
+    2023; public): score every raw document by how target-like its
+    hashed unigram feature counts are, ``w(x) = Σ_tokens
+    log(p_target(bucket)/p_raw(bucket))`` — the log-likelihood ratio of
+    two bag-of-hashed-ngrams multinomials with add-1 smoothing. Docs
+    with high weight are up-sampled into the training mixture.
+
+    Engine-exact discipline: bucket = ``h60(term) % buckets`` (the
+    md5-portable hash), the per-BUCKET log-ratio is rounded to integer
+    micro-units ONCE (``floor(ln(pt/pr)·1e6 + 0.5)``), and per-doc
+    weights are integer SUMS of those bucket constants — so no float
+    accumulation order can diverge between engines (the
+    text_unigram_perplexity discipline).
+
+    Scale shape: one token explode feeding (a) a ``buckets``-row
+    aggregate (map-side combined; target and raw counts ride the same
+    pass via conditional sums) and (b) the per-doc weight sum after a
+    broadcast join of the tiny bucket table back onto the token stream.
+    The bucket table is FIXED SIZE (256 rows) regardless of corpus —
+    the hashing is exactly what makes DSIR 100 TB-viable.
+
+    Returns one row per input doc: ``(id_col, n_tokens,
+    logratio_e6)``."""
+    toks = df.select(
+        F.col(id_col),
+        target_pred.cast("int").alias("__is_t"),
+        F.explode(F.split(F.col(text_col), " ")).alias("__term"),
+    ).filter(F.col("__term") != "")
+    bucketed = toks.withColumn(
+        "__b", h60(F.col("__term")) % F.lit(buckets)
+    )
+    bc = bucketed.groupBy("__b").agg(
+        F.count("*").cast("bigint").alias("__n_raw"),
+        F.sum("__is_t").cast("bigint").alias("__n_t"),
+    )
+    tot = bc.groupBy().agg(
+        F.sum("__n_raw").cast("bigint").alias("__t_raw"),
+        F.sum("__n_t").cast("bigint").alias("__t_t"),
+    )
+    pt = (F.col("__n_t") + 1).cast("double") / (
+        F.col("__t_t") + buckets
+    ).cast("double")
+    pr = (F.col("__n_raw") + 1).cast("double") / (
+        F.col("__t_raw") + buckets
+    ).cast("double")
+    lr = bc.crossJoin(F.broadcast(tot)).select(
+        "__b",
+        F.floor(F.log(pt / pr) * 1e6 + F.lit(0.5))
+        .cast("bigint")
+        .alias("__lr_e6"),
+    )
+    return (
+        bucketed.join(F.broadcast(lr), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("__lr_e6").cast("bigint").alias("logratio_e6"),
+        )
+    )

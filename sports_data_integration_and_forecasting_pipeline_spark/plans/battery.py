@@ -14594,6 +14594,253 @@ def contamination_kmv_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# DSIR importance weights (Xie et al. NeurIPS 2023, public) — hashed
+# n-gram log-likelihood-ratio weights for importance resampling toward a
+# target domain. The feature hashing is what makes DSIR 100 TB-viable:
+# the model state is a FIXED 256-row bucket table however large the
+# corpus. Per-bucket log-ratios are rounded to integer micro-units ONCE,
+# per-doc weights are integer sums of those constants — no float
+# accumulation order anywhere (the text_unigram_perplexity discipline).
+# ===========================================================================
+
+_DSIR_B = 256
+
+
+@_register(
+    "dsir_importance_weights",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
+             unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    b AS (SELECT doc_id, is_t, {_h60_sql('term')} % {_DSIR_B} AS b
+          FROM tk WHERE term <> ''),
+    bc AS (SELECT b, CAST(count(*) AS BIGINT) AS n_raw,
+                  CAST(sum(is_t) AS BIGINT) AS n_t
+           FROM b GROUP BY b),
+    tot AS (SELECT CAST(sum(n_raw) AS BIGINT) AS t_raw,
+                   CAST(sum(n_t) AS BIGINT) AS t_t
+            FROM bc),
+    lr AS (SELECT b,
+                  CAST(floor(ln(((n_t + 1) / (t_t + {_DSIR_B}.0))
+                             / ((n_raw + 1) / (t_raw + {_DSIR_B}.0)))
+                             * 1000000.0 + 0.5) AS BIGINT) AS lr_e6
+           FROM bc CROSS JOIN tot)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(lr_e6) AS BIGINT) AS logratio_e6
+    FROM b JOIN lr USING (b)
+    GROUP BY doc_id
+    """,
+    "curation: DSIR hashed-ngram importance weights (Xie et al. NeurIPS "
+    "2023; no reference counterpart)",
+    "per-doc log-likelihood ratio of target (lang='en') vs raw hashed "
+    "unigram multinomials, add-1 smoothed, 256 md5 buckets — bucket "
+    "log-ratios e6-rounded once, doc weights exact integer sums",
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.sampling import (
+        dsir_logratio_weights,
+    )
+
+    return dsir_logratio_weights(
+        _t(spark, sf_dir, "documents"),
+        target_pred=F.col("lang") == "en",
+        buckets=_DSIR_B,
+    )
+
+
+# ===========================================================================
+# Model-based-filter evaluation: ROC-AUC of the pinned-weight quality
+# logit against an INDEPENDENT weak label — "does the doc survive the
+# LM perplexity cut" (quality_perplexity_cut's predicate). The two
+# quality signals share no features (rule ratios vs unigram LM), so
+# their agreement is a genuine cross-signal audit: AUC 0.765 at sf0.01
+# (a lang-based label was measured ~0.50 on this corpus — a coin flip —
+# and rejected as a vacuous audit, the r9-gate lesson applied to entry
+# DESIGN). Mann-Whitney rank-sum identity in exact integer arithmetic;
+# the cumulative window runs over DISTINCT logit values, not rows.
+# Complements tests/test_selectivity.py: selectivity says the gate
+# keeps a non-trivial fraction; AUC says the SCORE orders the classes.
+# ===========================================================================
+
+@_register(
+    "quality_auc_audit",
+    f"""
+    WITH {_PPL_CTES},
+    t AS (
+      SELECT doc_id, n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+             {_sql_count_in(('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it', 'for', 'on'))} AS n_stop,
+             CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             CASE WHEN n > 0 THEN CAST(floor(1.0 * n_stop / n * 1000000 + 0.5) AS BIGINT)
+                  ELSE 0 END AS stop_e6,
+             CASE WHEN n_chars > 0 THEN CAST(floor(1.0 * n_punct / n_chars * 1000000 + 0.5) AS BIGINT)
+                  ELSE 0 END AS punct_e6,
+             CAST(least(n, 100) * 10000 AS BIGINT) AS len_sat_e6,
+             CASE WHEN n > 0 THEN CAST(floor(1.0 * (n_chars - (n - 1)) / n * 1000000 + 0.5) AS BIGINT)
+                  ELSE 0 END AS awl_e6
+      FROM t
+    ),
+    sc2 AS (
+      SELECT CAST({QUALITY_W0_E6}
+                  + {QUALITY_W_STOP_E3} * stop_e6 // 1000
+                  + {QUALITY_W_PUNCT_E3} * punct_e6 // 1000
+                  + {QUALITY_W_LEN_E3} * len_sat_e6 // 1000
+                  + {QUALITY_W_AWL_E3} * awl_e6 // 1000 AS BIGINT) AS s,
+             CASE WHEN ppl.ppl_e4 <= {_PPL_CUT_E4} THEN 1 ELSE 0 END AS is_pos
+      FROM f JOIN ppl USING (doc_id)
+    ),
+    ps AS (SELECT s, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(is_pos) AS BIGINT) AS np
+           FROM sc2 GROUP BY s),
+    c AS (SELECT s, n, np,
+                 CAST(coalesce(sum(n) OVER (ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS BIGINT) AS cnt_lt
+          FROM ps),
+    a AS (SELECT CAST(sum(np * (2 * cnt_lt + n + 1)) AS BIGINT) AS r2_pos,
+                 CAST(sum(np) AS BIGINT) AS n_pos,
+                 CAST(sum(n - np) AS BIGINT) AS n_neg
+          FROM c)
+    SELECT n_pos, n_neg,
+           CAST((1000000 * (r2_pos - n_pos * (n_pos + 1)))
+                // (2 * n_pos * n_neg) AS BIGINT) AS auc_e6
+    FROM a
+    """,
+    "curation: quality-classifier ROC-AUC audit (Mann-Whitney rank-sum; "
+    "no reference counterpart)",
+    "exact integer AUC of the pinned quality logit vs the independent "
+    "LM-perplexity-cut survivor label — tied-average ranks via one "
+    "distinct-score cumulative window",
+)
+def quality_auc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.evaluation import (
+        rank_sum_auc,
+    )
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import (
+        quality_linear_filter,
+        unigram_perplexity,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    logits = quality_linear_filter(docs).select("doc_id", "logit_e6")
+    lbl = unigram_perplexity(docs).select(
+        "doc_id", (F.col("ppl_e4") <= _PPL_CUT_E4).alias("is_pos")
+    )
+    return rank_sum_auc(
+        logits.join(lbl, "doc_id"), "logit_e6", "is_pos"
+    )
+
+
+# ===========================================================================
+# Matryoshka truncation audit (Kusupati et al. NeurIPS 2022, public) —
+# does retrieval over the FIRST 16 of 64 dims reproduce full-dim top-k?
+# The deployment question MRL embeddings exist to answer: a 4x cheaper
+# index costs how much fidelity? Both arms use the engine's exact-cosine
+# conventions (6-dp rounding, cand_id tiebreak), so the overlap count is
+# engine-portable. Scale shape: two broadcast-query scored passes over
+# one corpus scan each — identical to embed_cosine_topk's shape; the
+# overlap join is |queries|*k rows.
+# ===========================================================================
+
+@_register(
+    "embed_matryoshka_overlap",
+    f"""
+    WITH {_emb_norm_cte()},
+    tnv AS (SELECT vec_id, v[1:16] AS tv,
+                   sqrt(list_sum(list_transform(range(1, 17),
+                        i -> v[i::INT] * v[i::INT]))) AS tnrm
+            FROM e),
+    fs AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+             CAST(row_number() OVER (PARTITION BY q.vec_id
+                  ORDER BY {_sql_r(_COS_SQL, 6)} DESC, c.vec_id) AS INT) AS rank
+      FROM (SELECT * FROM nv WHERE vec_id < 10) q
+      CROSS JOIN nv c WHERE c.vec_id <> q.vec_id
+    ),
+    ts AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+             CAST(row_number() OVER (PARTITION BY q.vec_id
+                  ORDER BY {_sql_r("list_sum(list_transform(range(1, 17), i -> q.tv[i::INT] * c.tv[i::INT])) / (q.tnrm * c.tnrm)", 6)} DESC, c.vec_id) AS INT) AS rank
+      FROM (SELECT * FROM tnv WHERE vec_id < 10) q
+      CROSS JOIN tnv c WHERE c.vec_id <> q.vec_id
+    ),
+    ftop AS (SELECT q_id, cand_id, rank FROM fs WHERE rank <= 5),
+    ttop AS (SELECT q_id, cand_id, rank FROM ts WHERE rank <= 5),
+    ov AS (SELECT f.q_id, CAST(count(*) AS BIGINT) AS n_overlap
+           FROM ftop f JOIN ttop t USING (q_id, cand_id)
+           GROUP BY f.q_id),
+    t1 AS (SELECT f.q_id,
+                  max(CASE WHEN t.cand_id IS NOT NULL THEN TRUE
+                           ELSE FALSE END) AS top1_match
+           FROM ftop f LEFT JOIN ttop t
+             ON t.q_id = f.q_id AND t.cand_id = f.cand_id AND t.rank = 1
+           WHERE f.rank = 1
+           GROUP BY f.q_id)
+    SELECT t1.q_id, CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+           t1.top1_match
+    FROM t1 LEFT JOIN ov ON ov.q_id = t1.q_id
+    """,
+    "embeddings: Matryoshka truncation fidelity audit (Kusupati et al. "
+    "NeurIPS 2022; no reference counterpart)",
+    "top-5 overlap and top-1 agreement between full 64-dim and "
+    "truncated 16-dim exact cosine retrieval, per query (vec_id < 10)",
+)
+def embed_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    full = cosine_topk(
+        emb, query_pred=F.col("vec_id") < 10, k=5,
+        round_expr=lambda c: _r(c, 6),
+    ).select("q_id", "cand_id", "rank")
+    trunc = cosine_topk(
+        emb.withColumn("embedding", F.slice("embedding", 1, 16)),
+        query_pred=F.col("vec_id") < 10, k=5,
+        round_expr=lambda c: _r(c, 6),
+    ).select(
+        F.col("q_id").alias("t_q"), F.col("cand_id").alias("t_cand"),
+        F.col("rank").alias("t_rank"),
+    )
+    ov = (
+        full.join(
+            trunc,
+            (F.col("q_id") == F.col("t_q"))
+            & (F.col("cand_id") == F.col("t_cand")),
+        )
+        .groupBy("q_id")
+        .agg(F.count("*").cast("bigint").alias("n_overlap"))
+    )
+    f1 = full.filter(F.col("rank") == 1)
+    t1 = trunc.filter(F.col("t_rank") == 1)
+    top1 = (
+        f1.join(t1, f1["q_id"] == t1["t_q"], "left")
+        .select(
+            "q_id",
+            (
+                F.col("t_cand").isNotNull()
+                & (F.col("cand_id") == F.col("t_cand"))
+            ).alias("top1_match"),
+        )
+    )
+    return top1.join(ov, "q_id", "left").select(
+        "q_id",
+        F.coalesce(F.col("n_overlap"), F.lit(0)).cast("bigint").alias(
+            "n_overlap"
+        ),
+        "top1_match",
+    )
+
+
+# ===========================================================================
 # Driver-window curation (round-2 review directive). The external
 # correctness gate hard-caps its run at the FIRST 50 registered entries
 # (registration-order prefix, observed in rounds 1-2) — it cannot check

@@ -101,3 +101,36 @@ def test_curation_v4_keeps_and_drops(spark):
     ).collect()[0]
     assert agg.n_kept and agg.n_kept > 0
     assert agg.n_kept < agg.n_in
+
+
+def test_quality_auc_audit_is_nontrivial(spark):
+    """The AUC audit must carry signal: a label whose AUC sits at the
+    coin-flip line is a vacuous audit (the lang='en' label measured
+    ~0.50 at sf0.01 and was rejected at design time; the shipped
+    LM-cut-survivor label measures ~0.76)."""
+    row = _q("quality_auc_audit")(spark, TESTDATA_ORACLE).collect()[0]
+    assert row.n_pos > 0 and row.n_neg > 0
+    assert row.auc_e6 >= 600_000, (
+        f"quality AUC degenerated to {row.auc_e6/1e6:.3f} — the gate no "
+        "longer orders the LM-cut classes; check the pinned weights"
+    )
+
+
+def test_dsir_weights_spread(spark, docs):
+    """DSIR importance weights must separate documents (non-constant)
+    and cover every doc with a non-empty token stream."""
+    out = _q("dsir_importance_weights")(spark, TESTDATA_ORACLE)
+    agg = out.agg(
+        F.count("*").alias("n"),
+        F.min("logratio_e6").alias("lo"),
+        F.max("logratio_e6").alias("hi"),
+    ).collect()[0]
+    assert agg.n > 0
+    assert agg.lo < agg.hi, "DSIR weights are constant — buckets vacuous"
+
+
+def test_matryoshka_overlap_rows_per_query(spark):
+    """One row per query with overlap in [0, 5]."""
+    rows = _q("embed_matryoshka_overlap")(spark, TESTDATA_ORACLE).collect()
+    assert len(rows) == 10
+    assert all(0 <= r.n_overlap <= 5 for r in rows)
