@@ -251,6 +251,7 @@ HEADLINE = [
     "dsir_importance_weights",
     "quality_auc_audit",
     "embed_matryoshka_overlap",
+    "curation_pipeline_v5",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

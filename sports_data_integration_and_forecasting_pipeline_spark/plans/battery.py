@@ -14841,6 +14841,137 @@ def embed_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Curation pipeline v5 — the DSIR-era composition: rule gate → hashed
+# importance weighting → deterministic importance FLOOR (the pinned-cut
+# analogue of DSIR resampling: a global top-K needs a corpus-wide order,
+# a pinned floor is one narrow filter — the same trade the perplexity
+# cut makes) → per-language rollup. Each stage is the already-oracled
+# operator; this entry checks the composition.
+# ===========================================================================
+
+# selectivity guard: tests/test_selectivity.py::test_curation_v5_keeps_and_drops
+# (the floor keeps ~40%/~55% of gate survivors at sf0.001/sf0.01 —
+# measured survivor-weight quantiles p25/p50/p75 = -1.70M/-1.35M/-0.99M
+# and -1.37M/-1.04M/-0.67M respectively)
+_DSIR_FLOOR_E6 = -1_200_000
+
+
+@_register(
+    "curation_pipeline_v5",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, text, n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+             {_sql_count_in(('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it', 'for', 'on'))} AS n_stop,
+             CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, lang, text,
+             {QUALITY_W0_E6}
+             + {QUALITY_W_STOP_E3} * (CASE WHEN n > 0 THEN CAST(floor(1.0 * n_stop / n * 1000000 + 0.5) AS BIGINT) ELSE 0 END) // 1000
+             + {QUALITY_W_PUNCT_E3} * (CASE WHEN n_chars > 0 THEN CAST(floor(1.0 * n_punct / n_chars * 1000000 + 0.5) AS BIGINT) ELSE 0 END) // 1000
+             + {QUALITY_W_LEN_E3} * CAST(least(n, 100) * 10000 AS BIGINT) // 1000
+             + {QUALITY_W_AWL_E3} * (CASE WHEN n > 0 THEN CAST(floor(1.0 * (n_chars - (n - 1)) / n * 1000000 + 0.5) AS BIGINT) ELSE 0 END) // 1000
+               AS logit_e6
+      FROM t
+    ),
+    kept AS (SELECT doc_id, lang, text FROM f WHERE logit_e6 >= 0),
+    tk AS (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
+             unnest(string_split(text, ' ')) AS term
+      FROM kept
+    ),
+    b AS (SELECT doc_id, is_t, {_h60_sql('term')} % {_DSIR_B} AS b
+          FROM tk WHERE term <> ''),
+    bc AS (SELECT b, CAST(count(*) AS BIGINT) AS n_raw,
+                  CAST(sum(is_t) AS BIGINT) AS n_t
+           FROM b GROUP BY b),
+    tot AS (SELECT CAST(sum(n_raw) AS BIGINT) AS t_raw,
+                   CAST(sum(n_t) AS BIGINT) AS t_t
+            FROM bc),
+    lr AS (SELECT b,
+                  CAST(floor(ln(((n_t + 1) / (t_t + {_DSIR_B}.0))
+                             / ((n_raw + 1) / (t_raw + {_DSIR_B}.0)))
+                             * 1000000.0 + 0.5) AS BIGINT) AS lr_e6
+           FROM bc CROSS JOIN tot),
+    dw AS (SELECT doc_id, CAST(sum(lr_e6) AS BIGINT) AS logratio_e6
+           FROM b JOIN lr USING (b) GROUP BY doc_id),
+    res AS (SELECT k.lang,
+                   CAST(count(*) AS BIGINT) AS n_gate_kept,
+                   CAST(sum(CASE WHEN dw.logratio_e6 >= {_DSIR_FLOOR_E6}
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_resampled,
+                   CAST(coalesce(sum(CASE WHEN dw.logratio_e6 >= {_DSIR_FLOOR_E6}
+                            THEN dw.logratio_e6 END), 0) AS BIGINT)
+                     AS sum_logratio_e6
+            FROM kept k JOIN dw USING (doc_id) GROUP BY k.lang),
+    cin AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs_in
+            FROM documents GROUP BY lang)
+    SELECT cin.lang, cin.n_docs_in, res.n_gate_kept, res.n_resampled,
+           CAST(1000000 * res.n_resampled // res.n_gate_kept AS BIGINT)
+             AS resample_rate_e6,
+           res.sum_logratio_e6
+    FROM cin JOIN res ON res.lang = cin.lang
+    """,
+    "curation: composite v5 — quality gate -> DSIR hashed importance "
+    "weights -> pinned importance floor -> per-language rollup (stage "
+    "composition check; no reference counterpart)",
+    "gate survivors weighted by the 256-bucket target/raw "
+    "log-likelihood ratio; kept iff logratio_e6 >= -1.2M (the "
+    "deterministic floor analogue of DSIR resampling)",
+)
+def curation_pipeline_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
+        persist_scoped,
+    )
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.sampling import (
+        dsir_logratio_weights,
+    )
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import (
+        quality_linear_filter,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    # survivors feed TWO consumers (the DSIR token pass and the rollup
+    # join) — scope-persist the filtered set, the v3/v4 discipline
+    kept = persist_scoped(
+        "curation_v5_kept",
+        quality_linear_filter(docs)
+        .filter(F.col("kept"))
+        .select("doc_id", "lang", "text"),
+    )
+    dw = dsir_logratio_weights(
+        kept, target_pred=F.col("lang") == "en", buckets=_DSIR_B
+    ).select("doc_id", "logratio_e6")
+    picked = F.col("logratio_e6") >= _DSIR_FLOOR_E6
+    res = (
+        kept.join(dw, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_gate_kept"),
+            F.sum(picked.cast("int")).cast("bigint").alias("n_resampled"),
+            F.coalesce(
+                F.sum(F.when(picked, F.col("logratio_e6"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("sum_logratio_e6"),
+        )
+    )
+    cin = docs.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs_in")
+    )
+    return cin.join(res, "lang").select(
+        "lang",
+        "n_docs_in",
+        "n_gate_kept",
+        "n_resampled",
+        F.expr("CAST(1000000 * n_resampled DIV n_gate_kept AS BIGINT)")
+        .alias("resample_rate_e6"),
+        "sum_logratio_e6",
+    )
+
+
+# ===========================================================================
 # Driver-window curation (round-2 review directive). The external
 # correctness gate hard-caps its run at the FIRST 50 registered entries
 # (registration-order prefix, observed in rounds 1-2) — it cannot check

@@ -1,0 +1,133 @@
+"""Round-11 property tests — model parity for the new audit operators:
+
+- ``rank_sum_auc`` must equal a brute-force pairwise AUC
+  (``P(s_pos > s_neg) + 0.5·P(s_pos = s_neg)``) on random labeled
+  scores, including heavy ties — the tied-average-rank identity the
+  battery entry's exactness claim rests on.
+- ``dsir_logratio_weights`` must equal a pure-Python DSIR reference
+  (hashed-bucket multinomial log-likelihood ratio, add-1 smoothing,
+  per-bucket e6 rounding then integer doc sums) on random corpora.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from sports_data_integration_and_forecasting_pipeline_spark.operators.evaluation import (
+    rank_sum_auc,
+)
+from sports_data_integration_and_forecasting_pipeline_spark.operators.sampling import (
+    dsir_logratio_weights,
+)
+
+SETTINGS = dict(
+    max_examples=8,  # each example is a Spark job — keep the suite fast
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+# --- rank-sum AUC vs brute force -------------------------------------------
+
+labeled_scores = st.lists(
+    st.tuples(st.integers(-5, 5), st.booleans()),
+    min_size=2,
+    max_size=40,
+).filter(
+    lambda xs: any(lbl for _, lbl in xs) and any(not lbl for _, lbl in xs)
+)
+
+
+def _brute_auc_e6(xs: list[tuple[int, bool]]) -> int:
+    pos = [s for s, lbl in xs if lbl]
+    neg = [s for s, lbl in xs if not lbl]
+    num = 0  # doubled pair wins: 2 per win, 1 per tie
+    for p in pos:
+        for n in neg:
+            num += 2 if p > n else (1 if p == n else 0)
+    return (1_000_000 * num) // (2 * len(pos) * len(neg))
+
+
+@given(xs=labeled_scores)
+@settings(**SETTINGS)
+def test_rank_sum_auc_matches_pairwise(spark, xs):
+    df = spark.createDataFrame(xs, "score int, lbl boolean")
+    row = rank_sum_auc(df, "score", "lbl").collect()[0]
+    assert row.n_pos == sum(1 for _, l in xs if l)
+    assert row.n_neg == sum(1 for _, l in xs if not l)
+    assert row.auc_e6 == _brute_auc_e6(xs)
+
+
+def test_rank_sum_auc_extremes(spark):
+    """Perfect separation -> 1.0; anti-separation -> 0.0; all-tied ->
+    exactly 0.5."""
+    perfect = [(1, True)] * 3 + [(0, False)] * 4
+    inverted = [(0, True)] * 3 + [(1, False)] * 4
+    tied = [(7, True)] * 3 + [(7, False)] * 4
+    for xs, want in ((perfect, 1_000_000), (inverted, 0), (tied, 500_000)):
+        df = spark.createDataFrame(xs, "score int, lbl boolean")
+        assert rank_sum_auc(df, "score", "lbl").collect()[0].auc_e6 == want
+
+
+# --- DSIR weights vs pure-Python reference ---------------------------------
+
+word = st.sampled_from(["alpha", "beta", "gamma", "delta", "x", "yy"])
+dsir_doc = st.lists(word, min_size=1, max_size=12).map(" ".join)
+corpus = st.lists(
+    st.tuples(dsir_doc, st.booleans()), min_size=1, max_size=12
+).filter(lambda xs: any(t for _, t in xs))
+
+
+def _h60_py(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _ref_dsir(docs: list[tuple[str, bool]], buckets: int):
+    from collections import Counter, defaultdict
+
+    raw: Counter = Counter()
+    tgt: Counter = Counter()
+    toks_by_doc = []
+    for text, is_t in docs:
+        toks = [t for t in text.split(" ") if t]
+        bs = [_h60_py(t) % buckets for t in toks]
+        toks_by_doc.append(bs)
+        for b in bs:
+            raw[b] += 1
+            if is_t:
+                tgt[b] += 1
+    t_raw, t_t = sum(raw.values()), sum(tgt.values())
+    lr = {
+        b: math.floor(
+            math.log(
+                ((tgt[b] + 1) / (t_t + buckets))
+                / ((raw[b] + 1) / (t_raw + buckets))
+            )
+            * 1e6
+            + 0.5
+        )
+        for b in raw
+    }
+    out = defaultdict(lambda: (0, 0))
+    for i, bs in enumerate(toks_by_doc):
+        out[i] = (len(bs), sum(lr[b] for b in bs))
+    return dict(out)
+
+
+@given(docs=corpus)
+@settings(**SETTINGS)
+def test_dsir_weights_match_reference(spark, docs):
+    rows = [(i, text, t) for i, (text, t) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id int, text string, is_t boolean")
+    got = {
+        r.doc_id: (r.n_tokens, r.logratio_e6)
+        for r in dsir_logratio_weights(
+            df, target_pred=F.col("is_t"), buckets=16
+        ).collect()
+    }
+    assert got == _ref_dsir(docs, buckets=16)

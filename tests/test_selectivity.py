@@ -134,3 +134,19 @@ def test_matryoshka_overlap_rows_per_query(spark):
     rows = _q("embed_matryoshka_overlap")(spark, TESTDATA_ORACLE).collect()
     assert len(rows) == 10
     assert all(0 <= r.n_overlap <= 5 for r in rows)
+
+
+def test_curation_v5_keeps_and_drops(spark, docs):
+    """Guards _DSIR_FLOOR_E6: v5's importance floor must resample a
+    non-trivial fraction of gate survivors — neither zero nor all."""
+    out = _q("curation_pipeline_v5")(spark, TESTDATA_ORACLE)
+    agg = out.agg(
+        F.sum("n_gate_kept").alias("kept"),
+        F.sum("n_resampled").alias("res"),
+    ).collect()[0]
+    assert agg.kept and agg.kept > 0
+    assert 0 < agg.res < agg.kept, (
+        f"v5 importance floor degenerate: {agg.res}/{agg.kept} — "
+        "recalibrate _DSIR_FLOOR_E6"
+    )
+    assert 0.05 * agg.kept <= agg.res <= 0.95 * agg.kept
