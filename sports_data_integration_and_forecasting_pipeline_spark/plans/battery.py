@@ -15253,7 +15253,27 @@ _WINDOW_PRIORITY = [
 #       (embed_mmr_rerank, dedup_lsh_recall_audit) were each
 #       individually swept green at sf0.01 on arrival, so all 225
 #       entries have a same-scale green sweep dated r10.
-#   r11+: sweep any stragglers alphabetically until all entries have
+#   r11: EXECUTED (see the r11 ROTATION note in _WINDOW_PRIORITY) —
+#       18 out / 18 in exactly as planned: the 13 r10 additions plus the
+#       5 verdict-named backlog heads, every in-name re-swept green at
+#       sf0.01 this round before rotating in. SIX r11 additions are each
+#       swept green at sf0.001 AND sf0.01 on arrival and held OUT of the
+#       r11 window (the standing convention — front of the r12 in-list):
+#       text_bpe_encode_ranked (shares text_bpe_encode's oracle),
+#       hll_distinct_verified + approx_percentile_verified (replaced the
+#       two rows-only sketch entries — rows-only residue is now just
+#       misra_gries_heavy_hitters, which has its verified twin, and
+#       forecast_random_forest), dsir_importance_weights,
+#       quality_auc_audit, embed_matryoshka_overlap, curation_pipeline_v5.
+#       r12 rotation-out candidates: the 17 r10 first-timers (twice-green
+#       if r11 comes back clean).
+#   End-of-r11 standing-protocol sweep (VERDICT r10 task 4): the full
+#       234-entry battery swept in ONE run at sf0.01 (the driver gate
+#       scale) — 232 hash-ok + the 2 by-design rows-only
+#       (forecast_random_forest, misra_gries_heavy_hitters), rc 0,
+#       wall 410 s (local[8], tools/sweep_oracle.py) — far inside the
+#       round budget, so no alphabetical split needed at this size.
+#   r12+: sweep any stragglers alphabetically until all entries have
 #       ≥1 driver row.
 # ===========================================================================
 
