@@ -315,6 +315,26 @@ def calib_drift(start: dict, end: dict) -> float | None:
     return round(max(rel), 3) if rel else None
 
 
+def drift_corrected(
+    timings: dict[str, float], y_start: float, y_end: float
+) -> dict[str, float]:
+    """Per-query drift-corrected seconds: the host speed is modeled as
+    the md5+shuffle yardstick linearly interpolated by battery position
+    between the start and end calibration passes, and every query is
+    re-expressed at START-of-run host speed:
+    ``corrected(i) = raw(i) * y_start / lerp(y_start, y_end, i/(N-1))``.
+    ``timings`` must preserve battery execution order (insertion order).
+    Degenerate yardsticks (zero/negative interpolant) pass raw through.
+    """
+    out: dict[str, float] = {}
+    n = len(timings)
+    for idx, (qname, sec) in enumerate(timings.items()):
+        frac = idx / max(n - 1, 1)
+        yard_i = y_start + (y_end - y_start) * frac
+        out[qname] = round(sec * y_start / yard_i, 3) if yard_i > 0 else sec
+    return out
+
+
 def compact_bench_line(base: dict, timings: dict, budget: int = 1800) -> str:
     """Render the stdout bench line: ``base`` plus the slowest queries
     that fit in ``budget`` chars, the rest rolled up into
@@ -510,14 +530,7 @@ def main() -> None:
     y_end = (
         calib_end_raw["calib_md5_sec"] + calib_end_raw["calib_shuffle_sec"]
     )
-    corrected: dict[str, float] = {}
-    n_timed = len(timings)
-    for idx, (qname, sec) in enumerate(timings.items()):
-        frac = idx / max(n_timed - 1, 1)
-        yard_i = yardstick + (y_end - yardstick) * frac
-        corrected[qname] = (
-            round(sec * yardstick / yard_i, 3) if yard_i > 0 else sec
-        )
+    corrected = drift_corrected(timings, yardstick, y_end)
     # Work component with the per-query scheduling floor subtracted, in
     # units of the CPU yardstick: the host- and query-count-independent
     # figure for round-over-round regression checks.

@@ -129,3 +129,20 @@ def test_headline_names_valid():
     assert not missing, missing
     assert len(set(HEADLINE)) == len(HEADLINE)
     assert BUILDER_DOES_CLUSTER_WORK <= set(QUERIES)
+
+
+def test_drift_corrected_interpolates_to_start_speed():
+    from bench import drift_corrected
+
+    # host slows 2x across the battery: first entry untouched, last
+    # entry halved, middle entry scaled by 2/3 (yardstick 1.0 -> 2.0,
+    # midpoint interpolant 1.5)
+    t = {"a": 1.0, "b": 1.0, "c": 1.0}
+    got = drift_corrected(t, 1.0, 2.0)
+    assert got == {"a": 1.0, "b": round(1.0 / 1.5, 3), "c": 0.5}
+    # no drift -> identity
+    assert drift_corrected(t, 1.3, 1.3) == {k: 1.0 for k in t}
+    # single entry -> frac pins to 0/ max(n-1,1) and stays finite
+    assert drift_corrected({"solo": 2.0}, 1.0, 3.0) == {"solo": 2.0}
+    # degenerate yardstick passes raw through
+    assert drift_corrected(t, 0.0, 0.0) == t
