@@ -1832,6 +1832,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # full for the affected subset.
 # r10 bench adjudication: 0.78 -> 1.28 s swing re-measured 0.877/0.697 s
 # in both orderings on a calm session -> mid-battery interference.
+# r11 adjudication: the r11 bench showed 5.7 s (6.15x vs r10, the one
+# outlier beyond the round's broad ~1.3-1.5x host-drift band); isolated
+# same-session probe immediately after: [3.72, 1.91, 1.17] then
+# [1.28, 1.02, 1.03] — min-steady 1.02-1.17 s, right at the r10 level.
+# Mid-battery interference again (this entry persists a signature table
+# and is the most cache-pressure-sensitive incremental entry), not a
+# plan change (diff clean). SECOND interference adjudication for this
+# entry.
 @_register(
     "dedup_incremental_minhash",
     f"""
