@@ -252,6 +252,7 @@ HEADLINE = [
     "quality_auc_audit",
     "embed_matryoshka_overlap",
     "curation_pipeline_v5",
+    "sketch_merge_parity",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

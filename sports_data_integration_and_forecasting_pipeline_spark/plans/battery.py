@@ -14602,6 +14602,110 @@ def contamination_kmv_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Sketch merge parity — the monoid law that makes sketches 100 TB-viable,
+# proven END-TO-END as a query: per-shard KMV sketches (corpus split by
+# doc_id parity) folded with kmv_merge must equal the whole-corpus
+# sketch register-for-register (k-smallest-of-union == k-smallest of
+# the union — Beyer et al. SIGMOD '07). Unit tests pin the operator;
+# this entry makes the law externally hash-checked, comparing register
+# counts and xor checksums per source.
+# ===========================================================================
+
+@_register(
+    "sketch_merge_parity",
+    f"""
+    WITH sh AS (
+      SELECT DISTINCT source, doc_id % 2 AS half, md5(g) AS h
+      FROM (SELECT doc_id, source, unnest({_SHINGLE3_RAW_SQL}) AS g
+            FROM documents)
+    ),
+    whole AS (
+      SELECT source, h FROM (
+        SELECT source, h,
+               row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        FROM (SELECT DISTINCT source, h FROM sh))
+      WHERE rn <= 128
+    ),
+    halves AS (
+      SELECT source, half, h FROM (
+        SELECT source, half, h,
+               row_number() OVER (PARTITION BY source, half
+                                  ORDER BY h) AS rn
+        FROM sh)
+      WHERE rn <= 128
+    ),
+    merged AS (
+      SELECT source, h FROM (
+        SELECT source, h,
+               row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        FROM (SELECT DISTINCT source, h FROM halves))
+      WHERE rn <= 128
+    ),
+    ws AS (SELECT source, CAST(count(*) AS BIGINT) AS n_regs_whole,
+                  bit_xor(CAST(concat('0x', substring(h, 1, 15)) AS BIGINT))
+                    AS cs_whole
+           FROM whole GROUP BY source),
+    ms AS (SELECT source, CAST(count(*) AS BIGINT) AS n_regs_merged,
+                  bit_xor(CAST(concat('0x', substring(h, 1, 15)) AS BIGINT))
+                    AS cs_merged
+           FROM merged GROUP BY source)
+    SELECT ws.source, ws.n_regs_whole, ms.n_regs_merged,
+           (ws.n_regs_whole = ms.n_regs_merged
+            AND ws.cs_whole = ms.cs_merged) AS merged_equals_whole
+    FROM ws JOIN ms ON ms.source = ws.source
+    """,
+    "sketch: KMV merge-parity law (per-shard sketches folded == "
+    "whole-corpus sketch; Beyer et al. SIGMOD '07; no reference "
+    "counterpart)",
+    "k=128 KMV registers per source built whole vs built per doc_id "
+    "parity then kmv_merge'd — register count + xor checksum equality "
+    "is the hash-checked output",
+)
+def sketch_merge_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.contamination import (
+        kmv_merge,
+        kmv_registers,
+    )
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
+        shingle_rows,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    sh = shingle_rows(docs, keep_cols=("source", "doc_id")).select(
+        "doc_id", "source", F.col("shingle").alias("g")
+    )
+    whole = kmv_registers(sh, "source", "g", k=128)
+    halves = [
+        kmv_registers(sh.filter(F.col("doc_id") % 2 == i), "source", "g", k=128)
+        for i in (0, 1)
+    ]
+    merged = kmv_merge(halves[0].unionByName(halves[1]), "source", k=128)
+
+    def _summ(regs: DataFrame, n_name: str, cs_name: str) -> DataFrame:
+        h60 = F.conv(F.substring(F.col("h"), 1, 15), 16, 10).cast("long")
+        return (
+            regs.select("source", h60.alias("__h"))
+            .groupBy("source")
+            .agg(
+                F.count("*").cast("bigint").alias(n_name),
+                F.expr("bit_xor(__h)").cast("bigint").alias(cs_name),
+            )
+        )
+
+    ws = _summ(whole, "n_regs_whole", "cs_whole")
+    ms = _summ(merged, "n_regs_merged", "cs_merged")
+    return ws.join(ms, "source").select(
+        "source",
+        "n_regs_whole",
+        "n_regs_merged",
+        (
+            (F.col("n_regs_whole") == F.col("n_regs_merged"))
+            & (F.col("cs_whole") == F.col("cs_merged"))
+        ).alias("merged_equals_whole"),
+    )
+
+
+# ===========================================================================
 # DSIR importance weights (Xie et al. NeurIPS 2023, public) — hashed
 # n-gram log-likelihood-ratio weights for importance resampling toward a
 # target domain. The feature hashing is what makes DSIR 100 TB-viable:

@@ -150,3 +150,12 @@ def test_curation_v5_keeps_and_drops(spark, docs):
         "recalibrate _DSIR_FLOOR_E6"
     )
     assert 0.05 * agg.kept <= agg.res <= 0.95 * agg.kept
+
+
+def test_sketch_merge_parity_law_holds(spark):
+    """The KMV monoid law must hold for EVERY source — a single False
+    row means kmv_merge or kmv_registers broke the k-smallest-of-union
+    invariant."""
+    rows = _q("sketch_merge_parity")(spark, TESTDATA_ORACLE).collect()
+    assert rows
+    assert all(r.merged_equals_whole for r in rows)
