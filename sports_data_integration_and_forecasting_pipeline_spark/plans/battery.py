@@ -15368,17 +15368,22 @@ _WINDOW_PRIORITY = [
 #   r11: EXECUTED (see the r11 ROTATION note in _WINDOW_PRIORITY) —
 #       18 out / 18 in exactly as planned: the 13 r10 additions plus the
 #       5 verdict-named backlog heads, every in-name re-swept green at
-#       sf0.01 this round before rotating in. SIX r11 additions are each
-#       swept green at sf0.001 AND sf0.01 on arrival and held OUT of the
-#       r11 window (the standing convention — front of the r12 in-list):
-#       text_bpe_encode_ranked (shares text_bpe_encode's oracle),
-#       hll_distinct_verified + approx_percentile_verified (replaced the
-#       two rows-only sketch entries — rows-only residue is now just
-#       misra_gries_heavy_hitters, which has its verified twin, and
-#       forecast_random_forest), dsir_importance_weights,
-#       quality_auc_audit, embed_matryoshka_overlap, curation_pipeline_v5.
-#       r12 rotation-out candidates: the 17 r10 first-timers (twice-green
-#       if r11 comes back clean).
+#       sf0.01 this round before rotating in. EIGHT r11 additions are
+#       each swept green at sf0.001 AND sf0.01 on arrival and held OUT
+#       of the r11 window (the standing convention — front of the r12
+#       in-list): text_bpe_encode_ranked (shares text_bpe_encode's
+#       oracle), hll_distinct_verified + approx_percentile_verified
+#       (replaced the two rows-only sketch entries — rows-only residue
+#       is now just misra_gries_heavy_hitters, which has its verified
+#       twin, and forecast_random_forest), dsir_importance_weights,
+#       quality_auc_audit, embed_matryoshka_overlap, curation_pipeline_v5,
+#       sketch_merge_parity. r12 rotation-out candidates: the 17 r10
+#       first-timers (twice-green if r11 comes back clean) — 17 out is
+#       enough for the 8 additions plus 9 backlog heads (suggested:
+#       dedup_incremental_compacted, inverted_text_index,
+#       dedup_normalized_exact, embed_cosine_dup_pairs, sample_events_hash,
+#       snapshot_table_diff, profile_orders_table, source_reputation,
+#       kfold_split_audit — all green in the r11 full sweep).
 #   End-of-r11 standing-protocol sweep (VERDICT r10 task 4): the full
 #       234-entry battery swept in ONE run at sf0.01 (the driver gate
 #       scale) — 232 hash-ok + the 2 by-design rows-only
