@@ -138,7 +138,13 @@ def rank_sum_auc(
     ).select(
         "n_pos",
         "n_neg",
-        F.expr("CAST(__num DIV (2 * n_pos * n_neg) AS BIGINT)").alias(
-            "auc_e6"
-        ),
+        # degenerate label (one class absent) -> NULL, never a crash:
+        # at scale a pinned weak-label predicate CAN legitimately go
+        # one-sided on novel content (found by the r11 sf1 probe, where
+        # the replica vocabulary pushed every doc past the ppl cut)
+        F.expr(
+            "CASE WHEN n_pos > 0 AND n_neg > 0 "
+            "THEN CAST(__num DIV (2 * n_pos * n_neg) AS BIGINT) "
+            "ELSE CAST(NULL AS BIGINT) END"
+        ).alias("auc_e6"),
     )

@@ -14821,8 +14821,10 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CAST(sum(n - np) AS BIGINT) AS n_neg
           FROM c)
     SELECT n_pos, n_neg,
-           CAST((1000000 * (r2_pos - n_pos * (n_pos + 1)))
-                // (2 * n_pos * n_neg) AS BIGINT) AS auc_e6
+           CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN CAST((1000000 * (r2_pos - n_pos * (n_pos + 1)))
+                          // (2 * n_pos * n_neg) AS BIGINT)
+                ELSE CAST(NULL AS BIGINT) END AS auc_e6
     FROM a
     """,
     "curation: quality-classifier ROC-AUC audit (Mann-Whitney rank-sum; "

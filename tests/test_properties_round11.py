@@ -131,3 +131,16 @@ def test_dsir_weights_match_reference(spark, docs):
         ).collect()
     }
     assert got == _ref_dsir(docs, buckets=16)
+
+
+def test_rank_sum_auc_degenerate_label_is_null_not_crash(spark):
+    """One-sided labels (all positive / all negative) must yield NULL
+    AUC, never a DIVIDE_BY_ZERO — found by the r11 sf1 probe, where a
+    pinned weak-label predicate went one-sided on novel content."""
+    for lbl in (True, False):
+        df = spark.createDataFrame(
+            [(i % 3, lbl) for i in range(5)], "score int, lbl boolean"
+        )
+        row = rank_sum_auc(df, "score", "lbl").collect()[0]
+        assert row.auc_e6 is None
+        assert (row.n_pos == 0) == (not lbl)
