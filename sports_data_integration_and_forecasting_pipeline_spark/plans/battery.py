@@ -15386,12 +15386,15 @@ _WINDOW_PRIORITY = [
 #       dedup_normalized_exact, embed_cosine_dup_pairs, sample_events_hash,
 #       snapshot_table_diff, profile_orders_table, source_reputation,
 #       kfold_split_audit — all green in the r11 full sweep).
-#   End-of-r11 standing-protocol sweep (VERDICT r10 task 4): the full
-#       234-entry battery swept in ONE run at sf0.01 (the driver gate
-#       scale) — 232 hash-ok + the 2 by-design rows-only
-#       (forecast_random_forest, misra_gries_heavy_hitters), rc 0,
-#       wall 410 s (local[8], tools/sweep_oracle.py) — far inside the
-#       round budget, so no alphabetical split needed at this size.
+#   End-of-r11 standing-protocol sweep (VERDICT r10 task 4): run TWICE
+#       this round. Mid-round: 234 entries, 232 hash-ok + 2 by-design
+#       rows-only, rc 0, wall 410 s. End-of-round (after
+#       sketch_merge_parity and the rank_sum_auc degenerate-label
+#       guard): the full 235-entry battery in ONE run — 233 hash-ok +
+#       the same 2 rows-only (forecast_random_forest,
+#       misra_gries_heavy_hitters), rc 0, wall 412 s (local[8],
+#       tools/sweep_oracle.py) — far inside the round budget, so no
+#       alphabetical split needed at this size.
 #   r12+: sweep any stragglers alphabetically until all entries have
 #       ≥1 driver row.
 # ===========================================================================
