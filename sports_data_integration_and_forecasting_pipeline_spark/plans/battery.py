@@ -14924,9 +14924,12 @@ def embed_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q_id").alias("t_q"), F.col("cand_id").alias("t_cand"),
         F.col("rank").alias("t_rank"),
     )
+    # both arms are bounded by construction (|queries| * k rows), so the
+    # overlap/top-1 joins broadcast the truncated arm — without the hint
+    # Catalyst picked SortMergeJoin here (two sorts of window outputs)
     ov = (
         full.join(
-            trunc,
+            F.broadcast(trunc),
             (F.col("q_id") == F.col("t_q"))
             & (F.col("cand_id") == F.col("t_cand")),
         )
@@ -14936,7 +14939,7 @@ def embed_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     f1 = full.filter(F.col("rank") == 1)
     t1 = trunc.filter(F.col("t_rank") == 1)
     top1 = (
-        f1.join(t1, f1["q_id"] == t1["t_q"], "left")
+        f1.join(F.broadcast(t1), f1["q_id"] == t1["t_q"], "left")
         .select(
             "q_id",
             (
@@ -14945,7 +14948,7 @@ def embed_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top1_match"),
         )
     )
-    return top1.join(ov, "q_id", "left").select(
+    return top1.join(F.broadcast(ov), "q_id", "left").select(
         "q_id",
         F.coalesce(F.col("n_overlap"), F.lit(0)).cast("bigint").alias(
             "n_overlap"

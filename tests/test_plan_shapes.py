@@ -485,6 +485,29 @@ PINNED = {
     # normalization scalars ride broadcast crosses and the |langs|-row
     # dashboard joins may sort-merge harmlessly
     "curation_pipeline_v4": (16, ["InMemoryTableScan", "Scan ExistingRDD"], ["CartesianProduct", "BatchEvalPython"]),
+    # --- r11 additions (budgets measured at sf0.001, stripped text) ---
+    # DSIR: token explode → fixed 256-row bucket agg; the bucket
+    # log-ratio table broadcasts back; per-doc sums are one exchange
+    "dsir_importance_weights": (7, ["BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin", "BatchEvalPython", "MapInPandas"]),
+    # AUC: distinct-score agg + ONE single-partition running-sum window
+    # over distinct logits (bounded by score universe, never corpus rows)
+    "quality_auc_audit": (13, ["Window", "BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"]),
+    # both retrieval arms broadcast their bounded query sets; the
+    # |queries|*k overlap/top-1 joins broadcast too (SMJ was measured
+    # and hinted away in r11 — two sorts of window outputs for nothing)
+    "embed_matryoshka_overlap": (12, ["WindowGroupLimit", "BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"]),
+    # exactly ONE Arrow crossing, over the DISTINCT-word table
+    "text_bpe_encode_ranked": (5, ["MapInPandas", "BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"]),
+    # one map-side-combined group agg (registers + exact NDV together)
+    "hll_distinct_verified": (2, [], ["Join", "Window", "BatchEvalPython"]),
+    # GK agg + one broadcast-back counting pass over the same scan
+    "approx_percentile_verified": (4, ["BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin", "Window", "BatchEvalPython"]),
+    # three two-phase k-smallest register builds (whole + two halves);
+    # post-sketch work is k-bounded; summaries join broadcast
+    "sketch_merge_parity": (14, ["WindowGroupLimit", "BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"]),
+    # v5: survivor set scope-persisted once for two consumers (echoes in
+    # the budget); DSIR bucket table broadcasts; rollup joins broadcast
+    "curation_pipeline_v5": (11, ["InMemoryTableScan", "BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin", "BatchEvalPython", "MapInPandas"]),
 }
 
 
