@@ -253,6 +253,7 @@ HEADLINE = [
     "embed_matryoshka_overlap",
     "curation_pipeline_v5",
     "sketch_merge_parity",
+    "weighted_sample_es_topk",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

@@ -338,3 +338,49 @@ def dsir_logratio_weights(
             F.sum("__lr_e6").cast("bigint").alias("logratio_e6"),
         )
     )
+
+
+def weighted_sample_without_replacement(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_col: str = "doc_id",
+    salt: str = "es",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via exponential keys
+    (Efraimidis & Spirakis, IPL 2006; public): each row draws a
+    deterministic uniform ``u`` from its key hash and ranks by
+    ``u^(1/w)`` — the top-k ranked rows are a weighted random sample
+    without replacement, selection probability proportional to weight
+    at every step. The standard one-pass weighted-reservoir primitive,
+    here RNG-free: ``u`` comes from the md5 key hash, so reruns,
+    re-partitions, and engines all pick the SAME rows (the repo's
+    deterministic-sampling discipline).
+
+    Ranking uses the log form ``ln(u)/w`` (monotone-equivalent to
+    ``u^(1/w)`` for positive weights — avoids pow underflow at large
+    weights); ``u`` is ``(h60+1)/2^60`` so it is never 0. Ties (same
+    double key) break on ``key_col``. The published ``es_key_e9`` is the
+    e9-rounded log-key, hash-stable across engines (same IEEE op tree).
+
+    Scale shape: one narrow projection + a global top-k — Spark plans
+    ``TakeOrderedAndProject`` (per-partition heap of k, then a k-row
+    merge at the driver), NEVER a full sort of the corpus. Rows with
+    non-positive weight are excluded (zero-weight rows must never be
+    sampled; the ES transform is undefined for them)."""
+    w = F.col(weight_col).cast("double")
+    u = (
+        h60(F.concat(F.lit(salt), F.col(key_col).cast("string"))) + 1
+    ).cast("double") / F.lit(_H60_SPACE)
+    key = F.log(u) / w
+    return (
+        df.filter(w > 0)
+        .withColumn("__es_key", key)
+        .orderBy(F.desc("__es_key"), F.col(key_col))
+        .limit(k)
+        .withColumn(
+            "es_key_e9",
+            F.floor(F.col("__es_key") * 1e9 + F.lit(0.5)).cast("bigint"),
+        )
+        .drop("__es_key")
+    )

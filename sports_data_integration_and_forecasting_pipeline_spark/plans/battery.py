@@ -5951,6 +5951,40 @@ _H60_SPACE_SQL = "1152921504606846976.0"  # 2^60
 
 
 @_register(
+    "weighted_sample_es_topk",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+             ln(({_h60_sql("concat('es', CAST(doc_id AS VARCHAR))")} + 1)
+                / {_H60_SPACE_SQL})
+               / CAST(n_chars AS DOUBLE) AS k
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, lang, n_chars,
+           CAST(floor(k * 1000000000.0 + 0.5) AS BIGINT) AS es_key_e9
+    FROM keyed
+    ORDER BY k DESC, doc_id
+    LIMIT 20
+    """,
+    "sampling: weighted sample without replacement via exponential keys "
+    "(Efraimidis-Spirakis IPL 2006; RNG-free; no reference counterpart)",
+    "top-20 docs by ln(u)/w with u from the md5 key hash and w = "
+    "n_chars — the one-pass weighted-reservoir primitive, planned as "
+    "TakeOrderedAndProject (per-partition heap, never a global sort)",
+)
+def weighted_sample_es_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.sampling import (
+        weighted_sample_without_replacement,
+    )
+
+    return weighted_sample_without_replacement(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars"),
+        weight_col="n_chars",
+        k=20,
+    ).select("doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars"), "es_key_e9")
+
+
+@_register(
     "sample_events_hash",
     f"""
     SELECT event_id, user_id, event_type,

@@ -508,6 +508,9 @@ PINNED = {
     # v5: survivor set scope-persisted once for two consumers (echoes in
     # the budget); DSIR bucket table broadcasts; rollup joins broadcast
     "curation_pipeline_v5": (11, ["InMemoryTableScan", "BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin", "BatchEvalPython", "MapInPandas"]),
+    # E-S weighted sample: per-partition top-k heap + k-row driver
+    # merge — NEVER a global sort or any exchange of the corpus
+    "weighted_sample_es_topk": (0, ["TakeOrderedAndProject"], ["Exchange", "Join", "Window", "BatchEvalPython"]),
 }
 
 

@@ -144,3 +144,37 @@ def test_rank_sum_auc_degenerate_label_is_null_not_crash(spark):
         row = rank_sum_auc(df, "score", "lbl").collect()[0]
         assert row.auc_e6 is None
         assert (row.n_pos == 0) == (not lbl)
+
+
+es_rows = st.lists(
+    st.tuples(st.integers(0, 1000), st.integers(1, 500)),
+    min_size=1, max_size=30, unique_by=lambda t: t[0],
+)
+
+
+@given(rows=es_rows, k=st.integers(1, 8))
+@settings(**SETTINGS)
+def test_weighted_sample_es_matches_reference(spark, rows, k):
+    """The E-S top-k must equal a pure-Python argsort of ln(u)/w with
+    the same md5-derived u — selection is a deterministic function of
+    (key, weight), never of partitioning."""
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.sampling import (
+        weighted_sample_without_replacement,
+    )
+
+    def ref():
+        scored = []
+        for doc_id, w in rows:
+            u = (_h60_py(f"es{doc_id}") + 1) / float(1 << 60)
+            scored.append((math.log(u) / w, -doc_id, doc_id))
+        scored.sort(reverse=True)
+        return [d for _, _, d in scored[:k]]
+
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    got = [
+        r.doc_id
+        for r in weighted_sample_without_replacement(
+            df, "n_chars", k=k
+        ).collect()
+    ]
+    assert got == ref()
