@@ -15407,7 +15407,7 @@ _WINDOW_PRIORITY = [
 #   r11: EXECUTED (see the r11 ROTATION note in _WINDOW_PRIORITY) —
 #       18 out / 18 in exactly as planned: the 13 r10 additions plus the
 #       5 verdict-named backlog heads, every in-name re-swept green at
-#       sf0.01 this round before rotating in. EIGHT r11 additions are
+#       sf0.01 this round before rotating in. NINE r11 additions are
 #       each swept green at sf0.001 AND sf0.01 on arrival and held OUT
 #       of the r11 window (the standing convention — front of the r12
 #       in-list): text_bpe_encode_ranked (shares text_bpe_encode's
@@ -15416,9 +15416,10 @@ _WINDOW_PRIORITY = [
 #       is now just misra_gries_heavy_hitters, which has its verified
 #       twin, and forecast_random_forest), dsir_importance_weights,
 #       quality_auc_audit, embed_matryoshka_overlap, curation_pipeline_v5,
-#       sketch_merge_parity. r12 rotation-out candidates: the 17 r10
+#       sketch_merge_parity, weighted_sample_es_topk. r12 rotation-out
+#       candidates: the 17 r10
 #       first-timers (twice-green if r11 comes back clean) — 17 out is
-#       enough for the 8 additions plus 9 backlog heads (suggested:
+#       enough for the 9 additions plus 8 backlog heads (suggested:
 #       dedup_incremental_compacted, inverted_text_index,
 #       dedup_normalized_exact, embed_cosine_dup_pairs, sample_events_hash,
 #       snapshot_table_diff, profile_orders_table, source_reputation,
@@ -15428,8 +15429,10 @@ _WINDOW_PRIORITY = [
 #       rows-only, rc 0, wall 410 s. End-of-round (after
 #       sketch_merge_parity and the rank_sum_auc degenerate-label
 #       guard): the full 235-entry battery in ONE run — 233 hash-ok +
-#       the same 2 rows-only (forecast_random_forest,
-#       misra_gries_heavy_hitters), rc 0, wall 412 s (local[8],
+#       the same 2 rows-only, rc 0, wall 412 s. Final (after
+#       weighted_sample_es_topk): 236 entries in ONE run — 234 hash-ok
+#       + the 2 by-design rows-only (forecast_random_forest,
+#       misra_gries_heavy_hitters), rc 0, wall 312 s (local[8],
 #       tools/sweep_oracle.py) — far inside the round budget, so no
 #       alphabetical split needed at this size.
 #   r12+: sweep any stragglers alphabetically until all entries have
