@@ -321,17 +321,28 @@ def drift_corrected(
     timings: dict[str, float], y_start: float, y_end: float
 ) -> dict[str, float]:
     """Per-query drift-corrected seconds: the host speed is modeled as
-    the md5+shuffle yardstick linearly interpolated by battery position
-    between the start and end calibration passes, and every query is
-    re-expressed at START-of-run host speed:
-    ``corrected(i) = raw(i) * y_start / lerp(y_start, y_end, i/(N-1))``.
-    ``timings`` must preserve battery execution order (insertion order).
-    Degenerate yardsticks (zero/negative interpolant) pass raw through.
+    the md5+shuffle yardstick linearly interpolated by CUMULATIVE
+    ELAPSED battery seconds (r11 advice — index interpolation let a few
+    very slow entries skew where the drift was attributed) between the
+    start and end calibration passes, and every query is re-expressed
+    at START-of-run host speed:
+    ``corrected(q) = raw(q) * y_start / lerp(y_start, y_end, mid(q)/T)``
+    where ``mid(q)`` is the query's midpoint in cumulative raw seconds
+    and ``T`` the battery's raw total. ``timings`` must preserve battery
+    execution order (insertion order). Degenerate yardsticks pass raw
+    through: y_start <= 0 disables correction for the WHOLE dict (r11
+    advice — the old per-entry yard_i>0 guard silently scaled later
+    entries by ~0 when y_start=0 with y_end>0), as does a non-positive
+    interpolant at any point.
     """
+    total = sum(timings.values())
+    if y_start <= 0 or total <= 0:
+        return {q: sec for q, sec in timings.items()}
     out: dict[str, float] = {}
-    n = len(timings)
-    for idx, (qname, sec) in enumerate(timings.items()):
-        frac = idx / max(n - 1, 1)
+    elapsed = 0.0
+    for qname, sec in timings.items():
+        frac = (elapsed + sec / 2.0) / total
+        elapsed += sec
         yard_i = y_start + (y_end - y_start) * frac
         out[qname] = round(sec * y_start / yard_i, 3) if yard_i > 0 else sec
     return out

@@ -7145,11 +7145,20 @@ def hll_distinct_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     "r10 review task 7)",
     "percentile_approx(accuracy=1000) p50/p90/p99 rank-checked against "
     "the exact order statistics: the returned value's rank interval "
-    "[cnt_lt+1, cnt_le] must intersect [p*n - (2*eps*n + 1), "
-    "p*n + (2*eps*n + 1)], eps=1/1000 — 2*eps is the merged-summaries "
+    "[cnt_lt+1, cnt_le] must intersect [p*n - (2.5*eps*n + 1), "
+    "p*n + (2.5*eps*n + 1)], eps=1/1000 — 2*eps is the merged-summaries "
     "bound (Greenwald-Khanna partials merged across partitions double "
     "the single-pass eps; measured: Spark lands 2.02*eps*n off target "
-    "on one sf0.01 group), +1 absorbs the target-rank integer rounding",
+    "on one sf0.01 group, i.e. the 2*eps bound is already TIGHT), the "
+    "extra 0.5*eps*n is a RELATIVE margin for merge-error growth with "
+    "partition count (r11 advice: a flat +1 only absorbed the 0.02 "
+    "overshoot up to n ~ 50k/group), +1 absorbs target-rank integer "
+    "rounding. Validity ceiling of the pinned-TRUE oracle: GK merge "
+    "error grows ~log(partials)*eps, so 2.5*eps holds for <= ~64 "
+    "merged partials per group (this repo: 32 shuffle partitions); a "
+    "1000-executor run with thousands of partials per group should "
+    "re-derive slack = (2 + 0.25*log2(partials/32))*eps*n before "
+    "trusting the boolean",
 )
 def approx_percentile_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select("event_type", "value")
@@ -7190,7 +7199,12 @@ def approx_percentile_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = F.col("pct").cast("double") / 100.0
     n = F.col("n_values").cast("double")
-    slack = 2.0 * eps * n + 1.0
+    # 2*eps is the measured-tight merged-GK bound; the extra 0.5*eps*n is
+    # a relative safety margin so the pinned-TRUE oracle can't flip red
+    # from one more unlucky merge (r11 advice — the old flat +1 only
+    # covered the 0.02*eps*n overshoot for groups up to ~50k values).
+    # Ceiling documented in the entry notes: valid to ~64 partials/group.
+    slack = 2.5 * eps * n + 1.0
     return ranked.select(
         "event_type",
         "pct",

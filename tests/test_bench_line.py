@@ -134,15 +134,30 @@ def test_headline_names_valid():
 def test_drift_corrected_interpolates_to_start_speed():
     from bench import drift_corrected
 
-    # host slows 2x across the battery: first entry untouched, last
-    # entry halved, middle entry scaled by 2/3 (yardstick 1.0 -> 2.0,
-    # midpoint interpolant 1.5)
+    # host slows 2x across the battery; interpolation is by CUMULATIVE
+    # elapsed raw seconds at each query's midpoint (r11 advice), so
+    # equal-length entries sit at fracs 1/6, 1/2, 5/6 of the drift:
+    # yardsticks 7/6, 3/2, 11/6 -> corrected 6/7, 2/3, 6/11
     t = {"a": 1.0, "b": 1.0, "c": 1.0}
     got = drift_corrected(t, 1.0, 2.0)
-    assert got == {"a": 1.0, "b": round(1.0 / 1.5, 3), "c": 0.5}
+    assert got == {
+        "a": round(6 / 7, 3),
+        "b": round(2 / 3, 3),
+        "c": round(6 / 11, 3),
+    }
+    # cumulative-time attribution: one huge early entry pushes later
+    # short entries deep into the drifted regime even though they are
+    # early by INDEX — the exact skew the index model got wrong
+    skew = drift_corrected({"big": 8.0, "s1": 1.0, "s2": 1.0}, 1.0, 2.0)
+    assert skew["s1"] < skew["big"] and skew["s2"] < skew["s1"]
     # no drift -> identity
     assert drift_corrected(t, 1.3, 1.3) == {k: 1.0 for k in t}
-    # single entry -> frac pins to 0/ max(n-1,1) and stays finite
-    assert drift_corrected({"solo": 2.0}, 1.0, 3.0) == {"solo": 2.0}
+    # single entry -> midpoint of its own span (average host speed)
+    assert drift_corrected({"solo": 2.0}, 1.0, 3.0) == {"solo": 1.0}
     # degenerate yardstick passes raw through
     assert drift_corrected(t, 0.0, 0.0) == t
+    # r11 advice: y_start=0 with y_end>0 must pass the WHOLE dict raw
+    # through (the old per-entry guard multiplied later entries by ~0)
+    assert drift_corrected(t, 0.0, 2.0) == t
+    # empty timings stay empty, no ZeroDivisionError on total=0
+    assert drift_corrected({}, 1.0, 2.0) == {}

@@ -44,19 +44,34 @@ def _latest_round_file() -> Path:
     )
     if not rounds:
         raise SystemExit("no BENCH_r*.json artifacts found")
-    return rounds[-1]
+    latest = rounds[-1]
+    # r11 verdict task 3: the end-of-round archive BENCH_local_r{N}.json
+    # carries the full corrected column the driver's compact line drops —
+    # prefer it as the prior when one exists for the same round.
+    n = int(re.search(r"r(\d+)", latest.name).group(1))
+    local = REPO / f"BENCH_local_r{n:02d}.json"
+    return local if local.exists() else latest
 
 
 def main() -> int:
     prior_path = Path(sys.argv[1]) if len(sys.argv) > 1 else _latest_round_file()
     cur_path = Path(sys.argv[2]) if len(sys.argv) > 2 else REPO / "BENCH.local.json"
     prior, cur = _load(prior_path), _load(cur_path)
-    q_prior = prior.get("queries") or {}
+    # r11 advice: prefer the corrected column on BOTH sides — a prior
+    # run that itself drifted (the r10 scenario) contaminates ratios
+    # one-sidedly if we fall back to its raw column while the current
+    # side is corrected. Driver BENCH_r*.json lines lack the corrected
+    # column (stdout budget); the per-round BENCH_local_r{N}.json
+    # archive (r11 verdict task 3) carries it — pass that as the prior
+    # when it exists.
+    q_prior = prior.get("queries_drift_corrected") or prior.get("queries") or {}
     q_cur = cur.get("queries_drift_corrected") or cur.get("queries") or {}
+    prior_corrected = "queries_drift_corrected" in prior
     used_corrected = "queries_drift_corrected" in cur
     common = [k for k in q_cur if k in q_prior and q_prior[k] >= FLOOR]
     print(
-        f"prior={prior_path.name} total={prior.get('value')} | "
+        f"prior={prior_path.name} total={prior.get('value')} "
+        f"({'corrected' if prior_corrected else 'RAW'} column) | "
         f"current={cur_path.name} total={cur.get('value')} "
         f"({'corrected' if used_corrected else 'RAW'} column) | "
         f"common>={FLOOR}s: {len(common)}"
