@@ -15220,43 +15220,48 @@ _WINDOW_PRIORITY = [
     "referential_integrity_audit",
     "mad_outlier_events",
     "ship_latency_by_priority",
-    # r10 ROTATION (VERDICT r9 task 1, executed exactly per the pinned
-    # schedule below): seventeen twice-or-more-driver-green slots
-    # rotated out — the 17 r8 first-timers, all twice-green at r9
-    # (merge_upsert_orders, ivf_centroid_refresh,
-    # dedup_sorted_neighborhood, skyline_supplier_frontier,
-    # skyline_orders_3d, dedup_substring_spans, contamination_kmv_audit,
-    # dedup_cluster_size_histogram, pareto_supplier_share,
-    # rfm_user_segments, concurrency_sweep_line, zipf_rank_frequency_fit,
-    # frequent_event_trigrams, cohort_weekly_retention,
-    # q13_order_count_distribution, q17_small_quantity_revenue,
-    # q22_idle_customer_balance) — in favor of the ELEVEN r9 family
-    # entries (held out of the r9 window deliberately; all swept green
-    # at sf0.01 on arrival AND in the end-of-r9 full 216-entry sweep),
-    # plus dedup_incremental_substring (last never-checked r8 family
-    # member), the two remaining streaming batch twins,
-    # multimodal_audio_duration, pmi_bigram_collocations, and
-    # quality_perplexity_cut — every one same-scale pre-swept (see the
-    # rotation schedule comment). 17 out / 17 in; 17 first-timers.
-    # r9 family heads first:
-    "dedup_winnow_fingerprints",
-    "dedup_winnow_match_pairs",
-    "embed_pq_codes",
-    "embed_pq_adc_topk",
-    "embed_ivfpq_topk",
-    "embed_semdedup_keep",
-    "text_bpe_merges",
-    "multimodal_cdc_chunks",
-    "multimodal_cdc_dedup_stats",
-    "quality_linear_filter",
-    "dedup_soft_weights",
-    # r8/r6 stragglers + streaming twins + bench-visible tail:
-    "dedup_incremental_substring",
-    "streaming_dedup_replay",
-    "streaming_static_enrich",
-    "multimodal_audio_duration",
-    "pmi_bigram_collocations",
-    "quality_perplexity_cut",
+    # r12 ROTATION (VERDICT r11 task 1, executed exactly per the pinned
+    # schedule below): seventeen twice-driver-green slots rotated out —
+    # the 17 r10 first-timers, green in BOTH the r10 and r11 windows
+    # (dedup_winnow_fingerprints, dedup_winnow_match_pairs,
+    # embed_pq_codes, embed_pq_adc_topk, embed_ivfpq_topk,
+    # embed_semdedup_keep, text_bpe_merges, multimodal_cdc_chunks,
+    # multimodal_cdc_dedup_stats, quality_linear_filter,
+    # dedup_soft_weights, dedup_incremental_substring,
+    # streaming_dedup_replay, streaming_static_enrich,
+    # multimodal_audio_duration, pmi_bigram_collocations,
+    # quality_perplexity_cut) — in favor of the NINE r11 additions
+    # (each swept green at sf0.001 AND sf0.01 on arrival, held out of
+    # the r11 window per the standing convention) plus EIGHT
+    # verdict-named backlog heads. Every in-name re-swept green at
+    # sf0.01 THIS round before rotating in (tools/sweep_oracle.py,
+    # 17/17 ok — approx_percentile_verified re-swept after its r12
+    # slack widening). 17 out / 17 in; 17 first-timers. The 18 r11
+    # first-timers stay (once-green; rotate out in r13 when
+    # twice-green). NOTE: the verdict's suggested embed_cosine_dup_pairs
+    # already had an early-round driver row (rotated out r5), so the
+    # named alternate kfold_split_audit (never-checked, pre-swept ok)
+    # takes that slot to keep the window at 17 true first-timers.
+    # r11 additions first:
+    "text_bpe_encode_ranked",
+    "hll_distinct_verified",
+    "approx_percentile_verified",
+    "dsir_importance_weights",
+    "quality_auc_audit",
+    "embed_matryoshka_overlap",
+    "curation_pipeline_v5",
+    "sketch_merge_parity",
+    "weighted_sample_es_topk",
+    # verdict-named backlog heads (all green in the r11 full sweep AND
+    # the r12 pre-rotation sweep):
+    "dedup_incremental_compacted",
+    "inverted_text_index",
+    "dedup_normalized_exact",
+    "kfold_split_audit",
+    "sample_events_hash",
+    "snapshot_table_diff",
+    "profile_orders_table",
+    "source_reputation",
     # family head that stays pinned (pairwise dedup):
     "dedup_shingle_jaccard",
 ]
@@ -15449,7 +15454,15 @@ _WINDOW_PRIORITY = [
 #       misra_gries_heavy_hitters), rc 0, wall 312 s (local[8],
 #       tools/sweep_oracle.py) — far inside the round budget, so no
 #       alphabetical split needed at this size.
-#   r12+: sweep any stragglers alphabetically until all entries have
+#   r12: EXECUTED (see the r12 ROTATION note in _WINDOW_PRIORITY) —
+#       17 out / 17 in: the 9 r11 additions plus 8 backlog heads
+#       (BOTH of the verdict's either/or names source_reputation AND
+#       kfold_split_audit went in — its suggested embed_cosine_dup_pairs
+#       turned out to have an early r-row already, so the never-checked
+#       alternate took the slot), every in-name re-swept green at
+#       sf0.01 this round before rotating in (18 sweeps counting the
+#       dropped embed_cosine_dup_pairs).
+#   r13+: sweep any stragglers alphabetically until all entries have
 #       ≥1 driver row.
 # ===========================================================================
 
