@@ -12285,7 +12285,14 @@ def pack_bpe_sequence_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(S-curve measurement; no reference counterpart)",
     "per-Jaccard-decile recall of the 128/16 banded candidate index "
     "against the exact hot-capped shingle Jaccard — integer buckets "
-    "(10·n_common div denom), <= 8 output rows",
+    "(10·n_common div denom), <= 8 output rows. BENCH ADJUDICATION "
+    "(r12, both-orderings on a calm session — the r10->r11 1.81x flag): "
+    "2.976/2.983 s min-steady in BOTH positions at sf0.1 on a plan and "
+    "operator byte-identical since arrival; individual runs spread "
+    "2.98-6.74 s within ONE calm session (it composes the two "
+    "host-sensitive dedup heavies), so r10's 1.607 s was the lucky-min "
+    "outlier, not the level. Honest level ~3.0 s; re-adjudicate only "
+    "past a 3.9 s min-steady (1.3x the adjudicated level)",
 )
 def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import lsh_recall_audit
