@@ -254,6 +254,10 @@ HEADLINE = [
     "curation_pipeline_v5",
     "sketch_merge_parity",
     "weighted_sample_es_topk",
+    # r12 additions (probed on arrival — SCALING.md round-12)
+    "ngram_novelty_audit",
+    "mixture_waterfill_caps",
+    "dedup_substring_coverage",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

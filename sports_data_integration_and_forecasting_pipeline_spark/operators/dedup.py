@@ -1791,3 +1791,79 @@ def soft_dedup_weights(
             F.expr("1000000 DIV multiplicity").cast("bigint"),
         )
     )
+
+
+def substring_duplication_coverage(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus-granularity duplicated-substring statistics — the
+    "fraction of tokens inside duplicated passages" diagnostic the
+    ExactSubstr paper reports per corpus (Lee et al., ACL '22 §4; the
+    number a suffix array is usually built to produce): per group, how
+    many token positions sit inside a maximal span that occurs verbatim
+    ``min_count``-or-more times corpus-wide. The per-PASSAGE form
+    (:func:`duplicate_substring_spans`) answers "where do I clip"; this
+    answers "how duplicated is this source", the go/no-go number that
+    decides whether a slice enters the clipping pass at all.
+
+    Returns one row per group: ``(group_col, n_docs, docs_with_dups,
+    total_tokens, covered_tokens, coverage_e6)`` — coverage in exact
+    integer micro-units, NULL when the group has zero tokens (the
+    degenerate-input discipline: an all-empty-text group degrades,
+    never divides by zero). A corpus with no duplicated k-grams yields
+    coverage 0 everywhere, not an error.
+
+    Scale shape: reuses the span pipeline wholesale (hash aggregation
+    in place of the suffix array's unshardable global sort — see
+    :func:`duplicate_substring_spans`); maximal spans are disjoint per
+    doc by construction, so per-doc covered tokens is a plain SUM of
+    ``span_tokens``. The rollup adds one (id)-keyed join of the
+    span-doc aggregate against the narrow ``(id, group, n_tokens)``
+    projection — both sides shuffle on the id, corpus-bounded — and one
+    (group)-granular final aggregate, map-side combined."""
+    spans = duplicate_substring_spans(
+        df.select(id_col, text_col),
+        k=k,
+        text_col=text_col,
+        id_col=id_col,
+        min_count=min_count,
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.sum("span_tokens").cast("bigint").alias("__covered")
+    )
+    base = df.select(
+        id_col,
+        F.col(group_col),
+        F.size(F.split(F.col(text_col), " ")).cast("bigint").alias("__n_tok"),
+    )
+    joined = base.join(per_doc, id_col, "left").select(
+        group_col,
+        "__n_tok",
+        F.coalesce(F.col("__covered"), F.lit(0)).cast("bigint").alias("__cov"),
+    )
+    agg = joined.groupBy(group_col).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum((F.col("__cov") > 0).cast("int"))
+        .cast("bigint")
+        .alias("docs_with_dups"),
+        F.sum("__n_tok").cast("bigint").alias("total_tokens"),
+        F.sum("__cov").cast("bigint").alias("covered_tokens"),
+    )
+    return agg.select(
+        group_col,
+        "n_docs",
+        "docs_with_dups",
+        "total_tokens",
+        "covered_tokens",
+        F.when(
+            F.col("total_tokens") > 0,
+            F.expr("1000000 * covered_tokens div total_tokens"),
+        )
+        .cast("bigint")
+        .alias("coverage_e6"),
+    )

@@ -384,3 +384,119 @@ def weighted_sample_without_replacement(
         )
         .drop("__es_key")
     )
+
+
+def waterfill_token_caps(
+    df: DataFrame,
+    domain_col: str = "lang",
+    text_col: str = "text",
+    budget_num: int = 1,
+    budget_den: int = 2,
+) -> DataFrame:
+    """Token-budget-constrained mixture solving by waterfilling — the
+    cap-aware analogue of :func:`temperature_mixture_weights` (classic
+    waterfilling allocation, Boyd & Vandenberghe "Convex Optimization"
+    §5.5.3 example; public): given per-domain token supplies ``n_d`` and
+    a total training budget ``B = total·budget_num div budget_den``,
+    find the unique water level ``tau`` such that allocating
+    ``min(n_d, tau)`` to every domain spends the budget. Small domains
+    are taken whole (uncapped); large domains are clipped at the shared
+    level — the max-min-fair allocation, and exactly what "cap every
+    source at N tokens" curation rules approximate by hand.
+
+    Closed form, no iteration: sort domains by supply ascending (ties
+    by name — the determinism discipline); domain at rank r with prefix
+    sum S_prev of smaller supplies is UNCAPPED iff
+    ``n_r·(m − r + 1) <= B − S_prev`` — a pure integer predicate (the
+    prefix-consistency property of waterfilling makes it independently
+    evaluable per row, so the whole solve is two window passes over the
+    m-row domain table). With j uncapped domains supplying S_j tokens,
+    ``tau = (B − S_j) div (m − j)``; integer floor keeps the spend at
+    most B with slack < m tokens.
+
+    Returns one row per domain: ``(domain_col, n_tokens, is_capped,
+    water_level, alloc_tokens)``. Degenerate inputs DEGRADE (the r12
+    arrival discipline): budget >= total supply → nobody capped and
+    ``water_level`` NULL (no division by m − j = 0); budget 0 → every
+    domain capped at level 0; a zero-token domain is uncapped with
+    alloc 0.
+
+    Scale shape: one map-side-combined token-count aggregate over the
+    corpus (``sum(size(split(text)))`` — no explode), then everything
+    runs on the m-row domain table: two single-partition window passes
+    and two 1-row broadcast joins, all bounded by the domain count, not
+    the corpus. The m-row count table feeds three consumers (the total,
+    the fill aggregate, the output) — it is scope-persisted so the
+    corpus aggregate runs ONCE (released by ``dedup.release_caches``,
+    the house cache registry)."""
+    if budget_num < 0 or budget_den <= 0:
+        raise ValueError(
+            "waterfill_token_caps: budget fraction must be "
+            f">= 0 with positive denominator (got {budget_num}/{budget_den})"
+        )
+    from pyspark.sql.window import Window
+
+    from .dedup import persist_scoped
+
+    counts = persist_scoped(
+        "waterfill_domain_counts",
+        df.groupBy(domain_col).agg(
+            F.sum(F.size(F.split(F.col(text_col), " ")))
+            .cast("bigint")
+            .alias("n_tokens")
+        ),
+    )
+    tot = counts.groupBy().agg(
+        F.sum("n_tokens").cast("bigint").alias("__total"),
+        F.count("*").cast("bigint").alias("__m"),
+    )
+    w = Window.orderBy("n_tokens", domain_col)
+    staged = (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "__budget",
+            F.expr(f"__total * {int(budget_num)} div {int(budget_den)}").cast(
+                "bigint"
+            ),
+        )
+        .withColumn("__r", F.row_number().over(w).cast("bigint"))
+        .withColumn(
+            "__s_prev",
+            F.coalesce(
+                F.sum("n_tokens").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "__uncapped",
+            F.col("n_tokens") * (F.col("__m") - F.col("__r") + 1)
+            <= F.col("__budget") - F.col("__s_prev"),
+        )
+    )
+    fill = staged.groupBy().agg(
+        F.sum(F.col("__uncapped").cast("int")).cast("bigint").alias("__j"),
+        F.sum(
+            F.when(F.col("__uncapped"), F.col("n_tokens")).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("__s_j"),
+    )
+    tau = F.when(
+        F.col("__j") < F.col("__m"),
+        F.expr("(__budget - __s_j) div (__m - __j)"),
+    ).cast("bigint")
+    return (
+        staged.crossJoin(F.broadcast(fill))
+        .select(
+            domain_col,
+            "n_tokens",
+            (~F.col("__uncapped")).alias("is_capped"),
+            tau.alias("water_level"),
+            F.when(F.col("__uncapped"), F.col("n_tokens"))
+            .otherwise(tau)
+            .cast("bigint")
+            .alias("alloc_tokens"),
+        )
+    )

@@ -830,3 +830,115 @@ def distinct_ngram_stats(
     for s in stats[1:]:
         out = out.unionByName(s)
     return out
+
+
+def ngram_novelty_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    holdout_fraction: float = 0.2,
+    salt: str = "nov",
+    max_n: int = 3,
+) -> DataFrame:
+    """Train-vs-heldout n-gram novelty curves — the memorization /
+    generalization audit for a training corpus (the n-gram overlap
+    diagnostic of McCoy et al., "How much do language models copy from
+    their training data?" TACL 2023, and the train/test overlap
+    reporting in GPT-2/GPT-3 appendices; public): split documents into
+    train/heldout by deterministic key hash, then per (group, n) measure
+    what fraction of the heldout split's n-gram OCCURRENCES never appear
+    in the train split. Novelty near 0 at small n (shared vocabulary)
+    rising steeply with n is the healthy profile; a heldout slice whose
+    high-n novelty is ~0 is memorization risk — its text is stitched
+    from passages the train split already contains.
+
+    Returns long-format rows ``(group_col, n, heldout_ngrams,
+    novel_ngrams, novelty_e6)`` for n = 1..``max_n``, with the rate in
+    exact integer micro-units (``1e6·novel div heldout``, NULL on an
+    empty group — the degenerate-input discipline). Groups with zero
+    heldout documents yield no row; a group whose train side is empty
+    degrades to novelty_e6 = 1000000, never an error.
+
+    Scale shape: ONE doc-granular window exchange builds every n via
+    ``lead()`` off the same token stream (the lead-window house
+    pattern), then all n sizes leave that single pass together as an
+    inline struct-array explode — never a union that re-runs the
+    tokenize+window per n (a first cut unioned three arms; the executed
+    plan re-computed the corpus window three times). Every gram is
+    replaced by its 60-bit md5 digest before anything shuffles (keys
+    stay 8 bytes, never k tokens of text), and all n ride ONE
+    distinct-build + ONE left join keyed on ``(n, gram_hash)``. Both
+    join sides are corpus-sized, so this is an honest hash-shuffle join
+    (no broadcast to outgrow; AQE may still broadcast the train set
+    while it measures small); the final rollup is (group, n)-granular,
+    map-side combined. The split is the :mod:`.sampling` key-hash
+    discipline — re-running the audit on 100 TB picks the identical
+    split."""
+    from .dedup import h60
+
+    if not (0.0 < holdout_fraction < 1.0):
+        raise ValueError(
+            "ngram_novelty_stats: holdout_fraction must be in (0, 1) "
+            f"(got {holdout_fraction})"
+        )
+    if max_n < 1:
+        raise ValueError(f"ngram_novelty_stats: max_n must be >= 1 (got {max_n})")
+    space = float(1 << 60)
+    heldout = (
+        h60(F.concat(F.lit(salt), F.col(id_col).cast("string"))) / F.lit(space)
+        < F.lit(holdout_fraction)
+    )
+    toks = df.select(
+        F.col(group_col),
+        F.col(id_col),
+        heldout.alias("__ho"),
+        F.posexplode(_tokens(F.col(text_col))).alias("pos", "t1"),
+    ).filter(F.col("t1") != "")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    for i in range(2, max_n + 1):
+        toks = toks.withColumn(f"t{i}", F.lead("t1", i - 1).over(w))
+    # all n leave the single window pass together: per token position,
+    # an inline array of (n, gh) structs with gh NULL when the n-gram
+    # runs off the doc end — one explode, no per-n union arms
+    arms = []
+    for n in range(1, max_n + 1):
+        gram = F.concat_ws(" ", *[F.col(f"t{i}") for i in range(1, n + 1)])
+        gh = h60(gram)
+        if n > 1:
+            gh = F.when(F.col(f"t{n}").isNotNull(), gh)
+        arms.append(F.struct(F.lit(n).cast("int").alias("n"), gh.alias("__gh")))
+    grams = (
+        toks.select(
+            F.col(group_col),
+            "__ho",
+            F.explode(F.array(*arms)).alias("__a"),
+        )
+        .select(group_col, "__ho", F.col("__a.n").alias("n"), F.col("__a.__gh").alias("__gh"))
+        .filter(F.col("__gh").isNotNull())
+    )
+    train_set = (
+        grams.filter(~F.col("__ho")).select("n", "__gh").dropDuplicates()
+    )
+    held = grams.filter(F.col("__ho")).select(group_col, "n", "__gh")
+    joined = held.join(
+        train_set.withColumn("__seen", F.lit(1)), ["n", "__gh"], "left"
+    )
+    agg = joined.groupBy(group_col, "n").agg(
+        F.count("*").cast("bigint").alias("heldout_ngrams"),
+        F.sum(F.col("__seen").isNull().cast("int"))
+        .cast("bigint")
+        .alias("novel_ngrams"),
+    )
+    return agg.select(
+        group_col,
+        "n",
+        "heldout_ngrams",
+        "novel_ngrams",
+        F.when(
+            F.col("heldout_ngrams") > 0,
+            F.expr("1000000 * novel_ngrams div heldout_ngrams"),
+        )
+        .cast("bigint")
+        .alias("novelty_e6"),
+    )

@@ -20,6 +20,17 @@ irrelevant (the driver's value-hash is order-insensitive).
 Scale notes are inline per query: each plan is written to survive a
 1000-executor / 100 TB input (single shuffle where one suffices, map-side
 partial aggregation, broadcastable build sides, no driver-side loops).
+
+Degenerate-input discipline (arrival convention since r12)
+----------------------------------------------------------
+An audit operator must DEGRADE, never crash, on one-sided input: any
+entry that divides by a class/group/partition count arrives WITH the
+one-sided/empty-class case pinned in its property tests (NULL or a
+defined sentinel, mirrored in the oracle), not acquired later from a
+probe. Precedent: `rank_sum_auc` hit DIVIDE_BY_ZERO when an sf1 replica
+vocabulary pushed every doc past the perplexity cut (n_pos=0) — the
+class of bug this convention exists to catch at arrival (VERDICT r11
+task 6).
 """
 
 from __future__ import annotations
@@ -15140,6 +15151,202 @@ def curation_pipeline_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(1000000 * n_resampled DIV n_gate_kept AS BIGINT)")
         .alias("resample_rate_e6"),
         "sum_logratio_e6",
+    )
+
+
+# ===========================================================================
+# r12 additions (VERDICT r11 task 7): n-gram novelty curves
+# (train-vs-heldout memorization audit), waterfilling token-budget
+# mixture solving, and corpus-granularity duplicated-substring coverage.
+# Signal checked in DuckDB before design (the r9 lesson): at sf0.01 the
+# synthetic corpus shows novelty 0 / ~0 / ~40% at n=1/2/3 (the curve
+# shape IS the diagnostic) and ~9% duplicated 8-gram occurrences.
+# Each arrives with its degenerate-input property test (the r12
+# arrival convention — see the module docstring).
+# ===========================================================================
+
+
+@_register(
+    "ngram_novelty_audit",
+    f"""
+    WITH t0 AS (SELECT doc_id, lang, string_split(text, ' ') AS l,
+                {_h60_sql("concat('nov', CAST(doc_id AS VARCHAR))")}
+                  / {_H60_SPACE_SQL} < 0.2 AS ho
+                FROM documents),
+    tk AS (SELECT doc_id, lang, ho, CAST(pos AS BIGINT) AS pos,
+                  l[pos::INT] AS t1
+           FROM (SELECT doc_id, lang, ho, l,
+                        unnest(range(1, len(l) + 1)) AS pos
+                 FROM t0)
+           WHERE l[pos::INT] <> ''),
+    led AS (SELECT lang, ho, t1,
+                   lead(t1, 1) OVER w AS t2,
+                   lead(t1, 2) OVER w AS t3
+            FROM tk WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    g AS (SELECT lang, ho, 1 AS n, {_h60_sql('t1')} AS gh FROM led
+          UNION ALL
+          SELECT lang, ho, 2, {_h60_sql("concat(t1, ' ', t2)")}
+          FROM led WHERE t2 IS NOT NULL
+          UNION ALL
+          SELECT lang, ho, 3, {_h60_sql("concat(t1, ' ', t2, ' ', t3)")}
+          FROM led WHERE t3 IS NOT NULL),
+    tr AS (SELECT DISTINCT n, gh FROM g WHERE NOT ho),
+    he AS (SELECT lang, n, gh FROM g WHERE ho)
+    SELECT he.lang, CAST(he.n AS INT) AS n,
+           CAST(count(*) AS BIGINT) AS heldout_ngrams,
+           CAST(sum(CASE WHEN tr.gh IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS novel_ngrams,
+           CAST(CASE WHEN count(*) > 0 THEN
+                  1000000 * sum(CASE WHEN tr.gh IS NULL THEN 1 ELSE 0 END)
+                    // count(*)
+                END AS BIGINT) AS novelty_e6
+    FROM he LEFT JOIN tr ON tr.n = he.n AND tr.gh = he.gh
+    GROUP BY he.lang, he.n
+    """,
+    "textops: train-vs-heldout n-gram novelty curves (memorization "
+    "audit — McCoy et al. TACL 2023 n-gram overlap diagnostic; no "
+    "reference counterpart)",
+    "deterministic 20% key-hash heldout split; per (lang, n<=3) the "
+    "fraction of heldout n-gram occurrences absent from the train "
+    "split, exact integer micro-units; one lead-window pass builds "
+    "every n, one distinct-build + one left join keyed (n, h60) for "
+    "all n together",
+)
+def ngram_novelty_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import (
+        ensure_parallelism,
+    )
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import (
+        ngram_novelty_stats,
+    )
+
+    return ngram_novelty_stats(
+        ensure_parallelism(_t(spark, sf_dir, "documents"), "doc_id"),
+        holdout_fraction=0.2,
+        salt="nov",
+        max_n=3,
+    )
+
+
+@_register(
+    "mixture_waterfill_caps",
+    """
+    WITH c AS (SELECT lang,
+                      CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                        AS n_tokens
+               FROM documents GROUP BY lang),
+    t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+                 CAST(count(*) AS BIGINT) AS m
+          FROM c),
+    s AS (SELECT lang, n_tokens, m, total * 3 // 4 AS budget,
+                 CAST(row_number() OVER (ORDER BY n_tokens, lang)
+                      AS BIGINT) AS r,
+                 CAST(coalesce(sum(n_tokens) OVER (
+                        ORDER BY n_tokens, lang
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS s_prev
+          FROM c CROSS JOIN t),
+    u AS (SELECT *,
+                 n_tokens * (m - r + 1) <= budget - s_prev AS uncapped
+          FROM s),
+    f AS (SELECT CAST(sum(CASE WHEN uncapped THEN 1 ELSE 0 END) AS BIGINT)
+                   AS j,
+                 CAST(coalesce(sum(CASE WHEN uncapped THEN n_tokens END), 0)
+                   AS BIGINT) AS s_j
+          FROM u)
+    SELECT lang, n_tokens,
+           NOT uncapped AS is_capped,
+           CAST(CASE WHEN j < m THEN (budget - s_j) // (m - j) END
+                AS BIGINT) AS water_level,
+           CAST(CASE WHEN uncapped THEN n_tokens
+                     ELSE (budget - s_j) // (m - j) END
+                AS BIGINT) AS alloc_tokens
+    FROM u CROSS JOIN f
+    """,
+    "curation: token-budget waterfilling mixture (max-min-fair caps, "
+    "Boyd & Vandenberghe §5.5.3; the cap-aware analogue of "
+    "mixture_temperature_weights; no reference counterpart)",
+    "budget = 3*total div 4 (pinned so the solve BINDS on this corpus: "
+    "head domain capped, tail taken whole — guarded by "
+    "tests/test_selectivity.py::test_waterfill_caps_are_binding; at "
+    "total div 2 every domain capped and the waterfill was vacuous); "
+    "ascending prefix-consistency predicate "
+    "n_r*(m-r+1) <= B - S_prev solves the level with NO iteration and "
+    "NO division (tau divides once, guarded j < m); pure integer",
+)
+def mixture_waterfill_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.sampling import (
+        waterfill_token_caps,
+    )
+
+    return waterfill_token_caps(
+        _t(spark, sf_dir, "documents"),
+        domain_col="lang",
+        budget_num=3,
+        budget_den=4,
+    )
+
+
+@_register(
+    "dedup_substring_coverage",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+                  FROM documents),
+    g AS (SELECT doc_id, unnest(range(1, greatest(len(tk) - 7, 0) + 1))
+                   AS pos, tk
+          FROM toks),
+    g2 AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                  array_to_string(tk[pos:pos+7], ' ') AS gram
+           FROM g),
+    dup AS (SELECT gram FROM g2 GROUP BY gram HAVING count(*) >= 2),
+    dp AS (SELECT doc_id, pos FROM g2
+           WHERE gram IN (SELECT gram FROM dup)),
+    fl AS (SELECT doc_id, pos,
+                  CASE WHEN lag(pos) OVER (PARTITION BY doc_id
+                                           ORDER BY pos) IS NULL
+                            OR pos - lag(pos) OVER (PARTITION BY doc_id
+                                                    ORDER BY pos) > 8
+                       THEN 1 ELSE 0 END AS f
+           FROM dp),
+    isl AS (SELECT doc_id, pos,
+                   sum(f) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+            FROM fl),
+    spans AS (SELECT doc_id,
+                     CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT)
+                       AS span_tokens
+              FROM isl GROUP BY doc_id, island),
+    cov AS (SELECT doc_id, CAST(sum(span_tokens) AS BIGINT) AS covered
+            FROM spans GROUP BY doc_id),
+    base AS (SELECT doc_id, lang,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             FROM documents)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN coalesce(covered, 0) > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_with_dups,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST(sum(coalesce(covered, 0)) AS BIGINT) AS covered_tokens,
+           CAST(CASE WHEN sum(n_tok) > 0 THEN
+                  1000000 * sum(coalesce(covered, 0)) // sum(n_tok)
+                END AS BIGINT) AS coverage_e6
+    FROM base LEFT JOIN cov USING (doc_id)
+    GROUP BY lang
+    """,
+    "dedup: corpus-granularity duplicated-substring coverage (the "
+    "ExactSubstr per-corpus duplication fraction, Lee et al. ACL '22 "
+    "§4 — the suffix-array-free form; no reference counterpart)",
+    "per lang: token positions inside maximal verbatim 8-token spans "
+    "occurring >= 2x corpus-wide, over total tokens, exact integer "
+    "micro-units (NULL on a zero-token group); reuses the span "
+    "pipeline + one id-keyed rollup join",
+)
+def dedup_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
+        substring_duplication_coverage,
+    )
+
+    return substring_duplication_coverage(
+        _t(spark, sf_dir, "documents"), k=8, group_col="lang"
     )
 
 

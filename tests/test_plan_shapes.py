@@ -511,6 +511,21 @@ PINNED = {
     # E-S weighted sample: per-partition top-k heap + k-row driver
     # merge — NEVER a global sort or any exchange of the corpus
     "weighted_sample_es_topk": (0, ["TakeOrderedAndProject"], ["Exchange", "Join", "Window", "BatchEvalPython"]),
+    # --- r12 additions (budgets measured at sf0.001, stripped text) ---
+    # novelty curves: ONE lead-window pass, all n leave it as a struct
+    # explode (a union per n measured 9 exchanges — three corpus window
+    # recomputes; the explode form is 5); train-vs-heldout join keyed
+    # on (n, h60) — AQE broadcasts the train set while it measures
+    # small, degrades to a shuffle join at scale, NEVER a corpus sort
+    "ngram_novelty_audit": (5, ["Window"], ["CartesianProduct", "SortMergeJoin", "Union", "BatchEvalPython", "MapInPandas"]),
+    # waterfilling: corpus agg scope-persisted ONCE; every exchange
+    # after it moves the m-row domain table (single-partition windows
+    # + 1-row broadcast crosses — the temperature-weights shape)
+    "mixture_waterfill_caps": (12, ["InMemoryTableScan", "Window"], ["CartesianProduct", "SortMergeJoin", "BatchEvalPython", "MapInPandas"]),
+    # coverage: the span pipeline's shape (scope-persisted pos-gram
+    # pass, semi-join of positions against >=2 grams, per-doc island
+    # window) + one id-keyed rollup join and a (lang)-granular agg
+    "dedup_substring_coverage": (8, ["InMemoryTableScan", "LeftSemi", "Window"], ["CartesianProduct", "SortMergeJoin", "BatchEvalPython", "MapInPandas"]),
 }
 
 

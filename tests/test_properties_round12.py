@@ -1,0 +1,282 @@
+"""Round-12 property tests — model parity + degenerate-input coverage
+for the new operators (the r12 arrival convention: any entry that
+divides by a class/group count ships WITH its one-sided/empty case):
+
+- ``waterfill_token_caps`` must equal an iterative greedy waterfilling
+  reference on random supplies/budgets, and must DEGRADE (never divide
+  by zero) when budget >= total, budget = 0, or a domain has 0 tokens.
+- ``ngram_novelty_stats`` must equal a pure-Python train/heldout
+  n-gram overlap reference (same md5 split, same h60 gram identity),
+  and must degrade when the train split is EMPTY (novelty = 1e6, not a
+  crash) or the heldout split is empty (0 rows).
+- ``substring_duplication_coverage`` must equal an interval-union
+  reference, and a corpus with NO duplicated k-grams yields coverage 0
+  everywhere (never an error).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
+    substring_duplication_coverage,
+)
+from sports_data_integration_and_forecasting_pipeline_spark.operators.sampling import (
+    waterfill_token_caps,
+)
+from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import (
+    ngram_novelty_stats,
+)
+
+SETTINGS = dict(
+    max_examples=8,  # each example is a Spark job — keep the suite fast
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+# --- waterfilling vs greedy reference ---------------------------------------
+
+
+def _waterfill_ref(supplies: dict[str, int], budget: int):
+    """Iterative reference: walk domains in ascending-supply order with
+    the FULL prefix sum in the feasibility test (the symmetric water
+    level — equal supplies always get equal allocations; an
+    uncapped-only accumulator would let the second of two identical
+    domains sneak under the level the first one failed)."""
+    m = len(supplies)
+    order = sorted(supplies.items(), key=lambda kv: (kv[1], kv[0]))
+    uncapped, s_prev = set(), 0
+    for r, (name, n) in enumerate(order, start=1):
+        if n * (m - r + 1) <= budget - s_prev:
+            uncapped.add(name)
+        s_prev += n
+    j = len(uncapped)
+    s_j = sum(n for name, n in order[:j])
+    tau = None if j == m else (budget - s_j) // (m - j)
+    return {
+        name: (n if name in uncapped else tau, name not in uncapped, tau)
+        for name, n in supplies.items()
+    }
+
+
+domains = st.dictionaries(
+    st.sampled_from(["a", "b", "c", "d", "e", "f"]),
+    st.integers(0, 50),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(supplies=domains, num=st.integers(0, 3), den=st.integers(1, 3))
+@settings(**SETTINGS)
+def test_waterfill_matches_greedy_reference(spark, supplies, num, den):
+    rows = [
+        (dom, " ".join(f"w{i}" for i in range(n)) if n else "")
+        for dom, n in supplies.items()
+    ]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    # size(split('', ' ')) == 1: an empty text still counts one token,
+    # so feed the reference the SAME per-domain supply the operator sees
+    seen = {dom: max(n, 1) for dom, n in supplies.items()}
+    total = sum(seen.values())
+    budget = total * num // den
+    expect = _waterfill_ref(seen, budget)
+    got = {
+        r["lang"]: r
+        for r in waterfill_token_caps(
+            df, "lang", budget_num=num, budget_den=den
+        ).collect()
+    }
+    assert set(got) == set(expect)
+    spent = 0
+    for dom, (alloc, capped, tau) in expect.items():
+        r = got[dom]
+        assert r["n_tokens"] == seen[dom]
+        assert r["alloc_tokens"] == alloc, (dom, dict(r.asDict()), expect)
+        assert r["is_capped"] == capped
+        assert r["water_level"] == tau
+        spent += r["alloc_tokens"]
+    # the waterfilling contract: budget respected, slack < m (unless
+    # nobody is capped, where spend = total supply <= budget)
+    if any(c for _, c, _ in expect.values()):
+        # integer-floor slack: B - spend = (B - S_j) mod (m - j) < m
+        assert spent <= budget
+        assert budget - spent < len(seen)
+    else:
+        assert spent == total <= budget
+
+
+def test_waterfill_degenerate_cases(spark):
+    df = spark.createDataFrame(
+        [("a", "x y z"), ("b", "x y z w v"), ("c", "x")],
+        "lang string, text string",
+    )
+    # budget >= total: nobody capped, level NULL, everyone whole
+    full = {r["lang"]: r for r in waterfill_token_caps(df, "lang", budget_num=1, budget_den=1).collect()}
+    assert all(not r["is_capped"] for r in full.values())
+    assert all(r["water_level"] is None for r in full.values())
+    assert all(r["alloc_tokens"] == r["n_tokens"] for r in full.values())
+    # budget 0: every positive domain capped at level 0
+    zero = {r["lang"]: r for r in waterfill_token_caps(df, "lang", budget_num=0, budget_den=1).collect()}
+    assert all(r["is_capped"] for r in zero.values())
+    assert all(r["alloc_tokens"] == 0 for r in zero.values())
+    assert all(r["water_level"] == 0 for r in zero.values())
+    # single domain, half budget: capped exactly at the budget
+    one = waterfill_token_caps(
+        spark.createDataFrame([("solo", "a b c d")], "lang string, text string"),
+        "lang",
+    ).collect()[0]
+    assert one["is_capped"] and one["alloc_tokens"] == 2 == one["water_level"]
+
+
+# --- n-gram novelty vs pure-Python reference --------------------------------
+
+
+def _novelty_ref(rows, frac, salt, max_n):
+    held = {}
+    train = set()
+    for doc_id, lang, text in rows:
+        ho = _h60(f"{salt}{doc_id}") / float(1 << 60) < frac
+        toks = [t for t in text.split(" ") if t != ""]
+        for n in range(1, max_n + 1):
+            for i in range(len(toks) - n + 1):
+                gh = _h60(" ".join(toks[i : i + n]))
+                if ho:
+                    held.setdefault((lang, n), []).append(gh)
+                else:
+                    train.add((n, gh))
+    out = {}
+    for (lang, n), ghs in held.items():
+        novel = sum(1 for gh in ghs if (n, gh) not in train)
+        out[(lang, n)] = (len(ghs), novel, 1_000_000 * novel // len(ghs))
+    return out
+
+
+corpora = st.lists(
+    st.tuples(
+        st.sampled_from(["en", "de"]),
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=8),
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(docs=corpora, frac=st.sampled_from([0.2, 0.5, 0.8]))
+@settings(**SETTINGS)
+def test_ngram_novelty_matches_reference(spark, docs, frac):
+    rows = [(i, lang, " ".join(toks)) for i, (lang, toks) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    expect = _novelty_ref(rows, frac, "nov", 3)
+    got = {
+        (r["lang"], r["n"]): (r["heldout_ngrams"], r["novel_ngrams"], r["novelty_e6"])
+        for r in ngram_novelty_stats(df, holdout_fraction=frac).collect()
+    }
+    assert got == expect
+
+
+def test_ngram_novelty_degenerate_splits(spark):
+    df = spark.createDataFrame(
+        [(1, "en", "a b c"), (2, "en", "a b d")],
+        "doc_id long, lang string, text string",
+    )
+    # train split EMPTY (holdout ~ everything): every heldout gram is
+    # novel — rate pins to 1e6, no crash (the one-sided-input contract)
+    allheld = ngram_novelty_stats(df, holdout_fraction=0.999999).collect()
+    assert allheld and all(r["novelty_e6"] == 1_000_000 for r in allheld)
+    assert all(r["novel_ngrams"] == r["heldout_ngrams"] for r in allheld)
+    # heldout split EMPTY: zero rows, not an error
+    nothing = ngram_novelty_stats(df, holdout_fraction=1e-12).collect()
+    assert nothing == []
+
+
+# --- substring coverage vs interval-union reference -------------------------
+
+
+def _coverage_ref(rows, k, min_count=2):
+    from collections import Counter, defaultdict
+
+    occ = Counter()
+    pos_by_doc = defaultdict(list)
+    toks_by_doc = {}
+    for doc_id, lang, text in rows:
+        toks = text.split(" ")
+        toks_by_doc[doc_id] = (lang, len(toks))
+        for p in range(1, len(toks) - k + 2):
+            occ[" ".join(toks[p - 1 : p + k - 1])] += 1
+    for doc_id, lang, text in rows:
+        toks = text.split(" ")
+        for p in range(1, len(toks) - k + 2):
+            if occ[" ".join(toks[p - 1 : p + k - 1])] >= min_count:
+                pos_by_doc[doc_id].append(p)
+    per_group = defaultdict(lambda: [0, 0, 0, 0])  # docs, dup docs, toks, cov
+    for doc_id, (lang, n_tok) in toks_by_doc.items():
+        covered = 0
+        spans = pos_by_doc.get(doc_id, [])
+        if spans:
+            start = prev = spans[0]
+            for p in spans[1:]:
+                if p - prev > k:
+                    covered += prev + k - 1 - start + 1
+                    start = p
+                prev = p
+            covered += prev + k - 1 - start + 1
+        g = per_group[lang]
+        g[0] += 1
+        g[1] += 1 if covered else 0
+        g[2] += n_tok
+        g[3] += covered
+    return {
+        lang: (d, dd, t, c, (1_000_000 * c // t) if t else None)
+        for lang, (d, dd, t, c) in per_group.items()
+    }
+
+
+dup_corpora = st.lists(
+    st.tuples(
+        st.sampled_from(["en", "de"]),
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=12),
+    ),
+    min_size=2,
+    max_size=8,
+)
+
+
+@given(docs=dup_corpora, k=st.sampled_from([2, 3]))
+@settings(**SETTINGS)
+def test_substring_coverage_matches_reference(spark, docs, k):
+    rows = [(i, lang, " ".join(toks)) for i, (lang, toks) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    expect = _coverage_ref(rows, k)
+    got = {
+        r["lang"]: (
+            r["n_docs"],
+            r["docs_with_dups"],
+            r["total_tokens"],
+            r["covered_tokens"],
+            r["coverage_e6"],
+        )
+        for r in substring_duplication_coverage(df, k=k).collect()
+    }
+    assert got == expect
+
+
+def test_substring_coverage_no_dups_is_zero_not_error(spark):
+    # every 2-gram unique: coverage must be 0 for every group
+    df = spark.createDataFrame(
+        [(1, "en", "a b c d"), (2, "de", "e f g h")],
+        "doc_id long, lang string, text string",
+    )
+    out = {r["lang"]: r for r in substring_duplication_coverage(df, k=2).collect()}
+    assert set(out) == {"en", "de"}
+    for r in out.values():
+        assert r["covered_tokens"] == 0 and r["coverage_e6"] == 0
+        assert r["docs_with_dups"] == 0

@@ -159,3 +159,57 @@ def test_sketch_merge_parity_law_holds(spark):
     rows = _q("sketch_merge_parity")(spark, TESTDATA_ORACLE).collect()
     assert rows
     assert all(r.merged_equals_whole for r in rows)
+
+
+def test_ngram_novelty_curve_has_signal(spark):
+    """Guards the 20% split + max_n=3 pins (plans/battery.py
+    ngram_novelty_audit): the audit is only meaningful if the curve
+    SEPARATES — shared vocabulary at n=1 (novelty ~0) and genuine
+    novelty strictly inside (0, 1e6) at n=3. A corpus where n=3 reads
+    0 or 1e6 for every group makes the audit vacuous (the r9 lesson:
+    hash parity alone proves nothing about signal)."""
+    rows = _q("ngram_novelty_audit")(spark, TESTDATA_ORACLE).collect()
+    assert rows
+    by_n = {}
+    for r in rows:
+        by_n.setdefault(r.n, []).append(r.novelty_e6)
+    # vocabulary is shared: unigram novelty at most 5%
+    assert max(by_n[1]) <= 50_000
+    # trigram novelty carries real signal for at least one group
+    assert any(0 < v < 1_000_000 for v in by_n[3])
+    # and the curve is monotone on the group averages
+    avg = {n: sum(vs) / len(vs) for n, vs in by_n.items()}
+    assert avg[1] <= avg[2] <= avg[3]
+
+
+def test_waterfill_caps_are_binding(spark):
+    """Guards the 3/4-budget pin: the solver must actually CAP someone
+    (head domains clipped) and leave someone uncapped (tail taken
+    whole) — an all-capped or none-capped solution means the budget pin
+    stopped exercising the waterfill. (The first cut pinned total div 2
+    and THIS test caught it all-capped at sf0.01 before it shipped —
+    the r9 vacuous-gate lesson working as designed.)"""
+    rows = _q("mixture_waterfill_caps")(spark, TESTDATA_ORACLE).collect()
+    assert rows
+    capped = [r for r in rows if r.is_capped]
+    assert 0 < len(capped) < len(rows)
+    level = {r.water_level for r in rows}
+    assert len(level) == 1  # one shared water level on every row
+    tau = level.pop()
+    assert tau is not None
+    for r in rows:
+        assert r.alloc_tokens == (tau if r.is_capped else r.n_tokens)
+        if r.is_capped:
+            assert r.n_tokens > tau
+
+
+def test_substring_coverage_nonvacuous(spark):
+    """Guards the k=8 pin: the corpus must show SOME duplicated-span
+    coverage (else the entry measures nothing) without being saturated
+    (coverage ~1e6 would mean k is too small to discriminate)."""
+    rows = _q("dedup_substring_coverage")(spark, TESTDATA_ORACLE).collect()
+    assert rows
+    total_cov = sum(r.covered_tokens for r in rows)
+    total_tok = sum(r.total_tokens for r in rows)
+    assert total_cov > 0, "no duplicated 8-gram coverage anywhere - vacuous"
+    assert total_cov < 0.5 * total_tok, "coverage saturated - k too small"
