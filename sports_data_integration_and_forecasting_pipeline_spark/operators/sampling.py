@@ -500,3 +500,68 @@ def waterfill_token_caps(
             .alias("alloc_tokens"),
         )
     )
+
+
+def budget_cap_prefix_select(
+    df: DataFrame,
+    caps: DataFrame,
+    domain_col: str = "lang",
+    ntok_col: str = "n_tok",
+    id_col: str = "doc_id",
+    salt: str = "v6",
+) -> DataFrame:
+    """Deterministic per-domain selection DOWN TO a token cap: order each
+    domain's documents by key hash (the house RNG-free shuffle — the
+    same sample on every rerun, engine, and partitioning), take the
+    prefix whose cumulative tokens fit the domain's cap, and report the
+    realized allocation. The execution half of waterfilling: downstream
+    of :func:`waterfill_token_caps`, this is what "cap every source at
+    N tokens" actually does to the corpus.
+
+    ``caps`` must carry ``(domain_col, alloc_tokens)`` — one row per
+    domain, bounded by the domain count (broadcast). Returns one row
+    per domain: ``(domain_col, n_docs_in, alloc_tokens, n_docs_sel,
+    realized_tokens, fill_e6)`` where ``fill_e6 = 1e6·realized div
+    alloc`` (NULL when alloc = 0 — the degenerate-input discipline; a
+    zero-cap domain reports 0 selected, never divides).
+
+    Scale shape: one broadcast join of the m-row cap table onto the
+    survivor set, one per-domain window (the cumulative token sum —
+    partition-bounded), one (domain)-granular rollup, map-side
+    combined."""
+    hk = h60(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(domain_col).orderBy(hk, id_col)
+    sel = (
+        df.join(F.broadcast(caps), domain_col)
+        .withColumn(
+            "__cum",
+            F.sum(ntok_col).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn("__in", F.col("__cum") <= F.col("alloc_tokens"))
+    )
+    agg = sel.groupBy(domain_col, "alloc_tokens").agg(
+        F.count("*").cast("bigint").alias("n_docs_in"),
+        F.sum(F.col("__in").cast("int")).cast("bigint").alias("n_docs_sel"),
+        F.coalesce(
+            F.sum(F.when(F.col("__in"), F.col(ntok_col))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("realized_tokens"),
+    )
+    return agg.select(
+        domain_col,
+        "n_docs_in",
+        "alloc_tokens",
+        "n_docs_sel",
+        "realized_tokens",
+        F.when(
+            F.col("alloc_tokens") > 0,
+            F.expr("1000000 * realized_tokens div alloc_tokens"),
+        )
+        .cast("bigint")
+        .alias("fill_e6"),
+    )
