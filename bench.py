@@ -258,6 +258,7 @@ HEADLINE = [
     "ngram_novelty_audit",
     "mixture_waterfill_caps",
     "dedup_substring_coverage",
+    "mixture_cap_prefix_fill",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

@@ -525,22 +525,55 @@ def budget_cap_prefix_select(
     alloc`` (NULL when alloc = 0 — the degenerate-input discipline; a
     zero-cap domain reports 0 selected, never divides).
 
-    Scale shape: one broadcast join of the m-row cap table onto the
-    survivor set, one per-domain window (the cumulative token sum —
-    partition-bounded), one (domain)-granular rollup, map-side
-    combined."""
-    hk = h60(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    Scale shape: the cumulative token sum is NOT a naive per-domain
+    window (with a handful of domains that funnels the whole corpus
+    through m tasks — the exact anti-pattern
+    :func:`~.chunking.global_prefix_offsets` documents). It is the
+    two-phase prefix sum over HASH order: the 60-bit key hash is
+    uniform, so its top bits are an order-preserving bucket key —
+    ``n_buckets`` hash-range buckets per domain run the within-bucket
+    running sum in parallel, per-(domain, bucket) totals collapse to a
+    tiny m·n_buckets-row table, the exclusive per-domain prefix over
+    THAT is a one-task window over KBs, and the offsets broadcast back.
+    One broadcast cap join, one hash shuffle on (domain, bucket), one
+    m-granular rollup, map-side combined."""
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy(domain_col).orderBy(hk, id_col)
+    # top 12 bits of the uniform 60-bit hash: 4096 order-preserving
+    # hash-range buckets per domain
+    hk = h60(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    base = df.withColumn("__hk", hk).withColumn(
+        "__hb", F.shiftright(F.col("__hk"), 48).cast("int")
+    )
+    # phase 1 arm A: per-(domain, bucket) totals — a map-side-combined
+    # agg over a plain scan (no caps join needed), collapsing the
+    # corpus to <= m * 4096 rows; the exclusive per-domain prefix over
+    # THAT is a window over KBs, then broadcasts back.
+    totals = base.groupBy(domain_col, "__hb").agg(
+        F.sum(ntok_col).alias("__btot")
+    )
+    w_b = (
+        Window.partitionBy(domain_col)
+        .orderBy("__hb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        domain_col,
+        "__hb",
+        F.coalesce(F.sum("__btot").over(w_b), F.lit(0)).alias("__boff"),
+    )
+    # phase 1 arm B: within-bucket running sum — one hash shuffle on
+    # (domain, bucket), every task bounded to one bucket's rows.
+    w_in = (
+        Window.partitionBy(domain_col, "__hb")
+        .orderBy("__hk", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     sel = (
-        df.join(F.broadcast(caps), domain_col)
-        .withColumn(
-            "__cum",
-            F.sum(ntok_col).over(
-                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-        )
+        base.join(F.broadcast(caps), domain_col)
+        .withColumn("__cum_in", F.sum(ntok_col).over(w_in))
+        .join(F.broadcast(offsets), [domain_col, "__hb"])
+        .withColumn("__cum", F.col("__boff") + F.col("__cum_in"))
         .withColumn("__in", F.col("__cum") <= F.col("alloc_tokens"))
     )
     agg = sel.groupBy(domain_col, "alloc_tokens").agg(

@@ -15350,6 +15350,96 @@ def dedup_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "mixture_cap_prefix_fill",
+    f"""
+    WITH c AS (SELECT lang,
+                      CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                        AS n_tokens
+               FROM documents GROUP BY lang),
+    t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+                 CAST(count(*) AS BIGINT) AS m
+          FROM c),
+    s AS (SELECT lang, n_tokens, m, total * 3 // 4 AS budget,
+                 CAST(row_number() OVER (ORDER BY n_tokens, lang)
+                      AS BIGINT) AS r,
+                 CAST(coalesce(sum(n_tokens) OVER (
+                        ORDER BY n_tokens, lang
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS s_prev
+          FROM c CROSS JOIN t),
+    u AS (SELECT *,
+                 n_tokens * (m - r + 1) <= budget - s_prev AS uncapped
+          FROM s),
+    f AS (SELECT CAST(sum(CASE WHEN uncapped THEN 1 ELSE 0 END) AS BIGINT)
+                   AS j,
+                 CAST(coalesce(sum(CASE WHEN uncapped THEN n_tokens END), 0)
+                   AS BIGINT) AS s_j
+          FROM u),
+    caps AS (SELECT lang,
+                    CAST(CASE WHEN uncapped THEN n_tokens
+                              ELSE (budget - s_j) // (m - j) END
+                         AS BIGINT) AS alloc_tokens
+             FROM u CROSS JOIN f),
+    docs AS (SELECT doc_id, lang,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                    {_h60_sql("concat('v6', CAST(doc_id AS VARCHAR))")} AS hk
+             FROM documents),
+    cum AS (SELECT d.lang, d.n_tok, caps.alloc_tokens,
+                   sum(d.n_tok) OVER (
+                     PARTITION BY d.lang ORDER BY d.hk, d.doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS cum_tok
+            FROM docs d JOIN caps USING (lang))
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs_in,
+           alloc_tokens,
+           CAST(sum(CASE WHEN cum_tok <= alloc_tokens THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_sel,
+           CAST(coalesce(sum(CASE WHEN cum_tok <= alloc_tokens
+                                  THEN n_tok END), 0)
+                AS BIGINT) AS realized_tokens,
+           CAST(CASE WHEN alloc_tokens > 0 THEN
+                  1000000 * coalesce(sum(CASE WHEN cum_tok <= alloc_tokens
+                                              THEN n_tok END), 0)
+                    // alloc_tokens
+                END AS BIGINT) AS fill_e6
+    FROM cum
+    GROUP BY lang, alloc_tokens
+    """,
+    "curation: waterfill cap EXECUTION — deterministic hash-order "
+    "prefix selection down to each domain's token cap, with realized "
+    "fill audit (the execution half of mixture_waterfill_caps; no "
+    "reference counterpart)",
+    "caps from the 3/4-budget waterfill solve; per-domain docs ordered "
+    "by h60('v6'||doc_id) (RNG-free, rerun/engine/partition-stable), "
+    "prefix kept while cumulative tokens fit the cap; cumulative sum "
+    "is the TWO-PHASE prefix sum over 4096 order-preserving hash-range "
+    "buckets per domain (top 12 bits of the uniform 60-bit hash) — "
+    "never a one-task-per-domain window; fill_e6 = 1e6*realized div "
+    "alloc, NULL on a zero cap (degenerate discipline)",
+)
+def mixture_cap_prefix_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.sampling import (
+        budget_cap_prefix_select,
+        waterfill_token_caps,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    caps = waterfill_token_caps(
+        docs, domain_col="lang", budget_num=3, budget_den=4
+    ).select("lang", "alloc_tokens")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tok"),
+    )
+    return budget_cap_prefix_select(
+        d, caps, domain_col="lang", ntok_col="n_tok", id_col="doc_id",
+        salt="v6",
+    )
+
+
 # ===========================================================================
 # Driver-window curation (round-2 review directive). The external
 # correctness gate hard-caps its run at the FIRST 50 registered entries
@@ -15676,6 +15766,15 @@ _WINDOW_PRIORITY = [
 #       alternate took the slot), every in-name re-swept green at
 #       sf0.01 this round before rotating in (18 sweeps counting the
 #       dropped embed_cosine_dup_pairs).
+#   r12 addendum: FOUR r12 additions (ngram_novelty_audit,
+#       mixture_waterfill_caps, dedup_substring_coverage,
+#       mixture_cap_prefix_fill) are each swept green at sf0.001 AND
+#       sf0.01 on arrival and held OUT of the r12 window (standing
+#       convention) — front of the r13 in-list. Each arrived with its
+#       degenerate-input property tests
+#       (tests/test_properties_round12.py), a plan pin, a bench
+#       HEADLINE slot, and an sf0.01→sf0.1 probe (SCALING.md §Round-12
+#       probes).
 #   r13+: sweep any stragglers alphabetically until all entries have
 #       ≥1 driver row.
 # ===========================================================================

@@ -526,6 +526,12 @@ PINNED = {
     # pass, semi-join of positions against >=2 grams, per-doc island
     # window) + one id-keyed rollup join and a (lang)-granular agg
     "dedup_substring_coverage": (8, ["InMemoryTableScan", "LeftSemi", "Window"], ["CartesianProduct", "SortMergeJoin", "BatchEvalPython", "MapInPandas"]),
+    # cap execution: the waterfill solve's 12-exchange ceiling (m-row
+    # domain-table moves) + the two-phase prefix arms — ONE corpus
+    # shuffle on (lang, hash-bucket) for the within-bucket window, one
+    # map-side-combined bucket-totals agg, offsets + caps broadcast
+    # back (never a one-task-per-domain corpus window)
+    "mixture_cap_prefix_fill": (17, ["BroadcastHashJoin", "Window"], ["CartesianProduct", "SortMergeJoin", "BatchEvalPython", "MapInPandas"]),
 }
 
 

@@ -280,3 +280,108 @@ def test_substring_coverage_no_dups_is_zero_not_error(spark):
     for r in out.values():
         assert r["covered_tokens"] == 0 and r["coverage_e6"] == 0
         assert r["docs_with_dups"] == 0
+
+
+# --- budget-cap prefix selection vs brute-force reference -------------------
+
+
+def _prefix_fill_ref(docs, caps):
+    """Brute force: per domain, sort docs by (h60('v6'||id), id), take
+    the prefix whose cumulative tokens fit the cap."""
+    out = {}
+    for dom, alloc in caps.items():
+        mine = sorted(
+            ((did, n) for did, d, n in docs if d == dom),
+            key=lambda t: (_h60(f"v6{t[0]}"), t[0]),
+        )
+        cum = 0
+        n_sel = 0
+        realized = 0
+        for did, n in mine:
+            cum += n
+            if cum <= alloc:
+                n_sel += 1
+                realized += n
+        if mine:
+            out[dom] = (
+                len(mine),
+                alloc,
+                n_sel,
+                realized,
+                1_000_000 * realized // alloc if alloc > 0 else None,
+            )
+    return out
+
+
+cap_corpora = st.lists(
+    st.tuples(
+        st.sampled_from(["en", "de", "fr"]),
+        st.integers(min_value=1, max_value=40),
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@given(
+    docs=cap_corpora,
+    caps=st.fixed_dictionaries(
+        {},
+        optional={
+            "en": st.integers(min_value=0, max_value=200),
+            "de": st.integers(min_value=0, max_value=200),
+            "fr": st.integers(min_value=0, max_value=200),
+        },
+    ),
+)
+@settings(**SETTINGS)
+def test_budget_cap_prefix_matches_reference(spark, docs, caps):
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.sampling import (
+        budget_cap_prefix_select,
+    )
+
+    rows = [(i, dom, n) for i, (dom, n) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tok long")
+    caps_df = spark.createDataFrame(
+        list(caps.items()) or [("zz", 0)], "lang string, alloc_tokens long"
+    )
+    expect = _prefix_fill_ref(rows, caps)
+    got = {
+        r["lang"]: (
+            r["n_docs_in"],
+            r["alloc_tokens"],
+            r["n_docs_sel"],
+            r["realized_tokens"],
+            r["fill_e6"],
+        )
+        for r in budget_cap_prefix_select(df, caps_df).collect()
+    }
+    assert got == expect
+
+
+def test_budget_cap_prefix_degenerate_cases(spark):
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.sampling import (
+        budget_cap_prefix_select,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "en", 5), (2, "en", 7), (3, "de", 3)],
+        "doc_id long, lang string, n_tok long",
+    )
+    # zero cap: 0 selected, fill NULL — never a division error
+    caps = spark.createDataFrame(
+        [("en", 0), ("de", 100)], "lang string, alloc_tokens long"
+    )
+    out = {r["lang"]: r for r in budget_cap_prefix_select(df, caps).collect()}
+    assert out["en"]["n_docs_sel"] == 0
+    assert out["en"]["realized_tokens"] == 0
+    assert out["en"]["fill_e6"] is None
+    # cap >= supply: everything selected, fill < 1e6 reflects underfill
+    assert out["de"]["n_docs_sel"] == 1
+    assert out["de"]["realized_tokens"] == 3
+    assert out["de"]["fill_e6"] == 1_000_000 * 3 // 100
+    # a domain absent from caps is dropped (inner join), not invented
+    assert set(out) == {"en", "de"}
+    # empty input: zero rows, no error
+    empty = spark.createDataFrame([], "doc_id long, lang string, n_tok long")
+    assert budget_cap_prefix_select(empty, caps).count() == 0
