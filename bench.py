@@ -259,6 +259,7 @@ HEADLINE = [
     "mixture_waterfill_caps",
     "dedup_substring_coverage",
     "mixture_cap_prefix_fill",
+    "text_zipf_fit",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

@@ -942,3 +942,97 @@ def ngram_novelty_stats(
         .cast("bigint")
         .alias("novelty_e6"),
     )
+
+
+def zipf_fit_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+    top_k: int = 100,
+) -> DataFrame:
+    """Zipf rank-frequency fit per group — the corpus-health diagnostic
+    (natural text follows freq ∝ rank^-s with s ≈ 1, Zipf 1949; public):
+    templated/synthetic/boilerplate-heavy slices show up as a flat slope
+    or a poor fit, duplicated-content slices as a cliff. The fit is OLS
+    of ln(freq) on ln(rank) over the top ``top_k`` terms.
+
+    All accumulation is exact integers (the ``kl_term_drift``
+    discipline): per fitted term, x = floor(ln(rank)·1e6 + .5) and
+    y = floor(ln(count)·1e6 + .5) as 64-bit ints; the five OLS moments
+    (Σx, Σy, Σxy, Σx², Σy²) are integer sums — associative, identical
+    across engines and partition orders (k ≤ 100 keeps k·Σxy < 2^63).
+    The only float ops are one deterministic scalar division per group
+    at the end, 6dp-floor-rounded.
+
+    Returns one row per group: ``(group_col, vocab_size, n_fit,
+    zipf_slope, zipf_r2)``. Degenerate inputs DEGRADE (arrival
+    discipline): a single-term group has zero rank variance → slope and
+    r² NULL; a group whose top-k counts are all equal fits slope 0 with
+    r² NULL (zero y-variance), never a division error.
+
+    Scale shape: token explode → (group, term) count agg (map-side
+    combined, vocabulary-granular output); the rank window runs over
+    the DISTINCT-term table, not the corpus, and the ``rank <= top_k``
+    filter is a WindowGroupLimit (per-partition top-k pushdown); the
+    fit aggregate touches ≤ top_k rows per group."""
+    if top_k < 2:
+        raise ValueError(f"zipf_fit_stats: top_k must be >= 2 (got {top_k})")
+    from pyspark.sql.window import Window
+
+    from .dedup import persist_scoped
+
+    toks = df.select(
+        F.col(group_col),
+        F.explode(_tokens(F.col(text_col))).alias("term"),
+    ).filter(F.col("term") != "")
+    # vocabulary-granular and feeds two consumers (vocab size + the
+    # ranked fit) — scope-persist so the corpus explode runs ONCE
+    tf = persist_scoped(
+        "zipf_tf",
+        toks.groupBy(group_col, "term").agg(
+            F.count("*").cast("bigint").alias("c")
+        ),
+    )
+    vocab = tf.groupBy(group_col).agg(
+        F.count("*").cast("bigint").alias("vocab_size")
+    )
+    w = Window.partitionBy(group_col).orderBy(F.col("c").desc(), "term")
+    e6 = lambda c: F.floor(  # noqa: E731
+        F.log(c.cast("double")) * 1e6 + F.lit(0.5)
+    ).cast("bigint")
+    fit = (
+        tf.withColumn("r", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("r") <= top_k)
+        .select(group_col, e6(F.col("r")).alias("x"), e6(F.col("c")).alias("y"))
+    )
+    a = fit.groupBy(group_col).agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    num = F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("k") * F.col("syy") - F.col("sy") * F.col("sy")
+
+    def _r6(c: Column) -> Column:
+        return F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+
+    return a.join(F.broadcast(vocab), group_col).select(
+        group_col,
+        "vocab_size",
+        F.col("k").alias("n_fit"),
+        F.when(dx > 0, _r6(num.cast("double") / dx.cast("double"))).alias(
+            "zipf_slope"
+        ),
+        F.when(
+            (dx > 0) & (dy > 0),
+            _r6(
+                num.cast("double")
+                * num.cast("double")
+                / (dx.cast("double") * dy.cast("double"))
+            ),
+        ).alias("zipf_r2"),
+    )

@@ -15351,6 +15351,66 @@ def dedup_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "text_zipf_fit",
+    """
+    WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS term
+                  FROM documents),
+    tf AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS c
+           FROM toks WHERE term <> '' GROUP BY 1, 2),
+    v AS (SELECT lang, CAST(count(*) AS BIGINT) AS vocab_size
+          FROM tf GROUP BY 1),
+    rk AS (SELECT lang, c,
+                  CAST(row_number() OVER (PARTITION BY lang
+                                          ORDER BY c DESC, term)
+                       AS BIGINT) AS r
+           FROM tf),
+    fit AS (SELECT lang,
+                   CAST(floor(ln(r) * 1000000.0 + 0.5) AS BIGINT) AS x,
+                   CAST(floor(ln(c) * 1000000.0 + 0.5) AS BIGINT) AS y
+            FROM rk WHERE r <= 100),
+    a AS (SELECT lang, CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(y * y) AS BIGINT) AS syy
+          FROM fit GROUP BY 1)
+    SELECT a.lang, vocab_size, k AS n_fit,
+           CASE WHEN k * sxx - sx * sx > 0 THEN
+             floor((1.0 * (k * sxy - sx * sy))
+                   / (1.0 * (k * sxx - sx * sx)) * 1000000.0 + 0.5)
+               / 1000000.0
+           END AS zipf_slope,
+           CASE WHEN k * sxx - sx * sx > 0 AND k * syy - sy * sy > 0 THEN
+             floor((1.0 * (k * sxy - sx * sy)) * (k * sxy - sx * sy)
+                   / ((1.0 * (k * sxx - sx * sx))
+                      * (1.0 * (k * syy - sy * sy)))
+                   * 1000000.0 + 0.5) / 1000000.0
+           END AS zipf_r2
+    FROM a JOIN v USING (lang)
+    """,
+    "textops: Zipf rank-frequency fit audit (slope + r^2 of ln-freq on "
+    "ln-rank, Zipf 1949 — the corpus-health diagnostic; no reference "
+    "counterpart)",
+    "per lang: OLS over the top-100 terms; x/y are floor(ln*1e6+.5) "
+    "integers so the five moments accumulate exactly (the "
+    "kl_term_drift micro-nat discipline); one deterministic double "
+    "division per group at the end, 6dp; the synthetic corpus's "
+    "~31-term vocabulary DOES flunk the fit (slope ~-0.2, r2 ~0.1) — "
+    "that detection IS the signal; slope/r2 NULL (never a crash) on "
+    "zero rank/frequency variance",
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import (
+        zipf_fit_stats,
+    )
+
+    return zipf_fit_stats(
+        _t(spark, sf_dir, "documents"), group_col="lang", top_k=100
+    )
+
+
+@_register(
     "mixture_cap_prefix_fill",
     f"""
     WITH c AS (SELECT lang,
@@ -15766,9 +15826,10 @@ _WINDOW_PRIORITY = [
 #       alternate took the slot), every in-name re-swept green at
 #       sf0.01 this round before rotating in (18 sweeps counting the
 #       dropped embed_cosine_dup_pairs).
-#   r12 addendum: FOUR r12 additions (ngram_novelty_audit,
+#   r12 addendum: FIVE r12 additions (ngram_novelty_audit,
 #       mixture_waterfill_caps, dedup_substring_coverage,
-#       mixture_cap_prefix_fill) are each swept green at sf0.001 AND
+#       mixture_cap_prefix_fill, text_zipf_fit) are each swept green at
+#       sf0.001 AND
 #       sf0.01 on arrival and held OUT of the r12 window (standing
 #       convention) — front of the r13 in-list. Each arrived with its
 #       degenerate-input property tests

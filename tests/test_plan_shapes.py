@@ -532,6 +532,11 @@ PINNED = {
     # map-side-combined bucket-totals agg, offsets + caps broadcast
     # back (never a one-task-per-domain corpus window)
     "mixture_cap_prefix_fill": (17, ["BroadcastHashJoin", "Window"], ["CartesianProduct", "SortMergeJoin", "BatchEvalPython", "MapInPandas"]),
+    # zipf: corpus explode runs ONCE into the scope-persisted (lang,
+    # term) count table; rank window is vocabulary-granular and the
+    # r <= top_k filter pushes down as WindowGroupLimit; the fit agg
+    # touches <= 100 rows/lang; moments are exact integers
+    "text_zipf_fit": (5, ["WindowGroupLimit", "InMemoryTableScan", "BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin", "BatchEvalPython", "MapInPandas"]),
 }
 
 

@@ -385,3 +385,97 @@ def test_budget_cap_prefix_degenerate_cases(spark):
     # empty input: zero rows, no error
     empty = spark.createDataFrame([], "doc_id long, lang string, n_tok long")
     assert budget_cap_prefix_select(empty, caps).count() == 0
+
+
+# --- Zipf fit vs brute-force OLS reference ----------------------------------
+
+
+def _zipf_ref(docs, top_k=100):
+    """Brute force: per group, term counts, rank by (count desc, term),
+    integer micro-nat OLS over the top_k ranks."""
+    import math
+    from collections import Counter
+
+    by_lang = {}
+    for lang, text in docs:
+        toks = [t for t in text.split(" ") if t != ""]
+        by_lang.setdefault(lang, Counter()).update(toks)
+    out = {}
+    for lang, tf in by_lang.items():
+        if not tf:
+            continue
+        ranked = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+        xs = [
+            math.floor(math.log(r) * 1e6 + 0.5)
+            for r in range(1, len(ranked) + 1)
+        ]
+        ys = [math.floor(math.log(c) * 1e6 + 0.5) for _, c in ranked]
+        k = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+        syy = sum(y * y for y in ys)
+        num, dx, dy = k * sxy - sx * sy, k * sxx - sx * sx, k * syy - sy * sy
+
+        def r6(v):
+            return math.floor(v * 1e6 + 0.5) / 1e6
+
+        slope = r6(num / dx) if dx > 0 else None
+        r2 = r6(num * num / (dx * dy)) if dx > 0 and dy > 0 else None
+        out[lang] = (len(tf), k, slope, r2)
+    return out
+
+
+zipf_corpora = st.lists(
+    st.tuples(
+        st.sampled_from(["en", "de"]),
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "e", "f", "g"]),
+            min_size=1,
+            max_size=30,
+        ).map(" ".join),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(docs=zipf_corpora, top_k=st.sampled_from([3, 100]))
+@settings(**SETTINGS)
+def test_zipf_fit_matches_reference(spark, docs, top_k):
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import (
+        zipf_fit_stats,
+    )
+
+    df = spark.createDataFrame(list(docs), "lang string, text string")
+    expect = _zipf_ref(list(docs), top_k=top_k)
+    got = {
+        r["lang"]: (r["vocab_size"], r["n_fit"], r["zipf_slope"], r["zipf_r2"])
+        for r in zipf_fit_stats(df, group_col="lang", top_k=top_k).collect()
+    }
+    assert got == expect
+
+
+def test_zipf_fit_degenerate_cases(spark):
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import (
+        zipf_fit_stats,
+    )
+
+    # single distinct term: zero rank variance -> slope/r2 NULL, no crash
+    df = spark.createDataFrame(
+        [("en", "a a a a")], "lang string, text string"
+    )
+    row = zipf_fit_stats(df).collect()[0]
+    assert row["vocab_size"] == 1 and row["n_fit"] == 1
+    assert row["zipf_slope"] is None and row["zipf_r2"] is None
+    # all counts equal: slope exactly 0, r2 NULL (zero y-variance)
+    df2 = spark.createDataFrame(
+        [("en", "a b c"), ("en", "b c a")], "lang string, text string"
+    )
+    row2 = zipf_fit_stats(df2).collect()[0]
+    assert row2["zipf_slope"] == 0.0 and row2["zipf_r2"] is None
+    # top_k < 2 rejected loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        zipf_fit_stats(df, top_k=1)
