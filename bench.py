@@ -260,6 +260,7 @@ HEADLINE = [
     "dedup_substring_coverage",
     "mixture_cap_prefix_fill",
     "text_zipf_fit",
+    "source_length_psi",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

@@ -148,3 +148,90 @@ def rank_sum_auc(
             "ELSE CAST(NULL AS BIGINT) END"
         ).alias("auc_e6"),
     )
+
+
+def psi_segment_drift(
+    df: DataFrame,
+    segment_col: str = "source",
+    value_col: str = "n_chars",
+    bucket_width: int = 64,
+) -> DataFrame:
+    """Population Stability Index of each segment's value distribution
+    against the corpus overall — the standard distribution-drift audit
+    (PSI, the credit-scoring/ML-monitoring convention: < 0.1 stable,
+    0.1–0.25 moderate, > 0.25 significant shift; public). With
+    ``value_col = n_chars`` this answers "which SOURCE's length profile
+    drifts from the corpus" — the per-source health check a curation
+    pipeline runs before mixing.
+
+    ``PSI = Σ_b (p_b − q_b)·ln(p_b/q_b)`` over fixed-width value
+    buckets (``value div bucket_width``), where p is the segment's
+    add-1-smoothed bucket share and q the corpus's, both smoothed over
+    the GLOBAL bucket set (so a bucket the segment never hits still
+    contributes). Every per-bucket term is ≥ 0 and is floor-rounded to
+    an integer nano-unit BEFORE summing (the ``kl_term_drift``
+    discipline: the sum is associative and engine/partition-order
+    exact; the inputs to each term are exact integer counts, so the
+    term's double arithmetic is deterministic). Reported 6dp.
+
+    Degenerate inputs DEGRADE (arrival discipline): one global bucket →
+    p = q = 1 → PSI 0; a segment that IS the whole corpus → p ≡ q →
+    PSI exactly 0; empty input → zero rows. Never a division by zero
+    (smoothing keeps every denominator positive).
+
+    Scale shape: ONE corpus pass — the (segment, bucket) count agg,
+    map-side combined — feeds everything (scope-persisted: bucket
+    totals, segment totals, and the grid are its three consumers).
+    The grid is segments × global-buckets (both bounded aggregates,
+    broadcast), never the corpus."""
+    if bucket_width < 1:
+        raise ValueError(
+            f"psi_segment_drift: bucket_width must be >= 1 (got {bucket_width})"
+        )
+    from .dedup import persist_scoped
+
+    cnt = persist_scoped(
+        "psi_segment_bucket_counts",
+        df.select(
+            F.col(segment_col),
+            F.expr(f"{value_col} div {bucket_width}").alias("__b"),
+        )
+        .groupBy(segment_col, "__b")
+        .agg(F.count("*").cast("bigint").alias("c")),
+    )
+    tot = cnt.groupBy("__b").agg(F.sum("c").cast("bigint").alias("t"))
+    src = cnt.groupBy(segment_col).agg(
+        F.sum("c").cast("bigint").alias("n_s")
+    )
+    consts = tot.groupBy().agg(
+        F.count("*").cast("bigint").alias("nb"),
+        F.sum("t").cast("bigint").alias("n_t"),
+    )
+    grid = (
+        src.crossJoin(tot.select("__b", "t"))
+        .join(cnt, [segment_col, "__b"], "left")
+        .select(
+            segment_col,
+            "n_s",
+            "__b",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+            "t",
+        )
+    )
+    p = F.lit(1.0) * (F.col("c") + 1) / (F.col("n_s") + F.col("nb"))
+    q = F.lit(1.0) * (F.col("t") + 1) / (F.col("n_t") + F.col("nb"))
+    contrib = F.floor(
+        ((p - q) * F.log(p / q)) * 1e9 + F.lit(0.5)
+    ).cast("bigint")
+    scored = grid.crossJoin(F.broadcast(consts)).select(
+        segment_col, "n_s", contrib.alias("__contrib")
+    )
+    return scored.groupBy(segment_col, "n_s").agg(
+        F.sum("__contrib").alias("__s")
+    ).select(
+        segment_col,
+        F.col("n_s").alias("n_docs"),
+        (
+            F.floor((F.col("__s") / 1e9) * 1e6 + F.lit(0.5)) / 1e6
+        ).alias("psi"),
+    )

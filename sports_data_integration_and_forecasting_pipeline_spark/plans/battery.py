@@ -15411,6 +15411,58 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "source_length_psi",
+    """
+    WITH d AS (SELECT source, n_chars // 64 AS b FROM documents),
+    tot AS (SELECT b, CAST(count(*) AS BIGINT) AS t FROM d GROUP BY 1),
+    src AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+            FROM d GROUP BY 1),
+    cnt AS (SELECT source, b, CAST(count(*) AS BIGINT) AS c
+            FROM d GROUP BY 1, 2),
+    consts AS (SELECT CAST(count(*) AS BIGINT) AS nb,
+                      CAST(sum(t) AS BIGINT) AS n_t
+               FROM tot),
+    grid AS (SELECT s.source, s.n_s, tot.b, coalesce(cnt.c, 0) AS c, tot.t
+             FROM src s CROSS JOIN tot
+             LEFT JOIN cnt ON cnt.source = s.source AND cnt.b = tot.b),
+    scored AS (SELECT g.source, g.n_s,
+        CAST(floor((
+            (1.0 * (g.c + 1) / (g.n_s + consts.nb)
+             - 1.0 * (g.t + 1) / (consts.n_t + consts.nb))
+            * ln((1.0 * (g.c + 1) / (g.n_s + consts.nb))
+                 / (1.0 * (g.t + 1) / (consts.n_t + consts.nb)))
+          ) * 1000000000.0 + 0.5) AS BIGINT) AS contrib
+        FROM grid g CROSS JOIN consts)
+    SELECT source, n_s AS n_docs,
+           floor(sum(contrib) / 1000000000.0 * 1000000.0 + 0.5)
+             / 1000000.0 AS psi
+    FROM scored GROUP BY source, n_s
+    """,
+    "curation: per-source length-distribution PSI vs the corpus "
+    "(Population Stability Index, the standard drift audit — <0.1 "
+    "stable / >0.25 significant; no reference counterpart)",
+    "64-char length buckets, add-1 smoothing over the GLOBAL bucket "
+    "set; each >=0 term floor-rounded to integer nano-units BEFORE "
+    "summing (associative, engine-exact — the kl_term_drift "
+    "discipline); at sf0.01 sources span 0.07-0.49, several past the "
+    "0.25 line — the audit bites; segment == corpus gives PSI exactly "
+    "0; ONE corpus pass (the scope-persisted (source, bucket) counts "
+    "feed totals + grid)",
+)
+def source_length_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.evaluation import (
+        psi_segment_drift,
+    )
+
+    return psi_segment_drift(
+        _t(spark, sf_dir, "documents"),
+        segment_col="source",
+        value_col="n_chars",
+        bucket_width=64,
+    )
+
+
+@_register(
     "mixture_cap_prefix_fill",
     f"""
     WITH c AS (SELECT lang,
@@ -15826,10 +15878,10 @@ _WINDOW_PRIORITY = [
 #       alternate took the slot), every in-name re-swept green at
 #       sf0.01 this round before rotating in (18 sweeps counting the
 #       dropped embed_cosine_dup_pairs).
-#   r12 addendum: FIVE r12 additions (ngram_novelty_audit,
+#   r12 addendum: SIX r12 additions (ngram_novelty_audit,
 #       mixture_waterfill_caps, dedup_substring_coverage,
-#       mixture_cap_prefix_fill, text_zipf_fit) are each swept green at
-#       sf0.001 AND
+#       mixture_cap_prefix_fill, text_zipf_fit, source_length_psi) are
+#       each swept green at sf0.001 AND
 #       sf0.01 on arrival and held OUT of the r12 window (standing
 #       convention) — front of the r13 in-list. Each arrived with its
 #       degenerate-input property tests

@@ -537,6 +537,11 @@ PINNED = {
     # r <= top_k filter pushes down as WindowGroupLimit; the fit agg
     # touches <= 100 rows/lang; moments are exact integers
     "text_zipf_fit": (5, ["WindowGroupLimit", "InMemoryTableScan", "BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin", "BatchEvalPython", "MapInPandas"]),
+    # PSI: one corpus pass into the scope-persisted (source, bucket)
+    # counts; grid is the bounded sources x buckets cross (broadcast
+    # nested-loop over aggregates, the kl_term_drift shape) — every
+    # exchange after the first moves group-granular tables
+    "source_length_psi": (11, ["InMemoryTableScan"], ["CartesianProduct", "SortMergeJoin", "BatchEvalPython", "MapInPandas", "Window"]),
 }
 
 

@@ -479,3 +479,85 @@ def test_zipf_fit_degenerate_cases(spark):
 
     with _pytest.raises(ValueError):
         zipf_fit_stats(df, top_k=1)
+
+
+# --- PSI segment drift vs brute-force reference ------------------------------
+
+
+def _psi_ref(rows, width=4):
+    """Brute force PSI with the same add-1 smoothing, global bucket set,
+    and per-term nano-unit floor rounding."""
+    import math
+    from collections import Counter
+
+    buckets = sorted({v // width for _, v in rows})
+    nb = len(buckets)
+    n_t = len(rows)
+    tot = Counter(v // width for _, v in rows)
+    out = {}
+    for seg in sorted({s for s, _ in rows}):
+        mine = Counter(v // width for s, v in rows if s == seg)
+        n_s = sum(mine.values())
+        acc = 0
+        for b in buckets:
+            p = 1.0 * (mine.get(b, 0) + 1) / (n_s + nb)
+            q = 1.0 * (tot[b] + 1) / (n_t + nb)
+            acc += math.floor(((p - q) * math.log(p / q)) * 1e9 + 0.5)
+        out[seg] = (n_s, math.floor(acc / 1e9 * 1e6 + 0.5) / 1e6)
+    return out
+
+
+psi_corpora = st.lists(
+    st.tuples(
+        st.sampled_from(["s0", "s1", "s2"]),
+        st.integers(min_value=0, max_value=63),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=psi_corpora)
+@settings(**SETTINGS)
+def test_psi_matches_reference(spark, rows):
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.evaluation import (
+        psi_segment_drift,
+    )
+
+    df = spark.createDataFrame(
+        [(s, v) for s, v in rows], "source string, n_chars long"
+    )
+    expect = _psi_ref(rows, width=4)
+    got = {
+        r["source"]: (r["n_docs"], r["psi"])
+        for r in psi_segment_drift(df, bucket_width=4).collect()
+    }
+    assert got == expect
+
+
+def test_psi_degenerate_cases(spark):
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.evaluation import (
+        psi_segment_drift,
+    )
+
+    # one global bucket: p = q = 1, PSI exactly 0
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "source string, n_chars long"
+    )
+    out = {r["source"]: r["psi"] for r in psi_segment_drift(df, bucket_width=100).collect()}
+    assert out == {"a": 0.0, "b": 0.0}
+    # a segment that IS the whole corpus: p == q everywhere, PSI 0
+    solo = spark.createDataFrame(
+        [("only", 5), ("only", 500), ("only", 70)],
+        "source string, n_chars long",
+    )
+    row = psi_segment_drift(solo, bucket_width=64).collect()[0]
+    assert row["psi"] == 0.0 and row["n_docs"] == 3
+    # empty input: zero rows, no error
+    empty = spark.createDataFrame([], "source string, n_chars long")
+    assert psi_segment_drift(empty).count() == 0
+    # bucket_width < 1 rejected loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        psi_segment_drift(df, bucket_width=0)
