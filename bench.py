@@ -261,6 +261,7 @@ HEADLINE = [
     "mixture_cap_prefix_fill",
     "text_zipf_fit",
     "source_length_psi",
+    "embed_ivfpq_refine_topk",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

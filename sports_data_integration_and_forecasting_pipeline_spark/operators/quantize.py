@@ -518,3 +518,76 @@ def _ivfpq_search(
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", "cand_id", "cell", "adc_e6")
     )
+
+
+def ivfpq_refine_topk(
+    df: DataFrame,
+    query_pred,
+    centers: list[list[float]],
+    codebooks: list[list[list[float]]],
+    n_probe: int = 3,
+    shortlist: int = 20,
+    k: int = 5,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_expr=None,
+) -> DataFrame:
+    """Two-stage retrieval: IVF-PQ ADC shortlist → EXACT cosine re-rank
+    of the shortlist — FAISS's refine step (``IndexRefineFlat``, Jégou
+    et al. TPAMI 2011 §V.B; public): the quantized first stage prunes
+    the corpus to ``shortlist`` candidates per query at integer-ADC
+    cost, then the float vectors of ONLY those candidates are fetched
+    and scored exactly. This recovers most of the recall the PQ
+    approximation loses while touching |q|·shortlist float vectors
+    instead of the corpus — the standard production ANN shape.
+
+    Returns ``(q_id, rank, cand_id, adc_rank, cosine)`` — rank by exact
+    cosine (desc, cand-id tiebreak); ``adc_rank`` is the candidate's
+    stage-1 position, so ``rank != adc_rank`` rows measure how much the
+    refinement actually reorders (the audit column).
+
+    If ``shortlist < k`` the output simply has fewer than k rows per
+    query (degenerate-input discipline: never an error).
+
+    Scale shape: stage 1 is :func:`ivfpq_topk` (cell-pruned,
+    map-side-combined integer ADC, WindowGroupLimit top-shortlist);
+    the bounded shortlist then BROADCASTS onto the corpus scan to
+    fetch candidate vectors (the corpus never shuffles), queries
+    broadcast as usual, and the final re-rank window sees ≤ shortlist
+    rows per query."""
+    from .similarity import _prepared, dot
+
+    short = ivfpq_topk(
+        df,
+        query_pred,
+        centers,
+        codebooks,
+        n_probe=n_probe,
+        k=shortlist,
+        emb_col=emb_col,
+        id_col=id_col,
+    ).select("q_id", "cand_id", F.col("rank").alias("adc_rank"))
+    e = _prepared(df, id_col, emb_col)
+    q = e.filter(query_pred).select(
+        F.col(id_col).alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    cos = dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    if round_expr is not None:
+        cos = round_expr(cos)
+    scored = (
+        e.join(
+            F.broadcast(short), e[id_col] == short["cand_id"]
+        )
+        .join(F.broadcast(q), "q_id")
+        .select("q_id", "cand_id", "adc_rank", cos.alias("cosine"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "cand_id", "adc_rank", "cosine")
+    )

@@ -15462,6 +15462,91 @@ def source_length_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Two-stage retrieval: the IVF-PQ shortlist (integer ADC over codes)
+# re-ranked by EXACT cosine over only the shortlisted float vectors —
+# FAISS's IndexRefineFlat. The oracle restates stage 1 verbatim from
+# embed_ivfpq_topk's shared literals (shortlist rank <= 20), then the
+# exact-cosine re-rank from embed_cosine_topk's norm CTE arithmetic,
+# so pruning, approximation, AND refinement hash-match end-to-end.
+@_register(
+    "embed_ivfpq_refine_topk",
+    f"""
+    WITH {_PQ_ENC_CTES},
+    nv AS (SELECT vec_id, v,
+                  sqrt(list_sum(list_transform(range(1, {_EMB_DIM + 1}),
+                                               i -> v[i::INT] * v[i::INT])))
+                    AS nrm
+           FROM e),
+    ivfd AS (SELECT vec_id, v, {_IVF_D_COLS} FROM e),
+    ac AS (SELECT vec_id, {_IVF_CELL_CASE} AS cell
+           FROM (SELECT *, {_IVF_LEAST} AS m FROM ivfd)),
+    probe AS (
+      SELECT vec_id AS q_id, cell FROM (
+        SELECT vec_id, (u).cell AS cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY (u).d, (u).cell) AS pr
+        FROM (SELECT vec_id, unnest({_IVF_PROBE_STRUCTS}) AS u
+              FROM ivfd WHERE vec_id < 10))
+      WHERE pr <= {_IVF_N_PROBE}
+    ),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+    pairs AS (
+      SELECT p.q_id, ac.vec_id AS cand_id,
+             {_PQ_ADC_CASES} AS adc_e6
+      FROM probe p
+      JOIN ac ON ac.cell = p.cell AND ac.vec_id <> p.q_id
+      JOIN enc ON enc.vec_id = ac.vec_id
+      JOIN q ON q.q_id = p.q_id
+    ),
+    short AS (
+      SELECT q_id, cand_id, adc_rank FROM (
+        SELECT q_id, cand_id,
+               CAST(row_number() OVER (PARTITION BY q_id
+                                       ORDER BY adc_e6, cand_id) AS INT)
+                 AS adc_rank
+        FROM pairs)
+      WHERE adc_rank <= 20),
+    ref AS (
+      SELECT s.q_id, s.cand_id, s.adc_rank,
+             {_sql_r(_COS_SQL, 6)} AS cosine
+      FROM short s
+      JOIN nv c ON c.vec_id = s.cand_id
+      JOIN nv q ON q.vec_id = s.q_id)
+    SELECT q_id, rank, cand_id, adc_rank, cosine FROM (
+      SELECT q_id, cand_id, adc_rank, cosine,
+             CAST(row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cosine DESC, cand_id) AS INT)
+               AS rank
+      FROM ref)
+    WHERE rank <= 5
+    """,
+    "similarity: IVF-PQ shortlist + exact-cosine re-rank (FAISS "
+    "IndexRefineFlat, Jégou et al. TPAMI 2011 §V.B; no reference "
+    "counterpart)",
+    "stage 1 prunes to a 20-candidate integer-ADC shortlist per query "
+    "(3-probe cells, shared literals with embed_ivfpq_topk); stage 2 "
+    "fetches ONLY those float vectors (shortlist broadcasts onto the "
+    "corpus scan — the corpus never shuffles) and re-ranks by exact "
+    "6dp cosine; adc_rank rides along so rank != adc_rank rows "
+    "measure the reorder the refinement buys",
+)
+def embed_ivfpq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.quantize import (
+        ivfpq_refine_topk,
+    )
+
+    return ivfpq_refine_topk(
+        _t(spark, sf_dir, "embeddings"),
+        query_pred=F.col("vec_id") < 10,
+        centers=IVF_CENTROIDS,
+        codebooks=PQ_CODEBOOKS,
+        n_probe=_IVF_N_PROBE,
+        shortlist=20,
+        k=5,
+        round_expr=lambda c: _r(c, 6),
+    )
+
+
 @_register(
     "mixture_cap_prefix_fill",
     f"""
@@ -15878,10 +15963,10 @@ _WINDOW_PRIORITY = [
 #       alternate took the slot), every in-name re-swept green at
 #       sf0.01 this round before rotating in (18 sweeps counting the
 #       dropped embed_cosine_dup_pairs).
-#   r12 addendum: SIX r12 additions (ngram_novelty_audit,
+#   r12 addendum: SEVEN r12 additions (ngram_novelty_audit,
 #       mixture_waterfill_caps, dedup_substring_coverage,
-#       mixture_cap_prefix_fill, text_zipf_fit, source_length_psi) are
-#       each swept green at sf0.001 AND
+#       mixture_cap_prefix_fill, text_zipf_fit, source_length_psi,
+#       embed_ivfpq_refine_topk) are each swept green at sf0.001 AND
 #       sf0.01 on arrival and held OUT of the r12 window (standing
 #       convention) — front of the r13 in-list. Each arrived with its
 #       degenerate-input property tests

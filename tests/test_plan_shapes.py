@@ -542,6 +542,11 @@ PINNED = {
     # nested-loop over aggregates, the kl_term_drift shape) — every
     # exchange after the first moves group-granular tables
     "source_length_psi": (11, ["InMemoryTableScan"], ["CartesianProduct", "SortMergeJoin", "BatchEvalPython", "MapInPandas", "Window"]),
+    # refine: stage 1 is the pinned ivfpq shape (cell-pruned ADC,
+    # WindowGroupLimit shortlist); stage 2 broadcasts the bounded
+    # shortlist onto the corpus scan (corpus never shuffles) and the
+    # re-rank window sees <= shortlist rows per query
+    "embed_ivfpq_refine_topk": (7, ["WindowGroupLimit", "BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin", "BatchEvalPython", "MapInPandas"]),
 }
 
 

@@ -187,3 +187,67 @@ def test_ivfpq_precoded_matches_inline(spark, tmp_path):
         ).collect()
     }
     assert precoded == inline and precoded
+
+
+def test_ivfpq_refine_subset_and_recall_lift(spark):
+    """The refine stage re-ranks WITHIN the stage-1 shortlist (subset
+    invariant) and must not lose exact-cosine recall vs the raw IVF-PQ
+    ranking at the same probe budget (the reason the stage exists —
+    measured 0.12 -> 0.40 recall@5 at sf0.01 on arrival)."""
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.ivf_centroids import IVF_CENTROIDS
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.quantize import (
+        ivfpq_refine_topk,
+        ivfpq_topk,
+    )
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    pred = F.col("vec_id") < 5
+    kw = dict(centers=IVF_CENTROIDS, codebooks=PQ_CODEBOOKS, n_probe=3)
+    short = ivfpq_topk(emb, pred, k=20, **kw).collect()
+    ref = ivfpq_refine_topk(emb, pred, shortlist=20, k=5, **kw).collect()
+    ivf = ivfpq_topk(emb, pred, k=5, **kw).collect()
+    exact = cosine_topk(emb, pred, k=5).collect()
+
+    short_pairs = {(r["q_id"], r["cand_id"]) for r in short}
+    assert all((r["q_id"], r["cand_id"]) in short_pairs for r in ref)
+    # adc_rank is the candidate's true stage-1 position
+    srank = {(r["q_id"], r["cand_id"]): r["rank"] for r in short}
+    assert all(srank[(r["q_id"], r["cand_id"])] == r["adc_rank"] for r in ref)
+    # per query: ranks are 1..n and cosine is non-increasing in rank
+    by_q = {}
+    for r in ref:
+        by_q.setdefault(r["q_id"], []).append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        assert all(
+            a["cosine"] >= b["cosine"] for a, b in zip(rows, rows[1:])
+        )
+    ex = {(r["q_id"], r["cand_id"]) for r in exact}
+    rec_ref = sum((r["q_id"], r["cand_id"]) in ex for r in ref)
+    rec_ivf = sum((r["q_id"], r["cand_id"]) in ex for r in ivf)
+    assert rec_ref >= rec_ivf
+
+
+def test_ivfpq_refine_shortlist_below_k_degrades(spark):
+    """shortlist < k yields fewer rows per query, never an error (the
+    degenerate-input arrival discipline)."""
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.ivf_centroids import IVF_CENTROIDS
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.quantize import (
+        ivfpq_refine_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = ivfpq_refine_topk(
+        emb,
+        F.col("vec_id") < 3,
+        centers=IVF_CENTROIDS,
+        codebooks=PQ_CODEBOOKS,
+        shortlist=2,
+        k=5,
+    ).collect()
+    per_q = {}
+    for r in out:
+        per_q[r["q_id"]] = per_q.get(r["q_id"], 0) + 1
+    assert per_q and all(n <= 2 for n in per_q.values())
