@@ -262,6 +262,7 @@ HEADLINE = [
     "text_zipf_fit",
     "source_length_psi",
     "embed_ivfpq_refine_topk",
+    "quality_gate_ablation",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

@@ -1036,3 +1036,77 @@ def zipf_fit_stats(
             ),
         ).alias("zipf_r2"),
     )
+
+
+def quality_gate_ablation(
+    df: DataFrame, text_col: str = "text", nchars_col: str = "n_chars"
+) -> DataFrame:
+    """Leave-one-term-out attribution for the linear quality gate —
+    which rule actually does the killing. For each of the gate's four
+    feature terms, count the documents whose keep decision FLIPS when
+    that term is removed from the logit (``kept != (logit − wᵢ·fᵢ DIV
+    1000 >= 0)``) — the standard ablation read a curation team runs
+    before touching a gate weight: a term nobody's decision depends on
+    is dead weight; a term flipping half the corpus is the gate.
+
+    All arithmetic stays in the gate's exact integer units (the logit
+    and every contribution are bigint micro-units), so flip counts are
+    engine-exact — no float boundary cases at the kept threshold.
+
+    Returns one row per feature: ``(feature, weight_e3, n_docs,
+    n_kept, n_flip_without, flip_rate_e6)`` — n_docs/n_kept repeat the
+    corpus totals on every row for self-containedness; flip_rate_e6 =
+    1e6·flips div docs.
+
+    Degenerate inputs DEGRADE (arrival discipline): empty input → zero
+    rows (never a division error — a group only exists with rows);
+    all-identical docs flip all-or-nothing per feature, never crash.
+
+    Scale shape: one scan through the zero-shuffle gate projection, a
+    4-way inline struct explode (corpus × 4 rows, no join), and ONE
+    map-side-combined aggregate to 4 rows."""
+    g = quality_linear_filter(df, text_col, nchars_col)
+    feats = [
+        ("stop", QUALITY_W_STOP_E3, "stop_e6"),
+        ("punct", QUALITY_W_PUNCT_E3, "punct_e6"),
+        ("len_sat", QUALITY_W_LEN_E3, "len_sat_e6"),
+        ("awl", QUALITY_W_AWL_E3, "awl_e6"),
+    ]
+    arms = [
+        F.struct(
+            F.lit(name).alias("feature"),
+            F.lit(w).cast("bigint").alias("weight_e3"),
+            F.expr(f"{w} * {col} DIV 1000").cast("bigint").alias("contrib_e6"),
+        )
+        for name, w, col in feats
+    ]
+    ex = g.select(
+        "logit_e6", "kept", F.explode(F.array(*arms)).alias("a")
+    ).select(
+        "logit_e6",
+        "kept",
+        F.col("a.feature").alias("feature"),
+        F.col("a.weight_e3").alias("weight_e3"),
+        F.col("a.contrib_e6").alias("contrib_e6"),
+    )
+    kept_wo = (F.col("logit_e6") - F.col("contrib_e6")) >= 0
+    return (
+        ex.groupBy("feature", "weight_e3")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.col("kept").cast("int")).cast("bigint").alias("n_kept"),
+            F.sum((F.col("kept") != kept_wo).cast("int"))
+            .cast("bigint")
+            .alias("n_flip_without"),
+        )
+        .select(
+            "feature",
+            "weight_e3",
+            "n_docs",
+            "n_kept",
+            "n_flip_without",
+            F.expr("1000000 * n_flip_without div n_docs")
+            .cast("bigint")
+            .alias("flip_rate_e6"),
+        )
+    )

@@ -15462,6 +15462,85 @@ def source_length_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "quality_gate_ablation",
+    f"""
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+             {_sql_count_in(('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it', 'for', 'on'))} AS n_stop,
+             CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             CASE WHEN n > 0 THEN CAST(floor(1.0 * n_stop / n * 1000000 + 0.5) AS BIGINT)
+                  ELSE 0 END AS stop_e6,
+             CASE WHEN n_chars > 0 THEN CAST(floor(1.0 * n_punct / n_chars * 1000000 + 0.5) AS BIGINT)
+                  ELSE 0 END AS punct_e6,
+             CAST(least(n, 100) * 10000 AS BIGINT) AS len_sat_e6,
+             CASE WHEN n > 0 THEN CAST(floor(1.0 * (n_chars - (n - 1)) / n * 1000000 + 0.5) AS BIGINT)
+                  ELSE 0 END AS awl_e6
+      FROM t
+    ),
+    g AS (SELECT *,
+                 CAST({QUALITY_W0_E6}
+                      + {QUALITY_W_STOP_E3} * stop_e6 // 1000
+                      + {QUALITY_W_PUNCT_E3} * punct_e6 // 1000
+                      + {QUALITY_W_LEN_E3} * len_sat_e6 // 1000
+                      + {QUALITY_W_AWL_E3} * awl_e6 // 1000 AS BIGINT)
+                   AS logit_e6
+          FROM f),
+    a AS (
+      SELECT 'stop' AS feature, CAST({QUALITY_W_STOP_E3} AS BIGINT) AS weight_e3,
+             logit_e6,
+             CAST({QUALITY_W_STOP_E3} * stop_e6 // 1000 AS BIGINT) AS contrib_e6
+      FROM g
+      UNION ALL
+      SELECT 'punct', CAST({QUALITY_W_PUNCT_E3} AS BIGINT), logit_e6,
+             CAST({QUALITY_W_PUNCT_E3} * punct_e6 // 1000 AS BIGINT)
+      FROM g
+      UNION ALL
+      SELECT 'len_sat', CAST({QUALITY_W_LEN_E3} AS BIGINT), logit_e6,
+             CAST({QUALITY_W_LEN_E3} * len_sat_e6 // 1000 AS BIGINT)
+      FROM g
+      UNION ALL
+      SELECT 'awl', CAST({QUALITY_W_AWL_E3} AS BIGINT), logit_e6,
+             CAST({QUALITY_W_AWL_E3} * awl_e6 // 1000 AS BIGINT)
+      FROM g)
+    SELECT feature, weight_e3,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN logit_e6 >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(sum(CASE WHEN (logit_e6 >= 0) <> (logit_e6 - contrib_e6 >= 0)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_flip_without,
+           CAST(1000000 * sum(CASE WHEN (logit_e6 >= 0)
+                                        <> (logit_e6 - contrib_e6 >= 0)
+                                   THEN 1 ELSE 0 END) // count(*) AS BIGINT)
+             AS flip_rate_e6
+    FROM a GROUP BY 1, 2
+    """,
+    "curation: quality-gate ablation — leave-one-term-out flip counts "
+    "per gate feature (the gate-debugging read before touching a "
+    "weight; no reference counterpart)",
+    "per feature: docs whose keep decision flips when the term leaves "
+    "the logit, in the gate's exact integer units (engine-exact at the "
+    "threshold — both engines' integer division truncates toward "
+    "zero, verified on negative weights); at sf0.01 len_sat flips "
+    "307/500 (the gate), stop 134, awl 158, punct 0 (dead weight) — "
+    "the ablation FINDS a dead rule; one scan, inline 4-struct "
+    "explode, one map-side-combined agg to 4 rows",
+)
+def quality_gate_ablation_battery(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import (
+        quality_gate_ablation,
+    )
+
+    return quality_gate_ablation(_t(spark, sf_dir, "documents"))
+
+
 # Two-stage retrieval: the IVF-PQ shortlist (integer ADC over codes)
 # re-ranked by EXACT cosine over only the shortlisted float vectors —
 # FAISS's IndexRefineFlat. The oracle restates stage 1 verbatim from
@@ -15963,10 +16042,11 @@ _WINDOW_PRIORITY = [
 #       alternate took the slot), every in-name re-swept green at
 #       sf0.01 this round before rotating in (18 sweeps counting the
 #       dropped embed_cosine_dup_pairs).
-#   r12 addendum: SEVEN r12 additions (ngram_novelty_audit,
+#   r12 addendum: EIGHT r12 additions (ngram_novelty_audit,
 #       mixture_waterfill_caps, dedup_substring_coverage,
 #       mixture_cap_prefix_fill, text_zipf_fit, source_length_psi,
-#       embed_ivfpq_refine_topk) are each swept green at sf0.001 AND
+#       embed_ivfpq_refine_topk, quality_gate_ablation) are each swept
+#       green at sf0.001 AND
 #       sf0.01 on arrival and held OUT of the r12 window (standing
 #       convention) — front of the r13 in-list. Each arrived with its
 #       degenerate-input property tests

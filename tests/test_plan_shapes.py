@@ -547,6 +547,10 @@ PINNED = {
     # shortlist onto the corpus scan (corpus never shuffles) and the
     # re-rank window sees <= shortlist rows per query
     "embed_ivfpq_refine_topk": (7, ["WindowGroupLimit", "BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin", "BatchEvalPython", "MapInPandas"]),
+    # ablation: one scan through the zero-shuffle gate projection, an
+    # inline 4-struct explode (NOT a 4-way union re-scanning the
+    # corpus), one map-side-combined agg to 4 rows
+    "quality_gate_ablation": (1, ["Generate"], ["Union", "Join", "Window", "CartesianProduct", "SortMergeJoin", "BatchEvalPython", "MapInPandas"]),
 }
 
 

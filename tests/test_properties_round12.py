@@ -561,3 +561,115 @@ def test_psi_degenerate_cases(spark):
 
     with _pytest.raises(ValueError):
         psi_segment_drift(df, bucket_width=0)
+
+
+# --- quality-gate ablation vs brute-force reference --------------------------
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division — BOTH Spark's DIV and
+    DuckDB's // truncate (verified on negative operands); Python's //
+    floors, so the reference must not use it directly."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def _gate_ablation_ref(docs):
+    import math
+
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import (
+        EN_STOPWORDS,
+        QUALITY_W0_E6,
+        QUALITY_W_AWL_E3,
+        QUALITY_W_LEN_E3,
+        QUALITY_W_PUNCT_E3,
+        QUALITY_W_STOP_E3,
+    )
+
+    feats = []
+    for text, n_chars in docs:
+        toks = text.split(" ")
+        n = len(toks)
+        n_stop = sum(t in EN_STOPWORDS for t in toks)
+        n_punct = sum(c in ".,;:!?" for c in text)
+        e6 = lambda num, den: (
+            math.floor(1.0 * num / den * 1e6 + 0.5) if den > 0 else 0
+        )
+        f = {
+            "stop": (QUALITY_W_STOP_E3, e6(n_stop, n)),
+            "punct": (QUALITY_W_PUNCT_E3, e6(n_punct, n_chars)),
+            "len_sat": (QUALITY_W_LEN_E3, min(n, 100) * 10_000),
+            "awl": (QUALITY_W_AWL_E3, e6(n_chars - (n - 1), n)),
+        }
+        logit = QUALITY_W0_E6 + sum(
+            _tdiv(w * v, 1000) for w, v in f.values()
+        )
+        feats.append((f, logit))
+    out = {}
+    for name in ("stop", "punct", "len_sat", "awl"):
+        n_docs = len(feats)
+        n_kept = sum(lg >= 0 for _, lg in feats)
+        flips = sum(
+            (lg >= 0) != (lg - _tdiv(f[name][0] * f[name][1], 1000) >= 0)
+            for f, lg in feats
+        )
+        w = feats[0][0][name][0] if feats else 0
+        out[name] = (w, n_docs, n_kept, flips, 1_000_000 * flips // n_docs)
+    return out
+
+
+gate_docs = st.lists(
+    st.tuples(
+        st.lists(
+            st.sampled_from(
+                ["the", "a", "of", "zzz", "wwww", "x.y,z!", "....", "qq"]
+            ),
+            min_size=1,
+            max_size=120,
+        ).map(" ".join),
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@given(docs=gate_docs)
+@settings(**SETTINGS)
+def test_gate_ablation_matches_reference(spark, docs):
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import (
+        quality_gate_ablation,
+    )
+
+    rows = [(t[0], len(t[0])) for t in docs]
+    df = spark.createDataFrame(rows, "text string, n_chars long")
+    expect = _gate_ablation_ref(rows)
+    got = {
+        r["feature"]: (
+            r["weight_e3"],
+            r["n_docs"],
+            r["n_kept"],
+            r["n_flip_without"],
+            r["flip_rate_e6"],
+        )
+        for r in quality_gate_ablation(df).collect()
+    }
+    assert got == expect
+
+
+def test_gate_ablation_degenerate_cases(spark):
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import (
+        quality_gate_ablation,
+    )
+
+    # empty input: zero rows, never a division error
+    empty = spark.createDataFrame([], "text string, n_chars long")
+    assert quality_gate_ablation(empty).count() == 0
+    # identical docs: every feature flips all-or-nothing
+    df = spark.createDataFrame(
+        [("the the the", 11)] * 4, "text string, n_chars long"
+    )
+    out = quality_gate_ablation(df).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r["n_docs"] == 4
+        assert r["n_flip_without"] in (0, 4)
