@@ -263,6 +263,7 @@ HEADLINE = [
     "source_length_psi",
     "embed_ivfpq_refine_topk",
     "quality_gate_ablation",
+    "split_leakage_audit",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

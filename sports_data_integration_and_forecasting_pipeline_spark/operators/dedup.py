@@ -1867,3 +1867,92 @@ def substring_duplication_coverage(
         .cast("bigint")
         .alias("coverage_e6"),
     )
+
+
+def split_leakage_audit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    holdout_fraction: float = 0.2,
+    salt: str = "split",
+    n: int = 3,
+    max_df: int | None = 100,
+    threshold_pct: int = 50,
+) -> DataFrame:
+    """Train/heldout LEAKAGE audit: how many near-duplicate pairs cross
+    the deterministic key-hash split — i.e. how many heldout documents
+    have a near-dup sitting in the training side (the eval-contamination
+    every LLM-data pipeline must check: dedup BEFORE splitting, or the
+    heldout loss is memorization, not generalization; cf. Lee et al.
+    ACL '22 §6's train-test overlap finding).
+
+    The split is :func:`~.sampling.train_holdout_split`'s convention
+    (h60(salt‖id)/2^60 < fraction → heldout — rerun/engine/partition
+    stable); pairs come from the thresholded prefix-filtered Jaccard
+    join (:func:`shingle_jaccard_prefix_pairs`, the scale path — never
+    all-pairs). Returns ONE row: ``(n_docs, n_heldout, n_pairs,
+    n_cross_pairs, n_leaky_heldout_docs, leak_rate_e6)`` where
+    ``n_leaky_heldout_docs`` counts DISTINCT heldout docs with ≥ 1
+    train-side near-dup (the docs to drop from eval) and
+    ``leak_rate_e6 = 1e6·leaky div n_heldout`` (NULL when the heldout
+    side is empty — the degenerate-input discipline; zero pairs is a
+    clean 0-leak report, not an error).
+
+    Scale shape: everything is the already-scaled pair join plus two
+    single-row aggregates (pair-level and corpus-level) crossed
+    broadcast-side — the audit adds no corpus-sized work of its own."""
+    pairs = shingle_jaccard_prefix_pairs(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        n=n,
+        max_df=max_df,
+        threshold_pct=threshold_pct,
+    )
+    space = float(1 << 60)
+
+    def _ho(c: Column) -> Column:
+        return (
+            h60(F.concat(F.lit(salt), c.cast("string"))) / F.lit(space)
+            < F.lit(holdout_fraction)
+        )
+
+    cls = pairs.select(
+        "id_a",
+        "id_b",
+        _ho(F.col("id_a")).alias("a_ho"),
+        _ho(F.col("id_b")).alias("b_ho"),
+    )
+    leaky_id = F.when(
+        F.col("a_ho") & ~F.col("b_ho"), F.col("id_a")
+    ).when(F.col("b_ho") & ~F.col("a_ho"), F.col("id_b"))
+    pair_agg = cls.groupBy().agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.coalesce(
+            F.sum((F.col("a_ho") != F.col("b_ho")).cast("int")), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_cross_pairs"),
+        F.countDistinct(leaky_id)
+        .cast("bigint")
+        .alias("n_leaky_heldout_docs"),
+    )
+    base = df.groupBy().agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.coalesce(F.sum(_ho(F.col(id_col)).cast("int")), F.lit(0))
+        .cast("bigint")
+        .alias("n_heldout"),
+    )
+    return base.crossJoin(F.broadcast(pair_agg)).select(
+        "n_docs",
+        "n_heldout",
+        "n_pairs",
+        "n_cross_pairs",
+        "n_leaky_heldout_docs",
+        F.when(
+            F.col("n_heldout") > 0,
+            F.expr("1000000 * n_leaky_heldout_docs div n_heldout"),
+        )
+        .cast("bigint")
+        .alias("leak_rate_e6"),
+    )

@@ -15462,6 +15462,74 @@ def source_length_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Train/heldout leakage audit — composes the already-oracled prefix
+# Jaccard pair join (its SQL is reused verbatim as a CTE) with the
+# house key-hash split. Registered AFTER dedup_shingle_jaccard so the
+# shared oracle text is available.
+def _register_split_leakage() -> None:
+    pairs_oracle = QUERIES["dedup_shingle_jaccard"].oracle
+
+    @_register(
+        "split_leakage_audit",
+        f"""
+        WITH pairs AS ({pairs_oracle}),
+        cls AS (SELECT id_a, id_b,
+                  {_h60_sql("concat('split', CAST(id_a AS VARCHAR))")}
+                    / {float(1 << 60)} < 0.2 AS a_ho,
+                  {_h60_sql("concat('split', CAST(id_b AS VARCHAR))")}
+                    / {float(1 << 60)} < 0.2 AS b_ho
+                FROM pairs),
+        pa AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                      CAST(coalesce(sum(CASE WHEN a_ho <> b_ho THEN 1
+                                             ELSE 0 END), 0) AS BIGINT)
+                        AS n_cross_pairs,
+                      CAST(count(DISTINCT CASE
+                              WHEN a_ho AND NOT b_ho THEN id_a
+                              WHEN b_ho AND NOT a_ho THEN id_b END)
+                           AS BIGINT) AS n_leaky_heldout_docs
+               FROM cls),
+        base AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                        CAST(coalesce(sum(CASE WHEN
+                            {_h60_sql("concat('split', CAST(doc_id AS VARCHAR))")}
+                              / {float(1 << 60)} < 0.2 THEN 1 ELSE 0 END), 0)
+                             AS BIGINT) AS n_heldout
+                 FROM documents)
+        SELECT n_docs, n_heldout, n_pairs, n_cross_pairs,
+               n_leaky_heldout_docs,
+               CAST(CASE WHEN n_heldout > 0 THEN
+                      1000000 * n_leaky_heldout_docs // n_heldout
+                    END AS BIGINT) AS leak_rate_e6
+        FROM base CROSS JOIN pa
+        """,
+        "dedup: train/heldout leakage audit — near-dup pairs crossing "
+        "the key-hash split (eval contamination; Lee et al. ACL '22 §6 "
+        "train-test overlap; no reference counterpart)",
+        "20% deterministic heldout; pairs from the prefix-filtered "
+        "Jaccard join (threshold 50, hot cap 100 — the scale path, "
+        "never all-pairs); reports DISTINCT heldout docs with >= 1 "
+        "train-side near-dup (the drop list size) — at sf0.01: 25 "
+        "pairs, 6 cross, 6/80 heldout leaky (7.5%); leak_rate NULL on "
+        "an empty heldout side, zero pairs is a clean 0-leak report",
+    )
+    def split_leakage_audit_battery(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
+            split_leakage_audit,
+        )
+
+        return split_leakage_audit(
+            _t(spark, sf_dir, "documents"),
+            holdout_fraction=0.2,
+            salt="split",
+            max_df=100,
+            threshold_pct=50,
+        )
+
+
+_register_split_leakage()
+
+
 @_register(
     "quality_gate_ablation",
     f"""
@@ -16042,17 +16110,24 @@ _WINDOW_PRIORITY = [
 #       alternate took the slot), every in-name re-swept green at
 #       sf0.01 this round before rotating in (18 sweeps counting the
 #       dropped embed_cosine_dup_pairs).
-#   r12 addendum: EIGHT r12 additions (ngram_novelty_audit,
+#   r12 addendum: NINE r12 additions (ngram_novelty_audit,
 #       mixture_waterfill_caps, dedup_substring_coverage,
 #       mixture_cap_prefix_fill, text_zipf_fit, source_length_psi,
-#       embed_ivfpq_refine_topk, quality_gate_ablation) are each swept
-#       green at sf0.001 AND
+#       embed_ivfpq_refine_topk, quality_gate_ablation,
+#       split_leakage_audit) are each swept green at sf0.001 AND
 #       sf0.01 on arrival and held OUT of the r12 window (standing
 #       convention) — front of the r13 in-list. Each arrived with its
 #       degenerate-input property tests
 #       (tests/test_properties_round12.py), a plan pin, a bench
 #       HEADLINE slot, and an sf0.01→sf0.1 probe (SCALING.md §Round-12
 #       probes).
+#   Mid-r12 standing-protocol sweep (VERDICT r11 task 4): the full
+#       243-entry battery (as of embed_ivfpq_refine_topk; the later
+#       additions swept individually on arrival) in ONE run at sf0.01 —
+#       241 hash-ok + the 2 by-design rows-only
+#       (forecast_random_forest, misra_gries_heavy_hitters), rc 0
+#       (tools/sweep_oracle.py, local[8]). End-of-round sweep covers
+#       the final battery.
 #   r13+: sweep any stragglers alphabetically until all entries have
 #       ≥1 driver row.
 # ===========================================================================

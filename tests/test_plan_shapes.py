@@ -551,6 +551,11 @@ PINNED = {
     # inline 4-struct explode (NOT a 4-way union re-scanning the
     # corpus), one map-side-combined agg to 4 rows
     "quality_gate_ablation": (1, ["Generate"], ["Union", "Join", "Window", "CartesianProduct", "SortMergeJoin", "BatchEvalPython", "MapInPandas"]),
+    # leakage audit: the prefix-Jaccard pair pipeline's textual ceiling
+    # (dedup_shingle_jaccard pins 40) + the two single-row audit aggs
+    # crossed broadcast-side — the audit layer itself adds ~2 real
+    # exchanges, the rest is the pair join's cache-echo inflation
+    "split_leakage_audit": (42, ["InMemoryTableScan"], ["CartesianProduct", "SortMergeJoin", "BatchEvalPython", "MapInPandas"]),
 }
 
 

@@ -673,3 +673,81 @@ def test_gate_ablation_degenerate_cases(spark):
     for r in out:
         assert r["n_docs"] == 4
         assert r["n_flip_without"] in (0, 4)
+
+
+# --- split leakage audit ------------------------------------------------------
+
+
+def _ho(doc_id, frac=0.2, salt="split"):
+    return _h60(f"{salt}{doc_id}") / float(1 << 60) < frac
+
+
+leak_corpora = st.lists(
+    st.sampled_from(
+        [
+            "alpha beta gamma delta epsilon zeta",
+            "alpha beta gamma delta epsilon eta",
+            "one two three four five six seven",
+            "totally different words here now ok",
+        ]
+    ),
+    min_size=2,
+    max_size=16,
+)
+
+
+@given(texts=leak_corpora)
+@settings(**SETTINGS)
+def test_split_leakage_consistent_with_pair_join(spark, texts):
+    """The audit's counts must equal classifying the (already
+    property-tested) prefix-Jaccard pairs by the same hash split."""
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
+        shingle_jaccard_prefix_pairs,
+        split_leakage_audit,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = shingle_jaccard_prefix_pairs(
+        df, max_df=100, threshold_pct=50
+    ).collect()
+    n_cross = sum(
+        _ho(r["id_a"]) != _ho(r["id_b"]) for r in pairs
+    )
+    leaky = {
+        (r["id_a"] if _ho(r["id_a"]) else r["id_b"])
+        for r in pairs
+        if _ho(r["id_a"]) != _ho(r["id_b"])
+    }
+    n_held = sum(_ho(i) for i, _ in rows)
+    got = split_leakage_audit(df).collect()[0]
+    assert got["n_docs"] == len(rows)
+    assert got["n_heldout"] == n_held
+    assert got["n_pairs"] == len(pairs)
+    assert got["n_cross_pairs"] == n_cross
+    assert got["n_leaky_heldout_docs"] == len(leaky)
+    expect_rate = (
+        1_000_000 * len(leaky) // n_held if n_held > 0 else None
+    )
+    assert got["leak_rate_e6"] == expect_rate
+
+
+def test_split_leakage_degenerate_cases(spark):
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
+        split_leakage_audit,
+    )
+
+    # holdout_fraction 0: empty heldout side -> leak_rate NULL, no crash
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e g")], "doc_id long, text string"
+    )
+    row = split_leakage_audit(df, holdout_fraction=0.0).collect()[0]
+    assert row["n_heldout"] == 0 and row["leak_rate_e6"] is None
+    # no near-dup pairs at all: a clean 0-leak report, not an error
+    clean = spark.createDataFrame(
+        [(1, "p q r s t u"), (2, "v w x y z zz")], "doc_id long, text string"
+    )
+    row2 = split_leakage_audit(clean).collect()[0]
+    assert row2["n_pairs"] == 0
+    assert row2["n_cross_pairs"] == 0
+    assert row2["n_leaky_heldout_docs"] == 0
