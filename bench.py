@@ -264,6 +264,7 @@ HEADLINE = [
     "embed_ivfpq_refine_topk",
     "quality_gate_ablation",
     "split_leakage_audit",
+    "curation_pipeline_v6",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).
@@ -308,6 +309,9 @@ BUILDER_DOES_CLUSTER_WORK = {
     "language_id_confusion",
     "curation_pipeline_v4",
     "embed_mmr_rerank",
+    # r12: v6 localCheckpoints the dedup-survivor set (the stage
+    # boundary) — the gate + pair join run eagerly inside fn()
+    "curation_pipeline_v6",
 }
 
 

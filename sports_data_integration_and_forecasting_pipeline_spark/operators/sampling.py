@@ -392,6 +392,7 @@ def waterfill_token_caps(
     text_col: str = "text",
     budget_num: int = 1,
     budget_den: int = 2,
+    ntok_col: str | None = None,
 ) -> DataFrame:
     """Token-budget-constrained mixture solving by waterfilling — the
     cap-aware analogue of :func:`temperature_mixture_weights` (classic
@@ -438,12 +439,18 @@ def waterfill_token_caps(
 
     from .dedup import persist_scoped
 
+    # ntok_col: a pre-counted per-row token column (composed pipelines
+    # that already carry n_tok skip the re-split — same result, one
+    # string pass fewer)
+    supply = (
+        F.sum(F.col(ntok_col))
+        if ntok_col is not None
+        else F.sum(F.size(F.split(F.col(text_col), " ")))
+    )
     counts = persist_scoped(
         "waterfill_domain_counts",
         df.groupBy(domain_col).agg(
-            F.sum(F.size(F.split(F.col(text_col), " ")))
-            .cast("bigint")
-            .alias("n_tokens")
+            supply.cast("bigint").alias("n_tokens")
         ),
     )
     tot = counts.groupBy().agg(

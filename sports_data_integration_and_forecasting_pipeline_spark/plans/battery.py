@@ -15609,6 +15609,176 @@ def quality_gate_ablation_battery(
     return quality_gate_ablation(_t(spark, sf_dir, "documents"))
 
 
+# Curation pipeline v6 — the r12 capstone composition: quality gate →
+# near-dup drop (prefix-Jaccard pairs among SURVIVORS, keep-min-id) →
+# waterfill token-budget solve on the deduped supply → hash-order
+# prefix selection down to each lang's cap. Every stage BITES on this
+# corpus (selectivity-guarded): 500 → 309 gate → 298 dedup → capped
+# fill at sf0.01. The pair SQL is dedup_shingle_jaccard's oracle
+# retargeted at the gate-survivor CTE (asserted single replacement).
+def _register_curation_v6() -> None:
+    pairs_oracle = QUERIES["dedup_shingle_jaccard"].oracle
+    assert pairs_oracle.count("FROM documents") == 1
+    kept_pairs = pairs_oracle.replace("FROM documents", "FROM qkept")
+
+    @_register(
+        "curation_pipeline_v6",
+        f"""
+        WITH {_QUALITY_KEPT_CTES},
+        kp AS ({kept_pairs}),
+        drop0 AS (SELECT DISTINCT id_b AS doc_id FROM kp),
+        surv AS (SELECT q.doc_id, q.lang,
+                        CAST(len(string_split(q.text, ' ')) AS BIGINT)
+                          AS n_tok
+                 FROM qkept q LEFT JOIN drop0 d ON d.doc_id = q.doc_id
+                 WHERE d.doc_id IS NULL),
+        c AS (SELECT lang, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+              FROM surv GROUP BY 1),
+        t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+                     CAST(count(*) AS BIGINT) AS m
+              FROM c),
+        s AS (SELECT lang, n_tokens, m, total * 3 // 4 AS budget,
+                     CAST(row_number() OVER (ORDER BY n_tokens, lang)
+                          AS BIGINT) AS r,
+                     CAST(coalesce(sum(n_tokens) OVER (
+                            ORDER BY n_tokens, lang
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS BIGINT)
+                       AS s_prev
+              FROM c CROSS JOIN t),
+        u AS (SELECT *,
+                     n_tokens * (m - r + 1) <= budget - s_prev AS uncapped
+              FROM s),
+        fj AS (SELECT CAST(sum(CASE WHEN uncapped THEN 1 ELSE 0 END)
+                           AS BIGINT) AS j,
+                      CAST(coalesce(sum(CASE WHEN uncapped
+                                             THEN n_tokens END), 0)
+                           AS BIGINT) AS s_j
+               FROM u),
+        caps AS (SELECT lang,
+                        CAST(CASE WHEN uncapped THEN n_tokens
+                                  ELSE (budget - s_j) // (m - j) END
+                             AS BIGINT) AS alloc_tokens
+                 FROM u CROSS JOIN fj),
+        ordd AS (SELECT sv.lang, sv.n_tok, caps.alloc_tokens,
+                        sum(sv.n_tok) OVER (
+                          PARTITION BY sv.lang
+                          ORDER BY {_h60_sql("concat('v6', CAST(sv.doc_id AS VARCHAR))")},
+                                   sv.doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum
+                 FROM surv sv JOIN caps USING (lang)),
+        fill AS (SELECT lang,
+                        CAST(count(*) AS BIGINT) AS n_dedup_kept,
+                        alloc_tokens,
+                        CAST(sum(CASE WHEN cum <= alloc_tokens
+                                      THEN 1 ELSE 0 END) AS BIGINT)
+                          AS n_docs_sel,
+                        CAST(coalesce(sum(CASE WHEN cum <= alloc_tokens
+                                               THEN n_tok END), 0)
+                             AS BIGINT) AS realized_tokens,
+                        CAST(CASE WHEN alloc_tokens > 0 THEN
+                               1000000 * coalesce(sum(CASE
+                                   WHEN cum <= alloc_tokens
+                                   THEN n_tok END), 0) // alloc_tokens
+                             END AS BIGINT) AS fill_e6
+                 FROM ordd GROUP BY lang, alloc_tokens),
+        cin AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs_in
+                FROM documents GROUP BY 1),
+        cg AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_gate_kept
+               FROM qkept GROUP BY 1)
+        SELECT cin.lang, cin.n_docs_in,
+               CAST(coalesce(cg.n_gate_kept, 0) AS BIGINT) AS n_gate_kept,
+               CAST(coalesce(fill.n_dedup_kept, 0) AS BIGINT)
+                 AS n_dedup_kept,
+               fill.alloc_tokens, fill.n_docs_sel, fill.realized_tokens,
+               fill.fill_e6
+        FROM cin LEFT JOIN cg USING (lang) LEFT JOIN fill USING (lang)
+        """,
+        "curation: end-to-end pipeline v6 — quality gate, near-dup "
+        "drop among survivors, waterfill budget solve, hash-order cap "
+        "fill (the execution-complete mix pipeline; no reference "
+        "counterpart)",
+        "gate 500→309, keep-min-id near-dup drop →298 (pairs from the "
+        "prefix-Jaccard join OVER SURVIVORS — dedup where it's "
+        "cheapest), waterfill 3/4-budget caps on the DEDUPED supply, "
+        "deterministic prefix fill; gate-survivor and dedup-survivor "
+        "sets scope-persisted (each feeds 3 consumers); langs with no "
+        "survivors degrade to NULL fill columns, counts coalesce to 0",
+    )
+    def curation_pipeline_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
+            persist_scoped,
+            shingle_jaccard_prefix_pairs,
+        )
+        from sports_data_integration_and_forecasting_pipeline_spark.operators.sampling import (
+            budget_cap_prefix_select,
+            waterfill_token_caps,
+        )
+        from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import (
+            quality_linear_filter,
+        )
+
+        docs = _t(spark, sf_dir, "documents")
+        g = persist_scoped(
+            "v6_gate_kept",
+            quality_linear_filter(docs)
+            .filter(F.col("kept"))
+            .select("doc_id", "lang", "text"),
+        )
+        pairs = shingle_jaccard_prefix_pairs(g, max_df=100, threshold_pct=50)
+        dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+        # localCheckpoint = the materialized stage boundary a real
+        # pipeline writes between dedup and mixing (the
+        # embed_ivfpq_precoded_topk / text_bpe_merges discipline):
+        # the three downstream consumers (waterfill counts, cap fill,
+        # dedup-kept rollup) read a flat scan instead of reprinting the
+        # gate+pair-join lineage under every reference (261 textual
+        # exchanges without it, ~30 with). Eager — the entry sits in
+        # bench.py's BUILDER_DOES_CLUSTER_WORK so the timer pays it.
+        surv = g.join(dropped, "doc_id", "left_anti").select(
+            "doc_id",
+            "lang",
+            F.size(F.split(F.col("text"), " "))
+            .cast("bigint")
+            .alias("n_tok"),
+        ).localCheckpoint()
+        caps = waterfill_token_caps(
+            surv, domain_col="lang", budget_num=3, budget_den=4,
+            ntok_col="n_tok",
+        ).select("lang", "alloc_tokens")
+        fill = budget_cap_prefix_select(surv, caps).withColumnRenamed(
+            "n_docs_in", "n_dedup_kept"
+        )
+        cin = docs.groupBy("lang").agg(
+            F.count("*").cast("bigint").alias("n_docs_in")
+        )
+        cg = g.groupBy("lang").agg(
+            F.count("*").cast("bigint").alias("n_gate_kept")
+        )
+        return (
+            cin.join(F.broadcast(cg), "lang", "left")
+            .join(F.broadcast(fill), "lang", "left")
+            .select(
+                "lang",
+                "n_docs_in",
+                F.coalesce("n_gate_kept", F.lit(0))
+                .cast("bigint")
+                .alias("n_gate_kept"),
+                F.coalesce("n_dedup_kept", F.lit(0))
+                .cast("bigint")
+                .alias("n_dedup_kept"),
+                "alloc_tokens",
+                "n_docs_sel",
+                "realized_tokens",
+                "fill_e6",
+            )
+        )
+
+
+_register_curation_v6()
+
+
 # Two-stage retrieval: the IVF-PQ shortlist (integer ADC over codes)
 # re-ranked by EXACT cosine over only the shortlisted float vectors —
 # FAISS's IndexRefineFlat. The oracle restates stage 1 verbatim from
@@ -16110,11 +16280,12 @@ _WINDOW_PRIORITY = [
 #       alternate took the slot), every in-name re-swept green at
 #       sf0.01 this round before rotating in (18 sweeps counting the
 #       dropped embed_cosine_dup_pairs).
-#   r12 addendum: NINE r12 additions (ngram_novelty_audit,
+#   r12 addendum: TEN r12 additions (ngram_novelty_audit,
 #       mixture_waterfill_caps, dedup_substring_coverage,
 #       mixture_cap_prefix_fill, text_zipf_fit, source_length_psi,
 #       embed_ivfpq_refine_topk, quality_gate_ablation,
-#       split_leakage_audit) are each swept green at sf0.001 AND
+#       split_leakage_audit, curation_pipeline_v6) are each swept green
+#       at sf0.001 AND
 #       sf0.01 on arrival and held OUT of the r12 window (standing
 #       convention) — front of the r13 in-list. Each arrived with its
 #       degenerate-input property tests

@@ -556,6 +556,11 @@ PINNED = {
     # crossed broadcast-side — the audit layer itself adds ~2 real
     # exchanges, the rest is the pair join's cache-echo inflation
     "split_leakage_audit": (42, ["InMemoryTableScan"], ["CartesianProduct", "SortMergeJoin", "BatchEvalPython", "MapInPandas"]),
+    # v6: gate + pair join run once into the localCheckpointed survivor
+    # set (the materialized stage boundary — 261 textual exchanges
+    # without it); downstream is the waterfill solve + cap fill over
+    # flat scans; lang rollups broadcast
+    "curation_pipeline_v6": (21, ["Scan ExistingRDD", "BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin", "BatchEvalPython", "MapInPandas"]),
 }
 
 

@@ -213,3 +213,25 @@ def test_substring_coverage_nonvacuous(spark):
     total_tok = sum(r.total_tokens for r in rows)
     assert total_cov > 0, "no duplicated 8-gram coverage anywhere - vacuous"
     assert total_cov < 0.5 * total_tok, "coverage saturated - k too small"
+
+
+def test_curation_v6_every_stage_bites(spark):
+    """Guards v6's composition against vacuous stages (the r9 lesson):
+    on the oracle fixture the gate must reject docs, the near-dup drop
+    must remove docs FROM THE GATE SURVIVORS, and the waterfill cap
+    must leave docs unselected in at least one lang. An exact-dedup
+    stage here would be vacuous (this corpus has zero exact dups —
+    measured before v6 shipped); the near-dup drop is the stage that
+    bites."""
+    rows = _q("curation_pipeline_v6")(spark, TESTDATA_ORACLE).collect()
+    assert rows
+    n_in = sum(r["n_docs_in"] for r in rows)
+    n_gate = sum(r["n_gate_kept"] for r in rows)
+    n_dedup = sum(r["n_dedup_kept"] for r in rows)
+    n_sel = sum(r["n_docs_sel"] or 0 for r in rows)
+    assert n_gate < n_in          # the gate bites
+    assert n_dedup < n_gate       # the near-dup drop bites
+    assert n_sel < n_dedup        # the budget cap bites
+    for r in rows:
+        if r["alloc_tokens"] is not None:
+            assert (r["realized_tokens"] or 0) <= r["alloc_tokens"]
