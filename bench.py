@@ -265,6 +265,7 @@ HEADLINE = [
     "quality_gate_ablation",
     "split_leakage_audit",
     "curation_pipeline_v6",
+    "text_unigram_entropy_audit",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

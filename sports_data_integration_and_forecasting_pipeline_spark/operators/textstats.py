@@ -1110,3 +1110,66 @@ def quality_gate_ablation(
             .alias("flip_rate_e6"),
         )
     )
+
+
+def unigram_entropy_stats(
+    df: DataFrame, text_col: str = "text", group_col: str = "lang"
+) -> DataFrame:
+    """Unigram Shannon entropy + Pielou evenness per group — the
+    complementary corpus-health diagnostic to :func:`zipf_fit_stats`
+    (Zipf reads the rank-frequency SHAPE; entropy reads the
+    distribution's effective breadth): ``H = Σ (c/n)·ln(n/c)`` nats,
+    ``evenness = H / ln(vocab)`` in [0, 1] (Pielou 1966; public) — 1
+    means a uniform vocabulary (templated/synthetic text, as here), low
+    means a natural head-heavy distribution or degenerate repetition.
+
+    Exact integer accumulation (the ``kl_term_drift`` micro-nat
+    discipline): per term, ``contrib = c · floor(ln(n/c)·1e6 + .5)`` —
+    bigint, associative, engine/partition-order identical; the only
+    float ops are the final per-group divisions, 6dp-floor-rounded.
+
+    Returns ``(group_col, n_tokens, vocab_size, entropy, evenness)``.
+    Degenerate inputs DEGRADE: a single-term group has H = 0 exactly
+    and evenness NULL (ln(vocab) = 0 — never a division by zero).
+
+    Scale shape: one token explode into a (group, term) count agg
+    (map-side combined, vocabulary-granular), group totals broadcast
+    back, one vocabulary-granular rollup per group."""
+    toks = df.select(
+        F.col(group_col),
+        F.explode(_tokens(F.col(text_col))).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy(group_col, "term").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    n = tf.groupBy(group_col).agg(F.sum("c").cast("bigint").alias("n"))
+    contrib = (
+        F.col("c")
+        * F.floor(
+            F.log(F.col("n").cast("double") / F.col("c")) * 1e6 + F.lit(0.5)
+        ).cast("bigint")
+    )
+    agg = (
+        tf.join(F.broadcast(n), group_col)
+        .select(group_col, "n", contrib.alias("__h"))
+        .groupBy(group_col, "n")
+        .agg(
+            F.count("*").cast("bigint").alias("vocab_size"),
+            F.sum("__h").cast("bigint").alias("__hsum"),
+        )
+    )
+
+    def _r6(c: Column) -> Column:
+        return F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+
+    h = F.col("__hsum").cast("double") / 1e6 / F.col("n")
+    return agg.select(
+        group_col,
+        F.col("n").alias("n_tokens"),
+        "vocab_size",
+        _r6(h).alias("entropy"),
+        F.when(
+            F.col("vocab_size") > 1,
+            _r6(h / F.log(F.col("vocab_size").cast("double"))),
+        ).alias("evenness"),
+    )

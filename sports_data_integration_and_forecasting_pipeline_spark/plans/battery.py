@@ -15609,6 +15609,47 @@ def quality_gate_ablation_battery(
     return quality_gate_ablation(_t(spark, sf_dir, "documents"))
 
 
+@_register(
+    "text_unigram_entropy_audit",
+    """
+    WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS term
+                  FROM documents),
+    tf AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS c
+           FROM toks WHERE term <> '' GROUP BY 1, 2),
+    n AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM tf GROUP BY 1),
+    a AS (SELECT tf.lang, n.n, CAST(count(*) AS BIGINT) AS vocab_size,
+                 CAST(sum(c * CAST(floor(ln(1.0 * n.n / c) * 1000000.0
+                                         + 0.5) AS BIGINT)) AS BIGINT)
+                   AS hsum
+          FROM tf JOIN n USING (lang) GROUP BY 1, 2)
+    SELECT lang, n AS n_tokens, vocab_size,
+           floor(hsum / 1000000.0 / n * 1000000.0 + 0.5) / 1000000.0
+             AS entropy,
+           CASE WHEN vocab_size > 1 THEN
+             floor((hsum / 1000000.0 / n) / ln(1.0 * vocab_size)
+                   * 1000000.0 + 0.5) / 1000000.0
+           END AS evenness
+    FROM a
+    """,
+    "textops: unigram Shannon entropy + Pielou evenness per language "
+    "(the distribution-breadth corpus-health twin of text_zipf_fit; "
+    "Pielou 1966; no reference counterpart)",
+    "H = sum (c/n) ln(n/c) in exact integer micro-nats per term before "
+    "summing (the kl_term_drift discipline); evenness = H/ln(vocab), "
+    "NULL on a single-term group (never a zero division); this "
+    "synthetic corpus reads ~0.99 evenness (near-uniform vocabulary) — "
+    "natural text sits ~0.7-0.8, so the audit flags it",
+)
+def text_unigram_entropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import (
+        unigram_entropy_stats,
+    )
+
+    return unigram_entropy_stats(
+        _t(spark, sf_dir, "documents"), group_col="lang"
+    )
+
+
 # Curation pipeline v6 — the r12 capstone composition: quality gate →
 # near-dup drop (prefix-Jaccard pairs among SURVIVORS, keep-min-id) →
 # waterfill token-budget solve on the deduped supply → hash-order
@@ -16280,12 +16321,12 @@ _WINDOW_PRIORITY = [
 #       alternate took the slot), every in-name re-swept green at
 #       sf0.01 this round before rotating in (18 sweeps counting the
 #       dropped embed_cosine_dup_pairs).
-#   r12 addendum: TEN r12 additions (ngram_novelty_audit,
+#   r12 addendum: ELEVEN r12 additions (ngram_novelty_audit,
 #       mixture_waterfill_caps, dedup_substring_coverage,
 #       mixture_cap_prefix_fill, text_zipf_fit, source_length_psi,
 #       embed_ivfpq_refine_topk, quality_gate_ablation,
-#       split_leakage_audit, curation_pipeline_v6) are each swept green
-#       at sf0.001 AND
+#       split_leakage_audit, curation_pipeline_v6,
+#       text_unigram_entropy_audit) are each swept green at sf0.001 AND
 #       sf0.01 on arrival and held OUT of the r12 window (standing
 #       convention) — front of the r13 in-list. Each arrived with its
 #       degenerate-input property tests

@@ -561,6 +561,10 @@ PINNED = {
     # without it); downstream is the waterfill solve + cap fill over
     # flat scans; lang rollups broadcast
     "curation_pipeline_v6": (21, ["Scan ExistingRDD", "BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin", "BatchEvalPython", "MapInPandas"]),
+    # entropy: one explode into the (lang, term) count agg, group
+    # totals broadcast back, one vocabulary-granular rollup — no
+    # window, no corpus-sized join
+    "text_unigram_entropy_audit": (5, ["BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin", "BatchEvalPython", "MapInPandas", "Window"]),
 }
 
 

@@ -751,3 +751,65 @@ def test_split_leakage_degenerate_cases(spark):
     assert row2["n_pairs"] == 0
     assert row2["n_cross_pairs"] == 0
     assert row2["n_leaky_heldout_docs"] == 0
+
+
+# --- unigram entropy vs brute-force reference ---------------------------------
+
+
+def _entropy_ref(docs):
+    import math
+    from collections import Counter
+
+    by = {}
+    for lang, text in docs:
+        by.setdefault(lang, Counter()).update(
+            t for t in text.split(" ") if t != ""
+        )
+    out = {}
+    for lang, tf in by.items():
+        if not tf:
+            continue
+        n = sum(tf.values())
+        hsum = sum(
+            c * math.floor(math.log(n / c) * 1e6 + 0.5) for c in tf.values()
+        )
+        h = hsum / 1e6 / n
+        ev = (
+            math.floor(h / math.log(len(tf)) * 1e6 + 0.5) / 1e6
+            if len(tf) > 1
+            else None
+        )
+        out[lang] = (n, len(tf), math.floor(h * 1e6 + 0.5) / 1e6, ev)
+    return out
+
+
+@given(docs=zipf_corpora)
+@settings(**SETTINGS)
+def test_unigram_entropy_matches_reference(spark, docs):
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import (
+        unigram_entropy_stats,
+    )
+
+    df = spark.createDataFrame(list(docs), "lang string, text string")
+    expect = _entropy_ref(list(docs))
+    got = {
+        r["lang"]: (r["n_tokens"], r["vocab_size"], r["entropy"], r["evenness"])
+        for r in unigram_entropy_stats(df).collect()
+    }
+    assert got == expect
+
+
+def test_unigram_entropy_degenerate_cases(spark):
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import (
+        unigram_entropy_stats,
+    )
+
+    # single distinct term: H exactly 0, evenness NULL, no crash
+    df = spark.createDataFrame([("en", "a a a")], "lang string, text string")
+    row = unigram_entropy_stats(df).collect()[0]
+    assert row["vocab_size"] == 1
+    assert row["entropy"] == 0.0 and row["evenness"] is None
+    # perfectly uniform two-term group: evenness exactly 1
+    df2 = spark.createDataFrame([("en", "a b a b")], "lang string, text string")
+    row2 = unigram_entropy_stats(df2).collect()[0]
+    assert row2["evenness"] == 1.0
