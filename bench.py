@@ -266,6 +266,7 @@ HEADLINE = [
     "split_leakage_audit",
     "curation_pipeline_v6",
     "text_unigram_entropy_audit",
+    "embed_label_separation",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

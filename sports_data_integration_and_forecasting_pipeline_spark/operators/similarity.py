@@ -723,3 +723,133 @@ def semantic_dedup_keep(
             (F.col(id_col) == canonical).alias("is_kept"),
         )
     )
+
+
+def label_centroid_separation(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Class-separability audit for labeled embeddings — the QA check a
+    team runs before training a classifier on an embedding column: per
+    label, the mean cosine of members to their OWN label centroid vs to
+    the best OTHER centroid, the margin between them, and the fraction
+    of members whose own-centroid cosine beats every other centroid
+    (the nearest-centroid accuracy). Collapsed margins mean the labels
+    are not linearly recoverable from the embeddings (wrong column,
+    broken encoder, or shuffled labels).
+
+    Exactness: components snap to e6 integers, so centroids
+    (``Σx_e6 DIV n``, truncating integer division — identical in both
+    engines), dot products, and norms are exact bigint arithmetic;
+    each member-centroid cosine is ONE deterministic double expression
+    snapped to e6 before any aggregation (no float accumulation-order
+    hazard). Zero-norm members get NULL cosines and drop from the
+    scored set (degenerate-input discipline); a single-label corpus
+    reports NULL inter/margin/frac, never an error.
+
+    Returns one row per label: ``(label, n_vecs, n_scored,
+    avg_intra_cos_e6, avg_inter_best_cos_e6, margin_e6,
+    frac_separated_e6)``.
+
+    Scale shape: one posexplode into (row, pos, x_e6); the centroid
+    table is labels × dim (tiny — broadcast); the member-vs-centroid
+    dot products are a broadcast join on pos followed by one
+    map-side-combined (id, clabel) aggregate — per member, exactly
+    k·d multiply-adds, linear in the corpus with a k·d constant;
+    everything after is label-granular."""
+    from pyspark.sql.window import Window
+
+    comp = df.select(
+        F.col(label_col).alias("lbl"),
+        F.col(id_col).alias("vid"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x"),
+    ).select(
+        "lbl",
+        "vid",
+        "pos",
+        F.floor(F.col("x") * 1e6 + F.lit(0.5)).cast("bigint").alias("xe6"),
+    )
+    cent = (
+        comp.groupBy("lbl", "pos")
+        .agg(F.sum("xe6").alias("s"), F.count("*").alias("cn"))
+        .select(
+            F.col("lbl").alias("clabel"),
+            "pos",
+            F.expr("s DIV cn").cast("bigint").alias("ce6"),
+        )
+    )
+    cnorm = cent.groupBy("clabel").agg(
+        F.sum(F.col("ce6") * F.col("ce6")).cast("bigint").alias("nc")
+    )
+    pair = (
+        comp.join(F.broadcast(cent), "pos")
+        .groupBy("vid", "lbl", "clabel")
+        .agg(
+            F.sum(F.col("xe6") * F.col("ce6")).cast("bigint").alias("dt"),
+            F.sum(F.col("xe6") * F.col("xe6")).cast("bigint").alias("nv"),
+        )
+        .join(F.broadcast(cnorm), "clabel")
+    )
+    cos = F.when(
+        (F.col("nv") > 0) & (F.col("nc") > 0),
+        F.floor(
+            F.col("dt").cast("double")
+            / F.sqrt(F.col("nv").cast("double") * F.col("nc").cast("double"))
+            * 1e6
+            + F.lit(0.5)
+        ).cast("bigint"),
+    )
+    scored = pair.select("vid", "lbl", "clabel", cos.alias("cos_e6"))
+    per_vec = scored.groupBy("vid", "lbl").agg(
+        F.max(F.when(F.col("clabel") == F.col("lbl"), F.col("cos_e6")))
+        .alias("own"),
+        F.max(F.when(F.col("clabel") != F.col("lbl"), F.col("cos_e6")))
+        .alias("best_other"),
+    )
+    both = F.col("own").isNotNull() & F.col("best_other").isNotNull()
+    return (
+        per_vec.groupBy("lbl")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.sum(both.cast("int")).cast("bigint").alias("n_scored"),
+            F.sum("own").cast("bigint").alias("__so"),
+            F.sum(F.when(both, F.col("best_other")))
+            .cast("bigint")
+            .alias("__sb"),
+            F.sum(F.when(both & (F.col("own") > F.col("best_other")), 1))
+            .cast("bigint")
+            .alias("__nsep"),
+            F.sum(F.col("own").isNotNull().cast("int"))
+            .cast("bigint")
+            .alias("__nown"),
+        )
+        .select(
+            F.col("lbl").alias(label_col),
+            "n_vecs",
+            "n_scored",
+            F.when(
+                F.col("__nown") > 0, F.expr("__so DIV __nown")
+            )
+            .cast("bigint")
+            .alias("avg_intra_cos_e6"),
+            F.when(
+                F.col("n_scored") > 0, F.expr("__sb DIV n_scored")
+            )
+            .cast("bigint")
+            .alias("avg_inter_best_cos_e6"),
+            F.when(
+                (F.col("__nown") > 0) & (F.col("n_scored") > 0),
+                F.expr("__so DIV __nown - __sb DIV n_scored"),
+            )
+            .cast("bigint")
+            .alias("margin_e6"),
+            F.when(
+                F.col("n_scored") > 0,
+                F.expr("1000000 * coalesce(__nsep, 0) div n_scored"),
+            )
+            .cast("bigint")
+            .alias("frac_separated_e6"),
+        )
+    )

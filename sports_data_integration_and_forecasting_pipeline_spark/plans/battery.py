@@ -15610,6 +15610,86 @@ def quality_gate_ablation_battery(
 
 
 @_register(
+    "embed_label_separation",
+    """
+    WITH comp AS (
+      SELECT label AS lbl, vec_id AS vid, CAST(pos AS INT) AS pos,
+             CAST(floor(CAST(embedding[pos::INT] AS DOUBLE) * 1000000.0
+                        + 0.5) AS BIGINT) AS xe6
+      FROM (SELECT label, vec_id, embedding,
+                   unnest(range(1, len(embedding) + 1)) AS pos
+            FROM embeddings)),
+    cent AS (SELECT lbl AS clabel, pos,
+                    CAST(CAST(sum(xe6) AS BIGINT) // count(*) AS BIGINT)
+                      AS ce6
+             FROM comp GROUP BY 1, 2),
+    cnorm AS (SELECT clabel, CAST(sum(ce6 * ce6) AS BIGINT) AS nc
+              FROM cent GROUP BY 1),
+    pair AS (SELECT c.vid, c.lbl, ct.clabel,
+                    CAST(sum(c.xe6 * ct.ce6) AS BIGINT) AS dt,
+                    CAST(sum(c.xe6 * c.xe6) AS BIGINT) AS nv
+             FROM comp c JOIN cent ct USING (pos)
+             GROUP BY 1, 2, 3),
+    scored AS (SELECT p.vid, p.lbl, p.clabel,
+                      CASE WHEN p.nv > 0 AND n.nc > 0 THEN
+                        CAST(floor((1.0 * p.dt)
+                                   / sqrt((1.0 * p.nv) * (1.0 * n.nc))
+                                   * 1000000.0 + 0.5) AS BIGINT)
+                      END AS cos_e6
+               FROM pair p JOIN cnorm n USING (clabel)),
+    pv AS (SELECT vid, lbl,
+                  max(CASE WHEN clabel = lbl THEN cos_e6 END) AS own,
+                  max(CASE WHEN clabel <> lbl THEN cos_e6 END)
+                    AS best_other
+           FROM scored GROUP BY 1, 2),
+    agg AS (SELECT lbl,
+                   CAST(count(*) AS BIGINT) AS n_vecs,
+                   CAST(sum(CASE WHEN own IS NOT NULL
+                                  AND best_other IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_scored,
+                   CAST(count(own) AS BIGINT) AS n_own,
+                   CAST(sum(own) AS BIGINT) AS so,
+                   CAST(sum(CASE WHEN own IS NOT NULL
+                                  AND best_other IS NOT NULL
+                                 THEN best_other END) AS BIGINT) AS sb,
+                   CAST(sum(CASE WHEN own IS NOT NULL
+                                  AND best_other IS NOT NULL
+                                  AND own > best_other
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS nsep
+            FROM pv GROUP BY lbl)
+    SELECT lbl AS label, n_vecs, n_scored,
+           CAST(CASE WHEN n_own > 0 THEN so // n_own END AS BIGINT)
+             AS avg_intra_cos_e6,
+           CAST(CASE WHEN n_scored > 0 THEN sb // n_scored END AS BIGINT)
+             AS avg_inter_best_cos_e6,
+           CAST(CASE WHEN n_own > 0 AND n_scored > 0
+                     THEN so // n_own - sb // n_scored END AS BIGINT)
+             AS margin_e6,
+           CAST(CASE WHEN n_scored > 0
+                     THEN 1000000 * nsep // n_scored END AS BIGINT)
+             AS frac_separated_e6
+    FROM agg
+    """,
+    "similarity: labeled-embedding class-separability audit (per-label "
+    "centroid cosine margins + nearest-centroid accuracy; no reference "
+    "counterpart)",
+    "components snap to e6 ints, centroids are exact integer DIV "
+    "means, each member-centroid cosine is ONE deterministic double op "
+    "snapped before aggregation; this corpus's random labels read "
+    "NEGATIVE margins (~0.14 intra vs ~0.17 best-inter) and "
+    "~chance-level nearest-centroid accuracy — the audit correctly "
+    "flags the labels as not recoverable from the embeddings; "
+    "zero-norm members drop to NULL (degenerate discipline)",
+)
+def embed_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.similarity import (
+        label_centroid_separation,
+    )
+
+    return label_centroid_separation(_t(spark, sf_dir, "embeddings"))
+
+
+@_register(
     "text_unigram_entropy_audit",
     """
     WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS term
@@ -16321,12 +16401,13 @@ _WINDOW_PRIORITY = [
 #       alternate took the slot), every in-name re-swept green at
 #       sf0.01 this round before rotating in (18 sweeps counting the
 #       dropped embed_cosine_dup_pairs).
-#   r12 addendum: ELEVEN r12 additions (ngram_novelty_audit,
+#   r12 addendum: TWELVE r12 additions (ngram_novelty_audit,
 #       mixture_waterfill_caps, dedup_substring_coverage,
 #       mixture_cap_prefix_fill, text_zipf_fit, source_length_psi,
 #       embed_ivfpq_refine_topk, quality_gate_ablation,
 #       split_leakage_audit, curation_pipeline_v6,
-#       text_unigram_entropy_audit) are each swept green at sf0.001 AND
+#       text_unigram_entropy_audit, embed_label_separation) are each
+#       swept green at sf0.001 AND
 #       sf0.01 on arrival and held OUT of the r12 window (standing
 #       convention) — front of the r13 in-list. Each arrived with its
 #       degenerate-input property tests

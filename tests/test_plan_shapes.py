@@ -565,6 +565,11 @@ PINNED = {
     # totals broadcast back, one vocabulary-granular rollup — no
     # window, no corpus-sized join
     "text_unigram_entropy_audit": (5, ["BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin", "BatchEvalPython", "MapInPandas", "Window"]),
+    # separation: posexplode into component rows; centroid table is
+    # labels x dim (broadcast); member-vs-centroid dots are a broadcast
+    # join on pos + one map-side-combined (id, clabel) agg — k*d
+    # multiply-adds per member, label-granular after
+    "embed_label_separation": (8, ["BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin", "BatchEvalPython", "MapInPandas", "Window"]),
 }
 
 

@@ -813,3 +813,132 @@ def test_unigram_entropy_degenerate_cases(spark):
     df2 = spark.createDataFrame([("en", "a b a b")], "lang string, text string")
     row2 = unigram_entropy_stats(df2).collect()[0]
     assert row2["evenness"] == 1.0
+
+
+# --- label centroid separation vs brute-force reference -----------------------
+
+
+def _sep_ref(rows):
+    import math
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    comp = [
+        (lbl, vid, [math.floor(x * 1e6 + 0.5) for x in vec])
+        for vid, lbl, vec in rows
+    ]
+    labels = sorted({lbl for lbl, _, _ in comp})
+    d = len(comp[0][2])
+    cent = {}
+    for L in labels:
+        mine = [v for lbl, _, v in comp if lbl == L]
+        cent[L] = [
+            tdiv(sum(v[i] for v in mine), len(mine)) for i in range(d)
+        ]
+    nc = {L: sum(c * c for c in cent[L]) for L in labels}
+    out = {}
+    for L in labels:
+        own_list, both_cnt, sb, nsep = [], 0, 0, 0
+        for lbl, vid, v in comp:
+            if lbl != L:
+                continue
+            nv = sum(x * x for x in v)
+
+            def cos(cl):
+                if nv > 0 and nc[cl] > 0:
+                    dt = sum(x * c for x, c in zip(v, cent[cl]))
+                    return math.floor(
+                        (1.0 * dt) / math.sqrt((1.0 * nv) * (1.0 * nc[cl]))
+                        * 1e6 + 0.5
+                    )
+                return None
+
+            own = cos(L)
+            others = [cos(cl) for cl in labels if cl != L]
+            others = [o for o in others if o is not None]
+            best = max(others) if others else None
+            if own is not None:
+                own_list.append(own)
+            if own is not None and best is not None:
+                both_cnt += 1
+                sb += best
+                if own > best:
+                    nsep += 1
+        n_vecs = sum(1 for lbl, _, _ in comp if lbl == L)
+        avg_own = tdiv(sum(own_list), len(own_list)) if own_list else None
+        avg_b = tdiv(sb, both_cnt) if both_cnt else None
+        margin = (
+            avg_own - avg_b if avg_own is not None and avg_b is not None
+            else None
+        )
+        frac = 1_000_000 * nsep // both_cnt if both_cnt else None
+        out[L] = (n_vecs, both_cnt, avg_own, avg_b, margin, frac)
+    return out
+
+
+sep_corpora = st.lists(
+    st.tuples(
+        st.sampled_from([0, 1, 2]),
+        st.lists(
+            st.floats(
+                min_value=-2.0, max_value=2.0,
+                allow_nan=False, allow_infinity=False, width=32,
+            ),
+            min_size=4,
+            max_size=4,
+        ),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(vecs=sep_corpora)
+@settings(**SETTINGS)
+def test_label_separation_matches_reference(spark, vecs):
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.similarity import (
+        label_centroid_separation,
+    )
+
+    rows = [(i, lbl, v) for i, (lbl, v) in enumerate(vecs)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    expect = _sep_ref(rows)
+    got = {
+        r["label"]: (
+            r["n_vecs"],
+            r["n_scored"],
+            r["avg_intra_cos_e6"],
+            r["avg_inter_best_cos_e6"],
+            r["margin_e6"],
+            r["frac_separated_e6"],
+        )
+        for r in label_centroid_separation(df).collect()
+    }
+    assert got == expect
+
+
+def test_label_separation_degenerate_cases(spark):
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.similarity import (
+        label_centroid_separation,
+    )
+
+    # single label: no other centroid -> inter/margin/frac NULL, no error
+    df = spark.createDataFrame(
+        [(1, 0, [1.0, 0.0]), (2, 0, [0.0, 1.0])],
+        "vec_id long, label int, embedding array<double>",
+    )
+    row = label_centroid_separation(df).collect()[0]
+    assert row["n_vecs"] == 2 and row["n_scored"] == 0
+    assert row["avg_inter_best_cos_e6"] is None
+    assert row["margin_e6"] is None and row["frac_separated_e6"] is None
+    # zero-norm member: dropped from the scored set, never a division error
+    df2 = spark.createDataFrame(
+        [(1, 0, [0.0, 0.0]), (2, 0, [1.0, 0.0]), (3, 1, [0.0, 1.0])],
+        "vec_id long, label int, embedding array<double>",
+    )
+    out = {r["label"]: r for r in label_centroid_separation(df2).collect()}
+    assert out[0]["n_vecs"] == 2 and out[0]["n_scored"] == 1
