@@ -267,6 +267,7 @@ HEADLINE = [
     "curation_pipeline_v6",
     "text_unigram_entropy_audit",
     "embed_label_separation",
+    "pack_padding_waste_curve",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).

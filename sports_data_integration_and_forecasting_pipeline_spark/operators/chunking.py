@@ -181,3 +181,80 @@ def pack_counted_spans(
         .cast("bigint")
         .alias("n_seqs"),
     )
+
+
+def padding_waste_curve(
+    df: DataFrame,
+    seq_lens: tuple[int, ...] = (128, 256, 512),
+    text_col: str = "text",
+) -> DataFrame:
+    """Padding-waste curve over candidate context lengths — the
+    "pick your seq_len" compute audit for DOCUMENT-BOUNDARY packing
+    (each doc chunked to ``ceil(n/L)`` sequences, the last chunk padded
+    to L; the policy when cross-document attention is disallowed).
+    GPT-style concat packing (:func:`pack_token_spans`) wastes nothing
+    by construction — this audit quantifies what respecting document
+    boundaries COSTS at each L, which is exactly the number teams weigh
+    when choosing between the two policies.
+
+    Per candidate L: ``pad(doc) = (L − n mod L) mod L`` — exact
+    integers throughout; ``waste_e6 = 1e6·Σpad div (Σn + Σpad)`` (the
+    fraction of compute spent on padding). Returns one row per L:
+    ``(seq_len, n_docs, n_seqs, data_tokens, padding_tokens,
+    waste_e6)``. Degenerate inputs DEGRADE: an empty corpus yields zero
+    rows; a zero-token doc contributes one fully-padded sequence only
+    if n = 0 never occurs here (split('') counts 1 token), so no
+    special case is reachable — and the arithmetic never divides by
+    zero (Σn ≥ n_docs ≥ 1 within a group).
+
+    Scale shape: one narrow token-count projection, an inline
+    len(seq_lens)-struct explode (corpus × |L| rows, no join), one
+    map-side-combined aggregate to |L| rows."""
+    if not seq_lens or any(L < 1 for L in seq_lens):
+        raise ValueError(
+            f"padding_waste_curve: seq_lens must be positive (got {seq_lens})"
+        )
+    n = F.size(F.split(F.col(text_col), " ")).cast("bigint")
+    arms = [
+        F.struct(
+            F.lit(int(L)).cast("int").alias("seq_len"),
+            F.expr(f"(({int(L)} - __n % {int(L)}) % {int(L)})")
+            .cast("bigint")
+            .alias("pad"),
+            F.expr(f"(__n + {int(L)} - 1) DIV {int(L)}")
+            .cast("bigint")
+            .alias("n_seq"),
+        )
+        for L in seq_lens
+    ]
+    ex = (
+        df.select(n.alias("__n"))
+        .select("__n", F.explode(F.array(*arms)).alias("a"))
+        .select(
+            "__n",
+            F.col("a.seq_len").alias("seq_len"),
+            F.col("a.pad").alias("pad"),
+            F.col("a.n_seq").alias("n_seq"),
+        )
+    )
+    return (
+        ex.groupBy("seq_len")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_seq").cast("bigint").alias("n_seqs"),
+            F.sum("__n").cast("bigint").alias("data_tokens"),
+            F.sum("pad").cast("bigint").alias("padding_tokens"),
+        )
+        .select(
+            "seq_len",
+            "n_docs",
+            "n_seqs",
+            "data_tokens",
+            "padding_tokens",
+            F.expr(
+                "1000000 * padding_tokens div (data_tokens + padding_tokens)"
+            )
+            .cast("bigint")
+            .alias("waste_e6"),
+        )
+    )

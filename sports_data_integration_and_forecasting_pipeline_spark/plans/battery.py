@@ -15610,6 +15610,49 @@ def quality_gate_ablation_battery(
 
 
 @_register(
+    "pack_padding_waste_curve",
+    """
+    WITH n AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+               FROM documents),
+    a AS (
+      SELECT 128 AS seq_len, n, (128 - n % 128) % 128 AS pad,
+             (n + 127) // 128 AS n_seq FROM n
+      UNION ALL
+      SELECT 256, n, (256 - n % 256) % 256, (n + 255) // 256 FROM n
+      UNION ALL
+      SELECT 512, n, (512 - n % 512) % 512, (n + 511) // 512 FROM n)
+    SELECT CAST(seq_len AS INT) AS seq_len,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_seq) AS BIGINT) AS n_seqs,
+           CAST(sum(n) AS BIGINT) AS data_tokens,
+           CAST(sum(pad) AS BIGINT) AS padding_tokens,
+           CAST(1000000 * CAST(sum(pad) AS BIGINT)
+                // (CAST(sum(n) AS BIGINT) + CAST(sum(pad) AS BIGINT))
+                AS BIGINT) AS waste_e6
+    FROM a GROUP BY 1
+    """,
+    "curation: padding-waste curve over candidate context lengths "
+    "(the doc-boundary-packing compute audit — what respecting "
+    "document boundaries costs at each seq_len vs concat packing; no "
+    "reference counterpart)",
+    "per L in {128,256,512}: pad(doc) = (L - n mod L) mod L, exact "
+    "integers; waste_e6 = 1e6*pad div (data+pad); this short-doc "
+    "corpus reads 57.5/78.8/89.4% waste — the curve says doc-boundary "
+    "packing at large L is catastrophic here, concat packing "
+    "(pack_sequence_spans) is the policy; one narrow projection + "
+    "inline 3-struct explode + one map-side-combined agg to 3 rows",
+)
+def pack_padding_waste_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.chunking import (
+        padding_waste_curve,
+    )
+
+    return padding_waste_curve(
+        _t(spark, sf_dir, "documents"), seq_lens=(128, 256, 512)
+    )
+
+
+@_register(
     "embed_label_separation",
     """
     WITH comp AS (
@@ -16401,13 +16444,13 @@ _WINDOW_PRIORITY = [
 #       alternate took the slot), every in-name re-swept green at
 #       sf0.01 this round before rotating in (18 sweeps counting the
 #       dropped embed_cosine_dup_pairs).
-#   r12 addendum: TWELVE r12 additions (ngram_novelty_audit,
+#   r12 addendum: THIRTEEN r12 additions (ngram_novelty_audit,
 #       mixture_waterfill_caps, dedup_substring_coverage,
 #       mixture_cap_prefix_fill, text_zipf_fit, source_length_psi,
 #       embed_ivfpq_refine_topk, quality_gate_ablation,
 #       split_leakage_audit, curation_pipeline_v6,
-#       text_unigram_entropy_audit, embed_label_separation) are each
-#       swept green at sf0.001 AND
+#       text_unigram_entropy_audit, embed_label_separation,
+#       pack_padding_waste_curve) are each swept green at sf0.001 AND
 #       sf0.01 on arrival and held OUT of the r12 window (standing
 #       convention) — front of the r13 in-list. Each arrived with its
 #       degenerate-input property tests

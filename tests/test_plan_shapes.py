@@ -570,6 +570,10 @@ PINNED = {
     # join on pos + one map-side-combined (id, clabel) agg — k*d
     # multiply-adds per member, label-granular after
     "embed_label_separation": (8, ["BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin", "BatchEvalPython", "MapInPandas", "Window"]),
+    # padding curve: narrow token-count projection, inline 3-struct
+    # explode (not a 3-way union re-scanning the corpus), one
+    # map-side-combined agg to 3 rows — the ablation shape
+    "pack_padding_waste_curve": (1, ["Generate"], ["Union", "Join", "Window", "CartesianProduct", "SortMergeJoin", "BatchEvalPython", "MapInPandas"]),
 }
 
 

@@ -942,3 +942,65 @@ def test_label_separation_degenerate_cases(spark):
     )
     out = {r["label"]: r for r in label_centroid_separation(df2).collect()}
     assert out[0]["n_vecs"] == 2 and out[0]["n_scored"] == 1
+
+
+# --- padding waste curve vs brute-force reference ------------------------------
+
+
+@given(
+    lens=st.lists(st.integers(min_value=1, max_value=600), min_size=1, max_size=30),
+    seq_lens=st.sampled_from([(4,), (4, 16), (128, 256, 512)]),
+)
+@settings(**SETTINGS)
+def test_padding_waste_matches_reference(spark, lens, seq_lens):
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.chunking import (
+        padding_waste_curve,
+    )
+
+    rows = [(" ".join("w" for _ in range(n)),) for n in lens]
+    df = spark.createDataFrame(rows, "text string")
+    got = {
+        r["seq_len"]: (
+            r["n_docs"],
+            r["n_seqs"],
+            r["data_tokens"],
+            r["padding_tokens"],
+            r["waste_e6"],
+        )
+        for r in padding_waste_curve(df, seq_lens=seq_lens).collect()
+    }
+    expect = {}
+    for L in seq_lens:
+        pads = [(L - n % L) % L for n in lens]
+        seqs = [(n + L - 1) // L for n in lens]
+        data, pad = sum(lens), sum(pads)
+        expect[L] = (
+            len(lens),
+            sum(seqs),
+            data,
+            pad,
+            1_000_000 * pad // (data + pad),
+        )
+    assert got == expect
+
+
+def test_padding_waste_degenerate_cases(spark):
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.chunking import (
+        padding_waste_curve,
+    )
+
+    # empty corpus: zero rows, never a division error
+    empty = spark.createDataFrame([], "text string")
+    assert padding_waste_curve(empty).count() == 0
+    # every doc exactly L tokens: zero waste
+    df = spark.createDataFrame([("a b c d",), ("e f g h",)], "text string")
+    row = {r["seq_len"]: r for r in padding_waste_curve(df, seq_lens=(4,)).collect()}[4]
+    assert row["padding_tokens"] == 0 and row["waste_e6"] == 0
+    assert row["n_seqs"] == 2
+    # invalid seq_lens rejected loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        padding_waste_curve(df, seq_lens=(0,))
+    with _pytest.raises(ValueError):
+        padding_waste_curve(df, seq_lens=())
