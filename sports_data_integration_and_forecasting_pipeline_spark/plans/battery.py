@@ -16464,9 +16464,11 @@ _WINDOW_PRIORITY = [
 #       (forecast_random_forest, misra_gries_heavy_hitters), rc 0
 #       (tools/sweep_oracle.py, local[8]). End-of-round sweep covers
 #       the final battery.
-#   End-of-r12 standing-protocol sweep: the FINAL 248-entry battery in
-#       ONE run at sf0.01 — 246 hash-ok + the same 2 by-design
-#       rows-only, rc 0 (tools/sweep_oracle.py, local[8]).
+#   End-of-r12 standing-protocol sweep: the FINAL 249-entry battery in
+#       ONE run at sf0.01 — 247 hash-ok + the same 2 by-design
+#       rows-only, rc 0 (tools/sweep_oracle.py, local[8]; re-run after
+#       pack_padding_waste_curve landed — the earlier same-session run
+#       covered 248 at the same result).
 #   r13+: sweep any stragglers alphabetically until all entries have
 #       ≥1 driver row.
 # ===========================================================================
