@@ -423,7 +423,9 @@ def waterfill_token_caps(
     alloc 0.
 
     Scale shape: one map-side-combined token-count aggregate over the
-    corpus (``sum(size(split(text)))`` — no explode), then everything
+    corpus (``sum(size(split(text)))`` — no explode — or, when
+    ``ntok_col`` names a pre-counted per-row token column,
+    ``sum(ntok_col)`` with no string pass at all), then everything
     runs on the m-row domain table: two single-partition window passes
     and two 1-row broadcast joins, all bounded by the domain count, not
     the corpus. The m-row count table feeds three consumers (the total,
@@ -537,10 +539,10 @@ def budget_cap_prefix_select(
     through m tasks — the exact anti-pattern
     :func:`~.chunking.global_prefix_offsets` documents). It is the
     two-phase prefix sum over HASH order: the 60-bit key hash is
-    uniform, so its top bits are an order-preserving bucket key —
-    ``n_buckets`` hash-range buckets per domain run the within-bucket
+    uniform, so its top 12 bits are an order-preserving bucket key —
+    4096 fixed hash-range buckets per domain run the within-bucket
     running sum in parallel, per-(domain, bucket) totals collapse to a
-    tiny m·n_buckets-row table, the exclusive per-domain prefix over
+    tiny m·4096-row table, the exclusive per-domain prefix over
     THAT is a one-task window over KBs, and the offsets broadcast back.
     One broadcast cap join, one hash shuffle on (domain, bucket), one
     m-granular rollup, map-side combined."""

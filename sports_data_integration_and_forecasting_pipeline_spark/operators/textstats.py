@@ -960,7 +960,15 @@ def zipf_fit_stats(
     discipline): per fitted term, x = floor(ln(rank)·1e6 + .5) and
     y = floor(ln(count)·1e6 + .5) as 64-bit ints; the five OLS moments
     (Σx, Σy, Σxy, Σx², Σy²) are integer sums — associative, identical
-    across engines and partition orders (k ≤ 100 keeps k·Σxy < 2^63).
+    across engines and partition orders. Int64 headroom (r12 advice):
+    the binding moment is ``Σy²``, not ``Σxy`` — with counts up to C,
+    y ≤ floor(ln(C)·1e6) (~4.36e7 at C = 2^63), so k·y² at k = 100
+    reaches ~1.9e17·ln²(C)… concretely ~7.6e18 of the 9.2e18 ceiling
+    at C ≈ 1e12 per term and OVERFLOWS past C ≈ 1.4e13 per fitted
+    term (y ≥ 3.03e7). x is harmless (ln(100)·1e6 ≈ 4.6e6 → k·Σx²
+    ≤ 2.1e15). Operating bound: per-term counts must stay below ~1e13
+    — far past any real corpus slice (a single term occurring 1e13
+    times), but documented because non-ANSI Spark would wrap silently.
     The only float ops are one deterministic scalar division per group
     at the end, 6dp-floor-rounded.
 
@@ -1128,9 +1136,20 @@ def unigram_entropy_stats(
     bigint, associative, engine/partition-order identical; the only
     float ops are the final per-group divisions, 6dp-floor-rounded.
 
+    Int64 headroom (r12 advice): the group sum equals ``n·H·1e6``
+    (± n/2 micro-nat rounding slack), which approaches the int64
+    ceiling (~9.2e18) once a group holds ~1e12+ tokens at H ≈ 9-10
+    nats. Because ``H ≤ ln(vocab_size)``, the per-group bound
+    ``n·(ln(vocab)+1)·1e6 < 2^63`` is checkable from columns computed
+    OUTSIDE the risky sum, so groups past it DEGRADE to NULL entropy /
+    evenness (guard below) instead of wrapping silently in non-ANSI
+    Spark — the same posture as :func:`zipf_fit_stats`'s overflow note.
+
     Returns ``(group_col, n_tokens, vocab_size, entropy, evenness)``.
     Degenerate inputs DEGRADE: a single-term group has H = 0 exactly
-    and evenness NULL (ln(vocab) = 0 — never a division by zero).
+    and evenness NULL (ln(vocab) = 0 — never a division by zero);
+    a beyond-int64-headroom group (n·(ln(vocab)+1)·1e6 ≥ 2^63) has
+    entropy and evenness NULL.
 
     Scale shape: one token explode into a (group, term) count agg
     (map-side combined, vocabulary-granular), group totals broadcast
@@ -1163,13 +1182,21 @@ def unigram_entropy_stats(
         return F.floor(c * 1e6 + F.lit(0.5)) / 1e6
 
     h = F.col("__hsum").cast("double") / 1e6 / F.col("n")
+    # int64-headroom guard (docstring): __hsum ≤ n·(H·1e6 + 1) and
+    # H ≤ ln(vocab), so this double-side comparison certifies the bigint
+    # sum never wrapped; the comparison itself never overflows (double).
+    safe = (
+        F.col("n").cast("double")
+        * (F.log(F.col("vocab_size").cast("double")) + F.lit(1.0))
+        * F.lit(1e6)
+    ) < F.lit(float(2**63))
     return agg.select(
         group_col,
         F.col("n").alias("n_tokens"),
         "vocab_size",
-        _r6(h).alias("entropy"),
+        F.when(safe, _r6(h)).alias("entropy"),
         F.when(
-            F.col("vocab_size") > 1,
+            safe & (F.col("vocab_size") > 1),
             _r6(h / F.log(F.col("vocab_size").cast("double"))),
         ).alias("evenness"),
     )
