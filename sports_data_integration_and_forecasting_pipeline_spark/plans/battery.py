@@ -16135,33 +16135,72 @@ def mixture_cap_prefix_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tolerated — they join the window once registered.
 # ===========================================================================
 _WINDOW_PRIORITY = [
-    # SURVEY §2 core heads (r8 — the r7 verdict loosened the 20-slot
-    # core pin after seven consecutive green rounds: keep
-    # flagship_market_report plus ONE head per §2 family; the 7
-    # second-tier core slots — devig_power, arbitrage_scan,
-    # best_odds_report_join, lead_target_events, accuracy_metric,
-    # pricing_summary, json_props_rollup, all 7×-driver-green — yield
-    # to never-checked entries. Local oracle still checks them every
-    # pytest run.)
-    "devig_proportional",
-    "best_price_per_order",
-    "rolling_avg_events",
-    "odds_format_normalize",
-    "ev_battery",
-    "backtest_roi",
-    "snapshot_union",
-    "customer_order_rollup",
-    "topk_orders",
+    # r13 ROTATION (VERDICT r12 tasks 1+2, executed exactly per the
+    # pinned schedule below — "raise the churn": THIRTY-ONE slots
+    # turned over, the largest rotation yet, because at 17/round the
+    # 65-entry never-driver-checked backlog never cleared). OUT (31):
+    # the 13 multi-green §2 core anchors (devig_proportional,
+    # best_price_per_order, rolling_avg_events, odds_format_normalize,
+    # ev_battery, backtest_roi, snapshot_union, customer_order_rollup,
+    # topk_orders, nested_explode_flatten, event_sessionize,
+    # forecast_linear_ols, text_token_stats — every one 4-12×
+    # driver-green across r1-r12; the local DuckDB oracle still checks
+    # them on every pytest run, and flagship_market_report stays pinned
+    # as the §2 flagship) and the 18 r11-window first-timers, green in
+    # BOTH the r11 and r12 windows (text_bpe_encode,
+    # embed_ivfpq_precoded_topk, hybrid_rrf_fusion, text_distinct_ngrams,
+    # mixture_temperature_weights, pack_bpe_sequence_spans,
+    # dedup_incremental_winnow, embed_mmr_rerank, dedup_lsh_recall_audit,
+    # text_bpe_fertility, streaming_quality_filter, language_id_confusion,
+    # curation_pipeline_v4, curation_pipeline_v3, ewma_user_value,
+    # referential_integrity_audit, mad_outlier_events,
+    # ship_latency_by_priority). IN (31, all pre-swept green at sf0.01
+    # THIS round via tools/sweep_oracle.py, 31/31 ok — see the r13 note
+    # in the rotation schedule comment): the 13 r12 additions (held out
+    # of the r12 window per the standing convention, each also swept at
+    # sf0.001 AND sf0.01 on arrival) plus 18 backlog heads that have
+    # NEVER had a driver row. The 17 r12-window first-timers stay
+    # (once-green; rotate out in r14 when twice-green). 31 first-timers
+    # this window; cumulative driver coverage on a clean r13 =
+    # 184 + 31 = 215/249 pre-r13 entries.
     "flagship_market_report",
-    "nested_explode_flatten",
-    "event_sessionize",
-    "forecast_linear_ols",
-    # text analysis family (r9: kl_term_drift / text_bigram_perplexity
-    # / text_quality now twice+ driver-green — yield; token_stats stays
-    # as the family head; unigram perplexity rotates IN both as a
-    # first-timer and as the external adjudication of its r8 +100%
-    # bench swing)
-    "text_token_stats",
+    # r12 additions first (standing convention):
+    "ngram_novelty_audit",
+    "mixture_waterfill_caps",
+    "dedup_substring_coverage",
+    "mixture_cap_prefix_fill",
+    "text_zipf_fit",
+    "source_length_psi",
+    "embed_ivfpq_refine_topk",
+    "quality_gate_ablation",
+    "split_leakage_audit",
+    "curation_pipeline_v6",
+    "text_unigram_entropy_audit",
+    "embed_label_separation",
+    "pack_padding_waste_curve",
+    # never-driver-checked backlog heads (verdict-named tail first —
+    # abtest/cube/forward_fill/ohlc/rollup/grouping_sets — then one
+    # head per still-unchecked family: dedup clustering, embedding
+    # pooling/quantization, training-data plumbing, drift/audit pack,
+    # time-series gaps):
+    "abtest_proportion_ztest",
+    "cube_pricing",
+    "forward_fill_gaps",
+    "ohlc_hourly_bars",
+    "rollup_pricing",
+    "grouping_sets_pricing",
+    "dedup_cluster_assign",
+    "embed_mean_pool",
+    "training_shard_manifest",
+    "skew_key_report",
+    "mixture_sample_langs",
+    "embed_quantize_int8",
+    "leakage_safe_split",
+    "chi_square_drift",
+    "benford_first_digit_audit",
+    "fuzzy_name_match",
+    "monthly_active_users",
+    "event_gap_detection",
     # r11 ROTATION (VERDICT r10 task 1, executed exactly per the pinned
     # schedule): EIGHTEEN twice-or-more-driver-green slots rotated out —
     # text_unigram_perplexity (its r8 bench-swing adjudication is
@@ -16182,26 +16221,9 @@ _WINDOW_PRIORITY = [
     # rotating in). 18 out / 18 in; 18 first-timers. The 17 r10
     # first-timers stay (once-green; rotate out in r12 when twice-green).
     # dedup_shingle_jaccard stays pinned as the pairwise-dedup family
-    # head. r10 additions first:
-    "text_bpe_encode",
-    "embed_ivfpq_precoded_topk",
-    "hybrid_rrf_fusion",
-    "text_distinct_ngrams",
-    "mixture_temperature_weights",
-    "pack_bpe_sequence_spans",
-    "dedup_incremental_winnow",
-    "embed_mmr_rerank",
-    "dedup_lsh_recall_audit",
-    "text_bpe_fertility",
-    "streaming_quality_filter",
-    "language_id_confusion",
-    "curation_pipeline_v4",
-    # verdict-named backlog heads:
-    "curation_pipeline_v3",
-    "ewma_user_value",
-    "referential_integrity_audit",
-    "mad_outlier_events",
-    "ship_latency_by_priority",
+    # head. (The 18 r11-window first-timers this note rotated IN went
+    # twice-green at r12 and rotated OUT at r13 — see the r13 ROTATION
+    # note at the top of this list.)
     # r12 ROTATION (VERDICT r11 task 1, executed exactly per the pinned
     # schedule below): seventeen twice-driver-green slots rotated out —
     # the 17 r10 first-timers, green in BOTH the r10 and r11 windows
@@ -16469,8 +16491,34 @@ _WINDOW_PRIORITY = [
 #       rows-only, rc 0 (tools/sweep_oracle.py, local[8]; re-run after
 #       pack_padding_waste_curve landed — the earlier same-session run
 #       covered 248 at the same result).
-#   r13+: sweep any stragglers alphabetically until all entries have
-#       ≥1 driver row.
+#   r13: EXECUTED (see the r13 ROTATION note at the top of
+#       _WINDOW_PRIORITY) — 31 out / 31 in, the largest turnover yet
+#       (VERDICT r12 task 2: "raise the churn to >= 25 first-timers").
+#       OUT: the 13 multi-green §2 core anchors + the 18 twice-green
+#       r11-window first-timers. IN: the 13 r12 additions + 18
+#       never-checked backlog heads (abtest_proportion_ztest,
+#       cube_pricing, forward_fill_gaps, ohlc_hourly_bars,
+#       rollup_pricing, grouping_sets_pricing, dedup_cluster_assign,
+#       embed_mean_pool, training_shard_manifest, skew_key_report,
+#       mixture_sample_langs, embed_quantize_int8, leakage_safe_split,
+#       chi_square_drift, benford_first_digit_audit, fuzzy_name_match,
+#       monthly_active_users, event_gap_detection). EVERY in-name
+#       re-swept green at sf0.01 THIS round before rotating in
+#       (tools/sweep_oracle.py, 31/31 ok — the four operators touched
+#       by the r12 ADVICE fixes re-swept after the fix commit).
+#   BACKLOG SCHEDULE TO 249/249 (VERDICT r12 task 2's written plan;
+#       never-driver-checked count was 65 entering r13):
+#       - r13 window confirms 31 first-timers -> backlog 34 of the 249
+#         pre-r13 entries (plus the handful of r13 additions, held out
+#         per the standing convention). Cumulative 215/249.
+#       - r14: the 17 r12-window first-timers go twice-green on a clean
+#         r13 -> rotate them out; in-list = the r13 additions (front)
+#         + ~13 backlog heads. Cumulative ~232/249; backlog ~21.
+#       - r15: the 31 r13-window first-timers go twice-green -> rotate
+#         out; 31 slots take the ENTIRE remaining backlog (~21 + the
+#         r14 additions). Cumulative = 100% of every entry registered
+#         through r14 — 249/249 of today's battery.
+#       Keep battery growth <= 6/round (task 3) so r15 closes the gap.
 # ===========================================================================
 
 
