@@ -365,13 +365,26 @@ def drift_corrected(
     return out
 
 
-def compact_bench_line(base: dict, timings: dict, budget: int = 1800) -> str:
+def compact_bench_line(
+    base: dict,
+    timings: dict,
+    budget: int = 1800,
+    corrected: dict | None = None,
+) -> str:
     """Render the stdout bench line: ``base`` plus the slowest queries
     that fit in ``budget`` chars, the rest rolled up into
     ``queries_omitted``/``queries_omitted_sec``. The loop ends at keep=0
     (no per-query detail at all), so the line fits the driver's ~2000-char
     tail capture at ANY battery size — unit-tested with a 250-name fake
-    registry (r6 review task 6)."""
+    registry (r6 review task 6).
+
+    When ``corrected`` (the drift-corrected per-query seconds) is given,
+    the SAME kept names also ride as ``queries_drift_corrected`` (r12
+    review task 5: the driver-captured line used to carry raw times
+    only, so an external reader of a drift-flagged round had no way to
+    correct them; halving the kept-name count is the accepted cost —
+    every name still appears in the full line on stderr and
+    BENCH.local.json)."""
     by_cost = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
     line = None
     for keep in range(len(by_cost), -1, -1):
@@ -380,6 +393,16 @@ def compact_bench_line(base: dict, timings: dict, budget: int = 1800) -> str:
         if omitted:
             obj["queries_omitted"] = len(omitted)
             obj["queries_omitted_sec"] = round(sum(v for _, v in omitted), 3)
+        if corrected is not None:
+            obj["queries_drift_corrected"] = {
+                name: corrected[name]
+                for name, _ in sorted(by_cost[:keep])
+                if name in corrected
+            }
+            if omitted:
+                obj["queries_omitted_corrected_sec"] = round(
+                    sum(corrected.get(n, v) for n, v in omitted), 3
+                )
         line = json.dumps(obj, separators=(",", ":"))
         if len(line) <= budget:
             break
@@ -608,6 +631,7 @@ def main() -> None:
                 "sf": sf_val,
             },
             timings,
+            corrected=corrected,
         ),
         flush=True,
     )

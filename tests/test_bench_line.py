@@ -54,6 +54,34 @@ def test_compact_line_fits_at_250_entries():
     assert dropped_max <= floor_kept
 
 
+def test_compact_line_carries_corrected_column():
+    """r13 (r12 review task 5): with a corrected dict the compact line
+    carries queries_drift_corrected for the SAME kept names, an
+    omitted-corrected rollup, and still fits the budget at 250 names."""
+    timings = _fake_timings(250)
+    corrected = {k: round(v * 0.9, 3) for k, v in timings.items()}
+    line = compact_bench_line(BASE, timings, corrected=corrected)
+    assert len(line) <= 1800
+    obj = json.loads(line)
+    kept = obj["queries"]
+    corr = obj["queries_drift_corrected"]
+    assert set(corr) == set(kept)
+    assert all(corr[k] == corrected[k] for k in corr)
+    # both rollups account for every dropped second in their own column
+    assert abs(
+        sum(kept.values()) + obj["queries_omitted_sec"]
+        - sum(timings.values())
+    ) < 0.01
+    assert abs(
+        sum(corr.values()) + obj["queries_omitted_corrected_sec"]
+        - sum(corrected.values())
+    ) < 0.01
+    # no corrected dict -> no corrected keys (legacy shape preserved)
+    legacy = json.loads(compact_bench_line(BASE, timings))
+    assert "queries_drift_corrected" not in legacy
+    assert "queries_omitted_corrected_sec" not in legacy
+
+
 def test_compact_line_degrades_to_zero_queries_under_tiny_budget():
     timings = _fake_timings(50)
     line = compact_bench_line(BASE, timings, budget=300)
