@@ -268,6 +268,9 @@ HEADLINE = [
     "text_unigram_entropy_audit",
     "embed_label_separation",
     "pack_padding_waste_curve",
+    # r13 additions (probed on arrival — SCALING.md round-13)
+    "embed_contamination_audit",
+    "text_bpe_vocab_coverage",
     # streaming_* entries (incl. streaming_incremental_rollup) excluded:
     # they stage snapshot files per call
     # (measured by their oracle-checked correctness runs instead).
@@ -279,6 +282,9 @@ HEADLINE = [
     # fit / loop-until-fixpoint / pointer-doubling / level-per-round
     # recursion / per-round checkpointed peeling — wall time is dominated
     # by scheduling, not the operators under test.
+    # dedup_cluster_soft_weights excluded for the same reason (its CC
+    # fixpoint is the dedup_cluster_assign loop; the weight window it
+    # adds is one exchange, covered by the plan pin).
     # dedup_shingle_jaccard_all excluded: the exhaustive enumerator kept
     # as the prefix-filtered entry's oracle twin — benching both would
     # double-count the same corpus pass.
@@ -315,6 +321,9 @@ BUILDER_DOES_CLUSTER_WORK = {
     # r12: v6 localCheckpoints the dedup-survivor set (the stage
     # boundary) — the gate + pair join run eagerly inside fn()
     "curation_pipeline_v6",
+    # r13: the vocab-coverage audit runs the same checkpointed BPE
+    # induction rounds as text_bpe_encode
+    "text_bpe_vocab_coverage",
 }
 
 

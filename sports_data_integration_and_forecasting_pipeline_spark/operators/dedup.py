@@ -1793,6 +1793,56 @@ def soft_dedup_weights(
     )
 
 
+def near_dup_soft_weights(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """NEAR-dup soft dedup — duplication-aware loss weights at cluster
+    granularity (SoftDedup, He et al. 2024 arXiv:2407.04964; public):
+    where :func:`soft_dedup_weights` down-weights exact md5 copies only,
+    this composes the SimHash near-dup pair graph with connected
+    components so NEAR-duplicate content (boilerplate variants, light
+    edits) shares one document's worth of gradient too — every doc stays
+    in the corpus with weight 1/|cluster|, keeping ordering/packing
+    pipelines untouched while removing the duplicated-content bias hard
+    near-dup dedup would fix by dropping rows.
+
+    Composition (both pieces established here): ``simhash_pairs``
+    (banded 60-bit SimHash, Hamming ≤ ``max_hamming``) →
+    :func:`connected_components` (min-label propagation — transitive
+    closure, so A~B~C weights all three 1/3 even when A,C never pair) →
+    one window count over the cluster partitioning. Weights are integer
+    micro-units (``1_000_000 DIV cluster_size``) so they hash-match the
+    oracle exactly — the :func:`soft_dedup_weights` convention.
+
+    Returns ``(id_col, cluster_id, cluster_size, weight_e6)`` — one row
+    per input doc. Degenerate inputs DEGRADE: an unpaired doc is its own
+    singleton cluster (weight exactly 1e6); an empty corpus yields an
+    empty result, never an error.
+
+    Scale shape: the pair join is banded (never all-pairs); CC runs
+    O(diameter) rounds of join+agg with ``localCheckpoint`` lineage
+    truncation (dedup clusters are small and dense, so diameter is
+    tiny); the final count is ONE window over the cluster-id shuffle —
+    no corpus-sized join beyond the labels themselves."""
+    edges = simhash_pairs(
+        df.select(id_col, text_col), max_hamming=max_hamming
+    ).select("id_a", "id_b")
+    labels = connected_components(edges, df, node_col=id_col)
+    w = Window.partitionBy("cluster_id")
+    return (
+        labels.withColumn(
+            "cluster_size", F.count("*").over(w).cast("bigint")
+        )
+        .withColumn(
+            "weight_e6", F.expr("1000000 DIV cluster_size").cast("bigint")
+        )
+        .select(id_col, "cluster_id", "cluster_size", "weight_e6")
+    )
+
+
 def substring_duplication_coverage(
     df: DataFrame,
     k: int = 8,

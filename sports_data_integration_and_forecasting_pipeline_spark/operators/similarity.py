@@ -853,3 +853,79 @@ def label_centroid_separation(
             .alias("frac_separated_e6"),
         )
     )
+
+
+def embedding_contamination_audit(
+    emb_df: DataFrame,
+    bench_pred: Column,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_expr=None,
+) -> DataFrame:
+    """Embedding-space benchmark contamination audit — the SEMANTIC twin
+    of the n-gram check (:func:`~.decontam.benchmark_contamination`):
+    n-gram decontam misses paraphrased or lightly-reworded benchmark
+    leakage, so production decontamination ALSO screens the training
+    corpus by embedding proximity to the benchmark set (the
+    cosine-similarity decontamination step described openly in e.g. the
+    GPT-3 appendix and the Dolma/RedPajama curation reports; public
+    methodology). Rows matching ``bench_pred`` are the benchmark;
+    everything else is training corpus; a training vector within
+    ``threshold`` cosine of a benchmark vector is flagged.
+
+    Returns one row per benchmark vector: ``(bench_id, n_flagged,
+    max_cosine, nearest_id)`` — the contamination count at the
+    threshold, the closest-approach cosine, and the nearest training
+    vector (ties broken by min id — the determinism discipline).
+    Degenerate inputs DEGRADE: a zero-norm vector on either side scores
+    NULL cosine and drops from max/nearest/count; a benchmark vector
+    with NO valid cosine reports n_flagged 0, max_cosine NULL,
+    nearest_id NULL — never a division by zero.
+
+    Scale shape: the benchmark side is bounded (a benchmark suite, not
+    a corpus) and BROADCASTS onto one scan of the training corpus — the
+    corpus never shuffles for the scoring; the per-bench aggregate +
+    argmax run in ONE window partitioning on bench_id over the
+    |bench|·N scored rows (count/max as unordered window aggregates,
+    the nearest row by row_number over the same exchange). At 100 TB
+    this is the same shape as :func:`cosine_topk`: embarrassingly
+    parallel scoring, then a bench-bounded shuffle."""
+    e = _prepared(emb_df, id_col, vec_col)
+    q = e.filter(bench_pred).select(
+        F.col(id_col).alias("bench_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    c = e.filter(~bench_pred)
+    raw = dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    cos = F.when((F.col("qn") > 0) & (F.col("nrm") > 0), raw)
+    cos = round_expr(cos) if round_expr is not None else cos
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "bench_id", F.col(id_col).alias("cand_id"), cos.alias("cosine")
+    )
+    wagg = Window.partitionBy("bench_id")
+    word = Window.partitionBy("bench_id").orderBy(
+        F.col("cosine").desc_nulls_last(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn(
+            "n_flagged",
+            F.sum(
+                F.when(F.col("cosine") >= F.lit(threshold), 1).otherwise(0)
+            )
+            .over(wagg)
+            .cast("bigint"),
+        )
+        .withColumn("max_cosine", F.max("cosine").over(wagg))
+        .withColumn("__rn", F.row_number().over(word))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "bench_id",
+            "n_flagged",
+            "max_cosine",
+            F.when(F.col("cosine").isNotNull(), F.col("cand_id")).alias(
+                "nearest_id"
+            ),
+        )
+    )

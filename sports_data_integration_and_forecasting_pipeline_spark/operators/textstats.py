@@ -1200,3 +1200,104 @@ def unigram_entropy_stats(
             _r6(h / F.log(F.col("vocab_size").cast("double"))),
         ).alias("evenness"),
     )
+
+
+def bpe_vocab_coverage_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+    rounds: int = 3,
+) -> DataFrame:
+    """Tokenizer-vocabulary OOV/coverage audit per group — the
+    vocabulary-health report a team runs before committing to a
+    tokenizer (Sennrich et al. ACL 2016 fallback accounting; public):
+    classify every corpus word by how the learned BPE vocabulary
+    segments it and report, per group, both TYPE (distinct-word) and
+    OCCURRENCE (token-weighted) coverage:
+
+    - **whole** — the word encodes to ONE symbol (fully in-vocab; the
+      zero-fertility ideal),
+    - **fallback** — multi-symbol AND every symbol is a single char (no
+      merge touched it: the char-level analogue of byte-fallback OOV —
+      an undertrained vocabulary for that group shows up here first),
+    - everything else is partially merged (counted implicitly:
+      ``1e6 − whole − fallback`` in each basis).
+
+    Where :func:`bpe_fertility_stats` reads tokens-per-word RATIOS,
+    this reads word-CLASS shares — a language can have healthy average
+    fertility while 20% of its distinct words are pure char fallback.
+
+    Returns one row per group: ``(group_col, n_types, n_occurrences,
+    whole_type_e6, fallback_type_e6, whole_occ_e6, fallback_occ_e6)``
+    in exact integer micro-units. Degenerate inputs DEGRADE: a group
+    with no non-empty words is absent (the ``bpe_encode_stats``
+    convention); n_types ≥ 1 whenever a group appears, so the ratios
+    never divide by zero.
+
+    Scale shape: the corpus is touched twice — once into the
+    word-frequency table that drives induction, once into a
+    (group, word) occurrence count (map-side combined, then
+    vocabulary-granular). Word classes live on the DISTINCT-word
+    segmentation stats; the (group, word) table joins them on the word
+    equi-key (an honest hash join — the ``bpe_encode_stats`` note: the
+    distinct-word universe is NOT provably broadcast-bounded); the
+    final rollup is group-granular."""
+    _, segmented = _bpe_rounds(df, text_col=text_col, rounds=rounds)
+    word_stats = segmented.groupBy("word").agg(
+        F.count("*").cast("bigint").alias("__n_toks"),
+        F.sum((F.length("sym") == 1).cast("int"))
+        .cast("bigint")
+        .alias("__n_single"),
+    )
+    gw = (
+        df.select(
+            F.col(group_col),
+            F.explode(_tokens(F.col(text_col))).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .groupBy(group_col, "word")
+        .agg(F.count("*").cast("bigint").alias("__occ"))
+    )
+    classed = gw.join(word_stats, "word").select(
+        group_col,
+        "__occ",
+        (F.col("__n_toks") == 1).cast("int").alias("__whole"),
+        (
+            (F.col("__n_toks") > 1)
+            & (F.col("__n_single") == F.col("__n_toks"))
+        )
+        .cast("int")
+        .alias("__fb"),
+    )
+    return (
+        classed.groupBy(group_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_types"),
+            F.sum("__occ").cast("bigint").alias("n_occurrences"),
+            F.sum("__whole").cast("bigint").alias("__wt"),
+            F.sum("__fb").cast("bigint").alias("__ft"),
+            F.sum(F.col("__whole") * F.col("__occ"))
+            .cast("bigint")
+            .alias("__wo"),
+            F.sum(F.col("__fb") * F.col("__occ"))
+            .cast("bigint")
+            .alias("__fo"),
+        )
+        .select(
+            group_col,
+            "n_types",
+            "n_occurrences",
+            F.expr("1000000 * __wt div n_types")
+            .cast("bigint")
+            .alias("whole_type_e6"),
+            F.expr("1000000 * __ft div n_types")
+            .cast("bigint")
+            .alias("fallback_type_e6"),
+            F.expr("1000000 * __wo div n_occurrences")
+            .cast("bigint")
+            .alias("whole_occ_e6"),
+            F.expr("1000000 * __fo div n_occurrences")
+            .cast("bigint")
+            .alias("fallback_occ_e6"),
+        )
+    )

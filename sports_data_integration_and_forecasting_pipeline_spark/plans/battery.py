@@ -16119,6 +16119,180 @@ def mixture_cap_prefix_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Round-13 additions (VERDICT r12 task 3 — the three verdict-named gap
+# fillers, capped below rotation throughput). Held OUT of the r13
+# driver window per the standing convention — front of the r14 in-list.
+# ===========================================================================
+
+
+@_register(
+    "dedup_cluster_soft_weights",
+    f"""
+    WITH RECURSIVE {_SIMHASH60_CTE},
+    bands AS (
+      SELECT doc_id, simhash60, b AS band,
+             (simhash60 >> (15 * b)) & 32767 AS nib
+      FROM sim60 CROSS JOIN (VALUES (0), (1), (2), (3)) t(b)
+    ),
+    edges AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.nib = b.nib
+                               AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash60, b.simhash60)) <= 3
+    ),
+    sym AS (
+      SELECT id_a AS n, id_b AS m FROM edges
+      UNION ALL SELECT id_b, id_a FROM edges
+    ),
+    comp(n, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT s.n, c.label FROM comp c JOIN sym s ON s.m = c.n
+    ),
+    lab AS (SELECT n AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+            FROM comp GROUP BY n)
+    SELECT doc_id, cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+             AS cluster_size,
+           CAST(1000000 // count(*) OVER (PARTITION BY cluster_id)
+                AS BIGINT) AS weight_e6
+    FROM lab
+    """,
+    "dedup: NEAR-dup soft weights — cluster-granular 1/|cluster| loss "
+    "weights (SoftDedup, He et al. 2024 arXiv:2407.04964; no reference "
+    "counterpart)",
+    "the exact-dup soft-weight idea lifted to near-dup granularity: "
+    "SimHash banded pairs -> connected components (transitive closure, "
+    "so A~B~C all weight 1/3 even when A,C never pair) -> one window "
+    "count over the cluster partitioning; singleton docs keep weight "
+    "exactly 1e6 — oracle is the recursive-CTE fixpoint plus the same "
+    "window",
+)
+def dedup_cluster_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
+        near_dup_soft_weights,
+    )
+
+    return near_dup_soft_weights(
+        _t(spark, sf_dir, "documents"), max_hamming=3
+    )
+
+
+# Embedding-space contamination threshold: calibrated to the synthetic
+# embedding cosine distribution (bench-vs-train cosines top out ~0.43
+# at sf0.001 / ~0.49 at sf0.01 with p99 ~0.29, measured via DuckDB), so
+# 0.30 yields a non-degenerate flag count at every test scale. A real
+# deployment with a trained encoder runs 0.9+; the threshold is a
+# parameter of the operator, not a constant.
+_EMB_CONTAM_THRESHOLD = 0.30
+
+
+@_register(
+    "embed_contamination_audit",
+    f"""
+    WITH {_emb_norm_cte()},
+    q AS (SELECT * FROM nv WHERE vec_id < 20),
+    c AS (SELECT * FROM nv WHERE vec_id >= 20),
+    scored AS (
+      SELECT q.vec_id AS bench_id, c.vec_id AS cand_id,
+             CASE WHEN q.nrm > 0 AND c.nrm > 0
+                  THEN {_sql_r(_COS_SQL, 6)} END AS cosine
+      FROM q CROSS JOIN c
+    ),
+    agg AS (
+      SELECT bench_id,
+             CAST(sum(CASE WHEN cosine >= {_EMB_CONTAM_THRESHOLD}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+             max(cosine) AS max_cosine
+      FROM scored GROUP BY bench_id
+    ),
+    best AS (
+      SELECT bench_id, cand_id, cosine,
+             row_number() OVER (PARTITION BY bench_id
+                                ORDER BY cosine DESC NULLS LAST, cand_id)
+               AS rn
+      FROM scored
+    )
+    SELECT a.bench_id, a.n_flagged, a.max_cosine,
+           CASE WHEN b.cosine IS NOT NULL THEN b.cand_id END AS nearest_id
+    FROM agg a JOIN best b ON a.bench_id = b.bench_id AND b.rn = 1
+    """,
+    "similarity: embedding-space benchmark contamination audit — the "
+    "semantic twin of the n-gram decontam pair (GPT-3 appendix / "
+    "Dolma-style cosine decontamination; no reference counterpart)",
+    "bench side (vec_id < 20) broadcasts onto ONE train-corpus scan "
+    "(the corpus never shuffles for scoring); per-bench count/max/argmax "
+    "run in one bench_id window partitioning; zero-norm vectors score "
+    "NULL cosine and drop from count/max/nearest (degenerate "
+    "discipline)",
+)
+def embed_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.similarity import (
+        embedding_contamination_audit,
+    )
+
+    return embedding_contamination_audit(
+        _t(spark, sf_dir, "embeddings"),
+        bench_pred=F.col("vec_id") < 20,
+        threshold=_EMB_CONTAM_THRESHOLD,
+        round_expr=lambda c: _r(c, 6),
+    )
+
+
+@_register(
+    "text_bpe_vocab_coverage",
+    f"""
+    WITH {_BPE_CTES},
+    enc AS (SELECT word,
+                   CAST(count(*) AS BIGINT) AS n_toks,
+                   CAST(sum(CASE WHEN length(sym) = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_single
+            FROM s{_BPE_ROUNDS} GROUP BY word),
+    gw AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS occ
+           FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+                 FROM documents)
+           WHERE word <> '' GROUP BY lang, word),
+    cl AS (SELECT lang, occ,
+                  CASE WHEN n_toks = 1 THEN 1 ELSE 0 END AS wt,
+                  CASE WHEN n_toks > 1 AND n_single = n_toks
+                       THEN 1 ELSE 0 END AS fb
+           FROM gw JOIN enc USING (word)),
+    a AS (SELECT lang,
+                 CAST(count(*) AS BIGINT) AS n_types,
+                 CAST(sum(occ) AS BIGINT) AS n_occurrences,
+                 CAST(sum(wt) AS BIGINT) AS wtypes,
+                 CAST(sum(fb) AS BIGINT) AS ftypes,
+                 CAST(sum(wt * occ) AS BIGINT) AS wocc,
+                 CAST(sum(fb * occ) AS BIGINT) AS focc
+          FROM cl GROUP BY lang)
+    SELECT lang, n_types, n_occurrences,
+           CAST(1000000 * wtypes // n_types AS BIGINT) AS whole_type_e6,
+           CAST(1000000 * ftypes // n_types AS BIGINT) AS fallback_type_e6,
+           CAST(1000000 * wocc // n_occurrences AS BIGINT) AS whole_occ_e6,
+           CAST(1000000 * focc // n_occurrences AS BIGINT)
+             AS fallback_occ_e6
+    FROM a
+    """,
+    "textops: tokenizer-vocabulary OOV/coverage audit per language — "
+    "word-CLASS shares under the learned BPE segmentation (Sennrich et "
+    "al. ACL 2016 fallback accounting; no reference counterpart)",
+    "whole-word (1 symbol) vs pure char-fallback (no merge touched it) "
+    "classes on the DISTINCT-word segmentation, reported in both TYPE "
+    "and OCCURRENCE bases per language — the health axis fertility's "
+    "ratios can't see; same learned merges as text_bpe_encode, word "
+    "equi-key join (honest hash join, never a broadcast assumption)",
+)
+def text_bpe_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import (
+        bpe_vocab_coverage_stats,
+    )
+
+    return bpe_vocab_coverage_stats(
+        _t(spark, sf_dir, "documents"), rounds=_BPE_ROUNDS
+    )
+
+
+# ===========================================================================
 # Driver-window curation (round-2 review directive). The external
 # correctness gate hard-caps its run at the FIRST 50 registered entries
 # (registration-order prefix, observed in rounds 1-2) — it cannot check
@@ -16506,6 +16680,16 @@ _WINDOW_PRIORITY = [
 #       re-swept green at sf0.01 THIS round before rotating in
 #       (tools/sweep_oracle.py, 31/31 ok — the four operators touched
 #       by the r12 ADVICE fixes re-swept after the fix commit).
+#   r13 addendum: THREE r13 additions (dedup_cluster_soft_weights,
+#       embed_contamination_audit, text_bpe_vocab_coverage — the three
+#       verdict-named gap fillers, growth capped per task 3) are each
+#       swept green at sf0.001 AND sf0.01 on arrival and held OUT of
+#       the r13 window (standing convention) — front of the r14
+#       in-list. Each arrived with degenerate-input property tests
+#       (tests/test_properties_round13.py), a plan pin, bench slots
+#       (dedup_cluster_soft_weights bench-excluded per the iterative
+#       cluster-family rule, documented in bench.py), and sf0.01→sf0.1
+#       probes (SCALING.md §Round-13 probes).
 #   BACKLOG SCHEDULE TO 249/249 (VERDICT r12 task 2's written plan;
 #       never-driver-checked count was 65 entering r13):
 #       - r13 window confirms 31 first-timers -> backlog 34 of the 249

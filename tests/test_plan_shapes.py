@@ -574,6 +574,24 @@ PINNED = {
     # explode (not a 3-way union re-scanning the corpus), one
     # map-side-combined agg to 3 rows — the ablation shape
     "pack_padding_waste_curve": (1, ["Generate"], ["Union", "Join", "Window", "CartesianProduct", "SortMergeJoin", "BatchEvalPython", "MapInPandas"]),
+    # --- r13 additions (budgets measured at sf0.001, stripped text) ---
+    # near-dup soft weights: the CC fixpoint materializes via
+    # localCheckpoint INSIDE fn() (Scan ExistingRDD in the final plan —
+    # the banded pair join + per-round join/agg shuffles are spent
+    # before this plan runs); the weight layer itself is ONE window
+    # over the cluster-id shuffle
+    "dedup_cluster_soft_weights": (1, ["Window", "Scan ExistingRDD"], ["CartesianProduct", "SortMergeJoin", "BatchEvalPython", "MapInPandas"]),
+    # contamination: bounded bench side broadcasts onto one corpus scan
+    # (BroadcastNestedLoopJoin IS the broadcast cross — never a
+    # CartesianProduct); count/max/argmax share the bench_id window
+    # partitioning, rn==1 pushes down as WindowGroupLimit
+    "embed_contamination_audit": (2, ["WindowGroupLimit", "BroadcastNestedLoopJoin"], ["CartesianProduct", "SortMergeJoin", "BatchEvalPython", "MapInPandas"]),
+    # vocab coverage: the BPE induction rounds are checkpointed inside
+    # fn() (the text_bpe_encode convention); the audit layer is the
+    # (lang, word) occurrence agg joined to word-granular class stats
+    # on the word equi-key (AQE broadcasts while the vocab measures
+    # small, degrades to a shuffle join at scale), one lang rollup
+    "text_bpe_vocab_coverage": (4, ["Generate", "BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin", "BatchEvalPython", "MapInPandas"]),
 }
 
 
