@@ -16690,6 +16690,11 @@ _WINDOW_PRIORITY = [
 #       (dedup_cluster_soft_weights bench-excluded per the iterative
 #       cluster-family rule, documented in bench.py), and sf0.01→sf0.1
 #       probes (SCALING.md §Round-13 probes).
+#   End-of-r13 standing-protocol sweep: the FINAL 252-entry battery in
+#       ONE run at sf0.01 — 250 hash-ok + the same 2 by-design
+#       rows-only (forecast_random_forest, misra_gries_heavy_hitters),
+#       rc 0 (tools/sweep_oracle.py, local[8]; after the r13 additions
+#       and the r12 ADVICE fixes).
 #   BACKLOG SCHEDULE TO 249/249 (VERDICT r12 task 2's written plan;
 #       never-driver-checked count was 65 entering r13):
 #       - r13 window confirms 31 first-timers -> backlog 34 of the 249
