@@ -138,8 +138,12 @@ PINNED = {
     # exploded index and the df-annotated/ranked index) whose lineages
     # reprint under every InMemoryTableScan reference, inflating the
     # textual count far beyond the executed exchanges (~6); the bound is
-    # the measured textual ceiling, the structural asserts are the signal
-    "dedup_shingle_jaccard":  (40, ["LeftAnti"],            ["CartesianProduct", "SortMergeJoin"]),
+    # the measured textual ceiling, the structural asserts are the signal.
+    # r13 variance fix (VERDICT r12 task 4): the candidate stage's
+    # prefix-index SELF-JOIN became a posting-list groupBy + JVM-side
+    # i<j enumeration — two hash exchanges of the prefix index collapse
+    # to one, textual ceiling measured 40 → 30 (pinned 32).
+    "dedup_shingle_jaccard":  (32, ["LeftAnti"],            ["CartesianProduct", "SortMergeJoin"]),
     # the exhaustive enumerator keeps the r3 shape
     # r8: +6 textual budget — the codegen lead-window shingle pass adds
     # one real doc-granular exchange whose lineage the persist echoes
