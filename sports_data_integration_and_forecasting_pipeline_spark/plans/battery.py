@@ -1222,6 +1222,15 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # between entries. The entry's plan is unchanged since r8 (diff clean);
 # its prefix-filter shuffle makes it the most scheduling-spike-sensitive
 # dedup entry. Host variance, not a plan defect — no action.
+# r13 (VERDICT r12 task 4 — the fourth consecutive adjudication round
+# for this entry): variance reduced STRUCTURALLY — the candidate
+# stage's prefix-index self-join became a posting-list groupBy +
+# JVM-side i<j enumeration (operators/dedup.py), dropping one hash
+# exchange and the shuffled hash join; interleaved A/B measured the
+# within-session band 3.98x -> 1.35x (SCALING.md r13 section). The
+# oracle below still STATES the candidate stage as the equivalent
+# self-join — DISTINCT pairs are identical either way, and the driver
+# hash-checks the output contract, not the physical strategy.
 @_register(
     "dedup_shingle_jaccard",
     f"""

@@ -559,7 +559,9 @@ PINNED = {
     # (dedup_shingle_jaccard pins 40) + the two single-row audit aggs
     # crossed broadcast-side — the audit layer itself adds ~2 real
     # exchanges, the rest is the pair join's cache-echo inflation
-    "split_leakage_audit": (42, ["InMemoryTableScan"], ["CartesianProduct", "SortMergeJoin", "BatchEvalPython", "MapInPandas"]),
+    # r13: 42 -> 34 measured after the shingle-jaccard posting-list
+    # candidate stage (the audit embeds that pair join); pinned 36
+    "split_leakage_audit": (36, ["InMemoryTableScan"], ["CartesianProduct", "SortMergeJoin", "BatchEvalPython", "MapInPandas"]),
     # v6: gate + pair join run once into the localCheckpointed survivor
     # set (the materialized stage boundary — 261 textual exchanges
     # without it); downstream is the waterfill solve + cap fill over
