@@ -271,3 +271,25 @@ def test_vocab_coverage_classes_partition_and_bounds(spark):
             assert 0 <= r[c] <= 1_000_000
         assert r["whole_type_e6"] + r["fallback_type_e6"] <= 1_000_000
         assert r["whole_occ_e6"] + r["fallback_occ_e6"] <= 1_000_000
+
+
+def test_prefix_pairs_posting_list_at_hot_cap_boundary(spark):
+    """r13 candidate-stage rewrite (posting-list groupBy + i<j
+    enumeration): a shingle shared by EXACTLY ``max_df`` docs survives
+    the hot cap and its full-size posting list must enumerate all
+    C(m,2) pairs; one doc past the cap drops the shingle entirely and
+    every pair with it."""
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
+        shingle_jaccard_prefix_pairs,
+    )
+
+    rows = [(i, "alpha beta gamma delta") for i in range(6)]  # df == cap
+    rows += [(100 + i, "pq rs tu vw") for i in range(8)]  # df > cap
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in shingle_jaccard_prefix_pairs(df, max_df=6).collect()
+    }
+    want = {(a, b) for a in range(6) for b in range(a + 1, 6)}
+    assert set(got) == want  # all 15 at-cap pairs, zero past-cap pairs
+    assert all(j == 1.0 for j in got.values())  # identical docs
