@@ -282,10 +282,9 @@ def shingle_jaccard_prefix_pairs(
     so no executor ever materializes a hot shingle's full posting list)
     → df equi-join annotates survivors (reuses the aggregate's
     partitioning) → per-doc rank/size window (one shuffle on doc) → the
-    PREFIX index is folded into per-shingle POSTING LISTS (one groupBy,
-    each list ≤ ``max_df`` ids) whose within-list i<j enumeration emits
-    candidates JVM-side — exactly C(m,2) pairs per shingle, no self-join
-    — → verification joins each distinct pair back to the per-doc shingle
+    PREFIX index self-join meets candidates — its posting lists are a
+    small fraction of the full index's, so candidate volume collapses —
+    → verification joins each distinct pair back to the per-doc shingle
     arrays and computes the exact intersection. Exactness: identical to
     :func:`shingle_jaccard_pairs` output filtered to the threshold
     (property-tested in tests/test_dedup.py).
@@ -330,36 +329,21 @@ def shingle_jaccard_prefix_pairs(
         + F.lit(1)
     )
     pref = sized.filter(F.col("rk") <= plen).select(id_col, "sh")
-    # r13 variance fix (VERDICT r12 task 4): pre-aggregate each prefix
-    # shingle's posting list BEFORE pair generation instead of the
-    # row-level self-join. One groupBy replaces the join's TWO hash
-    # exchanges of the prefix index, and within-list pair generation is
-    # JVM-side higher-order-function math emitting exactly C(m,2)
-    # ordered pairs per shingle — the self-join materialized m² rows
-    # per key (self-pairs and reversed pairs filtered afterwards),
-    # double the work on exactly the hottest keys, and its shuffled
-    # hash join was the measured source of this entry's ±3×
-    # scheduling-sensitive band (r10–r13 adjudications). Posting lists
-    # are bounded by the hot cap (df ≤ ``max_df``), so no collect_list
-    # ever exceeds ``max_df`` ids; ids within a list are distinct
-    # (the index is distinct by construction) and sorted ascending, so
-    # strict i<j enumeration yields id_a < id_b directly.
-    posts = (
-        pref.groupBy("sh")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
-        .filter(F.size("ids") >= 2)
-    )
+    # r13: a posting-list candidate stage (groupBy(sh) → collect_list →
+    # JVM-side i<j enumeration) was built, verified output-identical,
+    # and REJECTED on measurement: the cold-run band tightened 3.98× →
+    # 1.35×, but bench-style warm runs cost +0.6 s (1.35 → 1.9 s) and
+    # the 252-entry battery context amplified the collect_list buffers'
+    # heap-pressure sensitivity to ~3× (4.16 s vs 1.38 s in-battery,
+    # dragging split_leakage_audit 1.57 → 4.17 s with it). The
+    # self-join stays: its per-run variance is scheduling noise, not a
+    # plan defect, and it is the fastest measured form where the bench
+    # actually runs. Full A/B tables in SCALING.md (r13 section).
     cand = (
-        posts.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (a, i) -> "
-                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
-                    "b -> struct(a AS id_a, b AS id_b))))"
-                )
-            ).alias("p")
-        )
-        .select("p.id_a", "p.id_b")
+        pref.select(F.col(id_col).alias("id_a"), "sh")
+        .join(pref.select(F.col(id_col).alias("id_b"), "sh"), "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     # per-doc surviving shingle arrays for exact verification (reuses the

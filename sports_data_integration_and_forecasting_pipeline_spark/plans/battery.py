@@ -1223,14 +1223,17 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # its prefix-filter shuffle makes it the most scheduling-spike-sensitive
 # dedup entry. Host variance, not a plan defect — no action.
 # r13 (VERDICT r12 task 4 — the fourth consecutive adjudication round
-# for this entry): variance reduced STRUCTURALLY — the candidate
-# stage's prefix-index self-join became a posting-list groupBy +
-# JVM-side i<j enumeration (operators/dedup.py), dropping one hash
-# exchange and the shuffled hash join; interleaved A/B measured the
-# within-session band 3.98x -> 1.35x (SCALING.md r13 section). The
-# oracle below still STATES the candidate stage as the equivalent
-# self-join — DISTINCT pairs are identical either way, and the driver
-# hash-checks the output contract, not the physical strategy.
+# for this entry): the suggested structural variance fix (posting-list
+# groupBy + JVM-side i<j enumeration replacing the prefix self-join)
+# was BUILT, verified output-identical at both sweep scales, and then
+# REJECTED on measurement: cold-run band 3.98x -> 1.35x as hoped, but
+# bench-style warm runs +0.6 s and the in-battery time TRIPLED
+# (1.38 -> 4.16 s; split_leakage_audit dragged 1.57 -> 4.17 s) — the
+# collect_list buffers are disproportionately sensitive to mid-battery
+# heap pressure. Full A/B tables in SCALING.md r13. The self-join
+# stays; the entry's calm corrected r13 row (1.381 s, <1.3x) already
+# met the verdict's first Done-option, and the +-3x single-run band is
+# adjudicated host/scheduling noise, not a plan defect.
 @_register(
     "dedup_shingle_jaccard",
     f"""

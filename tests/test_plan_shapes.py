@@ -139,11 +139,10 @@ PINNED = {
     # reprint under every InMemoryTableScan reference, inflating the
     # textual count far beyond the executed exchanges (~6); the bound is
     # the measured textual ceiling, the structural asserts are the signal.
-    # r13 variance fix (VERDICT r12 task 4): the candidate stage's
-    # prefix-index SELF-JOIN became a posting-list groupBy + JVM-side
-    # i<j enumeration — two hash exchanges of the prefix index collapse
-    # to one, textual ceiling measured 40 → 30 (pinned 32).
-    "dedup_shingle_jaccard":  (32, ["LeftAnti"],            ["CartesianProduct", "SortMergeJoin"]),
+    # r13: a posting-list candidate stage measured 30 here but was
+    # rejected on battery-context timing (see SCALING.md r13 and the
+    # operator's inline note) — the self-join shape and its 40 stand.
+    "dedup_shingle_jaccard":  (40, ["LeftAnti"],            ["CartesianProduct", "SortMergeJoin"]),
     # the exhaustive enumerator keeps the r3 shape
     # r8: +6 textual budget — the codegen lead-window shingle pass adds
     # one real doc-granular exchange whose lineage the persist echoes
@@ -559,9 +558,7 @@ PINNED = {
     # (dedup_shingle_jaccard pins 40) + the two single-row audit aggs
     # crossed broadcast-side — the audit layer itself adds ~2 real
     # exchanges, the rest is the pair join's cache-echo inflation
-    # r13: 42 -> 34 measured after the shingle-jaccard posting-list
-    # candidate stage (the audit embeds that pair join); pinned 36
-    "split_leakage_audit": (36, ["InMemoryTableScan"], ["CartesianProduct", "SortMergeJoin", "BatchEvalPython", "MapInPandas"]),
+    "split_leakage_audit": (42, ["InMemoryTableScan"], ["CartesianProduct", "SortMergeJoin", "BatchEvalPython", "MapInPandas"]),
     # v6: gate + pair join run once into the localCheckpointed survivor
     # set (the materialized stage boundary — 261 textual exchanges
     # without it); downstream is the waterfill solve + cap fill over

@@ -37,7 +37,7 @@ NOTES = {
     "flagship_market_report": "Best-price window + arbitrage agg + join-back: filters pushed to scan, window reuses one exchange, WindowGroupLimit prunes before shuffle.",
     "devig_proportional": "Share-of-group window: one hash exchange on the group key, unbounded frame so no sort-based frame scan.",
     "best_price_per_order": "Argmax per group: WindowGroupLimit applies the top-1 cut map-side (partial) AND reduce-side (final) — the no-wasted-sort plan.",
-    "dedup_shingle_jaccard": "Prefix-filtered similarity join (J>=0.5): broadcast anti-join hot cap (LeftAnti), df-annotated index, per-doc rank window, posting-list groupBy + JVM-side i<j enumeration for candidates (r13 — replaced the prefix self-join: one exchange instead of two, C(m,2) instead of m^2 per key), exact array_intersect verification — candidate volume collapses vs the full inverted index (see dedup_shingle_jaccard_all).",
+    "dedup_shingle_jaccard": "Prefix-filtered similarity join (J>=0.5): broadcast anti-join hot cap (LeftAnti), df-annotated index, per-doc rank window, PREFIX self-join for candidates (r13: a posting-list alternative was measured and rejected — SCALING.md), exact array_intersect verification — candidate volume collapses vs the full inverted index (see dedup_shingle_jaccard_all).",
     "dedup_shingle_jaccard_all": "Exhaustive enumerator: inverted index on 60-bit hashes, broadcast anti-join hot-shingle guard, post-cap size window, pair join + single groupBy.",
     "vocab_coverage": "Single corpus pass: both legs end at canonically identical (lang, tok) exchanges, so AQE's shuffle-stage cache materializes the tokenize/explode/aggregate once (asserted in test_plan_shapes); top-64 vocab broadcasts back.",
     "text_unigram_perplexity": "r6 single-tokenize: the (doc,term,tf) aggregate is scope-persisted; term totals, corpus total, and the scoring join are all InMemoryTableScans of that ONE relation — every Generate in this printout is cache-lineage echo (zero live, asserted in test_plan_shapes).",
