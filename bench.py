@@ -46,6 +46,7 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_simhash_pairs",
     "embed_cosine_topk",
+    "embed_hard_negatives",
     "embed_ann_lsh",
     "embed_cosine_dup_pairs",
     "multimodal_payload_stats",

@@ -929,3 +929,63 @@ def embedding_contamination_audit(
             ),
         )
     )
+
+
+def hard_negative_topk(
+    emb_df: DataFrame,
+    query_pred: Column,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    pos_threshold: float = 0.3,
+    round_expr=None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (the DPR/in-batch
+    alternative, Karpukhin et al. EMNLP 2020 §5.2 — public): for each
+    anchor row matching ``query_pred``, the ``k`` MOST similar corpus
+    rows whose cosine is strictly BELOW ``pos_threshold``. Rows at or
+    above the threshold are presumed positives / near-duplicates of the
+    anchor — exactly the rows that poison a contrastive batch as false
+    negatives — so the miner skips past them and returns the top of the
+    honest-negative band instead (similar enough to be hard, distinct
+    enough to be true negatives).
+
+    Returns ``(q_id, rank, cand_id, cosine)``, rank 1..k within the
+    sub-threshold band, total order (cosine desc, cand_id) as in
+    :func:`cosine_topk`. Degenerate inputs DEGRADE: a zero-norm vector
+    (anchor or candidate) gets NULL cosine, which the strict ``<``
+    filter drops in Spark and DuckDB alike — never a division error or
+    a NaN ordering hazard; an anchor whose every candidate clears the
+    threshold simply returns no rows.
+
+    Scale shape: identical to :func:`cosine_topk` — the bounded anchor
+    set broadcasts onto ONE corpus scan (the corpus never shuffles for
+    scoring), the threshold filter cuts BEFORE the per-anchor ranking
+    window, and WindowGroupLimit prunes to k map-side. At 100 TB the
+    scored set is |anchors|·N rows behind a broadcast, embarrassingly
+    parallel; for unbounded anchor sets pre-aggregate a per-partition
+    local top-k first (the cosine_topk note).
+    """
+    e = _prepared(emb_df, id_col, vec_col)
+    q = e.filter(query_pred).select(
+        F.col(id_col).alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    cos = F.when(
+        (F.col("qn") != 0) & (F.col("nrm") != 0),
+        dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")),
+    )
+    cos = round_expr(cos) if round_expr is not None else cos
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col(id_col))
+        .select("q_id", F.col(id_col).alias("cand_id"), cos.alias("cosine"))
+        .filter(F.col("cosine") < F.lit(pos_threshold))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "cand_id", "cosine")
+    )

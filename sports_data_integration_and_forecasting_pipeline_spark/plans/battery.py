@@ -2090,6 +2090,52 @@ def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Hard-negative mining (r13, fourth and last r13 addition): contrastive-
+# training batch construction — the top of the SUB-threshold cosine band
+# per anchor (DPR-style false-negative guard: candidates at or above the
+# presumed-positive threshold are skipped, the hardest honest negatives
+# below it are kept). 0.3 is this corpus's biting threshold: all 10
+# anchors exclude 1-8 candidates at sf0.01 (measured), so the entry
+# demonstrates the skip-band, not a renamed cosine_topk. Strict < drops
+# NULL (zero-norm) cosines identically in both engines.
+@_register(
+    "embed_hard_negatives",
+    f"""
+    WITH {_emb_norm_cte()},
+    scored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+             CASE WHEN q.nrm = 0 OR c.nrm = 0 THEN NULL
+                  ELSE {_sql_r(_COS_SQL, 6)} END AS cosine
+      FROM (SELECT * FROM nv WHERE vec_id < 10) q
+      CROSS JOIN nv c
+      WHERE c.vec_id <> q.vec_id
+    )
+    SELECT q_id, rank, cand_id, cosine FROM (
+      SELECT q_id, cand_id, cosine,
+             CAST(row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cosine DESC, cand_id) AS INT) AS rank
+      FROM scored WHERE cosine < 0.3)
+    WHERE rank <= 5
+    """,
+    "textops: hard-negative mining (contrastive training)",
+    "top-5 hard negatives per anchor (vec_id < 10): most-similar "
+    "candidates strictly below the presumed-positive cosine threshold "
+    "0.3, broadcast anchors, threshold cut before the ranking window",
+)
+def embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.similarity import (
+        hard_negative_topk,
+    )
+
+    return hard_negative_topk(
+        _t(spark, sf_dir, "embeddings"),
+        query_pred=F.col("vec_id") < 10,
+        k=5,
+        pos_threshold=0.3,
+        round_expr=lambda c: _r(c, 6),
+    )
+
+
 _ANN_PLANES = hyperplanes(n_planes=4, dim=_EMB_DIM)
 
 
@@ -16692,21 +16738,24 @@ _WINDOW_PRIORITY = [
 #       re-swept green at sf0.01 THIS round before rotating in
 #       (tools/sweep_oracle.py, 31/31 ok — the four operators touched
 #       by the r12 ADVICE fixes re-swept after the fix commit).
-#   r13 addendum: THREE r13 additions (dedup_cluster_soft_weights,
+#   r13 addendum: FOUR r13 additions (dedup_cluster_soft_weights,
 #       embed_contamination_audit, text_bpe_vocab_coverage — the three
-#       verdict-named gap fillers, growth capped per task 3) are each
-#       swept green at sf0.001 AND sf0.01 on arrival and held OUT of
-#       the r13 window (standing convention) — front of the r14
-#       in-list. Each arrived with degenerate-input property tests
-#       (tests/test_properties_round13.py), a plan pin, bench slots
-#       (dedup_cluster_soft_weights bench-excluded per the iterative
-#       cluster-family rule, documented in bench.py), and sf0.01→sf0.1
-#       probes (SCALING.md §Round-13 probes).
-#   End-of-r13 standing-protocol sweep: the FINAL 252-entry battery in
-#       ONE run at sf0.01 — 250 hash-ok + the same 2 by-design
+#       verdict-named gap fillers — plus embed_hard_negatives, the
+#       late-r13 contrastive-training miner; growth 4 ≤ the task-3 cap
+#       of 4-6) are each swept green at sf0.001 AND sf0.01 on arrival
+#       and held OUT of the r13 window (standing convention) — front of
+#       the r14 in-list. Each arrived with degenerate-input property
+#       tests (tests/test_properties_round13.py), a plan pin, bench
+#       slots (dedup_cluster_soft_weights bench-excluded per the
+#       iterative cluster-family rule, documented in bench.py), and
+#       sf0.01→sf0.1 probes (SCALING.md §Round-13 probes).
+#   End-of-r13 standing-protocol sweep: the FINAL 253-entry battery in
+#       ONE run at sf0.01 — 251 hash-ok + the same 2 by-design
 #       rows-only (forecast_random_forest, misra_gries_heavy_hitters),
 #       rc 0 (tools/sweep_oracle.py, local[8]; after the r13 additions
-#       and the r12 ADVICE fixes).
+#       — embed_hard_negatives arrived last — the r12 ADVICE fixes,
+#       and the shingle posting-list build/revert cycle; an earlier
+#       252-entry sweep also ran rc 0 mid-round).
 #   BACKLOG SCHEDULE TO 249/249 (VERDICT r12 task 2's written plan;
 #       never-driver-checked count was 65 entering r13):
 #       - r13 window confirms 31 first-timers -> backlog 34 of the 249

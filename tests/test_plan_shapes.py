@@ -386,6 +386,11 @@ PINNED = {
     # SF; AQE converts at runtime — banning SMJ here would pin planner
     # noise, so only the truly corpus-dangerous shapes are banned)
     "embed_ann_recall_audit": (13, ["WindowGroupLimit", "BroadcastNestedLoopJoin", "Window"], ["CartesianProduct", "BatchEvalPython"]),
+    # r13 hard-negative mining: the cosine_topk shape exactly — bounded
+    # anchor broadcast (the one by-design BNLJ), threshold filter cut
+    # BEFORE the ranking window, WindowGroupLimit partial+final; the
+    # corpus never shuffles for scoring (2 exchanges: window + noop)
+    "embed_hard_negatives": (2, ["WindowGroupLimit", "BroadcastNestedLoopJoin"], ["CartesianProduct", "SortMergeJoin", "BatchEvalPython", "MapInPandas"]),
     # r9 winnowing (MOSS): fingerprints are ONE doc-granular exchange —
     # the shingle window, gram count, w-frame min, selection filter and
     # closing distinct all share it; any join appearing here means the

@@ -293,3 +293,75 @@ def test_prefix_pairs_posting_list_at_hot_cap_boundary(spark):
     want = {(a, b) for a in range(6) for b in range(a + 1, 6)}
     assert set(got) == want  # all 15 at-cap pairs, zero past-cap pairs
     assert all(j == 1.0 for j in got.values())  # identical docs
+
+
+def test_hard_negatives_skip_band_and_numpy_parity(spark):
+    """r13 ``hard_negative_topk``: integer-valued vectors (exact dot
+    products, no fold-order hazard) checked against a numpy reference —
+    candidates at/above the threshold are SKIPPED, the best
+    sub-threshold candidates rank first, ties break on cand_id."""
+    import numpy as np
+
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.similarity import (
+        hard_negative_topk,
+    )
+
+    vecs = {
+        0: [4.0, 0.0],   # anchor
+        1: [4.0, 0.0],   # exact duplicate -> cosine 1.0, skipped
+        2: [3.0, 1.0],   # near-positive (cos ~0.95), skipped at 0.9
+        3: [1.0, 1.0],   # hard negative (cos ~0.707)
+        4: [0.0, 2.0],   # orthogonal (cos 0)
+        5: [-1.0, 0.0],  # opposite (cos -1)
+    }
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    got = [
+        (r["rank"], r["cand_id"], r["cosine"])
+        for r in hard_negative_topk(
+            df, F.col("vec_id") == 0, k=3, pos_threshold=0.9
+        ).collect()
+    ]
+    a = np.array(vecs[0])
+    want = sorted(
+        (
+            (-float(np.dot(a, np.array(v)) / (np.linalg.norm(a) * np.linalg.norm(np.array(v)))), i)
+            for i, v in vecs.items()
+            if i != 0
+        ),
+    )
+    want = [(-c, i) for c, i in want if -c < 0.9][:3]
+    assert [(cid, round(cos, 9)) for _, cid, cos in got] == [
+        (i, round(c, 9)) for c, i in want
+    ]
+    assert [r for r, _, _ in got] == [1, 2, 3]
+    assert {cid for _, cid, _ in got} == {3, 4, 5}  # 1 and 2 skipped
+
+
+def test_hard_negatives_zero_norm_and_all_excluded_degrade(spark):
+    """Zero-norm vectors get NULL cosine (dropped by the strict <, never
+    a division error); an anchor whose every candidate clears the
+    threshold returns no rows; a zero-norm ANCHOR returns no rows."""
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.similarity import (
+        hard_negative_topk,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.0, 0.0]),  # zero-norm candidate
+            (2, [2.0, 0.0]),  # cosine 1.0
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = hard_negative_topk(
+        df, F.col("vec_id") == 0, k=5, pos_threshold=0.5
+    ).collect()
+    assert got == []  # cand 1 NULL-dropped, cand 2 above threshold
+    # zero-norm anchor: every cosine NULL -> no rows, no error
+    got2 = hard_negative_topk(
+        df, F.col("vec_id") == 1, k=5, pos_threshold=0.5
+    ).collect()
+    assert got2 == []
