@@ -16755,7 +16755,11 @@ _WINDOW_PRIORITY = [
 #       rc 0 (tools/sweep_oracle.py, local[8]; after the r13 additions
 #       — embed_hard_negatives arrived last — the r12 ADVICE fixes,
 #       and the shingle posting-list build/revert cycle; an earlier
-#       252-entry sweep also ran rc 0 mid-round).
+#       252-entry sweep also ran rc 0 mid-round). NEW this round: the
+#       SAME final 253-entry battery additionally swept in full at
+#       sf0.001 (251 hash-ok + the same 2 rows-only, rc 0) — the first
+#       battery-wide BOTH-scales record in one round; the sf0.001 leg
+#       catches small-input edge regressions the sf0.01 gate can miss.
 #   BACKLOG SCHEDULE TO 249/249 (VERDICT r12 task 2's written plan;
 #       never-driver-checked count was 65 entering r13):
 #       - r13 window confirms 31 first-timers -> backlog 34 of the 249
