@@ -16760,6 +16760,10 @@ _WINDOW_PRIORITY = [
 #       sf0.001 (251 hash-ok + the same 2 rows-only, rc 0) — the first
 #       battery-wide BOTH-scales record in one round; the sf0.001 leg
 #       catches small-input edge regressions the sf0.01 gate can miss.
+#       Closing pytest: 1016 passed, 1 skipped, 0 failed (full suite,
+#       run fresh after the last code change of the round). Calm bench
+#       archive BENCH_local_r13_calm.json (drift 0.144, flag FALSE —
+#       the round's only unflagged session; shingle 1.176 s at level).
 #   BACKLOG SCHEDULE TO 249/249 (VERDICT r12 task 2's written plan;
 #       never-driver-checked count was 65 entering r13):
 #       - r13 window confirms 31 first-timers -> backlog 34 of the 249
