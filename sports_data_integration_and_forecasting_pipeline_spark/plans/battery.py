@@ -16367,6 +16367,98 @@ def text_bpe_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tolerated — they join the window once registered.
 # ===========================================================================
 _WINDOW_PRIORITY = [
+    # r14 ROTATION (VERDICT r13 task 1, executed exactly as prescribed —
+    # clear the ENTIRE never-driver-checked backlog in one window): all
+    # 38 entries that have never had a driver row are in, so a clean r14
+    # closes external coverage at 253/253. OUT (38): the 17 twice-green
+    # r12-window first-timers (text_bpe_encode_ranked,
+    # hll_distinct_verified, approx_percentile_verified,
+    # dsir_importance_weights, quality_auc_audit,
+    # embed_matryoshka_overlap, curation_pipeline_v5,
+    # sketch_merge_parity, weighted_sample_es_topk,
+    # dedup_incremental_compacted, inverted_text_index,
+    # dedup_normalized_exact, kfold_split_audit, sample_events_hash,
+    # snapshot_table_diff, profile_orders_table, source_reputation —
+    # green in BOTH the r12 and r13 windows), the multi-green pinned
+    # family head dedup_shingle_jaccard (driver-green r7/r12/r13; its
+    # slot passes to the never-checked bounded all-pairs twin
+    # dedup_shingle_jaccard_all), and 20 of the 31 once-green r13
+    # first-timers (mixture_cap_prefix_fill, source_length_psi,
+    # text_unigram_entropy_audit, embed_label_separation,
+    # pack_padding_waste_curve, abtest_proportion_ztest, cube_pricing,
+    # forward_fill_gaps, ohlc_hourly_bars, rollup_pricing,
+    # grouping_sets_pricing, embed_mean_pool, mixture_sample_langs,
+    # embed_quantize_int8, leakage_safe_split, chi_square_drift,
+    # benford_first_digit_audit, fuzzy_name_match, monthly_active_users,
+    # event_gap_detection — once-green rotation-out is the r13
+    # verdict's explicit instruction; every one keeps its local
+    # DuckDB-hash check on each pytest run). IN (38 first-timers, every
+    # name re-swept green at sf0.01 THIS round before rotating in via
+    # tools/sweep_oracle.py, 38/38 ok): the 4 r13 additions (standing
+    # convention — front of the next window) + the full 34-entry
+    # never-checked tail. The remaining 11 slots re-confirm once-green
+    # r13 first-timers (family heads and the round's heavies) so they
+    # go twice-green and can rotate out in r15. Cumulative driver
+    # coverage on a clean r14 = 215 + 38 = 253/253 — every battery
+    # entry externally confirmed at least once.
+    "flagship_market_report",
+    # r13 additions first (standing convention):
+    "dedup_cluster_soft_weights",
+    "embed_contamination_audit",
+    "text_bpe_vocab_coverage",
+    "embed_hard_negatives",
+    # the 34-entry never-driver-checked tail (backlog close-out):
+    "dedup_shingle_jaccard_all",
+    "orders_vs_customer_avg",
+    "twap_user_value",
+    "time_to_convert",
+    "order_price_relative_rank",
+    "order_price_deciles",
+    "session_click_purchase_funnel",
+    "orders_price_histogram",
+    "feature_standardize",
+    "customers_with_big_orders",
+    "customers_without_orders",
+    "weighted_systematic_sample",
+    "sample_events_stratified",
+    "embed_quantized_topk",
+    "feature_correlation_screen",
+    "incremental_rollup_merge",
+    "iceberg_heavy_users",
+    "weekday_hour_heatmap",
+    "triangle_knn_cosupply",
+    "user_trend_ols",
+    "rolling_active_users_7d",
+    "event_transition_matrix",
+    "unpivot_order_measures",
+    "purchase_click_attribution",
+    "hierarchy_root_depth",
+    "table_checksum_audit",
+    "null_skew_left_join",
+    "seasonal_weekday_index",
+    "ridge_forecast_closed_form",
+    "seasonal_anomaly_days",
+    "range_frame_trailing_hour",
+    "multi_touch_attribution",
+    "activity_bitmap_days",
+    "brand_price_realization",
+    # 11 re-confirmations (once-green r13 first-timers -> twice-green,
+    # r15 rotation fodder; heavies + family heads kept under external
+    # watch):
+    "curation_pipeline_v6",
+    "split_leakage_audit",
+    "embed_ivfpq_refine_topk",
+    "ngram_novelty_audit",
+    "mixture_waterfill_caps",
+    "dedup_substring_coverage",
+    "text_zipf_fit",
+    "quality_gate_ablation",
+    "skew_key_report",
+    "dedup_cluster_assign",
+    "training_shard_manifest",
+]
+# --- Window compositions of earlier rounds (moved out of the live list
+# --- by the r14 rotation; kept verbatim for the ledger):
     # r13 ROTATION (VERDICT r12 tasks 1+2, executed exactly per the
     # pinned schedule below — "raise the churn": THIRTY-ONE slots
     # turned over, the largest rotation yet, because at 17/round the
@@ -16395,44 +16487,12 @@ _WINDOW_PRIORITY = [
     # (once-green; rotate out in r14 when twice-green). 31 first-timers
     # this window; cumulative driver coverage on a clean r13 =
     # 184 + 31 = 215/249 pre-r13 entries.
-    "flagship_market_report",
     # r12 additions first (standing convention):
-    "ngram_novelty_audit",
-    "mixture_waterfill_caps",
-    "dedup_substring_coverage",
-    "mixture_cap_prefix_fill",
-    "text_zipf_fit",
-    "source_length_psi",
-    "embed_ivfpq_refine_topk",
-    "quality_gate_ablation",
-    "split_leakage_audit",
-    "curation_pipeline_v6",
-    "text_unigram_entropy_audit",
-    "embed_label_separation",
-    "pack_padding_waste_curve",
     # never-driver-checked backlog heads (verdict-named tail first —
     # abtest/cube/forward_fill/ohlc/rollup/grouping_sets — then one
     # head per still-unchecked family: dedup clustering, embedding
     # pooling/quantization, training-data plumbing, drift/audit pack,
     # time-series gaps):
-    "abtest_proportion_ztest",
-    "cube_pricing",
-    "forward_fill_gaps",
-    "ohlc_hourly_bars",
-    "rollup_pricing",
-    "grouping_sets_pricing",
-    "dedup_cluster_assign",
-    "embed_mean_pool",
-    "training_shard_manifest",
-    "skew_key_report",
-    "mixture_sample_langs",
-    "embed_quantize_int8",
-    "leakage_safe_split",
-    "chi_square_drift",
-    "benford_first_digit_audit",
-    "fuzzy_name_match",
-    "monthly_active_users",
-    "event_gap_detection",
     # r11 ROTATION (VERDICT r10 task 1, executed exactly per the pinned
     # schedule): EIGHTEEN twice-or-more-driver-green slots rotated out —
     # text_unigram_perplexity (its r8 bench-swing adjudication is
@@ -16479,28 +16539,10 @@ _WINDOW_PRIORITY = [
     # named alternate kfold_split_audit (never-checked, pre-swept ok)
     # takes that slot to keep the window at 17 true first-timers.
     # r11 additions first:
-    "text_bpe_encode_ranked",
-    "hll_distinct_verified",
-    "approx_percentile_verified",
-    "dsir_importance_weights",
-    "quality_auc_audit",
-    "embed_matryoshka_overlap",
-    "curation_pipeline_v5",
-    "sketch_merge_parity",
-    "weighted_sample_es_topk",
     # verdict-named backlog heads (all green in the r11 full sweep AND
     # the r12 pre-rotation sweep):
-    "dedup_incremental_compacted",
-    "inverted_text_index",
-    "dedup_normalized_exact",
-    "kfold_split_audit",
-    "sample_events_hash",
-    "snapshot_table_diff",
-    "profile_orders_table",
-    "source_reputation",
     # family head that stays pinned (pairwise dedup):
-    "dedup_shingle_jaccard",
-]
+
 # Round-5 rotation (round-4 review task 1): every SURVEY §2 family head
 # is twice-driver-green and stable, so 8 second-tier slots
 # (chunk_documents_overlap, path_funnel_regex, q6_promo_revenue,
@@ -16777,6 +16819,17 @@ _WINDOW_PRIORITY = [
 #         r14 additions). Cumulative = 100% of every entry registered
 #         through r14 — 249/249 of today's battery.
 #       Keep battery growth <= 6/round (task 3) so r15 closes the gap.
+#   r14: EXECUTED (see the r14 ROTATION note at the top of
+#       _WINDOW_PRIORITY) — the r13 verdict (task 1) superseded the
+#       two-round plan above and prescribed clearing the ENTIRE 38-entry
+#       backlog in ONE window: 38 out / 38 in, all 38 never-checked
+#       entries in at once (4 r13 additions + 34-entry tail), 11
+#       re-confirmation slots for once-green r13 first-timers, flagship
+#       pinned. Every in-name re-swept green at sf0.01 THIS round
+#       before rotating in (tools/sweep_oracle.py, 38/38 ok). Battery
+#       growth frozen this round (verdict task 2: 0-2 additions max) —
+#       0 additions; a clean r14 window closes cumulative coverage at
+#       253/253.
 # ===========================================================================
 
 
