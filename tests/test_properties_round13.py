@@ -273,12 +273,14 @@ def test_vocab_coverage_classes_partition_and_bounds(spark):
         assert r["whole_occ_e6"] + r["fallback_occ_e6"] <= 1_000_000
 
 
-def test_prefix_pairs_posting_list_at_hot_cap_boundary(spark):
-    """r13 candidate-stage rewrite (posting-list groupBy + i<j
-    enumeration): a shingle shared by EXACTLY ``max_df`` docs survives
-    the hot cap and its full-size posting list must enumerate all
-    C(m,2) pairs; one doc past the cap drops the shingle entirely and
-    every pair with it."""
+def test_prefix_pairs_hot_cap_boundary(spark):
+    """Hot-cap boundary contract of ``shingle_jaccard_prefix_pairs``,
+    independent of the candidate-stage implementation: a shingle shared
+    by EXACTLY ``max_df`` docs survives the cap and all C(m,2) pairs
+    are enumerated; one doc past the cap drops the shingle entirely and
+    every pair with it. (An r13 posting-list candidate-stage rewrite
+    was measured and rejected — commits 9936891/5dcbcb5 — the shipped
+    path is the prefix self-join; this boundary pin held across both.)"""
     from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
         shingle_jaccard_prefix_pairs,
     )

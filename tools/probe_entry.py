@@ -52,6 +52,11 @@ def main() -> None:
     if not names:
         raise SystemExit("usage: probe_entry.py ENTRY [ENTRY ...] "
                          "[--runs N] [--sf DIR]")
+    if runs_n < 2:
+        # the protocol excludes run 1 (warm-up) from the band; with a
+        # single run there is no steady sample to report (r13 ADVICE)
+        raise SystemExit("--runs must be >= 2: run 1 is the excluded "
+                         "warm-up, so at least one steady run is needed")
 
     from pyspark.sql import functions as F
 
@@ -95,7 +100,7 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             samples.append(round(time.perf_counter() - t0, 3))
             release_caches()
-        steady = samples[1:] or samples
+        steady = samples[1:]
         entries[name] = {
             "runs": samples,
             "warm": samples[0],
@@ -109,7 +114,7 @@ def main() -> None:
         for k in ("calib_md5_sec", "calib_shuffle_sec")
     )
     print(json.dumps({
-        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        "sf": os.path.basename(sf_dir.rstrip("/")),
         **c0,
         "calib_end_md5_sec": c1["calib_md5_sec"],
         "calib_end_shuffle_sec": c1["calib_shuffle_sec"],
