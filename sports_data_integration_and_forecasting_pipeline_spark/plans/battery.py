@@ -1,16353 +1,64 @@
-"""The correctness battery (SURVEY §5.2 tier-2): every operator family
-from SURVEY §2 exercised as a query over the driver's testdata tables,
-each paired with an ANSI-SQL oracle DuckDB runs on the same parquet.
+"""Facade for the correctness battery (SURVEY §5.2 tier-2).
 
-Float-parity discipline
------------------------
-Derived float columns are rounded with an *engine-identical* primitive:
-``floor(x * 10^n + 0.5) / 10^n``. Unlike ``ROUND`` — whose tie semantics
-differ between Spark (BigDecimal HALF_UP on the shortest decimal repr) and
-DuckDB (C++ half-away-from-zero on the binary value) — floor/mul/div are
-exact IEEE-754 ops both engines execute bit-identically, so rounded values
-hash-match (SURVEY §7.5-1). Raw columns pass through unrounded.
-
-Determinism discipline
-----------------------
-Every argmax/top-k pins a total order (value, then key) so results are
-scan-order-independent (SURVEY §7.5-2). Aggregation output order is
-irrelevant (the driver's value-hash is order-insensitive).
-
-Scale notes are inline per query: each plan is written to survive a
-1000-executor / 100 TB input (single shuffle where one suffices, map-side
-partial aggregation, broadcastable build sides, no driver-side loops).
-
-Degenerate-input discipline (arrival convention since r12)
-----------------------------------------------------------
-An audit operator must DEGRADE, never crash, on one-sided input: any
-entry that divides by a class/group/partition count arrives WITH the
-one-sided/empty-class case pinned in its property tests (NULL or a
-defined sentinel, mirrored in the oracle), not acquired later from a
-probe. Precedent: `rank_sum_auc` hit DIVIDE_BY_ZERO when an sf1 replica
-vocabulary pushed every doc past the perplexity cut (n_pos=0) — the
-class of bug this convention exists to catch at arrival (VERDICT r11
-task 6).
+The battery itself lives in per-family section modules (r14 split —
+VERDICT r13 task 3); importing them here, in original registration
+order, populates :data:`battery_core.QUERIES` exactly as the former
+monolith did (same 253 names, same order, byte-identical oracle SQL —
+proved by tools/check_battery_identity.py). This module keeps the
+historical import surface: every top-level name of every section is
+re-exported, so ``from ...plans.battery import _t, QUERIES, cube_pricing``
+all keep working, and the driver-window rotation ledger + curation stay
+here, next to the window they control.
 """
 
 from __future__ import annotations
 
-import dataclasses
-from dataclasses import dataclass
-from typing import Callable
+from . import (
+    battery_core,
+    battery_markets,
+    battery_text_dedup,
+    battery_embeddings,
+    battery_multimodal_streaming,
+    battery_events_warehouse,
+    battery_mixture_storage,
+    battery_tpch_graph,
+    battery_stats_audits,
+    battery_trends_drift,
+    battery_bpe_packing,
+    battery_pointintime_skyline,
+    battery_substring_winnow,
+    battery_curation_recent,
+)
+
+_SECTION_MODULES = (
+    battery_core,
+    battery_markets,
+    battery_text_dedup,
+    battery_embeddings,
+    battery_multimodal_streaming,
+    battery_events_warehouse,
+    battery_mixture_storage,
+    battery_tpch_graph,
+    battery_stats_audits,
+    battery_trends_drift,
+    battery_bpe_packing,
+    battery_pointintime_skyline,
+    battery_substring_winnow,
+    battery_curation_recent,
+)
+
+# Re-export the full historical surface (tests and tools import
+# private helpers and entry callables directly from this module).
+for _m in _SECTION_MODULES:
+    for _k, _v in vars(_m).items():
+        if not _k.startswith("__"):
+            globals().setdefault(_k, _v)
+del _m, _k, _v
+
+QUERIES = battery_core.QUERIES
+query_map = battery_core.query_map
+oracle_sql_map = battery_core.oracle_sql_map
 
-from pyspark.sql import Column, DataFrame, SparkSession
-from pyspark.sql import functions as F
-from pyspark.sql.window import Window
-
-
-# --- testdata schema self-check --------------------------------------------
-# The driver regenerates testdata between rounds and has changed the time
-# columns' physical type before (TIMESTAMP(NANOS) -> timestamp[us] in
-# round 4, which surfaced as a DATATYPE_MISMATCH hours into the round).
-# Probe the three time columns ONCE per (sf_dir, table) — a parquet
-# footer read, no data scan — and fail loudly in one obvious place with
-# the conversion idioms named, instead of letting 100 battery entries
-# each discover it their own way.
-
-_TIME_COLS = {"events": "ts", "orders": "o_orderdate", "lineitem": "l_shipdate"}
-_TIME_OK_TYPES = {"timestamp_ntz", "timestamp"}
-_SCHEMA_PROBED: set[tuple[str, str]] = set()
-
-
-def _probe_time_schema(df: DataFrame, sf_dir: str, name: str) -> None:
-    key = (sf_dir, name)
-    if key in _SCHEMA_PROBED:
-        return
-    col = _TIME_COLS[name]
-    field = {f.name: f for f in df.schema.fields}.get(col)
-    if field is None:
-        raise TypeError(
-            f"testdata schema drift: {name}.{col} at {sf_dir} is MISSING "
-            f"(columns: {df.columns}). The driver likely regenerated the "
-            "parquet with the time column renamed or dropped — adapt "
-            "_TIME_COLS and the epoch helpers in ONE place here rather "
-            "than per-entry."
-        )
-    got = field.dataType.typeName()
-    if got not in _TIME_OK_TYPES:
-        raise TypeError(
-            f"testdata schema drift: {name}.{col} at {sf_dir} reads as "
-            f"Spark type '{got}', expected timestamp_ntz/timestamp. The "
-            "driver likely regenerated the parquet with a new physical "
-            "time type (it moved TIMESTAMP(NANOS) -> timestamp[us] in "
-            "round 4). Battery epoch math assumes NTZ wall clocks: "
-            "Spark `timestamp_diff('MICROSECOND', NTZ epoch literal, c)` "
-            "== DuckDB `epoch_us(ts)` (see _epoch_us/_fdiv/_epoch_s). "
-            "If the type is 'long', the session's "
-            "spark.sql.legacy.parquet.nanosAsLong flag is mapping "
-            "TIMESTAMP(NANOS) to nanos-since-epoch bigints — adapt the "
-            "helpers in ONE place here rather than per-entry."
-        )
-    _SCHEMA_PROBED.add(key)
-
-
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name in _TIME_COLS:
-        _probe_time_schema(df, sf_dir, name)
-    return df
-
-
-def _r(col: Column, n: int) -> Column:
-    """Engine-identical rounding: floor(x*10^n + 0.5) / 10^n (see module
-    docstring). Exact for |x|*10^n < 2^53."""
-    scale = float(10**n)
-    return F.floor(col.cast("double") * scale + 0.5) / scale
-
-
-def _sql_r(expr: str, n: int) -> str:
-    scale = float(10**n)
-    return f"floor(({expr}) * {scale} + 0.5) / {scale}"
-
-
-def _cents(col: Column) -> Column:
-    """Exact integer cents: floor(x*100 + 0.5) as bigint. Summing these is
-    associative/exact, so aggregate results are identical across engines
-    and partition orders (unlike double sums)."""
-    return F.floor(col.cast("double") * 100.0 + 0.5).cast("bigint")
-
-
-# --- event-time helpers ----------------------------------------------------
-# events.ts / orders.o_orderdate / lineitem.l_shipdate are parquet
-# timestamp[us] columns (Spark reads TIMESTAMP_NTZ, DuckDB reads
-# TIMESTAMP — both tz-naive wall clocks). Epoch math therefore derives
-# microseconds as the wall-clock diff from the NTZ epoch literal, which is
-# session-timezone-independent and bit-identical to DuckDB's epoch_us(ts).
-
-
-def _epoch_us(col: Column | str) -> Column:
-    c = F.col(col) if isinstance(col, str) else col
-    return F.timestamp_diff(
-        "MICROSECOND", F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"), c
-    )
-
-
-def _fdiv(col: Column, n: int) -> Column:
-    """Exact TRUNCATING division for bigint columns — the semantics
-    DuckDB's integer ``//`` actually has: ``(-500000) // 1000000 = 0``
-    (toward zero), verified empirically on the pinned DuckDB 1.0.0. Do
-    NOT import Python's floor-``//`` intuition here: a pmod-based floor
-    form was tried in round 5 and diverges from the oracle on any
-    pre-1970 (negative-epoch) timestamp. ``(c - c % n) / n`` with
-    Spark's dividend-signed ``%`` truncates toward zero identically.
-    Exact while |c| < 2^53 (the double division is then exact, same
-    discipline as _r/_cents)."""
-    c = col.cast("long")
-    return ((c - c % F.lit(n)) / F.lit(n)).cast("long")
-
-
-def _fdiv_col(col: Column, div: Column) -> Column:
-    """:func:`_fdiv` for a COLUMN divisor (e.g. an exact integer mean =
-    sum DIV count): the same ``(c - c % n) / n`` truncate-toward-zero
-    identity and the same exactness window (|c| < 2^53)."""
-    c = col.cast("long")
-    return ((c - c % div) / div).cast("long")
-
-
-def _epoch_s(col: Column | str) -> Column:
-    """Floor epoch seconds of a TIMESTAMP_NTZ column — matches DuckDB's
-    epoch_us(ts) // 1000000."""
-    return _fdiv(_epoch_us(col), 1_000_000)
-
-
-@dataclass(frozen=True)
-class QuerySpec:
-    fn: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None  # None => driver runs rows-only check
-    survey_ref: str  # operator ids from SURVEY §2
-    description: str
-
-
-QUERIES: dict[str, QuerySpec] = {}
-
-
-def _register(name: str, oracle: str | None, survey_ref: str, description: str):
-    def deco(fn):
-        QUERIES[name] = QuerySpec(fn, oracle, survey_ref, description)
-        return fn
-
-    return deco
-
-
-def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.fn for name, spec in QUERIES.items()}
-
-
-def oracle_sql_map() -> dict[str, str]:
-    return {n: s.oracle for n, s in QUERIES.items() if s.oracle is not None}
-
-
-# ---------------------------------------------------------------------------
-# A1: proportional devig — share-of-group window (reference
-# src/processing.py:118-124) over lineitem grouped by order.
-# Scale: one hash-shuffle on l_orderkey; window state is one running sum
-# per small group. No sort needed (unbounded frame).
-# ---------------------------------------------------------------------------
-@_register(
-    "devig_proportional",
-    f"""
-    SELECT l_orderkey, l_linenumber,
-           {_sql_r('implied_prob', 9)} AS implied_prob,
-           {_sql_r('implied_prob / SUM(implied_prob) OVER (PARTITION BY l_orderkey)', 9)} AS devig_prob
-    FROM (SELECT l_orderkey, l_linenumber, 1.0 / l_extendedprice AS implied_prob
-          FROM lineitem)
-    """,
-    "A1,C4",
-    "share-of-group windowed devig over lineitem",
-)
-def devig_proportional(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey",
-        "l_linenumber",
-        (F.lit(1.0) / F.col("l_extendedprice")).alias("implied_prob"),
-    )
-    w = Window.partitionBy("l_orderkey")
-    total = F.sum("implied_prob").over(w)
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        _r(F.col("implied_prob"), 9).alias("implied_prob"),
-        _r(F.col("implied_prob") / total, 9).alias("devig_prob"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# A2: power-method devig (reference odds_utils.py:237-262) over orders per
-# customer: normalize -> pow(1/1.05) -> renormalize, two windowed sums.
-# Scale: both windows share partitioning on o_custkey -> single Exchange.
-# ---------------------------------------------------------------------------
-@_register(
-    "devig_power",
-    f"""
-    WITH base AS (
-      SELECT o_orderkey, o_custkey, 1.0 / o_totalprice AS implied
-      FROM orders
-    ), p1 AS (
-      SELECT o_orderkey, o_custkey,
-             implied / SUM(implied) OVER (PARTITION BY o_custkey) AS p1
-      FROM base
-    ), adj AS (
-      SELECT o_orderkey, o_custkey, pow(p1, 1.0/1.05) AS adj FROM p1
-    )
-    SELECT o_orderkey, o_custkey,
-           {_sql_r('adj / SUM(adj) OVER (PARTITION BY o_custkey)', 6)} AS true_prob
-    FROM adj
-    """,
-    "A2",
-    "power-method devig as chained windowed sums over orders",
-)
-def devig_power(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_custkey",
-        (F.lit(1.0) / F.col("o_totalprice")).alias("implied"),
-    )
-    w = Window.partitionBy("o_custkey")
-    p1 = (F.col("implied") / F.sum("implied").over(w)).alias("p1")
-    adj = o.select("o_orderkey", "o_custkey", F.pow(p1, 1.0 / 1.05).alias("adj"))
-    return adj.select(
-        "o_orderkey",
-        "o_custkey",
-        _r(F.col("adj") / F.sum("adj").over(w), 6).alias("true_prob"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# A3/O4: best-price argmax per group with pinned tiebreak (reference
-# src/analysis.py:69-70; tie policy per SURVEY §4.3-4).
-# Scale: single window (shuffle+sort on l_orderkey); at 100 TB prefer
-# max_by for the no-sort variant — kept as window here because the oracle
-# needs the exact tiebreak.
-# PINNED (r8, r7-verdict task 2): the r7 bench line's 1.292 s (+57% vs
-# r6's 0.824) was HOST DRIFT, not a regression — both-orderings
-# back-to-back probe at sf0.1 (r7's unigram method) measured min-steady
-# 0.69 s in each ordering on untouched code. Same verdict for
-# best_odds_report_join below (bench 1.259 s → probed 0.40-0.50 s both
-# orderings). Cross-round per-query bench diffs are noise
-# (bench.py:_run_calibration note); calib_drift_flag now records it.
-# ---------------------------------------------------------------------------
-@_register(
-    "best_price_per_order",
-    """
-    SELECT l_orderkey, best_price, best_linenumber, best_suppkey
-    FROM (
-      SELECT l_orderkey, l_extendedprice AS best_price,
-             l_linenumber AS best_linenumber, l_suppkey AS best_suppkey,
-             ROW_NUMBER() OVER (PARTITION BY l_orderkey
-                                ORDER BY l_extendedprice DESC, l_linenumber ASC, l_suppkey ASC) AS rn
-      FROM lineitem
-    ) WHERE rn = 1
-    """,
-    "A3,A4,A5,W3,O4",
-    "argmax row per order: max extendedprice, deterministic tiebreak",
-)
-def best_price_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_orderkey").orderBy(
-        F.desc("l_extendedprice"), F.asc("l_linenumber"), F.asc("l_suppkey")
-    )
-    return (
-        li.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "l_orderkey",
-            F.col("l_extendedprice").alias("best_price"),
-            F.col("l_linenumber").alias("best_linenumber"),
-            F.col("l_suppkey").alias("best_suppkey"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# A6/A7: two-outcome arbitrage scan (reference src/analysis.py:39-96):
-# l_orderkey = game, lineitem = outcome, l_quantity = decimal odds.
-# Scale: one groupBy with map-side partial agg; margin math post-agg.
-# ---------------------------------------------------------------------------
-@_register(
-    "arbitrage_scan",
-    f"""
-    SELECT l_orderkey,
-           CAST(n_outcomes AS BIGINT) AS n_outcomes,
-           {_sql_r('total_implied', 9)} AS total_implied,
-           CASE WHEN n_outcomes = 2 AND total_implied < 1.0
-                THEN {_sql_r('(1.0 - total_implied) * 100.0', 2)}
-           END AS arbitrage_margin
-    FROM (
-      SELECT l_orderkey, COUNT(*) AS n_outcomes,
-             SUM(1.0 / l_quantity) AS total_implied
-      FROM lineitem GROUP BY l_orderkey
-    )
-    """,
-    "A6,A7,C4,C14",
-    "per-game two-outcome arbitrage margin over lineitem groups",
-)
-def arbitrage_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_outcomes"),
-        F.sum(F.lit(1.0) / F.col("l_quantity")).alias("total_implied"),
-    )
-    return agg.select(
-        "l_orderkey",
-        F.col("n_outcomes").cast("bigint").alias("n_outcomes"),
-        _r(F.col("total_implied"), 9).alias("total_implied"),
-        F.when(
-            (F.col("n_outcomes") == 2) & (F.col("total_implied") < 1.0),
-            _r((F.lit(1.0) - F.col("total_implied")) * 100.0, 2),
-        ).alias("arbitrage_margin"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# A3+A9+J1: best row per (order, linestatus) joined back to a per-order
-# summary (the notebook's join, cell 6).
-# Scale: window and groupBy share the l_orderkey prefix; the join-back is
-# on l_orderkey (AQE picks broadcast when the summary side is small).
-# PINNED (r8): the r7 bench 1.259 s (+139%) adjudicated as host drift —
-# see the probe record at best_price_per_order above (0.40-0.50 s
-# min-steady in both orderings, untouched plan).
-# ---------------------------------------------------------------------------
-@_register(
-    "best_odds_report_join",
-    f"""
-    WITH best AS (
-      SELECT l_orderkey, outcome, best_price, best_supp FROM (
-        SELECT l_orderkey, l_linestatus AS outcome,
-               l_extendedprice AS best_price, l_suppkey AS best_supp,
-               ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_linestatus
-                                  ORDER BY l_extendedprice DESC, l_linenumber ASC, l_suppkey ASC) AS rn
-        FROM lineitem
-      ) WHERE rn = 1
-    ), summary AS (
-      SELECT l_orderkey,
-             {_sql_r('SUM(1.0 / best_price)', 9)} AS sum_best_implied,
-             STRING_AGG(DISTINCT outcome, ', ' ORDER BY outcome) AS outcomes
-      FROM best GROUP BY l_orderkey
-    )
-    SELECT b.l_orderkey, b.outcome, b.best_price, b.best_supp,
-           s.sum_best_implied, s.outcomes
-    FROM best b LEFT JOIN summary s USING (l_orderkey)
-    """,
-    "A3,A9,J1",
-    "per-outcome best rows left-joined with per-game summary",
-)
-def best_odds_report_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import ensure_parallelism
-
-    # spread keyed by l_orderkey: HashPartitioning(l_orderkey) satisfies
-    # BOTH windows' distributions ((l_orderkey, l_linestatus) is a
-    # superset clustering; l_orderkey is exact), so the whole pipeline
-    # runs off ONE exchange — previously the two windows re-shuffled
-    li = ensure_parallelism(_t(spark, sf_dir, "lineitem"), "l_orderkey")
-    w = Window.partitionBy("l_orderkey", "l_linestatus").orderBy(
-        F.desc("l_extendedprice"), F.asc("l_linenumber"), F.asc("l_suppkey")
-    )
-    best = (
-        li.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "l_orderkey",
-            F.col("l_linestatus").alias("outcome"),
-            F.col("l_extendedprice").alias("best_price"),
-            F.col("l_suppkey").alias("best_supp"),
-        )
-    )
-    # The reference shape is groupBy + join-back (J1); expressed as a second
-    # window over l_orderkey the per-game summary attaches without a
-    # self-join — one pipeline, no duplicate computation of `best`.
-    w2 = Window.partitionBy("l_orderkey")
-    return best.select(
-        "l_orderkey",
-        "outcome",
-        "best_price",
-        "best_supp",
-        _r(F.sum(F.lit(1.0) / F.col("best_price")).over(w2), 9).alias(
-            "sum_best_implied"
-        ),
-        F.array_join(F.array_sort(F.collect_set("outcome").over(w2)), ", ").alias(
-            "outcomes"
-        ),
-    )
-
-
-# ---------------------------------------------------------------------------
-# W1: partitioned rolling mean, frame = 4 preceding + current, matching
-# pandas rolling(5, min_periods=1) (reference src/features.py:8-18).
-# Scale: one shuffle+sort per user partition; at 100 TB, range-partition by
-# user and sort within partitions once for all window ops.
-# ---------------------------------------------------------------------------
-@_register(
-    "rolling_avg_events",
-    f"""
-    SELECT event_id, user_id,
-           {_sql_r('AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id '
-                    'ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)', 6)} AS rolling_avg
-    FROM events
-    """,
-    "W1,O1",
-    "per-user 5-row rolling mean over the events stream table",
-)
-def rolling_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.asc("ts"), F.asc("event_id"))
-        .rowsBetween(-4, 0)
-    )
-    return ev.select(
-        "event_id", "user_id", _r(F.avg("value").over(w), 6).alias("rolling_avg")
-    )
-
-
-# ---------------------------------------------------------------------------
-# W2: lead target + trailing-null drop (reference src/features.py:21-23).
-# ---------------------------------------------------------------------------
-@_register(
-    "lead_target_events",
-    """
-    SELECT event_id, user_id, value, target FROM (
-      SELECT event_id, user_id, value,
-             LEAD(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS target
-      FROM events
-    ) WHERE target IS NOT NULL
-    """,
-    "W2,F9",
-    "next-event target per user with trailing-row drop",
-)
-def lead_target_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
-    return (
-        ev.select(
-            "event_id",
-            "user_id",
-            "value",
-            F.lead("value", 1).over(w).alias("target"),
-        )
-        .na.drop(subset=["target"])
-    )
-
-
-# ---------------------------------------------------------------------------
-# C1/C3: mixed American/decimal normalization with the reference's per-row
-# heuristic (src/processing.py:98-112), incl. its deliberate quirks.
-# Pure projection: no shuffle at any scale.
-# ---------------------------------------------------------------------------
-@_register(
-    "odds_format_normalize",
-    f"""
-    SELECT event_id, price,
-           {_sql_r('''CASE WHEN price <= 0 OR ABS(price) >= 100 THEN
-                        CASE WHEN price > 0 THEN price / 100.0 + 1.0
-                             ELSE 100.0 / (-price) + 1.0 END
-                      ELSE price END''', 6)} AS decimal_odds
-    FROM (SELECT event_id, value - 250.005 AS price FROM events)
-    """,
-    "C1,C3,F5",
-    "per-row odds-format heuristic + American->decimal conversion",
-)
-def odds_format_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.odds_math import to_decimal_odds
-
-    ev = _t(spark, sf_dir, "events").select(
-        "event_id", (F.col("value") - 250.005).alias("price")
-    )
-    return ev.select(
-        "event_id", "price", _r(to_decimal_odds(F.col("price")), 6).alias("decimal_odds")
-    )
-
-
-# ---------------------------------------------------------------------------
-# C5-C9: the EV battery as one projection (reference ev_calculator.py:16-66
-# did this with row-wise apply). Odds/probs are derived deterministically
-# from lineitem columns.
-# ---------------------------------------------------------------------------
-_EV_AM_SQL = (
-    "CASE WHEN l_linenumber % 2 = 0 THEN -(100.0 + l_partkey % 150) "
-    "ELSE 100.0 + l_partkey % 200 END"
-)
-_EV_DEC_SQL = (
-    f"CASE WHEN ({_EV_AM_SQL}) > 0 THEN ({_EV_AM_SQL}) / 100.0 + 1.0 "
-    f"ELSE 100.0 / (-({_EV_AM_SQL})) + 1.0 END"
-)
-
-
-@_register(
-    "ev_battery",
-    f"""
-    WITH base AS (
-      SELECT l_orderkey, l_linenumber,
-             {_EV_AM_SQL} AS odds_american,
-             {_EV_DEC_SQL} - 1.0 AS payout,
-             0.3 + l_discount * 5.0 AS true_prob
-      FROM lineitem
-    ), ev AS (
-      SELECT *, true_prob * payout - (1.0 - true_prob) AS ev FROM base
-    )
-    SELECT l_orderkey, l_linenumber, odds_american,
-           {_sql_r('ev', 6)} AS ev,
-           {_sql_r('true_prob * pow(payout - ev, 2) + (1.0 - true_prob) * pow(-1.0 - ev, 2)', 6)} AS variance,
-           {_sql_r('ev - 0.5 * (true_prob * pow(payout - ev, 2) + (1.0 - true_prob) * pow(-1.0 - ev, 2))', 6)} AS ev_adj,
-           {_sql_r('LEAST(GREATEST((payout * true_prob - (1.0 - true_prob)) / payout, 0.0) * 0.5, 0.05)', 6)} AS kelly_fraction,
-           CAST(ev >= 0.02 AS INT) AS bet_flag
-    FROM ev
-    """,
-    "C5,C6,C7,C8,C9",
-    "EV/variance/adjusted-EV/half-Kelly/bet-flag battery",
-)
-def ev_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.odds_math import (
-        adjusted_ev,
-        bet_variance,
-        expected_value,
-        half_kelly_fraction,
-    )
-
-    li = _t(spark, sf_dir, "lineitem")
-    am = F.when(
-        F.col("l_linenumber") % 2 == 0,
-        -(F.lit(100.0) + F.col("l_partkey") % 150),
-    ).otherwise(F.lit(100.0) + F.col("l_partkey") % 200)
-    base = li.select(
-        "l_orderkey",
-        "l_linenumber",
-        am.alias("odds_american"),
-        (F.lit(0.3) + F.col("l_discount") * 5.0).alias("true_prob"),
-    )
-    ev = expected_value(F.col("odds_american"), F.col("true_prob"))
-    base = base.withColumn("ev", ev)
-    var = bet_variance(F.col("odds_american"), F.col("true_prob"), F.col("ev"))
-    return base.select(
-        "l_orderkey",
-        "l_linenumber",
-        "odds_american",
-        _r(F.col("ev"), 6).alias("ev"),
-        _r(var, 6).alias("variance"),
-        _r(adjusted_ev(F.col("ev"), var), 6).alias("ev_adj"),
-        _r(half_kelly_fraction(F.col("odds_american"), F.col("true_prob")), 6).alias(
-            "kelly_fraction"
-        ),
-        (F.col("ev") >= 0.02).cast("int").alias("bet_flag"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# A12: backtest as labeled projection + one global agg (order-independent
-# because stake is constant; SURVEY §2.4 A12).
-# ---------------------------------------------------------------------------
-@_register(
-    "backtest_roi",
-    """
-    WITH labeled AS (
-      SELECT CASE
-               WHEN pred > line AND pred > 0.55 THEN 'win'
-               WHEN pred < line AND (1.0 - pred) > 0.55 THEN 'loss'
-               ELSE 'pass' END AS bet
-      FROM (SELECT value - floor(value) AS pred,
-                   (event_id % 100) / 100.0 AS line FROM events)
-    )
-    SELECT CAST(SUM(CASE WHEN bet = 'win' THEN 1 ELSE 0 END) AS BIGINT) AS wins,
-           CAST(SUM(CASE WHEN bet = 'loss' THEN 1 ELSE 0 END) AS BIGINT) AS losses,
-           CAST(SUM(CASE WHEN bet = 'pass' THEN 1 ELSE 0 END) AS BIGINT) AS passes,
-           1000.0 + 10.0 * SUM(CASE WHEN bet = 'win' THEN 1 ELSE 0 END)
-                  - 10.0 * SUM(CASE WHEN bet = 'loss' THEN 1 ELSE 0 END) AS final_bankroll,
-           (10.0 * SUM(CASE WHEN bet = 'win' THEN 1 ELSE 0 END)
-            - 10.0 * SUM(CASE WHEN bet = 'loss' THEN 1 ELSE 0 END)) / 1000.0 AS roi
-    FROM labeled
-    """,
-    "A12",
-    "constant-stake backtest fold as a single aggregation",
-)
-def backtest_roi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.evaluation import backtest
-
-    ev = _t(spark, sf_dir, "events").select(
-        (F.col("value") - F.floor(F.col("value"))).alias("prediction"),
-        ((F.col("event_id") % 100) / 100.0).alias("market_line"),
-    )
-    return backtest(ev).select(
-        "wins",
-        "losses",
-        "passes",
-        F.col("final_bankroll").cast("double").alias("final_bankroll"),
-        F.col("roi").cast("double").alias("roi"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# A11: accuracy metric as a global avg.
-# ---------------------------------------------------------------------------
-@_register(
-    "accuracy_metric",
-    f"""
-    SELECT {_sql_r('AVG(CASE WHEN (value / 500.0 >= 0.5) = (event_id % 2 = 1) '
-                   'THEN 1.0 ELSE 0.0 END)', 6)} AS accuracy
-    FROM events
-    """,
-    "A11",
-    "prediction-vs-outcome accuracy as one aggregation",
-)
-def accuracy_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.evaluation import evaluate_accuracy
-
-    ev = _t(spark, sf_dir, "events").select(
-        (F.col("value") / 500.0).alias("prediction"),
-        (F.col("event_id") % 2).cast("int").alias("outcome"),
-    )
-    return evaluate_accuracy(ev).select(_r(F.col("accuracy"), 6).alias("accuracy"))
-
-
-# ---------------------------------------------------------------------------
-# U1/S6: snapshot union (canonical append semantics, reference
-# src/ingestion.py:132-142): two labeled slices unioned by name.
-# ---------------------------------------------------------------------------
-@_register(
-    "snapshot_union",
-    """
-    SELECT o_orderkey, o_orderstatus, o_totalprice, 'open_orders' AS snapshot_label
-    FROM orders WHERE o_orderstatus = 'O'
-    UNION ALL
-    SELECT o_orderkey, o_orderstatus, o_totalprice, 'big_orders' AS snapshot_label
-    FROM orders WHERE o_totalprice > 100000
-    """,
-    "U1,S6,F8",
-    "append-style union of two snapshot slices",
-)
-def snapshot_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_totalprice"
-    )
-    s1 = o.filter(F.col("o_orderstatus") == "O").withColumn(
-        "snapshot_label", F.lit("open_orders")
-    )
-    s2 = o.filter(F.col("o_totalprice") > 100000).withColumn(
-        "snapshot_label", F.lit("big_orders")
-    )
-    return s1.unionByName(s2)
-
-
-# ---------------------------------------------------------------------------
-# F10/A10 + join pipeline: per-customer grouped multi-agg with collected
-# set, through a broadcast dimension join (customer->nation).
-# Scale: orders shuffle on o_custkey; customer/nation broadcast.
-# ---------------------------------------------------------------------------
-@_register(
-    "customer_order_rollup",
-    """
-    SELECT c.c_custkey, n.n_name,
-           CAST(SUM(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS total_spent,
-           CAST(COUNT(*) AS BIGINT) AS n_orders,
-           STRING_AGG(DISTINCT o.o_orderstatus, ', ' ORDER BY o_orderstatus) AS statuses
-    FROM orders o
-    JOIN customer c ON o.o_custkey = c.c_custkey
-    JOIN nation n ON c.c_nationkey = n.n_nationkey
-    GROUP BY c.c_custkey, n.n_name
-    """,
-    "A9,A10,J1,F10",
-    "grouped multi-agg with sorted-set string agg through dim joins",
-)
-def customer_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Money sums go through exact integer cents (see _cents) so the result
-    # is independent of summation order — double sums are not.
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
-    n = _t(spark, sf_dir, "nation")
-    joined = o.join(
-        F.broadcast(c), o.o_custkey == c.c_custkey, "inner"
-    ).join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "inner")
-    return joined.groupBy("c_custkey", "n_name").agg(
-        (F.sum(_cents(F.col("o_totalprice"))) / 100.0).alias("total_spent"),
-        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ", ").alias(
-            "statuses"
-        ),
-    )
-
-
-# ---------------------------------------------------------------------------
-# O2/O3: global top-k with pinned tiebreak.
-# Scale: Spark's orderBy+limit plans TakeOrderedAndProject — per-partition
-# top-k then a k-row merge at the driver; no global sort materialized.
-# ---------------------------------------------------------------------------
-@_register(
-    "topk_orders",
-    """
-    SELECT o_orderkey, o_custkey, o_totalprice
-    FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey ASC
-    LIMIT 10
-    """,
-    "O2,O3",
-    "global top-10 orders by totalprice with deterministic tiebreak",
-)
-def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _t(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_custkey", "o_totalprice")
-        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-        .limit(10)
-    )
-
-
-# ---------------------------------------------------------------------------
-# Flagship: the full detect_discrepancies pipeline shape (A7 = F8 filter ->
-# A3 argmax -> A6 margin agg -> J2 join-back) over lineitem-as-odds.
-# Scale: argmax window and margin agg share the l_orderkey shuffle; the
-# join-back is key-aligned so AQE plans it without a second full shuffle.
-# ---------------------------------------------------------------------------
-@_register(
-    "flagship_market_report",
-    f"""
-    WITH best AS (
-      SELECT l_orderkey, outcome, best_supp, best_price,
-             {_sql_r('1.0 / best_price', 9)} AS implied_prob
-      FROM (
-        SELECT l_orderkey, l_linestatus AS outcome, l_suppkey AS best_supp,
-               l_quantity AS best_price,
-               ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_linestatus
-                                  ORDER BY l_quantity DESC, l_linenumber ASC, l_suppkey ASC) AS rn
-        FROM lineitem
-      ) WHERE rn = 1
-    ), margins AS (
-      SELECT l_orderkey, COUNT(*) AS n_outcomes,
-             SUM(1.0 / best_price) AS total_implied
-      FROM best GROUP BY l_orderkey
-    )
-    SELECT b.l_orderkey, b.outcome, b.best_supp, b.best_price, b.implied_prob,
-           CASE WHEN m.n_outcomes = 2 AND m.total_implied < 1.0
-                THEN {_sql_r('(1.0 - m.total_implied) * 100.0', 2)}
-           END AS arbitrage_margin
-    FROM best b JOIN margins m USING (l_orderkey)
-    WHERE m.n_outcomes = 2
-    """,
-    "A7,A3,A6,J2,F8",
-    "flagship: best-price + two-outcome arbitrage report (detect_discrepancies shape)",
-)
-def flagship_market_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import ensure_parallelism
-
-    # one keyed spread serves both windows (superset clustering), as in
-    # best_odds_report_join
-    li = ensure_parallelism(_t(spark, sf_dir, "lineitem"), "l_orderkey")
-    w = Window.partitionBy("l_orderkey", "l_linestatus").orderBy(
-        F.desc("l_quantity"), F.asc("l_linenumber"), F.asc("l_suppkey")
-    )
-    best = (
-        li.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "l_orderkey",
-            F.col("l_linestatus").alias("outcome"),
-            F.col("l_suppkey").alias("best_supp"),
-            F.col("l_quantity").alias("best_price"),
-            _r(F.lit(1.0) / F.col("l_quantity"), 9).alias("implied_prob"),
-        )
-    )
-    # Margin agg as a second window over l_orderkey: the join-back (J2)
-    # becomes a same-key window, avoiding a self-join that would recompute
-    # the argmax subtree.
-    w2 = Window.partitionBy("l_orderkey")
-    n_outcomes = F.count(F.lit(1)).over(w2)
-    total = F.sum(F.lit(1.0) / F.col("best_price")).over(w2)
-    return (
-        best.withColumn("n_outcomes", n_outcomes)
-        .withColumn("total_implied", total)
-        .filter(F.col("n_outcomes") == 2)
-        .select(
-            "l_orderkey",
-            "outcome",
-            "best_supp",
-            "best_price",
-            "implied_prob",
-            F.when(
-                F.col("total_implied") < 1.0,
-                _r((F.lit(1.0) - F.col("total_implied")) * 100.0, 2),
-            ).alias("arbitrage_margin"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# TPC-H Q1-shaped pricing summary — the headline OLAP aggregate (bench q1).
-# Scale: pure scan + hash agg with map-side combine; 4 output groups.
-# ---------------------------------------------------------------------------
-@_register(
-    "pricing_summary",
-    """
-    SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
-           CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS sum_base_price,
-           CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS sum_disc_price,
-           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) / CAST(COUNT(*) AS BIGINT) AS avg_qty,
-           CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 / CAST(COUNT(*) AS BIGINT) AS avg_price,
-           CAST(COUNT(*) AS BIGINT) AS count_order
-    FROM lineitem
-    GROUP BY l_returnflag, l_linestatus
-    """,
-    "A10,C14",
-    "TPC-H Q1-shaped pricing summary over lineitem",
-)
-def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # All sums go through exact integers (quantities are whole; money via
-    # cents) so partial-agg order cannot perturb the result.
-    li = _t(spark, sf_dir, "lineitem")
-    cnt = F.count(F.lit(1)).cast("bigint")
-    return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
-        (F.sum(_cents(F.col("l_extendedprice"))) / 100.0).alias("sum_base_price"),
-        (
-            F.sum(_cents(F.col("l_extendedprice") * (1.0 - F.col("l_discount"))))
-            / 100.0
-        ).alias("sum_disc_price"),
-        (F.sum(F.col("l_quantity").cast("bigint")) / cnt).alias("avg_qty"),
-        (F.sum(_cents(F.col("l_extendedprice"))) / 100.0 / cnt).alias("avg_price"),
-        cnt.alias("count_order"),
-    )
-
-
-# ===========================================================================
-# Text analysis over `documents` (north-star training-data ops; no reference
-# counterpart — SURVEY §7.3-7). All pure Column/string/array expressions:
-# shuffle-free narrow projections that scan at parquet-read speed.
-# ===========================================================================
-
-def _sql_count_in(words: tuple[str, ...]) -> str:
-    """DuckDB list_filter count of whitespace tokens in a fixed word set."""
-    inlist = ", ".join(f"'{w}'" for w in words)
-    return (
-        "CAST(len(list_filter(string_split(text, ' '), "
-        f"x -> x IN ({inlist}))) AS BIGINT)"
-    )
-
-
-@_register(
-    "text_token_stats",
-    f"""
-    SELECT doc_id,
-           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
-           CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_bpe_tokens,
-           {_sql_r("1.0 * n_chars / len(string_split(text, ' '))", 9)} AS chars_per_token
-    FROM documents
-    """,
-    "textops: token counting",
-    "whitespace + BPE-estimate token counts per document",
-)
-def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import token_stats
-
-    docs = _t(spark, sf_dir, "documents")
-    out = token_stats(docs)
-    return out.select(
-        "doc_id",
-        "n_ws_tokens",
-        "est_bpe_tokens",
-        _r(F.col("chars_per_token"), 9).alias("chars_per_token"),
-    )
-
-
-@_register(
-    "text_quality",
-    f"""
-    WITH t AS (
-      SELECT doc_id, n_chars,
-             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-             {_sql_count_in(('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it', 'for', 'on'))} AS n_stop,
-             CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct
-      FROM documents
-    )
-    SELECT doc_id, n_tokens,
-           {_sql_r('1.0 * (n_chars - (n_tokens - 1)) / n_tokens', 9)} AS avg_word_len,
-           {_sql_r('1.0 * n_punct / n_chars', 9)} AS punct_ratio,
-           {_sql_r('1.0 * n_stop / n_tokens', 9)} AS stopword_ratio,
-           {_sql_r('(1.0 * n_stop / n_tokens) * 0.5 + least(n_tokens, 100) / 100.0 * 0.5', 9)} AS quality_score
-    FROM t
-    """,
-    "textops: quality scoring",
-    "length/punct/stopword quality signals + composite score",
-)
-def text_quality_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import text_quality
-
-    docs = _t(spark, sf_dir, "documents")
-    out = text_quality(docs)
-    return out.select(
-        "doc_id",
-        "n_tokens",
-        _r(F.col("avg_word_len"), 9).alias("avg_word_len"),
-        _r(F.col("punct_ratio"), 9).alias("punct_ratio"),
-        _r(F.col("stopword_ratio"), 9).alias("stopword_ratio"),
-        _r(F.col("quality_score"), 9).alias("quality_score"),
-    )
-
-
-
-# ===========================================================================
-# Model-based quality filter (r9) — the linear-classifier curation
-# stage (fasttext/CCNet style, Wenzek et al. LREC 2020) beside the rule
-# filters (text_quality) and the LM cut (quality_perplexity_cut):
-# pinned milli-unit literal weights over micro-unit integer features,
-# keep iff logit >= 0. Pure narrow projection — scan-speed at 100 TB,
-# plan-pinned at zero exchanges; the decision is exact integer
-# arithmetic with no float boundary cases
-# (operators/textstats.py:quality_linear_filter).
-# ===========================================================================
-
-from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import (  # noqa: E402
-    QUALITY_W0_E6,
-    QUALITY_W_AWL_E3,
-    QUALITY_W_LEN_E3,
-    QUALITY_W_PUNCT_E3,
-    QUALITY_W_STOP_E3,
-)
-
-
-@_register(
-    "quality_linear_filter",
-    f"""
-    WITH t AS (
-      SELECT doc_id, n_chars,
-             CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
-             {_sql_count_in(('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it', 'for', 'on'))} AS n_stop,
-             CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct
-      FROM documents
-    ),
-    f AS (
-      SELECT doc_id,
-             CASE WHEN n > 0 THEN CAST(floor(1.0 * n_stop / n * 1000000 + 0.5) AS BIGINT)
-                  ELSE 0 END AS stop_e6,
-             CASE WHEN n_chars > 0 THEN CAST(floor(1.0 * n_punct / n_chars * 1000000 + 0.5) AS BIGINT)
-                  ELSE 0 END AS punct_e6,
-             CAST(least(n, 100) * 10000 AS BIGINT) AS len_sat_e6,
-             CASE WHEN n > 0 THEN CAST(floor(1.0 * (n_chars - (n - 1)) / n * 1000000 + 0.5) AS BIGINT)
-                  ELSE 0 END AS awl_e6
-      FROM t
-    )
-    SELECT doc_id, stop_e6, punct_e6, len_sat_e6, awl_e6,
-           CAST({QUALITY_W0_E6}
-                + {QUALITY_W_STOP_E3} * stop_e6 // 1000
-                + {QUALITY_W_PUNCT_E3} * punct_e6 // 1000
-                + {QUALITY_W_LEN_E3} * len_sat_e6 // 1000
-                + {QUALITY_W_AWL_E3} * awl_e6 // 1000 AS BIGINT) AS logit_e6,
-           ({QUALITY_W0_E6}
-                + {QUALITY_W_STOP_E3} * stop_e6 // 1000
-                + {QUALITY_W_PUNCT_E3} * punct_e6 // 1000
-                + {QUALITY_W_LEN_E3} * len_sat_e6 // 1000
-                + {QUALITY_W_AWL_E3} * awl_e6 // 1000) >= 0 AS kept
-    FROM f
-    """,
-    "curation: model-based quality filter (pinned-weight linear "
-    "classifier, fasttext/CCNet style; no reference counterpart)",
-    "integer-exact linear quality logit over micro-unit text features; "
-    "keep iff logit >= 0 — zero-shuffle scan-speed projection",
-)
-def quality_linear_filter_battery(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import (
-        quality_linear_filter,
-    )
-
-    return quality_linear_filter(_t(spark, sf_dir, "documents")).select(
-        "doc_id", "stop_e6", "punct_e6", "len_sat_e6", "awl_e6",
-        "logit_e6", "kept",
-    )
-
-
-@_register(
-    "text_language_id",
-    f"""
-    WITH c AS (
-      SELECT doc_id, lang,
-             {_sql_count_in(('the', 'a', 'of', 'and', 'to', 'in', 'is'))} AS c_en,
-             {_sql_count_in(('der', 'die', 'das', 'und', 'ist', 'ein'))} AS c_de,
-             {_sql_count_in(('el', 'los', 'las', 'una', 'y', 'que'))} AS c_es,
-             {_sql_count_in(('le', 'les', 'des', 'et', 'est', 'une'))} AS c_fr,
-             {_sql_count_in(('de', 'shi', 'bu', 'zai', 'le', 'wo'))} AS c_zh
-      FROM documents
-    )
-    SELECT doc_id, lang, c_en, c_de, c_es, c_fr, c_zh,
-           CASE WHEN c_en >= greatest(c_de, c_es, c_fr, c_zh) THEN 'en'
-                WHEN c_de >= greatest(c_es, c_fr, c_zh) THEN 'de'
-                WHEN c_es >= greatest(c_fr, c_zh) THEN 'es'
-                WHEN c_fr >= c_zh THEN 'fr'
-                ELSE 'zh' END AS predicted_lang
-    FROM c
-    """,
-    "textops: language ID",
-    "marker-word language-ID heuristic vs the table's lang column",
-)
-def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import language_id
-
-    docs = _t(spark, sf_dir, "documents")
-    out = language_id(docs)
-    return out.select(
-        "doc_id", "lang", "c_en", "c_de", "c_es", "c_fr", "c_zh", "predicted_lang"
-    )
-
-
-# Language-ID confusion audit (r10): the classifier-quality report for
-# the marker-word heuristic — per (true lang, predicted lang) cell
-# counts plus the true-language recall in exact integer micro-units.
-# The audit every curation pipeline keeps next to a cheap classifier:
-# which languages leak into which buckets. One count aggregate over the
-# language_id projection; |langs|² output rows.
-@_register(
-    "language_id_confusion",
-    f"""
-    WITH c AS (
-      SELECT doc_id, lang,
-             {_sql_count_in(('the', 'a', 'of', 'and', 'to', 'in', 'is'))} AS c_en,
-             {_sql_count_in(('der', 'die', 'das', 'und', 'ist', 'ein'))} AS c_de,
-             {_sql_count_in(('el', 'los', 'las', 'una', 'y', 'que'))} AS c_es,
-             {_sql_count_in(('le', 'les', 'des', 'et', 'est', 'une'))} AS c_fr,
-             {_sql_count_in(('de', 'shi', 'bu', 'zai', 'le', 'wo'))} AS c_zh
-      FROM documents
-    ),
-    pred AS (
-      SELECT lang,
-             CASE WHEN c_en >= greatest(c_de, c_es, c_fr, c_zh) THEN 'en'
-                  WHEN c_de >= greatest(c_es, c_fr, c_zh) THEN 'de'
-                  WHEN c_es >= greatest(c_fr, c_zh) THEN 'es'
-                  WHEN c_fr >= c_zh THEN 'fr'
-                  ELSE 'zh' END AS predicted_lang
-      FROM c
-    ),
-    cell AS (SELECT lang, predicted_lang, CAST(count(*) AS BIGINT) AS n
-             FROM pred GROUP BY lang, predicted_lang),
-    tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang
-            FROM cell GROUP BY lang)
-    SELECT c.lang, c.predicted_lang, c.n,
-           CAST(1000000 * c.n // t.n_lang AS BIGINT) AS share_e6,
-           CASE WHEN c.lang = c.predicted_lang THEN TRUE ELSE FALSE END
-             AS is_correct
-    FROM cell c JOIN tot t ON t.lang = c.lang
-    """,
-    "textops: language-ID confusion audit (classifier-quality report; "
-    "no reference counterpart)",
-    "per (true, predicted) language cell counts + per-language share in "
-    "exact integer micro-units — one count aggregate, |langs|^2 rows",
-)
-def language_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import language_id
-
-    pred = language_id(_t(spark, sf_dir, "documents")).select(
-        "lang", "predicted_lang"
-    )
-    cell = pred.groupBy("lang", "predicted_lang").agg(
-        F.count("*").cast("bigint").alias("n")
-    )
-    tot = cell.groupBy("lang").agg(F.sum("n").cast("bigint").alias("n_lang"))
-    return cell.join(tot, "lang").select(
-        "lang",
-        "predicted_lang",
-        "n",
-        F.expr("1000000 * n div n_lang").cast("bigint").alias("share_e6"),
-        (F.col("lang") == F.col("predicted_lang")).alias("is_correct"),
-    )
-
-
-@_register(
-    "text_fingerprint",
-    """
-    SELECT doc_id, md5(lower(text)) AS md5_fp
-    FROM documents
-    """,
-    "textops: document fingerprinting",
-    "stable md5 content fingerprint per document",
-)
-def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import doc_fingerprint
-
-    docs = _t(spark, sf_dir, "documents")
-    return doc_fingerprint(docs).select("doc_id", "md5_fp")
-
-
-# ===========================================================================
-# Deduplication + similarity search (north-star training-data ops; no
-# reference counterpart — SURVEY §7.3-7). Hash discipline: everything
-# derives from md5 (byte-identical hex in Spark and DuckDB), so the
-# oracles reproduce MinHash/SimHash bit-for-bit. See operators/dedup.py
-# and operators/similarity.py for the scale shape of each plan.
-# ===========================================================================
-
-from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (  # noqa: E402
-    MINHASH_BANDS,
-    MINHASH_PARAMS,
-    MINHASH_PRIME,
-    NUM_MINHASH,
-    SIMHASH_BITS,
-)
-from sports_data_integration_and_forecasting_pipeline_spark.operators.similarity import (  # noqa: E402
-    hyperplanes,
-)
-
-# Word-3-gram shingles (with duplicates) as DuckDB SQL — mirrors
-# dedup.shingles_from_tokens exactly: list_slice clamps at the array end
-# the same way Spark's slice(toks, i, 3) does, so short docs yield one
-# short shingle in both engines.
-def _shingle_raw_sql(n: int) -> str:
-    """Word-``n``-gram list over ``text`` (whole-text fallback for short
-    docs) — the DuckDB twin of ``dedup.shingles_from_tokens``."""
-    return (
-        "list_transform("
-        f"range(1, greatest(len(string_split(text, ' ')) - {n - 1}, 1) + 1), "
-        "i -> array_to_string(list_slice(string_split(text, ' '), "
-        f"i::INT, (i + {n - 1})::INT), ' '))"
-    )
-
-
-_SHINGLE3_RAW_SQL = _shingle_raw_sql(3)
-
-
-def _h32_sql(expr: str) -> str:
-    return f"CAST(concat('0x', substring(md5({expr}), 1, 8)) AS BIGINT)"
-
-
-def _h60_sql(expr: str) -> str:
-    return f"CAST(concat('0x', substring(md5({expr}), 1, 15)) AS BIGINT)"
-
-
-@_register(
-    "dedup_exact",
-    """
-    SELECT doc_id,
-           md5(text) AS fp,
-           min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
-           doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
-    FROM documents
-    """,
-    "textops: exact dedup",
-    "md5-fingerprint duplicate groups, min doc_id canonical",
-)
-def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import exact_dup_groups
-
-    return exact_dup_groups(_t(spark, sf_dir, "documents"))
-
-
-# Thresholded (J ≥ 0.5) prefix-filtered similarity join — the production
-# near-dup form: candidate generation indexes only each doc's rarest few
-# shingles (global df-ascending order, exact integer prefix lengths), so
-# candidate volume collapses versus the full inverted index while the
-# returned pair set is PROVABLY identical to the exhaustive join filtered
-# to the threshold (prefix principle; property-tested in tests/test_dedup
-# .py against dedup_shingle_jaccard_all's operator). The oracle states
-# the same prefix construction, so the driver hash-checks the whole
-# pipeline — ordering, prefix math, verification — not just the final
-# filter.
-
-# Soft dedup (r9): duplicate DOWN-WEIGHTING — every copy stays with
-# training weight 1e6 DIV multiplicity, so each distinct content
-# contributes one document of gradient mass without re-ordering or
-# re-packing the corpus (the loss-weighting alternative to dropping;
-# operators/dedup.py:soft_dedup_weights). One narrow fingerprint
-# projection + one fingerprint-partitioned count window — a single
-# exchange, no joins.
-@_register(
-    "dedup_soft_weights",
-    """
-    SELECT doc_id,
-           md5(text) AS fp,
-           CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT)
-             AS multiplicity,
-           CAST(1000000 // (count(*) OVER (PARTITION BY md5(text)))
-                AS BIGINT) AS weight_e6
-    FROM documents
-    """,
-    "curation: soft dedup via duplicate down-weighting (loss-weighting "
-    "alternative to dropping; no reference counterpart)",
-    "per-copy training weight 1e6 DIV multiplicity over exact md5 "
-    "content groups — one window, no joins",
-)
-def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import soft_dedup_weights
-
-    return soft_dedup_weights(_t(spark, sf_dir, "documents"))
-
-
-# r11 bench adjudication (VERDICT r10 task 2, both-orderings on a calm
-# session): the r10 1.35 -> 2.10 s swing re-measured min 1.773/1.666 s
-# fwd/rev — midway between the two rounds, with ±3x WITHIN-session
-# spread on individual runs ([6.9, 6.3, 1.8] fwd) despite release_caches
-# between entries. The entry's plan is unchanged since r8 (diff clean);
-# its prefix-filter shuffle makes it the most scheduling-spike-sensitive
-# dedup entry. Host variance, not a plan defect — no action.
-# r13 (VERDICT r12 task 4 — the fourth consecutive adjudication round
-# for this entry): the suggested structural variance fix (posting-list
-# groupBy + JVM-side i<j enumeration replacing the prefix self-join)
-# was BUILT, verified output-identical at both sweep scales, and then
-# REJECTED on measurement: cold-run band 3.98x -> 1.35x as hoped, but
-# bench-style warm runs +0.6 s and the in-battery time TRIPLED
-# (1.38 -> 4.16 s; split_leakage_audit dragged 1.57 -> 4.17 s) — the
-# collect_list buffers are disproportionately sensitive to mid-battery
-# heap pressure. Full A/B tables in SCALING.md r13. The self-join
-# stays; the entry's calm corrected r13 row (1.381 s, <1.3x) already
-# met the verdict's first Done-option, and the +-3x single-run band is
-# adjudicated host/scheduling noise, not a plan defect.
-@_register(
-    "dedup_shingle_jaccard",
-    f"""
-    WITH sh0 AS (
-      SELECT doc_id,
-             unnest(list_distinct(list_transform({_SHINGLE3_RAW_SQL},
-                                                 s -> {_h60_sql('s')}))) AS sh
-      FROM documents
-    ),
-    dfreq AS (SELECT sh, CAST(count(*) AS BIGINT) AS df FROM sh0
-              GROUP BY sh HAVING count(*) <= 100),
-    surv AS (SELECT s.doc_id, s.sh, d.df FROM sh0 s JOIN dfreq d USING (sh)),
-    sized AS (
-      SELECT doc_id, sh, df,
-             CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_sh,
-             row_number() OVER (PARTITION BY doc_id ORDER BY df, sh) AS rk
-      FROM surv
-    ),
-    pref AS (SELECT doc_id, sh FROM sized
-             WHERE rk <= n_sh - ((50 * n_sh + 99) // 100) + 1),
-    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-             FROM pref a JOIN pref b ON a.sh = b.sh AND a.doc_id < b.doc_id),
-    sets AS (SELECT doc_id, list(sh) AS shs, CAST(count(*) AS BIGINT) AS n_sh
-             FROM surv GROUP BY doc_id),
-    scored AS (
-      SELECT id_a, id_b,
-             CAST(len(list_intersect(sa.shs, sb.shs)) AS BIGINT) AS n_common,
-             sa.n_sh AS n_a, sb.n_sh AS n_b
-      FROM cand JOIN sets sa ON cand.id_a = sa.doc_id
-                JOIN sets sb ON cand.id_b = sb.doc_id
-    )
-    SELECT id_a, id_b, n_common,
-           1.0 * n_common / (n_a + n_b - n_common) AS jaccard
-    FROM scored
-    WHERE 100 * n_common >= 50 * (n_a + n_b - n_common)
-    """,
-    "textops: n-gram Jaccard near-dup (prefix-filtered similarity join)",
-    "word-3-gram Jaccard >= 0.5 near-dup pairs via df-ordered prefix "
-    "filtering (exact integer prefix math, hot cap max_df 100, exact "
-    "intersection verification)",
-)
-def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
-        shingle_jaccard_prefix_pairs,
-    )
-
-    out = shingle_jaccard_prefix_pairs(
-        _t(spark, sf_dir, "documents"), max_df=100, threshold_pct=50
-    )
-    # int/int double division is exact in both engines — no rounding needed.
-    return out.select("id_a", "id_b", "n_common", "jaccard")
-
-
-# The unthresholded candidate enumerator (every pair sharing >= 1 sub-hot
-# shingle, exact Jaccard): kept as the bounded-contract exhaustive form —
-# useful when the downstream wants the full similarity histogram rather
-# than a near-dup cut. Its pair volume is a corpus property (near-linear
-# only under the hot cap), so the thresholded prefix form above is the
-# scale path and holds the driver-window slot.
-@_register(
-    "dedup_shingle_jaccard_all",
-    f"""
-    WITH sh0 AS (
-      SELECT doc_id,
-             list_distinct(list_transform({_SHINGLE3_RAW_SQL},
-                                          s -> {_h60_sql('s')})) AS shs
-      FROM documents
-    ),
-    sh AS (
-      SELECT doc_id, CAST(len(shs) AS BIGINT) AS n_sh, unnest(shs) AS sh
-      FROM sh0
-    ),
-    ok AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 100),
-    shf AS (SELECT s.doc_id,
-                   CAST(count(*) OVER (PARTITION BY s.doc_id) AS BIGINT) AS n_sh,
-                   s.sh
-            FROM sh s JOIN ok USING (sh))
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(count(*) AS BIGINT) AS n_common,
-           1.0 * count(*) / (a.n_sh + b.n_sh - count(*)) AS jaccard
-    FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
-    GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
-    """,
-    "textops: n-gram Jaccard near-dup (exhaustive candidate enumeration)",
-    "word-3-gram inverted-index pair join, exact Jaccard over the "
-    "hot-capped shingle space (max_df 100, per-doc sizes recomputed post-cap)",
-)
-def dedup_shingle_jaccard_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import shingle_jaccard_pairs
-
-    out = shingle_jaccard_pairs(_t(spark, sf_dir, "documents"), max_df=100)
-    # int/int double division is exact in both engines — no rounding needed.
-    return out.select("id_a", "id_b", "n_common", "jaccard")
-
-
-# ===========================================================================
-# Benchmark decontamination — the train/eval overlap check every LLM
-# corpus pipeline runs before training. Benchmark = every 17th doc
-# (simulated held-out eval set); corpus = the rest. Benchmark shingle
-# set broadcasts (eval sets are small by construction); corpus side is
-# narrow + one map-side-combined groupBy. Hash-oracled end to end via
-# the shared md5 h60 shingle identity.
-# ===========================================================================
-
-@_register(
-    "decontaminate_benchmark",
-    f"""
-    WITH shed AS (
-      SELECT doc_id,
-             unnest(list_distinct(list_transform({_SHINGLE3_RAW_SQL},
-                                                 s -> {_h60_sql('s')}))) AS sh
-      FROM documents
-    ),
-    bench AS (SELECT DISTINCT sh FROM shed WHERE doc_id % 17 = 0),
-    doc_sh AS (SELECT doc_id, sh FROM shed WHERE doc_id % 17 <> 0)
-    SELECT d.doc_id,
-           CAST(count(*) AS BIGINT) AS n_shingles,
-           CAST(count(b.sh) AS BIGINT) AS n_hit,
-           count(b.sh) / count(*) AS contamination,
-           count(b.sh) >= 2 AS contaminated
-    FROM doc_sh d LEFT JOIN bench b ON d.sh = b.sh
-    GROUP BY d.doc_id
-    """,
-    "textops: benchmark decontamination (no reference counterpart)",
-    "per-doc n-gram overlap vs a held-out benchmark set, broadcast bench shingles",
-)
-def decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.decontam import (
-        benchmark_contamination,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    return benchmark_contamination(
-        corpus=docs.filter(F.col("doc_id") % 17 != 0),
-        benchmark=docs.filter(F.col("doc_id") % 17 == 0),
-        min_hits=2,
-    )
-
-
-# ===========================================================================
-# Misra-Gries heavy hitters — the O(k)-state mergeable companion to the
-# exact iceberg agg and the count-min sketch: per-partition Arrow
-# mapInPandas summaries merged by sum + (k+1)-th-largest subtraction
-# (Agarwal et al. mergeable-summaries construction). Estimates are
-# partition-layout-dependent (any valid MG summary is), so rows-only
-# like HLL; tests/test_sketches.py asserts the N/(k+1) bound.
-# ===========================================================================
-
-@_register(
-    "misra_gries_heavy_hitters",
-    None,  # summary depends on partition layout — see block comment
-    "sketch: Misra-Gries heavy hitters (rows-only; bound-tested)",
-    "k=8 merged MG summary over event_type — every item with freq > N/9 "
-    "guaranteed present, undercount <= N/9",
-)
-def misra_gries_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.frequency import misra_gries
-
-    return misra_gries(_t(spark, sf_dir, "events"), "event_type", k=8)
-
-
-# The MG summary itself is layout-dependent (any valid Misra-Gries output
-# is), so the entry above is rows-only. This companion makes the sketch's
-# GUARANTEE hash-oracleable: for every item whose exact count exceeds
-# N/(k+1) — a deterministic set — it emits the exact count plus two
-# booleans ("the item survived the sketch", "its estimate is within the
-# proven bound 0 <= true - est <= N/(k+1)"). Those booleans are
-# invariantly TRUE for any correct MG implementation, so DuckDB can
-# assert them from exact counts alone; a sketch bug flips a boolean and
-# the hash mismatches. All comparisons are exact integer arithmetic
-# ((true-est)·(k+1) <= N — no float division).
-@_register(
-    "misra_gries_verified",
-    """
-    WITH exact AS (
-      SELECT event_type AS item, CAST(count(*) AS BIGINT) AS true_cnt
-      FROM events GROUP BY event_type
-    ),
-    tot AS (SELECT sum(true_cnt) AS n FROM exact)
-    SELECT item, true_cnt, TRUE AS present, TRUE AS within_bound
-    FROM exact, tot
-    WHERE true_cnt * 9 > n
-    """,
-    "sketch: Misra-Gries guarantee verification (hash-oracled companion)",
-    "k=8 MG survivors joined to exact counts; emits the deterministic "
-    "guaranteed-heavy set with presence + error-bound flags",
-)
-def misra_gries_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.frequency import misra_gries
-
-    k = 8
-    events = _t(spark, sf_dir, "events")
-    exact = events.groupBy(F.col("event_type").alias("item")).agg(
-        F.count("*").cast("bigint").alias("true_cnt")
-    )
-    total = exact.agg(F.sum("true_cnt").alias("n"))
-    mg = misra_gries(events, "event_type", k=k).withColumnRenamed(
-        "item", "mg_item"
-    )
-    guaranteed = exact.crossJoin(F.broadcast(total)).filter(
-        F.col("true_cnt") * (k + 1) > F.col("n")
-    )
-    return (
-        guaranteed.join(mg, F.col("item") == F.col("mg_item"), "left")
-        .select(
-            "item",
-            "true_cnt",
-            F.col("mg_item").isNotNull().alias("present"),
-            (
-                F.col("mg_item").isNotNull()
-                & (F.col("est_cnt") <= F.col("true_cnt"))
-                & (
-                    (F.col("true_cnt") - F.col("est_cnt")) * (k + 1)
-                    <= F.col("n")
-                )
-            ).alias("within_bound"),
-        )
-    )
-
-
-# ===========================================================================
-# Repetition quality (Gopher/MassiveText-style) — top-2-gram share and
-# repeated-3-gram share per doc, the boilerplate/spam signals corpus
-# filters cut on. Both gram sizes ride ONE tagged explode and one
-# map-side-combined agg; fractions are exact int/int divisions.
-# ===========================================================================
-
-@_register(
-    "repetition_quality",
-    f"""
-    WITH g2 AS (
-      SELECT doc_id, 2 AS sz, unnest({_shingle_raw_sql(2)}) AS g FROM documents
-    ),
-    g3 AS (
-      SELECT doc_id, 3 AS sz, unnest({_shingle_raw_sql(3)}) AS g FROM documents
-    ),
-    counts AS (
-      SELECT doc_id, sz, g, count(*) AS cnt
-      FROM (SELECT * FROM g2 UNION ALL SELECT * FROM g3)
-      GROUP BY doc_id, sz, g
-    )
-    SELECT doc_id,
-           CAST(sum(cnt) FILTER (WHERE sz = 2) AS BIGINT) AS n_2grams,
-           max(cnt) FILTER (WHERE sz = 2)
-             / sum(cnt) FILTER (WHERE sz = 2) AS top_2gram_frac,
-           CAST(sum(cnt) FILTER (WHERE sz = 3) AS BIGINT) AS n_3grams,
-           coalesce(sum(cnt) FILTER (WHERE sz = 3 AND cnt > 1), 0)
-             / sum(cnt) FILTER (WHERE sz = 3) AS dup_3gram_frac
-    FROM counts GROUP BY doc_id
-    """,
-    "textops: repetition quality rules (no reference counterpart)",
-    "top-2-gram and duplicate-3-gram shares per doc, one tagged explode",
-)
-def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import repetition_stats
-
-    return repetition_stats(_t(spark, sf_dir, "documents"))
-
-
-# ===========================================================================
-# PII redaction — the pre-training scrub pass. The synthetic corpus has
-# no PII, so the entry SEEDS it deterministically from doc_id (same
-# concat in both engines), then counts and scrubs per category. All
-# narrow JVM-side regex — zero shuffles; even the redacted-text md5
-# fingerprints hash-match because the Java/RE2-common pattern subset
-# matches identically.
-# ===========================================================================
-
-def _pii_seed_sql() -> str:
-    return (
-        "text"
-        " || CASE WHEN doc_id % 3 = 0 THEN concat(' user', CAST(doc_id AS VARCHAR), '@example.com') ELSE '' END"
-        " || CASE WHEN doc_id % 5 = 0 THEN concat(' 415-555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) ELSE '' END"
-        " || CASE WHEN doc_id % 7 = 0 THEN concat(' 123-45-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) ELSE '' END"
-        " || CASE WHEN doc_id % 11 = 0 THEN concat(' 10.0.', CAST(doc_id % 256 AS VARCHAR), '.', CAST((doc_id * 7) % 256 AS VARCHAR)) ELSE '' END"
-    )
-
-
-def _pii_oracle_sql() -> str:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.redact import PII_PATTERNS
-
-    counts = ",\n           ".join(
-        f"CAST(len(regexp_extract_all(seeded, '{pat}')) AS BIGINT) AS n_{name}"
-        for name, pat, _ in PII_PATTERNS
-    )
-    red = "seeded"
-    for _, pat, repl in PII_PATTERNS:
-        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
-    return f"""
-    WITH seeded_docs AS (
-      SELECT doc_id, {_pii_seed_sql()} AS seeded FROM documents
-    )
-    SELECT doc_id,
-           {counts},
-           md5({red}) AS redacted_fp
-    FROM seeded_docs
-    """
-
-
-@_register(
-    "pii_redaction",
-    _pii_oracle_sql(),
-    "textops: PII redaction (no reference counterpart)",
-    "email/SSN/phone/IPv4 scrub with per-category counts, redacted-text md5 matched",
-)
-def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.redact import redact_pii
-
-    did = F.col("doc_id")
-    seeded = _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.concat(
-            F.col("text"),
-            F.when(did % 3 == 0, F.concat(F.lit(" user"), did.cast("string"), F.lit("@example.com"))).otherwise(""),
-            F.when(did % 5 == 0, F.concat(F.lit(" 415-555-"), F.lpad((did % 10000).cast("string"), 4, "0"))).otherwise(""),
-            F.when(did % 7 == 0, F.concat(F.lit(" 123-45-"), F.lpad((did % 10000).cast("string"), 4, "0"))).otherwise(""),
-            F.when(did % 11 == 0, F.concat(F.lit(" 10.0."), (did % 256).cast("string"), F.lit("."), ((did * 7) % 256).cast("string"))).otherwise(""),
-        ).alias("seeded"),
-    )
-    out = redact_pii(seeded, text_col="seeded", out_col="redacted")
-    return out.select(
-        "doc_id",
-        "n_email",
-        "n_ssn",
-        "n_phone",
-        "n_ipv4",
-        F.md5("redacted").alias("redacted_fp"),
-    )
-
-
-# ===========================================================================
-# Document chunking — token-bounded overlapping windows (32-token
-# chunks, stride 24 = 25% overlap), the sequence-packing prep step.
-# ENTIRELY narrow: tokenize -> integer chunk starts -> explode -> slice;
-# zero shuffles, so a 100 TB corpus chunks at scan speed and chunks stay
-# co-partitioned with their documents. slice()/list_slice() are both
-# 1-based and end-clamped, so the fingerprints hash-match.
-# ===========================================================================
-
-_CHUNK_MAX, _CHUNK_STRIDE = 32, 24
-
-
-@_register(
-    "chunk_documents_overlap",
-    f"""
-    WITH t AS (
-      SELECT doc_id, string_split(text, ' ') AS toks,
-             len(string_split(text, ' ')) AS n
-      FROM documents
-    ),
-    c AS (
-      SELECT doc_id, toks,
-             unnest(range(0, (n + {_CHUNK_STRIDE - 1}) // {_CHUNK_STRIDE})) AS i
-      FROM t
-    )
-    SELECT doc_id,
-           CAST(i AS BIGINT) AS chunk_id,
-           CAST(i * {_CHUNK_STRIDE} AS BIGINT) AS chunk_start,
-           CAST(len(list_slice(toks, i * {_CHUNK_STRIDE} + 1,
-                               i * {_CHUNK_STRIDE} + {_CHUNK_MAX})) AS BIGINT)
-             AS chunk_tokens,
-           md5(array_to_string(list_slice(toks, i * {_CHUNK_STRIDE} + 1,
-                                          i * {_CHUNK_STRIDE} + {_CHUNK_MAX}), ' '))
-             AS chunk_fp
-    FROM c
-    """,
-    "textops: document chunking / sequence packing prep (no reference counterpart)",
-    "32-token chunks at stride 24, zero-shuffle narrow plan, md5 chunk fingerprints",
-)
-def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.chunking import chunk_documents
-
-    return chunk_documents(
-        _t(spark, sf_dir, "documents"),
-        max_tokens=_CHUNK_MAX,
-        stride=_CHUNK_STRIDE,
-    )
-
-
-# GPT-style sequence packing (span view): concatenate the corpus in doc_id
-# order, cut every 256 tokens, report each doc's landing span. The global
-# token offset is a DISTRIBUTED prefix sum (deterministic id//width
-# buckets: within-bucket running sum -> per-bucket totals on the same
-# partitioning -> one-task exclusive prefix over the tiny bucket table ->
-# broadcast back) — never a single-task Window.orderBy over the data. The
-# oracle can afford the naive global-window cumsum; hash equality proves
-# the two-phase form computes the identical stream position at any
-# partitioning.
-@_register(
-    "pack_sequence_spans",
-    """
-    WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
-    c AS (SELECT doc_id, n,
-                 sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
-          FROM t)
-    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
-           CAST(cum - n AS BIGINT) AS tok_start,
-           CAST((cum - n) // 256 AS BIGINT) AS first_seq,
-           CAST((cum - 1) // 256 AS BIGINT) AS last_seq,
-           CAST((cum - 1) // 256 - (cum - n) // 256 + 1 AS BIGINT) AS n_seqs
-    FROM c
-    """,
-    "textops: sequence packing via distributed prefix sum",
-    "concat-and-cut packing at 256 tokens; bucketed two-phase cumsum, "
-    "per-task state bounded by bucket width",
-)
-def pack_sequence_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.chunking import pack_token_spans
-
-    return pack_token_spans(_t(spark, sf_dir, "documents"), seq_len=256)
-
-
-# ===========================================================================
-# Path funnel — the general-depth funnel: each user's full event-type
-# path in strict (ts, event_id) order, with view -> click -> purchase
-# matched as a token-bounded regex subsequence. One map-side-combined
-# groupBy builds the path; every additional stage is a narrow regex
-# test — zero extra shuffles. Patterns come from the same
-# funnel_pattern() the operator uses, and stay inside the regex subset
-# Java and RE2 treat identically.
-# ===========================================================================
-
-_FUNNEL_STAGES = ["view", "click", "purchase"]
-
-
-def _funnel_oracle_sql() -> str:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.paths import funnel_pattern
-
-    flags = ",\n             ".join(
-        f"regexp_matches(path, '{funnel_pattern(_FUNNEL_STAGES, k)}') AS stage_{k}"
-        for k in range(1, len(_FUNNEL_STAGES) + 1)
-    )
-    total = " + ".join(
-        f"CAST(stage_{k} AS INT)" for k in range(1, len(_FUNNEL_STAGES) + 1)
-    )
-    return f"""
-    WITH paths AS (
-      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
-             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
-      FROM events WHERE event_id % 13 = 0 GROUP BY user_id
-    ),
-    flagged AS (
-      SELECT user_id, n_events,
-             {flags}
-      FROM paths
-    )
-    SELECT user_id, n_events, stage_1, stage_2, stage_3,
-           CAST({total} AS BIGINT) AS max_stage
-    FROM flagged
-    """
-
-
-@_register(
-    "path_funnel_regex",
-    _funnel_oracle_sql(),
-    "funnel analysis, full path matching (no reference counterpart)",
-    "view->click->purchase as ordered subsequence of each user's event path",
-)
-def path_funnel_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.paths import path_funnel
-
-    # thin the stream (deterministic 1-in-13) so funnel depth varies by
-    # user — unthinned, every sf0.01 user completes all three stages
-    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 13 == 0)
-    return path_funnel(ev, _FUNNEL_STAGES)
-
-
-# ===========================================================================
-# Bloom-filter semi-join pruning — build an 8192-bit bloom over the
-# high-value order keys, probe every lineitem row WITHOUT shuffling it,
-# and report the pruning stats. The bloom's md5 bit positions are
-# engine-portable, so even the FALSE-POSITIVE COUNT hash-matches DuckDB
-# — the oracle reproduces the identical bit array. At 100 TB this is
-# the pre-shuffle reduction that turns a full lineitem shuffle into a
-# 2%-survivor shuffle; the bloom itself is 1 KB broadcast state.
-# ===========================================================================
-
-_BLOOM_BITS, _BLOOM_K, _BLOOM_PRICE = 8192, 3, 475000.0
-
-
-def _bloom_h_sql(i: str, key: str) -> str:
-    # position i slices hex digits [1+8i, 8+8i] of ONE md5 of the key
-    # (mirrors operators/bloom._positions: one hash per probe, k <= 4)
-    return (
-        f"CAST(concat('0x', substring(md5(CAST({key} AS VARCHAR)), "
-        f"1 + 8 * {i}, 8)) AS BIGINT) % {_BLOOM_BITS}"
-    )
-
-
-@_register(
-    "bloom_join_prune",
-    f"""
-    WITH keys AS (
-      SELECT DISTINCT o_orderkey AS key FROM orders
-      WHERE o_totalprice > {_BLOOM_PRICE}
-    ),
-    cells AS (
-      SELECT pos // 63 AS word,
-             CAST(1 AS BIGINT) << CAST(pos % 63 AS INT) AS mask
-      FROM (SELECT {_bloom_h_sql('d.i', 'key')} AS pos
-            FROM keys CROSS JOIN range(0, {_BLOOM_K}) AS d(i))
-    ),
-    bloom AS (SELECT word, bit_or(mask) AS bits FROM cells GROUP BY word),
-    key_pass AS (
-      SELECT l_orderkey,
-             (count(*) FILTER (WHERE (bits & mask) <> 0) = {_BLOOM_K}) AS pass
-      FROM (SELECT l_orderkey, pos // 63 AS word,
-                   CAST(1 AS BIGINT) << CAST(pos % 63 AS INT) AS mask
-            FROM (SELECT {_bloom_h_sql('d.i', 'l_orderkey')} AS pos, l_orderkey
-                  FROM (SELECT DISTINCT l_orderkey FROM lineitem)
-                  CROSS JOIN range(0, {_BLOOM_K}) AS d(i))) c
-      LEFT JOIN bloom USING (word)
-      GROUP BY l_orderkey
-    )
-    SELECT CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(count(*) FILTER (WHERE kp.pass) AS BIGINT) AS n_pass,
-           CAST(count(*) FILTER (WHERE k.key IS NOT NULL) AS BIGINT) AS n_true,
-           CAST(count(*) FILTER (WHERE kp.pass AND k.key IS NULL) AS BIGINT)
-             AS n_false_pos
-    FROM lineitem l
-    JOIN key_pass kp USING (l_orderkey)
-    LEFT JOIN keys k ON l.l_orderkey = k.key
-    """,
-    "join infra: bloom-filter semi-join pruning (no reference counterpart)",
-    "md5-bloom pre-shuffle pruning of lineitem by high-value orders; "
-    "false-positive count itself hash-matched",
-)
-def bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.bloom import (
-        bloom_build,
-        bloom_might_contain,
-    )
-
-    keys = (
-        _t(spark, sf_dir, "orders")
-        .filter(F.col("o_totalprice") > _BLOOM_PRICE)
-        .select(F.col("o_orderkey").alias("key"))
-        .distinct()
-    )
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import ensure_parallelism
-
-    bloom = bloom_build(keys, "key", n_bits=_BLOOM_BITS, k=_BLOOM_K)
-    # the probe is one md5 per lineitem row — spread a single-split scan
-    # so the hashing uses every core (5 MB of bigint keys moved once)
-    probed = bloom_might_contain(
-        ensure_parallelism(_t(spark, sf_dir, "lineitem").select("l_orderkey")),
-        "l_orderkey",
-        bloom,
-        n_bits=_BLOOM_BITS,
-        k=_BLOOM_K,
-    )
-    joined = probed.join(
-        F.broadcast(keys.withColumn("__t", F.lit(1))),
-        probed["l_orderkey"] == F.col("key"),
-        "left",
-    )
-    return joined.agg(
-        F.count("*").cast("bigint").alias("n_rows"),
-        F.count_if(F.col("bloom_pass")).cast("bigint").alias("n_pass"),
-        F.count("__t").cast("bigint").alias("n_true"),
-        F.count_if(F.col("bloom_pass") & F.col("__t").isNull())
-        .cast("bigint")
-        .alias("n_false_pos"),
-    )
-
-
-def _minhash_sig_sql(where: str = "") -> str:
-    mins = ", ".join(
-        f"min((h * {a} + {b}) % {MINHASH_PRIME}) AS mh{i}"
-        for i, (a, b) in enumerate(MINHASH_PARAMS)
-    )
-    return f"""
-    hv AS (SELECT doc_id,
-                  unnest(list_transform({_SHINGLE3_RAW_SQL},
-                                        s -> {_h32_sql('s')})) AS h
-           FROM documents {where}),
-    sig AS (SELECT doc_id, {mins} FROM hv GROUP BY doc_id)
-    """
-
-
-_MH_ROWS = NUM_MINHASH // MINHASH_BANDS
-_MH_ARR = "[" + ", ".join(f"mh{i}" for i in range(NUM_MINHASH)) + "]"
-_MH_BANDS_SQL = " UNION ALL ".join(
-    f"SELECT doc_id, {bi} AS band, "
-    f"md5(concat_ws('_', {', '.join(f'mh{bi * _MH_ROWS + j}' for j in range(_MH_ROWS))})) AS bh, "
-    f"{_MH_ARR} AS arr FROM sig"
-    for bi in range(MINHASH_BANDS)
-)
-
-
-@_register(
-    "dedup_minhash_lsh",
-    f"""
-    WITH {_minhash_sig_sql()},
-    bands AS ({_MH_BANDS_SQL})
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-           list_sum(list_transform(range(1, {NUM_MINHASH + 1}),
-             i -> CASE WHEN a.arr[i::INT] = b.arr[i::INT] THEN 1 ELSE 0 END)) / {NUM_MINHASH}.0
-             AS est_jaccard
-    FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
-                             AND a.doc_id < b.doc_id
-    """,
-    "textops: MinHash+LSH near-dup",
-    f"{NUM_MINHASH}-perm MinHash signatures, {MINHASH_BANDS}-band LSH bucket "
-    "join, estimated Jaccard (est granularity 1/128, threshold j≈0.70)",
-)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import minhash_lsh_pairs
-
-    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
-
-
-# Incremental corpus dedup — the operational 100 TB path: a new snapshot
-# (doc_id % 10 == 0 here) is deduped against the existing corpus using
-# ONLY the corpus's persisted signature table; no corpus text is
-# re-shingled. The oracle is the FULL recompute (same CTEs as
-# dedup_minhash_lsh) restricted to pairs touching a new doc — the
-# incremental result must hash-match it exactly, proving incremental ==
-# full for the affected subset.
-# r10 bench adjudication: 0.78 -> 1.28 s swing re-measured 0.877/0.697 s
-# in both orderings on a calm session -> mid-battery interference.
-# r11 adjudication: the r11 bench showed 5.7 s (6.15x vs r10, the one
-# outlier beyond the round's broad ~1.3-1.5x host-drift band); isolated
-# same-session probe immediately after: [3.72, 1.91, 1.17] then
-# [1.28, 1.02, 1.03] — min-steady 1.02-1.17 s, right at the r10 level.
-# Mid-battery interference again (this entry persists a signature table
-# and is the most cache-pressure-sensitive incremental entry), not a
-# plan change (diff clean). SECOND interference adjudication for this
-# entry.
-@_register(
-    "dedup_incremental_minhash",
-    f"""
-    WITH {_minhash_sig_sql()},
-    bands AS ({_MH_BANDS_SQL})
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-           list_sum(list_transform(range(1, {NUM_MINHASH + 1}),
-             i -> CASE WHEN a.arr[i::INT] = b.arr[i::INT] THEN 1 ELSE 0 END)) / {NUM_MINHASH}.0
-             AS est_jaccard
-    FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
-                             AND a.doc_id < b.doc_id
-    WHERE a.doc_id % 10 = 0 OR b.doc_id % 10 = 0
-    """,
-    "textops: incremental snapshot-vs-corpus MinHash dedup",
-    "new docs (id%10=0) deduped against the persisted corpus signature "
-    "table; hash-matches the full recompute restricted to new-doc pairs",
-)
-def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
-        incremental_minhash_pairs,
-        minhash_signatures,
-        persist_scoped,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    corpus = docs.filter(F.col("doc_id") % 10 != 0)
-    new = docs.filter(F.col("doc_id") % 10 == 0)
-    # The corpus signature table is the PRE-EXISTING state an incremental
-    # snapshot pipeline reads (written by the previous run) — materialize
-    # it eagerly so downstream execution measures what the operator
-    # claims: O(new docs) shingling + the band join, never a corpus
-    # re-shingle. Registered under the SAME scoped-persist role the
-    # operator uses, so each invocation releases the previous run's cache
-    # instead of pinning a fresh copy per call (a bare .persist() here
-    # leaked one signature table per driver/bench repetition), and the
-    # operator's own persist_scoped call is an idempotent no-op.
-    corpus_sig = persist_scoped(
-        "minhash_inc_corpus_sig", minhash_signatures(corpus)
-    )
-    corpus_sig.count()
-    return incremental_minhash_pairs(corpus_sig, new)
-
-
-# Signature-state LIFECYCLE for incremental dedup (round-4 review task
-# 7): corpus state accumulated as three overlapping per-snapshot
-# signature tables (doc_id%3 buckets, with the %6==1 docs re-ingested
-# into snapshot 2) plus a tombstone set (doc_id%10==5 deleted) is
-# COMPACTED — merge, dedup re-ingests, drop tombstones — and the new
-# snapshot (doc_id%10==0) is deduped against the compacted state. The
-# oracle is the FULL recompute over the LIVE documents only, restricted
-# to pairs touching a new doc: hash-matching it proves compaction+k
-# merges ≡ recompute, i.e. the incremental path stays exact over many
-# rounds instead of unboundedly accumulating stale state.
-@_register(
-    "dedup_incremental_compacted",
-    f"""
-    WITH {_minhash_sig_sql(where="WHERE doc_id % 10 <> 5")},
-    bands AS ({_MH_BANDS_SQL})
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-           list_sum(list_transform(range(1, {NUM_MINHASH + 1}),
-             i -> CASE WHEN a.arr[i::INT] = b.arr[i::INT] THEN 1 ELSE 0 END)) / {NUM_MINHASH}.0
-             AS est_jaccard
-    FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
-                             AND a.doc_id < b.doc_id
-    WHERE a.doc_id % 10 = 0 OR b.doc_id % 10 = 0
-    """,
-    "textops: incremental dedup signature compaction/expiry lifecycle",
-    "3 overlapping snapshot signature tables + tombstones compacted into "
-    "one corpus state; new-snapshot dedup against it hash-matches the "
-    "full recompute over live docs",
-)
-def dedup_incremental_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
-        compact_signatures,
-        incremental_minhash_pairs,
-        minhash_signatures,
-        persist_scoped,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    did = F.col("doc_id")
-    corpus = docs.filter(did % 10 != 0)
-    # Three historical snapshots; snapshot 2 re-ingested the %6==1 docs
-    # (already in snapshot 1), so compaction must dedup by doc_id.
-    # Signatures are a pure per-doc function, so the three pre-existing
-    # snapshot tables are materialized from ONE shingling pass and split
-    # by snapshot membership — building them with three separate
-    # minhash_signatures calls produced identical tables but shingled
-    # the corpus three times (measured ~1 s slower at sf0.1).
-    base_sig = persist_scoped("minhash_snapshot_seed", minhash_signatures(corpus))
-    snaps = [
-        base_sig.filter(did % 3 == 0),
-        base_sig.filter(did % 3 == 1),
-        base_sig.filter((did % 3 == 2) | (did % 6 == 1)),
-    ]
-    tomb = corpus.filter(did % 10 == 5).select("doc_id")
-    # Same scoped-persist role the incremental operator uses, so its own
-    # registration is an idempotent no-op and successive invocations
-    # (either incremental entry) release the previous corpus state.
-    compacted = persist_scoped(
-        "minhash_inc_corpus_sig", compact_signatures(snaps, tomb)
-    )
-    compacted.count()  # the pre-existing corpus state, materialized
-    new = docs.filter(did % 10 == 0)
-    return incremental_minhash_pairs(compacted, new)
-
-
-_SIMHASH_SQL_EXPR = " + ".join(
-    f"(CASE WHEN 2 * len(list_filter(hs, x -> ((x >> {i}) & 1) = 1)) >= len(hs) "
-    f"THEN {1 << i} ELSE 0 END)"
-    for i in range(SIMHASH_BITS)
-)
-_SIMHASH_CTE = f"""
-    h AS (SELECT doc_id,
-                 list_transform(list_distinct(string_split(text, ' ')),
-                                t -> {_h32_sql('t')}) AS hs
-          FROM documents),
-    sim AS (SELECT doc_id, CAST({_SIMHASH_SQL_EXPR} AS BIGINT) AS simhash16 FROM h)
-"""
-
-
-@_register(
-    "dedup_simhash",
-    f"WITH {_SIMHASH_CTE} SELECT doc_id, simhash16 FROM sim",
-    "textops: SimHash fingerprint",
-    "16-bit SimHash over distinct-token md5 hashes (shuffle-free narrow plan)",
-)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import simhash16
-
-    return simhash16(_t(spark, sf_dir, "documents"))
-
-
-_SIMHASH60_SQL_EXPR = " + ".join(
-    f"(CASE WHEN 2 * len(list_filter(hs, x -> ((x >> {i}) & 1) = 1)) >= len(hs) "
-    f"THEN {1 << i} ELSE 0 END)"
-    for i in range(60)  # SIMHASH_PAIR_BITS
-)
-_SIMHASH60_CTE = f"""
-    h60 AS (SELECT doc_id,
-                   list_transform(list_distinct(string_split(text, ' ')),
-                                  t -> {_h60_sql('t')}) AS hs
-            FROM documents),
-    sim60 AS (SELECT doc_id, CAST({_SIMHASH60_SQL_EXPR} AS BIGINT) AS simhash60
-              FROM h60)
-"""
-
-
-@_register(
-    "dedup_simhash_pairs",
-    f"""
-    WITH {_SIMHASH60_CTE},
-    bands AS (
-      SELECT doc_id, simhash60, b AS band,
-             (simhash60 >> (15 * b)) & 32767 AS nib
-      FROM sim60 CROSS JOIN (VALUES (0), (1), (2), (3)) t(b)
-    )
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(bit_count(xor(a.simhash60, b.simhash60)) AS INT) AS hamming
-    FROM bands a JOIN bands b ON a.band = b.band AND a.nib = b.nib
-                             AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash60, b.simhash60)) <= 3
-    """,
-    "textops: SimHash near-dup pairs",
-    "wide 60-bit SimHash, 15-bit-band candidate join + Hamming<=3 filter (pigeonhole-complete)",
-)
-def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import simhash_pairs
-
-    return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
-
-
-# --- embedding similarity -------------------------------------------------
-
-_EMB_DIM = 64  # embeddings.embedding is array<float> of fixed length 64
-
-
-def _emb_norm_cte() -> str:
-    dot_vv = (
-        f"list_sum(list_transform(range(1, {_EMB_DIM + 1}), "
-        "i -> v[i::INT] * v[i::INT]))"
-    )
-    return f"""
-    e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-          FROM embeddings),
-    nv AS (SELECT vec_id, v, sqrt({dot_vv}) AS nrm FROM e)
-    """
-
-
-_COS_SQL = (
-    f"list_sum(list_transform(range(1, {_EMB_DIM + 1}), "
-    "i -> q.v[i::INT] * c.v[i::INT])) / (q.nrm * c.nrm)"
-)
-
-
-@_register(
-    "embed_cosine_topk",
-    f"""
-    WITH {_emb_norm_cte()},
-    scored AS (
-      SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
-             {_sql_r(_COS_SQL, 6)} AS cosine
-      FROM (SELECT * FROM nv WHERE vec_id < 10) q
-      CROSS JOIN nv c
-      WHERE c.vec_id <> q.vec_id
-    )
-    SELECT q_id, rank, cand_id, cosine FROM (
-      SELECT q_id, cand_id, cosine,
-             CAST(row_number() OVER (PARTITION BY q_id
-                                     ORDER BY cosine DESC, cand_id) AS INT) AS rank
-      FROM scored)
-    WHERE rank <= 5
-    """,
-    "textops: cosine top-k (brute force)",
-    "exact cosine top-5 per query vector (vec_id < 10), broadcast queries",
-)
-def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.similarity import cosine_topk
-
-    return cosine_topk(
-        _t(spark, sf_dir, "embeddings"),
-        query_pred=F.col("vec_id") < 10,
-        k=5,
-        round_expr=lambda c: _r(c, 6),
-    )
-
-
-# Hard-negative mining (r13, fourth and last r13 addition): contrastive-
-# training batch construction — the top of the SUB-threshold cosine band
-# per anchor (DPR-style false-negative guard: candidates at or above the
-# presumed-positive threshold are skipped, the hardest honest negatives
-# below it are kept). 0.3 is this corpus's biting threshold: all 10
-# anchors exclude 1-8 candidates at sf0.01 (measured), so the entry
-# demonstrates the skip-band, not a renamed cosine_topk. Strict < drops
-# NULL (zero-norm) cosines identically in both engines.
-@_register(
-    "embed_hard_negatives",
-    f"""
-    WITH {_emb_norm_cte()},
-    scored AS (
-      SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
-             CASE WHEN q.nrm = 0 OR c.nrm = 0 THEN NULL
-                  ELSE {_sql_r(_COS_SQL, 6)} END AS cosine
-      FROM (SELECT * FROM nv WHERE vec_id < 10) q
-      CROSS JOIN nv c
-      WHERE c.vec_id <> q.vec_id
-    )
-    SELECT q_id, rank, cand_id, cosine FROM (
-      SELECT q_id, cand_id, cosine,
-             CAST(row_number() OVER (PARTITION BY q_id
-                                     ORDER BY cosine DESC, cand_id) AS INT) AS rank
-      FROM scored WHERE cosine < 0.3)
-    WHERE rank <= 5
-    """,
-    "textops: hard-negative mining (contrastive training)",
-    "top-5 hard negatives per anchor (vec_id < 10): most-similar "
-    "candidates strictly below the presumed-positive cosine threshold "
-    "0.3, broadcast anchors, threshold cut before the ranking window",
-)
-def embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.similarity import (
-        hard_negative_topk,
-    )
-
-    return hard_negative_topk(
-        _t(spark, sf_dir, "embeddings"),
-        query_pred=F.col("vec_id") < 10,
-        k=5,
-        pos_threshold=0.3,
-        round_expr=lambda c: _r(c, 6),
-    )
-
-
-_ANN_PLANES = hyperplanes(n_planes=4, dim=_EMB_DIM)
-
-
-def _plane_sql(plane: list[float]) -> str:
-    return "[" + ", ".join(f"{w:.1f}" for w in plane) + "]::DOUBLE[]"
-
-
-def _bucket_sql(planes: list[list[float]]) -> str:
-    """DuckDB expression for the sign-pattern bucket id — the planes are
-    md5-derived driver literals, so the oracle embeds them verbatim and
-    the bucket assignment is engine-independent."""
-    return " + ".join(
-        f"(CASE WHEN list_sum(list_transform(range(1, {_EMB_DIM + 1}), "
-        f"i -> ({_plane_sql(p)})[i::INT] * v[i::INT])) > 0 THEN {1 << pi} ELSE 0 END)"
-        for pi, p in enumerate(planes)
-    )
-
-
-_BUCKET_SQL = _bucket_sql(_ANN_PLANES)
-
-
-@_register(
-    "embed_ann_lsh",
-    f"""
-    WITH {_emb_norm_cte()},
-    b AS (SELECT vec_id, v, nrm, CAST({_BUCKET_SQL} AS BIGINT) AS bucket FROM nv),
-    scored AS (
-      SELECT q.vec_id AS q_id, c.vec_id AS cand_id, q.bucket AS bucket,
-             {_sql_r(_COS_SQL, 6)} AS cosine
-      FROM (SELECT * FROM b WHERE vec_id < 10) q
-      JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
-    )
-    SELECT q_id, rank, cand_id, bucket, cosine FROM (
-      SELECT q_id, cand_id, bucket, cosine,
-             CAST(row_number() OVER (PARTITION BY q_id
-                                     ORDER BY cosine DESC, cand_id) AS INT) AS rank
-      FROM scored)
-    WHERE rank <= 3
-    """,
-    "textops: ANN via random-hyperplane LSH",
-    "4-plane sign-bucket join, exact cosine within bucket, top-3 per query",
-)
-def embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.similarity import ann_lsh_topk
-
-    return ann_lsh_topk(
-        _t(spark, sf_dir, "embeddings"),
-        query_pred=F.col("vec_id") < 10,
-        n_planes=4,
-        dim=_EMB_DIM,
-        k=3,
-        round_expr=lambda c: _r(c, 6),
-    )
-
-
-def _centroid_sql(c: list[float]) -> str:
-    """Full-precision double literals (repr round-trips bit-exactly through
-    DuckDB's correctly-rounded strtod)."""
-    return "[" + ", ".join(repr(x) for x in c) + "]::DOUBLE[]"
-
-
-def _ivf_d2_sql(center: list[float]) -> str:
-    """Sequential-fold squared L2 distance of v to a centroid literal."""
-    return (
-        f"list_sum(list_transform(list_transform(range(1, {_EMB_DIM + 1}), "
-        f"i -> v[i::INT] - ({_centroid_sql(center)})[i::INT]), x -> x * x))"
-    )
-
-
-from sports_data_integration_and_forecasting_pipeline_spark.operators.ivf_centroids import (  # noqa: E402
-    IVF_CENTROIDS,
-)
-
-_IVF_N_PROBE = 3  # r3: 2 -> 3 lifts recall@5 0.46 -> 0.62 at sf0.01 (cost ~3/16 of the table per query)
-_IVF_K = 3
-_IVF_D_COLS = ", ".join(
-    f"{_ivf_d2_sql(c)} AS d{i}" for i, c in enumerate(IVF_CENTROIDS)
-)
-_IVF_LEAST = "least(" + ", ".join(f"d{i}" for i in range(len(IVF_CENTROIDS))) + ")"
-_IVF_CELL_CASE = (
-    "CASE "
-    + " ".join(f"WHEN d{i} = m THEN {i}" for i in range(len(IVF_CENTROIDS)))
-    + " END"
-)
-_IVF_PROBE_STRUCTS = "[" + ", ".join(
-    f"{{'d': d{i}, 'cell': {i}}}" for i in range(len(IVF_CENTROIDS))
-) + "]"
-
-
-# r9 adjudication (VERDICT r8 task 3): embed_ivf_ann's r8 bench swing
-# 0.662 → 1.182 s (+79%) was mid-battery interference, not a plan
-# change or a persisted-state interaction with the (adjacent, r8-new)
-# embed_ann_recall_audit: both orderings on one calm session measured
-# ivf_ann 0.775 s then recall_audit 1.38 s, and (swapped) recall_audit
-# 1.225 s then ivf_ann 0.723 s — the ivf entry is back at its r7 value
-# in BOTH positions, so no shared-cache coupling exists (each entry's
-# scoped caches are released before the next; the centroid literals
-# they share are plan constants, not state). Pinned as drift.
-
-
-@_register(
-    "embed_ivf_ann",
-    f"""
-    WITH {_emb_norm_cte()},
-    d AS (SELECT vec_id, v, nrm, {_IVF_D_COLS} FROM nv),
-    a AS (SELECT vec_id, v, nrm, {_IVF_CELL_CASE} AS cell
-          FROM (SELECT *, {_IVF_LEAST} AS m FROM d)),
-    probe AS (
-      SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell FROM (
-        SELECT vec_id, v, nrm, (u).cell AS cell,
-               row_number() OVER (PARTITION BY vec_id
-                                  ORDER BY (u).d, (u).cell) AS pr
-        FROM (SELECT vec_id, v, nrm, unnest({_IVF_PROBE_STRUCTS}) AS u
-              FROM d WHERE vec_id < 10))
-      WHERE pr <= {_IVF_N_PROBE}
-    ),
-    scored AS (
-      SELECT p.q_id, c.vec_id AS cand_id, c.cell,
-             {_sql_r(f"list_sum(list_transform(range(1, {_EMB_DIM + 1}), i -> p.qv[i::INT] * c.v[i::INT])) / (p.qn * c.nrm)", 6)} AS cosine
-      FROM probe p JOIN a c ON c.cell = p.cell AND c.vec_id <> p.q_id
-    )
-    SELECT q_id, rank, cand_id, cell, cosine FROM (
-      SELECT q_id, cand_id, cell, cosine,
-             CAST(row_number() OVER (PARTITION BY q_id
-                                     ORDER BY cosine DESC, cand_id) AS INT) AS rank
-      FROM scored)
-    WHERE rank <= {_IVF_K}
-    """,
-    "textops: ANN via IVF (pretrained coarse quantizer)",
-    "16-cell inverted-file index with pinned KMeans(seed=42) centroids, "
-    "3-probe nearest-cell search, exact cosine within probed cells",
-)
-def embed_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.similarity import (
-        ivf_ann_topk_pretrained,
-    )
-
-    return ivf_ann_topk_pretrained(
-        _t(spark, sf_dir, "embeddings"),
-        query_pred=F.col("vec_id") < 10,
-        centers=IVF_CENTROIDS,
-        n_probe=_IVF_N_PROBE,
-        k=_IVF_K,
-        round_expr=lambda c: _r(c, 6),
-    )
-
-
-# ===========================================================================
-# ANN recall audit (r8) — the approximation-quality observability the
-# similarity family was missing: per query, recall@5 of the IVF
-# 3-probe search against the exact brute-force top-5 (both computed by
-# the SAME operators the embed_cosine_topk / embed_ivf_ann entries
-# certify, at k=5). Rank ties are pinned (rounded cosine DESC, cand_id)
-# in both engines, so the recall fractions hash-match exactly. Scale:
-# the exact side is the documented brute-force baseline run over a
-# bounded QUERY SAMPLE (that is the audit design — recall is estimated
-# on a sample, never all queries); everything after the two top-k
-# passes is query-count-sized.
-# ===========================================================================
-
-@_register(
-    "embed_ann_recall_audit",
-    f"""
-    WITH {_emb_norm_cte()},
-    sc1 AS (
-      SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
-             {_sql_r(_COS_SQL, 6)} AS cosine
-      FROM (SELECT * FROM nv WHERE vec_id < 10) q
-      CROSS JOIN nv c
-      WHERE c.vec_id <> q.vec_id
-    ),
-    ex AS (
-      SELECT q_id, cand_id FROM (
-        SELECT q_id, cand_id,
-               row_number() OVER (PARTITION BY q_id
-                                  ORDER BY cosine DESC, cand_id) AS rank
-        FROM sc1)
-      WHERE rank <= 5
-    ),
-    dq AS (SELECT vec_id, v, nrm, {_IVF_D_COLS} FROM nv),
-    aq AS (SELECT vec_id, v, nrm, {_IVF_CELL_CASE} AS cell
-           FROM (SELECT *, {_IVF_LEAST} AS m FROM dq)),
-    pb AS (
-      SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell FROM (
-        SELECT vec_id, v, nrm, (u).cell AS cell,
-               row_number() OVER (PARTITION BY vec_id
-                                  ORDER BY (u).d, (u).cell) AS pr
-        FROM (SELECT vec_id, v, nrm, unnest({_IVF_PROBE_STRUCTS}) AS u
-              FROM dq WHERE vec_id < 10))
-      WHERE pr <= {_IVF_N_PROBE}
-    ),
-    sc2 AS (
-      SELECT p.q_id, c.vec_id AS cand_id,
-             {_sql_r(f"list_sum(list_transform(range(1, {_EMB_DIM + 1}), i -> p.qv[i::INT] * c.v[i::INT])) / (p.qn * c.nrm)", 6)} AS cosine
-      FROM pb p JOIN aq c ON c.cell = p.cell AND c.vec_id <> p.q_id
-    ),
-    an AS (
-      SELECT q_id, cand_id FROM (
-        SELECT q_id, cand_id,
-               row_number() OVER (PARTITION BY q_id
-                                  ORDER BY cosine DESC, cand_id) AS rank
-        FROM sc2)
-      WHERE rank <= 5
-    ),
-    exn AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_exact
-            FROM ex GROUP BY q_id),
-    ann AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_ann
-            FROM an GROUP BY q_id),
-    hits AS (SELECT ex.q_id, CAST(count(*) AS BIGINT) AS n_hit
-             FROM ex JOIN an ON an.q_id = ex.q_id
-                            AND an.cand_id = ex.cand_id
-             GROUP BY ex.q_id)
-    SELECT exn.q_id, exn.n_exact,
-           CAST(coalesce(ann.n_ann, 0) AS BIGINT) AS n_ann,
-           CAST(coalesce(hits.n_hit, 0) AS BIGINT) AS n_hit,
-           CAST(coalesce(hits.n_hit, 0) * 1000000 // exn.n_exact AS BIGINT)
-             AS recall_e6
-    FROM exn
-    LEFT JOIN ann ON ann.q_id = exn.q_id
-    LEFT JOIN hits ON hits.q_id = exn.q_id
-    """,
-    "similarity: ANN recall audit (IVF 3-probe vs exact top-5 on the "
-    "query sample; the approximation-quality metric itself is "
-    "hash-checked; no reference counterpart)",
-    "per-query recall@5 of the IVF search against brute-force cosine — "
-    "exact integer micro-unit fractions",
-)
-def embed_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.similarity import (
-        cosine_topk,
-        ivf_ann_topk_pretrained,
-    )
-
-    emb = _t(spark, sf_dir, "embeddings")
-    qp = F.col("vec_id") < 10
-    exact = cosine_topk(
-        emb, query_pred=qp, k=5, round_expr=lambda c: _r(c, 6)
-    ).select("q_id", "cand_id")
-    ann = ivf_ann_topk_pretrained(
-        emb,
-        query_pred=qp,
-        centers=IVF_CENTROIDS,
-        n_probe=_IVF_N_PROBE,
-        k=5,
-        round_expr=lambda c: _r(c, 6),
-    ).select("q_id", "cand_id")
-    exn = exact.groupBy("q_id").agg(
-        F.count("*").cast("bigint").alias("n_exact")
-    )
-    ann_n = ann.groupBy("q_id").agg(F.count("*").cast("bigint").alias("n_ann"))
-    hits = (
-        exact.join(ann, ["q_id", "cand_id"], "left_semi")
-        .groupBy("q_id")
-        .agg(F.count("*").cast("bigint").alias("n_hit"))
-    )
-    return (
-        exn.join(F.broadcast(ann_n), "q_id", "left_outer")
-        .join(F.broadcast(hits), "q_id", "left_outer")
-        .select(
-            "q_id",
-            "n_exact",
-            F.coalesce("n_ann", F.lit(0)).cast("bigint").alias("n_ann"),
-            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
-            F.expr(
-                "coalesce(n_hit, 0) * 1000000 DIV n_exact"
-            ).cast("bigint").alias("recall_e6"),
-        )
-    )
-
-
-# ===========================================================================
-# Product quantization (r9 new family) — the compression half of IVF-PQ
-# (Jégou, Douze & Schmid, TPAMI 2011; public): m=4 16-dim subspaces,
-# 16 pretrained centroids each (operators/pq_codebooks.py, trained
-# offline like IVF_CENTROIDS), so a 64-dim float vector becomes 4
-# small ints and the ANN candidate scan runs over codes instead of
-# floats — the 100 TB memory-bandwidth lever. Encoding is a pure
-# literal expression (narrow, zero shuffles); ADC search keeps the
-# query exact and scores candidates by summing 4 broadcast
-# lookup-table entries (integer micro-units snapped BEFORE the sum, so
-# ranking is exact integer arithmetic the oracle reproduces). The
-# linear candidate scan is ADC's semantics — IVF cell pruning composes
-# orthogonally (embed_ivf_ann).
-# ===========================================================================
-
-from sports_data_integration_and_forecasting_pipeline_spark.operators.pq_codebooks import (  # noqa: E402
-    PQ_CODEBOOKS,
-    PQ_K,
-    PQ_M,
-    PQ_SUB_DIM,
-)
-
-
-def _pq_sub_d2_sql(vexpr: str, s: int, center: list[float]) -> str:
-    """Sequential-fold squared L2 of subspace ``s`` of ``vexpr`` to a
-    centroid literal (the `_ivf_d2_sql` discipline on a slice)."""
-    return (
-        f"list_sum(list_transform(list_transform(range(1, {PQ_SUB_DIM + 1}), "
-        f"i -> {vexpr}[({s * PQ_SUB_DIM} + i)::INT] - "
-        f"({_centroid_sql(center)})[i::INT]), x -> x * x))"
-    )
-
-
-_PQ_D_COLS = ", ".join(
-    f"{_pq_sub_d2_sql('v', s, c)} AS d{s}_{i}"
-    for s, book in enumerate(PQ_CODEBOOKS)
-    for i, c in enumerate(book)
-)
-_PQ_CODE_COLS = ", ".join(
-    "CASE "
-    + " ".join(
-        f"WHEN d{s}_{i} = least({', '.join(f'd{s}_{j}' for j in range(PQ_K))}) "
-        f"THEN {i}"
-        for i in range(PQ_K)
-    )
-    + f" END AS c{s}"
-    for s in range(PQ_M)
-)
-_PQ_ENC_CTES = f"""
-    e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-          FROM embeddings),
-    d AS (SELECT vec_id, {_PQ_D_COLS} FROM e),
-    enc AS (SELECT vec_id, {_PQ_CODE_COLS} FROM d)
-"""
-
-
-@_register(
-    "embed_pq_codes",
-    f"""
-    WITH {_PQ_ENC_CTES}
-    SELECT vec_id, CAST(c0 AS INT) AS c0, CAST(c1 AS INT) AS c1,
-           CAST(c2 AS INT) AS c2, CAST(c3 AS INT) AS c3
-    FROM enc
-    """,
-    "similarity: PQ encoding (IVF-PQ compression half, Jégou et al. "
-    "TPAMI 2011; no reference counterpart)",
-    "per-vector m=4 nearest-subcentroid codes from pretrained literal "
-    "codebooks — narrow, shuffle-free, lowest-code tiebreak",
-)
-def embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.quantize import pq_encode
-
-    return pq_encode(_t(spark, sf_dir, "embeddings"), PQ_CODEBOOKS)
-
-
-_PQ_ADC_CASES = " + ".join(
-    "(CASE enc.c" + str(s) + " "
-    + " ".join(
-        f"WHEN {i} THEN CAST(floor(({_pq_sub_d2_sql('q.qv', s, c)}) * 1000000 "
-        "+ 0.5) AS BIGINT)"
-        for i, c in enumerate(book)
-    )
-    + " END)"
-    for s, book in enumerate(PQ_CODEBOOKS)
-)
-
-
-@_register(
-    "embed_pq_adc_topk",
-    f"""
-    WITH {_PQ_ENC_CTES},
-    q AS (SELECT vec_id AS q_id,
-                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
-          FROM embeddings WHERE vec_id < 10),
-    pairs AS (
-      SELECT q.q_id, enc.vec_id AS cand_id,
-             {_PQ_ADC_CASES} AS adc_e6
-      FROM enc CROSS JOIN q
-      WHERE enc.vec_id <> q.q_id
-    )
-    SELECT q_id, rank, cand_id, adc_e6 FROM (
-      SELECT q_id, cand_id, CAST(adc_e6 AS BIGINT) AS adc_e6,
-             CAST(row_number() OVER (PARTITION BY q_id
-                                     ORDER BY adc_e6, cand_id) AS INT) AS rank
-      FROM pairs)
-    WHERE rank <= 5
-    """,
-    "similarity: PQ asymmetric-distance top-k (ADC — the in-cell scan "
-    "of IVF-PQ; no reference counterpart)",
-    "top-5 per query by sum of 4 integer-snapped LUT entries over PQ "
-    "codes; exact query vector, code-only candidates",
-)
-def embed_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.quantize import pq_adc_topk
-
-    return pq_adc_topk(
-        _t(spark, sf_dir, "embeddings"),
-        query_pred=F.col("vec_id") < 10,
-        codebooks=PQ_CODEBOOKS,
-        k=5,
-    )
-
-
-# The composed index: IVF cells prune the candidate set (~n_probe /
-# n_cells of the table per query), PQ ADC prices each survivor at m
-# integer adds — FAISS's IVFADC, the shape that replaces both the full
-# scan and the float payload at 100 TB. Oracle states the identical
-# probe ranking + code assignment + LUT arithmetic from the same
-# literals, so pruning AND approximation hash-match end-to-end.
-@_register(
-    "embed_ivfpq_topk",
-    f"""
-    WITH {_PQ_ENC_CTES},
-    ivfd AS (SELECT vec_id, v, {_IVF_D_COLS} FROM e),
-    ac AS (SELECT vec_id, {_IVF_CELL_CASE} AS cell
-           FROM (SELECT *, {_IVF_LEAST} AS m FROM ivfd)),
-    probe AS (
-      SELECT vec_id AS q_id, cell FROM (
-        SELECT vec_id, (u).cell AS cell,
-               row_number() OVER (PARTITION BY vec_id
-                                  ORDER BY (u).d, (u).cell) AS pr
-        FROM (SELECT vec_id, unnest({_IVF_PROBE_STRUCTS}) AS u
-              FROM ivfd WHERE vec_id < 10))
-      WHERE pr <= {_IVF_N_PROBE}
-    ),
-    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
-    pairs AS (
-      SELECT p.q_id, ac.vec_id AS cand_id, ac.cell,
-             {_PQ_ADC_CASES} AS adc_e6
-      FROM probe p
-      JOIN ac ON ac.cell = p.cell AND ac.vec_id <> p.q_id
-      JOIN enc ON enc.vec_id = ac.vec_id
-      JOIN q ON q.q_id = p.q_id
-    )
-    SELECT q_id, rank, cand_id, cell, adc_e6 FROM (
-      SELECT q_id, cand_id, CAST(cell AS INT) AS cell,
-             CAST(adc_e6 AS BIGINT) AS adc_e6,
-             CAST(row_number() OVER (PARTITION BY q_id
-                                     ORDER BY adc_e6, cand_id) AS INT) AS rank
-      FROM pairs)
-    WHERE rank <= 5
-    """,
-    "similarity: IVF-PQ composed search (IVFADC, Jégou et al. TPAMI "
-    "2011; no reference counterpart)",
-    "3-probe cell pruning + PQ asymmetric-distance top-5 — both the "
-    "pruning and the approximation hash-checked from shared literals",
-)
-def embed_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.quantize import ivfpq_topk
-
-    return ivfpq_topk(
-        _t(spark, sf_dir, "embeddings"),
-        query_pred=F.col("vec_id") < 10,
-        centers=IVF_CENTROIDS,
-        codebooks=PQ_CODEBOOKS,
-        n_probe=_IVF_N_PROBE,
-        k=5,
-    )
-
-
-@_register(
-    "embed_ivfpq_precoded_topk",
-    None,  # replaced below — shares embed_ivfpq_topk's oracle verbatim
-    "similarity: IVF-PQ search over a PRE-MATERIALIZED code index "
-    "(stored-column split of IVFADC; no reference counterpart)",
-    "ivfpq_index_codes built once and lineage-truncated (the stored "
-    "index), then queried over ints only — r10 probe: query wall 2.0x "
-    "(sf0.1) / 3.9x (sf1) below inline and FLAT across 10x data; the "
-    "build amortizes across queries (SCALING.md r10)",
-)
-def embed_ivfpq_precoded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.quantize import (
-        ivfpq_index_codes,
-        ivfpq_topk_precoded,
-    )
-
-    emb = _t(spark, sf_dir, "embeddings")
-    # localCheckpoint = the in-session stand-in for the stored parquet
-    # index (lineage truncated: the query plan scans codes, never
-    # floats). A committed per-SF index file would silently rot when
-    # the driver regenerates testdata, so the entry builds it fresh.
-    enc = ivfpq_index_codes(emb, IVF_CENTROIDS, PQ_CODEBOOKS).localCheckpoint()
-    return ivfpq_topk_precoded(
-        enc,
-        emb.filter(F.col("vec_id") < 10),
-        centers=IVF_CENTROIDS,
-        codebooks=PQ_CODEBOOKS,
-        n_probe=_IVF_N_PROBE,
-        k=5,
-    )
-
-
-QUERIES["embed_ivfpq_precoded_topk"] = dataclasses.replace(
-    QUERIES["embed_ivfpq_precoded_topk"],
-    oracle=QUERIES["embed_ivfpq_topk"].oracle,
-)
-
-
-# ===========================================================================
-# Hybrid retrieval fusion (r10 new family) — Reciprocal Rank Fusion
-# (Cormack, Clarke & Büttcher, SIGIR 2009): a lexical query-by-example
-# BM25 leg and an exact dense-cosine leg each rank candidates for the
-# same query documents (testdata embeddings are the documents' vectors
-# by construction: vec_id = doc_id); RRF fuses the two rank lists with
-# exact integer contributions 1e6 div (60 + rank) — no score
-# calibration across legs, hash-exact fused order
-# (operators/retrieval.py).
-# ===========================================================================
-
-_RRF_N_QUERY = 3
-_RRF_N_CAND = 20
-_RRF_TOPK = 10
-
-
-@_register(
-    "hybrid_rrf_fusion",
-    f"""
-    WITH {_emb_norm_cte()},
-    dense AS (
-      SELECT q_id, cand_id, rank FROM (
-        SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
-               row_number() OVER (PARTITION BY q.vec_id
-                                  ORDER BY {_sql_r(_COS_SQL, 6)} DESC,
-                                           c.vec_id) AS rank
-        FROM (SELECT * FROM nv WHERE vec_id < {_RRF_N_QUERY}) q
-        CROSS JOIN nv c
-        WHERE c.vec_id <> q.vec_id)
-      WHERE rank <= {_RRF_N_CAND}),
-    tc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-                 FROM documents)
-           WHERE term <> '' GROUP BY doc_id, term),
-    dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
-           FROM tc GROUP BY doc_id),
-    stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-                     CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
-    qt AS (SELECT DISTINCT doc_id AS q_id, term FROM tc
-           WHERE doc_id < {_RRF_N_QUERY}),
-    dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
-            FROM tc JOIN (SELECT DISTINCT term FROM qt) USING (term)
-            GROUP BY term),
-    lexs AS (
-      SELECT qt.q_id, tc.doc_id AS cand_id,
-             CAST(floor(sum(ln(1.0 + (s.n_docs - dfq.df + 0.5)
-                                     / (dfq.df + 0.5))
-                            * (tc.tf * 2.2)
-                            / (tc.tf + 1.2 * (0.25 + 0.75 * dl.dl
-                                              * s.n_docs / s.total_len)))
-                        * 1000000 + 0.5) AS BIGINT) AS s_e6
-      FROM tc JOIN qt USING (term) JOIN dfq USING (term)
-      JOIN dl ON dl.doc_id = tc.doc_id
-      CROSS JOIN stats s
-      WHERE tc.doc_id <> qt.q_id
-      GROUP BY qt.q_id, tc.doc_id),
-    lex AS (
-      SELECT q_id, cand_id, rank FROM (
-        SELECT q_id, cand_id,
-               row_number() OVER (PARTITION BY q_id
-                                  ORDER BY s_e6 DESC, cand_id) AS rank
-        FROM lexs)
-      WHERE rank <= {_RRF_N_CAND}),
-    legs AS (SELECT * FROM lex UNION ALL SELECT * FROM dense),
-    fused AS (SELECT q_id, cand_id,
-                     CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf_e6,
-                     CAST(count(*) AS INT) AS n_legs
-              FROM legs GROUP BY q_id, cand_id)
-    SELECT q_id, rank, cand_id, rrf_e6, n_legs FROM (
-      SELECT q_id, cand_id, rrf_e6, n_legs,
-             CAST(row_number() OVER (PARTITION BY q_id
-                                     ORDER BY rrf_e6 DESC, cand_id) AS INT)
-               AS rank
-      FROM fused)
-    WHERE rank <= {_RRF_TOPK}
-    """,
-    "retrieval: hybrid BM25 + dense-cosine fusion via Reciprocal Rank "
-    "Fusion (Cormack et al. SIGIR 2009; no reference counterpart)",
-    "query-by-example lexical leg (one corpus explode -> persisted "
-    "(doc,term,tf); broadcast query terms) + exact cosine leg, fused "
-    "by integer RRF 1e6 div (60+rank) — top-10 per query, cand-id "
-    "tiebreak",
-)
-def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.retrieval import (
-        hybrid_rrf_topk,
-    )
-
-    return hybrid_rrf_topk(
-        _t(spark, sf_dir, "documents"),
-        _t(spark, sf_dir, "embeddings"),
-        query_pred_doc=F.col("doc_id") < _RRF_N_QUERY,
-        query_pred_vec=F.col("vec_id") < _RRF_N_QUERY,
-        n_cand=_RRF_N_CAND,
-        k=_RRF_TOPK,
-        round_expr=lambda c: _r(c, 6),
-    )
-
-
-# ===========================================================================
-# Mean pooling — chunk embeddings -> document embedding (vec_id div 8
-# plays the chunk->doc mapping), the aggregation step of hierarchical
-# retrieval indexes. Element-wise mean across rows at scale = posexplode
-# + (doc, dim) partial-agg (map-side combined, one shuffle; never a
-# driver-side vector loop). The entry emits symmetric reductions of the
-# pooled vector (dim count, 6dp-floor checksum, L2 norm) so the result
-# hash-compares without array-column hashing.
-# ===========================================================================
-
-@_register(
-    "embed_mean_pool",
-    f"""
-    WITH e AS (
-      SELECT vec_id // 8 AS doc_id, d.i AS pos,
-             CAST(embedding[d.i::INT] AS DOUBLE) AS v
-      FROM embeddings CROSS JOIN range(1, {_EMB_DIM + 1}) d(i)
-    ),
-    m AS (SELECT doc_id, pos, sum(v) / count(*) AS mv
-          FROM e GROUP BY doc_id, pos)
-    SELECT doc_id,
-           CAST(count(*) AS BIGINT) AS dim,
-           CAST(sum(CAST(floor(mv * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
-             AS mean_checksum_e6,
-           {_sql_r("sqrt(sum(mv * mv))", 6)} AS l2_norm
-    FROM m GROUP BY doc_id
-    """,
-    "similarity: mean pooling chunk->doc embeddings",
-    "posexplode + (doc, dim) map-side-combined mean; 6dp checksum + L2 "
-    "norm hash-matched",
-)
-def embed_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
-    e = emb.select(
-        F.expr("vec_id div 8").alias("doc_id"),
-        F.posexplode(F.col("embedding").cast("array<double>")).alias(
-            "pos", "v"
-        ),
-    )
-    m = e.groupBy("doc_id", "pos").agg(
-        (F.sum("v") / F.count("*")).alias("mv")
-    )
-    return m.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("dim"),
-        F.sum(F.floor(F.col("mv") * 1e6 + 0.5).cast("bigint"))
-        .cast("bigint")
-        .alias("mean_checksum_e6"),
-        _r(F.sqrt(F.sum(F.col("mv") * F.col("mv"))), 6).alias("l2_norm"),
-    )
-
-
-_DUP_PLANES_N = 6
-_DUP_PLANES = hyperplanes(n_planes=_DUP_PLANES_N, dim=_EMB_DIM)
-
-
-@_register(
-    "embed_cosine_dup_pairs",
-    f"""
-    WITH {_emb_norm_cte()},
-    b AS (SELECT vec_id, v, nrm, CAST({_bucket_sql(_DUP_PLANES)} AS BIGINT) AS bucket
-          FROM nv)
-    SELECT id_a, id_b, cosine FROM (
-      SELECT q.vec_id AS id_a, c.vec_id AS id_b,
-             {_sql_r(_COS_SQL, 6)} AS cosine
-      FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < c.vec_id)
-    WHERE cosine >= 0.35
-    """,
-    "textops: embedding-cosine near-dup (LSH-bucketed scale path)",
-    "same-sign-bucket pairs with cosine >= 0.35 — the 100 TB plan: bucket "
-    "equi-join replaces the all-pairs cross; exact blocked-matmul baseline "
-    "stays as a unit-tested operator (cosine_dup_pairs_blocked)",
-)
-def embed_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale-safe registered path: LSH sign-bucket join (no driver collect,
-    no cross join). The oracle replicates the identical md5-derived plane
-    literals, so bucketing — and therefore the pair set — is
-    engine-independent and hash-checked end-to-end."""
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.similarity import cosine_dup_pairs
-
-    return cosine_dup_pairs(
-        _t(spark, sf_dir, "embeddings"),
-        threshold=0.35,
-        n_planes=_DUP_PLANES_N,
-        dim=_EMB_DIM,
-        exact=False,
-        round_expr=lambda c: _r(c, 6),
-    )
-
-
-# ===========================================================================
-# Semantic dedup (r9 new family) — SemDeDup (Abbas et al., arXiv 2023;
-# public): near-duplicate pruning in EMBEDDING space, the curation stage
-# that catches paraphrases and re-encodes the lexical families
-# (shingle/minhash/simhash) can't see. Vectors assign to their nearest
-# pretrained cluster (the IVF literal quantizer — shuffle-free), cosine
-# is scored ONLY within a cluster, and each duplicate group resolves to
-# one kept representative via the deterministic star rule
-# (canonical = min(id, min neighbor)). 100 TB: cluster granularity is
-# the knob (the paper runs 50k clusters; the pinned 16-centroid book
-# matches the oracle-parity quantizer), and the per-cell pair join is
-# preceded by the house heavy-key guard so a degenerate cell fails
-# loudly instead of going quadratic.
-# ===========================================================================
-
-@_register(
-    "embed_semdedup_keep",
-    f"""
-    WITH {_emb_norm_cte()},
-    d AS (SELECT vec_id, v, nrm, {_IVF_D_COLS} FROM nv),
-    cells AS (SELECT vec_id, v, nrm, {_IVF_CELL_CASE} AS cell
-              FROM (SELECT *, {_IVF_LEAST} AS m FROM d)),
-    pairs AS (SELECT q.vec_id AS id_a, c.vec_id AS id_b
-              FROM cells q JOIN cells c
-                ON q.cell = c.cell AND q.vec_id < c.vec_id
-              WHERE {_sql_r(_COS_SQL, 6)} >= 0.35),
-    sym AS (SELECT id_a AS u, id_b AS nb FROM pairs
-            UNION ALL SELECT id_b, id_a FROM pairs),
-    mins AS (SELECT u, min(nb) AS mn FROM sym GROUP BY u)
-    SELECT c.vec_id,
-           CAST(c.cell AS INT) AS cell,
-           CAST(least(c.vec_id, coalesce(m.mn, c.vec_id)) AS BIGINT)
-             AS canonical_id,
-           c.vec_id = least(c.vec_id, coalesce(m.mn, c.vec_id)) AS is_kept
-    FROM cells c LEFT JOIN mins m ON m.u = c.vec_id
-    """,
-    "similarity: SemDeDup keep-list (cluster-scoped semantic dedup, "
-    "Abbas et al. 2023; no reference counterpart)",
-    "per-vector cell, star-canonical id, and keep flag from "
-    "within-cluster cosine >= 0.35 near-dup pairs",
-)
-def embed_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.similarity import (
-        ivf_assign,
-        semantic_dedup_keep,
-    )
-
-    emb = _t(spark, sf_dir, "embeddings")
-    # heavy-cell guard: the within-cell pair join is quadratic per cell
-    # BY DESIGN (SemDeDup's semantics); a cell past the house pair-join
-    # bound must fail loudly with the fix named (finer quantizer), not
-    # launch the blowup
-    _assert_bounded_group(
-        emb.select(
-            ivf_assign(
-                F.transform("embedding", lambda x: x.cast("double")),
-                IVF_CENTROIDS,
-            ).alias("cell")
-        ),
-        "cell",
-        "embed_semdedup_keep",
-    )
-    return semantic_dedup_keep(emb, IVF_CENTROIDS, threshold=0.35)
-
-
-# ===========================================================================
-# Multimodal binary-column plumbing (north-star scope; SURVEY §7.3-7).
-# Payloads are synthesized from documents.text (no media table in the
-# testdata): payload = encode(prefix || text) where the prefix plants an
-# ASCII container magic (GIF8 / RIFF) for every 3rd/3rd+1 doc. The fake
-# image decode is md5 arithmetic by design, so even the Python
-# mapInPandas path is oracle-checked end-to-end.
-# ===========================================================================
-
-def _mm_prefix() -> Column:
-    return (
-        F.when(F.col("doc_id") % 3 == 0, F.lit("GIF8"))
-        .when(F.col("doc_id") % 3 == 1, F.lit("RIFF"))
-        .otherwise(F.lit(""))
-    )
-
-
-_MM_PREFIX_SQL = (
-    "CASE WHEN doc_id % 3 = 0 THEN 'GIF8' "
-    "WHEN doc_id % 3 = 1 THEN 'RIFF' ELSE '' END"
-)
-
-
-def _media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.encode(F.concat(_mm_prefix(), F.col("text")), "UTF-8").alias("payload"),
-    )
-
-
-@_register(
-    "multimodal_payload_stats",
-    f"""
-    WITH m AS (SELECT doc_id AS media_id,
-                      concat({_MM_PREFIX_SQL}, text) AS ptext
-               FROM documents)
-    SELECT media_id,
-           CAST(octet_length(encode(ptext)) AS BIGINT) AS n_bytes,
-           md5(ptext) AS payload_md5,
-           CASE WHEN starts_with(ptext, 'GIF8') THEN 'gif'
-                WHEN starts_with(ptext, 'RIFF') THEN 'riff'
-                ELSE 'unknown' END AS sniffed_format
-    FROM m
-    """,
-    "multimodal: payload byte stats + magic sniff",
-    "binary payload size/md5/container sniff — pure Column, no decode",
-)
-def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.multimodal import payload_stats
-
-    return payload_stats(_media_df(spark, sf_dir)).select(
-        "media_id", "n_bytes", "payload_md5", "sniffed_format"
-    )
-
-
-
-# ===========================================================================
-# Content-defined chunking dedup (r9 new family) — gear-hash CDC
-# (FastCDC family, Xia et al. USENIX ATC '16): chunk boundaries follow
-# CONTENT (rolling-hash mask), so a one-byte insertion re-synchronizes
-# within one window instead of shifting every fixed-size chunk — the
-# primitive content-addressed stores and multimodal pipelines use to
-# drop re-encoded payload copies. The windowed gear sum is w lag()
-# terms (pure window arithmetic; the unbounded gear recurrence is
-# sequential, the windowed form is not), byte values travel as hex
-# pairs, and chunk identity is md5 over the hex slice — every step
-# engine-identical (operators/multimodal.py:cdc_chunks).
-# ===========================================================================
-
-_CDC_H_SQL = " + ".join(
-    f"lag(g, {j}) OVER w * {1 << j}" if j else "g * 1"
-    for j in range(8)
-)
-_CDC_CTES = f"""
-    m AS (SELECT doc_id AS media_id,
-                 hex(encode(concat({_MM_PREFIX_SQL}, text))) AS hx
-          FROM documents),
-    t0 AS (SELECT media_id, hx,
-                  string_split(trim(regexp_replace(hx, '(..)', '\\1 ', 'g')),
-                               ' ') AS l
-           FROM m),
-    t AS (SELECT media_id, CAST(pos AS BIGINT) AS pos,
-                 CAST(concat('0x', substring(md5(concat('gear-', l[pos::INT])),
-                                             1, 13)) AS BIGINT) AS g
-          FROM (SELECT media_id, l, unnest(range(1, len(l) + 1)) AS pos
-                FROM t0 WHERE len(hx) > 0)),
-    hh AS (SELECT media_id, pos, {_CDC_H_SQL} AS h
-           FROM t WINDOW w AS (PARTITION BY media_id ORDER BY pos)),
-    f AS (SELECT media_id, pos,
-                 pos >= 8 AND (h % 64 = 0) AS bd
-          FROM hh),
-    c AS (SELECT media_id, pos,
-                 coalesce(sum(CASE WHEN bd THEN 1 ELSE 0 END)
-                            OVER (PARTITION BY media_id ORDER BY pos
-                                  ROWS BETWEEN UNBOUNDED PRECEDING
-                                  AND 1 PRECEDING), 0) AS cid
-          FROM c0_src),
-    ch AS (SELECT media_id, cid,
-                  CAST(min(pos) AS BIGINT) AS start_byte,
-                  CAST(count(*) AS BIGINT) AS n_bytes
-           FROM c GROUP BY media_id, cid),
-    chunks AS (
-      SELECT ch.media_id, CAST(ch.cid + 1 AS INT) AS chunk_idx,
-             ch.start_byte, ch.n_bytes,
-             md5(substring(t0.hx, ((ch.start_byte - 1) * 2 + 1)::INT,
-                           (ch.n_bytes * 2)::INT)) AS chunk_md5
-      FROM ch JOIN t0 ON t0.media_id = ch.media_id)
-""".replace("c0_src", "f")
-
-
-@_register(
-    "multimodal_cdc_chunks",
-    f"""
-    WITH {_CDC_CTES}
-    SELECT media_id, chunk_idx, start_byte, n_bytes, chunk_md5 FROM chunks
-    """,
-    "multimodal: content-defined chunking (gear-hash CDC, FastCDC "
-    "family; no reference counterpart)",
-    "per-payload content-defined chunks: windowed gear sum over hex "
-    "byte pairs, mask boundary, md5 chunk identity over the hex slice",
-)
-def multimodal_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.multimodal import cdc_chunks
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import (
-        ensure_parallelism,
-    )
-
-    return cdc_chunks(ensure_parallelism(_media_df(spark, sf_dir), "media_id"))
-
-
-@_register(
-    "multimodal_cdc_dedup_stats",
-    f"""
-    WITH {_CDC_CTES},
-    per AS (SELECT chunk_md5, n_bytes, CAST(count(*) AS BIGINT) AS n_copies
-            FROM chunks GROUP BY chunk_md5, n_bytes)
-    SELECT CAST(sum(n_copies) AS BIGINT) AS n_chunks,
-           CAST(count(*) AS BIGINT) AS n_distinct_chunks,
-           CAST(sum(n_copies * n_bytes) AS BIGINT) AS total_bytes,
-           CAST(sum(n_bytes) AS BIGINT) AS deduped_bytes,
-           CAST(sum(n_copies * n_bytes) - sum(n_bytes) AS BIGINT)
-             AS bytes_saved
-    FROM per
-    """,
-    "multimodal: CDC dedup accounting (content-addressed-store savings "
-    "report; no reference counterpart)",
-    "corpus chunk totals vs distinct chunk contents — raw/deduped byte "
-    "totals from two map-side-combined aggregates",
-)
-def multimodal_cdc_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.multimodal import (
-        cdc_chunks,
-        cdc_dedup_stats,
-    )
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import (
-        ensure_parallelism,
-    )
-
-    return cdc_dedup_stats(
-        cdc_chunks(ensure_parallelism(_media_df(spark, sf_dir), "media_id"))
-    )
-
-
-@_register(
-    "multimodal_image_features",
-    f"""
-    WITH m AS (SELECT doc_id AS media_id,
-                      concat({_MM_PREFIX_SQL}, text) AS ptext
-               FROM documents)
-    SELECT media_id,
-           CAST(CAST(concat('0x', substring(md5(ptext), 1, 8)) AS BIGINT)
-                % 1920 + 1 AS INT) AS width,
-           CAST(CAST(concat('0x', substring(md5(ptext), 9, 8)) AS BIGINT)
-                % 1080 + 1 AS INT) AS height,
-           (CAST(concat('0x', substring(md5(ptext), 17, 8)) AS BIGINT)
-                % 256000) / 1000.0 AS mean_luma
-    FROM m
-    """,
-    "multimodal: image decode via Arrow mapInPandas",
-    "deterministic-fake decode (md5 arithmetic) through the real Python batch path",
-)
-def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.multimodal import (
-        decode_image_features,
-        fake_image_decode,
-    )
-
-    return decode_image_features(
-        _media_df(spark, sf_dir), decoder=fake_image_decode
-    )
-
-
-@_register(
-    "multimodal_frame_sample",
-    """
-    SELECT doc_id AS media_id,
-           unnest(range(0, (n_chars % 60) + 1, 10)) AS frame_idx
-    FROM documents
-    """,
-    "multimodal: video frame sampling plan",
-    "explode(sequence(0, n_frames-1, step)) — no Python, decode composes downstream",
-)
-def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.multimodal import sample_frames
-
-    docs = _t(spark, sf_dir, "documents")
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.struct((F.col("n_chars") % 60 + 1).cast("int").alias("n_frames")).alias(
-            "meta"
-        ),
-    )
-    return sample_frames(media, every_n=10)
-
-
-@_register(
-    "multimodal_audio_duration",
-    f"""
-    WITH m AS (SELECT doc_id AS media_id,
-                      concat({_MM_PREFIX_SQL}, text) AS ptext,
-                      CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate
-               FROM documents)
-    SELECT media_id,
-           CAST(floor(octet_length(encode(ptext)) / 2.0) AS BIGINT) AS n_samples,
-           CAST(floor(octet_length(encode(ptext)) / 2.0) AS BIGINT)
-             / CAST(sample_rate AS DOUBLE) AS duration_sec
-    FROM m
-    """,
-    "multimodal: PCM duration estimate",
-    "duration from byte length + sample-rate metadata — pure Column, no decode",
-)
-def multimodal_audio_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.multimodal import audio_duration
-
-    media = _media_df(spark, sf_dir).withColumn(
-        "meta",
-        F.struct(
-            (8000 + (F.col("media_id") % 3) * 4000).cast("int").alias("sample_rate")
-        ),
-    )
-    return audio_duration(media).select("media_id", "n_samples", "duration_sec")
-
-
-# ===========================================================================
-# M2/M3: MLlib forecasting with a closed-form oracle. One-feature OLS has
-# an exact SQL form (regr_slope/regr_intercept), so even the ML path is
-# hash-checked: MLlib's WeightedLeastSquares agrees with the closed form
-# to ~1e-13 (measured), far inside the 4-dp rounding grid.
-# Scale: feature build = two windows sharing one (user_id) shuffle;
-# training is one treeAggregate over the assembled vectors; scoring is a
-# narrow projection.
-# ===========================================================================
-
-@_register(
-    "forecast_linear_ols",
-    f"""
-    WITH f AS (
-      SELECT event_id,
-             avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS x,
-             lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y
-      FROM events
-    ),
-    coef AS (
-      SELECT regr_slope(y, x) AS b1, regr_intercept(y, x) AS b0
-      FROM f WHERE y IS NOT NULL
-    )
-    SELECT f.event_id,
-           {_sql_r('coef.b0 + coef.b1 * f.x', 4)} AS prediction
-    FROM f CROSS JOIN coef
-    """,
-    "M1,M2,M3",
-    "MLlib LinearRegression (normal solver) on rolling-avg feature vs closed-form OLS oracle",
-)
-def forecast_linear_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.ml.feature import VectorAssembler
-    from pyspark.ml.regression import LinearRegression
-
-    ev = _t(spark, sf_dir, "events")
-    w5 = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-4, 0)
-    )
-    wl = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    feat = ev.select(
-        "event_id",
-        F.avg("value").over(w5).alias("x"),
-        F.lead("value", 1).over(wl).alias("y"),
-    )
-    assembled = VectorAssembler(inputCols=["x"], outputCol="features").transform(
-        feat
-    )
-    model = LinearRegression(
-        featuresCol="features", labelCol="y", regParam=0.0, solver="normal"
-    ).fit(assembled.filter(F.col("y").isNotNull()))
-    return model.transform(assembled).select(
-        "event_id", _r(F.col("prediction"), 4).alias("prediction")
-    )
-
-
-# ===========================================================================
-# Streaming replay with a batch oracle (SURVEY §2.9/§7.3-6): stage the
-# events table as snapshot files, run them through the Structured
-# Streaming rollup (file source → event-time tumbling window → complete
-# sink), and return the drained result as a batch DataFrame. Stream and
-# batch share the same DataFrame expressions, so DuckDB's time_bucket
-# reproduces the stream's output exactly — batch/stream unification made
-# checkable.
-# ===========================================================================
-
-# ===========================================================================
-# Streaming incremental rollup — foreachBatch maintenance of a stored
-# rollup: every micro-batch contributes a mergeable PARTIAL aggregate
-# (operators/incremental.py), and the final state is one merge over the
-# partials. The oracle recomputes from the full table, so the hash
-# check proves the streaming-maintained state == batch recompute — the
-# contract a 100 TB reporting table relies on (touch the delta, not the
-# history).
-# ===========================================================================
-
-@_register(
-    "streaming_incremental_rollup",
-    """
-    SELECT event_type,
-           CAST(count(*) AS BIGINT) AS n_events,
-           CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
-             AS sum_value_cents,
-           CAST(min(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
-             AS min_value_cents,
-           CAST(max(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
-             AS max_value_cents
-    FROM events GROUP BY event_type
-    """,
-    "streaming + incremental view maintenance (no reference counterpart)",
-    "foreachBatch partial rollups merged across micro-batches vs full-recompute oracle",
-)
-def streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.incremental import (
-        merge_rollups,
-        rollup_partial,
-    )
-
-    ev = _t(spark, sf_dir, "events").select(
-        "event_type", _cents(F.col("value")).alias("cents")
-    )
-    stage = tempfile.mkdtemp(prefix="stream_incr_src_")
-    partials_dir = tempfile.mkdtemp(prefix="stream_incr_partials_")
-    ev.repartition(4).write.mode("overwrite").parquet(stage)
-
-    metrics = {
-        "n_events": ("count", ""),
-        "sum_value_cents": ("sum", "cents"),
-        "min_value_cents": ("min", "cents"),
-        "max_value_cents": ("max", "cents"),
-    }
-
-    def upsert_partial(batch_df: DataFrame, _batch_id: int) -> None:
-        rollup_partial(batch_df, ["event_type"], metrics).write.mode(
-            "append"
-        ).parquet(partials_dir)
-
-    (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage)
-        .writeStream.foreachBatch(upsert_partial)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
-    return merge_rollups(
-        [spark.read.parquet(partials_dir)],
-        ["event_type"],
-        {
-            "n_events": "count",
-            "sum_value_cents": "sum",
-            "min_value_cents": "min",
-            "max_value_cents": "max",
-        },
-    )
-
-
-@_register(
-    "streaming_replay_rollup",
-    f"""
-    SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start_s,
-           event_type,
-           CAST(count(*) AS BIGINT) AS n_events,
-           CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
-    FROM events
-    GROUP BY 1, 2
-    """,
-    "streaming (no reference counterpart)",
-    "events replayed through a Structured Streaming tumbling-window rollup, vs batch time_bucket oracle",
-)
-def streaming_replay_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-    import uuid
-
-    ev = _t(spark, sf_dir, "events")
-    # event_time: the same instant as the NTZ wall clock read as UTC —
-    # tz-independent, so streaming window bounds match the DuckDB oracle.
-    with_ts = ev.withColumn("event_time", F.timestamp_micros(_epoch_us("ts")))
-    stage = tempfile.mkdtemp(prefix="stream_replay_")
-    with_ts.repartition(2).write.mode("overwrite").parquet(stage)
-
-    stream = (
-        spark.readStream.schema(with_ts.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage)
-    )
-    rolled = (
-        stream.withWatermark("event_time", "1 minute")
-        .groupBy(F.window("event_time", "1 hour").alias("w"), "event_type")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.sum(_cents(F.col("value"))).alias("sum_value_cents"),
-        )
-        .select(
-            F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
-            "event_type",
-            "n_events",
-            "sum_value_cents",
-        )
-    )
-    sink = f"replay_{uuid.uuid4().hex[:12]}"
-    (
-        rolled.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
-    return spark.table(sink)
-
-
-def _stage_events_ordered(spark: SparkSession, sf_dir: str, n_files: int = 2):
-    """Stage the events table (with a real ``event_time`` column) as
-    ``n_files`` parquet files whose time ranges are disjoint and whose
-    mtimes increase with time range — so the file stream replays history
-    in event-time order across micro-batches (maxFilesPerTrigger=1). This
-    makes stateful operators (last-price state) deterministic: each key's
-    rows arrive in global ts order. Returns (schema, stage_dir).
-
-    Test-harness staging only (driver-side file juggling is fine here; the
-    production source is a real snapshot feed)."""
-    import os
-    import shutil
-    import tempfile
-    import time
-
-    ev = (
-        _t(spark, sf_dir, "events")
-        .withColumn("ts_us", _epoch_us("ts"))
-        .withColumn("event_time", F.timestamp_micros(F.col("ts_us")))
-    )
-    stage = tempfile.mkdtemp(prefix="stream_stage_")
-    # exact ts split points so file k's rows all precede file k+1's
-    qs = [i / n_files for i in range(1, n_files)]
-    bounds = ev.approxQuantile("ts_us", qs, 0.0) if qs else []  # rel err 0 -> exact
-    lo = None
-    base = time.time() - 3600
-    for i, hi in enumerate(list(bounds) + [None]):
-        part = ev
-        if lo is not None:
-            part = part.filter(F.col("ts_us") >= lo)
-        if hi is not None:
-            part = part.filter(F.col("ts_us") < hi)
-        tmp = tempfile.mkdtemp(prefix="stream_part_")
-        part.coalesce(1).write.mode("overwrite").parquet(tmp)
-        src = next(
-            p for p in os.listdir(tmp) if p.endswith(".parquet") and p.startswith("part-")
-        )
-        dst = os.path.join(stage, f"{i:05d}.parquet")
-        shutil.move(os.path.join(tmp, src), dst)
-        shutil.rmtree(tmp, ignore_errors=True)
-        os.utime(dst, (base + i * 100, base + i * 100))
-        lo = hi
-    return ev.schema, stage
-
-
-def _drain(stream_df: DataFrame, output_mode: str) -> DataFrame:
-    import uuid
-
-    sink = f"drain_{uuid.uuid4().hex[:12]}"
-    (
-        stream_df.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
-    return stream_df.sparkSession.table(sink)
-
-
-# ===========================================================================
-# Streaming session windows vs the gaps-and-islands batch twin: the same
-# 30-minute-gap sessions event_sessionize computes in batch, produced by
-# the streaming session_window operator (game_session_stream's shape) and
-# drained complete. Spark's session end = last event + gap, so the oracle
-# adds the gap to max(ts). State merges sessions across micro-batches —
-# the file split exercises exactly that path.
-# ===========================================================================
-
-@_register(
-    "streaming_session_windows",
-    """
-    WITH flagged AS (
-      SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
-             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
-                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ),
-    numbered AS (
-      SELECT user_id, ts_us, value,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
-      FROM flagged
-    )
-    SELECT user_id,
-           min(ts_us) // 1000000 AS session_start_s,
-           (max(ts_us) // 1000000) + 1800 AS session_end_s,
-           CAST(count(*) AS BIGINT) AS n_changes,
-           min(value) AS min_price,
-           max(value) AS max_price
-    FROM numbered
-    GROUP BY user_id, session_id
-    """,
-    "streaming session_window (batch twin: event_sessionize)",
-    "events replayed through the game_session_stream operator (30-min gap), vs gaps-and-islands oracle",
-)
-def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.streaming.canonical import (
-        game_session_stream,
-    )
-
-    schema, stage = _stage_events_ordered(spark, sf_dir, n_files=2)
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage)
-    )
-    adapted = stream.select(
-        F.col("event_time").alias("event_ts"),
-        F.col("user_id").cast("string").alias("game_id"),
-        F.col("value").alias("price"),
-    )
-    sessions = game_session_stream(adapted, gap="30 minutes", watermark="30 minutes")
-    out = _drain(sessions, "complete")
-    return out.select(
-        F.col("game_id").cast("long").alias("user_id"),
-        F.unix_timestamp("session_start").alias("session_start_s"),
-        F.unix_timestamp("session_end").alias("session_end_s"),
-        "n_changes",
-        "min_price",
-        "max_price",
-    )
-
-
-# ===========================================================================
-# Stateful line-move detection vs the lag-window batch twin: the
-# applyInPandasWithState operator (state = last price per key) replayed
-# over time-ordered micro-batches must equal a plain lag() in SQL. This is
-# the oracle for the one operator whose semantics windows can't express —
-# per-key state carried ACROSS micro-batches is exactly what the two-file
-# ordered staging exercises.
-# ===========================================================================
-
-@_register(
-    "streaming_line_moves",
-    f"""
-    WITH nn AS (
-      SELECT user_id, event_type, ts, event_id, value,
-             lag(value) OVER (PARTITION BY user_id, event_type
-                              ORDER BY ts, event_id) AS prev
-      FROM events WHERE value IS NOT NULL
-    )
-    SELECT CAST(user_id AS VARCHAR) AS game_id,
-           event_type AS bookmaker,
-           epoch_us(ts) // 1000000 AS event_ts_s,
-           prev AS old_price, value AS new_price,
-           {_sql_r('(value - prev) / abs(prev) * 100.0', 6)} AS move_pct
-    FROM nn
-    WHERE prev IS NOT NULL AND prev <> 0
-      AND abs((value - prev) / abs(prev) * 100.0) >= 50.0
-    """,
-    "streaming applyInPandasWithState (batch twin: lag window)",
-    "per-key last-price state across ordered micro-batches emits >=50% moves, vs lag() oracle",
-)
-def streaming_line_moves(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.streaming.canonical import (
-        detect_line_moves,
-    )
-
-    schema, stage = _stage_events_ordered(spark, sf_dir, n_files=2)
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage)
-    )
-    adapted = stream.select(
-        F.col("user_id").cast("string").alias("game_id"),
-        F.col("event_type").alias("bookmaker"),
-        F.lit("value").alias("market"),
-        F.lit("all").alias("player_name"),
-        F.col("value").alias("price"),
-        F.col("event_time").alias("event_ts"),
-    )
-    moves = detect_line_moves(adapted, min_move_pct=50.0)
-    out = _drain(moves, "append")
-    return out.select(
-        "game_id",
-        "bookmaker",
-        F.unix_timestamp("event_ts").alias("event_ts_s"),
-        "old_price",
-        "new_price",
-        _r(F.col("move_pct"), 6).alias("move_pct"),
-    )
-
-
-# ===========================================================================
-# Stream-stream time-bounded inner join vs the plain-SQL batch twin: odds
-# line changes joined to the most recent metadata feed (every-7th event),
-# bounded to meta no older than 1 hour. Inner joins emit on match (the
-# watermark only sizes eviction state), so draining both file streams
-# yields exactly the batch join's pair set.
-# ===========================================================================
-
-@_register(
-    "streaming_stream_join",
-    """
-    SELECT o.event_id AS odds_event_id,
-           m.event_id AS meta_event_id,
-           CAST(o.user_id AS VARCHAR) AS game_id,
-           epoch_us(o.ts) // 1000000 AS event_ts_s,
-           epoch_us(m.ts) // 1000000 AS meta_ts_s,
-           o.value AS price,
-           concat('v', CAST(m.event_id % 3 AS VARCHAR)) AS venue_status
-    FROM events o
-    JOIN (SELECT * FROM events WHERE event_id % 7 = 0) m
-      ON o.user_id = m.user_id
-     AND m.ts <= o.ts
-     AND m.ts >= o.ts - INTERVAL 1 HOUR
-    """,
-    "streaming stream-stream join (batch twin: time-bounded equi-join)",
-    "odds stream joined to a metadata stream within a 1-hour event-time bound, vs batch join oracle",
-)
-def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.streaming.canonical import (
-        join_with_game_meta,
-    )
-
-    schema, stage = _stage_events_ordered(spark, sf_dir, n_files=1)
-    def _src():
-        return (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(stage)
-        )
-
-    odds = _src().select(
-        F.col("event_id").alias("odds_event_id"),
-        F.col("user_id").cast("string").alias("game_id"),
-        F.col("event_time").alias("event_ts"),
-        F.col("value").alias("price"),
-    )
-    meta = (
-        _src()
-        .filter(F.col("event_id") % 7 == 0)
-        .select(
-            F.col("event_id").alias("meta_event_id"),
-            F.col("user_id").cast("string").alias("meta_game_id"),
-            F.col("event_time").alias("meta_ts"),
-            F.concat(F.lit("v"), (F.col("event_id") % 3).cast("string")).alias(
-                "venue_status"
-            ),
-        )
-    )
-    joined = join_with_game_meta(odds, meta, max_meta_age="1 hour")
-    out = _drain(joined, "append")
-    return out.select(
-        "odds_event_id",
-        "meta_event_id",
-        "game_id",
-        F.unix_timestamp("event_ts").alias("event_ts_s"),
-        F.unix_timestamp("meta_ts").alias("meta_ts_s"),
-        "price",
-        "venue_status",
-    )
-
-
-# ===========================================================================
-# Stream-static enrichment — the standard dimension join on a stream:
-# each micro-batch joins against the static customer table (broadcast;
-# the dim is loaded once, not per-batch shuffled). Append mode needs no
-# watermark for stream-static inner joins. Oracle: the batch twin join.
-# ===========================================================================
-
-@_register(
-    "streaming_static_enrich",
-    """
-    SELECT e.event_id, e.user_id,
-           CAST(epoch_us(e.ts) // 1000000 AS BIGINT) AS ts_s,
-           e.value, c.c_mktsegment AS segment
-    FROM events e JOIN customer c ON e.user_id = c.c_custkey
-    """,
-    "streaming stream-static join (batch twin: events x customer)",
-    "event stream enriched per micro-batch against the broadcast static "
-    "customer dim",
-)
-def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    schema, stage = _stage_events_ordered(spark, sf_dir, n_files=2)
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage)
-    )
-    dim = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    joined = stream.join(
-        F.broadcast(dim), stream["user_id"] == dim["c_custkey"]
-    )
-    out = _drain(joined, "append")
-    return out.select(
-        "event_id",
-        "user_id",
-        F.unix_timestamp("event_time").cast("bigint").alias("ts_s"),
-        "value",
-        F.col("c_mktsegment").alias("segment"),
-    )
-
-
-# ===========================================================================
-# Streaming quality filter (r10) — the curation gate as a structured
-# stream: documents replay across 2 micro-batches and the r9 pinned-
-# weight linear classifier runs per micro-batch as the SAME stateless
-# projection (zero state, the unbounded-safe shape — a quality gate is
-# the first stage a streaming ingest pipeline applies before anything
-# stateful). Oracle = the batch quality_linear_filter SQL verbatim
-# (shared below): the drained stream must reproduce the batch decision
-# for every document.
-# ===========================================================================
-
-
-def _stage_docs_ordered(spark: SparkSession, sf_dir: str, n_files: int = 2):
-    """Stage the documents table as ``n_files`` disjoint doc_id-range
-    parquet files with increasing mtimes — the documents counterpart of
-    :func:`_stage_events_ordered` (test-harness staging only)."""
-    import os
-    import shutil
-    import tempfile
-    import time
-
-    docs = _t(spark, sf_dir, "documents")
-    stage = tempfile.mkdtemp(prefix="stream_stage_docs_")
-    qs = [i / n_files for i in range(1, n_files)]
-    bounds = (
-        [float(b) for b in docs.approxQuantile("doc_id", qs, 0.0)] if qs else []
-    )
-    lo = None
-    base = time.time() - 3600
-    for i, hi in enumerate(list(bounds) + [None]):
-        part = docs
-        if lo is not None:
-            part = part.filter(F.col("doc_id") >= lo)
-        if hi is not None:
-            part = part.filter(F.col("doc_id") < hi)
-        tmp = tempfile.mkdtemp(prefix="stream_part_docs_")
-        part.coalesce(1).write.mode("overwrite").parquet(tmp)
-        src = next(
-            p for p in os.listdir(tmp)
-            if p.endswith(".parquet") and p.startswith("part-")
-        )
-        dst = os.path.join(stage, f"{i:05d}.parquet")
-        shutil.move(os.path.join(tmp, src), dst)
-        shutil.rmtree(tmp, ignore_errors=True)
-        os.utime(dst, (base + i * 100, base + i * 100))
-        lo = hi
-    return docs.schema, stage
-
-
-@_register(
-    "streaming_quality_filter",
-    None,  # replaced below — shares quality_linear_filter's oracle
-    "streaming quality gate (batch twin: quality_linear_filter)",
-    "documents replayed across 2 micro-batches through the stateless "
-    "pinned-weight linear classifier — the drained stream reproduces "
-    "the batch kept decision exactly",
-)
-def streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import (
-        quality_linear_filter,
-    )
-
-    schema, stage = _stage_docs_ordered(spark, sf_dir, n_files=2)
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage)
-    )
-    out = _drain(quality_linear_filter(stream), "append")
-    return out.select(
-        "doc_id", "stop_e6", "punct_e6", "len_sat_e6", "awl_e6",
-        "logit_e6", "kept",
-    )
-
-
-QUERIES["streaming_quality_filter"] = dataclasses.replace(
-    QUERIES["streaming_quality_filter"],
-    oracle=QUERIES["quality_linear_filter"].oracle,
-)
-
-
-# ===========================================================================
-# Streaming dedup vs the batch distinct twin: every event row arrives
-# TWICE in its micro-batch (explode-duplicated after the stream read) and
-# the replay spans two batches, so dropDuplicatesWithinWatermark must
-# dedup within a batch AND carry key state across batches. The oracle is
-# simply the events table — streaming dedup of a doubled stream must
-# reproduce it exactly. State is per-key within the watermark horizon,
-# the unbounded-stream-safe form.
-# ===========================================================================
-
-@_register(
-    "streaming_dedup_replay",
-    """
-    SELECT event_id, user_id, event_type,
-           CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ts_s, value
-    FROM events
-    """,
-    "streaming dedup (batch twin: SELECT DISTINCT)",
-    "explode-doubled event stream through dropDuplicatesWithinWatermark "
-    "across 2 micro-batches == the events table",
-)
-def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.streaming.canonical import (
-        dedup_line_changes,
-    )
-
-    schema, stage = _stage_events_ordered(spark, sf_dir, n_files=2)
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage)
-    )
-    doubled = stream.select(
-        F.col("event_id"),
-        F.col("user_id"),
-        F.col("event_type"),
-        F.col("event_time").alias("event_ts"),
-        F.col("value"),
-        F.explode(F.array(F.lit(1), F.lit(2))).alias("__copy"),
-    ).drop("__copy")
-    deduped = dedup_line_changes(doubled, watermark="30 minutes", keys=["event_id"])
-    out = _drain(deduped, "append")
-    return out.select(
-        "event_id",
-        "user_id",
-        "event_type",
-        F.unix_timestamp("event_ts").cast("bigint").alias("ts_s"),
-        "value",
-    )
-
-
-# ===========================================================================
-# Watermark late-data drop — the semantics that make unbounded streaming
-# aggregation safe: rows arriving behind the watermark are DISCARDED, so
-# state stays bounded and results stay deterministic. Exercised across a
-# RESTART: run 1 (own checkpoint) processes the older half of events and
-# persists its watermark (half-max − 1 min); run 2 resumes from the
-# checkpoint on a second file holding the newer half PLUS stale
-# duplicates of the 200 oldest rows. The recovered watermark drops every
-# injected duplicate (≈a month late), so no window double-counts —
-# single-run availableNow replays put everything in one micro-batch
-# (watermark still 0), which is why the restart form is the only honest
-# demonstration. Append mode emits each window exactly once, when the
-# watermark passes its end; the oracle reproduces both effects in batch:
-# the plain per-hour rollup of events (dropping the duplicates restores
-# it) restricted to windows whose end ≤ the final watermark
-# (max event time − 1 min).
-# ===========================================================================
-
-@_register(
-    "streaming_late_data_drop",
-    """
-    WITH wm AS (
-      SELECT epoch_us(max(ts)) // 1000000 - 60 AS wm_s FROM events
-    ),
-    agg AS (
-      SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)
-               AS window_start_s,
-             CAST(count(*) AS BIGINT) AS n_events,
-             CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
-               AS sum_value_cents
-      FROM events GROUP BY 1
-    )
-    SELECT a.window_start_s, a.n_events, a.sum_value_cents
-    FROM agg a, wm WHERE a.window_start_s + 3600 <= wm.wm_s
-    """,
-    "streaming watermark semantics (late input dropped, windows finalized)",
-    "tumbling rollup over a replay with month-stale injected duplicates: "
-    "late rows dropped, finalized windows == batch rollup under the final "
-    "watermark",
-)
-def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import shutil
-    import tempfile
-
-    ev = (
-        _t(spark, sf_dir, "events")
-        .withColumn("ts_us", _epoch_us("ts"))
-        .withColumn("event_time", F.timestamp_micros(F.col("ts_us")))
-        .select("event_id", "user_id", "value", "ts_us", "event_time")
-    )
-    [mid] = ev.approxQuantile("ts_us", [0.5], 0.0)  # rel err 0 -> exact
-    oldest = ev.orderBy("ts_us", "event_id").limit(200)
-    # Precondition for the drop to be guaranteed: a late row is discarded
-    # only when its WINDOW's end is at or behind the recovered watermark
-    # (the window's state must already be finalized and evicted) — the
-    # raw row timestamp being behind the watermark is NOT sufficient
-    # (r5 review: a duplicate at 11:30 with watermark 11:59:50 passes a
-    # raw-timestamp check, but its [11:00, 12:00) window is still open
-    # and ACCEPTS it). So assert the duplicates' hour-window ends ≤ run
-    # 1's watermark (older-half max − 1 min); otherwise fail loudly
-    # instead of silently diverging from the count-once oracle.
-    row = ev.agg(
-        F.max(F.when(F.col("ts_us") < mid, F.col("ts_us"))).alias("h1_max"),
-    ).collect()[0]
-    wm1_us = row["h1_max"] - 60 * 1_000_000
-    oldest_max = oldest.agg(F.max("ts_us")).collect()[0][0]
-    hour_us = 3_600 * 1_000_000
-    oldest_window_end = (oldest_max - oldest_max % hour_us) + hour_us
-    if oldest_window_end > wm1_us:
-        raise AssertionError(
-            "streaming_late_data_drop precondition violated: the 200 "
-            f"oldest rows' last hour-window ends at {oldest_window_end}, "
-            f"after run 1's watermark {wm1_us} (older-half max − 60 s) — "
-            "that window would still be open in run 2 and would ACCEPT "
-            "the injected duplicates. Pick duplicates whose windows "
-            "close strictly before the recovered watermark."
-        )
-    parts = [
-        ev.filter(F.col("ts_us") < mid),
-        # run 2: the newer half PLUS month-stale duplicates of the
-        # oldest 200 rows — behind the recovered watermark, must drop
-        ev.filter(F.col("ts_us") >= mid).unionByName(oldest),
-    ]
-    stage = tempfile.mkdtemp(prefix="stream_late_")
-    ckpt = tempfile.mkdtemp(prefix="stream_late_ckpt_")
-    out_dir = tempfile.mkdtemp(prefix="stream_late_out_")
-
-    def _run_once() -> None:
-        stream = spark.readStream.schema(ev.schema).parquet(stage)
-        rolled = (
-            stream.withWatermark("event_time", "1 minute")
-            .groupBy(F.window("event_time", "1 hour").alias("w"))
-            .agg(
-                F.count("*").alias("n_events"),
-                F.sum(_cents(F.col("value"))).alias("sum_value_cents"),
-            )
-            .select(
-                F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
-                "n_events",
-                "sum_value_cents",
-            )
-        )
-
-        def _append(batch_df: DataFrame, _batch_id: int) -> None:
-            batch_df.write.mode("append").parquet(out_dir)
-
-        (
-            rolled.writeStream.foreachBatch(_append)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-            .awaitTermination()
-        )
-
-    for i, part in enumerate(parts):
-        tmp = tempfile.mkdtemp(prefix="stream_late_part_")
-        part.coalesce(1).write.mode("overwrite").parquet(tmp)
-        src = next(
-            p for p in os.listdir(tmp)
-            if p.endswith(".parquet") and p.startswith("part-")
-        )
-        shutil.move(
-            os.path.join(tmp, src), os.path.join(stage, f"{i:05d}.parquet")
-        )
-        shutil.rmtree(tmp, ignore_errors=True)
-        _run_once()  # run i sees only files 0..i; watermark rides ckpt
-    return spark.read.parquet(out_dir)
-
-
-# ===========================================================================
-# F1-F4/F6 + C2/C10/C13: the nested flatten chain. The testdata has no
-# nested table, so the query BUILDS one (collect_list of structs per
-# order — one shuffle) and then runs the engine's explode pipeline over
-# it: explode → coalesce field aliasing (reference processing.py:52,62) →
-# synthetic game_id concat (processing.py:38) → validity filter dropping
-# decimal prices ≤ 1 (odds_utils.py:222-230) → decimal→American (C2,
-# odds_utils.py:61-73). The oracle computes the equivalent flat result
-# directly — nest+explode is an identity the driver's hash check proves.
-# Scale: one groupBy shuffle to nest; everything after is narrow.
-# ===========================================================================
-
-@_register(
-    "nested_explode_flatten",
-    f"""
-    WITH flat AS (
-      SELECT concat('g_', l_orderkey) AS game_id,
-             coalesce(CASE WHEN l_linenumber % 2 = 0 THEN NULL
-                           ELSE concat('L', l_linenumber) END,
-                      concat('alt-', l_linenumber)) AS outcome,
-             1.0 + (l_partkey % 300) / 100.0 AS price_decimal,
-             l_orderkey, l_linenumber
-      FROM lineitem
-    )
-    SELECT game_id, outcome,
-           {_sql_r('price_decimal', 9)} AS price_decimal,
-           CASE WHEN price_decimal >= 2.0
-                THEN {_sql_r('(price_decimal - 1.0) * 100.0', 2)}
-                ELSE {_sql_r('-100.0 / (price_decimal - 1.0)', 2)} END AS price_american
-    FROM flat
-    WHERE price_decimal > 1.0
-    """,
-    "F1,F2,F3,F4,F6,C2,C10,C13",
-    "nest lineitem into per-order outcome arrays, explode back with coalesce aliasing, validity filter, decimal->American",
-)
-def nested_explode_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import ensure_parallelism
-
-    # spread keyed by the grouping key: the collect_list groupBy reuses the
-    # partitioning, so the plan keeps ONE exchange but the string-building
-    # projection runs on every core instead of the scan's single split
-    li = ensure_parallelism(
-        _t(spark, sf_dir, "lineitem"), "l_orderkey"
-    ).select(
-        "l_orderkey",
-        "l_linenumber",
-        F.when(F.col("l_linenumber") % 2 == 0, F.lit(None).cast("string"))
-        .otherwise(F.concat(F.lit("L"), F.col("l_linenumber")))
-        .alias("name"),
-        F.concat(F.lit("alt-"), F.col("l_linenumber")).alias("outcome_name"),
-        (1.0 + (F.col("l_partkey") % 300) / 100.0).alias("price"),
-    )
-    # Build the nested form (game -> outcomes[]), then run the flatten
-    # pipeline the reference applies to raw odds JSON.
-    nested = li.groupBy("l_orderkey").agg(
-        F.collect_list(
-            F.struct("name", "outcome_name", "price", "l_linenumber")
-        ).alias("outcomes")
-    )
-    o = F.col("o")
-    exploded = nested.select(
-        "l_orderkey", F.explode("outcomes").alias("o")
-    ).select(
-        F.concat(F.lit("g_"), F.col("l_orderkey")).alias("game_id"),  # C13
-        F.coalesce(o["name"], o["outcome_name"]).alias("outcome"),  # C10
-        o["price"].alias("price_decimal"),
-    )
-    valid = exploded.filter(F.col("price_decimal") > 1.0)  # F6
-    american = F.when(  # C2 (d>1 guaranteed by F6)
-        F.col("price_decimal") >= 2.0,
-        _r((F.col("price_decimal") - 1.0) * 100.0, 2),
-    ).otherwise(_r(F.lit(-100.0) / (F.col("price_decimal") - 1.0), 2))
-    return valid.select(
-        "game_id",
-        "outcome",
-        _r(F.col("price_decimal"), 9).alias("price_decimal"),
-        american.alias("price_american"),
-    )
-
-
-# ===========================================================================
-# Semi-structured JSON column path: events.props carries JSON strings.
-# from_json with an explicit schema is the scale-correct choice (one typed
-# parse per row, vectorized, prunable) vs per-field get_json_object calls
-# (one parse each). Rollup is a plain map-side-partial aggregation.
-# ===========================================================================
-
-@_register(
-    "json_props_rollup",
-    """
-    SELECT event_type,
-           CAST(count(*) AS BIGINT) AS n_events,
-           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-           CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
-    FROM events
-    GROUP BY event_type
-    """,
-    "semi-structured JSON (no reference counterpart)",
-    "typed from_json extraction over events.props + grouped rollup",
-)
-def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import types as T
-
-    ev = _t(spark, sf_dir, "events")
-    props_schema = T.StructType([T.StructField("k", T.LongType())])
-    parsed = ev.select(
-        "event_type", F.from_json(F.col("props"), props_schema).alias("p")
-    )
-    return parsed.groupBy("event_type").agg(
-        F.count("*").alias("n_events"),
-        F.sum("p.k").alias("sum_k"),
-        F.max("p.k").alias("max_k"),
-    )
-
-
-# ===========================================================================
-# Feed-gap detection — the data-quality monitor for an event feed: per
-# user, every pair of consecutive events more than 2 hours apart, with
-# the gap's bounds and length. One lag window, integer-seconds math; the
-# same single user_id-partitioned shuffle as sessionization (a gap is
-# just a session boundary viewed from the other side).
-# ===========================================================================
-
-@_register(
-    "event_gap_detection",
-    """
-    SELECT user_id,
-           CAST(prev_us // 1000000 AS BIGINT) AS gap_start_s,
-           CAST(ts_us // 1000000 AS BIGINT) AS gap_end_s,
-           CAST(ts_us // 1000000 - prev_us // 1000000 AS BIGINT) AS gap_s
-    FROM (
-      SELECT user_id, epoch_us(ts) AS ts_us,
-             lag(epoch_us(ts)) OVER (PARTITION BY user_id
-                                     ORDER BY ts, event_id) AS prev_us
-      FROM events)
-    WHERE prev_us IS NOT NULL
-      AND ts_us // 1000000 - prev_us // 1000000 > 7200
-    """,
-    "monitoring: feed-gap detection (no reference counterpart)",
-    "consecutive same-user events > 2h apart; one lag window, one shuffle",
-)
-def event_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ts_s = _epoch_s("ts")
-    gapped = ev.select(
-        "user_id",
-        ts_s.alias("ts_s"),
-        F.lag(ts_s).over(w).alias("prev_s"),
-    ).filter(
-        F.col("prev_s").isNotNull() & (F.col("ts_s") - F.col("prev_s") > 7200)
-    )
-    return gapped.select(
-        "user_id",
-        F.col("prev_s").cast("bigint").alias("gap_start_s"),
-        F.col("ts_s").cast("bigint").alias("gap_end_s"),
-        (F.col("ts_s") - F.col("prev_s")).cast("bigint").alias("gap_s"),
-    )
-
-
-# ===========================================================================
-# Sessionization (gaps-and-islands) over events: batch counterpart of the
-# streaming session_window — lag to flag gaps > 30 min, running sum to
-# number sessions, one groupBy for per-session stats. Timestamp math is
-# exact integer floor-division over epoch microseconds in both engines.
-# Scale: both windows and the final groupBy share the user_id hash
-# partitioning -> a single shuffle.
-# ===========================================================================
-
-@_register(
-    "event_sessionize",
-    """
-    WITH flagged AS (
-      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
-                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ),
-    numbered AS (
-      SELECT user_id, event_id, ts_us,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
-      FROM flagged
-    )
-    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
-           CAST(count(*) AS BIGINT) AS n_events,
-           min(ts_us) // 1000000 AS start_s,
-           max(ts_us) // 1000000 AS end_s,
-           (max(ts_us) // 1000000) - (min(ts_us) // 1000000) AS duration_s
-    FROM numbered
-    GROUP BY user_id, session_id
-    """,
-    "W1,W2 (sessionization; batch twin of streaming session_window)",
-    "gaps-and-islands sessions per user (30-min gap), per-session stats",
-)
-def event_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")  # ts = timestamp_ntz
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.expr("INTERVAL 30 MINUTES")
-    lagged = F.lag("ts").over(w)
-    flagged = ev.select(
-        "user_id",
-        "event_id",
-        _epoch_us("ts").alias("ts_us"),
-        F.when(
-            lagged.isNull() | ((F.col("ts") - lagged) > gap), F.lit(1)
-        ).otherwise(F.lit(0)).alias("new_session"),
-    )
-    wrun = (
-        Window.partitionBy("user_id")
-        .orderBy("ts_us", "event_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    numbered = flagged.withColumn(
-        "session_id", F.sum("new_session").over(wrun).cast("long")
-    )
-    sec = lambda c: F.expr(f"{c} DIV 1000000")
-    return numbered.groupBy("user_id", "session_id").agg(
-        F.count("*").alias("n_events"),
-        sec("min(ts_us)").alias("start_s"),
-        sec("max(ts_us)").alias("end_s"),
-        (sec("max(ts_us)") - sec("min(ts_us)")).alias("duration_s"),
-    )
-
-
-# ===========================================================================
-# Exact order-statistic percentiles per group: rank rows with a pinned
-# total order, select index floor((n-1)·q) — no interpolation, no
-# approximation, so both engines pick the identical row. (approx_percentile
-# / t-digest sketches are the 100 TB path when exactness isn't required;
-# this is the deterministic oracle-able form.)
-# ===========================================================================
-
-@_register(
-    "value_percentiles",
-    """
-    WITH ranked AS (
-      SELECT event_type, value,
-             row_number() OVER (PARTITION BY event_type
-                                ORDER BY value, event_id) AS rn,
-             count(*) OVER (PARTITION BY event_type) AS n
-      FROM events
-    )
-    SELECT event_type,
-           CAST(max(n) AS BIGINT) AS n,
-           max(CASE WHEN rn = floor((n - 1) * 0.5) + 1 THEN value END) AS p50,
-           max(CASE WHEN rn = floor((n - 1) * 0.9) + 1 THEN value END) AS p90,
-           max(CASE WHEN rn = floor((n - 1) * 0.99) + 1 THEN value END) AS p99
-    FROM ranked
-    GROUP BY event_type
-    """,
-    "A10,O1 (exact percentiles; sketch variant is the scale path)",
-    "exact p50/p90/p99 of value per event_type via order-statistic selection",
-)
-def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    wr = Window.partitionBy("event_type").orderBy("value", "event_id")
-    wn = Window.partitionBy("event_type")
-    ranked = ev.select(
-        "event_type",
-        "value",
-        F.row_number().over(wr).alias("rn"),
-        F.count("*").over(wn).alias("n"),
-    )
-    pick = lambda q: F.max(
-        F.when(
-            F.col("rn") == F.floor((F.col("n") - 1) * q) + 1, F.col("value")
-        )
-    )
-    return ranked.groupBy("event_type").agg(
-        F.max("n").cast("long").alias("n"),
-        pick(0.5).alias("p50"),
-        pick(0.9).alias("p90"),
-        pick(0.99).alias("p99"),
-    )
-
-
-# ===========================================================================
-# M2 (forest variant): RandomForestRegressor(numTrees=100, seed=42) — the
-# reference's second model type (src/modeling.py:18). Tree ensembles have
-# no closed SQL form, so this is a rows-only contract entry (oracle=None;
-# the driver records count/schema). Values are deterministic (seeded).
-# ===========================================================================
-
-@_register(
-    "forecast_random_forest",
-    None,  # no SQL oracle: tree ensemble; driver runs the rows-only check
-    "M1,M2,M3 (forest)",
-    "RandomForestRegressor(numTrees=100, seed=42) on rolling features, scored over events",
-)
-def forecast_random_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.forecast import predict, train_model
-
-    ev = _t(spark, sf_dir, "events")
-    w5 = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-4, 0)
-    wl = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    feat = ev.select(
-        "event_id",
-        F.avg("value").over(w5).alias("points_rolling_avg"),
-        F.avg(F.col("value") * 0.5).over(w5).alias("rebounds_rolling_avg"),
-        F.avg(F.col("value") * 0.25).over(w5).alias("assists_rolling_avg"),
-        F.lead("value", 1).over(wl).alias("target_points"),
-    )
-    model = train_model(
-        feat.filter(F.col("target_points").isNotNull()), model_type="forest"
-    )
-    return predict(model, feat).select(
-        "event_id", _r(F.col("prediction"), 4).alias("prediction")
-    )
-
-
-# ===========================================================================
-# TF-IDF top terms per document — the classic corpus-analytics chain:
-# explode tokens (narrow) → per-(doc, term) counts (one shuffle) → term
-# doc-frequencies (partial-agg shuffle on term) → broadcast-join the df
-# table back → rank per doc with a pinned tiebreak. ln() agrees across
-# engines to last-ulp for these inputs; scores are rounded at 9 dp and
-# ranked on the rounded value so selection is engine-identical.
-# ===========================================================================
-
-@_register(
-    "tfidf_top_terms",
-    f"""
-    WITH toks AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
-    ),
-    tf AS (
-      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-      FROM toks GROUP BY doc_id, term
-    ),
-    df AS (
-      SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY term
-    ),
-    n AS (SELECT count(*) AS n_docs FROM documents),
-    scored AS (
-      SELECT tf.doc_id, tf.term, tf.tf, df.df,
-             {_sql_r('tf.tf * ln(1.0 * n.n_docs / df.df)', 9)} AS tfidf
-      FROM tf JOIN df USING (term) CROSS JOIN n
-    )
-    SELECT doc_id, term, tf, df, tfidf, rank FROM (
-      SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
-                                        ORDER BY tfidf DESC, term) AS INT) AS rank
-      FROM scored)
-    WHERE rank <= 5
-    """,
-    "textops: TF-IDF top terms",
-    "top-5 terms per doc by tf*ln(N/df), deterministic tiebreak on term",
-)
-def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    n_docs = docs.count()  # bounded scalar (table row count), driver-side
-    toks = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
-    )
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df_ = toks.groupBy("term").agg(
-        F.countDistinct("doc_id").alias("df")
-    )
-    scored = tf.join(F.broadcast(df_), "term").select(
-        "doc_id",
-        "term",
-        "tf",
-        "df",
-        _r(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 9).alias(
-            "tfidf"
-        ),
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select("doc_id", "term", "tf", "df", "tfidf", "rank")
-    )
-
-
-# ===========================================================================
-# KMV (k-minimum-values) distinct-count sketch — approximate NDV done
-# engine-identically: hash every key with the shared 60-bit md5 hash,
-# keep each group's k smallest distinct hashes, estimate
-# NDV ≈ (k-1) / normalized_kth_min. Unlike HLL (whose implementations
-# differ per engine and can't be oracle-matched), KMV is pure SQL over a
-# deterministic hash, so the approximation itself is hash-checked.
-# Scale: distinct + windowed rank share one shuffle on the group key; at
-# 100 TB the per-group state is k longs (vs exact distinct's full key
-# set) — the point of the sketch.
-# ===========================================================================
-
-@_register(
-    "kmv_distinct_sketch",
-    f"""
-    WITH h AS (
-      SELECT DISTINCT event_type,
-             {_h60_sql('CAST(user_id AS VARCHAR)')} AS h
-      FROM events
-    ),
-    ranked AS (
-      SELECT event_type, h,
-             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
-             count(*) OVER (PARTITION BY event_type) AS n_distinct
-      FROM h
-    ),
-    kth AS (
-      SELECT event_type, CAST(n_distinct AS BIGINT) AS n_distinct, h AS h_k
-      FROM ranked WHERE rn = 64
-    )
-    SELECT event_type, n_distinct,
-           {_sql_r('63.0 / (CAST(h_k AS DOUBLE) / 1152921504606846976.0)', 6)}
-             AS kmv_estimate
-    FROM kth
-    """,
-    "sketch: KMV distinct count (engine-identical approximate NDV)",
-    "k=64 minimum-values NDV estimate per event_type, hash-checked approximation",
-)
-def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    K = 64
-    ev = _t(spark, sf_dir, "events")
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import h60
-
-    hashes = ev.select(
-        "event_type", h60(F.col("user_id").cast("string")).alias("h")
-    ).distinct()
-    wr = Window.partitionBy("event_type").orderBy("h")
-    wn = Window.partitionBy("event_type")
-    ranked = hashes.select(
-        "event_type",
-        "h",
-        F.row_number().over(wr).alias("rn"),
-        F.count("*").over(wn).alias("n_distinct"),
-    )
-    kth = ranked.filter(F.col("rn") == K)
-    norm = F.col("h").cast("double") / float(1 << 60)
-    return kth.select(
-        "event_type",
-        F.col("n_distinct").cast("long").alias("n_distinct"),
-        _r(F.lit(float(K - 1)) / norm, 6).alias("kmv_estimate"),
-    )
-
-
-# ===========================================================================
-# Point-in-time (as-of) join — union+window form vs DuckDB's NATIVE
-# ASOF JOIN as a fully independent oracle: each event enriched with the
-# most recent "mark" (every 5th event) at or before it, per user. The
-# union+window plan is one shuffle + one sort producing exactly |L| rows;
-# the naive range-join alternative explodes O(|L|·|R|/keys) — see
-# operators/asof.py.
-# ===========================================================================
-
-@_register(
-    "asof_join_marks",
-    """
-    WITH marks AS (
-      SELECT user_id, ts, event_id AS mark_id, value AS mark_value
-      FROM events WHERE event_id % 5 = 0
-    )
-    SELECT e.event_id, e.user_id,
-           epoch_us(e.ts) // 1000000 AS ts_s,
-           e.value,
-           epoch_us(m.ts) // 1000000 AS matched_ts_s,
-           m.mark_id AS matched_mark_id,
-           m.mark_value AS matched_mark_value
-    FROM events e ASOF LEFT JOIN marks m
-      ON e.user_id = m.user_id AND m.ts <= e.ts
-    """,
-    "as-of join (union+window; no reference counterpart)",
-    "backward point-in-time join of events to every-5th-event marks per "
-    "user, vs DuckDB's native ASOF JOIN",
-)
-def asof_join_marks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.asof import asof_join
-
-    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
-    marks = ev.filter(F.col("event_id") % 5 == 0).select(
-        "user_id",
-        "ts",
-        F.col("event_id").alias("mark_id"),
-        F.col("value").alias("mark_value"),
-    )
-    return asof_join(ev, marks, on="user_id").select(
-        "event_id",
-        "user_id",
-        _epoch_s("ts").alias("ts_s"),
-        "value",
-        _epoch_s("matched_ts").alias("matched_ts_s"),
-        "matched_mark_id",
-        "matched_mark_value",
-    )
-
-
-# ===========================================================================
-# Salted aggregation PARITY — the skew machinery oracle-checked: the
-# two-stage (key, salt) -> key aggregation must be bit-identical to a
-# direct GROUP BY for decomposable integer aggregates, whatever the salt
-# assignment. The oracle is the plain GROUP BY — passing proves salting
-# changed the shuffle distribution and nothing else.
-# ===========================================================================
-
-@_register(
-    "salted_agg_parity",
-    """
-    SELECT l_suppkey,
-           CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
-             AS sum_value,
-           CAST(count(*) AS BIGINT) AS n_rows
-    FROM lineitem GROUP BY l_suppkey
-    """,
-    "skew: salted two-stage aggregation == direct groupBy (plan-divergent, result-identical)",
-    "per-supplier cents sum via 16-salt two-stage aggregation vs plain GROUP BY oracle",
-)
-def salted_agg_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.skew import salted_sum_count
-
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_suppkey", _cents(F.col("l_extendedprice")).alias("cents")
-    )
-    out = salted_sum_count(li, ["l_suppkey"], "cents", n_salts=16)
-    return out.select(
-        "l_suppkey", F.col("sum_value").cast("bigint"), "n_rows"
-    )
-
-
-# ===========================================================================
-# Correlated scalar subquery — each order compared to ITS customer's
-# average order value. Catalyst decorrelates the subquery into an
-# aggregate + join (no per-row re-execution); the same shape a window
-# would give, but exercising the decorrelation path the SQL surface
-# needs. Exact integer cents.
-# ===========================================================================
-
-@_register(
-    "orders_vs_customer_avg",
-    """
-    SELECT o_orderkey, o_custkey, price_cents, cust_avg_cents
-    FROM (
-      SELECT o_orderkey, o_custkey,
-             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents,
-             CAST((SELECT floor(avg(CAST(floor(i.o_totalprice * 100.0 + 0.5) AS BIGINT)) + 0.5)
-                   FROM orders i WHERE i.o_custkey = o.o_custkey) AS BIGINT)
-               AS cust_avg_cents
-      FROM orders o
-    )
-    WHERE price_cents > cust_avg_cents
-    """,
-    "correlated scalar subquery (decorrelated by Catalyst)",
-    "orders above their own customer's average order value, exact cents",
-)
-def orders_vs_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    o.createOrReplaceTempView("orders_v")
-    return spark.sql(
-        """
-        SELECT o_orderkey, o_custkey, price_cents, cust_avg_cents
-        FROM (
-          SELECT o_orderkey, o_custkey,
-                 CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents,
-                 CAST((SELECT floor(avg(CAST(floor(i.o_totalprice * 100.0 + 0.5) AS BIGINT)) + 0.5)
-                       FROM orders_v i WHERE i.o_custkey = o.o_custkey) AS BIGINT)
-                   AS cust_avg_cents
-          FROM orders_v o
-        )
-        WHERE price_cents > cust_avg_cents
-        """
-    )
-
-
-# ===========================================================================
-# TWAP — time-weighted average value per user: each observation is
-# weighted by how long it "held" (seconds until the user's next event;
-# the final observation gets weight 0 — half-open interval convention).
-# The lead window and the rollup share one user_id exchange. Weights
-# and value-cents stay in exact integer space; only the final ratio is
-# floating (exact int/int division in both engines).
-# ===========================================================================
-
-@_register(
-    "twap_user_value",
-    """
-    WITH ticks AS (
-      SELECT user_id,
-             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
-             epoch_us(ts) // 1000000 AS ts_s,
-             lead(epoch_us(ts) // 1000000)
-               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_s
-      FROM events
-    )
-    SELECT user_id,
-           CAST(sum(coalesce(next_s - ts_s, 0)) AS BIGINT) AS held_s,
-           CAST(sum(cents * coalesce(next_s - ts_s, 0)) AS BIGINT)
-             AS cents_seconds,
-           sum(cents * coalesce(next_s - ts_s, 0))
-             / sum(coalesce(next_s - ts_s, 0)) AS twap_cents
-    FROM ticks GROUP BY user_id
-    """,
-    "time series: time-weighted average (no reference counterpart)",
-    "duration-weighted average value per user, exact integer weights",
-)
-def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id",
-        "event_id",
-        "ts",
-        _cents(F.col("value")).alias("cents"),
-        _epoch_s("ts").alias("ts_s"),
-    )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ticks = ev.withColumn("next_s", F.lead("ts_s").over(w))
-    held = F.coalesce(F.col("next_s") - F.col("ts_s"), F.lit(0))
-    return (
-        ticks.select("user_id", "cents", held.alias("held"))
-        .groupBy("user_id")
-        .agg(
-            F.sum("held").cast("bigint").alias("held_s"),
-            F.sum(F.col("cents") * F.col("held")).cast("bigint").alias("cents_seconds"),
-            (
-                F.sum(F.col("cents") * F.col("held"))
-                / F.sum("held")
-            ).alias("twap_cents"),
-        )
-    )
-
-
-# ===========================================================================
-# Time-to-convert — per user, seconds from the FIRST view to the first
-# purchase AFTER it (order matters: earlier purchases don't count).
-# The anchor is a window min sharing the one user_id exchange with the
-# final rollup; second timestamps convert exactly on both engines.
-# ===========================================================================
-
-@_register(
-    "time_to_convert",
-    """
-    WITH v AS (
-      SELECT user_id, min(ts) AS t0 FROM events
-      WHERE event_type = 'view' GROUP BY user_id
-    ),
-    p AS (
-      SELECT e.user_id, min(e.ts) AS t1
-      FROM events e JOIN v USING (user_id)
-      WHERE e.event_type = 'purchase' AND e.ts > v.t0
-      GROUP BY e.user_id
-    )
-    SELECT v.user_id,
-           CAST(epoch_us(t0) // 1000000 AS BIGINT) AS first_view_s,
-           (t1 IS NOT NULL) AS converted,
-           CAST(epoch_us(t1) // 1000000 - epoch_us(t0) // 1000000 AS BIGINT)
-             AS secs_to_convert
-    FROM v LEFT JOIN p ON v.user_id = p.user_id
-    """,
-    "time-to-event analytics (no reference counterpart)",
-    "first-view -> first-subsequent-purchase latency per user",
-)
-def time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
-    w = Window.partitionBy("user_id")
-    anchored = ev.withColumn(
-        "t0", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
-    )
-    out = (
-        anchored.filter(F.col("t0").isNotNull())
-        .groupBy("user_id")
-        .agg(
-            F.min("t0").alias("t0"),
-            F.min(
-                F.when(
-                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t0")),
-                    F.col("ts"),
-                )
-            ).alias("t1"),
-        )
-    )
-    return out.select(
-        "user_id",
-        _epoch_s("t0").alias("first_view_s"),
-        F.col("t1").isNotNull().alias("converted"),
-        (_epoch_s("t1") - _epoch_s("t0")).alias("secs_to_convert"),
-    )
-
-
-# ===========================================================================
-# RFM segmentation — recency/frequency/monetary quintile scores per
-# user (5 = best), the classic customer-value segmentation. One
-# exchange builds the per-user profile; the three ntile windows run
-# over the ALREADY-AGGREGATED users (tiny), with user_id tiebreaks
-# making every quintile boundary engine-exact.
-# ===========================================================================
-
-# r10 bench adjudication: 1.33 -> 2.23 s swing re-measured 1.346/1.414 s
-# in BOTH orderings on a calm session -> mid-battery interference (the
-# timed battery grew 197 -> 204), not a plan change. Third swing for
-# this entry; min-of-last-2 remains the accepted mitigation.
-# r11 adjudication (r10's 1.33 -> 1.79 flag): re-measured 1.910/1.618 s
-# fwd/rev on a calm session — the CURRENT host runs this entry at
-# ~1.6-1.9 s; its cross-round record now spans 1.33-2.33 s on an
-# unchanged plan. FOURTH swing: accepted as a host-sensitive entry;
-# adjudicate only if a round exceeds the 2.33 s historical ceiling.
-@_register(
-    "rfm_user_segments",
-    """
-    WITH profile AS (
-      SELECT user_id,
-             CAST(max(epoch_us(ts) // 86400000000) AS BIGINT) AS last_day,
-             CAST(count(*) AS BIGINT) AS n_events,
-             CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
-               AS cents
-      FROM events GROUP BY user_id
-    )
-    SELECT user_id, last_day, n_events, cents,
-           CAST(6 - ntile(5) OVER (ORDER BY last_day DESC, user_id) AS INT) AS r_score,
-           CAST(6 - ntile(5) OVER (ORDER BY n_events DESC, user_id) AS INT) AS f_score,
-           CAST(6 - ntile(5) OVER (ORDER BY cents DESC, user_id) AS INT) AS m_score
-    FROM profile
-    """,
-    "RFM customer segmentation (no reference counterpart)",
-    "recency/frequency/monetary quintiles per user, exact tiebreaks",
-)
-def rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    profile = (
-        _t(spark, sf_dir, "events")
-        .groupBy("user_id")
-        .agg(
-            F.max(_fdiv(_epoch_us("ts"), 86_400_000_000)).cast("bigint").alias("last_day"),
-            F.count("*").cast("bigint").alias("n_events"),
-            F.sum(_cents(F.col("value"))).cast("bigint").alias("cents"),
-        )
-    )
-    # r7: the user profile scales with the corpus, so each quintile is
-    # the distributed exact NTILE (see global_ntile) — three two-phase
-    # ranks instead of three one-task sorts of every user. The profile
-    # persists ONCE and each rank runs over a narrow 2-col slice of it,
-    # joined back by user_id (chaining the ntile calls instead would
-    # nest the scoped caches and blow the plan TEXT up combinatorially
-    # — same executed work, unreadable snapshots).
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
-        persist_scoped,
-    )
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import (
-        global_ntile,
-    )
-
-    prof = persist_scoped("rfm_profile", profile)
-    # one shared lazy count subtree for all three quintile ranks —
-    # exchange reuse executes it once instead of per-rank
-    n_users = prof.agg(F.count("*").cast("long").alias("__n"))
-    out = prof
-    for col, raw in [
-        ("last_day", "__r_raw"),
-        ("n_events", "__f_raw"),
-        ("cents", "__m_raw"),
-    ]:
-        ranked = global_ntile(
-            prof.select("user_id", col),
-            [F.col(col).desc(), F.col("user_id")],
-            k=5,
-            out_col=raw,
-            cache_role=f"rfm_{col}",
-            n_total=n_users,
-        ).select("user_id", raw)
-        out = out.join(ranked, "user_id")
-    return out.select(
-        "user_id",
-        "last_day",
-        "n_events",
-        "cents",
-        (6 - F.col("__r_raw")).cast("int").alias("r_score"),
-        (6 - F.col("__f_raw")).cast("int").alias("f_score"),
-        (6 - F.col("__m_raw")).cast("int").alias("m_score"),
-    )
-
-
-# ===========================================================================
-# K-fold assignment — reproducible cross-validation splits by key hash:
-# same key -> same fold on any engine/partitioning/rerun, so CV is
-# leakage-free by construction. The entry audits the split itself:
-# per-fold sizes, distinct users, and label mix (the checks an ML
-# pipeline runs before trusting its folds).
-# ===========================================================================
-
-@_register(
-    "kfold_split_audit",
-    f"""
-    WITH folds AS (
-      SELECT event_id, user_id, event_type,
-             CAST({_h60_sql("concat('fold', CAST(event_id AS VARCHAR))")} % 5 AS INT)
-               AS fold
-      FROM events
-    )
-    SELECT fold,
-           CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
-             AS n_purchases
-    FROM folds GROUP BY fold
-    """,
-    "sampling: k-fold CV assignment (M-family infrastructure)",
-    "deterministic 5-fold split audit: sizes, users, label mix per fold",
-)
-def kfold_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.sampling import kfold_assign
-
-    folds = kfold_assign(_t(spark, sf_dir, "events"), "event_id", k=5)
-    return folds.groupBy("fold").agg(
-        F.count("*").cast("bigint").alias("n_rows"),
-        F.countDistinct("user_id").cast("bigint").alias("n_users"),
-        F.count_if(F.col("event_type") == "purchase").cast("bigint").alias("n_purchases"),
-    )
-
-
-# ===========================================================================
-# Cohort retention — the product-analytics matrix: users grouped by
-# first-activity week, activity counted per week offset. The per-user
-# cohort anchor is a window min sharing the single user_id exchange;
-# the matrix agg is map-side combined. Day arithmetic is exact integer
-# floor division over epoch microseconds on both engines.
-# ===========================================================================
-
-@_register(
-    "cohort_weekly_retention",
-    """
-    WITH d AS (
-      SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
-      WHERE event_id % 23 = 0
-    ),
-    c AS (
-      SELECT user_id, day, min(day) OVER (PARTITION BY user_id) AS d0 FROM d
-    )
-    SELECT CAST(d0 // 7 AS BIGINT) AS cohort_week,
-           CAST((day - d0) // 7 AS BIGINT) AS week_offset,
-           CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
-    FROM c GROUP BY 1, 2
-    """,
-    "cohort / retention analytics (no reference counterpart)",
-    "weekly retention matrix: first-activity cohorts x week offsets",
-)
-def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # deterministic 1-in-23 thinning: unthinned, every synthetic user is
-    # active from day 0 and the matrix collapses to a single cohort
-    ev = (
-        _t(spark, sf_dir, "events")
-        .filter(F.col("event_id") % 23 == 0)
-        .select("user_id", _fdiv(_epoch_us("ts"), 86_400_000_000).alias("day"))
-    )
-    w = Window.partitionBy("user_id")
-    c = ev.withColumn("d0", F.min("day").over(w))
-    return (
-        c.select(
-            "user_id",
-            F.expr("d0 div 7").cast("bigint").alias("cohort_week"),
-            F.expr("(day - d0) div 7").cast("bigint").alias("week_offset"),
-        )
-        .groupBy("cohort_week", "week_offset")
-        .agg(F.countDistinct("user_id").cast("bigint").alias("n_active"))
-    )
-
-
-# ===========================================================================
-# SCD2 interval building — the warehouse history-table op: collapse
-# each user's event-type stream into validity intervals (valid_from /
-# valid_to, NULL = current state). Gaps-and-islands over ONE
-# key-partitioned time-ordered exchange; interval bounds convert to
-# epoch seconds exactly on both engines (epoch_us // 1e6).
-# ===========================================================================
-
-@_register(
-    "scd2_user_state_intervals",
-    """
-    WITH flagged AS (
-      SELECT user_id, ts, event_id, event_type,
-             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
-                  THEN 1 ELSE 0 END AS chg
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ),
-    isl AS (
-      SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS UNBOUNDED PRECEDING) AS island
-      FROM flagged
-    ),
-    runs AS (
-      SELECT user_id, island,
-             min(event_type) AS event_type,
-             min(ts) AS vf,
-             CAST(count(*) AS BIGINT) AS n_rows
-      FROM isl GROUP BY user_id, island
-    )
-    SELECT user_id, event_type,
-           CAST(epoch_us(vf) // 1000000 AS BIGINT) AS valid_from_s,
-           CAST(epoch_us(lead(vf) OVER (PARTITION BY user_id ORDER BY island))
-                // 1000000 AS BIGINT) AS valid_to_s,
-           n_rows
-    FROM runs
-    """,
-    "SCD type-2 dimension history (no reference counterpart)",
-    "per-user event-type validity intervals via gaps-and-islands, one exchange",
-)
-def scd2_user_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.scd import scd2_intervals
-
-    out = scd2_intervals(
-        _t(spark, sf_dir, "events"),
-        key_col="user_id",
-        ts_col="ts",
-        attr_col="event_type",
-        tiebreak_col="event_id",
-    )
-    return out.select(
-        "user_id",
-        "event_type",
-        _epoch_s("valid_from").alias("valid_from_s"),
-        _epoch_s("valid_to").alias("valid_to_s"),
-        "n_rows",
-    )
-
-
-# ===========================================================================
-# Relative-rank windows — percent_rank and cume_dist per group (the two
-# ranking functions the rest of the battery doesn't exercise), with the
-# (cents, orderkey) tiebreak making positions engine-exact. Both are
-# exact rational values (rank arithmetic over int counts), so no
-# rounding is needed.
-# ===========================================================================
-
-@_register(
-    "order_price_relative_rank",
-    """
-    WITH base AS (
-      SELECT o_orderkey, o_orderpriority,
-             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
-      FROM orders WHERE o_orderkey % 29 = 0
-    )
-    SELECT o_orderkey, o_orderpriority, price_cents,
-           percent_rank() OVER w AS pct_rank,
-           cume_dist() OVER w AS cume
-    FROM base
-    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY price_cents, o_orderkey)
-    """,
-    "window functions: percent_rank / cume_dist (O4 family)",
-    "relative rank positions per priority, exact rational values",
-)
-def order_price_relative_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = (
-        _t(spark, sf_dir, "orders")
-        .filter(F.col("o_orderkey") % 29 == 0)
-        .select(
-            "o_orderkey",
-            "o_orderpriority",
-            _cents(F.col("o_totalprice")).alias("price_cents"),
-        )
-    )
-    w = Window.partitionBy("o_orderpriority").orderBy("price_cents", "o_orderkey")
-    return base.select(
-        "o_orderkey",
-        "o_orderpriority",
-        "price_cents",
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
-    )
-
-
-# ===========================================================================
-# Decile analysis — ntile bucketing per group plus per-decile rollup:
-# the ranking-into-equal-buckets shape (price deciles per order priority)
-# with exact tiebreaks so bucket boundaries match across engines.
-# ===========================================================================
-
-@_register(
-    "order_price_deciles",
-    """
-    WITH bucketed AS (
-      SELECT o_orderpriority,
-             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
-             ntile(10) OVER (PARTITION BY o_orderpriority
-                             ORDER BY o_totalprice, o_orderkey) AS decile
-      FROM orders
-    )
-    SELECT o_orderpriority, CAST(decile AS INT) AS decile,
-           CAST(count(*) AS BIGINT) AS n_orders,
-           CAST(sum(cents) AS BIGINT) AS sum_cents,
-           CAST(min(cents) AS BIGINT) AS min_cents,
-           CAST(max(cents) AS BIGINT) AS max_cents
-    FROM bucketed GROUP BY o_orderpriority, decile
-    """,
-    "ntile decile bucketing + rollup",
-    "price deciles per order priority with pinned tiebreaks, per-decile stats",
-)
-def order_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
-    bucketed = o.select(
-        "o_orderpriority",
-        _cents(F.col("o_totalprice")).alias("cents"),
-        F.ntile(10).over(w).alias("decile"),
-    )
-    return bucketed.groupBy("o_orderpriority", "decile").agg(
-        F.count("*").cast("bigint").alias("n_orders"),
-        F.sum("cents").cast("bigint").alias("sum_cents"),
-        F.min("cents").cast("bigint").alias("min_cents"),
-        F.max("cents").cast("bigint").alias("max_cents"),
-    )
-
-
-# ===========================================================================
-# Session funnel — conversion analysis inside sessionized activity: of
-# each user's sessions, which saw a 'click' and then a 'purchase' AFTER
-# it (strict event-time order, (ts, event_id) tiebreak)? The windowed
-# min-click-time vs max-purchase-time comparison is the set-free funnel
-# form — no self-join, one pass over the sessionized rows.
-# ===========================================================================
-
-@_register(
-    "session_click_purchase_funnel",
-    """
-    WITH flagged AS (
-      SELECT user_id, ts, event_id, event_type,
-             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
-                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS ns
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ),
-    numbered AS (
-      SELECT user_id, ts, event_id, event_type,
-             sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) AS sid
-      FROM flagged
-    ),
-    sess AS (
-      SELECT user_id, CAST(sid AS BIGINT) AS sid,
-             CAST(count(*) AS BIGINT) AS n_events,
-             min(CASE WHEN event_type = 'click'
-                      THEN epoch_us(ts) END) AS first_click,
-             max(CASE WHEN event_type = 'purchase'
-                      THEN epoch_us(ts) END) AS last_purchase
-      FROM numbered GROUP BY user_id, sid
-    )
-    SELECT user_id, sid, n_events,
-           CAST(first_click IS NOT NULL AS BOOLEAN) AS saw_click,
-           CAST(first_click IS NOT NULL AND last_purchase IS NOT NULL
-                AND last_purchase > first_click AS BOOLEAN) AS converted
-    FROM sess
-    """,
-    "funnel analysis over sessions (no reference counterpart)",
-    "click->purchase conversion per session via windowed first/last "
-    "comparison — no self-join",
-)
-def session_click_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.expr("INTERVAL 30 MINUTES")
-    lagged = F.lag("ts").over(w)
-    numbered = ev.select(
-        "user_id",
-        "event_id",
-        "event_type",
-        _epoch_us("ts").alias("ts_us"),
-        F.sum(
-            F.when(lagged.isNull() | ((F.col("ts") - lagged) > gap), 1)
-            .otherwise(0)
-        )
-        .over(w.rowsBetween(Window.unboundedPreceding, 0))
-        .cast("long")
-        .alias("sid"),
-    )
-    # (user_id, ts) is unique in the events table, so event-time micros
-    # alone are a total order within a user's session — no tiebreak term.
-    key = F.col("ts_us")
-    sess = numbered.groupBy("user_id", "sid").agg(
-        F.count("*").cast("bigint").alias("n_events"),
-        F.min(F.when(F.col("event_type") == "click", key)).alias("first_click"),
-        F.max(F.when(F.col("event_type") == "purchase", key)).alias(
-            "last_purchase"
-        ),
-    )
-    return sess.select(
-        "user_id",
-        "sid",
-        "n_events",
-        F.col("first_click").isNotNull().alias("saw_click"),
-        (
-            F.col("first_click").isNotNull()
-            & F.col("last_purchase").isNotNull()
-            & (F.col("last_purchase") > F.col("first_click"))
-        ).alias("converted"),
-    )
-
-
-# ===========================================================================
-# Connected components over the SimHash near-dup graph — the iterative
-# step that turns pairwise dedup output into duplicate CLUSTERS (keep the
-# min-id doc per cluster). Spark runs min-label propagation (diameter
-# rounds of join+agg, lineage-truncated); the oracle computes the same
-# fixpoint with a recursive CTE. The one driver-side loop in the engine
-# is the convergence check — each round's work is fully distributed.
-# ===========================================================================
-
-@_register(
-    "dedup_cluster_assign",
-    f"""
-    WITH RECURSIVE {_SIMHASH60_CTE},
-    bands AS (
-      SELECT doc_id, simhash60, b AS band,
-             (simhash60 >> (15 * b)) & 32767 AS nib
-      FROM sim60 CROSS JOIN (VALUES (0), (1), (2), (3)) t(b)
-    ),
-    edges AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a JOIN bands b ON a.band = b.band AND a.nib = b.nib
-                               AND a.doc_id < b.doc_id
-      WHERE bit_count(xor(a.simhash60, b.simhash60)) <= 3
-    ),
-    sym AS (
-      SELECT id_a AS n, id_b AS m FROM edges
-      UNION ALL SELECT id_b, id_a FROM edges
-    ),
-    comp(n, label) AS (
-      SELECT doc_id, doc_id FROM documents
-      UNION
-      SELECT s.n, c.label FROM comp c JOIN sym s ON s.m = c.n
-    )
-    SELECT n AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
-    FROM comp GROUP BY n
-    """,
-    "dedup clusters: connected components (iterative; no reference counterpart)",
-    "min-label propagation over SimHash near-dup pairs vs recursive-CTE "
-    "fixpoint — every doc gets its component's min doc_id",
-)
-def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
-        connected_components,
-        simhash_pairs,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    edges = simhash_pairs(docs, max_hamming=3).select("id_a", "id_b")
-    return connected_components(edges, docs, node_col="doc_id")
-
-
-# ===========================================================================
-# Integer PageRank over the customer—supplier bipartite graph (edges =
-# distinct order lines), symmetrized so no node dangles. Ranks live in
-# exact integer micro-units with floor division everywhere, which makes
-# an ITERATIVE float-free fixpoint hash-identical across engines and
-# partition orders — the same trick the exact-cents aggregates use. The
-# oracle unrolls the three iterations as CTEs. Per iteration: one
-# src-hash join + one dst aggregation; lineage truncated per round.
-# ===========================================================================
-
-_PR_SCALE = 1_000_000_000
-_PR_BASE = 15 * _PR_SCALE // 100
-
-
-def _pr_iter_sql(prev: str, name: str) -> str:
-    return f"""{name} AS (
-      SELECT e.dst AS node,
-             CAST({_PR_BASE} + (85 * sum(p.pr // d.deg)) // 100 AS BIGINT)
-               AS pr
-      FROM e JOIN {prev} p ON e.src = p.node
-             JOIN deg d ON e.src = d.src
-      GROUP BY e.dst
-    )"""
-
-
-@_register(
-    "pagerank_customer_supplier",
-    f"""
-    WITH edges0 AS (
-      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
-      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
-    ),
-    e AS (SELECT c AS src, -s AS dst FROM edges0
-          UNION ALL SELECT -s, c FROM edges0),
-    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
-    p0 AS (SELECT src AS node, CAST({_PR_SCALE} AS BIGINT) AS pr FROM deg),
-    {_pr_iter_sql('p0', 'it1')},
-    {_pr_iter_sql('it1', 'it2')},
-    {_pr_iter_sql('it2', 'it3')}
-    SELECT node, pr FROM it3
-    """,
-    "graph: integer PageRank (iterative, exact cross-engine fixpoint)",
-    "3-iteration damping-0.85 PageRank over the customer-supplier graph "
-    "in integer micro-units, vs a 3-CTE unrolled oracle",
-)
-def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.graph import (
-        pagerank_integer,
-        symmetrize,
-    )
-
-    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    # Supplier nodes live in the NEGATIVE key space (custkey/suppkey are
-    # both ≥ 1 in TPC-H data at every SF, so negation keeps the two node
-    # namespaces disjoint at any scale — a fixed "+10M" offset would
-    # collide with customers once custkey = 150k·SF crosses it, silently
-    # merging graph nodes). Overflow bound: each iteration computes
-    # 85·Σ(pr÷deg) per node; Σ(pr÷deg) ≤ n·scale ≈ n·1e9, so ranks stay
-    # inside bigint while n·85e9 < 2^63, i.e. graphs under ~1e8 nodes —
-    # far above any SF this entry targets (documented here because ANSI
-    # mode would raise, not wrap, beyond it).
-    edges = (
-        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .select(
-            F.col("o_custkey").alias("src"),
-            (-F.col("l_suppkey")).alias("dst"),
-        )
-        .distinct()
-    )
-    # symmetrize() guarantees the no-dangling contract by construction,
-    # so skip the guard's anti-join+count job (graph.py documents this
-    # as the exact case for validate_no_dangling=False).
-    return pagerank_integer(
-        symmetrize(edges), iterations=3, validate_no_dangling=False
-    ).select("node", F.col("pr").cast("long").alias("pr"))
-
-
-# Same clusters via alternating large-star/small-star contraction
-# (O(log n) rounds vs propagation's graph-diameter rounds — the safety
-# net for chain-shaped components). Identical output contract, so it
-# reuses dedup_cluster_assign's recursive-CTE oracle verbatim.
-@_register(
-    "dedup_cluster_star",
-    None,  # replaced right below with the shared propagation oracle
-    "dedup clusters: large-star/small-star contraction (no reference counterpart)",
-    "Kiveris-style star contraction over SimHash pairs — same labels as "
-    "propagation in O(log n) rounds",
-)
-def dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
-        connected_components_star,
-        simhash_pairs,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    edges = simhash_pairs(docs, max_hamming=3).select("id_a", "id_b")
-    return connected_components_star(edges, docs, node_col="doc_id")
-
-
-QUERIES["dedup_cluster_star"] = dataclasses.replace(
-    QUERIES["dedup_cluster_star"], oracle=QUERIES["dedup_cluster_assign"].oracle
-)
-
-
-# ===========================================================================
-# Pivot (long -> wide reshape) — exact-integer-cents conditional sums per
-# pivot value. The value list is pinned explicitly (no extra distinct
-# pass, deterministic column order); Catalyst compiles pivot to the same
-# conditional-aggregate the SQL oracle states, one shuffle, map-side
-# partials.
-# ===========================================================================
-
-_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
-
-
-@_register(
-    "pivot_event_cents",
-    f"""
-    SELECT user_id,
-           {", ".join(
-               "CAST(coalesce(sum(CASE WHEN event_type = '" + t + "' THEN "
-               "CAST(floor(value * 100.0 + 0.5) AS BIGINT) END), 0) AS BIGINT) "
-               "AS " + t + "_cents"
-               for t in _EVENT_TYPES)}
-    FROM events GROUP BY user_id
-    """,
-    "pivot / wide reshape (no reference counterpart)",
-    "per-user event_type pivot of exact value cents, pinned pivot columns",
-)
-def pivot_event_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id", "event_type", _cents(F.col("value")).alias("cents")
-    )
-    out = (
-        ev.groupBy("user_id")
-        .pivot("event_type", list(_EVENT_TYPES))
-        .agg(F.sum("cents"))
-    )
-    return out.select(
-        "user_id",
-        *[
-            F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"{t}_cents")
-            for t in _EVENT_TYPES
-        ],
-    )
-
-
-# ===========================================================================
-# ROLLUP grouping sets — hierarchical subtotals in ONE pass (Spark expands
-# grouping sets inside a single aggregate; the alternative is G unions of
-# G aggregations). Exact integer cents; NULL marks the rolled-up level in
-# both engines identically.
-# ===========================================================================
-
-@_register(
-    "rollup_pricing",
-    """
-    SELECT l_returnflag, l_linestatus,
-           CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
-             AS sum_price_cents
-    FROM lineitem
-    GROUP BY ROLLUP(l_returnflag, l_linestatus)
-    """,
-    "rollup / grouping sets (no reference counterpart)",
-    "hierarchical subtotals over (returnflag, linestatus) in one aggregate pass",
-)
-def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # r6: pre-aggregate to the finest grouping set, then ROLLUP the tiny
-    # cell table. Spark's native rollup puts Expand BELOW the partial
-    # aggregate, multiplying every raw fact row by the number of grouping
-    # sets before any reduction — at 100 TB that's 3× the scan output
-    # shuffled for no reason. The rewrite reduces to |distinct cells|
-    # first (one map-side-combined shuffle), then expands ~6 rows.
-    # Identical results for non-null grouping keys (lineitem's flags are
-    # non-null by schema; with nullable keys the raw form's NULL-vs-
-    # subtotal ambiguity is the same in both shapes).
-    li = _t(spark, sf_dir, "lineitem")
-    base = li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.count("*").alias("pn"),
-        F.sum(_cents(F.col("l_extendedprice"))).alias("ps"),
-    )
-    # coalesce(sum(pn), 0): count semantics for the grand-total row must
-    # read 0, never NULL, wherever that row exists (r6 ADVICE). Noted
-    # empty-input divergence (pinned in test_round7_entries): Spark's
-    # ROLLUP/CUBE — raw SQL form included, so NOT an artifact of this
-    # rewrite — emits ZERO rows over an empty fact table, while
-    # ANSI/DuckDB emits the () grand-total row (n=0, sum NULL). The
-    # testdata fact tables are non-empty, so the oracle comparison is
-    # unaffected; the coalesce keeps the count non-null in any engine
-    # that does emit the row.
-    return base.rollup("l_returnflag", "l_linestatus").agg(
-        F.coalesce(F.sum("pn"), F.lit(0)).cast("bigint").alias("n_rows"),
-        F.sum("ps").cast("bigint").alias("sum_price_cents"),
-    )
-
-
-# CUBE: every grouping-set combination (the cross-tab twin of ROLLUP's
-# hierarchy) — still ONE aggregate pass via grouping-set expansion.
-@_register(
-    "cube_pricing",
-    """
-    SELECT l_returnflag, l_linestatus,
-           CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
-             AS sum_price_cents
-    FROM lineitem
-    GROUP BY CUBE(l_returnflag, l_linestatus)
-    """,
-    "cube grouping sets (no reference counterpart)",
-    "all subtotal combinations over (returnflag, linestatus) in one pass",
-)
-def cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # r6 (bench-anomaly fix + scale): same pre-aggregate-then-expand
-    # rewrite as rollup_pricing — CUBE's 4 grouping sets expanded every
-    # raw lineitem row (the r4→r5 0.30→0.48 s drift was this shape's
-    # sensitivity to scan/GC state, not a code change; git log -S shows
-    # none). Now Expand runs over the ~6-row finest-grain aggregate.
-    li = _t(spark, sf_dir, "lineitem")
-    base = li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.count("*").alias("pn"),
-        F.sum(_cents(F.col("l_extendedprice"))).alias("ps"),
-    )
-    # coalesce-on-empty: same grand-total-row rationale as rollup_pricing
-    return base.cube("l_returnflag", "l_linestatus").agg(
-        F.coalesce(F.sum("pn"), F.lit(0)).cast("bigint").alias("n_rows"),
-        F.sum("ps").cast("bigint").alias("sum_price_cents"),
-    )
-
-
-# ===========================================================================
-# OHLC time-bar resample — the canonical market-data downsample: per
-# (user, 1-hour bar) the open/high/low/close of value with pinned
-# (ts, event_id) tiebreaks so both engines select identical rows. One
-# window (shared partitioning) + one aggregation.
-# ===========================================================================
-
-@_register(
-    "ohlc_hourly_bars",
-    """
-    WITH ranked AS (
-      SELECT user_id,
-             CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS bar_s,
-             value,
-             row_number() OVER w AS rn,
-             count(*) OVER (PARTITION BY user_id,
-                            time_bucket(INTERVAL '1 hour', ts)) AS n
-      FROM events
-      WINDOW w AS (PARTITION BY user_id, time_bucket(INTERVAL '1 hour', ts)
-                   ORDER BY ts, event_id)
-    )
-    SELECT user_id, bar_s,
-           CAST(max(n) AS BIGINT) AS n_events,
-           max(CASE WHEN rn = 1 THEN value END) AS open,
-           max(value) AS high,
-           min(value) AS low,
-           max(CASE WHEN rn = n THEN value END) AS close
-    FROM ranked GROUP BY user_id, bar_s
-    """,
-    "time-bar resample / OHLC (no reference counterpart)",
-    "per-user hourly open/high/low/close bars with pinned tiebreaks",
-)
-def ohlc_hourly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    # hour bucket = floor(epoch_us / 3.6e9) * 3600 (epoch s)
-    bar = (_fdiv(_epoch_us("ts"), 3_600_000_000) * 3600).alias("bar_s")
-    based = ev.select("user_id", bar, "value", "ts", "event_id")
-    w = Window.partitionBy("user_id", "bar_s").orderBy("ts", "event_id")
-    wn = Window.partitionBy("user_id", "bar_s")
-    ranked = based.select(
-        "user_id",
-        "bar_s",
-        "value",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(wn).alias("n"),
-    )
-    return ranked.groupBy("user_id", "bar_s").agg(
-        F.max("n").cast("bigint").alias("n_events"),
-        F.max(F.when(F.col("rn") == 1, F.col("value"))).alias("open"),
-        F.max("value").alias("high"),
-        F.min("value").alias("low"),
-        F.max(F.when(F.col("rn") == F.col("n"), F.col("value"))).alias("close"),
-    )
-
-
-# ===========================================================================
-# Range (interval-overlap) join — concurrent sessions across users via
-# the BINNED equi-join (see operators/rangejoin.py): explode intervals
-# into hour bins, meet in a bin equi-join, exact overlap + first-bin
-# dedup filters. The naive range-predicate join is a cartesian at scale;
-# this is local-density² instead. Oracle: DuckDB's native range join.
-# ===========================================================================
-
-# (ts, event_id) ordering throughout: with ties on ts alone, the
-# 0-gap row of a tied pair could be cumulative-summed BEFORE the
-# session-starting flag row and land in the previous session — session
-# boundaries would be nondeterministic and engine/oracle could diverge
-# on any dataset with duplicate (user_id, ts) pairs (r5 review).
-_SESSIONS_SQL = """
-    flagged AS (
-      SELECT user_id, ts, event_id,
-             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
-                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS ns
-      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ),
-    numbered AS (
-      SELECT user_id, ts,
-             sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) AS sid
-      FROM flagged
-    ),
-    sessions AS (
-      SELECT user_id, CAST(sid AS BIGINT) AS sid,
-             min(epoch_us(ts)) // 1000000 AS s,
-             max(epoch_us(ts)) // 1000000 AS e
-      FROM numbered GROUP BY user_id, sid
-    )
-"""
-
-
-def _user_sessions_spark(ev: DataFrame, gap: str = "30 minutes") -> DataFrame:
-    """The engine twin of ``_SESSIONS_SQL``: 30-min-gap sessions per user
-    with the SAME pinned (ts, event_id) tie order, shared by the range
-    join and sweep-line entries (one definition — a gap-rule change
-    can't silently desynchronize the call sites)."""
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    lagged = F.lag("ts").over(w)
-    numbered = ev.select(
-        "user_id",
-        _epoch_s("ts").alias("ts_s"),
-        F.sum(
-            F.when(
-                lagged.isNull()
-                | ((F.col("ts") - lagged) > F.expr(f"INTERVAL {gap}")),
-                1,
-            ).otherwise(0)
-        )
-        .over(w.rowsBetween(Window.unboundedPreceding, 0))
-        .cast("long")
-        .alias("sid"),
-    )
-    return numbered.groupBy("user_id", "sid").agg(
-        F.min("ts_s").alias("s"), F.max("ts_s").alias("e")
-    )
-
-
-@_register(
-    "range_join_concurrent_sessions",
-    f"""
-    WITH {_SESSIONS_SQL}
-    SELECT a.user_id AS user_a, a.sid AS sid_a,
-           b.user_id AS user_b, b.sid AS sid_b,
-           least(a.e, b.e) - greatest(a.s, b.s) AS overlap_s
-    FROM sessions a JOIN sessions b
-      ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e
-    """,
-    "range join (binned equi-join; no reference counterpart)",
-    "overlapping session pairs across users, hour-binned candidate join "
-    "vs DuckDB native range join",
-)
-def range_join_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.rangejoin import (
-        interval_overlap_join,
-    )
-
-    sessions = _user_sessions_spark(_t(spark, sf_dir, "events"))
-    pairs = interval_overlap_join(
-        sessions,
-        sessions,
-        bin_width=3600,
-        extra_pred=lambda d: d["user_id_a"] < d["user_id_b"],
-    )
-    return pairs.select(
-        F.col("user_id_a").alias("user_a"),
-        F.col("sid_a"),
-        F.col("user_id_b").alias("user_b"),
-        F.col("sid_b"),
-        (
-            F.least(F.col("e_a"), F.col("e_b"))
-            - F.greatest(F.col("s_a"), F.col("s_b"))
-        ).alias("overlap_s"),
-    )
-
-
-# ===========================================================================
-# Equi-width histogram — the profiling companion to min/max/NDV: fixed
-# literal bin width (bounds from an offline profile, the same calibration
-# contract as the perplexity cut — never a per-query global min/max scan
-# at 100 TB unless asked), one map-side-combined shuffle of <= n_bins
-# rows. Integer bin arithmetic, hash-exact.
-# ===========================================================================
-
-@_register(
-    "orders_price_histogram",
-    """
-    SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,
-           CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(floor(o_totalprice * 100.0 + 0.5)) AS BIGINT) AS cents_sum
-    FROM orders GROUP BY 1
-    """,
-    "profiling: equi-width price histogram",
-    "50k-wide bins over o_totalprice; <= n_bins rows shuffle",
-)
-def orders_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    return o.groupBy(
-        F.floor(F.col("o_totalprice") / 50000.0).cast("bigint").alias("bin")
-    ).agg(
-        F.count("*").cast("bigint").alias("n"),
-        F.sum(_cents(F.col("o_totalprice"))).cast("bigint").alias("cents_sum"),
-    )
-
-
-# ===========================================================================
-# Feature standardization — per-column z-scores, the ML-prep scaler: one
-# tiny global agg (mean/stddev per feature), broadcast back over the
-# fact scan as a narrow projection. Never a per-row Python scaler; the
-# stats row is the only shuffle. 6dp rounding absorbs the ~1e-12
-# cross-engine drift in the float mean/stddev (same contract as the
-# correlation screen).
-# ===========================================================================
-
-@_register(
-    "feature_standardize",
-    f"""
-    WITH s AS (
-      SELECT avg(l_quantity) AS m_q, stddev_samp(l_quantity) AS s_q,
-             avg(l_extendedprice) AS m_p, stddev_samp(l_extendedprice) AS s_p
-      FROM lineitem
-    )
-    SELECT l_orderkey, l_linenumber,
-           {_sql_r("(l_quantity - m_q) / s_q", 6)} AS z_qty,
-           {_sql_r("(l_extendedprice - m_p) / s_p", 6)} AS z_price
-    FROM lineitem CROSS JOIN s
-    """,
-    "ml-prep: per-column z-score standardization",
-    "global mean/stddev broadcast over the fact scan; narrow projection",
-)
-def feature_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    stats = li.agg(
-        F.avg("l_quantity").alias("m_q"),
-        F.stddev_samp("l_quantity").alias("s_q"),
-        F.avg("l_extendedprice").alias("m_p"),
-        F.stddev_samp("l_extendedprice").alias("s_p"),
-    )
-    return li.crossJoin(F.broadcast(stats)).select(
-        "l_orderkey",
-        "l_linenumber",
-        _r((F.col("l_quantity") - F.col("m_q")) / F.col("s_q"), 6).alias("z_qty"),
-        _r(
-            (F.col("l_extendedprice") - F.col("m_p")) / F.col("s_p"), 6
-        ).alias("z_price"),
-    )
-
-
-# ===========================================================================
-# Semi-join — the EXISTS twin of the anti-join below: customers who
-# placed at least one high-value order, per market segment. left_semi
-# never duplicates the left side (unlike an inner join + distinct) and
-# ships only the join key from the right — the shape bloom_join_prune
-# accelerates at 100 TB.
-# ===========================================================================
-
-@_register(
-    "customers_with_big_orders",
-    """
-    SELECT c.c_mktsegment AS mktsegment,
-           CAST(count(*) AS BIGINT) AS n_customers,
-           CAST(sum(floor(c.c_acctbal * 100.0 + 0.5)) AS BIGINT)
-             AS acctbal_cents
-    FROM customer c
-    WHERE EXISTS (SELECT 1 FROM orders o
-                  WHERE o.o_custkey = c.c_custkey
-                    AND o.o_totalprice > 400000)
-    GROUP BY c.c_mktsegment
-    """,
-    "joins: semi-join (EXISTS) rollup",
-    "customers with >= 1 order above 400k per segment via left_semi",
-)
-def customers_with_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer")
-    o = (
-        _t(spark, sf_dir, "orders")
-        .filter(F.col("o_totalprice") > 400000)
-        .select("o_custkey")
-    )
-    hits = c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi")
-    return hits.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
-        F.count("*").cast("bigint").alias("n_customers"),
-        F.sum(_cents(F.col("c_acctbal"))).cast("bigint").alias("acctbal_cents"),
-    )
-
-
-# ===========================================================================
-# Anti-join — customers with no orders (a third of TPC-H customers):
-# the NOT EXISTS shape as a left_anti join, aggregated per nation. The
-# anti-join shuffles on the key at scale (the orders side is a fact
-# table); the guard against accidental BroadcastNestedLoop is the plan
-# test family's concern, correctness is this oracle.
-# ===========================================================================
-
-@_register(
-    "customers_without_orders",
-    """
-    SELECT c.c_nationkey AS nationkey,
-           CAST(count(*) AS BIGINT) AS n_customers,
-           CAST(sum(floor(c.c_acctbal * 100.0 + 0.5)) AS BIGINT)
-             AS acctbal_cents
-    FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    GROUP BY c.c_nationkey
-    """,
-    "joins: anti-join (NOT EXISTS) rollup",
-    "customers with no orders per nation via left_anti",
-)
-def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").select("o_custkey")
-    survivors = c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
-    return survivors.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
-        F.count("*").cast("bigint").alias("n_customers"),
-        F.sum(_cents(F.col("c_acctbal"))).cast("bigint").alias("acctbal_cents"),
-    )
-
-
-# ===========================================================================
-# Normalization-aware exact dedup — the cheapest rung of the dedup
-# ladder: lowercase + punctuation strip + whitespace collapse, then the
-# same one-shuffle fingerprint-group shape as dedup_exact. Normalization
-# is built from replace/split/filter/join primitives (byte-identical
-# across engines) rather than regex classes (Java vs RE2 dialects
-# disagree at the edges).
-# ===========================================================================
-
-@_register(
-    "dedup_normalized_exact",
-    """
-    WITH n AS (
-      SELECT doc_id,
-             md5(array_to_string(
-               list_filter(
-                 string_split(
-                   replace(replace(replace(replace(replace(replace(
-                     lower(text),
-                     '.', ''), ',', ''), '!', ''), '?', ''), ';', ''), ':', ''),
-                   ' '),
-                 t -> t <> ''), ' ')) AS norm_fp
-      FROM documents
-    )
-    SELECT doc_id, norm_fp,
-           min(doc_id) OVER (PARTITION BY norm_fp) AS canonical_id,
-           (count(*) OVER (PARTITION BY norm_fp) > 1) AS in_dup_group
-    FROM n
-    """,
-    "textops: normalized exact dedup (case/punct/space-insensitive)",
-    "lower+strip-punct+collapse-space fingerprint groups; one shuffle",
-)
-def dedup_normalized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import normalized_dup_groups
-
-    return normalized_dup_groups(_t(spark, sf_dir, "documents"))
-
-
-# ===========================================================================
-# Training-shard manifest — deterministic shard assignment (h60 % 16, a
-# pure key function: stable under re-partitioning/reruns/engines) plus
-# the per-shard audit row a shard writer emits so a training job can
-# verify completeness without reading the data. The checksum is bit_xor
-# of key hashes — order-independent and overflow-free where an integer
-# sum of 60-bit hashes would trip ANSI mode.
-# ===========================================================================
-
-@_register(
-    "training_shard_manifest",
-    f"""
-    WITH t AS (
-      SELECT {_h60_sql("CAST(doc_id AS VARCHAR)")} AS h,
-             len(string_split(text, ' ')) AS n
-      FROM documents
-    )
-    SELECT CAST(h % 16 AS INT) AS shard,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(n) AS BIGINT) AS total_tokens,
-           CAST(bit_xor(h) AS BIGINT) AS key_checksum
-    FROM t GROUP BY h % 16
-    """,
-    "sharding: deterministic training-shard manifest",
-    "h60(doc_id) % 16 shard assignment with per-shard doc/token counts "
-    "and an order-independent key checksum",
-)
-def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.sampling import shard_manifest
-
-    return shard_manifest(
-        _t(spark, sf_dir, "documents"), "doc_id", n_shards=16
-    )
-
-
-# ===========================================================================
-# TPC-H Q3 (shipping priority) — the classic 3-table selective join +
-# grouped top-k: segment-filtered customers ⋈ date-bounded orders ⋈
-# ship-date-bounded lineitem, revenue per open order, top 10. Filters
-# push to all three scans; the customer side collapses after its segment
-# filter (AQE broadcasts it at small SF; at 100 TB it hash-joins on the
-# already-shuffled o_custkey). Revenue in exact integer cents; top-10
-# pinned (revenue desc, date, key).
-# ===========================================================================
-
-@_register(
-    "q3_shipping_priority",
-    """
-    SELECT l_orderkey,
-           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0
-                               + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
-           CAST(epoch_us(o_orderdate) // 1000000 AS BIGINT) AS order_date_s,
-           o_orderpriority
-    FROM customer, orders, lineitem
-    WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
-      AND l_orderkey = o_orderkey
-      AND o_orderdate < TIMESTAMP '1998-06-01'
-      AND l_shipdate > TIMESTAMP '1998-06-01'
-    GROUP BY l_orderkey, o_orderdate, o_orderpriority
-    ORDER BY revenue_cents DESC, order_date_s, l_orderkey
-    LIMIT 10
-    """,
-    "warehouse: TPC-H Q3 shipping priority (selective 3-table join, "
-    "grouped top-k)",
-    "BUILDING-segment open orders by exact-cents revenue, top 10 with "
-    "pinned tiebreaks",
-)
-def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cutoff = F.lit("1998-06-01").cast("timestamp_ntz")
-    cust = (
-        _t(spark, sf_dir, "customer")
-        .filter(F.col("c_mktsegment") == "BUILDING")
-        .select("c_custkey")
-    )
-    orders = (
-        _t(spark, sf_dir, "orders")
-        .filter(F.col("o_orderdate") < cutoff)
-        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
-    )
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .filter(F.col("l_shipdate") > cutoff)
-        .select(
-            "l_orderkey",
-            _cents(
-                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
-            ).alias("rev_cents"),
-        )
-    )
-    return (
-        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum("rev_cents").cast("bigint").alias("revenue_cents"))
-        .select(
-            "l_orderkey",
-            "revenue_cents",
-            _epoch_s(F.col("o_orderdate")).alias("order_date_s"),
-            "o_orderpriority",
-        )
-        .orderBy(F.desc("revenue_cents"), "order_date_s", "l_orderkey")
-        .limit(10)
-    )
-
-
-# ===========================================================================
-# Per-user EWMA — the classic sequential streaming-feature recurrence
-# s_t = α·x_t + (1−α)·s_{t−1}: NOT associative, so no window/aggregate
-# expresses it and the closed-form weight trick overflows on long
-# series. This is a designed Arrow crossing (batched mapInPandas over
-# user-sorted partitions, pinned (ts, event_id) order, cross-batch
-# carry state) whose Python loop evaluates EXACTLY
-# 0.25·x + 0.75·s — the same IEEE-754 association order as the oracle's
-# recursive CTE, so the doubles are bit-identical across engines with
-# NO rounding: the strongest determinism statement in the battery.
-# ===========================================================================
-
-@_register(
-    "ewma_user_value",
-    """
-    WITH RECURSIVE seq AS (
-      SELECT user_id, CAST(value AS DOUBLE) AS value,
-             row_number() OVER (PARTITION BY user_id
-                                ORDER BY ts, event_id) AS rn
-      FROM events
-    ),
-    ew AS (
-      SELECT user_id, rn, value AS s FROM seq WHERE rn = 1
-      UNION ALL
-      SELECT s2.user_id, s2.rn, 0.25 * s2.value + 0.75 * ew.s
-      FROM ew JOIN seq s2 ON s2.user_id = ew.user_id AND s2.rn = ew.rn + 1
-    )
-    SELECT user_id, CAST(rn AS BIGINT) AS n_events, s AS ewma_last
-    FROM ew
-    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY rn DESC) = 1
-    """,
-    "stateful sequential op: per-key EWMA via batched Arrow mapInPandas "
-    "(bit-identical to the recursive-CTE oracle, unrounded)",
-    "per-user EWMA (alpha 0.25) over (ts, event_id)-ordered values; "
-    "final state + event count per user",
-)
-def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.features import ewma_by_key
-
-    return ewma_by_key(
-        _t(spark, sf_dir, "events"),
-        "user_id",
-        ["ts", "event_id"],
-        "value",
-        alpha=0.25,
-    )
-
-
-# ===========================================================================
-# Skew-key report — the diagnosis that precedes salting: top-K heaviest
-# grouping keys with their table share (ppm) and the integer salt factor
-# (reducer-partitions' worth of rows each carries). Exact integer DIV
-# math; grand total via a broadcast 1-row re-aggregate of the same
-# counts (AQE materializes the aggregate once), never a single-task
-# window over the key stream.
-# ===========================================================================
-
-@_register(
-    "skew_key_report",
-    """
-    WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows
-               FROM events GROUP BY user_id),
-    t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total FROM c)
-    SELECT user_id, n_rows,
-           CAST((1000000 * n_rows) // total AS BIGINT) AS share_ppm,
-           CAST((32 * n_rows + total - 1) // total AS INT) AS salt_factor
-    FROM c, t
-    ORDER BY n_rows DESC, user_id LIMIT 20
-    """,
-    "skew: top-K hot-key report with integer salt factors",
-    "20 heaviest events.user_id keys: row count, table share in ppm, "
-    "ceil(32*cnt/total) salt factor — the pre-salting diagnosis",
-)
-def skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.skew import (
-        skew_key_report as _skr,
-    )
-
-    return _skr(_t(spark, sf_dir, "events"), "user_id", top_k=20, n_partitions=32)
-
-
-# ===========================================================================
-# Referential-integrity audit — orphan detection across three declared
-# FK relationships, with a deterministic partition-purge simulated on
-# the customer dim (c_custkey % 13 == 0 dropped) so the audit has real
-# orphans to find: the post-delete verification a 100 TB retention job
-# runs. One row per relationship; see operators/integrity.py for the
-# anti-join shape.
-# ===========================================================================
-
-@_register(
-    "referential_integrity_audit",
-    """
-    WITH cust AS (SELECT c_custkey FROM customer WHERE c_custkey % 13 <> 0),
-    rel1 AS (
-      SELECT 'lineitem.l_orderkey->orders' AS fk_name,
-             CAST(count(*) AS BIGINT) AS n_child_rows,
-             CAST(count(*) FILTER (o_orderkey IS NULL) AS BIGINT) AS n_orphan_rows,
-             CAST(count(DISTINCT CASE WHEN o_orderkey IS NULL
-                                      THEN l_orderkey END) AS BIGINT)
-               AS n_orphan_keys
-      FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
-    ),
-    rel2 AS (
-      SELECT 'orders.o_custkey->customer(purged)' AS fk_name,
-             CAST(count(*) AS BIGINT) AS n_child_rows,
-             CAST(count(*) FILTER (c.c_custkey IS NULL) AS BIGINT) AS n_orphan_rows,
-             CAST(count(DISTINCT CASE WHEN c.c_custkey IS NULL
-                                      THEN o_custkey END) AS BIGINT)
-               AS n_orphan_keys
-      FROM orders LEFT JOIN cust c ON o_custkey = c.c_custkey
-    ),
-    rel3 AS (
-      SELECT 'lineitem.l_suppkey->supplier' AS fk_name,
-             CAST(count(*) AS BIGINT) AS n_child_rows,
-             CAST(count(*) FILTER (s_suppkey IS NULL) AS BIGINT) AS n_orphan_rows,
-             CAST(count(DISTINCT CASE WHEN s_suppkey IS NULL
-                                      THEN l_suppkey END) AS BIGINT)
-               AS n_orphan_keys
-      FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
-    )
-    SELECT * FROM rel1 UNION ALL SELECT * FROM rel2 UNION ALL SELECT * FROM rel3
-    """,
-    "data quality: FK orphan audit after a simulated partition purge",
-    "three FK relationships audited for orphan rows/keys; customer dim "
-    "purged of %13 keys so the audit detects real strays",
-)
-def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.integrity import (
-        fk_orphan_audit,
-    )
-
-    li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders")
-    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 13 != 0)
-    supp = _t(spark, sf_dir, "supplier")
-    return fk_orphan_audit(
-        [
-            ("lineitem.l_orderkey->orders", li, "l_orderkey", orders, "o_orderkey"),
-            ("orders.o_custkey->customer(purged)", orders, "o_custkey", cust, "c_custkey"),
-            ("lineitem.l_suppkey->supplier", li, "l_suppkey", supp, "s_suppkey"),
-        ]
-    )
-
-
-# ===========================================================================
-# Source reputation — the whole-source curation decision table: per
-# `source`, doc/token volume, corpus-wide exact-dup rate, aggregate
-# stopword ratio. Cutting bad providers wholesale precedes per-doc
-# filtering in a 100 TB pipeline. Exact integer aggregates; ratios are
-# one int/int division, rounded with the engine-identical primitive.
-# ===========================================================================
-
-@_register(
-    "source_reputation",
-    f"""
-    WITH t AS (
-      SELECT doc_id, source,
-             CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
-             {_sql_count_in(('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it', 'for', 'on'))} AS n_stop,
-             md5(text) AS fp
-      FROM documents
-    ),
-    f AS (
-      SELECT *, CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY fp)
-                     THEN 1 ELSE 0 END AS dup
-      FROM t
-    )
-    SELECT source,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(n) AS BIGINT) AS total_tokens,
-           CAST(sum(dup) AS BIGINT) AS n_dup_docs,
-           {_sql_r('1.0 * sum(n_stop) / sum(n)', 9)} AS stopword_ratio,
-           {_sql_r('1.0 * sum(dup) / count(*)', 9)} AS dup_rate
-    FROM f GROUP BY source
-    """,
-    "curation: per-source reputation rollup (volume, dup rate, quality)",
-    "per-source docs/tokens, corpus-wide exact-dup rate, aggregate "
-    "stopword ratio — the keep-or-cut-the-provider table",
-)
-def source_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import (
-        source_reputation as _srcrep,
-    )
-
-    out = _srcrep(_t(spark, sf_dir, "documents"))
-    return out.select(
-        "source",
-        "n_docs",
-        "total_tokens",
-        "n_dup_docs",
-        _r(F.col("stopword_ratio"), 9).alias("stopword_ratio"),
-        _r(F.col("dup_rate"), 9).alias("dup_rate"),
-    )
-
-
-# ===========================================================================
-# Snapshot table diff — the dataset-versioning audit: classify every key
-# across two snapshot versions as added/removed/changed via one md5 row
-# fingerprint per side and ONE full outer hash join on the key (the
-# 100 TB diff shape: no row-wise comparisons, no driver state). The
-# "next version" is simulated deterministically from orders: every 11th
-# key deleted, every 7th price bumped one cent-hundred, every 13th row
-# cloned under a new key.
-# ===========================================================================
-
-@_register(
-    "snapshot_table_diff",
-    """
-    WITH base AS (
-      SELECT o_orderkey AS k, o_custkey, o_orderstatus,
-             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents
-      FROM orders
-    ),
-    newt AS (
-      SELECT k, o_custkey, o_orderstatus,
-             price_cents + CASE WHEN k % 7 = 0 THEN 100 ELSE 0 END AS price_cents
-      FROM base WHERE k % 11 <> 0
-      UNION ALL
-      SELECT k + 10000000000, o_custkey, o_orderstatus, price_cents
-      FROM base WHERE k % 13 = 0
-    ),
-    of AS (SELECT k, md5(concat_ws(chr(31), CAST(o_custkey AS VARCHAR),
-                                   o_orderstatus, CAST(price_cents AS VARCHAR)))
-                    AS old_fp FROM base),
-    nf AS (SELECT k, md5(concat_ws(chr(31), CAST(o_custkey AS VARCHAR),
-                                   o_orderstatus, CAST(price_cents AS VARCHAR)))
-                    AS new_fp FROM newt),
-    d AS (
-      SELECT coalesce(of.k, nf.k) AS o_orderkey,
-             CASE WHEN of.k IS NULL THEN 'added'
-                  WHEN nf.k IS NULL THEN 'removed'
-                  WHEN old_fp <> new_fp THEN 'changed'
-                  ELSE 'unchanged' END AS status,
-             old_fp, new_fp
-      FROM of FULL JOIN nf ON of.k = nf.k
-    )
-    SELECT o_orderkey, status, old_fp, new_fp FROM d
-    WHERE status <> 'unchanged'
-    """,
-    "data versioning: snapshot diff (added/removed/changed via row "
-    "fingerprints, one full outer join)",
-    "orders vs a simulated next version: %11 keys deleted, %7 prices "
-    "changed, %13 rows cloned as new keys — md5 fingerprint diff",
-)
-def snapshot_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.diff import table_diff
-
-    base = _t(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_custkey",
-        "o_orderstatus",
-        _cents(F.col("o_totalprice")).alias("price_cents"),
-    )
-    k = F.col("o_orderkey")
-    newt = (
-        base.filter(k % 11 != 0)
-        .withColumn(
-            "price_cents",
-            F.col("price_cents")
-            + F.when(k % 7 == 0, F.lit(100)).otherwise(F.lit(0)),
-        )
-        .unionByName(
-            base.filter(k % 13 == 0).withColumn(
-                "o_orderkey", k + F.lit(10_000_000_000)
-            )
-        )
-    )
-    return table_diff(
-        base,
-        newt,
-        ["o_orderkey"],
-        ["o_custkey", "o_orderstatus", "price_cents"],
-    )
-
-
-# ===========================================================================
-# Weighted SYSTEMATIC sampling — the token-budget form of corpus mixing:
-# weights (token counts) laid end to end in doc_id order, one pick per
-# `step` units of cumulative weight. Probability-proportional-to-size
-# with ZERO randomness: reruns, re-partitions, and engines all pick the
-# same rows. Exact integer arithmetic over the distributed two-phase
-# prefix sum (bounded per-task state — the same primitive sequence
-# packing uses — never a single-task global window).
-# ===========================================================================
-
-@_register(
-    "weighted_systematic_sample",
-    """
-    WITH w AS (
-      SELECT doc_id, lang,
-             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
-      FROM documents
-    ),
-    c AS (
-      SELECT doc_id, lang, n_toks,
-             CAST(coalesce(sum(n_toks) OVER (ORDER BY doc_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                  AS BIGINT) AS w_start
-      FROM w
-    )
-    SELECT doc_id, lang, n_toks, w_start
-    FROM c
-    WHERE w_start // 1000 < (w_start + n_toks) // 1000
-    """,
-    "sampling: weighted systematic (probability-proportional-to-size, "
-    "deterministic)",
-    "one doc per 1000 cumulative tokens along doc_id order — exact "
-    "integer prefix-sum selection, no RNG",
-)
-def weighted_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.sampling import (
-        weighted_systematic_sample as _wss,
-    )
-
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        "lang",
-        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_toks"),
-    )
-    out = _wss(docs, "n_toks", step=1000)
-    return out.select(
-        "doc_id", "lang", "n_toks", F.col("w_start").cast("bigint").alias("w_start")
-    )
-
-
-# ===========================================================================
-# Deterministic key-hash sampling — repeatable corpus sampling: the
-# in/out decision is a pure function of the row key (md5-derived), so the
-# sample is stable under re-partitioning, reruns, and engine choice,
-# unlike seed-based df.sample. Narrow filter, no shuffle, pushed to scan.
-# ===========================================================================
-
-_H60_SPACE_SQL = "1152921504606846976.0"  # 2^60
-
-
-@_register(
-    "weighted_sample_es_topk",
-    f"""
-    WITH keyed AS (
-      SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
-             ln(({_h60_sql("concat('es', CAST(doc_id AS VARCHAR))")} + 1)
-                / {_H60_SPACE_SQL})
-               / CAST(n_chars AS DOUBLE) AS k
-      FROM documents WHERE n_chars > 0
-    )
-    SELECT doc_id, lang, n_chars,
-           CAST(floor(k * 1000000000.0 + 0.5) AS BIGINT) AS es_key_e9
-    FROM keyed
-    ORDER BY k DESC, doc_id
-    LIMIT 20
-    """,
-    "sampling: weighted sample without replacement via exponential keys "
-    "(Efraimidis-Spirakis IPL 2006; RNG-free; no reference counterpart)",
-    "top-20 docs by ln(u)/w with u from the md5 key hash and w = "
-    "n_chars — the one-pass weighted-reservoir primitive, planned as "
-    "TakeOrderedAndProject (per-partition heap, never a global sort)",
-)
-def weighted_sample_es_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.sampling import (
-        weighted_sample_without_replacement,
-    )
-
-    return weighted_sample_without_replacement(
-        _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars"),
-        weight_col="n_chars",
-        k=20,
-    ).select("doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars"), "es_key_e9")
-
-
-@_register(
-    "sample_events_hash",
-    f"""
-    SELECT event_id, user_id, event_type,
-           epoch_us(ts) // 1000000 AS ts_s, value
-    FROM events
-    WHERE {_h60_sql("CAST(event_id AS VARCHAR)")} / {_H60_SPACE_SQL} < 0.1
-    """,
-    "sampling: deterministic key-hash Bernoulli (no reference counterpart)",
-    "~10% of events by md5 key hash — re-partition/engine/rerun-stable sample",
-)
-def sample_events_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.sampling import hash_sample
-
-    ev = _t(spark, sf_dir, "events")
-    return hash_sample(ev, "event_id", 0.1).select(
-        "event_id",
-        "user_id",
-        "event_type",
-        _epoch_s("ts").alias("ts_s"),
-        "value",
-    )
-
-
-@_register(
-    "sample_events_stratified",
-    f"""
-    WITH f AS (
-      SELECT *, CASE event_type WHEN 'click' THEN 0.5
-                                WHEN 'view' THEN 0.05
-                                ELSE 0.2 END AS frac
-      FROM events
-    )
-    SELECT event_id, event_type
-    FROM f
-    WHERE {_h60_sql("concat('strat', CAST(event_id AS VARCHAR))")} / {_H60_SPACE_SQL} < frac
-    """,
-    "sampling: stratified per-class fractions (no reference counterpart)",
-    "per-event_type sampling fractions via literal map, deterministic by key hash",
-)
-def sample_events_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.sampling import (
-        stratified_hash_sample,
-    )
-
-    ev = _t(spark, sf_dir, "events")
-    return stratified_hash_sample(
-        ev,
-        strata_col="event_type",
-        fractions={"click": 0.5, "view": 0.05},
-        key_col="event_id",
-        default_fraction=0.2,
-        salt="strat",
-    ).select("event_id", "event_type")
-
-
-# ===========================================================================
-# Target-mixture sampling — the "training mix" step: down-sample each
-# language to hit a target corpus mixture with MAXIMUM retention
-# (T = min(n_d/w_d); the scarcest domain keeps every row). Rates come
-# from a tiny broadcast agg; the corpus side never shuffles. The
-# hash coin and the rate arithmetic are both engine-exact, so the
-# sampled set hash-matches row for row.
-# ===========================================================================
-
-# selectivity guard: tests/test_selectivity.py::test_mixture_sample_langs_emits_multiple_languages
-_MIX_WEIGHTS = {"en": 0.25, "de": 0.2, "es": 0.2, "fr": 0.2, "zh": 0.15}
-
-
-@_register(
-    "mixture_sample_langs",
-    f"""
-    WITH w(lang, w) AS (VALUES {", ".join(f"('{k}', {v})" for k, v in _MIX_WEIGHTS.items())}),
-    counts AS (
-      SELECT lang, CAST(count(*) AS DOUBLE) AS n_d FROM documents GROUP BY lang
-    ),
-    r AS (SELECT c.lang, n_d, w.w, n_d / w.w AS ratio
-          FROM counts c JOIN w USING (lang) WHERE w.w > 0),
-    t AS (SELECT min(ratio) AS t_max FROM r),
-    rates AS (SELECT lang, w * t_max / n_d AS rate FROM r CROSS JOIN t)
-    SELECT d.doc_id, d.lang, d.source
-    FROM documents d JOIN rates USING (lang)
-    WHERE {{h}} / {{space}} < rate
-    """.format(
-        h=_h60_sql("concat('mix', CAST(doc_id AS VARCHAR))"),
-        space=_H60_SPACE_SQL,
-    ),
-    "sampling: target-mixture domain sampling (no reference counterpart)",
-    "max-retention language rebalance to a 25/20/20/20/15 target mix",
-)
-def mixture_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.sampling import mixture_sample
-
-    return mixture_sample(
-        _t(spark, sf_dir, "documents"),
-        domain_col="lang",
-        weights=_MIX_WEIGHTS,
-        key_col="doc_id",
-    ).select("doc_id", "lang", "source")
-
-
-# ===========================================================================
-# Embedding int8 quantization — 4x vector compression for the ANN
-# stack. Codes are exact integer arithmetic; scale and dequant-MSE snap
-# to integer micro/nano grids; the per-vector fold runs in a fixed
-# order, so everything hash-matches. Zero-shuffle narrow plan.
-# ===========================================================================
-
-@_register(
-    "embed_quantize_int8",
-    """
-    WITH staged AS (
-      SELECT vec_id, embedding,
-             CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
-               AS scale,
-             len(embedding) AS dim
-      FROM embeddings
-    ),
-    coded AS (
-      SELECT vec_id, embedding, scale, dim,
-             CASE WHEN scale = 0
-                  THEN list_transform(embedding, x -> 0)
-                  ELSE list_transform(embedding,
-                         x -> CAST(floor(CAST(x AS DOUBLE) / scale * 127 + 0.5)
-                                   AS INT))
-             END AS q
-      FROM staged
-    )
-    SELECT vec_id,
-           CAST(dim AS BIGINT) AS dim,
-           CAST(floor(scale * 1000000.0 + 0.5) AS BIGINT) AS scale_e6,
-           array_to_string(list_transform(q, x -> CAST(x AS VARCHAR)), ',')
-             AS q_csv,
-           CAST(floor(
-             list_sum(list_transform(range(1, dim + 1),
-               i -> pow(CAST(embedding[i] AS DOUBLE) - q[i] * scale / 127, 2)))
-             / dim * 1000000000.0 + 0.5) AS BIGINT) AS mse_e9
-    FROM coded
-    """,
-    "similarity: embedding int8 quantization (no reference counterpart)",
-    "symmetric per-vector scalar quantization + dequant MSE, zero-shuffle",
-)
-def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.quantize import quantization_report
-
-    return quantization_report(_t(spark, sf_dir, "embeddings"))
-
-
-# ===========================================================================
-# Quantized ANN search — top-k on the int8 codes end to end, with each
-# quantized neighbor flagged against the EXACT top-k (per-row recall).
-# Scales cancel out of cosine, so ranking is integer dot products +
-# one sqrt: deterministic in both engines, broadcast-query plan
-# identical to the exact path. The flag join makes the accuracy cost of
-# 4x compression part of the hash-checked result.
-# ===========================================================================
-
-@_register(
-    "embed_quantized_topk",
-    f"""
-    WITH coded AS (
-      SELECT vec_id,
-             CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
-                  ELSE list_transform(embedding,
-                         x -> CAST(floor(CAST(x AS DOUBLE) / scale * 127 + 0.5)
-                                   AS INT))
-             END AS q
-      FROM (SELECT vec_id, embedding,
-                   CAST(list_max(list_transform(embedding, x -> abs(x)))
-                        AS DOUBLE) AS scale
-            FROM embeddings)
-    ),
-    nq AS (
-      SELECT vec_id, q,
-             CAST(list_sum(list_transform(q, x -> CAST(x AS BIGINT) * x))
-                  AS BIGINT) AS nsq
-      FROM coded
-    ),
-    qscored AS (
-      SELECT a.vec_id AS q_id, b.vec_id AS cand_id,
-             CAST(list_sum(list_transform(range(1, {_EMB_DIM + 1}),
-                    i -> CAST(a.q[i::INT] AS BIGINT) * b.q[i::INT]))
-                  AS DOUBLE)
-               / sqrt(CAST(a.nsq AS DOUBLE) * b.nsq) AS qcos
-      FROM (SELECT * FROM nq WHERE vec_id < 10) a
-      CROSS JOIN nq b
-      WHERE b.vec_id <> a.vec_id
-    ),
-    qranked AS (
-      SELECT q_id, cand_id, qcos,
-             CAST(row_number() OVER (PARTITION BY q_id
-                                     ORDER BY qcos DESC, cand_id) AS INT) AS rank
-      FROM qscored
-    ),
-    {_emb_norm_cte().strip().lstrip()}
-    ,
-    escored AS (
-      SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
-             {_COS_SQL} AS cosine
-      FROM (SELECT * FROM nv WHERE vec_id < 10) q
-      CROSS JOIN nv c
-      WHERE c.vec_id <> q.vec_id
-    ),
-    exact AS (
-      SELECT q_id, cand_id FROM (
-        SELECT q_id, cand_id,
-               row_number() OVER (PARTITION BY q_id
-                                  ORDER BY cosine DESC, cand_id) AS rank
-        FROM escored)
-      WHERE rank <= 5
-    )
-    SELECT r.q_id, r.rank, r.cand_id,
-           CAST(floor(r.qcos * 1000000.0 + 0.5) AS BIGINT) AS qcos_e6,
-           (e.cand_id IS NOT NULL) AS in_exact_topk
-    FROM qranked r
-    LEFT JOIN exact e ON r.q_id = e.q_id AND r.cand_id = e.cand_id
-    WHERE r.rank <= 5
-    """,
-    "similarity: quantized ANN top-k + per-row recall (no reference counterpart)",
-    "int8-code cosine top-5 with exact-top-5 membership flags",
-)
-def embed_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.quantize import quantized_cosine_topk
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.similarity import cosine_topk
-
-    emb = _t(spark, sf_dir, "embeddings")
-    pred = F.col("vec_id") < 10
-    quant = quantized_cosine_topk(emb, query_pred=pred, k=5)
-    exact = (
-        cosine_topk(emb, query_pred=pred, k=5)
-        .select("q_id", "cand_id")
-        .withColumn("__e", F.lit(1))
-    )
-    return (
-        quant.join(F.broadcast(exact), ["q_id", "cand_id"], "left")
-        .select(
-            "q_id",
-            "rank",
-            "cand_id",
-            "qcos_e6",
-            F.col("__e").isNotNull().alias("in_exact_topk"),
-        )
-    )
-
-
-# ===========================================================================
-# Inverted text index — term -> df + capped posting list, the build
-# step of distributed search and the generalization of the TF-IDF df
-# table. Hot-term state is bounded BEFORE collection (rank filter, same
-# discipline as the dedup shingle cap); postings serialize to CSV so
-# the hash check is engine-exact.
-# ===========================================================================
-
-@_register(
-    "inverted_text_index",
-    """
-    WITH toks AS (
-      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
-      FROM documents
-    ),
-    ranked AS (
-      SELECT term, doc_id,
-             row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
-      FROM toks
-    )
-    SELECT term, CAST(count(*) AS BIGINT) AS df,
-           array_to_string(
-             list_transform(list_sort(list(doc_id) FILTER (WHERE rn <= 16)),
-                            x -> CAST(x AS VARCHAR)), ',') AS postings_csv
-    FROM ranked GROUP BY term
-    """,
-    "textops: inverted index build (no reference counterpart)",
-    "term -> df + first-16 posting list, bounded per-term state",
-)
-def inverted_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import inverted_index
-
-    return inverted_index(_t(spark, sf_dir, "documents"), max_postings=16)
-
-
-# ===========================================================================
-# Z-order layout vs linear layout — the data-layout experiment behind
-# OPTIMIZE ZORDER: write orders as 64 "files" sorted (a) by date and
-# (b) by the Morton interleave of (day, price-bucket), then plan the
-# same 2-D box query against per-file min/max stats. The Morton key is
-# pure integer bit arithmetic, ntile splits are identical under an
-# identical total order, so BOTH layouts' pruning counts hash-match
-# DuckDB. Expect z-order to scan far fewer files for the 2-D box.
-# ===========================================================================
-
-# (lo_day, hi_day, lo_bucket, hi_bucket): a date-narrow box (where the
-# date-sorted layout is already optimal), a price-narrow box (where it
-# degenerates to a full scan), and a 2-D box. Full dim range is 0..4095.
-_Z_BOXES = {
-    "date_only": (1155, 1276, 0, 4095),
-    "price_only": (0, 4095, 666, 1333),
-    "both": (1096, 1460, 666, 1333),
-}
-_Z_FILES = 64
-
-
-def _zorder_oracle_sql() -> str:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.layout import zorder_key_sql
-
-    hit_cols = ",\n             ".join(
-        f"count(*) FILTER (WHERE d1 BETWEEN {lo1} AND {hi1} "
-        f"AND d2 BETWEEN {lo2} AND {hi2}) AS hits_{q}"
-        for q, (lo1, hi1, lo2, hi2) in _Z_BOXES.items()
-    )
-    stats = f"""
-      SELECT f, min(d1) AS min1, max(d1) AS max1,
-             min(d2) AS min2, max(d2) AS max2,
-             {hit_cols}
-      FROM {{src}} GROUP BY f
-    """
-    summaries = []
-    for name, src in (("linear", "lin_stats"), ("zorder", "zo_stats")):
-        for q, (lo1, hi1, lo2, hi2) in _Z_BOXES.items():
-            summaries.append(f"""
-      SELECT '{name}' AS layout, '{q}' AS query,
-             CAST(count(*) AS BIGINT) AS n_files,
-             CAST(count(*) FILTER (WHERE max1 >= {lo1} AND min1 <= {hi1}
-                                   AND max2 >= {lo2} AND min2 <= {hi2})
-                  AS BIGINT) AS files_scanned,
-             CAST(count(*) FILTER (WHERE hits_{q} > 0) AS BIGINT) AS files_matching,
-             CAST(sum(hits_{q}) AS BIGINT) AS rows_matched
-      FROM {src}""")
-    return f"""
-    WITH dims AS (
-      SELECT o_orderkey,
-             datediff('day', DATE '1992-01-01', o_orderdate) AS d1,
-             CAST(floor(o_totalprice / 150) AS BIGINT) AS d2
-      FROM orders
-    ),
-    keyed AS (SELECT *, {zorder_key_sql('d1', 'd2')} AS zkey FROM dims),
-    lin AS (SELECT d1, d2, ntile({_Z_FILES}) OVER (ORDER BY d1, o_orderkey) AS f FROM keyed),
-    zo AS (SELECT d1, d2, ntile({_Z_FILES}) OVER (ORDER BY zkey, o_orderkey) AS f FROM keyed),
-    lin_stats AS ({stats.format(src="lin")}),
-    zo_stats AS ({stats.format(src="zo")})
-    {" UNION ALL ".join(summaries)}
-    """
-
-
-# r10 bench adjudication: 0.99 -> 1.47 s swing re-measured 1.055/1.054 s
-# in both orderings on a calm session -> mid-battery interference (the
-# two-global-sort entry is the most GC-pressure-sensitive by design).
-# r11 adjudication (r10's 0.99 -> 1.33 flag): 1.177/1.251 s fwd/rev —
-# stable in both positions, consistent with the documented inherent
-# two-global-sorts shape (the sorts ARE the demonstration; SCALING.md).
-# Confirmed inherent, not a regression.
-@_register(
-    "zorder_layout_pruning",
-    _zorder_oracle_sql(),
-    "data layout: z-order clustering + stats pruning (no reference counterpart)",
-    "Morton-interleaved vs date-sorted file layout, min/max pruning for a 2-D box",
-)
-def zorder_layout_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.layout import (
-        layout_scan_stats,
-        zorder_key_expr,
-    )
-
-    dims = _t(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.datediff("o_orderdate", F.lit("1992-01-01")).alias("d1"),
-        F.floor(F.col("o_totalprice") / 150).cast("bigint").alias("d2"),
-    )
-    keyed = dims.withColumn("zkey", F.expr(zorder_key_expr("d1", "d2")))
-    linear = layout_scan_stats(
-        keyed, [F.col("d1"), F.col("o_orderkey")], "d1", "d2",
-        _Z_BOXES, _Z_FILES, "linear",
-    )
-    zorder = layout_scan_stats(
-        keyed, [F.col("zkey"), F.col("o_orderkey")], "d1", "d2",
-        _Z_BOXES, _Z_FILES, "zorder",
-    )
-    return linear.unionByName(zorder)
-
-
-# ===========================================================================
-# Curation pipeline v2 — the round-2 ops composed end to end: drop
-# benchmark-contaminated docs (>= 2 shared 3-grams), rebalance the
-# survivors to the target language mix, chunk what remains, report
-# per-language corpus stats. Every stage is an oracle-checked operator
-# on its own; this entry proves they COMPOSE (the oracle splices the
-# same CTE pieces), which is how the 100 TB pipeline actually runs.
-# ===========================================================================
-
-@_register(
-    "curation_pipeline_v2",
-    f"""
-    WITH shed AS (
-      SELECT doc_id,
-             unnest(list_distinct(list_transform({_SHINGLE3_RAW_SQL},
-                                                 s -> {_h60_sql('s')}))) AS sh
-      FROM documents
-    ),
-    bench AS (SELECT DISTINCT sh FROM shed WHERE doc_id % 17 = 0),
-    contam AS (
-      SELECT d.doc_id
-      FROM (SELECT doc_id, sh FROM shed WHERE doc_id % 17 <> 0) d
-      JOIN bench b ON d.sh = b.sh
-      GROUP BY d.doc_id HAVING count(*) >= 2
-    ),
-    clean AS (
-      SELECT * FROM documents
-      WHERE doc_id % 17 <> 0 AND doc_id NOT IN (SELECT doc_id FROM contam)
-    ),
-    w(lang, w) AS (VALUES {", ".join(f"('{k}', {v})" for k, v in _MIX_WEIGHTS.items())}),
-    counts AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n_d FROM clean GROUP BY lang),
-    r AS (SELECT c.lang, n_d, w.w, n_d / w.w AS ratio
-          FROM counts c JOIN w USING (lang) WHERE w.w > 0),
-    t AS (SELECT min(ratio) AS t_max FROM r),
-    rates AS (SELECT lang, w * t_max / n_d AS rate FROM r CROSS JOIN t),
-    sampled AS (
-      SELECT d.doc_id, d.lang, d.text
-      FROM clean d JOIN rates USING (lang)
-      WHERE {_h60_sql("concat('mix', CAST(doc_id AS VARCHAR))")} / {_H60_SPACE_SQL} < rate
-    ),
-    tok AS (
-      SELECT doc_id, lang, string_split(text, ' ') AS toks,
-             len(string_split(text, ' ')) AS n
-      FROM sampled
-    ),
-    chunks AS (
-      SELECT doc_id, lang,
-             len(list_slice(toks, i * {_CHUNK_STRIDE} + 1,
-                            i * {_CHUNK_STRIDE} + {_CHUNK_MAX})) AS chunk_tokens
-      FROM (SELECT doc_id, lang, toks,
-                   unnest(range(0, (n + {_CHUNK_STRIDE - 1}) // {_CHUNK_STRIDE})) AS i
-            FROM tok)
-    )
-    SELECT lang,
-           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-           CAST(count(*) AS BIGINT) AS n_chunks,
-           CAST(sum(chunk_tokens) AS BIGINT) AS sum_tokens
-    FROM chunks GROUP BY lang
-    """,
-    "composite: decontaminate -> mixture-sample -> chunk (no reference counterpart)",
-    "round-2 curation ops composed end to end, per-language corpus stats",
-)
-def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.chunking import chunk_documents
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.decontam import (
-        benchmark_contamination,
-    )
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.sampling import mixture_sample
-
-    docs = _t(spark, sf_dir, "documents")
-    corpus = docs.filter(F.col("doc_id") % 17 != 0)
-    bench = docs.filter(F.col("doc_id") % 17 == 0)
-    contaminated = (
-        benchmark_contamination(corpus, bench, min_hits=2)
-        .filter(F.col("contaminated"))
-        .select("doc_id")
-    )
-    clean = corpus.join(contaminated, "doc_id", "left_anti")
-    mixed = mixture_sample(clean, "lang", _MIX_WEIGHTS, "doc_id")
-    chunks = chunk_documents(
-        mixed,
-        max_tokens=_CHUNK_MAX,
-        stride=_CHUNK_STRIDE,
-        passthrough=("lang",),
-    )
-    return chunks.groupBy("lang").agg(
-        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
-        F.count("*").cast("bigint").alias("n_chunks"),
-        F.sum("chunk_tokens").cast("bigint").alias("sum_tokens"),
-    )
-
-
-# ===========================================================================
-# Feature correlation screen — Pearson corr / sample covariance /
-# stddev over fact columns, the quick collinearity check before model
-# features ship. Single map-side-combined aggregation of co-moments
-# (constant state per pair); 6-dp rounding covers the ~1-ulp co-moment
-# accumulation divergence between engines.
-# ===========================================================================
-
-@_register(
-    "feature_correlation_screen",
-    f"""
-    SELECT
-      {_sql_r("corr(l_quantity, l_extendedprice)", 6)} AS corr_qty_price,
-      {_sql_r("corr(l_extendedprice, l_discount)", 6)} AS corr_price_disc,
-      {_sql_r("covar_samp(l_quantity, l_extendedprice)", 6)} AS covar_qty_price,
-      {_sql_r("stddev_samp(l_quantity)", 6)} AS sd_qty,
-      {_sql_r("stddev_samp(l_extendedprice)", 6)} AS sd_price,
-      CAST(count(*) AS BIGINT) AS n
-    FROM lineitem
-    """,
-    "feature screening stats (no reference counterpart; generalizes M1)",
-    "corr/covar/stddev co-moment aggregation over lineitem, one pass",
-)
-def feature_correlation_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    return li.agg(
-        _r(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
-        _r(F.corr("l_extendedprice", "l_discount"), 6).alias("corr_price_disc"),
-        _r(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias("covar_qty_price"),
-        _r(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
-        _r(F.stddev_samp("l_extendedprice"), 6).alias("sd_price"),
-        F.count("*").cast("bigint").alias("n"),
-    )
-
-
-# ===========================================================================
-# Table profiler — ANALYZE-style per-column stats (rows/nulls/NDV/
-# min/max) in one pass, the input to CBO broadcast decisions and data-
-# quality monitors. Exact NDV for the oracle; the 100 TB path swaps in
-# approx_count_distinct (exact=False).
-# ===========================================================================
-
-@_register(
-    "profile_orders_table",
-    """
-    {}
-    """.format(
-        "\nUNION ALL\n".join(
-            f"""SELECT '{c}' AS col_name,
-                   CAST(count(*) AS BIGINT) AS n_rows,
-                   CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
-                   CAST(count(DISTINCT {c}) AS BIGINT) AS ndv,
-                   CAST(min({c}) AS VARCHAR) AS min_str,
-                   CAST(max({c}) AS VARCHAR) AS max_str
-            FROM orders"""
-            for c in [
-                "o_orderkey",
-                "o_custkey",
-                "o_totalprice",
-                "o_orderdate",
-                "o_orderpriority",
-            ]
-        )
-    ),
-    "table profiling / stats collection (no reference counterpart)",
-    "per-column rows/nulls/NDV/min/max over orders in one aggregation pass",
-)
-def profile_orders_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.profile import profile_table
-
-    return profile_table(
-        _t(spark, sf_dir, "orders").select(
-            "o_orderkey",
-            "o_custkey",
-            "o_totalprice",
-            "o_orderdate",
-            "o_orderpriority",
-        )
-    )
-
-
-# ===========================================================================
-# TPC-H Q5-class multi-join — local-supplier revenue by nation for one
-# region-year: 6 tables, the canonical join-discipline audit. The three
-# dimension chains (region -> nation -> customer / supplier) broadcast;
-# only the orders<->lineitem join shuffles, keyed on l_orderkey.
-# Revenue rides exact integer cents (each line's revenue snaps to cents
-# BEFORE the sum, so partition order can't move the total).
-# ===========================================================================
-
-# r11 bench adjudication (r10's 0.53 -> 0.79 s flag, run under
-# calib_drift_flag=true): re-measured min 0.650/0.594 s fwd/rev on a
-# calm session — recovered to the r9 band. Host drift, not a plan
-# change (diff clean since r6).
-@_register(
-    "q5_local_supplier_revenue",
-    """
-    SELECT n_name,
-           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5)
-                         AS BIGINT)) AS BIGINT) AS revenue_cents,
-           CAST(count(*) AS BIGINT) AS n_lines
-    FROM region
-    JOIN nation   ON n_regionkey = r_regionkey
-    JOIN customer ON c_nationkey = n_nationkey
-    JOIN orders   ON o_custkey = c_custkey
-    JOIN lineitem ON l_orderkey = o_orderkey
-    JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
-    WHERE r_name = 'ASIA'
-      AND o_orderdate >= DATE '1996-01-01'
-      AND o_orderdate < DATE '1997-01-01'
-    GROUP BY n_name
-    """,
-    "multi-join audit (TPC-H Q5 shape; generalizes A9/J1 join coverage)",
-    "6-table local-supplier revenue: dims broadcast, one fact-fact shuffle",
-)
-def q5_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    nation = _t(spark, sf_dir, "nation")
-    customer = _t(spark, sf_dir, "customer")
-    supplier = _t(spark, sf_dir, "supplier")
-    orders = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
-    )
-    lineitem = _t(spark, sf_dir, "lineitem")
-
-    asia_customers = (
-        customer.join(
-            F.broadcast(nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))),
-            F.col("c_nationkey") == F.col("n_nationkey"),
-        ).select("c_custkey", "c_nationkey", "n_name")
-    )
-    # orders of ASIA customers: customer side is sf-small relative to the
-    # fact tables — broadcast it into the orders scan
-    o = orders.join(F.broadcast(asia_customers), F.col("o_custkey") == F.col("c_custkey"))
-    # the one true shuffle: fact-fact join on the order key
-    l = lineitem.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-    # local suppliers only: supplier nation must match customer nation
-    joined = l.join(
-        F.broadcast(supplier),
-        (F.col("l_suppkey") == F.col("s_suppkey"))
-        & (F.col("s_nationkey") == F.col("c_nationkey")),
-    )
-    return joined.groupBy("n_name").agg(
-        F.sum(
-            F.floor(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0 + 0.5
-            ).cast("bigint")
-        )
-        .cast("bigint")
-        .alias("revenue_cents"),
-        F.count("*").cast("bigint").alias("n_lines"),
-    )
-
-
-# ===========================================================================
-# Bucketed-join co-location proof: both join sides are written bucketed
-# (and per-bucket sorted) by the join key, so the fact-dim join runs with
-# ZERO Exchange — each task reads matching bucket files from both sides.
-# The merge hint keeps AQE from broadcasting the small test-SF side,
-# because a broadcast would bypass bucketing and prove nothing; at 100 TB
-# both sides are too big to broadcast and this bucket-to-bucket SMJ *is*
-# the plan. The only shuffle left is the final 5-row segment rollup.
-# Plan-pinned in tests/test_plan_shapes.py (join subtree Exchange-free).
-# ===========================================================================
-
-@_register(
-    "bucketed_join_colocated",
-    """
-    SELECT c.c_mktsegment AS mktsegment,
-           CAST(count(*) AS BIGINT) AS n_orders,
-           CAST(sum(floor(o.o_totalprice * 100.0 + 0.5)) AS BIGINT)
-             AS total_cents
-    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-    GROUP BY c.c_mktsegment
-    """,
-    "layout: bucketed co-located join (write_bucketed round-trip)",
-    "orders & customer bucketed by custkey -> Exchange-free SMJ, one "
-    "final rollup shuffle",
-)
-def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.skew import write_bucketed
-
-    tag = sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
-    t_orders, t_customer = f"orders_bkt_{tag}", f"customer_bkt_{tag}"
-    write_bucketed(
-        _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
-        t_orders,
-        "o_custkey",
-        n_buckets=8,
-        sort_col="o_custkey",
-    )
-    write_bucketed(
-        _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
-        t_customer,
-        "c_custkey",
-        n_buckets=8,
-        sort_col="c_custkey",
-    )
-    o = spark.table(t_orders)
-    c = spark.table(t_customer)
-    joined = o.hint("merge").join(c, o["o_custkey"] == c["c_custkey"])
-    return joined.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
-        F.count("*").cast("bigint").alias("n_orders"),
-        F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5))
-        .cast("bigint")
-        .alias("total_cents"),
-    )
-
-
-# ===========================================================================
-# Schema-evolution reader over the versioned canonical table: v1 is
-# written with (okey INT, price) — v2 supersedes it with the key WIDENED
-# to BIGINT plus an ADDED priority column. read_canonical_evolved presents
-# BOTH retained versions under the current schema (explicit cast map for
-# the widened key; typed NULLs for the added column), and the entry emits
-# per-version stats. Deterministic because each version's content derives
-# from orders by a fixed predicate; the oracle recomputes the same stats
-# from orders directly, so a reader bug (silent coercion, missing-column
-# mishandling) breaks the hash.
-# ===========================================================================
-
-@_register(
-    "canonical_schema_evolution",
-    """
-    SELECT 1 AS version,
-           CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(sum(floor(o_totalprice * 100.0 + 0.5)) AS BIGINT) AS total_cents,
-           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
-           CAST(count(*) AS BIGINT) AS n_null_priority
-    FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey < 1000000
-    UNION ALL
-    SELECT 2,
-           CAST(count(*) AS BIGINT),
-           CAST(sum(floor(o_totalprice * 100.0 + 0.5)) AS BIGINT),
-           CAST(sum(o_orderkey) AS BIGINT),
-           0
-    FROM orders WHERE o_orderkey % 2 = 1
-    """,
-    "sink: versioned canonical schema evolution (added column + widened type)",
-    "v1 (okey int, price) -> v2 (okey bigint, price, priority); evolved "
-    "reads of both versions under the current schema, stats hash-oracled",
-)
-def canonical_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-    from pathlib import Path
-
-    from sports_data_integration_and_forecasting_pipeline_spark.sinks import (
-        read_canonical_evolved,
-        write_canonical_version,
-    )
-
-    tag = sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
-    root = Path("spark-warehouse") / f"canon_evo_{tag}"
-    shutil.rmtree(str(root), ignore_errors=True)
-
-    orders = _t(spark, sf_dir, "orders")
-    # v1: narrow key (int is safe below 1e6 — the guard is part of the
-    # predicate so the cast is lossless), no priority column
-    v1 = orders.filter(
-        (F.col("o_orderkey") % 2 == 0) & (F.col("o_orderkey") < 1000000)
-    ).select(
-        F.col("o_orderkey").cast("int").alias("okey"),
-        F.col("o_totalprice").alias("price"),
-    )
-    # v2: key widened to bigint, priority column added
-    v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
-        F.col("o_orderkey").cast("bigint").alias("okey"),
-        F.col("o_totalprice").alias("price"),
-        F.col("o_orderpriority").alias("priority"),
-    )
-    write_canonical_version(spark, str(root), v1)
-    write_canonical_version(spark, str(root), v2)
-
-    def stats(version: int) -> DataFrame:
-        df = read_canonical_evolved(
-            spark, str(root), version=version, cast_map={"okey": "bigint"}
-        )
-        return df.groupBy().agg(
-            F.lit(version).alias("version"),
-            F.count("*").cast("bigint").alias("n_rows"),
-            F.sum(_cents(F.col("price"))).cast("bigint").alias("total_cents"),
-            F.sum("okey").cast("bigint").alias("key_sum"),
-            F.count_if(F.col("priority").isNull())
-            .cast("bigint")
-            .alias("n_null_priority"),
-        )
-
-    return stats(1).unionByName(stats(2)).select(
-        "version", "n_rows", "total_cents", "key_sum", "n_null_priority"
-    )
-
-
-# ===========================================================================
-# Incremental rollup maintenance — merge partial aggregates instead of
-# recomputing: base (pre-1997 orders) and delta (1997+) are aggregated
-# SEPARATELY and merged; the DuckDB oracle recomputes from the full
-# table, so the hash check proves merge(agg(base), agg(delta)) ==
-# agg(all). Sums ride exact integer cents; avg derives post-merge.
-# ===========================================================================
-
-@_register(
-    "incremental_rollup_merge",
-    """
-    SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo, o_orderpriority,
-           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
-             AS sum_cents,
-           CAST(count(*) AS BIGINT) AS n_orders,
-           CAST(min(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
-             AS min_cents,
-           CAST(max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
-             AS max_cents,
-           sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / count(*)
-             AS avg_cents
-    FROM orders GROUP BY 1, 2, 3
-    """,
-    "incremental view maintenance (no reference counterpart; generalizes "
-    "the canonical append flow, src/ingestion.py:132-142)",
-    "partial-rollup merge over a base/delta split == full recompute oracle",
-)
-def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.incremental import (
-        merge_rollups,
-        rollup_partial,
-    )
-
-    orders = _t(spark, sf_dir, "orders").select(
-        F.year("o_orderdate").alias("yr"),
-        F.month("o_orderdate").alias("mo"),
-        "o_orderpriority",
-        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
-    )
-    keys = ["yr", "mo", "o_orderpriority"]
-    metrics = {
-        "sum_cents": ("sum", "cents"),
-        "n_orders": ("count", ""),
-        "min_cents": ("min", "cents"),
-        "max_cents": ("max", "cents"),
-    }
-    base = rollup_partial(orders.filter(F.col("yr") < 1997), keys, metrics)
-    delta = rollup_partial(orders.filter(F.col("yr") >= 1997), keys, metrics)
-    merged = merge_rollups(
-        [base, delta],
-        keys,
-        {"sum_cents": "sum", "n_orders": "count", "min_cents": "min", "max_cents": "max"},
-    )
-    return merged.withColumn(
-        "avg_cents", F.col("sum_cents") / F.col("n_orders")
-    )
-
-
-# ===========================================================================
-# Iceberg / heavy hitters — items covering >= s% of their group, the
-# exact hot-key detector that feeds the skew tools. Two cascaded aggs;
-# the group-total window runs over already-aggregated (group, item)
-# counts, so the second exchange is tiny. Integer-only outputs.
-# ===========================================================================
-
-@_register(
-    "iceberg_heavy_users",
-    """
-    WITH counts AS (
-      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
-      FROM events GROUP BY user_id, event_type
-    )
-    SELECT user_id, event_type, cnt, n_group FROM (
-      SELECT user_id, event_type, cnt,
-             CAST(sum(cnt) OVER (PARTITION BY user_id) AS BIGINT) AS n_group
-      FROM counts)
-    WHERE cnt >= n_group * 0.25
-    """,
-    "frequency: iceberg / heavy hitters (no reference counterpart)",
-    "event types covering >= 25% of a user's rows — exact hot-key detection",
-)
-def iceberg_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.frequency import heavy_hitters
-
-    return heavy_hitters(
-        _t(spark, sf_dir, "events"),
-        group_cols=["user_id"],
-        item_col="event_type",
-        threshold=0.25,
-    )
-
-
-# ===========================================================================
-# Count-min sketch — the bounded-space frequency estimator for item
-# cardinalities too large for the exact iceberg agg. Unlike HLL (whose
-# register layout is engine-private, hence rows-only), CMS built on
-# md5-derived bucket hashes is engine-portable: DuckDB reproduces the
-# identical d × w counter table and min-of-rows estimates, so this one
-# IS hash-oracled. 150 users into 64 buckets forces real collisions, so
-# the min across the 4 rows is doing actual work (est >= exact, with
-# equality only when some row is collision-free for that item).
-# ===========================================================================
-
-_CMS_D, _CMS_W = 4, 64
-
-
-@_register(
-    "countmin_frequency",
-    f"""
-    WITH items AS (SELECT CAST(user_id AS VARCHAR) AS item FROM events),
-    sketch AS (
-      SELECT d.row,
-             CAST(CAST(concat('0x', substring(md5(item), 1 + 8 * d.row, 8)) AS BIGINT)
-                  % {_CMS_W} AS INT) AS bucket,
-             CAST(count(*) AS BIGINT) AS cnt
-      FROM items CROSS JOIN range(0, {_CMS_D}) AS d(row)
-      GROUP BY 1, 2
-    ),
-    probes AS (SELECT DISTINCT item FROM items),
-    probe_cells AS (
-      SELECT p.item, d.row,
-             CAST(CAST(concat('0x', substring(md5(p.item), 1 + 8 * d.row, 8)) AS BIGINT)
-                  % {_CMS_W} AS INT) AS bucket
-      FROM probes p CROSS JOIN range(0, {_CMS_D}) AS d(row)
-    )
-    SELECT item, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est_cnt
-    FROM probe_cells LEFT JOIN sketch USING (row, bucket)
-    GROUP BY item
-    """,
-    "frequency: count-min sketch (no reference counterpart)",
-    "bounded-space frequency estimates — d x w counter table, min-of-rows probe",
-)
-def countmin_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.frequency import (
-        countmin_estimate,
-        countmin_sketch,
-    )
-
-    items = _t(spark, sf_dir, "events").select(
-        F.col("user_id").cast("string").alias("item")
-    )
-    sketch = countmin_sketch(items, "item", depth=_CMS_D, width=_CMS_W)
-    return countmin_estimate(
-        sketch, items.distinct(), "item", depth=_CMS_D, width=_CMS_W
-    )
-
-
-# ===========================================================================
-# Unigram LM perplexity — the LM-based quality signal for corpus
-# curation. Per-token -ln p is snapped to integer micro-nats before the
-# per-doc sum, so aggregation is exact integer arithmetic
-# (order-independent across partitions and engines); only the final exp
-# is floating, rounded at 4 dp.
-# r7 measurement note (VERDICT r6 task 4): the r6 bench's +41% on this
-# entry was HOST DRIFT, not a regression — re-measured back-to-back
-# with quality_perplexity_cut in both orderings on one calm session:
-# unigram 1.01 s vs cut 1.05 s, then (swapped) unigram 0.88 s vs cut
-# 1.40 s. Unigram sits at-or-below its family-mate, both share the one
-# persisted tokenize (asserted by test_perplexity_family_single_
-# tokenize), and the r6 round's calib_md5 already flagged that host
-# 2.3× slow. No plan change needed.
-# r9 adjudication (VERDICT r8 task 3): the r8 bench's 0.688 → 1.376 s
-# (+100%) was again mid-battery interference, not a plan change — no
-# r8 commit touched this plan (git -S verified by the judge), the
-# token path is plain split+explode (codegen; NOT the interpreted
-# transform-lambda the bigram sibling left behind — checked), and the
-# both-orderings re-measure on one calm session landed 0.685 s and
-# 0.768 s (exactly the r7 value) with its family-mates at their r8
-# numbers. Third drift swing for this entry; the bench's min-of-last-2
-# convention cannot fully shield a 0.7 s entry from a GC/cleaner spike
-# landing on both timed runs. No plan change needed.
-# ===========================================================================
-
-_PPL_CTES = """
-    toks AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
-    ),
-    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
-    tot AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY term),
-    n AS (SELECT sum(cnt) AS total FROM tot),
-    scored AS (
-      SELECT tf.doc_id, tf.tf,
-             tf.tf * CAST(floor(-ln(CAST(cnt AS DOUBLE) / total) * 1000000.0 + 0.5) AS BIGINT)
-               AS nll_micro
-      FROM tf JOIN tot USING (term) CROSS JOIN n
-    ),
-    ppl AS (
-      SELECT doc_id,
-             CAST(sum(tf) AS BIGINT) AS n_tokens,
-             CAST(sum(nll_micro) AS BIGINT) AS nll_micro,
-             CAST(floor(exp(CAST(sum(nll_micro) AS DOUBLE) / 1000000.0 / sum(tf)) * 10000.0 + 0.5) AS BIGINT)
-               AS ppl_e4
-      FROM scored GROUP BY doc_id
-    )
-"""
-
-
-@_register(
-    "text_unigram_perplexity",
-    f"""
-    WITH {_PPL_CTES}
-    SELECT doc_id, n_tokens, nll_micro, ppl_e4 FROM ppl
-    """,
-    "textops: unigram LM perplexity (no reference counterpart)",
-    "per-doc perplexity under the corpus unigram model, integer micro-nat accumulation",
-)
-def text_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import (
-        unigram_perplexity,
-    )
-
-    return unigram_perplexity(_t(spark, sf_dir, "documents"))
-
-
-# Model-signal quality cut — the LM-filter stage real curation pipelines
-# run after rule-based filters: drop documents whose perplexity under the
-# corpus unigram model exceeds a calibrated threshold (a config literal —
-# at scale the threshold comes from an offline percentile calibration,
-# never a global ranking window over the data), then report per-language
-# survivor stats. Deterministic end-to-end: the threshold compare is on
-# integer ppl_e4.
-_PPL_CUT_E4 = 32 * 10000  # keep docs with perplexity <= 32 (calibrated offline; corpus ppl spans ~29-42)
-# selectivity guard: tests/test_selectivity.py::test_quality_perplexity_cut_is_selective
-
-
-# r10 bench adjudication: 0.92 -> 1.25 s swing re-measured 0.617/0.570 s
-# in both orderings on a calm session -> mid-battery interference.
-@_register(
-    "quality_perplexity_cut",
-    f"""
-    WITH {_PPL_CTES}
-    SELECT d.lang,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(p.n_tokens) AS BIGINT) AS total_tokens,
-           CAST(max(p.ppl_e4) AS BIGINT) AS max_ppl_e4
-    FROM ppl p JOIN documents d USING (doc_id)
-    WHERE p.ppl_e4 <= {_PPL_CUT_E4}
-    GROUP BY d.lang
-    """,
-    "curation: perplexity-threshold quality cut",
-    "drop docs with unigram ppl above the calibrated literal; per-lang "
-    "survivor stats (integer compare, no global ranking window)",
-)
-def quality_perplexity_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import (
-        unigram_perplexity,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    ppl = unigram_perplexity(docs).filter(F.col("ppl_e4") <= _PPL_CUT_E4)
-    survivors = ppl.join(docs.select("doc_id", "lang"), "doc_id")
-    return survivors.groupBy("lang").agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
-        F.max("ppl_e4").cast("bigint").alias("max_ppl_e4"),
-    )
-
-
-# ===========================================================================
-# HLL++ approximate NDV — the constant-state companion to KMV: per group
-# the sketch is a fixed register array (vs KMV's k mins, vs exact
-# distinct's full key set), mergeable across partitions, so 100 TB NDV
-# costs one map-side-combined shuffle of ~KB-sized state per group.
-#
-# HLL register layouts are engine-specific (Spark's HyperLogLog++
-# dense/sparse encoding vs DuckDB's HLL — different hash, different
-# register count, different bias correction), so the raw ESTIMATES can
-# never hash-match a SQL oracle. Until r11 a rows-only entry
-# (hll_distinct_sketch) published the estimates anyway; r10 review task
-# 7 replaced it with the hash-oracled hll_distinct_verified below —
-# the SAME native approx_count_distinct aggregate, but the published
-# output is the engine-portable part (exact NDV + the error-bound
-# boolean), so the external gate now checks the sketch's guarantee
-# instead of recording an uncheckable row count.
-# ===========================================================================
-
-
-# The hash-oracled HLL companion: native approx_count_distinct (above)
-# stays rows-only because its registers ride an engine-private hash; this
-# entry builds the SAME sketch shape from the engine-portable md5 hash —
-# register index/rho from h60 bits, max-merged per group, harmonic
-# denominator kept in exact integer space — so the full register state
-# (count + rho checksum) AND the raw estimate hash-match DuckDB.
-_HLL_M = 64
-_HLL_SCALE = repr(0.7213 / (1 + 1.079 / 64) * 64 * 64)
-_HLL_P55 = float(1 << 55)
-
-
-@_register(
-    "hll_group_registers",
-    f"""
-    WITH h AS (
-      SELECT event_type,
-             {_h60_sql('CAST(user_id AS VARCHAR)')} AS hv
-      FROM events
-    ),
-    r AS (
-      SELECT event_type, hv % {_HLL_M} AS j,
-             55 - length(trim(LEADING '0' FROM bin(hv // {_HLL_M}))) AS rho0
-      FROM h
-    ),
-    regs AS (SELECT event_type, j, max(rho0) AS rho
-             FROM r GROUP BY event_type, j)
-    SELECT event_type,
-           CAST(count(*) AS INT) AS n_regs,
-           CAST(sum(rho) AS BIGINT) AS rho_sum,
-           CAST(floor({_HLL_SCALE} * {_HLL_P55!r}
-                      / (sum(CAST(1 AS BIGINT) << CAST(55 - rho AS INT))
-                         + ({_HLL_M} - count(*)) * {_HLL_P55!r})
-                      * 1e4 + 0.5) AS BIGINT) AS est_e4
-    FROM regs GROUP BY event_type
-    """,
-    "sketch: per-group HLL with engine-portable registers (hash-oracled)",
-    f"md5-h60 HLL m={_HLL_M}: register state and raw estimate both "
-    "hash-match DuckDB; integer-exact harmonic denominator",
-)
-def hll_group_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.frequency import hll_per_group
-
-    return hll_per_group(
-        _t(spark, sf_dir, "events"), "event_type", "user_id", m=_HLL_M
-    )
-
-
-# ===========================================================================
-# Approximate percentiles — the mergeable-summary companion to the exact
-# order-statistic query (value_percentiles): percentile_approx keeps a
-# bounded Greenwald-Khanna summary per group (t-digest's role in Spark),
-# so per-group state is O(accuracy), not O(n), and partial summaries
-# merge map-side — the only percentile shape that survives 100 TB.
-#
-# The summary's compression decisions are engine-specific (Spark GK vs
-# DuckDB t-digest), so cross-engine VALUES differ within the rank-error
-# bound and can never hash-match. Until r11 a rows-only entry
-# (approx_percentile_sketch) published the values anyway; r10 review
-# task 7 replaced it with the hash-oracled approx_percentile_verified
-# below — the SAME native percentile_approx aggregate, rank-checked
-# against the exact order statistics, publishing the engine-portable
-# guarantee boolean instead of the uncheckable values.
-# ===========================================================================
-
-
-# The hash-oracled VERIFIED twins (r10 review task 7, the
-# misra_gries_verified pattern): the sketch VALUES are engine-specific,
-# but the sketch GUARANTEE is not — "estimate within the published error
-# bound of the exact answer" is a boolean both engines can agree on. The
-# Spark side computes the bound check against Spark's own sketch; the
-# oracle emits the exact figures with the invariant pinned TRUE, so a
-# sketch that ever drifts past its bound hash-mismatches and goes red.
-
-@_register(
-    "hll_distinct_verified",
-    """
-    SELECT event_type,
-           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_ndv,
-           TRUE AS within_bound
-    FROM events GROUP BY event_type
-    """,
-    "sketch: HLL++ NDV guarantee verification (hash-oracled; replaced "
-    "the rows-only hll_distinct_sketch, r10 review task 7)",
-    "approx_count_distinct(rsd=0.02) vs exact NDV per event_type; "
-    "within_bound pins |hll - exact| <= 10% of exact (5x the configured "
-    "rsd — beyond 5 sigma for a working HLL++)",
-)
-def hll_distinct_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    agg = ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("hll_ndv"),
-        F.countDistinct("user_id").cast("long").alias("exact_ndv"),
-    )
-    # integer-exact bound check: |hll - exact| * 10 <= exact  (<= 10%)
-    return agg.select(
-        "event_type",
-        "exact_ndv",
-        (
-            F.abs(F.col("hll_ndv") - F.col("exact_ndv")) * 10
-            <= F.col("exact_ndv")
-        ).alias("within_bound"),
-    )
-
-
-@_register(
-    "approx_percentile_verified",
-    """
-    WITH g AS (
-      SELECT event_type, CAST(count(value) AS BIGINT) AS n_values
-      FROM events GROUP BY event_type
-    ),
-    p(pct) AS (VALUES (50), (90), (99))
-    SELECT event_type, CAST(pct AS INT) AS pct, n_values,
-           TRUE AS within_bound
-    FROM g CROSS JOIN p
-    """,
-    "sketch: Greenwald-Khanna percentile guarantee verification "
-    "(hash-oracled; replaced the rows-only approx_percentile_sketch, "
-    "r10 review task 7)",
-    "percentile_approx(accuracy=1000) p50/p90/p99 rank-checked against "
-    "the exact order statistics: the returned value's rank interval "
-    "[cnt_lt+1, cnt_le] must intersect [p*n - (2.5*eps*n + 1), "
-    "p*n + (2.5*eps*n + 1)], eps=1/1000 — 2*eps is the merged-summaries "
-    "bound (Greenwald-Khanna partials merged across partitions double "
-    "the single-pass eps; measured: Spark lands 2.02*eps*n off target "
-    "on one sf0.01 group, i.e. the 2*eps bound is already TIGHT), the "
-    "extra 0.5*eps*n is a RELATIVE margin for merge-error growth with "
-    "partition count (r11 advice: a flat +1 only absorbed the 0.02 "
-    "overshoot up to n ~ 50k/group), +1 absorbs target-rank integer "
-    "rounding. Validity ceiling of the pinned-TRUE oracle: GK merge "
-    "error grows ~log(partials)*eps, so 2.5*eps holds for <= ~64 "
-    "merged partials per group (this repo: 32 shuffle partitions); a "
-    "1000-executor run with thousands of partials per group should "
-    "re-derive slack = (2 + 0.25*log2(partials/32))*eps*n before "
-    "trusting the boolean",
-)
-def approx_percentile_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events").select("event_type", "value")
-    acc = 1000
-    eps = 1.0 / acc
-    pa = F.percentile_approx("value", [0.5, 0.9, 0.99], acc)
-    approx = (
-        ev.groupBy("event_type")
-        .agg(pa.alias("ps"), F.count("value").cast("bigint").alias("n_values"))
-        .select(
-            "event_type",
-            "n_values",
-            F.explode(
-                F.map_from_arrays(
-                    F.array(F.lit(50), F.lit(90), F.lit(99)),
-                    F.col("ps"),
-                )
-            ).alias("pct", "v"),
-        )
-        .select("event_type", F.col("pct").cast("int").alias("pct"),
-                "n_values", "v")
-    )
-    # per-(group, pct) exact rank of the approx value: one broadcast of
-    # the tiny approx table back onto the events scan, counts map-side
-    # combined — no sort, no second shuffle of the big side beyond the
-    # groupBy key exchange
-    ranked = (
-        ev.join(F.broadcast(approx), "event_type")
-        .groupBy("event_type", "pct", "n_values", "v")
-        .agg(
-            F.sum((F.col("value") < F.col("v")).cast("int"))
-            .cast("bigint")
-            .alias("cnt_lt"),
-            F.sum((F.col("value") <= F.col("v")).cast("int"))
-            .cast("bigint")
-            .alias("cnt_le"),
-        )
-    )
-    p = F.col("pct").cast("double") / 100.0
-    n = F.col("n_values").cast("double")
-    # 2*eps is the measured-tight merged-GK bound; the extra 0.5*eps*n is
-    # a relative safety margin so the pinned-TRUE oracle can't flip red
-    # from one more unlucky merge (r11 advice — the old flat +1 only
-    # covered the 0.02*eps*n overshoot for groups up to ~50k values).
-    # Ceiling documented in the entry notes: valid to ~64 partials/group.
-    slack = 2.5 * eps * n + 1.0
-    return ranked.select(
-        "event_type",
-        "pct",
-        "n_values",
-        (
-            (F.col("cnt_lt").cast("double") < p * n + slack)
-            & (F.col("cnt_le").cast("double") >= p * n - slack)
-        ).alias("within_bound"),
-    )
-
-
-# ===========================================================================
-# Composite curation pipeline — the end-to-end corpus-cleaning shape a
-# training-data run executes: language-ID agreement filter → quality
-# threshold → exact-dup removal (keep canonical) → per-language corpus
-# stats. Each stage is the already-oracle-checked operator; this query
-# checks their composition. Narrow predicates fuse into one scan;
-# the dedup window and final rollup are the only shuffles.
-# ===========================================================================
-
-@_register(
-    "curation_pipeline",
-    f"""
-    WITH scored AS (
-      SELECT doc_id, lang, n_chars, text,
-             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-             {_sql_count_in(('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it', 'for', 'on'))} AS n_stop
-      FROM documents
-    ),
-    quality AS (
-      SELECT doc_id, lang, n_chars, text, n_tokens,
-             (1.0 * n_stop / n_tokens) * 0.5 + least(n_tokens, 100) / 100.0 * 0.5 AS q
-      FROM scored
-    ),
-    kept AS (
-      SELECT * FROM (
-        SELECT doc_id, lang, n_chars, n_tokens, q,
-               min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
-        FROM quality
-        WHERE q >= 0.3
-      ) WHERE doc_id = canonical_id
-    )
-    SELECT lang,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(n_chars) AS BIGINT) AS total_chars,
-           {_sql_r('avg(1.0 * n_tokens)', 9)} AS avg_tokens,
-           {_sql_r('avg(q)', 9)} AS avg_quality
-    FROM kept
-    GROUP BY lang
-    """,
-    "curation: composite textops pipeline",
-    "quality filter -> exact-dup removal -> per-language corpus stats (stage composition check)",
-)
-def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import text_quality
-
-    docs = _t(spark, sf_dir, "documents")
-    quality = text_quality(docs).filter(F.col("quality_score") >= 0.3)
-    w = Window.partitionBy(F.md5(F.col("text")))
-    kept = quality.withColumn("canonical_id", F.min("doc_id").over(w)).filter(
-        F.col("doc_id") == F.col("canonical_id")
-    )
-    return kept.groupBy("lang").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_chars").alias("total_chars"),
-        _r(F.avg(F.col("n_tokens").cast("double")), 9).alias("avg_tokens"),
-        _r(F.avg("quality_score"), 9).alias("avg_quality"),
-    )
-
-
-# ===========================================================================
-# TPC-H Q6-class promo-revenue scan — the pure scan-efficiency audit: a
-# single fact table, three pushed predicates (timestamp range, discount
-# band, quantity cap), two projected columns, one global aggregate. At
-# 100 TB this query IS the scan: every filter must reach the parquet
-# reader (PushedFilters; row groups outside the ship-date range are
-# skipped via min/max stats) and the aggregate is a 1-row partial per
-# task — no shuffle of data, only of partials. Plan-pinned in
-# tests/test_plan_shapes.py (shipdate pushdown present).
-# ===========================================================================
-
-@_register(
-    "q6_promo_revenue",
-    """
-    SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100.0 + 0.5)
-                         AS BIGINT)) AS BIGINT) AS revenue_cents,
-           CAST(count(*) AS BIGINT) AS n_lines
-    FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-      AND l_shipdate < TIMESTAMP '1997-01-01'
-      AND l_discount BETWEEN 0.05 AND 0.07
-      AND l_quantity < 24
-    """,
-    "scan audit (TPC-H Q6 shape; F8 predicate family over timestamps)",
-    "promo revenue: timestamp-range + band predicates pushed to the scan, "
-    "1-row aggregate",
-)
-def q6_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    kept = li.filter(
-        (F.col("l_shipdate") >= "1996-01-01")
-        & (F.col("l_shipdate") < "1997-01-01")
-        & (F.col("l_discount") >= 0.05)
-        & (F.col("l_discount") <= 0.07)
-        & (F.col("l_quantity") < 24)
-    )
-    return kept.agg(
-        F.sum(
-            F.floor(
-                F.col("l_extendedprice") * F.col("l_discount") * 100.0 + 0.5
-            ).cast("bigint")
-        )
-        .cast("bigint")
-        .alias("revenue_cents"),
-        F.count("*").cast("bigint").alias("n_lines"),
-    )
-
-
-# ===========================================================================
-# Monthly active users — the calendar-bucket rollup the timestamp schema
-# makes native: date_trunc month buckets (identical wall-clock semantics
-# in both engines under the engine's pinned UTC session), count-distinct
-# users + event/value totals per month. distinct-per-group is the
-# two-phase (bucket,user) -> bucket aggregation; everything else is
-# map-side combined in the same single exchange.
-# ===========================================================================
-
-@_register(
-    "monthly_active_users",
-    """
-    SELECT CAST(epoch_us(date_trunc('month', ts)) // 1000000 AS BIGINT)
-             AS month_start_s,
-           CAST(count(DISTINCT user_id) AS BIGINT) AS mau,
-           CAST(count(*) AS BIGINT) AS n_events,
-           CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
-             AS sum_cents
-    FROM events GROUP BY 1
-    """,
-    "calendar rollup: date_trunc month buckets (A10 family over timestamps)",
-    "per-month active users + event/value totals over the events stream",
-)
-def monthly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    bucket = _epoch_s(F.date_trunc("month", F.col("ts"))).alias("month_start_s")
-    return ev.groupBy(bucket).agg(
-        F.countDistinct("user_id").cast("bigint").alias("mau"),
-        F.count("*").cast("bigint").alias("n_events"),
-        F.sum(_cents(F.col("value"))).cast("bigint").alias("sum_cents"),
-    )
-
-
-# ===========================================================================
-# Weekday x hour activity heatmap — calendar-component extraction
-# (weekday 0=Monday, hour-of-day) as grouping keys: the load-profile
-# query behind capacity planning dashboards. Spark's weekday() and
-# DuckDB's isodow()-1 agree by construction; output is <= 7x24 rows from
-# one map-side-combined exchange (plus the distinct-user expansion).
-# ===========================================================================
-
-@_register(
-    "weekday_hour_heatmap",
-    """
-    SELECT CAST(isodow(ts) - 1 AS INT) AS dow,
-           CAST(hour(ts) AS INT) AS hod,
-           CAST(count(*) AS BIGINT) AS n_events,
-           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-    FROM events GROUP BY 1, 2
-    """,
-    "calendar extraction: weekday/hour grouping (O-family over timestamps)",
-    "7x24 activity heatmap: events + distinct users per weekday-hour cell",
-)
-def weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    return ev.groupBy(
-        F.weekday("ts").cast("int").alias("dow"),
-        F.hour("ts").cast("int").alias("hod"),
-    ).agg(
-        F.count("*").cast("bigint").alias("n_events"),
-        F.countDistinct("user_id").cast("bigint").alias("n_users"),
-    )
-
-
-# ===========================================================================
-# Vocabulary coverage — the tokenizer-design question a training-data
-# pipeline answers before fixing a vocab: with the top-K corpus units as
-# the vocabulary, what fraction of each language's unit stream is
-# covered (1 − OOV rate)? Units are word bigrams (the synthetic corpus
-# has only 31 distinct words, so whole-word coverage is degenerate; the
-# ~900 distinct bigrams give a real frequency tail). One explode feeds a
-# (lang, unit) aggregate; the global vocab derives from that
-# already-aggregated table (top-K by count with a pinned
-# count-desc/unit-asc tiebreak) and broadcasts back over it — the raw
-# unit stream is never re-exploded or re-shuffled.
-# ===========================================================================
-
-@_register(
-    "vocab_coverage",
-    f"""
-    WITH lt AS (
-      SELECT lang, unnest({_shingle_raw_sql(2)}) AS tok FROM documents
-    ),
-    ltc AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS n
-            FROM lt GROUP BY lang, tok),
-    tc AS (SELECT tok, CAST(sum(n) AS BIGINT) AS n FROM ltc GROUP BY tok),
-    vocab AS (SELECT tok FROM tc ORDER BY n DESC, tok LIMIT 64)
-    SELECT lang,
-           CAST(sum(n) AS BIGINT) AS total_tokens,
-           CAST(sum(CASE WHEN v.tok IS NOT NULL THEN n ELSE 0 END) AS BIGINT)
-             AS covered_tokens,
-           {_sql_r('1.0 * sum(CASE WHEN v.tok IS NOT NULL THEN n ELSE 0 END)'
-                   ' / sum(n)', 9)} AS coverage
-    FROM ltc LEFT JOIN vocab v ON ltc.tok = v.tok
-    GROUP BY lang
-    """,
-    "textops: top-K vocabulary build + per-language coverage / OOV audit",
-    "64-bigram corpus vocab (pinned tiebreaks) broadcast against the "
-    "(lang, bigram) aggregate; per-language coverage ratios",
-)
-def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
-        shingle_rows,
-    )
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import (
-        ensure_parallelism,
-    )
-
-    # Spread the scan: a small documents table arrives as ONE split, and
-    # the bigram enumeration is the entry's whole CPU budget (measured:
-    # the serial pass dominated this entry's r4 bench time; spreading cut
-    # it ~40%). At 100 TB the scan is already thousands of splits.
-    # r8: codegen lead-window bigrams (shingle_rows) — the transform
-    # lambda is interpreted per element (SCALING.md round-8 finding).
-    docs = ensure_parallelism(
-        _t(spark, sf_dir, "documents"), "doc_id"
-    )
-    lt = shingle_rows(docs, n=2, keep_cols=("lang",)).select(
-        "lang", F.col("shingle").alias("tok")
-    )
-    # ltc feeds BOTH the top-K vocab selection and the coverage join. The
-    # two subtrees end at byte-identical `Exchange hashpartitioning(lang,
-    # tok)` nodes, and AQE's shuffle-stage cache keys on the canonicalized
-    # exchange plan — so the tokenize → explode → partial-aggregate pass
-    # runs ONCE at runtime and the second leg reads the materialized
-    # shuffle (asserted in tests/test_plan_shapes.py; measured faster
-    # than an explicit persist of ltc, which pays an extra job + cache
-    # write for the same single-pass effect).
-    ltc = lt.groupBy("lang", "tok").agg(F.count("*").alias("n"))
-    tc = ltc.groupBy("tok").agg(F.sum("n").alias("n"))
-    vocab = tc.orderBy(F.desc("n"), "tok").limit(64).select("tok")
-    joined = ltc.join(
-        F.broadcast(vocab.withColumn("__in_vocab", F.lit(1))), "tok", "left"
-    )
-    covered = F.sum(
-        F.when(F.col("__in_vocab").isNotNull(), F.col("n")).otherwise(0)
-    )
-    return joined.groupBy("lang").agg(
-        F.sum("n").cast("bigint").alias("total_tokens"),
-        covered.cast("bigint").alias("covered_tokens"),
-        _r(covered.cast("double") / F.sum("n"), 9).alias("coverage"),
-    )
-
-
-# ===========================================================================
-# TPC-H Q4 (order-priority checking) — the canonical EXISTS decorrelation:
-# a date-windowed orders scan semi-joined against lineitems that shipped
-# >30 days after their order date. Spark plans the EXISTS as a LeftSemi
-# hash join (no row duplication, build side = the filtered probe), the
-# date window pushes to the orders scan, and the non-equi ship-lag
-# predicate rides the join condition. One shuffle on the order key.
-# ===========================================================================
-
-@_register(
-    "q4_order_priority",
-    """
-    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
-    FROM orders
-    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
-      AND o_orderdate < TIMESTAMP '1997-04-01'
-      AND EXISTS (SELECT 1 FROM lineitem
-                  WHERE l_orderkey = o_orderkey
-                    AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
-    GROUP BY o_orderpriority
-    """,
-    "warehouse: TPC-H Q4 order-priority (EXISTS -> LeftSemi decorrelation)",
-    "orders in 1997Q1 with a >30-day ship lag on some line, counted per "
-    "priority",
-)
-def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lo = F.lit("1997-01-01").cast("timestamp_ntz")
-    hi = F.lit("1997-04-01").cast("timestamp_ntz")
-    orders = (
-        _t(spark, sf_dir, "orders")
-        .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
-        .select("o_orderkey", "o_orderdate", "o_orderpriority")
-    )
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
-    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
-        F.col("l_shipdate")
-        > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
-    )
-    return (
-        orders.join(li, late, "left_semi")
-        .groupBy("o_orderpriority")
-        .agg(F.count("*").cast("bigint").alias("order_count"))
-    )
-
-
-# ===========================================================================
-# TPC-H Q7 (volume shipping) — bidirectional nation-pair trade flows:
-# lineitem ⋈ supplier ⋈ orders ⋈ customer with BOTH nation dims filtered
-# to the pair before the fact join (the implied-predicate rewrite: the
-# disjunction (A,B)|(B,A) implies n∈{A,B} on each side, which broadcasts
-# two 2-row dims instead of carrying the OR through the big join).
-# Revenue in exact cents per (supp_nation, cust_nation, year).
-# ===========================================================================
-
-@_register(
-    "q7_nation_volume",
-    """
-    SELECT supp_nation, cust_nation, l_year,
-           CAST(sum(cents) AS BIGINT) AS revenue_cents
-    FROM (
-      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-             CAST(year(l_shipdate) AS INT) AS l_year,
-             CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5)
-                  AS BIGINT) AS cents
-      FROM supplier, lineitem, orders, customer, nation n1, nation n2
-      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
-        AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
-        AND c_nationkey = n2.n_nationkey
-        AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
-          OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
-    )
-    GROUP BY supp_nation, cust_nation, l_year
-    """,
-    "warehouse: TPC-H Q7 nation-pair trade volume (implied-predicate "
-    "dim prefilter, broadcast dims)",
-    "revenue between NATION_3 and NATION_8 per direction and ship year, "
-    "exact cents",
-)
-def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pair = ("NATION_3", "NATION_8")
-    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair))
-    supp = (
-        _t(spark, sf_dir, "supplier")
-        .join(
-            F.broadcast(
-                nat.select(
-                    F.col("n_nationkey").alias("s_nationkey"),
-                    F.col("n_name").alias("supp_nation"),
-                )
-            ),
-            "s_nationkey",
-        )
-        .select("s_suppkey", "supp_nation")
-    )
-    cust = (
-        _t(spark, sf_dir, "customer")
-        .join(
-            F.broadcast(
-                nat.select(
-                    F.col("n_nationkey").alias("c_nationkey"),
-                    F.col("n_name").alias("cust_nation"),
-                )
-            ),
-            "c_nationkey",
-        )
-        .select("c_custkey", "cust_nation")
-    )
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey",
-        "l_suppkey",
-        F.year("l_shipdate").cast("int").alias("l_year"),
-        _cents(
-            F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
-        ).alias("cents"),
-    )
-    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    return (
-        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
-        .filter(F.col("supp_nation") != F.col("cust_nation"))
-        .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.sum("cents").cast("bigint").alias("revenue_cents"))
-    )
-
-
-# ===========================================================================
-# TPC-H Q10 (returned-item reporting) — revenue lost to returns per
-# customer over a quarter: date-windowed orders ⋈ returnflag-filtered
-# lineitem ⋈ customer ⋈ broadcast nation, grouped top-20. Both selective
-# filters push to their scans; the group key carries the customer attrs
-# so no second join back. Account balance in exact cents (group key and
-# output both — engine-identical).
-# ===========================================================================
-
-@_register(
-    "q10_returned_items",
-    """
-    SELECT c_custkey, c_name,
-           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0
-                               + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
-           CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS acctbal_cents,
-           n_name
-    FROM customer, orders, lineitem, nation
-    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
-      AND o_orderdate >= TIMESTAMP '1997-01-01'
-      AND o_orderdate < TIMESTAMP '1997-04-01'
-      AND l_returnflag = 'R' AND c_nationkey = n_nationkey
-    GROUP BY c_custkey, c_name,
-             CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT), n_name
-    ORDER BY revenue_cents DESC, c_custkey
-    LIMIT 20
-    """,
-    "warehouse: TPC-H Q10 returned-item reporting (selective fact "
-    "filters, broadcast dim, grouped top-k)",
-    "top 20 customers by returned-line revenue in 1997Q1, exact cents, "
-    "pinned tiebreak",
-)
-def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lo = F.lit("1997-01-01").cast("timestamp_ntz")
-    hi = F.lit("1997-04-01").cast("timestamp_ntz")
-    orders = (
-        _t(spark, sf_dir, "orders")
-        .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
-        .select("o_orderkey", "o_custkey")
-    )
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .filter(F.col("l_returnflag") == "R")
-        .select(
-            "l_orderkey",
-            _cents(
-                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
-            ).alias("cents"),
-        )
-    )
-    cust = _t(spark, sf_dir, "customer").select(
-        "c_custkey",
-        "c_name",
-        _cents(F.col("c_acctbal")).alias("acctbal_cents"),
-        "c_nationkey",
-    )
-    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    return (
-        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
-        .groupBy("c_custkey", "c_name", "acctbal_cents", "n_name")
-        .agg(F.sum("cents").cast("bigint").alias("revenue_cents"))
-        .select(
-            "c_custkey", "c_name", "revenue_cents", "acctbal_cents", "n_name"
-        )
-        .orderBy(F.desc("revenue_cents"), "c_custkey")
-        .limit(20)
-    )
-
-
-# ===========================================================================
-# TPC-H Q14 (promotion effect) — conditional-aggregate share: one
-# fact ⋈ dim join for a ship-month window, promo revenue as a CASE-gated
-# sum over the same pass (no second scan, no self-join). The share is a
-# single exact-int division. This is the map-side-combinable form of
-# "percent of revenue from X".
-# ===========================================================================
-
-@_register(
-    "q14_promo_type_share",
-    f"""
-    SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END)
-                AS BIGINT) AS promo_cents,
-           CAST(sum(cents) AS BIGINT) AS total_cents,
-           {_sql_r("CAST(sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END) AS DOUBLE) / CAST(sum(cents) AS DOUBLE)", 9)} AS promo_share
-    FROM (SELECT p_type,
-                 CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5)
-                      AS BIGINT) AS cents
-          FROM lineitem JOIN part ON l_partkey = p_partkey
-          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-            AND l_shipdate < TIMESTAMP '1997-04-01')
-    """,
-    "warehouse: TPC-H Q14 promotion share (conditional aggregate over "
-    "one fact-dim pass)",
-    "PROMO-type share of 1997Q1 revenue: exact promo/total cents + "
-    "rounded share, single row",
-)
-def q14_promo_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lo = F.lit("1997-01-01").cast("timestamp_ntz")
-    hi = F.lit("1997-04-01").cast("timestamp_ntz")
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
-        .select(
-            "l_partkey",
-            _cents(
-                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
-            ).alias("cents"),
-        )
-    )
-    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
-    promo = F.sum(
-        F.when(F.col("p_type") == "PROMO", F.col("cents")).otherwise(0)
-    ).cast("bigint")
-    total = F.sum("cents").cast("bigint")
-    return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .agg(
-            promo.alias("promo_cents"),
-            total.alias("total_cents"),
-            _r(
-                promo.cast("double") / total.cast("double"), 9
-            ).alias("promo_share"),
-        )
-    )
-
-
-# ===========================================================================
-# TPC-H Q15 (top supplier) — aggregate, take the max, join back on
-# equality: the scalar-subquery pattern. The per-supplier revenue
-# aggregate is computed ONCE; its 1-row max re-aggregate broadcasts back
-# over it (AQE reuses the shuffle stage for both subtrees), and exact
-# integer cents make the max-equality deterministic — the float version
-# of this query can return different winners per engine.
-# ===========================================================================
-
-@_register(
-    "q15_top_supplier",
-    """
-    WITH rev AS (
-      SELECT l_suppkey,
-             CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0
-                                 + 0.5) AS BIGINT)) AS BIGINT)
-               AS total_rev_cents
-      FROM lineitem
-      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-        AND l_shipdate < TIMESTAMP '1997-04-01'
-      GROUP BY l_suppkey)
-    SELECT s_suppkey, s_name, total_rev_cents
-    FROM supplier JOIN rev ON s_suppkey = l_suppkey
-    WHERE total_rev_cents = (SELECT max(total_rev_cents) FROM rev)
-    """,
-    "warehouse: TPC-H Q15 top supplier (scalar-max subquery over a "
-    "reused aggregate)",
-    "supplier(s) with the maximum 1997Q1 revenue, exact-cents "
-    "deterministic max",
-)
-def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lo = F.lit("1997-01-01").cast("timestamp_ntz")
-    hi = F.lit("1997-04-01").cast("timestamp_ntz")
-    rev = (
-        _t(spark, sf_dir, "lineitem")
-        .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
-        .groupBy("l_suppkey")
-        .agg(
-            F.sum(
-                _cents(
-                    F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
-                )
-            )
-            .cast("bigint")
-            .alias("total_rev_cents")
-        )
-    )
-    mx = rev.agg(F.max("total_rev_cents").alias("__mx"))
-    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    return (
-        rev.crossJoin(F.broadcast(mx))
-        .filter(F.col("total_rev_cents") == F.col("__mx"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .select("s_suppkey", "s_name", "total_rev_cents")
-    )
-
-
-# ===========================================================================
-# TPC-H Q18 (large-volume customers) — the groupBy-HAVING-IN pattern:
-# find orders whose total quantity clears a threshold (one aggregate over
-# lineitem), semi-join orders down to that set, then re-aggregate with
-# customer context. The heavy-orders set is tiny (99.9th-pctile
-# threshold) so the semi-join broadcasts; the second lineitem pass
-# re-aggregates only surviving orders. Quantities are integral doubles —
-# their sums are exact, so the bigint cast is engine-identical.
-# ===========================================================================
-
-@_register(
-    "q18_large_volume_customers",
-    """
-    SELECT c_custkey, o_orderkey,
-           CAST(epoch_us(o_orderdate) // 1000000 AS BIGINT) AS order_date_s,
-           CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
-             AS total_price_cents,
-           CAST(sum(l_quantity) AS BIGINT) AS sum_qty
-    FROM customer, orders, lineitem
-    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
-                         GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
-      AND c_custkey = o_custkey AND o_orderkey = l_orderkey
-    GROUP BY c_custkey, o_orderkey, o_orderdate,
-             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
-    """,
-    "warehouse: TPC-H Q18 large-volume customers (HAVING-IN -> broadcast "
-    "semi-join of a tiny heavy set)",
-    "orders with >300 total quantity, with customer key, date, exact "
-    "price cents and quantity sum",
-)
-def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
-    heavy = (
-        li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("__q"))
-        .filter(F.col("__q") > 300)
-        .select("l_orderkey")
-    )
-    orders = _t(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_custkey",
-        _epoch_s(F.col("o_orderdate")).alias("order_date_s"),
-        _cents(F.col("o_totalprice")).alias("total_price_cents"),
-    )
-    cust = _t(spark, sf_dir, "customer").select("c_custkey")
-    kept = orders.join(
-        F.broadcast(heavy),
-        F.col("o_orderkey") == F.col("l_orderkey"),
-        "left_semi",
-    )
-    return (
-        li.join(
-            F.broadcast(kept), F.col("l_orderkey") == F.col("o_orderkey")
-        )
-        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy(
-            "c_custkey", "o_orderkey", "order_date_s", "total_price_cents"
-        )
-        .agg(F.sum("l_quantity").cast("bigint").alias("sum_qty"))
-    )
-
-
-# ===========================================================================
-# TPC-H Q19 (discounted revenue) — disjunctive predicate pushdown: the
-# OR-of-ANDs over (brand, size, quantity) stays a join-time filter, but
-# its IMPLIED conjunctions (brand ∈ {...}, size ≤ 35, qty ∈ [1,30]) are
-# derived manually and pushed to both scans — the classic Q19 rewrite
-# that turns "read everything, filter after join" into two pruned scans.
-# ===========================================================================
-
-@_register(
-    "q19_disjunctive_pricing",
-    """
-    SELECT CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0
-                               + 0.5) AS BIGINT)) AS BIGINT)
-             AS revenue_cents,
-           CAST(count(*) AS BIGINT) AS n_lines
-    FROM lineitem JOIN part ON p_partkey = l_partkey
-    WHERE (p_brand = 'Brand#5' AND p_size BETWEEN 1 AND 15
-           AND l_quantity BETWEEN 1 AND 11)
-       OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 25
-           AND l_quantity BETWEEN 10 AND 20)
-       OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 35
-           AND l_quantity BETWEEN 20 AND 30)
-    """,
-    "warehouse: TPC-H Q19 disjunctive predicates (implied-conjunction "
-    "pushdown to both scans)",
-    "revenue + line count under an OR-of-ANDs over brand/size/quantity",
-)
-def q19_disjunctive_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    brands = ("Brand#5", "Brand#12", "Brand#19")
-    part = (
-        _t(spark, sf_dir, "part")
-        # implied by the disjunction: brand ∈ brands, size ≤ 35
-        .filter(F.col("p_brand").isin(*brands) & (F.col("p_size") <= 35))
-        .select("p_partkey", "p_brand", "p_size")
-    )
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        # implied: 1 ≤ quantity ≤ 30
-        .filter(F.col("l_quantity").between(1, 30))
-        .select(
-            "l_partkey",
-            "l_quantity",
-            _cents(
-                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
-            ).alias("cents"),
-        )
-    )
-    cond = (
-        (
-            (F.col("p_brand") == brands[0])
-            & F.col("p_size").between(1, 15)
-            & F.col("l_quantity").between(1, 11)
-        )
-        | (
-            (F.col("p_brand") == brands[1])
-            & F.col("p_size").between(1, 25)
-            & F.col("l_quantity").between(10, 20)
-        )
-        | (
-            (F.col("p_brand") == brands[2])
-            & F.col("p_size").between(1, 35)
-            & F.col("l_quantity").between(20, 30)
-        )
-    )
-    return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .filter(cond)
-        .agg(
-            F.sum("cents").cast("bigint").alias("revenue_cents"),
-            F.count("*").cast("bigint").alias("n_lines"),
-        )
-    )
-
-
-# ===========================================================================
-# Triangle counting over a kNN-sparsified co-occurrence graph. Raw
-# co-occurrence graphs SATURATE: the supplier co-supply graph is complete
-# at every testdata SF (measured), so counting triangles on it directly
-# is Θ(n³) — a scale-killer. The honest 100 TB form sparsifies first:
-# keep each node's top-k strongest edges (weight desc, partner asc —
-# pinned), which bounds degree at 2k and makes the wedge join linear in
-# nodes forever. Then the oriented (a<b<c) wedge join + closure probe
-# counts each triangle exactly once. operators/graph.py:knn_sparsify /
-# triangle_counts.
-# ===========================================================================
-
-@_register(
-    "triangle_knn_cosupply",
-    """
-    WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
-    w AS (SELECT a.l_suppkey AS s1, b.l_suppkey AS s2,
-                 CAST(count(*) AS BIGINT) AS w
-          FROM os a JOIN os b
-            ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
-          GROUP BY a.l_suppkey, b.l_suppkey),
-    kept AS (SELECT s1, s2 FROM (
-               SELECT s1, s2,
-                      row_number() OVER (PARTITION BY s1
-                                         ORDER BY w DESC, s2) AS rn
-               FROM w)
-             WHERE rn <= 5),
-    e AS (SELECT DISTINCT least(s1, s2) AS a, greatest(s1, s2) AS b
-          FROM kept),
-    tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
-            FROM e e1
-            JOIN e e2 ON e2.a = e1.b
-            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
-    SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
-    FROM (SELECT x AS node FROM tri
-          UNION ALL SELECT y FROM tri
-          UNION ALL SELECT z FROM tri)
-    GROUP BY node
-    """,
-    "graph: triangle counts over a kNN-sparsified co-supply graph "
-    "(degree cap -> linear wedge join)",
-    "per-supplier triangle participation in the top-5-strongest-edge "
-    "co-supply graph",
-)
-def triangle_knn_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.graph import (
-        knn_sparsify,
-        triangle_counts,
-    )
-
-    os_ = (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
-    a = os_.select(
-        F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("src")
-    )
-    b = os_.select(
-        F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("dst")
-    )
-    weighted = (
-        a.join(b, "k")
-        .filter(F.col("src") != F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count("*").cast("bigint").alias("w"))
-    )
-    return triangle_counts(knn_sparsify(weighted, k=5))
-
-
-# ===========================================================================
-# Per-key OLS trend — grouped linear regression from EXACT integer
-# moments: x = truncated epoch-hours (bigint), y = exact cents; the five
-# sufficient statistics (n, Σx, Σy, Σxy, Σx²) are bigint sums, so the
-# slope/intercept doubles derive from identical integers on every engine
-# and partition order — unlike regr_slope(), whose float accumulation
-# order is engine- and partition-dependent. One map-side-combined
-# aggregate, no window, no shuffle beyond the groupBy.
-# ===========================================================================
-
-@_register(
-    "user_trend_ols",
-    f"""
-    WITH b AS (
-      SELECT user_id,
-             (epoch_us(ts)
-              - epoch_us(TIMESTAMP '2024-01-01')) // 3600000000 AS xh,
-             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS yc
-      FROM events
-    ), s AS (
-      SELECT user_id,
-             CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(xh) AS BIGINT) AS sx,
-             CAST(sum(yc) AS BIGINT) AS sy,
-             CAST(sum(xh * yc) AS BIGINT) AS sxy,
-             CAST(sum(xh * xh) AS BIGINT) AS sx2
-      FROM b GROUP BY user_id
-    )
-    SELECT user_id, n AS n_events,
-           {_sql_r("CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sx2 - sx * sx AS DOUBLE)", 9)} AS slope_cents_per_hour,
-           {_sql_r("(CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sx2 - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)", 9)} AS intercept_cents
-    FROM s
-    WHERE n >= 2 AND n * sx2 - sx * sx <> 0
-    """,
-    "ML: grouped OLS trend from exact integer moments (deterministic "
-    "regr_slope)",
-    "per-user value trend (cents/hour) over event time, slope + "
-    "intercept from bigint sufficient statistics",
-)
-def user_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = _epoch_us(F.lit("2024-01-01 00:00:00").cast("timestamp_ntz"))
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id",
-        _fdiv(_epoch_us(F.col("ts")) - base, 3_600_000_000).alias("xh"),
-        _cents(F.col("value")).alias("yc"),
-    )
-    s = ev.groupBy("user_id").agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("xh").cast("long").alias("sx"),
-        F.sum("yc").cast("long").alias("sy"),
-        F.sum(F.col("xh") * F.col("yc")).cast("long").alias("sxy"),
-        F.sum(F.col("xh") * F.col("xh")).cast("long").alias("sx2"),
-    )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
-        "double"
-    )
-    den = (F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")).cast(
-        "double"
-    )
-    slope = num / den
-    intercept = (
-        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
-    ) / F.col("n").cast("double")
-    return (
-        s.filter(
-            (F.col("n") >= 2)
-            & (F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx") != 0)
-        )
-        .select(
-            "user_id",
-            F.col("n").alias("n_events"),
-            _r(slope, 9).alias("slope_cents_per_hour"),
-            _r(intercept, 9).alias("intercept_cents"),
-        )
-    )
-
-
-# ===========================================================================
-# Robust outlier detection — per-group median + MAD with EXACT
-# distributed medians: the middle ranks ((cnt+1) DIV 2, (cnt+2) DIV 2)
-# of a pinned total order, averaged (a 2-element sum — FP-commutative,
-# engine-identical), once over values and once over absolute deviations.
-# Built-in median()/percentile() interpolate differently per engine;
-# this explicit form hash-matches. Cost: two per-group sort-windows —
-# the exact path; the 100 TB approximate path is the battery's
-# the GK percentile summary (approx_percentile_verified). Flags |v − med| > 3·MAD.
-# ===========================================================================
-
-@_register(
-    "mad_outlier_events",
-    """
-    WITH r AS (
-      SELECT event_type, CAST(value AS DOUBLE) AS v, event_id,
-             row_number() OVER (PARTITION BY event_type
-                                ORDER BY value, event_id) AS rn,
-             count(*) OVER (PARTITION BY event_type) AS cnt
-      FROM events
-    ), med AS (
-      SELECT event_type, avg(v) AS med
-      FROM r WHERE rn IN ((cnt + 1) // 2, (cnt + 2) // 2)
-      GROUP BY event_type
-    ), d AS (
-      SELECT r.event_type, r.v, abs(r.v - med.med) AS ad, med.med AS med,
-             row_number() OVER (PARTITION BY r.event_type
-                                ORDER BY abs(r.v - med.med), r.v,
-                                         r.event_id) AS arn,
-             count(*) OVER (PARTITION BY r.event_type) AS cnt
-      FROM r JOIN med ON r.event_type = med.event_type
-    ), mad AS (
-      SELECT event_type, avg(ad) AS mad
-      FROM d WHERE arn IN ((cnt + 1) // 2, (cnt + 2) // 2)
-      GROUP BY event_type
-    )
-    SELECT d.event_type,
-           CAST(count(*) AS BIGINT) AS n_events,
-           floor(min(d.med) * 1000000.0 + 0.5) / 1000000.0 AS median_value,
-           floor(min(mad.mad) * 1000000.0 + 0.5) / 1000000.0 AS mad,
-           CAST(sum(CASE WHEN d.ad > 3 * mad.mad THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_outliers
-    FROM d JOIN mad ON d.event_type = mad.event_type
-    GROUP BY d.event_type
-    """,
-    "quality: per-group robust outliers via exact distributed "
-    "median + MAD (middle-rank windows)",
-    "per event_type: exact median, MAD, and |v-med| > 3*MAD outlier "
-    "count over events.value",
-)
-def mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events").select(
-        "event_type", F.col("value").cast("double").alias("v"), "event_id"
-    )
-    wp = Window.partitionBy("event_type")
-    r = ev.withColumn(
-        "rn", F.row_number().over(wp.orderBy("v", "event_id"))
-    ).withColumn("cnt", F.count("*").over(wp))
-    mid = (F.col("rn") == F.expr("(cnt + 1) DIV 2")) | (
-        F.col("rn") == F.expr("(cnt + 2) DIV 2")
-    )
-    med = (
-        r.filter(mid)
-        .groupBy("event_type")
-        .agg(F.avg("v").alias("med"))
-    )
-    d = (
-        r.join(F.broadcast(med), "event_type")
-        .withColumn("ad", F.abs(F.col("v") - F.col("med")))
-        .withColumn(
-            "arn", F.row_number().over(wp.orderBy("ad", "v", "event_id"))
-        )
-    )
-    amid = (F.col("arn") == F.expr("(cnt + 1) DIV 2")) | (
-        F.col("arn") == F.expr("(cnt + 2) DIV 2")
-    )
-    mad = (
-        d.filter(amid)
-        .groupBy("event_type")
-        .agg(F.avg("ad").alias("mad"))
-    )
-    return (
-        d.join(F.broadcast(mad), "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.count("*").cast("bigint").alias("n_events"),
-            _r(F.min("med"), 6).alias("median_value"),
-            _r(F.min("mad"), 6).alias("mad"),
-            F.sum(
-                F.when(F.col("ad") > 3 * F.col("mad"), 1).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("n_outliers"),
-        )
-    )
-
-
-# ===========================================================================
-# 7-day rolling distinct actives — windowed COUNT(DISTINCT) has no
-# window-function form in either engine; the scalable EXACT shape is a
-# calendar join: distinct (user, day) pairs ⋈ the (tiny, broadcastable)
-# day dimension on a 7-day band, then count-distinct per day. Each
-# user-day lands in ≤7 calendar rows, so candidate volume is 7× the
-# user-day count — linear forever, no window over the raw stream. The
-# approximate path at 100 TB is per-day HLL registers merged over the
-# window (hll_group_registers is the battery's register-merge form).
-# ===========================================================================
-
-@_register(
-    "rolling_active_users_7d",
-    """
-    WITH dd AS (SELECT DISTINCT date_trunc('day', ts) AS d FROM events),
-    ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events)
-    SELECT CAST(epoch_us(dd.d) // 1000000 AS BIGINT) AS day_s,
-           CAST(count(DISTINCT ud.user_id) AS BIGINT) AS active_users_7d
-    FROM dd JOIN ud
-      ON ud.d >= dd.d - INTERVAL 6 DAY AND ud.d <= dd.d
-    GROUP BY dd.d
-    """,
-    "analytics: exact 7-day rolling distinct actives via calendar band "
-    "join (no windowed COUNT DISTINCT exists)",
-    "per day: distinct users active in the trailing 7 days",
-)
-def rolling_active_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    ud = ev.select(
-        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
-    ).distinct()
-    dd = ud.select(F.col("d").alias("cal_d")).distinct()
-    band = (F.col("d") >= F.col("cal_d") - F.expr("INTERVAL 6 DAYS")) & (
-        F.col("d") <= F.col("cal_d")
-    )
-    return (
-        ud.join(F.broadcast(dd), band)
-        .groupBy("cal_d")
-        .agg(F.countDistinct("user_id").cast("bigint").alias("active_users_7d"))
-        .select(_epoch_s(F.col("cal_d")).alias("day_s"), "active_users_7d")
-    )
-
-
-# ===========================================================================
-# Pareto / cumulative-share report — running share over an AGGREGATED
-# key list: the window sorts |suppliers| rows (orders of magnitude below
-# the fact table at every scale), never the raw scan. The 80% cut uses
-# pure integer arithmetic (100·cum ≤ 80·total) so the flag is exact on
-# every engine — a float threshold would flip on boundary keys.
-# ===========================================================================
-
-@_register(
-    "pareto_supplier_share",
-    f"""
-    WITH rev AS (
-      SELECT l_suppkey,
-             CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0
-                                 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
-      FROM lineitem GROUP BY l_suppkey),
-    t AS (SELECT CAST(sum(rev_cents) AS BIGINT) AS total FROM rev),
-    c AS (SELECT l_suppkey, rev_cents,
-                 CAST(sum(rev_cents) OVER (ORDER BY rev_cents DESC,
-                                           l_suppkey) AS BIGINT) AS cum_cents
-          FROM rev)
-    SELECT l_suppkey, rev_cents, cum_cents,
-           {_sql_r("CAST(cum_cents AS DOUBLE) / CAST(total AS DOUBLE)", 9)}
-             AS cum_share,
-           CAST(CASE WHEN 100 * cum_cents <= 80 * total THEN 1 ELSE 0 END
-                AS INT) AS in_top80
-    FROM c, t
-    """,
-    "analytics: Pareto cumulative revenue share with exact integer 80% "
-    "cut (window over the aggregate, not the scan)",
-    "suppliers by revenue: running cents, cumulative share, integer-exact "
-    "top-80% flag",
-)
-def pareto_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    rev = (
-        _t(spark, sf_dir, "lineitem")
-        .groupBy("l_suppkey")
-        .agg(
-            F.sum(
-                _cents(
-                    F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
-                )
-            )
-            .cast("bigint")
-            .alias("rev_cents")
-        )
-    )
-    total = rev.agg(F.sum("rev_cents").cast("bigint").alias("total"))
-    # r7: the supplier table scales, so the revenue cumsum is the
-    # distributed two-phase running sum (per-range-partition prefix +
-    # broadcast sum offsets), not a one-task sort of every supplier
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import (
-        global_running_sum,
-    )
-
-    cum = global_running_sum(
-        rev,
-        [F.col("rev_cents").desc(), F.col("l_suppkey")],
-        "rev_cents",
-        out_col="cum_cents",
-        cache_role="pareto_cumsum",
-    ).withColumn("cum_cents", F.col("cum_cents").cast("bigint"))
-    return (
-        cum.crossJoin(F.broadcast(total))
-        .select(
-            "l_suppkey",
-            "rev_cents",
-            "cum_cents",
-            _r(
-                F.col("cum_cents").cast("double")
-                / F.col("total").cast("double"),
-                9,
-            ).alias("cum_share"),
-            F.when(
-                100 * F.col("cum_cents") <= 80 * F.col("total"), 1
-            )
-            .otherwise(0)
-            .cast("int")
-            .alias("in_top80"),
-        )
-    )
-
-
-# ===========================================================================
-# Event-transition matrix — first-order Markov model of user behavior:
-# lead() per user gives (from → to) bigrams, one aggregate gives counts,
-# and the row-conditional probability is a windowed sum OVER THE
-# AGGREGATE (|event_type|² rows), not the stream. The per-user window
-# and the groupBy share the user-id-free shuffle only at the tiny
-# matrix stage; transition probability is exact-int / exact-int.
-# ===========================================================================
-
-@_register(
-    "event_transition_matrix",
-    f"""
-    WITH seq AS (
-      SELECT event_type,
-             lead(event_type) OVER (PARTITION BY user_id
-                                    ORDER BY ts, event_id) AS next_type
-      FROM events)
-    SELECT event_type AS from_type, next_type AS to_type,
-           CAST(count(*) AS BIGINT) AS n,
-           {_sql_r("CAST(count(*) AS DOUBLE) / CAST(sum(count(*)) OVER (PARTITION BY event_type) AS DOUBLE)", 9)} AS p
-    FROM seq WHERE next_type IS NOT NULL
-    GROUP BY event_type, next_type
-    """,
-    "analytics: first-order Markov transition matrix (lead bigrams + "
-    "conditional probabilities over the aggregate)",
-    "(from, to) event-type transition counts and row-conditional "
-    "probabilities",
-)
-def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    seq = _t(spark, sf_dir, "events").select(
-        "event_type",
-        F.lead("event_type")
-        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
-        .alias("next_type"),
-    )
-    counts = (
-        seq.filter(F.col("next_type").isNotNull())
-        .groupBy(
-            F.col("event_type").alias("from_type"),
-            F.col("next_type").alias("to_type"),
-        )
-        .agg(F.count("*").cast("bigint").alias("n"))
-    )
-    wrow = Window.partitionBy("from_type")
-    return counts.select(
-        "from_type",
-        "to_type",
-        "n",
-        _r(
-            F.col("n").cast("double")
-            / F.sum("n").over(wrow).cast("double"),
-            9,
-        ).alias("p"),
-    )
-
-
-# ===========================================================================
-# Unpivot / melt — the inverse of the battery's pivot entry: a grouped
-# aggregate reshaped long. Spark's native `unpivot` (Arrow-free, pure
-# JVM Expand) over the 5-row aggregate; the oracle spells the same
-# reshape as UNION ALL, the engine-portable form. Melt AFTER aggregating
-# — melting the raw fact table first would triple the shuffle volume.
-# ===========================================================================
-
-@_register(
-    "unpivot_order_measures",
-    """
-    WITH a AS (
-      SELECT o_orderpriority,
-             CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
-                  AS BIGINT) AS sum_cents,
-             CAST(count(*) AS BIGINT) AS n_orders,
-             CAST(max(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
-                  AS BIGINT) AS max_cents
-      FROM orders GROUP BY o_orderpriority)
-    SELECT o_orderpriority, 'sum_cents' AS metric, sum_cents AS value FROM a
-    UNION ALL
-    SELECT o_orderpriority, 'n_orders', n_orders FROM a
-    UNION ALL
-    SELECT o_orderpriority, 'max_cents', max_cents FROM a
-    """,
-    "reshape: unpivot/melt of a grouped aggregate (inverse of "
-    "pivot_event_cents)",
-    "per-priority order measures melted to (priority, metric, value) "
-    "long form",
-)
-def unpivot_order_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    a = (
-        _t(spark, sf_dir, "orders")
-        .groupBy("o_orderpriority")
-        .agg(
-            F.sum(_cents(F.col("o_totalprice")))
-            .cast("bigint")
-            .alias("sum_cents"),
-            F.count("*").cast("bigint").alias("n_orders"),
-            F.max(_cents(F.col("o_totalprice")))
-            .cast("bigint")
-            .alias("max_cents"),
-        )
-    )
-    return a.unpivot(
-        ids=["o_orderpriority"],
-        values=["sum_cents", "n_orders", "max_cents"],
-        variableColumnName="metric",
-        valueColumnName="value",
-    )
-
-
-# ===========================================================================
-# Last-touch attribution — for every purchase, the most recent preceding
-# click by the same user within 24h: a running CASE-gated window max
-# (the event-stream form of an as-of join — one shuffle on user_id, no
-# self-join, no range explosion). Attribution flag and latency derive
-# from exact microsecond arithmetic.
-# ===========================================================================
-
-@_register(
-    "purchase_click_attribution",
-    """
-    WITH w AS (
-      SELECT user_id, event_id, event_type, ts,
-             max(CASE WHEN event_type = 'click' THEN ts END)
-               OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-               AS last_click_ts
-      FROM events)
-    SELECT event_id, user_id,
-           CAST(epoch_us(ts) // 1000000 AS BIGINT) AS purchase_ts_s,
-           CAST(CASE WHEN last_click_ts IS NOT NULL
-                      AND epoch_us(ts) - epoch_us(last_click_ts)
-                          <= 86400000000 THEN 1 ELSE 0 END AS INT)
-             AS attributed,
-           CASE WHEN last_click_ts IS NOT NULL
-                 AND epoch_us(ts) - epoch_us(last_click_ts) <= 86400000000
-                THEN CAST((epoch_us(ts) - epoch_us(last_click_ts))
-                          // 60000000 AS BIGINT)
-                ELSE NULL END AS mins_since_click
-    FROM w WHERE event_type = 'purchase'
-    """,
-    "analytics: last-touch purchase attribution via CASE-gated running "
-    "window max (as-of join without a join)",
-    "per purchase: whether a same-user click precedes it within 24h, and "
-    "the minutes since that click",
-)
-def purchase_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id", "event_id", "event_type", "ts"
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    last_click = F.max(
-        F.when(F.col("event_type") == "click", F.col("ts"))
-    ).over(w)
-    lag_us = _epoch_us(F.col("ts")) - _epoch_us(F.col("last_click_ts"))
-    within = F.col("last_click_ts").isNotNull() & (
-        lag_us <= 86_400_000_000
-    )
-    return (
-        ev.withColumn("last_click_ts", last_click)
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            "event_id",
-            "user_id",
-            _epoch_s(F.col("ts")).alias("purchase_ts_s"),
-            F.when(within, 1).otherwise(0).cast("int").alias("attributed"),
-            F.when(within, _fdiv(lag_us, 60_000_000)).alias(
-                "mins_since_click"
-            ),
-        )
-    )
-
-
-# ===========================================================================
-# Hierarchy closure — root + depth for every node of a forest: the
-# distributed form of WITH RECURSIVE. The oracle walks the chain row by
-# row (the recursive CTE); the engine POINTER-DOUBLES
-# (operators/graph.py:tree_roots): each round composes the
-# ancestor-distance state with itself, so a depth-D hierarchy converges
-# in ⌈log₂D⌉ shuffles, not D — at a 100 TB dimension with depth 20
-# that's 5 rounds instead of 20. The decimal-digit parent function
-# (custkey DIV 10) is the deterministic hierarchy the testdata affords;
-# the operator itself takes any (child, parent) edge table.
-# ===========================================================================
-
-@_register(
-    "hierarchy_root_depth",
-    """
-    WITH RECURSIVE walk AS (
-      SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth FROM customer
-      UNION ALL
-      SELECT node, cur // 10, depth + 1 FROM walk WHERE cur >= 10
-    )
-    SELECT node AS c_custkey, CAST(cur AS BIGINT) AS root,
-           CAST(depth AS INT) AS depth
-    FROM walk WHERE cur < 10
-    """,
-    "graph: hierarchy closure via pointer doubling (log-depth rounds vs "
-    "the recursive CTE's linear walk)",
-    "root and exact depth per customer in the digit-prefix hierarchy "
-    "(parent = custkey DIV 10)",
-)
-def hierarchy_root_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.graph import tree_roots
-
-    parents = _t(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("child"),
-        F.when(
-            F.col("c_custkey") >= 10, F.expr("c_custkey DIV 10")
-        ).alias("parent"),
-    )
-    return tree_roots(parents, max_doublings=5).select(
-        F.col("node").alias("c_custkey"), "root", "depth"
-    )
-
-
-# ===========================================================================
-# TPC-H Q8 (national market share) — the 6-table star-join ratio query:
-# per order year, the revenue share supplied by one nation to one
-# region's customers for one part type. The region filter broadcasts
-# through nation onto customer; the part-type and date-range predicates
-# push to their scans; everything money is exact cents so the share's
-# numerator/denominator are engine-identical bigints. Scale: one fact
-# scan, dims join on their keys (nation broadcast; the rest hash —
-# supplier/part/customer all grow with SF, so no broadcast hint that a
-# 100 TB run would have to undo).
-# ===========================================================================
-
-@_register(
-    "q8_nation_market_share",
-    f"""
-    WITH vol AS (
-      SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
-             CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100.0 + 0.5)
-                  AS BIGINT) AS vol_cents,
-             s.s_nationkey AS supp_nation
-      FROM lineitem l
-      JOIN orders o ON l.l_orderkey = o.o_orderkey
-      JOIN customer c ON o.o_custkey = c.c_custkey
-      JOIN nation n ON c.c_nationkey = n.n_nationkey
-      JOIN supplier s ON l.l_suppkey = s.s_suppkey
-      JOIN part p ON l.l_partkey = p.p_partkey
-      WHERE n.n_regionkey = 0
-        AND p.p_type = 'PROMO'
-        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
-        AND o.o_orderdate < TIMESTAMP '1998-01-01')
-    SELECT o_year,
-           CAST(sum(CASE WHEN supp_nation = 3 THEN vol_cents ELSE 0 END)
-                AS BIGINT) AS nation_cents,
-           CAST(sum(vol_cents) AS BIGINT) AS total_cents,
-           {_sql_r('1.0 * sum(CASE WHEN supp_nation = 3 THEN vol_cents ELSE 0 END) / sum(vol_cents)', 9)}
-             AS mkt_share
-    FROM vol GROUP BY o_year
-    """,
-    "warehouse: TPC-H Q8 national market share (6-table star join, "
-    "exact-cents ratio)",
-    "per order year: nation 3's revenue share of region 0's PROMO-part "
-    "purchases, 1996-1997",
-)
-def q8_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lo = F.lit("1996-01-01").cast("timestamp_ntz")
-    hi = F.lit("1998-01-01").cast("timestamp_ntz")
-    nat = (
-        _t(spark, sf_dir, "nation")
-        .filter(F.col("n_regionkey") == 0)
-        .select("n_nationkey")
-    )
-    cust = (
-        _t(spark, sf_dir, "customer")
-        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
-        .select("c_custkey")
-    )
-    orders = (
-        _t(spark, sf_dir, "orders")
-        .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
-        .select(
-            "o_orderkey",
-            "o_custkey",
-            F.year("o_orderdate").cast("int").alias("o_year"),
-        )
-    )
-    part = (
-        _t(spark, sf_dir, "part")
-        .filter(F.col("p_type") == "PROMO")
-        .select("p_partkey")
-    )
-    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey",
-        "l_partkey",
-        "l_suppkey",
-        _cents(
-            F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
-        ).alias("vol_cents"),
-    )
-    j = (
-        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
-        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
-        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
-    )
-    nation_cents = F.sum(
-        F.when(F.col("s_nationkey") == 3, F.col("vol_cents")).otherwise(0)
-    )
-    total = F.sum("vol_cents")
-    return j.groupBy("o_year").agg(
-        nation_cents.cast("bigint").alias("nation_cents"),
-        total.cast("bigint").alias("total_cents"),
-        _r(nation_cents.cast("double") / total, 9).alias("mkt_share"),
-    )
-
-
-# ===========================================================================
-# TPC-H Q13 (customer order-count distribution) — the canonical outer-join
-# histogram: LEFT JOIN so zero-order customers keep a 0 bucket, the join
-# filter lives in the ON clause (pushed below the join as a right-side
-# prefilter — identical semantics for LEFT OUTER), then a two-level
-# aggregate whose second level is |distinct counts| rows. Scale: one
-# shuffle on the join key, one on the (tiny) count value.
-# ===========================================================================
-
-@_register(
-    "q13_order_count_distribution",
-    """
-    WITH c_orders AS (
-      SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
-      FROM customer c LEFT JOIN orders o
-        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
-      GROUP BY c.c_custkey)
-    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
-    FROM c_orders GROUP BY c_count
-    """,
-    "warehouse: TPC-H Q13 order-count distribution (outer-join histogram)",
-    "customers per non-urgent order count, zero-order customers included",
-)
-def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = _t(spark, sf_dir, "customer").select("c_custkey")
-    orders = (
-        _t(spark, sf_dir, "orders")
-        .filter(F.col("o_orderpriority") != "1-URGENT")
-        .select("o_custkey", "o_orderkey")
-    )
-    per_cust = (
-        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
-    )
-    return per_cust.groupBy("c_count").agg(
-        F.count("*").cast("bigint").alias("custdist")
-    )
-
-
-# ===========================================================================
-# TPC-H Q17 (small-quantity-order revenue) — the correlated scalar-AVG
-# subquery, decorrelated: per-part quantity aggregates join back to the
-# same part-pruned lineitem subset, and the `quantity < 0.2 * avg`
-# predicate is cross-multiplied into pure bigint arithmetic
-# (5·q·count < sum) so no float average can flip a boundary row on
-# either engine. Scale: the brand/size filter broadcasts onto the fact
-# scan FIRST, so both the aggregate and the join see only the pruned
-# subset (the classic Q17 trap is aggregating all of lineitem).
-# ===========================================================================
-
-@_register(
-    "q17_small_quantity_revenue",
-    f"""
-    WITH pf AS (SELECT p_partkey FROM part
-                WHERE p_brand = 'Brand#13' AND p_size <= 10),
-    lf AS (
-      SELECT l.l_partkey,
-             CAST(floor(l.l_quantity + 0.5) AS BIGINT) AS qn,
-             CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)
-               AS price_cents
-      FROM lineitem l JOIN pf ON l.l_partkey = pf.p_partkey),
-    agg AS (
-      SELECT l_partkey, CAST(sum(qn) AS BIGINT) AS sum_q,
-             CAST(count(*) AS BIGINT) AS n_q
-      FROM lf GROUP BY l_partkey)
-    SELECT CAST(count(*) AS BIGINT) AS n_lines,
-           CAST(coalesce(sum(lf.price_cents), 0) AS BIGINT) AS sum_cents,
-           {_sql_r('coalesce(sum(lf.price_cents), 0) / 700.0', 2)}
-             AS avg_yearly
-    FROM lf JOIN agg a ON lf.l_partkey = a.l_partkey
-    WHERE 5 * lf.qn * a.n_q < a.sum_q
-    """,
-    "warehouse: TPC-H Q17 small-quantity revenue (decorrelated scalar "
-    "AVG, integer cross-multiplied threshold)",
-    "avg yearly revenue lost if sub-20%-of-average-quantity orders for "
-    "Brand#13 small parts stopped",
-)
-def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pf = (
-        _t(spark, sf_dir, "part")
-        .filter((F.col("p_brand") == "Brand#13") & (F.col("p_size") <= 10))
-        .select("p_partkey")
-    )
-    # NO broadcast hints: the brand/size part subset and its per-part
-    # aggregate both grow with SF (~0.8% of an SF-growing part table) —
-    # forcing them broadcast is the choice a 100 TB run would have to
-    # undo. AQE broadcasts both at small SF on its own (plan-pinned).
-    lf = (
-        _t(spark, sf_dir, "lineitem")
-        .join(pf, F.col("l_partkey") == F.col("p_partkey"))
-        .select(
-            "l_partkey",
-            F.floor(F.col("l_quantity") + 0.5).cast("bigint").alias("qn"),
-            _cents(F.col("l_extendedprice")).alias("price_cents"),
-        )
-    )
-    agg = lf.groupBy("l_partkey").agg(
-        F.sum("qn").cast("bigint").alias("sum_q"),
-        F.count("*").cast("bigint").alias("n_q"),
-    )
-    j = lf.join(agg, "l_partkey").filter(
-        5 * F.col("qn") * F.col("n_q") < F.col("sum_q")
-    )
-    total = F.coalesce(F.sum("price_cents"), F.lit(0))
-    return j.agg(
-        F.count("*").cast("bigint").alias("n_lines"),
-        total.cast("bigint").alias("sum_cents"),
-        _r(total / 700.0, 2).alias("avg_yearly"),
-    )
-
-
-# ===========================================================================
-# TPC-H Q21-shaped "sole latest shipper" — the exists/not-exists double
-# correlation, rewritten as windowed aggregates that reuse ONE shuffle:
-# per (order, supplier) max ship date, then order-level max / supplier
-# count / count-achieving-max as three window expressions over the same
-# l_orderkey partitioning. A supplier is blamed when the order has ≥2
-# suppliers (EXISTS another supplier) and they ALONE shipped last
-# (NOT EXISTS another supplier as late). The testdata has no
-# commit/receipt dates, so "late" = the order's final ship date; the
-# join topology — and the decorrelation strategy a 100 TB plan needs —
-# is Q21's. Finished-order filter rides a LeftSemi against orders.
-# ===========================================================================
-
-@_register(
-    "q21_sole_latest_shipper",
-    """
-    WITH ss AS (SELECT l_orderkey, l_suppkey, max(l_shipdate) AS smax
-                FROM lineitem GROUP BY l_orderkey, l_suppkey),
-    oo AS (SELECT l_orderkey, max(smax) AS omax,
-                  CAST(count(*) AS BIGINT) AS nsupp
-           FROM ss GROUP BY l_orderkey),
-    mm AS (SELECT ss.l_orderkey, CAST(count(*) AS BIGINT) AS nmax
-           FROM ss JOIN oo ON ss.l_orderkey = oo.l_orderkey
-                          AND ss.smax = oo.omax
-           GROUP BY ss.l_orderkey),
-    blame AS (
-      SELECT ss.l_suppkey
-      FROM ss
-      JOIN oo ON ss.l_orderkey = oo.l_orderkey AND ss.smax = oo.omax
-      JOIN mm ON ss.l_orderkey = mm.l_orderkey
-      JOIN orders o ON ss.l_orderkey = o.o_orderkey
-      WHERE oo.nsupp >= 2 AND mm.nmax = 1 AND o.o_orderstatus = 'F')
-    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
-    FROM blame b JOIN supplier s ON s.s_suppkey = b.l_suppkey
-    GROUP BY s.s_name
-    ORDER BY numwait DESC, s.s_name LIMIT 20
-    """,
-    "warehouse: TPC-H Q21 shape (exists/not-exists double correlation as "
-    "shared-shuffle window aggregates)",
-    "suppliers solely responsible for the final shipment on multi-supplier "
-    "finished orders, top 20 by count",
-)
-def q21_sole_latest_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ss = (
-        _t(spark, sf_dir, "lineitem")
-        .groupBy("l_orderkey", "l_suppkey")
-        .agg(F.max("l_shipdate").alias("smax"))
-    )
-    w = Window.partitionBy("l_orderkey")
-    ss2 = ss.withColumn("omax", F.max("smax").over(w)).withColumn(
-        "nsupp", F.count("*").over(w)
-    )
-    ss3 = ss2.withColumn(
-        "nmax",
-        F.sum(
-            F.when(F.col("smax") == F.col("omax"), 1).otherwise(0)
-        ).over(w),
-    )
-    finished = (
-        _t(spark, sf_dir, "orders")
-        .filter(F.col("o_orderstatus") == "F")
-        .select("o_orderkey")
-    )
-    blame = ss3.filter(
-        (F.col("smax") == F.col("omax"))
-        & (F.col("nsupp") >= 2)
-        & (F.col("nmax") == 1)
-    ).join(
-        finished, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi"
-    )
-    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    return (
-        blame.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
-        .groupBy("s_name")
-        .agg(F.count("*").cast("bigint").alias("numwait"))
-        .orderBy(F.desc("numwait"), "s_name")
-        .limit(20)
-    )
-
-
-# ===========================================================================
-# TPC-H Q22-shaped idle high-balance customers — scalar subquery +
-# anti-join: customers above the (positive-balance) average with no
-# orders at all, rolled up per nation. The average is computed in exact
-# integer cents with truncating integer division (Spark `div` == DuckDB
-# `//`, both toward zero) so the threshold compare is bigint-vs-bigint —
-# a float AVG would flip boundary customers between engines. Scale: the
-# 1-row average broadcasts; NOT EXISTS is a LeftAnti on the order
-# custkey projection.
-# ===========================================================================
-
-@_register(
-    "q22_idle_customer_balance",
-    """
-    WITH ab AS (
-      SELECT CAST(CAST(sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT))
-                       AS BIGINT) // CAST(count(*) AS BIGINT) AS BIGINT)
-               AS ab_cents
-      FROM customer WHERE c_acctbal > 0.0)
-    SELECT c.c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
-           CAST(sum(CAST(floor(c.c_acctbal * 100.0 + 0.5) AS BIGINT))
-                AS BIGINT) AS total_cents
-    FROM customer c, ab
-    WHERE CAST(floor(c.c_acctbal * 100.0 + 0.5) AS BIGINT) > ab.ab_cents
-      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    GROUP BY c.c_nationkey
-    """,
-    "warehouse: TPC-H Q22 shape (integer-exact scalar-average threshold + "
-    "NOT EXISTS anti-join)",
-    "per nation: count and balance of above-average-balance customers "
-    "with zero orders",
-)
-def q22_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = _t(spark, sf_dir, "customer").select(
-        "c_custkey",
-        "c_nationkey",
-        "c_acctbal",
-        _cents(F.col("c_acctbal")).alias("bal_cents"),
-    )
-    ab = (
-        cust.filter(F.col("c_acctbal") > 0.0)
-        .agg(
-            F.sum("bal_cents").alias("s"),
-            F.count("*").alias("n"),
-        )
-        .select(F.expr("CAST(s div n AS BIGINT)").alias("ab_cents"))
-    )
-    orders = _t(spark, sf_dir, "orders").select("o_custkey")
-    idle = (
-        cust.crossJoin(F.broadcast(ab))
-        .filter(F.col("bal_cents") > F.col("ab_cents"))
-        .join(
-            orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
-        )
-    )
-    return idle.groupBy("c_nationkey").agg(
-        F.count("*").cast("bigint").alias("numcust"),
-        F.sum("bal_cents").cast("bigint").alias("total_cents"),
-    )
-
-
-# ===========================================================================
-# Quantized k-means (2 Lloyd iterations) — the iterative clustering an
-# embedding-curation pipeline runs before topic balancing. Everything is
-# EXACT integer arithmetic on a quantized grid (round(v·1000)): squared
-# L2 distances are bigint sums, centroid updates use truncating integer
-# division (Spark `div` == DuckDB `//`), argmin ties break on cluster
-# id — so a 2-iteration fixpoint is bit-identical across engines, the
-# same engine-portable-fixpoint discipline as the integer PageRank.
-# Seeds are the K smallest vec_ids (pinned, data-independent order).
-# Scale: each assignment is a (vec, dim) ⋈ (K·dim) broadcast join —
-# K·dim rows of centroid state, never an all-pairs; centroid recompute
-# is one map-side-combined aggregate keyed (cid, dim).
-# ===========================================================================
-
-_KMEANS_K = 8
-_KM_Q = 1000  # quantization grid: round(v * 1000) fits every |v| <= 1 embedding
-
-@_register(
-    "kmeans_embeddings_lloyd",
-    f"""
-    WITH qe AS (
-      SELECT vec_id, d.i AS dim,
-             CAST(floor(embedding[d.i::INT] * {_KM_Q}.0 + 0.5) AS BIGINT) AS q
-      FROM embeddings CROSS JOIN range(1, {_EMB_DIM + 1}) d(i)),
-    seeds AS (
-      SELECT vec_id,
-             CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
-      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id
-            LIMIT {_KMEANS_K})),
-    c0 AS (SELECT s.cid, q.dim, q.q AS cq
-           FROM seeds s JOIN qe q ON q.vec_id = s.vec_id),
-    d1 AS (SELECT qe.vec_id, c0.cid,
-                  CAST(sum((qe.q - c0.cq) * (qe.q - c0.cq)) AS BIGINT)
-                    AS dist
-           FROM qe JOIN c0 ON qe.dim = c0.dim
-           GROUP BY qe.vec_id, c0.cid),
-    a1 AS (SELECT vec_id, cid FROM d1
-           QUALIFY row_number() OVER (PARTITION BY vec_id
-                                      ORDER BY dist, cid) = 1),
-    c1 AS (SELECT a1.cid, qe.dim,
-                  CAST(CAST(sum(qe.q) AS BIGINT) // CAST(count(*) AS BIGINT)
-                       AS BIGINT) AS cq
-           FROM qe JOIN a1 ON qe.vec_id = a1.vec_id
-           GROUP BY a1.cid, qe.dim),
-    d2 AS (SELECT qe.vec_id, c1.cid,
-                  CAST(sum((qe.q - c1.cq) * (qe.q - c1.cq)) AS BIGINT)
-                    AS dist
-           FROM qe JOIN c1 ON qe.dim = c1.dim
-           GROUP BY qe.vec_id, c1.cid),
-    a2 AS (SELECT vec_id, cid, dist FROM d2
-           QUALIFY row_number() OVER (PARTITION BY vec_id
-                                      ORDER BY dist, cid) = 1)
-    SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs,
-           CAST(sum(dist) AS BIGINT) AS inertia
-    FROM a2 GROUP BY cid
-    """,
-    "ml: quantized k-means, 2 Lloyd iterations (exact integer fixpoint, "
-    "engine-portable like the integer PageRank)",
-    f"{_KMEANS_K}-cluster sizes + exact integer inertia after two Lloyd "
-    "rounds on the round(v*1000) grid, pinned seeds/tiebreaks",
-)
-def kmeans_embeddings_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
-    qe = emb.select(
-        "vec_id",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias(
-            "dim", "v"
-        ),
-    ).select(
-        "vec_id",
-        "dim",
-        F.floor(F.col("v") * _KM_Q + 0.5).cast("bigint").alias("q"),
-    )
-    seeds = (
-        emb.select("vec_id")
-        .orderBy("vec_id")
-        .limit(_KMEANS_K)
-        .select(
-            "vec_id",
-            (F.row_number().over(Window.orderBy("vec_id")) - 1)
-            .cast("int")
-            .alias("cid"),
-        )
-    )
-    c0 = seeds.join(qe, "vec_id").select(
-        "cid", "dim", F.col("q").alias("cq")
-    )
-
-    def _assign(centroids: DataFrame) -> DataFrame:
-        d = (
-            qe.join(F.broadcast(centroids), "dim")
-            .groupBy("vec_id", "cid")
-            .agg(
-                F.sum(
-                    (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
-                )
-                .cast("bigint")
-                .alias("dist")
-            )
-        )
-        wv = Window.partitionBy("vec_id").orderBy("dist", "cid")
-        return (
-            d.withColumn("rn", F.row_number().over(wv))
-            .filter(F.col("rn") == 1)
-            .drop("rn")
-        )
-
-    a1 = _assign(c0).select("vec_id", "cid")
-    # NO broadcast hint on the assignment join: a1 is one row per VECTOR
-    # (grows with the corpus — broadcasting it would be the scale bug);
-    # it hash-joins co-partitioned with qe on vec_id, and AQE still
-    # broadcasts it at tiny SF on its own.
-    c1 = (
-        qe.join(a1.withColumnRenamed("vec_id", "av"),
-                F.col("vec_id") == F.col("av"))
-        .groupBy("cid", "dim")
-        .agg(
-            F.sum("q").alias("sq"),
-            F.count("*").alias("nq"),
-        )
-        .select(
-            "cid", "dim", F.expr("CAST(sq div nq AS BIGINT)").alias("cq")
-        )
-    )
-    a2 = _assign(c1)
-    return a2.groupBy("cid").agg(
-        F.count("*").cast("bigint").alias("n_vecs"),
-        F.sum("dist").cast("bigint").alias("inertia"),
-    )
-
-
-# ===========================================================================
-# PMI collocations — which word bigrams co-occur far above chance: the
-# classic corpus-statistics query behind tokenizer merges and stop-gram
-# lists. The association score is the scaled integer ratio
-# c_xy·10⁹ ÷ (c_x·c_y) with truncating division (∝ exp(PMI) at fixed N,
-# so the RANKING equals the PMI ranking without a cross-engine log/float
-# in sight). Exact while c_xy·10⁹ < 2⁶³ (c_xy < 9.2e9 bigram
-# occurrences; partition the corpus before that). Scale: unigram vocab
-# is bounded (it broadcasts), bigram explode feeds one map-side-combined
-# aggregate; the ≥5-count floor prunes the tail before the joins.
-# ===========================================================================
-
-@_register(
-    "pmi_bigram_collocations",
-    f"""
-    WITH toks AS (
-      SELECT unnest(string_split(text, ' ')) AS w FROM documents),
-    uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY w),
-    bi AS (
-      SELECT tok, CAST(count(*) AS BIGINT) AS c_xy
-      FROM (SELECT unnest({_shingle_raw_sql(2)}) AS tok FROM documents
-            WHERE len(string_split(text, ' ')) >= 2)
-      GROUP BY tok
-      HAVING count(*) >= 5)
-    SELECT tok AS bigram, c_xy, u1.c AS c_x, u2.c AS c_y,
-           CAST((c_xy * 1000000000) // (u1.c * u2.c) AS BIGINT) AS assoc_e9
-    FROM bi
-    JOIN uni u1 ON u1.w = string_split(tok, ' ')[1]
-    JOIN uni u2 ON u2.w = string_split(tok, ' ')[2]
-    ORDER BY assoc_e9 DESC, bigram LIMIT 50
-    """,
-    "textops: PMI bigram collocations (integer-scaled association ratio, "
-    "broadcast unigram vocab)",
-    "top-50 word bigrams by scaled co-occurrence ratio c_xy*1e9/(c_x*c_y) "
-    "with a >=5-count floor",
-)
-def pmi_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
-        shingle_rows,
-    )
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import (
-        ensure_parallelism,
-    )
-
-    docs = ensure_parallelism(_t(spark, sf_dir, "documents"), "doc_id")
-    toks = F.split(F.col("text"), " ")
-    uni = (
-        docs.select(F.explode(toks).alias("w"))
-        .groupBy("w")
-        .agg(F.count("*").cast("bigint").alias("c"))
-    )
-    # r8: codegen lead-window bigrams (see vocab_coverage note); the
-    # >=2-token filter means no clamped shingles on either form
-    bi = (
-        shingle_rows(docs.filter(F.size(toks) >= 2), n=2)
-        .groupBy(F.col("shingle").alias("tok"))
-        .agg(F.count("*").cast("bigint").alias("c_xy"))
-        .filter(F.col("c_xy") >= 5)
-    )
-    parts = F.split(F.col("tok"), " ")
-    bi2 = bi.select(
-        "tok",
-        "c_xy",
-        parts.getItem(0).alias("w1"),
-        parts.getItem(1).alias("w2"),
-    )
-    u1 = uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c_x")
-    u2 = uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c_y")
-    j = bi2.join(F.broadcast(u1), "w1").join(F.broadcast(u2), "w2")
-    return (
-        j.select(
-            F.col("tok").alias("bigram"),
-            "c_xy",
-            "c_x",
-            "c_y",
-            F.expr(
-                "CAST((c_xy * 1000000000) div (c_x * c_y) AS BIGINT)"
-            ).alias("assoc_e9"),
-        )
-        .orderBy(F.desc("assoc_e9"), "bigram")
-        .limit(50)
-    )
-
-
-# ===========================================================================
-# Exact weighted median — the order-statistic that plain percentile
-# windows can't express: the price point splitting each group's QUANTITY
-# mass in half. One cumulative-sum window and one group-total window
-# share a single l_returnflag exchange; the crossing test 2·cumq ≥ totq
-# is pure bigint (no float quantile interpolation to diverge between
-# engines), and the cumsum order is pinned by the unique line key so
-# equal prices can't reorder the crossing. Scale: one shuffle + one
-# sort per group — the same cost envelope as any windowed rank.
-# ===========================================================================
-
-@_register(
-    "weighted_median_price",
-    """
-    WITH li AS (
-      SELECT l_returnflag,
-             CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
-               AS price_cents,
-             CAST(floor(l_quantity + 0.5) AS BIGINT) AS qn,
-             l_orderkey, l_linenumber
-      FROM lineitem),
-    c AS (
-      SELECT l_returnflag, price_cents,
-             sum(qn) OVER (PARTITION BY l_returnflag
-                           ORDER BY price_cents, l_orderkey, l_linenumber
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS cumq,
-             sum(qn) OVER (PARTITION BY l_returnflag) AS totq
-      FROM li)
-    SELECT l_returnflag, CAST(min(totq) AS BIGINT) AS total_qty,
-           CAST(min(CASE WHEN 2 * cumq >= totq THEN price_cents END)
-                AS BIGINT) AS weighted_median_cents
-    FROM c GROUP BY l_returnflag
-    """,
-    "analytics: exact quantity-weighted median via integer prefix-sum "
-    "threshold crossing (pinned cumsum order)",
-    "per return flag: the price splitting the group's quantity mass in "
-    "half, exact cents",
-)
-def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_returnflag",
-        _cents(F.col("l_extendedprice")).alias("price_cents"),
-        F.floor(F.col("l_quantity") + 0.5).cast("bigint").alias("qn"),
-        "l_orderkey",
-        "l_linenumber",
-    )
-    wc = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("price_cents", "l_orderkey", "l_linenumber")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wt = Window.partitionBy("l_returnflag")
-    c = li.select(
-        "l_returnflag",
-        "price_cents",
-        F.sum("qn").over(wc).alias("cumq"),
-        F.sum("qn").over(wt).alias("totq"),
-    )
-    return c.groupBy("l_returnflag").agg(
-        F.min("totq").cast("bigint").alias("total_qty"),
-        F.min(
-            F.when(2 * F.col("cumq") >= F.col("totq"), F.col("price_cents"))
-        )
-        .cast("bigint")
-        .alias("weighted_median_cents"),
-    )
-
-
-# ===========================================================================
-# Orderless table checksum — how a 100 TB migration validates a copy
-# WITHOUT sorting either side: per hash-bucket row count + sum + xor of
-# a canonical per-row hash. Every aggregate is commutative, so the
-# result is independent of partitioning, task order, and row order; a
-# mismatch localizes to 1/16th of the key space. The canonical string
-# uses only engine-portable renderings (bigints, cents, epoch seconds —
-# never raw float/timestamp formatting). Sum bound: h32 < 2³², exact
-# while each bucket holds < 2³¹ rows — at larger scale raise the bucket
-# count, the shape is unchanged. One map-side-combined exchange.
-# ===========================================================================
-
-@_register(
-    "table_checksum_audit",
-    """
-    WITH r AS (
-      SELECT o_orderkey % 16 AS bucket,
-             CAST(concat('0x', substring(md5(concat_ws('|',
-                  CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
-                  o_orderstatus,
-                  CAST(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
-                       AS VARCHAR),
-                  CAST(epoch_us(o_orderdate) // 1000000 AS VARCHAR),
-                  o_orderpriority)), 1, 8)) AS BIGINT) AS h
-      FROM orders)
-    SELECT CAST(bucket AS BIGINT) AS bucket,
-           CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(sum(h) AS BIGINT) AS sum_h,
-           CAST(bit_xor(h) AS BIGINT) AS xor_h
-    FROM r GROUP BY bucket
-    """,
-    "data quality: orderless per-bucket table checksum (commutative "
-    "count/sum/xor of canonical row hashes)",
-    "16-bucket orders checksum: row count, sum and xor of the md5-derived "
-    "row hash — partition/order independent copy validation",
-)
-def table_checksum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import h32
-
-    o = _t(spark, sf_dir, "orders")
-    canonical = F.concat_ws(
-        "|",
-        F.col("o_orderkey").cast("string"),
-        F.col("o_custkey").cast("string"),
-        F.col("o_orderstatus"),
-        _cents(F.col("o_totalprice")).cast("string"),
-        _epoch_s(F.col("o_orderdate")).cast("string"),
-        F.col("o_orderpriority"),
-    )
-    r = o.select(
-        (F.col("o_orderkey") % 16).cast("bigint").alias("bucket"),
-        h32(canonical).alias("h"),
-    )
-    return r.groupBy("bucket").agg(
-        F.count("*").cast("bigint").alias("n_rows"),
-        F.sum("h").cast("bigint").alias("sum_h"),
-        F.expr("CAST(bit_xor(h) AS BIGINT)").alias("xor_h"),
-    )
-
-
-# ===========================================================================
-# Arbitrary GROUPING SETS — the reshape primitive ROLLUP/CUBE are sugar
-# for: a custom set list (both 1-D margins plus the 2-D cells, NO grand
-# total) in one Expand pass, with grouping_id disambiguating a real
-# NULL key from an aggregated-away one. Complements rollup_pricing /
-# cube_pricing; the oracle spells the id as 2·grouping(a)+grouping(b),
-# the engine-portable bitmask form. Scale: one Expand (3× the scan) +
-# one map-side-combined exchange — same envelope as cube.
-# ===========================================================================
-
-@_register(
-    "grouping_sets_pricing",
-    """
-    SELECT o_orderpriority, o_orderstatus,
-           CAST(2 * grouping(o_orderpriority) + grouping(o_orderstatus)
-                AS BIGINT) AS gid,
-           CAST(count(*) AS BIGINT) AS n_orders,
-           CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
-                AS BIGINT) AS sum_cents
-    FROM orders
-    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
-                            (o_orderpriority), (o_orderstatus))
-    """,
-    "reshape: arbitrary GROUPING SETS with grouping_id disambiguation "
-    "(the primitive under rollup/cube)",
-    "2-D cells plus both 1-D margins (no grand total) over "
-    "(priority, status) in one Expand pass",
-)
-def grouping_sets_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # r6: pre-aggregate to the finest set, then expand the cell table —
-    # see rollup_pricing. grouping_id() is computed by the OUTER
-    # grouping-sets pass, so it is identical over the pre-aggregate.
-    o = _t(spark, sf_dir, "orders")
-    base = o.groupBy("o_orderpriority", "o_orderstatus").agg(
-        F.count("*").alias("pn"),
-        F.sum(_cents(F.col("o_totalprice"))).alias("ps"),
-    )
-    return base.groupingSets(
-        [
-            ["o_orderpriority", "o_orderstatus"],
-            ["o_orderpriority"],
-            ["o_orderstatus"],
-        ],
-        "o_orderpriority",
-        "o_orderstatus",
-    ).agg(
-        F.grouping_id().cast("bigint").alias("gid"),
-        F.sum("pn").cast("bigint").alias("n_orders"),
-        F.sum("ps").cast("bigint").alias("sum_cents"),
-    )
-
-
-# ===========================================================================
-# Sweep-line concurrency — the SCALABLE answer to "how many sessions
-# were open at time t": session boundaries become (+1, −1) deltas,
-# same-instant deltas pre-aggregate (eliminating tie-order ambiguity),
-# and one running sum over the boundary AGGREGATE yields the full
-# concurrency time series. The complementary range-join entry
-# enumerates overlap PAIRS (quadratic in overlap degree); the sweep is
-# linear in session count at any overlap density. The global window
-# runs over |boundaries| rows (two per session, orders of magnitude
-# below the scan); at 100 TB the same sweep runs as the distributed
-# two-phase prefix sum (operators/chunking.py is the house pattern).
-# ===========================================================================
-
-@_register(
-    "concurrency_sweep_line",
-    f"""
-    WITH {_SESSIONS_SQL},
-    b AS (
-      SELECT s AS t, 1 AS delta FROM sessions
-      UNION ALL
-      SELECT e + 1 AS t, -1 AS delta FROM sessions),
-    g AS (SELECT t, CAST(sum(delta) AS BIGINT) AS d FROM b GROUP BY t)
-    SELECT t AS t_s,
-           CAST(sum(d) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
-                AS BIGINT) AS concurrency
-    FROM g
-    """,
-    "analytics: sweep-line concurrency (running sum over pre-aggregated "
-    "session boundaries — linear where pair enumeration is quadratic)",
-    "concurrent open sessions at every boundary instant, from the same "
-    "30-min-gap sessionization as the range-join entry",
-)
-def concurrency_sweep_line(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sessions = _user_sessions_spark(_t(spark, sf_dir, "events"))
-    b = sessions.select(
-        F.col("s").alias("t"), F.lit(1).alias("delta")
-    ).unionAll(
-        sessions.select(
-            (F.col("e") + 1).alias("t"), F.lit(-1).alias("delta")
-        )
-    )
-    g = b.groupBy("t").agg(F.sum("delta").cast("bigint").alias("d"))
-    # r7: the boundary aggregate has one row per distinct session
-    # instant — it scales with the data, so the running sum is the
-    # distributed two-phase form, not a one-task sort of every instant
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import (
-        global_running_sum,
-    )
-
-    return global_running_sum(
-        g, ["t"], "d", out_col="concurrency", cache_role="sweep_cumsum"
-    ).select(
-        F.col("t").alias("t_s"),
-        F.col("concurrency").cast("bigint").alias("concurrency"),
-    )
-
-
-# ===========================================================================
-# Chi-square drift test — the distribution-shift gate a training-data
-# pipeline runs before admitting a new batch: is event_type independent
-# of time period? Cell terms use the cross-multiplied form
-# (o·n − r·c)² / (r·c·n) so every product of exact bigint counts stays
-# a single deterministic double op per cell (no float expected-count
-# intermediary), rounded 6dp. Scale: one count aggregate; row/col/grand
-# totals are re-aggregates of those ≤|periods|·|types| cells, broadcast
-# back — the raw stream is scanned once.
-# ===========================================================================
-
-@_register(
-    "chi_square_drift",
-    f"""
-    WITH c AS (
-      SELECT CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END
-               AS period,
-             event_type, CAST(count(*) AS BIGINT) AS n_obs
-      FROM events GROUP BY 1, 2),
-    tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM c),
-    r AS (SELECT period, CAST(sum(n_obs) AS BIGINT) AS rt
-          FROM c GROUP BY period),
-    col AS (SELECT event_type, CAST(sum(n_obs) AS BIGINT) AS ct
-            FROM c GROUP BY event_type)
-    SELECT c.period, c.event_type, c.n_obs,
-           CAST(r.rt * col.ct AS BIGINT) AS exp_times_n,
-           {_sql_r('((1.0 * c.n_obs * t.n - 1.0 * r.rt * col.ct)'
-                   ' * (1.0 * c.n_obs * t.n - 1.0 * r.rt * col.ct))'
-                   ' / (1.0 * r.rt * col.ct * t.n)', 6)} AS chi2_term
-    FROM c JOIN r USING (period) JOIN col USING (event_type)
-    CROSS JOIN tot t
-    """,
-    "data quality: chi-square independence drift test (cross-multiplied "
-    "integer cell terms, totals broadcast over the cell aggregate)",
-    "per (period-half, event_type) cell: observed count, integer "
-    "expected*n, and the 6dp chi-square contribution",
-)
-def chi_square_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    split = F.lit("2024-01-16").cast("timestamp_ntz")
-    c = (
-        _t(spark, sf_dir, "events")
-        .groupBy(
-            F.when(F.col("ts") < split, 0).otherwise(1).alias("period"),
-            "event_type",
-        )
-        .agg(F.count("*").cast("bigint").alias("n_obs"))
-    )
-    tot = c.agg(F.sum("n_obs").cast("bigint").alias("n"))
-    r = c.groupBy("period").agg(F.sum("n_obs").cast("bigint").alias("rt"))
-    col = c.groupBy("event_type").agg(
-        F.sum("n_obs").cast("bigint").alias("ct")
-    )
-    j = (
-        c.join(F.broadcast(r), "period")
-        .join(F.broadcast(col), "event_type")
-        .crossJoin(F.broadcast(tot))
-    )
-    diff = (
-        F.lit(1.0) * F.col("n_obs") * F.col("n")
-        - F.lit(1.0) * F.col("rt") * F.col("ct")
-    )
-    return j.select(
-        "period",
-        "event_type",
-        "n_obs",
-        (F.col("rt") * F.col("ct")).cast("bigint").alias("exp_times_n"),
-        _r(
-            (diff * diff)
-            / (F.lit(1.0) * F.col("rt") * F.col("ct") * F.col("n")),
-            6,
-        ).alias("chi2_term"),
-    )
-
-
-# ===========================================================================
-# Benford first-digit audit — the classic fabricated-data screen: the
-# leading digit of every order amount against Benford's log10(1+1/d)
-# expectation. Expected shares are PINNED integer ppm literals (they sum
-# to exactly 1,000,000), observed shares use truncating integer
-# division — no log and no float anywhere, so the audit is bit-exact on
-# both engines. Scale: one 9-group aggregate; the digit extraction is a
-# narrow string op on the scan.
-# ===========================================================================
-
-_BENFORD_PPM = (
-    (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
-    (6, 66947), (7, 57992), (8, 51153), (9, 45757),
-)
-
-@_register(
-    "benford_first_digit_audit",
-    f"""
-    WITH d AS (
-      SELECT CAST(substring(CAST(CAST(floor(o_totalprice * 100.0 + 0.5)
-                                      AS BIGINT) AS VARCHAR), 1, 1)
-                  AS BIGINT) AS digit
-      FROM orders),
-    c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
-          FROM d GROUP BY digit),
-    t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM c),
-    exp AS (SELECT * FROM (VALUES
-        {', '.join(f'({d}, {p})' for d, p in _BENFORD_PPM)})
-        AS e(digit, expected_ppm))
-    SELECT c.digit, c.n_obs,
-           CAST((1000000 * c.n_obs) // t.n AS BIGINT) AS observed_ppm,
-           CAST(e.expected_ppm AS BIGINT) AS expected_ppm,
-           CAST(abs((1000000 * c.n_obs) // t.n - e.expected_ppm)
-                AS BIGINT) AS abs_dev_ppm
-    FROM c JOIN exp e ON c.digit = e.digit CROSS JOIN t
-    """,
-    "data quality: Benford first-digit audit (pinned integer ppm "
-    "expectations, log-free and float-free)",
-    "per leading digit of order cents: observed count/ppm vs pinned "
-    "Benford ppm and the absolute deviation",
-)
-def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    d = o.select(
-        F.substring(
-            _cents(F.col("o_totalprice")).cast("string"), 1, 1
-        )
-        .cast("bigint")
-        .alias("digit")
-    )
-    c = d.groupBy("digit").agg(F.count("*").cast("bigint").alias("n_obs"))
-    t = c.agg(F.sum("n_obs").cast("bigint").alias("n"))
-    exp = spark.createDataFrame(
-        list(_BENFORD_PPM), schema="digit bigint, expected_ppm bigint"
-    )
-    obs_ppm = F.expr("CAST((1000000 * n_obs) div n AS BIGINT)")
-    return (
-        c.join(F.broadcast(exp), "digit")
-        .crossJoin(F.broadcast(t))
-        .select(
-            "digit",
-            "n_obs",
-            obs_ppm.alias("observed_ppm"),
-            F.col("expected_ppm").cast("bigint"),
-            F.abs(obs_ppm - F.col("expected_ppm"))
-            .cast("bigint")
-            .alias("abs_dev_ppm"),
-        )
-    )
-
-
-# ===========================================================================
-# Native recursive CTE (Spark 4) — the same digit-prefix hierarchy walk
-# as hierarchy_root_depth, expressed as WITH RECURSIVE in Spark SQL
-# itself (feature-parity proof for the newest SQL surface; DuckDB runs
-# the byte-similar oracle). The scale CONTRAST is the point: this runs
-# one iteration per hierarchy LEVEL (depth-D ⇒ D sequential rounds),
-# while operators/graph.py:tree_roots pointer-doubles the same closure
-# in ⌈log₂D⌉ shuffles — prefer it when D is deep. Recursion depth here
-# is ≤ ⌈log₁₀ max(custkey)⌉, far under Spark's recursion level limit.
-# ===========================================================================
-
-@_register(
-    "recursive_cte_walk",
-    """
-    WITH RECURSIVE walk AS (
-      SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth FROM customer
-      UNION ALL
-      SELECT node, cur // 10, depth + 1 FROM walk WHERE cur >= 10
-    )
-    SELECT node AS c_custkey, CAST(cur AS BIGINT) AS root,
-           CAST(depth AS INT) AS depth
-    FROM walk WHERE cur < 10
-    """,
-    "graph: native Spark 4 WITH RECURSIVE (level-per-round walk; the "
-    "pointer-doubling entry is the log-depth scale path)",
-    "root and depth per customer via a native recursive CTE — same "
-    "result set as hierarchy_root_depth",
-)
-def recursive_cte_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _t(spark, sf_dir, "customer").createOrReplaceTempView("rcte_customer")
-    return spark.sql(
-        """
-        WITH RECURSIVE walk AS (
-          SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth
-          FROM rcte_customer
-          UNION ALL
-          SELECT node, cur DIV 10, depth + 1 FROM walk WHERE cur >= 10
-        )
-        SELECT node AS c_custkey, CAST(cur AS BIGINT) AS root,
-               CAST(depth AS INT) AS depth
-        FROM walk WHERE cur < 10
-        """
-    )
-
-
-# ===========================================================================
-# Null-skew-safe outer join — the third skew lever next to salting and
-# bucketing: a LEFT join must PRESERVE null-key rows, so the engine
-# can't filter them below the join and every null FK hashes to ONE
-# reducer. On a fact table whose FK is mostly null (optional promo
-# attribute here: ~4/5 of events), that task receives most of the
-# table. operators/skew.py:null_safe_left_join splits the null slice
-# out structurally — the shuffle sees zero null keys, the nulls ride a
-# narrow union branch — while staying semantically identical to the
-# plain LEFT JOIN the oracle runs.
-# ===========================================================================
-
-@_register(
-    "null_skew_left_join",
-    """
-    WITH e AS (
-      SELECT CASE WHEN event_type = 'purchase' THEN user_id % 25 END
-               AS promo_id,
-             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
-      FROM events)
-    SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_events,
-           CAST(sum(e.cents) AS BIGINT) AS sum_cents
-    FROM e LEFT JOIN nation n ON e.promo_id = n.n_nationkey
-    GROUP BY n.n_name
-    """,
-    "skew: null-safe left join (null FK slice bypasses the shuffle via a "
-    "union branch; plain LEFT JOIN oracle)",
-    "per promo nation (null = no promo): event count and value cents — "
-    "mostly-null FK joined without the single-reducer null hotspot",
-)
-def null_skew_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.skew import (
-        null_safe_left_join,
-    )
-
-    ev = _t(spark, sf_dir, "events").select(
-        F.when(
-            F.col("event_type") == "purchase", F.col("user_id") % 25
-        ).alias("promo_id"),
-        _cents(F.col("value")).alias("cents"),
-    )
-    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    j = null_safe_left_join(ev, nat, "promo_id", "n_nationkey")
-    return j.groupBy("n_name").agg(
-        F.count("*").cast("bigint").alias("n_events"),
-        F.sum("cents").cast("bigint").alias("sum_cents"),
-    )
-
-
-# ===========================================================================
-# VARIANT semi-structured extraction (Spark 4) — the engine-native
-# answer to JSON columns: parse once into the shredded binary VARIANT
-# encoding, then typed `variant_get` paths (no per-access string
-# re-parse, unlike get_json_object chains — the existing
-# json_props_rollup entry is the classic-path twin). The oracle reads
-# the same path through DuckDB's JSON extension. Scale: parse+extract
-# is a narrow projection; one map-side-combined aggregate on the
-# derived bucket.
-# ===========================================================================
-
-@_register(
-    "variant_props_extract",
-    """
-    WITH v AS (
-      SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
-      FROM events)
-    SELECT k % 10 AS k_bucket,
-           CAST(count(*) AS BIGINT) AS n_events,
-           CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k,
-           CAST(sum(cents) AS BIGINT) AS sum_cents
-    FROM v GROUP BY k % 10
-    """,
-    "semi-structured: Spark 4 VARIANT parse_json + typed variant_get "
-    "(shredded binary encoding; classic-path twin: json_props_rollup)",
-    "per props.k decade bucket: event count, distinct k, value cents — "
-    "extracted through the VARIANT type",
-)
-def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    v = ev.select(
-        F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint").alias(
-            "k"
-        ),
-        _cents(F.col("value")).alias("cents"),
-    )
-    return v.groupBy((F.col("k") % 10).alias("k_bucket")).agg(
-        F.count("*").cast("bigint").alias("n_events"),
-        F.countDistinct("k").cast("bigint").alias("n_distinct_k"),
-        F.sum("cents").cast("bigint").alias("sum_cents"),
-    )
-
-
-# ===========================================================================
-# Forward fill (last observation carried forward) — the time-series
-# gap-fill every sensor/feed pipeline needs: IGNORE NULLS running
-# last_value per key. Nulls are simulated by masking 'error' events
-# (the testdata has no native nulls); the fill is exact cents. One
-# user_id window, shuffle shared with nothing else — the whole entry is
-# a single sort-based window pass, the same envelope as any lag/lead.
-# ===========================================================================
-
-@_register(
-    "forward_fill_gaps",
-    """
-    SELECT event_id, user_id,
-           CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ts_s,
-           CASE WHEN event_type <> 'error'
-                THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) END
-             AS observed_cents,
-           last_value(CASE WHEN event_type <> 'error'
-                           THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)
-                      END IGNORE NULLS)
-             OVER (PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS filled_cents
-    FROM events
-    """,
-    "time series: IGNORE NULLS forward fill (last observation carried "
-    "forward per key)",
-    "per event: observed cents (error events masked to null) and the "
-    "last-non-null carry-forward",
-)
-def forward_fill_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    masked = F.when(
-        F.col("event_type") != "error", _cents(F.col("value"))
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return ev.select(
-        "event_id",
-        "user_id",
-        _epoch_s(F.col("ts")).alias("ts_s"),
-        masked.alias("observed_cents"),
-        F.last(masked, ignorenulls=True).over(w).alias("filled_cents"),
-    )
-
-
-# ===========================================================================
-# Fuzzy entity matching — blocked Levenshtein: the entity-resolution
-# primitive (dirty vendor/customer master data) done the scale-safe
-# way. The all-pairs edit-distance comparison is quadratic; BLOCKING
-# (here: equal name prefix, the standard phonetic/prefix/length-band
-# family) turns it into within-block equi-join candidates, and the
-# distance filter runs only on candidates. Edit distance is a pure
-# integer DP — bit-identical across engines. The same pattern carries
-# any blocking key (soundex, length band, q-gram) at 100 TB.
-# ===========================================================================
-
-@_register(
-    "fuzzy_name_match",
-    """
-    WITH s AS (SELECT s_suppkey, s_name,
-                      substring(s_name, 1, length(s_name) - 2) AS blk
-               FROM supplier)
-    SELECT a.s_suppkey AS supp_a, b.s_suppkey AS supp_b,
-           a.s_name AS name_a, b.s_name AS name_b,
-           CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS edit_distance
-    FROM s a JOIN s b ON a.blk = b.blk AND a.s_suppkey < b.s_suppkey
-    WHERE levenshtein(a.s_name, b.s_name) <= 1
-    """,
-    "entity resolution: blocked Levenshtein fuzzy match (prefix blocking "
-    "bounds the candidate pairs; integer DP distance)",
-    "supplier-name pairs within one edit in the same prefix block",
-)
-def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = _t(spark, sf_dir, "supplier").select(
-        "s_suppkey",
-        "s_name",
-        F.expr("substring(s_name, 1, length(s_name) - 2)").alias("blk"),
-    )
-    a = s.select(
-        F.col("s_suppkey").alias("supp_a"),
-        F.col("s_name").alias("name_a"),
-        "blk",
-    )
-    b = s.select(
-        F.col("s_suppkey").alias("supp_b"),
-        F.col("s_name").alias("name_b"),
-        "blk",
-    )
-    return (
-        a.join(b, "blk")
-        .filter(F.col("supp_a") < F.col("supp_b"))
-        .withColumn(
-            "edit_distance",
-            F.levenshtein(F.col("name_a"), F.col("name_b")).cast("bigint"),
-        )
-        .filter(F.col("edit_distance") <= 1)
-        .select("supp_a", "supp_b", "name_a", "name_b", "edit_distance")
-    )
-
-
-# ===========================================================================
-# Native session_window (batch) — Spark's built-in gap-based session
-# assignment as a GROUPING expression: one aggregate pass, no lag
-# window, no islands CTE. The oracle derives identical sessions via
-# gaps-and-islands (the engine-portable form, shared with
-# event_sessionize — which remains the twin entry proving the classic
-# rewrite). Session end in Spark's model is last_event + gap; the
-# oracle mirrors that definition exactly. At scale the native form is
-# the one to prefer: it fuses session assignment into the aggregation
-# instead of paying a separate sort-based window pass.
-# ===========================================================================
-
-@_register(
-    "session_window_native",
-    """
-    WITH flagged AS (
-      SELECT user_id, ts, event_id,
-             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
-             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
-                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS ns
-      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ),
-    numbered AS (
-      SELECT user_id, ts, cents,
-             sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) AS sid
-      FROM flagged
-    )
-    SELECT user_id,
-           CAST(epoch_us(min(ts)) // 1000000 AS BIGINT) AS session_start_s,
-           CAST(epoch_us(max(ts)) // 1000000 + 1800 AS BIGINT)
-             AS session_end_s,
-           CAST(count(*) AS BIGINT) AS n_events,
-           CAST(sum(cents) AS BIGINT) AS sum_cents
-    FROM numbered GROUP BY user_id, sid
-    """,
-    "analytics: native session_window grouping (one fused aggregate "
-    "pass; twin of the gaps-and-islands event_sessionize)",
-    "per (user, 30-min-gap session): start, end (= last event + gap), "
-    "event count, value cents — via Spark's built-in session_window",
-)
-def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    return (
-        ev.groupBy(
-            F.session_window("ts", "30 minutes").alias("sw"), "user_id"
-        )
-        .agg(
-            F.count("*").cast("bigint").alias("n_events"),
-            F.sum(_cents(F.col("value"))).cast("bigint").alias("sum_cents"),
-        )
-        .select(
-            "user_id",
-            _epoch_s(F.col("sw.start")).alias("session_start_s"),
-            _epoch_s(F.col("sw.end")).alias("session_end_s"),
-            "n_events",
-            "sum_cents",
-        )
-    )
-
-
-# ===========================================================================
-# Year-over-year growth — the reporting staple: monthly revenue joined
-# against the same month one year earlier. A self-join on the (year-1,
-# month) key beats lag(12) because it is robust to gap months and needs
-# no global sort — the monthly aggregate is tiny (one row per month), so
-# the join is a broadcast of an already-reduced table. Revenue is exact
-# integer cents; the growth ratio is one double division of identical
-# bigints, rounded 6dp.
-# ===========================================================================
-
-@_register(
-    "yoy_monthly_growth",
-    f"""
-    WITH m AS (
-      SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
-             CAST(month(o_orderdate) AS BIGINT) AS mo,
-             CAST(sum(floor(o_totalprice * 100.0 + 0.5)) AS BIGINT)
-               AS rev_cents
-      FROM orders GROUP BY 1, 2)
-    SELECT a.yr, a.mo, a.rev_cents,
-           b.rev_cents AS prev_rev_cents,
-           {_sql_r('1.0 * a.rev_cents / b.rev_cents - 1.0', 6)}
-             AS yoy_growth
-    FROM m a LEFT JOIN m b ON b.yr = a.yr - 1 AND b.mo = a.mo
-    """,
-    "analytics: year-over-year monthly growth (self-join on the "
-    "pre-aggregated month table; no global sort, gap-month robust)",
-    "per (year, month): revenue cents, prior-year-same-month cents, and "
-    "6dp YoY growth ratio (null for the first year)",
-)
-def yoy_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    m = o.groupBy(
-        F.year("o_orderdate").cast("bigint").alias("yr"),
-        F.month("o_orderdate").cast("bigint").alias("mo"),
-    ).agg(F.sum(_cents(F.col("o_totalprice"))).cast("bigint").alias("rev_cents"))
-    a = m
-    b = m.select(
-        (F.col("yr") + 1).alias("yr"),
-        F.col("mo"),
-        F.col("rev_cents").alias("prev_rev_cents"),
-    )
-    return a.join(F.broadcast(b), ["yr", "mo"], "left").select(
-        "yr",
-        "mo",
-        "rev_cents",
-        "prev_rev_cents",
-        _r(
-            F.lit(1.0) * F.col("rev_cents") / F.col("prev_rev_cents")
-            - F.lit(1.0),
-            6,
-        ).alias("yoy_growth"),
-    )
-
-
-# ===========================================================================
-# CUSUM change-point scan — the classic drift locator over a daily
-# series: cumulative sum of deviations from the global mean peaks at the
-# change point. Everything stays integer-exact: instead of the float
-# mean, each day's deviation is scaled by n_days (dev = x_i*n − S, a
-# bigint), so the running CUSUM and the argmax flag are bit-identical
-# on both engines with no rounding at all. Scale: the raw stream
-# collapses to one row per day in a single map-side-combined aggregate;
-# the window runs over that tiny series.
-# ===========================================================================
-
-@_register(
-    "cusum_changepoint",
-    """
-    WITH d AS (
-      SELECT CAST(epoch_us(ts) // 1000000 // 86400 AS BIGINT) AS day_num,
-             CAST(sum(floor(value * 100.0 + 0.5)) AS BIGINT) AS day_cents
-      FROM events GROUP BY 1),
-    t AS (SELECT CAST(count(*) AS BIGINT) AS n,
-                 CAST(sum(day_cents) AS BIGINT) AS s FROM d),
-    c AS (SELECT day_num, day_cents,
-            CAST(sum(day_cents * t.n - t.s)
-                 OVER (ORDER BY day_num ROWS UNBOUNDED PRECEDING)
-                 AS BIGINT) AS cusum_num
-          FROM d CROSS JOIN t),
-    m AS (SELECT max(abs(cusum_num)) AS mx FROM c)
-    SELECT day_num, day_cents, cusum_num,
-           CAST(CASE WHEN abs(cusum_num) = m.mx THEN 1 ELSE 0 END
-                AS BIGINT) AS is_change_point
-    FROM c CROSS JOIN m
-    """,
-    "analytics: CUSUM change-point detection (integer mean-scaled "
-    "deviations — exact bigint cumulative sum, no float mean)",
-    "per day: value cents, n-scaled CUSUM of mean deviations, and a flag "
-    "on the |CUSUM|-argmax day (the estimated change point)",
-)
-def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    d = ev.groupBy(
-        _fdiv(_epoch_s("ts"), 86400).alias("day_num")
-    ).agg(F.sum(_cents(F.col("value"))).cast("bigint").alias("day_cents"))
-    t = d.agg(
-        F.count("*").cast("bigint").alias("n"),
-        F.sum("day_cents").cast("bigint").alias("s"),
-    )
-    w = Window.orderBy("day_num").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    c = (
-        d.crossJoin(F.broadcast(t))
-        .withColumn(
-            "cusum_num",
-            F.sum(F.col("day_cents") * F.col("n") - F.col("s"))
-            .over(w)
-            .cast("bigint"),
-        )
-        .select("day_num", "day_cents", "cusum_num")
-    )
-    m = c.agg(F.max(F.abs(F.col("cusum_num"))).alias("mx"))
-    return c.crossJoin(F.broadcast(m)).select(
-        "day_num",
-        "day_cents",
-        "cusum_num",
-        F.when(F.abs(F.col("cusum_num")) == F.col("mx"), 1)
-        .otherwise(0)
-        .cast("bigint")
-        .alias("is_change_point"),
-    )
-
-
-# ===========================================================================
-# Autocorrelation function (lags 1..7) — the seasonality probe for the
-# daily value series. Pairs (x_t, x_{t−k}) come from a join of the
-# pre-aggregated daily table against itself shifted by an exploded lag
-# dimension — no per-lag rewrites, no global sort; lag(k) as a window
-# would need one pass per literal k. Pearson corr per lag, 6dp (the
-# co-moment accumulation tolerance proven by
-# feature_correlation_screen).
-# ===========================================================================
-
-@_register(
-    "acf_daily_autocorrelation",
-    f"""
-    WITH d AS (
-      SELECT CAST(epoch_us(ts) // 1000000 // 86400 AS BIGINT) AS day_num,
-             CAST(sum(floor(value * 100.0 + 0.5)) AS BIGINT) AS x
-      FROM events GROUP BY 1),
-    lags AS (SELECT CAST(lag_d AS BIGINT) AS lag_d FROM (VALUES
-        (1),(2),(3),(4),(5),(6),(7)) AS l(lag_d)),
-    p AS (SELECT l.lag_d, a.x AS xa, b.x AS xb
-          FROM lags l
-          CROSS JOIN d a
-          JOIN d b ON b.day_num = a.day_num - l.lag_d)
-    SELECT lag_d, CAST(count(*) AS BIGINT) AS n_pairs,
-           {_sql_r('corr(1.0 * xa, 1.0 * xb)', 6)} AS acf
-    FROM p GROUP BY lag_d
-    """,
-    "analytics: autocorrelation function over the daily series (exploded "
-    "lag dimension joined against the pre-aggregated table — one plan "
-    "for all lags)",
-    "per lag 1..7: pair count and 6dp Pearson autocorrelation of daily "
-    "value cents",
-)
-def acf_daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    d = ev.groupBy(
-        _fdiv(_epoch_s("ts"), 86400).alias("day_num")
-    ).agg(F.sum(_cents(F.col("value"))).cast("bigint").alias("x"))
-    lags = spark.range(1, 8).select(F.col("id").cast("bigint").alias("lag_d"))
-    a = d.select(F.col("day_num").alias("day_a"), F.col("x").alias("xa"))
-    b = d.select(F.col("day_num").alias("day_b"), F.col("x").alias("xb"))
-    p = (
-        F.broadcast(lags)
-        .crossJoin(a)
-        .join(b, F.col("day_b") == F.col("day_a") - F.col("lag_d"))
-    )
-    return p.groupBy("lag_d").agg(
-        F.count("*").cast("bigint").alias("n_pairs"),
-        _r(F.corr(F.lit(1.0) * F.col("xa"), F.lit(1.0) * F.col("xb")), 6).alias(
-            "acf"
-        ),
-    )
-
-
-# ===========================================================================
-# Market-basket co-purchase lift — frequent-pair mining with the apriori
-# prune: only parts appearing in ≥25 baskets enter pair enumeration, so
-# the self-join's blow-up is bounded by (frequent items per basket)²
-# with TPC-H's ≤7 lines per order, not |parts|². Lift compares observed
-# pair support to the independence expectation; numerator/denominator
-# are exact bigints, one rounded division. Scale: the basket self-join
-# shuffles on orderkey (co-partitioned both sides); the frequent-item
-# filter is a broadcast semi-join.
-# ===========================================================================
-
-@_register(
-    "copurchase_lift_pairs",
-    f"""
-    WITH baskets AS (
-      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-    freq AS (SELECT pk, CAST(count(*) AS BIGINT) AS c
-             FROM baskets GROUP BY pk HAVING count(*) >= 25),
-    fb AS (SELECT b.ok, b.pk, f.c FROM baskets b JOIN freq f USING (pk)),
-    n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders
-          FROM baskets),
-    p AS (SELECT a.pk AS p1, b.pk AS p2, a.c AS c1, b.c AS c2,
-                 CAST(count(*) AS BIGINT) AS support
-          FROM fb a JOIN fb b ON a.ok = b.ok AND a.pk < b.pk
-          GROUP BY 1, 2, 3, 4 HAVING count(*) >= 3)
-    SELECT p1, p2, support, c1 AS n1, c2 AS n2,
-           {_sql_r('(1.0 * support * n.n_orders) / (1.0 * c1 * c2)', 6)}
-             AS lift
-    FROM p CROSS JOIN n
-    """,
-    "analytics: market-basket frequent-pair lift (apriori prune via "
-    "broadcast semi-join, orderkey-co-partitioned pair enumeration)",
-    "per co-purchased part pair (both in >=25 baskets, support >=3): "
-    "support, item counts, and 6dp lift vs independence",
-)
-def copurchase_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    baskets = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    freq = (
-        baskets.groupBy("pk")
-        .agg(F.count("*").cast("bigint").alias("c"))
-        .filter(F.col("c") >= 25)
-    )
-    fb = baskets.join(F.broadcast(freq), "pk").select("ok", "pk", "c")
-    n = baskets.agg(
-        F.count_distinct(F.col("ok")).cast("bigint").alias("n_orders")
-    )
-    a = fb.select(
-        "ok", F.col("pk").alias("p1"), F.col("c").alias("c1")
-    )
-    b = fb.select(
-        "ok", F.col("pk").alias("p2"), F.col("c").alias("c2")
-    )
-    p = (
-        a.join(b, "ok")
-        .filter(F.col("p1") < F.col("p2"))
-        .groupBy("p1", "p2", "c1", "c2")
-        .agg(F.count("*").cast("bigint").alias("support"))
-        .filter(F.col("support") >= 3)
-    )
-    return p.crossJoin(F.broadcast(n)).select(
-        "p1",
-        "p2",
-        "support",
-        F.col("c1").alias("n1"),
-        F.col("c2").alias("n2"),
-        _r(
-            (F.lit(1.0) * F.col("support") * F.col("n_orders"))
-            / (F.lit(1.0) * F.col("c1") * F.col("c2")),
-            6,
-        ).alias("lift"),
-    )
-
-
-# ===========================================================================
-# Shannon entropy of the per-language source mix — the corpus-diversity
-# gate a training-data pipeline runs before admitting a language slice
-# (a near-zero entropy means one source dominates and the slice is
-# effectively single-origin). Two small aggregates and a broadcast
-# join; −Σ p·ln p over ≤|sources| cells per language, 6dp.
-# ===========================================================================
-
-@_register(
-    "entropy_source_mix",
-    f"""
-    WITH c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n
-               FROM documents GROUP BY 1, 2),
-    t AS (SELECT lang, CAST(sum(n) AS BIGINT) AS nt,
-                 CAST(count(*) AS BIGINT) AS n_sources
-          FROM c GROUP BY lang)
-    SELECT t.lang, t.nt AS n_docs, t.n_sources,
-           {_sql_r('-sum((1.0 * c.n / t.nt) * ln(1.0 * c.n / t.nt))', 6)}
-             AS entropy_nats
-    FROM c JOIN t USING (lang)
-    GROUP BY t.lang, t.nt, t.n_sources
-    """,
-    "corpus curation: per-language source-mix Shannon entropy (the "
-    "single-origin-dominance gate; two-level aggregate, broadcast join)",
-    "per language: doc count, distinct sources, and 6dp entropy (nats) "
-    "of the source distribution",
-)
-def entropy_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    c = docs.groupBy("lang", "source").agg(
-        F.count("*").cast("bigint").alias("n")
-    )
-    t = c.groupBy("lang").agg(
-        F.sum("n").cast("bigint").alias("nt"),
-        F.count("*").cast("bigint").alias("n_sources"),
-    )
-    p = F.lit(1.0) * F.col("n") / F.col("nt")
-    return (
-        c.join(F.broadcast(t), "lang")
-        .groupBy("lang", "nt", "n_sources")
-        .agg(_r(-F.sum(p * F.log(p)), 6).alias("entropy_nats"))
-        .select(
-            "lang",
-            F.col("nt").alias("n_docs"),
-            "n_sources",
-            "entropy_nats",
-        )
-    )
-
-
-# ===========================================================================
-# Gini coefficient of order values — the inequality/concentration audit
-# (how skewed is revenue across orders). Uses the rank formulation
-# G = Σ(2i−n−1)x_i / (n·Σx) with a pinned total order (cents, orderkey)
-# so both engines assign identical ranks to ties. The weighted sum
-# Σ(2i−1)·cents ≈ n²·avg_cents blows past int64 near SF≈0.25 (w ≈
-# 3.4e19 at SF1 vs int64 max 9.2e18 — Spark's non-ANSI sum would wrap
-# SILENTLY while DuckDB's hugeint-sum-to-BIGINT cast fails LOUDLY), so
-# it accumulates in wide exact integer types on BOTH engines: Spark
-# sums decimal(38,0) terms, DuckDB sums hugeint terms — exact to 1e38,
-# i.e. any reachable SF — and only the final ratio drops to double
-# (identical IEEE rounding of the same exact integer on both sides, so
-# the 9dp hash still matches). r7: the global rank is computed with the
-# DISTRIBUTED two-phase form (range exchange → parallel per-partition
-# sorts → tiny offset table broadcast back; operators/parallelism.py:
-# global_row_number) — a partition-less window sorts the whole fact
-# table on ONE task, the parallelism cap a 100 TB rank cannot afford.
-# The oracle keeps the naive global window; hash equality proves the
-# two-phase form assigns identical ranks.
-# ===========================================================================
-
-@_register(
-    "gini_order_concentration",
-    f"""
-    WITH x AS (
-      SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
-             row_number() OVER (ORDER BY floor(o_totalprice * 100.0 + 0.5),
-                                         o_orderkey) AS i
-      FROM orders),
-    t AS (SELECT CAST(count(*) AS BIGINT) AS n,
-                 CAST(sum(cents) AS BIGINT) AS s,
-                 sum(CAST(2 * i - 1 AS HUGEINT) * cents) AS w
-          FROM x)
-    SELECT n AS n_orders, s AS total_cents,
-           {_sql_r('CAST(w AS DOUBLE) / (1.0 * n * s) - 1.0', 9)} AS gini
-    FROM t
-    """,
-    "analytics: Gini concentration of order values (rank formulation, "
-    "exact bigint weighted sum, pinned tie order)",
-    "one row: order count, total cents, and 9dp Gini coefficient of "
-    "o_totalprice",
-)
-def gini_order_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import (
-        global_row_number,
-    )
-
-    o = _t(spark, sf_dir, "orders")
-    x = global_row_number(
-        o.select(_cents(F.col("o_totalprice")).alias("cents"), "o_orderkey"),
-        ["cents", "o_orderkey"],
-        rank_col="i",
-        cache_role="gini_rank",
-    )
-    # exact wide-integer accumulation: decimal(18,0) × decimal(18,0)
-    # terms sum into decimal(38,0) — no int64 wrap at any reachable SF
-    # (matches the oracle's hugeint sum bit-for-bit after the final
-    # cast-to-double)
-    w_term = (2 * F.col("i").cast("bigint") - 1).cast("decimal(18,0)") * F.col(
-        "cents"
-    ).cast("decimal(18,0)")
-    t = x.agg(
-        F.count("*").cast("bigint").alias("n"),
-        F.sum("cents").cast("bigint").alias("s"),
-        F.sum(w_term).alias("w"),
-    )
-    return t.select(
-        F.col("n").alias("n_orders"),
-        F.col("s").alias("total_cents"),
-        _r(
-            F.col("w").cast("double")
-            / (F.lit(1.0) * F.col("n") * F.col("s"))
-            - F.lit(1.0),
-            9,
-        ).alias("gini"),
-    )
-
-
-# ===========================================================================
-# Kaplan-Meier conversion survival — time-to-purchase after first click
-# with proper right-censoring (administrative horizon of 3 days, further
-# truncated by end-of-observation), the survival curve a funnel team
-# reads instead of a mean. The at-risk count n(t) comes from a
-# DESCENDING cumulative count over the grouped duration table (no
-# inequality join — the classic O(n log n) KM form), and the product
-# Π(1−d/n) is exp of a cumulative ln sum over event times only.
-# Censored-only times contribute factor 1 by construction; the terminal
-# n==d point (survival exactly 0, ln undefined) is excluded, which can
-# only ever be the single largest duration. Scale: two aggregates over
-# events, then windows over the per-duration table — whose size is
-# BOUNDED by the horizon (≤259,201 distinct second-granularity
-# durations) regardless of user count, so the global windows never
-# outgrow one partition even at 100 TB.
-# ===========================================================================
-
-@_register(
-    "kaplan_meier_conversion",
-    f"""
-    WITH clicks AS (
-      SELECT user_id, min(ts) AS fc FROM events
-      WHERE event_type = 'click' GROUP BY user_id),
-    gmax AS (SELECT CAST(epoch_us(max(ts)) // 1000000 AS BIGINT) AS mt
-             FROM events),
-    conv AS (
-      SELECT c.user_id,
-             CAST(epoch_us(min(e.ts)) // 1000000 AS BIGINT) AS fp_s
-      FROM clicks c JOIN events e
-        ON e.user_id = c.user_id AND e.event_type = 'purchase'
-       AND e.ts >= c.fc
-      GROUP BY c.user_id),
-    obs AS (
-      SELECT c.user_id,
-             CASE WHEN v.fp_s IS NOT NULL
-                   AND v.fp_s - CAST(epoch_us(c.fc) // 1000000 AS BIGINT)
-                       <= least(259200,
-                                g.mt - CAST(epoch_us(c.fc) // 1000000
-                                            AS BIGINT))
-                  THEN v.fp_s - CAST(epoch_us(c.fc) // 1000000 AS BIGINT)
-                  ELSE least(259200,
-                             g.mt - CAST(epoch_us(c.fc) // 1000000
-                                         AS BIGINT))
-             END AS dur_s,
-             CASE WHEN v.fp_s IS NOT NULL
-                   AND v.fp_s - CAST(epoch_us(c.fc) // 1000000 AS BIGINT)
-                       <= least(259200,
-                                g.mt - CAST(epoch_us(c.fc) // 1000000
-                                            AS BIGINT))
-                  THEN 1 ELSE 0 END AS ev
-      FROM clicks c LEFT JOIN conv v USING (user_id) CROSS JOIN gmax g),
-    g AS (SELECT dur_s, CAST(count(*) AS BIGINT) AS n_all,
-                 CAST(sum(ev) AS BIGINT) AS d
-          FROM obs GROUP BY dur_s),
-    r AS (SELECT dur_s, d,
-            CAST(sum(n_all) OVER (ORDER BY dur_s DESC
-                                  ROWS UNBOUNDED PRECEDING)
-                 AS BIGINT) AS n_risk
-          FROM g),
-    s AS (SELECT * FROM r WHERE d > 0 AND n_risk > d)
-    SELECT dur_s AS t_s, n_risk, d AS d_events,
-           {_sql_r('exp(sum(ln((1.0 * (n_risk - d)) / n_risk))'
-                   ' OVER (ORDER BY dur_s ROWS UNBOUNDED PRECEDING))', 6)}
-             AS survival
-    FROM s
-    """,
-    "analytics: Kaplan-Meier conversion survival (right-censored at a "
-    "3-day horizon; descending-cumulative at-risk counts, exp-ln-sum "
-    "product — no inequality join)",
-    "per conversion-duration second: at-risk count, conversions, and 6dp "
-    "KM survival probability",
-)
-def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    clicks = (
-        ev.filter(F.col("event_type") == "click")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("fc"))
-    )
-    gmax = ev.agg(_epoch_s(F.max("ts")).alias("mt"))
-    conv = (
-        clicks.join(
-            ev.filter(F.col("event_type") == "purchase").select(
-                "user_id", F.col("ts").alias("pts")
-            ),
-            "user_id",
-        )
-        .filter(F.col("pts") >= F.col("fc"))
-        .groupBy("user_id")
-        .agg(_epoch_s(F.min("pts")).alias("fp_s"))
-    )
-    fc_s = _epoch_s(F.col("fc"))
-    horizon = F.least(F.lit(259200).cast("bigint"), F.col("mt") - fc_s)
-    converted = F.col("fp_s").isNotNull() & (
-        F.col("fp_s") - fc_s <= horizon
-    )
-    obs = (
-        clicks.join(conv, "user_id", "left")
-        .crossJoin(F.broadcast(gmax))
-        .select(
-            F.when(converted, F.col("fp_s") - fc_s)
-            .otherwise(horizon)
-            .alias("dur_s"),
-            F.when(converted, 1).otherwise(0).alias("ev"),
-        )
-    )
-    g = obs.groupBy("dur_s").agg(
-        F.count("*").cast("bigint").alias("n_all"),
-        F.sum("ev").cast("bigint").alias("d"),
-    )
-    w_desc = Window.orderBy(F.col("dur_s").desc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    r = g.select(
-        "dur_s",
-        "d",
-        F.sum("n_all").over(w_desc).cast("bigint").alias("n_risk"),
-    )
-    s = r.filter((F.col("d") > 0) & (F.col("n_risk") > F.col("d")))
-    w_asc = Window.orderBy("dur_s").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    factor = F.log(
-        (F.lit(1.0) * (F.col("n_risk") - F.col("d"))) / F.col("n_risk")
-    )
-    return s.select(
-        F.col("dur_s").alias("t_s"),
-        "n_risk",
-        F.col("d").alias("d_events"),
-        _r(F.exp(F.sum(factor).over(w_asc)), 6).alias("survival"),
-    )
-
-
-# ===========================================================================
-# BM25 document scoring — the IR ranking function over the documents
-# table for a pinned query-term set (one rare term, three common ones,
-# so idf spread is real on the 31-word synthetic vocab). The corpus is
-# exploded ONCE into a persisted (doc, term, tf) aggregate (house
-# scoped-persist pattern — the vocab_coverage lesson: naive CTE reuse
-# re-explodes the corpus per consumer); doc lengths, corpus stats,
-# query tf, and df are all re-aggregates of that bounded table.
-# Ranking runs on the ROUNDED score (6dp) with a doc_id tiebreak so
-# top-20 selection is engine-identical. k1=1.2, b=0.75.
-# ===========================================================================
-
-_BM25_TERMS = ("dup", "join", "query", "sort")
-
-
-@_register(
-    "bm25_scoring",
-    f"""
-    WITH toks AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS term
-      FROM documents),
-    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
-           FROM toks GROUP BY doc_id),
-    stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-                     CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
-    q AS (SELECT * FROM (VALUES
-        {', '.join(f"('{t}')" for t in _BM25_TERMS)}) AS q(term)),
-    tf AS (SELECT t.doc_id, t.term, CAST(count(*) AS BIGINT) AS tf
-           FROM toks t JOIN q USING (term) GROUP BY t.doc_id, t.term),
-    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
-           FROM tf GROUP BY term),
-    scored AS (
-      SELECT tf.doc_id,
-             CAST(count(*) AS BIGINT) AS n_terms,
-             {_sql_r(
-                 'sum(ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))'
-                 ' * (tf.tf * 2.2)'
-                 ' / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl * s.n_docs'
-                 ' / s.total_len)))', 6)} AS score
-      FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id
-      CROSS JOIN stats s
-      GROUP BY tf.doc_id)
-    SELECT doc_id, n_terms, score, rank FROM (
-      SELECT *, CAST(row_number() OVER (ORDER BY score DESC, doc_id)
-                     AS INT) AS rank
-      FROM scored)
-    WHERE rank <= 20
-    """,
-    "textops: BM25 ranking for a pinned query (idf/doc-length "
-    "normalization; one token explode feeds tf, dl, df, corpus stats)",
-    "top-20 documents by 6dp BM25 score over query terms "
-    f"{_BM25_TERMS}, matched-term count, pinned doc_id tiebreak",
-)
-def bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
-        persist_scoped,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
-    )
-    # One explode feeds everything: (doc, term, tf) is bounded by
-    # |docs| * |vocab|, far smaller than the raw token stream.
-    tc = persist_scoped(
-        "bm25_term_counts",
-        toks.groupBy("doc_id", "term").agg(
-            F.count("*").cast("bigint").alias("tf")
-        ),
-    )
-    dl = tc.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
-    stats = dl.agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        F.sum("dl").cast("bigint").alias("total_len"),
-    )
-    q = spark.createDataFrame([(t,) for t in _BM25_TERMS], "term string")
-    tf = tc.join(F.broadcast(q), "term")
-    df_ = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    norm = F.col("tf") + 1.2 * (
-        F.lit(0.25)
-        + F.lit(0.75) * F.col("dl") * F.col("n_docs") / F.col("total_len")
-    )
-    scored = (
-        tf.join(F.broadcast(df_), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("bigint").alias("n_terms"),
-            _r(F.sum(idf * (F.col("tf") * 2.2) / norm), 6).alias("score"),
-        )
-    )
-    # r7: top-20 via orderBy+limit (TakeOrderedAndProject — each task
-    # keeps its local top 20, the driver merges P·20 rows) instead of a
-    # row_number window that sorts EVERY doc's score on one task; the
-    # rank window then runs over ≤20 rows. Same rows, same ranks.
-    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return top.withColumn(
-        "rank", F.row_number().over(w).cast("int")
-    ).select("doc_id", "n_terms", "score", "rank")
-
-
-# ===========================================================================
-# Two-proportion z-test — the A/B experiment readout: split users into
-# arms by user_id parity (the deterministic stand-in for an assignment
-# hash), conversion = ≥14 purchase events (just above the ~13.4
-# per-user mean — events-per-user is SF-invariant in this testdata, so
-# both arms stay non-degenerate at every scale; an every-user-qualifies
-# metric would zero the pooled variance and the z denominator), pooled
-# z-score on the conversion-rate difference. Per-user reduction then a
-# 2-row arm aggregate; the z expression is one scalar formula over
-# exact bigints, 6dp. Scale: one shuffle on user_id, nothing else
-# grows.
-# ===========================================================================
-
-@_register(
-    "abtest_proportion_ztest",
-    f"""
-    WITH u AS (
-      SELECT user_id, CAST(user_id % 2 AS BIGINT) AS arm,
-             CASE WHEN sum(CASE WHEN event_type = 'purchase'
-                               THEN 1 ELSE 0 END) >= 14
-                  THEN 1 ELSE 0 END AS conv
-      FROM events GROUP BY user_id),
-    a AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
-                 CAST(sum(conv) AS BIGINT) AS n_conv
-          FROM u GROUP BY arm)
-    SELECT a0.n_users AS n_a, a0.n_conv AS conv_a,
-           a1.n_users AS n_b, a1.n_conv AS conv_b,
-           {_sql_r('1.0 * a0.n_conv / a0.n_users', 6)} AS rate_a,
-           {_sql_r('1.0 * a1.n_conv / a1.n_users', 6)} AS rate_b,
-           {_sql_r(
-               '(1.0 * a0.n_conv / a0.n_users'
-               ' - 1.0 * a1.n_conv / a1.n_users)'
-               ' / sqrt((1.0 * (a0.n_conv + a1.n_conv)'
-               ' / (a0.n_users + a1.n_users))'
-               ' * (1.0 - 1.0 * (a0.n_conv + a1.n_conv)'
-               ' / (a0.n_users + a1.n_users))'
-               ' * (1.0 / a0.n_users + 1.0 / a1.n_users))', 6)} AS z_score
-    FROM (SELECT * FROM a WHERE arm = 0) a0
-    CROSS JOIN (SELECT * FROM a WHERE arm = 1) a1
-    """,
-    "analytics: two-proportion z-test between parity-assigned arms "
-    "(pooled variance; per-user reduction then a 2-row aggregate)",
-    "one row: per-arm users/conversions, 6dp rates, and the pooled "
-    "two-proportion z-score",
-)
-def abtest_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    u = ev.groupBy("user_id").agg(
-        F.when(
-            F.sum(
-                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-            )
-            >= 14,
-            1,
-        )
-        .otherwise(0)
-        .alias("conv")
-    )
-    a = u.groupBy((F.col("user_id") % 2).cast("bigint").alias("arm")).agg(
-        F.count("*").cast("bigint").alias("n_users"),
-        F.sum("conv").cast("bigint").alias("n_conv"),
-    )
-    a0 = a.filter(F.col("arm") == 0).select(
-        F.col("n_users").alias("n_a"), F.col("n_conv").alias("conv_a")
-    )
-    a1 = a.filter(F.col("arm") == 1).select(
-        F.col("n_users").alias("n_b"), F.col("n_conv").alias("conv_b")
-    )
-    j = a0.crossJoin(F.broadcast(a1))
-    p0 = F.lit(1.0) * F.col("conv_a") / F.col("n_a")
-    p1 = F.lit(1.0) * F.col("conv_b") / F.col("n_b")
-    pp = (
-        F.lit(1.0)
-        * (F.col("conv_a") + F.col("conv_b"))
-        / (F.col("n_a") + F.col("n_b"))
-    )
-    se = F.sqrt(
-        pp * (F.lit(1.0) - pp) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
-    )
-    return j.select(
-        "n_a",
-        "conv_a",
-        "n_b",
-        "conv_b",
-        _r(p0, 6).alias("rate_a"),
-        _r(p1, 6).alias("rate_b"),
-        _r((p0 - p1) / se, 6).alias("z_score"),
-    )
-
-
-# ===========================================================================
-# Seasonal weekday index — the decomposition primer: each weekday's
-# average daily value vs the all-days average (index > 1 = seasonally
-# hot). The weekday comes from pure integer arithmetic on the epoch day
-# ((day+3) mod 7, 0 = Monday — 1970-01-01 was a Thursday), sidestepping
-# the engines' dayofweek-numbering mismatch entirely (same parity
-# guarantee the isodow-1 ↔ F.weekday pair gives the heatmap entry).
-# Scale: the raw stream reduces to one row per day, then 7 rows.
-# ===========================================================================
-
-@_register(
-    "seasonal_weekday_index",
-    f"""
-    WITH d AS (
-      SELECT CAST(epoch_us(ts) // 1000000 // 86400 AS BIGINT) AS day_num,
-             CAST(sum(floor(value * 100.0 + 0.5)) AS BIGINT) AS day_cents
-      FROM events GROUP BY 1),
-    wk AS (SELECT CAST((day_num + 3) % 7 AS BIGINT) AS dow_mon0,
-                  CAST(count(*) AS BIGINT) AS n_days,
-                  CAST(sum(day_cents) AS BIGINT) AS wk_cents
-           FROM d GROUP BY 1),
-    g AS (SELECT CAST(count(*) AS BIGINT) AS g_days,
-                 CAST(sum(day_cents) AS BIGINT) AS g_cents FROM d)
-    SELECT dow_mon0, n_days,
-           {_sql_r('1.0 * wk_cents / n_days', 2)} AS avg_day_cents,
-           {_sql_r('(1.0 * wk_cents / n_days)'
-                   ' / (1.0 * g_cents / g_days)', 6)} AS seasonal_index
-    FROM wk CROSS JOIN g
-    """,
-    "time series: weekday seasonal index (integer epoch-day weekday, "
-    "two-level reduction, broadcast global average)",
-    "per weekday (0=Monday): day count, 2dp average daily cents, and "
-    "6dp seasonal index vs the all-days average",
-)
-def seasonal_weekday_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    d = ev.groupBy(
-        _fdiv(_epoch_s("ts"), 86400).alias("day_num")
-    ).agg(F.sum(_cents(F.col("value"))).cast("bigint").alias("day_cents"))
-    wk = d.groupBy(
-        ((F.col("day_num") + 3) % 7).cast("bigint").alias("dow_mon0")
-    ).agg(
-        F.count("*").cast("bigint").alias("n_days"),
-        F.sum("day_cents").cast("bigint").alias("wk_cents"),
-    )
-    g = d.agg(
-        F.count("*").cast("bigint").alias("g_days"),
-        F.sum("day_cents").cast("bigint").alias("g_cents"),
-    )
-    wk_avg = F.lit(1.0) * F.col("wk_cents") / F.col("n_days")
-    g_avg = F.lit(1.0) * F.col("g_cents") / F.col("g_days")
-    return wk.crossJoin(F.broadcast(g)).select(
-        "dow_mon0",
-        "n_days",
-        _r(wk_avg, 2).alias("avg_day_cents"),
-        _r(wk_avg / g_avg, 6).alias("seasonal_index"),
-    )
-
-
-# Pair-join heavy-key guard: the self-join pair enumerators (Theil-Sen,
-# U-shaped attribution) are bounded by PER-KEY row counts — O(Σ nᵢ²),
-# linear in total rows only while every nᵢ stays small. The testdata
-# keeps nᵢ ≈ 67-99 across SFs, but that was an UNENFORCED contract: a
-# pathological key with 10⁶ rows means 5·10¹¹ pairs, a silent
-# scale-killer. This guard makes the contract fail-loudly (the same
-# style as the streaming late-drop watermark precondition): one cheap
-# map-side-combined count-per-key aggregate + a 1-row max read before
-# the join; past the bound the entry raises with the fix (repeated-
-# median / per-key sampling) named, instead of launching the blowup.
-_PAIR_JOIN_MAX_GROUP = 10_000  # 5·10⁷ pairs for one key — the loud ceiling
-# Two-sided pair joins (clicks × purchases) bound the per-key PRODUCT
-# directly against the same 5·10⁷ ceiling — bounding each side at
-# _PAIR_JOIN_MAX_GROUP alone would still admit 10⁸ pairs for one key.
-_PAIR_JOIN_MAX_PAIRS = 50_000_000
-
-
-def _assert_bounded_group(
-    df: DataFrame, key_cols: str | list[str], entry: str
-) -> None:
-    """Raise unless every ``key_cols`` group in ``df`` has ≤
-    ``_PAIR_JOIN_MAX_GROUP`` rows.
-
-    EAGER by design (r6 ADVICE note): this runs a real Spark job — one
-    map-side-combined count-per-key aggregate + a 1-row max read — at
-    ENTRY-CONSTRUCTION time, so building the guarded entries' plans
-    (explain snapshots, plan-shape tests, ``queries()[name](...)``
-    without an action) scans the input once. That is the point: the
-    check must complete BEFORE the O(n²) pair join is even in a plan a
-    caller could execute. The extra scan is a counted aggregate
-    (seconds at any SF the driver runs); folding the check into the
-    lazy plan (an assert_true column) was considered and rejected —
-    Catalyst may prune an unused assert column, and the failure would
-    surface mid-job as a SparkException instead of this named,
-    actionable error.
-
-    ``key_cols`` may be a composite key for callers whose groups are
-    keyed by more than one column. (The attribution entry does NOT use
-    this helper: its pair count is a two-sided product n_clicks ×
-    n_purchases per user, which it bounds directly against
-    ``_PAIR_JOIN_MAX_PAIRS`` — see ``multi_touch_attribution``.)
-    """
-    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
-    hi = (
-        df.groupBy(*keys)
-        .agg(F.count("*").alias("n"))
-        .agg(F.max("n").alias("mx"))
-        .collect()[0]["mx"]
-    )
-    if hi is not None and hi > _PAIR_JOIN_MAX_GROUP:
-        key_desc = ", ".join(keys)
-        raise AssertionError(
-            f"{entry} pair-join precondition violated: heaviest "
-            f"({key_desc}) group has {hi} rows (bound "
-            f"{_PAIR_JOIN_MAX_GROUP}) — the per-key pair join would "
-            f"enumerate ~{hi * (hi - 1) // 2:,} pairs for that key. "
-            "Cap per-key rows upstream (sample), or switch to the "
-            "banded repeated-median variant (theil_sen_banded: O(n*K) "
-            "pairs per key) instead of letting the O(n²) blowup launch."
-        )
-
-
-# ===========================================================================
-# Theil-Sen robust trend per user — the median-of-pairwise-slopes
-# estimator, the outlier-proof twin of user_trend_ols. Pair enumeration
-# is a user-partitioned equi-join (bounded by per-user event count, not
-# |events|² — and since r6 that bound is ENFORCED: the heavy-key guard
-# above raises past _PAIR_JOIN_MAX_GROUP rows/user rather than
-# silently enumerating quadratic pairs). The median is selected
-# deterministically: a pinned total order (slope, then the pair's event
-# ids) + row_number, averaging the one or two middle elements — no
-# reliance on engine-specific percentile interpolation. Slope doubles
-# come from identical bigint cents/seconds on both engines; the 2-term
-# average is commutative, so 9dp rounding is safe.
-# ===========================================================================
-
-@_register(
-    "theil_sen_user_trend",
-    f"""
-    WITH e AS (
-      SELECT user_id, event_id,
-             CAST(epoch_us(ts) // 1000000 AS BIGINT) AS t,
-             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
-      FROM events),
-    p AS (
-      SELECT a.user_id, a.event_id AS ea, b.event_id AS eb,
-             1.0 * (b.c - a.c) / (b.t - a.t) AS slope
-      FROM e a JOIN e b
-        ON a.user_id = b.user_id AND a.t < b.t),
-    r AS (
-      SELECT user_id, slope,
-             row_number() OVER (PARTITION BY user_id
-                                ORDER BY slope, ea, eb) AS rn,
-             count(*) OVER (PARTITION BY user_id) AS n
-      FROM p)
-    SELECT user_id, CAST(max(n) AS BIGINT) AS n_pairs,
-           {_sql_r('avg(slope)', 9)} AS ts_slope
-    FROM r
-    WHERE rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
-       OR rn = CAST(floor((n + 2) / 2.0) AS BIGINT)
-    GROUP BY user_id
-    """,
-    "analytics: Theil-Sen robust trend (median pairwise slope; pinned "
-    "middle-element selection, user-bounded pair join)",
-    "per user: pair count and the 9dp median pairwise slope "
-    "(cents/second) of value over time",
-)
-def theil_sen_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    _assert_bounded_group(ev, "user_id", "theil_sen_user_trend")
-    e = ev.select(
-        "user_id",
-        "event_id",
-        _epoch_s("ts").alias("t"),
-        _cents(F.col("value")).alias("c"),
-    )
-    a = e.select(
-        "user_id",
-        F.col("event_id").alias("ea"),
-        F.col("t").alias("ta"),
-        F.col("c").alias("ca"),
-    )
-    b = e.select(
-        "user_id",
-        F.col("event_id").alias("eb"),
-        F.col("t").alias("tb"),
-        F.col("c").alias("cb"),
-    )
-    p = (
-        a.join(b, "user_id")
-        .filter(F.col("ta") < F.col("tb"))
-        .select(
-            "user_id",
-            "ea",
-            "eb",
-            (
-                F.lit(1.0)
-                * (F.col("cb") - F.col("ca"))
-                / (F.col("tb") - F.col("ta"))
-            ).alias("slope"),
-        )
-    )
-    wo = Window.partitionBy("user_id").orderBy("slope", "ea", "eb")
-    wn = Window.partitionBy("user_id")
-    r = p.select(
-        "user_id",
-        "slope",
-        F.row_number().over(wo).alias("rn"),
-        F.count("*").over(wn).alias("n"),
-    )
-    mid1 = F.floor((F.col("n") + 1) / F.lit(2.0)).cast("bigint")
-    mid2 = F.floor((F.col("n") + 2) / F.lit(2.0)).cast("bigint")
-    return (
-        r.filter((F.col("rn") == mid1) | (F.col("rn") == mid2))
-        .groupBy("user_id")
-        .agg(
-            F.max("n").cast("bigint").alias("n_pairs"),
-            _r(F.avg("slope"), 9).alias("ts_slope"),
-        )
-    )
-
-
-# ===========================================================================
-# Ridge regression, closed form — 2-feature (lag-1, lag-2 cents)
-# autoregression with L2 regularization solved exactly from sufficient
-# statistics: one map-side-combined aggregate collects the raw moment
-# sums as EXACT bigints (cents ≤ 5.7e4 ⇒ Σx² ≤ 3.2e14 at sf0.1, far
-# inside int64 — the n-scaled centering that would overflow is instead
-# done in scalar doubles on the 1-row result, identical on both
-# engines), then Cramer's rule on the centered 2×2 normal equations
-# (X'X + λI, λ pinned at 1e4 absolute). The whole "training" is one
-# aggregation pass — no iterative solver, no driver loop.
-# ===========================================================================
-
-@_register(
-    "ridge_forecast_closed_form",
-    f"""
-    WITH f AS (
-      SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS y,
-             lag(CAST(floor(value * 100.0 + 0.5) AS BIGINT), 1)
-               OVER w AS x,
-             lag(CAST(floor(value * 100.0 + 0.5) AS BIGINT), 2)
-               OVER w AS z
-      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-    s AS (
-      SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(z) AS BIGINT) AS sz,
-             CAST(sum(y) AS BIGINT) AS sy,
-             CAST(sum(x * x) AS BIGINT) AS sxx,
-             CAST(sum(z * z) AS BIGINT) AS szz,
-             CAST(sum(x * z) AS BIGINT) AS sxz,
-             CAST(sum(x * y) AS BIGINT) AS sxy,
-             CAST(sum(z * y) AS BIGINT) AS szy
-      FROM f WHERE x IS NOT NULL AND z IS NOT NULL),
-    m AS (
-      SELECT n, sx, sz, sy,
-             sxx - 1.0 * sx * sx / n + 10000.0 AS a11,
-             szz - 1.0 * sz * sz / n + 10000.0 AS a22,
-             sxz - 1.0 * sx * sz / n AS a12,
-             sxy - 1.0 * sx * sy / n AS b1v,
-             szy - 1.0 * sz * sy / n AS b2v
-      FROM s)
-    SELECT n,
-           {_sql_r('(b1v * a22 - a12 * b2v) / (a11 * a22 - a12 * a12)', 9)}
-             AS beta_lag1,
-           {_sql_r('(a11 * b2v - a12 * b1v) / (a11 * a22 - a12 * a12)', 9)}
-             AS beta_lag2,
-           {_sql_r(
-               '(sy - (b1v * a22 - a12 * b2v) / (a11 * a22 - a12 * a12)'
-               ' * sx'
-               ' - (a11 * b2v - a12 * b1v) / (a11 * a22 - a12 * a12)'
-               ' * sz) / n', 9)} AS intercept_cents
-    FROM m
-    """,
-    "ml: closed-form ridge autoregression (exact bigint sufficient "
-    "statistics in one aggregate, scalar Cramer solve, no iterations)",
-    "one row: sample count and 9dp ridge coefficients (lag-1, lag-2, "
-    "intercept in cents) with pinned lambda=1e4",
-)
-def ridge_forecast_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    c = _cents(F.col("value"))
-    f = ev.select(
-        c.alias("y"),
-        F.lag(c, 1).over(w).alias("x"),
-        F.lag(c, 2).over(w).alias("z"),
-    ).filter(F.col("x").isNotNull() & F.col("z").isNotNull())
-    s = f.agg(
-        F.count("*").cast("bigint").alias("n"),
-        F.sum("x").cast("bigint").alias("sx"),
-        F.sum("z").cast("bigint").alias("sz"),
-        F.sum("y").cast("bigint").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
-        F.sum(F.col("z") * F.col("z")).cast("bigint").alias("szz"),
-        F.sum(F.col("x") * F.col("z")).cast("bigint").alias("sxz"),
-        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
-        F.sum(F.col("z") * F.col("y")).cast("bigint").alias("szy"),
-    )
-    lam = F.lit(10000.0)
-    a11 = F.col("sxx") - F.lit(1.0) * F.col("sx") * F.col("sx") / F.col("n") + lam
-    a22 = F.col("szz") - F.lit(1.0) * F.col("sz") * F.col("sz") / F.col("n") + lam
-    a12 = F.col("sxz") - F.lit(1.0) * F.col("sx") * F.col("sz") / F.col("n")
-    b1v = F.col("sxy") - F.lit(1.0) * F.col("sx") * F.col("sy") / F.col("n")
-    b2v = F.col("szy") - F.lit(1.0) * F.col("sz") * F.col("sy") / F.col("n")
-    det = a11 * a22 - a12 * a12
-    beta1 = (b1v * a22 - a12 * b2v) / det
-    beta2 = (a11 * b2v - a12 * b1v) / det
-    return s.select(
-        "n",
-        _r(beta1, 9).alias("beta_lag1"),
-        _r(beta2, 9).alias("beta_lag2"),
-        _r(
-            (F.col("sy") - beta1 * F.col("sx") - beta2 * F.col("sz"))
-            / F.col("n"),
-            9,
-        ).alias("intercept_cents"),
-    )
-
-
-# ===========================================================================
-# Seasonally-adjusted anomaly days — the composed monitoring pipeline:
-# daily totals → centered 7-day moving-average trend → weekday seasonal
-# index → flag days whose actual/expected ratio strays >10%. Shows the
-# operators composing: the seasonal index table (7 rows) broadcasts
-# over the per-day trend series; all derived doubles are scalar ops on
-# exact bigint sums (window avg of bigints is exact-sum/count on both
-# engines), so the threshold comparison is bit-identical — no flapping
-# flags at the boundary. Scale: raw stream → one row per day, windows
-# and joins run over that tiny series.
-# ===========================================================================
-
-@_register(
-    "seasonal_anomaly_days",
-    f"""
-    WITH d AS (
-      SELECT CAST(epoch_us(ts) // 1000000 // 86400 AS BIGINT) AS day_num,
-             CAST(sum(floor(value * 100.0 + 0.5)) AS BIGINT) AS day_cents
-      FROM events GROUP BY 1),
-    wk AS (SELECT CAST((day_num + 3) % 7 AS BIGINT) AS dow_mon0,
-                  CAST(count(*) AS BIGINT) AS n_days,
-                  CAST(sum(day_cents) AS BIGINT) AS wk_cents
-           FROM d GROUP BY 1),
-    g AS (SELECT CAST(count(*) AS BIGINT) AS g_days,
-                 CAST(sum(day_cents) AS BIGINT) AS g_cents FROM d),
-    t AS (SELECT day_num, day_cents,
-                 CAST((day_num + 3) % 7 AS BIGINT) AS dow_mon0,
-                 avg(day_cents) OVER (ORDER BY day_num
-                                      ROWS BETWEEN 3 PRECEDING
-                                      AND 3 FOLLOWING) AS trend
-          FROM d)
-    SELECT t.day_num, t.day_cents,
-           {_sql_r('t.trend', 2)} AS trend_cents,
-           {_sql_r('(1.0 * wk.wk_cents / wk.n_days)'
-                   ' / (1.0 * g.g_cents / g.g_days)', 6)} AS seasonal_idx,
-           {_sql_r('t.day_cents / (t.trend'
-                   ' * ((1.0 * wk.wk_cents / wk.n_days)'
-                   ' / (1.0 * g.g_cents / g.g_days)))', 6)} AS ratio,
-           CAST(CASE WHEN abs(t.day_cents / (t.trend
-                  * ((1.0 * wk.wk_cents / wk.n_days)
-                  / (1.0 * g.g_cents / g.g_days))) - 1.0) > 0.10
-                THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
-    FROM t JOIN wk USING (dow_mon0) CROSS JOIN g
-    """,
-    "monitoring: seasonally-adjusted daily anomaly flags (7-day centered "
-    "trend x weekday index, broadcast over the per-day series)",
-    "per day: cents, 2dp trend, 6dp seasonal index, 6dp actual/expected "
-    "ratio, and a >10%-deviation anomaly flag",
-)
-def seasonal_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    d = ev.groupBy(
-        _fdiv(_epoch_s("ts"), 86400).alias("day_num")
-    ).agg(F.sum(_cents(F.col("value"))).cast("bigint").alias("day_cents"))
-    wk = d.groupBy(
-        ((F.col("day_num") + 3) % 7).cast("bigint").alias("dow_mon0")
-    ).agg(
-        F.count("*").cast("bigint").alias("n_days"),
-        F.sum("day_cents").cast("bigint").alias("wk_cents"),
-    )
-    g = d.agg(
-        F.count("*").cast("bigint").alias("g_days"),
-        F.sum("day_cents").cast("bigint").alias("g_cents"),
-    )
-    wt = Window.orderBy("day_num").rowsBetween(-3, 3)
-    t = d.select(
-        "day_num",
-        "day_cents",
-        ((F.col("day_num") + 3) % 7).cast("bigint").alias("dow_mon0"),
-        F.avg("day_cents").over(wt).alias("trend"),
-    )
-    idx = (F.lit(1.0) * F.col("wk_cents") / F.col("n_days")) / (
-        F.lit(1.0) * F.col("g_cents") / F.col("g_days")
-    )
-    ratio = F.col("day_cents") / (F.col("trend") * idx)
-    return (
-        t.join(F.broadcast(wk), "dow_mon0")
-        .crossJoin(F.broadcast(g))
-        .select(
-            "day_num",
-            "day_cents",
-            _r(F.col("trend"), 2).alias("trend_cents"),
-            _r(idx, 6).alias("seasonal_idx"),
-            _r(ratio, 6).alias("ratio"),
-            F.when(F.abs(ratio - 1.0) > 0.10, 1)
-            .otherwise(0)
-            .cast("bigint")
-            .alias("is_anomaly"),
-        )
-    )
-
-
-# ===========================================================================
-# Set-operation churn audit — the one relational surface the battery
-# didn't yet exercise: INTERSECT / EXCEPT (distinct set semantics,
-# identical in Spark's .intersect/.subtract and ANSI SQL). Sets are
-# (user, active-weekday) pairs per month half — fine-grained enough
-# that both EXCEPT directions are genuinely non-empty on the dense
-# synthetic users (every user is active all month, so plain user-id
-# sets would make the diffs degenerate). The weekday again comes from
-# pure epoch-day arithmetic. Scale: two distinct aggregates + set ops
-# that hash on the full row — the same shuffle class as the groupBys.
-# ===========================================================================
-
-@_register(
-    "set_ops_churn_audit",
-    """
-    WITH a AS (
-      SELECT DISTINCT user_id,
-             CAST((epoch_us(ts) // 1000000 // 86400 + 3) % 7 AS BIGINT)
-               AS dow_mon0
-      FROM events WHERE ts < TIMESTAMP '2024-01-16'),
-    b AS (
-      SELECT DISTINCT user_id,
-             CAST((epoch_us(ts) // 1000000 // 86400 + 3) % 7 AS BIGINT)
-               AS dow_mon0
-      FROM events WHERE ts >= TIMESTAMP '2024-01-16')
-    SELECT 'both' AS segment, user_id, dow_mon0
-    FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
-    UNION ALL
-    SELECT 'first_only' AS segment, user_id, dow_mon0
-    FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
-    UNION ALL
-    SELECT 'second_only' AS segment, user_id, dow_mon0
-    FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
-    """,
-    "analytics: INTERSECT/EXCEPT churn audit over (user, weekday) "
-    "activity sets (distinct set semantics, both diff directions "
-    "non-empty)",
-    "per (user, weekday) activity pair: tagged 'both' / 'first_only' / "
-    "'second_only' membership across the two month halves",
-)
-def set_ops_churn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    split = F.lit("2024-01-16").cast("timestamp_ntz")
-    dow = ((_fdiv(_epoch_s("ts"), 86400) + 3) % 7).cast("bigint").alias(
-        "dow_mon0"
-    )
-    a = ev.filter(F.col("ts") < split).select("user_id", dow).distinct()
-    b = ev.filter(F.col("ts") >= split).select("user_id", dow).distinct()
-    tag = lambda df, seg: df.select(  # noqa: E731
-        F.lit(seg).alias("segment"), "user_id", "dow_mon0"
-    )
-    return (
-        tag(a.intersect(b), "both")
-        .unionAll(tag(a.subtract(b), "first_only"))
-        .unionAll(tag(b.subtract(a), "second_only"))
-    )
-
-
-# ===========================================================================
-# RANGE-frame trailing window — the value-distance window frame
-# (RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW over epoch seconds),
-# the one window-frame class the battery didn't yet exercise: ROWS
-# frames count rows, RANGE frames measure ORDER-BY distance, and the
-# two diverge whenever event spacing is irregular. RANGE output is
-# tie-insensitive by definition (all peers of the current ORDER-BY
-# value join the frame), so exact bigint sums need no tiebreak pinning.
-# Scale: one shuffle on user_id, one sort per partition — same cost
-# class as every other per-user window here.
-# ===========================================================================
-
-@_register(
-    "range_frame_trailing_hour",
-    """
-    WITH e AS (
-      SELECT event_id, user_id,
-             CAST(epoch_us(ts) // 1000000 AS BIGINT) AS t_s,
-             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
-      FROM events)
-    SELECT event_id, user_id, t_s,
-           CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY t_s
-                                 RANGE BETWEEN 3600 PRECEDING
-                                 AND CURRENT ROW) AS BIGINT)
-             AS trailing_1h_cents,
-           CAST(count(*) OVER (PARTITION BY user_id ORDER BY t_s
-                               RANGE BETWEEN 3600 PRECEDING
-                               AND CURRENT ROW) AS BIGINT)
-             AS trailing_1h_events
-    FROM e
-    """,
-    "analytics: RANGE-frame trailing-hour window (value-distance frame "
-    "over epoch seconds; tie-insensitive, exact bigint sums)",
-    "per event: the user's value cents and event count within the "
-    "trailing 3600 seconds (RANGE frame, not ROWS)",
-)
-def range_frame_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    e = ev.select(
-        "event_id",
-        "user_id",
-        _epoch_s("ts").alias("t_s"),
-        _cents(F.col("value")).alias("cents"),
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("t_s")
-        .rangeBetween(-3600, Window.currentRow)
-    )
-    return e.select(
-        "event_id",
-        "user_id",
-        "t_s",
-        F.sum("cents").over(w).cast("bigint").alias("trailing_1h_cents"),
-        F.count("*").over(w).cast("bigint").alias("trailing_1h_events"),
-    )
-
-
-# ===========================================================================
-# U-shaped multi-touch attribution — the marketing-analytics credit
-# model the last-touch entry (purchase_click_attribution) can't express:
-# every click in the 24h lookback shares the purchase's credit, 40%
-# to the first touch, 40% to the last, the middle 20% split evenly
-# (collapsing to 1.0 / 0.5+0.5 for 1- and 2-click paths). Credit is a
-# scalar formula over exact bigint rank/count — deterministic to the
-# last bit, so the per-purchase credits sum to exactly 1 on both
-# engines. The click-purchase pairing is a user-keyed equi-join with a
-# time-band filter (pairs bounded by per-user event counts — the same
-# contract as the Theil-Sen pair join, enforced since r6 by the shared
-# heavy-key guard above it); ranks pin ties on click id.
-# ===========================================================================
-
-@_register(
-    "multi_touch_attribution",
-    f"""
-    WITH e AS (
-      SELECT user_id, event_id, event_type,
-             CAST(epoch_us(ts) // 1000000 AS BIGINT) AS t
-      FROM events),
-    p AS (SELECT user_id, event_id AS pid, t AS tp
-          FROM e WHERE event_type = 'purchase'),
-    c AS (SELECT user_id, event_id AS cid, t AS tc
-          FROM e WHERE event_type = 'click'),
-    j AS (
-      SELECT p.pid, c.cid, c.tc,
-             row_number() OVER (PARTITION BY p.pid
-                                ORDER BY c.tc, c.cid) AS rnk,
-             count(*) OVER (PARTITION BY p.pid) AS n_touches
-      FROM p JOIN c
-        ON p.user_id = c.user_id
-       AND c.tc <= p.tp AND c.tc >= p.tp - 86400)
-    SELECT pid, cid, CAST(rnk AS BIGINT) AS touch_rank,
-           CAST(n_touches AS BIGINT) AS n_touches,
-           {_sql_r(
-               'CASE WHEN n_touches = 1 THEN 1.0'
-               ' WHEN n_touches = 2 THEN 0.5'
-               ' WHEN rnk = 1 OR rnk = n_touches THEN 0.4'
-               ' ELSE 0.2 / (n_touches - 2) END', 6)} AS credit
-    FROM j
-    """,
-    "analytics: U-shaped multi-touch attribution (40/20/40 credit over "
-    "the 24h click path; user-keyed band join, exact rank arithmetic)",
-    "per (purchase, click) touch in the 24h lookback: rank, path "
-    "length, and 6dp U-shaped credit (sums to 1 per purchase)",
-)
-def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    # Only clicks and purchases enter the pair join (r6 ADVICE: a user
-    # heavy in OTHER event types must not trip the guard), and the
-    # per-user pair count is the PRODUCT n_clicks × n_purchases — so
-    # bound the product directly rather than each count (bounding each
-    # at 10k would still admit 1e8 pairs for one user; a clicks-only
-    # heavy user produces zero pairs and passes).
-    pair_hi = (
-        ev.filter(F.col("event_type").isin("click", "purchase"))
-        .groupBy("user_id")
-        .agg(
-            F.sum(
-                F.when(F.col("event_type") == "click", 1).otherwise(0)
-            ).alias("nc"),
-            F.sum(
-                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-            ).alias("np"),
-        )
-        .agg(F.max(F.col("nc") * F.col("np")).alias("mx"))
-        .collect()[0]["mx"]
-    )
-    if pair_hi is not None and pair_hi > _PAIR_JOIN_MAX_PAIRS:
-        raise AssertionError(
-            "multi_touch_attribution pair-join precondition violated: "
-            f"heaviest user would enumerate {pair_hi:,} click×purchase "
-            f"pairs (bound {_PAIR_JOIN_MAX_PAIRS:,}). Cap per-user "
-            "clicks/purchases upstream (sample) instead of letting the "
-            "quadratic blowup launch."
-        )
-    e = ev.select(
-        "user_id", "event_id", "event_type", _epoch_s("ts").alias("t")
-    )
-    p = e.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.col("event_id").alias("pid"), F.col("t").alias("tp")
-    )
-    c = e.filter(F.col("event_type") == "click").select(
-        "user_id", F.col("event_id").alias("cid"), F.col("t").alias("tc")
-    )
-    j = (
-        p.join(c, "user_id")
-        .filter(
-            (F.col("tc") <= F.col("tp"))
-            & (F.col("tc") >= F.col("tp") - 86400)
-        )
-        .select(
-            "pid",
-            "cid",
-            "tc",
-            F.row_number()
-            .over(Window.partitionBy("pid").orderBy("tc", "cid"))
-            .alias("rnk"),
-            F.count("*").over(Window.partitionBy("pid")).alias("n_touches"),
-        )
-    )
-    credit = (
-        F.when(F.col("n_touches") == 1, F.lit(1.0))
-        .when(F.col("n_touches") == 2, F.lit(0.5))
-        .when(
-            (F.col("rnk") == 1) | (F.col("rnk") == F.col("n_touches")),
-            F.lit(0.4),
-        )
-        .otherwise(F.lit(0.2) / (F.col("n_touches") - 2))
-    )
-    return j.select(
-        "pid",
-        "cid",
-        F.col("rnk").cast("bigint").alias("touch_rank"),
-        F.col("n_touches").cast("bigint").alias("n_touches"),
-        _r(credit, 6).alias("credit"),
-    )
-
-
-# ===========================================================================
-# Per-user activity bitmap — the bitwise-aggregate surface: each user's
-# active days packed into one bigint via bit_or(1 << day_index), active
-# count via bit_count. This is the roaring-bitmap-lite representation
-# engagement systems keep per user — 64 days of presence in 8 bytes,
-# mergeable across partitions by construction (bit_or is commutative
-# and associative, the ideal map-side-combined aggregate). The day
-# index is relative to the global min day (derived, not hardcoded), and
-# indices ≥63 are filtered OUT on both sides: index 63 would be the sign
-# bit — Spark's shiftleft(1L, 63) silently yields it while DuckDB 1.0.0
-# raises "Overflow in left shift (1 << 63)" (verified locally), a
-# silent-vs-loud engine divergence — so the bitmap is explicitly "the
-# first 63 days of the observation window" (the current testdata spans
-# 30). Pure integer ops — exact.
-# ===========================================================================
-
-@_register(
-    "activity_bitmap_days",
-    """
-    WITH e AS (
-      SELECT user_id,
-             CAST(epoch_us(ts) // 1000000 // 86400 AS BIGINT) AS day
-      FROM events),
-    base AS (SELECT min(day) AS base FROM e),
-    j AS (SELECT user_id, CAST(day - base AS INT) AS di
-          FROM e CROSS JOIN base
-          WHERE day - base < 63)
-    SELECT user_id,
-           CAST(bit_or(CAST(1 AS BIGINT) << di) AS BIGINT) AS day_bitmap,
-           CAST(bit_count(bit_or(CAST(1 AS BIGINT) << di)) AS BIGINT)
-             AS n_active_days,
-           CAST(count(*) AS BIGINT) AS n_events
-    FROM j GROUP BY user_id
-    """,
-    "analytics: per-user active-day bitmap via bit_or/bit_count "
-    "(mergeable 8-byte presence set, the roaring-bitmap-lite form)",
-    "per user: day-presence bitmap in a bigint (bit i = active on "
-    "min-day+i, window capped at 63 days to keep the sign bit clear), "
-    "popcount of active days, and event count",
-)
-def activity_bitmap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    e = ev.select("user_id", _fdiv(_epoch_s("ts"), 86400).alias("day"))
-    base = e.agg(F.min("day").alias("base"))
-    j = (
-        e.crossJoin(F.broadcast(base))
-        .filter(F.col("day") - F.col("base") < 63)
-        .select(
-            "user_id",
-            (F.col("day") - F.col("base")).cast("int").alias("di"),
-        )
-    )
-    bit = F.expr("shiftleft(CAST(1 AS BIGINT), di)")
-    return j.groupBy("user_id").agg(
-        F.bit_or(bit).cast("bigint").alias("day_bitmap"),
-        F.bit_count(F.bit_or(bit)).cast("bigint").alias("n_active_days"),
-        F.count("*").cast("bigint").alias("n_events"),
-    )
-
-
-# ===========================================================================
-# Leakage-safe train/val/test split — the step that closes the dedup →
-# split loop: assigning SPLITS BY DUPLICATE CLUSTER, not by document,
-# so a near-duplicate of a training doc can never land in the test set
-# (the classic eval-leakage failure). Clusters come from the same
-# SimHash connected components as dedup_cluster_assign; the split is
-# the house md5 bucket (engine-portable h60 % 10 → 80/10/10) keyed on
-# the CLUSTER id — every member inherits its cluster's split by
-# construction, which is the whole guarantee. Scale: the components
-# fixpoint is the documented O(diameter) join+agg; the split itself is
-# one narrow hash projection.
-# ===========================================================================
-
-@_register(
-    "leakage_safe_split",
-    f"""
-    WITH RECURSIVE {_SIMHASH60_CTE},
-    bands AS (
-      SELECT doc_id, simhash60, b AS band,
-             (simhash60 >> (15 * b)) & 32767 AS nib
-      FROM sim60 CROSS JOIN (VALUES (0), (1), (2), (3)) t(b)
-    ),
-    edges AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a JOIN bands b ON a.band = b.band AND a.nib = b.nib
-                               AND a.doc_id < b.doc_id
-      WHERE bit_count(xor(a.simhash60, b.simhash60)) <= 3
-    ),
-    sym AS (
-      SELECT id_a AS n, id_b AS m FROM edges
-      UNION ALL SELECT id_b, id_a FROM edges
-    ),
-    comp(n, label) AS (
-      SELECT doc_id, doc_id FROM documents
-      UNION
-      SELECT s.n, c.label FROM comp c JOIN sym s ON s.m = c.n
-    ),
-    clusters AS (
-      SELECT n AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
-      FROM comp GROUP BY n
-    )
-    SELECT doc_id, cluster_id,
-           CASE WHEN {_h60_sql(
-               "concat('split', CAST(cluster_id AS VARCHAR))")} % 10 < 8
-                THEN 'train'
-                WHEN {_h60_sql(
-               "concat('split', CAST(cluster_id AS VARCHAR))")} % 10 = 8
-                THEN 'val'
-                ELSE 'test' END AS split
-    FROM clusters
-    """,
-    "curation: leakage-safe train/val/test split (md5 bucket on the "
-    "duplicate-cluster id — near-dups can never straddle splits)",
-    "per document: its SimHash duplicate-cluster id and the cluster's "
-    "80/10/10 split assignment",
-)
-def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
-        connected_components,
-        h60,
-        simhash_pairs,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    edges = simhash_pairs(docs, max_hamming=3).select("id_a", "id_b")
-    clusters = connected_components(edges, docs, node_col="doc_id")
-    bucket = h60(
-        F.concat(F.lit("split"), F.col("cluster_id").cast("string"))
-    ) % 10
-    return clusters.select(
-        "doc_id",
-        "cluster_id",
-        F.when(bucket < 8, "train")
-        .when(bucket == 8, "val")
-        .otherwise("test")
-        .alias("split"),
-    )
-
-
-# ===========================================================================
-# Brand price realization — catalog-vs-transacted pricing: for each
-# brand, the revenue actually booked against the catalog value of the
-# goods sold (Σ extendedprice ÷ Σ qty·retailprice). Exercises
-# p_retailprice (the one catalog column nothing else touches) and the
-# classic fact-to-dim money reconciliation. All money is exact integer
-# cents (quantities are integral in this data, cast checked by the
-# oracle); the realization ratio is one rounded division of exact
-# bigint sums. Scale: broadcast part dim into the fact scan, one
-# map-side-combined aggregate — the canonical star-join rollup.
-# ===========================================================================
-
-@_register(
-    "brand_price_realization",
-    f"""
-    WITH li AS (
-      SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
-             CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
-               AS ext_cents
-      FROM lineitem),
-    p AS (SELECT p_partkey, p_brand,
-                 CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT)
-                   AS retail_cents
-          FROM part)
-    SELECT p.p_brand,
-           CAST(count(DISTINCT li.l_partkey) AS BIGINT) AS n_parts,
-           CAST(count(*) AS BIGINT) AS n_lines,
-           CAST(sum(li.qty) AS BIGINT) AS sum_qty,
-           CAST(sum(li.ext_cents) AS BIGINT) AS revenue_cents,
-           CAST(sum(li.qty * p.retail_cents) AS BIGINT) AS catalog_cents,
-           {_sql_r('1.0 * sum(li.ext_cents)'
-                   ' / sum(li.qty * p.retail_cents)', 6)} AS realization
-    FROM li JOIN p ON li.l_partkey = p.p_partkey
-    GROUP BY p.p_brand
-    """,
-    "warehouse: brand price realization (catalog vs transacted revenue; "
-    "broadcast dim star rollup, exact integer cents)",
-    "per brand: part/line counts, quantity, booked revenue cents, "
-    "catalog-value cents, and the 6dp realization ratio",
-)
-def brand_price_realization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_partkey",
-        F.col("l_quantity").cast("bigint").alias("qty"),
-        _cents(F.col("l_extendedprice")).alias("ext_cents"),
-    )
-    p = _t(spark, sf_dir, "part").select(
-        "p_partkey",
-        "p_brand",
-        _cents(F.col("p_retailprice")).alias("retail_cents"),
-    )
-    return (
-        li.join(
-            F.broadcast(p), li["l_partkey"] == p["p_partkey"]
-        )
-        .groupBy("p_brand")
-        .agg(
-            F.count_distinct("l_partkey").cast("bigint").alias("n_parts"),
-            F.count("*").cast("bigint").alias("n_lines"),
-            F.sum("qty").cast("bigint").alias("sum_qty"),
-            F.sum("ext_cents").cast("bigint").alias("revenue_cents"),
-            F.sum(F.col("qty") * F.col("retail_cents"))
-            .cast("bigint")
-            .alias("catalog_cents"),
-            _r(
-                F.lit(1.0)
-                * F.sum("ext_cents")
-                / F.sum(F.col("qty") * F.col("retail_cents")),
-                6,
-            ).alias("realization"),
-        )
-    )
-
-
-# ===========================================================================
-# Rolling 7-day distinct users via HLL register MERGE — the reason
-# sketches exist: yesterday's raw events are gone, but yesterday's 64
-# registers (≤64 rows per day, whatever the raw volume) merge with
-# today's by a plain max — so the trailing-week NDV costs a band join
-# over ~7·64 pre-aggregated rows per day instead of a 7-day raw
-# re-scan. Same engine-portable md5 HLL as hll_group_registers (raw
-# estimator, integer-exact harmonic denominator), so register state AND
-# estimate hash-match DuckDB. The days dim broadcasts over the register
-# table; correctness does not assume every register fires every day.
-# ===========================================================================
-
-@_register(
-    "hll_rolling_7d_users",
-    f"""
-    WITH h AS (
-      SELECT CAST(epoch_us(ts) // 1000000 // 86400 AS BIGINT) AS day,
-             {_h60_sql('CAST(user_id AS VARCHAR)')} AS hv
-      FROM events),
-    r AS (
-      SELECT day, hv % {_HLL_M} AS j,
-             55 - length(trim(LEADING '0' FROM bin(hv // {_HLL_M})))
-               AS rho0
-      FROM h),
-    dayregs AS (SELECT day, j, max(rho0) AS rho
-                FROM r GROUP BY day, j),
-    days AS (SELECT DISTINCT day FROM dayregs),
-    merged AS (
-      SELECT d.day, g.j, max(g.rho) AS rho
-      FROM days d JOIN dayregs g
-        ON g.day BETWEEN d.day - 6 AND d.day
-      GROUP BY d.day, g.j)
-    SELECT day,
-           CAST(count(*) AS INT) AS n_regs,
-           CAST(sum(rho) AS BIGINT) AS rho_sum,
-           CAST(floor({_HLL_SCALE} * {_HLL_P55!r}
-                      / (sum(CAST(1 AS BIGINT) << CAST(55 - rho AS INT))
-                         + ({_HLL_M} - count(*)) * {_HLL_P55!r})
-                      * 1e4 + 0.5) AS BIGINT) AS est_e4
-    FROM merged GROUP BY day
-    """,
-    "sketch: rolling 7-day distinct users by HLL register merge "
-    "(trailing week from <=7x64 pre-aggregated rows, no raw re-scan)",
-    "per day: merged register count/checksum and the trailing-7-day "
-    "approximate distinct-user estimate in 1e-4 units",
-)
-def hll_rolling_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import h60
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.frequency import (
-        HLL_ALPHA_64,
-    )
-
-    m = _HLL_M
-    ev = _t(spark, sf_dir, "events")
-    d = (
-        ev.select(
-            _fdiv(_epoch_s("ts"), 86400).alias("day"),
-            h60(F.col("user_id").cast("string")).alias("__h"),
-        )
-        .select(
-            "day",
-            (F.col("__h") % m).alias("j"),
-            F.expr(f"__h div {m}").alias("__w"),
-        )
-        .withColumn(
-            "rho0",
-            (
-                F.lit(55)
-                - F.length(F.expr("trim(LEADING '0' FROM bin(__w))"))
-            ).cast("int"),
-        )
-    )
-    dayregs = d.groupBy("day", "j").agg(F.max("rho0").alias("rho"))
-    days = dayregs.select("day").distinct().select(F.col("day").alias("dd"))
-    merged = (
-        F.broadcast(days)
-        .join(
-            dayregs,
-            (F.col("day") <= F.col("dd"))
-            & (F.col("day") >= F.col("dd") - 6),
-        )
-        .groupBy("dd", "j")
-        .agg(F.max("rho").alias("rho"))
-    )
-    scale = float(HLL_ALPHA_64 * m * m)
-    return merged.groupBy("dd").agg(
-        F.count("*").cast("int").alias("n_regs"),
-        F.sum("rho").cast("bigint").alias("rho_sum"),
-        F.floor(
-            F.lit(scale)
-            * float(1 << 55)
-            / (
-                F.sum(F.expr("shiftleft(1L, CAST(55 - rho AS INT))"))
-                + (F.lit(m) - F.count("*")) * F.lit(float(1 << 55))
-            )
-            * 1e4
-            + 0.5
-        )
-        .cast("bigint")
-        .alias("est_e4"),
-    ).withColumnRenamed("dd", "day")
-
-
-# ===========================================================================
-# KL term-distribution drift — the corpus-comparison gate a curation
-# pipeline runs when admitting a new language/source slice: how far does
-# slice P's term distribution sit from the reference slice Q (here:
-# every lang vs 'en')? KL(P‖Q) = Σ p·ln(p/q) with add-1 smoothing over
-# the UNION vocabulary (zero-count terms on either side stay finite).
-# Exactness discipline = the unigram-perplexity house pattern: each
-# term's ln(p/q) is snapped to integer micro-nats — both engines
-# evaluate ln on the IDENTICAL rational ((c+1)(n_en+V)) / ((n+V)(c_en+1))
-# — so the per-lang sum is exact integer arithmetic, order-independent
-# across partitions, before one final division. The 'en' row is a
-# built-in invariant: KL(en‖en) = 0 exactly.
-#
-# Scale shape: ONE tokenize (the scope-persisted (lang,term,c) aggregate
-# feeds lang totals, the vocab/en-count table, and the scoring grid);
-# the grid is |langs|·|vocab| — vocabulary-bounded, NOT corpus-bounded —
-# built by broadcasting the ≤|langs| totals over the vocab table and
-# left-joining tf on (lang,term). All JVM-side Column arithmetic.
-# ===========================================================================
-
-@_register(
-    "kl_term_drift",
-    f"""
-    WITH toks AS (
-      SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents),
-    tf AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS c
-           FROM toks GROUP BY 1, 2),
-    n AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM tf GROUP BY 1),
-    vocab AS (SELECT term,
-                     CAST(coalesce(sum(CASE WHEN lang = 'en' THEN c END), 0)
-                          AS BIGINT) AS c_en
-              FROM tf GROUP BY term),
-    v AS (SELECT CAST(count(*) AS BIGINT) AS vsz FROM vocab),
-    en AS (SELECT n AS n_en FROM n WHERE lang = 'en'),
-    grid AS (
-      SELECT n.lang, n.n, vocab.term, vocab.c_en,
-             coalesce(tf.c, 0) AS c
-      FROM n CROSS JOIN vocab
-      LEFT JOIN tf ON tf.lang = n.lang AND tf.term = vocab.term),
-    scored AS (
-      SELECT g.lang, g.n, v.vsz,
-             (g.c + 1) * CAST(floor(ln(
-                 (1.0 * (g.c + 1) * (en.n_en + v.vsz))
-                 / (1.0 * (g.n + v.vsz) * (g.c_en + 1))
-               ) * 1000000.0 + 0.5) AS BIGINT) AS contrib
-      FROM grid g CROSS JOIN v CROSS JOIN en)
-    SELECT lang, n AS n_tokens, vsz AS vocab_size,
-           {_sql_r('sum(contrib) / 1000000.0 / (n + vsz)', 6)} AS kl_vs_en
-    FROM scored GROUP BY lang, n, vsz
-    """,
-    "curation: per-language KL divergence vs the 'en' reference slice "
-    "(add-1 smoothed union vocabulary, integer micro-nat accumulation)",
-    "per lang: token count, union vocab size, 6dp KL(lang || en) over "
-    "smoothed term distributions; KL(en||en) = 0 by construction",
-)
-def kl_term_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
-        persist_scoped,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "lang", F.explode(F.split(F.col("text"), " ")).alias("term")
-    )
-    tf = persist_scoped(
-        "kl_drift_tf",
-        toks.groupBy("lang", "term").agg(
-            F.count("*").cast("bigint").alias("c")
-        ),
-    )
-    n = tf.groupBy("lang").agg(F.sum("c").cast("bigint").alias("n"))
-    vocab = tf.groupBy("term").agg(
-        F.coalesce(
-            F.sum(F.when(F.col("lang") == "en", F.col("c"))), F.lit(0)
-        )
-        .cast("bigint")
-        .alias("c_en")
-    )
-    v = vocab.agg(F.count("*").cast("bigint").alias("vsz"))
-    en = n.filter(F.col("lang") == "en").select(F.col("n").alias("n_en"))
-    grid = (
-        F.broadcast(n)
-        .crossJoin(vocab)
-        .join(tf, ["lang", "term"], "left")
-        .select(
-            "lang", "n", "term", "c_en",
-            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
-        )
-    )
-    lnr = F.log(
-        (F.lit(1.0) * (F.col("c") + 1) * (F.col("n_en") + F.col("vsz")))
-        / (
-            F.lit(1.0)
-            * (F.col("n") + F.col("vsz"))
-            * (F.col("c_en") + 1)
-        )
-    )
-    scored = grid.crossJoin(F.broadcast(v)).crossJoin(F.broadcast(en)).select(
-        "lang",
-        "n",
-        "vsz",
-        (
-            (F.col("c") + 1)
-            * F.floor(lnr * 1e6 + 0.5).cast("bigint")
-        ).alias("contrib"),
-    )
-    return scored.groupBy("lang", "n", "vsz").agg(
-        _r(
-            F.sum("contrib") / F.lit(1e6) / (F.col("n") + F.col("vsz")), 6
-        ).alias("kl_vs_en")
-    ).select(
-        "lang",
-        F.col("n").alias("n_tokens"),
-        F.col("vsz").alias("vocab_size"),
-        "kl_vs_en",
-    )
-
-
-# ===========================================================================
-# k-core peeling — the graph-curation primitive that iteratively strips
-# low-degree nodes until every survivor has ≥ k neighbors among the
-# survivors (the dense-community filter social/fraud pipelines run after
-# building a co-occurrence graph). This entry peels the 3-core of the
-# kNN-sparsified co-supply graph with FOUR unrolled rounds — a static
-# plan both engines express identically (the to-fixpoint variant is the
-# same loop with a convergence check + localCheckpoint, the
-# dedup_cluster_star discipline; four rounds converge on this graph and
-# the oracle stays SQL-expressible). Scale shape per round: one
-# map-side-combined degree aggregate + two semi-joins against the ≤|V|
-# survivor set — no pair enumeration beyond the already-capped kNN edge
-# list (degree ≤ 2k by construction, so each peel is linear in edges).
-# ===========================================================================
-
-_KCORE_EDGE_CTES = """
-    os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
-    w AS (SELECT a.l_suppkey AS s1, b.l_suppkey AS s2,
-                 CAST(count(*) AS BIGINT) AS w
-          FROM os a JOIN os b
-            ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
-          GROUP BY a.l_suppkey, b.l_suppkey),
-    kept AS (SELECT s1, s2 FROM (
-               SELECT s1, s2,
-                      row_number() OVER (PARTITION BY s1
-                                         ORDER BY w DESC, s2) AS rn
-               FROM w)
-             WHERE rn <= 5),
-    e AS (SELECT DISTINCT least(s1, s2) AS a, greatest(s1, s2) AS b
-          FROM kept)
-"""
-
-
-@_register(
-    "kcore_cosupply_peel",
-    f"""
-    WITH {_KCORE_EDGE_CTES},
-    sym0 AS (SELECT a AS s, b AS t FROM e UNION ALL SELECT b, a FROM e),
-    k0 AS (SELECT s FROM sym0 GROUP BY s HAVING count(*) >= 3),
-    sym1 AS (SELECT sym0.s, sym0.t FROM sym0
-             JOIN k0 x ON x.s = sym0.s JOIN k0 y ON y.s = sym0.t),
-    k1 AS (SELECT s FROM sym1 GROUP BY s HAVING count(*) >= 3),
-    sym2 AS (SELECT sym1.s, sym1.t FROM sym1
-             JOIN k1 x ON x.s = sym1.s JOIN k1 y ON y.s = sym1.t),
-    k2 AS (SELECT s FROM sym2 GROUP BY s HAVING count(*) >= 3),
-    sym3 AS (SELECT sym2.s, sym2.t FROM sym2
-             JOIN k2 x ON x.s = sym2.s JOIN k2 y ON y.s = sym2.t),
-    k3 AS (SELECT s FROM sym3 GROUP BY s HAVING count(*) >= 3),
-    sym4 AS (SELECT sym3.s, sym3.t FROM sym3
-             JOIN k3 x ON x.s = sym3.s JOIN k3 y ON y.s = sym3.t)
-    SELECT s AS node, CAST(count(*) AS BIGINT) AS core_degree
-    FROM sym4 GROUP BY s
-    """,
-    "graph: 3-core peeling over the kNN-sparsified co-supply graph "
-    "(4 unrolled rounds; degree agg + survivor semi-joins per round)",
-    "suppliers surviving four 3-core peels of the top-5-edge co-supply "
-    "graph, with their degree in the surviving subgraph",
-)
-def kcore_cosupply_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.graph import (
-        knn_sparsify,
-    )
-
-    os_ = (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
-    a = os_.select(
-        F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("src")
-    )
-    b = os_.select(
-        F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("dst")
-    )
-    weighted = (
-        a.join(b, "k")
-        .filter(F.col("src") != F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count("*").cast("bigint").alias("w"))
-    )
-    # knn_sparsify already folds to distinct undirected (a, b) with a < b
-    und = knn_sparsify(weighted, k=5)
-    sym = (
-        und.select(F.col("a").alias("s"), F.col("b").alias("t"))
-        .unionByName(und.select(F.col("b").alias("s"), F.col("a").alias("t")))
-        # Each peel references sym TWICE (degree agg + the semi-joins),
-        # so without truncation round r's lineage holds 2^r copies of
-        # the co-supply pair join — the dedup_cluster_star discipline
-        # (localCheckpoint per round) keeps every round's input a flat
-        # ≤|kept-edges| table instead.
-        .localCheckpoint()
-    )
-    for _ in range(4):
-        keep = (
-            sym.groupBy("s")
-            .agg(F.count("*").alias("d"))
-            .filter(F.col("d") >= 3)
-            .select("s")
-        )
-        sym = (
-            sym.join(keep, "s", "left_semi")
-            .join(keep.withColumnRenamed("s", "t"), "t", "left_semi")
-            .localCheckpoint()
-        )
-    return sym.groupBy("s").agg(
-        F.count("*").cast("bigint").alias("core_degree")
-    ).withColumnRenamed("s", "node")
-
-
-# ===========================================================================
-# Interpolated bigram LM perplexity — the stronger LM-quality signal the
-# unigram entry approximates: per-doc perplexity under a corpus bigram
-# model with Jelinek-Mercer interpolation p = 0.75·p_bg + 0.25·p_ug
-# (the unigram backoff keeps unseen-context probabilities finite without
-# discounting machinery). Same exactness discipline as
-# text_unigram_perplexity: both engines evaluate ln on the identical
-# rational, snap to integer micro-nats, and the per-doc sum is exact
-# integer arithmetic.
-#
-# Scale shape: TWO token passes total, each single-execution — the
-# (doc, bigram, m) aggregate is scope-persisted and feeds the global
-# bigram counts, the context totals (a re-aggregate, not a re-explode),
-# and the per-doc scoring join; the unigram model is one more explode
-# whose (term, c) aggregate also yields N by re-aggregation. The
-# per-token context count derives FROM the bigram table (Σ c_xy over
-# first-token), so conditional probabilities are self-consistent.
-# ===========================================================================
-
-@_register(
-    "text_bigram_perplexity",
-    f"""
-    WITH btf AS (
-      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS m
-      FROM (SELECT doc_id, unnest({_shingle_raw_sql(2)}) AS tok
-            FROM documents WHERE len(string_split(text, ' ')) >= 2)
-      GROUP BY doc_id, tok),
-    bi AS (SELECT tok, CAST(sum(m) AS BIGINT) AS c_xy FROM btf GROUP BY tok),
-    ctx AS (SELECT string_split(tok, ' ')[1] AS w,
-                   CAST(sum(c_xy) AS BIGINT) AS c_ctx
-            FROM bi GROUP BY 1),
-    uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c
-            FROM (SELECT unnest(string_split(text, ' ')) AS w
-                  FROM documents) GROUP BY w),
-    nt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
-    scored AS (
-      SELECT btf.doc_id, btf.m,
-             btf.m * CAST(floor(-ln(
-                 0.75 * bi.c_xy / ctx.c_ctx + 0.25 * uni.c / nt.n
-               ) * 1000000.0 + 0.5) AS BIGINT) AS nll_micro
-      FROM btf
-      JOIN bi USING (tok)
-      JOIN ctx ON ctx.w = string_split(btf.tok, ' ')[1]
-      JOIN uni ON uni.w = string_split(btf.tok, ' ')[2]
-      CROSS JOIN nt)
-    SELECT doc_id,
-           CAST(sum(m) AS BIGINT) AS n_bigrams,
-           CAST(sum(nll_micro) AS BIGINT) AS nll_micro,
-           CAST(floor(exp(CAST(sum(nll_micro) AS DOUBLE) / 1000000.0
-                          / sum(m)) * 10000.0 + 0.5) AS BIGINT) AS ppl_e4
-    FROM scored GROUP BY doc_id
-    """,
-    "textops: interpolated bigram LM perplexity (Jelinek-Mercer "
-    "0.75/0.25 backoff to the unigram model; micro-nat exact)",
-    "per-doc perplexity under the corpus bigram model with unigram "
-    "interpolation; integer micro-nat accumulation, 4dp ppl",
-)
-def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
-        persist_scoped,
-        shingle_rows,
-    )
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import (
-        ensure_parallelism,
-    )
-
-    docs = ensure_parallelism(_t(spark, sf_dir, "documents"), "doc_id")
-    toks = F.split(F.col("text"), " ")
-    # r8: codegen lead-window bigrams; the groupBy(doc_id, tok) reuses
-    # the doc-granular exchange ensure_parallelism planted (hash(doc_id)
-    # satisfies any grouping containing doc_id), so the swap also moves
-    # the one exchange from exploded-bigram rows to doc rows
-    btf = persist_scoped(
-        "bigram_ppl_btf",
-        shingle_rows(docs.filter(F.size(toks) >= 2), n=2)
-        .groupBy("doc_id", F.col("shingle").alias("tok"))
-        .agg(F.count("*").cast("bigint").alias("m")),
-    )
-    bi = btf.groupBy("tok").agg(F.sum("m").cast("bigint").alias("c_xy"))
-    ctx = bi.groupBy(
-        F.split(F.col("tok"), " ").getItem(0).alias("w")
-    ).agg(F.sum("c_xy").cast("bigint").alias("c_ctx"))
-    uni = persist_scoped(
-        "bigram_ppl_uni",
-        docs.select(F.explode(toks).alias("w"))
-        .groupBy("w")
-        .agg(F.count("*").cast("bigint").alias("c")),
-    )
-    nt = uni.agg(F.sum("c").cast("bigint").alias("n"))
-    p = (
-        F.lit(0.75) * F.col("c_xy") / F.col("c_ctx")
-        + F.lit(0.25) * F.col("c") / F.col("n")
-    )
-    scored = (
-        btf.join(bi, "tok")
-        .join(
-            ctx,
-            ctx["w"] == F.split(btf["tok"], " ").getItem(0),
-        )
-        .join(
-            uni,
-            uni["w"] == F.split(btf["tok"], " ").getItem(1),
-        )
-        .crossJoin(F.broadcast(nt))
-        .select(
-            "doc_id",
-            "m",
-            (
-                F.col("m")
-                * F.floor(-F.log(p) * 1e6 + 0.5).cast("bigint")
-            ).alias("nll_micro"),
-        )
-    )
-    return scored.groupBy("doc_id").agg(
-        F.sum("m").cast("bigint").alias("n_bigrams"),
-        F.sum("nll_micro").cast("bigint").alias("nll_micro"),
-        F.floor(
-            F.exp(
-                F.sum("nll_micro").cast("double") / 1e6 / F.sum("m")
-            )
-            * 1e4
-            + 0.5
-        )
-        .cast("bigint")
-        .alias("ppl_e4"),
-    )
-
-
-# ===========================================================================
-# Markov steady state by power iteration — the linear-algebra twin of
-# the integer PageRank: take event_transition_matrix's chain, scale
-# conditional probabilities to exact e9 integers (floor DIV, identical
-# on both engines), start from the uniform vector, and unroll THREE
-# row-vector × matrix multiplies with per-term floor division
-# (v·p ≤ 1e18 stays in int64 BEFORE the divide; the per-term DIV keeps
-# every intermediate ≤ 5e9). Float-free, so the iterate is
-# hash-identical across engines and partition orders. The |states|²
-# matrix is tiny by construction — the cost is the ONE pass that
-# builds the transition counts; each multiply is a broadcast join over
-# ≤25 rows. mass_e9 exposes the floor-loss drift (≤ |states| per
-# round) as an auditable output instead of hiding it. The state set is
-# sources ∪ TARGETS (r6 ADVICE): a type appearing only as a transition
-# target is a SINK — without it in the state universe, mass routed into
-# it would silently vanish at the next multiply and the floor-loss
-# audit would under-report the drift. Sinks get an explicit e9
-# self-loop (absorbing state), so total mass is conserved up to floor
-# loss exactly as the audit claims.
-# ===========================================================================
-
-def _mk_iter_sql(prev: str, name: str) -> str:
-    return (
-        f"{name} AS (SELECT tf.t AS s, CAST(sum((v.v * tf.p_e9)"
-        f" // 1000000000) AS BIGINT) AS v"
-        f" FROM {prev} v JOIN tf ON tf.f = v.s GROUP BY tf.t)"
-    )
-
-
-
-# ===========================================================================
-# BPE merge induction (r9 new family) — the pair-merge loop of subword
-# tokenizer training (Sennrich et al., ACL 2016), run relationally:
-# corpus touched once into the word-frequency table, then every round
-# is VOCABULARY-granular (per-word windows + a pair aggregate + a
-# distributed top-1). The sequential greedy-merge semantics ("aaaa" +
-# rule (a,a) -> [aa, aa], never the overlapping middle pair) is
-# reproduced exactly by a running match-count, an islands grouping
-# (pos - cum_matches), and a parity filter — property-tested against a
-# reference Python BPE (operators/textstats.py:bpe_merge_rounds).
-# ===========================================================================
-
-def _bpe_round_sql(r: int) -> str:
-    prev = f"s{r - 1}"
-    return f"""
-    p{r} AS (SELECT word, wc, pos, sym,
-                    lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
-             FROM {prev}),
-    pc{r} AS (SELECT sym, nxt, CAST(sum(wc) AS BIGINT) AS n
-              FROM p{r} WHERE nxt IS NOT NULL GROUP BY sym, nxt),
-    b{r} AS (SELECT sym AS bs, nxt AS bn, n AS bcount FROM (
-               SELECT sym, nxt, n,
-                      row_number() OVER (ORDER BY n DESC, sym, nxt) AS rn
-               FROM pc{r}) WHERE rn = 1),
-    f{r} AS (SELECT p.word, p.wc, p.pos, p.sym, p.nxt,
-                    coalesce(p.sym = b.bs AND p.nxt = b.bn, FALSE) AS m
-             FROM p{r} p LEFT JOIN b{r} b ON TRUE),
-    g{r} AS (SELECT *, sum(CASE WHEN m THEN 1 ELSE 0 END)
-                         OVER (PARTITION BY word ORDER BY pos) AS cm
-             FROM f{r}),
-    h{r} AS (SELECT *, CASE WHEN m THEN pos - cm END AS grp FROM g{r}),
-    i{r} AS (SELECT *, m AND ((cm - min(cm) OVER (PARTITION BY word, grp))
-                              % 2 = 0) AS sel
-             FROM h{r}),
-    j{r} AS (SELECT *, coalesce(lag(sel) OVER (PARTITION BY word
-                                               ORDER BY pos), FALSE)
-                         AS consumed
-             FROM i{r}),
-    s{r} AS (SELECT word, wc,
-                    CAST(row_number() OVER (PARTITION BY word ORDER BY pos)
-                         AS BIGINT) AS pos,
-                    CASE WHEN sel THEN sym || nxt ELSE sym END AS sym
-             FROM j{r} WHERE NOT consumed)"""
-
-
-_BPE_ROUNDS = 3
-def _bpe_ctes(src: str = "documents") -> str:
-    """The BPE induction+segmentation CTE chain over an arbitrary
-    (text) source CTE/table — shared by the standalone entries
-    (src = documents) and the composed v4 pipeline (src = the
-    quality-filtered survivor set), the _winnow_fp_ctes convention."""
-    return (
-        f"""
-    w0 AS (SELECT word, CAST(count(*) AS BIGINT) AS wc
-           FROM (SELECT unnest(string_split(text, ' ')) AS word
-                 FROM {src})
-           WHERE word <> '' GROUP BY word),
-    c0 AS (SELECT word, wc,
-                  string_split(trim(regexp_replace(word, '(.)', '\\1 ', 'g')),
-                               ' ') AS l
-           FROM w0),
-    s0 AS (SELECT word, wc, CAST(pos AS BIGINT) AS pos, l[pos::INT] AS sym
-           FROM (SELECT word, wc, l, unnest(range(1, len(l) + 1)) AS pos
-                 FROM c0)),"""
-        + ",".join(_bpe_round_sql(r) for r in range(1, _BPE_ROUNDS + 1))
-    )
-
-
-_BPE_CTES = _bpe_ctes()
-
-
-# ===========================================================================
-# curation_pipeline_v4 (r10) — the round-10 stages composed end-to-end:
-# the pinned-weight quality gate prunes the corpus, the SURVIVOR set
-# drives temperature mixture reweighting (p^0.3/Z per language) AND the
-# learned-BPE fertility report — one per-language curation dashboard
-# row. The survivor set is scope-persisted ONCE for its three consumers
-# (the v3 discipline); langs with zero survivors drop out (inner joins,
-# the honest semantics — there is nothing to weight or tokenize).
-# ===========================================================================
-
-_QUALITY_KEPT_CTES = f"""
-    qc AS (
-      SELECT doc_id, lang, text, n_chars,
-             CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
-             {_sql_count_in(('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it', 'for', 'on'))} AS n_stop,
-             CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct
-      FROM documents
-    ),
-    qf AS (
-      SELECT doc_id, lang, text,
-             ({QUALITY_W0_E6}
-              + {QUALITY_W_STOP_E3} * (CASE WHEN n > 0 THEN CAST(floor(1.0 * n_stop / n * 1000000 + 0.5) AS BIGINT) ELSE 0 END) // 1000
-              + {QUALITY_W_PUNCT_E3} * (CASE WHEN n_chars > 0 THEN CAST(floor(1.0 * n_punct / n_chars * 1000000 + 0.5) AS BIGINT) ELSE 0 END) // 1000
-              + {QUALITY_W_LEN_E3} * CAST(least(n, 100) * 10000 AS BIGINT) // 1000
-              + {QUALITY_W_AWL_E3} * (CASE WHEN n > 0 THEN CAST(floor(1.0 * (n_chars - (n - 1)) / n * 1000000 + 0.5) AS BIGINT) ELSE 0 END) // 1000
-             ) AS logit_e6
-      FROM qc
-    ),
-    qkept AS (SELECT doc_id, lang, text FROM qf WHERE logit_e6 >= 0)
-"""
-
-
-@_register(
-    "curation_pipeline_v4",
-    f"""
-    WITH {_QUALITY_KEPT_CTES},
-    cin AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs_in
-            FROM documents GROUP BY lang),
-    ck AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs_kept
-           FROM qkept GROUP BY lang),
-    ct AS (SELECT CAST(sum(n_docs_kept) AS BIGINT) AS n_total FROM ck),
-    ms AS (SELECT lang, n_docs_kept,
-                  1.0 * n_docs_kept / n_total AS p,
-                  pow(1.0 * n_docs_kept / n_total, 0.3) AS pa
-           FROM ck CROSS JOIN ct),
-    mz AS (SELECT sum(pa) AS zz FROM ms),
-    {_bpe_ctes("qkept")},
-    enc AS (SELECT word, CAST(count(*) AS BIGINT) AS n_toks
-            FROM s{_BPE_ROUNDS} GROUP BY word),
-    gw AS (SELECT lang, word
-           FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
-                 FROM qkept)
-           WHERE word <> ''),
-    agg AS (SELECT lang,
-                   CAST(count(*) AS BIGINT) AS n_words,
-                   CAST(sum(n_toks) AS BIGINT) AS n_bpe_tokens
-            FROM gw JOIN enc USING (word)
-            GROUP BY lang)
-    SELECT cin.lang, cin.n_docs_in, ck.n_docs_kept,
-           CAST(1000000 * ck.n_docs_kept // cin.n_docs_in AS BIGINT)
-             AS kept_rate_e6,
-           {_sql_r('ms.pa / mz.zz', 6)} AS q,
-           {_sql_r('(ms.pa / mz.zz) / ms.p', 6)} AS per_doc_weight,
-           agg.n_bpe_tokens,
-           CAST(1000000 * agg.n_bpe_tokens // agg.n_words AS BIGINT)
-             AS fertility_e6
-    FROM cin JOIN ck USING (lang) JOIN ms USING (lang) JOIN agg USING (lang)
-    CROSS JOIN mz
-    """,
-    "curation: composed pipeline v4 — quality gate -> temperature "
-    "mixture -> learned-BPE fertility, per language (no reference "
-    "counterpart)",
-    "the r10 stages end-to-end over one scope-persisted survivor set: "
-    "per-lang kept rate, p^0.3/Z target share and per-doc weight, and "
-    "tokenizer fertility on the survivors' learned segmentation",
-)
-def curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import persist_scoped
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.sampling import (
-        temperature_mixture_weights,
-    )
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import (
-        bpe_fertility_stats,
-        quality_linear_filter,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    kept = persist_scoped(
-        "curation_v4_kept",
-        quality_linear_filter(docs)
-        .filter(F.col("kept"))
-        .select("doc_id", "lang", "text", "n_chars"),
-    )
-    cin = docs.groupBy("lang").agg(
-        F.count("*").cast("bigint").alias("n_docs_in")
-    )
-    w = temperature_mixture_weights(kept, "lang").select(
-        "lang", F.col("n_docs").alias("n_docs_kept"), "q", "per_doc_weight"
-    )
-    fert = bpe_fertility_stats(kept, rounds=_BPE_ROUNDS).select(
-        "lang", "n_bpe_tokens", "fertility_e6"
-    )
-    return (
-        cin.join(w, "lang")
-        .join(fert, "lang")
-        .select(
-            "lang",
-            "n_docs_in",
-            "n_docs_kept",
-            F.expr("1000000 * n_docs_kept div n_docs_in")
-            .cast("bigint")
-            .alias("kept_rate_e6"),
-            "q",
-            "per_doc_weight",
-            "n_bpe_tokens",
-            "fertility_e6",
-        )
-    )
-
-
-@_register(
-    "text_bpe_merges",
-    f"""
-    WITH {_BPE_CTES}
-    SELECT * FROM (
-      {" UNION ALL ".join(
-          f"SELECT CAST({r} AS INT) AS round, bs AS left_sym, bn AS right_sym, "
-          f"bcount AS pair_count FROM b{r}"
-          for r in range(1, _BPE_ROUNDS + 1)
-      )}
-    )
-    """,
-    "textops: BPE merge induction (first 3 tokenizer merge rules, "
-    "Sennrich et al. ACL 2016; no reference counterpart)",
-    "frequency-weighted pair counting + exact greedy merge per round "
-    "over the word-frequency vocabulary — sequential merge semantics "
-    "via islands-and-parity windows",
-)
-def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import (
-        bpe_merge_rounds,
-    )
-
-    return bpe_merge_rounds(
-        _t(spark, sf_dir, "documents"), rounds=_BPE_ROUNDS
-    )
-
-
-@_register(
-    "text_bpe_encode",
-    f"""
-    WITH {_BPE_CTES},
-    enc AS (SELECT word,
-                   CAST(count(*) AS BIGINT) AS n_toks,
-                   CAST(sum(CASE WHEN length(sym) = 1 THEN 1 ELSE 0 END)
-                        AS BIGINT) AS n_single
-            FROM s{_BPE_ROUNDS} GROUP BY word),
-    dw AS (SELECT doc_id, word
-           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
-                 FROM documents)
-           WHERE word <> '')
-    SELECT doc_id,
-           CAST(count(*) AS BIGINT) AS n_words,
-           CAST(sum(n_toks) AS BIGINT) AS n_bpe_tokens,
-           CAST(sum(n_single) AS BIGINT) AS n_char_tokens
-    FROM dw JOIN enc USING (word)
-    GROUP BY doc_id
-    """,
-    "textops: BPE apply/encode — segment the corpus with the learned "
-    "merge list, per-doc token accounting (Sennrich et al. ACL 2016; "
-    "no reference counterpart)",
-    "rank-order greedy merge application over the DISTINCT-word "
-    "vocabulary (the segmentation falls out of the induction pass); "
-    "corpus rows join word-granular stats on the word equi-key — "
-    "n_char_tokens counts unmerged single-char fallback tokens",
-)
-def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import (
-        bpe_encode_stats,
-    )
-
-    return bpe_encode_stats(
-        _t(spark, sf_dir, "documents"), rounds=_BPE_ROUNDS
-    )
-
-
-@_register(
-    "text_bpe_encode_ranked",
-    None,  # replaced below — shares text_bpe_encode's oracle (same output)
-    "textops: BPE apply via the ranked Arrow kernel (production path "
-    "for tens-of-thousands-rank vocabularies; Sennrich et al. ACL 2016; "
-    "no reference counterpart)",
-    "the priority-queue encoder vectorized per Arrow batch over the "
-    "DISTINCT-word vocabulary (operators/textstats.py:bpe_apply_ranks) "
-    "— kernel/relational parity is property-tested, and this entry "
-    "proves it END-TO-END by hash-matching text_bpe_encode's oracle",
-)
-def text_bpe_encode_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same per-doc token accounting as ``text_bpe_encode`` but the
-    segmentation comes from :func:`bpe_apply_ranks` — ONE Arrow batch
-    kernel over the distinct-word table — instead of the R sequential
-    relational merge passes. The learned merge list crosses the driver
-    as R rows (vocabulary-granular, never corpus rows): at production
-    scale that list is the tokenizer artifact itself (tens of KB), so
-    the crossing is the shape a real pipeline has anyway."""
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import (
-        bpe_apply_ranks,
-        bpe_merge_rounds,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    merges = bpe_merge_rounds(docs, rounds=_BPE_ROUNDS)
-    ranked = [
-        (r.left_sym, r.right_sym)
-        for r in merges.orderBy("round").collect()
-    ]
-    words = (
-        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
-        .filter(F.col("word") != "")
-        .distinct()
-    )
-    seg = bpe_apply_ranks(words, ranked)
-    word_stats = seg.groupBy("word").agg(
-        F.count("*").cast("bigint").alias("__n_toks"),
-        F.sum((F.length("sym") == 1).cast("int"))
-        .cast("bigint")
-        .alias("__n_single"),
-    )
-    doc_words = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
-    ).filter(F.col("word") != "")
-    return (
-        doc_words.join(word_stats, "word")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("bigint").alias("n_words"),
-            F.sum("__n_toks").cast("bigint").alias("n_bpe_tokens"),
-            F.sum("__n_single").cast("bigint").alias("n_char_tokens"),
-        )
-    )
-
-
-QUERIES["text_bpe_encode_ranked"] = dataclasses.replace(
-    QUERIES["text_bpe_encode_ranked"],
-    oracle=QUERIES["text_bpe_encode"].oracle,
-)
-
-
-@_register(
-    "text_bpe_fertility",
-    f"""
-    WITH {_BPE_CTES},
-    enc AS (SELECT word,
-                   CAST(count(*) AS BIGINT) AS n_toks,
-                   CAST(sum(CASE WHEN length(sym) = 1 THEN 1 ELSE 0 END)
-                        AS BIGINT) AS n_single
-            FROM s{_BPE_ROUNDS} GROUP BY word),
-    gw AS (SELECT lang, word
-           FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
-                 FROM documents)
-           WHERE word <> ''),
-    agg AS (SELECT lang,
-                   CAST(count(*) AS BIGINT) AS n_words,
-                   CAST(sum(n_toks) AS BIGINT) AS n_bpe_tokens,
-                   CAST(sum(n_single) AS BIGINT) AS n_char_tokens
-            FROM gw JOIN enc USING (word)
-            GROUP BY lang)
-    SELECT lang, n_words, n_bpe_tokens, n_char_tokens,
-           CAST(1000000 * n_bpe_tokens // n_words AS BIGINT) AS fertility_e6,
-           CAST(1000000 * n_char_tokens // n_bpe_tokens AS BIGINT)
-             AS fallback_e6
-    FROM agg
-    """,
-    "textops: tokenizer fertility per language (tokens/word + "
-    "single-char fallback share; no reference counterpart)",
-    "the multilingual tokenizer health report off the same learned "
-    "segmentation as text_bpe_encode, aggregated per language — exact "
-    "integer micro-unit ratios",
-)
-def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import (
-        bpe_fertility_stats,
-    )
-
-    return bpe_fertility_stats(
-        _t(spark, sf_dir, "documents"), rounds=_BPE_ROUNDS
-    )
-
-
-# ===========================================================================
-# BPE-counted sequence packing (r10, VERDICT r9 task 3's composition) —
-# pack_sequence_spans consuming REAL tokenizer counts: the packing
-# stream positions come from bpe_encode_stats' n_bpe_tokens instead of
-# the whitespace estimate, through the same distributed two-phase
-# prefix sum. Docs the tokenizer never saw (no non-empty words) carry
-# no tokens and are absent, exactly as a real packing run would skip
-# them.
-# ===========================================================================
-
-
-@_register(
-    "pack_bpe_sequence_spans",
-    f"""
-    WITH {_BPE_CTES},
-    enc AS (SELECT word, CAST(count(*) AS BIGINT) AS n_toks
-            FROM s{_BPE_ROUNDS} GROUP BY word),
-    dw AS (SELECT doc_id, word
-           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
-                 FROM documents)
-           WHERE word <> ''),
-    dt AS (SELECT doc_id, CAST(sum(n_toks) AS BIGINT) AS n_tokens
-           FROM dw JOIN enc USING (word) GROUP BY doc_id),
-    c AS (SELECT doc_id, n_tokens,
-                 sum(n_tokens) OVER (ORDER BY doc_id
-                                     ROWS UNBOUNDED PRECEDING) AS cum
-          FROM dt)
-    SELECT doc_id, n_tokens,
-           CAST(cum - n_tokens AS BIGINT) AS tok_start,
-           CAST((cum - n_tokens) // 256 AS BIGINT) AS first_seq,
-           CAST((cum - 1) // 256 AS BIGINT) AS last_seq,
-           CAST((cum - 1) // 256 - (cum - n_tokens) // 256 + 1 AS BIGINT)
-             AS n_seqs
-    FROM c
-    """,
-    "textops: sequence packing over REAL BPE token counts (tokenizer "
-    "loop composed end-to-end; no reference counterpart)",
-    "bpe_encode_stats' n_bpe_tokens drive the distributed two-phase "
-    "prefix-sum packing — concat-and-cut at 256 tokens on the learned "
-    "tokenization, not the whitespace estimate",
-)
-def pack_bpe_sequence_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.chunking import (
-        pack_counted_spans,
-    )
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import (
-        bpe_encode_stats,
-    )
-
-    counts = bpe_encode_stats(
-        _t(spark, sf_dir, "documents"), rounds=_BPE_ROUNDS
-    ).select("doc_id", F.col("n_bpe_tokens"))
-    return pack_counted_spans(counts, seq_len=256, n_col="n_bpe_tokens")
-
-
-# ===========================================================================
-# LSH recall audit (r10) — the dedup-family counterpart of
-# embed_ann_recall_audit: per Jaccard decile, the fraction of TRUE
-# near-dup pairs (exact hot-capped shingle Jaccard) the 128/16 banded
-# MinHash index surfaces — the banding's promised S-curve (per-band
-# collision j^8, threshold ~0.70), measured. Buckets are exact integer
-# arithmetic (10·n_common div denom), never floor(10·j) on a double
-# (operators/dedup.py:lsh_recall_audit).
-# ===========================================================================
-
-
-@_register(
-    "dedup_lsh_recall_audit",
-    f"""
-    WITH sh0 AS (
-      SELECT doc_id,
-             list_distinct(list_transform({_SHINGLE3_RAW_SQL},
-                                          s -> {_h60_sql('s')})) AS shs
-      FROM documents
-    ),
-    shx AS (
-      SELECT doc_id, unnest(shs) AS sh FROM sh0
-    ),
-    ok AS (SELECT sh FROM shx GROUP BY sh HAVING count(*) <= 100),
-    shf AS (SELECT s.doc_id,
-                   CAST(count(*) OVER (PARTITION BY s.doc_id) AS BIGINT)
-                     AS n_sh,
-                   s.sh
-            FROM shx s JOIN ok USING (sh)),
-    scored AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             CAST(count(*) AS BIGINT) AS nc,
-             a.n_sh AS na, b.n_sh AS nb
-      FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
-    ),
-    truth AS (
-      SELECT id_a, id_b,
-             CAST((10 * nc) // (na + nb - nc) AS INT) AS j_bucket
-      FROM scored WHERE 10 * nc >= 3 * (na + nb - nc)
-    ),
-    {_minhash_sig_sql()},
-    bands AS ({_MH_BANDS_SQL}),
-    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-             FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
-                                      AND a.doc_id < b.doc_id)
-    SELECT t.j_bucket,
-           CAST(count(*) AS BIGINT) AS n_true,
-           CAST(count(c.id_a) AS BIGINT) AS n_hit,
-           CAST(1000000 * count(c.id_a) // count(*) AS BIGINT) AS recall_e6
-    FROM truth t LEFT JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b
-    GROUP BY t.j_bucket
-    """,
-    "dedup: MinHash-LSH recall audit vs exact Jaccard ground truth "
-    "(S-curve measurement; no reference counterpart)",
-    "per-Jaccard-decile recall of the 128/16 banded candidate index "
-    "against the exact hot-capped shingle Jaccard — integer buckets "
-    "(10·n_common div denom), <= 8 output rows. BENCH ADJUDICATION "
-    "(r12, both-orderings on a calm session — the r10->r11 1.81x flag): "
-    "2.976/2.983 s min-steady in BOTH positions at sf0.1 on a plan and "
-    "operator byte-identical since arrival; individual runs spread "
-    "2.98-6.74 s within ONE calm session (it composes the two "
-    "host-sensitive dedup heavies), so r10's 1.607 s was the lucky-min "
-    "outlier, not the level. Honest level ~3.0 s; re-adjudicate only "
-    "past a 3.9 s min-steady (1.3x the adjudicated level)",
-)
-def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import lsh_recall_audit
-
-    return lsh_recall_audit(_t(spark, sf_dir, "documents"), max_df=100)
-
-
-# ===========================================================================
-# MMR diversity re-ranking (r10) — Carbonell & Goldstein SIGIR 1998:
-# greedy λ·relevance − (1−λ)·max-sim-to-selected selection over each
-# query's top-n_cand cosine candidates, the diversity-aware final stage
-# of the retrieval stack (operators/retrieval.py:mmr_rerank_topk). The
-# objective is scored ×lam_den in exact integer micro-units (score_e7 =
-# 7·rel_e6 − 3·maxsim_e6 — no division, no truncation-direction
-# mismatch on negative cosines), and the oracle unrolls the k greedy
-# rounds as CTEs (the _bpe_round_sql discipline).
-# ===========================================================================
-
-_MMR_N_QUERY = 3
-_MMR_N_CAND = 10
-_MMR_K = 5
-_MMR_AB_COS = (
-    f"list_sum(list_transform(range(1, {_EMB_DIM + 1}), "
-    "i -> a.v[i::INT] * b.v[i::INT])) / (a.nrm * b.nrm)"
-)
-
-
-def _mmr_round_sql(r: int) -> str:
-    return f"""
-    ms{r} AS (SELECT c.q_id, c.cand_id, c.rel_e6, max(s.sim_e6) AS mx
-              FROM cand c
-              JOIN sims s ON s.q_id = c.q_id AND s.ca = c.cand_id
-              JOIN sel{r - 1} z ON z.q_id = s.q_id AND z.cand_id = s.cb
-              LEFT JOIN sel{r - 1} x ON x.q_id = c.q_id
-                                    AND x.cand_id = c.cand_id
-              WHERE x.cand_id IS NULL
-              GROUP BY c.q_id, c.cand_id, c.rel_e6),
-    r{r} AS (SELECT q_id, CAST({r} AS INT) AS mmr_rank, cand_id,
-                    CAST(score AS BIGINT) AS score_e7 FROM (
-              SELECT q_id, cand_id, 7 * rel_e6 - 3 * mx AS score,
-                     row_number() OVER (PARTITION BY q_id
-                                        ORDER BY 7 * rel_e6 - 3 * mx DESC,
-                                                 cand_id) AS rn
-              FROM ms{r}) WHERE rn = 1),
-    sel{r} AS (SELECT * FROM sel{r - 1}
-               UNION ALL SELECT q_id, cand_id FROM r{r})"""
-
-
-@_register(
-    "embed_mmr_rerank",
-    f"""
-    WITH {_emb_norm_cte()},
-    sc AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
-                  CAST(floor(({_COS_SQL}) * 1000000 + 0.5) AS BIGINT)
-                    AS rel_e6
-           FROM (SELECT * FROM nv WHERE vec_id < {_MMR_N_QUERY}) q
-           CROSS JOIN nv c
-           WHERE c.vec_id <> q.vec_id),
-    cand AS (SELECT q_id, cand_id, rel_e6 FROM (
-              SELECT *, row_number() OVER (PARTITION BY q_id
-                                           ORDER BY rel_e6 DESC, cand_id)
-                          AS rn
-              FROM sc) WHERE rn <= {_MMR_N_CAND}),
-    cv AS (SELECT c.q_id, c.cand_id, nv.v, nv.nrm
-           FROM cand c JOIN nv ON nv.vec_id = c.cand_id),
-    sims AS (SELECT a.q_id, a.cand_id AS ca, b.cand_id AS cb,
-                    CAST(floor(({_MMR_AB_COS}) * 1000000 + 0.5) AS BIGINT)
-                      AS sim_e6
-             FROM cv a JOIN cv b ON a.q_id = b.q_id
-                               AND a.cand_id <> b.cand_id),
-    r1 AS (SELECT q_id, CAST(1 AS INT) AS mmr_rank, cand_id,
-                  CAST(7 * rel_e6 AS BIGINT) AS score_e7 FROM (
-            SELECT *, row_number() OVER (PARTITION BY q_id
-                                         ORDER BY rel_e6 DESC, cand_id)
-                        AS rn
-            FROM cand) WHERE rn = 1),
-    sel1 AS (SELECT q_id, cand_id FROM r1),
-    {",".join(_mmr_round_sql(r) for r in range(2, _MMR_K + 1))}
-    SELECT q_id, mmr_rank, cand_id, score_e7 FROM (
-      {" UNION ALL ".join(f"SELECT * FROM r{r}" for r in range(1, _MMR_K + 1))}
-    )
-    """,
-    "retrieval: MMR diversity re-ranking (Carbonell & Goldstein SIGIR "
-    "1998; no reference counterpart)",
-    "greedy 7·rel_e6 − 3·maxsim_e6 selection of 5 from each query's "
-    "top-10 cosine candidates — exact integer objective, unrolled "
-    "greedy rounds, cand-id tiebreak",
-)
-def embed_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.retrieval import (
-        mmr_rerank_topk,
-    )
-
-    return mmr_rerank_topk(
-        _t(spark, sf_dir, "embeddings"),
-        F.col("vec_id") < _MMR_N_QUERY,
-        n_cand=_MMR_N_CAND,
-        k=_MMR_K,
-    )
-
-
-# ===========================================================================
-# Distinct-n diversity (r10) — Li et al. NAACL 2016's corpus diversity
-# ratio per language slice: distinct n-grams over total n-grams,
-# n = 1..2, exact integer micro-units. The cheap corpus-level signal
-# that routes a templated/near-dup-heavy source slice into the pairwise
-# dedup families (operators/textstats.py:distinct_ngram_stats).
-# ===========================================================================
-
-
-@_register(
-    "text_distinct_ngrams",
-    """
-    WITH t0 AS (SELECT lang, doc_id, string_split(text, ' ') AS l
-                FROM documents),
-    tk AS (SELECT lang, doc_id, CAST(pos AS BIGINT) AS pos,
-                  l[pos::INT] AS t1
-           FROM (SELECT lang, doc_id, l,
-                        unnest(range(1, len(l) + 1)) AS pos
-                 FROM t0)
-           WHERE l[pos::INT] <> ''),
-    bg AS (SELECT lang, doc_id, pos, t1,
-                  lead(t1) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
-           FROM tk),
-    s1 AS (SELECT lang, CAST(1 AS INT) AS n,
-                  CAST(count(*) AS BIGINT) AS total_ngrams,
-                  CAST(count(DISTINCT t1) AS BIGINT) AS distinct_ngrams
-           FROM tk GROUP BY lang),
-    s2 AS (SELECT lang, CAST(2 AS INT) AS n,
-                  CAST(count(*) AS BIGINT) AS total_ngrams,
-                  CAST(count(DISTINCT concat(t1, ' ', t2)) AS BIGINT)
-                    AS distinct_ngrams
-           FROM bg WHERE t2 IS NOT NULL GROUP BY lang)
-    SELECT lang, n, total_ngrams, distinct_ngrams,
-           CAST(1000000 * distinct_ngrams // total_ngrams AS BIGINT)
-             AS distinct_ratio_e6
-    FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
-    """,
-    "textops: distinct-n corpus diversity per language (Li et al. "
-    "NAACL 2016; no reference counterpart)",
-    "distinct/total n-gram ratios (n=1,2) in exact integer micro-units "
-    "— one doc-granular lead-window pass builds every n",
-)
-def text_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import (
-        distinct_ngram_stats,
-    )
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import (
-        ensure_parallelism,
-    )
-
-    return distinct_ngram_stats(
-        ensure_parallelism(_t(spark, sf_dir, "documents"), "doc_id")
-    )
-
-
-# ===========================================================================
-# Temperature mixture reweighting (r10) — the multilingual sampling rule
-# (p^0.3 renormalized; mBERT/mT5 exponential smoothing): up-samples tail
-# domains, down-samples the head, one count aggregate + two 1-row
-# broadcasts (operators/sampling.py:temperature_mixture_weights).
-# ===========================================================================
-
-
-@_register(
-    "mixture_temperature_weights",
-    f"""
-    WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
-               FROM documents GROUP BY lang),
-    t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM c),
-    s AS (SELECT lang, n_docs,
-                 1.0 * n_docs / n_total AS p,
-                 pow(1.0 * n_docs / n_total, 0.3) AS pa
-          FROM c CROSS JOIN t),
-    z AS (SELECT sum(pa) AS z FROM s)
-    SELECT lang, n_docs,
-           {_sql_r('p', 6)} AS p,
-           {_sql_r('pa / z', 6)} AS q,
-           {_sql_r('(pa / z) / p', 6)} AS per_doc_weight
-    FROM s CROSS JOIN z
-    """,
-    "curation: temperature mixture reweighting (p^alpha renormalized, "
-    "alpha=0.3 — mBERT/mT5 smoothing; no reference counterpart)",
-    "per-language target share q = p^0.3/Z and per-doc sampling weight "
-    "q/p, 6dp-floor — one count agg, domain-granular after the scan",
-)
-def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.sampling import (
-        temperature_mixture_weights,
-    )
-
-    return temperature_mixture_weights(
-        _t(spark, sf_dir, "documents"), "lang", alpha=0.3
-    )
-
-
-@_register(
-    "markov_steady_state_power",
-    f"""
-    WITH seq AS (
-      SELECT event_type AS f,
-             lead(event_type) OVER (PARTITION BY user_id
-                                    ORDER BY ts, event_id) AS t
-      FROM events),
-    c AS (SELECT f, t, CAST(count(*) AS BIGINT) AS n
-          FROM seq WHERE t IS NOT NULL GROUP BY f, t),
-    nf AS (SELECT f, CAST(sum(n) AS BIGINT) AS nt FROM c GROUP BY f),
-    tm AS (SELECT c.f, c.t,
-                  CAST((1000000000 * c.n) // nf.nt AS BIGINT) AS p_e9
-           FROM c JOIN nf USING (f)),
-    states AS (SELECT f AS s FROM tm UNION SELECT t FROM tm),
-    sinks AS (SELECT s FROM states EXCEPT SELECT DISTINCT f FROM tm),
-    tf AS (SELECT f, t, p_e9 FROM tm
-           UNION ALL
-           SELECT s, s, CAST(1000000000 AS BIGINT) FROM sinks),
-    ns AS (SELECT CAST(count(*) AS BIGINT) AS k FROM states),
-    v0 AS (SELECT s, CAST(1000000000 // k AS BIGINT) AS v
-           FROM states CROSS JOIN ns),
-    {_mk_iter_sql('v0', 'v1')},
-    {_mk_iter_sql('v1', 'v2')},
-    {_mk_iter_sql('v2', 'v3')}
-    SELECT s AS state, v AS mass_e9
-    FROM v3
-    """,
-    "analytics: Markov steady-state power iteration over the event "
-    "chain (exact e9 integer vector-matrix multiplies, 3 unrolled "
-    "rounds)",
-    "per event type: the e9-scaled occupancy mass after three power "
-    "iterations from the uniform vector (floor-loss drift visible)",
-)
-def markov_steady_state_power(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    seq = ev.select(
-        F.col("event_type").alias("f"),
-        F.lead("event_type")
-        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
-        .alias("t"),
-    )
-    c = (
-        seq.filter(F.col("t").isNotNull())
-        .groupBy("f", "t")
-        .agg(F.count("*").cast("bigint").alias("n"))
-    )
-    nf = c.groupBy("f").agg(F.sum("n").cast("bigint").alias("nt"))
-    tm = c.join(nf, "f").select(
-        "f",
-        "t",
-        F.expr("(1000000000 * n) DIV nt").cast("bigint").alias("p_e9"),
-    )
-    # r7 perf: persist the ≤|types|² transition matrix — states, the
-    # sink self-loops, v0, and all THREE unrolled multiplies re-read the
-    # cached ~25-row relation instead of re-running the events scan +
-    # lead-window + counting aggregates per reference (the scoped-cache
-    # house pattern; released by release_caches between bench entries).
-    # At 100 TB you would materialize the transition counts exactly once
-    # the same way.
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import persist_scoped
-
-    tm = persist_scoped("markov_tm", tm)
-    # state universe = sources ∪ targets; target-only states are sinks
-    # and get an e9 self-loop so routed-in mass is retained, not dropped
-    states = (
-        tm.select(F.col("f").alias("s"))
-        .union(tm.select(F.col("t").alias("s")))
-        .distinct()
-    )
-    sinks = states.join(
-        tm.select(F.col("f").alias("s")).distinct(), "s", "left_anti"
-    )
-    tf = tm.unionByName(
-        sinks.select(
-            F.col("s").alias("f"),
-            F.col("s").alias("t"),
-            F.lit(1_000_000_000).cast("bigint").alias("p_e9"),
-        )
-    )
-    ns = states.agg(F.count("*").cast("bigint").alias("k"))
-    v = states.crossJoin(F.broadcast(ns)).select(
-        "s", F.expr("1000000000 DIV k").cast("bigint").alias("v")
-    )
-    for i in range(3):
-        # fresh aliases per round: v's lineage contains tf (the state
-        # set derives from it), so an unqualified re-join is ambiguous
-        vi = v.alias(f"v{i}")
-        tmi = tf.alias(f"tm{i}")
-        v = (
-            vi.join(tmi, F.col(f"v{i}.s") == F.col(f"tm{i}.f"))
-            .groupBy(F.col(f"tm{i}.t").alias("s"))
-            .agg(
-                F.sum(
-                    F.expr(f"(v{i}.v * tm{i}.p_e9) DIV 1000000000")
-                )
-                .cast("bigint")
-                .alias("v")
-            )
-        )
-    return v.select(F.col("s").alias("state"), F.col("v").alias("mass_e9"))
-
-
-# ===========================================================================
-# Dedup cluster-size histogram — the dedup OBSERVABILITY readout every
-# curation run publishes: how many near-dup clusters of each size does
-# the corpus hold, and what fraction of documents is removable
-# (size − 1 per cluster)? Derived from the same SimHash connected
-# components as dedup_cluster_assign (identical recursive-CTE oracle
-# core), then two tiny aggregates: cluster → size, size → cluster
-# count. At 100 TB the histogram is the cheap audit over the already-
-# computed component table — the thing you alert on when a boilerplate
-# flood suddenly produces a 10⁶-doc cluster.
-# ===========================================================================
-
-@_register(
-    "dedup_cluster_size_histogram",
-    f"""
-    WITH RECURSIVE {_SIMHASH60_CTE},
-    bands AS (
-      SELECT doc_id, simhash60, b AS band,
-             (simhash60 >> (15 * b)) & 32767 AS nib
-      FROM sim60 CROSS JOIN (VALUES (0), (1), (2), (3)) t(b)
-    ),
-    edges AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a JOIN bands b ON a.band = b.band AND a.nib = b.nib
-                               AND a.doc_id < b.doc_id
-      WHERE bit_count(xor(a.simhash60, b.simhash60)) <= 3
-    ),
-    sym AS (
-      SELECT id_a AS n, id_b AS m FROM edges
-      UNION ALL SELECT id_b, id_a FROM edges
-    ),
-    comp(n, label) AS (
-      SELECT doc_id, doc_id FROM documents
-      UNION
-      SELECT s.n, c.label FROM comp c JOIN sym s ON s.m = c.n
-    ),
-    assign AS (
-      SELECT n AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
-      FROM comp GROUP BY n),
-    sizes AS (
-      SELECT cluster_id, CAST(count(*) AS BIGINT) AS size
-      FROM assign GROUP BY cluster_id)
-    SELECT size,
-           CAST(count(*) AS BIGINT) AS n_clusters,
-           CAST(count(*) * size AS BIGINT) AS n_docs,
-           CAST(count(*) * (size - 1) AS BIGINT) AS n_removable
-    FROM sizes GROUP BY size
-    """,
-    "dedup observability: near-dup cluster-size histogram with "
-    "removable-document counts (audit over the component table)",
-    "per cluster size: cluster count, documents covered, and documents "
-    "removable by keep-one-per-cluster dedup",
-)
-def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
-        connected_components,
-        simhash_pairs,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    edges = simhash_pairs(docs, max_hamming=3).select("id_a", "id_b")
-    assign = connected_components(edges, docs, node_col="doc_id")
-    sizes = assign.groupBy("cluster_id").agg(
-        F.count("*").cast("bigint").alias("size")
-    )
-    return sizes.groupBy("size").agg(
-        F.count("*").cast("bigint").alias("n_clusters"),
-        (F.count("*") * F.col("size")).cast("bigint").alias("n_docs"),
-        (F.count("*") * (F.col("size") - 1))
-        .cast("bigint")
-        .alias("n_removable"),
-    )
-
-
-# ===========================================================================
-# Lorenz curve — the distributional companion to
-# gini_order_concentration: the 10-point curve of cumulative revenue
-# share by order-value decile ("the bottom 30% of orders carry X% of
-# revenue"). Deciles come from the same pinned (cents, orderkey) total
-# order as the Gini entry; decile sums are exact bigints, the
-# cumulative share a 10-row window. r7: like the Gini entry, the rank
-# is the DISTRIBUTED two-phase global_row_number (no one-task sort of
-# the fact table), and the decile is derived from the rank with the
-# exact SQL NTILE distribution — n = 10·base + rem rows put base+1 rows
-# in each of the first rem buckets and base in the rest, so
-# decile(i) = (i−1) DIV (base+1) + 1            for i ≤ rem·(base+1)
-#           = rem + (i − rem·(base+1) − 1) DIV base + 1   otherwise
-# — pure integer arithmetic, identical to both engines' NTILE on the
-# same total order (hash-verified; oracle keeps native ntile).
-# ===========================================================================
-
-@_register(
-    "lorenz_curve_orders",
-    f"""
-    WITH x AS (
-      SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
-             ntile(10) OVER (ORDER BY floor(o_totalprice * 100.0 + 0.5),
-                             o_orderkey) AS decile
-      FROM orders),
-    d AS (
-      SELECT decile, CAST(count(*) AS BIGINT) AS n_orders,
-             CAST(sum(cents) AS BIGINT) AS cents
-      FROM x GROUP BY decile),
-    t AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM d)
-    SELECT decile, n_orders, cents,
-           CAST(sum(cents) OVER (ORDER BY decile
-                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
-             AS cum_cents,
-           {_sql_r(
-               '1.0 * sum(cents) OVER (ORDER BY decile'
-               ' ROWS UNBOUNDED PRECEDING) / total', 9)} AS cum_share
-    FROM d CROSS JOIN t
-    """,
-    "analytics: Lorenz curve of order values (cumulative revenue share "
-    "by decile; one global sort, exact bigint sums)",
-    "10 rows: per order-value decile the order count, decile cents, "
-    "cumulative cents, and 9dp cumulative revenue share",
-)
-def lorenz_curve_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import (
-        global_ntile,
-    )
-
-    o = _t(spark, sf_dir, "orders")
-    x = global_ntile(
-        o.select(_cents(F.col("o_totalprice")).alias("cents"), "o_orderkey"),
-        ["cents", "o_orderkey"],
-        k=10,
-        out_col="decile",
-        cache_role="lorenz_rank",
-    ).select("cents", "decile")
-    d = x.groupBy("decile").agg(
-        F.count("*").cast("bigint").alias("n_orders"),
-        F.sum("cents").cast("bigint").alias("cents"),
-    )
-    t = d.agg(F.sum("cents").cast("bigint").alias("total"))
-    wc = Window.orderBy("decile").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    return d.crossJoin(F.broadcast(t)).select(
-        "decile",
-        "n_orders",
-        "cents",
-        F.sum("cents").over(wc).cast("bigint").alias("cum_cents"),
-        _r(
-            F.lit(1.0) * F.sum("cents").over(wc) / F.col("total"), 9
-        ).alias("cum_share"),
-    )
-
-
-# ===========================================================================
-# Ship-latency distribution — the operational-SLA readout: per order
-# priority, the exact p50/p90 order statistics and mean of
-# order-to-ship latency in days (l_shipdate − o_orderdate per
-# lineitem). Percentiles are rank-indexed order statistics in the
-# pinned (days, orderkey, linenumber) total order — the
-# winsorized_event_stats discipline, no interpolation — so both
-# engines select identical elements. One fact join (orders dim side
-# pre-projected), one per-priority sort window, exact integer days.
-# ===========================================================================
-
-@_register(
-    "ship_latency_by_priority",
-    f"""
-    WITH j AS (
-      SELECT o.o_orderpriority AS pri,
-             CAST(epoch_us(l.l_shipdate) // 1000000 // 86400
-                  - epoch_us(o.o_orderdate) // 1000000 // 86400
-                  AS BIGINT) AS days,
-             l.l_orderkey, l.l_linenumber
-      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
-    r AS (
-      SELECT pri, days,
-             row_number() OVER (PARTITION BY pri
-                                ORDER BY days, l_orderkey, l_linenumber)
-               AS rn,
-             count(*) OVER (PARTITION BY pri) AS n
-      FROM j)
-    SELECT pri,
-           CAST(max(n) AS BIGINT) AS n_lines,
-           CAST(min(CASE WHEN rn = CAST(floor(0.50 * n) AS BIGINT) + 1
-                         THEN days END) AS BIGINT) AS p50_days,
-           CAST(min(CASE WHEN rn = CAST(floor(0.90 * n) AS BIGINT) + 1
-                         THEN days END) AS BIGINT) AS p90_days,
-           {_sql_r('1.0 * sum(days) / count(*)', 4)} AS mean_days
-    FROM r GROUP BY pri
-    """,
-    "warehouse: order-to-ship latency distribution by priority (exact "
-    "rank-indexed p50/p90, integer day math)",
-    "per order priority: lineitem count, exact p50/p90 order-to-ship "
-    "latency in days, and the 4dp mean",
-)
-def ship_latency_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # r7 plan rewrite: the rank-indexed exact percentile does NOT need
-    # the row-level per-priority sort the oracle's row form implies —
-    # with only |priorities| window partitions that sort serialized
-    # ~600k rows onto 5 tasks at sf0.1 (and onto 5 tasks of a 1000-
-    # executor cluster at 100 TB). `days` is a small DISCRETE domain,
-    # and the value at any rank depends only on `days` (rows tied on
-    # days share the value; the (orderkey, linenumber) tiebreak orders
-    # rows WITHIN a value, never across values), so the identical
-    # result comes from a (pri, days) HISTOGRAM: one map-side-combined
-    # aggregate over the join, then the cumulative rank walk runs over
-    # ≤ |pri|·|days| ≈ 600 rows. Exact, engine-identical, and the scan
-    # parallelism is no longer capped by the group count. The oracle
-    # keeps the row form — same values by construction.
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", _fdiv(_epoch_s("l_shipdate"), 86400).alias("sd")
-    )
-    o = _t(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_orderpriority",
-        _fdiv(_epoch_s("o_orderdate"), 86400).alias("od"),
-    )
-    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
-        F.col("o_orderpriority").alias("pri"),
-        (F.col("sd") - F.col("od")).cast("bigint").alias("days"),
-    )
-    h = j.groupBy("pri", "days").agg(F.count("*").cast("bigint").alias("c"))
-    wcum = (
-        Window.partitionBy("pri")
-        .orderBy("days")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wn = Window.partitionBy("pri")
-    r = h.select(
-        "pri",
-        "days",
-        "c",
-        F.sum("c").over(wcum).alias("cum"),
-        F.sum("c").over(wn).alias("n"),
-    )
-    p50 = F.floor(0.50 * F.col("n")).cast("bigint") + 1
-    p90 = F.floor(0.90 * F.col("n")).cast("bigint") + 1
-    return r.groupBy("pri").agg(
-        F.max("n").cast("bigint").alias("n_lines"),
-        F.min(F.when(F.col("cum") >= p50, F.col("days")))
-        .cast("bigint")
-        .alias("p50_days"),
-        F.min(F.when(F.col("cum") >= p90, F.col("days")))
-        .cast("bigint")
-        .alias("p90_days"),
-        _r(
-            F.lit(1.0)
-            * F.sum(F.col("days") * F.col("c"))
-            / F.sum("c"),
-            4,
-        ).alias("mean_days"),
-    )
-
-
-# ===========================================================================
-# Date-spine densification — the calendar-completeness primitive under
-# every time-series report: generate the full day spine between the
-# data's min and max day (derived, not hardcoded), left-join the daily
-# aggregate, and zero-fill the gaps so downstream windows/charts see an
-# explicit row for every day. Spine generation is sequence+explode over
-# ONE scalar row (never a driver loop); the daily aggregate reduces the
-# fact FIRST, so the left join is |days| × tiny. Zero-filled days carry
-# is_gap=1 — the audit bit monitoring queries alert on.
-# ===========================================================================
-
-@_register(
-    "date_spine_zero_fill",
-    """
-    WITH d AS (
-      SELECT CAST(epoch_us(ts) // 1000000 // 86400 AS BIGINT) AS day,
-             CAST(count(*) AS BIGINT) AS n_events,
-             CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
-                  AS BIGINT) AS cents
-      FROM events GROUP BY 1),
-    b AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
-    spine AS (SELECT unnest(range(lo, hi + 1)) AS day FROM b)
-    SELECT s.day,
-           CAST(coalesce(d.n_events, 0) AS BIGINT) AS n_events,
-           CAST(coalesce(d.cents, 0) AS BIGINT) AS cents,
-           CAST(CASE WHEN d.day IS NULL THEN 1 ELSE 0 END AS INT)
-             AS is_gap
-    FROM spine s LEFT JOIN d ON d.day = s.day
-    """,
-    "time series: calendar date-spine densification with zero-fill "
-    "(derived bounds, sequence+explode spine, gap audit bit)",
-    "one row per day between the data's min and max day: event count "
-    "and cents (0 on missing days) plus the is_gap flag",
-)
-def date_spine_zero_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    d = (
-        ev.select(
-            _fdiv(_epoch_s("ts"), 86400).alias("day"),
-            _cents(F.col("value")).alias("c"),
-        )
-        .groupBy("day")
-        .agg(
-            F.count("*").cast("bigint").alias("n_events"),
-            F.sum("c").cast("bigint").alias("cents"),
-        )
-    )
-    spine = (
-        d.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
-        .select(
-            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day")
-        )
-    )
-    return spine.join(
-        d.withColumnRenamed("day", "dday"),
-        spine["day"] == F.col("dday"),
-        "left",
-    ).select(
-        "day",
-        F.coalesce(F.col("n_events"), F.lit(0)).cast("bigint").alias(
-            "n_events"
-        ),
-        F.coalesce(F.col("cents"), F.lit(0)).cast("bigint").alias("cents"),
-        F.when(F.col("dday").isNull(), 1).otherwise(0).cast("int").alias(
-            "is_gap"
-        ),
-    )
-
-
-# ===========================================================================
-# Bucketed quantile normalization — the cross-group feature-alignment
-# op (classic in bioinformatics, equally useful for aligning value
-# distributions across event types before modeling): rank each group's
-# values into 100 ntile buckets (pinned (cents, event_id) order), and
-# map every bucket to the REFERENCE value — the mean of that bucket's
-# members across ALL groups. After normalization every group has the
-# same marginal distribution by construction. The bucketed form (vs
-# per-rank interpolation) is what scales: the reference table is
-# exactly 100 rows regardless of data size, and ntile is one sort
-# window per group. Output is the per-(group, bucket) audit: raw mean
-# vs the reference it maps to.
-# ===========================================================================
-
-@_register(
-    "quantile_normalize_events",
-    f"""
-    WITH v AS (
-      SELECT event_type,
-             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c,
-             ntile(100) OVER (PARTITION BY event_type
-                              ORDER BY floor(value * 100.0 + 0.5),
-                                       event_id) AS bucket
-      FROM events),
-    ref AS (
-      SELECT bucket, CAST(count(*) AS BIGINT) AS ref_n,
-             {_sql_r('1.0 * sum(c) / count(*)', 4)} AS ref_cents
-      FROM v GROUP BY bucket)
-    SELECT v.event_type, v.bucket,
-           CAST(count(*) AS BIGINT) AS n_rows,
-           {_sql_r('1.0 * sum(v.c) / count(*)', 4)} AS raw_mean_cents,
-           r.ref_cents AS normalized_cents
-    FROM v JOIN ref r USING (bucket)
-    GROUP BY v.event_type, v.bucket, r.ref_cents
-    """,
-    "ml: bucketed quantile normalization across event types (100-ntile "
-    "rank alignment to the cross-group reference distribution)",
-    "per (event_type, percentile bucket): row count, raw mean cents, "
-    "and the cross-group reference value the bucket normalizes to",
-)
-def quantile_normalize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("c", "event_id")
-    v = ev.select(
-        "event_type", _cents(F.col("value")).alias("c"), "event_id"
-    ).select(
-        "event_type", "c", F.ntile(100).over(w).alias("bucket")
-    )
-    ref = v.groupBy("bucket").agg(
-        _r(F.lit(1.0) * F.sum("c") / F.count("*"), 4).alias("ref_cents")
-    )
-    return (
-        v.join(F.broadcast(ref), "bucket")
-        .groupBy("event_type", "bucket", "ref_cents")
-        .agg(
-            F.count("*").cast("bigint").alias("n_rows"),
-            _r(F.lit(1.0) * F.sum("c") / F.count("*"), 4).alias(
-                "raw_mean_cents"
-            ),
-        )
-        .select(
-            "event_type",
-            "bucket",
-            "n_rows",
-            "raw_mean_cents",
-            F.col("ref_cents").alias("normalized_cents"),
-        )
-    )
-
-
-# ===========================================================================
-# Winsorized robust stats — the outlier-clamped mean/spread feature
-# prep runs before feeding heavy-tailed values to a model: per group,
-# clamp values at the exact 5th/95th percentile ORDER STATISTICS
-# (rank-indexed — floor(0.05·n)+1-th and floor(0.95·n)+1-th values in
-# the pinned (cents, event_id) total order, no interpolation, so both
-# engines pick identical elements), then aggregate exact clamped cents.
-# Scale shape: one per-group sort window for ranks, the two clamp
-# bounds re-join as a broadcast ≤|groups|-row dim, one
-# map-side-combined aggregate. Everything integer until the final mean.
-# ===========================================================================
-
-@_register(
-    "winsorized_event_stats",
-    f"""
-    WITH v AS (
-      SELECT event_type,
-             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c,
-             row_number() OVER (PARTITION BY event_type
-                                ORDER BY floor(value * 100.0 + 0.5),
-                                         event_id) AS rn,
-             count(*) OVER (PARTITION BY event_type) AS n
-      FROM events),
-    bounds AS (
-      SELECT event_type,
-             min(CASE WHEN rn = CAST(floor(0.05 * n) AS BIGINT) + 1
-                      THEN c END) AS lo,
-             min(CASE WHEN rn = CAST(floor(0.95 * n) AS BIGINT) + 1
-                      THEN c END) AS hi
-      FROM v GROUP BY event_type)
-    SELECT v.event_type,
-           CAST(count(*) AS BIGINT) AS n_events,
-           CAST(b.lo AS BIGINT) AS p05_cents,
-           CAST(b.hi AS BIGINT) AS p95_cents,
-           CAST(sum(least(greatest(v.c, b.lo), b.hi)) AS BIGINT)
-             AS winsorized_sum_cents,
-           {_sql_r(
-               '1.0 * sum(least(greatest(v.c, b.lo), b.hi)) / count(*)',
-               4)} AS winsorized_mean_cents
-    FROM v JOIN bounds b USING (event_type)
-    GROUP BY v.event_type, b.lo, b.hi
-    """,
-    "analytics: 5/95 winsorized per-group stats (exact rank-indexed "
-    "clamp bounds, integer-clamped aggregate)",
-    "per event_type: count, exact 5th/95th percentile order statistics "
-    "in cents, and the winsorized sum/mean",
-)
-def winsorized_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("c", "event_id")
-    wn = Window.partitionBy("event_type")
-    v = ev.select(
-        "event_type", _cents(F.col("value")).alias("c"), "event_id"
-    ).select(
-        "event_type",
-        "c",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(wn).alias("n"),
-    )
-    lo_rn = F.floor(0.05 * F.col("n")).cast("bigint") + 1
-    hi_rn = F.floor(0.95 * F.col("n")).cast("bigint") + 1
-    bounds = v.groupBy("event_type").agg(
-        F.min(F.when(F.col("rn") == lo_rn, F.col("c"))).alias("lo"),
-        F.min(F.when(F.col("rn") == hi_rn, F.col("c"))).alias("hi"),
-    )
-    clamped = F.least(F.greatest(F.col("c"), F.col("lo")), F.col("hi"))
-    return (
-        v.join(F.broadcast(bounds), "event_type")
-        .groupBy("event_type", "lo", "hi")
-        .agg(
-            F.count("*").cast("bigint").alias("n_events"),
-            F.sum(clamped).cast("bigint").alias("winsorized_sum_cents"),
-            _r(
-                F.lit(1.0) * F.sum(clamped) / F.count("*"), 4
-            ).alias("winsorized_mean_cents"),
-        )
-        .select(
-            "event_type",
-            "n_events",
-            F.col("lo").cast("bigint").alias("p05_cents"),
-            F.col("hi").cast("bigint").alias("p95_cents"),
-            "winsorized_sum_cents",
-            "winsorized_mean_cents",
-        )
-    )
-
-
-# ===========================================================================
-# Streaming point-in-time enrichment — the feature-store serve path:
-# the purchase STREAM joins the precomputed SCD2 lifecycle-interval dim
-# (the pit_state_lookup batch twin) per micro-batch, with the
-# [valid_from, valid_to) containment band as the join condition.
-# Stream-static joins re-broadcast the dim each micro-batch, which is
-# exactly how a production feature store serves slowly-changing
-# features to a live stream while the batch path rebuilds the dim —
-# batch and stream literally share the interval-build expressions. The
-# replay spans two micro-batches (ordered file staging), so the join
-# provably runs per-batch, not once. Oracle: identical to the batch
-# point-in-time join restricted to the same output columns.
-# ===========================================================================
-
-@_register(
-    "streaming_pit_enrich",
-    """
-    WITH lc AS (
-      SELECT user_id, ts, event_id, event_type FROM events
-      WHERE event_type IN ('signup', 'error')),
-    flagged AS (
-      SELECT user_id, ts, event_id, event_type,
-             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
-                  THEN 1 ELSE 0 END AS chg
-      FROM lc
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-    isl AS (
-      SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS UNBOUNDED PRECEDING) AS island
-      FROM flagged),
-    runs AS (
-      SELECT user_id, island, min(event_type) AS state,
-             CAST(epoch_us(min(ts)) // 1000000 AS BIGINT) AS vf
-      FROM isl GROUP BY user_id, island),
-    iv AS (
-      SELECT user_id, state, vf,
-             lead(vf) OVER (PARTITION BY user_id ORDER BY island) AS vt
-      FROM runs),
-    p AS (
-      SELECT user_id, event_id,
-             CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ts_s
-      FROM events WHERE event_type = 'purchase')
-    SELECT p.user_id, p.event_id, p.ts_s, iv.state
-    FROM p JOIN iv
-      ON iv.user_id = p.user_id
-     AND p.ts_s >= iv.vf AND (iv.vt IS NULL OR p.ts_s < iv.vt)
-    """,
-    "streaming point-in-time dim join (feature-store serve path; "
-    "batch twin: pit_state_lookup)",
-    "purchase stream enriched per micro-batch with the user's SCD2 "
-    "lifecycle state interval containing the event time (inner: "
-    "pre-lifecycle purchases drop)",
-)
-def streaming_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.scd import (
-        scd2_intervals,
-    )
-
-    ev = _t(spark, sf_dir, "events")
-    iv = scd2_intervals(
-        ev.filter(F.col("event_type").isin("signup", "error")),
-        key_col="user_id",
-        ts_col="ts",
-        attr_col="event_type",
-        tiebreak_col="event_id",
-    ).select(
-        F.col("user_id").alias("d_user"),
-        F.col("event_type").alias("state"),
-        _epoch_s("valid_from").alias("vf"),
-        _epoch_s("valid_to").alias("vt"),
-    )
-    schema, stage = _stage_events_ordered(spark, sf_dir, n_files=2)
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage)
-    )
-    probes = stream.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        "event_id",
-        F.unix_timestamp("event_time").cast("bigint").alias("ts_s"),
-    )
-    joined = probes.join(
-        F.broadcast(iv),
-        (probes["user_id"] == iv["d_user"])
-        & (probes["ts_s"] >= iv["vf"])
-        & (iv["vt"].isNull() | (probes["ts_s"] < iv["vt"])),
-    )
-    out = _drain(joined, "append")
-    return out.select("user_id", "event_id", "ts_s", "state")
-
-
-# ===========================================================================
-# Holt linear smoothing — the trend-aware sibling of ewma_user_value
-# and the engine's second DESIGNED Arrow recurrence: level+trend double
-# exponential smoothing is sequential and non-associative (no window or
-# aggregate expresses it), so it runs as the same batched mapInPandas
-# crossing, bit-identical to a recursive-CTE oracle carrying (level,
-# trend) state. alpha=0.5 / beta=0.25 are binary-exact doubles; every
-# step is the same IEEE op sequence on both engines — UNROUNDED doubles
-# hash-match, the strongest determinism statement in the battery.
-# ===========================================================================
-
-@_register(
-    "holt_linear_user_value",
-    """
-    WITH RECURSIVE seq AS (
-      SELECT user_id, CAST(value AS DOUBLE) AS value,
-             row_number() OVER (PARTITION BY user_id
-                                ORDER BY ts, event_id) AS rn
-      FROM events
-    ),
-    h AS (
-      SELECT user_id, rn, value AS l, CAST(0.0 AS DOUBLE) AS b
-      FROM seq WHERE rn = 1
-      UNION ALL
-      SELECT s2.user_id, s2.rn,
-             0.5 * s2.value + 0.5 * (h.l + h.b),
-             0.25 * ((0.5 * s2.value + 0.5 * (h.l + h.b)) - h.l)
-               + 0.75 * h.b
-      FROM h JOIN seq s2 ON s2.user_id = h.user_id AND s2.rn = h.rn + 1
-    )
-    SELECT user_id, CAST(rn AS BIGINT) AS n_events,
-           l AS level_last, b AS trend_last, l + b AS forecast_1
-    FROM h
-    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY rn DESC) = 1
-    """,
-    "stateful sequential op: per-key Holt linear smoothing via batched "
-    "Arrow mapInPandas (bit-identical to the recursive-CTE oracle, "
-    "unrounded)",
-    "per-user Holt level/trend (alpha 0.5, beta 0.25) over "
-    "(ts, event_id)-ordered values; final state + one-step forecast",
-)
-def holt_linear_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.features import holt_by_key
-
-    return holt_by_key(
-        _t(spark, sf_dir, "events"),
-        "user_id",
-        ["ts", "event_id"],
-        "value",
-        alpha=0.5,
-        beta=0.25,
-    )
-
-
-# ===========================================================================
-# Embedding-quality audit — the pre-ingest data-quality gate for vector
-# columns: per label, how many vectors are present, how many are
-# all-zero (dead encoder outputs poison cosine math downstream — the
-# norm divides by zero), how many have the wrong dimensionality, and
-# the exact norm² envelope. Per-vector norm² is a SEQUENTIAL
-# left-to-right fold (`similarity.dot`'s order-stable discipline /
-# DuckDB list_sum over list_transform), snapped to e6 integers per
-# vector so every per-label aggregate is exact bigint arithmetic. One
-# narrow projection + one map-side-combined aggregate — scan-speed.
-# ===========================================================================
-
-@_register(
-    "embedding_quality_audit",
-    f"""
-    WITH v AS (
-      SELECT label,
-             len(embedding) AS dim,
-             CAST(floor(list_sum(list_transform(embedding,
-                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
-                  * 1000000.0 + 0.5) AS BIGINT) AS norm2_e6
-      FROM embeddings)
-    SELECT label,
-           CAST(count(*) AS BIGINT) AS n_vecs,
-           CAST(sum(CASE WHEN norm2_e6 = 0 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_zero_vecs,
-           CAST(sum(CASE WHEN dim <> {_EMB_DIM} THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_dim_errors,
-           CAST(min(norm2_e6) AS BIGINT) AS min_norm2_e6,
-           CAST(max(norm2_e6) AS BIGINT) AS max_norm2_e6,
-           CAST(sum(norm2_e6) AS BIGINT) AS sum_norm2_e6
-    FROM v GROUP BY label
-    """,
-    "similarity: per-label embedding data-quality audit (zero-vector / "
-    "dim-error counts, exact e6 norm-squared envelope)",
-    "per label: vector count, all-zero count, wrong-dimension count, "
-    "min/max/sum of e6-snapped norm-squared",
-)
-def embedding_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.similarity import dot
-
-    emb = _t(spark, sf_dir, "embeddings")
-    vd = F.col("embedding").cast("array<double>")
-    v = emb.select(
-        "label",
-        F.size("embedding").alias("dim"),
-        F.floor(dot(vd, vd) * 1e6 + 0.5).cast("bigint").alias("norm2_e6"),
-    )
-    return v.groupBy("label").agg(
-        F.count("*").cast("bigint").alias("n_vecs"),
-        F.sum(F.when(F.col("norm2_e6") == 0, 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_zero_vecs"),
-        F.sum(F.when(F.col("dim") != _EMB_DIM, 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_dim_errors"),
-        F.min("norm2_e6").cast("bigint").alias("min_norm2_e6"),
-        F.max("norm2_e6").cast("bigint").alias("max_norm2_e6"),
-        F.sum("norm2_e6").cast("bigint").alias("sum_norm2_e6"),
-    )
-
-
-# ===========================================================================
-# Banded repeated-median Theil-Sen — the SCALE-CAPPED robust trend the
-# heavy-key guard's error message points at: instead of all O(n²) pairs
-# per key, each point pairs only with its K=16 nearest-in-time
-# successors. The successor rank is IN the equi-join key (each row
-# explodes into its K target ranks), so the join produces exactly the
-# O(n·K) banded pairs on every engine — a residual band filter on a
-# plain user_id join would still touch all n² same-key pairs. Then
-# median-of-medians: per-point median slope over its ≤K partners,
-# per-user median of those medians. The repeated median keeps the 50%
-# breakdown robustness; the band keeps a 10⁶-row key at 1.6·10⁷ pairs
-# instead of 5·10¹¹ — this entry is the documented fallback for inputs
-# the plain Theil-Sen guard rejects, so it takes NO guard itself.
-# Determinism: both medians select pinned middle elements over
-# (slope, event-id) total orders; slope doubles derive from identical
-# bigint cents/seconds; the ≤2-element averages are fixed-order.
-# ===========================================================================
-
-_TS_BAND_K = 16
-
-
-@_register(
-    "theil_sen_banded",
-    f"""
-    WITH e AS (
-      SELECT user_id, event_id,
-             CAST(epoch_us(ts) // 1000000 AS BIGINT) AS t,
-             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c,
-             row_number() OVER (PARTITION BY user_id
-                                ORDER BY ts, event_id) AS rn
-      FROM events),
-    p AS (
-      SELECT a.user_id, a.event_id AS ea, b.event_id AS eb,
-             1.0 * (b.c - a.c) / (b.t - a.t) AS slope
-      FROM (SELECT e.*, e.rn + d.i AS target
-            FROM e CROSS JOIN range(1, {_TS_BAND_K} + 1) d(i)) a
-      JOIN e b
-        ON a.user_id = b.user_id AND b.rn = a.target
-       AND b.t > a.t),
-    r1 AS (
-      SELECT user_id, ea, slope,
-             row_number() OVER (PARTITION BY user_id, ea
-                                ORDER BY slope, eb) AS sr,
-             count(*) OVER (PARTITION BY user_id, ea) AS sn
-      FROM p),
-    med1 AS (
-      SELECT user_id, ea, avg(slope) AS mslope
-      FROM r1
-      WHERE sr = CAST(floor((sn + 1) / 2.0) AS BIGINT)
-         OR sr = CAST(floor((sn + 2) / 2.0) AS BIGINT)
-      GROUP BY user_id, ea),
-    r2 AS (
-      SELECT user_id, mslope,
-             row_number() OVER (PARTITION BY user_id
-                                ORDER BY mslope, ea) AS mr,
-             count(*) OVER (PARTITION BY user_id) AS mn
-      FROM med1)
-    SELECT user_id, CAST(max(mn) AS BIGINT) AS n_points,
-           {_sql_r('avg(mslope)', 9)} AS ts_slope_banded
-    FROM r2
-    WHERE mr = CAST(floor((mn + 1) / 2.0) AS BIGINT)
-       OR mr = CAST(floor((mn + 2) / 2.0) AS BIGINT)
-    GROUP BY user_id
-    """,
-    "analytics: banded repeated-median Theil-Sen (K-nearest-successor "
-    "band -> O(nK) pairs; the scale-capped fallback for heavy keys)",
-    "per user: point count and the 9dp repeated-median slope over "
-    f"{_TS_BAND_K}-successor bands (cents/second)",
-)
-def theil_sen_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    e = ev.select(
-        "user_id",
-        "event_id",
-        _epoch_s("ts").alias("t"),
-        _cents(F.col("value")).alias("c"),
-        F.row_number().over(wseq).alias("rn"),
-    )
-    # the successor RANK is part of the equi-join key (each left row
-    # explodes into its K target ranks), so the join PRODUCES only the
-    # O(n·K) banded pairs — a residual `rb - ra <= K` filter on a plain
-    # user_id join would still touch all n² same-key pairs
-    a = e.select(
-        "user_id",
-        F.col("event_id").alias("ea"),
-        F.col("t").alias("ta"),
-        F.col("c").alias("ca"),
-        F.explode(
-            F.sequence(F.col("rn") + 1, F.col("rn") + _TS_BAND_K)
-        ).alias("target"),
-    )
-    b = e.select(
-        "user_id",
-        F.col("event_id").alias("eb"),
-        F.col("t").alias("tb"),
-        F.col("c").alias("cb"),
-        F.col("rn").alias("target"),
-    )
-    p = (
-        a.join(b, ["user_id", "target"])
-        .filter(F.col("tb") > F.col("ta"))
-        .select(
-            "user_id",
-            "ea",
-            "eb",
-            (
-                F.lit(1.0)
-                * (F.col("cb") - F.col("ca"))
-                / (F.col("tb") - F.col("ta"))
-            ).alias("slope"),
-        )
-    )
-    w1o = Window.partitionBy("user_id", "ea").orderBy("slope", "eb")
-    w1n = Window.partitionBy("user_id", "ea")
-    r1 = p.select(
-        "user_id",
-        "ea",
-        "slope",
-        F.row_number().over(w1o).alias("sr"),
-        F.count("*").over(w1n).alias("sn"),
-    )
-    smid1 = F.floor((F.col("sn") + 1) / F.lit(2.0)).cast("bigint")
-    smid2 = F.floor((F.col("sn") + 2) / F.lit(2.0)).cast("bigint")
-    med1 = (
-        r1.filter((F.col("sr") == smid1) | (F.col("sr") == smid2))
-        .groupBy("user_id", "ea")
-        .agg(F.avg("slope").alias("mslope"))
-    )
-    w2o = Window.partitionBy("user_id").orderBy("mslope", "ea")
-    w2n = Window.partitionBy("user_id")
-    r2 = med1.select(
-        "user_id",
-        "mslope",
-        F.row_number().over(w2o).alias("mr"),
-        F.count("*").over(w2n).alias("mn"),
-    )
-    mmid1 = F.floor((F.col("mn") + 1) / F.lit(2.0)).cast("bigint")
-    mmid2 = F.floor((F.col("mn") + 2) / F.lit(2.0)).cast("bigint")
-    return (
-        r2.filter((F.col("mr") == mmid1) | (F.col("mr") == mmid2))
-        .groupBy("user_id")
-        .agg(
-            F.max("mn").cast("bigint").alias("n_points"),
-            _r(F.avg("mslope"), 9).alias("ts_slope_banded"),
-        )
-    )
-
-
-# ===========================================================================
-# Point-in-time state lookup — the feature-store temporal join: for
-# every purchase, what lifecycle state (last signup/error run) was the
-# user in AT that moment? The dimension side is SCD2 validity intervals
-# built from the non-purchase lifecycle events (the scd2_intervals
-# operator over a filtered stream); the probe side left-joins on
-# user_id + a containment band ts ∈ [valid_from, valid_to) — intervals
-# partition each user's timeline, so exactly one (or zero, before the
-# first lifecycle event) interval matches per probe: no row explosion
-# by construction. Scale shape: the user-keyed equi-join carries the
-# band as a residual filter (both sides bounded per user — the same
-# per-key contract the heavy-key guard enforces for the pair joins);
-# training pipelines run exactly this shape to attach
-# as-of-event-time features without leakage from the future.
-# ===========================================================================
-
-@_register(
-    "pit_state_lookup",
-    """
-    WITH lc AS (
-      SELECT user_id, ts, event_id, event_type FROM events
-      WHERE event_type IN ('signup', 'error')),
-    flagged AS (
-      SELECT user_id, ts, event_id, event_type,
-             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
-                  THEN 1 ELSE 0 END AS chg
-      FROM lc
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-    isl AS (
-      SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS UNBOUNDED PRECEDING) AS island
-      FROM flagged),
-    runs AS (
-      SELECT user_id, island, min(event_type) AS state,
-             CAST(epoch_us(min(ts)) // 1000000 AS BIGINT) AS vf
-      FROM isl GROUP BY user_id, island),
-    iv AS (
-      SELECT user_id, state, vf,
-             lead(vf) OVER (PARTITION BY user_id ORDER BY island) AS vt
-      FROM runs),
-    p AS (
-      SELECT user_id, event_id,
-             CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ts_s
-      FROM events WHERE event_type = 'purchase')
-    SELECT p.user_id, p.event_id, p.ts_s, iv.state,
-           CAST(p.ts_s - iv.vf AS BIGINT) AS state_age_s
-    FROM p LEFT JOIN iv
-      ON iv.user_id = p.user_id
-     AND p.ts_s >= iv.vf AND (iv.vt IS NULL OR p.ts_s < iv.vt)
-    """,
-    "warehouse: point-in-time SCD2 state lookup for purchases "
-    "(leakage-free as-of-event-time feature join)",
-    "per purchase: the user's lifecycle state interval containing the "
-    "purchase time (null before the first lifecycle event) and state "
-    "age in seconds",
-)
-def pit_state_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.scd import (
-        scd2_intervals,
-    )
-
-    ev = _t(spark, sf_dir, "events")
-    iv = scd2_intervals(
-        ev.filter(F.col("event_type").isin("signup", "error")),
-        key_col="user_id",
-        ts_col="ts",
-        attr_col="event_type",
-        tiebreak_col="event_id",
-    ).select(
-        "user_id",
-        F.col("event_type").alias("state"),
-        _epoch_s("valid_from").alias("vf"),
-        _epoch_s("valid_to").alias("vt"),
-    )
-    p = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "event_id", _epoch_s("ts").alias("ts_s")
-    )
-    return p.join(
-        iv,
-        (p["user_id"] == iv["user_id"])
-        & (p["ts_s"] >= iv["vf"])
-        & (iv["vt"].isNull() | (p["ts_s"] < iv["vt"])),
-        "left",
-    ).select(
-        p["user_id"],
-        "event_id",
-        "ts_s",
-        "state",
-        (F.col("ts_s") - F.col("vf")).cast("bigint").alias("state_age_s"),
-    )
-
-
-# ===========================================================================
-# Frequent event trigrams — sequential pattern mining, order 2: the
-# top-20 3-step behavior sequences across all users (the "what do users
-# actually do" readout clickstream teams pull before funnel design, and
-# the second-order extension of event_transition_matrix's Markov
-# bigrams). Sequences are per-user event streams ordered by the pinned
-# (ts, event_id) total order; two lead() windows share ONE user-keyed
-# sort pass, the trigram aggregate is map-side combined, and the global
-# top-20 ranks over the ≤|types|³ aggregate (125 cells here) — never
-# over raw rows. Support fraction is 9dp-rounded from exact bigints.
-# ===========================================================================
-
-@_register(
-    "frequent_event_trigrams",
-    f"""
-    WITH seq AS (
-      SELECT event_type AS t1,
-             lead(event_type, 1) OVER w AS t2,
-             lead(event_type, 2) OVER w AS t3
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-    tri AS (
-      SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
-      FROM seq WHERE t3 IS NOT NULL
-      GROUP BY t1, t2, t3),
-    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM tri)
-    SELECT t1, t2, t3, n,
-           {_sql_r('CAST(n AS DOUBLE) / total', 9)} AS support,
-           rank FROM (
-      SELECT tri.*, tot.total,
-             CAST(row_number() OVER (ORDER BY n DESC, t1, t2, t3)
-                  AS INT) AS rank
-      FROM tri CROSS JOIN tot)
-    WHERE rank <= 20
-    """,
-    "analytics: top-20 frequent 3-step event sequences (order-2 "
-    "sequential patterns; shared window sort, cell-bounded ranking)",
-    "top-20 user-behavior trigrams by count with 9dp support fraction "
-    "and pinned (count desc, lexicographic) rank",
-)
-def frequent_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = _t(spark, sf_dir, "events").select(
-        F.col("event_type").alias("t1"),
-        F.lead("event_type", 1).over(w).alias("t2"),
-        F.lead("event_type", 2).over(w).alias("t3"),
-    )
-    tri = (
-        seq.filter(F.col("t3").isNotNull())
-        .groupBy("t1", "t2", "t3")
-        .agg(F.count("*").cast("bigint").alias("n"))
-    )
-    tot = tri.agg(F.sum("n").cast("bigint").alias("total"))
-    wr = Window.orderBy(F.desc("n"), "t1", "t2", "t3")
-    return (
-        tri.crossJoin(F.broadcast(tot))
-        .withColumn("rank", F.row_number().over(wr).cast("int"))
-        .filter(F.col("rank") <= 20)
-        .select(
-            "t1", "t2", "t3", "n",
-            _r(F.col("n").cast("double") / F.col("total"), 9).alias(
-                "support"
-            ),
-            "rank",
-        )
-    )
-
-
-# ===========================================================================
-# Zipf rank-frequency fit — the corpus-health diagnostic: natural text
-# follows freq ∝ rank^(−s) with s ≈ 1; a corpus whose fitted slope
-# deviates hard (template spam, boilerplate floods, truncated vocab)
-# fails the gate. Fit: OLS of ln(freq) on ln(rank) over the full term
-# frequency table, both logs snapped to integer micro-nats FIRST so the
-# five OLS moments are exact integer sums (the user_trend_ols
-# discipline — no float accumulation-order drift; the second moments
-# accumulate in decimal(38,0)/hugeint since x·y wraps int64 near
-# V≈54k), then one scalar Cramer solve. Rank ties pin on term so both
-# engines rank identically.
-# Scale shape: term aggregate (one shuffle) → global rank window over
-# the VOCABULARY (not the corpus) → one map-side-combined moment
-# aggregate.
-# ===========================================================================
-
-@_register(
-    "zipf_rank_frequency_fit",
-    f"""
-    WITH tf AS (
-      SELECT term, CAST(count(*) AS BIGINT) AS c
-      FROM (SELECT unnest(string_split(text, ' ')) AS term
-            FROM documents)
-      GROUP BY term),
-    ranked AS (
-      SELECT c, row_number() OVER (ORDER BY c DESC, term) AS r FROM tf),
-    pts AS (
-      SELECT CAST(floor(ln(r) * 1000000.0 + 0.5) AS BIGINT) AS x,
-             CAST(floor(ln(c) * 1000000.0 + 0.5) AS BIGINT) AS y
-      FROM ranked),
-    m AS (
-      SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-             sum(CAST(x AS HUGEINT) * y) AS sxy,
-             sum(CAST(x AS HUGEINT) * x) AS sxx
-      FROM pts)
-    SELECT n AS vocab_size,
-           {_sql_r(
-               '(1.0 * n * sxy - 1.0 * sx * sy)'
-               ' / (1.0 * n * sxx - 1.0 * sx * sx)', 6)} AS zipf_slope,
-           {_sql_r(
-               '(1.0 * sy - ((1.0 * n * sxy - 1.0 * sx * sy)'
-               ' / (1.0 * n * sxx - 1.0 * sx * sx)) * sx)'
-               ' / n / 1000000.0', 6)} AS ln_intercept
-    FROM m
-    """,
-    "textops: Zipf rank-frequency OLS fit (micro-nat-snapped log-log "
-    "points, exact bigint moments, scalar Cramer solve)",
-    "one row: vocabulary size, fitted Zipf slope (≈−1 for natural "
-    "text), and ln-space intercept, 6dp",
-)
-def zipf_rank_frequency_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    tf = (
-        docs.select(F.explode(F.split(F.col("text"), " ")).alias("term"))
-        .groupBy("term")
-        .agg(F.count("*").cast("bigint").alias("c"))
-    )
-    # r7: distributed two-phase rank (see gini_order_concentration) —
-    # the vocab grows with the corpus, so the partition-less window's
-    # one-task sort is the wrong shape at 100 TB
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import (
-        global_row_number,
-    )
-
-    ranked = global_row_number(
-        tf,
-        [F.col("c").desc(), F.col("term")],
-        rank_col="r",
-        cache_role="zipf_rank",
-    ).select("c", "r")
-    pts = ranked.select(
-        F.floor(F.log(F.col("r").cast("double")) * 1e6 + 0.5)
-        .cast("bigint")
-        .alias("x"),
-        F.floor(F.log(F.col("c").cast("double")) * 1e6 + 0.5)
-        .cast("bigint")
-        .alias("y"),
-    )
-    # second-moment sums accumulate in decimal(38,0) (DuckDB: hugeint):
-    # x·y ≈ (ln V · 1e6)² ≈ 1.7e14 per term, so a bigint sum wraps near
-    # V ≈ 54k — the gini_order_concentration wide-integer discipline
-    xd = F.col("x").cast("decimal(18,0)")
-    m = pts.agg(
-        F.count("*").cast("bigint").alias("n"),
-        F.sum("x").cast("bigint").alias("sx"),
-        F.sum("y").cast("bigint").alias("sy"),
-        F.sum(xd * F.col("y").cast("decimal(18,0)")).alias("sxy"),
-        F.sum(xd * xd).alias("sxx"),
-    )
-    slope = (
-        F.lit(1.0) * F.col("n") * F.col("sxy")
-        - F.lit(1.0) * F.col("sx") * F.col("sy")
-    ) / (
-        F.lit(1.0) * F.col("n") * F.col("sxx")
-        - F.lit(1.0) * F.col("sx") * F.col("sx")
-    )
-    return m.select(
-        F.col("n").alias("vocab_size"),
-        _r(slope, 6).alias("zipf_slope"),
-        _r(
-            (F.lit(1.0) * F.col("sy") - slope * F.col("sx"))
-            / F.col("n")
-            / F.lit(1e6),
-            6,
-        ).alias("ln_intercept"),
-    )
-
-
-# ===========================================================================
-# MERGE INTO (lakehouse upsert) — new operator family, r7 (VERDICT r6
-# task 8 named it). A deterministic keyed change batch (updates,
-# deletes, inserts derived from the orders table itself by disjoint
-# key-residue classes) is MERGEd into the orders snapshot via
-# operators/merge.py: matched+update replaces the payload,
-# matched+delete drops the row, unmatched insert appends, everything
-# else carries. Scale shape: the source is change-batch sized and
-# BROADCAST, so the 100 TB target is scanned (twice — outer leg +
-# insert-key discovery) but never shuffled; source-key uniqueness and
-# batch size are enforced fail-loud preconditions. The oracle mirrors
-# the legs with NOT-IN anti joins (DuckDB 1.0.0 has no MERGE).
-# ===========================================================================
-
-@_register(
-    "merge_upsert_orders",
-    """
-    WITH t AS (
-      SELECT o_orderkey AS k, o_orderstatus AS st,
-             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS pc,
-             o_orderpriority AS pr
-      FROM orders),
-    src AS (
-      SELECT 'update' AS op, k, 'U' AS st, pc + 500 AS pc, pr
-      FROM t WHERE k % 97 = 0
-      UNION ALL
-      SELECT 'delete', k, NULL, NULL, NULL FROM t WHERE k % 97 = 1
-      UNION ALL
-      SELECT 'insert', k + 900000000, 'N', pc, pr FROM t WHERE k % 97 = 2
-    ),
-    carry AS (
-      SELECT t.k, t.st, t.pc, t.pr, 'carry' AS merge_action FROM t
-      WHERE t.k NOT IN (SELECT k FROM src WHERE op IN ('update', 'delete'))
-    ),
-    upd AS (
-      SELECT s.k, s.st, s.pc, s.pr, 'update' AS merge_action
-      FROM src s JOIN t USING (k) WHERE s.op = 'update'
-    ),
-    ins AS (
-      SELECT s.k, s.st, s.pc, s.pr, 'insert' AS merge_action
-      FROM src s
-      WHERE s.op = 'insert' AND s.k NOT IN (SELECT k FROM t)
-    )
-    SELECT k AS o_orderkey, st AS o_orderstatus, pc AS price_cents,
-           pr AS o_orderpriority, merge_action
-    FROM (SELECT * FROM carry
-          UNION ALL SELECT * FROM upd
-          UNION ALL SELECT * FROM ins)
-    """,
-    "lakehouse: MERGE INTO upsert (broadcast change batch; no "
-    "reference counterpart — the reference only appends snapshots)",
-    "orders snapshot after merging a deterministic keyed change batch "
-    "(update/delete/insert by key-residue class), with per-row action",
-)
-def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.merge import merge_into
-
-    t = _t(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").alias("k"),
-        F.col("o_orderstatus").alias("st"),
-        _cents(F.col("o_totalprice")).alias("pc"),
-        F.col("o_orderpriority").alias("pr"),
-    )
-    upd = t.filter(F.col("k") % 97 == 0).select(
-        F.lit("update").alias("op"),
-        "k",
-        F.lit("U").alias("st"),
-        (F.col("pc") + 500).alias("pc"),
-        "pr",
-    )
-    dele = t.filter(F.col("k") % 97 == 1).select(
-        F.lit("delete").alias("op"),
-        "k",
-        F.lit(None).cast("string").alias("st"),
-        F.lit(None).cast("long").alias("pc"),
-        F.lit(None).cast("string").alias("pr"),
-    )
-    ins = t.filter(F.col("k") % 97 == 2).select(
-        F.lit("insert").alias("op"),
-        (F.col("k") + 900_000_000).alias("k"),
-        F.lit("N").alias("st"),
-        "pc",
-        "pr",
-    )
-    merged = merge_into(
-        t, upd.unionByName(dele).unionByName(ins), ["k"]
-    )
-    return merged.select(
-        F.col("k").alias("o_orderkey"),
-        F.col("st").alias("o_orderstatus"),
-        F.col("pc").alias("price_cents"),
-        F.col("pr").alias("o_orderpriority"),
-        "merge_action",
-    )
-
-
-# ===========================================================================
-# Windowed ANN-index refresh — new operator family, r7 (VERDICT r6
-# task 8 named it). One arriving window of vectors (a key-residue slice
-# of embeddings) is folded into the PRETRAINED IVF coarse quantizer:
-# assign each window vector to its nearest pinned centroid (pure
-# Column expression, shuffle-free), then per (cell, dim) the refreshed
-# component is the prior-weighted mean of old centroid and new members
-# in EXACT integer e6 space (truncating DIV — DuckDB `//` semantics;
-# components are negative-capable so floor-div would diverge). Cells
-# with no arrivals refresh to exactly themselves, so the output is the
-# full 16×64 quantizer state. Nothing scales with corpus size — only
-# with the window; the (cell,pos) partial-sum shuffle is ≤ 1024 rows.
-# ===========================================================================
-
-_IVF_W0 = 100  # prior weight: old centroid counts as this many members
-
-_IVF_GRID_SQL = " UNION ALL ".join(
-    f"SELECT {i} AS cell, p.i AS pos, "
-    f"CAST(floor(({_centroid_sql(c)})[p.i::INT] * 1000000.0 + 0.5) "
-    f"AS BIGINT) AS c_e6 FROM range(1, {_EMB_DIM + 1}) p(i)"
-    for i, c in enumerate(IVF_CENTROIDS)
-)
-
-
-@_register(
-    "ivf_centroid_refresh",
-    f"""
-    WITH e AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings WHERE vec_id % 10 = 7),
-    d AS (SELECT vec_id, v, {_IVF_D_COLS} FROM e),
-    a AS (SELECT vec_id, v, {_IVF_CELL_CASE} AS cell
-          FROM (SELECT *, {_IVF_LEAST} AS m FROM d)),
-    lng AS (
-      SELECT cell, p.i AS pos,
-             CAST(floor(v[p.i::INT] * 1000000.0 + 0.5) AS BIGINT) AS v_e6
-      FROM a CROSS JOIN range(1, {_EMB_DIM + 1}) p(i)),
-    agg AS (SELECT cell, pos, CAST(count(*) AS BIGINT) AS n,
-                   CAST(sum(v_e6) AS BIGINT) AS s
-            FROM lng GROUP BY cell, pos),
-    grid AS ({_IVF_GRID_SQL})
-    SELECT g.cell, g.pos,
-           CAST(coalesce(a.n, 0) AS BIGINT) AS n_new,
-           CAST(({_IVF_W0} * g.c_e6 + coalesce(a.s, 0))
-                // ({_IVF_W0} + coalesce(a.n, 0)) AS BIGINT) AS refreshed_e6
-    FROM grid g LEFT JOIN agg a USING (cell, pos)
-    """,
-    "vector-index maintenance: windowed IVF quantizer refresh "
-    "(prior-weighted integer-exact centroid update; no reference "
-    "counterpart)",
-    "full 16-cell × 64-dim IVF quantizer state after folding the "
-    "vec_id%10=7 window in (e6-exact prior-weighted means)",
-)
-def ivf_centroid_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.similarity import (
-        ivf_centroid_refresh as _refresh,
-    )
-
-    return _refresh(
-        _t(spark, sf_dir, "embeddings"),
-        centers=IVF_CENTROIDS,
-        batch_pred=F.col("vec_id") % 10 == 7,
-        prior_weight=_IVF_W0,
-    )
-
-
-# ===========================================================================
-# Sorted-neighborhood dedup — the sixth blocking family (merge/purge,
-# Hernández & Stolfo SIGMOD '95), r7: sort the corpus ONCE on a
-# normalized 40-char prefix key, pair each doc only with its 4
-# successors in the total order, then verify candidates with edit
-# distance over the capped 80-char head (levenshtein is byte-identical
-# in Spark and DuckDB on this ASCII corpus — probed before adoption).
-# Complements the hash families: prefix-perturbed near-dups sort
-# adjacently and are found at 4n pairs; dups whose heads diverge sort
-# apart and are deliberately left to MinHash/SimHash — SNM is a
-# blocker, not a recall guarantee. Scale shape (see
-# operators/dedup.py:sorted_neighborhood_candidates): parallel range
-# exchange, then ONE persisted per-partition window pass whose lead()s
-# ARE the intra-partition pairs — no join touches the corpus; only the
-# O(w·P) partition-boundary fix-up joins, over a partition-COUNT-sized
-# subset. Exactly O(n·w) pairs, skew-impossible (ranks unique), verify
-# is a constant-cost expression per pair. sf0.1→sf1 probe: flat
-# (2.46 → 2.50 s at 10× the docs).
-# ===========================================================================
-
-_SNM_WINDOW = 4
-_SNM_LEV_MAX = 8
-
-
-@_register(
-    "dedup_sorted_neighborhood",
-    f"""
-    WITH k AS (
-      SELECT doc_id, text,
-             regexp_replace(lower(substr(text, 1, 40)),
-                            '[^a-z0-9]', '', 'g') AS sk
-      FROM documents),
-    r AS (
-      SELECT doc_id, text,
-             row_number() OVER (ORDER BY sk, doc_id) AS i
-      FROM k),
-    c AS (
-      SELECT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id,
-             CAST(b.i - a.i AS BIGINT) AS rank_gap,
-             CAST(levenshtein(substr(a.text, 1, 80),
-                              substr(b.text, 1, 80)) AS BIGINT) AS lev
-      FROM (SELECT r.*, r.i + d.o AS target
-            FROM r CROSS JOIN range(1, {_SNM_WINDOW} + 1) d(o)) a
-      JOIN r b ON b.i = a.target)
-    SELECT a_doc_id, b_doc_id, rank_gap, lev
-    FROM c WHERE lev <= {_SNM_LEV_MAX}
-    """,
-    "dedup: sorted-neighborhood blocking (distributed global sort + "
-    "rank-banded pair join + capped-edit-distance verify; no reference "
-    "counterpart)",
-    f"near-dup doc pairs within {_SNM_WINDOW} successors in "
-    f"normalized-prefix sort order, verified at levenshtein <= "
-    f"{_SNM_LEV_MAX} over 80-char heads",
-)
-def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
-        sorted_neighborhood_candidates,
-    )
-
-    # only the 80-char head rides the sort/persist/pair path — the
-    # verify never reads past it, and the full text would quadruple the
-    # bytes the window pass moves and caches per row
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.substring("text", 1, 80).alias("head"),
-        F.regexp_replace(
-            F.lower(F.substring("text", 1, 40)), "[^a-z0-9]", ""
-        ).alias("sk"),
-    )
-    cand = sorted_neighborhood_candidates(
-        docs,
-        ["sk", "doc_id"],
-        window=_SNM_WINDOW,
-        id_col="doc_id",
-        payload_cols=("head",),
-        cache_role="snm_rank",
-    )
-    lev = F.levenshtein(F.col("a_head"), F.col("b_head"))
-    return (
-        cand.withColumn("lev", lev.cast("bigint"))
-        .filter(F.col("lev") <= _SNM_LEV_MAX)
-        .select("a_doc_id", "b_doc_id", "rank_gap", "lev")
-    )
-
-
-# ===========================================================================
-# Skyline / Pareto-frontier query — new operator family, r7 (Börzsönyi
-# et al. ICDE '01; no reference counterpart): the non-dominated set
-# under multi-criteria minimization, the OLAP primitive behind "show me
-# every option that isn't strictly worse than another". Here: the
-# fast-AND-cheap supplier frontier — a supplier survives iff no other
-# supplier is at-most-equal on BOTH mean ship latency and mean item
-# price with at least one strict. Both means are exact truncating-DIV
-# integers (e6 days / cents), so dominance compares bigints on both
-# engines. The oracle keeps the textbook NOT EXISTS pair form; the
-# engine runs the 2D reduction (operators/parallelism.py:
-# pareto_frontier_2d): per-x min + distributed EXCLUSIVE prefix-min +
-# one equi-join — O(n) work and zero pair joins where the naive form
-# is O(n²), identical rows by construction.
-# ===========================================================================
-
-@_register(
-    "skyline_supplier_frontier",
-    """
-    WITH j AS (
-      SELECT l.l_suppkey AS suppkey,
-             CAST(epoch_us(l.l_shipdate) // 1000000 // 86400
-                  - epoch_us(o.o_orderdate) // 1000000 // 86400
-                  AS BIGINT) AS days,
-             CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)
-               AS cents
-      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
-    s AS (
-      SELECT suppkey, CAST(count(*) AS BIGINT) AS n_lines,
-             CAST((1000000 * sum(days)) // count(*) AS BIGINT) AS lat_e6,
-             CAST(sum(cents) // count(*) AS BIGINT) AS price_c
-      FROM j GROUP BY suppkey)
-    SELECT q.suppkey, q.n_lines, q.lat_e6, q.price_c
-    FROM s q
-    WHERE NOT EXISTS (
-      SELECT 1 FROM s p
-      WHERE p.lat_e6 <= q.lat_e6 AND p.price_c <= q.price_c
-        AND (p.lat_e6 < q.lat_e6 OR p.price_c < q.price_c))
-    """,
-    "analytics: 2D skyline / Pareto frontier (per-x min + distributed "
-    "exclusive prefix-min; the oracle keeps the O(n^2) NOT EXISTS "
-    "form; no reference counterpart)",
-    "suppliers not dominated on (mean ship-latency e6-days, mean item "
-    "price cents) — both exact truncating-DIV integers",
-)
-def skyline_supplier_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import (
-        pareto_frontier_2d,
-    )
-
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey",
-        F.col("l_suppkey").alias("suppkey"),
-        _fdiv(_epoch_s(F.col("l_shipdate")), 86_400).alias("ship_day"),
-        _cents(F.col("l_extendedprice")).alias("cents"),
-    )
-    o = _t(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        _fdiv(_epoch_s(F.col("o_orderdate")), 86_400).alias("order_day"),
-    )
-    s = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .groupBy("suppkey")
-        .agg(
-            F.count("*").cast("bigint").alias("n_lines"),
-            F.sum(F.col("ship_day") - F.col("order_day")).alias("sum_days"),
-            F.sum("cents").alias("sum_cents"),
-        )
-        .select(
-            "suppkey",
-            "n_lines",
-            _fdiv_col(
-                F.lit(1_000_000) * F.col("sum_days"), F.col("n_lines")
-            ).alias("lat_e6"),
-            _fdiv_col(F.col("sum_cents"), F.col("n_lines")).alias(
-                "price_c"
-            ),
-        )
-    )
-    return pareto_frontier_2d(s, "lat_e6", "price_c").select(
-        "suppkey", "n_lines", "lat_e6", "price_c"
-    )
-
-
-# ===========================================================================
-# k-dimensional skyline — the d ≥ 3 sibling of the 2D frontier, where
-# dominance no longer collapses onto a prefix aggregate (no running
-# min over one sort order can witness 3-way dominance). The engine
-# runs the canonical divide-and-conquer skyline
-# (operators/parallelism.py:pareto_frontier_kd): per-partition local
-# skylines via a DESIGNED Arrow crossing (the sort-filter-skyline walk
-# is inherently sequential, same contract as the EWMA/Holt
-# recurrences), then the exact skyline of the partition-count-sized
-# union. The oracle keeps the O(n²) NOT EXISTS pair form. Query: the
-# cheap-small-fast order frontier — orders not dominated on (total
-# price cents, item count, worst order-to-ship latency days), all
-# exact bigints so dominance compares identically on both engines.
-# ===========================================================================
-
-@_register(
-    "skyline_orders_3d",
-    """
-    WITH s AS (
-      SELECT o.o_orderkey AS okey,
-             CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT)
-               AS price_c,
-             CAST(count(*) AS BIGINT) AS n_items,
-             CAST(max(epoch_us(l.l_shipdate) // 1000000 // 86400
-                  - epoch_us(o.o_orderdate) // 1000000 // 86400)
-               AS BIGINT) AS max_days
-      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-      GROUP BY o.o_orderkey, o.o_totalprice)
-    SELECT q.okey, q.price_c, q.n_items, q.max_days
-    FROM s q
-    WHERE NOT EXISTS (
-      SELECT 1 FROM s p
-      WHERE p.price_c <= q.price_c AND p.n_items <= q.n_items
-        AND p.max_days <= q.max_days
-        AND (p.price_c < q.price_c OR p.n_items < q.n_items
-             OR p.max_days < q.max_days))
-    """,
-    "analytics: 3D skyline via divide-and-conquer local skylines "
-    "(designed Arrow crossing; oracle keeps the O(n^2) NOT EXISTS "
-    "form; no reference counterpart)",
-    "orders not dominated on (price cents, item count, worst ship "
-    "latency days) — exact bigint dominance",
-)
-def skyline_orders_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import (
-        pareto_frontier_kd,
-    )
-
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", _fdiv(_epoch_s(F.col("l_shipdate")), 86_400).alias("ship_day")
-    )
-    o = _t(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        _cents(F.col("o_totalprice")).alias("price_c"),
-        _fdiv(_epoch_s(F.col("o_orderdate")), 86_400).alias("order_day"),
-    )
-    s = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .groupBy("o_orderkey", "price_c")
-        .agg(
-            F.count("*").cast("bigint").alias("n_items"),
-            F.max(F.col("ship_day") - F.col("order_day"))
-            .cast("bigint")
-            .alias("max_days"),
-        )
-        .select(
-            F.col("o_orderkey").alias("okey"),
-            "price_c",
-            "n_items",
-            "max_days",
-        )
-    )
-    return pareto_frontier_kd(s, ["price_c", "n_items", "max_days"])
-
-
-# ===========================================================================
-# Exact substring dedup (r8 new family head) — the "deduplicating
-# training data" primitive (Lee et al., ACL '22): every maximal token
-# span occurring verbatim >= 2 times corpus-wide, per document. The
-# reference paper builds a suffix array — a global sort of every corpus
-# suffix, the exact single-total-order structure that cannot shard; for
-# fixed-k windows the same answer falls out of hash aggregation with
-# map-side combine (operators/dedup.py:duplicate_substring_spans). The
-# oracle groups on the raw k-gram TEXT while the engine groups on its
-# md5 — the hash-match therefore also certifies the digest substitution.
-# Scale: one narrow transform (k-gram md5s per doc), one hash exchange
-# with map-side partial counts (a 10^8-times-repeated boilerplate gram
-# reaches its reducer as one partial per map task), one AQE-skew-safe
-# semi-join, one per-DOC (bounded) island-merge window. k=10 at battery
-# scale (testdata docs are 25-80 tokens); production uses ~50.
-# ===========================================================================
-
-@_register(
-    "dedup_substring_spans",
-    """
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-    g AS (SELECT doc_id, unnest(range(1, greatest(len(tk) - 9, 0) + 1)) AS pos, tk
-          FROM toks),
-    g2 AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
-                  array_to_string(tk[pos:pos+9], ' ') AS gram
-           FROM g),
-    dup AS (SELECT gram FROM g2 GROUP BY gram HAVING count(*) >= 2),
-    dp AS (SELECT doc_id, pos FROM g2 WHERE gram IN (SELECT gram FROM dup)),
-    fl AS (SELECT doc_id, pos,
-                  CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
-                            OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 10
-                       THEN 1 ELSE 0 END AS f
-           FROM dp),
-    isl AS (SELECT doc_id, pos,
-                   sum(f) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-            FROM fl)
-    SELECT doc_id,
-           CAST(min(pos) AS BIGINT) AS span_start,
-           CAST(max(pos) + 9 AS BIGINT) AS span_end,
-           CAST(max(pos) + 9 - min(pos) + 1 AS BIGINT) AS span_tokens,
-           CAST(count(*) AS BIGINT) AS n_dup_windows
-    FROM isl GROUP BY doc_id, island
-    """,
-    "dedup: exact substring spans (ExactSubstr — copied-passage dedup, "
-    "distinct from all whole-document blocking families; no reference "
-    "counterpart)",
-    "maximal verbatim 10-token spans duplicated corpus-wide, merged "
-    "per doc via islands-and-gaps",
-)
-def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
-        duplicate_substring_spans,
-    )
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return duplicate_substring_spans(docs, k=10)
-
-
-# ===========================================================================
-# Incremental ExactSubstr (r8) — the daily-crawl path: duplicated spans
-# in a NEW batch (doc_id % 5 == 0) against the persisted gram-count
-# state of the rest of the corpus, without re-scanning it
-# (operators/dedup.py:substring_gram_counts /
-# incremental_duplicate_spans). The oracle verifies the EQUIVALENCE
-# claim directly: it recomputes spans over the full union and keeps the
-# new docs' rows — per gram, total count == state + batch count, so the
-# two paths must agree exactly. Completes the incremental story for the
-# substring family (siblings: dedup_incremental_minhash/_compacted).
-# ===========================================================================
-
-@_register(
-    "dedup_incremental_substring",
-    """
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-    g AS (SELECT doc_id, unnest(range(1, greatest(len(tk) - 9, 0) + 1)) AS pos, tk
-          FROM toks),
-    g2 AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
-                  array_to_string(tk[pos:pos+9], ' ') AS gram
-           FROM g),
-    dup AS (SELECT gram FROM g2 GROUP BY gram HAVING count(*) >= 2),
-    dp AS (SELECT doc_id, pos FROM g2
-           WHERE doc_id % 5 = 0 AND gram IN (SELECT gram FROM dup)),
-    fl AS (SELECT doc_id, pos,
-                  CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
-                            OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 10
-                       THEN 1 ELSE 0 END AS f
-           FROM dp),
-    isl AS (SELECT doc_id, pos,
-                   sum(f) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-            FROM fl)
-    SELECT doc_id,
-           CAST(min(pos) AS BIGINT) AS span_start,
-           CAST(max(pos) + 9 AS BIGINT) AS span_end,
-           CAST(max(pos) + 9 - min(pos) + 1 AS BIGINT) AS span_tokens,
-           CAST(count(*) AS BIGINT) AS n_dup_windows
-    FROM isl GROUP BY doc_id, island
-    """,
-    "dedup: incremental ExactSubstr (new batch vs persisted corpus "
-    "gram-count state; oracle checks exact equivalence to the full "
-    "recompute; no reference counterpart)",
-    "duplicated spans in the doc_id%5==0 batch counting in-batch repeats "
-    "+ corpus-state matches — corpus never re-scanned",
-)
-def dedup_incremental_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
-        incremental_duplicate_spans,
-        substring_gram_counts,
-    )
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    old = docs.filter(F.col("doc_id") % 5 != 0)
-    new = docs.filter(F.col("doc_id") % 5 == 0)
-    state = substring_gram_counts(old, k=10)
-    return incremental_duplicate_spans(new, state, k=10)
-
-
-# ===========================================================================
-# ExactSubstr, applied (r8) — the curation half of substring dedup:
-# every token covered by a duplicated span is clipped and the document
-# text rebuilt from the survivors (operators/dedup.py:
-# clip_substring_spans). Full corpus replacement out: unclipped docs
-# pass through token-normalized. The span table is doc-bounded, so the
-# token stream anti-joins it on the doc EQUI key with the span band as
-# a residual (the pit_state_lookup shape); the rebuild is one per-doc
-# aggregate over a document-length-bounded sorted array.
-# ===========================================================================
-
-@_register(
-    "dedup_substring_clip",
-    """
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-    g AS (SELECT doc_id, unnest(range(1, greatest(len(tk) - 9, 0) + 1)) AS pos, tk
-          FROM toks),
-    g2 AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
-                  array_to_string(tk[pos:pos+9], ' ') AS gram
-           FROM g),
-    dup AS (SELECT gram FROM g2 GROUP BY gram HAVING count(*) >= 2),
-    dp AS (SELECT doc_id, pos FROM g2 WHERE gram IN (SELECT gram FROM dup)),
-    fl AS (SELECT doc_id, pos,
-                  CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
-                            OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 10
-                       THEN 1 ELSE 0 END AS f
-           FROM dp),
-    isl AS (SELECT doc_id, pos,
-                   sum(f) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-            FROM fl),
-    spans AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS s,
-                     CAST(max(pos) + 9 AS BIGINT) AS e
-              FROM isl GROUP BY doc_id, island),
-    tok_rows AS (SELECT doc_id, unnest(tk) AS tok,
-                        unnest(range(1, len(tk) + 1)) AS pos
-                 FROM toks),
-    kept AS (SELECT t.doc_id, t.pos, t.tok
-             FROM tok_rows t
-             WHERE NOT EXISTS (SELECT 1 FROM spans s
-                               WHERE s.doc_id = t.doc_id
-                                 AND t.pos BETWEEN s.s AND s.e)),
-    reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
-                   CAST(count(*) AS BIGINT) AS n_tokens
-            FROM kept GROUP BY doc_id)
-    SELECT t.doc_id,
-           coalesce(r.clean_text, '') AS clean_text,
-           CAST(coalesce(r.n_tokens, 0) AS BIGINT) AS n_tokens,
-           CAST(len(t.tk) - coalesce(r.n_tokens, 0) AS BIGINT)
-             AS n_removed_tokens
-    FROM toks t LEFT JOIN reb r ON r.doc_id = t.doc_id
-    """,
-    "dedup: ExactSubstr applied — duplicated spans clipped out and the "
-    "corpus text rebuilt (curation-side half of dedup_substring_spans; "
-    "no reference counterpart)",
-    "corpus replacement with every duplicated 10-token span removed — "
-    "clean text + kept/removed token counts per doc",
-)
-def dedup_substring_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
-        clip_substring_spans,
-    )
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return clip_substring_spans(docs, k=10)
-
-
-# ===========================================================================
-# Winnowing fingerprints (r9 new family) — MOSS local fingerprinting
-# (Schleimer, Wilkerson & Aiken, SIGMOD '03; public), the
-# fingerprint-index counterpart to the gram-exhaustive substring family
-# above: hash every word-k-gram, slide a w-hash window, keep each
-# window's minimum (ties → rightmost), and dedupe the selections. Any
-# shared substring of ≥ w+k−1 tokens is GUARANTEED to leave a shared
-# fingerprint, at ≈ 2/(w+1) of the gram stream's volume — the
-# pre-shuffle candidate cut the plain shingle inverted index never
-# gets. The selection is one packed-integer window min
-# (h36·2^27 + (2^27−1−pos)), so min-hash + rightmost-tie is a single
-# long comparison both engines reproduce bit-for-bit
-# (operators/dedup.py:winnow_fingerprints). 100 TB: one doc-granular
-# exchange total for fingerprints; the match join runs over the
-# winnowed (5-10× smaller) index with the same broadcast hot-cap as
-# the jaccard family.
-# ===========================================================================
-
-_WINNOW_K = 5
-_WINNOW_W = 4
-_WINNOW_LIM = 1 << 27
-
-
-def _winnow_fp_ctes(src: str) -> str:
-    """The winnow fingerprint CTE chain over an arbitrary (doc_id, text)
-    source CTE/table — shared by the standalone entries (src =
-    documents) and the composed curation pipeline (src = the
-    quality-filtered survivor set)."""
-    return _WINNOW_FP_CTES_TEMPLATE.replace("__SRC__", src)
-
-
-_WINNOW_FP_CTES_TEMPLATE = f"""
-    toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM __SRC__),
-    g AS (SELECT doc_id,
-                 unnest(range(1, greatest(len(tk) - {_WINNOW_K - 1}, 0) + 1)) AS pos,
-                 tk
-          FROM toks),
-    g2 AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
-                  array_to_string(tk[pos:pos+{_WINNOW_K - 1}], ' ') AS gram
-           FROM g),
-    p AS (SELECT doc_id, pos,
-                 CAST(concat('0x', substring(md5(gram), 1, 9)) AS BIGINT)
-                   * {_WINNOW_LIM} + ({_WINNOW_LIM - 1} - pos) AS packed,
-                 count(*) OVER (PARTITION BY doc_id) AS m
-          FROM g2),
-    sel AS (SELECT doc_id, pos, m,
-                   min(packed) OVER (PARTITION BY doc_id ORDER BY pos
-                                     ROWS BETWEEN CURRENT ROW
-                                     AND {_WINNOW_W - 1} FOLLOWING) AS s
-            FROM p),
-    fp AS (SELECT DISTINCT doc_id,
-                  CAST({_WINNOW_LIM - 1} - (s % {_WINNOW_LIM}) AS BIGINT) AS pos,
-                  CAST(s // {_WINNOW_LIM} AS BIGINT) AS fp
-           FROM sel WHERE pos <= greatest(m - {_WINNOW_W - 1}, 1))
-"""
-
-_WINNOW_FP_CTES = _winnow_fp_ctes("documents")
-
-
-@_register(
-    "dedup_winnow_fingerprints",
-    f"""
-    WITH {_WINNOW_FP_CTES}
-    SELECT doc_id, pos, fp FROM fp
-    """,
-    "dedup: winnowing fingerprints (MOSS, Schleimer et al. SIGMOD '03; "
-    "no reference counterpart)",
-    "per-doc selected (position, 36-bit hash) fingerprints — window-min "
-    "with rightmost-tie via one packed-integer comparison",
-)
-def dedup_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
-        winnow_fingerprints,
-    )
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import (
-        ensure_parallelism,
-    )
-
-    docs = ensure_parallelism(
-        _t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
-    )
-    return winnow_fingerprints(docs, k=_WINNOW_K, w=_WINNOW_W)
-
-
-@_register(
-    "dedup_winnow_match_pairs",
-    f"""
-    WITH {_WINNOW_FP_CTES},
-    fps AS (SELECT DISTINCT doc_id, fp FROM fp),
-    dfreq AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 100),
-    surv AS (SELECT f.doc_id, f.fp FROM fps f JOIN dfreq USING (fp))
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(count(*) AS BIGINT) AS n_shared
-    FROM surv a JOIN surv b ON a.fp = b.fp AND a.doc_id < b.doc_id
-    GROUP BY a.doc_id, b.doc_id
-    HAVING count(*) >= 2
-    """,
-    "dedup: winnowed match pairs (MOSS match step; no reference "
-    "counterpart)",
-    "doc pairs sharing >= 2 winnowing fingerprints over the hot-capped "
-    "fingerprint inverted index",
-)
-def dedup_winnow_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
-        winnow_match_pairs,
-    )
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return winnow_match_pairs(
-        docs, k=_WINNOW_K, w=_WINNOW_W, min_shared=2, max_df=100
-    )
-
-
-# Incremental winnow (r10): batch (doc_id % 10 = 0) matched against the
-# persisted corpus fingerprint state (the other 90%) WITHOUT
-# re-fingerprinting the corpus. Fingerprints are per-document, so the
-# incremental state union IS the full-recompute fingerprint set — the
-# oracle is the full winnow_match_pairs SQL restricted to pairs touching
-# a batch doc, and hash equality proves the incremental path computes
-# exactly that subset (the incremental_minhash/substring convention).
-@_register(
-    "dedup_incremental_winnow",
-    f"""
-    WITH {_WINNOW_FP_CTES},
-    fps AS (SELECT DISTINCT doc_id, fp FROM fp),
-    dfreq AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 100),
-    surv AS (SELECT f.doc_id, f.fp FROM fps f JOIN dfreq USING (fp))
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(count(*) AS BIGINT) AS n_shared
-    FROM surv a JOIN surv b ON a.fp = b.fp AND a.doc_id < b.doc_id
-    WHERE a.doc_id % 10 = 0 OR b.doc_id % 10 = 0
-    GROUP BY a.doc_id, b.doc_id
-    HAVING count(*) >= 2
-    """,
-    "dedup: incremental winnow — batch vs persisted fingerprint state "
-    "(MOSS match, snapshot form; no reference counterpart)",
-    "O(batch) fingerprinting + fp equi-join against the stored index; "
-    "hot cap over state+batch = the full-corpus cap, so the subset "
-    "hash-matches a full recompute",
-)
-def dedup_incremental_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
-        incremental_winnow_matches,
-        winnow_state,
-    )
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import (
-        ensure_parallelism,
-    )
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    corpus = ensure_parallelism(
-        docs.filter(F.col("doc_id") % 10 != 0), "doc_id"
-    )
-    batch = docs.filter(F.col("doc_id") % 10 == 0)
-    state = winnow_state(corpus, k=_WINNOW_K, w=_WINNOW_W)
-    return incremental_winnow_matches(
-        state, batch, k=_WINNOW_K, w=_WINNOW_W, min_shared=2, max_df=100
-    )
-
-
-# ===========================================================================
-# Cross-snapshot contamination audit (r8 new family head) — KMV/theta
-# sketch intersections (operators/contamination.py): every source
-# summarized once into its k=128 smallest distinct shingle-md5s, then
-# all 190 pairwise train-vs-eval overlap estimates answered from
-# sketches alone. The mergeable generalization of
-# decontaminate_benchmark's broadcast shingle set — which cannot
-# broadcast a 100 TB eval side; sketches compare in milliseconds and
-# merge across snapshots (kmv_merge) without re-scanning any corpus.
-# The estimator is exact integer/string comparison on md5 digests, so
-# the DuckDB oracle reproduces the APPROXIMATION itself bit-for-bit.
-# Scale: one distinct exchange + two bounded rank windows (256 uniform
-# hash-prefix sub-partitions per source, then a sketch-sized final
-# rank); the audit joins are all broadcast, sketch-sized.
-# ===========================================================================
-
-
-# ===========================================================================
-# Curation pipeline v3 (r9) — the round's stages composed end-to-end,
-# the way a real corpus build chains them: model-based quality filter
-# (pinned-weight linear classifier) → soft dedup (exact copies stay,
-# down-weighted 1e6 DIV multiplicity) → winnow near-dup prune (MOSS
-# match pairs, star-canonical keep). One oracle states the WHOLE
-# pipeline, so stage interactions — not just stages — are hash-checked
-# (the curation_pipeline/_v2 discipline over the r9 operator set).
-# ===========================================================================
-
-@_register(
-    "curation_pipeline_v3",
-    f"""
-    WITH t0q AS (
-      SELECT doc_id, lang, text, n_chars,
-             CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
-             {_sql_count_in(('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it', 'for', 'on'))} AS n_stop,
-             CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct
-      FROM documents
-    ),
-    fq AS (
-      SELECT doc_id, lang, text,
-             {QUALITY_W0_E6}
-             + {QUALITY_W_STOP_E3} * CAST(floor(1.0 * n_stop / n * 1000000 + 0.5) AS BIGINT) // 1000
-             + {QUALITY_W_PUNCT_E3} * CAST(floor(1.0 * n_punct / n_chars * 1000000 + 0.5) AS BIGINT) // 1000
-             + {QUALITY_W_LEN_E3} * CAST(least(n, 100) * 10000 AS BIGINT) // 1000
-             + {QUALITY_W_AWL_E3} * CAST(floor(1.0 * (n_chars - (n - 1)) / n * 1000000 + 0.5) AS BIGINT) // 1000
-               AS logit_e6
-      FROM t0q
-    ),
-    kept AS (SELECT doc_id, lang, text FROM fq WHERE logit_e6 >= 0),
-    sw AS (
-      SELECT doc_id,
-             CAST(1000000 // (count(*) OVER (PARTITION BY md5(text)))
-                  AS BIGINT) AS weight_e6
-      FROM kept
-    ),
-    {_winnow_fp_ctes("kept")},
-    fps AS (SELECT DISTINCT doc_id, fp FROM fp),
-    dfreq AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 100),
-    surv AS (SELECT f.doc_id, f.fp FROM fps f JOIN dfreq USING (fp)),
-    prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM surv a JOIN surv b ON a.fp = b.fp AND a.doc_id < b.doc_id
-            GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2),
-    sym AS (SELECT id_a AS u, id_b AS nb FROM prs
-            UNION ALL SELECT id_b, id_a FROM prs),
-    mins AS (SELECT u, min(nb) AS mn FROM sym GROUP BY u),
-    canon AS (
-      SELECT k.doc_id, k.lang,
-             k.doc_id = least(k.doc_id, coalesce(m.mn, k.doc_id)) AS is_canon
-      FROM kept k LEFT JOIN mins m ON m.u = k.doc_id
-    )
-    SELECT c.lang,
-           CAST(count(*) AS BIGINT) AS n_quality_kept,
-           CAST(count(*) FILTER (c.is_canon) AS BIGINT) AS n_canonical,
-           CAST(count(*) FILTER (NOT c.is_canon) AS BIGINT)
-             AS n_near_dup_dropped,
-           CAST(sum(CASE WHEN c.is_canon THEN s.weight_e6 ELSE 0 END)
-                AS BIGINT) AS sum_weight_e6
-    FROM canon c JOIN sw s ON s.doc_id = c.doc_id
-    GROUP BY c.lang
-    """,
-    "curation: composed pipeline v3 — quality classifier -> soft dedup "
-    "-> winnow near-dup prune (stage interactions hash-checked; no "
-    "reference counterpart)",
-    "per-lang survivors, star-canonical keeps, near-dup drops, and "
-    "down-weighted gradient mass after the full r9 curation chain",
-)
-def curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
-        soft_dedup_weights,
-        winnow_match_pairs,
-    )
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
-        persist_scoped as _ps,
-    )
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import (
-        ensure_parallelism,
-    )
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import (
-        quality_linear_filter,
-    )
-
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "text", "n_chars"
-    )
-    # quality gate; survivors feed THREE consumers (weights, winnow,
-    # final rollup) — scope-persist the filtered set
-    kept = _ps(
-        "curation_v3_kept",
-        ensure_parallelism(
-            quality_linear_filter(docs)
-            .filter(F.col("kept"))
-            .select("doc_id", "lang", "text"),
-            "doc_id",
-        ),
-    )
-    sw = soft_dedup_weights(kept).select("doc_id", "weight_e6")
-    pairs = winnow_match_pairs(
-        kept, k=_WINNOW_K, w=_WINNOW_W, min_shared=2, max_df=100
-    )
-    sym = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("nb")).unionAll(
-        pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("nb"))
-    )
-    mins = sym.groupBy("u").agg(F.min("nb").alias("__mn"))
-    canon = (
-        kept.join(mins, kept["doc_id"] == mins["u"], "left_outer")
-        .select(
-            "doc_id",
-            "lang",
-            (
-                F.col("doc_id")
-                == F.least(
-                    F.col("doc_id"), F.coalesce(F.col("__mn"), F.col("doc_id"))
-                )
-            ).alias("is_canon"),
-        )
-    )
-    return (
-        canon.join(sw, "doc_id")
-        .groupBy("lang")
-        .agg(
-            F.count("*").cast("bigint").alias("n_quality_kept"),
-            F.sum(F.col("is_canon").cast("int")).cast("bigint").alias("n_canonical"),
-            F.sum((~F.col("is_canon")).cast("int"))
-            .cast("bigint")
-            .alias("n_near_dup_dropped"),
-            F.sum(
-                F.when(F.col("is_canon"), F.col("weight_e6")).otherwise(F.lit(0))
-            )
-            .cast("bigint")
-            .alias("sum_weight_e6"),
-        )
-    )
-
-
-@_register(
-    "contamination_kmv_audit",
-    f"""
-    WITH sh AS (
-      SELECT DISTINCT source, md5(g) AS h
-      FROM (SELECT source, unnest({_SHINGLE3_RAW_SQL}) AS g FROM documents)
-    ),
-    r1 AS (SELECT source, h,
-                  row_number() OVER (PARTITION BY source ORDER BY h) AS rn
-           FROM sh),
-    sk AS (SELECT source, h FROM r1 WHERE rn <= 128),
-    grp AS (SELECT DISTINCT source FROM sk),
-    pairs AS (SELECT a.source AS ga, b.source AS gb
-              FROM grp a JOIN grp b ON a.source < b.source),
-    uh AS (SELECT DISTINCT p.ga, p.gb, s.h
-           FROM pairs p JOIN sk s ON s.source = p.ga OR s.source = p.gb),
-    u AS (SELECT ga, gb, h,
-                 row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
-          FROM uh),
-    uk AS (SELECT ga, gb, h FROM u WHERE rn <= 128),
-    un AS (SELECT ga, gb, CAST(count(*) AS BIGINT) AS n_union
-           FROM uk GROUP BY ga, gb),
-    ov AS (SELECT uk.ga, uk.gb, CAST(count(*) AS BIGINT) AS n_overlap
-           FROM uk
-           JOIN sk a ON a.source = uk.ga AND a.h = uk.h
-           JOIN sk b ON b.source = uk.gb AND b.h = uk.h
-           GROUP BY uk.ga, uk.gb)
-    SELECT un.ga AS group_a, un.gb AS group_b, un.n_union,
-           CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
-           CAST(coalesce(ov.n_overlap, 0) * 1000000 // un.n_union AS BIGINT)
-             AS jaccard_e6
-    FROM un LEFT JOIN ov ON ov.ga = un.ga AND ov.gb = un.gb
-    """,
-    "curation: KMV/theta-sketch contamination audit (mergeable "
-    "register-level train-vs-eval overlap; generalizes "
-    "decontaminate_benchmark past broadcast-sized eval sets; no "
-    "reference counterpart)",
-    "pairwise source-overlap Jaccard estimates from k=128 KMV sketches "
-    "of 3-token shingles — the approximation itself is hash-checked",
-)
-def contamination_kmv_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.contamination import (
-        kmv_pairwise_overlap,
-        kmv_registers,
-    )
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
-        shingle_rows,
-    )
-
-    # row-per-shingle lead-window enumeration (codegen) — the
-    # transform-lambda form is interpreted per element and measured 6×
-    # slower for the corpus pass at sf1 (see shingle_rows docstring)
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    sh = shingle_rows(docs, keep_cols=("source",)).select(
-        "source", F.col("shingle").alias("g")
-    )
-    regs = kmv_registers(sh, "source", "g", k=128)
-    return kmv_pairwise_overlap(regs, "source", k=128)
-
-
-# ===========================================================================
-# Sketch merge parity — the monoid law that makes sketches 100 TB-viable,
-# proven END-TO-END as a query: per-shard KMV sketches (corpus split by
-# doc_id parity) folded with kmv_merge must equal the whole-corpus
-# sketch register-for-register (k-smallest-of-union == k-smallest of
-# the union — Beyer et al. SIGMOD '07). Unit tests pin the operator;
-# this entry makes the law externally hash-checked, comparing register
-# counts and xor checksums per source.
-# ===========================================================================
-
-@_register(
-    "sketch_merge_parity",
-    f"""
-    WITH sh AS (
-      SELECT DISTINCT source, doc_id % 2 AS half, md5(g) AS h
-      FROM (SELECT doc_id, source, unnest({_SHINGLE3_RAW_SQL}) AS g
-            FROM documents)
-    ),
-    whole AS (
-      SELECT source, h FROM (
-        SELECT source, h,
-               row_number() OVER (PARTITION BY source ORDER BY h) AS rn
-        FROM (SELECT DISTINCT source, h FROM sh))
-      WHERE rn <= 128
-    ),
-    halves AS (
-      SELECT source, half, h FROM (
-        SELECT source, half, h,
-               row_number() OVER (PARTITION BY source, half
-                                  ORDER BY h) AS rn
-        FROM sh)
-      WHERE rn <= 128
-    ),
-    merged AS (
-      SELECT source, h FROM (
-        SELECT source, h,
-               row_number() OVER (PARTITION BY source ORDER BY h) AS rn
-        FROM (SELECT DISTINCT source, h FROM halves))
-      WHERE rn <= 128
-    ),
-    ws AS (SELECT source, CAST(count(*) AS BIGINT) AS n_regs_whole,
-                  bit_xor(CAST(concat('0x', substring(h, 1, 15)) AS BIGINT))
-                    AS cs_whole
-           FROM whole GROUP BY source),
-    ms AS (SELECT source, CAST(count(*) AS BIGINT) AS n_regs_merged,
-                  bit_xor(CAST(concat('0x', substring(h, 1, 15)) AS BIGINT))
-                    AS cs_merged
-           FROM merged GROUP BY source)
-    SELECT ws.source, ws.n_regs_whole, ms.n_regs_merged,
-           (ws.n_regs_whole = ms.n_regs_merged
-            AND ws.cs_whole = ms.cs_merged) AS merged_equals_whole
-    FROM ws JOIN ms ON ms.source = ws.source
-    """,
-    "sketch: KMV merge-parity law (per-shard sketches folded == "
-    "whole-corpus sketch; Beyer et al. SIGMOD '07; no reference "
-    "counterpart)",
-    "k=128 KMV registers per source built whole vs built per doc_id "
-    "parity then kmv_merge'd — register count + xor checksum equality "
-    "is the hash-checked output",
-)
-def sketch_merge_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.contamination import (
-        kmv_merge,
-        kmv_registers,
-    )
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
-        shingle_rows,
-    )
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    sh = shingle_rows(docs, keep_cols=("source", "doc_id")).select(
-        "doc_id", "source", F.col("shingle").alias("g")
-    )
-    whole = kmv_registers(sh, "source", "g", k=128)
-    halves = [
-        kmv_registers(sh.filter(F.col("doc_id") % 2 == i), "source", "g", k=128)
-        for i in (0, 1)
-    ]
-    merged = kmv_merge(halves[0].unionByName(halves[1]), "source", k=128)
-
-    def _summ(regs: DataFrame, n_name: str, cs_name: str) -> DataFrame:
-        h60 = F.conv(F.substring(F.col("h"), 1, 15), 16, 10).cast("long")
-        return (
-            regs.select("source", h60.alias("__h"))
-            .groupBy("source")
-            .agg(
-                F.count("*").cast("bigint").alias(n_name),
-                F.expr("bit_xor(__h)").cast("bigint").alias(cs_name),
-            )
-        )
-
-    ws = _summ(whole, "n_regs_whole", "cs_whole")
-    ms = _summ(merged, "n_regs_merged", "cs_merged")
-    return ws.join(ms, "source").select(
-        "source",
-        "n_regs_whole",
-        "n_regs_merged",
-        (
-            (F.col("n_regs_whole") == F.col("n_regs_merged"))
-            & (F.col("cs_whole") == F.col("cs_merged"))
-        ).alias("merged_equals_whole"),
-    )
-
-
-# ===========================================================================
-# DSIR importance weights (Xie et al. NeurIPS 2023, public) — hashed
-# n-gram log-likelihood-ratio weights for importance resampling toward a
-# target domain. The feature hashing is what makes DSIR 100 TB-viable:
-# the model state is a FIXED 256-row bucket table however large the
-# corpus. Per-bucket log-ratios are rounded to integer micro-units ONCE,
-# per-doc weights are integer sums of those constants — no float
-# accumulation order anywhere (the text_unigram_perplexity discipline).
-# ===========================================================================
-
-_DSIR_B = 256
-
-
-@_register(
-    "dsir_importance_weights",
-    f"""
-    WITH tk AS (
-      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
-             unnest(string_split(text, ' ')) AS term
-      FROM documents
-    ),
-    b AS (SELECT doc_id, is_t, {_h60_sql('term')} % {_DSIR_B} AS b
-          FROM tk WHERE term <> ''),
-    bc AS (SELECT b, CAST(count(*) AS BIGINT) AS n_raw,
-                  CAST(sum(is_t) AS BIGINT) AS n_t
-           FROM b GROUP BY b),
-    tot AS (SELECT CAST(sum(n_raw) AS BIGINT) AS t_raw,
-                   CAST(sum(n_t) AS BIGINT) AS t_t
-            FROM bc),
-    lr AS (SELECT b,
-                  CAST(floor(ln(((n_t + 1) / (t_t + {_DSIR_B}.0))
-                             / ((n_raw + 1) / (t_raw + {_DSIR_B}.0)))
-                             * 1000000.0 + 0.5) AS BIGINT) AS lr_e6
-           FROM bc CROSS JOIN tot)
-    SELECT doc_id,
-           CAST(count(*) AS BIGINT) AS n_tokens,
-           CAST(sum(lr_e6) AS BIGINT) AS logratio_e6
-    FROM b JOIN lr USING (b)
-    GROUP BY doc_id
-    """,
-    "curation: DSIR hashed-ngram importance weights (Xie et al. NeurIPS "
-    "2023; no reference counterpart)",
-    "per-doc log-likelihood ratio of target (lang='en') vs raw hashed "
-    "unigram multinomials, add-1 smoothed, 256 md5 buckets — bucket "
-    "log-ratios e6-rounded once, doc weights exact integer sums",
-)
-def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.sampling import (
-        dsir_logratio_weights,
-    )
-
-    return dsir_logratio_weights(
-        _t(spark, sf_dir, "documents"),
-        target_pred=F.col("lang") == "en",
-        buckets=_DSIR_B,
-    )
-
-
-# ===========================================================================
-# Model-based-filter evaluation: ROC-AUC of the pinned-weight quality
-# logit against an INDEPENDENT weak label — "does the doc survive the
-# LM perplexity cut" (quality_perplexity_cut's predicate). The two
-# quality signals share no features (rule ratios vs unigram LM), so
-# their agreement is a genuine cross-signal audit: AUC 0.765 at sf0.01
-# (a lang-based label was measured ~0.50 on this corpus — a coin flip —
-# and rejected as a vacuous audit, the r9-gate lesson applied to entry
-# DESIGN). Mann-Whitney rank-sum identity in exact integer arithmetic;
-# the cumulative window runs over DISTINCT logit values, not rows.
-# Complements tests/test_selectivity.py: selectivity says the gate
-# keeps a non-trivial fraction; AUC says the SCORE orders the classes.
-# ===========================================================================
-
-@_register(
-    "quality_auc_audit",
-    f"""
-    WITH {_PPL_CTES},
-    t AS (
-      SELECT doc_id, n_chars,
-             CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
-             {_sql_count_in(('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it', 'for', 'on'))} AS n_stop,
-             CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct
-      FROM documents
-    ),
-    f AS (
-      SELECT doc_id,
-             CASE WHEN n > 0 THEN CAST(floor(1.0 * n_stop / n * 1000000 + 0.5) AS BIGINT)
-                  ELSE 0 END AS stop_e6,
-             CASE WHEN n_chars > 0 THEN CAST(floor(1.0 * n_punct / n_chars * 1000000 + 0.5) AS BIGINT)
-                  ELSE 0 END AS punct_e6,
-             CAST(least(n, 100) * 10000 AS BIGINT) AS len_sat_e6,
-             CASE WHEN n > 0 THEN CAST(floor(1.0 * (n_chars - (n - 1)) / n * 1000000 + 0.5) AS BIGINT)
-                  ELSE 0 END AS awl_e6
-      FROM t
-    ),
-    sc2 AS (
-      SELECT CAST({QUALITY_W0_E6}
-                  + {QUALITY_W_STOP_E3} * stop_e6 // 1000
-                  + {QUALITY_W_PUNCT_E3} * punct_e6 // 1000
-                  + {QUALITY_W_LEN_E3} * len_sat_e6 // 1000
-                  + {QUALITY_W_AWL_E3} * awl_e6 // 1000 AS BIGINT) AS s,
-             CASE WHEN ppl.ppl_e4 <= {_PPL_CUT_E4} THEN 1 ELSE 0 END AS is_pos
-      FROM f JOIN ppl USING (doc_id)
-    ),
-    ps AS (SELECT s, CAST(count(*) AS BIGINT) AS n,
-                  CAST(sum(is_pos) AS BIGINT) AS np
-           FROM sc2 GROUP BY s),
-    c AS (SELECT s, n, np,
-                 CAST(coalesce(sum(n) OVER (ORDER BY s
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                     0) AS BIGINT) AS cnt_lt
-          FROM ps),
-    a AS (SELECT CAST(sum(np * (2 * cnt_lt + n + 1)) AS BIGINT) AS r2_pos,
-                 CAST(sum(np) AS BIGINT) AS n_pos,
-                 CAST(sum(n - np) AS BIGINT) AS n_neg
-          FROM c)
-    SELECT n_pos, n_neg,
-           CASE WHEN n_pos > 0 AND n_neg > 0
-                THEN CAST((1000000 * (r2_pos - n_pos * (n_pos + 1)))
-                          // (2 * n_pos * n_neg) AS BIGINT)
-                ELSE CAST(NULL AS BIGINT) END AS auc_e6
-    FROM a
-    """,
-    "curation: quality-classifier ROC-AUC audit (Mann-Whitney rank-sum; "
-    "no reference counterpart)",
-    "exact integer AUC of the pinned quality logit vs the independent "
-    "LM-perplexity-cut survivor label — tied-average ranks via one "
-    "distinct-score cumulative window",
-)
-def quality_auc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.evaluation import (
-        rank_sum_auc,
-    )
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import (
-        quality_linear_filter,
-        unigram_perplexity,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    logits = quality_linear_filter(docs).select("doc_id", "logit_e6")
-    lbl = unigram_perplexity(docs).select(
-        "doc_id", (F.col("ppl_e4") <= _PPL_CUT_E4).alias("is_pos")
-    )
-    return rank_sum_auc(
-        logits.join(lbl, "doc_id"), "logit_e6", "is_pos"
-    )
-
-
-# ===========================================================================
-# Matryoshka truncation audit (Kusupati et al. NeurIPS 2022, public) —
-# does retrieval over the FIRST 16 of 64 dims reproduce full-dim top-k?
-# The deployment question MRL embeddings exist to answer: a 4x cheaper
-# index costs how much fidelity? Both arms use the engine's exact-cosine
-# conventions (6-dp rounding, cand_id tiebreak), so the overlap count is
-# engine-portable. Scale shape: two broadcast-query scored passes over
-# one corpus scan each — identical to embed_cosine_topk's shape; the
-# overlap join is |queries|*k rows.
-# ===========================================================================
-
-@_register(
-    "embed_matryoshka_overlap",
-    f"""
-    WITH {_emb_norm_cte()},
-    tnv AS (SELECT vec_id, v[1:16] AS tv,
-                   sqrt(list_sum(list_transform(range(1, 17),
-                        i -> v[i::INT] * v[i::INT]))) AS tnrm
-            FROM e),
-    fs AS (
-      SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
-             CAST(row_number() OVER (PARTITION BY q.vec_id
-                  ORDER BY {_sql_r(_COS_SQL, 6)} DESC, c.vec_id) AS INT) AS rank
-      FROM (SELECT * FROM nv WHERE vec_id < 10) q
-      CROSS JOIN nv c WHERE c.vec_id <> q.vec_id
-    ),
-    ts AS (
-      SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
-             CAST(row_number() OVER (PARTITION BY q.vec_id
-                  ORDER BY {_sql_r("list_sum(list_transform(range(1, 17), i -> q.tv[i::INT] * c.tv[i::INT])) / (q.tnrm * c.tnrm)", 6)} DESC, c.vec_id) AS INT) AS rank
-      FROM (SELECT * FROM tnv WHERE vec_id < 10) q
-      CROSS JOIN tnv c WHERE c.vec_id <> q.vec_id
-    ),
-    ftop AS (SELECT q_id, cand_id, rank FROM fs WHERE rank <= 5),
-    ttop AS (SELECT q_id, cand_id, rank FROM ts WHERE rank <= 5),
-    ov AS (SELECT f.q_id, CAST(count(*) AS BIGINT) AS n_overlap
-           FROM ftop f JOIN ttop t USING (q_id, cand_id)
-           GROUP BY f.q_id),
-    t1 AS (SELECT f.q_id,
-                  max(CASE WHEN t.cand_id IS NOT NULL THEN TRUE
-                           ELSE FALSE END) AS top1_match
-           FROM ftop f LEFT JOIN ttop t
-             ON t.q_id = f.q_id AND t.cand_id = f.cand_id AND t.rank = 1
-           WHERE f.rank = 1
-           GROUP BY f.q_id)
-    SELECT t1.q_id, CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
-           t1.top1_match
-    FROM t1 LEFT JOIN ov ON ov.q_id = t1.q_id
-    """,
-    "embeddings: Matryoshka truncation fidelity audit (Kusupati et al. "
-    "NeurIPS 2022; no reference counterpart)",
-    "top-5 overlap and top-1 agreement between full 64-dim and "
-    "truncated 16-dim exact cosine retrieval, per query (vec_id < 10)",
-)
-def embed_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.similarity import (
-        cosine_topk,
-    )
-
-    emb = _t(spark, sf_dir, "embeddings")
-    full = cosine_topk(
-        emb, query_pred=F.col("vec_id") < 10, k=5,
-        round_expr=lambda c: _r(c, 6),
-    ).select("q_id", "cand_id", "rank")
-    trunc = cosine_topk(
-        emb.withColumn("embedding", F.slice("embedding", 1, 16)),
-        query_pred=F.col("vec_id") < 10, k=5,
-        round_expr=lambda c: _r(c, 6),
-    ).select(
-        F.col("q_id").alias("t_q"), F.col("cand_id").alias("t_cand"),
-        F.col("rank").alias("t_rank"),
-    )
-    # both arms are bounded by construction (|queries| * k rows), so the
-    # overlap/top-1 joins broadcast the truncated arm — without the hint
-    # Catalyst picked SortMergeJoin here (two sorts of window outputs)
-    ov = (
-        full.join(
-            F.broadcast(trunc),
-            (F.col("q_id") == F.col("t_q"))
-            & (F.col("cand_id") == F.col("t_cand")),
-        )
-        .groupBy("q_id")
-        .agg(F.count("*").cast("bigint").alias("n_overlap"))
-    )
-    f1 = full.filter(F.col("rank") == 1)
-    t1 = trunc.filter(F.col("t_rank") == 1)
-    top1 = (
-        f1.join(F.broadcast(t1), f1["q_id"] == t1["t_q"], "left")
-        .select(
-            "q_id",
-            (
-                F.col("t_cand").isNotNull()
-                & (F.col("cand_id") == F.col("t_cand"))
-            ).alias("top1_match"),
-        )
-    )
-    return top1.join(F.broadcast(ov), "q_id", "left").select(
-        "q_id",
-        F.coalesce(F.col("n_overlap"), F.lit(0)).cast("bigint").alias(
-            "n_overlap"
-        ),
-        "top1_match",
-    )
-
-
-# ===========================================================================
-# Curation pipeline v5 — the DSIR-era composition: rule gate → hashed
-# importance weighting → deterministic importance FLOOR (the pinned-cut
-# analogue of DSIR resampling: a global top-K needs a corpus-wide order,
-# a pinned floor is one narrow filter — the same trade the perplexity
-# cut makes) → per-language rollup. Each stage is the already-oracled
-# operator; this entry checks the composition.
-# ===========================================================================
-
-# selectivity guard: tests/test_selectivity.py::test_curation_v5_keeps_and_drops
-# (the floor keeps ~40%/~55% of gate survivors at sf0.001/sf0.01 —
-# measured survivor-weight quantiles p25/p50/p75 = -1.70M/-1.35M/-0.99M
-# and -1.37M/-1.04M/-0.67M respectively)
-_DSIR_FLOOR_E6 = -1_200_000
-
-
-@_register(
-    "curation_pipeline_v5",
-    f"""
-    WITH t AS (
-      SELECT doc_id, lang, text, n_chars,
-             CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
-             {_sql_count_in(('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it', 'for', 'on'))} AS n_stop,
-             CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct
-      FROM documents
-    ),
-    f AS (
-      SELECT doc_id, lang, text,
-             {QUALITY_W0_E6}
-             + {QUALITY_W_STOP_E3} * (CASE WHEN n > 0 THEN CAST(floor(1.0 * n_stop / n * 1000000 + 0.5) AS BIGINT) ELSE 0 END) // 1000
-             + {QUALITY_W_PUNCT_E3} * (CASE WHEN n_chars > 0 THEN CAST(floor(1.0 * n_punct / n_chars * 1000000 + 0.5) AS BIGINT) ELSE 0 END) // 1000
-             + {QUALITY_W_LEN_E3} * CAST(least(n, 100) * 10000 AS BIGINT) // 1000
-             + {QUALITY_W_AWL_E3} * (CASE WHEN n > 0 THEN CAST(floor(1.0 * (n_chars - (n - 1)) / n * 1000000 + 0.5) AS BIGINT) ELSE 0 END) // 1000
-               AS logit_e6
-      FROM t
-    ),
-    kept AS (SELECT doc_id, lang, text FROM f WHERE logit_e6 >= 0),
-    tk AS (
-      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
-             unnest(string_split(text, ' ')) AS term
-      FROM kept
-    ),
-    b AS (SELECT doc_id, is_t, {_h60_sql('term')} % {_DSIR_B} AS b
-          FROM tk WHERE term <> ''),
-    bc AS (SELECT b, CAST(count(*) AS BIGINT) AS n_raw,
-                  CAST(sum(is_t) AS BIGINT) AS n_t
-           FROM b GROUP BY b),
-    tot AS (SELECT CAST(sum(n_raw) AS BIGINT) AS t_raw,
-                   CAST(sum(n_t) AS BIGINT) AS t_t
-            FROM bc),
-    lr AS (SELECT b,
-                  CAST(floor(ln(((n_t + 1) / (t_t + {_DSIR_B}.0))
-                             / ((n_raw + 1) / (t_raw + {_DSIR_B}.0)))
-                             * 1000000.0 + 0.5) AS BIGINT) AS lr_e6
-           FROM bc CROSS JOIN tot),
-    dw AS (SELECT doc_id, CAST(sum(lr_e6) AS BIGINT) AS logratio_e6
-           FROM b JOIN lr USING (b) GROUP BY doc_id),
-    res AS (SELECT k.lang,
-                   CAST(count(*) AS BIGINT) AS n_gate_kept,
-                   CAST(sum(CASE WHEN dw.logratio_e6 >= {_DSIR_FLOOR_E6}
-                            THEN 1 ELSE 0 END) AS BIGINT) AS n_resampled,
-                   CAST(coalesce(sum(CASE WHEN dw.logratio_e6 >= {_DSIR_FLOOR_E6}
-                            THEN dw.logratio_e6 END), 0) AS BIGINT)
-                     AS sum_logratio_e6
-            FROM kept k JOIN dw USING (doc_id) GROUP BY k.lang),
-    cin AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs_in
-            FROM documents GROUP BY lang)
-    SELECT cin.lang, cin.n_docs_in, res.n_gate_kept, res.n_resampled,
-           CAST(1000000 * res.n_resampled // res.n_gate_kept AS BIGINT)
-             AS resample_rate_e6,
-           res.sum_logratio_e6
-    FROM cin JOIN res ON res.lang = cin.lang
-    """,
-    "curation: composite v5 — quality gate -> DSIR hashed importance "
-    "weights -> pinned importance floor -> per-language rollup (stage "
-    "composition check; no reference counterpart)",
-    "gate survivors weighted by the 256-bucket target/raw "
-    "log-likelihood ratio; kept iff logratio_e6 >= -1.2M (the "
-    "deterministic floor analogue of DSIR resampling)",
-)
-def curation_pipeline_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
-        persist_scoped,
-    )
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.sampling import (
-        dsir_logratio_weights,
-    )
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import (
-        quality_linear_filter,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    # survivors feed TWO consumers (the DSIR token pass and the rollup
-    # join) — scope-persist the filtered set, the v3/v4 discipline
-    kept = persist_scoped(
-        "curation_v5_kept",
-        quality_linear_filter(docs)
-        .filter(F.col("kept"))
-        .select("doc_id", "lang", "text"),
-    )
-    dw = dsir_logratio_weights(
-        kept, target_pred=F.col("lang") == "en", buckets=_DSIR_B
-    ).select("doc_id", "logratio_e6")
-    picked = F.col("logratio_e6") >= _DSIR_FLOOR_E6
-    res = (
-        kept.join(dw, "doc_id")
-        .groupBy("lang")
-        .agg(
-            F.count("*").cast("bigint").alias("n_gate_kept"),
-            F.sum(picked.cast("int")).cast("bigint").alias("n_resampled"),
-            F.coalesce(
-                F.sum(F.when(picked, F.col("logratio_e6"))), F.lit(0)
-            )
-            .cast("bigint")
-            .alias("sum_logratio_e6"),
-        )
-    )
-    cin = docs.groupBy("lang").agg(
-        F.count("*").cast("bigint").alias("n_docs_in")
-    )
-    return cin.join(res, "lang").select(
-        "lang",
-        "n_docs_in",
-        "n_gate_kept",
-        "n_resampled",
-        F.expr("CAST(1000000 * n_resampled DIV n_gate_kept AS BIGINT)")
-        .alias("resample_rate_e6"),
-        "sum_logratio_e6",
-    )
-
-
-# ===========================================================================
-# r12 additions (VERDICT r11 task 7): n-gram novelty curves
-# (train-vs-heldout memorization audit), waterfilling token-budget
-# mixture solving, and corpus-granularity duplicated-substring coverage.
-# Signal checked in DuckDB before design (the r9 lesson): at sf0.01 the
-# synthetic corpus shows novelty 0 / ~0 / ~40% at n=1/2/3 (the curve
-# shape IS the diagnostic) and ~9% duplicated 8-gram occurrences.
-# Each arrives with its degenerate-input property test (the r12
-# arrival convention — see the module docstring).
-# ===========================================================================
-
-
-@_register(
-    "ngram_novelty_audit",
-    f"""
-    WITH t0 AS (SELECT doc_id, lang, string_split(text, ' ') AS l,
-                {_h60_sql("concat('nov', CAST(doc_id AS VARCHAR))")}
-                  / {_H60_SPACE_SQL} < 0.2 AS ho
-                FROM documents),
-    tk AS (SELECT doc_id, lang, ho, CAST(pos AS BIGINT) AS pos,
-                  l[pos::INT] AS t1
-           FROM (SELECT doc_id, lang, ho, l,
-                        unnest(range(1, len(l) + 1)) AS pos
-                 FROM t0)
-           WHERE l[pos::INT] <> ''),
-    led AS (SELECT lang, ho, t1,
-                   lead(t1, 1) OVER w AS t2,
-                   lead(t1, 2) OVER w AS t3
-            FROM tk WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-    g AS (SELECT lang, ho, 1 AS n, {_h60_sql('t1')} AS gh FROM led
-          UNION ALL
-          SELECT lang, ho, 2, {_h60_sql("concat(t1, ' ', t2)")}
-          FROM led WHERE t2 IS NOT NULL
-          UNION ALL
-          SELECT lang, ho, 3, {_h60_sql("concat(t1, ' ', t2, ' ', t3)")}
-          FROM led WHERE t3 IS NOT NULL),
-    tr AS (SELECT DISTINCT n, gh FROM g WHERE NOT ho),
-    he AS (SELECT lang, n, gh FROM g WHERE ho)
-    SELECT he.lang, CAST(he.n AS INT) AS n,
-           CAST(count(*) AS BIGINT) AS heldout_ngrams,
-           CAST(sum(CASE WHEN tr.gh IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-             AS novel_ngrams,
-           CAST(CASE WHEN count(*) > 0 THEN
-                  1000000 * sum(CASE WHEN tr.gh IS NULL THEN 1 ELSE 0 END)
-                    // count(*)
-                END AS BIGINT) AS novelty_e6
-    FROM he LEFT JOIN tr ON tr.n = he.n AND tr.gh = he.gh
-    GROUP BY he.lang, he.n
-    """,
-    "textops: train-vs-heldout n-gram novelty curves (memorization "
-    "audit — McCoy et al. TACL 2023 n-gram overlap diagnostic; no "
-    "reference counterpart)",
-    "deterministic 20% key-hash heldout split; per (lang, n<=3) the "
-    "fraction of heldout n-gram occurrences absent from the train "
-    "split, exact integer micro-units; one lead-window pass builds "
-    "every n, one distinct-build + one left join keyed (n, h60) for "
-    "all n together",
-)
-def ngram_novelty_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import (
-        ensure_parallelism,
-    )
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import (
-        ngram_novelty_stats,
-    )
-
-    return ngram_novelty_stats(
-        ensure_parallelism(_t(spark, sf_dir, "documents"), "doc_id"),
-        holdout_fraction=0.2,
-        salt="nov",
-        max_n=3,
-    )
-
-
-@_register(
-    "mixture_waterfill_caps",
-    """
-    WITH c AS (SELECT lang,
-                      CAST(sum(len(string_split(text, ' '))) AS BIGINT)
-                        AS n_tokens
-               FROM documents GROUP BY lang),
-    t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
-                 CAST(count(*) AS BIGINT) AS m
-          FROM c),
-    s AS (SELECT lang, n_tokens, m, total * 3 // 4 AS budget,
-                 CAST(row_number() OVER (ORDER BY n_tokens, lang)
-                      AS BIGINT) AS r,
-                 CAST(coalesce(sum(n_tokens) OVER (
-                        ORDER BY n_tokens, lang
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                      0) AS BIGINT) AS s_prev
-          FROM c CROSS JOIN t),
-    u AS (SELECT *,
-                 n_tokens * (m - r + 1) <= budget - s_prev AS uncapped
-          FROM s),
-    f AS (SELECT CAST(sum(CASE WHEN uncapped THEN 1 ELSE 0 END) AS BIGINT)
-                   AS j,
-                 CAST(coalesce(sum(CASE WHEN uncapped THEN n_tokens END), 0)
-                   AS BIGINT) AS s_j
-          FROM u)
-    SELECT lang, n_tokens,
-           NOT uncapped AS is_capped,
-           CAST(CASE WHEN j < m THEN (budget - s_j) // (m - j) END
-                AS BIGINT) AS water_level,
-           CAST(CASE WHEN uncapped THEN n_tokens
-                     ELSE (budget - s_j) // (m - j) END
-                AS BIGINT) AS alloc_tokens
-    FROM u CROSS JOIN f
-    """,
-    "curation: token-budget waterfilling mixture (max-min-fair caps, "
-    "Boyd & Vandenberghe §5.5.3; the cap-aware analogue of "
-    "mixture_temperature_weights; no reference counterpart)",
-    "budget = 3*total div 4 (pinned so the solve BINDS on this corpus: "
-    "head domain capped, tail taken whole — guarded by "
-    "tests/test_selectivity.py::test_waterfill_caps_are_binding; at "
-    "total div 2 every domain capped and the waterfill was vacuous); "
-    "ascending prefix-consistency predicate "
-    "n_r*(m-r+1) <= B - S_prev solves the level with NO iteration and "
-    "NO division (tau divides once, guarded j < m); pure integer",
-)
-def mixture_waterfill_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.sampling import (
-        waterfill_token_caps,
-    )
-
-    return waterfill_token_caps(
-        _t(spark, sf_dir, "documents"),
-        domain_col="lang",
-        budget_num=3,
-        budget_den=4,
-    )
-
-
-@_register(
-    "dedup_substring_coverage",
-    """
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
-                  FROM documents),
-    g AS (SELECT doc_id, unnest(range(1, greatest(len(tk) - 7, 0) + 1))
-                   AS pos, tk
-          FROM toks),
-    g2 AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
-                  array_to_string(tk[pos:pos+7], ' ') AS gram
-           FROM g),
-    dup AS (SELECT gram FROM g2 GROUP BY gram HAVING count(*) >= 2),
-    dp AS (SELECT doc_id, pos FROM g2
-           WHERE gram IN (SELECT gram FROM dup)),
-    fl AS (SELECT doc_id, pos,
-                  CASE WHEN lag(pos) OVER (PARTITION BY doc_id
-                                           ORDER BY pos) IS NULL
-                            OR pos - lag(pos) OVER (PARTITION BY doc_id
-                                                    ORDER BY pos) > 8
-                       THEN 1 ELSE 0 END AS f
-           FROM dp),
-    isl AS (SELECT doc_id, pos,
-                   sum(f) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-            FROM fl),
-    spans AS (SELECT doc_id,
-                     CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT)
-                       AS span_tokens
-              FROM isl GROUP BY doc_id, island),
-    cov AS (SELECT doc_id, CAST(sum(span_tokens) AS BIGINT) AS covered
-            FROM spans GROUP BY doc_id),
-    base AS (SELECT doc_id, lang,
-                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
-             FROM documents)
-    SELECT lang,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(CASE WHEN coalesce(covered, 0) > 0 THEN 1 ELSE 0 END)
-                AS BIGINT) AS docs_with_dups,
-           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
-           CAST(sum(coalesce(covered, 0)) AS BIGINT) AS covered_tokens,
-           CAST(CASE WHEN sum(n_tok) > 0 THEN
-                  1000000 * sum(coalesce(covered, 0)) // sum(n_tok)
-                END AS BIGINT) AS coverage_e6
-    FROM base LEFT JOIN cov USING (doc_id)
-    GROUP BY lang
-    """,
-    "dedup: corpus-granularity duplicated-substring coverage (the "
-    "ExactSubstr per-corpus duplication fraction, Lee et al. ACL '22 "
-    "§4 — the suffix-array-free form; no reference counterpart)",
-    "per lang: token positions inside maximal verbatim 8-token spans "
-    "occurring >= 2x corpus-wide, over total tokens, exact integer "
-    "micro-units (NULL on a zero-token group); reuses the span "
-    "pipeline + one id-keyed rollup join",
-)
-def dedup_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
-        substring_duplication_coverage,
-    )
-
-    return substring_duplication_coverage(
-        _t(spark, sf_dir, "documents"), k=8, group_col="lang"
-    )
-
-
-@_register(
-    "text_zipf_fit",
-    """
-    WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS term
-                  FROM documents),
-    tf AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS c
-           FROM toks WHERE term <> '' GROUP BY 1, 2),
-    v AS (SELECT lang, CAST(count(*) AS BIGINT) AS vocab_size
-          FROM tf GROUP BY 1),
-    rk AS (SELECT lang, c,
-                  CAST(row_number() OVER (PARTITION BY lang
-                                          ORDER BY c DESC, term)
-                       AS BIGINT) AS r
-           FROM tf),
-    fit AS (SELECT lang,
-                   CAST(floor(ln(r) * 1000000.0 + 0.5) AS BIGINT) AS x,
-                   CAST(floor(ln(c) * 1000000.0 + 0.5) AS BIGINT) AS y
-            FROM rk WHERE r <= 100),
-    a AS (SELECT lang, CAST(count(*) AS BIGINT) AS k,
-                 CAST(sum(x) AS BIGINT) AS sx,
-                 CAST(sum(y) AS BIGINT) AS sy,
-                 CAST(sum(x * y) AS BIGINT) AS sxy,
-                 CAST(sum(x * x) AS BIGINT) AS sxx,
-                 CAST(sum(y * y) AS BIGINT) AS syy
-          FROM fit GROUP BY 1)
-    SELECT a.lang, vocab_size, k AS n_fit,
-           CASE WHEN k * sxx - sx * sx > 0 THEN
-             floor((1.0 * (k * sxy - sx * sy))
-                   / (1.0 * (k * sxx - sx * sx)) * 1000000.0 + 0.5)
-               / 1000000.0
-           END AS zipf_slope,
-           CASE WHEN k * sxx - sx * sx > 0 AND k * syy - sy * sy > 0 THEN
-             floor((1.0 * (k * sxy - sx * sy)) * (k * sxy - sx * sy)
-                   / ((1.0 * (k * sxx - sx * sx))
-                      * (1.0 * (k * syy - sy * sy)))
-                   * 1000000.0 + 0.5) / 1000000.0
-           END AS zipf_r2
-    FROM a JOIN v USING (lang)
-    """,
-    "textops: Zipf rank-frequency fit audit (slope + r^2 of ln-freq on "
-    "ln-rank, Zipf 1949 — the corpus-health diagnostic; no reference "
-    "counterpart)",
-    "per lang: OLS over the top-100 terms; x/y are floor(ln*1e6+.5) "
-    "integers so the five moments accumulate exactly (the "
-    "kl_term_drift micro-nat discipline); one deterministic double "
-    "division per group at the end, 6dp; the synthetic corpus's "
-    "~31-term vocabulary DOES flunk the fit (slope ~-0.2, r2 ~0.1) — "
-    "that detection IS the signal; slope/r2 NULL (never a crash) on "
-    "zero rank/frequency variance",
-)
-def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import (
-        zipf_fit_stats,
-    )
-
-    return zipf_fit_stats(
-        _t(spark, sf_dir, "documents"), group_col="lang", top_k=100
-    )
-
-
-@_register(
-    "source_length_psi",
-    """
-    WITH d AS (SELECT source, n_chars // 64 AS b FROM documents),
-    tot AS (SELECT b, CAST(count(*) AS BIGINT) AS t FROM d GROUP BY 1),
-    src AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
-            FROM d GROUP BY 1),
-    cnt AS (SELECT source, b, CAST(count(*) AS BIGINT) AS c
-            FROM d GROUP BY 1, 2),
-    consts AS (SELECT CAST(count(*) AS BIGINT) AS nb,
-                      CAST(sum(t) AS BIGINT) AS n_t
-               FROM tot),
-    grid AS (SELECT s.source, s.n_s, tot.b, coalesce(cnt.c, 0) AS c, tot.t
-             FROM src s CROSS JOIN tot
-             LEFT JOIN cnt ON cnt.source = s.source AND cnt.b = tot.b),
-    scored AS (SELECT g.source, g.n_s,
-        CAST(floor((
-            (1.0 * (g.c + 1) / (g.n_s + consts.nb)
-             - 1.0 * (g.t + 1) / (consts.n_t + consts.nb))
-            * ln((1.0 * (g.c + 1) / (g.n_s + consts.nb))
-                 / (1.0 * (g.t + 1) / (consts.n_t + consts.nb)))
-          ) * 1000000000.0 + 0.5) AS BIGINT) AS contrib
-        FROM grid g CROSS JOIN consts)
-    SELECT source, n_s AS n_docs,
-           floor(sum(contrib) / 1000000000.0 * 1000000.0 + 0.5)
-             / 1000000.0 AS psi
-    FROM scored GROUP BY source, n_s
-    """,
-    "curation: per-source length-distribution PSI vs the corpus "
-    "(Population Stability Index, the standard drift audit — <0.1 "
-    "stable / >0.25 significant; no reference counterpart)",
-    "64-char length buckets, add-1 smoothing over the GLOBAL bucket "
-    "set; each >=0 term floor-rounded to integer nano-units BEFORE "
-    "summing (associative, engine-exact — the kl_term_drift "
-    "discipline); at sf0.01 sources span 0.07-0.49, several past the "
-    "0.25 line — the audit bites; segment == corpus gives PSI exactly "
-    "0; ONE corpus pass (the scope-persisted (source, bucket) counts "
-    "feed totals + grid)",
-)
-def source_length_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.evaluation import (
-        psi_segment_drift,
-    )
-
-    return psi_segment_drift(
-        _t(spark, sf_dir, "documents"),
-        segment_col="source",
-        value_col="n_chars",
-        bucket_width=64,
-    )
-
-
-# Train/heldout leakage audit — composes the already-oracled prefix
-# Jaccard pair join (its SQL is reused verbatim as a CTE) with the
-# house key-hash split. Registered AFTER dedup_shingle_jaccard so the
-# shared oracle text is available.
-def _register_split_leakage() -> None:
-    pairs_oracle = QUERIES["dedup_shingle_jaccard"].oracle
-
-    @_register(
-        "split_leakage_audit",
-        f"""
-        WITH pairs AS ({pairs_oracle}),
-        cls AS (SELECT id_a, id_b,
-                  {_h60_sql("concat('split', CAST(id_a AS VARCHAR))")}
-                    / {float(1 << 60)} < 0.2 AS a_ho,
-                  {_h60_sql("concat('split', CAST(id_b AS VARCHAR))")}
-                    / {float(1 << 60)} < 0.2 AS b_ho
-                FROM pairs),
-        pa AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
-                      CAST(coalesce(sum(CASE WHEN a_ho <> b_ho THEN 1
-                                             ELSE 0 END), 0) AS BIGINT)
-                        AS n_cross_pairs,
-                      CAST(count(DISTINCT CASE
-                              WHEN a_ho AND NOT b_ho THEN id_a
-                              WHEN b_ho AND NOT a_ho THEN id_b END)
-                           AS BIGINT) AS n_leaky_heldout_docs
-               FROM cls),
-        base AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-                        CAST(coalesce(sum(CASE WHEN
-                            {_h60_sql("concat('split', CAST(doc_id AS VARCHAR))")}
-                              / {float(1 << 60)} < 0.2 THEN 1 ELSE 0 END), 0)
-                             AS BIGINT) AS n_heldout
-                 FROM documents)
-        SELECT n_docs, n_heldout, n_pairs, n_cross_pairs,
-               n_leaky_heldout_docs,
-               CAST(CASE WHEN n_heldout > 0 THEN
-                      1000000 * n_leaky_heldout_docs // n_heldout
-                    END AS BIGINT) AS leak_rate_e6
-        FROM base CROSS JOIN pa
-        """,
-        "dedup: train/heldout leakage audit — near-dup pairs crossing "
-        "the key-hash split (eval contamination; Lee et al. ACL '22 §6 "
-        "train-test overlap; no reference counterpart)",
-        "20% deterministic heldout; pairs from the prefix-filtered "
-        "Jaccard join (threshold 50, hot cap 100 — the scale path, "
-        "never all-pairs); reports DISTINCT heldout docs with >= 1 "
-        "train-side near-dup (the drop list size) — at sf0.01: 25 "
-        "pairs, 6 cross, 6/80 heldout leaky (7.5%); leak_rate NULL on "
-        "an empty heldout side, zero pairs is a clean 0-leak report",
-    )
-    def split_leakage_audit_battery(
-        spark: SparkSession, sf_dir: str
-    ) -> DataFrame:
-        from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
-            split_leakage_audit,
-        )
-
-        return split_leakage_audit(
-            _t(spark, sf_dir, "documents"),
-            holdout_fraction=0.2,
-            salt="split",
-            max_df=100,
-            threshold_pct=50,
-        )
-
-
-_register_split_leakage()
-
-
-@_register(
-    "quality_gate_ablation",
-    f"""
-    WITH t AS (
-      SELECT doc_id, n_chars,
-             CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
-             {_sql_count_in(('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it', 'for', 'on'))} AS n_stop,
-             CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct
-      FROM documents
-    ),
-    f AS (
-      SELECT doc_id,
-             CASE WHEN n > 0 THEN CAST(floor(1.0 * n_stop / n * 1000000 + 0.5) AS BIGINT)
-                  ELSE 0 END AS stop_e6,
-             CASE WHEN n_chars > 0 THEN CAST(floor(1.0 * n_punct / n_chars * 1000000 + 0.5) AS BIGINT)
-                  ELSE 0 END AS punct_e6,
-             CAST(least(n, 100) * 10000 AS BIGINT) AS len_sat_e6,
-             CASE WHEN n > 0 THEN CAST(floor(1.0 * (n_chars - (n - 1)) / n * 1000000 + 0.5) AS BIGINT)
-                  ELSE 0 END AS awl_e6
-      FROM t
-    ),
-    g AS (SELECT *,
-                 CAST({QUALITY_W0_E6}
-                      + {QUALITY_W_STOP_E3} * stop_e6 // 1000
-                      + {QUALITY_W_PUNCT_E3} * punct_e6 // 1000
-                      + {QUALITY_W_LEN_E3} * len_sat_e6 // 1000
-                      + {QUALITY_W_AWL_E3} * awl_e6 // 1000 AS BIGINT)
-                   AS logit_e6
-          FROM f),
-    a AS (
-      SELECT 'stop' AS feature, CAST({QUALITY_W_STOP_E3} AS BIGINT) AS weight_e3,
-             logit_e6,
-             CAST({QUALITY_W_STOP_E3} * stop_e6 // 1000 AS BIGINT) AS contrib_e6
-      FROM g
-      UNION ALL
-      SELECT 'punct', CAST({QUALITY_W_PUNCT_E3} AS BIGINT), logit_e6,
-             CAST({QUALITY_W_PUNCT_E3} * punct_e6 // 1000 AS BIGINT)
-      FROM g
-      UNION ALL
-      SELECT 'len_sat', CAST({QUALITY_W_LEN_E3} AS BIGINT), logit_e6,
-             CAST({QUALITY_W_LEN_E3} * len_sat_e6 // 1000 AS BIGINT)
-      FROM g
-      UNION ALL
-      SELECT 'awl', CAST({QUALITY_W_AWL_E3} AS BIGINT), logit_e6,
-             CAST({QUALITY_W_AWL_E3} * awl_e6 // 1000 AS BIGINT)
-      FROM g)
-    SELECT feature, weight_e3,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(CASE WHEN logit_e6 >= 0 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_kept,
-           CAST(sum(CASE WHEN (logit_e6 >= 0) <> (logit_e6 - contrib_e6 >= 0)
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_flip_without,
-           CAST(1000000 * sum(CASE WHEN (logit_e6 >= 0)
-                                        <> (logit_e6 - contrib_e6 >= 0)
-                                   THEN 1 ELSE 0 END) // count(*) AS BIGINT)
-             AS flip_rate_e6
-    FROM a GROUP BY 1, 2
-    """,
-    "curation: quality-gate ablation — leave-one-term-out flip counts "
-    "per gate feature (the gate-debugging read before touching a "
-    "weight; no reference counterpart)",
-    "per feature: docs whose keep decision flips when the term leaves "
-    "the logit, in the gate's exact integer units (engine-exact at the "
-    "threshold — both engines' integer division truncates toward "
-    "zero, verified on negative weights); at sf0.01 len_sat flips "
-    "307/500 (the gate), stop 134, awl 158, punct 0 (dead weight) — "
-    "the ablation FINDS a dead rule; one scan, inline 4-struct "
-    "explode, one map-side-combined agg to 4 rows",
-)
-def quality_gate_ablation_battery(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import (
-        quality_gate_ablation,
-    )
-
-    return quality_gate_ablation(_t(spark, sf_dir, "documents"))
-
-
-@_register(
-    "pack_padding_waste_curve",
-    """
-    WITH n AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
-               FROM documents),
-    a AS (
-      SELECT 128 AS seq_len, n, (128 - n % 128) % 128 AS pad,
-             (n + 127) // 128 AS n_seq FROM n
-      UNION ALL
-      SELECT 256, n, (256 - n % 256) % 256, (n + 255) // 256 FROM n
-      UNION ALL
-      SELECT 512, n, (512 - n % 512) % 512, (n + 511) // 512 FROM n)
-    SELECT CAST(seq_len AS INT) AS seq_len,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(n_seq) AS BIGINT) AS n_seqs,
-           CAST(sum(n) AS BIGINT) AS data_tokens,
-           CAST(sum(pad) AS BIGINT) AS padding_tokens,
-           CAST(1000000 * CAST(sum(pad) AS BIGINT)
-                // (CAST(sum(n) AS BIGINT) + CAST(sum(pad) AS BIGINT))
-                AS BIGINT) AS waste_e6
-    FROM a GROUP BY 1
-    """,
-    "curation: padding-waste curve over candidate context lengths "
-    "(the doc-boundary-packing compute audit — what respecting "
-    "document boundaries costs at each seq_len vs concat packing; no "
-    "reference counterpart)",
-    "per L in {128,256,512}: pad(doc) = (L - n mod L) mod L, exact "
-    "integers; waste_e6 = 1e6*pad div (data+pad); this short-doc "
-    "corpus reads 57.5/78.8/89.4% waste — the curve says doc-boundary "
-    "packing at large L is catastrophic here, concat packing "
-    "(pack_sequence_spans) is the policy; one narrow projection + "
-    "inline 3-struct explode + one map-side-combined agg to 3 rows",
-)
-def pack_padding_waste_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.chunking import (
-        padding_waste_curve,
-    )
-
-    return padding_waste_curve(
-        _t(spark, sf_dir, "documents"), seq_lens=(128, 256, 512)
-    )
-
-
-@_register(
-    "embed_label_separation",
-    """
-    WITH comp AS (
-      SELECT label AS lbl, vec_id AS vid, CAST(pos AS INT) AS pos,
-             CAST(floor(CAST(embedding[pos::INT] AS DOUBLE) * 1000000.0
-                        + 0.5) AS BIGINT) AS xe6
-      FROM (SELECT label, vec_id, embedding,
-                   unnest(range(1, len(embedding) + 1)) AS pos
-            FROM embeddings)),
-    cent AS (SELECT lbl AS clabel, pos,
-                    CAST(CAST(sum(xe6) AS BIGINT) // count(*) AS BIGINT)
-                      AS ce6
-             FROM comp GROUP BY 1, 2),
-    cnorm AS (SELECT clabel, CAST(sum(ce6 * ce6) AS BIGINT) AS nc
-              FROM cent GROUP BY 1),
-    pair AS (SELECT c.vid, c.lbl, ct.clabel,
-                    CAST(sum(c.xe6 * ct.ce6) AS BIGINT) AS dt,
-                    CAST(sum(c.xe6 * c.xe6) AS BIGINT) AS nv
-             FROM comp c JOIN cent ct USING (pos)
-             GROUP BY 1, 2, 3),
-    scored AS (SELECT p.vid, p.lbl, p.clabel,
-                      CASE WHEN p.nv > 0 AND n.nc > 0 THEN
-                        CAST(floor((1.0 * p.dt)
-                                   / sqrt((1.0 * p.nv) * (1.0 * n.nc))
-                                   * 1000000.0 + 0.5) AS BIGINT)
-                      END AS cos_e6
-               FROM pair p JOIN cnorm n USING (clabel)),
-    pv AS (SELECT vid, lbl,
-                  max(CASE WHEN clabel = lbl THEN cos_e6 END) AS own,
-                  max(CASE WHEN clabel <> lbl THEN cos_e6 END)
-                    AS best_other
-           FROM scored GROUP BY 1, 2),
-    agg AS (SELECT lbl,
-                   CAST(count(*) AS BIGINT) AS n_vecs,
-                   CAST(sum(CASE WHEN own IS NOT NULL
-                                  AND best_other IS NOT NULL
-                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_scored,
-                   CAST(count(own) AS BIGINT) AS n_own,
-                   CAST(sum(own) AS BIGINT) AS so,
-                   CAST(sum(CASE WHEN own IS NOT NULL
-                                  AND best_other IS NOT NULL
-                                 THEN best_other END) AS BIGINT) AS sb,
-                   CAST(sum(CASE WHEN own IS NOT NULL
-                                  AND best_other IS NOT NULL
-                                  AND own > best_other
-                                 THEN 1 ELSE 0 END) AS BIGINT) AS nsep
-            FROM pv GROUP BY lbl)
-    SELECT lbl AS label, n_vecs, n_scored,
-           CAST(CASE WHEN n_own > 0 THEN so // n_own END AS BIGINT)
-             AS avg_intra_cos_e6,
-           CAST(CASE WHEN n_scored > 0 THEN sb // n_scored END AS BIGINT)
-             AS avg_inter_best_cos_e6,
-           CAST(CASE WHEN n_own > 0 AND n_scored > 0
-                     THEN so // n_own - sb // n_scored END AS BIGINT)
-             AS margin_e6,
-           CAST(CASE WHEN n_scored > 0
-                     THEN 1000000 * nsep // n_scored END AS BIGINT)
-             AS frac_separated_e6
-    FROM agg
-    """,
-    "similarity: labeled-embedding class-separability audit (per-label "
-    "centroid cosine margins + nearest-centroid accuracy; no reference "
-    "counterpart)",
-    "components snap to e6 ints, centroids are exact integer DIV "
-    "means, each member-centroid cosine is ONE deterministic double op "
-    "snapped before aggregation; this corpus's random labels read "
-    "NEGATIVE margins (~0.14 intra vs ~0.17 best-inter) and "
-    "~chance-level nearest-centroid accuracy — the audit correctly "
-    "flags the labels as not recoverable from the embeddings; "
-    "zero-norm members drop to NULL (degenerate discipline)",
-)
-def embed_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.similarity import (
-        label_centroid_separation,
-    )
-
-    return label_centroid_separation(_t(spark, sf_dir, "embeddings"))
-
-
-@_register(
-    "text_unigram_entropy_audit",
-    """
-    WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS term
-                  FROM documents),
-    tf AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS c
-           FROM toks WHERE term <> '' GROUP BY 1, 2),
-    n AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM tf GROUP BY 1),
-    a AS (SELECT tf.lang, n.n, CAST(count(*) AS BIGINT) AS vocab_size,
-                 CAST(sum(c * CAST(floor(ln(1.0 * n.n / c) * 1000000.0
-                                         + 0.5) AS BIGINT)) AS BIGINT)
-                   AS hsum
-          FROM tf JOIN n USING (lang) GROUP BY 1, 2)
-    SELECT lang, n AS n_tokens, vocab_size,
-           floor(hsum / 1000000.0 / n * 1000000.0 + 0.5) / 1000000.0
-             AS entropy,
-           CASE WHEN vocab_size > 1 THEN
-             floor((hsum / 1000000.0 / n) / ln(1.0 * vocab_size)
-                   * 1000000.0 + 0.5) / 1000000.0
-           END AS evenness
-    FROM a
-    """,
-    "textops: unigram Shannon entropy + Pielou evenness per language "
-    "(the distribution-breadth corpus-health twin of text_zipf_fit; "
-    "Pielou 1966; no reference counterpart)",
-    "H = sum (c/n) ln(n/c) in exact integer micro-nats per term before "
-    "summing (the kl_term_drift discipline); evenness = H/ln(vocab), "
-    "NULL on a single-term group (never a zero division); this "
-    "synthetic corpus reads ~0.99 evenness (near-uniform vocabulary) — "
-    "natural text sits ~0.7-0.8, so the audit flags it",
-)
-def text_unigram_entropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import (
-        unigram_entropy_stats,
-    )
-
-    return unigram_entropy_stats(
-        _t(spark, sf_dir, "documents"), group_col="lang"
-    )
-
-
-# Curation pipeline v6 — the r12 capstone composition: quality gate →
-# near-dup drop (prefix-Jaccard pairs among SURVIVORS, keep-min-id) →
-# waterfill token-budget solve on the deduped supply → hash-order
-# prefix selection down to each lang's cap. Every stage BITES on this
-# corpus (selectivity-guarded): 500 → 309 gate → 298 dedup → capped
-# fill at sf0.01. The pair SQL is dedup_shingle_jaccard's oracle
-# retargeted at the gate-survivor CTE (asserted single replacement).
-def _register_curation_v6() -> None:
-    pairs_oracle = QUERIES["dedup_shingle_jaccard"].oracle
-    assert pairs_oracle.count("FROM documents") == 1
-    kept_pairs = pairs_oracle.replace("FROM documents", "FROM qkept")
-
-    @_register(
-        "curation_pipeline_v6",
-        f"""
-        WITH {_QUALITY_KEPT_CTES},
-        kp AS ({kept_pairs}),
-        drop0 AS (SELECT DISTINCT id_b AS doc_id FROM kp),
-        surv AS (SELECT q.doc_id, q.lang,
-                        CAST(len(string_split(q.text, ' ')) AS BIGINT)
-                          AS n_tok
-                 FROM qkept q LEFT JOIN drop0 d ON d.doc_id = q.doc_id
-                 WHERE d.doc_id IS NULL),
-        c AS (SELECT lang, CAST(sum(n_tok) AS BIGINT) AS n_tokens
-              FROM surv GROUP BY 1),
-        t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
-                     CAST(count(*) AS BIGINT) AS m
-              FROM c),
-        s AS (SELECT lang, n_tokens, m, total * 3 // 4 AS budget,
-                     CAST(row_number() OVER (ORDER BY n_tokens, lang)
-                          AS BIGINT) AS r,
-                     CAST(coalesce(sum(n_tokens) OVER (
-                            ORDER BY n_tokens, lang
-                            ROWS BETWEEN UNBOUNDED PRECEDING
-                                     AND 1 PRECEDING), 0) AS BIGINT)
-                       AS s_prev
-              FROM c CROSS JOIN t),
-        u AS (SELECT *,
-                     n_tokens * (m - r + 1) <= budget - s_prev AS uncapped
-              FROM s),
-        fj AS (SELECT CAST(sum(CASE WHEN uncapped THEN 1 ELSE 0 END)
-                           AS BIGINT) AS j,
-                      CAST(coalesce(sum(CASE WHEN uncapped
-                                             THEN n_tokens END), 0)
-                           AS BIGINT) AS s_j
-               FROM u),
-        caps AS (SELECT lang,
-                        CAST(CASE WHEN uncapped THEN n_tokens
-                                  ELSE (budget - s_j) // (m - j) END
-                             AS BIGINT) AS alloc_tokens
-                 FROM u CROSS JOIN fj),
-        ordd AS (SELECT sv.lang, sv.n_tok, caps.alloc_tokens,
-                        sum(sv.n_tok) OVER (
-                          PARTITION BY sv.lang
-                          ORDER BY {_h60_sql("concat('v6', CAST(sv.doc_id AS VARCHAR))")},
-                                   sv.doc_id
-                          ROWS BETWEEN UNBOUNDED PRECEDING
-                                   AND CURRENT ROW) AS cum
-                 FROM surv sv JOIN caps USING (lang)),
-        fill AS (SELECT lang,
-                        CAST(count(*) AS BIGINT) AS n_dedup_kept,
-                        alloc_tokens,
-                        CAST(sum(CASE WHEN cum <= alloc_tokens
-                                      THEN 1 ELSE 0 END) AS BIGINT)
-                          AS n_docs_sel,
-                        CAST(coalesce(sum(CASE WHEN cum <= alloc_tokens
-                                               THEN n_tok END), 0)
-                             AS BIGINT) AS realized_tokens,
-                        CAST(CASE WHEN alloc_tokens > 0 THEN
-                               1000000 * coalesce(sum(CASE
-                                   WHEN cum <= alloc_tokens
-                                   THEN n_tok END), 0) // alloc_tokens
-                             END AS BIGINT) AS fill_e6
-                 FROM ordd GROUP BY lang, alloc_tokens),
-        cin AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs_in
-                FROM documents GROUP BY 1),
-        cg AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_gate_kept
-               FROM qkept GROUP BY 1)
-        SELECT cin.lang, cin.n_docs_in,
-               CAST(coalesce(cg.n_gate_kept, 0) AS BIGINT) AS n_gate_kept,
-               CAST(coalesce(fill.n_dedup_kept, 0) AS BIGINT)
-                 AS n_dedup_kept,
-               fill.alloc_tokens, fill.n_docs_sel, fill.realized_tokens,
-               fill.fill_e6
-        FROM cin LEFT JOIN cg USING (lang) LEFT JOIN fill USING (lang)
-        """,
-        "curation: end-to-end pipeline v6 — quality gate, near-dup "
-        "drop among survivors, waterfill budget solve, hash-order cap "
-        "fill (the execution-complete mix pipeline; no reference "
-        "counterpart)",
-        "gate 500→309, keep-min-id near-dup drop →298 (pairs from the "
-        "prefix-Jaccard join OVER SURVIVORS — dedup where it's "
-        "cheapest), waterfill 3/4-budget caps on the DEDUPED supply, "
-        "deterministic prefix fill; gate-survivor and dedup-survivor "
-        "sets scope-persisted (each feeds 3 consumers); langs with no "
-        "survivors degrade to NULL fill columns, counts coalesce to 0",
-    )
-    def curation_pipeline_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
-            persist_scoped,
-            shingle_jaccard_prefix_pairs,
-        )
-        from sports_data_integration_and_forecasting_pipeline_spark.operators.sampling import (
-            budget_cap_prefix_select,
-            waterfill_token_caps,
-        )
-        from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import (
-            quality_linear_filter,
-        )
-
-        docs = _t(spark, sf_dir, "documents")
-        g = persist_scoped(
-            "v6_gate_kept",
-            quality_linear_filter(docs)
-            .filter(F.col("kept"))
-            .select("doc_id", "lang", "text"),
-        )
-        pairs = shingle_jaccard_prefix_pairs(g, max_df=100, threshold_pct=50)
-        dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-        # localCheckpoint = the materialized stage boundary a real
-        # pipeline writes between dedup and mixing (the
-        # embed_ivfpq_precoded_topk / text_bpe_merges discipline):
-        # the three downstream consumers (waterfill counts, cap fill,
-        # dedup-kept rollup) read a flat scan instead of reprinting the
-        # gate+pair-join lineage under every reference (261 textual
-        # exchanges without it, ~30 with). Eager — the entry sits in
-        # bench.py's BUILDER_DOES_CLUSTER_WORK so the timer pays it.
-        surv = g.join(dropped, "doc_id", "left_anti").select(
-            "doc_id",
-            "lang",
-            F.size(F.split(F.col("text"), " "))
-            .cast("bigint")
-            .alias("n_tok"),
-        ).localCheckpoint()
-        caps = waterfill_token_caps(
-            surv, domain_col="lang", budget_num=3, budget_den=4,
-            ntok_col="n_tok",
-        ).select("lang", "alloc_tokens")
-        fill = budget_cap_prefix_select(surv, caps).withColumnRenamed(
-            "n_docs_in", "n_dedup_kept"
-        )
-        cin = docs.groupBy("lang").agg(
-            F.count("*").cast("bigint").alias("n_docs_in")
-        )
-        cg = g.groupBy("lang").agg(
-            F.count("*").cast("bigint").alias("n_gate_kept")
-        )
-        return (
-            cin.join(F.broadcast(cg), "lang", "left")
-            .join(F.broadcast(fill), "lang", "left")
-            .select(
-                "lang",
-                "n_docs_in",
-                F.coalesce("n_gate_kept", F.lit(0))
-                .cast("bigint")
-                .alias("n_gate_kept"),
-                F.coalesce("n_dedup_kept", F.lit(0))
-                .cast("bigint")
-                .alias("n_dedup_kept"),
-                "alloc_tokens",
-                "n_docs_sel",
-                "realized_tokens",
-                "fill_e6",
-            )
-        )
-
-
-_register_curation_v6()
-
-
-# Two-stage retrieval: the IVF-PQ shortlist (integer ADC over codes)
-# re-ranked by EXACT cosine over only the shortlisted float vectors —
-# FAISS's IndexRefineFlat. The oracle restates stage 1 verbatim from
-# embed_ivfpq_topk's shared literals (shortlist rank <= 20), then the
-# exact-cosine re-rank from embed_cosine_topk's norm CTE arithmetic,
-# so pruning, approximation, AND refinement hash-match end-to-end.
-@_register(
-    "embed_ivfpq_refine_topk",
-    f"""
-    WITH {_PQ_ENC_CTES},
-    nv AS (SELECT vec_id, v,
-                  sqrt(list_sum(list_transform(range(1, {_EMB_DIM + 1}),
-                                               i -> v[i::INT] * v[i::INT])))
-                    AS nrm
-           FROM e),
-    ivfd AS (SELECT vec_id, v, {_IVF_D_COLS} FROM e),
-    ac AS (SELECT vec_id, {_IVF_CELL_CASE} AS cell
-           FROM (SELECT *, {_IVF_LEAST} AS m FROM ivfd)),
-    probe AS (
-      SELECT vec_id AS q_id, cell FROM (
-        SELECT vec_id, (u).cell AS cell,
-               row_number() OVER (PARTITION BY vec_id
-                                  ORDER BY (u).d, (u).cell) AS pr
-        FROM (SELECT vec_id, unnest({_IVF_PROBE_STRUCTS}) AS u
-              FROM ivfd WHERE vec_id < 10))
-      WHERE pr <= {_IVF_N_PROBE}
-    ),
-    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
-    pairs AS (
-      SELECT p.q_id, ac.vec_id AS cand_id,
-             {_PQ_ADC_CASES} AS adc_e6
-      FROM probe p
-      JOIN ac ON ac.cell = p.cell AND ac.vec_id <> p.q_id
-      JOIN enc ON enc.vec_id = ac.vec_id
-      JOIN q ON q.q_id = p.q_id
-    ),
-    short AS (
-      SELECT q_id, cand_id, adc_rank FROM (
-        SELECT q_id, cand_id,
-               CAST(row_number() OVER (PARTITION BY q_id
-                                       ORDER BY adc_e6, cand_id) AS INT)
-                 AS adc_rank
-        FROM pairs)
-      WHERE adc_rank <= 20),
-    ref AS (
-      SELECT s.q_id, s.cand_id, s.adc_rank,
-             {_sql_r(_COS_SQL, 6)} AS cosine
-      FROM short s
-      JOIN nv c ON c.vec_id = s.cand_id
-      JOIN nv q ON q.vec_id = s.q_id)
-    SELECT q_id, rank, cand_id, adc_rank, cosine FROM (
-      SELECT q_id, cand_id, adc_rank, cosine,
-             CAST(row_number() OVER (PARTITION BY q_id
-                                     ORDER BY cosine DESC, cand_id) AS INT)
-               AS rank
-      FROM ref)
-    WHERE rank <= 5
-    """,
-    "similarity: IVF-PQ shortlist + exact-cosine re-rank (FAISS "
-    "IndexRefineFlat, Jégou et al. TPAMI 2011 §V.B; no reference "
-    "counterpart)",
-    "stage 1 prunes to a 20-candidate integer-ADC shortlist per query "
-    "(3-probe cells, shared literals with embed_ivfpq_topk); stage 2 "
-    "fetches ONLY those float vectors (shortlist broadcasts onto the "
-    "corpus scan — the corpus never shuffles) and re-ranks by exact "
-    "6dp cosine; adc_rank rides along so rank != adc_rank rows "
-    "measure the reorder the refinement buys",
-)
-def embed_ivfpq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.quantize import (
-        ivfpq_refine_topk,
-    )
-
-    return ivfpq_refine_topk(
-        _t(spark, sf_dir, "embeddings"),
-        query_pred=F.col("vec_id") < 10,
-        centers=IVF_CENTROIDS,
-        codebooks=PQ_CODEBOOKS,
-        n_probe=_IVF_N_PROBE,
-        shortlist=20,
-        k=5,
-        round_expr=lambda c: _r(c, 6),
-    )
-
-
-@_register(
-    "mixture_cap_prefix_fill",
-    f"""
-    WITH c AS (SELECT lang,
-                      CAST(sum(len(string_split(text, ' '))) AS BIGINT)
-                        AS n_tokens
-               FROM documents GROUP BY lang),
-    t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
-                 CAST(count(*) AS BIGINT) AS m
-          FROM c),
-    s AS (SELECT lang, n_tokens, m, total * 3 // 4 AS budget,
-                 CAST(row_number() OVER (ORDER BY n_tokens, lang)
-                      AS BIGINT) AS r,
-                 CAST(coalesce(sum(n_tokens) OVER (
-                        ORDER BY n_tokens, lang
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                      0) AS BIGINT) AS s_prev
-          FROM c CROSS JOIN t),
-    u AS (SELECT *,
-                 n_tokens * (m - r + 1) <= budget - s_prev AS uncapped
-          FROM s),
-    f AS (SELECT CAST(sum(CASE WHEN uncapped THEN 1 ELSE 0 END) AS BIGINT)
-                   AS j,
-                 CAST(coalesce(sum(CASE WHEN uncapped THEN n_tokens END), 0)
-                   AS BIGINT) AS s_j
-          FROM u),
-    caps AS (SELECT lang,
-                    CAST(CASE WHEN uncapped THEN n_tokens
-                              ELSE (budget - s_j) // (m - j) END
-                         AS BIGINT) AS alloc_tokens
-             FROM u CROSS JOIN f),
-    docs AS (SELECT doc_id, lang,
-                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
-                    {_h60_sql("concat('v6', CAST(doc_id AS VARCHAR))")} AS hk
-             FROM documents),
-    cum AS (SELECT d.lang, d.n_tok, caps.alloc_tokens,
-                   sum(d.n_tok) OVER (
-                     PARTITION BY d.lang ORDER BY d.hk, d.doc_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                     AS cum_tok
-            FROM docs d JOIN caps USING (lang))
-    SELECT lang,
-           CAST(count(*) AS BIGINT) AS n_docs_in,
-           alloc_tokens,
-           CAST(sum(CASE WHEN cum_tok <= alloc_tokens THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_docs_sel,
-           CAST(coalesce(sum(CASE WHEN cum_tok <= alloc_tokens
-                                  THEN n_tok END), 0)
-                AS BIGINT) AS realized_tokens,
-           CAST(CASE WHEN alloc_tokens > 0 THEN
-                  1000000 * coalesce(sum(CASE WHEN cum_tok <= alloc_tokens
-                                              THEN n_tok END), 0)
-                    // alloc_tokens
-                END AS BIGINT) AS fill_e6
-    FROM cum
-    GROUP BY lang, alloc_tokens
-    """,
-    "curation: waterfill cap EXECUTION — deterministic hash-order "
-    "prefix selection down to each domain's token cap, with realized "
-    "fill audit (the execution half of mixture_waterfill_caps; no "
-    "reference counterpart)",
-    "caps from the 3/4-budget waterfill solve; per-domain docs ordered "
-    "by h60('v6'||doc_id) (RNG-free, rerun/engine/partition-stable), "
-    "prefix kept while cumulative tokens fit the cap; cumulative sum "
-    "is the TWO-PHASE prefix sum over 4096 order-preserving hash-range "
-    "buckets per domain (top 12 bits of the uniform 60-bit hash) — "
-    "never a one-task-per-domain window; fill_e6 = 1e6*realized div "
-    "alloc, NULL on a zero cap (degenerate discipline)",
-)
-def mixture_cap_prefix_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.sampling import (
-        budget_cap_prefix_select,
-        waterfill_token_caps,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    caps = waterfill_token_caps(
-        docs, domain_col="lang", budget_num=3, budget_den=4
-    ).select("lang", "alloc_tokens")
-    d = docs.select(
-        "doc_id",
-        "lang",
-        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tok"),
-    )
-    return budget_cap_prefix_select(
-        d, caps, domain_col="lang", ntok_col="n_tok", id_col="doc_id",
-        salt="v6",
-    )
-
-
-# ===========================================================================
-# Round-13 additions (VERDICT r12 task 3 — the three verdict-named gap
-# fillers, capped below rotation throughput). Held OUT of the r13
-# driver window per the standing convention — front of the r14 in-list.
-# ===========================================================================
-
-
-@_register(
-    "dedup_cluster_soft_weights",
-    f"""
-    WITH RECURSIVE {_SIMHASH60_CTE},
-    bands AS (
-      SELECT doc_id, simhash60, b AS band,
-             (simhash60 >> (15 * b)) & 32767 AS nib
-      FROM sim60 CROSS JOIN (VALUES (0), (1), (2), (3)) t(b)
-    ),
-    edges AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a JOIN bands b ON a.band = b.band AND a.nib = b.nib
-                               AND a.doc_id < b.doc_id
-      WHERE bit_count(xor(a.simhash60, b.simhash60)) <= 3
-    ),
-    sym AS (
-      SELECT id_a AS n, id_b AS m FROM edges
-      UNION ALL SELECT id_b, id_a FROM edges
-    ),
-    comp(n, label) AS (
-      SELECT doc_id, doc_id FROM documents
-      UNION
-      SELECT s.n, c.label FROM comp c JOIN sym s ON s.m = c.n
-    ),
-    lab AS (SELECT n AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
-            FROM comp GROUP BY n)
-    SELECT doc_id, cluster_id,
-           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
-             AS cluster_size,
-           CAST(1000000 // count(*) OVER (PARTITION BY cluster_id)
-                AS BIGINT) AS weight_e6
-    FROM lab
-    """,
-    "dedup: NEAR-dup soft weights — cluster-granular 1/|cluster| loss "
-    "weights (SoftDedup, He et al. 2024 arXiv:2407.04964; no reference "
-    "counterpart)",
-    "the exact-dup soft-weight idea lifted to near-dup granularity: "
-    "SimHash banded pairs -> connected components (transitive closure, "
-    "so A~B~C all weight 1/3 even when A,C never pair) -> one window "
-    "count over the cluster partitioning; singleton docs keep weight "
-    "exactly 1e6 — oracle is the recursive-CTE fixpoint plus the same "
-    "window",
-)
-def dedup_cluster_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
-        near_dup_soft_weights,
-    )
-
-    return near_dup_soft_weights(
-        _t(spark, sf_dir, "documents"), max_hamming=3
-    )
-
-
-# Embedding-space contamination threshold: calibrated to the synthetic
-# embedding cosine distribution (bench-vs-train cosines top out ~0.43
-# at sf0.001 / ~0.49 at sf0.01 with p99 ~0.29, measured via DuckDB), so
-# 0.30 yields a non-degenerate flag count at every test scale. A real
-# deployment with a trained encoder runs 0.9+; the threshold is a
-# parameter of the operator, not a constant.
-_EMB_CONTAM_THRESHOLD = 0.30
-
-
-@_register(
-    "embed_contamination_audit",
-    f"""
-    WITH {_emb_norm_cte()},
-    q AS (SELECT * FROM nv WHERE vec_id < 20),
-    c AS (SELECT * FROM nv WHERE vec_id >= 20),
-    scored AS (
-      SELECT q.vec_id AS bench_id, c.vec_id AS cand_id,
-             CASE WHEN q.nrm > 0 AND c.nrm > 0
-                  THEN {_sql_r(_COS_SQL, 6)} END AS cosine
-      FROM q CROSS JOIN c
-    ),
-    agg AS (
-      SELECT bench_id,
-             CAST(sum(CASE WHEN cosine >= {_EMB_CONTAM_THRESHOLD}
-                           THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
-             max(cosine) AS max_cosine
-      FROM scored GROUP BY bench_id
-    ),
-    best AS (
-      SELECT bench_id, cand_id, cosine,
-             row_number() OVER (PARTITION BY bench_id
-                                ORDER BY cosine DESC NULLS LAST, cand_id)
-               AS rn
-      FROM scored
-    )
-    SELECT a.bench_id, a.n_flagged, a.max_cosine,
-           CASE WHEN b.cosine IS NOT NULL THEN b.cand_id END AS nearest_id
-    FROM agg a JOIN best b ON a.bench_id = b.bench_id AND b.rn = 1
-    """,
-    "similarity: embedding-space benchmark contamination audit — the "
-    "semantic twin of the n-gram decontam pair (GPT-3 appendix / "
-    "Dolma-style cosine decontamination; no reference counterpart)",
-    "bench side (vec_id < 20) broadcasts onto ONE train-corpus scan "
-    "(the corpus never shuffles for scoring); per-bench count/max/argmax "
-    "run in one bench_id window partitioning; zero-norm vectors score "
-    "NULL cosine and drop from count/max/nearest (degenerate "
-    "discipline)",
-)
-def embed_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.similarity import (
-        embedding_contamination_audit,
-    )
-
-    return embedding_contamination_audit(
-        _t(spark, sf_dir, "embeddings"),
-        bench_pred=F.col("vec_id") < 20,
-        threshold=_EMB_CONTAM_THRESHOLD,
-        round_expr=lambda c: _r(c, 6),
-    )
-
-
-@_register(
-    "text_bpe_vocab_coverage",
-    f"""
-    WITH {_BPE_CTES},
-    enc AS (SELECT word,
-                   CAST(count(*) AS BIGINT) AS n_toks,
-                   CAST(sum(CASE WHEN length(sym) = 1 THEN 1 ELSE 0 END)
-                        AS BIGINT) AS n_single
-            FROM s{_BPE_ROUNDS} GROUP BY word),
-    gw AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS occ
-           FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
-                 FROM documents)
-           WHERE word <> '' GROUP BY lang, word),
-    cl AS (SELECT lang, occ,
-                  CASE WHEN n_toks = 1 THEN 1 ELSE 0 END AS wt,
-                  CASE WHEN n_toks > 1 AND n_single = n_toks
-                       THEN 1 ELSE 0 END AS fb
-           FROM gw JOIN enc USING (word)),
-    a AS (SELECT lang,
-                 CAST(count(*) AS BIGINT) AS n_types,
-                 CAST(sum(occ) AS BIGINT) AS n_occurrences,
-                 CAST(sum(wt) AS BIGINT) AS wtypes,
-                 CAST(sum(fb) AS BIGINT) AS ftypes,
-                 CAST(sum(wt * occ) AS BIGINT) AS wocc,
-                 CAST(sum(fb * occ) AS BIGINT) AS focc
-          FROM cl GROUP BY lang)
-    SELECT lang, n_types, n_occurrences,
-           CAST(1000000 * wtypes // n_types AS BIGINT) AS whole_type_e6,
-           CAST(1000000 * ftypes // n_types AS BIGINT) AS fallback_type_e6,
-           CAST(1000000 * wocc // n_occurrences AS BIGINT) AS whole_occ_e6,
-           CAST(1000000 * focc // n_occurrences AS BIGINT)
-             AS fallback_occ_e6
-    FROM a
-    """,
-    "textops: tokenizer-vocabulary OOV/coverage audit per language — "
-    "word-CLASS shares under the learned BPE segmentation (Sennrich et "
-    "al. ACL 2016 fallback accounting; no reference counterpart)",
-    "whole-word (1 symbol) vs pure char-fallback (no merge touched it) "
-    "classes on the DISTINCT-word segmentation, reported in both TYPE "
-    "and OCCURRENCE bases per language — the health axis fertility's "
-    "ratios can't see; same learned merges as text_bpe_encode, word "
-    "equi-key join (honest hash join, never a broadcast assumption)",
-)
-def text_bpe_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sports_data_integration_and_forecasting_pipeline_spark.operators.textstats import (
-        bpe_vocab_coverage_stats,
-    )
-
-    return bpe_vocab_coverage_stats(
-        _t(spark, sf_dir, "documents"), rounds=_BPE_ROUNDS
-    )
 
 
 # ===========================================================================
