@@ -174,6 +174,15 @@ def psi_segment_drift(
     exact; the inputs to each term are exact integer counts, so the
     term's double arithmetic is deterministic). Reported 6dp.
 
+    Int64 headroom (r13 verdict task 6): each nano-unit term is bounded
+    by (p−q)·ln(p/q) ≤ ln(n_t+nb)·1e9 (~4e10 even at 1e17 rows), and
+    the sum has one term per GLOBAL BUCKET — nb ≈ max(value)/width, a
+    value-range quantity, not a corpus-rows quantity. Crossing 2^63
+    would need nb·4e10 ≥ 9.2e18, i.e. ~2.3e8 distinct buckets — with
+    ``n_chars div 64`` that is a 15 GB single document. Documented
+    bound, no guard needed (contrast the corpus-token-bounded sums in
+    ``kl_term_drift``, which bind inside the envelope).
+
     Degenerate inputs DEGRADE (arrival discipline): one global bucket →
     p = q = 1 → PSI 0; a segment that IS the whole corpus → p ≡ q →
     PSI exactly 0; empty input → zero rows. Never a division by zero

@@ -122,6 +122,16 @@ def unigram_perplexity(
     per-doc sum is exact integer arithmetic — order-independent across
     partitions and engines — before the final exp.
 
+    Int64 headroom (r13 verdict task 6): the accumulator is per-DOC —
+    ``nll_micro ≤ n_doc·ceil(ln(total_corpus_tokens)·1e6)``, i.e. even
+    a 1e15-token corpus (−ln p ≤ ~34.5 nats) needs a single document of
+    ~2.7e11 tokens (≈1 TB of text in ONE doc) to cross 2^63. Documents
+    have physical size limits far below that, so this is a documented
+    bound, not a guard (contrast the per-GROUP sums in
+    :func:`unigram_entropy_stats` / ``kl_term_drift``, which bind inside
+    the 100 TB envelope and carry degrade guards). The same per-doc
+    argument covers the bigram twin (``text_bigram_perplexity``).
+
     Scale shape: explode (narrow) → (doc, term) tf counts (one shuffle,
     map-side combine), PERSISTED via the scoped registry — `term_tot`,
     `total`, and the scoring join all derive from that one materialized
@@ -935,8 +945,15 @@ def ngram_novelty_stats(
         "n",
         "heldout_ngrams",
         "novel_ngrams",
+        # int64-headroom guard (r13 verdict task 6): the risky term is
+        # 1e6·novel_ngrams, which wraps at novel ≥ 2^63 div 1e6
+        # ≈ 9.22e12 heldout occurrences in one (group, n) — reachable
+        # around ~46 TB of single-group heldout text, INSIDE the design
+        # envelope — so past-bound groups DEGRADE to NULL instead of
+        # wrapping silently (counts stay reported; only the rate nulls).
         F.when(
-            F.col("heldout_ngrams") > 0,
+            (F.col("heldout_ngrams") > 0)
+            & (F.col("novel_ngrams") < F.lit((2**63) // 1_000_000)),
             F.expr("1000000 * novel_ngrams div heldout_ngrams"),
         )
         .cast("bigint")
