@@ -60,9 +60,23 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
+    from bench import BUILDER_DOES_CLUSTER_WORK
     from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import release_caches
     from sports_data_integration_and_forecasting_pipeline_spark.plans.battery import QUERIES
     from sports_data_integration_and_forecasting_pipeline_spark.session import get_spark
+
+    # bench.py's fn()-inclusive timing set, plus the bench-EXCLUDED
+    # iterative cluster family (their eager checkpointed fixpoints run
+    # inside fn(); an action-only timer would measure ~0 — r14 fix,
+    # found when dedup_cluster_soft_weights probed 0.09 s vs its 15 s
+    # r13 fn()+action row)
+    builder_timed = BUILDER_DOES_CLUSTER_WORK | {
+        "dedup_cluster_assign", "dedup_cluster_star",
+        "dedup_cluster_size_histogram", "dedup_cluster_soft_weights",
+        "kcore_cosupply_peel", "pagerank_customer_supplier",
+        "markov_steady_state_power", "kmeans_embeddings_lloyd",
+        "ivf_centroid_refresh",
+    }
 
     spark = get_spark(app_name="probe")
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
@@ -94,9 +108,14 @@ def main() -> None:
             entries[name] = {"error": "unknown entry"}
             continue
         samples = []
+        fn_timed = name in builder_timed
         for _ in range(runs_n):
-            df = spec.fn(spark, sf_dir)
-            t0 = time.perf_counter()
+            if fn_timed:
+                t0 = time.perf_counter()
+                df = spec.fn(spark, sf_dir)
+            else:
+                df = spec.fn(spark, sf_dir)
+                t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             samples.append(round(time.perf_counter() - t0, 3))
             release_caches()
@@ -107,6 +126,7 @@ def main() -> None:
             "min": min(steady),
             "median": round(statistics.median(steady), 3),
             "max": max(steady),
+            "timer": "fn+action" if fn_timed else "action",
         }
     c1 = calib()
     drift = max(
