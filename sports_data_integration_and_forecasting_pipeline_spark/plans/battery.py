@@ -541,6 +541,23 @@ _WINDOW_PRIORITY = [
 #       growth frozen this round (verdict task 2: 0-2 additions max) —
 #       0 additions; a clean r14 window closes cumulative coverage at
 #       253/253.
+#   End-of-r14 standing-protocol sweep: the unchanged 253-entry battery
+#       in ONE run at sf0.01 — 251 hash-ok + the 2 by-design rows-only
+#       (forecast_random_forest, misra_gries_heavy_hitters), rc 0 — AND
+#       the same battery in full at sf0.001 (251 hash-ok + 2 rows-only,
+#       rc 0), both AFTER the r14 split of battery.py into per-family
+#       section modules (identity md5s unchanged; see
+#       tools/check_battery_identity.py), the kl_term_drift /
+#       ngram-novelty int64-headroom guards, and the rotation. Calm
+#       bench archive BENCH_local_r14_calm.json (drift 0.123 flag
+#       FALSE; total flat calm-vs-calm at 133.2 s / 253 entries).
+#   r15 rotation plan: the 38 r14-window first-timers go twice-green on
+#       a clean r14 -> rotate them out; the 11 re-confirmed slots are
+#       then 2-3× green and rotate too. With the backlog CLOSED
+#       (cumulative 253/253 on a clean r14), r15's window should
+#       re-confirm the least-recently-checked entries (the r13
+#       rotation-outs are the oldest single/multi-greens) plus any r15
+#       additions after their arrival sweeps.
 # ===========================================================================
 
 
