@@ -113,6 +113,8 @@ def rank_sum_auc(
         F.count("*").cast("bigint").alias("__n"),
         F.sum(F.col(label_col).cast("int")).cast("bigint").alias("__np"),
     )
+    # unpartitioned running sum is bounded by DISTINCT SCORES (the
+    # per-score agg above reduced first — logit cardinality, not rows)
     w = (
         Window.orderBy("__s")
         .rowsBetween(Window.unboundedPreceding, -1)

@@ -174,6 +174,8 @@ def misra_gries(df: DataFrame, item_col: str, k: int = 16) -> DataFrame:
         _mg_partition, schema="item string, cnt long"
     )
     summed = partials.groupBy("item").agg(F.sum("cnt").alias("cnt"))
+    # unpartitioned rank is bounded by the MERGED CANDIDATE set —
+    # ≤ P·k items (one k-bounded summary per partition), never raw rows
     ranked = summed.withColumn(
         "rk", F.row_number().over(Window.orderBy(F.desc("cnt"), "item"))
     )

@@ -459,6 +459,8 @@ def waterfill_token_caps(
         F.sum("n_tokens").cast("bigint").alias("__total"),
         F.count("*").cast("bigint").alias("__m"),
     )
+    # unpartitioned window is bounded by the DOMAIN table (m rows —
+    # mixture domains, never corpus docs); the counts agg reduced first
     w = Window.orderBy("n_tokens", domain_col)
     staged = (
         counts.crossJoin(F.broadcast(tot))

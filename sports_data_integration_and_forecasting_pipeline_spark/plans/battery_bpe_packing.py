@@ -990,6 +990,7 @@ def lorenz_curve_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("bigint").alias("cents"),
     )
     t = d.agg(F.sum("cents").cast("bigint").alias("total"))
+    # unpartitioned cumulative window runs over exactly 10 decile rows
     wc = Window.orderBy("decile").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

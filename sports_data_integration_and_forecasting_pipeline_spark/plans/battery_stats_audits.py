@@ -894,6 +894,8 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
         F.sum("day_cents").cast("bigint").alias("s"),
     )
+    # unpartitioned cumulative window is bounded by DISTINCT DAYS
+    # (calendar-range granular) — the day agg above reduced first
     w = Window.orderBy("day_num").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -1287,6 +1289,9 @@ def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_all"),
         F.sum("ev").cast("bigint").alias("d"),
     )
+    # both unpartitioned survival windows are bounded by DISTINCT
+    # integer durations ≤ the 259200 s horizon (time-range granular,
+    # never user rows) — the dur_s agg above reduced first
     w_desc = Window.orderBy(F.col("dur_s").desc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

@@ -1495,6 +1495,7 @@ def kmeans_embeddings_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_KMEANS_K)
         .select(
             "vec_id",
+            # unpartitioned rank runs over the ≤K seed rows (limit above)
             (F.row_number().over(Window.orderBy("vec_id")) - 1)
             .cast("int")
             .alias("cid"),

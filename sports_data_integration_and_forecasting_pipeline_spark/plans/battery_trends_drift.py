@@ -300,6 +300,8 @@ def seasonal_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("g_days"),
         F.sum("day_cents").cast("bigint").alias("g_cents"),
     )
+    # unpartitioned window is bounded by DISTINCT DAYS (calendar-range
+    # granular, never corpus rows) — the day agg above reduced first
     wt = Window.orderBy("day_num").rowsBetween(-3, 3)
     t = d.select(
         "day_num",
