@@ -551,6 +551,11 @@ _WINDOW_PRIORITY = [
 #       ngram-novelty int64-headroom guards, and the rotation. Calm
 #       bench archive BENCH_local_r14_calm.json (drift 0.123 flag
 #       FALSE; total flat calm-vs-calm at 133.2 s / 253 entries).
+#       Closing pytest: 1019 passed, 1 skipped (full suite, run fresh
+#       after the last change of the round; +3 vs r13 = the split
+#       invariants in tests/test_battery_sections.py). A 50/50 dress
+#       rehearsal of the r14 window also ran green through
+#       __spark_entry__ at sf0.01 (the exact driver path).
 #   r15 rotation plan: the 38 r14-window first-timers go twice-green on
 #       a clean r14 -> rotate them out; the 11 re-confirmed slots are
 #       then 2-3× green and rotate too. With the backlog CLOSED
