@@ -555,7 +555,9 @@ _WINDOW_PRIORITY = [
 #       after the last change of the round; +3 vs r13 = the split
 #       invariants in tests/test_battery_sections.py). A 50/50 dress
 #       rehearsal of the r14 window also ran green through
-#       __spark_entry__ at sf0.01 (the exact driver path).
+#       __spark_entry__ at sf0.01 (the exact driver path), and the
+#       window-50 additionally swept green at sf0.1 — every slot the
+#       driver will check is green at THREE scales this round.
 #   r15 rotation plan: the 38 r14-window first-timers go twice-green on
 #       a clean r14 -> rotate them out; the 11 re-confirmed slots are
 #       then 2-3× green and rotate too. With the backlog CLOSED
