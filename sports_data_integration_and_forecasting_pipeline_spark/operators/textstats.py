@@ -945,19 +945,33 @@ def ngram_novelty_stats(
         "n",
         "heldout_ngrams",
         "novel_ngrams",
-        # int64-headroom guard (r13 verdict task 6): the risky term is
-        # 1e6·novel_ngrams, which wraps at novel ≥ 2^63 div 1e6
-        # ≈ 9.22e12 heldout occurrences in one (group, n) — reachable
-        # around ~46 TB of single-group heldout text, INSIDE the design
-        # envelope — so past-bound groups DEGRADE to NULL instead of
-        # wrapping silently (counts stay reported; only the rate nulls).
+        novelty_e6_expr("heldout_ngrams", "novel_ngrams"),
+    )
+
+
+# Past this many novel n-grams in one (group, n), 1e6·novel_ngrams wraps
+# int64 — the novelty rate degrades to NULL (counts stay reported).
+NOVELTY_E6_NOVEL_BOUND = (2**63) // 1_000_000
+
+
+def novelty_e6_expr(heldout_col: str, novel_col: str) -> Column:
+    """The novelty-rate micro-unit expression with its int64-headroom
+    guard (r13 verdict task 6), factored out so the boundary is
+    pin-testable on pre-aggregated counts (r14 advice): the risky term
+    is 1e6·novel, which wraps at novel ≥ 2^63 div 1e6 ≈ 9.22e12 heldout
+    occurrences in one (group, n) — reachable around ~46 TB of
+    single-group heldout text, INSIDE the design envelope — so
+    past-bound groups DEGRADE to NULL instead of wrapping silently.
+    Mirrored verbatim in the ngram_novelty_audit DuckDB oracle
+    (plans/battery_curation_recent.py)."""
+    return (
         F.when(
-            (F.col("heldout_ngrams") > 0)
-            & (F.col("novel_ngrams") < F.lit((2**63) // 1_000_000)),
-            F.expr("1000000 * novel_ngrams div heldout_ngrams"),
+            (F.col(heldout_col) > 0)
+            & (F.col(novel_col) < F.lit(NOVELTY_E6_NOVEL_BOUND)),
+            F.expr(f"1000000 * {novel_col} div {heldout_col}"),
         )
         .cast("bigint")
-        .alias("novelty_e6"),
+        .alias("novelty_e6")
     )
 
 

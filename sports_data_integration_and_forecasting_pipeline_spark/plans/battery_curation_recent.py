@@ -90,7 +90,15 @@ from .battery_text_dedup import (
            CAST(count(*) AS BIGINT) AS heldout_ngrams,
            CAST(sum(CASE WHEN tr.gh IS NULL THEN 1 ELSE 0 END) AS BIGINT)
              AS novel_ngrams,
-           CAST(CASE WHEN count(*) > 0 THEN
+           -- int64-headroom mirror of the engine guard (r14 advice):
+           -- novelty_e6 degrades to NULL once novel_ngrams reaches
+           -- 2^63 div 1e6 = 9223372036854, exactly as
+           -- operators/textstats.py novelty_e6_expr does, so oracle
+           -- and engine agree on degenerate past-bound inputs too
+           -- (unreachable below ~46 TB of one-group heldout text).
+           CAST(CASE WHEN count(*) > 0
+                      AND sum(CASE WHEN tr.gh IS NULL THEN 1 ELSE 0 END)
+                        < 9223372036854 THEN
                   1000000 * sum(CASE WHEN tr.gh IS NULL THEN 1 ELSE 0 END)
                     // count(*)
                 END AS BIGINT) AS novelty_e6

@@ -31,6 +31,47 @@ def test_no_cross_section_name_shadowing():
     assert not collisions, collisions
 
 
+def test_no_cross_section_defined_name_collision():
+    """Stricter than the id() check above (r14 advice item 3): two
+    sections independently DEFINING the same top-level name can evade
+    id() inequality when the bound values are interned/cached objects
+    (small ints, short strings) — the facade would then silently export
+    only the first definition if the values later diverge. So treat any
+    name *defined* (assignment / def / class at module top level, not
+    imported) in two sections as a collision, by reading each section's
+    AST rather than its runtime namespace."""
+    import ast
+    import inspect
+
+    owners: dict[str, list[str]] = {}
+    for mod in battery._SECTION_MODULES:
+        tree = ast.parse(inspect.getsource(mod))
+        for node in tree.body:
+            names: list[str] = []
+            if isinstance(
+                node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
+            ):
+                names = [node.name]
+            elif isinstance(node, ast.Assign):
+                names = [
+                    t.id for t in node.targets if isinstance(t, ast.Name)
+                ]
+            elif isinstance(node, ast.AnnAssign) and isinstance(
+                node.target, ast.Name
+            ):
+                names = [node.target.id]
+            elif isinstance(node, (ast.AugAssign,)) and isinstance(
+                node.target, ast.Name
+            ):
+                names = [node.target.id]
+            for n in names:
+                owners.setdefault(n, [])
+                if mod.__name__ not in owners[n]:
+                    owners[n].append(mod.__name__)
+    collisions = {k: mods for k, mods in owners.items() if len(mods) > 1}
+    assert not collisions, collisions
+
+
 def test_facade_reexports_full_surface():
     """Every section's public-ish surface must be reachable from
     plans.battery (tests and tools import private helpers and entry
