@@ -78,6 +78,82 @@ oracle_sql_map = battery_core.oracle_sql_map
 # tolerated — they join the window once registered.
 # ===========================================================================
 _WINDOW_PRIORITY = [
+    # r15 ROTATION (VERDICT r14 tasks 3+5, executed as prescribed): the
+    # backlog is CLOSED (cumulative 253/253 after a clean r14), so this
+    # window's job is RECENCY — rotate out the 38 r14 first-timers
+    # (now twice-green: r14 driver row + the r14 three-scale sweep) and
+    # the 11 re-confirmation slots (2-3x green), and fill all 49
+    # non-flagship slots with the entries whose LATEST driver row is
+    # OLDEST (tools/driver_coverage.py, sorted by latest-round then
+    # count), so minimum driver-row recency rises battery-wide from r1
+    # to r7+. Task 3's two stale rows-only entries lead the list:
+    # forecast_random_forest (last driver row r01) and
+    # misra_gries_heavy_hitters (r02) get their rows-only execution
+    # re-attested on current code. Every in-name re-swept green at
+    # sf0.01 THIS round before rotating in (tools/sweep_oracle.py,
+    # 49/49: 47 ok + 2 rows-only by design). Battery frozen (task 6):
+    # 0 additions, 253 entries.
+    "flagship_market_report",
+    # task 3: the two by-design rows-only entries, stalest first
+    "forecast_random_forest",          # last driver row r01
+    "misra_gries_heavy_hitters",       # last driver row r02
+    # latest driver row r01:
+    "tfidf_top_terms",
+    "kmv_distinct_sketch",
+    "curation_pipeline",
+    # latest r02:
+    "streaming_incremental_rollup",
+    "streaming_session_windows",
+    "streaming_line_moves",
+    "text_fingerprint",
+    "dedup_simhash",
+    "embed_ann_lsh",
+    "value_percentiles",
+    # latest r03:
+    "dedup_simhash_pairs",
+    # latest r04:
+    "q6_promo_revenue",
+    "misra_gries_verified",
+    "salted_agg_parity",
+    "curation_pipeline_v2",
+    "countmin_frequency",
+    "repetition_quality",
+    "chunk_documents_overlap",
+    "path_funnel_regex",
+    "embed_ivf_ann",
+    "streaming_stream_join",
+    "text_language_id",
+    "dedup_exact",
+    "embed_cosine_dup_pairs",
+    "multimodal_payload_stats",
+    # latest r05:
+    "pagerank_customer_supplier",
+    "dedup_incremental_minhash",
+    "asof_join_marks",
+    "decontaminate_benchmark",
+    "pii_redaction",
+    "bloom_join_prune",
+    "embed_cosine_topk",
+    "multimodal_image_features",
+    "streaming_replay_rollup",
+    # latest r06:
+    "streaming_late_data_drop",
+    "scd2_user_state_intervals",
+    "pivot_event_cents",
+    "range_join_concurrent_sessions",
+    "zorder_layout_pruning",
+    "q8_nation_market_share",
+    "cusum_changepoint",
+    "copurchase_lift_pairs",
+    "kaplan_meier_conversion",
+    "q5_local_supplier_revenue",
+    "bucketed_join_colocated",
+    "canonical_schema_evolution",
+    # latest r07 (first of the r07 tail by confirmation count):
+    "hll_group_registers",
+]
+# --- Window composition of r14 (rotated out by the r15 rotation above;
+# --- kept verbatim for the ledger):
     # r14 ROTATION (VERDICT r13 task 1, executed exactly as prescribed —
     # clear the ENTIRE never-driver-checked backlog in one window): all
     # 38 entries that have never had a driver row are in, so a clean r14
@@ -112,62 +188,61 @@ _WINDOW_PRIORITY = [
     # go twice-green and can rotate out in r15. Cumulative driver
     # coverage on a clean r14 = 215 + 38 = 253/253 — every battery
     # entry externally confirmed at least once.
-    "flagship_market_report",
+    # "flagship_market_report",
     # r13 additions first (standing convention):
-    "dedup_cluster_soft_weights",
-    "embed_contamination_audit",
-    "text_bpe_vocab_coverage",
-    "embed_hard_negatives",
+    # "dedup_cluster_soft_weights",
+    # "embed_contamination_audit",
+    # "text_bpe_vocab_coverage",
+    # "embed_hard_negatives",
     # the 34-entry never-driver-checked tail (backlog close-out):
-    "dedup_shingle_jaccard_all",
-    "orders_vs_customer_avg",
-    "twap_user_value",
-    "time_to_convert",
-    "order_price_relative_rank",
-    "order_price_deciles",
-    "session_click_purchase_funnel",
-    "orders_price_histogram",
-    "feature_standardize",
-    "customers_with_big_orders",
-    "customers_without_orders",
-    "weighted_systematic_sample",
-    "sample_events_stratified",
-    "embed_quantized_topk",
-    "feature_correlation_screen",
-    "incremental_rollup_merge",
-    "iceberg_heavy_users",
-    "weekday_hour_heatmap",
-    "triangle_knn_cosupply",
-    "user_trend_ols",
-    "rolling_active_users_7d",
-    "event_transition_matrix",
-    "unpivot_order_measures",
-    "purchase_click_attribution",
-    "hierarchy_root_depth",
-    "table_checksum_audit",
-    "null_skew_left_join",
-    "seasonal_weekday_index",
-    "ridge_forecast_closed_form",
-    "seasonal_anomaly_days",
-    "range_frame_trailing_hour",
-    "multi_touch_attribution",
-    "activity_bitmap_days",
-    "brand_price_realization",
+    # "dedup_shingle_jaccard_all",
+    # "orders_vs_customer_avg",
+    # "twap_user_value",
+    # "time_to_convert",
+    # "order_price_relative_rank",
+    # "order_price_deciles",
+    # "session_click_purchase_funnel",
+    # "orders_price_histogram",
+    # "feature_standardize",
+    # "customers_with_big_orders",
+    # "customers_without_orders",
+    # "weighted_systematic_sample",
+    # "sample_events_stratified",
+    # "embed_quantized_topk",
+    # "feature_correlation_screen",
+    # "incremental_rollup_merge",
+    # "iceberg_heavy_users",
+    # "weekday_hour_heatmap",
+    # "triangle_knn_cosupply",
+    # "user_trend_ols",
+    # "rolling_active_users_7d",
+    # "event_transition_matrix",
+    # "unpivot_order_measures",
+    # "purchase_click_attribution",
+    # "hierarchy_root_depth",
+    # "table_checksum_audit",
+    # "null_skew_left_join",
+    # "seasonal_weekday_index",
+    # "ridge_forecast_closed_form",
+    # "seasonal_anomaly_days",
+    # "range_frame_trailing_hour",
+    # "multi_touch_attribution",
+    # "activity_bitmap_days",
+    # "brand_price_realization",
     # 11 re-confirmations (once-green r13 first-timers -> twice-green,
     # r15 rotation fodder; heavies + family heads kept under external
     # watch):
-    "curation_pipeline_v6",
-    "split_leakage_audit",
-    "embed_ivfpq_refine_topk",
-    "ngram_novelty_audit",
-    "mixture_waterfill_caps",
-    "dedup_substring_coverage",
-    "text_zipf_fit",
-    "quality_gate_ablation",
-    "skew_key_report",
-    "dedup_cluster_assign",
-    "training_shard_manifest",
-]
+    # "curation_pipeline_v6",
+    # "split_leakage_audit",
+    # "embed_ivfpq_refine_topk",
+    # "ngram_novelty_audit",
+    # "mixture_waterfill_caps",
+    # "dedup_substring_coverage",
+    # "text_zipf_fit",
+    # "quality_gate_ablation",
+    # "skew_key_report",
+    # "dedup_cluster_assign",
+    # "training_shard_manifest",
 # --- Window compositions of earlier rounds (moved out of the live list
 # --- by the r14 rotation; kept verbatim for the ledger):
     # r13 ROTATION (VERDICT r12 tasks 1+2, executed exactly per the

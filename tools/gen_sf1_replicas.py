@@ -31,8 +31,19 @@ this script is the recipe, kept in-repo since r12 so it stops living in
 
 Usage: python tools/gen_sf1_replicas.py [full|stopword|copy] [out_dir]
 Default out_dir: /tmp/sf1_probe (full) or /tmp/sf1_<variant>.
-`full` writes documents+events+embeddings; the text variants write
-documents only (the gate-heavy entries read nothing else).
+`full` writes ALL TEN tables (r15: the full-battery sf1 oracle sweep —
+VERDICT r14 task 1 — needs the TPC-H side too): documents + events +
+embeddings as before, plus key-offset replicas of customer / supplier /
+part / orders / lineitem (every *key* column offset by the SAME
+i*OFFSET so cross-table joins stay replica-consistent) and verbatim
+copies of nation / region (dimension keys are NOT offset, so each
+replica joins the same 25/5 dimension rows — their cardinality is
+fixed by the TPC-H spec, not by SF). Non-key attributes (names,
+segments, dates, prices) repeat across replicas; that merges
+name-grained groups 10-deep, which is parity-safe (Spark and DuckDB
+read the same parquet) — only read *selectivity* semantics off the
+TPC-H replicas, never uniqueness-of-name semantics. The text variants
+write documents only (the gate-heavy entries read nothing else).
 """
 from __future__ import annotations
 
@@ -139,6 +150,53 @@ def main() -> int:
         build_keyed(
             spark, "embeddings", ["vec_id"], ["vec_id", "embedding", "label"], out
         )
+        # TPC-H fact/dim replicas (r15): offset every key column by the
+        # same per-replica amount so joins stay consistent; nation /
+        # region are spec-fixed dimensions, copied verbatim.
+        build_keyed(
+            spark,
+            "customer",
+            ["c_custkey"],
+            ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+            out,
+        )
+        build_keyed(
+            spark,
+            "supplier",
+            ["s_suppkey"],
+            ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+            out,
+        )
+        build_keyed(
+            spark,
+            "part",
+            ["p_partkey"],
+            ["p_partkey", "p_name", "p_brand", "p_type", "p_size",
+             "p_retailprice"],
+            out,
+        )
+        build_keyed(
+            spark,
+            "orders",
+            ["o_orderkey", "o_custkey"],
+            ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+             "o_orderdate", "o_orderpriority"],
+            out,
+        )
+        build_keyed(
+            spark,
+            "lineitem",
+            ["l_orderkey", "l_partkey", "l_suppkey"],
+            ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+             "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+             "l_returnflag", "l_linestatus", "l_shipdate"],
+            out,
+        )
+        for dim in ("nation", "region"):
+            spark.read.parquet(f"{SRC}/{dim}.parquet").write.mode(
+                "overwrite"
+            ).parquet(f"{out}/{dim}.parquet")
+            print(dim, spark.read.parquet(f"{out}/{dim}.parquet").count())
     spark.stop()
     return 0
 
