@@ -6,6 +6,7 @@ runs CORRECTNESS_r{N}.json."""
 from __future__ import annotations
 
 import math
+import os
 
 import duckdb
 import pandas as pd
@@ -27,9 +28,14 @@ TABLES = [
 def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
+        # driver testdata is one file per table; Spark-written replica
+        # sets (tools/gen_sf1_replicas.py) are DIRECTORIES of part
+        # files — glob those so the same views work at probe scales
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.sql(
-            f"CREATE OR REPLACE VIEW {t} AS "
-            f"SELECT * FROM '{sf_dir}/{t}.parquet'"
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{path}'"
         )
     return con
 

@@ -93,6 +93,12 @@ out = [
     "`python tools/gen_explains.py`. Load-bearing properties are",
     "regression-asserted in `tests/test_plan_shapes.py`.",
     "",
+    f"Exact accounting (r14 verdict task 4): {len(QUERIES) - len(SKIP)} plan",
+    f"sections here + {len(SKIP)} streaming entries whose memory-sink drains",
+    "batch EXPLAIN cannot print — their micro-batch physical plans are",
+    "captured live (`explainInternal` during the drain) in",
+    "STREAMING_EVIDENCE.md instead: " + ", ".join(f"`{n}`" for n in sorted(SKIP)) + ".",
+    "",
 ]
 for name in QUERIES:
     if name in SKIP:
