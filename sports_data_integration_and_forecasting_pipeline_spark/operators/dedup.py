@@ -655,9 +655,20 @@ def connected_components(
     (GraphFrames' alternating large/small-star halves the round count;
     propagation keeps the engine dependency-free and oracle-matchable.)
     """
-    sym = edges.select(
-        F.col(src_col).alias("n"), F.col(dst_col).alias("m")
-    ).union(edges.select(F.col(dst_col).alias("n"), F.col(src_col).alias("m")))
+    # Materialize the edge list ONCE before the loop (r15, found by the
+    # full-battery sf1 sweep): `sym` feeds the neighbor join on EVERY
+    # round, and without this checkpoint each round re-executed the
+    # entire upstream pair-generation pipeline (banded join + hamming
+    # verify + dropDuplicates) — invisible at sf0.1 where that pipeline
+    # costs ~1 s, a ~minute PER ROUND at sf1. connected_components_star
+    # already did this; propagation now matches.
+    sym = (
+        edges.select(F.col(src_col).alias("n"), F.col(dst_col).alias("m"))
+        .union(
+            edges.select(F.col(dst_col).alias("n"), F.col(src_col).alias("m"))
+        )
+        .localCheckpoint()
+    )
     labels = nodes.select(
         F.col(node_col).alias("n"), F.col(node_col).cast("long").alias("label")
     ).localCheckpoint()
