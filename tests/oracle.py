@@ -27,6 +27,12 @@ TABLES = [
 
 def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # DuckDB grabs every core per connection by default; a sharded
+    # above-gate sweep (several concurrent sweep_oracle processes, r15
+    # sf1 protocol) oversubscribes the box 3x without this knob.
+    threads = os.environ.get("SWEEP_DUCKDB_THREADS")
+    if threads:
+        con.sql(f"SET threads={int(threads)}")
     for t in TABLES:
         # driver testdata is one file per table; Spark-written replica
         # sets (tools/gen_sf1_replicas.py) are DIRECTORIES of part
