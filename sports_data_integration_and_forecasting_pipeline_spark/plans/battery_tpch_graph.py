@@ -1437,8 +1437,18 @@ _KM_Q = 1000  # quantization grid: round(v * 1000) fits every |v| <= 1 embedding
     "kmeans_embeddings_lloyd",
     f"""
     WITH qe AS (
+      -- CAST AS DOUBLE before the arithmetic: DuckDB types FLOAT *
+      -- DECIMAL-literal as FLOAT, so the whole quantization would run in
+      -- float32 — values within half a float32-ulp of a .5 boundary
+      -- (e.g. 0.3195f * 1000 = 319.49999928..., which float32 rounds to
+      -- exactly 319.5) then floor one grid cell HIGHER than the exact
+      -- double computation Spark performs after array<double> cast.
+      -- Found by the r15 full-battery sf1 sweep (2 boundary values in
+      -- the sf0.1 vector set; sf0.01's vectors happen to miss the
+      -- boundary, which is why the gate-scale sweeps stayed green).
       SELECT vec_id, d.i AS dim,
-             CAST(floor(embedding[d.i::INT] * {_KM_Q}.0 + 0.5) AS BIGINT) AS q
+             CAST(floor(CAST(embedding[d.i::INT] AS DOUBLE) * {_KM_Q}.0
+                        + 0.5) AS BIGINT) AS q
       FROM embeddings CROSS JOIN range(1, {_EMB_DIM + 1}) d(i)),
     seeds AS (
       SELECT vec_id,
