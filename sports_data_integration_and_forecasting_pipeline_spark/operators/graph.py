@@ -194,6 +194,17 @@ def tree_roots(
     ``localCheckpoint`` lineage truncation per round (the graph-family
     house pattern). All arithmetic is exact integers.
 
+    OPEN forests (a parent value that never appears as a node) are
+    legal: the composition is a LEFT join, and a dangling ancestor
+    terminates its chain — the node reports that ancestor as its root
+    at the distance already accumulated. The r15 sf1 sweep caught the
+    previous inner-join composition silently DROPPING every node whose
+    chain exits the node set (sparse key universes do this; dense test
+    keys masked it) — row loss is never an acceptable degrade. Callers
+    that need a walk through vertices absent from their base table must
+    still materialize the closure (see hierarchy_root_depth's digit
+    closure) — this operator walks the rows it is given.
+
     Returns ``(node, root, depth)``.
     """
     state = parents.select(
@@ -208,11 +219,13 @@ def tree_roots(
             F.col("depth").alias("j_depth"),
         )
         state = (
-            state.join(jump, F.col("anc") == F.col("j_node"))
+            state.join(jump, F.col("anc") == F.col("j_node"), "left")
             .select(
                 "node",
-                F.col("j_anc").alias("anc"),
-                (F.col("depth") + F.col("j_depth")).alias("depth"),
+                F.coalesce(F.col("j_anc"), F.col("anc")).alias("anc"),
+                (
+                    F.col("depth") + F.coalesce(F.col("j_depth"), F.lit(0))
+                ).alias("depth"),
             )
             .localCheckpoint()
         )

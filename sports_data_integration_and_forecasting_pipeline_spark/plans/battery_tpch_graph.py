@@ -1034,6 +1034,16 @@ def purchase_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # that's 5 rounds instead of 20. The decimal-digit parent function
 # (custkey DIV 10) is the deterministic hierarchy the testdata affords;
 # the operator itself takes any (child, parent) edge table.
+#
+# The walk's VERTEX set is every number on some customer's digit chain,
+# not just the custkeys themselves — so the engine materializes that
+# closure first (one transform over a static 19-long bigint power array
+# + explode + distinct: ≤19 ancestors per key, linear in nodes, no
+# iteration) and pointer-doubles over it. Feeding tree_roots only the
+# customer rows worked on DENSE key ranges (1..N contains every
+# prefix) and silently lost 9/10 of the rows on the r15 sf1 replica
+# set's sparse offset keys — the oracle's recursive CTE walks numbers,
+# not table rows, so the engine must walk the same vertex universe.
 # ===========================================================================
 
 @_register(
@@ -1056,15 +1066,35 @@ def purchase_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def hierarchy_root_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sports_data_integration_and_forecasting_pipeline_spark.operators.graph import tree_roots
 
-    parents = _t(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("child"),
-        F.when(
-            F.col("c_custkey") >= 10, F.expr("c_custkey DIV 10")
-        ).alias("parent"),
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    # Digit-closure vertices: c DIV 10^k for k=0..18 (bigint has ≤19
+    # decimal digits — a STATIC bound, not a data scan). Exact-integer
+    # literals, no float pow. The key itself is always a vertex (the
+    # v >= 1 filter strips the zeros PAST the top digit, but custkey 0
+    # exists in the testdata and is its own walk — concat it back).
+    powers = ", ".join(f"{10 ** k}L" for k in range(19))
+    verts = cust.select(
+        F.explode(
+            F.expr(
+                f"array_distinct(concat(array(c_custkey), "
+                f"filter(transform(array({powers}), "
+                "p -> c_custkey DIV p), v -> v >= 1)))"
+            )
+        ).alias("child")
+    ).distinct()
+    parents = verts.select(
+        "child",
+        F.when(F.col("child") >= 10, F.expr("child DIV 10")).alias(
+            "parent"
+        ),
     )
-    return tree_roots(parents, max_doublings=5).select(
-        F.col("node").alias("c_custkey"), "root", "depth"
-    )
+    state = tree_roots(parents, max_doublings=5)
+    # Emit one row per CUSTOMER (the oracle starts a walk per custkey);
+    # intermediate closure vertices that are not custkeys drop here.
+    # Both sides grow with SF — co-partitioned hash join, no broadcast.
+    return cust.join(
+        state, cust["c_custkey"] == state["node"]
+    ).select("c_custkey", "root", "depth")
 
 
 # ===========================================================================

@@ -144,3 +144,49 @@ def test_tree_roots_doubling_covers_deep_chain(spark):
     assert got[13] == 12 and got[1] == 0
     roots = {r["root"] for r in tree_roots(parents).collect()}
     assert roots == {1}
+
+
+def test_tree_roots_open_forest_keeps_dangling_nodes(spark):
+    """A parent value that never appears as a node (open forest) must
+    TERMINATE the chain there, not silently drop the node — the r15 sf1
+    sweep found the inner-join composition losing every row whose walk
+    exits the node set (sparse key universes; dense test keys had
+    masked it)."""
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.graph import tree_roots
+
+    # 100 -> 99 (99 never appears as a node); 1 <- 2 as a closed pair
+    rows = [(100, 99), (1, None), (2, 1)]
+    parents = spark.createDataFrame(rows, "child long, parent long")
+    got = {
+        (r["node"], r["root"], r["depth"])
+        for r in tree_roots(parents).collect()
+    }
+    assert got == {(100, 99, 1), (1, 1, 0), (2, 1, 1)}
+
+
+def test_hierarchy_root_depth_sparse_keys_match_oracle(spark, tmp_path):
+    """Entry-level regression for the sf1 replica finding: with SPARSE
+    custkeys (offset blocks, intermediate digit-prefixes absent from the
+    table) the engine must still walk the same number-chain the oracle's
+    recursive CTE walks — the digit closure, not just the stored rows."""
+    import duckdb
+
+    from sports_data_integration_and_forecasting_pipeline_spark.plans import QUERIES
+    from tests.oracle import compare
+
+    # 0 is a real custkey in the driver testdata and is its own walk
+    keys = [0, 3, 42, 15_000, 100_000_001, 100_014_999, 900_000_777]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(k,) for k in keys], "c_custkey long"
+    ).write.parquet(f"{sf}/customer.parquet")
+    spec = QUERIES["hierarchy_root_depth"]
+    got = spec.fn(spark, sf)
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW customer AS SELECT * FROM "
+        f"'{sf}/customer.parquet/*.parquet'"
+    )
+    problems = compare(got, con.sql(spec.oracle).df())
+    con.close()
+    assert problems == [], problems
