@@ -1037,6 +1037,14 @@ def kl_term_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # list (degree ≤ 2k by construction, so each peel is linear in edges).
 # ===========================================================================
 
+# AS MATERIALIZED on e (and the per-round CTEs below): each k-core peel
+# references its predecessor THREE times (the degree aggregate + two
+# survivor semi-joins), so DuckDB's default CTE inlining expands ~3^4
+# copies of this whole edge pipeline — 80+ instances of the 9M-row
+# kNN window at sf1, which blew past a 20 GB memory limit into a >76 GB
+# temp spill and a disk-full abort in the r15 full-battery sf1 sweep.
+# Materialization pins single execution per stage (the exact analogue of
+# the engine's per-round localCheckpoint); results are unchanged.
 _KCORE_EDGE_CTES = """
     os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
     w AS (SELECT a.l_suppkey AS s1, b.l_suppkey AS s2,
@@ -1050,7 +1058,8 @@ _KCORE_EDGE_CTES = """
                                          ORDER BY w DESC, s2) AS rn
                FROM w)
              WHERE rn <= 5),
-    e AS (SELECT DISTINCT least(s1, s2) AS a, greatest(s1, s2) AS b
+    e AS MATERIALIZED (SELECT DISTINCT least(s1, s2) AS a,
+                              greatest(s1, s2) AS b
           FROM kept)
 """
 
@@ -1059,15 +1068,16 @@ _KCORE_EDGE_CTES = """
     "kcore_cosupply_peel",
     f"""
     WITH {_KCORE_EDGE_CTES},
-    sym0 AS (SELECT a AS s, b AS t FROM e UNION ALL SELECT b, a FROM e),
+    sym0 AS MATERIALIZED (SELECT a AS s, b AS t FROM e
+                          UNION ALL SELECT b, a FROM e),
     k0 AS (SELECT s FROM sym0 GROUP BY s HAVING count(*) >= 3),
-    sym1 AS (SELECT sym0.s, sym0.t FROM sym0
+    sym1 AS MATERIALIZED (SELECT sym0.s, sym0.t FROM sym0
              JOIN k0 x ON x.s = sym0.s JOIN k0 y ON y.s = sym0.t),
     k1 AS (SELECT s FROM sym1 GROUP BY s HAVING count(*) >= 3),
-    sym2 AS (SELECT sym1.s, sym1.t FROM sym1
+    sym2 AS MATERIALIZED (SELECT sym1.s, sym1.t FROM sym1
              JOIN k1 x ON x.s = sym1.s JOIN k1 y ON y.s = sym1.t),
     k2 AS (SELECT s FROM sym2 GROUP BY s HAVING count(*) >= 3),
-    sym3 AS (SELECT sym2.s, sym2.t FROM sym2
+    sym3 AS MATERIALIZED (SELECT sym2.s, sym2.t FROM sym2
              JOIN k2 x ON x.s = sym2.s JOIN k2 y ON y.s = sym2.t),
     k3 AS (SELECT s FROM sym3 GROUP BY s HAVING count(*) >= 3),
     sym4 AS (SELECT sym3.s, sym3.t FROM sym3
