@@ -520,6 +520,16 @@ def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "result set as hierarchy_root_depth",
 )
 def recursive_cte_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark guards recursive CTEs with cteRecursionRowLimit (default 1M
+    # TOTAL rows across all iterations) — a runaway-recursion valve, not
+    # a semantic bound. This walk emits ≤ 19 rows per customer (digit
+    # count of a bigint), so the default trips at ~100k customers: the
+    # r15 sf1 sweep hit RECURSION_ROW_LIMIT_EXCEEDED at 150k customers
+    # while every gate scale passed. Size the valve for the workload
+    # (levelLimit=100 still catches true runaways); set here and not
+    # only in session.py because the external driver builds its own
+    # SparkSession.
+    spark.conf.set("spark.sql.cteRecursionRowLimit", "2000000000")
     _t(spark, sf_dir, "customer").createOrReplaceTempView("rcte_customer")
     return spark.sql(
         """

@@ -92,6 +92,12 @@ def get_spark(
         # default; reading them as nanos-since-epoch longs keeps older
         # snapshots loadable alongside the µs schema.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Recursive-CTE row valve: the 1M-row default is sized for
+        # exploratory use and trips on legitimate bounded walks at
+        # ~100k+ seed rows (observed: the digit-hierarchy walk at the
+        # sf1 probe scale). Raise the ROW valve; the level limit (100)
+        # still catches true runaway recursion.
+        .config("spark.sql.cteRecursionRowLimit", "2000000000")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
