@@ -416,14 +416,25 @@ def _bpe_rounds(
 
     Scale shape: the corpus is touched ONCE (word-count aggregate —
     map-side combined); every round after that is VOCABULARY-granular:
-    per-word windows over the symbol rows (one exchange on word, reused
-    across rounds via localCheckpoint lineage truncation, the
-    kcore/pagerank discipline), a pair-count aggregate, and a
-    distributed top-1 (TakeOrdered, never a single-partition window).
+    per-word windows over the symbol rows (ONE exchange on word for the
+    whole induction — each round's symbol table is scope-persisted, and
+    unlike localCheckpoint a persist preserves the hashpartitioning(word)
+    physical property, so rounds 2..R re-sort within partitions but
+    never re-shuffle), a pair-count aggregate, and a distributed top-1
+    (TakeOrdered, never a single-partition window). The selected pair
+    crosses the driver as ONE scalar row per round (guard-bounded by
+    definition) and is applied as plan literals — the ``merges`` return
+    is therefore a local relation of R rows, so consumers that only
+    need the merge list (``text_bpe_encode_ranked`` collects it anyway:
+    the tokenizer artifact) pay nothing at action time, where the
+    r10-r14 broadcast-join form re-ran every round's pair-count
+    aggregate under the final union (12 Exchanges at R=3, measured).
     At 100 TB the vocabulary is bounded by the token universe, not the
     corpus."""
     if rounds < 1:
         raise ValueError(f"_bpe_rounds: rounds must be >= 1 (got {rounds})")
+    from .dedup import persist_scoped
+
     wdf = (
         df.select(F.explode(_tokens(F.col(text_col))).alias("word"))
         .filter(F.col("word") != "")
@@ -439,8 +450,8 @@ def _bpe_rounds(
     ).select("word", "wc", (F.col("p") + 1).alias("pos"), "sym")
 
     w = Window.partitionBy("word").orderBy("pos")
-    merges = []
-    cur = syms.localCheckpoint()
+    merge_rows: list[tuple[int, str, str, int]] = []
+    cur = persist_scoped("bpe_syms", syms)
     for r in range(1, rounds + 1):
         pairs = cur.withColumn("nxt", F.lead("sym").over(w))
         pc = (
@@ -448,72 +459,99 @@ def _bpe_rounds(
             .groupBy("sym", "nxt")
             .agg(F.sum("wc").cast("bigint").alias("n"))
         )
-        best = (
-            pc.orderBy(F.desc("n"), "sym", "nxt")
-            .limit(1)
-            .select(
-                F.col("sym").alias("bs"),
-                F.col("nxt").alias("bn"),
-                F.col("n").alias("bcount"),
-            )
+        # The round's winning pair is ONE row (a guard-bounded scalar
+        # fetch, the house convention): applying it as plan literals
+        # replaces the r10 dummy-key broadcast left-join — one fewer
+        # broadcast exchange and join per round, and the merge list
+        # itself becomes a local relation instead of a union of
+        # TakeOrdered subtrees that re-aggregated every round's pair
+        # counts at action time. When the vocabulary fully merges
+        # early, `pc` is empty and the remaining rounds are no-ops on
+        # both the merge list and the segmentation — identical to the
+        # old left-join's all-false match column.
+        best = pc.orderBy(F.desc("n"), "sym", "nxt").first()
+        if best is None:
+            break
+        bs, bn, bcount = best["sym"], best["nxt"], best["n"]
+        merge_rows.append((r, bs, bn, bcount))
+        # Greedy parity without the (word, grp) islands re-shuffle: a
+        # run of consecutive matches starts where the PREVIOUS row did
+        # not match; carrying that run-start's cm forward with
+        # last(..., ignoreNulls) over the SAME (word, pos) window spec
+        # replaces min(cm) OVER (word, grp) — which required its own
+        # Exchange + Sort per round (2 extra shuffles x R, measured in
+        # the r14 plan). For matched rows run_cm == min(cm) of the
+        # run (cm increments by exactly 1 inside a run); unmatched rows
+        # carry a stale run_cm but m=false already excludes them.
+        # Window expressions can't nest, so the chain is layered into
+        # the minimum THREE projections (m/cm/prev_m, run_cm, sel +
+        # consumed) rather than one withColumn per step.
+        wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        m = F.coalesce(
+            (F.col("sym") == F.lit(bs)) & (F.col("nxt") == F.lit(bn)),
+            F.lit(False),
         )
-        # LEFT join on a dummy key, not crossJoin: when the vocabulary
-        # fully merges before `rounds` rounds, `best` is EMPTY and a
-        # cross join would empty `cur` — losing the segmentation the
-        # encode path returns (r10). Left-join keeps every symbol row;
-        # null bs/bn just makes `m` false everywhere.
-        fl = (
-            pairs.withColumn("__k", F.lit(1))
-            .join(F.broadcast(best.withColumn("__k", F.lit(1))), "__k", "left")
-            .drop("__k")
-            .withColumn(
-                "m",
-                F.coalesce(
-                    (F.col("sym") == F.col("bs"))
-                    & (F.col("nxt") == F.col("bn")),
-                    F.lit(False),
-                ),
-            )
+        s1 = pairs.select(
+            "word",
+            "wc",
+            "pos",
+            "sym",
+            "nxt",
+            m.alias("m"),
+            F.sum(m.cast("int")).over(wcum).alias("cm"),
+            F.coalesce(F.lag(m).over(w), F.lit(False)).alias("prev_m"),
         )
-        fl = fl.withColumn(
+        s2 = s1.select(
+            "word",
+            "wc",
+            "pos",
+            "sym",
+            "nxt",
+            "m",
             "cm",
-            F.sum(F.col("m").cast("int")).over(
-                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-        )
-        fl = fl.withColumn("grp", F.when(F.col("m"), F.col("pos") - F.col("cm")))
-        wg = Window.partitionBy("word", "grp")
-        fl = fl.withColumn(
-            "sel",
-            F.col("m") & (((F.col("cm") - F.min("cm").over(wg)) % 2) == 0),
-        )
-        fl = fl.withColumn(
-            "consumed", F.coalesce(F.lag("sel").over(w), F.lit(False))
-        )
-        merges.append(
-            best.select(
-                F.lit(r).cast("int").alias("round"),
-                F.col("bs").alias("left_sym"),
-                F.col("bn").alias("right_sym"),
-                F.col("bcount").alias("pair_count"),
+            F.last(
+                F.when(F.col("m") & ~F.col("prev_m"), F.col("cm")),
+                ignorenulls=True,
             )
+            .over(wcum)
+            .alias("run_cm"),
         )
+        sel = F.col("m") & (((F.col("cm") - F.col("run_cm")) % 2) == 0)
+        s3 = s2.select(
+            "word",
+            "wc",
+            "pos",
+            "sym",
+            "nxt",
+            sel.alias("sel"),
+            F.coalesce(F.lag(sel).over(w), F.lit(False)).alias("consumed"),
+        )
+        nxt_cur = s3.filter(~F.col("consumed")).select(
+            "word",
+            "wc",
+            F.row_number().over(w).alias("pos"),
+            F.when(F.col("sel"), F.concat("sym", "nxt"))
+            .otherwise(F.col("sym"))
+            .alias("sym"),
+        )
+        # Intermediate rounds are re-read by the next round's pair count
+        # AND the eventual segmentation consumer — persist them (scoped,
+        # partitioning-preserving). The FINAL round's table is consumed
+        # exactly once downstream (every caller aggregates it into
+        # word_stats in one pass), so it stays lazy — no materialization
+        # job for merges-only callers at all.
         cur = (
-            fl.filter(~F.col("consumed"))
-            .select(
-                "word",
-                "wc",
-                "pos",
-                F.when(F.col("sel"), F.concat("sym", "nxt"))
-                .otherwise(F.col("sym"))
-                .alias("sym"),
-            )
-            .withColumn("pos", F.row_number().over(w))
-            .localCheckpoint()
+            persist_scoped(f"bpe_cur_r{r}", nxt_cur)
+            if r < rounds
+            else nxt_cur
         )
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionByName(m)
+    spark = df.sparkSession
+    out = spark.createDataFrame(
+        merge_rows,
+        schema=(
+            "round int, left_sym string, right_sym string, pair_count bigint"
+        ),
+    )
     return out, cur
 
 

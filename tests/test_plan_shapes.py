@@ -418,12 +418,13 @@ PINNED = {
     # corpus projection; probe list and query LUT broadcast; the
     # (q,cand) ADC sum is map-side combined; WindowGroupLimit top-k
     "embed_ivfpq_topk": (4, ["BroadcastHashJoin", "WindowGroupLimit"], ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin", "BatchEvalPython"]),
-    # r9 BPE merges: rounds are checkpoint-truncated (Scan ExistingRDD),
-    # so the visible plan is 3 vocab-granular pair aggregates + the
-    # distributed top-1s (TakeOrderedAndProject, never a global-sort
-    # window) + the 3-row union; any join shape here means a round
-    # regressed to a join-back form
-    "text_bpe_merges": (6, ["TakeOrderedAndProject", "Union", "Scan ExistingRDD"], ["Join", "CartesianProduct", "BatchEvalPython"]),
+    # r15 BPE merges: each round's winning pair is a guard-bounded
+    # 1-row scalar fetch inside fn() (the pair aggregate + distributed
+    # top-1 run there), so the returned merge list is a LOCAL relation
+    # of R literal rows — the final plan does zero cluster work (the
+    # r9-r14 form re-ran every round's pair aggregate under a
+    # TakeOrdered union at action time: 12 Exchanges at R=3)
+    "text_bpe_merges": (0, ["Scan ExistingRDD"], ["Join", "CartesianProduct", "BatchEvalPython", "Exchange"]),
     # r9 CDC: one payload-granular exchange drives the lag windows, the
     # boundary flags, the exclusive boundary count, and the chunk
     # aggregate; the hash join back to the payload row is un-hinted
@@ -441,12 +442,15 @@ PINNED = {
     "curation_pipeline_v3": (35, ["InMemoryTableScan", "Window", "Union"], ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"]),
     # r9 soft dedup: one fingerprint-partitioned count window, no joins
     "dedup_soft_weights": (1, ["Window"], ["Join", "CartesianProduct", "BatchEvalPython"]),
-    # r10 BPE apply: segmentation comes off the checkpointed induction
-    # frame (Scan ExistingRDD); word stats (1 exch) meet the exploded
+    # r15 BPE apply: segmentation comes off the scope-persisted
+    # induction frame (InMemoryTableScan — persist, unlike the old
+    # localCheckpoint, preserves hashpartitioning(word), so the word
+    # stats need ZERO live exchanges); word stats meet the exploded
     # corpus in an honest word equi-join (broadcast at test SF by AQE's
     # choice, hash at scale — never asserted broadcast), then the
-    # per-doc aggregate
-    "text_bpe_encode": (3, ["Scan ExistingRDD"], ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"]),
+    # per-doc aggregate. Budget is textual: the cache echo reprints the
+    # induction lineage's exchanges, which never execute.
+    "text_bpe_encode": (4, ["InMemoryTableScan"], ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"]),
     # r10 stored-column IVFADC: the query plan scans the materialized
     # code index (Scan ExistingRDD — floats never touched), probes and
     # LUT broadcast, ADC sums map-side combined, WindowGroupLimit top-k
@@ -464,10 +468,11 @@ PINNED = {
     # normalization scalars ride broadcast crosses (BNLJ by design,
     # the cusum convention)
     "mixture_temperature_weights": (10, [], ["SortMergeJoin", "CartesianProduct", "BatchEvalPython", "Window"]),
-    # r10 BPE-counted packing: text_bpe_encode's shape (checkpointed
+    # r15 BPE-counted packing: text_bpe_encode's shape (scope-persisted
     # induction frame + word equi-join) feeding the two-phase prefix-sum
-    # packing windows — never a single-task global sort window
-    "pack_bpe_sequence_spans": (10, ["Scan ExistingRDD", "Window"], ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"]),
+    # packing windows — never a single-task global sort window (budget
+    # is textual; the cache echo reprints induction exchanges)
+    "pack_bpe_sequence_spans": (12, ["InMemoryTableScan", "Window"], ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"]),
     # r10 incremental winnow: batch fingerprints (persisted, echoes in
     # the budget) + broadcast hot-fp anti-join + fp equi-join against
     # the persisted state — corpus text is never re-fingerprinted; no
@@ -483,16 +488,17 @@ PINNED = {
     # join is PAIR-table-keyed (SMJ there is two bounded pair tables,
     # not a corpus side) and the output is <= 8 rows
     "dedup_lsh_recall_audit": (27, ["InMemoryTableScan", "LeftAnti"], ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"]),
-    # r10 fertility: text_bpe_encode's shape aggregated per language
-    "text_bpe_fertility": (3, ["Scan ExistingRDD"], ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"]),
+    # r15 fertility: text_bpe_encode's shape aggregated per language
+    "text_bpe_fertility": (4, ["InMemoryTableScan"], ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"]),
     # r10 confusion audit: one count agg over the narrow language-id
     # projection; the |langs|-row totals broadcast back
     "language_id_confusion": (4, ["BroadcastHashJoin"], ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin", "Window", "BatchEvalPython"]),
-    # r10 composed v4: survivor set scope-persisted once (echoes in the
-    # budget), BPE rounds checkpointed in the builder; the 1-row
-    # normalization scalars ride broadcast crosses and the |langs|-row
-    # dashboard joins may sort-merge harmlessly
-    "curation_pipeline_v4": (16, ["InMemoryTableScan", "Scan ExistingRDD"], ["CartesianProduct", "BatchEvalPython"]),
+    # r15 composed v4: survivor set scope-persisted once (echoes in the
+    # budget), BPE rounds scope-persisted in the builder (cache echoes
+    # inflate the textual count); the 1-row normalization scalars ride
+    # broadcast crosses and the |langs|-row dashboard joins may
+    # sort-merge harmlessly
+    "curation_pipeline_v4": (17, ["InMemoryTableScan"], ["CartesianProduct", "BatchEvalPython"]),
     # --- r11 additions (budgets measured at sf0.001, stripped text) ---
     # DSIR: token explode → fixed 256-row bucket agg; the bucket
     # log-ratio table broadcasts back; per-doc sums are one exchange
@@ -594,12 +600,13 @@ PINNED = {
     # CartesianProduct); count/max/argmax share the bench_id window
     # partitioning, rn==1 pushes down as WindowGroupLimit
     "embed_contamination_audit": (2, ["WindowGroupLimit", "BroadcastNestedLoopJoin"], ["CartesianProduct", "SortMergeJoin", "BatchEvalPython", "MapInPandas"]),
-    # vocab coverage: the BPE induction rounds are checkpointed inside
-    # fn() (the text_bpe_encode convention); the audit layer is the
-    # (lang, word) occurrence agg joined to word-granular class stats
-    # on the word equi-key (AQE broadcasts while the vocab measures
-    # small, degrades to a shuffle join at scale), one lang rollup
-    "text_bpe_vocab_coverage": (4, ["Generate", "BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin", "BatchEvalPython", "MapInPandas"]),
+    # vocab coverage: the BPE induction rounds are scope-persisted
+    # inside fn() (the text_bpe_encode convention; budget is textual —
+    # cache echoes); the audit layer is the (lang, word) occurrence agg
+    # joined to word-granular class stats on the word equi-key (AQE
+    # broadcasts while the vocab measures small, degrades to a shuffle
+    # join at scale), one lang rollup
+    "text_bpe_vocab_coverage": (5, ["Generate", "BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin", "BatchEvalPython", "MapInPandas"]),
 }
 
 
