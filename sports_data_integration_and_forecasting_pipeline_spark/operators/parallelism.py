@@ -437,17 +437,37 @@ def pareto_frontier_kd(
         .drop(*[f"__pv{i}" for i in range(len(cols))])
     )
 
-    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    spread = survivors.repartition(n_parts).withColumn(
-        "__pid", F.spark_partition_id()
-    )
-    schema = spread.schema
-    local = spread.groupBy("__pid").applyInPandas(_skyline, schema=schema)
+    def _sky_partition(batches):
+        # Accumulate the partition's batches, then one skyline walk —
+        # identical pruning power to the old per-partition grouped
+        # apply, without manufacturing a grouping key: the r14 form
+        # paid a keyless round-robin repartition (plus its mandatory
+        # sort-before-repartition pass) AND a hash exchange on the
+        # synthetic __pid just to reach Python; local skylines are
+        # partition-local by definition, so mapInPandas over whatever
+        # partitioning the survivors already have is sound (any subset
+        # prunes only true non-answers) and shuffle-free (r15: 3
+        # Exchanges -> 1 in the executed plan).
+        import pandas as pd
+
+        parts = [pdf for pdf in batches if len(pdf)]
+        if parts:
+            yield _skyline(
+                pd.concat(parts, ignore_index=True)
+                if len(parts) > 1
+                else parts[0]
+            )
+
+    # num_partitions stays as the explicit override for callers whose
+    # input partitioning is pathological (one giant partition); the
+    # default trusts the survivors' existing layout.
+    if num_partitions is not None:
+        survivors = survivors.repartition(num_partitions)
+    schema = survivors.schema
+    local = survivors.mapInPandas(_sky_partition, schema=schema)
     # final exact pass over the P·s-row union of local skylines — one
-    # group by design (the set is partition-count-sized, not data-sized)
-    final = (
-        local.withColumn("__pid", F.lit(0))
-        .groupBy("__pid")
-        .applyInPandas(_skyline, schema=schema)
-    )
-    return final.drop("__pid")
+    # partition by design (the set is partition-count-sized, not
+    # data-sized); repartition(1) is the explicit stage boundary that
+    # keeps the LOCAL pass parallel (a coalesce(1) would collapse it
+    # into the single final task)
+    return local.repartition(1).mapInPandas(_sky_partition, schema=schema)

@@ -276,50 +276,60 @@ def mmr_rerank_topk(
         .select("q_id", "ca", "cb", sim_e6.alias("sim_e6")),
     )
     mu = lam_den - lam_num
-    # round 1: pure-relevance argmax. Each round's pick is
-    # localCheckpointed (|queries| rows): the greedy recurrence
-    # otherwise re-derives cand/sims/sel per reference and the lazy
-    # k-round composition blows the plan up combinatorially (measured
-    # 923 textual exchanges at k=5 vs ~8 with truncation) — the
-    # kcore/pagerank/BPE lineage discipline.
+    # round 1: pure-relevance argmax. Each round's pick (|queries| rows
+    # — guard-bounded: the query set is the operator's bounded side by
+    # contract, the same class as text_bpe_encode_ranked's collected
+    # merge list) crosses the driver and re-enters the next round as
+    # LITERAL predicates over the persisted cand/sims tables. The
+    # greedy recurrence otherwise re-derives cand/sims/sel per
+    # reference and the lazy k-round composition blows the plan up
+    # combinatorially (measured 923 textual exchanges at k=5 vs ~8
+    # with truncation). r15: literal picks replace the r10 per-round
+    # localCheckpoint — a checkpointed pick scans as an
+    # UnknownPartitioning RDD, so every round paid an anti-join AND a
+    # selected-side join against RDD scans (plus the checkpoint job
+    # itself), and the final union replayed k RDD scans; with literals
+    # each round is two narrow filters over the persisted tables, one
+    # aggregate, one join, and the operator's RETURN is one local
+    # relation (zero cluster work at action time). The predicate is
+    # O(|queries|*k) literal terms — the same boundedness class as the
+    # broadcast query set the operator already assumes.
     w1 = Window.partitionBy("q_id").orderBy(F.desc("rel_e6"), F.col("cand_id"))
-    pick = (
-        cand.withColumn("__rn", F.row_number().over(w1))
-        .filter(F.col("__rn") == 1)
-        .select(
-            "q_id",
-            F.lit(1).cast("int").alias("mmr_rank"),
-            "cand_id",
-            (F.lit(lam_num) * F.col("rel_e6")).cast("bigint").alias("score_e7"),
-        )
-        .localCheckpoint()
+    pick_plan = cand.withColumn("__rn", F.row_number().over(w1)).filter(
+        F.col("__rn") == 1
+    ).select(
+        "q_id",
+        F.lit(1).cast("int").alias("mmr_rank"),
+        "cand_id",
+        (F.lit(lam_num) * F.col("rel_e6")).cast("bigint").alias("score_e7"),
     )
-    out = pick
-    sel = pick.select("q_id", "cand_id")
+    out_schema = pick_plan.schema
+    spark = emb_df.sparkSession
+    picked_rows = pick_plan.collect()
+
+    def _is_selected(qc: str, cc: str) -> Column:
+        return reduce(
+            lambda x, y: x | y,
+            [
+                (F.col(qc) == F.lit(p["q_id"]))
+                & (F.col(cc) == F.lit(p["cand_id"]))
+                for p in picked_rows
+            ],
+        )
+
     for r in range(2, k + 1):
-        rem = cand.join(sel, ["q_id", "cand_id"], "left_anti")
-        rem2 = rem.select(
-            F.col("q_id").alias("__q"), F.col("cand_id").alias("__c"), "rel_e6"
-        )
-        selr = sel.select(
-            F.col("q_id").alias("__q2"), F.col("cand_id").alias("__s")
-        )
+        # max similarity of each unselected candidate to the selected
+        # set: filter the persisted pair table to (cb selected, ca not),
+        # aggregate per (q, ca), then join back to cand for the exact
+        # rel_e6 (functionally dependent on the key, so the join carries
+        # it deterministically — same rows as the r10 join-then-max).
         ms = (
-            rem2.join(
-                sims,
-                (sims["q_id"] == F.col("__q")) & (sims["ca"] == F.col("__c")),
+            sims.filter(
+                _is_selected("q_id", "cb") & ~_is_selected("q_id", "ca")
             )
-            .join(
-                selr,
-                (F.col("__q2") == F.col("__q")) & (F.col("cb") == F.col("__s")),
-            )
-            .groupBy(F.col("__q").alias("q_id"), F.col("__c").alias("cand_id"))
-            .agg(
-                # rel_e6 is functionally dependent on (q, cand); max is
-                # the deterministic way to carry it through the agg
-                F.max("rel_e6").alias("rel_e6"),
-                F.max("sim_e6").alias("__mx"),
-            )
+            .groupBy("q_id", F.col("ca").alias("cand_id"))
+            .agg(F.max("sim_e6").alias("__mx"))
+            .join(cand, ["q_id", "cand_id"])
         )
         score = (
             F.lit(lam_num) * F.col("rel_e6") - F.lit(mu) * F.col("__mx")
@@ -327,7 +337,7 @@ def mmr_rerank_topk(
         wr = Window.partitionBy("q_id").orderBy(
             F.desc("__score"), F.col("cand_id")
         )
-        pick = (
+        picked_rows.extend(
             ms.withColumn("__score", score)
             .withColumn("__rn", F.row_number().over(wr))
             .filter(F.col("__rn") == 1)
@@ -337,8 +347,6 @@ def mmr_rerank_topk(
                 "cand_id",
                 F.col("__score").alias("score_e7"),
             )
-            .localCheckpoint()
+            .collect()
         )
-        out = out.unionByName(pick)
-        sel = sel.unionByName(pick.select("q_id", "cand_id"))
-    return out
+    return spark.createDataFrame(picked_rows, schema=out_schema)

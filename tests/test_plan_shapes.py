@@ -478,11 +478,11 @@ PINNED = {
     # the persisted state — corpus text is never re-fingerprinted; no
     # pair shape touches a corpus-sized side
     "dedup_incremental_winnow": (18, ["InMemoryTableScan", "Union", "BroadcastHashJoin"], ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin", "BatchEvalPython"]),
-    # r10 MMR: the k greedy rounds run checkpointed in the builder (the
-    # BPE/kcore lineage discipline — lazy composition measured 923
-    # textual exchanges); the final plan is a Union of |queries|-row
-    # checkpointed picks, ZERO exchanges
-    "embed_mmr_rerank": (0, ["Union", "Scan ExistingRDD"], ["Exchange", "Join", "BatchEvalPython"]),
+    # r15 MMR: the k greedy rounds run in the builder (lazy composition
+    # measured 923 textual exchanges in r10); each round's |queries|-row
+    # pick is a guard-bounded driver collect, so the final plan is ONE
+    # local relation of the k*|queries| picks — zero cluster work
+    "embed_mmr_rerank": (0, ["Scan ExistingRDD"], ["Exchange", "Join", "BatchEvalPython", "Union"]),
     # r10 LSH recall audit: both legs are the already-pinned scaled
     # operators (hot-capped inverted index + banded minhash); the audit
     # join is PAIR-table-keyed (SMJ there is two bounded pair tables,
