@@ -1601,6 +1601,13 @@ def winnow_match_pairs(
         .select(id_col, "fp")
         .distinct()
     )
+    # referenced up to four times (df aggregate, anti-join left, both
+    # pair-join sides): persist so the gram explode + winnow windows run
+    # once per action — the shingle_jaccard_pairs house pattern this
+    # function predates (r15; the pair-join legs' exchanges deduped via
+    # AQE stage reuse, but the hot-df aggregate leg re-ran the whole
+    # fingerprint pipeline).
+    fps = _persist_scoped("winnow_fps", fps)
     if max_df is not None:
         hot = (
             fps.groupBy("fp")

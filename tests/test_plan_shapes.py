@@ -396,10 +396,12 @@ PINNED = {
     # closing distinct all share it; any join appearing here means the
     # selection regressed to a join-back form
     "dedup_winnow_fingerprints": (1, ["Window", "Generate"], ["Join", "CartesianProduct", "BatchEvalPython"]),
-    # match step: winnowed index + broadcast hot-cap anti-join + fp
-    # equi-join + pair groupBy — same banned shapes as the jaccard
+    # match step: winnowed index (scope-persisted since r15 — the hot-df
+    # aggregate leg used to re-run the whole fingerprint pipeline; +1
+    # textual budget for the cache echo) + broadcast hot-cap anti-join +
+    # fp equi-join + pair groupBy — same banned shapes as the jaccard
     # family (no pair shape may touch the corpus side)
-    "dedup_winnow_match_pairs": (9, ["Window", "BroadcastHashJoin"], ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin", "BatchEvalPython"]),
+    "dedup_winnow_match_pairs": (10, ["Window", "BroadcastHashJoin", "InMemoryTableScan"], ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin", "BatchEvalPython"]),
     # r9 PQ: encoding is a pure literal-codebook projection — ZERO
     # exchanges, no joins, codes computed inside the scan stage
     "embed_pq_codes": (0, [], ["Exchange", "Join", "BatchEvalPython"]),
