@@ -29,9 +29,12 @@ SKIP = {
 }
 
 NOTES = {
-    "text_bpe_encode": "BPE apply (r10): the segmentation comes off the SAME checkpointed induction frame that learned the merges (Scan ExistingRDD — no second apply stage); word-granular stats meet the exploded corpus in an honest word equi-join (AQE picks broadcast at test SF, hash at scale), then one per-doc aggregate.",
+    "text_bpe_merges": "BPE merge induction (r15): each round's winning pair is a 1-row scalar fetch inside fn() (pair aggregate + distributed top-1 run there, rounds scope-persisted — ONE word exchange for the whole induction); the returned merge list is a LOCAL relation of R rows, where the r9-r14 form re-ran every round's pair aggregate under a TakeOrdered union at action time (12 Exchanges at R=3).",
+    "skyline_orders_3d": "k-D skyline (r15): pivot pre-prune (min_by argmin rows broadcast) then the local-skyline mapInPandas over the survivors' EXISTING partitioning — the r14 form paid a keyless round-robin repartition (plus sort-before-repartition) and a synthetic-key hash exchange just to reach Python (3 Exchanges -> 1); final exact pass behind an explicit repartition(1) of the partition-count-sized local skylines.",
+    "dedup_winnow_match_pairs": "MOSS match (r15): the winnow fingerprint index is scope-persisted across its four consumers (hot-df aggregate, anti-join, both pair-join sides) — the hot-df leg used to re-run the whole gram-explode + winnow-window pipeline (curation_pipeline_v3 3.66 -> 1.77 s).",
+    "text_bpe_encode": "BPE apply (r15): the segmentation comes off the SAME scope-persisted induction frame that learned the merges (InMemoryTableScan — persist keeps the word hash-partitioning localCheckpoint dropped, so word stats need zero live exchanges; no second apply stage); word-granular stats meet the exploded corpus in an honest word equi-join (AQE picks broadcast at test SF, hash at scale), then one per-doc aggregate.",
     "embed_ivfpq_precoded_topk": "Stored-column IVFADC (r10): the query plan scans the lineage-truncated code index (ints only — floats never touched at query time); probes + LUT broadcast, map-side-combined integer ADC sums, WindowGroupLimit top-k. Probe: 2.0x/3.9x under inline at sf0.1/sf1 and flat across 10x data (SCALING.md r10).",
-    "embed_mmr_rerank": "MMR diversity re-rank (r10): k greedy rounds run checkpointed in the builder (lazy composition measured 923 textual exchanges); the final plan is a Union of |queries|-row checkpointed picks — zero exchanges, selected-set-granular rounds.",
+    "embed_mmr_rerank": "MMR diversity re-rank (r15): k greedy rounds run in the builder, each pick a guard-bounded driver collect re-entering as literal predicates (lazy composition measured 923 textual exchanges in r10; the r10 checkpoint form paid per-round anti-joins against UnknownPartitioning RDD scans); the final plan is ONE local relation of the k*|queries| picks — zero exchanges.",
     "dedup_lsh_recall_audit": "LSH recall audit (r10): exact hot-capped Jaccard truth + banded minhash candidates (both already-scaled legs) meet in a pair-table join; output <= 8 decile rows — the banding S-curve, measured.",
     "hybrid_rrf_fusion": "Hybrid RRF (r10): lexical leg reuses ONE persisted (doc,term,tf) aggregate (query terms broadcast into the postings join), dense leg is the bounded-query broadcast cross of embed_cosine_topk; fusion is a leg Union -> one integer aggregate -> WindowGroupLimit — work scales with |queries|*n_cand, not the corpus.",
     "flagship_market_report": "Best-price window + arbitrage agg + join-back: filters pushed to scan, window reuses one exchange, WindowGroupLimit prunes before shuffle.",
