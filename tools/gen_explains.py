@@ -79,11 +79,9 @@ NOTES = {
     "dedup_incremental_substring": "Batch-sized gram pass vs persisted gram-count state: only the NEW batch tokenizes; the state join is an equi-join on gram digest; spans merge per doc exactly as the full recompute (equivalence-oracled).",
     "embed_ann_recall_audit": "Recall@5 audit: exact top-5 (bounded query sample broadcast, WindowGroupLimit top-k) joined against IVF 3-probe top-5; linear corpus touch is the audit's semantics — sample size is the scale knob.",
     "dedup_winnow_fingerprints": "MOSS winnow: ONE doc-granular exchange drives the gram windows, the w-frame packed-integer min, the selection filter, and the closing distinct (plan-pinned at exactly 1 exchange).",
-    "dedup_winnow_match_pairs": "MOSS match: winnowed fingerprint index (~2/(w+1) of the gram stream) -> broadcast hot-cap anti-join -> fp equi-join -> pair groupBy; same banned pair shapes as the jaccard family.",
     "embed_pq_codes": "PQ encode: pure literal-codebook projection, ZERO exchanges — 64 bounded-width d2 folds per row inside the scan stage (the r8 interpreted-lambda rule's numeric exception).",
     "embed_pq_adc_topk": "PQ ADC: exploded (cand, s, code) ints meet the broadcast 64-key LUT; per-(q,cand) sum is map-side-combined integer adds; WindowGroupLimit top-k. Linear candidate scan is ADC's semantics — IVF cell pruning composes orthogonally.",
     "embed_semdedup_keep": "SemDeDup: literal-quantizer cell assignment (shuffle-free) -> ONE designed Arrow crossing per cell (dim-ordered exact kernel; 17-30x over both JVM per-pair forms at sf1, heavy-cell guard at entry AND in-kernel) -> symmetric neighborhood-min star resolution -> label join.",
-    "text_bpe_merges": "BPE merge induction: 3 checkpoint-truncated vocabulary-granular rounds (pair aggregate + distributed top-1 TakeOrderedAndProject); sequential greedy-merge parity via islands-and-parity windows.",
     "multimodal_cdc_chunks": "Gear-hash CDC: one payload-granular exchange drives the 8 lag terms, boundary mask, exclusive boundary count, and chunk aggregate; un-hinted payload join (AQE-sized).",
     "embed_ivfpq_topk": "IVFADC: cell + all PQ codes fused into ONE narrow corpus projection; broadcast probe list and query LUT; map-side-combined integer ADC sums; WindowGroupLimit top-k. Pruning AND approximation hash-checked from shared literals.",
 }
