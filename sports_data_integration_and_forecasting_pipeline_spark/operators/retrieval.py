@@ -214,11 +214,15 @@ def mmr_rerank_topk(
 
     Scale shape: the ONLY corpus-sized work is the initial broadcast
     query scan that produces the top-``n_cand`` candidates; the
-    candidate-pair similarity table is |queries|·n_cand² rows and every
-    selection round after that is SELECTED-set-granular (bounded joins
-    over bounded frames — the k rounds compose lazily into one plan
-    over tiny tables). Returns
-    ``(q_id, mmr_rank, cand_id, score_e7)``."""
+    candidate-pair similarity table is |queries|·n_cand² rows. The k
+    greedy rounds for ONE query touch only that query's candidate block,
+    so they run as a single cogrouped Arrow pass keyed on ``q_id`` —
+    every query's selection loop executes independently in parallel over
+    n_cand²-bounded integer frames, one job, zero driver data moves (the
+    r15 form collected each round's picks to the driver and re-entered
+    them as an O(|queries|·k)-term literal predicate: k−1 sequential
+    driver jobs, per-round re-analysis quadratic in k, and a crash on an
+    empty query set). Returns ``(q_id, mmr_rank, cand_id, score_e7)``."""
     from .similarity import _prepared, dot
 
     if not (0 < lam_num <= lam_den):
@@ -269,84 +273,99 @@ def mmr_rerank_topk(
         dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")) * 1e6
         + F.lit(0.5)
     ).cast("bigint")
-    sims = persist_scoped(
-        "mmr_sims",
+    # sims feeds exactly one consumer (the cogrouped greedy below), so it
+    # is NOT persisted; its one evaluation happens inside the same job.
+    # Its grouping key is RE-ALIASED (q_id → __qg): sims descends from
+    # cand, and two cogroup sides exposing the same attribute fail the
+    # ambiguous-self-join check.
+    sims = (
         a.join(b, "q_id")
         .filter(F.col("ca") != F.col("cb"))
-        .select("q_id", "ca", "cb", sim_e6.alias("sim_e6")),
+        .select(F.col("q_id").alias("__qg"), "ca", "cb", sim_e6.alias("sim_e6"))
     )
     mu = lam_den - lam_num
-    # round 1: pure-relevance argmax. Each round's pick (|queries| rows
-    # — guard-bounded: the query set is the operator's bounded side by
-    # contract, the same class as text_bpe_encode_ranked's collected
-    # merge list) crosses the driver and re-enters the next round as
-    # LITERAL predicates over the persisted cand/sims tables. The
-    # greedy recurrence otherwise re-derives cand/sims/sel per
-    # reference and the lazy k-round composition blows the plan up
-    # combinatorially (measured 923 textual exchanges at k=5 vs ~8
-    # with truncation). r15: literal picks replace the r10 per-round
-    # localCheckpoint — a checkpointed pick scans as an
-    # UnknownPartitioning RDD, so every round paid an anti-join AND a
-    # selected-side join against RDD scans (plus the checkpoint job
-    # itself), and the final union replayed k RDD scans; with literals
-    # each round is two narrow filters over the persisted tables, one
-    # aggregate, one join, and the operator's RETURN is one local
-    # relation (zero cluster work at action time). The predicate is
-    # O(|queries|*k) literal terms — the same boundedness class as the
-    # broadcast query set the operator already assumes.
-    w1 = Window.partitionBy("q_id").orderBy(F.desc("rel_e6"), F.col("cand_id"))
-    pick_plan = cand.withColumn("__rn", F.row_number().over(w1)).filter(
-        F.col("__rn") == 1
-    ).select(
-        "q_id",
-        F.lit(1).cast("int").alias("mmr_rank"),
-        "cand_id",
-        (F.lit(lam_num) * F.col("rel_e6")).cast("bigint").alias("score_e7"),
+    # r16: the k greedy rounds run as ONE cogrouped Arrow pass keyed on
+    # q_id. Per query the greedy recurrence only ever touches that
+    # query's n_cand candidates and their n_cand² pairwise similarities
+    # — a bounded integer frame — so a Python kernel replays the exact
+    # relational semantics (score_e7 = lam_num·rel_e6 −
+    # (lam_den−lam_num)·max_sim_e6 over bigints, ties to the lower
+    # cand_id, first pick pure-relevance argmax) with zero float
+    # arithmetic and zero parity risk. History: the r10 form
+    # localCheckpointed each pick (k checkpoint jobs + per-round joins
+    # against UnknownPartitioning RDD scans); the r15 form collected
+    # each round's picks to the driver and re-entered them as an
+    # O(|queries|·k)-term literal OR-chain (k−1 sequential driver jobs
+    # whose scheduling floor dominated the entry cold, per-round
+    # re-analysis quadratic in k, TypeError on an empty query set, and
+    # an unbounded predicate for large query sets). The cogroup form is
+    # one job, no driver data moves, no predicate growth, degrades to
+    # an empty result on an empty query set, and parallelizes across
+    # queries — lazy like every other operator (consumers trigger it).
+    import pandas as pd  # noqa: PLC0415
+
+    from pyspark.sql.types import (  # noqa: PLC0415
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
     )
-    out_schema = pick_plan.schema
-    spark = emb_df.sparkSession
-    picked_rows = pick_plan.collect()
 
-    def _is_selected(qc: str, cc: str) -> Column:
-        return reduce(
-            lambda x, y: x | y,
-            [
-                (F.col(qc) == F.lit(p["q_id"]))
-                & (F.col(cc) == F.lit(p["cand_id"]))
-                for p in picked_rows
-            ],
+    ctypes = {f.name: f.dataType for f in cand.schema.fields}
+    out_schema = StructType(
+        [
+            StructField("q_id", ctypes["q_id"], True),
+            StructField("mmr_rank", IntegerType(), False),
+            StructField("cand_id", ctypes["cand_id"], True),
+            StructField("score_e7", LongType(), True),
+        ]
+    )
+    kk, ln = k, lam_num
+
+    def _greedy(key, cand_pdf, sims_pdf):  # noqa: ANN001, ANN202
+        if cand_pdf.empty:
+            return pd.DataFrame(
+                columns=["q_id", "mmr_rank", "cand_id", "score_e7"]
+            )
+        qid = key[0]
+        # ids stay native (any orderable/hashable type); the SCORE
+        # arithmetic is forced to Python ints so it is exact and
+        # overflow-free regardless of the Arrow dtype
+        rel = {
+            c: int(r)
+            for c, r in zip(cand_pdf["cand_id"], cand_pdf["rel_e6"])
+        }
+        sim = {
+            (x, y): int(s)
+            for x, y, s in zip(
+                sims_pdf["ca"], sims_pdf["cb"], sims_pdf["sim_e6"]
+            )
+        }
+        # round 1: pure-relevance argmax, ties to the lower cand_id
+        first = min(rel, key=lambda c: (-rel[c], c))
+        picks = [(qid, 1, first, ln * rel[first])]
+        selected = [first]
+        unsel = sorted(c for c in rel if c != first)
+        for r in range(2, kk + 1):
+            if not unsel:
+                break
+            best_c = best_s = None
+            for c in unsel:
+                mx = max(sim[(c, s)] for s in selected)
+                sc = ln * rel[c] - mu * mx
+                if best_c is None or sc > best_s or (
+                    sc == best_s and c < best_c
+                ):
+                    best_c, best_s = c, sc
+            picks.append((qid, r, best_c, best_s))
+            selected.append(best_c)
+            unsel.remove(best_c)
+        return pd.DataFrame(
+            picks, columns=["q_id", "mmr_rank", "cand_id", "score_e7"]
         )
 
-    for r in range(2, k + 1):
-        # max similarity of each unselected candidate to the selected
-        # set: filter the persisted pair table to (cb selected, ca not),
-        # aggregate per (q, ca), then join back to cand for the exact
-        # rel_e6 (functionally dependent on the key, so the join carries
-        # it deterministically — same rows as the r10 join-then-max).
-        ms = (
-            sims.filter(
-                _is_selected("q_id", "cb") & ~_is_selected("q_id", "ca")
-            )
-            .groupBy("q_id", F.col("ca").alias("cand_id"))
-            .agg(F.max("sim_e6").alias("__mx"))
-            .join(cand, ["q_id", "cand_id"])
-        )
-        score = (
-            F.lit(lam_num) * F.col("rel_e6") - F.lit(mu) * F.col("__mx")
-        ).cast("bigint")
-        wr = Window.partitionBy("q_id").orderBy(
-            F.desc("__score"), F.col("cand_id")
-        )
-        picked_rows.extend(
-            ms.withColumn("__score", score)
-            .withColumn("__rn", F.row_number().over(wr))
-            .filter(F.col("__rn") == 1)
-            .select(
-                "q_id",
-                F.lit(r).cast("int").alias("mmr_rank"),
-                "cand_id",
-                F.col("__score").alias("score_e7"),
-            )
-            .collect()
-        )
-    return spark.createDataFrame(picked_rows, schema=out_schema)
+    return (
+        cand.groupBy("q_id")
+        .cogroup(sims.groupBy("__qg"))
+        .applyInPandas(_greedy, schema=out_schema)
+    )

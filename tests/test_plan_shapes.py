@@ -42,6 +42,12 @@ ARROW_OK = {
     # production path for tens-of-thousands-rank merge lists; parity
     # with the relational form is the entry's shared-oracle claim
     "text_bpe_encode_ranked",
+    # r16 MMR: the k greedy rounds run per-query inside ONE cogrouped
+    # Arrow pass over exact-integer frames bounded by n_cand² — the
+    # designed crossing (node FlatMapCoGroupsInPandas; replaces the r15
+    # k-sequential-driver-collect loop and its O(|q|·k) literal
+    # predicate)
+    "embed_mmr_rerank",
 }
 # Streaming queries materialize via a memory sink, not a lazy plan.
 SKIP = {
@@ -480,11 +486,17 @@ PINNED = {
     # the persisted state — corpus text is never re-fingerprinted; no
     # pair shape touches a corpus-sized side
     "dedup_incremental_winnow": (18, ["InMemoryTableScan", "Union", "BroadcastHashJoin"], ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin", "BatchEvalPython"]),
-    # r15 MMR: the k greedy rounds run in the builder (lazy composition
-    # measured 923 textual exchanges in r10); each round's |queries|-row
-    # pick is a guard-bounded driver collect, so the final plan is ONE
-    # local relation of the k*|queries| picks — zero cluster work
-    "embed_mmr_rerank": (0, ["Scan ExistingRDD"], ["Exchange", "Join", "BatchEvalPython", "Union"]),
+    # r16 MMR: one cogrouped Arrow pass keyed on q_id replays the k
+    # greedy rounds per query over bounded integer frames — one job, no
+    # driver data moves (the r15 form did k−1 sequential driver collects
+    # re-entered as an O(|q|·k) literal OR-chain and crashed on an empty
+    # query set; r10's lazy composition measured 923 textual exchanges).
+    # The persisted candidate table echoes its lineage under three
+    # InMemoryTableScans (textual budget); the sims a⋈b self-join is
+    # pair-table-keyed (bounded |q|·n_cand² side — SMJ there is planner
+    # noise at test SF, not a corpus-side shape, the
+    # dedup_lsh_recall_audit convention)
+    "embed_mmr_rerank": (18, ["FlatMapCoGroupsInPandas", "InMemoryTableScan"], ["CartesianProduct", "BatchEvalPython", "Union"]),
     # r10 LSH recall audit: both legs are the already-pinned scaled
     # operators (hot-capped inverted index + banded minhash); the audit
     # join is PAIR-table-keyed (SMJ there is two bounded pair tables,
