@@ -8,9 +8,16 @@ scan 100 TB of documents at parquet-read speed.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+# One fresh persist-role namespace per BPE induction call (see
+# _bpe_rounds) — never reused, so two inductions alive in one session
+# cannot unpersist each other's blocks.
+_BPE_INVOCATION_SEQ = itertools.count()
 
 # Marker stopwords per language for the n-gram/marker-word language-ID
 # heuristic. Deliberately tiny: language ID at corpus scale is a cheap
@@ -435,6 +442,17 @@ def _bpe_rounds(
         raise ValueError(f"_bpe_rounds: rounds must be >= 1 (got {rounds})")
     from .dedup import persist_scoped
 
+    # Persist roles are keyed PER INVOCATION (r16, ADVICE r15): with
+    # fixed roles a second BPE induction built in the same session
+    # would unpersist the first call's blocks while its lazy
+    # segmentation was still pending — correctness unaffected (pure
+    # recompute) but the cached-induction claim silently hollow. The
+    # bounded-registry discipline still holds: callers release via
+    # dedup.release_caches() after draining each query (the bench/probe
+    # loop convention), so at most one induction's blocks per in-flight
+    # consumer are ever held.
+    tag = next(_BPE_INVOCATION_SEQ)
+
     wdf = (
         df.select(F.explode(_tokens(F.col(text_col))).alias("word"))
         .filter(F.col("word") != "")
@@ -451,7 +469,7 @@ def _bpe_rounds(
 
     w = Window.partitionBy("word").orderBy("pos")
     merge_rows: list[tuple[int, str, str, int]] = []
-    cur = persist_scoped("bpe_syms", syms)
+    cur = persist_scoped(f"bpe_syms_{tag}", syms)
     for r in range(1, rounds + 1):
         pairs = cur.withColumn("nxt", F.lead("sym").over(w))
         pc = (
@@ -541,7 +559,7 @@ def _bpe_rounds(
         # word_stats in one pass), so it stays lazy — no materialization
         # job for merges-only callers at all.
         cur = (
-            persist_scoped(f"bpe_cur_r{r}", nxt_cur)
+            persist_scoped(f"bpe_cur_{tag}_r{r}", nxt_cur)
             if r < rounds
             else nxt_cur
         )
