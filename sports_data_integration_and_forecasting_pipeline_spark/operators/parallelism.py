@@ -458,11 +458,19 @@ def pareto_frontier_kd(
                 else parts[0]
             )
 
-    # num_partitions stays as the explicit override for callers whose
-    # input partitioning is pathological (one giant partition); the
-    # default trusts the survivors' existing layout.
+    # num_partitions stays as the explicit override; the default trusts
+    # the survivors' existing layout EXCEPT for the pathological
+    # single-partition input (r16, ADVICE r15): there the whole O(n·m)
+    # local walk plus a full pandas concat would land in ONE task, so
+    # the guard restores the r14 spread. The partition count comes off
+    # the INPUT df (survivors add only narrow ops over it), so the check
+    # is one driver-side plan conversion, no job.
     if num_partitions is not None:
         survivors = survivors.repartition(num_partitions)
+    elif df.rdd.getNumPartitions() == 1:
+        survivors = survivors.repartition(
+            df.sparkSession.sparkContext.defaultParallelism
+        )
     schema = survivors.schema
     local = survivors.mapInPandas(_sky_partition, schema=schema)
     # final exact pass over the P·s-row union of local skylines — one

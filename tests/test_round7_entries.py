@@ -321,6 +321,42 @@ def test_pareto_frontier_kd_matches_brute_force_dominance(spark):
     assert 9001 in got and 9002 in got and 9003 not in got
 
 
+def test_pareto_frontier_kd_single_partition_input(spark):
+    """r16 guard (ADVICE r15): a pathological single-partition input must
+    still produce the exact skyline, and the default must spread the
+    local pass instead of concentrating the whole O(n·m) walk plus a
+    full pandas concat in one task (the guard repartitions to
+    defaultParallelism when the input has exactly one partition)."""
+    import pyspark.sql.functions as F
+
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.parallelism import (
+        pareto_frontier_kd,
+    )
+
+    pts = (
+        spark.range(1_000)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") * 37 % 53).alias("x"),
+            (F.col("id") * 61 % 47).alias("y"),
+        )
+        .repartition(1)
+    )
+    got = sorted(r["k"] for r in pareto_frontier_kd(pts, ["x", "y"]).collect())
+    rows = pts.collect()
+    brute = sorted(
+        q["k"]
+        for q in rows
+        if not any(
+            p["x"] <= q["x"]
+            and p["y"] <= q["y"]
+            and (p["x"] < q["x"] or p["y"] < q["y"])
+            for p in rows
+        )
+    )
+    assert got == brute
+
+
 def test_exclusive_prefix_offsets_contract(spark):
     """r7: the shared offsets helper (four call sites: global rank,
     running sum, skyline prefix-min, SNM fix-up) must produce the
