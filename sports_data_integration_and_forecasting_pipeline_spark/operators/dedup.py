@@ -314,11 +314,18 @@ def shingle_jaccard_prefix_pairs(
         idx = idx.join(F.broadcast(hot), "sh", "left_anti")
         dfreq = dfreq.filter(F.col("__df") <= max_df)
     surv = idx.join(dfreq, "sh")
-    w_doc = Window.partitionBy(id_col)
-    w_rank = w_doc.orderBy("__df", "sh")
+    w_rank = Window.partitionBy(id_col).orderBy("__df", "sh")
+    # n_sh rides the SAME (doc, __df-order) window spec as the prefix
+    # rank via an unbounded-unbounded frame (r16): with the old separate
+    # unordered-partition count window the physical plan ran TWO Window
+    # passes over the doc exchange; same spec + same sort = ONE
+    # WindowExec, one sort (frames may differ within a node).
+    w_all = w_rank.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     sized = _persist_scoped(
         "jaccard_prefix_sized",
-        surv.withColumn("n_sh", F.count("*").over(w_doc)).withColumn(
+        surv.withColumn("n_sh", F.count("*").over(w_all)).withColumn(
             "rk", F.row_number().over(w_rank)
         ),
     )
