@@ -1,6 +1,7 @@
 """Dump ``df.explain("formatted")`` for named battery entries to
-``plans/r15/<entry>_<suffix>.txt`` — the optimization round's plan
-evidence files (judge-checkable without running Spark).
+``plans/$SPARK_GRAFT_PLANS_ROUND/<entry>_<suffix>.txt`` (default r16) —
+the optimization round's plan evidence files (judge-checkable without
+running Spark).
 
 Usage: python tools/dump_explain.py SUFFIX ENTRY [ENTRY ...] [--sf DIR]
 """
@@ -30,7 +31,11 @@ def main() -> None:
     from sports_data_integration_and_forecasting_pipeline_spark.session import get_spark
 
     spark = get_spark(app_name="dump_explain", master="local[4]")
-    out_dir = Path(__file__).parent.parent / "plans" / "r15"
+    out_dir = (
+        Path(__file__).parent.parent
+        / "plans"
+        / os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r16")
+    )
     out_dir.mkdir(parents=True, exist_ok=True)
     for name in names:
         df = QUERIES[name].fn(spark, sf_dir)
