@@ -9,10 +9,15 @@ drifts at 1e-16 per add; the integer form makes the fixpoint
 hash-checkable across engines (same discipline as the battery's exact
 integer cents).
 
-Scale shape per iteration: one hash join (ranks ⋈ edges on src — both
-sides share the src/dst hash partitioning round-over-round) and one
-map-side-combined aggregation on dst. ``localCheckpoint`` truncates
-lineage so iteration N doesn't replay 1..N-1. No driver-side data moves.
+Scale shape per iteration: one hash join (ranks ⋈ edges on src — the
+edge/degree tables are scope-persisted and materialize once) and one
+map-side-combined aggregation on dst. Rank lineage is LINEAR in
+iterations (each round references its predecessor once), so the rounds
+compose lazily into the consumer's single action; a ``localCheckpoint``
+valve every 8 rounds bounds plan depth for long runs. Operators whose
+rounds SELF-compose (``tree_roots`` pointer doubling — 2^r lineage
+copies without truncation) keep a checkpoint per round instead. No
+driver-side data moves.
 """
 
 from __future__ import annotations
@@ -60,9 +65,24 @@ def pagerank_integer(
     edges via :func:`symmetrize` in the same plan and wants the check's
     job back.
     """
-    e = edges.select(src, dst).persist()
-    deg = e.groupBy(src).agg(F.count("*").alias("__deg")).persist()
-    deg.count()  # materialize both once; they feed every iteration
+    from sports_data_integration_and_forecasting_pipeline_spark.operators.dedup import (
+        persist_scoped,
+    )
+
+    # r16: the per-iteration localCheckpoint (an EAGER job per round,
+    # plus UnknownPartitioning scans that re-exchanged the rank table
+    # every round) is gone. Ranks reference their predecessor exactly
+    # once per round, so the lineage is LINEAR in iterations — the whole
+    # power iteration composes lazily into the consumer's single action,
+    # with e/deg scope-persisted (materialized once inside that action,
+    # released by dedup.release_caches — the registry also outlives this
+    # function, which the old eager form's function-exit unpersist
+    # required). A checkpoint valve every 8 rounds bounds plan depth for
+    # long runs.
+    e = persist_scoped("pagerank_edges", edges.select(src, dst))
+    deg = persist_scoped(
+        "pagerank_deg", e.groupBy(src).agg(F.count("*").alias("__deg"))
+    )
     if validate_no_dangling:
         dangling = (
             e.select(F.col(dst).alias("node"))
@@ -71,8 +91,6 @@ def pagerank_integer(
             .count()
         )
         if dangling:
-            e.unpersist()
-            deg.unpersist()
             raise ValueError(
                 f"pagerank_integer: {dangling} destination node(s) never "
                 "appear as a source — the edge list is not symmetrized, "
@@ -84,8 +102,8 @@ def pagerank_integer(
     base = (100 - damping_pct) * scale // 100
     ranks = deg.select(
         F.col(src).alias("node"), F.lit(scale).cast("long").alias("pr")
-    ).localCheckpoint()
-    for _ in range(iterations):
+    )
+    for i in range(iterations):
         contrib = (
             e.join(deg, src)
             .join(ranks, F.col(src) == F.col("node"))
@@ -104,10 +122,9 @@ def pagerank_integer(
                     + F.expr(f"({damping_pct} * __s) DIV 100")
                 ).cast("long").alias("pr"),
             )
-            .localCheckpoint()
         )
-    e.unpersist()
-    deg.unpersist()
+        if (i + 1) % 8 == 0 and (i + 1) < iterations:
+            ranks = ranks.localCheckpoint()
     return ranks
 
 
